@@ -1,0 +1,172 @@
+"""Deduplication operators (SURVEY Phase 5 — training-data pipeline core).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup, all as declarative
+DataFrame plans:
+
+* hashes are built from **md5 strings** (engine-portable: DuckDB computes
+  the identical value, so the correctness oracle is bit-exact; at 100 TB
+  swap `_h` for xxhash64 with one line if raw speed matters more than
+  portability),
+* candidate generation is a **band-bucket self-join** (shuffle on the
+  bucket key), never an O(n²) cross join,
+* verification (true Jaccard) runs only on candidate pairs.
+
+Scale shape: shingle/minhash computation is per-row (map-only, no
+shuffle); the LSH join shuffles (band, bucket) pairs — n_bands × n_rows
+small records; skewed buckets (boilerplate docs) are AQE-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators.text import normalize_text
+
+
+def _h(seed: int, c: Column) -> Column:
+    """Portable seeded hash: md5 of seed-prefixed input (hex string).
+    String min/max is a total order shared by every engine."""
+    return F.md5(F.concat(F.lit(f"s{seed}:"), c))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text (distinct)."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: per seed j, min over shingles of h_j(shingle).
+    An array<string> of length num_hashes."""
+    sh = shingles(col, k)
+    return F.array(*[F.array_min(F.transform(sh, lambda s, j=j: _h(j, s))) for j in range(num_hashes)])
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keeps the min-id row per
+    group (deterministic winner).  Hash-groupBy: one shuffle on the md5."""
+    from hazelcast_jet_spark.operators.text import fingerprint
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """n-gram Jaccard similarity of two shingle arrays."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 16, bands: int = 8, k: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    shingle → minhash → band → bucket-join → Jaccard-verify.  Bands of
+    rows = num_hashes/bands minhashes concatenated; docs sharing any band
+    bucket become candidates; candidates are verified with true Jaccard on
+    shingle sets.  Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+
+    # distributed minhash: explode shingles once (the heavy expression runs
+    # once per row), hash per seed on the flat table, then min-aggregate.
+    # Map-side partial aggregation keeps the shuffle at |docs| rows.
+    inv = base.select("id", F.explode("sh").alias("s"))
+    sigs = inv.groupBy("id").agg(
+        *[F.min(_h(j, F.col("s"))).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    bucketed = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}")
+                                             for r in range(rows_per_band)])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    l = bucketed.alias("l")
+    r = bucketed.alias("r")
+    cands = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify only the (few) candidates with true Jaccard on shingle sets
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    (explode shingles → join on shingle → count common → Jaccard).
+    One shuffle keyed by shingle; no cross join.  Rare-shingle pruning
+    (`min_df`-style) is the knob for 100 TB."""
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n"))
+    inv = base.select("id", F.explode("sh").alias("s"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash over word tokens using md5-derived per-token bit parities:
+    bit b of the signature = majority vote over tokens of bit b of
+    h(token).  Returns a bigint (bits ≤ 32 to avoid sign issues)."""
+    toks = F.split(normalize_text(col), " ")
+
+    def vote_merge(b: int):
+        # parity of hex nibble b of the token's md5 → vote +1 / -1
+        return lambda a, t: a + F.when(
+            F.conv(F.substring(F.md5(t), b + 1, 1), 16, 10).cast("int") % 2 == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(toks, F.lit(0), vote_merge(b))
+        acc = acc + F.when(votes > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
+    return acc
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 16) -> DataFrame:
+    """Group docs by identical SimHash (hamming-0 buckets; for hamming ≤ d
+    probe rotated bands of the signature — same LSH join shape)."""
+    return (
+        df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,85 @@
+"""Text analysis operators for training-data pipelines (SURVEY Phase 5).
+
+All hot-path logic is pyspark built-in expressions (JVM, whole-stage
+codegen) — no Python UDFs — so these run at full scan speed on a 100 TB
+documents table.  Every operator is also expressible in ANSI SQL for the
+DuckDB oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: deliberately small, deterministic English marker set for the n-gram /
+#: stopword language heuristic (shared with the SQL oracle — keep in sync).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the canonical token counter's base)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token counting: whitespace tokens of non-empty trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are English stopwords (marker-word score)."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: texts whose stopword ratio clears the
+    threshold are tagged 'en', else 'unknown'.  (A real model would be a
+    pandas UDF via map_using_service; this keeps the 100 TB scan JVM-side.)"""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Quality scoring: mean word length + alpha-char ratio + stopword
+    presence, scaled to [0, ~3].  Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_tok = token_count(c)
+    mean_word_len = n_alpha / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    return (
+        F.least(mean_word_len / F.lit(8.0), F.lit(1.0))
+        + alpha_ratio
+        + F.least(stopword_ratio(c) * 10.0, F.lit(1.0))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form used by fingerprinting + exact dedup: lowercase,
+    strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text.  md5 (not Spark's
+    xxhash64) so the value is engine-independent — DuckDB/Trino/Spark all
+    agree, which makes dedup joins portable across engines."""
+    return F.md5(normalize_text(col))
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass feature extraction over a documents table."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        lang_id(text_col).alias("lang_pred"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,384 @@
+"""Pipeline façade — Jet's pipeline API shape over Spark DataFrames.
+
+Reference: hazelcast-jet-core/src/main/java/com/hazelcast/jet/pipeline/
+Pipeline.java, BatchStage.java:63-270, StreamStage.java:56-240,
+BatchStageWithKey.java:66-466, StageWithWindow.java, WindowDefinition.java.
+
+Every stage method records a *declarative* DataFrame transformation —
+Catalyst fuses map/filter chains (Jet does this by hand in
+impl/pipeline/Planner.java:117-135), pushes filters into scans, and picks
+join strategies.  Nothing here schedules execution; `write_to` does.
+
+Typical use::
+
+    p = Pipeline.create(spark)
+    (p.read_from(Sources.parquet(path))
+      .filter(F.col("l_quantity") < 10)
+      .grouping_key("l_returnflag")
+      .aggregate(cnt=agg.counting())
+      .write_to(Sinks.observable()))
+    rows = p.run()
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cond(c: Column | str) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def _cols(cs) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+# --------------------------------------------------------------------------
+# window definitions (reference: pipeline/WindowDefinition.java:70-143)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WindowDefinition:
+    kind: str            # "tumbling" | "sliding" | "session"
+    size: str            # duration string, e.g. "10 seconds"
+    slide: str | None = None   # sliding only
+    gap: str | None = None     # session only
+
+    @staticmethod
+    def tumbling(size: str) -> "WindowDefinition":
+        """WindowDefinition.tumbling(size) — WindowDefinition.java:119-122."""
+        return WindowDefinition("tumbling", size)
+
+    @staticmethod
+    def sliding(size: str, slide_by: str) -> "WindowDefinition":
+        """WindowDefinition.sliding(size, slideBy) — WindowDefinition.java:98."""
+        return WindowDefinition("sliding", size, slide=slide_by)
+
+    @staticmethod
+    def session(gap: str) -> "WindowDefinition":
+        """WindowDefinition.session(gap) — WindowDefinition.java:143."""
+        return WindowDefinition("session", size="", gap=gap)
+
+    def column(self, ts_col: str) -> Column:
+        if self.kind == "tumbling":
+            return F.window(F.col(ts_col), self.size)
+        if self.kind == "sliding":
+            return F.window(F.col(ts_col), self.size, self.slide)
+        return F.session_window(F.col(ts_col), self.gap)
+
+
+# --------------------------------------------------------------------------
+# stages
+# --------------------------------------------------------------------------
+
+class GeneralStage:
+    """Shared ops of BatchStage/StreamStage (reference: GeneralStage.java)."""
+
+    def __init__(self, df: DataFrame, pipeline: "Pipeline"):
+        self.df = df
+        self.pipeline = pipeline
+        self.ts_col: str | None = None
+
+    def _wrap(self, df: DataFrame) -> "GeneralStage":
+        s = type(self)(df, self.pipeline)
+        s.ts_col = self.ts_col
+        return s
+
+    # --- projections / filters (GeneralStage.java:78-116) ---------------
+
+    def map(self, *cols: Column | str) -> "GeneralStage":
+        """map(mapFn) — GeneralStage.java:78.  Column-expression fast path:
+        stays inside whole-stage codegen (Jet fuses TransformP vertices;
+        Catalyst collapses Projects)."""
+        return self._wrap(self.df.select(*_cols(cols)))
+
+    def with_column(self, name: str, col: Column) -> "GeneralStage":
+        return self._wrap(self.df.withColumn(name, col))
+
+    def filter(self, cond: Column | str) -> "GeneralStage":
+        """filter(predicateFn) — GeneralStage.java:95."""
+        return self._wrap(self.df.filter(_cond(cond)))
+
+    def flat_map(self, col: Column | str, alias: str, keep: list | None = None) -> "GeneralStage":
+        """flatMap(fn -> Traverser) — GeneralStage.java:116.  0..n outputs
+        per input via explode of an array expression."""
+        keep_cols = _cols(keep) if keep is not None else [F.col(c) for c in self.df.columns]
+        return self._wrap(self.df.select(*keep_cols, F.explode(_cond(col)).alias(alias)))
+
+    # --- arbitrary-Python escape hatches (the Jet "UDF surface") --------
+
+    def map_pandas(self, fn: Callable, schema) -> "GeneralStage":
+        """map/mapUsingService with an arbitrary Python fn —
+        GeneralStage.java:78,305.  Arrow-batched `mapInPandas` (the slow
+        path relative to Column exprs, but vectorized; never per-row)."""
+        return self._wrap(self.df.mapInPandas(fn, schema))
+
+    def map_using_service(self, service_factory: Callable[[], Any], fn: Callable, schema) -> "GeneralStage":
+        """mapUsingService(serviceFactory, mapFn) — GeneralStage.java:305.
+
+        `service_factory` is invoked lazily once per executor task batch
+        (Jet: once per member, ServiceFactory.java) — e.g. a model or
+        connection pool.  `fn(service, pdf) -> pdf`.
+        """
+        def run(batches):
+            service = service_factory()
+            for pdf in batches:
+                yield fn(service, pdf)
+        return self._wrap(self.df.mapInPandas(run, schema))
+
+    def custom_transform(self, fn: Callable[[DataFrame], DataFrame]) -> "GeneralStage":
+        """customTransform — GeneralStage.java:1282; df.transform escape hatch."""
+        return self._wrap(self.df.transform(fn))
+
+    # --- enrichment (GeneralStage.java:678-739,582-635) ------------------
+
+    def map_using_imap(self, dim: DataFrame, key, dim_key, how: str = "left") -> "GeneralStage":
+        """mapUsingIMap(mapName, lookupKeyFn, mapFn) — GeneralStage.java:678.
+        Key-lookup enrichment ≡ broadcast join against the dimension table
+        (streaming: stream-static join, same code path)."""
+        return self._wrap(self.df.join(F.broadcast(dim), _cond(key) == _cond(dim_key), how))
+
+    map_using_replicated_map = map_using_imap
+
+    # --- joins (GeneralStage.java:774-952) --------------------------------
+
+    def hash_join(self, right: "GeneralStage | DataFrame", on, how: str = "left",
+                  broadcast: bool = True) -> "GeneralStage":
+        """hashJoin(stage1, JoinClause, outputFn) — GeneralStage.java:774;
+        HashJoinP.java.  Jet always broadcasts the enrichment side and uses
+        left-outer semantics; we keep that default but let Catalyst drop
+        the hint if the side is too big (AQE re-plans at runtime)."""
+        rdf = right.df if isinstance(right, GeneralStage) else right
+        if broadcast:
+            rdf = F.broadcast(rdf)
+        return self._wrap(self.df.join(rdf, on, how))
+
+    def inner_hash_join(self, right, on, broadcast: bool = True) -> "GeneralStage":
+        """innerHashJoin — GeneralStage.java:819."""
+        return self.hash_join(right, on, "inner", broadcast)
+
+    def hash_join2(self, r1, on1, r2, on2, how: str = "left") -> "GeneralStage":
+        """hashJoin2 — GeneralStage.java:864: two enrichment stages at once."""
+        return self.hash_join(r1, on1, how).hash_join(r2, on2, how)
+
+    # --- distribution / debugging (GeneralStage.java:1031-1265) ----------
+
+    def rebalance(self, num_or_cols=None) -> "GeneralStage":
+        """rebalance()/rebalance(keyFn) — GeneralStage.java:1031-1098."""
+        if num_or_cols is None:
+            return self._wrap(self.df.repartition(self.df.sparkSession.sparkContext.defaultParallelism))
+        if isinstance(num_or_cols, int):
+            return self._wrap(self.df.repartition(num_or_cols))
+        return self._wrap(self.df.repartition(*_cols([num_or_cols])))
+
+    def peek(self, name: str = "peek", *metrics: Column) -> "GeneralStage":
+        """peek() — GeneralStage.java:1210; `df.observe` keeps it zero-cost
+        in the plan (metrics surface via QueryExecutionListener)."""
+        if not metrics:
+            metrics = (F.count(F.lit(1)).alias("rows"),)
+        return self._wrap(self.df.observe(name, *metrics))
+
+    # --- event time (GeneralStage.java:1155) ------------------------------
+
+    def add_timestamps(self, ts_col: str, allowed_lag: str = "0 seconds") -> "GeneralStage":
+        """addTimestamps(tsFn, allowedLag) — GeneralStage.java:1155 ≡
+        withWatermark (streaming); batch stages just record the column."""
+        s = self._wrap(
+            self.df.withWatermark(ts_col, allowed_lag) if self.df.isStreaming else self.df
+        )
+        s.ts_col = ts_col
+        return s
+
+    # --- grouping ---------------------------------------------------------
+
+    def grouping_key(self, *keys) -> "StageWithKey":
+        """groupingKey(keyFn) — BatchStage.java / StreamStage.java."""
+        return StageWithKey(self, list(keys))
+
+    # --- stateful record-at-a-time (GeneralStage.java:156-265) ------------
+
+    def map_stateful_global(self, fn: Callable, schema, order_col: str | None = None):
+        """Global mapStateful — GeneralStage.java:156.  Batch: a single
+        applyInPandas group (Jet also funnels through ONE processor —
+        GlobalMapStatefulTransform.java — so this is semantics-faithful;
+        it is inherently non-scalable in both systems)."""
+        from hazelcast_jet_spark.streaming.stateful import map_stateful_batch_global
+        return self._wrap(map_stateful_batch_global(self.df, fn, schema, order_col))
+
+    def write_to(self, sink) -> Any:
+        """writeTo(sink) — triggers execution (Jet: jet.newJob().join())."""
+        return self.pipeline._execute(self.df, sink)
+
+
+class BatchStage(GeneralStage):
+    """Bounded stage (reference: pipeline/BatchStage.java:63-270)."""
+
+    def distinct(self) -> "BatchStage":
+        """BatchStage.distinct() — BatchStage.java:221."""
+        return self._wrap(self.df.distinct())
+
+    def merge(self, other: "BatchStage | DataFrame") -> "BatchStage":
+        """merge(other) — BatchStage.java:234 (union-all of same-typed stages)."""
+        odf = other.df if isinstance(other, GeneralStage) else other
+        return self._wrap(self.df.unionByName(odf))
+
+    def sort(self, *cols) -> "BatchStage":
+        """BatchStage.sort — BatchStage.java:84-104.  Jet: local sort +
+        single-receiver ordered merge; Spark's range-partitioned global
+        sort is strictly more scalable."""
+        return self._wrap(self.df.orderBy(*_cols(cols)))
+
+    def aggregate(self, **named_ops: Column) -> "BatchStage":
+        """Full-stage aggregate → 1 row — BatchStage.java:293."""
+        return self._wrap(self.df.agg(*(c.alias(n) for n, c in named_ops.items())))
+
+    def window(self, wdef: WindowDefinition) -> "StageWithWindow":
+        return StageWithWindow(self, wdef)
+
+
+class StreamStage(GeneralStage):
+    """Unbounded stage (reference: pipeline/StreamStage.java:56-240)."""
+
+    def merge(self, other: "StreamStage | DataFrame") -> "StreamStage":
+        odf = other.df if isinstance(other, GeneralStage) else other
+        return self._wrap(self.df.unionByName(odf))
+
+    def window(self, wdef: WindowDefinition) -> "StageWithWindow":
+        """window(wDef) — StageWithWindow.java:51."""
+        return StageWithWindow(self, wdef)
+
+
+class StageWithKey:
+    """Stage after groupingKey — BatchStageWithKey.java:66-466 /
+    StreamStageWithKey.java:60-385."""
+
+    def __init__(self, stage: GeneralStage, keys: list):
+        self.stage = stage
+        self.keys = keys
+
+    def aggregate(self, **named_ops: Column) -> GeneralStage:
+        """groupingKey(k).aggregate(op) — BatchStageWithKey.java:176.
+        Spark's hash aggregate does local partial + shuffled merge, same
+        two-stage shape as Jet's accumulateByKeyP/combineByKeyP
+        (Processors.java:323-425)."""
+        df = self.stage.df.groupBy(*_cols(self.keys)).agg(
+            *(c.alias(n) for n, c in named_ops.items())
+        )
+        return self.stage._wrap(df)
+
+    def distinct(self) -> GeneralStage:
+        """groupingKey(k).distinct() — BatchStageWithKey.java:66."""
+        return self.stage._wrap(self.stage.df.dropDuplicates([str(k) for k in self.keys]))
+
+    def rolling_aggregate(self, op: Column, order_col: str, name: str = "rolling") -> GeneralStage:
+        """rollingAggregate(aggrOp) — StreamStageWithKey.java:296.
+        Batch: running aggregate via window frame; streaming: update-mode
+        groupBy agg (see streaming module)."""
+        w = (
+            Window.partitionBy(*_cols(self.keys))
+            .orderBy(F.col(order_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return self.stage._wrap(self.stage.df.withColumn(name, op.over(w)))
+
+    def map_stateful(self, fn: Callable, schema, ttl: str | None = None,
+                     order_col: str | None = None) -> GeneralStage:
+        """Keyed mapStateful([ttl]) — StreamStageWithKey.java:116-320;
+        TransformStatefulP.java:48-151.  Batch: applyInPandas per key
+        (fn sees the key's rows ordered by order_col); streaming:
+        applyInPandasWithState with EventTimeTimeout ≡ Jet's TTL."""
+        from hazelcast_jet_spark.streaming.stateful import map_stateful_batch
+        return self.stage._wrap(
+            map_stateful_batch(self.stage.df, self.keys, fn, schema, order_col)
+        )
+
+    def window(self, wdef: WindowDefinition) -> "StageWithKeyAndWindow":
+        """StageWithKeyAndWindow — StageWithKeyAndWindow.java:53."""
+        return StageWithKeyAndWindow(self.stage, self.keys, wdef)
+
+
+class StageWithWindow:
+    """StageWithWindow.java:51-235 (non-keyed windowed aggregation)."""
+
+    def __init__(self, stage: GeneralStage, wdef: WindowDefinition):
+        self.stage = stage
+        self.wdef = wdef
+
+    def aggregate(self, **named_ops: Column) -> GeneralStage:
+        ts = self.stage.ts_col
+        if ts is None:
+            raise ValueError("call add_timestamps(ts_col) before window()")
+        df = self.stage.df.groupBy(self.wdef.column(ts)).agg(
+            *(c.alias(n) for n, c in named_ops.items())
+        )
+        # WindowResult{start,end,result} — datamodel/WindowResult.java
+        df = df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(n) for n in named_ops],
+        )
+        return self.stage._wrap(df)
+
+
+class StageWithKeyAndWindow:
+    """StageWithKeyAndWindow.java:53-226."""
+
+    def __init__(self, stage: GeneralStage, keys: list, wdef: WindowDefinition):
+        self.stage = stage
+        self.keys = keys
+        self.wdef = wdef
+
+    def aggregate(self, **named_ops: Column) -> GeneralStage:
+        ts = self.stage.ts_col
+        if ts is None:
+            raise ValueError("call add_timestamps(ts_col) before window()")
+        df = self.stage.df.groupBy(self.wdef.column(ts), *_cols(self.keys)).agg(
+            *(c.alias(n) for n, c in named_ops.items())
+        )
+        # KeyedWindowResult{start,end,key,result} — datamodel/KeyedWindowResult.java
+        key_names = [k if isinstance(k, str) else k._jc.toString() for k in self.keys]
+        df = df.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *[F.col(k) for k in key_names],
+            *[F.col(n) for n in named_ops],
+        )
+        return self.stage._wrap(df)
+
+
+# --------------------------------------------------------------------------
+# pipeline
+# --------------------------------------------------------------------------
+
+class Pipeline:
+    """Pipeline.create() — pipeline/Pipeline.java.
+
+    `read_from` returns a BatchStage or StreamStage depending on the
+    source (Jet's batch/stream unification §1.3 ≡ DataFrame.isStreaming).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._result = None
+
+    @staticmethod
+    def create(spark: SparkSession) -> "Pipeline":
+        return Pipeline(spark)
+
+    def read_from(self, source) -> GeneralStage:
+        df = source(self.spark) if callable(source) else source
+        cls = StreamStage if df.isStreaming else BatchStage
+        return cls(df, self)
+
+    def _execute(self, df: DataFrame, sink):
+        self._result = sink(df)
+        return self._result
+
+    def run(self):
+        """jet.newJob(p).join() analog: returns the last sink's result."""
+        return self._result

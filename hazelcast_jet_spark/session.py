@@ -1,0 +1,89 @@
+"""SparkSession factory + testdata loading helpers.
+
+Configured for the judged environment (local[32], 128 GiB) but every
+setting is chosen to also hold on a 1000-executor cluster at ~100 TB:
+
+* AQE on (runtime coalesce / skew-join splitting / join re-plan),
+* auto broadcast threshold left at Spark default so small dims broadcast,
+* shuffle partitions sized for local runs; on a real cluster AQE's
+  coalescePartitions makes the static number mostly irrelevant,
+* UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to always broadcast-join at any scale
+#: factor (region/nation are fixed-size; supplier/part grow slowly).
+BROADCAST_TABLES = ("region", "nation")
+
+
+def get_spark(app_name: str = "hazelcast-jet-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    Jet reads these via IMap scans (reference:
+    hazelcast-jet-core/.../impl/connector/ReadMapOrCacheP.java); our
+    equivalent is a columnar parquet scan with pushdown/pruning for free.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; we read nanos as long and rebuild a TIMESTAMP_NTZ at
+    microsecond precision (truncated, matching DuckDB's ns→µs cast).
+    The arithmetic is session-timezone-independent.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+                    " + make_dt_interval(0, 0, 0, CAST(ts DIV 1000000000 AS DOUBLE))"
+                    " + make_dt_interval(0, 0, 0, CAST((ts DIV 1000) % 1000000 AS DOUBLE) / 1000000.0)"
+                ),
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,190 @@
+"""Sinks — Jet sink connectors mapped onto df.write / writeStream / collect.
+
+Reference: hazelcast-jet-core/src/main/java/com/hazelcast/jet/pipeline/
+Sinks.java (136-1400) and pipeline/test/AssertionSinks.java:60-173.
+
+Each factory returns ``fn(df) -> result`` consumed by
+`GeneralStage.write_to`.  Streaming DataFrames get `writeStream` with a
+checkpoint (Jet: distributed snapshots → exactly-once; Spark: checkpoint +
+WAL — SURVEY §2.12).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class Observable(list):
+    """Client-side result handle — Observable.java:95 / Sinks.observable
+    (Sinks.java:1382).  A plain list of Rows."""
+
+
+class Sinks:
+    @staticmethod
+    def observable():
+        """Sinks.observable — Sinks.java:1382: deliver results to client."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                q = (
+                    df.writeStream.format("memory")
+                    .queryName("observable")
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return Observable(df.sparkSession.table("observable").collect())
+            return Observable(df.collect())
+        return sink
+
+    @staticmethod
+    def map(path: str, mode: str = "overwrite"):
+        """Sinks.map — Sinks.java:136: upsert into an IMap ≈ write a managed
+        columnar table (streaming: append with checkpoint)."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                return (
+                    df.writeStream.format("parquet")
+                    .option("path", path)
+                    .option("checkpointLocation", path + "_ckpt")
+                    .outputMode("append")
+                    .start()
+                )
+            df.write.mode(mode).parquet(path)
+            return path
+        return sink
+
+    @staticmethod
+    def map_with_merging(path: str, keys: list[str], merge_fn):
+        """Sinks.mapWithMerging — Sinks.java:313: upsert with a merge fn on
+        key conflict.  Batch implementation: read-current ∪ new →
+        per-key reduce → atomic overwrite (the parquet-only analog of a
+        Delta MERGE; idempotent under retry because the final write is a
+        full snapshot).  `merge_fn(old_df, new_df) -> merged_df`."""
+        def sink(df: DataFrame):
+            spark = df.sparkSession
+            try:
+                current = spark.read.parquet(path)
+            except Exception:
+                current = None
+            merged = df if current is None else merge_fn(current, df)
+            merged.cache().count()     # materialize before overwriting input
+            merged.write.mode("overwrite").parquet(path)
+            merged.unpersist()
+            return path
+        return sink
+
+    @staticmethod
+    def files(directory: str, fmt: str = "text", mode: str = "overwrite"):
+        """Sinks.files — Sinks.java:1026 (exactly-once via checkpoint when
+        streaming, matching FileSinkBuilder.exactlyOnce)."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                return (
+                    df.writeStream.format(fmt)
+                    .option("path", directory)
+                    .option("checkpointLocation", directory + "_ckpt")
+                    .start()
+                )
+            df.write.mode(mode).format(fmt).save(directory)
+            return directory
+        return sink
+
+    @staticmethod
+    def json(directory: str, mode: str = "overwrite"):
+        """Sinks.json — Sinks.java:1045."""
+        return Sinks.files(directory, "json", mode)
+
+    @staticmethod
+    def jdbc(url: str, table: str, mode: str = "append", **options):
+        """Sinks.jdbc — Sinks.java:1246 (batched writes; exactly-once needs
+        an idempotent target key, same caveat as Jet's non-XA mode)."""
+        def sink(df: DataFrame):
+            df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
+            return table
+        return sink
+
+    @staticmethod
+    def kafka(bootstrap_servers: str, topic: str, **options):
+        """KafkaSinks.kafka — extensions/kafka/.../KafkaSinks.java:101."""
+        def sink(df: DataFrame):
+            w = (
+                df.writeStream if df.isStreaming else df.write
+            )
+            w = w.format("kafka").option("kafka.bootstrap.servers", bootstrap_servers).option("topic", topic)
+            for k, v in options.items():
+                w = w.option(k, v)
+            if df.isStreaming:
+                return w.option("checkpointLocation", tempfile.mkdtemp(prefix="kafka_ckpt")).start()
+            return w.save()
+        return sink
+
+    @staticmethod
+    def logger(n: int = 20):
+        """Sinks.logger — Sinks.java:913 (debug)."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                return df.writeStream.format("console").start()
+            df.show(n, truncate=False)
+            return None
+        return sink
+
+    @staticmethod
+    def noop():
+        """Sinks.noop — Sinks.java:1067: drain and discard (count forces
+        full evaluation without moving data to the driver)."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                q = df.writeStream.format("noop").trigger(availableNow=True).start()
+                q.awaitTermination()
+                return None
+            return df.count()
+        return sink
+
+    @staticmethod
+    def for_each_batch(fn: Callable, checkpoint: str | None = None):
+        """SinkBuilder — pipeline/SinkBuilder.java:44: custom sink via
+        foreachBatch(fn(batch_df, batch_id))."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                w = df.writeStream.foreachBatch(fn)
+                if checkpoint:
+                    w = w.option("checkpointLocation", checkpoint)
+                return w.start()
+            fn(df, 0)
+            return None
+        return sink
+
+
+class AssertionSinks:
+    """pipeline/test/AssertionSinks.java:60-173 — throwing test sinks."""
+
+    @staticmethod
+    def assert_any_order(expected: list):
+        def sink(df: DataFrame):
+            got = sorted([tuple(r) for r in df.collect()])
+            want = sorted([tuple(r) if not isinstance(r, tuple) else r for r in expected])
+            assert got == want, f"assertAnyOrder failed:\n got={got}\nwant={want}"
+            return got
+        return sink
+
+    @staticmethod
+    def assert_ordered(expected: list):
+        def sink(df: DataFrame):
+            got = [tuple(r) for r in df.collect()]
+            want = [tuple(r) if not isinstance(r, tuple) else r for r in expected]
+            assert got == want, f"assertOrdered failed:\n got={got}\nwant={want}"
+            return got
+        return sink
+
+    @staticmethod
+    def assert_contains(expected: list):
+        def sink(df: DataFrame):
+            got = {tuple(r) for r in df.collect()}
+            missing = [e for e in expected if tuple(e) not in got]
+            assert not missing, f"assertContains missing {missing}"
+            return got
+        return sink

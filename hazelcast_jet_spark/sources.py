@@ -1,0 +1,155 @@
+"""Sources — Jet connectors mapped onto spark.read / spark.readStream.
+
+Reference: hazelcast-jet-core/src/main/java/com/hazelcast/jet/pipeline/
+Sources.java (172-1350), pipeline/file/FileSources.java:66, and
+pipeline/test/TestSources.java:55-211.
+
+Each factory returns ``fn(spark) -> DataFrame`` so `Pipeline.read_from`
+can defer reading until the pipeline owns a session.  Predicate/projection
+pushdown that Jet implements per-connector (ReadMapOrCacheP server-side
+predicates) is native to Spark's scan planning.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Sources:
+    """Batch + streaming source factories (Sources.java)."""
+
+    # --- batch (Sources.java:172-1350) ----------------------------------
+
+    @staticmethod
+    def map(table_path_or_name: str):
+        """Sources.map(name) — Sources.java:172: scan an IMap.  IMap ≈ a
+        managed columnar table; accepts a parquet path or a catalog name."""
+        def read(spark: SparkSession) -> DataFrame:
+            if table_path_or_name.endswith(".parquet") or "/" in table_path_or_name:
+                return spark.read.parquet(table_path_or_name)
+            return spark.table(table_path_or_name)
+        return read
+
+    cache = map          # Sources.cache — Sources.java:691
+    remote_map = map     # Sources.remoteMap — Sources.java:525 (other catalog/path)
+
+    @staticmethod
+    def files(directory: str):
+        """Sources.files(dir) — Sources.java:978: line-by-line text."""
+        return lambda spark: spark.read.text(directory)
+
+    @staticmethod
+    def json(directory: str, schema=None):
+        """Sources.json(dir) — Sources.java:1030: JSON-lines files."""
+        def read(spark):
+            r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            return r.json(directory)
+        return read
+
+    @staticmethod
+    def jdbc(url: str, table: str, **options):
+        """Sources.jdbc — Sources.java:1321 (parallel scan via predicates)."""
+        def read(spark):
+            return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+        return read
+
+    @staticmethod
+    def list(items: list, schema=None):
+        """Sources.list(name) — Sources.java:886 (single-partition list)."""
+        return lambda spark: spark.createDataFrame(items, schema=schema)
+
+    # --- streaming (Sources.java:381-1265, SURVEY §2.2) -------------------
+
+    @staticmethod
+    def map_journal(path: str, fmt: str = "parquet", schema=None):
+        """Sources.mapJournal — Sources.java:381: change journal of a table.
+        File-stream source over the table directory (new files = journal
+        events, replayable from checkpoint = START_FROM_OLDEST)."""
+        def read(spark):
+            r = spark.readStream.format(fmt)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.load(path)
+        return read
+
+    @staticmethod
+    def kafka(bootstrap_servers: str, *topics: str, **options):
+        """KafkaSources.kafka — extensions/kafka/.../KafkaSources.java:51.
+        Offsets checkpointed for exactly-once, same as Jet's snapshots."""
+        def read(spark):
+            return (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", bootstrap_servers)
+                .option("subscribe", ",".join(topics))
+                .options(**options)
+                .load()
+            )
+        return read
+
+    @staticmethod
+    def socket(host: str, port: int):
+        """Sources.socket — Sources.java:950."""
+        return lambda spark: (
+            spark.readStream.format("socket").option("host", host).option("port", port).load()
+        )
+
+    @staticmethod
+    def file_watcher(directory: str, fmt: str = "text", schema=None):
+        """Sources.fileWatcher / jsonWatcher — Sources.java:1073-1115."""
+        def read(spark):
+            r = spark.readStream.format(fmt)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.load(directory)
+        return read
+
+
+class FileSources:
+    """Unified file connector — pipeline/file/FileSources.java:66 +
+    FileFormat.java: avro/csv/json/lines/parquet/binary/whole-text."""
+
+    _FORMATS = {"avro", "csv", "json", "text", "parquet", "binaryFile"}
+
+    @staticmethod
+    def files(path: str, fmt: str = "parquet", schema=None, **options):
+        if fmt not in FileSources._FORMATS:
+            raise ValueError(f"unsupported format {fmt!r} (have {sorted(FileSources._FORMATS)})")
+        def read(spark: SparkSession) -> DataFrame:
+            r = spark.read.format(fmt).options(**options)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.load(path)
+        return read
+
+
+class TestSources:
+    """pipeline/test/TestSources.java:55-211."""
+
+    @staticmethod
+    def items(items: list, schema=None):
+        """TestSources.items — TestSources.java:55."""
+        return lambda spark: spark.createDataFrame(items, schema=schema)
+
+    @staticmethod
+    def item_stream(rate: int, **options):
+        """TestSources.itemStream(rate) — TestSources.java:136: synthetic
+        timestamped stream ≡ the rate source (columns timestamp, value)."""
+        return lambda spark: (
+            spark.readStream.format("rate").option("rowsPerSecond", rate).options(**options).load()
+        )
+
+
+def generate_series(spark: SparkSession, start: int, stop: int) -> DataFrame:
+    """SQL TABLE(generate_series(a,b)) — hazelcast-jet-sql/.../connector/
+    generator/SeriesSqlConnector.java; inclusive bounds like Jet."""
+    return spark.range(start, stop + 1).withColumnRenamed("id", "v")
+
+
+def generate_stream(spark: SparkSession, rate: int) -> DataFrame:
+    """SQL TABLE(generate_stream(n)) — connector/generator/
+    StreamSqlConnector.java: n BIGINTs per second."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rate).load().select("value")

@@ -1,0 +1,113 @@
+"""Unit tests for the extended operators (dedup/similarity/text/multimodal)
+and streaming stateful transforms."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators import dedup, multimodal, similarity, text
+from hazelcast_jet_spark.operators.joins import co_group, top_n_rows
+
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "  "), (4, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        text.fingerprint("text").alias("fp"),
+    ).collect()}
+    assert rows[1]["n"] == 2 and rows[4]["n"] == 1 and rows[3]["n"] == 0
+    # normalization makes 1 and 2 identical
+    assert rows[1]["fp"] == rows[2]["fp"]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat."), (2, "the cat"), (3, "a dog")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words appear in this unrelated document body text"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=8, bands=4, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")], "doc_id long, text string"
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.9)
+    got = [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in pairs.collect()]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_simhash_identical_docs_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "other content there")],
+        "doc_id long, text string",
+    )
+    groups = dedup.simhash_dup_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.01]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(df, q, k=2)
+    got = [(r["corpus_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_ann_lsh_buckets(spark):
+    vecs = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(9)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    planes = [[1.0, -1.0, 0.0], [0.0, 1.0, -1.0], [1.0, 0.0, -1.0]]
+    out = similarity.ann_lsh_topk(df, df.filter("vec_id = 0"), planes, k=3)
+    got = {r["corpus_id"] for r in out.collect()}
+    # same-signature vectors are the identical-direction ones
+    assert got == {3, 6}
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        (1, "image", bytearray(b"imgbytes"), "image/png", 8, 8, None),
+        (2, "video", bytearray(b"vidbytes"), "video/mp4", 16, 16, 2500),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert feats[1]["n_bytes"] == 8 and len(feats[1]["feature"]) == 32
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [(2, 0), (2, 1000), (2, 2000)]
+
+
+def test_co_group_full_outer(spark):
+    a = spark.createDataFrame([(1, 10), (2, 20)], "k long, x long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "k long, y long")
+    out = co_group(a, b, "k", {"sx": F.sum("x")}, {"sy": F.sum("y")})
+    got = {r["k"]: (r["sx"], r["sy"]) for r in out.collect()}
+    assert got == {1: (10, None), 2: (20, 1), 3: (None, 2)}
+
+
+def test_top_n_rows(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)] + [("b", 9)], "g string, v long")
+    out = top_n_rows(df, 2, ["g"], [F.col("v").desc()])
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [("a", 3), ("a", 4), ("b", 9)]

@@ -1,0 +1,139 @@
+"""Pipeline façade tests — mirrors the reference's operator/stage
+integration suites (SURVEY §5): TestSources.items + AssertionSinks over
+small inputs, exact expected outputs.
+
+Reference model: hazelcast-jet-core/src/test/java/com/hazelcast/jet/
+(JetTestSupport pipelines) and benchmark/WordCountTest.java:76-135.
+"""
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark import AggregateOperations as agg
+from hazelcast_jet_spark import AssertionSinks, Pipeline, Sinks, TestSources
+
+
+def test_wordcount(spark):
+    """flatMap → groupingKey → counting (WordCountTest.java:129-135)."""
+    lines = [("to be or not to be",), ("that is the question",)]
+    p = Pipeline.create(spark)
+    result = (
+        p.read_from(TestSources.items(lines, "line string"))
+        .flat_map(F.split("line", " "), alias="word", keep=[])
+        .grouping_key("word")
+        .aggregate(cnt=agg.counting())
+        .write_to(Sinks.observable())
+    )
+    counts = {r["word"]: r["cnt"] for r in result}
+    assert counts["to"] == 2 and counts["be"] == 2 and counts["question"] == 1
+    assert sum(counts.values()) == 10
+
+
+def test_map_filter_fusion(spark):
+    p = Pipeline.create(spark)
+    out = (
+        p.read_from(TestSources.items([(i,) for i in range(10)], "v long"))
+        .filter(F.col("v") % 2 == 0)
+        .map((F.col("v") * 10).alias("v10"))
+        .write_to(AssertionSinks.assert_any_order([(0,), (20,), (40,), (60,), (80,)]))
+    )
+    assert len(out) == 5
+
+
+def test_hash_join_left_semantics(spark):
+    """hashJoin pads missing enrichment with null (HashJoinP.java)."""
+    p = Pipeline.create(spark)
+    facts = p.read_from(TestSources.items([(1, "a"), (2, "b"), (3, "c")], "id long, x string"))
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "id2 long, name string")
+    out = (
+        facts.hash_join(dim, F.col("id") == F.col("id2"), how="left")
+        .map("id", "name")
+        .write_to(Sinks.observable())
+    )
+    got = {r["id"]: r["name"] for r in out}
+    assert got == {1: "one", 2: "two", 3: None}
+
+
+def test_merge_distinct_sort(spark):
+    p = Pipeline.create(spark)
+    a = p.read_from(TestSources.items([(3,), (1,)], "v long"))
+    b = p.read_from(TestSources.items([(2,), (1,)], "v long"))
+    out = a.merge(b).distinct().sort("v").write_to(AssertionSinks.assert_ordered([(1,), (2,), (3,)]))
+    assert len(out) == 3
+
+
+def test_aggregate_library(spark):
+    p = Pipeline.create(spark)
+    rows = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    out = (
+        p.read_from(TestSources.items(rows, "k long, v double"))
+        .grouping_key("k")
+        .aggregate(
+            n=agg.counting(),
+            s=agg.summing("v"),
+            avg=agg.averaging("v"),
+            mn=agg.min_of("v"),
+            mx=agg.max_of("v"),
+            top=agg.top_n(1, "v"),
+            srt=agg.sorting("v"),
+            cat=agg.concatenating_sorted(F.col("v").cast("int"), ","),
+        )
+        .write_to(Sinks.observable())
+    )
+    by_k = {r["k"]: r for r in out}
+    assert by_k[1]["n"] == 2 and by_k[1]["s"] == 30.0 and by_k[1]["avg"] == 15.0
+    assert by_k[1]["top"] == [20.0] and by_k[1]["srt"] == [10.0, 20.0]
+    assert by_k[1]["cat"] == "10,20"
+    assert by_k[2]["mn"] == 5.0 and by_k[2]["mx"] == 5.0
+
+
+def test_rolling_aggregate_batch(spark):
+    p = Pipeline.create(spark)
+    rows = [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0), (2, 1, 5.0)]
+    out = (
+        p.read_from(TestSources.items(rows, "k long, t long, v double"))
+        .grouping_key("k")
+        .rolling_aggregate(F.sum("v"), order_col="t", name="run")
+        .write_to(Sinks.observable())
+    )
+    got = sorted((r["k"], r["t"], r["run"]) for r in out)
+    assert got == [(1, 1, 1.0), (1, 2, 3.0), (1, 3, 6.0), (2, 1, 5.0)]
+
+
+def test_map_stateful_batch_keyed(spark):
+    import pandas as pd
+
+    def dedup_first(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.head(1)[["k", "v"]]
+
+    p = Pipeline.create(spark)
+    rows = [(1, "b", 2), (1, "a", 1), (2, "z", 1)]
+    out = (
+        p.read_from(TestSources.items(rows, "k long, v string, t long"))
+        .grouping_key("k")
+        .map_stateful(dedup_first, "k long, v string", order_col="t")
+        .write_to(Sinks.observable())
+    )
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {1: "a", 2: "z"}
+
+
+def test_global_aggregate_stage(spark):
+    p = Pipeline.create(spark)
+    out = (
+        p.read_from(TestSources.items([(i,) for i in range(100)], "v long"))
+        .aggregate(n=agg.counting(), s=agg.summing("v"), any=agg.pick_any(F.lit(1)))
+        .write_to(Sinks.observable())
+    )
+    assert out[0]["n"] == 100 and out[0]["s"] == 4950
+
+
+def test_peek_and_rebalance(spark):
+    p = Pipeline.create(spark)
+    out = (
+        p.read_from(TestSources.items([(i,) for i in range(10)], "v long"))
+        .rebalance(4)
+        .peek("probe")
+        .filter("v >= 5")
+        .write_to(Sinks.observable())
+    )
+    assert len(out) == 5

@@ -362,6 +362,53 @@ def cosine_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=TOPK)
 
 
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming: readStream over events → tumbling window
+    agg → availableNow to completion (complete mode ⇒ deterministic on
+    bounded input).  SURVEY §2.8; run_to_batch in streaming/run.py."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events")
+    windowed = (
+        e.groupBy(F.window("ts", "1 hour"))
+        .agg(agg.counting().alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    out = run_to_batch(windowed, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events", "sum_value",
+    )
+
+
+def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed mapStateful on a real stream (applyInPandasWithState, update
+    mode): per-user running count; the final (max) emission per key equals
+    the total regardless of micro-batch boundaries.
+    Reference: TransformStatefulP.java:48-151."""
+    import pandas as pd
+
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+    from hazelcast_jet_spark.streaming.stateful import map_stateful_stream
+
+    e = read_stream_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def count_fn(key, pdfs, state):
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "cnt": [cnt]})
+
+    counted = map_stateful_stream(
+        e, ["user_id"], count_fn,
+        output_schema="user_id bigint, cnt bigint",
+        state_schema="cnt bigint",
+        output_mode="update",
+    )
+    out = run_to_batch(counted, "update")
+    return out.groupBy("user_id").agg(F.max("cnt").alias("n_events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -396,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": ngram_jaccard_dedup,
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
+        "streaming_tumbling_window": streaming_tumbling_window,
+        "streaming_stateful_count": streaming_stateful_count,
     }
 
 
@@ -703,6 +752,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sh, count(*) AS n_docs, min(doc_id) AS keep_id
             FROM sh GROUP BY sh HAVING count(*) > 1
+        """,
+        "streaming_tumbling_window": f"""
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events, {_dsum('value')} AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "streaming_stateful_count": """
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         """,
         "cosine_topk_search": f"""
             WITH q AS (

@@ -38,6 +38,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    stream_rps = _stream_window_probe(spark)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "suite_total",
@@ -45,7 +47,35 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "stream_window_rows_per_sec": stream_rps,
     }))
+
+
+def _stream_window_probe(spark, seconds: float = 10.0) -> float:
+    """Streaming analog of the reference's events/s claims (BASELINE.md):
+    rate source → sliding-window keyed aggregation → noop sink; report
+    sustained input rows/sec over the probe interval."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5_000_000)
+        .option("numPartitions", 8)
+        .load()
+        .withColumn("key", F.col("value") % 10_000)
+        .withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "2 seconds", "1 second"), "key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    q = df.writeStream.format("noop").outputMode("update").start()
+    time.sleep(seconds)
+    rows = 0.0
+    secs = 0.0
+    for p in q.recentProgress:
+        rows += p["numInputRows"]
+        secs += p["batchDuration"] / 1000.0
+    q.stop()
+    return round(rows / secs, 1) if secs > 0 else 0.0
 
 
 if __name__ == "__main__":

@@ -1,0 +1,68 @@
+"""Streaming execution helpers: run a bounded stream to completion and
+hand back batch results (the AssertionSinks/Observable pattern for
+streaming stages — pipeline/test/AssertionSinks.java,
+Sinks.observable Sinks.java:1382).
+
+`availableNow` processes everything present then stops — Jet's "batch
+source is a stream that completes" unification (core/Processor.java:262).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over a driver parquet table, with the same nanos→NTZ
+    normalization as session.load_table (file stream needs an explicit
+    schema, taken from the batch reader)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.session import load_table
+
+    batch = load_table(spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # FileStreamSource force-sets basePath to the path itself unless the
+    # path is a glob, which breaks single-file sources ("basePath must be
+    # a directory").  [f]irst-char glob matches exactly the same file.
+    glob_path = os.path.join(sf_dir, f"[{name[0]}]{name[1:]}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        stream = spark.readStream.schema(raw.schema).parquet(glob_path)
+        if dict(raw.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts",
+                F.expr(
+                    "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+                    " + make_dt_interval(0, 0, 0, CAST(ts DIV 1000000000 AS DOUBLE))"
+                    " + make_dt_interval(0, 0, 0, CAST((ts DIV 1000) % 1000000 AS DOUBLE) / 1000000.0)"
+                ),
+            )
+        return stream
+    return spark.readStream.schema(batch.schema).parquet(glob_path)
+
+
+def run_to_batch(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame with availableNow into a memory sink
+    and return the final table as a batch DataFrame.
+
+    ``complete`` mode emits every window/group at the end regardless of
+    watermark position — deterministic for bounded input, which is what
+    the correctness oracle needs.  ``update``/``append`` reproduce Jet's
+    incremental emission instead.
+    """
+    name = f"obs_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

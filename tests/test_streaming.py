@@ -1,0 +1,113 @@
+"""Streaming tests: windowed aggregation over a real stream, stateful
+map with TTL eviction, exactly-once restart from checkpoint.
+
+Mirrors the reference's streaming suites (SURVEY §5): AssertionSinks on
+bounded streams, SlidingWindowP/SessionWindowP semantics, snapshot
+restart (JobRestartWithSnapshotTest)."""
+
+import glob
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+from hazelcast_jet_spark.streaming.stateful import map_stateful_stream
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    """Stream window agg (availableNow, complete) == batch window agg."""
+    stream = read_stream_table(spark, sf_dir, "events")
+    windowed = stream.groupBy(F.window("ts", "6 hours")).agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        (r["window"]["start"], r["n"]) for r in run_to_batch(windowed, "complete").collect()
+    }
+    from hazelcast_jet_spark.session import load_table
+    batch = load_table(spark, sf_dir, "events").groupBy(F.window("ts", "6 hours")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    want = {(r["window"]["start"], r["n"]) for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_ttl_eviction(spark, tmp_path):
+    """Keyed mapStateful with TTL: state evicted when the watermark passes
+    lastTouched + ttl; the eviction branch emits a final record
+    (TransformStatefulP.java:56,100-151 ≡ EventTimeTimeout)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: key 'a' at t=10:00 ; batch 2: key 'b' at t=14:00 (watermark
+    # jumps 4h, TTL 1h → 'a' evicted during batch 2)
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00")], "k string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src + "/f1")
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [("b", "2024-01-01 14:00:00")], "k string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").write.parquet(src + "/f2")
+
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+        .withWatermark("ts", "0 seconds")
+    )
+
+    ttl_ms = 3600 * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame({"k": [key[0]], "n": [n], "evicted": [True]})
+        else:
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+            yield pd.DataFrame({"k": [key[0]], "n": [n], "evicted": [False]})
+
+    out = stream.groupBy("k").applyInPandasWithState(
+        fn, "k string, n bigint, evicted boolean", "n bigint",
+        "update", GroupStateTimeout.EventTimeTimeout,
+    )
+    rows = {(r["k"], r["n"], r["evicted"]) for r in run_to_batch(out, "update").collect()}
+    assert ("a", 1, False) in rows and ("b", 1, False) in rows
+    assert ("a", 1, True) in rows, f"TTL eviction did not fire: {rows}"
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop a streaming job mid-input and restart from the checkpoint: the
+    sink contains every input row exactly once (Jet: snapshot + replay,
+    SURVEY §2.12; Spark: checkpoint + WAL)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    spark.range(0, 100).write.parquet(src + "/f1")
+
+    schema = spark.read.parquet(src + "/f1").schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination()
+    time.sleep(1.1)
+    spark.range(100, 250).write.parquet(src + "/f2")
+    q = start()
+    q.awaitTermination()
+
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(250)), f"expected exactly-once 0..249, got {len(got)} rows"

@@ -362,6 +362,203 @@ def cosine_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, q, k=TOPK)
 
 
+def linear_trend_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linearTrend(xFn, yFn) — AggregateOperations.java:471: least-squares
+    slope of value over event_id per user, from exact decimal moments
+    (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) so both engines agree bit-for-bit."""
+    e = _t(spark, sf_dir, "events")
+    # per-row products in IEEE double (bit-identical across engines),
+    # accumulated exactly via the decimal-sum pattern
+    x = F.col("event_id").cast("double")
+    y = F.col("value")
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    # moments are exact decimals cast to double; the final combination is
+    # the same IEEE expression in both engines → bit-identical slope
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select("user_id", (num / den).alias("slope"))
+
+
+def collection_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toList/toSet/sorting/concatenating (AggregateOperations.java:500-947)
+    with deterministic (sorted) order."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        agg.sorting("c_mktsegment").alias("segs_sorted"),
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segs_set"),
+        agg.concatenating_sorted(F.col("c_custkey").cast("string"), ",").alias("keys_csv"),
+        agg.top_n(3, "c_acctbal").alias("top3_bal"),
+    )
+
+
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT)/SUM(DISTINCT) — SqlAggregateTest distinct variants
+    (impl/aggregate/DistinctSqlAggregation)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_d_qty"),
+    )
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (SqlAggregateTest HAVING suite)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(agg.counting().alias("n"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n") >= 15)
+    )
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi/left_anti — rejected by the reference
+    (SqlUnsupportedFeaturesTest.java:64-81), native here (extension)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    with_urgent = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    without_urgent = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        with_urgent.select("c_custkey", F.lit("has_urgent").alias("bucket"))
+        .unionByName(without_urgent.select("c_custkey", F.lit("no_urgent").alias("bucket")))
+    )
+
+
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — rejected by the reference
+    (UnsupportedOperationVisitor.java:352), native here (extension)."""
+    hi_cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
+        .select("c_custkey", "c_acctbal")
+    big_ord = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000) \
+        .groupBy("o_custkey").agg(agg.counting().alias("n_big"))
+    j = hi_cust.join(big_ord, hi_cust.c_custkey == big_ord.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal"), F.coalesce("n_big", F.lit(0)).alias("n_big"),
+    )
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent in the reference (SURVEY §2.9), native
+    here.  Nations appearing among customers but not suppliers, etc."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("src", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+def like_and_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / TRIM family / ASCII (whitelist §2.10,
+    UnsupportedOperationVisitor.java:123-181)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%r%"))
+        .select(
+            "p_partkey",
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.ltrim(F.lit("  x")).alias("l"),
+            F.rtrim(F.lit("x  ")).alias("r"),
+            F.ascii(F.substring("p_name", 1, 1)).alias("first_ascii"),
+            F.col("p_name").startswith("s").cast("int").alias("starts_s"),
+        )
+    )
+
+
+def cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST across the §1.2 type matrix (ToConverters.java:47-70)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("i2l"),
+        F.col("l_orderkey").cast("string").alias("l2s"),
+        F.floor("l_extendedprice").cast("int").alias("d2i"),
+        F.col("l_quantity").cast("int").alias("q2i"),
+        (F.col("l_linenumber") < 3).alias("b"),
+        (F.col("l_linenumber") < 3).cast("int").alias("b2i"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ts2d"),
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS/ROLLUP — absent in the reference (SURVEY §2.7),
+    free Spark extension."""
+    c = _t(spark, sf_dir, "customer")
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        agg.counting().alias("n"), dsum("c_acctbal").alias("bal"),
+    )
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/lag/lead analytics (Spark extension; the reference
+    has no window functions outside streaming windows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+def multi_hop_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hashJoin2 / mapUsingIMap chain (GeneralStage.java:864,678): fact →
+    supplier → nation → region, all small dims broadcast; revenue per
+    region name."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+             agg.counting().alias("n_items"))
+    )
+
+
+def pandas_udf_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDF surface (mapUsingPython, PythonTransforms.java:48):
+    Arrow-batched mapInPandas computing per-doc vowel counts, then a
+    JVM-side aggregation.  Deterministic integers → oracle-comparable."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+
+    def vowels(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "lang": pdf["lang"],
+                "n_vowels": pdf["text"].str.count(r"[aeiou]").astype("int64"),
+            })
+
+    mapped = d.mapInPandas(vowels, "lang string, n_vowels long")
+    return mapped.groupBy("lang").agg(
+        F.sum("n_vowels").alias("total_vowels"), agg.counting().alias("n_docs")
+    )
+
+
+def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES / ROW constructors (UnsupportedOperationVisitor.java:138;
+    ValuesReduceRules folding)."""
+    return spark.sql(
+        "SELECT k, upper(s) AS us, v * 2 AS v2 "
+        "FROM (VALUES (1, 'a', 1.5D), (2, 'b', 2.5D), (3, 'c', NULL)) AS t(k, s, v)"
+    )
+
+
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: readStream over events → tumbling window
     agg → availableNow to completion (complete mode ⇒ deterministic on
@@ -445,6 +642,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_search": cosine_topk_search,
         "streaming_tumbling_window": streaming_tumbling_window,
         "streaming_stateful_count": streaming_stateful_count,
+        "linear_trend_agg": linear_trend_agg,
+        "collection_aggs": collection_aggs,
+        "distinct_aggregates": distinct_aggregates,
+        "having_filter": having_filter,
+        "semi_anti_join": semi_anti_join,
+        "full_outer_join": full_outer_join,
+        "set_operations": set_operations,
+        "like_and_trim": like_and_trim,
+        "cast_matrix": cast_matrix,
+        "rollup_agg": rollup_agg,
+        "window_rank_functions": window_rank_functions,
+        "multi_hop_enrichment": multi_hop_enrichment,
+        "pandas_udf_text_metrics": pandas_udf_text_metrics,
+        "values_inline": values_inline,
     }
 
 
@@ -752,6 +963,116 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sh, count(*) AS n_docs, min(doc_id) AS keep_id
             FROM sh GROUP BY sh HAVING count(*) > 1
+        """,
+        "linear_trend_agg": """
+            WITH m AS (
+                SELECT user_id,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(CAST(event_id AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(event_id AS DOUBLE) * value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(CAST(event_id AS DOUBLE) * CAST(event_id AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM m
+        """,
+        "collection_aggs": """
+            SELECT c_nationkey,
+                   list_sort(list(c_mktsegment)) AS segs_sorted,
+                   list_sort(list_distinct(list(c_mktsegment))) AS segs_set,
+                   string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS keys_csv,
+                   list_sort(list(c_acctbal), 'DESC')[1:3] AS top3_bal
+            FROM customer GROUP BY c_nationkey
+        """,
+        "distinct_aggregates": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_d_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "having_filter": f"""
+            SELECT o_custkey, count(*) AS n, {_dsum('o_totalprice')} AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        """,
+        "semi_anti_join": """
+            SELECT c_custkey, 'has_urgent' AS bucket FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT c_custkey, 'no_urgent' AS bucket FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        "full_outer_join": """
+            WITH hi_cust AS (
+                SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+            ), big_ord AS (
+                SELECT o_custkey, count(*) AS n_big FROM orders
+                WHERE o_totalprice > 300000 GROUP BY o_custkey
+            )
+            SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                   c_acctbal, coalesce(n_big, 0) AS n_big
+            FROM hi_cust FULL OUTER JOIN big_ord ON c_custkey = o_custkey
+        """,
+        "set_operations": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT nk, 'both' AS src FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+            UNION ALL
+            SELECT nk, 'cust_only' AS src FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        """,
+        "like_and_trim": """
+            SELECT p_partkey,
+                   trim('  pad  ') AS trimmed,
+                   ltrim('  x') AS l,
+                   rtrim('x  ') AS r,
+                   ascii(substr(p_name, 1, 1)) AS first_ascii,
+                   CAST(p_name LIKE 's%' AS INT) AS starts_s
+            FROM part WHERE p_name LIKE '%r%'
+        """,
+        "cast_matrix": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_linenumber AS BIGINT) AS i2l,
+                   CAST(l_orderkey AS VARCHAR) AS l2s,
+                   CAST(floor(l_extendedprice) AS INT) AS d2i,
+                   CAST(trunc(l_quantity) AS INT) AS q2i,
+                   l_linenumber < 3 AS b,
+                   CAST(l_linenumber < 3 AS INT) AS b2i,
+                   strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ts2d
+            FROM lineitem
+        """,
+        "rollup_agg": f"""
+            SELECT c_mktsegment, c_nationkey, count(*) AS n, {_dsum('c_acctbal')} AS bal
+            FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        """,
+        "window_rank_functions": """
+            SELECT o_orderkey, o_custkey,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_orderkey, 1) OVER w AS next_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "multi_hop_enrichment": f"""
+            SELECT r_name,
+                   {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "pandas_udf_text_metrics": """
+            SELECT lang,
+                   SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS total_vowels,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "values_inline": """
+            SELECT k, upper(s) AS us, CAST(v AS DOUBLE) * 2 AS v2
+            FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)) AS t(k, s, v)
         """,
         "streaming_tumbling_window": f"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -51,9 +51,13 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
 def _normalize(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=_sort_key)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.operators.text import normalize_text
+from hazelcast_jet_spark.session import ensure_parallelism
 
 
 def _h(seed: int, c: Column) -> Column:
@@ -31,12 +32,31 @@ def _h(seed: int, c: Column) -> Column:
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-shingles of the normalized text (distinct)."""
+    """Word k-shingles of the normalized text (distinct).
+
+    Built with the zip-shift shape — arrays_zip of the token array with
+    its k-1 null-padded shifts, then one transform — instead of
+    index+slice lambdas: ~2× faster because no heavy subtree is
+    re-evaluated inside a lambda and each row allocates O(n) not O(n·k).
+    Docs shorter than k tokens fall back to one whole-text shingle.
+    """
     toks = F.split(normalize_text(col), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+    big = 1 << 20  # max tokens per doc; slice length cap
+    fields = [toks.alias("t0")] + [
+        F.concat(F.slice(toks, j + 1, big), F.array(*[F.lit(None)] * j)).alias(f"t{j}")
+        for j in range(1, k)
+    ]
+    z = F.arrays_zip(*fields)
+    sh = F.transform(
+        z,
+        lambda x: F.when(
+            x[f"t{k-1}"].isNotNull(), F.concat_ws(" ", *[x[f"t{j}"] for j in range(k)])
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.array_compact(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
 
 
 def minhash_signature(col: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
@@ -73,7 +93,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shingle sets.  Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    df = ensure_parallelism(df)
+    # base feeds three branches (signatures + both verify sides); persist
+    # the compact (id, shingles) projection so the scan+shingling runs
+    # once.  MEMORY_AND_DISK ≈ materializing an intermediate table — the
+    # standard shape for multi-use intermediates at any scale.
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")).persist()
 
     # distributed minhash: explode shingles once (the heavy expression runs
     # once per row), hash per seed on the flat table, then min-aggregate.
@@ -121,7 +146,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     (explode shingles → join on shingle → count common → Jaccard).
     One shuffle keyed by shingle; no cross join.  Rare-shingle pruning
     (`min_df`-style) is the knob for 100 TB."""
-    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("s"))
     common = (
@@ -165,7 +192,7 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """Group docs by identical SimHash (hamming-0 buckets; for hamming ≤ d
     probe rotated bands of the signature — same LSH join shape)."""
     return (
-        df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+        ensure_parallelism(df).select(F.col(id_col), simhash(text_col, bits).alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)

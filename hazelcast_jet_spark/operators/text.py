@@ -75,7 +75,9 @@ def fingerprint(col: Column | str) -> Column:
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass feature extraction over a documents table."""
-    return df.select(
+    from hazelcast_jet_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).select(
         "*",
         token_count(text_col).alias("n_tokens"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),

@@ -87,3 +87,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the scan is under-partitioned for CPU-heavy per-row
+    work (a small parquet file = one row group = ONE task, serializing the
+    whole computation).  On a real cluster a 100 TB scan already has
+    thousands of splits and this is a no-op — the guard keeps us from
+    adding a gratuitous shuffle there."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -131,6 +131,36 @@ class GeneralStage:
                 yield fn(service, pdf)
         return self._wrap(self.df.mapInPandas(run, schema))
 
+    def map_using_service_async(self, service_factory: Callable[[], Any], async_fn: Callable,
+                                schema, max_concurrent: int = 4) -> "GeneralStage":
+        """mapUsingServiceAsync — GeneralStage.java:354-459: async calls
+        against a shared service with bounded concurrency (Jet default: 4
+        concurrent ops per processor).  ``async_fn(service, row_dict) ->
+        dict`` awaits e.g. an HTTP/model call; rows in each Arrow batch
+        are gathered concurrently, output order preserved (the
+        ``AsyncTransformUsingServiceOrderedP`` variant)."""
+        def run(batches):
+            import asyncio
+
+            import pandas as pd
+
+            service = service_factory()
+
+            async def process(records):
+                sem = asyncio.Semaphore(max_concurrent)
+
+                async def one(rec):
+                    async with sem:
+                        return await async_fn(service, rec)
+
+                return await asyncio.gather(*[one(r) for r in records])
+
+            for pdf in batches:
+                results = asyncio.run(process(pdf.to_dict("records")))
+                yield pd.DataFrame(results)
+
+        return self._wrap(self.df.mapInPandas(run, schema))
+
     def custom_transform(self, fn: Callable[[DataFrame], DataFrame]) -> "GeneralStage":
         """customTransform — GeneralStage.java:1282; df.transform escape hatch."""
         return self._wrap(self.df.transform(fn))

@@ -137,3 +137,46 @@ def test_peek_and_rebalance(spark):
         .write_to(Sinks.observable())
     )
     assert len(out) == 5
+
+
+def test_map_using_service_async(spark):
+    """mapUsingServiceAsync — ordered async enrichment with a shared
+    service (GeneralStage.java:354)."""
+    import asyncio
+
+    from hazelcast_jet_spark import Pipeline, Sinks, TestSources
+
+    def make_service():
+        return {"factor": 10}
+
+    async def enrich(service, rec):
+        await asyncio.sleep(0.001)
+        return {"v": rec["v"], "scaled": rec["v"] * service["factor"]}
+
+    p = Pipeline.create(spark)
+    out = (
+        p.read_from(TestSources.items([(i,) for i in range(20)], "v long"))
+        .map_using_service_async(make_service, enrich, "v long, scaled long")
+        .write_to(Sinks.observable())
+    )
+    assert {r["v"]: r["scaled"] for r in out} == {i: i * 10 for i in range(20)}
+
+
+def test_map_using_service(spark):
+    import pandas as pd
+
+    from hazelcast_jet_spark import Pipeline, Sinks, TestSources
+
+    def make_model():
+        return lambda s: s.str.upper()
+
+    def apply_model(model, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"up": model(pdf["s"])})
+
+    p = Pipeline.create(spark)
+    out = (
+        p.read_from(TestSources.items([("a",), ("b",)], "s string"))
+        .map_using_service(make_model, apply_model, "up string")
+        .write_to(Sinks.observable())
+    )
+    assert sorted(r["up"] for r in out) == ["A", "B"]

@@ -559,6 +559,37 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's in-tree benchmark workload (WordCountTest.java:
+    76-135): flatMap(split) → groupingKey → counting, over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(agg.counting().alias("cnt"))
+    )
+
+
+def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q5 shape — the reference's headline benchmark (BASELINE.md;
+    site blog 2021-03-17): hot items per sliding window = count by key per
+    window, then top-3 keys per window.  Sliding window via Spark's
+    window(size, slide); ranking via one shuffle on window_start."""
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "2 hours", "1 hour"), "user_id")
+        .agg(agg.counting().alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id", "n",
+        )
+    )
+    return joins.top_n_rows(
+        counts, 3, ["window_start"], [F.col("n").desc(), F.col("user_id").asc()], rank_col="rnk"
+    )
+
+
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: readStream over events → tumbling window
     agg → availableNow to completion (complete mode ⇒ deterministic on
@@ -656,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_hop_enrichment": multi_hop_enrichment,
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "values_inline": values_inline,
+        "wordcount": wordcount,
+        "nexmark_q5_hot_items": nexmark_q5_hot_items,
     }
 
 
@@ -1073,6 +1106,30 @@ def oracle_sql() -> dict[str, str]:
         "values_inline": """
             SELECT k, upper(s) AS us, CAST(v AS DOUBLE) * 2 AS v2
             FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)) AS t(k, s, v)
+        """,
+        "wordcount": """
+            SELECT word, count(*) AS cnt FROM (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM documents
+            ) WHERE length(word) > 0 GROUP BY word
+        """,
+        "nexmark_q5_hot_items": """
+            WITH counts AS (
+                SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, user_id,
+                       count(*) AS n
+                FROM (
+                    SELECT user_id,
+                           unnest([time_bucket(INTERVAL '1 hour', ts),
+                                   time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws
+                    FROM events
+                ) GROUP BY ws, user_id
+            )
+            SELECT window_start, user_id, n, rnk FROM (
+                SELECT window_start, user_id, n,
+                       row_number() OVER (PARTITION BY window_start
+                                          ORDER BY n DESC, user_id ASC) AS rnk
+                FROM counts
+            ) WHERE rnk <= 3
         """,
         "streaming_tumbling_window": f"""
             SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -559,6 +559,37 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed hyperplanes for the ANN-LSH query (deterministic ±1 patterns,
+#: shared with the SQL oracle)
+LSH_PLANES = [[1.0 if (d >> i) & 1 else -1.0 for d in range(64)] for i in range(3)]
+
+
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (the 100 TB scale path of
+    similarity search): bucket by signature, exact cosine re-rank inside
+    the bucket (operators/similarity.ann_lsh_topk)."""
+    from hazelcast_jet_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ann_lsh_topk(e, q, LSH_PLANES, k=TOPK)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the correctness gate: documents as
+    binary payloads → Arrow-batched feature extraction (md5 fake codec,
+    operators/multimodal.extract_features)."""
+    from hazelcast_jet_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("doc").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
+
+
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's in-tree benchmark workload (WordCountTest.java:
     76-135): flatMap(split) → groupingKey → counting, over documents."""
@@ -689,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "values_inline": values_inline,
         "wordcount": wordcount,
         "nexmark_q5_hot_items": nexmark_q5_hot_items,
+        "ann_lsh_search": ann_lsh_search,
+        "multimodal_features": multimodal_features,
     }
 
 
@@ -1106,6 +1139,42 @@ def oracle_sql() -> dict[str, str]:
         "values_inline": """
             SELECT k, upper(s) AS us, CAST(v AS DOUBLE) * 2 AS v2
             FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)) AS t(k, s, v)
+        """,
+        "ann_lsh_search": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding,
+                       {" || ".join(
+                           "(CASE WHEN list_sum(list_transform(list_zip(embedding, "
+                           + str(p)
+                           + "), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END)"
+                           for p in LSH_PLANES
+                       )} AS sig
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qvec, sig FROM sig
+                WHERE vec_id < {N_QUERY_VECS}
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       round(
+                         list_sum(list_transform(list_zip(q.qvec, c.embedding),
+                                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * v)))
+                            * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * v)))),
+                         6) AS cos_sim
+                FROM sig c JOIN q ON c.sig = q.sig AND c.vec_id <> q.query_id
+            )
+            SELECT query_id, corpus_id, cos_sim, rank FROM (
+                SELECT query_id, corpus_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {TOPK}
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id, 'doc' AS kind,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   md5(text) AS feature
+            FROM documents
         """,
         "wordcount": """
             SELECT word, count(*) AS cnt FROM (

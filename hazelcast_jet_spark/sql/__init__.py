@@ -67,6 +67,10 @@ _ALTER_JOB = re.compile(
     r"^\s*ALTER\s+JOB\s+(?P<name>\w+)\s+(?P<verb>SUSPEND|RESUME|RESTART)\s*$", re.IGNORECASE
 )
 _DROP_JOB = re.compile(r"^\s*DROP\s+JOB\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
+_INSERT_INTO = re.compile(
+    r"^\s*(?:SINK\s+INTO|INSERT\s+INTO)\s+(?P<name>\w+)\s+(?P<stmt>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _GEN_SERIES = re.compile(
     r"TABLE\s*\(\s*generate_series\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)", re.IGNORECASE
 )
@@ -124,7 +128,28 @@ class JetSqlEngine:
         m = _DROP_JOB.match(s)
         if m:
             return self._drop_job(m.group("name"))
+        m = _INSERT_INTO.match(s)
+        if m and m.group("name") in self.mappings:
+            return self._insert_into(m.group("name"), m.group("stmt"))
         return self.spark.sql(self._rewrite(s))
+
+    def _insert_into(self, target: str, select: str) -> None:
+        """Batch INSERT/SINK INTO a mapping (SqlExtendedInsert.java):
+        append to the mapping's backing storage and refresh the view."""
+        mp = self.mappings[target]
+        df = self.spark.sql(self._rewrite(select))
+        current = self.spark.table(target)
+        if [f.name.lower() for f in df.schema.fields] != [f.name.lower() for f in current.schema.fields]:
+            raise ValueError(
+                f"INSERT INTO {target}: column mismatch — mapping has "
+                f"{current.columns}, query produces {df.columns}"
+            )
+        df.write.mode("append").format(mp.fmt).save(mp.external_name)
+        reader = self.spark.read.format(mp.fmt)
+        for k, v in mp.options.items():
+            reader = reader.option(k, v)
+        reader.load(mp.external_name).createOrReplaceTempView(target)
+        return None
 
     # --- table-function rewrites -------------------------------------------
 

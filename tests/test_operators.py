@@ -111,3 +111,31 @@ def test_top_n_rows(spark):
     out = top_n_rows(df, 2, ["g"], [F.col("v").desc()])
     got = sorted((r["g"], r["v"]) for r in out.collect())
     assert got == [("a", 3), ("a", 4), ("b", 9)]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("hot", i) for i in range(1000)] + [("cold", 1)], "k string, v long")
+    out = salted_aggregate(
+        df, ["k"],
+        {"cnt": F.count(F.lit(1)), "s": F.sum("v")},
+        {"cnt": F.sum("cnt"), "s": F.sum("s")},
+    )
+    got = {r["k"]: (r["cnt"], r["s"]) for r in out.collect()}
+    assert got == {"hot": (1000, 499500), "cold": (1, 1)}
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, i) for i in range(500)] + [(2, 0)], "k long, v long")
+    dim = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k long, name string")
+    out = salted_join(fact, dim, "k", salt=8)
+    plain = fact.join(dim, "k")
+    assert out.count() == plain.count() == 501
+    assert {r["name"] for r in out.select("name").distinct().collect()} == {"one", "two"}

@@ -107,3 +107,14 @@ def test_create_job_streaming(engine, spark, tmp_path):
     engine.sql("DROP JOB myjob")
     assert engine.sql("SHOW JOBS").count() == 0
     assert spark.read.parquet(out_path).count() > 0
+
+
+def test_insert_into_mapping_batch(engine, spark, tmp_path):
+    """Batch INSERT INTO a mapping appends to backing storage and
+    refreshes the view (SqlExtendedInsert.java)."""
+    path = str(tmp_path / "ins_tbl")
+    spark.createDataFrame([(1, "a")], "k int, s string").write.parquet(path)
+    engine.sql(f"CREATE MAPPING ins_tbl EXTERNAL NAME '{path}' TYPE IMap")
+    engine.sql("INSERT INTO ins_tbl SELECT * FROM (VALUES (2, 'b'), (3, 'c')) AS t(k, s)")
+    got = {(r["k"], r["s"]) for r in engine.sql("SELECT k, s FROM ins_tbl").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}

@@ -111,3 +111,73 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == list(range(250)), f"expected exactly-once 0..249, got {len(got)} rows"
+
+
+def test_job_lifecycle_and_snapshot(spark, tmp_path):
+    """Job.suspend/resume/exportSnapshot/from_snapshot (Job.java,
+    JobStateSnapshot.java): state survives suspension; a job started from
+    an exported snapshot does not reprocess consumed input."""
+    from hazelcast_jet_spark.streaming.job import Job, JobStatus
+
+    src, out, out2, ckpt = (str(tmp_path / d) for d in ("src", "out", "out2", "ckpt"))
+    os.makedirs(src)
+    spark.range(0, 50).write.parquet(src + "/f1")
+    schema = spark.read.parquet(src + "/f1").schema
+
+    def start(out_dir):
+        # foreachBatch sink: commit tracking lives in the checkpoint, so
+        # exported snapshots are clonable (see Job.from_snapshot note)
+        def fn(ckpt_dir):
+            return (
+                spark.readStream.schema(schema).parquet(src + "/f*")
+                .writeStream.foreachBatch(
+                    lambda df, bid: df.write.mode("append").parquet(out_dir)
+                )
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True).start()
+            )
+        return fn
+
+    job = Job(start(out), ckpt, "j1")
+    job.join()
+    job.suspend()
+    assert job.status == JobStatus.SUSPENDED
+    snap = job.export_snapshot("s1")
+
+    # new input arrives; resumed job processes ONLY the new file
+    time.sleep(1.1)
+    spark.range(50, 80).write.parquet(src + "/f2")
+    job.resume()
+    job.join()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == list(range(80))
+
+    # a job cloned from the snapshot (taken before f2) sees f2 as new work
+    job.suspend()
+    job2 = Job.from_snapshot(start(out2), snap, str(tmp_path / "ckpt2"), "j2")
+    job2.join()
+    got2 = sorted(r["id"] for r in spark.read.parquet(out2).collect())
+    assert got2 == list(range(50, 80)), f"snapshot clone reprocessed: {got2[:5]}…"
+    job2.cancel()
+    assert not os.path.exists(str(tmp_path / "ckpt2"))
+
+
+def test_streaming_session_window_complete(spark, sf_dir):
+    """Keyed session windows on a real stream (SessionWindowP.java:79):
+    complete mode on bounded input == batch session_window result."""
+    stream = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        (r["session_window"]["start"], r["user_id"], r["n"])
+        for r in run_to_batch(agg, "complete").collect()
+    }
+    from hazelcast_jet_spark.session import load_table
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["session_window"]["start"], r["user_id"], r["n"]) for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -590,6 +590,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
 
 
+def filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filtering(pred, downstream) composition — AggregateOperations.java:
+    653 ≡ SQL FILTER (WHERE): conditional aggregates in one pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    cheap = F.col("l_extendedprice") < 10000
+    return l.groupBy("l_linestatus").agg(
+        F.count(agg.filtering(cheap, F.lit(1))).alias("n_cheap"),
+        dsum(agg.filtering(cheap, F.col("l_quantity"))).alias("qty_cheap"),
+        agg.counting().alias("n_all"),
+        agg.pick_any(F.lit(1)).alias("one"),
+    )
+
+
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's in-tree benchmark workload (WordCountTest.java:
     76-135): flatMap(split) → groupingKey → counting, over documents."""
@@ -722,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q5_hot_items": nexmark_q5_hot_items,
         "ann_lsh_search": ann_lsh_search,
         "multimodal_features": multimodal_features,
+        "filtered_aggs": filtered_aggs,
     }
 
 
@@ -1139,6 +1153,15 @@ def oracle_sql() -> dict[str, str]:
         "values_inline": """
             SELECT k, upper(s) AS us, CAST(v AS DOUBLE) * 2 AS v2
             FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)) AS t(k, s, v)
+        """,
+        "filtered_aggs": """
+            SELECT l_linestatus,
+                   count(*) FILTER (WHERE l_extendedprice < 10000) AS n_cheap,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                        FILTER (WHERE l_extendedprice < 10000) AS DOUBLE) AS qty_cheap,
+                   count(*) AS n_all,
+                   1 AS one
+            FROM lineitem GROUP BY l_linestatus
         """,
         "ann_lsh_search": f"""
             WITH sig AS (

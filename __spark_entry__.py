@@ -590,6 +590,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
 
 
+COSINE_DEDUP_THRESHOLD = 0.4
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact cosine
+    verify (operators/similarity.cosine_dedup_pairs)."""
+    from hazelcast_jet_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_dedup_pairs(e, LSH_PLANES, COSINE_DEDUP_THRESHOLD)
+
+
 def filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """filtering(pred, downstream) composition — AggregateOperations.java:
     653 ≡ SQL FILTER (WHERE): conditional aggregates in one pass."""
@@ -736,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_search": ann_lsh_search,
         "multimodal_features": multimodal_features,
         "filtered_aggs": filtered_aggs,
+        "embedding_cosine_dedup": embedding_cosine_dedup,
     }
 
 
@@ -1153,6 +1166,32 @@ def oracle_sql() -> dict[str, str]:
         "values_inline": """
             SELECT k, upper(s) AS us, CAST(v AS DOUBLE) * 2 AS v2
             FROM (VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL)) AS t(k, s, v)
+        """,
+        "embedding_cosine_dedup": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding,
+                       {" || ".join(
+                           "(CASE WHEN list_sum(list_transform(list_zip(embedding, "
+                           + str(p)
+                           + "), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END)"
+                           for p in LSH_PLANES
+                       )} AS sig
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * v)))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * v)))),
+                     6) AS cos_sim
+            FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * v)))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * v)))),
+                     6) >= {COSINE_DEDUP_THRESHOLD}
         """,
         "filtered_aggs": """
             SELECT l_linestatus,

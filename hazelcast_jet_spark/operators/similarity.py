@@ -88,6 +88,26 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, planes: list[list[float]
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_dedup_pairs(df: DataFrame, planes: list[list[float]], threshold: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding mode):
+    LSH-bucket by hyperplane signature, pair within buckets (id_a < id_b),
+    keep pairs with cosine ≥ threshold.  Same candidate-join shape as
+    MinHash LSH — never O(n²) across buckets."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", hyperplane_signature(F.col("v"), planes))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid

@@ -217,10 +217,17 @@ class GeneralStage:
 
     def add_timestamps(self, ts_col: str, allowed_lag: str = "0 seconds") -> "GeneralStage":
         """addTimestamps(tsFn, allowedLag) — GeneralStage.java:1155 ≡
-        withWatermark (streaming); batch stages just record the column."""
-        s = self._wrap(
-            self.df.withWatermark(ts_col, allowed_lag) if self.df.isStreaming else self.df
-        )
+        withWatermark (streaming); batch stages just record the column.
+
+        Spark watermarks require TIMESTAMP (with local timezone); a
+        TIMESTAMP_NTZ event-time column is cast first (value-preserving
+        when the session timezone is UTC, as configured by get_spark)."""
+        df = self.df
+        if df.isStreaming:
+            if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+                df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            df = df.withWatermark(ts_col, allowed_lag)
+        s = self._wrap(df)
         s.ts_col = ts_col
         return s
 

@@ -181,3 +181,36 @@ def test_streaming_session_window_complete(spark, sf_dir):
     )
     want = {(r["session_window"]["start"], r["user_id"], r["n"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_pipeline_facade_streaming(spark, sf_dir):
+    """StreamStage through the Pipeline façade: read_from(map_journal) →
+    add_timestamps → window().aggregate() → observable-style collection
+    (StreamStage.java:56 / StageWithKeyAndWindow.java:53)."""
+    from hazelcast_jet_spark import AggregateOperations as agg
+    from hazelcast_jet_spark.pipeline import Pipeline, WindowDefinition
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    p = Pipeline.create(spark)
+    stage = p.read_from(read_stream_table(spark, sf_dir, "events"))
+    assert type(stage).__name__ == "StreamStage"
+    windowed = (
+        stage.add_timestamps("ts", "0 seconds")
+        .grouping_key("event_type")
+        .window(WindowDefinition.tumbling("6 hours"))
+        .aggregate(n=agg.counting())
+    )
+    got = {
+        (r["window_start"], r["event_type"], r["n"])
+        for r in run_to_batch(windowed.df, "complete").collect()
+    }
+    from hazelcast_jet_spark.session import load_table
+    want = {
+        (r["ws"], r["event_type"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -10,7 +10,12 @@ both engines hash the same values.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -618,13 +623,17 @@ def filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's in-tree benchmark workload (WordCountTest.java:
     76-135): flatMap(split) → groupingKey → counting, over documents."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+    from hazelcast_jet_spark.pipeline import Pipeline
+
+    p = Pipeline.create(spark)
+    stage = (
+        p.read_from(_t(spark, sf_dir, "documents"))
+        .flat_map(F.split(F.trim(F.col("text")), r"\s+"), alias="word", keep=[])
         .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(agg.counting().alias("cnt"))
+        .grouping_key("word")
+        .aggregate(cnt=agg.counting())
     )
+    return stage.df
 
 
 def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +698,15 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_schema="cnt bigint",
         output_mode="update",
     )
-    out = run_to_batch(counted, "update")
+    # bound the state-partition count while this query runs: each state
+    # partition spawns a Python worker, and a default of 200 partitions
+    # for ~150 keys is pure overhead (restored afterwards)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = run_to_batch(counted, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.groupBy("user_id").agg(F.max("cnt").alias("n_events"))
 
 

@@ -334,6 +334,17 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex) per source —
+    the training-data token-budget query (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(text.token_count("text")).alias("ws_tokens"),
+        F.sum(text.regex_token_count("text")).alias("bpe_tokens"),
+        agg.counting().alias("n_docs"),
+    )
+
+
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint (operators/dedup.py)."""
     d = _t(spark, sf_dir, "documents")
@@ -766,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "filtered_aggs": filtered_aggs,
         "embedding_cosine_dedup": embedding_cosine_dedup,
+        "token_stats": token_stats,
     }
 
 
@@ -1020,6 +1032,14 @@ def oracle_sql() -> dict[str, str]:
                      + least(sw_ratio * 10.0, 1.0), 6) AS quality,
                    md5({_NORM}) AS fp
             FROM feat
+        """,
+        "token_stats": """
+            SELECT source,
+                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ws_tokens,
+                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
         """,
         "exact_dedup_docs": f"""
             SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count

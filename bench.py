@@ -28,8 +28,10 @@ def main() -> None:
     spark = get_spark("hazelcast-jet-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer caches + codegen
+    # warm-up: JVM, parquet footer caches, codegen, shuffle machinery —
+    # one full run of the first measured query so q1 reflects steady state
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    entry_mod.q1_pricing_summary(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
@@ -68,7 +70,10 @@ def _stream_window_probe(spark, seconds: float = 10.0) -> float:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
     )
     q = df.writeStream.format("noop").outputMode("update").start()
+    deadline = time.time() + max(seconds * 3, 30.0)
     time.sleep(seconds)
+    while not q.recentProgress and time.time() < deadline:
+        time.sleep(1.0)  # slow machine: wait for at least one micro-batch
     rows = 0.0
     secs = 0.0
     for p in q.recentProgress:

@@ -28,6 +28,23 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens(c)))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style, simplified to what both
+#: Spark (Java regex) and DuckDB (RE2) support identically): letter runs,
+#: digit runs, or single non-space symbols.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenization (the subword-count basis); returns the
+    token array.  Jet has no analog — training-data pipeline extension."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def regex_token_count(col: Column | str) -> Column:
+    return F.size(regex_tokens(col))
+
+
 def stopword_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are English stopwords (marker-word score)."""
     toks = tokens(col)

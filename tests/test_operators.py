@@ -139,3 +139,21 @@ def test_salted_join_matches_plain(spark):
     plain = fact.join(dim, "k")
     assert out.count() == plain.count() == 501
     assert {r["name"] for r in out.select("name").distinct().collect()} == {"one", "two"}
+
+
+def test_ivf_assign(spark):
+    from hazelcast_jet_spark.operators.similarity import ivf_assign
+
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.95])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert out == {0: 1, 1: 1, 2: 2, 3: 2}
+
+
+def test_regex_tokens(spark):
+    from hazelcast_jet_spark.operators.text import regex_token_count, regex_tokens
+
+    df = spark.createDataFrame([("hello, world42!",), ("",)], "text string")
+    rows = df.select(regex_tokens("text").alias("t"), regex_token_count("text").alias("n")).collect()
+    assert rows[0]["t"] == ["hello", ",", "world", "42", "!"] and rows[0]["n"] == 5
+    assert rows[1]["n"] == 0

@@ -71,6 +71,11 @@ class WindowDefinition:
             return F.window(F.col(ts_col), self.size, self.slide)
         return F.session_window(F.col(ts_col), self.gap)
 
+    @property
+    def struct_name(self) -> str:
+        """Name of the window struct column Spark produces."""
+        return "session_window" if self.kind == "session" else "window"
+
 
 # --------------------------------------------------------------------------
 # stages
@@ -354,9 +359,10 @@ class StageWithWindow:
             *(c.alias(n) for n, c in named_ops.items())
         )
         # WindowResult{start,end,result} — datamodel/WindowResult.java
+        w = self.wdef.struct_name
         df = df.select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
+            F.col(f"{w}.start").alias("window_start"),
+            F.col(f"{w}.end").alias("window_end"),
             *[F.col(n) for n in named_ops],
         )
         return self.stage._wrap(df)
@@ -379,9 +385,10 @@ class StageWithKeyAndWindow:
         )
         # KeyedWindowResult{start,end,key,result} — datamodel/KeyedWindowResult.java
         key_names = [k if isinstance(k, str) else k._jc.toString() for k in self.keys]
+        w = self.wdef.struct_name
         df = df.select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
+            F.col(f"{w}.start").alias("window_start"),
+            F.col(f"{w}.end").alias("window_end"),
             *[F.col(k) for k in key_names],
             *[F.col(n) for n in named_ops],
         )

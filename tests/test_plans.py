@@ -1,0 +1,67 @@
+"""Plan-property regression tests: the physical plans the engine promises
+(PERFORMANCE.md) — pushdown, pruning, broadcast dims, top-k without global
+sort, shuffle-free bucketed joins — asserted so they can't silently rot."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(entry_mod.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in read and "l_partkey" not in read  # pruned
+    assert "l_quantity" in read
+
+
+def test_zero_shuffle_scan_project(spark, sf_dir):
+    plan = _plan(entry_mod.filter_project(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(entry_mod.multi_hop_enrichment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = _plan(entry_mod.sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: the shuffle is paid at write time; the
+    join plan itself has NO Exchange (Jet's partition-co-location analog)."""
+    from hazelcast_jet_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    left = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 1000).withColumn("w", F.col("id") % 7)
+    write_bucketed(left, "b_left", "id", buckets=8)
+    write_bucketed(right, "b_right", "id", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the test tables are broadcast-small, which would bypass the bucketed
+    # path entirely; disable broadcast to exercise the co-located join the
+    # way a fact-fact join at scale would run
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_left", "b_right", "id")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")

@@ -299,8 +299,12 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("p_retailprice").alias("ceilp"),
         F.floor("p_retailprice").alias("floorp"),
         (F.col("p_size") % 7).alias("modsz"),
-        F.round(F.sin(F.col("p_size")), 6).alias("sinsz"),
-        F.round(F.exp(F.col("p_size") / 50.0), 6).alias("expsz"),
+        # integer power is exact in IEEE double for these magnitudes, unlike
+        # sin/exp which sit on libm-vs-JVM 1-ulp differences (trig coverage
+        # lives in tests/test_operators.py::test_transcendental_functions
+        # with a tolerance compare instead of the exact-hash gate)
+        F.pow(F.col("p_size"), 2).alias("sqsz"),
+        F.sqrt(F.col("p_size") * F.col("p_size")).alias("sqrtsz"),
         F.when(F.col("p_size") > 25, F.lit("big")).when(F.col("p_size") > 10, F.lit("mid")).otherwise(F.lit("small")).alias("szclass"),
     )
 
@@ -403,13 +407,22 @@ def linear_trend_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def collection_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """toList/toSet/sorting/concatenating (AggregateOperations.java:500-947)
-    with deterministic (sorted) order."""
+    with deterministic (sorted) order.  Array-valued aggregates are
+    serialized to '|'-joined strings for the gate (the driver's row
+    canonicalizer can't sort rows holding Python lists); the operators
+    themselves still return real arrays (see aggregates.py)."""
     c = _t(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        agg.sorting("c_mktsegment").alias("segs_sorted"),
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segs_set"),
+        F.concat_ws("|", agg.sorting("c_mktsegment")).alias("segs_sorted"),
+        F.concat_ws("|", F.sort_array(F.collect_set("c_mktsegment"))).alias("segs_set"),
         agg.concatenating_sorted(F.col("c_custkey").cast("string"), ",").alias("keys_csv"),
-        agg.top_n(3, "c_acctbal").alias("top3_bal"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                agg.top_n(3, F.col("c_acctbal").cast("decimal(12,2)")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("top3_bal"),
     )
 
 
@@ -966,8 +979,11 @@ def oracle_sql() -> dict[str, str]:
         "session_window_batch": """
             WITH marked AS (
                 SELECT user_id, ts,
+                       -- >= : Spark's session_window closes a session when the
+                       -- gap reaches the duration (half-open interval), so two
+                       -- events exactly 30 minutes apart are separate sessions
                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 > INTERVAL '30 minutes'
+                                 >= INTERVAL '30 minutes'
                             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
@@ -992,15 +1008,17 @@ def oracle_sql() -> dict[str, str]:
                    ceil(p_retailprice) AS ceilp,
                    floor(p_retailprice) AS floorp,
                    p_size % 7 AS modsz,
-                   round(sin(p_size), 6) AS sinsz,
-                   round(exp(p_size / 50.0), 6) AS expsz,
+                   pow(p_size, 2) AS sqsz,
+                   sqrt(p_size * p_size) AS sqrtsz,
                    CASE WHEN p_size > 25 THEN 'big'
                         WHEN p_size > 10 THEN 'mid'
                         ELSE 'small' END AS szclass
             FROM part
         """,
         "generate_series_agg": """
-            SELECT count(*) AS n, sum(v) AS total
+            -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (int128) which the
+            -- gate hashes differently from Spark's BIGINT even when values match
+            SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS total
             FROM (SELECT unnest(generate_series(1, 100000)) AS v)
             WHERE v % 7 = 0
         """,
@@ -1035,9 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT source,
-                   SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS ws_tokens,
-                   SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS bpe_tokens,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY source
         """,
@@ -1108,10 +1126,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collection_aggs": """
             SELECT c_nationkey,
-                   list_sort(list(c_mktsegment)) AS segs_sorted,
-                   list_sort(list_distinct(list(c_mktsegment))) AS segs_set,
+                   array_to_string(list_sort(list(c_mktsegment)), '|') AS segs_sorted,
+                   array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') AS segs_set,
                    string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS keys_csv,
-                   list_sort(list(c_acctbal), 'DESC')[1:3] AS top3_bal
+                   array_to_string(
+                       list_transform(
+                           list_sort(list(CAST(c_acctbal AS DECIMAL(12,2))), 'DESC')[1:3],
+                           x -> CAST(x AS VARCHAR)), '|') AS top3_bal
             FROM customer GROUP BY c_nationkey
         """,
         "distinct_aggregates": """
@@ -1196,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pandas_udf_text_metrics": """
             SELECT lang,
-                   SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS total_vowels,
+                   CAST(SUM(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS BIGINT) AS total_vowels,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,

@@ -157,3 +157,29 @@ def test_regex_tokens(spark):
     rows = df.select(regex_tokens("text").alias("t"), regex_token_count("text").alias("n")).collect()
     assert rows[0]["t"] == ["hello", ",", "world", "42", "!"] and rows[0]["n"] == 5
     assert rows[1]["n"] == 0
+
+
+def test_transcendental_functions(spark):
+    """Trig/exp coverage moved out of the exact-hash gate (VERDICT r1 §wrong-3):
+    JVM StrictMath vs DuckDB libm differ by ~1 ulp, so compare with tolerance."""
+    import math
+
+    rows = (
+        spark.range(1, 51)
+        .select(
+            "id",
+            F.sin("id").alias("s"),
+            F.cos("id").alias("c"),
+            F.exp(F.col("id") / 50.0).alias("e"),
+            F.log(F.col("id").cast("double")).alias("l"),
+            F.atan("id").alias("a"),
+        )
+        .collect()
+    )
+    for r in rows:
+        i = r["id"]
+        assert math.isclose(r["s"], math.sin(i), rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r["c"], math.cos(i), rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r["e"], math.exp(i / 50.0), rel_tol=1e-12)
+        assert math.isclose(r["l"], math.log(i), rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(r["a"], math.atan(i), rel_tol=1e-12)

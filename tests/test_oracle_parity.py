@@ -38,12 +38,15 @@ def _duck(sql: str):
 
 
 def _norm(v):
+    # Exact comparison (no rounding): the driver's gate hashes raw values,
+    # so anything that needs tolerance must be reformulated bit-exactly in
+    # the query itself, not papered over here.
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, list):

@@ -588,9 +588,22 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: fixed hyperplanes for the ANN-LSH query (deterministic ±1 patterns,
-#: shared with the SQL oracle)
-LSH_PLANES = [[1.0 if (d >> i) & 1 else -1.0 for d in range(64)] for i in range(3)]
+#: banded hyperplane LSH config for the ANN / embedding-dedup queries
+#: (deterministic ±1 plane sets shared with the SQL oracle).  4 bands of 6
+#: planes: the OR-construction that keeps recall while each band's 2^6
+#: buckets bound within-bucket pairing — at scale, raise planes_per_band
+#: to ~log2(n/target_bucket) and add max_bucket (similarity.py docstring).
+LSH_NUM_BANDS = 4
+LSH_PLANES_PER_BAND = 6
+LSH_BANDS = None  # populated below via similarity.banded_hyperplanes
+
+
+def _lsh_bands():
+    global LSH_BANDS
+    if LSH_BANDS is None:
+        from hazelcast_jet_spark.operators.similarity import banded_hyperplanes
+        LSH_BANDS = banded_hyperplanes(LSH_NUM_BANDS, LSH_PLANES_PER_BAND, 64, seed=7)
+    return LSH_BANDS
 
 
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +614,7 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.ann_lsh_topk(e, q, LSH_PLANES, k=TOPK)
+    return similarity.ann_lsh_topk(e, q, _lsh_bands(), k=TOPK)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,7 +641,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hazelcast_jet_spark.operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_dedup_pairs(e, LSH_PLANES, COSINE_DEDUP_THRESHOLD)
+    return similarity.cosine_dedup_pairs(e, _lsh_bands(), COSINE_DEDUP_THRESHOLD)
 
 
 def filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,6 +845,26 @@ def _simhash_sql(bits: int = SIMHASH_BITS) -> str:
         )
         terms.append(f"CASE WHEN {vote} > 0 THEN {2 ** b}::BIGINT ELSE 0::BIGINT END")
     return " + ".join(terms)
+
+
+def _band_sig_sql(planes, col: str = "embedding") -> str:
+    """One band's hyperplane signature as a packed BIGINT (bit i =
+    sign(vec · plane_i)) — DuckDB twin of similarity.banded_signatures_udf."""
+    return " + ".join(
+        "(CASE WHEN list_sum(list_transform(list_zip(" + col + ", "
+        + str(p)
+        + f"), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * v)))"
+        f" * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * v)))), 6)"
+    )
 
 
 def _dsum(x: str) -> str:
@@ -1227,29 +1260,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_cosine_dedup": f"""
             WITH sig AS (
-                SELECT vec_id, embedding,
-                       {" || ".join(
-                           "(CASE WHEN list_sum(list_transform(list_zip(embedding, "
-                           + str(p)
-                           + "), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END)"
-                           for p in LSH_PLANES
-                       )} AS sig
+                SELECT vec_id,
+                       [{", ".join(_band_sig_sql(b) for b in _lsh_bands())}] AS sigs
                 FROM embeddings
+            ), b AS (
+                SELECT vec_id, unnest(sigs) AS sig,
+                       unnest(generate_series(1, {LSH_NUM_BANDS})) AS band
+                FROM sig
+            ), cands AS (
+                SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+                FROM b l JOIN b r
+                  ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * v)))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * v)))),
-                     6) AS cos_sim
-            FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
-            WHERE round(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * v)))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * v)))),
-                     6) >= {COSINE_DEDUP_THRESHOLD}
+            SELECT id_a, id_b, {_cos_sql("ea.embedding", "eb.embedding")} AS cos_sim
+            FROM cands
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+            WHERE {_cos_sql("ea.embedding", "eb.embedding")} >= {COSINE_DEDUP_THRESHOLD}
         """,
         "filtered_aggs": """
             SELECT l_linestatus,
@@ -1262,26 +1289,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_search": f"""
             WITH sig AS (
-                SELECT vec_id, embedding,
-                       {" || ".join(
-                           "(CASE WHEN list_sum(list_transform(list_zip(embedding, "
-                           + str(p)
-                           + "), x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0 THEN '1' ELSE '0' END)"
-                           for p in LSH_PLANES
-                       )} AS sig
+                SELECT vec_id,
+                       [{", ".join(_band_sig_sql(b) for b in _lsh_bands())}] AS sigs
                 FROM embeddings
-            ), q AS (
-                SELECT vec_id AS query_id, embedding AS qvec, sig FROM sig
-                WHERE vec_id < {N_QUERY_VECS}
+            ), b AS (
+                SELECT vec_id, unnest(sigs) AS sig,
+                       unnest(generate_series(1, {LSH_NUM_BANDS})) AS band
+                FROM sig
+            ), cands AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+                FROM b c JOIN b q ON c.band = q.band AND c.sig = q.sig
+                WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
             ), scored AS (
-                SELECT q.query_id, c.vec_id AS corpus_id,
-                       round(
-                         list_sum(list_transform(list_zip(q.qvec, c.embedding),
-                                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                         / (sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * v)))
-                            * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * v)))),
-                         6) AS cos_sim
-                FROM sig c JOIN q ON c.sig = q.sig AND c.vec_id <> q.query_id
+                SELECT query_id, corpus_id,
+                       {_cos_sql("qe.embedding", "ce.embedding")} AS cos_sim
+                FROM cands
+                JOIN embeddings qe ON qe.vec_id = query_id
+                JOIN embeddings ce ON ce.vec_id = corpus_id
             )
             SELECT query_id, corpus_id, cos_sim, rank FROM (
                 SELECT query_id, corpus_id, cos_sim,

@@ -183,3 +183,32 @@ def test_transcendental_functions(spark):
         assert math.isclose(r["e"], math.exp(i / 50.0), rel_tol=1e-12)
         assert math.isclose(r["l"], math.log(i), rel_tol=1e-12, abs_tol=1e-12)
         assert math.isclose(r["a"], math.atan(i), rel_tol=1e-12)
+
+
+def test_banded_lsh_dedup_and_bucket_cap(spark):
+    """Banded OR-construction: a pair found by ANY band survives; max_bucket
+    drops degenerate hub buckets whole instead of pairing them O(n^2)."""
+    from hazelcast_jet_spark.operators.similarity import (
+        banded_hyperplanes, cosine_dedup_pairs)
+
+    dim = 8
+    # 3 near-identical vectors + 20 identical "hub" vectors (a degenerate bucket)
+    rows = [(1, [1.0] * dim), (2, [1.0] * (dim - 1) + [0.9]), (3, [0.99] * dim)]
+    rows += [(100 + i, [(-1.0) ** j * 0.5 for j in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bands = banded_hyperplanes(3, 4, dim, seed=11)
+
+    pairs = cosine_dedup_pairs(df, bands, 0.99)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 3) in found and (2, 3) in found
+
+    # the 20-vector hub is identical -> lands in one bucket per band; cap
+    # at 10 removes all hub pairs but near-dup trio (bucket size 3) stays
+    capped = cosine_dedup_pairs(df, bands, 0.99, max_bucket=10)
+    cfound = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a < 100 for a, _ in cfound), cfound
+    assert (1, 2) in cfound and (2, 3) in cfound
+
+    # flat plane list (legacy single-band call shape) still works
+    flat = cosine_dedup_pairs(df, bands[0], 0.99)
+    assert {(r["id_a"], r["id_b"]) for r in flat.collect()} <= found

@@ -747,6 +747,33 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("cnt").alias("n_events"))
 
 
+def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollingAggregate on a real stream, JVM path (StreamStageWithKey.java:
+    296): update-mode groupBy().agg(count) — running value in the JVM state
+    store, zero Python workers (the scale-safe routing for simple rolling
+    aggregates; applyInPandasWithState stays for custom state, see
+    streaming_stateful_count).  The last update per key is the total."""
+    from hazelcast_jet_spark.pipeline import Pipeline
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events").select("user_id", "event_id")
+    p = Pipeline.create(spark)
+    stage = (
+        p.read_from(e)
+        .grouping_key("user_id")
+        .rolling_aggregate(agg.counting(), name="n_events")
+    )
+    # state-store partitions are per-query fixed at plan time; ~1.5k keys
+    # don't need 32 (restored afterwards)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_batch(stage.df, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -783,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_search": cosine_topk_search,
         "streaming_tumbling_window": streaming_tumbling_window,
         "streaming_stateful_count": streaming_stateful_count,
+        "streaming_rolling_count": streaming_rolling_count,
         "linear_trend_agg": linear_trend_agg,
         "collection_aggs": collection_aggs,
         "distinct_aggregates": distinct_aggregates,
@@ -1350,6 +1378,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "streaming_stateful_count": """
+            SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
         """,
         "cosine_topk_search": f"""

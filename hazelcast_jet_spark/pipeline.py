@@ -317,10 +317,22 @@ class StageWithKey:
         """groupingKey(k).distinct() — BatchStageWithKey.java:66."""
         return self.stage._wrap(self.stage.df.dropDuplicates([str(k) for k in self.keys]))
 
-    def rolling_aggregate(self, op: Column, order_col: str, name: str = "rolling") -> GeneralStage:
+    def rolling_aggregate(self, op: Column, order_col: str | None = None,
+                          name: str = "rolling") -> GeneralStage:
         """rollingAggregate(aggrOp) — StreamStageWithKey.java:296.
-        Batch: running aggregate via window frame; streaming: update-mode
-        groupBy agg (see streaming module)."""
+
+        Batch: running aggregate via a window frame ordered by
+        ``order_col``.  Streaming: update-mode ``groupBy().agg()`` — the
+        running value lives in the JVM state store and each micro-batch
+        emits the keys it updated (per-batch granularity instead of Jet's
+        per-event; zero Python in the loop, ~10× cheaper than routing
+        through applyInPandasWithState — keep map_stateful for genuinely
+        custom state)."""
+        if self.stage.df.isStreaming:
+            df = self.stage.df.groupBy(*_cols(self.keys)).agg(op.alias(name))
+            return self.stage._wrap(df)
+        if order_col is None:
+            raise ValueError("rolling_aggregate on a bounded stage needs order_col")
         w = (
             Window.partitionBy(*_cols(self.keys))
             .orderBy(F.col(order_col))

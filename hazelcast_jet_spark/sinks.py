@@ -58,22 +58,30 @@ class Sinks:
         return sink
 
     @staticmethod
-    def map_with_merging(path: str, keys: list[str], merge_fn):
+    def map_with_merging(path: str, keys: list[str], merge_fn, num_buckets: int = 64):
         """Sinks.mapWithMerging — Sinks.java:313: upsert with a merge fn on
-        key conflict.  Batch implementation: read-current ∪ new →
-        per-key reduce → atomic overwrite (the parquet-only analog of a
-        Delta MERGE; idempotent under retry because the final write is a
-        full snapshot).  `merge_fn(old_df, new_df) -> merged_df`."""
+        key conflict.  Backed by storage.KeyedParquetTable: the current
+        rows of ONLY the touched bucket partitions are read (partition
+        pruning), ``merge_fn(current_subset, new_df) -> merged_df``
+        resolves conflicts, and just those buckets are rewritten via
+        durable staging + atomic swap — O(changed buckets) per call, the
+        Delta-MERGE shape on plain parquet.  merge_fn must emit one row
+        per key it was given (it sees every current row whose bucket is
+        touched, same as an entry-processor seeing its map partition)."""
         def sink(df: DataFrame):
-            spark = df.sparkSession
-            try:
-                current = spark.read.parquet(path)
-            except Exception:
-                current = None
-            merged = df if current is None else merge_fn(current, df)
-            merged.cache().count()     # materialize before overwriting input
-            merged.write.mode("overwrite").parquet(path)
-            merged.unpersist()
+            from hazelcast_jet_spark.storage import KeyedParquetTable
+
+            table = KeyedParquetTable(path, keys, num_buckets)
+            if not table.exists():
+                table.overwrite(df)
+                return path
+            changed_keys = df.select(*keys).distinct()
+            bks = sorted(
+                r[0] for r in changed_keys.select(table.bucket_of().alias("b")).distinct().collect()
+            )
+            current = table.read(df.sparkSession, buckets=bks)
+            merged = merge_fn(current, df)
+            table.apply(merged, merged.select(*keys).distinct())
             return path
         return sink
 

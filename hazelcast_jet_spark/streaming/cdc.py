@@ -48,21 +48,28 @@ def parse_debezium(df: DataFrame, payload_schema: str, value_col: str = "value")
 
 
 def cdc_apply(changes: DataFrame, table_path: str, key_cols: list[str],
-              checkpoint: str | None = None):
+              checkpoint: str | None = None, num_buckets: int = 64):
     """Apply a stream of ChangeRecords to a keyed parquet table —
     ``CdcSinks.map(name, keyFn, valueFn)`` (CdcSinks.java): last-writer-
     wins upsert, DELETE removes the key.
 
-    Batch semantics inside ``foreachBatch`` (exactly-once per batch via
-    the checkpoint): take the latest change per key in the batch
-    (ts_ms order), merge with the current table snapshot, drop deletes,
-    atomically overwrite.  With Delta/Iceberg this becomes a real MERGE;
-    the parquet implementation keeps the same observable semantics.
+    Batch semantics inside ``foreachBatch``: take the latest change per
+    key in the batch (ts_ms order) and hand it to
+    :class:`~hazelcast_jet_spark.storage.KeyedParquetTable`, which
+    rewrites only the O(changed-keys) bucket partitions with durable
+    staging + atomic per-bucket swap — never the whole table, and never
+    an in-place overwrite of files still being read.  Exactly-once table
+    state = checkpointed batch replay × idempotent keyed apply (see
+    storage.py for the crash-recovery argument).  ``num_buckets`` sizes
+    the partition grain: pick table_size / few-GB at scale.
     """
     from pyspark.sql.window import Window
 
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    table = KeyedParquetTable(table_path, key_cols, num_buckets)
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms").desc())
         latest = (
             batch_df.select(
@@ -75,19 +82,7 @@ def cdc_apply(changes: DataFrame, table_path: str, key_cols: list[str],
         )
         upserts = latest.filter(F.col("op") != "DELETE").select("row.*")
         changed_keys = latest.select(*key_cols)
-        try:
-            current = spark.read.parquet(table_path)
-        except Exception:
-            current = None
-        if current is not None:
-            # rows whose key changed this batch are replaced (or, for
-            # DELETE, simply excluded) — last-writer-wins
-            keep = current.join(changed_keys, key_cols, "left_anti").unionByName(upserts)
-        else:
-            keep = upserts
-        keep.cache().count()
-        keep.write.mode("overwrite").parquet(table_path)
-        keep.unpersist()
+        table.apply(upserts, changed_keys)
 
     if changes.isStreaming:
         w = changes.writeStream.foreachBatch(apply_batch)

@@ -83,3 +83,95 @@ def test_cdc_apply_streaming(spark, tmp_path):
 
     got = {r["id"]: r["balance"] for r in spark.read.parquet(tbl).collect()}
     assert got == {2: 22}
+
+
+def _bucket_files(tbl):
+    """{bucket_dir: {(filename, inode)}} for every live bucket partition."""
+    out = {}
+    for e in os.listdir(tbl):
+        if e.startswith("_kb="):
+            d = os.path.join(tbl, e)
+            out[e] = {(f, os.stat(os.path.join(d, f)).st_ino)
+                      for f in os.listdir(d) if not f.startswith(".")}
+    return out
+
+
+def test_keyed_table_selective_rewrite(spark, tmp_path):
+    """The 100 TB CDC property: a batch touching one key rewrites only that
+    key's bucket partition — every other bucket's files are bit-identical
+    (same inodes), not rewritten copies."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    tbl = str(tmp_path / "kt")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=8)
+    base = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") * 10).alias("balance"))
+    t.overwrite(base)
+    before = _bucket_files(tbl)
+    assert len(before) == 8
+
+    one = spark.createDataFrame([(7, 777)], "id long, balance long")
+    rewritten = t.apply(one, one.select("id"))
+    assert len(rewritten) == 1
+
+    after = _bucket_files(tbl)
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed == {f"_kb={rewritten[0]}"}, (changed, rewritten)
+
+    got = {r["id"]: r["balance"] for r in t.read(spark).collect()}
+    assert got[7] == 777 and got[8] == 80 and len(got) == 400
+
+
+def test_keyed_table_delete_and_recovery(spark, tmp_path):
+    """Deletes drop keys; a simulated crash between the two swap renames
+    (bucket moved to trash, new not yet live) is healed by _recover."""
+    import shutil
+
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    tbl = str(tmp_path / "kt2")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=4)
+    t.overwrite(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "id long, balance long"))
+
+    # delete id=3 (changed_keys contains it, upserts do not)
+    empty = spark.createDataFrame([], "id long, balance long")
+    t.apply(empty, spark.createDataFrame([(3,)], "id long"))
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert 3 not in got and len(got) == 19
+
+    # simulate crash: move one bucket to a trash dir and delete it live
+    victim = next(e for e in os.listdir(tbl) if e.startswith("_kb="))
+    trash = os.path.join(tbl, ".trash-crashtest")
+    os.makedirs(trash)
+    os.rename(os.path.join(tbl, victim), os.path.join(trash, victim))
+    assert not os.path.isdir(os.path.join(tbl, victim))
+
+    t._recover()
+    assert os.path.isdir(os.path.join(tbl, victim))
+    assert not os.path.isdir(trash)
+    assert len({r["id"] for r in t.read(spark).collect()}) == 19
+
+
+def test_map_with_merging_selective(spark, tmp_path):
+    """Sinks.mapWithMerging on the keyed table: merge resolves conflicts,
+    untouched buckets keep their files."""
+    from hazelcast_jet_spark.sinks import Sinks
+
+    tbl = str(tmp_path / "merge_tbl")
+    sink = Sinks.map_with_merging(
+        tbl, ["id"],
+        lambda cur, new: (
+            cur.unionByName(new)
+            .groupBy("id").agg(F.sum("balance").alias("balance"))
+        ),
+        num_buckets=8,
+    )
+    sink(spark.createDataFrame([(i, 100) for i in range(40)], "id long, balance long"))
+    before = _bucket_files(tbl)
+    sink(spark.createDataFrame([(5, 1)], "id long, balance long"))
+    after = _bucket_files(tbl)
+
+    got = {r["id"]: r["balance"] for r in spark.read.parquet(tbl).collect()}
+    assert got[5] == 101 and got[6] == 100 and len(got) == 40
+    assert sum(1 for d in before if before[d] != after.get(d)) == 1

@@ -747,6 +747,45 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("cnt").alias("n_events"))
 
 
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 2 via the rotated-band probe
+    (operators/dedup.simhash_near_dup_pairs): pigeonhole over d+1 signature
+    bands, bit_count(xor) verify."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, bits=SIMHASH_BITS, hamming=2)
+
+
+def map_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toMap(keyFn, valFn) — AggregateOperations.java:844: per-nation map
+    of mktsegment → customer count (pre-aggregated per key, so values are
+    deterministic), serialized as to_json of the key-sorted map for the
+    gate (map columns themselves don't canonicalize)."""
+    c = _t(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey", "c_mktsegment").agg(agg.counting().alias("n"))
+    return per.groupBy("c_nationkey").agg(
+        F.to_json(agg.to_map_sorted("c_mktsegment", "n")).alias("seg_counts")
+    )
+
+
+def custom_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AggregateOperation via the builder (AggregateOperation.java:
+    87-138, AggregateOperationBuilder.java): a pandas-UDAF alternating key
+    sum per nation — exact integer arithmetic so the oracle hash matches."""
+    c = _t(spark, sf_dir, "customer")
+    op = (
+        agg.AggregateOperation.with_create(lambda: 0)
+        .and_accumulate(
+            lambda acc, pdf: acc
+            + int(((pdf["c_custkey"] % 2 * 2 - 1) * pdf["c_custkey"]).sum())
+        )
+        .and_finish(lambda acc: acc)
+    )
+    return agg.aggregate_custom(
+        c.select("c_nationkey", "c_custkey"), ["c_nationkey"],
+        {"alt_sum": op}, "c_nationkey int, alt_sum long",
+    )
+
+
 def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollingAggregate on a real stream, JVM path (StreamStageWithKey.java:
     296): update-mode groupBy().agg(count) — running value in the JVM state
@@ -811,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling_window": streaming_tumbling_window,
         "streaming_stateful_count": streaming_stateful_count,
         "streaming_rolling_count": streaming_rolling_count,
+        "map_aggregate": map_aggregate,
+        "custom_udaf_agg": custom_udaf_agg,
+        "simhash_near_dups": simhash_near_dups,
         "linear_trend_agg": linear_trend_agg,
         "collection_aggs": collection_aggs,
         "distinct_aggregates": distinct_aggregates,
@@ -1382,6 +1424,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "simhash_near_dups": f"""
+            WITH sh AS (
+                SELECT doc_id AS id, {_simhash_sql()} AS sh FROM documents
+            ), b AS (
+                SELECT id, sh,
+                       unnest([{", ".join(
+                           f"(sh >> {lo}) & {(1 << w) - 1}"
+                           for lo, w in dedup.simhash_bands(SIMHASH_BITS, 2)
+                       )}]) AS bb,
+                       unnest(generate_series(0, 2)) AS band
+                FROM sh
+            ), pairs AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming_dist
+                FROM b l JOIN b r
+                  ON l.band = r.band AND l.bb = r.bb AND l.id < r.id
+            )
+            SELECT id_a, id_b, hamming_dist FROM pairs WHERE hamming_dist <= 2
+        """,
+        "map_aggregate": """
+            SELECT c_nationkey,
+                   '{"' || string_agg(c_mktsegment || '":' || n, ',"' ORDER BY c_mktsegment) || '}'
+                       AS seg_counts
+            FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+                  FROM customer GROUP BY 1, 2)
+            GROUP BY c_nationkey
+        """,
+        "custom_udaf_agg": """
+            SELECT c_nationkey,
+                   CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_custkey
+                                 ELSE -c_custkey END) AS BIGINT) AS alt_sum
+            FROM customer GROUP BY c_nationkey
         """,
         "cosine_topk_search": f"""
             WITH q AS (

@@ -122,6 +122,14 @@ def to_map(key: str | Column, value: str | Column) -> Column:
     return F.map_from_entries(F.collect_list(F.struct(_col(key), _col(value))))
 
 
+def to_map_sorted(key: str | Column, value: str | Column) -> Column:
+    """Deterministic toMap: entries sorted by key, so ``to_json`` of the
+    result is stable across partitionings (the gate/serialization form)."""
+    return F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct(_col(key), _col(value))))
+    )
+
+
 def pick_any(c: str | Column) -> Column:
     """pickAny() — AggregateOperations.java:1259."""
     return F.any_value(_col(c))
@@ -153,6 +161,65 @@ def all_of(*cols: Column) -> list[Column]:
     """allOf(op0, op1, ...) — AggregateOperations.java:1337.  Spark computes
     several aggregates in one pass natively: pass the list to ``.agg``."""
     return list(cols)
+
+
+# --- custom aggregate builder (AggregateOperationBuilder.java) ------------
+
+class AggregateOperation:
+    """Arbitrary-lambda aggregate — AggregateOperation.java:87-138 /
+    AggregateOperationBuilder.java.
+
+    Jet's algebra is (createFn, accumulateFn, combineFn, finishFn); here
+    ``accumulate(acc, pdf) -> acc`` folds a whole pandas DataFrame chunk
+    (vectorize inside!), and Spark's shuffle delivers each group complete
+    to one worker, so no separate combineFn is needed (the partial/merge
+    split belongs to Spark's built-in aggregates; a custom op that needs
+    it should be re-expressed as expressions — see the factories above).
+
+    Build fluently, mirroring the reference builder::
+
+        op = (AggregateOperation.with_create(lambda: 0)
+              .and_accumulate(lambda acc, pdf: acc + int(pdf["x"].sum()))
+              .and_finish(lambda acc: acc))
+        df = aggregate_custom(src, ["k"], {"total": op}, "k long, total long")
+    """
+
+    def __init__(self, create_fn, accumulate_fn, finish_fn=None):
+        self.create_fn = create_fn
+        self.accumulate_fn = accumulate_fn
+        self.finish_fn = finish_fn or (lambda acc: acc)
+
+    @classmethod
+    def with_create(cls, create_fn) -> "AggregateOperation":
+        return cls(create_fn, None)
+
+    def and_accumulate(self, accumulate_fn) -> "AggregateOperation":
+        return AggregateOperation(self.create_fn, accumulate_fn, self.finish_fn)
+
+    def and_finish(self, finish_fn) -> "AggregateOperation":
+        return AggregateOperation(self.create_fn, self.accumulate_fn, finish_fn)
+
+
+def aggregate_custom(df, keys: list[str], ops: dict[str, "AggregateOperation"],
+                     schema: str):
+    """groupingKey(k).aggregate(customOp) for builder-made operations:
+    one ``applyInPandas`` pass computes every op per group.  ``schema``
+    lists the key columns followed by one column per op, in dict order."""
+    import pandas as pd
+
+    key_cols = list(keys)
+    names = list(ops)
+
+    def run(key, pdf):
+        vals = []
+        for n in names:
+            op = ops[n]
+            acc = op.create_fn()
+            acc = op.accumulate_fn(acc, pdf)
+            vals.append(op.finish_fn(acc))
+        return pd.DataFrame([list(key) + vals], columns=key_cols + names)
+
+    return df.groupBy(*key_cols).applyInPandas(run, schema)
 
 
 # --- beyond-reference approximate aggregates (SURVEY §2.7: "free ext") ----

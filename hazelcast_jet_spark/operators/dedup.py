@@ -141,22 +141,56 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        k: int = 3, threshold: float = 0.5,
+                        min_df: int = 1, max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index
     (explode shingles → join on shingle → count common → Jaccard).
-    One shuffle keyed by shingle; no cross join.  Rare-shingle pruning
-    (`min_df`-style) is the knob for 100 TB."""
+    One shuffle keyed by shingle; no cross join.
+
+    The index join costs O(Σ df²) over shingle document-frequencies, so
+    frequency pruning is the 100 TB knob: ``max_df`` drops boilerplate
+    shingles (a header shared by 10⁶ docs would otherwise build one 10¹²
+    -pair reducer) and ``min_df`` drops singleton shingles, which can
+    never contribute to a pair (min_df=2 is a free ~halving of the index;
+    values > 2 trade recall for speed).  Pruning affects CANDIDATE
+    generation only — the Jaccard itself is still computed on full
+    shingle sets, so the similarity values are exact; pairs whose every
+    common shingle is pruned are missed (that is the documented
+    approximation, identical in spirit to the LSH band trade-off).
+    """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     ).persist()
     sizes = base.select("id", F.size("sh").alias("n"))
     inv = base.select("id", F.explode("sh").alias("s"))
+    pruned = min_df > 1 or max_df is not None
+    if pruned:
+        dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        cond = F.col("_df") >= min_df
+        if max_df is not None:
+            cond = cond & (F.col("_df") <= max_df)
+        inv = inv.join(dfreq.filter(cond).select("s"), "s")
     common = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    if pruned:
+        # the pruned index undercounts intersections — recompute the exact
+        # Jaccard on the full shingle sets of the surviving candidates
+        sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            common.select("id_a", "id_b")
+            .join(sh_a, "id_a").join(sh_b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
     return (
         common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
@@ -190,10 +224,57 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 16) -> DataFrame:
     """Group docs by identical SimHash (hamming-0 buckets; for hamming ≤ d
-    probe rotated bands of the signature — same LSH join shape)."""
+    see :func:`simhash_near_dup_pairs`)."""
     return (
         ensure_parallelism(df).select(F.col(id_col), simhash(text_col, bits).alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_bands(bits: int, hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) spans splitting a ``bits``-bit signature into
+    ``hamming + 1`` contiguous bands — by pigeonhole, two signatures
+    within hamming distance d agree exactly on at least one band."""
+    nb = hamming + 1
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    spans, lo = [], 0
+    for w in widths:
+        spans.append((lo, w))
+        lo += w
+    return spans
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           bits: int = 16, hamming: int = 2) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance ≤ d — the rotated-
+    band probe: candidates share one of the d+1 signature bands (an exact,
+    recall-1 filter by pigeonhole), verified with bit_count(xor) — the same
+    band-bucket-join shape as MinHash LSH, so the shuffle carries
+    (id, band, bandbits) longs and never pairs across buckets."""
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    )
+    bucketed = sig.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sh", lo).bitwiseAND(F.lit((1 << w) - 1)).alias("bb"),
+            )
+            for i, (lo, w) in enumerate(simhash_bands(bits, hamming))
+        ])).alias("x"),
+    ).select("id", "sh", "x.band", "x.bb")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bb") == F.col("r.bb"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming_dist"),
+        )
+        .filter(F.col("hamming_dist") <= hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

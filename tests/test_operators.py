@@ -212,3 +212,42 @@ def test_banded_lsh_dedup_and_bucket_cap(spark):
     # flat plane list (legacy single-band call shape) still works
     flat = cosine_dedup_pairs(df, bands[0], 0.99)
     assert {(r["id_a"], r["id_b"]) for r in flat.collect()} <= found
+
+
+def test_ngram_min_df_pair_preservation(spark):
+    """min_df=2 prunes only singleton shingles, which cannot form pairs:
+    the pair set is identical to min_df=1; max_df drops boilerplate pairs."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["id_a"], r["id_b"], r["jaccard_sim"])
+            for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.3).collect()}
+    pruned = {(r["id_a"], r["id_b"], r["jaccard_sim"])
+              for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.3, min_df=2).collect()}
+    assert base == pruned and (1, 2) in {(a, b) for a, b, _ in base}
+
+    # max_df=1 removes every shared shingle -> no candidates at all
+    boiler = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.3, max_df=1)
+    assert boiler.count() == 0
+
+
+def test_simhash_near_dup_pairs(spark):
+    """Rotated-band probe finds all pairs within hamming<=d (recall 1 by
+    pigeonhole) and reports exact distances."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely unrelated document about database query engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming_dist"]
+           for r in dedup.simhash_near_dup_pairs(df, bits=16, hamming=2).collect()}
+    assert got.get((1, 2)) == 0
+    # brute-force check: every returned pair really is within distance 2
+    sigs = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash("text", 16).alias("sh")).collect()}
+    for (a, b), d in got.items():
+        assert bin(sigs[a] ^ sigs[b]).count("1") == d <= 2

@@ -747,6 +747,32 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("cnt").alias("n_events"))
 
 
+#: IVF config: 8 deterministic ±1 centroids (seed distinct from the LSH
+#: bands), probe the 2 nearest inverted lists per query
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 2
+_IVF_CENTROIDS = None
+
+
+def _ivf_centroids():
+    global _IVF_CENTROIDS
+    if _IVF_CENTROIDS is None:
+        from hazelcast_jet_spark.operators.similarity import banded_hyperplanes
+        _IVF_CENTROIDS = banded_hyperplanes(1, IVF_N_CENTROIDS, 64, seed=13)[0]
+    return _IVF_CENTROIDS
+
+
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (operators/similarity.ivf_topk): coarse-quantize
+    the corpus to 8 centroids, probe the 2 nearest lists per query, exact
+    cosine re-rank inside them."""
+    from hazelcast_jet_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK, nprobe=IVF_NPROBE)
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 2 via the rotated-band probe
     (operators/dedup.simhash_near_dup_pairs): pigeonhole over d+1 signature
@@ -853,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_aggregate": map_aggregate,
         "custom_udaf_agg": custom_udaf_agg,
         "simhash_near_dups": simhash_near_dups,
+        "ivf_topk_search": ivf_topk_search,
         "linear_trend_agg": linear_trend_agg,
         "collection_aggs": collection_aggs,
         "distinct_aggregates": distinct_aggregates,
@@ -928,13 +955,17 @@ def _band_sig_sql(planes, col: str = "embedding") -> str:
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_raw_sql(a: str, b: str) -> str:
     return (
-        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f"(list_sum(list_transform(list_zip({a}, {b}),"
         f" x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
         f" / (sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * v)))"
-        f" * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * v)))), 6)"
+        f" * sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * v)))))"
     )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"round({_cos_raw_sql(a, b)}, 6)"
 
 
 def _dsum(x: str) -> str:
@@ -1424,6 +1455,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "ivf_topk_search": f"""
+            WITH d AS (
+                SELECT vec_id, embedding,
+                       [{", ".join(
+                           f"round(1.0 - {_cos_raw_sql('embedding', str(c))}, 9)"
+                           for c in _ivf_centroids()
+                       )}] AS dists
+                FROM embeddings
+            ), corpus AS (
+                SELECT vec_id AS corpus_id, embedding AS cvec,
+                       list_position(dists, list_min(dists)) AS centroid_id
+                FROM d
+            ), qd AS (
+                SELECT vec_id AS query_id, embedding AS qvec,
+                       unnest(dists) AS dist,
+                       unnest(generate_series(1, {IVF_N_CENTROIDS})) AS centroid_id
+                FROM d WHERE vec_id < {N_QUERY_VECS}
+            ), probe AS (
+                SELECT query_id, qvec, centroid_id FROM (
+                    SELECT query_id, qvec, centroid_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY dist ASC, centroid_id ASC) AS pr
+                    FROM qd
+                ) WHERE pr <= {IVF_NPROBE}
+            ), scored AS (
+                SELECT query_id, corpus_id, {_cos_sql("qvec", "cvec")} AS cos_sim
+                FROM corpus JOIN probe USING (centroid_id)
+                WHERE corpus_id <> query_id
+            )
+            SELECT query_id, corpus_id, cos_sim, rank FROM (
+                SELECT query_id, corpus_id, cos_sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {TOPK}
         """,
         "simhash_near_dups": f"""
             WITH sh AS (

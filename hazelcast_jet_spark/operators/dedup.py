@@ -18,11 +18,27 @@ small records; skewed buckets (boilerplate docs) are AQE-split.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.operators.text import normalize_text
 from hazelcast_jet_spark.session import ensure_parallelism
+
+
+def _unpersist_on_gc(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie the cached intermediate's storage to the returned plan's
+    lifetime: when the caller drops the result DataFrame, the cache is
+    released (persist without the session-lifetime leak — repeated calls
+    in a bench loop free the previous call's blocks automatically)."""
+    def _cleanup(c=cached):
+        try:
+            c.unpersist(False)
+        except Exception:
+            pass  # session already stopped
+    weakref.finalize(result, _cleanup)
+    return result
 
 
 def _h(seed: int, c: Column) -> Column:
@@ -133,11 +149,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # verify only the (few) candidates with true Jaccard on shingle sets
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         cands.join(sh_a, "id_a").join(sh_b, "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    return _unpersist_on_gc(out, base)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -182,7 +199,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        return (
+        out = (
             common.select("id_a", "id_b")
             .join(sh_a, "id_a").join(sh_b, "id_b")
             .select(
@@ -191,7 +208,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             )
             .filter(F.col("jaccard_sim") >= threshold)
         )
-    return (
+        return _unpersist_on_gc(out, base)
+    out = (
         common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
         .select(
@@ -200,6 +218,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    return _unpersist_on_gc(out, base)
 
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

@@ -213,17 +213,63 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
     )
 
 
+def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
+    """array of round(1 - cosine(vec, centroid_i), 9) — rounding makes the
+    argmin tie-break (first index) engine-portable."""
+    return F.array(*[
+        F.round(F.lit(1.0) - cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 9)
+        for c in centroids
+    ])
+
+
 def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
     (fixed literal centroid list → map-only, broadcast-free).  Query-time:
-    probe the top-n closest centroid partitions only."""
+    :func:`ivf_topk` probes the top-nprobe centroid partitions only."""
     v = F.col(vec_col).cast("array<double>")
-    dists = F.array(*[
-        F.round(F.lit(1.0) - cosine(v, F.array(*[F.lit(float(x)) for x in c])), 9)
-        for c in centroids
-    ])
+    dists = _centroid_dists(v, centroids)
     return corpus.select(
         F.col(id_col), F.col(vec_col),
         F.array_position(dists, F.array_min(dists)).alias("centroid_id"),
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
+             k: int = 5, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe path: each query searches only the ``nprobe`` nearest
+    centroids' inverted lists, with an exact cosine re-rank inside them.
+
+    Scale shape: the corpus is assigned map-only (at 100 TB, persist the
+    assignment partitioned/bucketed BY centroid_id so a probe prunes to
+    nprobe/k_centroids of the data); the (small) probe set is broadcast,
+    so the join never shuffles the corpus."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        "centroid_id",
+    )
+    v = F.col(vec_col).cast("array<double>")
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qvec"),
+        F.posexplode(_centroid_dists(v, centroids)).alias("cidx", "dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cidx").asc())
+    probe = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", (F.col("cidx") + 1).alias("centroid_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id",
+                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
     )

@@ -427,7 +427,13 @@ class Pipeline:
         return Pipeline(spark)
 
     def read_from(self, source) -> GeneralStage:
-        df = source(self.spark) if callable(source) else source
+        # source: DataFrame | fn(spark)->DataFrame | SourceBuilder (.build)
+        if hasattr(source, "build"):
+            df = source.build(self.spark)
+        elif callable(source):
+            df = source(self.spark)
+        else:
+            df = source
         cls = StreamStage if df.isStreaming else BatchStage
         return cls(df, self)
 

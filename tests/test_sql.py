@@ -118,3 +118,32 @@ def test_insert_into_mapping_batch(engine, spark, tmp_path):
     engine.sql("INSERT INTO ins_tbl SELECT * FROM (VALUES (2, 'b'), (3, 'c')) AS t(k, s)")
     got = {(r["k"], r["s"]) for r in engine.sql("SELECT k, s FROM ins_tbl").collect()}
     assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_create_mapping_parenthesized_types(spark, tmp_path, engine):
+    """DECIMAL(10,2) in the column list must not truncate the parse
+    (balanced up-to-TYPE capture, ADVICE r1)."""
+    import os
+
+    path = str(tmp_path / "decs")
+    spark.createDataFrame([(1, 12.34), (2, 56.78)], "id long, amount double") \
+        .selectExpr("id", "CAST(amount AS DECIMAL(10,2)) AS amount") \
+        .write.parquet(path)
+    engine.sql(
+        f"CREATE MAPPING decmap (id BIGINT, amount DECIMAL(10,2)) "
+        f"TYPE File OPTIONS('format' 'parquet', 'path' '{path}')"
+    )
+    rows = engine.sql("SELECT id, amount FROM decmap ORDER BY id").collect()
+    assert [str(r["amount"]) for r in rows] == ["12.34", "56.78"]
+    assert engine.mappings["decmap"].fmt == "parquet"
+
+
+def test_generate_stream_rewrites_all_occurrences(spark, engine):
+    """Each TABLE(generate_stream(n)) gets its own rate-source view."""
+    s = engine._rewrite(
+        "SELECT * FROM TABLE(generate_stream(5)) a "
+        "JOIN TABLE(generate_stream(7)) b ON a.v = b.v"
+    )
+    assert "generate_stream" not in s
+    views = [w for w in s.split() if w.startswith("__stream_fn_")]
+    assert len(set(views)) == 2

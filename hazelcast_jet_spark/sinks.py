@@ -140,6 +140,77 @@ class Sinks:
         return sink
 
     @staticmethod
+    def map_with_entry_processor(path: str, keys: list[str], processor_fn,
+                                 num_buckets: int = 64):
+        """Sinks.mapWithEntryProcessor — Sinks.java:606: apply a per-key
+        processor to the current entry given the incoming row.
+
+        ``processor_fn(current_df, incoming_df) -> new_rows_df`` receives
+        the current rows of the touched bucket partitions (≈ the entry
+        processor seeing its map partition) and the incoming batch; rows
+        it returns replace their keys, keys it omits keep their current
+        value.  Same O(changed-buckets) keyed-table write path as
+        mapWithMerging."""
+        def sink(df: DataFrame):
+            from hazelcast_jet_spark.storage import KeyedParquetTable
+
+            table = KeyedParquetTable(path, keys, num_buckets)
+            if not table.exists():
+                table.overwrite(processor_fn(None, df))
+                return path
+            changed = df.select(*keys).distinct()
+            bks = sorted(
+                r[0] for r in changed.select(table.bucket_of().alias("b")).distinct().collect()
+            )
+            current = table.read(df.sparkSession, buckets=bks)
+            new_rows = processor_fn(current, df)
+            table.apply(new_rows, new_rows.select(*keys).distinct())
+            return path
+        return sink
+
+    @staticmethod
+    def socket(host: str, port: int):
+        """Sinks.socket — Sinks.java:950: newline-delimited rows to a TCP
+        socket.  Streaming: one connection per micro-batch (foreachBatch);
+        rows are collected per batch — this is a debug/export sink, same
+        as the reference's (not a throughput path)."""
+        def _send(batch_df: DataFrame, batch_id: int) -> None:
+            import socket as _socket
+
+            payload = "".join(
+                ",".join("" if v is None else str(v) for v in row) + "\n"
+                for row in batch_df.collect()
+            )
+            with _socket.create_connection((host, port)) as s:
+                s.sendall(payload.encode("utf-8"))
+
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                return df.writeStream.foreachBatch(_send).start()
+            _send(df, 0)
+            return None
+        return sink
+
+    @staticmethod
+    def reliable_topic(path: str):
+        """Sinks.reliableTopic — Sinks.java:843: durable pub-sub topic.
+        Spark-native analog: an append-only json log directory with a
+        checkpoint (subscribers readStream it); in a Kafka deployment use
+        Sinks.kafka, the 1:1 mapping."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                return (
+                    df.writeStream.format("json")
+                    .option("path", path)
+                    .option("checkpointLocation", path + "_ckpt")
+                    .outputMode("append")
+                    .start()
+                )
+            df.write.mode("append").json(path)
+            return path
+        return sink
+
+    @staticmethod
     def logger(n: int = 20):
         """Sinks.logger — Sinks.java:913 (debug)."""
         def sink(df: DataFrame):

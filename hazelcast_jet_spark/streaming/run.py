@@ -47,6 +47,20 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(glob_path)
 
 
+def early_results_writer(df: DataFrame, period: str = "1 second"):
+    """``WindowDefinition.setEarlyResultsPeriod(ms)`` analog
+    (WindowDefinition.java:70): a pre-configured ``writeStream`` in update
+    mode with a ``processingTime`` trigger of ``period`` — every period,
+    the windows whose aggregate changed emit their CURRENT (partial)
+    result, i.e. speculative early results before the watermark closes the
+    window.  Attach a format/sink and ``start()``.
+
+    Divergence note (SURVEY §4.2, now closed partway): the emission grain
+    is the trigger period across all keys, not Jet's per-window timer —
+    same observable cadence, coarser scheduling."""
+    return df.writeStream.outputMode("update").trigger(processingTime=period)
+
+
 def run_to_batch(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink
     and return the final table as a batch DataFrame.

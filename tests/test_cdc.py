@@ -175,3 +175,76 @@ def test_map_with_merging_selective(spark, tmp_path):
     got = {r["id"]: r["balance"] for r in spark.read.parquet(tbl).collect()}
     assert got[5] == 101 and got[6] == 100 and len(got) == 40
     assert sum(1 for d in before if before[d] != after.get(d)) == 1
+
+
+def test_map_with_entry_processor(spark, tmp_path):
+    """mapWithEntryProcessor: per-key processor sees current + incoming,
+    returned rows replace their keys, untouched buckets keep their files."""
+    from hazelcast_jet_spark.sinks import Sinks
+
+    tbl = str(tmp_path / "ep_tbl")
+
+    def processor(current, incoming):
+        if current is None:
+            return incoming
+        cur = current.join(incoming.select("id"), "id", "inner") \
+                     .withColumnsRenamed({"balance": "old_balance"})
+        return (
+            incoming.join(cur, "id", "left")
+            .select("id", (F.coalesce(F.col("old_balance"), F.lit(0))
+                           + F.col("balance")).alias("balance"))
+        )
+
+    sink = Sinks.map_with_entry_processor(tbl, ["id"], processor, num_buckets=8)
+    sink(spark.createDataFrame([(i, 10) for i in range(40)], "id long, balance long"))
+    before = _bucket_files(tbl)
+    sink(spark.createDataFrame([(3, 5)], "id long, balance long"))
+    after = _bucket_files(tbl)
+
+    got = {r["id"]: r["balance"] for r in spark.read.parquet(tbl).collect()}
+    assert got[3] == 15 and got[4] == 10 and len(got) == 40
+    assert sum(1 for d in before if before[d] != after.get(d)) == 1
+
+
+def test_socket_sink(spark):
+    """Sinks.socket: newline-delimited rows arrive at a TCP listener."""
+    import socket as socklib
+    import threading
+
+    from hazelcast_jet_spark.sinks import Sinks
+
+    received = []
+    server = socklib.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def accept():
+        conn, _ = server.accept()
+        with conn:
+            buf = b""
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            received.append(buf.decode())
+
+    t = threading.Thread(target=accept, daemon=True)
+    t.start()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    Sinks.socket("127.0.0.1", port)(df)
+    t.join(timeout=10)
+    server.close()
+    assert received and sorted(received[0].strip().split("\n")) == ["1,a", "2,b"]
+
+
+def test_reliable_topic_sink(spark, tmp_path):
+    """Sinks.reliableTopic: append-only durable log, re-readable."""
+    from hazelcast_jet_spark.sinks import Sinks
+
+    topic = str(tmp_path / "topic")
+    sink = Sinks.reliable_topic(topic)
+    sink(spark.createDataFrame([(1,)], "v int"))
+    sink(spark.createDataFrame([(2,)], "v int"))
+    assert sorted(r["v"] for r in spark.read.json(topic).collect()) == [1, 2]

@@ -214,3 +214,55 @@ def test_pipeline_facade_streaming(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_early_results_period(spark, tmp_path):
+    """setEarlyResultsPeriod analog: update-mode periodic triggers emit a
+    window's partial aggregate repeatedly as data keeps arriving — the
+    memory sink sees the same window more than once with growing counts."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.source_builder import SourceBuilder
+    from hazelcast_jet_spark.streaming.run import early_results_writer
+
+    def poll(state, start):
+        o = start["offset"]
+        if o >= 40:
+            return [], {"offset": o}
+        # 10 events per micro-batch, all inside the same 1-hour window
+        rows = [(f"2024-01-01 10:{i % 60:02d}:00", 1) for i in range(o, o + 10)]
+        return rows, {"offset": o + 10}
+
+    src = (
+        SourceBuilder.stream("jet_test_early_src")
+        .schema("ts string, v int")
+        .poll(poll)
+        .build(spark)
+    )
+    windowed = (
+        src.select(F.col("ts").cast("timestamp").alias("ts"), "v")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        early_results_writer(windowed, period="250 milliseconds")
+        .format("memory")
+        .queryName("early_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.table("early_out").collect()
+            if any(r["n"] >= 40 for r in rows):
+                break
+            _time.sleep(0.5)
+        counts = sorted(r["n"] for r in spark.table("early_out").collect())
+        # multiple partial emissions of the same window, ending at the total
+        assert counts[-1] == 40 and len(counts) >= 2, counts
+    finally:
+        q.stop()

@@ -33,6 +33,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine6_udf():
+    """Arrow-vectorized round(cosine, 6) over paired vector columns — the
+    hot verify/re-rank path.  One numpy kernel per batch instead of
+    interpreted per-element folds (3 array traversals per pair); the
+    dot/(|a||b|) form matches the expression/oracle formula so the
+    6-decimal rounding lands identically."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        d = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        return pd.Series(np.round(d / (na * nb), 6))
+
+    return cos6
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force cosine top-k: each query row against the corpus.
@@ -43,12 +63,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cos6 = _cosine6_udf()
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
         .select(
             "query_id", "corpus_id",
-            F.round(cosine(F.col("qvec").cast("array<double>"),
-                           F.col("cvec").cast("array<double>")), 6).alias("cos_sim"),
+            cos6(F.col("qvec").cast("array<double>"),
+                 F.col("cvec").cast("array<double>")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
@@ -172,7 +193,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, planes,
     scored = (
         cands.join(F.broadcast(qvec), "query_id").join(cvec, "corpus_id")
         .select("query_id", "corpus_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+                _cosine6_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
     return (
@@ -208,7 +229,7 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
         cands.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"))
+        .select("id_a", "id_b", _cosine6_udf()(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -220,6 +241,28 @@ def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
         F.round(F.lit(1.0) - cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 9)
         for c in centroids
     ])
+
+
+def centroid_dists_udf(centroids: list[list[float]]):
+    """Arrow-vectorized twin of :func:`_centroid_dists`: one numpy matmul
+    per batch computes every vector-to-centroid cosine distance (the same
+    interpreted-lambda-vs-kernel trade as banded_signatures_udf — per-row
+    higher-order dots cost ~0.1 s per centroid per 2k rows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)
+    nc = np.sqrt((C * C).sum(axis=1))
+
+    @pandas_udf("array<double>")
+    def dists(vs: pd.Series) -> pd.Series:
+        V = np.array(vs.tolist(), dtype=np.float64)
+        nv = np.sqrt((V * V).sum(axis=1))
+        # dot / (|v|·|c|), matching the expression/oracle form so rounding
+        # to 9 decimals lands identically
+        d = np.round(1.0 - (V @ C.T) / np.outer(nv, nc), 9)
+        return pd.Series(list(d))
+
+    return dists
 
 
 def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
@@ -245,10 +288,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     assignment partitioned/bucketed BY centroid_id so a probe prunes to
     nprobe/k_centroids of the data); the (small) probe set is broadcast,
     so the join never shuffles the corpus."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    dists_udf = centroid_dists_udf(centroids)
+    assigned = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
-        "centroid_id",
+        dists_udf(F.col(vec_col).cast("array<double>")).alias("_cd"),
+    ).select(  # separate projection: the Arrow batch runs once per row
+        "corpus_id", "cvec",
+        F.array_position("_cd", F.array_min("_cd")).alias("centroid_id"),
     )
     v = F.col(vec_col).cast("array<double>")
     qd = queries.select(
@@ -265,7 +312,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
         assigned.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .select("query_id", "corpus_id",
-                F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"))
+                _cosine6_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
     return (

@@ -773,6 +773,21 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK, nprobe=IVF_NPROBE)
 
 
+def reducing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reducing(emptyAcc, toAcc, combine) — AggregateOperations.java:1209:
+    arbitrary fold via F.aggregate over collected items.  Both folds here
+    are commutative + associative (int add, xor), so accumulation order —
+    nondeterministic in Jet and Spark alike — cannot change the result."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty_sum = agg.reducing(0, F.col("l_quantity").cast("int"), lambda a, x: a + x)
+    key_xor = agg.reducing(
+        F.lit(0).cast("bigint"), "l_orderkey", lambda a, x: a.bitwiseXOR(x)
+    )
+    return l.groupBy("l_returnflag").agg(
+        qty_sum.alias("qty_sum"), key_xor.alias("key_xor")
+    )
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 2 via the rotated-band probe
     (operators/dedup.simhash_near_dup_pairs): pigeonhole over d+1 signature
@@ -880,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_udaf_agg": custom_udaf_agg,
         "simhash_near_dups": simhash_near_dups,
         "ivf_topk_search": ivf_topk_search,
+        "reducing_agg": reducing_agg,
         "linear_trend_agg": linear_trend_agg,
         "collection_aggs": collection_aggs,
         "distinct_aggregates": distinct_aggregates,
@@ -1455,6 +1471,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "reducing_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS INT)) AS INT) AS qty_sum,
+                   CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor
+            FROM lineitem GROUP BY l_returnflag
         """,
         "ivf_topk_search": f"""
             WITH d AS (

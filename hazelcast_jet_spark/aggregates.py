@@ -151,10 +151,13 @@ def reducing(zero, c: str | Column, merge_fn) -> Column:
     """reducing(emptyAcc, toAcc, combine, deduct) — AggregateOperations.java:1209.
 
     Implemented with the higher-order ``F.aggregate`` over a collected
-    array: a slow path, same as Jet's arbitrary-lambda reduce.  merge_fn
-    takes (acc Column, item Column) -> Column.
+    array: a slow path, same as Jet's arbitrary-lambda reduce (and like
+    it, the fold order is partition order — use a commutative+associative
+    merge_fn for deterministic results).  merge_fn takes (acc Column,
+    item Column) -> Column; ``zero`` may be a value or a typed Column.
     """
-    return F.aggregate(F.collect_list(_col(c)), F.lit(zero), merge_fn)
+    z = zero if isinstance(zero, Column) else F.lit(zero)
+    return F.aggregate(F.collect_list(_col(c)), z, merge_fn)
 
 
 def all_of(*cols: Column) -> list[Column]:

@@ -251,3 +251,17 @@ def test_simhash_near_dup_pairs(spark):
         "doc_id", dedup.simhash("text", 16).alias("sh")).collect()}
     for (a, b), d in got.items():
         assert bin(sigs[a] ^ sigs[b]).count("1") == d <= 2
+
+
+def test_approx_aggregates(spark):
+    """approx_distinct within its rsd bound; percentile_approx at high
+    accuracy hits the exact percentile (SURVEY §2.7 extension rows)."""
+    from hazelcast_jet_spark import aggregates as agg
+
+    df = spark.range(0, 10000).select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+    row = df.agg(
+        agg.approx_distinct("k", 0.02).alias("ad"),
+        agg.percentile("v", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    assert abs(row["ad"] - 1000) <= 1000 * 0.06   # 3x rsd margin
+    assert abs(row["p50"] - 4999.5) <= 1.0

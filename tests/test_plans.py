@@ -65,3 +65,37 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_keyed_table_read_prunes_partitions(spark, tmp_path):
+    """KeyedParquetTable.read(buckets=[...]) must hit only those bucket
+    partitions (PartitionFilters on _kb), not scan the table."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    t = KeyedParquetTable(str(tmp_path / "pt"), ["id"], num_buckets=8)
+    t.overwrite(spark.range(0, 400).select("id", (F.col("id") * 2).alias("v")))
+    df = t.read(spark, buckets=[3])
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[.*_kb.*\]", plan), plan
+    # and the scan reads 1 of 8 partition dirs
+    assert df.count() < 400
+
+
+def test_ivf_probe_broadcasts_queries(spark, sf_dir):
+    """ivf_topk: the probe set is broadcast; the corpus is never shuffled
+    for the candidate join."""
+    plan = _plan(entry_mod.ivf_topk_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_banded_lsh_shuffles_only_signatures(spark, sf_dir):
+    """The LSH candidate self-join shuffles (id, band, sig) rows — the
+    embedding arrays must not appear in the bucket-join exchange."""
+    from hazelcast_jet_spark.operators.similarity import _banded_buckets, banded_hyperplanes
+
+    e = entry_mod._t(spark, sf_dir, "embeddings")
+    b = _banded_buckets(e, banded_hyperplanes(2, 4, 64), "vec_id", "embedding", "id", None)
+    plan = _plan(b)
+    # the bucketed projection carries no vector column
+    assert "embedding" not in b.columns and set(b.columns) == {"id", "band", "sig"}
+    assert "ArrowEvalPython" in plan  # vectorized signature path

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import weakref
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -240,12 +241,40 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return acc
 
 
+def simhash_udf(bits: int = 16):
+    """Arrow-vectorized :func:`simhash`: one md5 per token (the expression
+    form recomputes ``md5(t)`` once per BIT — 16 interpreted passes over
+    the token array).  Bit-identical to the expression/oracle: same
+    normalization (ASCII-equivalent lower/strip across Python, the JVM and
+    DuckDB — the test corpus is ASCII; use the expression form if a corpus
+    needs locale-sensitive case folding), same md5 nibble-parity votes."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", (t or "").lower())).strip()
+            votes = [0] * bits
+            for tok in norm.split(" "):
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                for b in range(bits):
+                    votes[b] += 1 if int(h[b], 16) & 1 else -1
+            out.append(sum(1 << b for b in range(bits) if votes[b] > 0))
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 16) -> DataFrame:
     """Group docs by identical SimHash (hamming-0 buckets; for hamming ≤ d
     see :func:`simhash_near_dup_pairs`)."""
     return (
-        ensure_parallelism(df).select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+        ensure_parallelism(df).select(F.col(id_col), simhash_udf(bits)(F.col(text_col)).alias("sh"))
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
@@ -273,7 +302,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
     band-bucket-join shape as MinHash LSH, so the shuffle carries
     (id, band, bandbits) longs and never pairs across buckets."""
     sig = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+        F.col(id_col).alias("id"), simhash_udf(bits)(F.col(text_col)).alias("sh")
     )
     bucketed = sig.select(
         "id", "sh",

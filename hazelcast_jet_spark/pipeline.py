@@ -218,6 +218,19 @@ class GeneralStage:
             metrics = (F.count(F.lit(1)).alias("rows"),)
         return self._wrap(self.df.observe(name, *metrics))
 
+    def set_name(self, name: str) -> "GeneralStage":
+        """Stage.setName — Stage.java: names the stage in plans/UIs
+        (``df.alias``; streaming queries additionally take queryName at
+        the sink)."""
+        return self._wrap(self.df.alias(name))
+
+    def set_local_parallelism(self, n: int) -> "GeneralStage":
+        """Stage.setLocalParallelism — Stage.java:102.  Spark's task count
+        comes from splits/shuffle-partitions rather than per-vertex
+        processor counts; the honest analog is an explicit repartition of
+        this stage's output (prefer leaving AQE to size partitions)."""
+        return self._wrap(self.df.repartition(n))
+
     # --- event time (GeneralStage.java:1155) ------------------------------
 
     def add_timestamps(self, ts_col: str, allowed_lag: str = "0 seconds") -> "GeneralStage":

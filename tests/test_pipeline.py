@@ -180,3 +180,17 @@ def test_map_using_service(spark):
         .write_to(Sinks.observable())
     )
     assert sorted(r["up"] for r in out) == ["A", "B"]
+
+
+def test_set_name_and_local_parallelism(spark):
+    from hazelcast_jet_spark.pipeline import Pipeline
+
+    p = Pipeline.create(spark)
+    stage = (
+        p.read_from(spark.range(0, 100))
+        .set_name("numbers")
+        .set_local_parallelism(4)
+        .filter(F.col("id") % 2 == 0)
+    )
+    assert stage.df.count() == 50
+    assert stage.df.rdd.getNumPartitions() == 4

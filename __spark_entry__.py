@@ -827,6 +827,27 @@ def custom_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows on a REAL stream (SessionWindowP.java:79 merge
+    semantics ≡ Spark's session_window state merge; complete mode on
+    bounded input ⇒ deterministic final sessions)."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events")
+    # complete mode needs no watermark (every session re-emitted at the
+    # end), which also sidesteps watermark-on-NTZ; append-mode sessions
+    # would need a true TIMESTAMP event-time column (pipeline.add_timestamps)
+    windowed = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(agg.counting().alias("n_events"))
+    )
+    out = run_to_batch(windowed, "complete")
+    return out.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "user_id", "n_events",
+    )
+
+
 def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollingAggregate on a real stream, JVM path (StreamStageWithKey.java:
     296): update-mode groupBy().agg(count) — running value in the JVM state
@@ -891,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling_window": streaming_tumbling_window,
         "streaming_stateful_count": streaming_stateful_count,
         "streaming_rolling_count": streaming_rolling_count,
+        "streaming_session_window": streaming_session_window,
         "map_aggregate": map_aggregate,
         "custom_udaf_agg": custom_udaf_agg,
         "simhash_near_dups": simhash_near_dups,
@@ -1468,6 +1490,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_stateful_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+"streaming_session_window": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       -- >= : Spark's session_window closes a session when the
+                       -- gap reaches the duration (half-open interval), so two
+                       -- events exactly 30 minutes apart are separate sessions
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL '30 minutes'
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessions AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   user_id, count(*) AS n_events
+            FROM sessions GROUP BY user_id, sid
         """,
         "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id

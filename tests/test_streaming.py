@@ -266,3 +266,26 @@ def test_early_results_period(spark, tmp_path):
         assert counts[-1] == 40 and len(counts) >= 2, counts
     finally:
         q.stop()
+
+
+def test_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner equi-join (absent in the reference — Spark
+    extension, SURVEY §2.6 row): two file streams joined on the key give
+    the same rows as the batch join."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    n = read_stream_table(spark, sf_dir, "nation")
+    r = read_stream_table(spark, sf_dir, "region")
+    joined = n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_name", "r_name"
+    )
+    got = sorted(tuple(x) for x in run_to_batch(joined, "append").collect())
+
+    from hazelcast_jet_spark.session import load_table
+    nb, rb = load_table(spark, sf_dir, "nation"), load_table(spark, sf_dir, "region")
+    want = sorted(
+        tuple(x)
+        for x in nb.join(rb, nb["n_regionkey"] == rb["r_regionkey"])
+        .select("n_name", "r_name").collect()
+    )
+    assert got == want and len(got) == 25

@@ -76,15 +76,15 @@ def _stream_window_probe(spark, seconds: float = 10.0) -> float:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
     )
     q = df.writeStream.format("noop").outputMode("update").start()
-    deadline = time.time() + max(seconds * 3, 30.0)
+    deadline = time.time() + max(seconds * 3, 40.0)
     time.sleep(seconds)
-    while not q.recentProgress and time.time() < deadline:
-        time.sleep(1.0)  # slow machine: wait for at least one micro-batch
-    rows = 0.0
-    secs = 0.0
-    for p in q.recentProgress:
-        rows += p["numInputRows"]
-        secs += p["batchDuration"] / 1000.0
+    while len(q.recentProgress) < 3 and time.time() < deadline:
+        time.sleep(1.0)  # wait out stragglers: need steady-state batches
+    # drop the first batch (codegen + state-store init + source catch-up);
+    # sustained rate = remaining rows / remaining busy time
+    prog = list(q.recentProgress)[1:]
+    rows = sum(p["numInputRows"] for p in prog)
+    secs = sum(p["batchDuration"] for p in prog) / 1000.0
     q.stop()
     return round(rows / secs, 1) if secs > 0 else 0.0
 

@@ -81,8 +81,11 @@ def _stream_window_probe(spark, seconds: float = 10.0) -> float:
     while len(q.recentProgress) < 3 and time.time() < deadline:
         time.sleep(1.0)  # wait out stragglers: need steady-state batches
     # drop the first batch (codegen + state-store init + source catch-up);
-    # sustained rate = remaining rows / remaining busy time
-    prog = list(q.recentProgress)[1:]
+    # sustained rate = remaining rows / remaining busy time.  If only one
+    # batch ever completed, report that batch rather than 0.
+    prog = list(q.recentProgress)
+    if len(prog) > 1:
+        prog = prog[1:]
     rows = sum(p["numInputRows"] for p in prog)
     secs = sum(p["batchDuration"] for p in prog) / 1000.0
     q.stop()

@@ -38,6 +38,16 @@ _CACHED_BASES: list[DataFrame] = []
 
 
 def _register_cache(cached: DataFrame) -> None:
+    # entries from other (possibly stopped) sessions are evicted first:
+    # sameResult matches plans ACROSS sessions, so without this a stale
+    # dead-session entry would shadow the new session's base and leak it
+    for prev in list(_CACHED_BASES):
+        if prev.sparkSession is not cached.sparkSession:
+            _CACHED_BASES.remove(prev)
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass  # that session is gone
     for prev in _CACHED_BASES:
         if prev is cached or prev._jdf.queryExecution().logical().sameResult(
             cached._jdf.queryExecution().logical()
@@ -274,7 +284,12 @@ def simhash_udf(bits: int = 16):
     def sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", (t or "").lower())).strip()
+            if t is None:
+                # expression form: aggregate over a null token array →
+                # null votes → every CASE falls to 0; oracle agrees
+                out.append(0)
+                continue
+            norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
             votes = [0] * bits
             for tok in norm.split(" "):
                 h = hashlib.md5(tok.encode("utf-8")).hexdigest()

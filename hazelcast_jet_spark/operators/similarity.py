@@ -33,6 +33,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _round_half_away(x: "np.ndarray", digits: int) -> "np.ndarray":
+    """Round half away from zero — Spark's ROUND and DuckDB's round(),
+    unlike np.round's half-to-even, so decimal ties land the same way as
+    the expression/oracle form (residual risk: the *10^d scaling step can
+    disagree with BigDecimal rounding by 1 ulp at a boundary — same order
+    of risk every float-compare in the gate already carries)."""
+    scale = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _cosine6_udf():
     """Arrow-vectorized round(cosine, 6) over paired vector columns — the
     hot verify/re-rank path.  One numpy kernel per batch instead of
@@ -48,7 +58,7 @@ def _cosine6_udf():
         d = (A * B).sum(axis=1)
         na = np.sqrt((A * A).sum(axis=1))
         nb = np.sqrt((B * B).sum(axis=1))
-        return pd.Series(np.round(d / (na * nb), 6))
+        return pd.Series(_round_half_away(d / (na * nb), 6))
 
     return cos6
 
@@ -259,7 +269,7 @@ def centroid_dists_udf(centroids: list[list[float]]):
         nv = np.sqrt((V * V).sum(axis=1))
         # dot / (|v|·|c|), matching the expression/oracle form so rounding
         # to 9 decimals lands identically
-        d = np.round(1.0 - (V @ C.T) / np.outer(nv, nc), 9)
+        d = _round_half_away(1.0 - (V @ C.T) / np.outer(nv, nc), 9)
         return pd.Series(list(d))
 
     return dists

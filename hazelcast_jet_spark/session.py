@@ -98,15 +98,38 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
     The check uses plan metadata only (``inputFiles``): touching ``.rdd``
     would force analysis through the legacy conversion path on every call
-    (VERDICT r1).  Fewer input files than cores ⇒ the scan can't feed
-    every core ⇒ repartition; a large table always has ≥ cores splits.
-    Non-file sources (in-memory test frames) report no files and are
-    repartitioned — they're small by construction."""
+    (VERDICT r1).  Repartition only when the input is BOTH few-files and
+    small in bytes — a large splittable file already yields ≥ cores scan
+    splits via maxPartitionBytes, and a derived DataFrame over a big
+    table must not pick up a gratuitous full shuffle here.  Non-local or
+    unsizable paths are assumed big (no-op); in-memory frames (no files)
+    are repartitioned — they're small by construction."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files < target:
-        return df.repartition(target)
-    return df
+        files = []
+    if len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        if f.startswith("file:"):
+            p = f[len("file://"):] if f.startswith("file://") else f[len("file:"):]
+        elif "://" not in f:
+            p = f
+        else:
+            return df  # remote store: assume big, splits handle it
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df
+    try:
+        max_split = int(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        ).rstrip("b"))
+    except ValueError:
+        max_split = 128 * 1024 * 1024  # unit-suffixed custom setting
+
+    if total >= target * max_split:
+        return df  # big enough that the scan itself produces >= target splits
+    return df.repartition(target)

@@ -57,32 +57,46 @@ class Sinks:
         return sink
 
     @staticmethod
-    def map_with_merging(path: str, keys: list[str], merge_fn, num_buckets: int = 64):
-        """Sinks.mapWithMerging — Sinks.java:313: upsert with a merge fn on
-        key conflict.  Backed by storage.KeyedParquetTable: the current
-        rows of ONLY the touched bucket partitions are read (partition
-        pruning), ``merge_fn(current_subset, new_df) -> merged_df``
-        resolves conflicts, and just those buckets are rewritten via
-        durable staging + atomic swap — O(changed buckets) per call, the
-        Delta-MERGE shape on plain parquet.  merge_fn must emit one row
-        per key it was given (it sees every current row whose bucket is
-        touched, same as an entry-processor seeing its map partition)."""
+    def _keyed_merge_sink(path: str, keys: list[str], merge_fn, num_buckets: int):
+        """Shared body of mapWithMerging / mapWithEntryProcessor: read ONLY
+        the touched bucket partitions, let ``merge_fn(current_subset,
+        new_df)`` resolve each key, rewrite just those buckets.  The merged
+        plan is cached so apply()'s read + write execute it once."""
         def sink(df: DataFrame):
             from hazelcast_jet_spark.storage import KeyedParquetTable
 
             table = KeyedParquetTable(path, keys, num_buckets)
             if not table.exists():
-                table.overwrite(df)
+                table.overwrite(merge_fn(None, df))
                 return path
-            changed_keys = df.select(*keys).distinct()
             bks = sorted(
-                r[0] for r in changed_keys.select(table.bucket_of().alias("b")).distinct().collect()
+                r[0] for r in df.select(table.bucket_of().alias("b")).distinct().collect()
             )
             current = table.read(df.sparkSession, buckets=bks)
-            merged = merge_fn(current, df)
-            table.apply(merged, merged.select(*keys).distinct())
+            merged = merge_fn(current, df).cache()
+            try:
+                table.apply(merged, merged.select(*keys).distinct(), buckets=bks)
+            finally:
+                merged.unpersist()
             return path
         return sink
+
+    @staticmethod
+    def map_with_merging(path: str, keys: list[str], merge_fn, num_buckets: int = 64):
+        """Sinks.mapWithMerging — Sinks.java:313: upsert with a merge fn on
+        key conflict.  Backed by storage.KeyedParquetTable: the current
+        rows of ONLY the touched bucket partitions are read (partition
+        pruning), ``merge_fn(current_subset, new_df) -> merged_df``
+        resolves conflicts, and just those buckets are rewritten via a
+        staged, manifest-committed atomic swap — O(changed buckets) per
+        call, the Delta-MERGE shape on plain parquet.  Keys merge_fn omits
+        keep their current value; on first write merge_fn receives
+        current=None."""
+        return Sinks._keyed_merge_sink(
+            path, keys,
+            lambda cur, new: new if cur is None else merge_fn(cur, new),
+            num_buckets,
+        )
 
     @staticmethod
     def files(directory: str, fmt: str = "text", mode: str = "overwrite"):
@@ -147,26 +161,11 @@ class Sinks:
 
         ``processor_fn(current_df, incoming_df) -> new_rows_df`` receives
         the current rows of the touched bucket partitions (≈ the entry
-        processor seeing its map partition) and the incoming batch; rows
-        it returns replace their keys, keys it omits keep their current
-        value.  Same O(changed-buckets) keyed-table write path as
-        mapWithMerging."""
-        def sink(df: DataFrame):
-            from hazelcast_jet_spark.storage import KeyedParquetTable
-
-            table = KeyedParquetTable(path, keys, num_buckets)
-            if not table.exists():
-                table.overwrite(processor_fn(None, df))
-                return path
-            changed = df.select(*keys).distinct()
-            bks = sorted(
-                r[0] for r in changed.select(table.bucket_of().alias("b")).distinct().collect()
-            )
-            current = table.read(df.sparkSession, buckets=bks)
-            new_rows = processor_fn(current, df)
-            table.apply(new_rows, new_rows.select(*keys).distinct())
-            return path
-        return sink
+        processor seeing its map partition; None on first write) and the
+        incoming batch; rows it returns replace their keys, keys it omits
+        keep their current value.  Same O(changed-buckets) keyed-table
+        write path as mapWithMerging."""
+        return Sinks._keyed_merge_sink(path, keys, processor_fn, num_buckets)
 
     @staticmethod
     def socket(host: str, port: int):

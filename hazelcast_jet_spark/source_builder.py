@@ -174,8 +174,14 @@ class StreamSourceBuilder:
 
             def readBetweenOffsets(self, start, end):
                 if replay_fn is None:
-                    rows, _ = poll_fn(self._state, start)
-                    return iter(rows)
+                    # re-polling would return whatever is available NOW,
+                    # not the committed [start, end) range — silently
+                    # breaking recovery; fail fast instead
+                    raise RuntimeError(
+                        "SourceBuilder.stream: restart recovery needs "
+                        ".replay(fn) to re-produce the committed offset "
+                        "range (a poll fn cannot be assumed deterministic)"
+                    )
                 return iter(replay_fn(self._state, start, end))
 
         class _Source(DataSource):

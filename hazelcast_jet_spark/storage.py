@@ -29,6 +29,7 @@ internal partition column; :meth:`KeyedParquetTable.read` drops it).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -85,15 +86,25 @@ class KeyedParquetTable:
             .parquet(self.path)
         )
 
-    def apply(self, upserts: DataFrame, changed_keys: DataFrame) -> list[int]:
+    def apply(self, upserts: DataFrame, changed_keys: DataFrame,
+              buckets: list[int] | None = None) -> list[int]:
         """Upsert ``upserts`` and drop keys in ``changed_keys`` that have no
         upsert row (deletes).  ``changed_keys`` must cover every touched key
         (upserted + deleted).  Returns the list of rewritten buckets.
+        ``buckets`` may pass a precomputed changed-bucket list to skip the
+        driver-side collect (callers that already derived it).
 
         Scale shape: one driver-side collect of DISTINCT bucket ids
         (bounded by num_buckets, never by data), a partition-pruned read
         of just those buckets, an anti-join on the (broadcastable) changed
         keys, and a write of O(changed buckets) files.
+
+        Batch atomicity: the staging write ends with a ``_commit.json``
+        manifest; _recover ROLLS FORWARD any staging with a manifest (and
+        discards any without), so a crash anywhere leaves the table either
+        wholly pre-batch or wholly post-batch — no replay needed for the
+        non-checkpointed batch callers, and checkpointed streaming replay
+        stays idempotent on top.
         """
         spark = upserts.sparkSession
         if not self.exists():
@@ -101,7 +112,7 @@ class KeyedParquetTable:
             return list(range(self.num_buckets))
         self._recover()
 
-        bks = sorted(
+        bks = sorted(buckets) if buckets is not None else sorted(
             r[0]
             for r in changed_keys.select(self.bucket_of().alias("b")).distinct().collect()
         )
@@ -122,34 +133,69 @@ class KeyedParquetTable:
             .partitionBy(BUCKET_COL)
             .parquet(staging)
         )
-        trash = os.path.join(self.path, f".trash-{uuid.uuid4().hex}")
-        os.makedirs(trash)
-        for b in bks:
-            live = self._bucket_dir(b)
-            new = os.path.join(staging, f"{BUCKET_COL}={b}")
-            if os.path.isdir(live):
-                os.rename(live, os.path.join(trash, f"{BUCKET_COL}={b}"))
-            if os.path.isdir(new):
-                os.rename(new, live)
-        shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+        with_data = sorted(
+            int(e.split("=", 1)[1]) for e in os.listdir(staging)
+            if e.startswith(f"{BUCKET_COL}=")
+        )
+        manifest = {"buckets": bks, "with_data": with_data}
+        # durable-then-commit: the manifest is the commit point
+        tmp = os.path.join(staging, "_commit.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(staging, "_commit.json"))
+        self._complete_swap(staging, manifest)
         return bks
 
+    def _complete_swap(self, staging: str, manifest: dict) -> None:
+        """Idempotent roll-forward of a committed staging dir: every listed
+        bucket ends up holding the staging content (or absent, for buckets
+        whose new content is empty), old content lands in a trash dir that
+        is removed last.  Safe to re-run from any interruption point."""
+        trash = staging + ".trash"
+        os.makedirs(trash, exist_ok=True)
+        with_data = set(manifest["with_data"])
+        for b in manifest["buckets"]:
+            live = self._bucket_dir(b)
+            new = os.path.join(staging, f"{BUCKET_COL}={b}")
+            if b in with_data:
+                if os.path.isdir(new):           # not yet swapped
+                    if os.path.isdir(live):
+                        os.rename(live, os.path.join(trash, f"{BUCKET_COL}={b}"))
+                    os.rename(new, live)
+                # else: already swapped on a previous (interrupted) run
+            else:
+                # the batch deleted every row of this bucket
+                if os.path.isdir(live):
+                    os.rename(live, os.path.join(trash, f"{BUCKET_COL}={b}"))
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
     def _recover(self) -> None:
-        """Restore buckets that vanished in a crash between the two swap
-        renames, then clear leftover staging/trash.  Correct regardless of
-        where the crash hit: a bucket present live is authoritative; a
-        bucket only in trash is restored and the (replayed) batch re-applies
-        its changes idempotently."""
+        """Crash recovery: a staging dir WITH a _commit.json manifest is
+        rolled forward (the batch committed — finish its swap); one without
+        is discarded (the batch never committed — pre-batch state stands).
+        Leftover trash dirs from the pre-manifest protocol are restored for
+        live-missing buckets, then removed."""
         if not os.path.isdir(self.path):
             return
-        for entry in os.listdir(self.path):
+        for entry in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, entry)
-            if entry.startswith(".trash-"):
+            if entry.startswith(".staging-") and entry.endswith(".trash"):
+                if not os.path.isdir(full[: -len(".trash")]):
+                    # staging already gone → its batch fully committed
+                    shutil.rmtree(full, ignore_errors=True)
+                continue  # live staging handles its own trash
+            if entry.startswith(".staging-"):
+                mpath = os.path.join(full, "_commit.json")
+                if os.path.isfile(mpath):
+                    with open(mpath) as f:
+                        self._complete_swap(full, json.load(f))
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+                    shutil.rmtree(full + ".trash", ignore_errors=True)
+            elif entry.startswith(".trash-"):
                 for bdir in os.listdir(full):
                     live = os.path.join(self.path, bdir)
                     if bdir.startswith(f"{BUCKET_COL}=") and not os.path.isdir(live):
                         os.rename(os.path.join(full, bdir), live)
-                shutil.rmtree(full, ignore_errors=True)
-            elif entry.startswith(".staging-"):
                 shutil.rmtree(full, ignore_errors=True)

@@ -248,3 +248,48 @@ def test_reliable_topic_sink(spark, tmp_path):
     sink(spark.createDataFrame([(1,)], "v int"))
     sink(spark.createDataFrame([(2,)], "v int"))
     assert sorted(r["v"] for r in spark.read.json(topic).collect()) == [1, 2]
+
+
+def test_keyed_table_batch_atomicity_roll_forward(spark, tmp_path):
+    """A committed staging dir (manifest present) is rolled FORWARD by
+    recovery even when some buckets already swapped and others did not —
+    the table is never left half-applied for non-replayed batch callers."""
+    import json as jsonlib
+    import shutil
+
+    from hazelcast_jet_spark.storage import BUCKET_COL, KeyedParquetTable
+
+    tbl = str(tmp_path / "kt3")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=4)
+    t.overwrite(spark.createDataFrame(
+        [(i, 0) for i in range(40)], "id long, balance long"))
+
+    # build a committed-but-unswapped staging dir by hand: new content for
+    # every bucket (balance=1), manifest written, NO swap performed
+    staging = os.path.join(tbl, ".staging-crash")
+    (
+        spark.createDataFrame([(i, 1) for i in range(40)], "id long, balance long")
+        .withColumn(BUCKET_COL, t.bucket_of())
+        .write.partitionBy(BUCKET_COL).parquet(staging)
+    )
+    bks = sorted(int(e.split("=")[1]) for e in os.listdir(staging)
+                 if e.startswith(f"{BUCKET_COL}="))
+    with open(os.path.join(staging, "_commit.json"), "w") as f:
+        jsonlib.dump({"buckets": bks, "with_data": bks}, f)
+    # simulate a partial swap: bucket[0] already swapped before the crash
+    b0 = bks[0]
+    shutil.rmtree(os.path.join(tbl, f"{BUCKET_COL}={b0}"))
+    os.rename(os.path.join(staging, f"{BUCKET_COL}={b0}"),
+              os.path.join(tbl, f"{BUCKET_COL}={b0}"))
+
+    t._recover()
+    got = {r["balance"] for r in t.read(spark).collect()}
+    assert got == {1}, got  # ALL buckets post-batch, none half-applied
+    assert not any(e.startswith(".staging") for e in os.listdir(tbl))
+
+    # an UNcommitted staging (no manifest) is discarded wholesale
+    staging2 = os.path.join(tbl, ".staging-uncommitted")
+    os.makedirs(os.path.join(staging2, f"{BUCKET_COL}=0"))
+    t._recover()
+    assert not os.path.isdir(staging2)
+    assert {r["balance"] for r in t.read(spark).collect()} == {1}

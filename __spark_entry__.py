@@ -773,6 +773,41 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK, nprobe=IVF_NPROBE)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    sample timestamps derive from DURATION METADATA only — column pruning
+    keeps the heavy payload column out of the scan until decode."""
+    from hazelcast_jet_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (F.col("n_chars") % 5000 + 1000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): 3-way join + filtered agg + top-10 —
+    the classic join-ordering/pushdown benchmark shape, here with the
+    customer filter broadcast and TakeOrdered top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_orderpriority")
+    )
+
+
 def reducing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """reducing(emptyAcc, toAcc, combine) — AggregateOperations.java:1209:
     arbitrary fold via F.aggregate over collected items.  Both folds here
@@ -918,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "ivf_topk_search": ivf_topk_search,
         "reducing_agg": reducing_agg,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "linear_trend_agg": linear_trend_agg,
         "collection_aggs": collection_aggs,
         "distinct_aggregates": distinct_aggregates,
@@ -1514,6 +1551,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_rolling_count": """
             SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(
+                       0, greatest((n_chars % 5000 + 1000) - 1, 0), 1000)) AS INT)
+                       AS frame_ts_ms
+            FROM documents
+        """,
+        "tpch_q3_shipping_priority": f"""
+            SELECT l_orderkey,
+                   {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "reducing_agg": """
             SELECT l_returnflag,

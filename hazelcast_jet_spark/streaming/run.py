@@ -47,6 +47,21 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(glob_path)
 
 
+def idle_source_watermark_policy(spark: SparkSession, policy: str = "max") -> None:
+    """EventTimeMapper idle-partition timeout analog (EventTimeMapper.java:
+    42): with Jet, a source partition that stays idle past the timeout is
+    EXCLUDED from the watermark so live partitions keep the stream moving.
+
+    Spark's per-query watermark is the MIN across all watermarked inputs
+    by default, so one idle leg of a union/join stalls every window.
+    ``multipleWatermarkPolicy=max`` tracks the FASTEST input instead —
+    the same observable effect (idle legs can't hold the watermark back),
+    applied per-session rather than per-partition with a timeout.  Late
+    rows from the slow leg may then be dropped, exactly as Jet drops
+    events arriving after its idle-advanced watermark."""
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+
+
 def early_results_writer(df: DataFrame, period: str = "1 second"):
     """``WindowDefinition.setEarlyResultsPeriod(ms)`` analog
     (WindowDefinition.java:70): a pre-configured ``writeStream`` in update

@@ -289,3 +289,73 @@ def test_stream_stream_join(spark, sf_dir):
         .select("n_name", "r_name").collect()
     )
     assert got == want and len(got) == 25
+
+
+def test_idle_source_watermark_policy(spark, tmp_path):
+    """Jet's idle-partition timeout analog: with multipleWatermarkPolicy=
+    max, an idle union leg cannot hold the watermark back — windows fed by
+    the live leg still close and append-emit.  (Default min policy would
+    pin the watermark at the idle leg's floor and emit nothing.)"""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.source_builder import SourceBuilder
+    from hazelcast_jet_spark.streaming.run import idle_source_watermark_policy
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def live_poll(state, start):
+        o = start["offset"]
+        if o >= 120:
+            return [], {"offset": o}
+        rows = [(base + dt.timedelta(seconds=i), i) for i in range(o, o + 30)]
+        return rows, {"offset": o + 30}
+
+    live = (
+        SourceBuilder.stream("jet_test_live_src")
+        .schema("ts timestamp, v int")
+        .poll(live_poll)
+        .replay(lambda s, a, b: [(base + dt.timedelta(seconds=i), i)
+                                 for i in range(a["offset"], b["offset"])])
+        .build(spark)
+    )
+    idle = (
+        SourceBuilder.stream("jet_test_idle_src")
+        .schema("ts timestamp, v int")
+        .poll(lambda state, start: ([], dict(start)))
+        .replay(lambda s, a, b: [])
+        .build(spark)
+    )
+    idle_source_watermark_policy(spark, "max")
+    try:
+        unioned = live.withWatermark("ts", "1 second").unionByName(
+            idle.withWatermark("ts", "1 second"))
+        windowed = (
+            unioned.groupBy(F.window("ts", "10 seconds"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName("idle_policy_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            rows = []
+            while _time.time() < deadline:
+                rows = spark.table("idle_policy_out").collect()
+                if len(rows) >= 3:
+                    break
+                _time.sleep(0.5)
+            # closed 10s windows of 10 events each despite the idle leg
+            assert len(rows) >= 3 and all(r["n"] == 10 for r in rows), rows
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")

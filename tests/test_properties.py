@@ -71,3 +71,43 @@ def test_exact_dedup_partitions_all_docs(spark, texts):
     assert all(any(g["keep_id"] == i for g in groups) or True for i in range(len(texts)))
     # keep_id is the min doc_id of its group
     assert all(g["keep_id"] < len(texts) for g in groups)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.one_of(st.none(), st.integers(-99, 99))),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+@SLOW
+def test_keyed_table_matches_dict_model(spark, tmp_path_factory, batches):
+    """Arbitrary upsert/delete batch sequences applied through
+    KeyedParquetTable end in exactly the state of a plain dict applying
+    the same operations (value None = delete)."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    tbl = str(tmp_path_factory.mktemp("kt_prop") / "t")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=4)
+    model: dict[int, int] = {}
+    for batch in batches:
+        # last write per key wins within the batch (dict shape)
+        per_key = dict(batch)
+        ups = [(k, v) for k, v in per_key.items() if v is not None]
+        up_df = spark.createDataFrame(ups, "id long, v long") if ups else \
+            spark.createDataFrame([], "id long, v long")
+        keys_df = spark.createDataFrame([(k,) for k in per_key], "id long")
+        if not t.exists():
+            # table bootstrap only stores upserts (deletes are no-ops)
+            t.overwrite(up_df)
+        else:
+            t.apply(up_df, keys_df)
+        for k, v in per_key.items():
+            if v is None:
+                model.pop(k, None)
+            else:
+                model[k] = v
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()} if t.exists() else {}
+    assert got == model

@@ -916,8 +916,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so that every query needing driver verification sits inside the
+    correctness gate's 50-entry window.  The tail block holds queries with TWO
+    green driver rows (r1 + r2) that rotate out of the window; bench.py still
+    runs every entry, so perf coverage is unaffected by the order.
+    """
     return {
+        # -- must-verify: r1 hash-red, fixed but never driver-green since -----
+        "pandas_udf_text_metrics": pandas_udf_text_metrics,
+        "token_stats": token_stats,
+        "scalar_functions": scalar_functions,
+        # -- must-verify: green r1, pushed out of the r2 window ---------------
+        "values_inline": values_inline,
+        "wordcount": wordcount,
+        "nexmark_q5_hot_items": nexmark_q5_hot_items,
+        "ann_lsh_search": ann_lsh_search,
+        "multimodal_features": multimodal_features,
+        "filtered_aggs": filtered_aggs,
+        "embedding_cosine_dedup": embedding_cosine_dedup,
+        # -- single green driver row so far (first green in r2) ---------------
+        "generate_series_agg": generate_series_agg,
+        "collection_aggs": collection_aggs,
+        "map_aggregate": map_aggregate,
+        "custom_udaf_agg": custom_udaf_agg,
+        "simhash_near_dups": simhash_near_dups,
+        "ivf_topk_search": ivf_topk_search,
+        "reducing_agg": reducing_agg,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "streaming_session_window": streaming_session_window,
+        # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
+        "rolling_aggregate": rolling_aggregate,
+        "text_features": text_features,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "simhash_groups": simhash_groups,
+        "cosine_topk_search": cosine_topk_search,
+        "streaming_tumbling_window": streaming_tumbling_window,
+        "streaming_stateful_count": streaming_stateful_count,
+        "streaming_rolling_count": streaming_rolling_count,
+        "linear_trend_agg": linear_trend_agg,
+        "distinct_aggregates": distinct_aggregates,
+        "having_filter": having_filter,
+        "semi_anti_join": semi_anti_join,
+        "full_outer_join": full_outer_join,
+        "set_operations": set_operations,
+        "rollup_agg": rollup_agg,
+        "multi_hop_enrichment": multi_hop_enrichment,
+        # -- rotated out (two green driver rows each, r1 + r2) ----------------
         "filter_project": filter_project,
         "global_aggregate": global_aggregate,
         "join_orders_customer": join_orders_customer,
@@ -930,52 +978,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_n_per_group": top_n_per_group,
         "min_max_by": min_max_by,
         "cogroup_orders_lineitem": cogroup_orders_lineitem,
-        "rolling_aggregate": rolling_aggregate,
         "distinct_by_key": distinct_by_key,
         "tumbling_window_batch": tumbling_window_batch,
         "sliding_window_batch": sliding_window_batch,
         "session_window_batch": session_window_batch,
-        "scalar_functions": scalar_functions,
-        "generate_series_agg": generate_series_agg,
         "json_props": json_props,
-        "text_features": text_features,
-        "exact_dedup_docs": exact_dedup_docs,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "ngram_jaccard_dedup": ngram_jaccard_dedup,
-        "simhash_groups": simhash_groups,
-        "cosine_topk_search": cosine_topk_search,
-        "streaming_tumbling_window": streaming_tumbling_window,
-        "streaming_stateful_count": streaming_stateful_count,
-        "streaming_rolling_count": streaming_rolling_count,
-        "streaming_session_window": streaming_session_window,
-        "map_aggregate": map_aggregate,
-        "custom_udaf_agg": custom_udaf_agg,
-        "simhash_near_dups": simhash_near_dups,
-        "ivf_topk_search": ivf_topk_search,
-        "reducing_agg": reducing_agg,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
-        "linear_trend_agg": linear_trend_agg,
-        "collection_aggs": collection_aggs,
-        "distinct_aggregates": distinct_aggregates,
-        "having_filter": having_filter,
-        "semi_anti_join": semi_anti_join,
-        "full_outer_join": full_outer_join,
-        "set_operations": set_operations,
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
-        "rollup_agg": rollup_agg,
         "window_rank_functions": window_rank_functions,
-        "multi_hop_enrichment": multi_hop_enrichment,
-        "pandas_udf_text_metrics": pandas_udf_text_metrics,
-        "values_inline": values_inline,
-        "wordcount": wordcount,
-        "nexmark_q5_hot_items": nexmark_q5_hot_items,
-        "ann_lsh_search": ann_lsh_search,
-        "multimodal_features": multimodal_features,
-        "filtered_aggs": filtered_aggs,
-        "embedding_cosine_dedup": embedding_cosine_dedup,
-        "token_stats": token_stats,
     }
 
 
@@ -1214,8 +1224,11 @@ def oracle_sql() -> dict[str, str]:
                    length(p_name) AS len,
                    p_brand || ':' || p_type AS cat,
                    round(abs(p_retailprice - 1000), 2) AS absdev,
-                   ceil(p_retailprice) AS ceilp,
-                   floor(p_retailprice) AS floorp,
+                   -- CAST: Spark's ceil/floor on DOUBLE return BIGINT while
+                   -- DuckDB's return DOUBLE; values match but the gate hashes
+                   -- typed values, so align the oracle to Spark's BIGINT.
+                   CAST(ceil(p_retailprice) AS BIGINT) AS ceilp,
+                   CAST(floor(p_retailprice) AS BIGINT) AS floorp,
                    p_size % 7 AS modsz,
                    pow(p_size, 2) AS sqsz,
                    sqrt(p_size * p_size) AS sqrtsz,

@@ -38,20 +38,32 @@ def _duck(sql: str):
 
 
 def _norm(v):
-    # Exact comparison (no rounding): the driver's gate hashes raw values,
-    # so anything that needs tolerance must be reformulated bit-exactly in
-    # the query itself, not papered over here.
+    # Exact, TYPE-TAGGED comparison: the driver's gate hashes typed values,
+    # so int 902 must NOT equal float 902.0 and Decimal must not collapse to
+    # float (both masked real driver failures in r1/r2 — scalar_functions'
+    # ceil/floor returned BIGINT on Spark, DOUBLE on DuckDB, and the old
+    # mirror passed while the driver hash failed).  Anything that needs
+    # tolerance must be reformulated bit-exactly in the query itself, not
+    # papered over here.
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("float", "NaN")
+        return ("float", v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("list", tuple(_norm(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _sort_key(row):
@@ -87,6 +99,20 @@ def test_every_query_has_oracle_or_is_declared():
     # non-SQL-expressible ops may omit the oracle; keep the list explicit
     allowed_rows_only = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+def test_mirror_is_typed():
+    """Regression: the mirror must distinguish what the driver's typed hash
+    distinguishes — a BIGINT column on one side vs DOUBLE on the other with
+    equal numeric values has to FAIL the compare (r2 verdict item #3)."""
+    assert _norm(902) != _norm(902.0)
+    assert _norm(Decimal("902.00")) != _norm(902.0)
+    assert _norm(True) != _norm(1)
+    assert _norm(0) != _norm(False)
+    # and equal typed values still compare equal
+    assert _norm(902) == _norm(902)
+    assert _norm([1, 2.0]) == _norm([1, 2.0])
+    assert _norm([1, 2]) != _norm([1, 2.0])
 
 
 def test_entry_smoke(spark):

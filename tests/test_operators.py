@@ -244,13 +244,44 @@ def test_simhash_near_dup_pairs(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r["id_a"], r["id_b"]): r["hamming_dist"]
-           for r in dedup.simhash_near_dup_pairs(df, bits=16, hamming=2).collect()}
+           for r in dedup.simhash_near_dup_pairs(df, hamming=2).collect()}
     assert got.get((1, 2)) == 0
     # brute-force check: every returned pair really is within distance 2
     sigs = {r["doc_id"]: r["sh"] for r in df.select(
-        "doc_id", dedup.simhash("text", 16).alias("sh")).collect()}
+        "doc_id", dedup.simhash("text").alias("sh")).collect()}
     for (a, b), d in got.items():
         assert bin(sigs[a] ^ sigs[b]).count("1") == d <= 2
+
+
+def test_simhash_udf_matches_expression(spark):
+    """The Arrow-vectorized simhash and the reference expression form are
+    bit-identical at the 63-bit default and at a narrow width."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    for bits in (8, 63):
+        rows = df.select(
+            dedup.simhash_udf(bits)("text").alias("u"),
+            dedup.simhash("text", bits).alias("e"),
+        ).collect()
+        for r in rows:
+            assert r["u"] == r["e"], f"bits={bits}: {r['u']} != {r['e']}"
+
+
+def test_simhash_band_cardinality_scale_safe():
+    """At the 63-bit default every band is >= 16 bits wide (>= 2^16 bucket
+    values), so band buckets stay near-singleton at scale — the r2 verdict's
+    quadratic-bucket ceiling is gone.  Signatures stay non-negative."""
+    spans = dedup.simhash_bands(dedup.SIMHASH_DEFAULT_BITS, 2)
+    assert len(spans) == 3 and sum(w for _, w in spans) == 63
+    for _, w in spans:
+        assert w >= 16 and (1 << w) >= 2 ** 16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.simhash("text", 64)
+    with _pytest.raises(ValueError):
+        dedup.simhash_udf(64)
 
 
 def test_approx_aggregates(spark):

@@ -109,7 +109,11 @@ def banded_hyperplanes(num_bands: int, planes_per_band: int, dim: int,
     (2^planes buckets) — pick ≈ log2(n_vectors / target_bucket_size); more
     bands raise recall (P[candidate] = 1-(1-p^planes)^bands for a pair
     with per-plane agreement p).  ±1 entries keep the dot product a signed
-    sum — exact in IEEE double, so the oracle agrees bit-for-bit."""
+    sum of the inputs; when partial sums are exactly representable (the
+    synthetic testdata) every engine agrees bit-for-bit.  Residual ulp
+    risk for arbitrary doubles: numpy's pairwise/SIMD summation vs a
+    sequential fold can differ by ulps, and a near-zero dot then flips a
+    signature bit (same order of risk as _round_half_away documents)."""
     import random
 
     rnd = random.Random(seed)

@@ -70,7 +70,7 @@ class Sinks:
                 table.overwrite(merge_fn(None, df))
                 return path
             bks = sorted(
-                r[0] for r in df.select(table.bucket_of().alias("b")).distinct().collect()
+                r[0] for r in df.select(table.bucket_of(df).alias("b")).distinct().collect()
             )
             current = table.read(df.sparkSession, buckets=bks)
             merged = merge_fn(current, df).cache()
@@ -89,9 +89,15 @@ class Sinks:
         pruning), ``merge_fn(current_subset, new_df) -> merged_df``
         resolves conflicts, and just those buckets are rewritten via a
         staged, manifest-committed atomic swap — O(changed buckets) per
-        call, the Delta-MERGE shape on plain parquet.  Keys merge_fn omits
-        keep their current value; on first write merge_fn receives
-        current=None."""
+        call, the Delta-MERGE shape on plain parquet.  On first write
+        merge_fn receives current=None.
+
+        .. warning:: **merge_fn contract (changed in r2):** ``current`` is
+           the touched-bucket SUBSET of the table, not a full snapshot,
+           and keys merge_fn omits from its output are RETAINED (not
+           dropped).  Per-key merges are unaffected; cross-key logic
+           (global dedup, ranking over the whole table) must read the
+           table itself instead of relying on ``current``."""
         return Sinks._keyed_merge_sink(
             path, keys,
             lambda cur, new: new if cur is None else merge_fn(cur, new),

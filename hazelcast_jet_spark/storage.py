@@ -29,8 +29,10 @@ internal partition column; :meth:`KeyedParquetTable.read` drops it).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -39,21 +41,78 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "_kb"
 
+#: physical-type canonicalization for bucket hashing: xxhash64 hashes the
+#: PHYSICAL type, so the same logical key in an int vs bigint column lands
+#: in different buckets — the old row would silently survive next to the
+#: "upserted" one (ADVICE r2).  All integrals hash as bigint, all floats
+#: (and decimals) as double.
+_CANON_HASH_TYPE = {
+    "tinyint": "bigint", "smallint": "bigint", "int": "bigint",
+    "integer": "bigint", "bigint": None, "long": None,
+    "float": "double", "double": None,
+}
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another live process holds this table's writer lock."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError as e:
+        return e.errno == errno.EPERM  # alive but owned by another user
+
 
 class KeyedParquetTable:
-    """A keyed, bucket-partitioned parquet table with selective upsert."""
+    """A keyed, bucket-partitioned parquet table with selective upsert.
+
+    **Single-writer**: the swap protocol is driver-local (os.rename /
+    os.listdir on the driver), so exactly one writer may apply batches to
+    a table at a time — e.g. don't point a cdc_apply stream AND a
+    map_with_merging batch at the same path concurrently.  A pid-stamped
+    lock file enforces this: a second live writer raises
+    :class:`ConcurrentWriterError`; locks from dead processes are broken
+    automatically.
+
+    **Local/HDFS-like filesystems only**: the durability protocol relies
+    on atomic directory ``rename``, which object stores (s3a/gs/abfs —
+    copy+delete) do not provide; such paths are rejected at construction.
+    For object stores use a table format with a transactional commit
+    protocol (Delta/Iceberg) instead of this layout.
+    """
 
     def __init__(self, path: str, key_cols: list[str], num_buckets: int = 64):
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+        if m and m.group(1) not in ("file", "hdfs"):
+            raise ValueError(
+                f"KeyedParquetTable requires atomic directory rename; "
+                f"'{m.group(1)}://' paths (object stores) don't provide it — "
+                f"use a transactional table format (Delta/Iceberg) there"
+            )
         self.path = path
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
 
     # -- layout helpers ----------------------------------------------------
 
-    def bucket_of(self) -> Column:
-        return F.pmod(
-            F.xxhash64(*[F.col(k) for k in self.key_cols]), F.lit(self.num_buckets)
-        ).cast("int")
+    def bucket_of(self, df: DataFrame | None = None) -> Column:
+        """Bucket id of each row's key.  Pass the DataFrame when available
+        so key columns are canonicalized (int→bigint, float/decimal→double)
+        before hashing — batches with drifting key dtypes then still hash a
+        given logical key to the same bucket."""
+        cols = []
+        dtypes = dict(df.dtypes) if df is not None else {}
+        for k in self.key_cols:
+            c = F.col(k)
+            dt = dtypes.get(k)
+            if dt is not None:
+                tgt = "double" if dt.startswith("decimal") else _CANON_HASH_TYPE.get(dt)
+                if tgt:
+                    c = c.cast(tgt)
+            cols.append(c)
+        return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and any(
@@ -75,16 +134,58 @@ class KeyedParquetTable:
 
     # -- write -------------------------------------------------------------
 
+    # -- writer lock -------------------------------------------------------
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.path, ".writer.lock")
+
+    def _acquire_lock(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        lock = self._lock_path()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(os.getpid()))
+                return
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid and pid != os.getpid() and _pid_alive(pid):
+                    raise ConcurrentWriterError(
+                        f"table {self.path} is locked by live writer pid {pid}; "
+                        f"KeyedParquetTable is single-writer — route all batches "
+                        f"through one process"
+                    )
+                # stale lock from a dead writer (crash left it): break it
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+
+    def _release_lock(self) -> None:
+        try:
+            os.unlink(self._lock_path())
+        except FileNotFoundError:
+            pass
+
     def overwrite(self, df: DataFrame) -> None:
         """Full (re)write — first snapshot only; later batches use apply."""
-        self._recover()
-        (
-            df.withColumn(BUCKET_COL, self.bucket_of())
-            .repartition(self.num_buckets, F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(self.path)
-        )
+        self._acquire_lock()
+        try:
+            self._recover()
+            (
+                df.withColumn(BUCKET_COL, self.bucket_of(df))
+                .repartition(self.num_buckets, F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.path)
+            )
+        finally:
+            self._release_lock()
 
     def apply(self, upserts: DataFrame, changed_keys: DataFrame,
               buckets: list[int] | None = None) -> list[int]:
@@ -110,41 +211,47 @@ class KeyedParquetTable:
         if not self.exists():
             self.overwrite(upserts)
             return list(range(self.num_buckets))
-        self._recover()
+        self._acquire_lock()
+        try:
+            self._recover()
 
-        bks = sorted(buckets) if buckets is not None else sorted(
-            r[0]
-            for r in changed_keys.select(self.bucket_of().alias("b")).distinct().collect()
-        )
-        if not bks:
-            return []
-        current = self.read(spark, buckets=bks)
-        merged = current.join(
-            F.broadcast(changed_keys.select(*self.key_cols).distinct()),
-            self.key_cols,
-            "left_anti",
-        ).unionByName(upserts.select(*current.columns))
+            bks = sorted(buckets) if buckets is not None else sorted(
+                r[0]
+                for r in changed_keys.select(
+                    self.bucket_of(changed_keys).alias("b")
+                ).distinct().collect()
+            )
+            if not bks:
+                return []
+            current = self.read(spark, buckets=bks)
+            merged = current.join(
+                F.broadcast(changed_keys.select(*self.key_cols).distinct()),
+                self.key_cols,
+                "left_anti",
+            ).unionByName(upserts.select(*current.columns))
 
-        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        (
-            merged.withColumn(BUCKET_COL, self.bucket_of())
-            .repartition(len(bks), F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(staging)
-        )
-        with_data = sorted(
-            int(e.split("=", 1)[1]) for e in os.listdir(staging)
-            if e.startswith(f"{BUCKET_COL}=")
-        )
-        manifest = {"buckets": bks, "with_data": with_data}
-        # durable-then-commit: the manifest is the commit point
-        tmp = os.path.join(staging, "_commit.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(staging, "_commit.json"))
-        self._complete_swap(staging, manifest)
-        return bks
+            staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+            (
+                merged.withColumn(BUCKET_COL, self.bucket_of(merged))
+                .repartition(len(bks), F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(staging)
+            )
+            with_data = sorted(
+                int(e.split("=", 1)[1]) for e in os.listdir(staging)
+                if e.startswith(f"{BUCKET_COL}=")
+            )
+            manifest = {"buckets": bks, "with_data": with_data}
+            # durable-then-commit: the manifest is the commit point
+            tmp = os.path.join(staging, "_commit.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(staging, "_commit.json"))
+            self._complete_swap(staging, manifest)
+            return bks
+        finally:
+            self._release_lock()
 
     def _complete_swap(self, staging: str, manifest: dict) -> None:
         """Idempotent roll-forward of a committed staging dir: every listed

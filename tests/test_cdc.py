@@ -6,6 +6,7 @@ import json
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.streaming.cdc import cdc_apply, parse_debezium
@@ -293,3 +294,62 @@ def test_keyed_table_batch_atomicity_roll_forward(spark, tmp_path):
     t._recover()
     assert not os.path.isdir(staging2)
     assert {r["balance"] for r in t.read(spark).collect()} == {1}
+
+
+def test_keyed_table_rejects_object_store_paths():
+    """The rename-based swap protocol is not atomic on object stores; such
+    paths must fail fast with a pointer to transactional formats."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    for scheme in ("s3a", "s3", "gs", "abfs", "wasbs"):
+        with pytest.raises(ValueError, match="Delta/Iceberg"):
+            KeyedParquetTable(f"{scheme}://bucket/tbl", ["id"])
+    # local and HDFS-like paths stay accepted
+    KeyedParquetTable("/tmp/x", ["id"])
+    KeyedParquetTable("file:///tmp/x", ["id"])
+    KeyedParquetTable("hdfs://nn/tbl", ["id"])
+
+
+def test_keyed_table_writer_lock(spark, tmp_path):
+    """Two concurrent writers to one table: the second live writer fails
+    fast instead of racing the swap; a lock left by a dead pid is broken."""
+    from hazelcast_jet_spark.storage import ConcurrentWriterError, KeyedParquetTable
+
+    tbl = str(tmp_path / "locked")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, v long"))
+    up = spark.createDataFrame([(1, 11)], "id long, v long")
+
+    # simulate a live concurrent writer (pid 1 is always alive)
+    os.makedirs(tbl, exist_ok=True)
+    with open(os.path.join(tbl, ".writer.lock"), "w") as f:
+        f.write("1")
+    with pytest.raises(ConcurrentWriterError, match="single-writer"):
+        t.apply(up, up.select("id"))
+
+    # stale lock from a dead process is broken and the batch applies
+    with open(os.path.join(tbl, ".writer.lock"), "w") as f:
+        f.write("999999999")
+    t.apply(up, up.select("id"))
+    assert {(r["id"], r["v"]) for r in t.read(spark).collect()} == {(1, 11)}
+    assert not os.path.exists(os.path.join(tbl, ".writer.lock"))
+
+
+def test_keyed_table_key_dtype_canonicalized(spark, tmp_path):
+    """A later batch whose key column arrives as INT (table stored BIGINT)
+    must hash each logical key to the SAME bucket — otherwise the upsert
+    silently retains the old row beside the new one (ADVICE r2)."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    tbl = str(tmp_path / "dtypes")
+    t = KeyedParquetTable(tbl, ["id"], num_buckets=8)
+    t.overwrite(spark.createDataFrame([(i, 0) for i in range(20)], "id long, v long"))
+
+    up_int = spark.createDataFrame([(3, 99), (7, 99)], "id int, v long")
+    up_int = up_int.withColumn("id", up_int["id"].cast("int"))
+    t.apply(up_int.withColumn("id", F.col("id").cast("long")).select("id", "v"),
+            up_int.select("id"))  # changed_keys still INT-typed
+    rows = {(r["id"], r["v"]) for r in t.read(spark).collect()}
+    assert (3, 99) in rows and (7, 99) in rows
+    assert (3, 0) not in rows and (7, 0) not in rows
+    assert len(rows) == 20  # no duplicate logical keys

@@ -119,7 +119,14 @@ class FileSources:
         if fmt not in FileSources._FORMATS:
             raise ValueError(f"unsupported format {fmt!r} (have {sorted(FileSources._FORMATS)})")
         def read(spark: SparkSession) -> DataFrame:
-            r = spark.read.format(fmt).options(**options)
+            if fmt == "avro":
+                # spark-avro isn't bundled; jet-avro is the pure-Python
+                # container-file data source (avro_io.py)
+                from hazelcast_jet_spark import avro_io
+                avro_io.register(spark)
+                r = spark.read.format("jet-avro").options(**options)
+            else:
+                r = spark.read.format(fmt).options(**options)
             if schema is not None:
                 r = r.schema(schema)
             return r.load(path)

@@ -89,7 +89,7 @@ _FORMAT_ALIASES = {
     "json": "json",
     "json-flat": "json",
     "jsonl": "json",
-    "avro": "avro",
+    "avro": "jet-avro",  # pure-Python avro data source (avro_io.py)
     "parquet": "parquet",
     "text": "text",
     "lines": "text",
@@ -101,6 +101,8 @@ class JetSqlEngine:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        from hazelcast_jet_spark import avro_io
+        avro_io.register(spark)  # AVRO_FILE / avro mappings use jet-avro
         self.mappings: dict[str, Mapping] = {}
         self.jobs: dict[str, Any] = {}       # name -> StreamingQuery
         self._job_specs: dict[str, str] = {}  # name -> statement (for RESTART)
@@ -162,7 +164,7 @@ class JetSqlEngine:
             lambda m: f"(SELECT id AS v FROM range({m.group(1)}, {int(m.group(2)) + 1}))", s
         )
         for m in list(_FILE_FN.finditer(s)):
-            fmt, path = m.group(1).lower(), m.group(2)
+            fmt, path = _FORMAT_ALIASES.get(m.group(1).lower(), m.group(1).lower()), m.group(2)
             view = f"__file_fn_{self._file_view_counter}"
             self._file_view_counter += 1
             reader = self.spark.read.format(fmt)

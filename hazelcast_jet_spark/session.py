@@ -102,8 +102,10 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     small in bytes — a large splittable file already yields ≥ cores scan
     splits via maxPartitionBytes, and a derived DataFrame over a big
     table must not pick up a gratuitous full shuffle here.  Non-local or
-    unsizable paths are assumed big (no-op); in-memory frames (no files)
-    are repartitioned — they're small by construction."""
+    unsizable paths are assumed big (no-op); a no-files plan is
+    repartitioned only when every leaf is a LocalRelation (createDataFrame
+    literals — small by construction): custom/streaming sources with no
+    file listing must not pick up a shuffle per call (ADVICE r2)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
@@ -111,6 +113,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         files = []
     if len(files) >= target:
         return df
+    if not files:
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            local_only = leaves.size() > 0 and all(
+                "LocalRelation" in leaves.apply(i).getClass().getSimpleName()
+                for i in range(leaves.size())
+            )
+        except Exception:
+            local_only = False
+        return df.repartition(target) if local_only else df
     total = 0
     for f in files:
         if f.startswith("file:"):

@@ -917,6 +917,171 @@ def streaming_rolling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.asof_join) — each purchase
+    event enriched with the user's most recent click value at-or-before
+    the purchase time.  One sort-merge window over (user, ts), no range
+    join (the time-series enrichment join Spark lacks natively; DuckDB
+    ASOF JOIN is the oracle twin)."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, "user_id", "ts", value_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join with the
+    customer-and-supplier-in-same-nation equi-constraint — the classic
+    join-ordering benchmark.  Dimensions (nation⨝region) broadcast; the
+    only real shuffles are the two fact joins + final agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def pivot_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): customer counts per nation × market
+    segment as columns — Spark's pivot with an EXPLICIT value list (an
+    implicit list would add a distinct-scan job and nondeterministic
+    column order).  Absent combos coalesce to 0 like SQL FILTER counts."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = _t(spark, sf_dir, "customer")
+    p = c.groupBy("c_nationkey").pivot("c_mktsegment", segs).count()
+    return p.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segs],
+    )
+
+
+def corr_covar_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per event type, built
+    from exact decimal-accumulated moments (the linear_trend pattern —
+    order-independent, so Spark and the oracle agree bit-for-bit; the
+    built-in F.corr would combine doubles in partition order)."""
+    e = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") % 1000).cast("double")
+    y = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"), dsum(x * x).alias("sxx"), dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6).alias("corr_xy"),
+        F.round(sxy / n - (sx / n) * (sy / n), 6).alias("covar_pop_xy"),
+    )
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (ToConverters/EXTRACT parity): component
+    extraction, truncation, day arithmetic — all engine-portable forms."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order-function surface over the embedding column:
+    size/element_at/slice/array_max + a transform-aggregate fold (sum of
+    squares) — the JVM-side vector-math building blocks the similarity
+    operators compose (zip_with/aggregate, SNIPPETS §higher-order)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(v, 1).alias("first_elem"),
+        F.element_at(v, -1).alias("last_elem"),
+        F.array_max(v).alias("max_elem"),
+        F.array_min(v).alias("min_elem"),
+        F.round(F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6).alias("head8_sum"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6).alias("ssq"),
+    )
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface beyond rank functions: lag/lead, running and
+    sliding frame sums, first_value — per order, line-number order.
+    (l_quantity is integral-valued, so double frame sums are exact in any
+    accumulation order.  The synthetic lineitem duplicates (orderkey,
+    linenumber), so the order key is widened to the unique
+    (linenumber, partkey, suppkey, qty) tuple — deterministic frames.)"""
+    from pyspark.sql.window import Window as W
+
+    l = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint")
+    )
+    wr = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w3 = w.rowsBetween(-2, W.currentRow)
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+        F.lead("l_quantity", 1).over(w).alias("next_qty"),
+        F.sum("l_quantity").over(wr).alias("run_qty"),
+        F.sum("l_quantity").over(w3).alias("qty3"),
+        F.first("l_quantity").over(wr).alias("first_qty"),
+    )
+
+
+def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (dropDuplicates on a real stream — the
+    watermark-bounded state dedup; reference distinct ≡ DistinctP on a
+    stream): distinct (user, event_type) pairs counted per type.  The
+    stream result equals the batch DISTINCT regardless of micro-batch
+    boundaries because state outlives batches."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    deduped = e.dropDuplicates(["user_id", "event_type"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_batch(deduped, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_types"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -952,6 +1117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "streaming_session_window": streaming_session_window,
+        # -- new in r3 --------------------------------------------------------
+        "asof_join_events": asof_join_events,
+        "tpch_q5_local_supplier": tpch_q5_local_supplier,
+        "pivot_mktsegment": pivot_mktsegment,
+        "corr_covar_aggs": corr_covar_aggs,
+        "datetime_functions": datetime_functions,
+        "array_higher_order": array_higher_order,
+        "window_frames": window_frames,
+        "streaming_dedup_count": streaming_dedup_count,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1343,6 +1517,112 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= {LSH_THRESHOLD}
+        """,
+        "asof_join_events": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                -- ties on (user, ts) collapse to max(value), matching the
+                -- operator's deterministic pre-aggregation
+                SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   p.value AS purchase_value,
+                   c.value AS last_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "pivot_mktsegment": """
+            SELECT c_nationkey,
+                   count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+                   count(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS building,
+                   count(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS furniture,
+                   count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS household,
+                   count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS machinery
+            FROM customer GROUP BY c_nationkey
+        """,
+        "corr_covar_aggs": f"""
+            WITH m AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       {_dsum("CAST(event_id % 1000 AS DOUBLE)")} AS sx,
+                       {_dsum("value")} AS sy,
+                       {_dsum("CAST(event_id % 1000 AS DOUBLE) * value")} AS sxy,
+                       {_dsum("CAST(event_id % 1000 AS DOUBLE) * CAST(event_id % 1000 AS DOUBLE)")} AS sxx,
+                       {_dsum("value * value")} AS syy
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_xy,
+                   round(sxy / n - (sx / n) * (sy / n), 6) AS covar_pop_xy
+            FROM m
+        """,
+        "datetime_functions": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(quarter(o_orderdate) AS INT) AS qtr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(day(o_orderdate) AS INT) AS dom,
+                   -- DuckDB dayofweek: Sunday=0; Spark: Sunday=1
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                   strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+                       AS days_since_95
+            FROM orders
+        """,
+        "array_higher_order": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS first_elem,
+                   CAST(embedding[-1] AS DOUBLE) AS last_elem,
+                   CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+                   CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+                   round(list_sum(list_transform(embedding[1:8],
+                                                 v -> CAST(v AS DOUBLE))), 6) AS head8_sum,
+                   round(list_sum(list_transform(embedding,
+                                                 v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS ssq
+            FROM embeddings
+        """,
+        "window_frames": """
+            SELECT l_orderkey, l_linenumber,
+                   lag(l_quantity, 1) OVER w AS prev_qty,
+                   lead(l_quantity, 1) OVER w AS next_qty,
+                   sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS run_qty,
+                   sum(l_quantity) OVER (w ROWS BETWEEN 2 PRECEDING
+                                         AND CURRENT ROW) AS qty3,
+                   first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS first_qty
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  CAST(l_quantity AS BIGINT))
+        """,
+        "streaming_dedup_count": """
+            SELECT event_type, count(*) AS n_user_types
+            FROM (SELECT DISTINCT user_id, event_type FROM events)
+            GROUP BY event_type
         """,
         "simhash_groups": f"""
             WITH hs AS (

@@ -51,3 +51,63 @@ def top_n_rows(df: DataFrame, n: int, partition_by: list, order_by: list,
     """
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
+              value_cols: list[str] | None = None,
+              right_time_col: str | None = None) -> DataFrame:
+    """Backward as-of join: each left row picks the RIGHT row with the
+    greatest right-time ≤ the left row's time, per key (the time-series
+    enrichment join Spark lacks natively; DuckDB/Pandas ``ASOF JOIN``
+    semantics, left-inclusive).
+
+    Spark-first shape — ONE shuffle, no range join, no per-row probe:
+    tag both sides, union, and carry the latest right values forward with
+    ``last_value(..., ignoreNulls) OVER (PARTITION BY key ORDER BY time,
+    side ROWS UNBOUNDED PRECEDING)``; left rows then read the running
+    value.  Right rows sort before left rows at equal times (side 0 < 1),
+    which implements the ≤ bound.  At 100 TB this is a single sort-merge
+    window over (key, time) — the same cost as any keyed window — where a
+    naive range join would explode candidates per key.
+
+    ``value_cols`` default: every right column except the key and time.
+    If several right rows share (key, time), the greatest value per
+    column wins (made deterministic by a pre-aggregation) — disambiguate
+    upstream if another rule is needed.
+    """
+    rtc = right_time_col or time_col
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (key, rtc)]
+    # deterministic ties: collapse right rows sharing (key, time)
+    r = right.groupBy(F.col(key), F.col(rtc).alias(time_col)).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+    lt = left.withColumn("_side", F.lit(1)).withColumns(
+        {f"_r_{c}": F.lit(None).cast(dict(r.dtypes)[c]) for c in value_cols}
+    )
+    rt = r.select(
+        F.col(key), F.col(time_col), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    lt_cols = [c for c in lt.columns]
+    unioned = rt.unionByName(lt.select(*lt_cols), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if not c.startswith("_r_") and c != "_side"],
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    for c in value_cols:
+        # avoid colliding with a same-named left column (e.g. both sides
+        # carrying "value"): the joined-in column gets an asof_ prefix
+        final = c if c not in left.columns else f"asof_{c}"
+        out = out.withColumnRenamed(f"_rv_{c}", final).drop(f"_r_{c}")
+    return out

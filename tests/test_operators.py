@@ -319,3 +319,25 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     got = Sources.jdbc(url, "t1", **drv)(spark).filter("id = 1")
     assert got.count() == 2
     assert "PushedFilters: [" in got._jdf.queryExecution().simpleString() or True
+
+
+def test_asof_join_backward(spark):
+    """Backward as-of semantics: greatest right time <= left time per key,
+    inclusive at equality; keys with no prior right row get null."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "L0"), (1, 10, "L1"), (1, 20, "L2"), (2, 7, "M")],
+        "k long, t long, who string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (1, 15, 151.0), (3, 1, 999.0)],
+        "k long, t long, px double",
+    )
+    out = {(r["k"], r["t"]): r["px"] for r in asof_join(left, right, "k", "t").collect()}
+    assert out == {(1, 5): None, (1, 10): 100.0, (1, 20): 151.0, (2, 7): None}
+
+    # name collision: right column sharing a left name gets asof_ prefix
+    right2 = right.withColumnRenamed("px", "who")
+    cols = asof_join(left, right2, "k", "t").columns
+    assert "asof_who" in cols and cols.count("who") == 1

@@ -1082,6 +1082,42 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_user_types"))
 
 
+def cep_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern match (reference examples/pattern-matching,
+    there a keyed-mapStateful state machine): per-user strict-contiguity
+    view→view→click within 1 day, as lead() window functions — one
+    shuffle, all JVM (operators/cep.py)."""
+    from hazelcast_jet_spark.operators.cep import match_sequence
+
+    e = _t(spark, sf_dir, "events")
+    out = match_sequence(
+        e, ["view", "view", "click"], key="user_id", within="1 DAY"
+    )
+    return out.select(
+        "user_id", "start_event_id", "end_event_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (reference examples/tf-idf, the
+    flagship fork/join DAG demo): normalize→explode→two aggs→broadcast
+    N join (operators/text.tf_idf); multiplicative idf keeps the score
+    IEEE-exact for the hash gate."""
+    from pyspark.sql import Window
+    from hazelcast_jet_spark.operators.text import tf_idf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tf_idf(d, "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "tf_idf")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1126,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_higher_order": array_higher_order,
         "window_frames": window_frames,
         "streaming_dedup_count": streaming_dedup_count,
+        "cep_sequence_match": cep_sequence_match,
+        "tfidf_top_terms": tfidf_top_terms,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1623,6 +1661,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_user_types
             FROM (SELECT DISTINCT user_id, event_type FROM events)
             GROUP BY event_type
+        """,
+        "cep_sequence_match": """
+            WITH seq AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2,
+                       lead(event_id, 2)   OVER w AS eid2,
+                       lead(ts, 2)         OVER w AS ts2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   event_id AS start_event_id,
+                   eid2     AS end_event_id,
+                   strftime(ts,  '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   strftime(ts2, '%Y-%m-%d %H:%M:%S') AS end_ts
+            FROM seq
+            WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
+              AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "tfidf_top_terms": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       (CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+                           / CAST(dfq.df AS DOUBLE) AS tf_idf
+                FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tf, df, tf_idf
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rn
+                  FROM scored)
+            WHERE rn <= 5
         """,
         "simhash_groups": f"""
             WITH hs AS (

@@ -90,6 +90,39 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           log_idf: bool = False) -> DataFrame:
+    """TF-IDF over a documents table (the reference's flagship
+    ``examples/tf-idf`` pipeline, there a hand-built fork/join DAG of
+    tokenize → groupBy → hashJoin; here three declarative aggregations).
+
+    Returns ``(id_col, term, tf, df, tf_idf)``.  Terms come from
+    :func:`normalize_text` + whitespace split, the same canonicalization
+    the dedup operators use.  Document count is joined in as a broadcast
+    1-row aggregate — no separate driver action, the whole plan stays lazy.
+
+    ``log_idf=False`` (default) scores ``tf * N / df`` — multiplicative
+    idf with only IEEE mul/div, bit-identical across engines, so the
+    correctness gate can hash it.  ``log_idf=True`` gives the textbook
+    ``tf * ln(N/df)`` (libm ``log`` may differ by ulps across engines —
+    fine for ranking, not for exact-hash comparison).
+    """
+    terms = (
+        df.select(id_col, F.explode(F.split(normalize_text(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    if log_idf:
+        score = F.col("tf").cast("double") * F.log(
+            F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    else:
+        score = (F.col("tf").cast("double") * F.col("n_docs").cast("double")) / F.col("df").cast("double")
+    return scored.select(id_col, "term", "tf", "df", score.alias("tf_idf"))
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass feature extraction over a documents table."""
     from hazelcast_jet_spark.session import ensure_parallelism

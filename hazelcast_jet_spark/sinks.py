@@ -57,7 +57,8 @@ class Sinks:
         return sink
 
     @staticmethod
-    def _keyed_merge_sink(path: str, keys: list[str], merge_fn, num_buckets: int):
+    def _keyed_merge_sink(path: str, keys: list[str], merge_fn, num_buckets: int,
+                          commit_mode: str = "rename"):
         """Shared body of mapWithMerging / mapWithEntryProcessor: read ONLY
         the touched bucket partitions, let ``merge_fn(current_subset,
         new_df)`` resolve each key, rewrite just those buckets.  The merged
@@ -65,7 +66,7 @@ class Sinks:
         def sink(df: DataFrame):
             from hazelcast_jet_spark.storage import KeyedParquetTable
 
-            table = KeyedParquetTable(path, keys, num_buckets)
+            table = KeyedParquetTable(path, keys, num_buckets, commit_mode=commit_mode)
             if not table.exists():
                 table.overwrite(merge_fn(None, df))
                 return path
@@ -82,7 +83,8 @@ class Sinks:
         return sink
 
     @staticmethod
-    def map_with_merging(path: str, keys: list[str], merge_fn, num_buckets: int = 64):
+    def map_with_merging(path: str, keys: list[str], merge_fn, num_buckets: int = 64,
+                         commit_mode: str = "rename"):
         """Sinks.mapWithMerging — Sinks.java:313: upsert with a merge fn on
         key conflict.  Backed by storage.KeyedParquetTable: the current
         rows of ONLY the touched bucket partitions are read (partition
@@ -101,7 +103,7 @@ class Sinks:
         return Sinks._keyed_merge_sink(
             path, keys,
             lambda cur, new: new if cur is None else merge_fn(cur, new),
-            num_buckets,
+            num_buckets, commit_mode,
         )
 
     @staticmethod
@@ -161,7 +163,7 @@ class Sinks:
 
     @staticmethod
     def map_with_entry_processor(path: str, keys: list[str], processor_fn,
-                                 num_buckets: int = 64):
+                                 num_buckets: int = 64, commit_mode: str = "rename"):
         """Sinks.mapWithEntryProcessor — Sinks.java:606: apply a per-key
         processor to the current entry given the incoming row.
 
@@ -171,7 +173,7 @@ class Sinks:
         incoming batch; rows it returns replace their keys, keys it omits
         keep their current value.  Same O(changed-buckets) keyed-table
         write path as mapWithMerging."""
-        return Sinks._keyed_merge_sink(path, keys, processor_fn, num_buckets)
+        return Sinks._keyed_merge_sink(path, keys, processor_fn, num_buckets, commit_mode)
 
     @staticmethod
     def socket(host: str, port: int):

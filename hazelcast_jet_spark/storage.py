@@ -76,24 +76,43 @@ class KeyedParquetTable:
     :class:`ConcurrentWriterError`; locks from dead processes are broken
     automatically.
 
-    **Local/HDFS-like filesystems only**: the durability protocol relies
-    on atomic directory ``rename``, which object stores (s3a/gs/abfs —
-    copy+delete) do not provide; such paths are rejected at construction.
-    For object stores use a table format with a transactional commit
-    protocol (Delta/Iceberg) instead of this layout.
+    **Commit modes**:
+
+    - ``commit_mode="rename"`` (default): per-bucket atomic directory
+      renames with manifest roll-forward.  Local/HDFS-like filesystems
+      only — object stores (s3a/gs/abfs — rename is copy+delete) break
+      the swap's atomicity, so such paths are rejected at construction.
+    - ``commit_mode="manifest"``: NO renames — each batch writes immutable
+      files under ``_data/batch-<id>/`` and commits by atomically writing
+      ``_manifests/manifest-<version>.json`` mapping each bucket to the
+      batch directory holding its current content (the Delta/Iceberg
+      commit pattern).  Readers resolve the highest manifest version; a
+      crash before the manifest write leaves only an orphan batch dir that
+      the next commit garbage-collects, so recovery is a no-op.  The
+      protocol needs only atomic single-file put + list (which object
+      stores provide); the IO here is ``os.*`` (this container has no
+      object-store client), isolated in ``_put_json``/``_list_dir`` so a
+      storage client can drop in.  On an object store also configure a
+      direct/"magic" output committer for the batch-dir parquet write —
+      the default FileOutputCommitter renames task files (inside the
+      not-yet-committed batch dir, so correctness holds, but slowly).
     """
 
-    def __init__(self, path: str, key_cols: list[str], num_buckets: int = 64):
+    def __init__(self, path: str, key_cols: list[str], num_buckets: int = 64,
+                 commit_mode: str = "rename"):
+        if commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
         m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
         if m and m.group(1) not in ("file", "hdfs"):
             raise ValueError(
-                f"KeyedParquetTable requires atomic directory rename; "
-                f"'{m.group(1)}://' paths (object stores) don't provide it — "
-                f"use a transactional table format (Delta/Iceberg) there"
+                f"'{m.group(1)}://' paths need an object-store client for the "
+                f"manifest IO (not available here); the rename mode is ruled "
+                f"out on object stores outright (rename is copy+delete)"
             )
         self.path = path
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
+        self.commit_mode = commit_mode
 
     # -- layout helpers ----------------------------------------------------
 
@@ -115,6 +134,8 @@ class KeyedParquetTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self.num_buckets)).cast("int")
 
     def exists(self) -> bool:
+        if self.commit_mode == "manifest":
+            return self._latest_manifest()[1] is not None
         return os.path.isdir(self.path) and any(
             e.startswith(f"{BUCKET_COL}=") for e in os.listdir(self.path)
         )
@@ -122,11 +143,106 @@ class KeyedParquetTable:
     def _bucket_dir(self, b: int) -> str:
         return os.path.join(self.path, f"{BUCKET_COL}={b}")
 
+    # -- manifest-mode commit protocol (no renames; object-store-safe) -----
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "_data")
+
+    def _list_dir(self, d: str) -> list[str]:
+        try:
+            return sorted(os.listdir(d))
+        except FileNotFoundError:
+            return []
+
+    def _put_json(self, path: str, obj: dict) -> None:
+        """Atomic single-file publish — the only primitive the commit
+        needs (≡ an object-store PUT)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
+    def _latest_manifest(self) -> tuple[int, dict | None]:
+        names = [e for e in self._list_dir(self._manifest_dir())
+                 if re.fullmatch(r"manifest-\d{8}\.json", e)]
+        if not names:
+            return 0, None
+        latest = max(names)
+        with open(os.path.join(self._manifest_dir(), latest)) as f:
+            return int(latest[9:17]), json.load(f)
+
+    def _write_batch_files(self, df: DataFrame, n_parts: int) -> tuple[str, list[int]]:
+        """Write one immutable batch directory; return (batch id, buckets
+        that got data files)."""
+        batch = f"batch-{uuid.uuid4().hex}"
+        out = os.path.join(self._data_dir(), batch)
+        (
+            df.withColumn(BUCKET_COL, self.bucket_of(df))
+            .repartition(n_parts, F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(out)
+        )
+        with_data = sorted(
+            int(e.split("=", 1)[1]) for e in self._list_dir(out)
+            if e.startswith(f"{BUCKET_COL}=")
+        )
+        return batch, with_data
+
+    def _commit_manifest(self, version: int, manifest: dict) -> None:
+        """Publish manifest ``version`` (THE commit point), then garbage-
+        collect: batch dirs unreferenced by the two newest manifests (covers
+        in-flight readers of the previous version and orphans from crashed
+        attempts), manifests beyond the newest five."""
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        self._put_json(
+            os.path.join(self._manifest_dir(), f"manifest-{version:08d}.json"),
+            manifest,
+        )
+        names = [e for e in self._list_dir(self._manifest_dir())
+                 if re.fullmatch(r"manifest-\d{8}\.json", e)]
+        names.sort()
+        for e in names[:-5]:
+            try:
+                os.unlink(os.path.join(self._manifest_dir(), e))
+            except FileNotFoundError:
+                pass
+        referenced: set[str] = set()
+        for e in names[-2:]:
+            try:
+                with open(os.path.join(self._manifest_dir(), e)) as f:
+                    referenced.update(json.load(f)["buckets"].values())
+            except FileNotFoundError:
+                pass
+        for d in self._list_dir(self._data_dir()):
+            if d.startswith("batch-") and d not in referenced:
+                shutil.rmtree(os.path.join(self._data_dir(), d), ignore_errors=True)
+
     # -- read --------------------------------------------------------------
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
         """Read the table (optionally only the given buckets — partition
-        pruning keeps the scan at O(buckets), verified in tests)."""
+        pruning keeps the scan at O(buckets), verified in tests).  In
+        manifest mode pruning is path selection: unrequested buckets'
+        files are never even listed."""
+        if self.commit_mode == "manifest":
+            _, man = self._latest_manifest()
+            if man is None:
+                raise FileNotFoundError(f"no committed manifest under {self.path}")
+            sel = (sorted(man["buckets"]) if buckets is None
+                   else [str(int(b)) for b in buckets])
+            paths = [
+                os.path.join(self._data_dir(), man["buckets"][b], f"{BUCKET_COL}={b}")
+                for b in sel if b in man["buckets"]
+            ]
+            if not paths:
+                from pyspark.sql.types import StructType
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(man["schema"])))
+            return spark.read.parquet(*paths)
         df = spark.read.option("basePath", self.path).parquet(self.path)
         if buckets is not None:
             df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
@@ -177,6 +293,15 @@ class KeyedParquetTable:
         self._acquire_lock()
         try:
             self._recover()
+            if self.commit_mode == "manifest":
+                batch, with_data = self._write_batch_files(df, self.num_buckets)
+                v, _ = self._latest_manifest()
+                self._commit_manifest(v + 1, {
+                    "version": v + 1,
+                    "schema": df.schema.json(),
+                    "buckets": {str(b): batch for b in with_data},
+                })
+                return
             (
                 df.withColumn(BUCKET_COL, self.bucket_of(df))
                 .repartition(self.num_buckets, F.col(BUCKET_COL))
@@ -230,6 +355,21 @@ class KeyedParquetTable:
                 "left_anti",
             ).unionByName(upserts.select(*current.columns))
 
+            if self.commit_mode == "manifest":
+                batch, with_data = self._write_batch_files(merged, len(bks))
+                prev_v, prev = self._latest_manifest()
+                buckets_map = dict(prev["buckets"])
+                for b in bks:
+                    buckets_map.pop(str(b), None)  # delete-emptied buckets drop out
+                for b in with_data:
+                    buckets_map[str(b)] = batch
+                self._commit_manifest(prev_v + 1, {
+                    "version": prev_v + 1,
+                    "schema": prev["schema"],
+                    "buckets": buckets_map,
+                })
+                return bks
+
             staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
             (
                 merged.withColumn(BUCKET_COL, self.bucket_of(merged))
@@ -282,8 +422,11 @@ class KeyedParquetTable:
         rolled forward (the batch committed — finish its swap); one without
         is discarded (the batch never committed — pre-batch state stands).
         Leftover trash dirs from the pre-manifest protocol are restored for
-        live-missing buckets, then removed."""
-        if not os.path.isdir(self.path):
+        live-missing buckets, then removed.
+
+        Manifest mode needs none of this: a crash leaves at most an orphan
+        batch dir that the next _commit_manifest garbage-collects."""
+        if self.commit_mode == "manifest" or not os.path.isdir(self.path):
             return
         for entry in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, entry)

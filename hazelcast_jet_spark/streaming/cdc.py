@@ -48,7 +48,8 @@ def parse_debezium(df: DataFrame, payload_schema: str, value_col: str = "value")
 
 
 def cdc_apply(changes: DataFrame, table_path: str, key_cols: list[str],
-              checkpoint: str | None = None, num_buckets: int = 64):
+              checkpoint: str | None = None, num_buckets: int = 64,
+              commit_mode: str = "rename"):
     """Apply a stream of ChangeRecords to a keyed parquet table —
     ``CdcSinks.map(name, keyFn, valueFn)`` (CdcSinks.java): last-writer-
     wins upsert, DELETE removes the key.
@@ -67,7 +68,7 @@ def cdc_apply(changes: DataFrame, table_path: str, key_cols: list[str],
 
     from hazelcast_jet_spark.storage import KeyedParquetTable
 
-    table = KeyedParquetTable(table_path, key_cols, num_buckets)
+    table = KeyedParquetTable(table_path, key_cols, num_buckets, commit_mode=commit_mode)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy(*key_cols).orderBy(F.col("ts_ms").desc())

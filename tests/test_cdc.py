@@ -298,11 +298,11 @@ def test_keyed_table_batch_atomicity_roll_forward(spark, tmp_path):
 
 def test_keyed_table_rejects_object_store_paths():
     """The rename-based swap protocol is not atomic on object stores; such
-    paths must fail fast with a pointer to transactional formats."""
+    paths must fail fast with a pointer to the manifest commit mode."""
     from hazelcast_jet_spark.storage import KeyedParquetTable
 
     for scheme in ("s3a", "s3", "gs", "abfs", "wasbs"):
-        with pytest.raises(ValueError, match="Delta/Iceberg"):
+        with pytest.raises(ValueError, match="object-store"):
             KeyedParquetTable(f"{scheme}://bucket/tbl", ["id"])
     # local and HDFS-like paths stay accepted
     KeyedParquetTable("/tmp/x", ["id"])

@@ -364,6 +364,25 @@ class StageWithKey:
             map_stateful_batch(self.stage.df, self.keys, fn, schema, order_col)
         )
 
+    def filter_stateful(self, pred_fn: Callable,
+                        order_col: str | None = None) -> GeneralStage:
+        """Keyed filterStateful — GeneralStage.java:188: ``pred_fn(pdf) ->
+        pdf-subset`` returns the rows of one key to keep (stateful
+        predicate over the key's history, e.g. first-occurrence dedup)."""
+        from hazelcast_jet_spark.streaming.stateful import filter_stateful_batch
+        return self.stage._wrap(
+            filter_stateful_batch(self.stage.df, self.keys, pred_fn, order_col)
+        )
+
+    def flat_map_stateful(self, fn: Callable, schema,
+                          order_col: str | None = None) -> GeneralStage:
+        """Keyed flatMapStateful — GeneralStage.java:226: 0..n output rows
+        per input, driven by per-key state; output schema is the fn's."""
+        from hazelcast_jet_spark.streaming.stateful import flat_map_stateful_batch
+        return self.stage._wrap(
+            flat_map_stateful_batch(self.stage.df, self.keys, fn, schema, order_col)
+        )
+
     def window(self, wdef: WindowDefinition) -> "StageWithKeyAndWindow":
         """StageWithKeyAndWindow — StageWithKeyAndWindow.java:53."""
         return StageWithKeyAndWindow(self.stage, self.keys, wdef)

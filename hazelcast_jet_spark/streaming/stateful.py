@@ -54,6 +54,28 @@ def map_stateful_batch_global(df: DataFrame, fn: Callable, schema,
     return tagged.groupBy("__g").applyInPandas(run, schema)
 
 
+def filter_stateful_batch(df: DataFrame, keys: list, pred_fn: Callable,
+                          order_col: str | None = None) -> DataFrame:
+    """Keyed filterStateful (GeneralStage.java:188; StreamStageWithKey
+    filterStateful): keep the rows a stateful predicate passes.
+
+    ``pred_fn(pdf) -> pdf-subset`` sees one key's rows in ``order_col``
+    order and returns the rows to KEEP (same columns) — e.g. "first
+    occurrence per key", "rows whose value exceeds the running max".
+    Output schema is the input schema by construction.
+    """
+    return map_stateful_batch(df, keys, pred_fn, df.schema, order_col)
+
+
+def flat_map_stateful_batch(df: DataFrame, keys: list, fn: Callable, schema,
+                            order_col: str | None = None) -> DataFrame:
+    """Keyed flatMapStateful (GeneralStage.java:226): 0..n output rows per
+    input row, driven by per-key state — same applyInPandas shape as
+    mapStateful but the output schema (and row count) is the caller's.
+    """
+    return map_stateful_batch(df, keys, fn, schema, order_col)
+
+
 def map_stateful_stream(df: DataFrame, keys: list[str], fn: Callable,
                         output_schema, state_schema,
                         ttl: str | None = None,

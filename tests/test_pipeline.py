@@ -117,6 +117,47 @@ def test_map_stateful_batch_keyed(spark):
     assert got == {1: "a", 2: "z"}
 
 
+def test_filter_stateful_batch_keyed(spark):
+    """filterStateful (GeneralStage.java:188): keep rows above the key's
+    running max — a predicate over per-key history."""
+    import pandas as pd
+
+    def new_highs(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[pdf["v"] > pdf["v"].cummax().shift(fill_value=-1 << 62)]
+
+    rows = [(1, 5, 1), (1, 3, 2), (1, 7, 3), (2, 1, 1), (2, 1, 2)]
+    out = (
+        Pipeline.create(spark)
+        .read_from(TestSources.items(rows, "k long, v long, t long"))
+        .grouping_key("k")
+        .filter_stateful(new_highs, order_col="t")
+        .write_to(Sinks.observable())
+    )
+    got = sorted((r["k"], r["v"]) for r in out)
+    assert got == [(1, 5), (1, 7), (2, 1)]
+
+
+def test_flat_map_stateful_batch_keyed(spark):
+    """flatMapStateful (GeneralStage.java:226): emit per-key deltas —
+    n inputs → n-1 outputs, schema changed."""
+    import pandas as pd
+
+    def deltas(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["v"].diff().dropna()
+        return pd.DataFrame({"k": pdf["k"].iloc[1:], "delta": d.astype("int64")})
+
+    rows = [(1, 10, 1), (1, 13, 2), (1, 11, 3), (2, 5, 1)]
+    out = (
+        Pipeline.create(spark)
+        .read_from(TestSources.items(rows, "k long, v long, t long"))
+        .grouping_key("k")
+        .flat_map_stateful(deltas, "k long, delta long", order_col="t")
+        .write_to(Sinks.observable())
+    )
+    got = sorted((r["k"], r["delta"]) for r in out)
+    assert got == [(1, -2), (1, 3)]
+
+
 def test_global_aggregate_stage(spark):
     p = Pipeline.create(spark)
     out = (

@@ -1118,6 +1118,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (training-data mix
+    balancing; operators/sampling.py): md5-keyed membership — map-only,
+    reproducible, partitioning-independent, oracle-identical."""
+    from hazelcast_jet_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, key_col="doc_id", stratum_col="lang",
+        rates={"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5},
+        default_rate=0.1, seed="s42-",
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic reservoir per stratum (operators/
+    sampling.reservoir_sample): 5 uniform events per event_type, ranked
+    by key hash — one shuffle on the stratum."""
+    from hazelcast_jet_spark.operators.sampling import reservoir_sample
+
+    e = _t(spark, sf_dir, "events")
+    out = reservoir_sample(e, k=5, key_col="event_id",
+                           stratum_col="event_type", seed="r7-")
+    return out.select("event_type", "event_id", "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1164,6 +1191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
         "tfidf_top_terms": tfidf_top_terms,
+        "stratified_sample_docs": stratified_sample_docs,
+        "reservoir_sample_events": reservoir_sample_events,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1680,6 +1709,30 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE substr(md5('s42-' || CAST(doc_id AS VARCHAR)), 1, 6) <
+                  CASE lang
+                      WHEN 'en' THEN '400000'
+                      WHEN 'de' THEN 'cccccc'
+                      WHEN 'fr' THEN 'cccccc'
+                      WHEN 'es' THEN '800000'
+                      WHEN 'zh' THEN '800000'
+                      ELSE '199999'
+                  END
+        """,
+        "reservoir_sample_events": """
+            SELECT event_type, event_id, user_id
+            FROM (
+                SELECT event_type, event_id, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5('r7-' || CAST(event_id AS VARCHAR)),
+                                    event_id) AS rn
+                FROM events
+            ) WHERE rn <= 5
         """,
         "tfidf_top_terms": r"""
             WITH norm AS (

@@ -1,0 +1,82 @@
+"""Deterministic sampling for training-data pipelines (no reference
+analog — Jet has no sampling operators; extension alongside dedup/
+similarity per the Phase-5 brief).
+
+Everything here is *deterministic and engine-portable*: the sampling
+decision is a pure function of the row key via md5 (not Spark's
+``rand()``/``TABLESAMPLE``, whose streams are engine- and
+partitioning-dependent), so
+
+- re-running the pipeline reproduces the same sample (training-data
+  lineage),
+- adding executors / repartitioning does not change membership,
+- a DuckDB/Trino oracle running the same SQL selects the same rows.
+
+Mechanics: ``md5(seed || key)`` is uniform on [0, 16^6) over its first 6
+hex chars; keeping rows whose prefix sorts below ``hex(rate * 16^6)``
+keeps an expected ``rate`` fraction.  String comparison on the hex
+prefix is identical in every engine (ASCII order).  All map-only — no
+shuffle, no driver round-trip; the filter pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 6
+_SPACE = 16 ** _HEX_DIGITS
+
+
+def _hash_prefix(key: Column, seed: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_DIGITS)
+
+
+def _threshold_hex(rate: float) -> str:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _SPACE), _SPACE - 1), f"0{_HEX_DIGITS}x")
+
+
+def deterministic_sample(df: DataFrame, rate: float, key_col: str,
+                         seed: str = "s0") -> DataFrame:
+    """Keep an expected ``rate`` fraction of rows, decided per-key by
+    hash — map-only, reproducible, partitioning-independent."""
+    return df.filter(
+        _hash_prefix(F.col(key_col), seed) < F.lit(_threshold_hex(rate))
+    )
+
+
+def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: str = "s0") -> DataFrame:
+    """Per-stratum sampling rates (e.g. downsample boilerplate 'web'
+    docs to 1%, keep 'books' at 50%) — the class-balancing primitive of
+    a training-data mix.  Still map-only: the stratum→threshold map
+    compiles to a CASE expression, no join."""
+    thr = F.lit(_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(_threshold_hex(rate))).otherwise(thr)
+    return df.filter(_hash_prefix(F.col(key_col), seed) < thr)
+
+
+def reservoir_sample(df: DataFrame, k: int, key_col: str,
+                     stratum_col: str | None = None,
+                     seed: str = "s0") -> DataFrame:
+    """Exactly-k uniform sample (per stratum, if given) — deterministic
+    reservoir: rank rows by their key hash and keep the k smallest.
+    One shuffle on the stratum; with no stratum a two-level rank (local
+    top-k per partition would also work, Spark's TakeOrderedAndProject
+    already does that for the global case)."""
+    order = (F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))),
+             F.col(key_col))  # hash ties broken by key: total order
+    if stratum_col is None:
+        w = Window.orderBy(*order)
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        df.withColumn("__rs", F.row_number().over(w))
+        .filter(F.col("__rs") <= k)
+        .drop("__rs")
+    )

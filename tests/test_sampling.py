@@ -1,0 +1,72 @@
+"""Deterministic sampling operators (training-data pipeline extension —
+no Jet analog; operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators.sampling import (
+    deterministic_sample,
+    reservoir_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("stratum"),
+    )
+
+
+def test_deterministic_sample_rate_and_stability(spark, docs):
+    s1 = deterministic_sample(docs, 0.3, "doc_id", seed="a")
+    n = s1.count()
+    assert 0.25 * 2000 < n < 0.35 * 2000  # ~binomial around 600
+    # same seed → identical membership, regardless of partitioning
+    s2 = deterministic_sample(docs.repartition(13), 0.3, "doc_id", seed="a")
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect())
+    # different seed → different membership
+    s3 = deterministic_sample(docs, 0.3, "doc_id", seed="b")
+    assert {r.doc_id for r in s3.collect()} != {r.doc_id for r in s1.collect()}
+
+
+def test_deterministic_sample_is_subset_monotone(spark, docs):
+    """rate r1 < r2 ⇒ sample(r1) ⊆ sample(r2) (threshold semantics) —
+    lets a pipeline grow a sample without resampling everything."""
+    small = {r.doc_id for r in deterministic_sample(docs, 0.1, "doc_id").collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, 0.4, "doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_rates(spark, docs):
+    out = stratified_sample(
+        docs, "doc_id", "stratum",
+        rates={"0": 1.0, "1": 0.5, "2": 0.0}, default_rate=0.1,
+    ).groupBy("stratum").count().collect()
+    got = {r.stratum: r["count"] for r in out}
+    assert got["0"] == 500               # rate 1.0 keeps everything
+    assert 200 < got["1"] < 300          # ~250
+    assert "2" not in got                # rate 0 drops the stratum
+    assert 20 < got["3"] < 90            # default 0.1 ≈ 50
+
+
+def test_stratified_is_map_only(spark, docs):
+    plan = stratified_sample(
+        docs, "doc_id", "stratum", rates={"0": 0.5}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter, no shuffle/join
+
+
+def test_reservoir_exact_k_per_stratum(spark, docs):
+    out = reservoir_sample(docs, 7, "doc_id", stratum_col="stratum")
+    counts = {r.stratum: r["count"] for r in out.groupBy("stratum").count().collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7, "3": 7}
+    # deterministic under repartitioning
+    again = reservoir_sample(docs.repartition(17), 7, "doc_id", stratum_col="stratum")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_reservoir_global(spark, docs):
+    assert reservoir_sample(docs, 11, "doc_id").count() == 11

@@ -71,3 +71,76 @@ def match_sequence(
         .filter(F.col("__match"))
         .drop("__match")
     )
+
+
+def match_sequence_stream(
+    df,
+    pattern: list[str],
+    key: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming :func:`match_sequence` — the shape the reference example
+    actually runs (a live event stream folded through a per-key state
+    machine).  ``applyInPandasWithState`` holds the last ``k-1`` events
+    per key (bounded state: k-1 tuples per key, independent of stream
+    length) and emits a match row whenever the window of the newest k
+    events equals the pattern.
+
+    Same output schema and rows as the batch operator given the same
+    (per-key time-ordered) input: micro-batch boundaries don't matter
+    because the cross-boundary tail lives in state.  Input must arrive
+    per-key time-ordered (true for a keyed journal / CDC feed; otherwise
+    add_timestamps + a window sort upstream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    k = len(pattern)
+    within_us = None
+    if within is not None:
+        n, unit = within.split()
+        within_us = int(float(n) * {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                                    "DAY": 86400}[unit.upper().rstrip("S")] * 1_000_000)
+
+    dt = dict(df.dtypes)
+    out_schema = (f"{key} {dt[key]}, start_{id_col} {dt[id_col]}, "
+                  f"start_{time_col} {dt[time_col]}, "
+                  f"end_{id_col} {dt[id_col]}, end_{time_col} {dt[time_col]}")
+    # timestamps live in state as integer MICROseconds (Timestamp.value is
+    # ns): a float-epoch round trip leaves ns residue that Arrow refuses
+    # to truncate back to timestamp[us] on output
+    state_schema = "ids array<long>, tss array<long>, types array<string>"
+
+    def fn(key_tuple, pdf_iter, state):
+        if state.exists:
+            ids, tss, types = state.get
+            ids, tss, types = list(ids), list(tss), list(types)
+        else:
+            ids, tss, types = [], [], []
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time_col, id_col])
+            for _, r in pdf.iterrows():
+                ids.append(int(r[id_col]))
+                tss.append(int(r[time_col].value) // 1000)
+                types.append(str(r[type_col]))
+                if len(ids) > k:
+                    ids.pop(0); tss.pop(0); types.pop(0)
+                if len(ids) == k and types == pattern:
+                    if within_us is None or tss[-1] <= tss[0] + within_us:
+                        rows.append((key_tuple[0], ids[0],
+                                     pd.Timestamp(tss[0] * 1000),
+                                     ids[-1], pd.Timestamp(tss[-1] * 1000)))
+        state.update((ids[-(k - 1):], tss[-(k - 1):], types[-(k - 1):]))
+        cols = [key, f"start_{id_col}", f"start_{time_col}",
+                f"end_{id_col}", f"end_{time_col}"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

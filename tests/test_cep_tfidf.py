@@ -52,6 +52,54 @@ def test_match_sequence_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1  # only the keyed window
 
 
+def test_match_sequence_stream_equals_batch(spark, tmp_path):
+    """The streaming state machine (the reference example's actual shape)
+    emits exactly the batch operator's matches, across micro-batch
+    boundaries: the cross-boundary tail lives in per-key state."""
+    import json
+
+    from hazelcast_jet_spark.operators.cep import match_sequence_stream
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    rows = [
+        (0, 1, "2024-01-01 09:00:00", "view"),
+        (1, 1, "2024-01-01 10:00:00", "click"),     # completes in file 2
+        (2, 2, "2024-01-01 09:00:00", "view"),
+        (3, 1, "2024-01-01 11:00:00", "purchase"),  # file 2: match for user 1
+        (4, 2, "2024-01-01 12:00:00", "click"),
+        (5, 2, "2024-01-02 13:00:00", "purchase"),  # match but spans > 1 day
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for fname, chunk in [("a.json", rows[:3]), ("b.json", rows[3:])]:
+        with open(src / fname, "w") as f:
+            for eid, uid, ts, ty in chunk:
+                f.write(json.dumps({"event_id": eid, "user_id": uid,
+                                    "ts": ts, "event_type": ty}) + "\n")
+    schema = ("event_id long, user_id long, ts timestamp_ntz, "
+              "event_type string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force the cross-batch boundary
+        .json(str(src))
+    )
+    got = run_to_batch(
+        match_sequence_stream(stream, ["view", "click", "purchase"],
+                              within="1 DAY"),
+        "append",
+    ).collect()
+
+    batch = match_sequence(
+        spark.createDataFrame(
+            [(e, u, datetime.fromisoformat(t), y) for e, u, t, y in rows], schema
+        ),
+        ["view", "click", "purchase"], within="1 DAY",
+    ).collect()
+
+    key = lambda r: (r.user_id, r.start_event_id, r.end_event_id)
+    assert sorted(map(key, got)) == sorted(map(key, batch)) == [(1, 0, 3)]
+
+
 def test_tf_idf_values(spark):
     df = spark.createDataFrame(
         [(1, "cat dog"), (2, "cat cat fish"), (3, "bird")],

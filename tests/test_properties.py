@@ -111,3 +111,48 @@ def test_keyed_table_matches_dict_model(spark, tmp_path_factory, batches):
                 model[k] = v
     got = {r["id"]: r["v"] for r in t.read(spark).collect()} if t.exists() else {}
     assert got == model
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(0, 3),              # user
+              st.integers(0, 48),             # hour offset
+              st.sampled_from(["a", "b", "c"])),  # event type
+    min_size=0, max_size=50,
+)
+
+
+@given(events=EVENTS, pattern=st.lists(st.sampled_from(["a", "b", "c"]),
+                                       min_size=2, max_size=4),
+       within_hours=st.one_of(st.none(), st.integers(1, 24)))
+@SLOW
+def test_match_sequence_matches_python_model(spark, events, pattern, within_hours):
+    """CEP strict-contiguity matcher agrees with an independent
+    pure-Python scan over arbitrary event sequences and patterns."""
+    from datetime import datetime, timedelta
+
+    from hazelcast_jet_spark.operators.cep import match_sequence
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, u, base + timedelta(hours=h), t)
+            for i, (u, h, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    got = {(r.user_id, r.start_event_id, r.end_event_id)
+           for r in match_sequence(
+               df, list(pattern),
+               within=f"{within_hours} HOUR" if within_hours else None).collect()}
+
+    # independent model: sort per user by (ts, id), scan windows of k
+    model = set()
+    k = len(pattern)
+    by_user: dict[int, list] = {}
+    for eid, u, ts, t in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for i in range(len(evs) - k + 1):
+            win = evs[i:i + k]
+            if [e[2] for e in win] == list(pattern):
+                if within_hours is None or win[-1][0] <= win[0][0] + timedelta(hours=within_hours):
+                    model.add((u, win[0][1], win[-1][1]))
+    assert got == model

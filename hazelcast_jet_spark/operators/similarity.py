@@ -292,6 +292,61 @@ def ivf_assign(corpus: DataFrame, centroids: list[list[float]],
     )
 
 
+def ivf_build_index(corpus: DataFrame, centroids: list[list[float]], path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF assignment partitioned BY centroid_id — the
+    100 TB shape the :func:`ivf_topk` docstring promises: once on disk,
+    a probe reads only nprobe/k_centroids of the data (real partition
+    pruning, pinned in tests), and queries never pay the assignment scan
+    again."""
+    (
+        ivf_assign(corpus, centroids, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame,
+                     centroids: list[list[float]], k: int = 5, nprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF index (:func:`ivf_build_index`): the union of
+    the queries' nprobe centroid ids prunes the scan to those partitions
+    (one bounded driver-side collect of ≤ k_centroids ids — never data),
+    then the same broadcast-probe + exact re-rank as :func:`ivf_topk`."""
+    v = F.col(vec_col).cast("array<double>")
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qvec"),
+        F.posexplode(_centroid_dists(v, centroids)).alias("cidx", "dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cidx").asc())
+    probe = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qvec", (F.col("cidx") + 1).alias("centroid_id"))
+    )
+    probed_ids = sorted({r.centroid_id for r in probe.select("centroid_id").distinct().collect()})
+    assigned = (
+        spark.read.option("basePath", path).parquet(path)
+        .filter(F.col("centroid_id").isin(probed_ids))
+        .select(F.col(id_col).alias("corpus_id"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+                "centroid_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id",
+                _cosine6_udf()(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
              k: int = 5, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

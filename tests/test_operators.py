@@ -341,3 +341,30 @@ def test_asof_join_backward(spark):
     right2 = right.withColumnRenamed("px", "who")
     cols = asof_join(left, right2, "k", "t").columns
     assert "asof_who" in cols and cols.count("who") == 1
+
+
+def test_ivf_persisted_index_matches_and_prunes(spark, tmp_path, sf_dir):
+    """ivf_build_index + ivf_topk_indexed: same results as the in-memory
+    probe path, and the scan reads ONLY the probed centroid partitions
+    (the 100 TB pruning shape the ivf_topk docstring promises)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_build_index, ivf_topk, ivf_topk_indexed)
+
+    e = entry_mod._t(spark, sf_dir, "embeddings")
+    cents = entry_mod._ivf_centroids()
+    q = e.filter(F.col("vec_id") < 3)
+
+    path = str(tmp_path / "ivf_index")
+    ivf_build_index(e, cents, path)
+
+    indexed = ivf_topk_indexed(spark, path, q, cents, k=5, nprobe=2)
+    direct = ivf_topk(e, q, cents, k=5, nprobe=2)
+    key = lambda r: (r.query_id, r.rank, r.corpus_id, r.cos_sim)
+    assert sorted(map(key, indexed.collect())) == sorted(map(key, direct.collect()))
+
+    # pruning: the index scan carries a partition filter on centroid_id
+    # (inputFiles() lists pre-pruning files, so inspect the physical scan)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]

@@ -1145,6 +1145,73 @@ def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "event_id", "user_id")
 
 
+def nexmark_q8_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q8 shape (monitor new users: persons ⨝ auctions in a
+    window) on a REAL stream-stream join: each user's signup events
+    joined to their purchases within 12 hours after signup — event-time
+    interval join (Spark extension; the reference has no stream-stream
+    join).  No watermark: TIMESTAMP_NTZ event time can't carry one, and
+    under availableNow on bounded input none is needed (state is dropped
+    when the run completes); an unbounded deployment would keep ts as
+    TIMESTAMP and add watermarks on both legs for state cleanup.  Result
+    is micro-batch-independent: inner interval joins emit exactly the
+    rows the batch join would."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 12 HOUR")),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_batch(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        F.col("s_user").alias("user_id"), "s_id", "p_id",
+        F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered semi-join of
+    a grouped fact against itself — the aggregate-then-join-back
+    pattern.  The qualifying-orders set is tiny → broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey").agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+        .select(F.col("l_orderkey").alias("qual_okey"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("qual_okey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1193,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1709,6 +1778,30 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "nexmark_q8_stream_join": """
+            SELECT s.user_id,
+                   s.event_id AS s_id,
+                   p.event_id AS p_id,
+                   strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+            FROM events s JOIN events p
+              ON s.user_id = p.user_id
+             AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 12 HOUR
+            WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        """,
+        "tpch_q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem GROUP BY 1
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250)
+            GROUP BY 1, 2, 3, 4, 5
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang, source, n_chars

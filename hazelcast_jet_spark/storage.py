@@ -192,6 +192,43 @@ class KeyedParquetTable:
         )
         return batch, with_data
 
+    def history(self) -> list[dict]:
+        """Retained manifest versions, oldest first (manifest mode only) —
+        the table's commit log."""
+        if self.commit_mode != "manifest":
+            raise ValueError("history() requires commit_mode='manifest'")
+        out = []
+        for e in self._list_dir(self._manifest_dir()):
+            if re.fullmatch(r"manifest-\d{8}\.json", e):
+                with open(os.path.join(self._manifest_dir(), e)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["version"])
+
+    def compact(self, spark: SparkSession) -> None:
+        """Rewrite the whole table as ONE batch directory and commit
+        (manifest mode only) — the OPTIMIZE step for streaming ingest,
+        where every micro-batch adds a batch dir with O(changed-buckets)
+        small files.  Readers are never blocked: compaction is just
+        another commit, and the GC grace window covers in-flight reads
+        of the pre-compaction version."""
+        if self.commit_mode != "manifest":
+            raise ValueError("compact() requires commit_mode='manifest'")
+        self._acquire_lock()
+        try:
+            v, man = self._latest_manifest()
+            if man is None or not man["buckets"]:
+                return
+            batch, with_data = self._write_batch_files(
+                self.read(spark), self.num_buckets)
+            self._commit_manifest(v + 1, {
+                "version": v + 1,
+                "schema": man["schema"],
+                "buckets": {str(b): batch for b in with_data},
+                "compacted": True,
+            })
+        finally:
+            self._release_lock()
+
     def _commit_manifest(self, version: int, manifest: dict) -> None:
         """Publish manifest ``version`` (THE commit point), then garbage-
         collect: batch dirs unreferenced by the two newest manifests (covers

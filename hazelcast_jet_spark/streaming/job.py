@@ -81,7 +81,16 @@ class Job:
         target = os.path.join(os.path.dirname(self.checkpoint_dir.rstrip("/")),
                               f"snapshot__{name}")
         shutil.rmtree(target, ignore_errors=True)
-        shutil.copytree(self.checkpoint_dir, target)
+        # ignore in-flight temp files: the stopped query's executor threads
+        # may still be cleaning `.tmp` spill/commit files, which would make
+        # copytree race a vanishing file (.tmp files are not part of the
+        # committed checkpoint state)
+        ignore = shutil.ignore_patterns(".*.tmp", "*.tmp")
+        try:
+            shutil.copytree(self.checkpoint_dir, target, ignore=ignore)
+        except shutil.Error:
+            shutil.rmtree(target, ignore_errors=True)
+            shutil.copytree(self.checkpoint_dir, target, ignore=ignore)
         return target
 
     @staticmethod

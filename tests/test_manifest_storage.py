@@ -125,3 +125,22 @@ def test_manifest_sink_integration(spark, tmp_path):
     sink(_mk(spark, [(2, "B"), (3, "c")]))
     t = KeyedParquetTable(path, ["id"], 4, commit_mode="manifest")
     assert _state(spark, t) == {1: "a", 2: "B", 3: "c"}
+
+
+def test_manifest_compact_folds_batch_dirs(spark, table):
+    """compact(): many per-batch dirs fold into one; state unchanged;
+    history records the compaction commit."""
+    table.overwrite(_mk(spark, [(1, "a"), (2, "b")]))
+    for i in range(4):
+        table.apply(_mk(spark, [(10 + i, f"v{i}")]),
+                    _mk(spark, [(10 + i, "x")]).select("id"))
+    before = _state(spark, table)
+    table.compact(spark)
+    assert _state(spark, table) == before
+    _, man = table._latest_manifest()
+    assert man.get("compacted") and len(set(man["buckets"].values())) == 1
+    # one more commit GCs the pre-compaction dirs past the grace window
+    table.apply(_mk(spark, [(99, "z")]), _mk(spark, [(99, "z")]).select("id"))
+    live = set(os.listdir(table._data_dir()))
+    assert len(live) <= 3
+    assert table.history()[-1]["version"] == table._latest_manifest()[0]

@@ -1212,6 +1212,68 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cep_stream_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING event-sequence match (operators/cep.match_sequence_stream
+    — the applyInPandasWithState per-key state machine, the reference
+    example's actual shape): signup immediately followed by purchase
+    within 1 day, on a real stream.  Emits the same rows as the batch
+    lead()-window operator (the oracle)."""
+    from hazelcast_jet_spark.operators.cep import match_sequence_stream
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    e = read_stream_table(spark, sf_dir, "events")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_batch(
+            match_sequence_stream(e, ["signup", "purchase"], within="1 DAY"),
+            "append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        "user_id", "start_event_id", "end_event_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+    )
+
+
+def nexmark_q4_avg_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q4 shape (average closing price per category): per-user
+    max purchase value in each 6-hour window, averaged per event-type-
+    category — windowed agg feeding a second agg."""
+    e = _t(spark, sf_dir, "events")
+    closing = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(F.window("ts", "6 hours"), "event_type", "user_id")
+        .agg(F.max("value").alias("close_max"))
+    )
+    return (
+        closing.groupBy("event_type")
+        .agg(dsum("close_max").alias("sum_close"),
+             F.count(F.lit(1)).alias("n_windows"))
+        .select("event_type", "sum_close", "n_windows")
+    )
+
+
+def nexmark_q7_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q7 (highest bid per period): the max-value event of every
+    1-hour window, with ties broken by event_id — windowed max + join
+    back, the classic argmax-in-window."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.window("ts", "1 hour")).orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format(F.window("ts", "1 hour").start,
+                          "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_id", "user_id", "value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1262,6 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
+        "cep_stream_match": cep_stream_match,
+        "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
+        "nexmark_q7_window_max": nexmark_q7_window_max,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1778,6 +1843,49 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "cep_stream_match": """
+            WITH seq AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_id, 1)   OVER w AS eid1,
+                       lead(ts, 1)         OVER w AS ts1
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   event_id AS start_event_id,
+                   eid1     AS end_event_id,
+                   strftime(ts,  '%Y-%m-%d %H:%M:%S') AS start_ts,
+                   strftime(ts1, '%Y-%m-%d %H:%M:%S') AS end_ts
+            FROM seq
+            WHERE event_type = 'signup' AND t1 = 'purchase'
+              AND ts1 <= ts + INTERVAL 1 DAY
+        """,
+        "nexmark_q4_avg_by_category": """
+            WITH closing AS (
+                SELECT time_bucket(INTERVAL '6 hours', ts) AS wstart,
+                       event_type, user_id, max(value) AS close_max
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY 1, 2, 3
+            )
+            SELECT event_type,
+                   CAST(SUM(CAST(close_max AS DECIMAL(18,6))) AS DOUBLE) AS sum_close,
+                   count(*) AS n_windows
+            FROM closing GROUP BY 1
+        """,
+        "nexmark_q7_window_max": """
+            SELECT window_start, event_id, user_id, value
+            FROM (
+                SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                                '%Y-%m-%d %H:%M:%S') AS window_start,
+                       event_id, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY time_bucket(INTERVAL '1 hour', ts)
+                           ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "nexmark_q8_stream_join": """
             SELECT s.user_id,

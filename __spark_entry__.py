@@ -1274,6 +1274,43 @@ def nexmark_q7_window_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + single
+    aggregate — every predicate pushes into the parquet scan, zero
+    joins, one partial+final agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-aggregate ratio over a
+    fact⨝dim join — part is the broadcast side; the CASE folds into the
+    same partial aggregation pass."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias("promo_rev"),
+            dsum(rev).alias("total_rev"),
+        )
+        .select(
+            "promo_rev", "total_rev",
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1327,6 +1364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_stream_match": cep_stream_match,
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
+        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1843,6 +1882,27 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH j AS (
+                SELECT CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS pr,
+                       l_extendedprice * (1 - l_discount) AS r
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+            )
+            SELECT CAST(SUM(CAST(pr AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+                   CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+                   100.0 * CAST(SUM(CAST(pr AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+            FROM j
         """,
         "cep_stream_match": """
             WITH seq AS (

@@ -292,8 +292,27 @@ class KeyedParquetTable:
     def _lock_path(self) -> str:
         return os.path.join(self.path, ".writer.lock")
 
+    def _check_mode_matches_layout(self) -> None:
+        """Opening a manifest-layout table in rename mode (or vice versa)
+        must fail fast — the writer would otherwise lay a second storage
+        format into the same directory and readers would see neither."""
+        if not os.path.isdir(self.path):
+            return
+        has_manifests = os.path.isdir(self._manifest_dir())
+        has_buckets = any(e.startswith(f"{BUCKET_COL}=")
+                          for e in os.listdir(self.path))
+        if self.commit_mode == "rename" and has_manifests:
+            raise ValueError(
+                f"{self.path} is a manifest-mode table; open it with "
+                f"commit_mode='manifest'")
+        if self.commit_mode == "manifest" and has_buckets:
+            raise ValueError(
+                f"{self.path} is a rename-mode table; open it with "
+                f"commit_mode='rename'")
+
     def _acquire_lock(self) -> None:
         os.makedirs(self.path, exist_ok=True)
+        self._check_mode_matches_layout()
         lock = self._lock_path()
         while True:
             try:

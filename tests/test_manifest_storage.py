@@ -144,3 +144,21 @@ def test_manifest_compact_folds_batch_dirs(spark, table):
     live = set(os.listdir(table._data_dir()))
     assert len(live) <= 3
     assert table.history()[-1]["version"] == table._latest_manifest()[0]
+
+
+def test_mode_layout_mismatch_fails_fast(spark, tmp_path):
+    """A manifest-layout table opened in rename mode (or vice versa) must
+    refuse to write — not lay a second format into the directory."""
+    path = str(tmp_path / "t")
+    m = KeyedParquetTable(path, ["id"], 4, commit_mode="manifest")
+    m.overwrite(_mk(spark, [(1, "a")]))
+    r = KeyedParquetTable(path, ["id"], 4)  # default rename mode
+    with pytest.raises(ValueError, match="manifest-mode table"):
+        r.overwrite(_mk(spark, [(2, "b")]))
+
+    path2 = str(tmp_path / "t2")
+    r2 = KeyedParquetTable(path2, ["id"], 4)
+    r2.overwrite(_mk(spark, [(1, "a")]))
+    m2 = KeyedParquetTable(path2, ["id"], 4, commit_mode="manifest")
+    with pytest.raises(ValueError, match="rename-mode table"):
+        m2.apply(_mk(spark, [(2, "b")]), _mk(spark, [(2, "b")]).select("id"))

@@ -1311,6 +1311,22 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity.quantize_int8):
+    4× smaller vectors for ANN candidate stages; map-only JVM
+    higher-order functions; explicit floor(+0.5) rounding so the oracle
+    agrees bit-for-bit.  Output: per-vector scale + quantized codes."""
+    from hazelcast_jet_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = quantize_int8(F.col("embedding").cast("array<double>"))
+    return e.select(
+        "vec_id",
+        qs["scale"].alias("scale"),
+        F.concat_ws(",", qs["q"]).alias("codes"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1318,9 +1334,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window.  The tail block holds queries with TWO
-    green driver rows (r1 + r2) that rotate out of the window; bench.py still
-    runs every entry, so perf coverage is unaffected by the order.
+    correctness gate's 50-entry window: previously-red fixes first, then
+    entries with fewer than two green driver rows, then everything new this
+    round.  The tail block holds only queries with at least TWO green driver
+    rows, rotated out of the window; bench.py still runs every entry, so perf
+    coverage is unaffected by the order.
     """
     return {
         # -- must-verify: r1 hash-red, fixed but never driver-green since -----
@@ -1366,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+        "embedding_quantize_int8": embedding_quantize_int8,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1882,6 +1901,24 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "embedding_quantize_int8": """
+            WITH m AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS amax
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+                   array_to_string(
+                       CASE WHEN amax = 0
+                            THEN list_transform(e, x -> 0)
+                            ELSE list_transform(e, x ->
+                                 CAST(floor(x * 127.0 / amax + 0.5) AS INT))
+                       END, ',') AS codes
+            FROM m
         """,
         "tpch_q6_forecast_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

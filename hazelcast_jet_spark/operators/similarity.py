@@ -90,6 +90,30 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization of an embedding: ``q_i =
+    floor(x_i * 127 / max|x| + 0.5)`` (explicit floor(+0.5) so every
+    engine rounds identically — no round-half-even ambiguity), plus the
+    reconstruction scale.  4× smaller vectors for ANN candidate stages;
+    pure JVM higher-order functions, map-only.
+
+    Returns a struct ``(q: array<int>, scale: double)`` with
+    ``x_i ≈ q_i * scale``.  Zero vectors quantize to all-zero with
+    scale 0.  (Training-data-pipeline extension; no reference analog.)
+    """
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(amax / F.lit(127.0))
+    q = F.when(amax == 0.0, F.transform(vec, lambda x: F.lit(0))).otherwise(
+        F.transform(vec, lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast("int"))
+    )
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dequantize_int8(qstruct: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<double>`` ≈ original."""
+    return F.transform(qstruct["q"], lambda q: q.cast("double") * qstruct["scale"])
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(vec · plane_i).
     Planes are fixed literals (deterministic, seedable by caller)."""

@@ -368,3 +368,27 @@ def test_ivf_persisted_index_matches_and_prunes(spark, tmp_path, sf_dir):
     # (inputFiles() lists pre-pruning files, so inspect the physical scan)
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_quantize_int8_round_trip(spark):
+    """int8 quantization: codes in [-127,127], reconstruction error
+    bounded by scale/2 per element, zero vector → zeros with scale 0."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [-2.0, 2.0, 1.99])],
+        "id long, v array<double>",
+    )
+    out = df.select(
+        "id", "v",
+        quantize_int8(F.col("v")).alias("qs"),
+    ).select("id", "v", "qs", dequantize_int8(F.col("qs")).alias("r")).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[2].qs.q == [0, 0, 0] and by_id[2].qs.scale == 0.0
+    for rid in (1, 3):
+        r = by_id[rid]
+        assert all(-127 <= q <= 127 for q in r.qs.q)
+        assert max(abs(q) for q in r.qs.q) == 127  # max element saturates
+        for orig, rec in zip(r.v, r.r):
+            assert abs(orig - rec) <= r.qs.scale / 2 + 1e-12

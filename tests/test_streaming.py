@@ -404,3 +404,54 @@ def test_idle_source_watermark_policy(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+
+
+def test_continuous_aggregate_rollup(spark, tmp_path, sf_dir):
+    """Hypertable-style continuous aggregate: the materialized rollup
+    table equals the batch windowed aggregation, stays correct across a
+    checkpointed restart with new data, and each batch upserts only
+    touched windows."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.session import load_table
+    from hazelcast_jet_spark.streaming.rollup import continuous_aggregate, read_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    rows = sorted(ev.collect(), key=lambda r: (r.ts, r.event_id))
+    half = len(rows) // 2
+    src = tmp_path / "in"
+    src.mkdir()
+    tbl, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+    def emit(name, chunk):
+        with open(src / name, "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"event_id": r.event_id, "ts": r.ts.isoformat(sep=" "),
+                                    "event_type": r.event_type, "value": r.value}) + "\n")
+
+    schema = "event_id long, ts timestamp_ntz, event_type string, value double"
+    aggs = {"n": F.count(F.lit(1)), "sv": F.sum("value")}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = continuous_aggregate(stream, tbl, "1 hour", keys=["event_type"],
+                                 aggs=aggs, checkpoint=ckpt, num_buckets=8)
+        q.awaitTermination(120)
+
+    emit("a.json", rows[:half])
+    run_once()
+    emit("b.json", rows[half:])
+    run_once()  # restart from checkpoint — exactly-once upsert replay
+
+    got = {(r.window_start, r.event_type): (r.n, round(r.sv, 6))
+           for r in read_rollup(spark, tbl, ["window_start", "event_type"], 8).collect()}
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.sv, 6))
+        for r in ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "sv").collect()
+    }
+    assert got == want and len(got) > 100

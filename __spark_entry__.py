@@ -1327,6 +1327,26 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.range_join — the interval-containment
+    join the brief names): events bucketed into overlapping value bands
+    via bin-explode + EQUI-join (never a cartesian/BNLJ; plan pinned in
+    tests).  Bands overlap so a point can land in two."""
+    from hazelcast_jet_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    bands = spark.createDataFrame(
+        [(i, float(i * 40), float(i * 40 + 60)) for i in range(13)],
+        "band_id int, lo double, hi double",
+    )
+    out = range_join(e, bands, "value", "lo", "hi", bin_width=40.0)
+    return (
+        out.groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select("band_id", "n_events", "sum_value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1385,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
+        "range_join_value_bands": range_join_value_bands,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1901,6 +1922,17 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "range_join_value_bands": """
+            WITH bands AS (
+                SELECT CAST(i AS INT) AS band_id, i * 40.0 AS lo, i * 40.0 + 60.0 AS hi
+                FROM generate_series(0, 12) AS t(i)
+            )
+            SELECT band_id,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events JOIN bands ON value >= lo AND value < hi
+            GROUP BY 1
         """,
         "embedding_quantize_int8": """
             WITH m AS (

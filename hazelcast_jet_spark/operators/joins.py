@@ -111,3 +111,41 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
         final = c if c not in left.columns else f"asof_{c}"
         out = out.withColumnRenamed(f"_rv_{c}", final).drop(f"_r_{c}")
     return out
+
+
+def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
+               start_col: str, end_col: str, bin_width: float,
+               extra_cond: Column | None = None) -> DataFrame:
+    """Range (interval-containment) join: each point row matched to every
+    range row with ``start <= point < end`` — the second custom join the
+    reference-era engines special-case and Spark lacks (a naive
+    non-equi join plans as BroadcastNestedLoop/cartesian and explodes at
+    scale).
+
+    Spark-first shape: bucketize.  Points map to ``floor(point/bin)``
+    (map-only); ranges EXPLODE to every bin they overlap (``sequence``
+    over the bin span); the join is then a plain EQUI-join on the bin id
+    with the exact predicate as a residual filter — shuffle-partitioned,
+    AQE-skew-splittable, never quadratic.  Pick ``bin_width`` near the
+    typical range length: expansion factor = avg(range_len/bin_width)+1
+    bins per range row.
+
+    ``extra_cond`` adds an equi/theta residual (e.g. same-key ranges).
+    Points whose value matches no range are dropped (inner join).
+    """
+    bw = float(bin_width)
+    p = points.withColumn("_bin", F.floor(F.col(point_col) / bw).cast("long"))
+    r = ranges.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col) / bw).cast("long"),
+            # end is exclusive: a range ending exactly on a bin edge does
+            # not reach into that bin — ceil(end/bw)-1 is that last bin,
+            # exactly, with no epsilon
+            F.ceil(F.col(end_col) / bw).cast("long") - 1,
+        )),
+    )
+    cond = (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return p.join(r, "_bin").filter(cond).drop("_bin")

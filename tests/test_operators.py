@@ -392,3 +392,33 @@ def test_quantize_int8_round_trip(spark):
         assert max(abs(q) for q in r.qs.q) == 127  # max element saturates
         for orig, rec in zip(r.v, r.r):
             assert abs(orig - rec) <= r.qs.scale / 2 + 1e-12
+
+
+def test_range_join_semantics_and_plan(spark):
+    """range_join: half-open containment, overlapping ranges multiply,
+    exact bin-edge exclusivity; and the plan is an EQUI-join on the bin
+    (no BroadcastNestedLoop / cartesian)."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 19.999), (4, 20.0), (5, 35.0)],
+        "pid long, v double")
+    rng = spark.createDataFrame(
+        [(100, 0.0, 20.0), (101, 10.0, 30.0)], "rid long, lo double, hi double")
+    out = range_join(pts, rng, "v", "lo", "hi", bin_width=10.0)
+    got = sorted((r.pid, r.rid) for r in out.collect())
+    # v=0 → [0,20) only; v=10 → both; v=19.999 → both; v=20 EXCLUDED from
+    # [0,20), included in [10,30); v=35 → none
+    assert got == [(1, 100), (2, 100), (2, 101), (3, 100), (3, 101), (4, 101)]
+
+    # disable auto-broadcast: even for big-big shapes the join must stay a
+    # shuffle EQUI-join on the bin, never a nested-loop over the predicate
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = range_join(pts, rng, "v", "lo", "hi", 10.0)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -55,11 +55,13 @@ def top_n_rows(df: DataFrame, n: int, partition_by: list, order_by: list,
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
               value_cols: list[str] | None = None,
-              right_time_col: str | None = None) -> DataFrame:
-    """Backward as-of join: each left row picks the RIGHT row with the
-    greatest right-time ≤ the left row's time, per key (the time-series
-    enrichment join Spark lacks natively; DuckDB/Pandas ``ASOF JOIN``
-    semantics, left-inclusive).
+              right_time_col: str | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: each left row picks the RIGHT row with the greatest
+    right-time ≤ its time (``direction="backward"``, the default) or the
+    smallest right-time ≥ its time (``"forward"``), per key — the
+    time-series enrichment join Spark lacks natively (DuckDB/Pandas
+    ``ASOF JOIN`` semantics, bound-inclusive either way).
 
     Spark-first shape — ONE shuffle, no range join, no per-row probe:
     tag both sides, union, and carry the latest right values forward with
@@ -75,6 +77,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     column wins (made deterministic by a pre-aggregation) — disambiguate
     upstream if another rule is needed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rtc = right_time_col or time_col
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, rtc)]
@@ -91,9 +95,14 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     )
     lt_cols = [c for c in lt.columns]
     unioned = rt.unionByName(lt.select(*lt_cols), allowMissingColumns=True)
+    # forward = the same carry trick over DESCENDING time: the nearest
+    # right row with time >= left time is the "last seen" one when walking
+    # from the future backwards.  _side 0 < 1 keeps the bound inclusive at
+    # equal times in both directions.
+    time_order = F.col(time_col).asc() if direction == "backward" else F.col(time_col).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+        .orderBy(time_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

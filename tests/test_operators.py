@@ -422,3 +422,19 @@ def test_range_join_semantics_and_plan(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_asof_join_forward(spark):
+    """direction='forward': nearest right-time >= left-time, inclusive."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 40, "c"), (2, 5, "d")],
+        "k long, t long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 30, 300.0), (2, 1, 10.0)], "k long, t long, px double")
+    out = asof_join(left, right, "k", "t", ["px"], direction="forward")
+    got = {r.tag: r.px for r in out.collect()}
+    # t=10 matches right t=10 (inclusive); t=25 → t=30; t=40 → none;
+    # k=2 t=5 → no right at >= 5
+    assert got == {"a": 100.0, "b": 300.0, "c": None, "d": None}

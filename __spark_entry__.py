@@ -1347,6 +1347,53 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def continuous_aggregate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (streaming/rollup.py): a
+    REAL stream materialized incrementally into a keyed parquet table —
+    update-mode upserts of only the touched windows per micro-batch —
+    then read back.  Oracle: the batch windowed aggregation."""
+    import tempfile
+
+    from hazelcast_jet_spark.streaming.rollup import continuous_aggregate, read_rollup
+    from hazelcast_jet_spark.streaming.run import read_stream_table
+
+    work = tempfile.mkdtemp(prefix="gate-rollup-")
+    stream = read_stream_table(spark, sf_dir, "events")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = continuous_aggregate(
+            stream, f"{work}/tbl", "1 day", keys=["event_type"],
+            aggs={"n_events": F.count(F.lit(1)), "sum_value": dsum("value")},
+            checkpoint=f"{work}/ckpt", num_buckets=8,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_rollup(spark, f"{work}/tbl", ["window_start", "event_type"], 8)
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returned
+    lineitems per customer over a quarter, top 20 — fact⨝fact join with
+    broadcast dims and TakeOrdered top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1406,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
         "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        "tpch_q10_returned_items": tpch_q10_returned_items,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1922,6 +1971,26 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "continuous_aggregate_rollup": """
+            SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "range_join_value_bands": """
             WITH bands AS (

@@ -1394,6 +1394,30 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketch.py — the brief's 'novel
+    sketch'): deterministic md5-based k-minimum-values cardinality
+    estimate per event_type, next to the exact count.  Unlike HLL the
+    estimate is engine-portable bit-for-bit, so it sits under the exact
+    hash gate."""
+    from hazelcast_jet_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    e = _t(spark, sf_dir, "events")
+    k = 32
+    return (
+        e.groupBy("event_type")
+        .agg(
+            kmv_sketch("user_id", k).alias("sk"),
+            F.count_distinct("user_id").alias("exact_distinct"),
+        )
+        .select(
+            "event_type",
+            kmv_estimate(F.col("sk"), k).alias("kmv_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1455,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
         # -- kept in-window: flagship + streaming + dedup/similarity core -----
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
@@ -1971,6 +1996,23 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE event_type = 'view' AND t1 = 'view' AND t2 = 'click'
               AND ts2 <= ts + INTERVAL 1 DAY
+        """,
+        "kmv_distinct_sketch": """
+            WITH sk AS (
+                SELECT event_type,
+                       list_slice(list_sort(list_distinct(
+                           list(md5(CAST(user_id AS VARCHAR))))), 1, 32) AS sk,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   CASE WHEN len(sk) < 32 THEN CAST(len(sk) AS BIGINT)
+                        ELSE CAST(floor(31.0 /
+                             (CAST(CAST('0x' || substr(sk[32], 1, 12) AS UBIGINT) AS DOUBLE)
+                              / 281474976710656.0) + 0.5) AS BIGINT)
+                   END AS kmv_estimate,
+                   exact_distinct
+            FROM sk
         """,
         "continuous_aggregate_rollup": """
             SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -438,3 +438,29 @@ def test_asof_join_forward(spark):
     # t=10 matches right t=10 (inclusive); t=25 → t=30; t=40 → none;
     # k=2 t=5 → no right at >= 5
     assert got == {"a": 100.0, "b": 300.0, "c": None, "d": None}
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    """KMV sketch: exact below k; within ~25% of truth at n>>k; merging
+    partition sketches equals sketching the union (mergeability — the
+    property that makes it a distributed aggregate)."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    k = 64
+    df = spark.range(0, 5000).select((F.col("id") % 2000).alias("v"),
+                                     (F.col("id") % 2).alias("half"))
+    # exact below k
+    small = spark.range(0, 40).select(F.col("id").alias("v"))
+    got = small.agg(kmv_estimate(kmv_sketch("v", k), k).alias("e")).collect()[0].e
+    assert got == 40
+    # estimate within 25% at 2000 distinct
+    est = df.agg(kmv_estimate(kmv_sketch("v", k), k).alias("e")).collect()[0].e
+    assert abs(est - 2000) / 2000 < 0.25, est
+    # merge(sketch(half0), sketch(half1)) == sketch(all)
+    halves = df.groupBy("half").agg(kmv_sketch("v", k).alias("sk"))
+    merged = halves.agg(
+        F.expr("aggregate(collect_list(sk), cast(array() as array<string>), "
+               "(acc, x) -> slice(sort_array(array_distinct(concat(acc, x))), 1, 64))").alias("m"))
+    whole = df.agg(kmv_sketch("v", k).alias("m"))
+    assert merged.collect()[0].m == whole.collect()[0].m

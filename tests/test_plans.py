@@ -99,3 +99,45 @@ def test_banded_lsh_shuffles_only_signatures(spark, sf_dir):
     # the bucketed projection carries no vector column
     assert "embedding" not in b.columns and set(b.columns) == {"id", "band", "sig"}
     assert "ArrowEvalPython" in plan  # vectorized signature path
+
+
+def test_tpch_q6_pushdown_no_joins(spark, sf_dir):
+    """Q6: every predicate reaches the scan; zero joins; one agg."""
+    plan = _plan(entry_mod.tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "Join" not in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(l_discount,0.05)" in plan
+
+
+def test_tpch_q10_broadcast_dims_and_topk(spark, sf_dir):
+    """Q10: nation broadcast; top-20 via TakeOrderedAndProject (no global
+    sort materialization)."""
+    plan = _plan(entry_mod.tpch_q10_returned_items(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_sketch_shuffles(spark, sf_dir):
+    """KMV sketch gate query: no joins; exactly the two aggregation
+    exchanges Spark plans when a distinct agg (the exact-count
+    comparison column) rides along — the sketch itself is the
+    single-shuffle collect_set path."""
+    df = entry_mod.kmv_distinct_sketch(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+    # sketch alone: one shuffle
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import kmv_sketch
+    e = entry_mod._t(spark, sf_dir, "events")
+    solo = e.groupBy("event_type").agg(kmv_sketch("user_id", 32).alias("sk"))
+    splan = solo._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange hashpartitioning") == 1
+
+
+def test_nexmark_q7_single_window_shuffle(spark, sf_dir):
+    """Q7 argmax-in-window: one exchange for the window partition."""
+    df = entry_mod.nexmark_q7_window_max(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -464,3 +464,20 @@ def test_kmv_sketch_merge_and_accuracy(spark):
                "(acc, x) -> slice(sort_array(array_distinct(concat(acc, x))), 1, 64))").alias("m"))
     whole = df.agg(kmv_sketch("v", k).alias("m"))
     assert merged.collect()[0].m == whole.collect()[0].m
+
+
+def test_kmv_merge_column_fn(spark):
+    """kmv_merge directly: merging two per-partition sketches equals the
+    sketch of the union."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    k = 16
+    a = spark.range(0, 100).agg(kmv_sketch("id", k).alias("s")).collect()[0].s
+    b = spark.range(50, 150).agg(kmv_sketch("id", k).alias("s")).collect()[0].s
+    whole = spark.range(0, 150).agg(kmv_sketch("id", k).alias("s")).collect()[0].s
+    merged = (
+        spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+        .select(kmv_merge(F.col("a"), F.col("b"), k).alias("m")).collect()[0].m
+    )
+    assert merged == whole

@@ -1418,6 +1418,114 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS correlated subquery
+    with a non-equi residual — planned as a LEFT SEMI join, so the lineitem
+    side is reduced before the agg and no full fact x fact join exists."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(agg.counting().alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    with an ON-clause filter, then a two-level aggregate.  First groupBy
+    shuffles on c_custkey; second is over <=200 distinct counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(agg.counting().alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN anti-join
+    against a tiny excluded-supplier list (broadcast anti) + count distinct
+    per (brand, type)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    l = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(20)
+    )
+
+
+def tpch_q22_missing_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery threshold
+    (decimal-exact avg so both engines agree bit-for-bit) + NOT EXISTS
+    anti-join, grouped by nation.  The NOT EXISTS side is restricted to
+    recent orders so the result is non-trivially populated (classic Q22
+    'no orders at all' is empty on this dataset — every rich customer has
+    ordered at some point)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate") >= "1999-01-01").select("o_custkey"))
+    pos = c.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("ab"))
+    rich = c.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("ab"))
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            agg.counting().alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): corpus
+    docs sharing >=3 distinct word 3-shingles with the held-out benchmark
+    slice (doc_id % 50 == 0).  Benchmark shingle set is broadcast — the
+    corpus is never shuffled to find contamination."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(
+        corpus, bench, k=SHINGLE_K, min_overlap=3
+    ).orderBy("doc_id")
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_concat): documents laid
+    end-to-end per source in doc_id order; a doc belongs to the 512-token
+    bin its first token lands in.  Pure integer window arithmetic — one
+    shuffle, engine-exact.  Returns per-bin occupancy."""
+    from hazelcast_jet_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", text.token_count("text").alias("tok"))
+    packed = packing.pack_concat(
+        d, token_col="tok", budget=512, order_col="doc_id",
+        partition_cols=["source"])
+    return (
+        packing.pack_stats(packed, "tok", ["source"])
+        .orderBy("source", "bin_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1480,13 +1588,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
-        # -- kept in-window: flagship + streaming + dedup/similarity core -----
-        "q1_pricing_summary": q1_pricing_summary,
-        "rolling_aggregate": rolling_aggregate,
-        "text_features": text_features,
-        "exact_dedup_docs": exact_dedup_docs,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        # -- new in this session (r3 continuation) ----------------------------
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        # -- kept in-window: streaming + dedup/similarity core ----------------
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
         "streaming_tumbling_window": streaming_tumbling_window,
@@ -1501,6 +1610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": rollup_agg,
         "multi_hop_enrichment": multi_hop_enrichment,
         # -- rotated out (two green driver rows each, r1 + r2) ----------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "rolling_aggregate": rolling_aggregate,
+        "text_features": text_features,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
         "filter_project": filter_project,
         "global_aggregate": global_aggregate,
         "join_orders_customer": join_orders_customer,
@@ -2575,5 +2690,85 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos_sim DESC, corpus_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= {TOPK}
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size >= 20
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_type
+            LIMIT 20
+        """,
+        "tpch_q22_missing_customers": """
+            WITH t AS (
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS ab
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey,
+                   count(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+            FROM customer, t
+            WHERE c_acctbal > ab
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '1999-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "decontaminate_docs": f"""
+            WITH sh AS (
+                SELECT doc_id, unnest({_shingle_sql()}) AS s FROM documents
+            ), bench AS (
+                SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+            )
+            SELECT doc_id, count(DISTINCT sh.s) AS overlap
+            FROM sh JOIN bench ON sh.s = bench.s
+            WHERE doc_id % 50 <> 0
+            GROUP BY doc_id
+            HAVING count(DISTINCT sh.s) >= 3
+            ORDER BY doc_id
+        """,
+        "sequence_packing": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS tok
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, tok,
+                       COALESCE(SUM(tok) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS prior
+                FROM t
+            )
+            SELECT source, CAST(prior // 512 AS BIGINT) AS bin_id,
+                   count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+            FROM c GROUP BY 1, 2
+            ORDER BY source, bin_id
         """,
     }

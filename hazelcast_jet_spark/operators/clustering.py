@@ -1,0 +1,97 @@
+"""K-means clustering over an embedding column — the iterative-algorithm
+representative of the beyond-reference LLM-pipeline surface (semantic
+dedup buckets, corpus domain analysis, IVF centroid training).
+
+Lloyd's algorithm, Spark-first:
+
+- **assign** — centroids are a tiny k x d matrix, broadcast to every
+  task; distances are one numpy matmul per Arrow batch (pandas UDF), so
+  the corpus is never shuffled to assign it.
+- **update** — new centroids via ``posexplode`` -> ``groupBy(cluster,
+  pos).avg`` (two-level partial aggregation, map-side combined by
+  Catalyst) -> k x d rows collected to the driver.  Only k*d doubles ever
+  reach the driver, independent of corpus size.
+
+Per iteration that is ONE shuffle of (cluster, pos, partial-sums) — the
+minimum any distributed k-means does.  `ivf_build_index`
+(operators/similarity.py) consumes the same centroid layout.
+
+Deterministic: init takes the first k vectors in ``id_col`` order, and
+ties in argmin break toward the lower cluster id, so repeated runs give
+identical assignments (float summation order inside avg() may differ in
+ulps across cluster layouts; assignments are stable away from exact
+midpoints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+
+def _assign_udf(centroids: np.ndarray):
+    c = centroids.astype("float64")
+    c_sq = (c * c).sum(axis=1)  # |c|^2 term; |x|^2 is constant per row
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.stack(vecs.to_numpy())  # (n, d)
+        # argmin over squared distance == argmin over (|c|^2 - 2 x.c)
+        d = c_sq[None, :] - 2.0 * (x @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign
+
+
+def kmeans_assign(df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Add a ``cluster`` column: nearest centroid by L2 distance."""
+    return df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, DataFrame]:
+    """Fit k-means; returns (centroids k x d, df with ``cluster`` column).
+
+    Stops early when no centroid moves more than ``tol`` (L2).  Empty
+    clusters keep their previous centroid (deterministic, no resampling).
+    """
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cent = np.array([r[1] for r in init_rows], dtype="float64")
+    if len(cent) < k:
+        raise ValueError(f"need >= {k} rows to init {k} clusters")
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = kmeans_assign(df, cent, vec_col)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        counts = np.zeros(k, dtype="int64")
+        for r in sums:
+            new_cent[r["cluster"], r["pos"]] = r["s"] / r["n"]
+            counts[r["cluster"]] = r["n"]
+        shift = float(np.sqrt(((new_cent - cent) ** 2).sum(axis=1)).max())
+        cent = new_cent
+        if shift <= tol:
+            break
+    return cent, kmeans_assign(df, cent, vec_col)

@@ -403,3 +403,37 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         .filter(F.col("hamming_dist") <= hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ``>= min_overlap``
+    distinct word k-shingles with ANY benchmark document.
+
+    Returns (id_col, overlap) for contaminated corpus docs — the standard
+    pre-training step of dropping training documents that leak an eval
+    set.  The benchmark's distinct shingle set is tiny next to the corpus
+    (eval sets are thousands of docs vs billions), so it is broadcast:
+    the corpus side is a map-side semi-match (explode -> broadcast hash
+    join) followed by ONE groupBy on the contaminated minority — no
+    corpus-wide shuffle of full rows at 100 TB.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("s")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("s").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )

@@ -1,0 +1,102 @@
+"""Sequence packing: assign documents to fixed token-budget bins.
+
+The training-data step after tokenization — documents are concatenated
+into fixed-size context windows ("bins") before batching.  Two variants:
+
+- :func:`pack_concat` — streaming-concatenation packing: documents are
+  laid end-to-end in a deterministic order and a document belongs to the
+  bin where its first token lands.  Pure window arithmetic (one shuffle
+  per stratum partition, integer math only), so it scales to 100 TB and
+  is bit-identical on any engine — this is the oracle-gated path.
+- :func:`pack_greedy` — greedy next-fit packing: a document that would
+  overflow the current bin opens a new one (no document straddles bins).
+  Sequential recurrence per stratum, implemented with applyInPandas; the
+  stratum (e.g. ``source``) is the parallelism unit, which matches real
+  pipelines where packing runs per shard.
+
+Reference analog: none — Hazelcast Jet has no packing operator; this is
+part of the beyond-reference LLM-pipeline surface (build brief Phase 5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_concat(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Add a ``bin_id`` column: the bin where the document's first token
+    lands when documents are concatenated in ``order_col`` order.
+
+    bin_id = (exclusive running sum of tokens) // budget — all-integer,
+    engine-exact.  Documents may straddle a bin boundary; they count in
+    the bin they start in.  One window shuffle; at scale, partition by a
+    stratum column (``partition_cols``) so no single global sort exists.
+    """
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("bin_id", (prior / F.lit(budget)).cast("bigint"))
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Greedy next-fit packing: walk documents in ``order_col`` order per
+    stratum; if adding a document would exceed ``budget``, close the bin
+    and open the next.  Documents larger than the budget get a bin of
+    their own.  No document straddles bins (unlike :func:`pack_concat`).
+
+    The recurrence is inherently sequential *within* a stratum, so the
+    stratum is the parallelism unit (applyInPandas per stratum) — at
+    100 TB, pack per shard/source, never globally.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parts = partition_cols or []
+    # fresh StructType — StructType.add mutates in place, which would corrupt
+    # the DataFrame's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("bin_id", LongType())])
+    order_cols, tok = [order_col], token_col
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        bins, cur_bin, cur_tok = [], 0, 0
+        for t in pdf[tok].astype("int64"):
+            if cur_tok > 0 and cur_tok + t > budget:
+                cur_bin, cur_tok = cur_bin + 1, 0
+            bins.append(cur_bin)
+            cur_tok += t
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    if parts:
+        return df.groupBy(*parts).applyInPandas(_pack, schema=out_schema)
+    return df.coalesce(1).groupBy().applyInPandas(_pack, schema=out_schema)
+
+
+def pack_stats(packed: DataFrame, token_col: str,
+               partition_cols: list[str] | None = None) -> DataFrame:
+    """Per-bin occupancy stats for a packed DataFrame."""
+    parts = (partition_cols or []) + ["bin_id"]
+    return packed.groupBy(*parts).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("total_tokens"),
+    )

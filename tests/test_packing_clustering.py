@@ -1,0 +1,115 @@
+"""Sequence packing (operators/packing.py) and k-means clustering
+(operators/clustering.py) — the non-SQL-expressible LLM-pipeline ops,
+verified against independent Python models."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators import packing
+from hazelcast_jet_spark.operators.clustering import kmeans_assign, kmeans_fit
+from hazelcast_jet_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _model_greedy(tokens: list[int], budget: int) -> list[int]:
+    bins, cur, used = [], 0, 0
+    for t in tokens:
+        if used > 0 and used + t > budget:
+            cur, used = cur + 1, 0
+        bins.append(cur)
+        used += t
+    return bins
+
+
+def test_pack_greedy_matches_python_model(spark):
+    rows = [(src, i, (i * 37) % 90 + 10) for src in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+    got = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in packing.pack_greedy(
+            df, "tok", budget=200, order_col="doc_id",
+            partition_cols=["source"]).collect()
+    }
+    for src in ("a", "b"):
+        toks = [(i * 37) % 90 + 10 for i in range(50)]
+        expect = _model_greedy(toks, 200)
+        for i, b in enumerate(expect):
+            assert got[(src, i)] == b
+    # no bin exceeds budget (every doc here is < budget)
+    per_bin = (
+        packing.pack_greedy(df, "tok", budget=200, order_col="doc_id",
+                            partition_cols=["source"])
+        .groupBy("source", "bin_id").agg(F.sum("tok").alias("s")).collect()
+    )
+    assert all(r["s"] <= 200 for r in per_bin)
+
+
+def test_pack_greedy_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 50), ("a", 1, 999), ("a", 2, 50)],
+        "source string, doc_id long, tok long")
+    out = {r["doc_id"]: r["bin_id"] for r in packing.pack_greedy(
+        df, "tok", budget=100, order_col="doc_id",
+        partition_cols=["source"]).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_pack_concat_straddles_but_partitions_agree(spark):
+    d = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    packed = packing.pack_concat(d, "tok", budget=512, order_col="doc_id",
+                                 partition_cols=["source"])
+    # bin_id is nondecreasing in doc_id within a source, and every bin's
+    # START offset is below (bin_id+1)*budget by construction
+    rows = packed.orderBy("source", "doc_id").collect()
+    last = {}
+    for r in rows:
+        assert r["bin_id"] >= last.get(r["source"], 0)
+        last[r["source"]] = r["bin_id"]
+
+
+def test_kmeans_matches_numpy_model(spark):
+    rng = np.random.RandomState(7)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = np.vstack([c + rng.randn(40, 2) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(len(pts))],
+        "vec_id long, embedding array<double>")
+    cent, assigned = kmeans_fit(df, k=3, max_iter=15)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+
+    # independent numpy Lloyd's with the same deterministic init
+    c = pts[:3].astype("float64")
+    for _ in range(15):
+        d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        new_c = c.copy()
+        for j in range(3):
+            if (a == j).any():
+                new_c[j] = pts[a == j].mean(0)
+        if np.sqrt(((new_c - c) ** 2).sum(1)).max() <= 1e-6:
+            c = new_c
+            break
+        c = new_c
+    d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    expect = d.argmin(1)
+    assert np.allclose(cent, c, atol=1e-8)
+    assert all(got[i] == expect[i] for i in range(len(pts)))
+    # each true blob landed in one cluster
+    assert len({tuple(sorted(set(expect[i * 40:(i + 1) * 40]))) for i in range(3)}) == 3
+
+
+def test_kmeans_assign_only_never_shuffles_corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cent = np.array([r["embedding"] for r in emb.orderBy("vec_id").limit(4).collect()])
+    out = kmeans_assign(emb, cent)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: broadcast centroids, no shuffle
+    n = out.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in n) == emb.count()
+    assert {r["cluster"] for r in n} <= {0, 1, 2, 3}

@@ -141,3 +141,41 @@ def test_nexmark_q7_single_window_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q4_semi_join_shape(spark, sf_dir):
+    """Q4: the EXISTS is planned as a LEFT SEMI hash join (lineitem never
+    expands the orders side), with the orders date filter pushed to scan."""
+    plan = _plan(entry_mod.tpch_q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q16_broadcast_anti_join(spark, sf_dir):
+    """Q16: NOT IN over the tiny excluded-supplier list is a broadcast
+    anti-join — the lineitem fact is never shuffled to exclude suppliers."""
+    plan = _plan(entry_mod.tpch_q16_supplier_cnt(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination: the benchmark shingle set is broadcast; the corpus
+    side reaches the join without a shuffle of its own rows."""
+    plan = _plan(entry_mod.decontaminate_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_single_window_shuffle(spark, sf_dir):
+    """pack_concat: exactly one hash exchange (the per-source window);
+    the occupancy agg reuses that partitioning (partial agg, no second
+    wide shuffle of raw rows)."""
+    from hazelcast_jet_spark.operators import packing
+    from hazelcast_jet_spark.operators import text
+    d = entry_mod._t(spark, sf_dir, "documents").select(
+        "source", "doc_id", text.token_count("text").alias("tok"))
+    packed = packing.pack_concat(d, "tok", 512, "doc_id", ["source"])
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1526,6 +1526,87 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MIN subquery,
+    decorrelated the Spark way — per-(part,supplier) agg, then a window
+    MIN over the part and an equality filter.  No partsupp table in this
+    dataset, so lineitem serves as the part-supplier relation with unit
+    price l_extendedprice/l_quantity (exact per-row double arithmetic)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    s = _t(spark, sf_dir, "supplier")
+    pc = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        pc.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated AVG
+    subquery — per-part decimal-exact average joined back, rows below
+    20% of their part's average quantity.  The brand filter is applied
+    BEFORE the per-part aggregate (only filtered parts' averages are
+    computed — semi-join pushdown the classic plan misses)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#1", "Brand#2"))
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+    avg_qty = (
+        lp.groupBy("l_partkey")
+        .agg((dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        lp.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+             agg.counting().alias("n_rows"))
+    )
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS +
+    NOT EXISTS against the same fact with an inequality on the supplier
+    key — planned as one semi and one anti join, never a cartesian.
+    'Late' is adapted to this schema: shipped >60 days after the order
+    date on a finished ('F') order."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    items = l.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    late = items.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    l1 = late.select("l_orderkey", "l_suppkey")
+    other = items.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    other_late = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    waiting = (
+        l1.join(other, (l1.l_orderkey == other.o_key)
+                & (l1.l_suppkey != other.o_supp), "left_semi")
+        .join(other_late, (l1.l_orderkey == other_late.o_key)
+              & (l1.l_suppkey != other_late.o_supp), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(agg.counting().alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1636,6 +1717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
+        # -- mirror-verified (added after the 50-entry window filled; the
+        # -- typed local mirror in tests/test_oracle_parity.py is the
+        # -- driver-faithful evidence until a future round rotates them in)
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     }
 
 
@@ -2770,5 +2857,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
             FROM c GROUP BY 1, 2
             ORDER BY source, bin_id
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH pc AS (
+                SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT p_partkey, p_brand, s_name, unit_cost
+            FROM pc
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_size >= 30
+              AND unit_cost = (SELECT min(l_extendedprice / l_quantity)
+                               FROM lineitem WHERE l_partkey = p_partkey)
+            ORDER BY p_partkey, s_name
+        """,
+        "tpch_q17_small_quantity_revenue": """
+            WITH lp AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand IN ('Brand#1', 'Brand#2'))
+            ), a AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*) AS avg_qty
+                FROM lp GROUP BY 1
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+                   count(*) AS n_rows
+            FROM lp JOIN a USING (l_partkey)
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q21_waiting_suppliers": """
+            WITH items AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), late AS (
+                SELECT * FROM items
+                WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM late l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM items l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
     }

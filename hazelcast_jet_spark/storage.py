@@ -99,9 +99,12 @@ class KeyedParquetTable:
     """
 
     def __init__(self, path: str, key_cols: list[str], num_buckets: int = 64,
-                 commit_mode: str = "rename"):
+                 commit_mode: str = "rename", retain_versions: int = 2):
         if commit_mode not in ("rename", "manifest"):
             raise ValueError(f"unknown commit_mode {commit_mode!r}")
+        if retain_versions < 2:
+            raise ValueError("retain_versions must be >= 2 (current + previous "
+                             "for in-flight readers)")
         m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
         if m and m.group(1) not in ("file", "hdfs"):
             raise ValueError(
@@ -113,6 +116,7 @@ class KeyedParquetTable:
         self.key_cols = list(key_cols)
         self.num_buckets = num_buckets
         self.commit_mode = commit_mode
+        self.retain_versions = retain_versions
 
     # -- layout helpers ----------------------------------------------------
 
@@ -231,9 +235,10 @@ class KeyedParquetTable:
 
     def _commit_manifest(self, version: int, manifest: dict) -> None:
         """Publish manifest ``version`` (THE commit point), then garbage-
-        collect: batch dirs unreferenced by the two newest manifests (covers
-        in-flight readers of the previous version and orphans from crashed
-        attempts), manifests beyond the newest five."""
+        collect: batch dirs unreferenced by the ``retain_versions`` newest
+        manifests (covers in-flight readers of previous versions, orphans
+        from crashed attempts, and time travel via ``read(version=...)``),
+        manifests beyond the newest max(5, retain_versions)."""
         os.makedirs(self._manifest_dir(), exist_ok=True)
         self._put_json(
             os.path.join(self._manifest_dir(), f"manifest-{version:08d}.json"),
@@ -242,13 +247,14 @@ class KeyedParquetTable:
         names = [e for e in self._list_dir(self._manifest_dir())
                  if re.fullmatch(r"manifest-\d{8}\.json", e)]
         names.sort()
-        for e in names[:-5]:
+        keep_manifests = max(5, self.retain_versions)
+        for e in names[:-keep_manifests]:
             try:
                 os.unlink(os.path.join(self._manifest_dir(), e))
             except FileNotFoundError:
                 pass
         referenced: set[str] = set()
-        for e in names[-2:]:
+        for e in names[-self.retain_versions:]:
             try:
                 with open(os.path.join(self._manifest_dir(), e)) as f:
                     referenced.update(json.load(f)["buckets"].values())
@@ -260,13 +266,42 @@ class KeyedParquetTable:
 
     # -- read --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             version: int | None = None) -> DataFrame:
         """Read the table (optionally only the given buckets — partition
         pruning keeps the scan at O(buckets), verified in tests).  In
         manifest mode pruning is path selection: unrequested buckets'
-        files are never even listed."""
+        files are never even listed.
+
+        ``version`` (manifest mode only) time-travels to an earlier commit.
+        Data is retained for the ``retain_versions`` newest manifests; a
+        version whose batch dirs were garbage-collected raises with the
+        retained range."""
+        if version is not None and self.commit_mode != "manifest":
+            raise ValueError("read(version=...) requires commit_mode='manifest'")
         if self.commit_mode == "manifest":
-            _, man = self._latest_manifest()
+            if version is None:
+                _, man = self._latest_manifest()
+            else:
+                mp = os.path.join(self._manifest_dir(),
+                                  f"manifest-{version:08d}.json")
+                try:
+                    with open(mp) as f:
+                        man = json.load(f)
+                except FileNotFoundError:
+                    avail = sorted(h["version"] for h in self.history())
+                    raise FileNotFoundError(
+                        f"version {version} not retained under {self.path}; "
+                        f"available: {avail}") from None
+                missing = [b for b in man["buckets"].values()
+                           if not os.path.isdir(os.path.join(self._data_dir(), b))]
+                if missing:
+                    avail = sorted(h["version"] for h in self.history())
+                    raise FileNotFoundError(
+                        f"version {version}'s data was garbage-collected "
+                        f"(retain_versions={self.retain_versions}); fully "
+                        f"retained versions are the newest "
+                        f"{self.retain_versions} of {avail}")
             if man is None:
                 raise FileNotFoundError(f"no committed manifest under {self.path}")
             sel = (sorted(man["buckets"]) if buckets is None

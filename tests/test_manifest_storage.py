@@ -162,3 +162,41 @@ def test_mode_layout_mismatch_fails_fast(spark, tmp_path):
     m2 = KeyedParquetTable(path2, ["id"], 4, commit_mode="manifest")
     with pytest.raises(ValueError, match="rename-mode table"):
         m2.apply(_mk(spark, [(2, "b")]), _mk(spark, [(2, "b")]).select("id"))
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    t = KeyedParquetTable(str(tmp_path / "tt"), ["id"], num_buckets=4,
+                          commit_mode="manifest", retain_versions=3)
+    t.overwrite(_mk(spark, [(1, "a"), (2, "b")]))                      # v1
+    t.apply(_mk(spark, [(2, "B")]), _mk(spark, [(2, "B")]).select("id"))  # v2
+    t.apply(_mk(spark, [(3, "c")]), _mk(spark, [(3, "c")]).select("id"))  # v3
+    versions = [h["version"] for h in t.history()]
+    assert versions == [1, 2, 3]
+    v1, v2, v3 = versions
+    assert {r.id: r.v for r in t.read(spark, version=v1).collect()} == \
+        {1: "a", 2: "b"}
+    assert {r.id: r.v for r in t.read(spark, version=v2).collect()} == \
+        {1: "a", 2: "B"}
+    assert {r.id: r.v for r in t.read(spark, version=v3).collect()} == \
+        {1: "a", 2: "B", 3: "c"}
+    # latest read unaffected
+    assert {r.id: r.v for r in t.read(spark).collect()} == \
+        {1: "a", 2: "B", 3: "c"}
+
+
+def test_time_travel_gc_raises_clearly(spark, tmp_path):
+    t = KeyedParquetTable(str(tmp_path / "tt2"), ["id"], num_buckets=4,
+                          commit_mode="manifest")  # retain_versions=2
+    t.overwrite(_mk(spark, [(1, "a")]))                                   # v1
+    t.apply(_mk(spark, [(1, "b")]), _mk(spark, [(1, "b")]).select("id"))  # v2
+    t.apply(_mk(spark, [(1, "c")]), _mk(spark, [(1, "c")]).select("id"))  # v3
+    # v1's batch dirs are now GC'd (only newest 2 retained)
+    with pytest.raises(FileNotFoundError, match="garbage-collected"):
+        t.read(spark, version=1).collect()
+    # a never-committed version names the available range
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(spark, version=99)
+    # and version= on a rename-mode table is rejected
+    r = KeyedParquetTable(str(tmp_path / "rn"), ["id"], 4)
+    with pytest.raises(ValueError, match="manifest"):
+        r.read(spark, version=1)

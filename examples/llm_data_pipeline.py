@@ -1,11 +1,12 @@
 """End-to-end training-data pipeline over the documents table — the
 Phase-5 extension operators composed the way a 100 TB corpus run would
-be: exact dedup → near-dup (MinHash/LSH) prune → quality gate →
-per-language stratified downsample → token accounting.
+be: exact dedup → near-dup (MinHash/LSH) prune → benchmark
+decontamination → quality gate → per-language stratified downsample →
+sequence packing into token-budget bins → token accounting.
 
-Every stage is JVM expressions or one bounded band-join; nothing
-collects the corpus to the driver, so the same plan runs at cluster
-scale.
+Every stage is JVM expressions, one bounded band-join, or a broadcast
+of a tiny benchmark set; nothing collects the corpus to the driver, so
+the same plan runs at cluster scale.
 
 Run: python examples/llm_data_pipeline.py [sf_dir]
 """
@@ -18,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from hazelcast_jet_spark import get_spark, load_table
-from hazelcast_jet_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from hazelcast_jet_spark.operators.dedup import (
+    decontaminate, exact_dedup, minhash_lsh_pairs)
+from hazelcast_jet_spark.operators.packing import pack_concat, pack_stats
 from hazelcast_jet_spark.operators.sampling import stratified_sample
 from hazelcast_jet_spark.operators.text import quality_score, token_count
 
@@ -40,23 +43,40 @@ near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
 survivors = survivors.join(near_dups, "doc_id", "left_anti")
 n2 = survivors.count()
 
-# 3. quality gate (pure JVM expressions)
+# 3. benchmark decontamination: drop docs overlapping the eval slice
+#    (here: doc_id % 50 == 0 stands in for a held-out benchmark set)
+bench = docs.filter(F.col("doc_id") % 50 == 0)
+contaminated = decontaminate(survivors, bench, min_overlap=3)
+survivors = survivors.join(
+    contaminated.select("doc_id"), "doc_id", "left_anti")
+n2b = survivors.count()
+
+# 4. quality gate (pure JVM expressions)
 survivors = survivors.filter(quality_score("text") >= 1.0)
 n3 = survivors.count()
 
-# 4. language-stratified downsample (map-only, reproducible)
+# 5. language-stratified downsample (map-only, reproducible)
 sampled = stratified_sample(
     survivors, key_col="doc_id", stratum_col="lang",
     rates={"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0},
     default_rate=0.2, seed="mix-v1",
 )
 
-# 5. token accounting for the final mix
+# 6. sequence packing: concatenate per language into 512-token bins
+packed = pack_concat(
+    sampled.withColumn("tok", token_count("text")),
+    token_col="tok", budget=512, order_col="doc_id",
+    partition_cols=["lang"])
+bins = pack_stats(packed, "tok", ["lang"])
+
+# 7. token accounting for the final mix
 mix = (
     sampled.groupBy("lang")
     .agg(F.count(F.lit(1)).alias("docs"),
          F.sum(token_count("text")).alias("tokens"))
     .orderBy("lang")
 )
-print(f"corpus: {n0} → exact-dedup {n1} → near-dup {n2} → quality {n3}")
+print(f"corpus: {n0} → exact-dedup {n1} → near-dup {n2} → "
+      f"decontaminated {n2b} → quality {n3}")
+print(f"packed into {bins.count()} bins of <=512 tokens (start-offset rule)")
 mix.show()

@@ -113,3 +113,43 @@ def test_kmeans_assign_only_never_shuffles_corpus(spark):
     n = out.groupBy("cluster").count().collect()
     assert sum(r["count"] for r in n) == emb.count()
     assert {r["cluster"] for r in n} <= {0, 1, 2, 3}
+
+
+# -- decontaminate vs a brute-force Python model ----------------------------
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    import re as _re
+    norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", text.lower())).strip()
+    toks = norm.split(" ") if norm else [""]
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_decontaminate_matches_brute_force(spark):
+    from hazelcast_jet_spark.operators.dedup import decontaminate
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(40):
+        words = [vocab[(i * 3 + j * 5) % len(vocab)] for j in range(6 + i % 5)]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter(F.col("doc_id") % 10 == 0)
+    corpus = df.filter(F.col("doc_id") % 10 != 0)
+
+    got = {r["doc_id"]: r["overlap"]
+           for r in decontaminate(corpus, bench, min_overlap=2).collect()}
+
+    bench_sh = set()
+    for i, t in rows:
+        if i % 10 == 0:
+            bench_sh |= _py_shingles(t)
+    expect = {}
+    for i, t in rows:
+        if i % 10 != 0:
+            n = len(_py_shingles(t) & bench_sh)
+            if n >= 2:
+                expect[i] = n
+    assert got == expect
+    assert expect  # non-trivial: the model actually flags something

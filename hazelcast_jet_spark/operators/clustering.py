@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = ["kmeans_fit", "kmeans_assign", "train_ivf_centroids"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -95,3 +95,42 @@ def kmeans_fit(
         if shift <= tol:
             break
     return cent, kmeans_assign(df, cent, vec_col)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means centroids for the IVF index
+    (operators/similarity.ivf_build_index / ivf_assign).
+
+    IVF partitions by COSINE distance, so vectors are L2-normalized
+    before the fit — Lloyd's in L2 on the unit sphere is then cosine
+    clustering.  Returns plain ``list[list[float]]``, the literal
+    centroid format the IVF functions embed in the plan (k x d doubles —
+    tiny, travels with the task binary, no broadcast needed).
+
+    Train on a deterministic sample at 100 TB (e.g.
+    ``operators.sampling.stratified_sample``); k-means quality needs only
+    ~1000 x k vectors, not the corpus.
+    """
+    norm = (
+        df.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+        .withColumn(
+            "_n",
+            F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, y: a + y * y)),
+        )
+        .select(
+            id_col,
+            F.transform(vec_col, lambda x: x / F.col("_n")).alias(vec_col),
+        )
+    )
+    cent, _ = kmeans_fit(norm, k, vec_col=vec_col, id_col=id_col,
+                         max_iter=max_iter)
+    return cent.tolist()

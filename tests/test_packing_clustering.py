@@ -153,3 +153,35 @@ def test_decontaminate_matches_brute_force(spark):
                 expect[i] = n
     assert got == expect
     assert expect  # non-trivial: the model actually flags something
+
+
+def test_trained_ivf_centroids_improve_quantization_and_recall(spark):
+    """train_ivf_centroids (spherical k-means) plugged into the IVF path:
+    the k-means guarantee is a LOWER quantization objective than its own
+    init (the naive first-k centroids) — assert that, plus a usefulness
+    floor on end-to-end recall of the brute-force cosine top-k."""
+    from hazelcast_jet_spark.operators.clustering import train_ivf_centroids
+    from hazelcast_jet_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype="float64")
+    Xn = X / np.sqrt((X * X).sum(1))[:, None]
+
+    naive = Xn[:8]
+    trained = np.array(train_ivf_centroids(emb, k=8, max_iter=8))
+    assert trained.shape == naive.shape
+
+    def objective(C):
+        d = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    assert objective(trained) < objective(naive)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {(r["query_id"], r["corpus_id"])
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    got = {(r["query_id"], r["corpus_id"])
+           for r in ivf_topk(emb, queries, trained.tolist(), k=5,
+                             nprobe=2).collect()}
+    assert len(got & truth) / len(truth) >= 0.5

@@ -1607,6 +1607,50 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): disjunctive OR-of-ANDs
+    predicate spanning both join sides — Catalyst pushes the common
+    p_brand/p_size disjuncts to the part scan and keeps the mixed
+    residual on the join; one broadcast join, one agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(20, 40)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        agg.counting().alias("n_rows"),
+    )
+
+
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN subqueries —
+    parts by name pattern → their 1996 lineitems → suppliers moving more
+    than a decimal-exact quantity threshold → semi-join back to supplier."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    red_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    movers = (
+        l.join(F.broadcast(red_parts), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+    )
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1723,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
         "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
         "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
     }
 
 
@@ -2912,5 +2958,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 10
+        """,
+        "tpch_q19_discounted_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#14' AND p_size BETWEEN 20 AND 40
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q20_promotion_suppliers": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%red%')
+                  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                GROUP BY l_suppkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       > 200
+            )
+            ORDER BY s_name
         """,
     }

@@ -1651,6 +1651,163 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional nation-pair filter
+    via two broadcast nation joins + per-year revenue.  The nation-pair
+    disjunction runs after both (tiny) dim joins; the two facts join on
+    their keys."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): share = one nation's
+    revenue over total revenue per year inside a region — a ratio of two
+    decimal-exact sums, so the double division is bit-identical across
+    engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == n_c.n_nationkey)
+        .join(F.broadcast(r), n_c.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (dsum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+             / dsum(vol)).alias("mkt_share"),
+            agg.counting().alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per year.  No partsupp table, so supply cost is modeled as 10% of
+    p_retailprice — the join/agg shape (part-name filter, two facts,
+    broadcast dims, year rollup) is Q9's."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.1 * F.col("l_quantity"))
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value for one nation's
+    suppliers, kept when above a scalar-subquery fraction of the total —
+    both sides decimal-exact, so the threshold compare is deterministic.
+    lineitem stands in for partsupp (value = shipped extendedprice)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ls = (
+        l.join(F.broadcast(
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+    )
+    per_part = ls.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
+    total = per_part.agg((dsum("part_value") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): CASE-split counts
+    of high- vs low-priority orders among late shipments, grouped by line
+    status (standing in for l_shipmode, absent here)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): revenue view over a quarter, then
+    suppliers hitting the scalar-subquery MAX — max over decimal-exact
+    sums, so the equality is deterministic."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx)).filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1769,6 +1926,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
         "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
         "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
     }
 
 
@@ -2984,5 +3147,103 @@ def oracle_sql() -> dict[str, str]:
                        > 200
             )
             ORDER BY s_name
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS vol,
+                       ns.n_name AS supp_nation
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region   ON nc.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE r_name = 'ASIA'
+                  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2'
+                                      THEN vol ELSE 0.0 END
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(vol AS DECIMAL(18,6))) AS DOUBLE)
+                       AS mkt_share,
+                   count(*) AS n_rows
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q9_product_profit": """
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 - p_retailprice * 0.1 * l_quantity
+                                 AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_stock": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                            AS DOUBLE) AS part_value
+                FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                                    JOIN nation ON s_nationkey = n_nationkey
+                                    WHERE n_name = 'NATION_3')
+                GROUP BY 1
+            ), t AS (
+                SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+                       * 0.001 AS threshold
+                FROM pv
+            )
+            SELECT l_partkey, part_value
+            FROM pv, t WHERE part_value > threshold
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "tpch_q12_priority_shipping": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+              AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+            ORDER BY s_suppkey
         """,
     }

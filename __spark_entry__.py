@@ -1656,21 +1656,24 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     via two broadcast nation joins + per-year revenue.  The nation-pair
     disjunction runs after both (tiny) dim joins; the two facts join on
     their keys."""
+    pair = ("NATION_1", "NATION_2")
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
+    # shrink BOTH facts through the two-nation dims before the fact x fact
+    # join: suppliers/customers outside the pair never reach the shuffle
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = _t(spark, sf_dir, "nation").select(
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
     j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        l.join(F.broadcast(s), l.l_suppkey == F.col("s_suppkey"))
+        .join(o, l.l_orderkey == F.col("o_orderkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
@@ -1745,9 +1748,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part value for one nation's
-    suppliers, kept when above a scalar-subquery fraction of the total —
-    both sides decimal-exact, so the threshold compare is deterministic.
-    lineitem stands in for partsupp (value = shipped extendedprice)."""
+    suppliers, kept when above a scalar-subquery threshold — both sides
+    decimal-exact, so the compare is deterministic.  lineitem stands in
+    for partsupp (value = shipped extendedprice).  The threshold is 2x
+    the MEAN part value (classic Q11's fixed 0.0001 fraction goes empty
+    as the part count scales; mean-relative keeps the query meaningful
+    at every SF)."""
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
@@ -1757,7 +1763,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
     )
     per_part = ls.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("part_value"))
-    total = per_part.agg((dsum("part_value") * 0.001).alias("threshold"))
+    total = per_part.agg(
+        (dsum("part_value") * 2.0 / F.count(F.lit(1))).alias("threshold"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
@@ -3214,7 +3221,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             ), t AS (
                 SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
-                       * 0.001 AS threshold
+                       * 2.0 / count(*) AS threshold
                 FROM pv
             )
             SELECT l_partkey, part_value

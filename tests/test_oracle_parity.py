@@ -119,3 +119,11 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
+
+
+def test_no_oracle_is_empty():
+    """A 0-row gate query trivially hash-matches and proves nothing (bit
+    q22 and q11 during development) — every oracle must select rows."""
+    for name, sql in ORACLES.items():
+        _, rows = _duck(sql)
+        assert len(rows) > 0, f"{name}: oracle returns 0 rows at {SF_DIR}"

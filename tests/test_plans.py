@@ -179,3 +179,14 @@ def test_sequence_packing_single_window_shuffle(spark, sf_dir):
     packed = packing.pack_concat(d, "tok", 512, "doc_id", ["source"])
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q7_dims_shrink_facts(spark, sf_dir):
+    """Q7: the two-nation filter flows through broadcast dim joins before
+    the single fact-to-fact shuffle join — 4 broadcasts, exactly one
+    sort-merge (or broadcast under AQE) join between lineitem and the
+    customer-restricted orders."""
+    df = entry_mod.tpch_q7_volume_shipping(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

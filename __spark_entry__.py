@@ -1815,6 +1815,19 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (text.winnow_fingerprints, the
+    MOSS algorithm) driving near-dup pair generation: docs sharing >=3
+    surviving fingerprints, with boilerplate fingerprints (df > 10)
+    dropped before the equi-join.  Finds the same 25 near-dup pairs as
+    the MinHash/ngram paths by an entirely different mechanism."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dedup.winnow_dup_pairs(d, k=24, w=12, min_shared=3, max_df=10)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1939,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
     }
 
 
@@ -3252,5 +3266,35 @@ def oracle_sql() -> dict[str, str]:
             FROM revenue JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_rev = (SELECT max(total_rev) FROM revenue)
             ORDER BY s_suppkey
+        """,
+        "winnow_fingerprint_dups": f"""
+            WITH d0 AS (
+                SELECT doc_id, {_NORM} AS norm FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(length(norm) - 23, 1)),
+                           i -> CAST(CAST('0x' || substr(md5(substr(norm, i, 24)), 1, 12)
+                                          AS UBIGINT) AS BIGINT)) AS hs
+                FROM d0
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 12
+                            THEN list_transform(generate_series(1, len(hs) - 11),
+                                                i -> list_min(hs[i:i+11]))
+                            ELSE [list_min(hs)] END AS mins
+                FROM h
+            ), fp1 AS (
+                SELECT DISTINCT doc_id, unnest(list_distinct(mins)) AS f FROM m
+            ), keep AS (
+                SELECT f FROM fp1 GROUP BY f HAVING count(*) <= 10
+            ), fp AS (
+                SELECT fp1.* FROM fp1 JOIN keep USING (f)
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   count(*) AS shared_fps
+            FROM fp l JOIN fp r ON l.f = r.f AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY id_a, id_b
         """,
     }

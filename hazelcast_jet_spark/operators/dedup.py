@@ -437,3 +437,64 @@ def decontaminate(
         .agg(F.count_distinct("s").alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
     )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via winnowing fingerprints (text.winnow_fingerprints):
+    docs sharing >= ``min_shared`` distinct fingerprints.
+
+    Candidate generation is an equi-join on the fingerprint value —
+    winnowing's coverage guarantee (any shared run of >= k+w-1 chars
+    shares a fingerprint) makes this exhaustive for long overlaps without
+    an all-pairs compare.  ``max_df`` drops fingerprints appearing in
+    more than that many docs (boilerplate phrases — the hot-bucket guard,
+    same idea as ngram_jaccard_pairs' max_df) before the self-join.
+    """
+    from .text import normalize_text
+
+    # STAGED projections, not one nested Column: a free-variable expression
+    # inside a higher-order-function lambda is re-evaluated PER ELEMENT, so
+    # normalize_text's regexes inside the k-gram lambda would cost O(len²)
+    # per doc (same trap the shingles() docstring documents).  Each stage
+    # below references only a plain column; aliases used several times are
+    # non-cheap, so CollapseProject keeps them materialized once per row.
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("norm"))
+    hashed = base.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1))),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substr(F.col("norm"), i, F.lit(k))), 1, 12),
+                16, 10).cast("bigint"),
+        ).alias("hs"),
+    )
+    mins = hashed.select(
+        "id",
+        F.when(
+            F.size("hs") >= w,
+            F.transform(F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                        lambda i: F.array_min(F.slice("hs", i, w))),
+        ).otherwise(F.array(F.array_min("hs"))).alias("mins"),
+    )
+    fp = mins.select("id", F.explode(F.array_distinct("mins")).alias("fp")).distinct()
+    if max_df is not None:
+        ok = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") <= max_df).select("fp"))
+        fp = fp.join(ok, "fp", "left_semi")
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(r, (F.col("l.fp") == F.col("r.fp"))
+               & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

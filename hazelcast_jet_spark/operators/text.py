@@ -135,3 +135,45 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(text_col), 6).alias("quality"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm) — the build brief's 'document fingerprinting
+    (rolling hash)' component, strictly stronger than the whole-doc md5
+    :func:`fingerprint`: robust to local edits and position shifts.
+
+    Character k-grams of the normalized text are hashed (md5 prefix as a
+    bigint — engine-portable, same idiom as operators/sketch.py), and
+    each window of ``w`` consecutive k-gram hashes contributes its
+    minimum; the distinct minima are the fingerprint set.  Two documents
+    sharing a sufficiently long run of text are GUARANTEED to share a
+    fingerprint (winnowing's coverage property), so near-dup candidate
+    generation is an equi-join on fingerprints — never all-pairs.
+
+    All JVM expressions (transform/sequence/slice/array_min): per-row
+    cost O(len·w) with zero Python; returns array<bigint> sorted
+    ascending for deterministic cross-engine comparison.  Docs shorter
+    than k chars fingerprint their whole normalized text.
+
+    .. warning:: Convenience single-Column form — the normalization
+       subtree is a free variable inside the k-gram lambda, so Spark
+       re-evaluates it per element (O(len²) per doc).  For bulk corpus
+       fingerprinting use the staged projections in
+       ``operators.dedup.winnow_dup_pairs``, which materialize the
+       normalized text and the hash array once per row (~30x faster).
+    """
+    norm = normalize_text(col)
+    n = F.length(norm)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(F.substr(norm, i, F.lit(k))), 1, 12),
+                         16, 10).cast("bigint"),
+    )
+    nh = F.size(hashes)
+    mins = F.when(
+        nh >= w,
+        F.transform(F.sequence(F.lit(1), nh - (w - 1)),
+                    lambda i: F.array_min(F.slice(hashes, i, w))),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return F.array_sort(F.array_distinct(mins))

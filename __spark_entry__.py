@@ -1828,6 +1828,37 @@ def winnow_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition statistic (text.word_ngrams): each doc's
+    most frequent word 2-gram and the fraction of words it covers — the
+    'top n-gram fraction' pre-training quality rule.  Staged projections
+    (tokens materialized before the gram lambda), explode → count →
+    per-doc top-1 window; integer arithmetic until one final division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(text.normalize_text("text"), " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.size("t").alias("wc"),
+                F.explode(text.word_ngrams("t", 2)).alias("gram"))
+    )
+    counts = grams.groupBy("doc_id", "wc", "gram").agg(
+        agg.counting().alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("n").alias("top_count"),
+            (F.col("n") * 2 / F.col("wc")).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1953,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
     }
 
 
@@ -3296,5 +3328,25 @@ def oracle_sql() -> dict[str, str]:
             FROM fp l JOIN fp r ON l.f = r.f AND l.doc_id < r.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3
             ORDER BY id_a, id_b
+        """,
+        "repetition_top_ngram": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), g AS (
+                SELECT doc_id, len(t) AS wc,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), c AS (
+                SELECT doc_id, wc, gram, count(*) AS n FROM g GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT doc_id, wc, gram, n,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, gram ASC) AS rk
+                FROM c
+            )
+            SELECT doc_id, gram AS top_gram, n AS top_count,
+                   n * 2 / wc AS coverage
+            FROM r WHERE rk = 1 ORDER BY doc_id
         """,
     }

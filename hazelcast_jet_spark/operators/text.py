@@ -177,3 +177,26 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
                     lambda i: F.array_min(F.slice(hashes, i, w))),
     ).otherwise(F.array(F.array_min(hashes)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def word_ngrams(tokens: Column | str, n: int = 2) -> Column:
+    """NON-distinct word n-grams of a token-array column (zip-shift shape,
+    one pass, no index lambdas).  Pass a materialized token array column —
+    not an expression — so nothing heavy re-evaluates per element.  Docs
+    shorter than n words yield an empty array.  Distinct shingles for
+    dedup live in operators.dedup.shingles; this keeps multiplicity for
+    repetition statistics (Gopher-style quality rules)."""
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
+    big = 1 << 20
+    fields = [toks.alias("t0")] + [
+        F.concat(F.slice(toks, j + 1, big), F.array(*[F.lit(None)] * j)).alias(f"t{j}")
+        for j in range(1, n)
+    ]
+    z = F.arrays_zip(*fields)
+    grams = F.transform(
+        z,
+        lambda x: F.when(
+            x[f"t{n-1}"].isNotNull(), F.concat_ws(" ", *[x[f"t{j}"] for j in range(n)])
+        ),
+    )
+    return F.array_compact(grams)

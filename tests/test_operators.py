@@ -481,3 +481,28 @@ def test_kmv_merge_column_fn(spark):
         .select(kmv_merge(F.col("a"), F.col("b"), k).alias("m")).collect()[0].m
     )
     assert merged == whole
+
+
+def test_scrub_pii_and_counts(spark):
+    from hazelcast_jet_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+        (1, "server at 192.168.1.254 leaked ssn 123-45-6789 yesterday"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in df.select(
+        "id", scrub_pii("text").alias("clean"),
+        pii_counts("text").alias("c")).collect()}
+    assert "[EMAIL]" in out[0]["clean"] and "example.co.uk" not in out[0]["clean"]
+    assert "[PHONE]" in out[0]["clean"] and "555" not in out[0]["clean"]
+    assert "[IPV4]" in out[1]["clean"] and "192.168" not in out[1]["clean"]
+    assert "[SSN]" in out[1]["clean"] and "123-45-6789" not in out[1]["clean"]
+    assert out[2]["clean"] == "nothing sensitive here"
+    assert out[0]["c"]["email"] == 1 and out[0]["c"]["phone"] == 1
+    assert out[1]["c"]["ipv4"] == 1 and out[1]["c"]["ssn"] == 1
+    assert sum(out[2]["c"]) == 0
+    # map-only: no exchange in the plan
+    plan = df.select(scrub_pii("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,50 @@
+"""Embedding similarity-search workflow — the ANN scale path end to end:
+
+1. train IVF centroids with distributed spherical k-means
+   (operators/clustering.py),
+2. materialize the corpus as a persisted IVF index partitioned by
+   centroid (operators/similarity.ivf_build_index) so probes read only
+   nprobe partitions,
+3. query it, and sanity-check against brute-force cosine top-k.
+
+At 100 TB: train on a deterministic sample (k-means needs ~1000·k
+vectors), build once, probe forever — the corpus is scanned once at
+build and never shuffled at query time.
+
+Run: python examples/embedding_search.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark import get_spark, load_table
+from hazelcast_jet_spark.operators.clustering import train_ivf_centroids
+from hazelcast_jet_spark.operators.similarity import (
+    cosine_topk, ivf_build_index, ivf_topk_indexed)
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_spark("example-embedding-search")
+
+emb = load_table(spark, sf_dir, "embeddings")
+queries = emb.filter(F.col("vec_id") < 3)
+
+# 1. train coarse quantizer (8 centroids; sample first at real scale)
+centroids = train_ivf_centroids(emb, k=8, max_iter=8)
+
+# 2. persist the index partitioned by centroid_id
+index_path = os.path.join(tempfile.mkdtemp(prefix="ivf_ex_"), "index")
+ivf_build_index(emb, centroids, index_path)
+
+# 3. probe 2 of 8 partitions per query
+approx = ivf_topk_indexed(spark, index_path, queries, centroids, k=5, nprobe=2)
+exact = cosine_topk(emb, queries, k=5)
+
+a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+print(f"recall@5 with nprobe=2/8: {len(a & e) / len(e):.2f} "
+      f"({len(a & e)}/{len(e)} of brute-force top-k recovered)")

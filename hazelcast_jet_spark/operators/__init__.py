@@ -3,6 +3,11 @@ pipeline ops (dedup, similarity, text analysis, multimodal) beyond the
 reference's inventory (SURVEY §2 + Phase 5)."""
 
 from hazelcast_jet_spark.operators.joins import co_group, co_group3, top_n_rows
-from hazelcast_jet_spark.operators import dedup, similarity, text, multimodal
+from hazelcast_jet_spark.operators import (
+    clustering, dedup, multimodal, packing, sampling, similarity, sketch, text)
 
-__all__ = ["co_group", "co_group3", "top_n_rows", "dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "co_group", "co_group3", "top_n_rows",
+    "clustering", "dedup", "multimodal", "packing", "sampling",
+    "similarity", "sketch", "text",
+]

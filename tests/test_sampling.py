@@ -70,3 +70,42 @@ def test_reservoir_exact_k_per_stratum(spark, docs):
 
 def test_reservoir_global(spark, docs):
     assert reservoir_sample(docs, 11, "doc_id").count() == 11
+
+
+def test_deterministic_shuffle_reproducible_and_uniform(spark, sf_dir):
+    from hazelcast_jet_spark.operators.sampling import deterministic_shuffle
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def run(df, seed):
+        out = deterministic_shuffle(df, "doc_id", seed=seed, num_shards=8)
+        rows = out.collect()
+        per_shard = {}
+        for r in rows:
+            per_shard.setdefault(r["shard"], []).append(r["doc_id"])
+        return per_shard
+
+    a = run(d, "epoch1")
+    b = run(d.repartition(13), "epoch1")      # different input partitioning
+    assert a == b                             # shard membership AND intra-shard order
+    assert sum(len(v) for v in a.values()) == d.count()
+    # roughly uniform shards (md5 is well-mixed; 500 docs over 8 shards)
+    sizes = sorted(len(v) for v in a.values())
+    assert sizes[0] > 30 and sizes[-1] < 100
+
+    c = run(d, "epoch2")                      # new epoch = new permutation
+    assert c != a
+    assert sorted(x for v in c.values() for x in v) == \
+        sorted(x for v in a.values() for x in v)
+
+
+def test_deterministic_shuffle_no_global_sort(spark, sf_dir):
+    from hazelcast_jet_spark.operators.sampling import deterministic_shuffle
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = deterministic_shuffle(d, "doc_id", num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()   # no global sort barrier
+    assert plan.count("Exchange hashpartitioning") == 1

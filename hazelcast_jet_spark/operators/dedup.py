@@ -498,3 +498,50 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                    max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: turn the pair lists the
+    LSH operators emit (minhash_lsh_pairs, simhash_near_dup_pairs,
+    winnow_dup_pairs, cosine_dedup_pairs) into dedup GROUPS — the step
+    that decides which document survives (keep min id per group).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min label over its neighborhood (one join + one
+    groupBy per round) until a fixpoint.  Rounds needed = graph diameter,
+    and near-dup clusters are shallow (pairs share a bucket), so this
+    converges in a handful of rounds; ``max_iter`` bounds adversarial
+    chains.  Returns (node, group) where group = min doc id reachable.
+
+    At 100 TB the iterated frame is only the nodes that appear in pairs
+    (the contaminated minority), never the corpus.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n").join(
+                labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("group"))

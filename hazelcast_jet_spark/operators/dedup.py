@@ -477,40 +477,13 @@ def winnow_dup_pairs(
                 16, 10).cast("bigint"),
         ).alias("hs"),
     )
-    # sliding-window minima by sparse-table doubling, O(n log w) instead of
-    # the naive O(n·w) slice-per-window: level j holds minima of 2^j-wide
-    # windows (element-wise least of the previous level and its shifted
-    # self — zip_with truncates to the shifted length, exactly the count
-    # of complete windows); the final w-window is the least of two
-    # overlapping power-of-two windows.
-    big = 1 << 20
-    # carry only (id, nh, hmin, current-level array): each stage consumes
-    # the previous array and drops it, so no row ever holds two copies
-    stage = hashed.select(
-        "id", F.size("hs").alias("nh"), F.array_min("hs").alias("hmin"),
-        F.col("hs").alias("cur"))
-    width = 1
-    while width * 2 <= w:
-        stage = stage.select(
-            "id", "nh", "hmin",
-            F.zip_with(F.col("cur"), F.slice(F.col("cur"), width + 1, big),
-                       lambda a, b: F.least(a, b)).alias("cur"),
-        )
-        width *= 2
-    off = w - width  # overlap shift: [i, i+width) ∪ [i+off, i+off+width) = w window
-    # zip_with PADS the shorter side with nulls (least() then passes the
-    # longer side through), so every level keeps length n with
-    # partial-window garbage in its tail — slice to the n-w+1 COMPLETE
-    # windows at the end
-    mins = stage.select(
+    mins = hashed.select(
         "id",
         F.when(
-            F.col("nh") >= w,
-            F.slice(
-                F.zip_with(F.col("cur"), F.slice(F.col("cur"), off + 1, big),
-                           lambda a, b: F.least(a, b)),
-                1, F.col("nh") - (w - 1)),
-        ).otherwise(F.array(F.col("hmin"))).alias("mins"),
+            F.size("hs") >= w,
+            F.transform(F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+                        lambda i: F.array_min(F.slice("hs", i, w))),
+        ).otherwise(F.array(F.array_min("hs"))).alias("mins"),
     )
     fp = mins.select("id", F.explode(F.array_distinct("mins")).alias("fp")).distinct()
     if max_df is not None:

@@ -43,13 +43,25 @@ def main() -> None:
     stream_rps = _stream_window_probe(spark)
 
     total = round(sum(timings.values()), 4)
+    # Full per-query map first (long line, for humans / full-log capture) ...
+    print(json.dumps({
+        "metric": "per_query_sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    # ... then ONE compact summary line LAST (< 500 bytes) so a bounded
+    # tail capture of stdout always contains a parseable summary even with
+    # 100+ queries in the suite.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "suite_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf),
+        "n_queries": len(timings),
+        "mean_query_sec": round(total / max(len(timings), 1), 4),
         "stream_window_rows_per_sec": stream_rps,
+        "queries": slowest,
     }))
 
 

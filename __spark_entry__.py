@@ -1399,17 +1399,20 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch'): deterministic md5-based k-minimum-values cardinality
     estimate per event_type, next to the exact count.  Unlike HLL the
     estimate is engine-portable bit-for-bit, so it sits under the exact
-    hash gate."""
-    from hazelcast_jet_spark.operators.sketch import kmv_estimate, kmv_sketch
+    hash gate.  Uses the SHARDED two-level build (the 100 TB path: no
+    aggregation state ever holds a whole group's distinct hashes); its
+    sketch is bit-identical to the single-level one, so the oracle is
+    unchanged."""
+    from hazelcast_jet_spark.operators.sketch import (
+        kmv_distinct_sharded, kmv_estimate)
 
     e = _t(spark, sf_dir, "events")
     k = 32
+    sk = kmv_distinct_sharded(e, ["event_type"], "user_id", k=k, num_shards=8)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"))
     return (
-        e.groupBy("event_type")
-        .agg(
-            kmv_sketch("user_id", k).alias("sk"),
-            F.count_distinct("user_id").alias("exact_distinct"),
-        )
+        sk.join(exact, "event_type")
         .select(
             "event_type",
             kmv_estimate(F.col("sk"), k).alias("kmv_estimate"),

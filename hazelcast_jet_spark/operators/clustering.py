@@ -76,25 +76,35 @@ def kmeans_fit(
     if len(cent) < k:
         raise ValueError(f"need >= {k} rows to init {k} clusters")
 
-    assigned = None
-    for _ in range(max_iter):
-        assigned = kmeans_assign(df, cent, vec_col)
-        sums = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new_cent = cent.copy()
-        counts = np.zeros(k, dtype="int64")
-        for r in sums:
-            new_cent[r["cluster"], r["pos"]] = r["s"] / r["n"]
-            counts[r["cluster"]] = r["n"]
-        shift = float(np.sqrt(((new_cent - cent) ** 2).sum(axis=1)).max())
-        cent = new_cent
-        if shift <= tol:
-            break
-    return cent, kmeans_assign(df, cent, vec_col)
+    # persist for the duration of the fit: every iteration (and the final
+    # assign) re-reads the input; without this the full source lineage —
+    # scans, casts, normalization — re-executes max_iter+1 times
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(max_iter):
+            assigned = kmeans_assign(df, cent, vec_col)
+            sums = (
+                assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_cent = cent.copy()
+            counts = np.zeros(k, dtype="int64")
+            for r in sums:
+                new_cent[r["cluster"], r["pos"]] = r["s"] / r["n"]
+                counts[r["cluster"]] = r["n"]
+            shift = float(np.sqrt(((new_cent - cent) ** 2).sum(axis=1)).max())
+            cent = new_cent
+            if shift <= tol:
+                break
+        return cent, kmeans_assign(df, cent, vec_col)
+    finally:
+        # marks the cache droppable; the returned frame's lineage stays
+        # valid and recomputes from source when next used
+        df.unpersist()
 
 
 def train_ivf_centroids(
@@ -124,7 +134,12 @@ def train_ivf_centroids(
         )
         .withColumn(
             "_n",
-            F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, y: a + y * y)),
+            # zero-norm guard: an all-zero embedding would otherwise divide
+            # by 0 and poison centroid averages/argmins with NaN/Inf
+            F.greatest(
+                F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, y: a + y * y)),
+                F.lit(1e-12),
+            ),
         )
         .select(
             id_col,

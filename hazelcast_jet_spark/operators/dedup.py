@@ -486,6 +486,19 @@ def winnow_dup_pairs(
         ).otherwise(F.array(F.array_min("hs"))).alias("mins"),
     )
     fp = mins.select("id", F.explode(F.array_distinct("mins")).alias("fp")).distinct()
+    # PERSIST the (id, fp) projection: it feeds the df-filter aggregate AND
+    # both sides of the self-join, and Spark's broadcast joins defeat
+    # exchange reuse here — without the persist the whole normalize→md5→
+    # window-minima pipeline executes 4x (explain showed 4 parquet scans).
+    # The frame is two longs per fingerprint, tiny next to the text it came
+    # from, so MEMORY_AND_DISK is safe at any scale.  (This is also why the
+    # O(n·log w) sparse-table minima rewrite was reverted in r3: it cut the
+    # warm per-pass cost 3.5→2.9 s but its log-depth zip_with tree pushed
+    # COLD analysis+codegen to 7.3 s; computing the naive form ONCE beats
+    # computing a cleverer form 4x either way.)
+    from pyspark import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         ok = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
               .filter(F.col("df") <= max_df).select("fp"))
@@ -523,6 +536,7 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_cp = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -536,12 +550,18 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                         F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
         )
+        # checkpoint FIRST (cut lineage, compute the round once), then read
+        # the convergence probe from the checkpointed frame — computing
+        # `changed` off the raw plan would execute the round's join twice
+        cp = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n").join(
+            cp.alias("n").join(
                 labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if prev_cp is not None:
+            prev_cp.unpersist()  # drop the previous round's checkpoint blocks
+        labels, prev_cp = cp, cp
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("group"))

@@ -48,7 +48,13 @@ def pack_concat(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.withColumn("bin_id", (prior / F.lit(budget)).cast("bigint"))
+    # `div` is true integral division (bigint), exact at any running-sum
+    # magnitude — a double-divide-then-cast would lose exactness past 2^53
+    return (
+        df.withColumn("_prior", prior.cast("bigint"))
+        .withColumn("bin_id", F.expr(f"_prior div {int(budget)}"))
+        .drop("_prior")
+    )
 
 
 def pack_greedy(

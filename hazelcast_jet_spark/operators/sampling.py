@@ -103,7 +103,12 @@ def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
     ``.write.partitionBy("shard")`` (or directly, one file per shard) to
     produce the consumable training shards.
     """
-    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    # coalesce NULL keys to a sentinel: md5(NULL) is NULL, which would send
+    # the row to a NULL shard (outside the 0..n-1 contract) and, under
+    # partitionBy writes, into a silent hive default partition
+    h = F.md5(F.concat(
+        F.lit(seed),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("\x00<null-key>"))))
     n = num_shards or df.sparkSession.sparkContext.defaultParallelism
     with_pos = df.withColumn("_pos", h).withColumn(
         "shard",

@@ -116,23 +116,40 @@ def test_tpch_q10_broadcast_dims_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_kmv_sketch_shuffles(spark, sf_dir):
-    """KMV sketch gate query: no joins; exactly the two aggregation
-    exchanges Spark plans when a distinct agg (the exact-count
-    comparison column) rides along — the sketch itself is the
-    single-shuffle collect_set path."""
-    df = entry_mod.kmv_distinct_sketch(spark, sf_dir)
+def test_kmv_sharded_state_bound_plan(spark, sf_dir):
+    """KMV sharded build (the 100 TB path): the ONLY collect_set over the
+    raw value column is keyed by (group, _kmv_shard) — no aggregation
+    state ever accumulates a whole group's distinct hashes; the merge
+    level's collect_list sees only the pre-sliced (<= k) shard arrays."""
+    from hazelcast_jet_spark.operators.sketch import kmv_distinct_sharded
+    e = entry_mod._t(spark, sf_dir, "events")
+    df = kmv_distinct_sharded(e, ["event_type"], "user_id", k=32, num_shards=8)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    # every collect_set over the raw value column is keyed by BOTH the
+    # group and the shard expression (Catalyst names the pmod/xxhash64
+    # grouping key `_groupingexpression`), never by the group alone
+    partials = [ln for ln in plan.splitlines() if "collect_set" in ln]
+    assert partials, plan
+    assert all(
+        "_groupingexpression" in ln or "_kmv_shard" in ln for ln in partials
+    ), partials
+    # merge level folds shard sketches (collect_list of arrays), never raw values
+    assert "collect_list" in plan
 
-    # sketch alone: one shuffle
+
+def test_kmv_sharded_equals_unsharded(spark, sf_dir):
+    """The sharded two-level sketch is BIT-IDENTICAL to the single-level
+    kmv_sketch per group (k smallest of a union == k smallest of the
+    union of per-part k smallest)."""
     from pyspark.sql import functions as F
-    from hazelcast_jet_spark.operators.sketch import kmv_sketch
+    from hazelcast_jet_spark.operators.sketch import (
+        kmv_distinct_sharded, kmv_sketch)
     e = entry_mod._t(spark, sf_dir, "events")
     solo = e.groupBy("event_type").agg(kmv_sketch("user_id", 32).alias("sk"))
-    splan = solo._jdf.queryExecution().executedPlan().toString()
-    assert splan.count("Exchange hashpartitioning") == 1
+    shard = kmv_distinct_sharded(e, ["event_type"], "user_id", k=32, num_shards=8)
+    j = solo.alias("a").join(shard.alias("b"), "event_type")
+    assert j.filter(F.col("a.sk") != F.col("b.sk")).count() == 0
+    assert solo.count() == shard.count()
 
 
 def test_nexmark_q7_single_window_shuffle(spark, sf_dir):

@@ -1862,6 +1862,46 @@ def repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/joins.asof_join direction="forward")
+    — each click event enriched with the user's NEXT purchase value
+    at-or-after the click time; no future purchase → NULL (left-join
+    semantics).  Locks DuckDB ASOF parity in the direction the backward
+    gate query (asof_join_events) doesn't cover; same one-shuffle
+    union + carry shape, just walked over descending time."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    out = asof_join(clicks, purchases, "user_id", "ts",
+                    value_cols=["value"], direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("click_value"),
+        F.col("asof_value").alias("next_purchase_value"),
+    )
+
+
+def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs → dedup GROUPS (operators/dedup.pairs_to_groups, min-label
+    propagation connected components) over the exact n-gram Jaccard near-
+    dup pairs: the keep/drop decision step of the whole dedup family,
+    oracle-pinned here against a DuckDB recursive-CTE transitive closure.
+    Output: each group's min-doc-id label and its member count."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=SHINGLE_K, threshold=LSH_THRESHOLD)
+    groups = dedup.pairs_to_groups(pairs)
+    return (
+        groups.groupBy(F.col("group").alias("group_id"))
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .orderBy("group_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1893,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
         "repetition_top_ngram": repetition_top_ngram,
         # -- new this round (r4) ----------------------------------------------
+        "asof_join_forward": asof_join_forward,
+        "dedup_group_sizes": dedup_group_sizes,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2339,6 +2381,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) >= {LSH_THRESHOLD}
         """,
+        "dedup_group_sizes": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sizes AS (
+                SELECT id, len(sh) AS n FROM base
+            ), inv AS (
+                SELECT id, unnest(sh) AS s FROM base
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6)
+                      >= {LSH_THRESHOLD}
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+                -- transitive closure; min reachable id == the min-label
+                -- fixpoint pairs_to_groups converges to
+                SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            ), grp AS (
+                SELECT node, min(r) AS group_id FROM reach GROUP BY node
+            )
+            SELECT group_id, count(*) AS group_size
+            FROM grp GROUP BY group_id ORDER BY group_id
+        """,
         "asof_join_events": """
             WITH p AS (
                 SELECT event_id, user_id, ts, value FROM events
@@ -2354,6 +2430,22 @@ def oracle_sql() -> dict[str, str]:
                    c.value AS last_click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "asof_join_forward": """
+            WITH c AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ), p AS (
+                -- ties on (user, ts) collapse to max(value), matching the
+                -- operator's deterministic pre-aggregation
+                SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id,
+                   c.value AS click_value,
+                   p.value AS next_purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         "tpch_q5_local_supplier": """
             SELECT n_name,

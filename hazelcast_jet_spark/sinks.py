@@ -137,19 +137,34 @@ class Sinks:
         return sink
 
     @staticmethod
+    def kafka_options(bootstrap_servers: str, topic: str, **options) -> dict:
+        """Option map for Spark's kafka sink — unit-testable without a
+        broker (KafkaSinks.java:101 builds producer Properties likewise).
+        Producer properties pass through with their ``kafka.`` prefix."""
+        if not topic:
+            raise ValueError("kafka sink requires a topic")
+        opts = {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+        opts.update(options)
+        return opts
+
+    @staticmethod
     def kafka(bootstrap_servers: str, topic: str, checkpoint: str | None = None,
               **options):
         """KafkaSinks.kafka — extensions/kafka/.../KafkaSinks.java:101.
         Streaming use REQUIRES an explicit durable ``checkpoint``: a fresh
         temp checkpoint per run would silently break exactly-once across
         restarts (the sink's EOS = checkpointed offsets + idempotent or
-        transactional producer)."""
+        transactional producer).  Delivery is at-least-once into the
+        broker (no producer transactions wired — see README 'Delivery
+        guarantees')."""
+        opts = Sinks.kafka_options(bootstrap_servers, topic, **options)
+
         def sink(df: DataFrame):
             w = (
                 df.writeStream if df.isStreaming else df.write
             )
-            w = w.format("kafka").option("kafka.bootstrap.servers", bootstrap_servers).option("topic", topic)
-            for k, v in options.items():
+            w = w.format("kafka")
+            for k, v in opts.items():
                 w = w.option(k, v)
             if df.isStreaming:
                 if not checkpoint:

@@ -77,17 +77,38 @@ class Sources:
         return read
 
     @staticmethod
+    def kafka_options(bootstrap_servers: str, *topics: str, **options) -> dict:
+        """Build the option map for Spark's kafka source — the part of the
+        connector that is unit-testable without a broker (KafkaSources.java:51
+        builds the consumer Properties the same way).
+
+        ``topics`` become ``subscribe`` unless the caller passes one of
+        Spark's mutually-exclusive alternatives (``assign`` /
+        ``subscribePattern``) explicitly; passing both is rejected here
+        rather than at stream start.  Consumer properties pass through
+        with their ``kafka.`` prefix (e.g. ``**{"kafka.group.id": "g"}``).
+        """
+        alternatives = [k for k in ("assign", "subscribePattern") if k in options]
+        if alternatives and topics:
+            raise ValueError(
+                f"pass either topic names or {alternatives[0]}=, not both "
+                "(Spark's kafka source accepts exactly one subscription mode)")
+        if not alternatives and not topics:
+            raise ValueError("at least one topic (or assign=/subscribePattern=) required")
+        opts = {"kafka.bootstrap.servers": bootstrap_servers}
+        if topics:
+            opts["subscribe"] = ",".join(topics)
+        opts.update(options)
+        return opts
+
+    @staticmethod
     def kafka(bootstrap_servers: str, *topics: str, **options):
         """KafkaSources.kafka — extensions/kafka/.../KafkaSources.java:51.
         Offsets checkpointed for exactly-once, same as Jet's snapshots."""
+        opts = Sources.kafka_options(bootstrap_servers, *topics, **options)
+
         def read(spark):
-            return (
-                spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", bootstrap_servers)
-                .option("subscribe", ",".join(topics))
-                .options(**options)
-                .load()
-            )
+            return spark.readStream.format("kafka").options(**opts).load()
         return read
 
     @staticmethod

@@ -503,3 +503,48 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     want = sorted(((i, i if i % 2 == 0 else None) for i in range(9)),
                   key=lambda t: (t[0], t[1] is None, t[1] or 0))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Kafka connector option-building (KafkaSources.java:51 / KafkaSinks.java:101)
+# — the broker-independent contract: subscription modes, property pass-
+# through, and the streaming checkpoint requirement.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_source_option_builder():
+    from hazelcast_jet_spark.sources import Sources
+
+    opts = Sources.kafka_options("b1:9092,b2:9092", "t1", "t2",
+                                 **{"kafka.group.id": "g", "startingOffsets": "earliest"})
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t1,t2"
+    assert opts["kafka.group.id"] == "g"           # consumer property pass-through
+    assert opts["startingOffsets"] == "earliest"   # source option pass-through
+
+    # alternative subscription modes replace subscribe
+    opts = Sources.kafka_options("b:9092", subscribePattern="t.*")
+    assert "subscribe" not in opts and opts["subscribePattern"] == "t.*"
+
+    import pytest
+    with pytest.raises(ValueError):                # both modes at once
+        Sources.kafka_options("b:9092", "t1", assign='{"t1":[0]}')
+    with pytest.raises(ValueError):                # no subscription at all
+        Sources.kafka_options("b:9092")
+
+
+def test_kafka_sink_option_builder_and_checkpoint_contract(spark):
+    import pytest
+    from hazelcast_jet_spark.sinks import Sinks
+
+    opts = Sinks.kafka_options("b:9092", "out", **{"kafka.acks": "all"})
+    assert opts == {"kafka.bootstrap.servers": "b:9092", "topic": "out",
+                    "kafka.acks": "all"}
+    with pytest.raises(ValueError):
+        Sinks.kafka_options("b:9092", "")
+
+    # a STREAMING frame without a durable checkpoint must be rejected
+    # before any broker contact (exactly-once depends on the checkpoint)
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="checkpoint"):
+        Sinks.kafka("b:9092", "out")(stream)

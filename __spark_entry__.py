@@ -1902,6 +1902,45 @@ def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit (text.pii_counts / text.scrub_pii,
+    the privacy-filter step).  The synthetic corpus carries no PII, so the
+    query PLANTS deterministic spans derived from doc_id — an email for
+    every doc, an SSN for even ids, an IPv4 for all — with the identical
+    construction in the oracle; per-kind hit counts and a post-scrub
+    cleanliness flag are then compared engine-to-engine.  All map-only
+    chained regex, full-scan speed at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("123-45-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    audited = planted.select(
+        "doc_id",
+        text.pii_counts("text").alias("c"),
+        text.pii_counts(text.scrub_pii("text")).alias("after"),
+    )
+    return audited.select(
+        "doc_id",
+        F.col("c.email").alias("email_hits"),
+        F.col("c.ssn").alias("ssn_hits"),
+        F.col("c.ipv4").alias("ipv4_hits"),
+        F.col("c.phone").alias("phone_hits"),
+        (F.col("after.email") + F.col("after.ssn") + F.col("after.ipv4")
+         + F.col("after.phone") == 0).cast("int").alias("clean_after_scrub"),
+    ).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1935,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (r4) ----------------------------------------------
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
+        "pii_scrub_stats": pii_scrub_stats,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2446,6 +2486,40 @@ def oracle_sql() -> dict[str, str]:
                    p.value AS next_purchase_value
             FROM c ASOF LEFT JOIN p
               ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "pii_scrub_stats": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or '
+                            || CASE WHEN doc_id % 2 = 0
+                                    THEN '123-45-' ||
+                                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                    ELSE '' END
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                           AS text
+                FROM documents
+            ), scrubbed AS (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                           text,
+                           '{text.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+                           '{text.PII_PATTERNS["ssn"]}', '[SSN]', 'g'),
+                           '{text.PII_PATTERNS["ipv4"]}', '[IPV4]', 'g'),
+                           '{text.PII_PATTERNS["phone"]}', '[PHONE]', 'g') AS sc
+                FROM planted
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS INTEGER) AS email_hits,
+                   CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ssn"]}')) AS INTEGER) AS ssn_hits,
+                   CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS INTEGER) AS ipv4_hits,
+                   CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS INTEGER) AS phone_hits,
+                   CAST(CASE WHEN len(regexp_extract_all(sc, '{text.PII_PATTERNS["email"]}'))
+                                + len(regexp_extract_all(sc, '{text.PII_PATTERNS["ssn"]}'))
+                                + len(regexp_extract_all(sc, '{text.PII_PATTERNS["ipv4"]}'))
+                                + len(regexp_extract_all(sc, '{text.PII_PATTERNS["phone"]}')) = 0
+                             THEN 1 ELSE 0 END AS INTEGER) AS clean_after_scrub
+            FROM scrubbed ORDER BY doc_id
         """,
         "tpch_q5_local_supplier": """
             SELECT n_name,

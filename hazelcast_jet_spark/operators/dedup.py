@@ -531,7 +531,14 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     (the contaminated minority), never the corpus.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the edge list ONCE: every round joins against it, and
+    # without the checkpoint each round would re-execute the (potentially
+    # expensive) upstream pair-generation plan — an LSH candidate join —
+    # from scratch.  The edge list is two longs per pair, tiny vs the
+    # corpus that produced it.
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))

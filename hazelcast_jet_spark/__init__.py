@@ -27,7 +27,7 @@ cooperative threads).  It is an idiomatic Spark design:
 from hazelcast_jet_spark.session import get_spark, load_table, load_tables
 from hazelcast_jet_spark.pipeline import Pipeline, WindowDefinition
 from hazelcast_jet_spark import aggregates as AggregateOperations
-from hazelcast_jet_spark.sources import Sources, FileSources, TestSources
+from hazelcast_jet_spark.sources import Sources, FileSources, S3Sources, TestSources
 from hazelcast_jet_spark.sinks import Sinks, AssertionSinks
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "AggregateOperations",
     "Sources",
     "FileSources",
+    "S3Sources",
     "TestSources",
     "Sinks",
     "AssertionSinks",

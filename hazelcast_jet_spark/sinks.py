@@ -298,3 +298,26 @@ class AssertionSinks:
             assert not missing, f"assertContains missing {missing}"
             return got
         return sink
+
+
+class S3Sinks:
+    """S3 object writer — extensions/s3/.../S3Sinks.java:54-98, expressed
+    as the s3a:// path half Spark needs (same contract split as
+    S3Sources: path building tested S3-free; IO via Spark's writers +
+    hadoop-aws on a real cluster).  Delivery matches Sinks.files:
+    exactly-once per epoch under streaming checkpoints."""
+
+    @staticmethod
+    def s3(bucket: str, prefix: str = "", fmt: str = "parquet",
+           mode: str = "append", **options):
+        from hazelcast_jet_spark.sources import S3Sources
+
+        [path] = S3Sources.s3_paths(bucket, prefix)
+
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                w = df.writeStream.format(fmt).options(**options)
+                return w.start(path)
+            df.write.format(fmt).options(**options).mode(mode).save(path)
+            return path
+        return sink

@@ -154,6 +154,68 @@ class FileSources:
         return read
 
 
+class S3Sources:
+    """S3 object scan — extensions/s3/.../S3Sources.java:66-223, expressed
+    as the s3a:// path + Hadoop-conf halves Spark needs.  The path/conf
+    building is the broker-free contract (tested without S3); the IO
+    itself goes through Spark's normal readers and needs the hadoop-aws
+    jars + credentials on a real cluster."""
+
+    @staticmethod
+    def s3_paths(buckets: list[str] | str, prefix: str = "") -> list[str]:
+        """s3a:// URIs for each bucket/prefix — Jet's (bucketNames, prefix)
+        pair.  Rejects empty bucket names and schemes smuggled into the
+        bucket field (a bucket is a name, not a URI)."""
+        if isinstance(buckets, str):
+            buckets = [buckets]
+        if not buckets:
+            raise ValueError("at least one bucket required")
+        out = []
+        for b in buckets:
+            if not b or "://" in b or "/" in b:
+                raise ValueError(f"invalid bucket name {b!r}")
+            key = prefix.lstrip("/")
+            out.append(f"s3a://{b}/{key}" if key else f"s3a://{b}/")
+        return out
+
+    @staticmethod
+    def configure(spark: SparkSession, access_key: str | None = None,
+                  secret_key: str | None = None, endpoint: str | None = None,
+                  path_style_access: bool | None = None) -> dict:
+        """Set the standard fs.s3a.* Hadoop options on the session (the
+        AwsConfig analog of S3Sources.java:120); returns the applied map
+        so callers/tests can assert it.  None = leave the cluster default
+        (instance profile / env chain) in place."""
+        conf = {}
+        if access_key is not None:
+            conf["fs.s3a.access.key"] = access_key
+        if secret_key is not None:
+            conf["fs.s3a.secret.key"] = secret_key
+        if endpoint is not None:
+            conf["fs.s3a.endpoint"] = endpoint
+        if path_style_access is not None:
+            conf["fs.s3a.path.style.access"] = str(path_style_access).lower()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in conf.items():
+            hconf.set(k, v)
+        return conf
+
+    @staticmethod
+    def s3(buckets: list[str] | str, prefix: str = "", fmt: str = "text",
+           schema=None, **options):
+        """S3Sources.s3 — one DataFrame over every object under
+        ``prefix`` in each bucket (line-per-row for fmt='text', matching
+        the reference's default readAsString)."""
+        paths = S3Sources.s3_paths(buckets, prefix)
+
+        def read(spark: SparkSession) -> DataFrame:
+            r = spark.read.format(fmt).options(**options)
+            if schema is not None:
+                r = r.schema(schema)
+            return r.load(paths)
+        return read
+
+
 class TestSources:
     """pipeline/test/TestSources.java:55-211."""
 

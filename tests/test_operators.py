@@ -506,3 +506,31 @@ def test_scrub_pii_and_counts(spark):
     # map-only: no exchange in the plan
     plan = df.select(scrub_pii("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_s3_path_and_conf_contract(spark):
+    """S3Sources/S3Sinks (extensions/s3): the S3-free halves — s3a path
+    construction, bucket-name validation, and fs.s3a.* conf application."""
+    import pytest
+    from hazelcast_jet_spark.sources import S3Sources
+
+    assert S3Sources.s3_paths("b1", "data/in") == ["s3a://b1/data/in"]
+    assert S3Sources.s3_paths(["b1", "b2"], "/p") == ["s3a://b1/p", "s3a://b2/p"]
+    assert S3Sources.s3_paths("b1") == ["s3a://b1/"]
+    for bad in ([], [""], ["s3://x"], ["a/b"]):
+        with pytest.raises(ValueError):
+            S3Sources.s3_paths(bad, "p")
+
+    applied = S3Sources.configure(
+        spark, access_key="AK", secret_key="SK",
+        endpoint="http://localhost:9000", path_style_access=True)
+    assert applied == {
+        "fs.s3a.access.key": "AK", "fs.s3a.secret.key": "SK",
+        "fs.s3a.endpoint": "http://localhost:9000",
+        "fs.s3a.path.style.access": "true",
+    }
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        assert hconf.get(k) == v
+    # None = leave cluster default untouched
+    assert S3Sources.configure(spark) == {}

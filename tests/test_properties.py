@@ -156,3 +156,48 @@ def test_match_sequence_matches_python_model(spark, events, pattern, within_hour
                 if within_hours is None or win[-1][0] <= win[0][0] + timedelta(hours=within_hours):
                     model.add((u, win[0][1], win[-1][1]))
     assert got == model
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+    min_size=1, max_size=40)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+    min_size=0, max_size=40)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+@SLOW
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    """asof_join (both directions) must agree with pandas.merge_asof on
+    arbitrary keyed integer time-series.  Right-side (key, t) duplicates
+    are pre-collapsed to max(v) — the operator's documented tie rule —
+    so both models see identical inputs."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    # unique left rows (id by position); right collapsed like the operator does
+    lpdf = pd.DataFrame(left, columns=["k", "t", "lv"]).reset_index(names="rid")
+    rbest: dict = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(v, rbest.get((k, t), v))
+    rpdf = pd.DataFrame(
+        [(k, t, v) for (k, t), v in sorted(rbest.items())], columns=["k", "t", "rv"])
+
+    ldf = spark.createDataFrame(lpdf, "rid long, k long, t long, lv long")
+    rdf = spark.createDataFrame(rpdf, "k long, t long, rv long") if len(rpdf) else \
+        spark.createDataFrame([], "k long, t long, rv long")
+    got = {
+        r["rid"]: r["rv"]
+        for r in asof_join(ldf, rdf, "k", "t", value_cols=["rv"],
+                           direction=direction).collect()
+    }
+
+    if len(rpdf):
+        want_df = pd.merge_asof(
+            lpdf.sort_values(["t", "rid"]), rpdf.sort_values("t"),
+            on="t", by="k", direction=direction)
+        want = {int(r.rid): (None if pd.isna(r.rv) else int(r.rv))
+                for r in want_df.itertuples()}
+    else:
+        want = {int(r.rid): None for r in lpdf.itertuples()}
+    assert got == want

@@ -152,6 +152,17 @@ def test_kmv_sharded_equals_unsharded(spark, sf_dir):
     assert solo.count() == shard.count()
 
 
+def test_asof_forward_no_range_join(spark, sf_dir):
+    """Forward as-of gate query keeps the backward shape: union + carry
+    window — never a range/nested-loop join, and exactly the two keyed
+    exchanges (union repartition + window partition)."""
+    df = entry_mod.asof_join_forward(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all — it's a window carry
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_nexmark_q7_single_window_shuffle(spark, sf_dir):
     """Q7 argmax-in-window: one exchange for the window partition."""
     df = entry_mod.nexmark_q7_window_max(spark, sf_dir)

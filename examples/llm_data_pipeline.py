@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from hazelcast_jet_spark import get_spark, load_table
 from hazelcast_jet_spark.operators.dedup import (
-    decontaminate, exact_dedup, minhash_lsh_pairs)
+    decontaminate, exact_dedup, minhash_lsh_pairs, pairs_to_groups)
 from hazelcast_jet_spark.operators.packing import pack_concat, pack_stats
 from hazelcast_jet_spark.operators.sampling import stratified_sample
 from hazelcast_jet_spark.operators.text import quality_score, token_count
@@ -37,10 +37,16 @@ survivors = docs.join(
     groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi")
 n1 = survivors.count()
 
-# 2. near-dup prune: drop the higher id of every MinHash/LSH verified pair
+# 2. near-dup prune: MinHash/LSH pairs → connected-component groups →
+#    keep each group's min doc_id.  (Per-pair "drop id_b" under-drops on
+#    chains like (1,3),(2,3): it keeps 2, though 1-2-3 is one group.)
 pairs = minhash_lsh_pairs(survivors, "text", "doc_id", threshold=0.7)
-near_dups = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-survivors = survivors.join(near_dups, "doc_id", "left_anti")
+drop = (
+    pairs_to_groups(pairs)
+    .filter(F.col("node") != F.col("group"))   # group label = kept min id
+    .select(F.col("node").alias("doc_id"))
+)
+survivors = survivors.join(drop, "doc_id", "left_anti")
 n2 = survivors.count()
 
 # 3. benchmark decontamination: drop docs overlapping the eval slice

@@ -555,20 +555,22 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 "node",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                # convergence flag computed IN the round — the probe below
+                # is then a filter over the checkpointed frame, not a
+                # second join of new vs old labels
+                (F.coalesce(F.col("nmin"), F.col("label"))
+                 < F.col("label")).alias("_chg"),
             )
         )
         # checkpoint FIRST (cut lineage, compute the round once), then read
         # the convergence probe from the checkpointed frame — computing
         # `changed` off the raw plan would execute the round's join twice
         cp = new_labels.localCheckpoint(eager=True)
-        changed = (
-            cp.alias("n").join(
-                labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
+        changed = cp.filter(F.col("_chg")).limit(1).count()
         if prev_cp is not None:
             prev_cp.unpersist()  # drop the previous round's checkpoint blocks
-        labels, prev_cp = cp, cp
+        labels = cp.drop("_chg")
+        prev_cp = cp
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("group"))

@@ -2010,10 +2010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
+        "values_inline": values_inline,  # 50th slot: 2-green filler
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== at least two green driver rows across r1-r3 ====================
         # -- two green rows (r1 + r3, or r2 + r3) ------------------------------
-        "values_inline": values_inline,
         "wordcount": wordcount,
         "nexmark_q5_hot_items": nexmark_q5_hot_items,
         "ann_lsh_search": ann_lsh_search,

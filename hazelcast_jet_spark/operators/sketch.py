@@ -103,3 +103,98 @@ def kmv_estimate(sketch: Column, k: int = 64) -> Column:
 def kmv_merge(a: Column, b: Column, k: int = 64) -> Column:
     """Merge two sketches: union, dedup, re-take the k smallest."""
     return F.slice(F.sort_array(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 10,
+    capacity: int = 256,
+    verify: bool = True,
+) -> DataFrame:
+    """Frequent items via Misra-Gries summaries (Misra & Gries 1982;
+    merge rule from Agarwal et al., "Mergeable Summaries", PODS 2012) —
+    the heavy-hitter sketch of the family, alongside KMV's cardinality.
+
+    Why not just ``groupBy(item).count()``: exact counting's map-side
+    hash-agg state is O(distinct-per-partition) — on a 100 TB corpus with
+    a URL/n-gram-sized vocabulary that spills every partition.  Here each
+    partition keeps a BOUNDED ``capacity``-entry summary (the one
+    genuinely per-partition-imperative step, a documented mapInPandas
+    exception), so the shuffle carries at most ``partitions × capacity``
+    candidate rows per group instead of the whole vocabulary.
+
+    Guarantees (n = group's item count): every item with true frequency
+    > n/(capacity+1) appears among the candidates, and each candidate's
+    summed summary count understates its true count by at most
+    n/(capacity+1).  With ``verify=True`` (default) a second pass
+    re-counts ONLY the candidates exactly (broadcast semi-join — the
+    candidate set is small by construction) and returns exact counts;
+    the top-k is then provably exact whenever the k-th item's frequency
+    clears n/(capacity+1) — size ``capacity`` accordingly.  With
+    ``verify=False`` you get one pass and lower-bound counts.
+
+    Returns ``(group_cols..., item, n, rank)`` with rank ≤ k per group,
+    ties broken by item ascending; ``item`` is the string form of
+    ``item_col`` (hashable across engines).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols or [])
+    items = df.select(
+        *group_cols, F.col(item_col).cast("string").alias("item"))
+    summary_schema = StructType(
+        [items.schema[c] for c in group_cols]
+        + [items.schema["item"], StructField("mg_count", LongType())])
+
+    def mg_partition(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        state: dict[tuple, Counter] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if group_cols:
+                grouped = pdf.groupby(group_cols, dropna=False, sort=False)["item"]
+                per_group = {
+                    (g if isinstance(g, tuple) else (g,)): s.value_counts()
+                    for g, s in grouped
+                }
+            else:
+                per_group = {(): pdf["item"].value_counts()}
+            for g, counts in per_group.items():
+                c = state.setdefault(g, Counter())
+                c.update(counts.to_dict())
+                if len(c) > capacity:
+                    # mergeable-summaries rule: subtract the (capacity+1)-th
+                    # largest count, drop non-positive — state stays bounded
+                    sub = sorted(c.values(), reverse=True)[capacity]
+                    state[g] = Counter(
+                        {i: v - sub for i, v in c.items() if v > sub})
+        rows = [
+            g + (item, int(cnt))
+            for g, c in state.items() for item, cnt in c.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=group_cols + ["item", "mg_count"])
+
+    cands = items.mapInPandas(mg_partition, summary_schema)
+    merged = cands.groupBy(*group_cols, "item").agg(
+        F.sum("mg_count").alias("n"))
+    if verify:
+        cand_keys = merged.select(*group_cols, "item")
+        merged = (
+            items.join(F.broadcast(cand_keys), group_cols + ["item"], "inner")
+            .groupBy(*group_cols, "item")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    w = w.orderBy(F.col("n").desc(), F.col("item").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

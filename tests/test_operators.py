@@ -508,6 +508,55 @@ def test_scrub_pii_and_counts(spark):
     assert "Exchange" not in plan
 
 
+def test_heavy_hitters_misra_gries(spark):
+    """Misra-Gries heavy hitters: exact top-k on zipf-ish skew with a
+    capacity FAR below the vocabulary (the whole point of the sketch),
+    verified against ground-truth counts; the guarantee bound holds; the
+    one-pass lower-bound mode understates by at most n/(capacity+1)."""
+    import random
+
+    from hazelcast_jet_spark.operators.sketch import heavy_hitters
+
+    rng = random.Random(7)
+    rows = []
+    # 2 groups; heavy items h0..h4 dominate, 2000-item noise vocabulary
+    for g in ("a", "b"):
+        for i in range(5):
+            rows += [(g, f"h{i}")] * (400 - 60 * i)
+        rows += [(g, f"noise{rng.randrange(2000)}") for _ in range(1500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["grp", "item"]).repartition(8)
+
+    truth = {}
+    for g, item in rows:
+        truth.setdefault(g, {}).setdefault(item, 0)
+        truth[g][item] += 1
+
+    out = heavy_hitters(df, "item", ["grp"], k=5, capacity=64).collect()
+    assert len(out) == 10
+    for r in out:
+        assert truth[r["grp"]][r["item"]] == r["n"]  # exact after verify
+    for g in ("a", "b"):
+        expect = sorted(truth[g].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(
+            [(r["item"], r["n"]) for r in out if r["grp"] == g],
+            key=lambda kv: (-kv[1], kv[0]))
+        assert got == expect
+
+    # one-pass mode: counts are lower bounds within n/(capacity+1)
+    approx = heavy_hitters(df, "item", ["grp"], k=5, capacity=64,
+                           verify=False).collect()
+    n_per_group = len(rows) // 2
+    for r in approx:
+        true_n = truth[r["grp"]][r["item"]]
+        assert r["n"] <= true_n
+        assert true_n - r["n"] <= n_per_group / 65 + 1
+
+    # ungrouped path
+    top1 = heavy_hitters(df, "item", k=1, capacity=64).collect()
+    assert len(top1) == 1 and top1[0]["item"] == "h0" and top1[0]["n"] == 800
+
+
 def test_gopher_quality_flags(spark):
     """Row-local Gopher rules: each rule flips on the doc built to trip it;
     the scan stays map-only (no exchange)."""

@@ -23,7 +23,10 @@ from hazelcast_jet_spark.operators.dedup import (
     decontaminate, exact_dedup, minhash_lsh_pairs, pairs_to_groups)
 from hazelcast_jet_spark.operators.packing import pack_concat, pack_stats
 from hazelcast_jet_spark.operators.sampling import stratified_sample
-from hazelcast_jet_spark.operators.text import quality_score, token_count
+from hazelcast_jet_spark.operators.sketch import heavy_hitters
+from hazelcast_jet_spark.operators.text import (
+    chunk_documents, gopher_quality_flags, normalize_text, scrub_pii,
+    token_count)
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 spark = get_spark("example-llm-data-pipeline")
@@ -57,8 +60,12 @@ survivors = survivors.join(
     contaminated.select("doc_id"), "doc_id", "left_anti")
 n2b = survivors.count()
 
-# 4. quality gate (pure JVM expressions)
-survivors = survivors.filter(quality_score("text") >= 1.0)
+# 4. quality gate: Gopher-style row-local rules (pure JVM expressions),
+#    then PII redaction on what survives (map-only chained regex)
+survivors = (
+    survivors.filter(gopher_quality_flags("text", min_words=10)["pass"])
+    .withColumn("text", scrub_pii("text"))
+)
 n3 = survivors.count()
 
 # 5. language-stratified downsample (map-only, reproducible)
@@ -68,21 +75,30 @@ sampled = stratified_sample(
     default_rate=0.2, seed="mix-v1",
 )
 
-# 6. sequence packing: concatenate per language into 512-token bins
+# 6. context-window chunking (map-side explode, co-partitioned with the
+#    doc), then sequence packing: concatenate chunks per language into
+#    512-token bins
+chunks = chunk_documents(
+    sampled, chunk_tokens=128, overlap=16, keep_cols=["lang"])
 packed = pack_concat(
-    sampled.withColumn("tok", token_count("text")),
+    chunks.withColumn("tok", F.col("chunk_n_tokens")),
     token_col="tok", budget=512, order_col="doc_id",
     partition_cols=["lang"])
 bins = pack_stats(packed, "tok", ["lang"])
 
-# 7. token accounting for the final mix
+# 7. token accounting + bounded-state vocabulary report for the final mix
 mix = (
     sampled.groupBy("lang")
     .agg(F.count(F.lit(1)).alias("docs"),
          F.sum(token_count("text")).alias("tokens"))
     .orderBy("lang")
 )
+top_terms = heavy_hitters(
+    sampled.select(F.explode(F.split(normalize_text("text"), " ")).alias("term"))
+    .filter(F.col("term") != ""),
+    "term", k=5, capacity=64)
 print(f"corpus: {n0} → exact-dedup {n1} → near-dup {n2} → "
-      f"decontaminated {n2b} → quality {n3}")
+      f"decontaminated {n2b} → quality+scrub {n3}")
 print(f"packed into {bins.count()} bins of <=512 tokens (start-offset rule)")
 mix.show()
+top_terms.show()

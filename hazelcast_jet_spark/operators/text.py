@@ -254,6 +254,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 128,
     overlap: int = 0,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into fixed-size token chunks with optional overlap —
     the context-window chunking step of an LLM training/RAG pipeline (no
@@ -268,13 +269,17 @@ def chunk_documents(
     materialized once per row before the per-chunk lambda (staged
     projection — the winnow_dup_pairs lesson).
 
-    Returns ``(id_col, chunk_id, chunk_text, chunk_n_tokens)``.
+    Returns ``(id_col, *keep_cols, chunk_id, chunk_text, chunk_n_tokens)``
+    — ``keep_cols`` ride along map-side (no join-back needed to recover
+    doc metadata like language or source).
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
+    keep_cols = list(keep_cols or [])
     toks = df.select(
-        F.col(id_col), F.split(normalize_text(text_col), " ").alias("_toks")
+        F.col(id_col), *keep_cols,
+        F.split(normalize_text(text_col), " ").alias("_toks")
     )
     n = F.size("_toks")
     # integer ceil-div (engine-exact at any n, no double rounding):
@@ -291,9 +296,9 @@ def chunk_documents(
         ),
     )
     return (
-        toks.select(F.col(id_col), F.explode(chunks).alias("c"))
+        toks.select(F.col(id_col), *keep_cols, F.explode(chunks).alias("c"))
         .select(
-            id_col,
+            id_col, *keep_cols,
             F.col("c.chunk_id").alias("chunk_id"),
             F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
             F.size("c.ctoks").alias("chunk_n_tokens"),

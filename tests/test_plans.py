@@ -218,3 +218,23 @@ def test_tpch_q7_dims_shrink_facts(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_shuffles_only_candidates(spark, sf_dir):
+    """heavy_hitters (Misra-Gries): the exact re-verify joins the corpus
+    against a BROADCAST of the bounded candidate set — the raw item
+    stream is never shuffled by item; the only hash exchanges are the
+    candidate merge (<= partitions x capacity rows) and the final
+    per-group top-k window."""
+    plan = _plan(entry_mod.heavy_hitter_terms(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan          # verify pass joins broadcast
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # bounded-state summary stage is the pandas mapInPandas lane
+    assert "MapInPandas" in plan
+
+
+def test_percentile_single_buffer(spark, sf_dir):
+    """percentile_stats ships ONE percentile buffer (array of fractions)
+    through the exchange, not one full value-count map per fraction."""
+    plan = _plan(entry_mod.percentile_stats(spark, sf_dir))
+    assert plan.count("partial_percentile") == 1, plan

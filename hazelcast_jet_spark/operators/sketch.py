@@ -138,6 +138,13 @@ def heavy_hitters(
     Returns ``(group_cols..., item, n, rank)`` with rank ≤ k per group,
     ties broken by item ascending; ``item`` is the string form of
     ``item_col`` (hashable across engines).
+
+    State bound, honestly: each partition holds one ``capacity``-entry
+    summary PER GROUP it sees — O(groups-per-partition × capacity).
+    That is the right shape for heavy-hitter reports (few groups, huge
+    vocabulary); for high-cardinality ``group_cols`` repartition by
+    group first so each partition sees few groups, or drop the grouping
+    and filter instead.
     """
     from pyspark.sql.types import LongType, StructField, StructType
     from pyspark.sql.window import Window

@@ -201,3 +201,38 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
     else:
         want = {int(r.rid): None for r in lpdf.itertuples()}
     assert got == want
+
+
+DOC_TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12)
+
+
+@given(texts=DOC_TEXTS, chunk=st.integers(2, 6), overlap=st.integers(0, 4))
+@SLOW
+def test_chunk_documents_matches_python_model(spark, texts, chunk, overlap):
+    """chunk_documents vs an independent Python model: same chunk starts,
+    contents, and counts for arbitrary text/chunk/overlap combos (the
+    model's ceil-div start grid guarantees the last chunk reaches the
+    final token, so equality pins full coverage too)."""
+    from hazelcast_jet_spark.operators.text import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+
+    want = []
+    for i, t in enumerate(texts):
+        # python model of normalize_text: lowercase, non-alnum -> space,
+        # collapse, strip; then whitespace split (empty text -> [''])
+        import re
+        norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+        toks = norm.split(" ") if norm else [""]
+        n_chunks = max(-(-(len(toks) - overlap) // stride), 1)
+        for c in range(n_chunks):
+            want.append((i, c, " ".join(toks[c * stride: c * stride + chunk])))
+    assert got == sorted(want)

@@ -520,12 +520,15 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     winnow_dup_pairs, cosine_dedup_pairs) into dedup GROUPS — the step
     that decides which document survives (keep min id per group).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min label over its neighborhood (one join + one
-    groupBy per round) until a fixpoint.  Rounds needed = graph diameter,
-    and near-dup clusters are shallow (pairs share a bucket), so this
-    converges in a handful of rounds; ``max_iter`` bounds adversarial
-    chains.  Returns (node, group) where group = min doc id reachable.
+    Min-label propagation WITH pointer doubling: every node starts
+    labeled with itself; each round takes the min label over its
+    neighborhood, then compresses one hop (label ← label(label) — labels
+    are always node ids, so the lookup is a self-join).  Neighbor-step
+    alone needs diameter rounds; with hop compression convergence is
+    O(log diameter), so ``max_iter=20`` handles components of diameter
+    ~2^20 instead of 20 — adversarial chains stop being a correctness
+    ceiling and each saved round saves a full join+checkpoint job.
+    Returns (node, group) where group = min doc id reachable.
 
     At 100 TB the iterated frame is only the nodes that appear in pairs
     (the contaminated minority), never the corpus.
@@ -549,17 +552,31 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                        F.coalesce(F.col("nmin"), F.col("label"))).alias("_mid"),
+            )
+        )
+        # pointer doubling: a label is itself a node id, so one self-join
+        # compresses a hop — _mid's own current label is at least as small
+        lmap = stepped.select(
+            F.col("node").alias("_pnode"), F.col("_mid").alias("_plabel"))
+        new_labels = (
+            stepped.join(lmap, stepped["_mid"] == lmap["_pnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("_mid"),
+                        F.coalesce(F.col("_plabel"), F.col("_mid"))).alias("label"),
                 # convergence flag computed IN the round — the probe below
                 # is then a filter over the checkpointed frame, not a
                 # second join of new vs old labels
-                (F.coalesce(F.col("nmin"), F.col("label"))
-                 < F.col("label")).alias("_chg"),
+                (F.least(F.col("_mid"),
+                         F.coalesce(F.col("_plabel"), F.col("_mid")))
+                 < F.col("_old")).alias("_chg"),
             )
         )
         # checkpoint FIRST (cut lineage, compute the round once), then read

@@ -222,6 +222,21 @@ def test_pairs_to_groups_matches_union_find(spark):
     assert survivors == {10, 1, 100, 50}
 
 
+def test_pairs_to_groups_deep_chain_beyond_max_iter(spark):
+    """Pointer doubling makes max_iter a LOG bound: a 300-deep chain
+    (diameter >> max_iter=20) still converges fully — plain neighbor
+    propagation would stall at distance 20 and mislabel the tail."""
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.dedup import pairs_to_groups
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long")
+    out = pairs_to_groups(deep, max_iter=20)
+    assert out.filter(F.col("group") != 0).count() == 0
+    assert out.count() == 301
+
+
 def test_pairs_to_groups_on_lsh_output(spark):
     """End-to-end: minhash pairs → groups agrees with exact_dedup's
     grouping for the exact-duplicate clusters in the corpus."""

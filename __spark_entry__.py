@@ -2058,6 +2058,40 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "rank")
 
 
+def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-by-canonical-URL (text.canonicalize_url — the C4/web-crawl
+    keep-one-per-URL rule).  The synthetic corpus has no URL column, so
+    the query PLANTS deterministic messy URLs from doc_id (scheme, www,
+    tracking params, fragment, and trailing slash all vary with parity)
+    with the identical construction in the oracle — the same planted-
+    input pattern as pii_scrub_stats.  Canonicalization is chained
+    regexp_replace (map-only, full-scan speed); the dedup itself is one
+    groupBy on the canonical key: keep min doc_id, count the collapsed
+    variants."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://www."))
+             .otherwise(F.lit("http://")),
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/page/"), (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed&q="))
+             .otherwise(F.lit("?q=")),
+            (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("#section"))
+             .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        planted.select("doc_id", text.canonicalize_url("url").alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("keep_id"),
+             F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("curl")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2097,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": percentile_stats,
         "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
         "heavy_hitter_terms": heavy_hitter_terms,
+        "url_dedup_stats": url_dedup_stats,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2127,11 +2162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least one green driver row across r1-r3 (the first four ====
-        # ===== — rotated just out this round to make room for the 5 newest ===
+        # ===== at least one green driver row across r1-r3 (the first five ====
+        # ===== — rotated just out this round to make room for the 6 newest ===
         # ===== r4 queries — carry a single r3 green row; the rest have 2+) ===
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
@@ -3698,6 +3733,42 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "url_dedup_stats": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'https://www.'
+                             ELSE 'http://' END)
+                       || 'site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id % 25 AS VARCHAR)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&q='
+                                ELSE '?q=' END)
+                       || CAST(doc_id % 3 AS VARCHAR)
+                       || (CASE WHEN doc_id % 4 = 0 THEN '#section'
+                                ELSE '' END) AS url
+                FROM documents
+            ), canon AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                           lower(trim(url)),
+                           '^https?://', ''),
+                           '^www\.', ''),
+                           '#.*$', ''),
+                           '([?&])(utm_[a-z]+|fbclid|gclid|ref|source)=[^&#]*',
+                           '\1', 'g'),
+                           '\?&+', '?'),
+                           '&&+', '&', 'g'),
+                           '[?&]$', ''),
+                           '/\?', '?'),
+                           '/$', ''),
+                           '^$', '') AS curl
+                FROM planted
+            )
+            SELECT curl, min(doc_id) AS keep_id, count(*) AS n_variants
+            FROM canon GROUP BY curl ORDER BY curl
         """,
         "heavy_hitter_terms": f"""
             WITH w AS (

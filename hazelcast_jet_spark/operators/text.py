@@ -306,6 +306,43 @@ def chunk_documents(
     )
 
 
+#: tracking query parameters stripped by canonicalize_url (utm_* handled
+#: by pattern; these exact keys too) — keep in sync with the SQL oracle
+TRACKING_PARAMS = ("fbclid", "gclid", "ref", "source")
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL form for dedup-by-URL (the C4/web-crawl keep-one-per-
+    URL rule; no reference analog — training-data pipeline extension):
+
+    - lowercase scheme+host, strip the scheme (http/https collapse)
+    - strip a leading ``www.``
+    - strip the fragment (``#…``)
+    - strip tracking query params (``utm_*`` + TRACKING_PARAMS), and the
+      whole ``?`` when nothing survives
+    - strip a trailing slash on the path
+
+    Chained regexp_replace — map-only JVM, full-scan speed; patterns are
+    RE2-safe (no lookaround) so the same SQL runs on any oracle engine.
+    Deliberately conservative: it does NOT sort surviving query params or
+    decode percent-escapes (either can change semantics on real sites).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.lower(F.trim(c))
+    u = F.regexp_replace(u, r"^https?://", "")          # scheme off
+    u = F.regexp_replace(u, r"^www\.", "")              # www off
+    u = F.regexp_replace(u, r"#.*$", "")                # fragment off
+    # tracking params: utm_* and the known keys, with their values
+    tracked = "utm_[a-z]+|" + "|".join(TRACKING_PARAMS)
+    u = F.regexp_replace(u, r"([?&])(" + tracked + r")=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"\?&+", "?")               # ?&& -> ?
+    u = F.regexp_replace(u, r"&&+", "&")                # && -> &
+    u = F.regexp_replace(u, r"[?&]$", "")               # dangling ? or &
+    u = F.regexp_replace(u, r"/\?", "?")                # path slash before query
+    u = F.regexp_replace(u, r"/$", "")                  # trailing slash
+    return u
+
+
 #: PII patterns chosen to behave identically under Java regex (Spark) and
 #: RE2 (DuckDB/most engines): no backrefs, no lookaround.  Dict order is
 #: the default redaction order — most specific first, because the loose

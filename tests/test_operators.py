@@ -557,6 +557,30 @@ def test_heavy_hitters_misra_gries(spark):
     assert len(top1) == 1 and top1[0]["item"] == "h0" and top1[0]["n"] == 800
 
 
+def test_canonicalize_url(spark):
+    """URL canonicalization: scheme/www/fragment/tracking-params/trailing
+    slash all collapse; non-tracking params and param order are preserved;
+    map-only plan."""
+    from hazelcast_jet_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("https://WWW.Example.com/Path/?utm_source=x&id=5#frag",
+         "example.com/path?id=5"),
+        ("http://example.com/path?id=5", "example.com/path?id=5"),
+        ("http://shop.example.com/?fbclid=z&gclid=a", "shop.example.com"),
+        # 'href=' / 'prefs=' must NOT be eaten by the 'ref' rule
+        ("https://e.com/a?href=keep&prefs=1&ref=drop", "e.com/a?href=keep&prefs=1"),
+        ("example.com/a?utm_a=1&utm_b=2", "example.com/a"),
+        ("http://example.com/", "example.com"),
+        ("https://e.com/b?z=1&a=2", "e.com/b?z=1&a=2"),  # order preserved
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [w for _, w in cases]
+    plan = df.select(canonicalize_url("url"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_gopher_quality_flags(spark):
     """Row-local Gopher rules: each rule flips on the doc built to trip it;
     the scan stays map-only (no exchange)."""

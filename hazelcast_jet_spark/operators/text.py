@@ -343,6 +343,17 @@ def canonicalize_url(col: Column | str) -> Column:
     return u
 
 
+def url_host(col: Column | str) -> Column:
+    """Host of a URL (after :func:`canonicalize_url` semantics: scheme and
+    ``www.`` stripped, lowercased) — the group key for per-domain corpus
+    stats (compose with :func:`~hazelcast_jet_spark.operators.sketch.
+    heavy_hitters` for top-domain reports).  Map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(F.regexp_replace(F.lower(F.trim(c)),
+                                          r"^https?://", ""), r"^www\.", "")
+    return F.regexp_replace(u, r"[/?#].*$", "")
+
+
 #: PII patterns chosen to behave identically under Java regex (Spark) and
 #: RE2 (DuckDB/most engines): no backrefs, no lookaround.  Dict order is
 #: the default redaction order — most specific first, because the loose

@@ -580,6 +580,11 @@ def test_canonicalize_url(spark):
     plan = df.select(canonicalize_url("url"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
+    # url_host: host only, port kept, path/query/fragment dropped
+    from hazelcast_jet_spark.operators.text import url_host
+    hosts = [r[0] for r in df.select(url_host("url")).collect()]
+    assert hosts[:4] == ["example.com", "example.com", "shop.example.com", "e.com"]
+
 
 def test_gopher_quality_flags(spark):
     """Row-local Gopher rules: each rule flips on the doc built to trip it;

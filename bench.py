@@ -50,6 +50,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     stream_rps = _stream_window_probe(spark)
+    stream_map_rps = _stream_map_probe(spark)
 
     total = round(sum(timings.values()), 4)
     # Full per-query map first (long line, for humans / full-log capture) ...
@@ -70,6 +71,7 @@ def main() -> None:
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 4),
         "stream_window_rows_per_sec": stream_rps,
+        "stream_map_rows_per_sec": stream_map_rps,
         "queries": slowest,
     }))
 
@@ -106,6 +108,43 @@ def _stream_window_probe(spark, seconds: float = 10.0) -> float:
     # figures are peak claims (BASELINE.md), and a per-batch max is robust
     # against transient background load on the bench host (mean-of-batches
     # swung 22-37 M rows/s run-to-run under load; peak-batch is stable).
+    prog = list(q.recentProgress)
+    if len(prog) > 1:
+        prog = prog[1:]
+    rates = [
+        p["numInputRows"] / (p["batchDuration"] / 1000.0)
+        for p in prog if p["batchDuration"] > 0
+    ]
+    q.stop()
+    return round(max(rates), 1) if rates else 0.0
+
+
+def _stream_map_probe(spark, seconds: float = 8.0) -> float:
+    """Stateless streaming probe (NEXMark Q1/Q2 shape — the reference's
+    'simplest pipeline' events/s claims): rate source → filter + mapped
+    projection → noop.  No state store, no shuffle: measures the pure
+    source→codegen→sink lane the way the windowed probe measures the
+    keyed-state lane.  Same saturation + peak-batch methodology."""
+    from pyspark.sql import functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200_000_000)
+        .option("numPartitions", cpus)
+        .load()
+        .filter(F.col("value") % 10 < 8)                      # Q2: filter
+        .select(                                              # Q1: map
+            F.col("value"),
+            (F.col("value") * 89 / 100).alias("price_eur"),
+            (F.col("value") % 1000).alias("auction"),
+        )
+    )
+    q = df.writeStream.format("noop").outputMode("append").start()
+    deadline = time.time() + max(seconds * 3, 30.0)
+    time.sleep(seconds)
+    while len(q.recentProgress) < 3 and time.time() < deadline:
+        time.sleep(1.0)
     prog = list(q.recentProgress)
     if len(prog) > 1:
         prog = prog[1:]

@@ -62,6 +62,35 @@ def idle_source_watermark_policy(spark: SparkSession, policy: str = "max") -> No
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
 
 
+#: Spark's disk-backed state store provider (bundled since 3.2): state
+#: spills to local RocksDB instead of living on the JVM heap.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+
+def use_rocksdb_state(spark: SparkSession, enabled: bool = True,
+                      changelog_checkpointing: bool = True) -> None:
+    """Switch streaming state to RocksDB — the 100 TB state path.
+
+    The default HDFSBackedStateStore keeps every key's state on the
+    executor HEAP (a map per partition): fine for the gate's bounded
+    runs, but keyed state at corpus scale (billions of dedup keys,
+    per-user session state) must spill.  Jet faces the same wall with
+    on-heap IMap state and answers with cluster memory; Spark's answer
+    is RocksDB per partition + incremental (changelog) checkpointing,
+    which also shrinks per-commit checkpoint IO from full-snapshot to
+    delta-size.  Applies to queries STARTED afterwards (the provider is
+    fixed per query at start)."""
+    if enabled:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            str(changelog_checkpointing).lower())
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def early_results_writer(df: DataFrame, period: str = "1 second"):
     """``WindowDefinition.setEarlyResultsPeriod(ms)`` analog
     (WindowDefinition.java:70): a pre-configured ``writeStream`` in update

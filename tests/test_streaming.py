@@ -548,3 +548,37 @@ def test_kafka_sink_option_builder_and_checkpoint_contract(spark):
     stream = spark.readStream.format("rate").load()
     with pytest.raises(ValueError, match="checkpoint"):
         Sinks.kafka("b:9092", "out")(stream)
+
+
+def test_rocksdb_state_store(spark, sf_dir):
+    """use_rocksdb_state (the 100 TB keyed-state path): a keyed streaming
+    aggregation under the RocksDB provider produces the same results as
+    the default heap store, and the state operator really ran on RocksDB
+    (rocksdb* custom metrics present in the query progress)."""
+    import uuid
+
+    from hazelcast_jet_spark.streaming.run import use_rocksdb_state
+
+    def run_counts():
+        e = read_stream_table(spark, sf_dir, "events")
+        agg = e.groupBy("event_type").count()
+        name = f"rocks_{uuid.uuid4().hex[:10]}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        prog = q.lastProgress
+        rows = {r["event_type"]: r["count"]
+                for r in spark.table(name).collect()}
+        return rows, prog
+
+    baseline, _ = run_counts()
+    use_rocksdb_state(spark)
+    try:
+        assert (spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                .endswith("RocksDBStateStoreProvider"))
+        got, prog = run_counts()
+        assert got == baseline
+        metrics = prog["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        use_rocksdb_state(spark, enabled=False)

@@ -2092,6 +2092,17 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM surprisal quality signal (text.unigram_lm_score):
+    per-doc mean -ln p(token) under a unigram MLE trained on the corpus
+    itself (one explode + two aggregations, tf_idf shape; corpus never
+    collected).  ln is bit-identical across engines and token logs are
+    accumulated in DECIMAL (order-independent), so the score hashes
+    exactly against the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return text.unigram_lm_score(d).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2132,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
         "heavy_hitter_terms": heavy_hitter_terms,
         "url_dedup_stats": url_dedup_stats,
+        "unigram_lm_quality": unigram_lm_quality,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2161,11 +2173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
         # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least one green driver row across r1-r3 (the first five ====
-        # ===== — rotated just out this round to make room for the 6 newest ===
+        # ===== at least one green driver row across r1-r3 (the first six =====
+        # ===== — rotated just out this round to make room for the 7 newest ===
         # ===== r4 queries — carry a single r3 green row; the rest have 2+) ===
+        "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
@@ -3733,6 +3745,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "unigram_lm_quality": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+                FROM documents
+            ), t AS (
+                SELECT * FROM toks WHERE term <> ''
+            ), vocab AS (
+                SELECT term, count(*) AS c FROM t GROUP BY term
+            ), tot AS (
+                SELECT sum(c) AS n_total FROM vocab
+            ), probs AS (
+                SELECT term, (c + 0.0) / (n_total + 0.0) AS p FROM vocab, tot
+            ), scored AS (
+                SELECT doc_id, CAST(-ln(p) AS DECIMAL(18,12)) AS nll
+                FROM t JOIN probs USING (term)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "url_dedup_stats": r"""
             WITH planted AS (

@@ -343,6 +343,74 @@ def canonicalize_url(col: Column | str) -> Column:
     return u
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_df: DataFrame | None = None,
+    alpha: float = 0.0,
+) -> DataFrame:
+    """Per-document unigram language-model surprisal — the CCNet-style
+    quality signal (Wenzek et al. 2020 score with a KenLM; here a unigram
+    MLE trained on ``lm_df`` or, by default, the corpus itself): returns
+    ``(id_col, n_tokens, mean_nll)`` where mean_nll = mean over tokens of
+    ``-ln p(token)``.  High surprisal ⇒ unusual/garbled text; low ⇒
+    boilerplate.  Sort ascending for "most templated", descending for
+    "most out-of-distribution".
+
+    Scale shape: one explode + two aggregations (the tf_idf pattern) —
+    the vocabulary aggregate is tiny next to the corpus and joins back
+    broadcast at moderate vocab sizes (AQE decides at 100 TB);
+    the corpus is never collected.  ``alpha`` adds Laplace smoothing
+    (needed when scoring docs against a foreign LM whose vocabulary may
+    not cover them; unseen tokens then cost ``-ln(alpha / (N + alpha·V))``).
+
+    Cross-engine determinism: ``ln`` is bit-identical (correctly-rounded
+    libm on both engines — probed), and per-token logs are accumulated in
+    DECIMAL(18,12) (exact, order-independent) before one final double
+    division, so the result hashes identically on any oracle engine.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(
+            F.split(normalize_text(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    train = toks if lm_df is None else (
+        lm_df.select(F.col(id_col), F.explode(
+            F.split(normalize_text(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = train.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size"))
+    probs = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        ((F.col("c") + F.lit(alpha))
+         / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))).alias("p"),
+    )
+    joined = toks.join(probs, "term", "left")
+    if alpha > 0:
+        unseen = (F.lit(alpha)).cast("double")  # numerator for c = 0
+        denom_probs = F.broadcast(totals)
+        joined = joined.crossJoin(denom_probs).withColumn(
+            "p",
+            F.coalesce(
+                F.col("p"),
+                unseen / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))),
+        )
+    nll = (-F.log("p")).cast("decimal(18,12)")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(nll).alias("_s"))
+        .select(
+            id_col, "n_tokens",
+            F.round(F.col("_s").cast("double") / F.col("n_tokens"), 6)
+            .alias("mean_nll"),
+        )
+    )
+
+
 def url_host(col: Column | str) -> Column:
     """Host of a URL (after :func:`canonicalize_url` semantics: scheme and
     ``www.`` stripped, lowercased) — the group key for per-domain corpus

@@ -557,6 +557,33 @@ def test_heavy_hitters_misra_gries(spark):
     assert len(top1) == 1 and top1[0]["item"] == "h0" and top1[0]["n"] == 800
 
 
+def test_unigram_lm_score_foreign_lm_and_smoothing(spark):
+    """unigram_lm_score vs a hand-computed model: self-scored MLE values,
+    and Laplace smoothing when scoring against a foreign LM with unseen
+    tokens (which MUST cost the smoothed floor, not drop out)."""
+    import math
+
+    from hazelcast_jet_spark.operators.text import unigram_lm_score
+
+    lm = spark.createDataFrame(
+        [(1, "a a a b")], ["doc_id", "text"])        # p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "a z")], ["doc_id", "text"])  # z unseen
+
+    out = {r["doc_id"]: r for r in unigram_lm_score(
+        docs, lm_df=lm, alpha=1.0).collect()}
+    # alpha=1, N=4, V=2: p(a)=(3+1)/6, p(b)=(1+1)/6, p(z)=1/6
+    want10 = (-math.log(4 / 6) - math.log(2 / 6)) / 2
+    want11 = (-math.log(4 / 6) - math.log(1 / 6)) / 2
+    assert abs(out[10]["mean_nll"] - want10) < 1e-6
+    assert abs(out[11]["mean_nll"] - want11) < 1e-6
+    assert out[11]["n_tokens"] == 2  # unseen token scored, not dropped
+
+    # self-scoring MLE: doc of one repeated token has p=1 -> mean_nll=0
+    solo = spark.createDataFrame([(1, "x x x")], ["doc_id", "text"])
+    assert unigram_lm_score(solo).collect()[0]["mean_nll"] == 0.0
+
+
 def test_canonicalize_url(spark):
     """URL canonicalization: scheme/www/fragment/tracking-params/trailing
     slash all collapse; non-tracking params and param order are preserved;

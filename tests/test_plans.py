@@ -238,3 +238,13 @@ def test_percentile_single_buffer(spark, sf_dir):
     through the exchange, not one full value-count map per fraction."""
     plan = _plan(entry_mod.percentile_stats(spark, sf_dir))
     assert plan.count("partial_percentile") == 1, plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark, sf_dir):
+    """unigram_lm_score: the exploded token stream joins the (small) vocab
+    probabilities via broadcast — tokens are never shuffled for the join;
+    every exchange carries only partial-aggregate rows (vocab counts,
+    1-row totals, per-doc partials)."""
+    plan = _plan(entry_mod.unigram_lm_quality(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -76,7 +76,7 @@ def main() -> None:
     }))
 
 
-def _stream_window_probe(spark, seconds: float = 10.0) -> float:
+def _stream_window_probe(spark, seconds: float = 15.0) -> float:
     """Streaming analog of the reference's events/s claims (BASELINE.md):
     rate source → sliding-window keyed aggregation → noop sink; report
     sustained input rows/sec over the probe interval.
@@ -119,7 +119,7 @@ def _stream_window_probe(spark, seconds: float = 10.0) -> float:
     return round(max(rates), 1) if rates else 0.0
 
 
-def _stream_map_probe(spark, seconds: float = 8.0) -> float:
+def _stream_map_probe(spark, seconds: float = 12.0) -> float:
     """Stateless streaming probe (NEXMark Q1/Q2 shape — the reference's
     'simplest pipeline' events/s claims): rate source → filter + mapped
     projection → noop.  No state store, no shuffle: measures the pure

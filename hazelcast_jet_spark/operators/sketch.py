@@ -137,7 +137,10 @@ def heavy_hitters(
 
     Returns ``(group_cols..., item, n, rank)`` with rank ≤ k per group,
     ties broken by item ascending; ``item`` is the string form of
-    ``item_col`` (hashable across engines).
+    ``item_col`` (hashable across engines).  NULL items are ignored
+    (pandas value_counts drops them in the summary and a null never
+    equi-joins in the verify pass) — filter or coalesce first if nulls
+    should count.
 
     State bound, honestly: each partition holds one ``capacity``-entry
     summary PER GROUP it sees — O(groups-per-partition × capacity).

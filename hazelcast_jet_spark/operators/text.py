@@ -375,8 +375,9 @@ def unigram_lm_score(
             F.split(normalize_text(text_col), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
+    # training needs only the token stream — lm_df does NOT need id_col
     train = toks if lm_df is None else (
-        lm_df.select(F.col(id_col), F.explode(
+        lm_df.select(F.explode(
             F.split(normalize_text(text_col), " ")).alias("term"))
         .filter(F.col("term") != "")
     )

@@ -2103,6 +2103,48 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_lm_score(d).orderBy("doc_id")
 
 
+def salted_aggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via salting (operators/skew.salted_aggregate):
+    groupBy(key, salt) partials → groupBy(key) recombine, so one mega-key
+    splits across `salt` reducers instead of melting one.  DECIMAL sum
+    keeps the two-phase result bit-identical to the oracle's one-phase
+    GROUP BY regardless of how the salt split the rows."""
+    from hazelcast_jet_spark.operators.skew import salted_aggregate
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        l, ["l_returnflag"],
+        {"cnt": agg.counting(),
+         "qty": F.sum(F.col("l_quantity").cast("decimal(18,6)"))},
+        {"cnt": F.sum("cnt"),
+         "qty": F.sum("qty")},
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag", "cnt", F.col("qty").cast("double").alias("sum_qty")
+    ).orderBy("l_returnflag")
+
+
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embeddings table (operators/clustering.kmeans_fit:
+    broadcast-centroid matmul assign, posexplode partial-agg update) —
+    cluster membership counts.  Iterative and therefore not expressible
+    as one SQL oracle (driver records the weaker rows-only check; the
+    bit-for-bit Lloyd's-vs-numpy equivalence lives in
+    tests/test_packing_clustering.py).  Deterministic: seeds are the
+    first k vectors by id."""
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(e, k=8, vec_col="embedding", id_col="vec_id",
+                             max_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2144,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": heavy_hitter_terms,
         "url_dedup_stats": url_dedup_stats,
         "unigram_lm_quality": unigram_lm_quality,
+        "salted_aggregate_orders": salted_aggregate_orders,
+        "kmeans_cluster_sizes": kmeans_cluster_sizes,  # rows-only (iterative)
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2171,12 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": embedding_quantize_int8,
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        # ===== driver window boundary is 50 entries; everything below has =====
+        # ===== at least one green driver row across r1-r3 (entries down ======
+        # ===== through tpch_q22 — rotated just out this round to make room ===
+        # ===== for the 9 newest r4 queries — carry a single r3 green row; ====
+        # ===== the rest have 2+) =============================================
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
-        # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least one green driver row across r1-r3 (the first six =====
-        # ===== — rotated just out this round to make room for the 7 newest ===
-        # ===== r4 queries — carry a single r3 green row; the rest have 2+) ===
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
@@ -3745,6 +3790,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "salted_aggregate_orders": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "unigram_lm_quality": f"""
             WITH toks AS (

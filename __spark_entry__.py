@@ -2145,6 +2145,17 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-long-span statistics (dedup.dup_span_stats; Lee
+    et al. 2022 substring-dedup signal): per doc, the fraction of its
+    8-token windows appearing verbatim in another document — the basis
+    for CUTTING duplicated text rather than dropping whole docs.  The
+    oracle hashes windows by the same md5 12-hex prefix, so both engines
+    partition spans identically."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.dup_span_stats(d, k=8).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2187,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_stats": url_dedup_stats,
         "unigram_lm_quality": unigram_lm_quality,
         "salted_aggregate_orders": salted_aggregate_orders,
+        "dup_span_stats_docs": dup_span_stats_docs,
         "kmeans_cluster_sizes": kmeans_cluster_sizes,  # rows-only (iterative)
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
@@ -2214,12 +2226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
         "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== at least one green driver row across r1-r3 (entries down ======
         # ===== through tpch_q22 — rotated just out this round to make room ===
-        # ===== for the 9 newest r4 queries — carry a single r3 green row; ====
+        # ===== for the 10 newest r4 queries — carry a single r3 green row; ===
         # ===== the rest have 2+) =============================================
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
@@ -3790,6 +3802,30 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "dup_span_stats_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 8 THEN
+                           list_transform(generate_series(1, len(t) - 7),
+                               i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))
+                       ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                       END AS hs
+                FROM toks
+            ), s AS (
+                SELECT doc_id, unnest(list_distinct(hs)) AS h FROM g
+            ), f AS (
+                SELECT h, count(*) AS df FROM s GROUP BY h
+            )
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_fraction
+            FROM s JOIN f USING (h)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "salted_aggregate_orders": """
             SELECT l_returnflag, count(*) AS cnt,

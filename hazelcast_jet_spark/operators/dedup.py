@@ -513,6 +513,67 @@ def winnow_dup_pairs(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> DataFrame:
+    """Per-document duplicated-long-span statistics (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    substring duplication, there via suffix arrays; here the Spark-
+    practical token-window form): a doc's ``k``-token windows that appear
+    verbatim in at least one OTHER document.
+
+    Complements the set-similarity family — ngram_jaccard measures
+    overall overlap, winnowing samples fingerprints; this counts exact
+    long spans, the signal used to CUT duplicated text rather than drop
+    whole docs.  Returns ``(id_col, n_spans, n_dup_spans, dup_fraction)``
+    for every doc with at least one window (short docs count as one
+    whole-text span).
+
+    Shape: staged projections (tokens once per row), explode of
+    DISTINCT-per-doc window hashes (md5 12-hex prefix as bigint — the
+    engine-portable idiom), one groupBy for document frequency, join
+    back, per-doc agg.  Everything shuffles as (hash, id) longs;
+    the corpus text never moves twice.
+    """
+    from .text import normalize_text
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.split(normalize_text(text_col), " ").alias("t"))
+    n = F.size("t")
+    grams = toks.select(
+        "id",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12),
+                    16, 10).cast("bigint"),
+            ),
+        ).otherwise(F.array(F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.col("t"))), 1, 12),
+            16, 10).cast("bigint"))).alias("hs"),
+    )
+    spans = grams.select(
+        "id", F.explode(F.array_distinct("hs")).alias("h"))
+    docfreq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        spans.join(docfreq, "h")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") > 1).cast("bigint")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+    )
+
+
 def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                     max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: turn the pair lists the

@@ -557,6 +557,31 @@ def test_heavy_hitters_misra_gries(spark):
     assert len(top1) == 1 and top1[0]["item"] == "h0" and top1[0]["n"] == 800
 
 
+def test_dup_span_stats(spark):
+    """Duplicated-long-span stats vs hand-built docs: a shared verbatim
+    k-token run is detected in both docs, unique text is clean, short
+    docs fall back to one whole-text span."""
+    from hazelcast_jet_spark.operators.dedup import dup_span_stats
+
+    shared = "one two three four five six seven eight"          # 8 tokens
+    docs = [
+        (1, shared + " alpha beta"),
+        (2, "gamma delta " + shared),
+        (3, "totally unrelated words with nothing repeated here at all"),
+        (4, "tiny doc"),                                        # < k tokens
+        (5, "tiny doc"),                                        # exact dup of 4
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_span_stats(df, k=8).collect()}
+    # doc1: 10 tokens -> 3 windows; exactly one (the shared run) duplicated
+    assert out[1]["n_spans"] == 3 and out[1]["n_dup_spans"] == 1
+    assert out[2]["n_spans"] == 3 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_fraction"] == 0.0
+    # short docs: whole text is the span; 4 and 5 duplicate each other
+    assert out[4]["n_spans"] == 1 and out[4]["n_dup_spans"] == 1
+    assert out[5]["dup_fraction"] == 1.0
+
+
 def test_unigram_lm_score_foreign_lm_and_smoothing(spark):
     """unigram_lm_score vs a hand-computed model: self-scored MLE values,
     and Laplace smoothing when scoring against a foreign LM with unseen

@@ -2156,6 +2156,27 @@ def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_stats(d, k=8).orderBy("doc_id")
 
 
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 fuzzy join (operators/joins.fuzzy_join, FastSS
+    deletion neighborhoods): deterministic one-char-deletion typos of
+    every 20th part name matched back against the part table WITHOUT a
+    cross join — candidates equi-join on exploded deletion variants,
+    then exact levenshtein re-verify.  The oracle pays the brute-force
+    cross join; the engine must reach the identical pair set through
+    the neighborhood index."""
+    p = _t(spark, sf_dir, "part")
+    probes = (
+        p.filter(F.col("p_partkey") % 20 == 0)
+        .select(
+            F.concat(
+                F.expr("substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+                F.expr("substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"),
+            ).alias("probe"))
+    )
+    matches = joins.fuzzy_join(probes, p.select("p_name"), "probe", "p_name")
+    return matches.orderBy("probe", "p_name")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2199,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_quality": unigram_lm_quality,
         "salted_aggregate_orders": salted_aggregate_orders,
         "dup_span_stats_docs": dup_span_stats_docs,
+        "fuzzy_match_parts": fuzzy_match_parts,
         "kmeans_cluster_sizes": kmeans_cluster_sizes,  # rows-only (iterative)
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
@@ -2225,12 +2247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
-        "range_join_value_bands": range_join_value_bands,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== at least one green driver row across r1-r3 (entries down ======
         # ===== through tpch_q22 — rotated just out this round to make room ===
         # ===== for the 10 newest r4 queries — carry a single r3 green row; ===
         # ===== the rest have 2+) =============================================
+        "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
@@ -3802,6 +3824,18 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s10 AS DOUBLE) / c10, 6) AS avg_last10,
                    c10 AS n_considered
             FROM f WHERE rn = 1 ORDER BY seller
+        """,
+        "fuzzy_match_parts": """
+            WITH probes AS (
+                SELECT substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+                       || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)
+                           AS probe
+                FROM part WHERE p_partkey % 20 = 0
+            )
+            SELECT DISTINCT probe, p_name
+            FROM probes, part
+            WHERE levenshtein(probe, p_name) <= 1
+            ORDER BY probe, p_name
         """,
         "dup_span_stats_docs": f"""
             WITH toks AS (

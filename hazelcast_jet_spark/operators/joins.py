@@ -158,3 +158,47 @@ def range_join(points: DataFrame, ranges: DataFrame, point_col: str,
     if extra_cond is not None:
         cond = cond & extra_cond
     return p.join(r, "_bin").filter(cond).drop("_bin")
+
+
+def _deletion_variants(col: Column) -> Column:
+    """The string plus every single-character deletion of it (FastSS
+    k=1 neighborhood) — all JVM expressions."""
+    big = 1 << 20
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1), col.substr(i + 1, F.lit(big))),
+    )
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
+               right_col: str | None = None) -> DataFrame:
+    """Edit-distance-≤1 string join WITHOUT a cross join (FastSS deletion
+    neighborhoods, Bocek et al. 2007 — no reference analog; the
+    entity-resolution / typo-matching extension).
+
+    Two strings are within Levenshtein distance 1 iff they share a
+    member of each other's single-deletion neighborhood (equal strings
+    share the original; one substitution ⇒ both strings minus the
+    differing position agree; one insertion/deletion ⇒ the longer minus
+    the extra char equals the shorter) — so candidate generation is an
+    EQUI-join on exploded variants: each side shuffles O(rows × (len+1))
+    short strings, never the |L|×|R| pair space.  Candidates are then
+    re-verified with an exact ``levenshtein() <= 1`` filter (drops the
+    distance-2 false positives deletion sharing admits, e.g. 'ab'~'ba'
+    via 'a'... sharing both-side deletions) and deduplicated.
+
+    Returns the distinct matching pairs ``(left_col, right_col)`` —
+    join back on these keys to recover full rows.
+    """
+    right_col = right_col or left_col
+    lv = left.select(F.col(left_col).alias("_l")).distinct().select(
+        "_l", F.explode(_deletion_variants(F.col("_l"))).alias("_v"))
+    rv = right.select(F.col(right_col).alias("_r")).distinct().select(
+        "_r", F.explode(_deletion_variants(F.col("_r"))).alias("_v"))
+    return (
+        lv.join(rv, "_v")
+        .select(F.col("_l").alias(left_col), F.col("_r").alias(right_col))
+        .distinct()
+        .filter(F.levenshtein(left_col, right_col) <= 1)
+    )

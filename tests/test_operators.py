@@ -557,6 +557,39 @@ def test_heavy_hitters_misra_gries(spark):
     assert len(top1) == 1 and top1[0]["item"] == "h0" and top1[0]["n"] == 800
 
 
+def test_fuzzy_join_edit_distance_one(spark):
+    """fuzzy_join (FastSS deletion neighborhoods): complete vs a brute-
+    force levenshtein<=1 cross join on a random vocabulary, and the plan
+    never contains a cartesian product."""
+    import random
+
+    from hazelcast_jet_spark.operators.joins import fuzzy_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(3)
+    vocab = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+             for _ in range(40)]
+    left = spark.createDataFrame([(w,) for w in vocab[:25]], ["name"])
+    right = spark.createDataFrame([(w,) for w in vocab[15:]], ["name2"])
+    got = sorted((r["name"], r["name2"]) for r in
+                 fuzzy_join(left, right, "name", "name2").collect())
+    want = sorted({(a, b) for a in set(vocab[:25]) for b in set(vocab[15:])
+                   if lev(a, b) <= 1})
+    assert got == want
+
+    plan = fuzzy_join(left, right, "name", "name2") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dup_span_stats(spark):
     """Duplicated-long-span stats vs hand-built docs: a shared verbatim
     k-token run is detected in both docs, unique text is clean, short

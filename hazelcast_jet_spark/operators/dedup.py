@@ -537,6 +537,13 @@ def dup_span_stats(
     engine-portable idiom), one groupBy for document frequency, join
     back, per-doc agg.  Everything shuffles as (hash, id) longs;
     the corpus text never moves twice.
+
+    Precision note: the 48-bit hash prefix starts producing birthday
+    collisions (two different spans sharing a hash ⇒ a span counted as
+    duplicated that isn't) once the corpus holds ~10^7 distinct spans;
+    the effect only ever OVERcounts dup_fraction slightly.  For exact
+    stats on a larger corpus, widen the prefix (or use the full digest)
+    at the cost of string-width shuffle rows.
     """
     from .text import normalize_text
 

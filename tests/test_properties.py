@@ -236,3 +236,38 @@ def test_chunk_documents_matches_python_model(spark, texts, chunk, overlap):
         for c in range(n_chunks):
             want.append((i, c, " ".join(toks[c * stride: c * stride + chunk])))
     assert got == sorted(want)
+
+
+HH_ROWS = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 30)),
+    min_size=1, max_size=120)
+
+
+@given(rows=HH_ROWS, k=st.integers(1, 4), cap=st.integers(5, 40))
+@SLOW
+def test_heavy_hitters_matches_exact_topk(spark, rows, k, cap):
+    """heavy_hitters vs exact pandas counts on arbitrary data: whenever
+    the k-th item's frequency clears the MG bound n/(capacity+1), the
+    verified top-k equals ground truth exactly (counts always exact for
+    whatever candidates survive)."""
+    from hazelcast_jet_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(g, f"i{v}") for g, v in rows], "grp int, item string").repartition(4)
+    got = heavy_hitters(df, "item", ["grp"], k=k, capacity=cap).collect()
+
+    truth: dict[int, dict[str, int]] = {}
+    for g, v in rows:
+        truth.setdefault(g, {})
+        truth[g][f"i{v}"] = truth[g].get(f"i{v}", 0) + 1
+    for r in got:
+        assert truth[r["grp"]][r["item"]] == r["n"]   # exact counts always
+    for g, counts in truth.items():
+        n = sum(counts.values())
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kth = ranked[min(k, len(ranked)) - 1][1]
+        if kth > n / (cap + 1):                       # MG coverage holds
+            want = ranked[:k]
+            mine = sorted(((r["item"], r["n"]) for r in got if r["grp"] == g),
+                          key=lambda kv: (-kv[1], kv[0]))
+            assert mine == want, (g, mine, want)

@@ -190,6 +190,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
 
     Returns the distinct matching pairs ``(left_col, right_col)`` —
     join back on these keys to recover full rows.
+
+    Sized for SHORT keys (names, titles, codes, URLs): the variant
+    explode is O(len²) bytes per distinct string, so a 20-char key costs
+    ~21 short strings while a 10 KB document would cost ~10^8 bytes —
+    for near-dup detection on long text use the dedup family
+    (minhash/simhash/winnowing), not an edit-distance join.
     """
     right_col = right_col or left_col
     lv = left.select(F.col(left_col).alias("_l")).distinct().select(

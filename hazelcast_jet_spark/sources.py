@@ -131,9 +131,12 @@ class Sources:
 
 class FileSources:
     """Unified file connector — pipeline/file/FileSources.java:66 +
-    FileFormat.java: avro/csv/json/lines/parquet/binary/whole-text."""
+    FileFormat.java: avro/csv/json/lines/parquet/binary/whole-text;
+    plus the Spark-native formats the reference lacks (orc, xml —
+    Spark 4 ships both readers built in)."""
 
-    _FORMATS = {"avro", "csv", "json", "text", "parquet", "binaryFile"}
+    _FORMATS = {"avro", "csv", "json", "text", "parquet", "binaryFile",
+                "orc", "xml"}
 
     @staticmethod
     def files(path: str, fmt: str = "parquet", schema=None, **options):

@@ -760,6 +760,27 @@ def test_s3_path_and_conf_contract(spark):
     assert S3Sources.configure(spark) == {}
 
 
+def test_orc_and_xml_file_sources(spark, tmp_path):
+    """FileSources fmt='orc'/'xml' (Spark-native formats the reference
+    lacks): write + read back through the unified connector."""
+    from hazelcast_jet_spark.sources import FileSources
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["id", "name"])
+
+    orc_dir = str(tmp_path / "orc")
+    df.write.orc(orc_dir)
+    back = FileSources.files(orc_dir, fmt="orc")(spark)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == \
+        [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+    xml_dir = str(tmp_path / "xml")
+    df.write.format("xml").option("rowTag", "row").save(xml_dir)
+    back = FileSources.files(xml_dir, fmt="xml", rowTag="row")(spark)
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == \
+        [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
 def test_hadoop_input_format_sources(spark, tmp_path):
     """HadoopSources.inputFormat (extensions/hadoop/.../HadoopSources.java:60):
     real SequenceFile round trip through Hadoop Writables (no extra jars —

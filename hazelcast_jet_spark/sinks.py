@@ -137,6 +137,104 @@ class Sinks:
         return sink
 
     @staticmethod
+    def jdbc_transactional(url: str, table: str, checkpoint: str | None = None,
+                           commit_log: str = "jet_epoch_commits",
+                           batch_epoch: int = 0, **options):
+        """Exactly-once JDBC APPENDS without XA — closes the gap
+        ``Sinks.jdbc`` documents (reference: XaSinkProcessorBase's 2PC;
+        here the warehouse epoch-commit pattern instead):
+
+        1. each epoch's rows land in a per-epoch STAGING table via the
+           normal parallel ``spark.write.jdbc`` (at-least-once, but
+           isolated — a replay just overwrites the same staging table);
+        2. one driver-side DB TRANSACTION publishes it:
+           ``INSERT INTO target SELECT * FROM staging`` + a row in the
+           ``commit_log`` marker table, atomically.  A replayed epoch
+           finds its marker and no-ops.
+
+        Crash anywhere: before the txn → replay re-stages + publishes;
+        mid-txn → DB rolls back; after commit → replay no-ops (a
+        leftover staging table is dropped then).  Net effect:
+        exactly-once appends even for non-idempotent rows — the
+        guarantee Jet gets from XA, obtained from an epoch marker
+        instead of 2PC.  Streaming use requires a durable
+        ``checkpoint`` (epoch ids must survive restarts).  The batch
+        form publishes as ``batch_epoch`` — rerunning the same job is a
+        no-op; DISTINCT batch loads into one table must pass distinct
+        epochs.
+        """
+        driver = options.get("driver")
+
+        def _exec_update(conn, sql: str) -> None:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(sql)
+            finally:
+                st.close()
+
+        def _publish(batch_df: DataFrame, epoch_id: int) -> None:
+            spark = batch_df.sparkSession
+            jvm = spark._jvm
+            staging = f"stg_{table}_{epoch_id}"
+            (batch_df.write.format("jdbc").option("url", url)
+             .option("dbtable", staging).options(**options)
+             .mode("overwrite").save())
+            if driver:
+                jvm.java.lang.Class.forName(driver)
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                conn.setAutoCommit(False)
+                for ddl in (
+                    f"CREATE TABLE {commit_log} "
+                    "(target VARCHAR(128), epoch_id BIGINT)",
+                    f"CREATE TABLE {table} AS SELECT * FROM {staging} "
+                    "WITH NO DATA",
+                ):
+                    try:
+                        _exec_update(conn, ddl)
+                        conn.commit()
+                    except Exception:
+                        conn.rollback()  # already exists
+                st = conn.createStatement()
+                try:
+                    rs = st.executeQuery(
+                        f"SELECT 1 FROM {commit_log} WHERE target = '{table}'"
+                        f" AND epoch_id = {int(epoch_id)}")
+                    already = rs.next()
+                    rs.close()
+                finally:
+                    st.close()
+                if not already:
+                    _exec_update(conn,
+                                 f"INSERT INTO {table} SELECT * FROM {staging}")
+                    _exec_update(conn,
+                                 f"INSERT INTO {commit_log} VALUES "
+                                 f"('{table}', {int(epoch_id)})")
+                    conn.commit()  # rows + marker become visible atomically
+                try:
+                    _exec_update(conn, f"DROP TABLE {staging}")
+                    conn.commit()
+                except Exception:
+                    conn.rollback()
+            finally:
+                conn.close()
+
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                if not checkpoint:
+                    raise ValueError(
+                        "jdbc_transactional on a stream requires a durable "
+                        "checkpoint (epoch ids must survive restarts)")
+                return (df.writeStream.foreachBatch(_publish)
+                        .option("checkpointLocation", checkpoint)
+                        .trigger(availableNow=True).start())
+            _publish(df, batch_epoch)
+            return table
+
+        sink.publish_epoch = _publish  # exposed for idempotence tests
+        return sink
+
+    @staticmethod
     def kafka_options(bootstrap_servers: str, topic: str, **options) -> dict:
         """Option map for Spark's kafka sink — unit-testable without a
         broker (KafkaSinks.java:101 builds producer Properties likewise).

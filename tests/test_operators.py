@@ -321,6 +321,67 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     assert "PushedFilters: [" in got._jdf.queryExecution().simpleString() or True
 
 
+def test_jdbc_transactional_exactly_once(spark, tmp_path):
+    """Sinks.jdbc_transactional (the XA-gap closer): replayed epochs
+    no-op, distinct epochs append, the leftover-staging crash window
+    recovers, and a streaming restart delivers every row exactly once —
+    all against embedded Derby."""
+    import os
+    import time
+
+    from hazelcast_jet_spark.sinks import Sinks
+    from hazelcast_jet_spark.sources import Sources
+
+    url = f"jdbc:derby:{tmp_path}/xdb;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    sink = Sinks.jdbc_transactional(url, "tx_target", **drv)
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    b = spark.createDataFrame([(3, "c")], "id int, s string")
+
+    def rows():
+        return sorted(tuple(r) for r in
+                      Sources.jdbc(url, "tx_target", **drv)(spark).collect())
+
+    sink.publish_epoch(a, 0)
+    sink.publish_epoch(a, 0)                  # replay of the same epoch
+    assert rows() == [(1, "a"), (2, "b")]     # no duplicates
+    sink.publish_epoch(b, 1)                  # next epoch appends
+    assert rows() == [(1, "a"), (2, "b"), (3, "c")]
+    # crash window: epoch 1 committed but staging survived -> replay no-ops
+    sink.publish_epoch(b, 1)
+    assert rows() == [(1, "a"), (2, "b"), (3, "c")]
+
+    # streaming restart end-to-end: stop mid-input, deliver more, restart
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.range(100, 110).selectExpr("CAST(id AS INT) id", "'s' s") \
+        .write.parquet(src + "/f1")
+    schema = spark.read.parquet(src + "/f1").schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+        return Sinks.jdbc_transactional(url, "tx_stream", checkpoint=ckpt,
+                                        **drv)(stream)
+
+    q = start(); q.awaitTermination()
+    time.sleep(1.1)
+    spark.range(110, 125).selectExpr("CAST(id AS INT) id", "'s' s") \
+        .write.parquet(src + "/f2")
+    q = start(); q.awaitTermination()
+    got = sorted(r["id"] for r in
+                 Sources.jdbc(url, "tx_stream", **drv)(spark).collect())
+    assert got == list(range(100, 125)), f"exactly-once broken: {len(got)} rows"
+
+    # a stream without a durable checkpoint is rejected up front
+    import pytest
+    with pytest.raises(ValueError, match="checkpoint"):
+        Sinks.jdbc_transactional(url, "t", **drv)(
+            spark.readStream.schema(schema).parquet(src + "/f*"))
+
+
 def test_asof_join_backward(spark):
     """Backward as-of semantics: greatest right time <= left time per key,
     inclusive at equality; keys with no prior right row get null."""

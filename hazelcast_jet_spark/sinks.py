@@ -139,7 +139,8 @@ class Sinks:
     @staticmethod
     def jdbc_transactional(url: str, table: str, checkpoint: str | None = None,
                            commit_log: str = "jet_epoch_commits",
-                           batch_epoch: int = 0, **options):
+                           batch_epoch: int = 0, keys: list[str] | None = None,
+                           **options):
         """Exactly-once JDBC APPENDS without XA — closes the gap
         ``Sinks.jdbc`` documents (reference: XaSinkProcessorBase's 2PC;
         here the warehouse epoch-commit pattern instead):
@@ -162,6 +163,13 @@ class Sinks:
         form publishes as ``batch_epoch`` — rerunning the same job is a
         no-op; DISTINCT batch loads into one table must pass distinct
         epochs.
+
+        With ``keys`` the publish step is a ``MERGE`` (update matched,
+        insert new) instead of a plain INSERT — keyed last-writer-wins
+        UPSERTS into an RDBMS, the CdcSinks-to-database path (each
+        epoch's frame should hold one row per key, e.g. out of
+        ``cdc.latest_by_key``); the epoch marker still suppresses
+        replays so re-applied epochs can't resurrect older values.
         """
         driver = options.get("driver")
 
@@ -205,8 +213,25 @@ class Sinks:
                 finally:
                     st.close()
                 if not already:
-                    _exec_update(conn,
-                                 f"INSERT INTO {table} SELECT * FROM {staging}")
+                    if keys:
+                        # Spark's jdbc writer CREATEs quoted (case-exact)
+                        # column names — the MERGE must quote them too
+                        cols = batch_df.columns
+                        q = '"{}"'.format
+                        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+                        sets = ", ".join(
+                            f"t.{q(c)} = s.{q(c)}" for c in cols if c not in keys)
+                        ins_cols = ", ".join(q(c) for c in cols)
+                        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+                        _exec_update(
+                            conn,
+                            f"MERGE INTO {table} t USING {staging} s ON {on} "
+                            + (f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else "")
+                            + f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) "
+                            f"VALUES ({ins_vals})")
+                    else:
+                        _exec_update(
+                            conn, f"INSERT INTO {table} SELECT * FROM {staging}")
                     _exec_update(conn,
                                  f"INSERT INTO {commit_log} VALUES "
                                  f"('{table}', {int(epoch_id)})")

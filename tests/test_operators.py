@@ -381,6 +381,18 @@ def test_jdbc_transactional_exactly_once(spark, tmp_path):
         Sinks.jdbc_transactional(url, "t", **drv)(
             spark.readStream.schema(schema).parquet(src + "/f*"))
 
+    # keyed MERGE mode: upserts, replays suppressed, no key duplication
+    up = Sinks.jdbc_transactional(url, "tx_upsert", keys=["id"], **drv)
+    up.publish_epoch(spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], "id int, s string"), 0)
+    up.publish_epoch(spark.createDataFrame(
+        [(2, "v2"), (3, "v2")], "id int, s string"), 1)   # update 2, insert 3
+    up.publish_epoch(spark.createDataFrame(
+        [(2, "v1"), (3, "v1")], "id int, s string"), 1)   # replay: no-op
+    got = sorted(tuple(r) for r in
+                 Sources.jdbc(url, "tx_upsert", **drv)(spark).collect())
+    assert got == [(1, "v1"), (2, "v2"), (3, "v2")]
+
 
 def test_asof_join_backward(spark):
     """Backward as-of semantics: greatest right time <= left time per key,

@@ -2177,6 +2177,93 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matches.orderBy("probe", "p_name")
 
 
+QUOTA_N = 10
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (operators/sampling.quota_per_key): keep
+    at most N docs per source so no crawl host dominates the mix.  Which
+    N survive is a pure function of md5(seed||doc_id) — the oracle's
+    row_number over the same md5 picks identical rows.  The map-side
+    per-batch top-n prefilter bounds what a hot source ships through the
+    one quota shuffle."""
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    out = quota_per_key(d, "source", QUOTA_N, "doc_id", seed="quota0")
+    return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-safe train/val/test split (operators/sampling.
+    split_by_key): split membership is a function of the key hash alone
+    (map-only CASE over cumulative md5-prefix bands — no shuffle, no
+    leakage across splits for rows sharing a key), then counts per
+    (split, lang)."""
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_by_key(d, "doc_id", SPLIT_FRACTIONS, seed="split0")
+    return (
+        out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (operators/joins.bloom_semi_join): orders
+    of BUILDING-segment customers, pre-filtered by a Bloom whose j=3 bit
+    positions probe as broadcast semi joins (≤ m longs broadcast however
+    many keys exist — the shape for a key side too big to broadcast
+    raw), then an exact semi join drops the false positives.  The oracle
+    is the PLAIN semi join — equality proves the Bloom pruning is
+    lossless."""
+    from hazelcast_jet_spark.operators.joins import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    keys = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    out = bloom_semi_join(o, keys, "o_custkey", "c_custkey", m=1 << 16)
+    return out.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.semantic_dedup_pairs, Abbas et al.
+    2023): embeddings cluster to the 8 fixed centroids (map-only Arrow
+    matmul — the same coarse quantization the IVF index uses), then
+    near-dup pairs are searched WITHIN clusters only — the pruning that
+    replaces O(n²) all-pairs cosine at corpus scale.  The oracle
+    replicates assignment + within-cluster pairs in SQL."""
+    from hazelcast_jet_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        e, _ivf_centroids(), SEMDEDUP_THRESHOLD)
+    return pairs.select(
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        "id_a", "id_b", "cos_sim",
+    ).orderBy("id_a", "id_b")
+
+
+def event_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-series features (operators/timeseries.event_features):
+    sequence position, lag value, inter-event gap, and 5-row rolling
+    sum/min/max — ONE shuffle on user_id serves every feature (Catalyst
+    reuses the window exec).  Rolling sums accumulate in DECIMAL so the
+    result is exact and engine-portable; epoch seconds derive from NTZ
+    interval arithmetic, never the session timezone."""
+    from hazelcast_jet_spark.operators.timeseries import event_features
+
+    e = _t(spark, sf_dir, "events")
+    out = event_features(e, "user_id", "ts", "value", "event_id", rolling_n=5)
+    return out.select(
+        "event_id", "user_id", "seq", "prev_value", "gap_seconds",
+        "rolling_sum_5", "rolling_min_5", "rolling_max_5",
+    ).orderBy("user_id", "seq")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2222,6 +2309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats_docs": dup_span_stats_docs,
         "fuzzy_match_parts": fuzzy_match_parts,
         "kmeans_cluster_sizes": kmeans_cluster_sizes,  # rows-only (iterative)
+        "source_quota_sample": source_quota_sample,
+        "train_test_split_counts": train_test_split_counts,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
+        "semantic_dedup_docs": semantic_dedup_docs,
+        "event_time_features": event_time_features,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2242,16 +2334,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
+        # ===== driver window boundary is 50 entries; everything below has =====
+        # ===== at least one green driver row across r1-r3 (entries down ======
+        # ===== through tpch_q22 — rotated just out this round to make room ===
+        # ===== for the 15 newest r4 queries — carry a single r3 green row; ===
+        # ===== the rest have 2+) =============================================
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
-        # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== at least one green driver row across r1-r3 (entries down ======
-        # ===== through tpch_q22 — rotated just out this round to make room ===
-        # ===== for the 10 newest r4 queries — carry a single r3 green row; ===
-        # ===== the rest have 2+) =============================================
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -2395,6 +2487,14 @@ def _cos_raw_sql(a: str, b: str) -> str:
 
 def _cos_sql(a: str, b: str) -> str:
     return f"round({_cos_raw_sql(a, b)}, 6)"
+
+
+def _split_hex(cum: float) -> str:
+    """Cumulative md5-prefix band edge — same arithmetic as
+    sampling.split_by_key so the oracle CASE matches bit-for-bit."""
+    from hazelcast_jet_spark.operators.sampling import _threshold_hex
+
+    return _threshold_hex(cum)
 
 
 def _dsum(x: str) -> str:
@@ -3957,5 +4057,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, gram AS top_gram, n AS top_count,
                    n * 2 / wc AS coverage
             FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
+        "source_quota_sample": f"""
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('quota0' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= {QUOTA_N}
+            ORDER BY source, doc_id
+        """,
+        "train_test_split_counts": f"""
+            WITH s AS (
+                SELECT lang,
+                       CASE WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 6)
+                                 < '{_split_hex(0.8)}' THEN 'train'
+                            WHEN substr(md5('split0' || CAST(doc_id AS VARCHAR)), 1, 6)
+                                 < '{_split_hex(0.9)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bloom_semi_join_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            ORDER BY o_orderkey
+        """,
+        "semantic_dedup_docs": f"""
+            WITH d AS (
+                SELECT vec_id, embedding,
+                       [{", ".join(
+                           f"round(1.0 - {_cos_raw_sql('embedding', str(c))}, 9)"
+                           for c in _ivf_centroids()
+                       )}] AS dists
+                FROM embeddings
+            ), corpus AS (
+                SELECT vec_id, embedding,
+                       CAST(list_position(dists, list_min(dists)) AS INT)
+                           AS centroid_id
+                FROM d
+            )
+            SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+            FROM corpus a JOIN corpus b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE {_cos_sql("a.embedding", "b.embedding")} >= {SEMDEDUP_THRESHOLD}
+            ORDER BY id_a, id_b
+        """,
+        "event_time_features": """
+            WITH e AS (
+                SELECT event_id, user_id, ts, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq,
+                   lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+                   es - lag(es, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_seconds,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS rolling_sum_5,
+                   min(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_min_5,
+                   max(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_max_5
+            FROM e
+            ORDER BY user_id, seq
         """,
     }

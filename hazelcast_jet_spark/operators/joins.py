@@ -208,3 +208,69 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
         .distinct()
         .filter(F.levenshtein(left_col, right_col) <= 1)
     )
+
+
+def _bloom_position(col: Column, i: int, m: int, seed: str) -> Column:
+    """Hash i of the Bloom family: a 48-bit slice of md5(seed:i || key)
+    reduced mod m.  All JVM expressions — identical on every executor,
+    independent of partitioning."""
+    h = F.md5(F.concat(F.lit(f"{seed}:{i}:"),
+                       F.coalesce(col.cast("string"), F.lit("\x00"))))
+    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint"), F.lit(m))
+
+
+def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,
+                m: int = 1 << 20, num_hashes: int = 3,
+                seed: str = "bloom0") -> DataFrame:
+    """Bloom-filter pre-filter for a semi join whose key side is too big
+    to broadcast raw: keep only ``big`` rows that *might* match a key in
+    ``keys`` (false positives possible at the classic (1-e^{-jn/m})^j
+    rate, false negatives never).
+
+    Spark-first formulation — the filter IS the plan, no byte-array
+    UDAF: a key's Bloom membership test "all j hashed bit positions are
+    set" becomes j broadcast LEFT SEMI joins against the j distinct-
+    position sets of the key side.  Each position set is at most
+    min(|keys|, m) longs (m=2^20 → ≤ 8 MB broadcast) no matter how many
+    billions of keys it summarizes, every probe stays in whole-stage
+    codegen, and the pruned big side never shuffles a dropped row.
+    Catalyst pushes the semi joins below later wide operators, so the
+    pruning happens at the scan side of the downstream join — the same
+    shape as Spark's own runtime bloom-filter rewrite
+    (spark.sql.optimizer.runtime.bloomFilter), but explicit, engine-
+    checkable, and usable on any DataFrame, not just shuffle joins.
+
+    Choose m ≈ 16×·|distinct keys| for a ~sub-1% FP rate with j=3; the
+    driver never materializes more than the position sets.
+    """
+    pruned = big
+    for i in range(num_hashes):
+        positions = (
+            keys.select(_bloom_position(F.col(keys_key), i, m, seed).alias("__bp"))
+            .distinct()
+        )
+        pruned = pruned.join(
+            F.broadcast(positions),
+            _bloom_position(F.col(big_key), i, m, seed) == F.col("__bp"),
+            "left_semi",
+        )
+    return pruned
+
+
+def bloom_semi_join(big: DataFrame, keys: DataFrame, big_key: str,
+                    keys_key: str | None = None, m: int = 1 << 20,
+                    num_hashes: int = 3, seed: str = "bloom0") -> DataFrame:
+    """Exact semi join accelerated by Bloom pruning: ``bloom_prune``
+    drops the (vast) non-matching majority map-side, then one exact
+    LEFT SEMI join on the survivors removes the Bloom false positives.
+
+    At 100 TB this is the shape that matters: the exact semi join
+    shuffles only `sel + fp` of the big side (sel = true selectivity,
+    fp < 1% tunable via m), instead of every row.  Result is provably
+    identical to ``big.join(keys, key, "left_semi")`` — the gate query
+    oracle-pins exactly that equality.
+    """
+    keys_key = keys_key or big_key
+    pruned = bloom_prune(big, keys, big_key, keys_key, m, num_hashes, seed)
+    dim = keys.select(F.col(keys_key).alias(big_key)).distinct()
+    return pruned.join(dim, big_key, "left_semi")

@@ -120,3 +120,78 @@ def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
         .sortWithinPartitions("shard", "_pos")
         .drop("_pos")
     )
+
+
+def quota_per_key(df: DataFrame, quota_col: str, n: int, key_col: str,
+                  seed: str = "s0", local_prefilter: bool = True) -> DataFrame:
+    """Cap rows per ``quota_col`` value at ``n`` — the per-domain /
+    per-source quota step of a corpus mix (keep at most n docs per
+    domain so one crawl host cannot dominate the training set).
+
+    Which n survive is deterministic: rows rank by ``md5(seed || key)``
+    (ties broken by the key itself), so membership is a pure function of
+    (seed, key) — reproducible on any cluster size / partitioning, and
+    a DuckDB oracle running row_number over the same md5 picks the same
+    rows.
+
+    Scale: the exact rank needs one shuffle on ``quota_col``.  Before
+    it, ``local_prefilter`` runs a map-side per-batch top-n (Arrow
+    batches, vectorized pandas nsmallest) — every batch forwards at most
+    n rows per quota value it contains, so a hot domain with 10M rows
+    ships O(n × batches-touching-it) rows through the exchange instead
+    of 10M.  The prefilter is lossless: the global n smallest hashes
+    within a key are each among the n smallest of their own batch.
+    """
+    rank_src = F.md5(F.concat(
+        F.lit(seed), F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))))
+    staged = df.withColumn("__qh", rank_src)
+    if local_prefilter:
+        import pandas as pd  # noqa: F401
+
+        schema = staged.schema
+
+        def _local_topn(batches):
+            for pdf in batches:
+                if len(pdf) > n:
+                    pdf = (pdf.sort_values(["__qh", key_col], kind="mergesort")
+                              .groupby(quota_col, sort=False).head(n))
+                yield pdf
+
+        staged = staged.mapInPandas(_local_topn, schema)
+    w = Window.partitionBy(quota_col).orderBy(F.col("__qh"), F.col(key_col))
+    return (
+        staged.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= n)
+        .drop("__qh", "__qr")
+    )
+
+
+def split_by_key(df: DataFrame, key_col: str, fractions: dict[str, float],
+                 seed: str = "s0", split_col: str = "split") -> DataFrame:
+    """Deterministic train/validation/test split: label every row with a
+    split name, decided by which cumulative band of the [0, 16^6) hash
+    space ``md5(seed || key)``'s prefix falls in.
+
+    Group-leakage-safe by construction: all rows sharing ``key_col``
+    (e.g. a URL host, a user id) land in the SAME split, because the
+    decision is a function of the key alone — the property a training
+    pipeline needs so near-identical group members never straddle
+    train/test.  Map-only, no shuffle; fractions must sum to ≤ 1 (any
+    remainder gets NULL, i.e. "held out entirely").
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    prefix = _hash_prefix(F.col(key_col), seed)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bands = []
+    for name, frac in fractions.items():
+        lo, cum = cum, cum + frac
+        # 'g' sorts after every hex digit: a band reaching 1.0 is all-inclusive
+        hi_hex = "g" if cum >= 1.0 - 1e-12 else _threshold_hex(cum)
+        bands.append((name, _threshold_hex(lo), hi_hex))
+    for name, lo_hex, hi_hex in reversed(bands):
+        expr = F.when((prefix >= F.lit(lo_hex)) & (prefix < F.lit(hi_hex)),
+                      F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -413,3 +413,71 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
+                         threshold: float, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    pairs found by clustering embeddings and comparing ONLY within each
+    cluster — the pruning that makes embedding dedup feasible at corpus
+    scale, where all-pairs cosine is O(n²).
+
+    Plan shape: nearest-centroid assignment is map-only (Arrow matmul,
+    broadcast-free — same kernel as IVF coarse quantization); the
+    within-cluster self-join shuffles (id, cluster, vec) once on
+    centroid_id; the exact round(cosine, 6) verify runs on candidate
+    pairs only.  ``max_cluster`` drops over-full clusters whole (the
+    same hot-bucket cap discipline as the LSH family) so one degenerate
+    centroid can never go quadratic.
+
+    Centroids come from :func:`~.clustering.kmeans_fit` in production;
+    passing any fixed list keeps the operator deterministic and lets the
+    gate oracle replicate the assignment in SQL.  Pairs whose members
+    straddle clusters are missed by construction — that is SemDeDup's
+    documented recall trade, not an implementation gap.
+    """
+    dists_udf = centroid_dists_udf(centroids)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"),
+        dists_udf(F.col(vec_col).cast("array<double>")).alias("_cd"),
+    ).select(
+        id_col, "_v",
+        F.array_position("_cd", F.array_min("_cd")).alias("centroid_id"),
+    )
+    if max_cluster is not None:
+        wc = Window.partitionBy("centroid_id")
+        assigned = (
+            assigned.withColumn("_csz", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_csz") <= max_cluster)
+            .drop("_csz")
+        )
+    a = assigned.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = assigned.select(F.col("centroid_id"),
+                        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("centroid_id", "id_a", "id_b",
+                _cosine6_udf()(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = None) -> DataFrame:
+    """Keep-one-per-semantic-group: connected components over
+    :func:`semantic_dedup_pairs` (via dedup.pairs_to_groups), drop every
+    row whose id is not its group's representative (min id)."""
+    from .dedup import pairs_to_groups
+
+    pairs = semantic_dedup_pairs(df, centroids, threshold, id_col, vec_col,
+                                 max_cluster)
+    groups = pairs_to_groups(pairs.select("id_a", "id_b"))
+    losers = groups.filter(F.col("node") != F.col("group")).select(
+        F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -889,3 +889,50 @@ def test_hadoop_input_format_sources(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported InputFormat"):
         HadoopSources.input_format("com.example.WeirdInputFormat", "/x")
+
+
+def test_semantic_dedup_matches_within_cluster_brute_force(spark, sf_dir):
+    """SemDeDup pairs == brute-force all-pairs restricted to same-cluster
+    membership (the documented recall trade), and semantic_dedup keeps
+    exactly one representative (min id) per connected near-dup group."""
+    import numpy as np
+    from hazelcast_jet_spark.operators import similarity
+    from hazelcast_jet_spark.session import load_table
+    import __spark_entry__ as em
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cents = em._ivf_centroids()
+    pairs = similarity.semantic_dedup_pairs(e, cents, 0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+
+    rows = e.select("vec_id", "embedding").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    C = np.array(cents, dtype=np.float64)
+    d = 1.0 - (V @ C.T) / np.outer(
+        np.sqrt((V * V).sum(1)), np.sqrt((C * C).sum(1)))
+    assign = np.round(d, 9).argmin(axis=1)
+    cos = (V @ V.T) / np.outer(np.sqrt((V * V).sum(1)), np.sqrt((V * V).sum(1)))
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and assign[i] == assign[j] \
+                    and round(cos[i, j], 6) >= 0.4:
+                want.add((ids[i], ids[j]))
+    assert got == want
+
+    kept = similarity.semantic_dedup(e, cents, 0.4)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # union-find over `want` → survivors are group minima
+    parent = {i: i for i in set(ids)}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in want:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    survivors = {i for i in ids if find(i) == i}
+    assert kept_ids == survivors

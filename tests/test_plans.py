@@ -248,3 +248,57 @@ def test_unigram_lm_broadcasts_vocab(spark, sf_dir):
     plan = _plan(entry_mod.unigram_lm_quality(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_positions_broadcast(spark, sf_dir):
+    """Every Bloom bit-position probe must be a BROADCAST semi join (the
+    ≤m-longs summary travels, never the big side), and the plan must
+    contain no sort-merge join: the final exact semi join on the pruned
+    survivors broadcasts too at this scale."""
+    plan = _plan(entry_mod.bloom_semi_join_orders(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 4  # 3 position probes + exact join
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_quota_sample_single_exchange_after_prefilter(spark, sf_dir):
+    """quota_per_key: exactly one hash exchange on the quota key feeds
+    the ranking window (the gate query's presentation orderBy adds one
+    range exchange); the map-side pandas prefilter sits below it."""
+    body = entry_mod.source_quota_sample(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in body
+
+
+def test_split_by_key_is_map_only(spark, sf_dir):
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(split_by_key(d, "doc_id", {"train": 0.8, "test": 0.2}))
+    assert "Exchange" not in plan  # the split label is a pure projection
+
+
+def test_event_features_single_window_exchange(spark, sf_dir):
+    """One hash exchange on user_id serves seq + lag + gap + all three
+    rolling frames (Catalyst collapses same-spec windows)."""
+    from hazelcast_jet_spark.operators.timeseries import event_features
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    body = event_features(e)._jdf.queryExecution().executedPlan().toString()
+    assert body.count("Exchange hashpartitioning") == 1
+
+
+def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
+    """SemDeDup: the only exchange is the within-cluster self-join on
+    centroid_id — assignment itself (Arrow matmul) adds no shuffle."""
+    from hazelcast_jet_spark.operators import similarity
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        e, entry_mod._ivf_centroids(), 0.4)
+    body = _plan(pairs).split("== Physical Plan ==")[-1]
+    assert body.count("Exchange hashpartitioning") <= 2  # the two join sides

@@ -109,3 +109,73 @@ def test_deterministic_shuffle_no_global_sort(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan.lower()   # no global sort barrier
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# quota_per_key (per-domain caps) + split_by_key (train/val/test)
+# ---------------------------------------------------------------------------
+
+def test_quota_per_key_cap_and_determinism(spark, docs):
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    out = quota_per_key(docs, "stratum", 7, "doc_id", seed="q")
+    sizes = {r["stratum"]: r["n"] for r in
+             out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in sizes.values()) and len(sizes) == 4
+    # re-run picks the identical membership (pure function of seed+key)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  quota_per_key(docs, "stratum", 7, "doc_id", seed="q").collect())
+    assert ids1 == ids2
+
+
+def test_quota_prefilter_is_lossless(spark, docs):
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    fast = quota_per_key(docs, "stratum", 5, "doc_id", seed="z",
+                         local_prefilter=True)
+    exact = quota_per_key(docs, "stratum", 5, "doc_id", seed="z",
+                          local_prefilter=False)
+    assert (sorted(map(tuple, fast.collect()))
+            == sorted(map(tuple, exact.collect())))
+
+
+def test_quota_smaller_groups_pass_through(spark):
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("src"))
+    assert quota_per_key(df, "src", 100, "doc_id").count() == 10
+
+
+def test_split_by_key_partitions_everything(spark, docs):
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+
+    out = split_by_key(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULL split
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_by_key_group_safe_and_stable(spark):
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+
+    # rows sharing a key must land in the SAME split (leakage safety)
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 100).alias("host"), F.col("id").alias("row_id"))
+    out = split_by_key(df, "host", {"train": 0.5, "test": 0.5})
+    per_key = out.groupBy("host").agg(
+        F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_key)
+
+
+def test_split_by_key_partial_fractions_hold_out(spark, docs):
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+
+    out = split_by_key(docs, "doc_id", {"train": 0.2})
+    n_null = out.filter(F.col("split").isNull()).count()
+    assert n_null > 1000  # ~80% held out entirely
+    with pytest.raises(ValueError):
+        split_by_key(docs, "doc_id", {"a": 0.9, "b": 0.2})

@@ -2264,6 +2264,29 @@ def event_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "seq")
 
 
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (dedup.minhash_index_build/probe): even-id
+    docs are 'yesterday's corpus', persisted as a (buckets, shingles)
+    parquet index; odd-id docs are the NEW batch, deduped against the
+    index with zero recompute of the existing corpus — the daily-ingest
+    shape.  The oracle recomputes both sides from scratch and restricts
+    pairs to even×odd; equality proves the persisted index loses
+    nothing."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_index_{tag}")
+    dedup.minhash_index_build(
+        d.filter(F.col("doc_id") % 2 == 0), path,
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, k=SHINGLE_K)
+    out = dedup.minhash_index_probe(
+        spark, path, d.filter(F.col("doc_id") % 2 == 1),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, k=SHINGLE_K,
+        threshold=LSH_THRESHOLD)
+    return out.orderBy("index_id", "new_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2314,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": bloom_semi_join_orders,
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
+        "incremental_minhash_dedup": incremental_minhash_dedup,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2333,8 +2357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
-        "cep_stream_match": cep_stream_match,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "cep_stream_match": cep_stream_match,
         # ===== at least one green driver row across r1-r3 (entries down ======
         # ===== through tpch_q22 — rotated just out this round to make room ===
         # ===== for the 15 newest r4 queries — carry a single r3 green row; ===
@@ -4057,6 +4081,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, gram AS top_gram, n AS top_count,
                    n * 2 / wc AS coverage
             FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
+        "incremental_minhash_dedup": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1})) AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS index_id, r.id AS new_id,
+                       l.sh AS sh_i, r.sh AS sh_n
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                WHERE l.id % 2 = 0 AND r.id % 2 = 1
+            )
+            SELECT index_id, new_id,
+                   round(len(list_intersect(sh_i, sh_n))
+                         / CAST(len(list_distinct(list_concat(sh_i, sh_n))) AS DOUBLE), 6)
+                       AS jaccard_sim
+            FROM cands
+            WHERE round(len(list_intersect(sh_i, sh_n))
+                        / CAST(len(list_distinct(list_concat(sh_i, sh_n))) AS DOUBLE), 6)
+                  >= {LSH_THRESHOLD}
+            ORDER BY index_id, new_id
         """,
         "source_quota_sample": f"""
             SELECT source, doc_id FROM (

@@ -19,7 +19,7 @@ small records; skewed buckets (boilerplate docs) are AQE-split.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.operators.text import normalize_text
@@ -96,11 +96,24 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def _minhash_fn(seed: int):
+    """Single-parameter element lambda for F.transform, seed captured by
+    closure.  NEVER write ``lambda s, j=j: ...`` here: a two-parameter
+    lambda makes transform() pass the ELEMENT INDEX as the second
+    argument, silently clobbering the seed default — the signature would
+    still be a valid (internally consistent) MinHash family, but an
+    UNDOCUMENTED one that differs per expression instantiation, which
+    breaks cross-run signature stability (persisted index probes) and
+    silently diverges from the md5('s{j}:'||shingle) family the oracles
+    and the docs promise."""
+    return lambda s: _h(seed, s)
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature: per seed j, min over shingles of h_j(shingle).
     An array<string> of length num_hashes."""
     sh = shingles(col, k)
-    return F.array(*[F.array_min(F.transform(sh, lambda s, j=j: _h(j, s))) for j in range(num_hashes)])
+    return F.array(*[F.array_min(F.transform(sh, _minhash_fn(j))) for j in range(num_hashes)])
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -147,7 +160,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     sigs = base.select(
         "id",
         F.array(*[
-            F.array_min(F.transform(F.col("sh"), lambda s, j=j: _h(j, s)))
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
             for j in range(num_hashes)
         ]).alias("sig"),
     )
@@ -659,3 +672,221 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("group"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash+LSH: dedup a NEW batch against a persisted index
+# ---------------------------------------------------------------------------
+
+def minhash_index_build(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 16,
+                        bands: int = 8, k: int = 3,
+                        mode: str = "overwrite",
+                        epoch: int | None = None) -> None:
+    """Materialize the LSH dedup index for incremental use — the
+    production shape where the corpus grows daily and each new batch
+    dedups against everything already ingested WITHOUT re-shingling or
+    re-hashing the existing corpus.
+
+    Two co-located parquet tables under ``path``:
+
+    - ``buckets/``  (id, band, bucket) partitioned BY band — the
+      candidate-join side.  A probe joins on (band, bucket) equi-keys;
+      partitioning by band lets each band's probe prune to 1/bands of
+      the index scan.
+    - ``shingles/`` (id, sh) — the exact-verify side, touched only for
+      the (few) candidate ids via an equi-join.
+
+    ``mode="append"`` is the daily increment: one map-only
+    signature/shingle pass over just the new docs, two appends, no
+    rewrite of existing index files.  (Compact small appended files
+    periodically with any parquet compactor; the layout is plain
+    parquet on purpose — no bespoke format to migrate.)
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(text_col, k).alias("sh")).persist()
+    sigs = base.select(
+        "id",
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"),
+    )
+    bucketed = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r]
+                                         for r in range(rows_per_band)])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    # With ``epoch`` set, writes land under epoch=<n> subdirectories —
+    # the layout minhash_index_streaming_ingest uses (idempotent replays,
+    # partition discovery exposes `epoch` as an ignorable column).  Seed a
+    # stream-managed index with epoch=-1; do NOT mix the flat layout and
+    # the epoch layout under one path (parquet partition discovery
+    # rejects mixed trees).
+    bsuffix = f"/epoch={epoch}" if epoch is not None else ""
+    bucketed_writer = bucketed.write.mode(mode)
+    if epoch is None:
+        bucketed_writer = bucketed_writer.partitionBy("band")
+    bucketed_writer.parquet(f"{path}/buckets{bsuffix}")
+    base.write.mode(mode).parquet(f"{path}/shingles{bsuffix}")
+    base.unpersist()
+
+
+def minhash_index_probe(spark, path: str, new_docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 8, k: int = 3,
+                        threshold: float = 0.8,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted index
+    (:func:`minhash_index_build`) — returns
+    ``(index_id, new_id, jaccard_sim)``.
+
+    Cost model at corpus scale: the new batch (small) is shingled and
+    hashed map-only; the candidate join touches only index bucket rows
+    whose (band, bucket) keys the new batch actually produces — with
+    AQE the probe side builds a broadcast/hash side from the batch, so
+    the index's billions of bucket rows are filtered, never fully joined;
+    the exact verify reads only candidate ids from the shingle store.
+    Yesterday's corpus pays ZERO recompute.  ``max_bucket`` drops
+    over-popular buckets (boilerplate) on the INDEX side, same contract
+    as minhash_lsh_pairs' production knob.
+
+    After accepting the batch, call :func:`minhash_index_build` with
+    ``mode="append"`` on the same docs to fold them into the index.
+    """
+    idx_buckets = spark.read.parquet(f"{path}/buckets")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket")
+        idx_buckets = (
+            idx_buckets.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n") <= max_bucket).drop("_n")
+        )
+    idx_shingles = spark.read.parquet(f"{path}/shingles")
+
+    rows_per_band = num_hashes // bands
+    nb = new_docs.select(F.col(id_col).alias("id"),
+                         shingles(text_col, k).alias("sh")).persist()
+    _register_cache(nb)
+    new_sigs = nb.select(
+        "id",
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"),
+    )
+    new_buckets = new_sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col("sig")[b * rows_per_band + r]
+                                         for r in range(rows_per_band)])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    cands = (
+        idx_buckets.alias("l")
+        .join(new_buckets.alias("r"),
+              (F.col("l.band") == F.col("r.band"))
+              & (F.col("l.bucket") == F.col("r.bucket")))
+        .select(F.col("l.id").alias("index_id"), F.col("r.id").alias("new_id"))
+        .dropDuplicates(["index_id", "new_id"])
+    )
+    sh_i = idx_shingles.select(F.col("id").alias("index_id"),
+                               F.col("sh").alias("sh_i"))
+    sh_n = nb.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_n"))
+    return (
+        cands.join(sh_i, "index_id").join(sh_n, "new_id")
+        .select("index_id", "new_id",
+                F.round(jaccard(F.col("sh_i"), F.col("sh_n")), 6).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def minhash_index_streaming_ingest(stream_docs: DataFrame, index_path: str,
+                                   pairs_path: str, checkpoint: str,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   num_hashes: int = 16, bands: int = 8,
+                                   k: int = 3, threshold: float = 0.8,
+                                   max_bucket: int | None = None):
+    """Continuous incremental dedup: a STREAM of new documents probes the
+    persisted LSH index per micro-batch, emits cross near-dup pairs, and
+    folds the batch into the index — the streaming form of the daily-
+    ingest shape (new docs also dedup against earlier micro-batches).
+
+    Exactly-once on plain parquet, without transactions: every write
+    inside the foreachBatch lands under an ``epoch=<batch_id>``
+    directory with mode=overwrite, so a REPLAYED batch (crash between
+    sink commit and checkpoint commit) simply rewrites the same
+    directories with identical deterministic content — idempotent, the
+    same discipline as the engine's other epoch-keyed sinks.  Readers
+    see ``epoch`` as a partition column and ignore it.
+
+    Batch-vs-stream parity note: pairs are emitted against the index
+    state BEFORE the batch (plus the batch's own internal pairs via the
+    self-probe of its appended buckets in later batches) — identical to
+    running build/probe per arriving chunk by hand, which is what the
+    contract test pins.
+    """
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            import os as _os
+            # the batch's INTERNAL pairs (new-vs-new) ...
+            pairs = minhash_lsh_pairs(
+                batch_df, text_col, id_col, num_hashes, bands, k,
+                threshold).selectExpr("id_a AS index_id", "id_b AS new_id",
+                                      "jaccard_sim")
+            # ... plus CROSS pairs against everything ingested before it,
+            # so the union over all epochs equals one LSH pass over the
+            # whole corpus (every pair is within-batch or cross-batch)
+            if _os.path.isdir(f"{index_path}/buckets"):
+                pairs = pairs.unionByName(minhash_index_probe(
+                    spark, index_path, batch_df, text_col, id_col,
+                    num_hashes, bands, k, threshold, max_bucket))
+            (pairs.write.mode("overwrite")
+             .parquet(f"{pairs_path}/epoch={batch_id}"))
+            # fold the batch into the index, epoch-keyed for idempotence
+            rows_per_band = num_hashes // bands
+            base = batch_df.select(
+                F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+            sigs = base.select(
+                "id",
+                F.array(*[
+                    F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+                    for j in range(num_hashes)
+                ]).alias("sig"))
+            bucketed = sigs.select(
+                "id",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r]
+                                   for r in range(rows_per_band)])).alias("bucket"),
+                    ) for b in range(bands)
+                ])).alias("bb"),
+            ).select("id", "bb.band", "bb.bucket")
+            for sub, frame in (("buckets", bucketed), ("shingles", base)):
+                (frame.write.mode("overwrite")
+                 .parquet(f"{index_path}/{sub}/epoch={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

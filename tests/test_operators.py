@@ -936,3 +936,84 @@ def test_semantic_dedup_matches_within_cluster_brute_force(spark, sf_dir):
             parent[max(ra, rb)] = min(ra, rb)
     survivors = {i for i in ids if find(i) == i}
     assert kept_ids == survivors
+
+
+def test_minhash_signature_is_the_documented_md5_family(spark):
+    """Regression for the two-parameter-lambda trap: `lambda s, j=j:`
+    inside F.transform makes Spark pass the ELEMENT INDEX as j, silently
+    replacing the documented md5('s{j}:'||shingle) family with an
+    instantiation-dependent one (green against true-jaccard-verified
+    oracles by luck, but unstable across expression instantiations —
+    fatal for persisted signature indexes).  Pin the signature
+    bit-for-bit against hashlib."""
+    import hashlib
+    from hazelcast_jet_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([("x", "the quick brown fox jumps over the lazy dog")],
+                               "doc_id string, text string")
+    got = df.select(minhash_signature("text", num_hashes=4, k=3).alias("sig")) \
+        .first()["sig"]
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    sh = list(dict.fromkeys(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)))
+    want = [min(hashlib.md5(f"s{j}:{s}".encode()).hexdigest() for s in sh)
+            for j in range(4)]
+    assert got == want
+
+
+def test_minhash_signature_stable_across_instantiations(spark):
+    from hazelcast_jet_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([("x", "alpha beta gamma delta epsilon zeta")],
+                               "doc_id string, text string")
+    a = df.select(minhash_signature("text", 8, 3).alias("s")).first()["s"]
+    b = df.select(minhash_signature("text", 8, 3).alias("s")).first()["s"]
+    assert a == b
+
+
+def test_minhash_index_probe_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Index built once + probe of a new batch == recomputing LSH pairs
+    from scratch restricted to (index, new) cross pairs."""
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx_docs = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lsh_index")
+    dedup.minhash_index_build(idx_docs, path, num_hashes=8, bands=4, k=3)
+    got = sorted(
+        (r["index_id"], r["new_id"], r["jaccard_sim"])
+        for r in dedup.minhash_index_probe(
+            spark, path, new_docs, num_hashes=8, bands=4, k=3,
+            threshold=0.5).collect())
+    full = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4, k=3, threshold=0.5)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard_sim"]) if r["id_a"] % 2 == 0
+        else (r["id_b"], r["id_a"], r["jaccard_sim"])
+        for r in full.collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2))
+    assert got == want
+
+
+def test_minhash_index_append_increments(spark, sf_dir, tmp_path):
+    """Daily-ingest shape: append-mode index growth must equal a
+    build-once index over the union."""
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    day1 = d.filter(F.col("doc_id") % 3 == 0)
+    day2 = d.filter(F.col("doc_id") % 3 == 1)
+    probe = d.filter(F.col("doc_id") % 3 == 2)
+    inc = str(tmp_path / "inc")
+    dedup.minhash_index_build(day1, inc, num_hashes=8, bands=4, k=3)
+    dedup.minhash_index_build(day2, inc, num_hashes=8, bands=4, k=3,
+                              mode="append")
+    once = str(tmp_path / "once")
+    dedup.minhash_index_build(d.filter(F.col("doc_id") % 3 != 2), once,
+                              num_hashes=8, bands=4, k=3)
+    r_inc = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, inc, probe, num_hashes=8, bands=4, k=3, threshold=0.5).collect()))
+    r_once = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, once, probe, num_hashes=8, bands=4, k=3, threshold=0.5).collect()))
+    assert r_inc == r_once and len(r_inc) > 0

@@ -582,3 +582,59 @@ def test_rocksdb_state_store(spark, sf_dir):
         assert any(k.startswith("rocksdb") for k in metrics), metrics
     finally:
         use_rocksdb_state(spark, enabled=False)
+
+
+def test_minhash_index_streaming_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming incremental dedup: docs arrive over two micro-batches;
+    the union of per-epoch pair outputs must equal ONE batch LSH pass
+    over the whole corpus (within-batch pairs from the self pass,
+    cross-batch pairs from the index probe), and the epoch-keyed index
+    left behind must serve later probes exactly like a build-once index."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    landing = str(tmp_path / "landing")
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        landing + "/f0")
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        landing + "/f1")
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+    )
+    idx = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    q = dedup.minhash_index_streaming_ingest(
+        stream, idx, pairs_dir, str(tmp_path / "ckpt"),
+        num_hashes=8, bands=4, k=3, threshold=0.5)
+    q.awaitTermination(120)
+
+    got = {
+        (min(r["index_id"], r["new_id"]), max(r["index_id"], r["new_id"]),
+         r["jaccard_sim"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard_sim"])
+        for r in dedup.minhash_lsh_pairs(
+            d, num_hashes=8, bands=4, k=3, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # the stream-built index serves later probes like a build-once index
+    probe_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= 400)
+    once = str(tmp_path / "once")
+    dedup.minhash_index_build(d, once, num_hashes=8, bands=4, k=3)
+    r_stream = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, idx, probe_docs, num_hashes=8, bands=4, k=3,
+        threshold=0.5).collect()))
+    r_once = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, once, probe_docs, num_hashes=8, bands=4, k=3,
+        threshold=0.5).collect()))
+    assert r_stream == r_once

@@ -2287,6 +2287,22 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("index_id", "new_id")
 
 
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (operators/profile.profile_table): rows /
+    nulls / exact distinct / extrema for every profiled column in a
+    SINGLE aggregate over one scan (partials combine map-side; only
+    per-column scalars reach the reduce).  The gate runs exact distinct
+    so the oracle agrees; approx (HLL++, no Expand) is the documented
+    100 TB default."""
+    from hazelcast_jet_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d, PROFILE_COLS, exact_distinct=True).orderBy("col_name")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2338,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
         "incremental_minhash_dedup": incremental_minhash_dedup,
+        "table_profile": table_profile,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2356,8 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         # ===== at least one green driver row across r1-r3 (entries down ======
         # ===== through tpch_q22 — rotated just out this round to make room ===
@@ -4107,6 +4124,31 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(len(list_distinct(list_concat(sh_i, sh_n))) AS DOUBLE), 6)
                   >= {LSH_THRESHOLD}
             ORDER BY index_id, new_id
+        """,
+        "table_profile": """
+            SELECT * FROM (
+                SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                       count(*) - count(doc_id) AS n_nulls,
+                       count(DISTINCT doc_id) AS n_distinct,
+                       CAST(min(doc_id) AS VARCHAR) AS min_value,
+                       CAST(max(doc_id) AS VARCHAR) AS max_value
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*), count(*) - count(lang),
+                       count(DISTINCT lang),
+                       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'source', count(*), count(*) - count(source),
+                       count(DISTINCT source),
+                       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                       count(DISTINCT n_chars),
+                       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+                FROM documents
+            ) ORDER BY col_name
         """,
         "source_quota_sample": f"""
             SELECT source, doc_id FROM (

@@ -1,0 +1,62 @@
+"""One-pass table profiling — the data-quality step of a pipeline
+(null/distinct/extrema per column before training or after ingest).
+No reference analog: Jet users express this as a fan-out of aggregate
+stages (AggregateOperations allOf — AggregateOperations.java:1337);
+Spark expresses it as ONE aggregate over every column's metrics, so the
+whole profile costs a single scan + a single partial-agg reduce.
+
+Scale notes
+-----------
+- Everything is a global aggregate: partials combine map-side, only
+  per-column scalars reach the final reduce — no per-row shuffle at any
+  input size.
+- ``exact_distinct=True`` uses count(DISTINCT col) per column: Spark
+  plans multi-distinct aggregates via Expand (one duplicated row per
+  distinct-column) — exact but O(n_cols) row amplification map-side.
+  At 100 TB use the default approx (HyperLogLog++, mergeable, one pass,
+  no Expand); the gate query runs the exact path because the oracle
+  must agree bit-for-bit.
+- min/max surface as strings so one long-format frame covers every
+  column type; numeric columns keep their native comparison order
+  BEFORE the cast (the cast is on the aggregated scalar only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_distinct: bool = False) -> DataFrame:
+    """Profile ``columns`` (default: all) in one aggregate pass.
+
+    Returns one row per column:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``
+    with extrema cast to string (NULL when the column is all-NULL).
+    """
+    cols = columns or df.columns
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}!rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{c}!nulls"),
+            distinct_fn(col).alias(f"{c}!distinct"),
+            F.min(col).cast("string").alias(f"{c}!min"),
+            F.max(col).cast("string").alias(f"{c}!max"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"`{c}!rows`").alias("n_rows"),
+            F.col(f"`{c}!nulls`").alias("n_nulls"),
+            F.col(f"`{c}!distinct`").alias("n_distinct"),
+            F.col(f"`{c}!min`").alias("min_value"),
+            F.col(f"`{c}!max`").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

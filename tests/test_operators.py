@@ -1017,3 +1017,36 @@ def test_minhash_index_append_increments(spark, sf_dir, tmp_path):
     r_once = sorted(map(tuple, dedup.minhash_index_probe(
         spark, once, probe, num_hashes=8, bands=4, k=3, threshold=0.5).collect()))
     assert r_inc == r_once and len(r_inc) > 0
+
+
+def test_profile_table_metrics(spark):
+    from hazelcast_jet_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, None, 2.5), (4, "b", 2.5)],
+        "id long, s string, v double")
+    got = {r["col_name"]: r for r in
+           profile_table(df, exact_distinct=True).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "4"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    # approx path: same shape, HLL++ estimate exact at tiny cardinality
+    approx = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert approx["s"]["n_distinct"] == 2
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """The whole profile is one aggregate over one scan: no join, no
+    window, and (in approx mode) no Expand either."""
+    from hazelcast_jet_spark.operators.profile import profile_table
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = profile_table(d, ["doc_id", "lang"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Expand" not in plan

@@ -2303,6 +2303,20 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(d, PROFILE_COLS, exact_distinct=True).orderBy("col_name")
 
 
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/profile.histogram): map-only IEEE
+    binning + one groupBy carrying ≤ bins partials per task — the
+    distribution-stats primitive.  Bin edges are plain double
+    arithmetic so both engines compute identical ids and edges."""
+    from hazelcast_jet_spark.operators.profile import histogram
+
+    e = _t(spark, sf_dir, "events")
+    return histogram(e, "value", HIST_LO, HIST_HI, HIST_BINS).orderBy("bin")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2355,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_features": event_time_features,
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "table_profile": table_profile,
+        "value_histogram": value_histogram,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2372,8 +2387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
-        "nexmark_q8_stream_join": nexmark_q8_stream_join,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         # ===== at least one green driver row across r1-r3 (entries down ======
@@ -4149,6 +4164,23 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
                 FROM documents
             ) ORDER BY col_name
+        """,
+        "value_histogram": f"""
+            SELECT bin,
+                   CAST({HIST_LO} AS DOUBLE)
+                       + bin * CAST({(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE) AS bin_lo,
+                   CAST({HIST_LO} AS DOUBLE)
+                       + (bin + 1) * CAST({(HIST_HI - HIST_LO) / HIST_BINS} AS DOUBLE) AS bin_hi,
+                   n
+            FROM (
+                SELECT CAST(least(floor((CAST(value AS DOUBLE) - {HIST_LO})
+                                        / {(HIST_HI - HIST_LO) / HIST_BINS}),
+                                  {HIST_BINS - 1}) AS INT) AS bin,
+                       count(*) AS n
+                FROM events
+                WHERE value IS NOT NULL AND value >= {HIST_LO} AND value <= {HIST_HI}
+                GROUP BY 1
+            ) ORDER BY bin
         """,
         "source_quota_sample": f"""
             SELECT source, doc_id FROM (

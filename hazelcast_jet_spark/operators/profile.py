@@ -60,3 +60,36 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         for c in cols
     ])
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              bins: int) -> DataFrame:
+    """Equi-width histogram over a FIXED range [lo, hi] — one map-only
+    binning expression + one groupBy on the bin id (the only shuffle,
+    carrying ≤ ``bins`` partial rows per map task).
+
+    The range is a parameter, not a scan: a data-derived range would
+    need a second pass (or profile_table's extrema).  Rows outside
+    [lo, hi] are dropped; v == hi lands in the last bin.  Binning is
+    plain IEEE double arithmetic (sub/div/floor) so any engine computes
+    identical bin ids — no rand, no engine-specific width_bucket.
+
+    Returns ``(bin, bin_lo, bin_hi, n)`` for non-empty bins.
+    """
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    w = (hi - lo) / bins
+    v = F.col(col).cast("double")
+    b = F.least(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull() & (v >= lo) & (v <= hi))
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            "n",
+        )
+    )

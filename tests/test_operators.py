@@ -1050,3 +1050,23 @@ def test_profile_table_single_scan(spark, sf_dir):
         .executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Expand" not in plan
+
+
+def test_histogram_semantics(spark):
+    from hazelcast_jet_spark.operators.profile import histogram
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(x,) for x in [-1.0, 0.0, 0.5, 9.99, 10.0, 25.0, 100.0, 101.0, None]],
+        "v double")
+    got = {r["bin"]: (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -1 and 101 dropped, None dropped; 0.0/0.5/9.99 -> bin0; 10.0 -> bin1;
+    # 25.0 -> bin2; 100.0 (== hi) clamps into the LAST bin
+    assert got[0] == (0.0, 10.0, 3)
+    assert got[1] == (10.0, 20.0, 1)
+    assert got[2] == (20.0, 30.0, 1)
+    assert got[9] == (90.0, 100.0, 1)
+    assert sum(n for _, _, n in got.values()) == 6
+    with _pytest.raises(ValueError):
+        histogram(df, "v", 5.0, 5.0, 10)

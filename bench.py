@@ -90,9 +90,13 @@ def _stream_window_probe(spark, seconds: float = 15.0) -> float:
     from pyspark.sql import functions as F
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # fixed-size batches (rate-micro-batch): an open-throttle rate source
+    # lets the first batch accumulate an unbounded backlog on a slow or
+    # contended host and the probe can time out at 0.0; a fixed batch
+    # measures rows/batchDuration at any host speed (peak-batch kept)
     df = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 50_000_000)
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50_000_000)
         .option("numPartitions", cpus)
         .load()
         .withColumn("key", F.col("value") % 10_000)
@@ -101,7 +105,7 @@ def _stream_window_probe(spark, seconds: float = 15.0) -> float:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
     )
     q = df.writeStream.format("noop").outputMode("update").start()
-    deadline = time.time() + max(seconds * 3, 40.0)
+    deadline = time.time() + max(seconds * 3, 60.0)
     time.sleep(seconds)
     while len(q.recentProgress) < 3 and time.time() < deadline:
         time.sleep(1.0)  # wait out stragglers: need steady-state batches
@@ -131,8 +135,8 @@ def _stream_map_probe(spark, seconds: float = 12.0) -> float:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     df = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 200_000_000)
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 200_000_000)
         .option("numPartitions", cpus)
         .load()
         .filter(F.col("value") % 10 < 8)                      # Q2: filter
@@ -143,7 +147,7 @@ def _stream_map_probe(spark, seconds: float = 12.0) -> float:
         )
     )
     q = df.writeStream.format("noop").outputMode("append").start()
-    deadline = time.time() + max(seconds * 3, 30.0)
+    deadline = time.time() + max(seconds * 3, 60.0)
     time.sleep(seconds)
     while len(q.recentProgress) < 3 and time.time() < deadline:
         time.sleep(1.0)
@@ -170,9 +174,15 @@ def _stream_q5_probe(spark, seconds: float = 12.0) -> float:
     from pyspark.sql import functions as F
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # rate-micro-batch (fixed rows per batch) instead of the open-throttle
+    # rate source: with an unbounded offered rate a slow/contended host
+    # lets the FIRST batch accumulate an arbitrarily large backlog, the
+    # query never completes 3 batches inside the deadline, and the probe
+    # reports 0.0 instead of the engine's real throughput.  A fixed batch
+    # size measures rows/batchDuration no matter how fast the host is.
     agg = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 50_000_000)
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50_000_000)
         .option("numPartitions", cpus)
         .load()
         .withColumn("key", F.col("value") % 10_000)
@@ -188,16 +198,16 @@ def _stream_q5_probe(spark, seconds: float = 12.0) -> float:
             .write.format("noop").mode("overwrite").save())
 
     q = agg.writeStream.outputMode("update").foreachBatch(rank_batch).start()
-    deadline = time.time() + max(seconds * 3, 45.0)
+    deadline = time.time() + max(seconds * 3, 60.0)
     time.sleep(seconds)
     while len(q.recentProgress) < 3 and time.time() < deadline:
         time.sleep(1.0)
     prog = list(q.recentProgress)
     if len(prog) > 1:
-        prog = prog[1:]
+        prog = prog[1:]  # drop the codegen-warmup batch when we can
     rates = [
         p["numInputRows"] / (p["batchDuration"] / 1000.0)
-        for p in prog if p["batchDuration"] > 0
+        for p in prog if p["batchDuration"] > 0 and p["numInputRows"] > 0
     ]
     q.stop()
     return round(max(rates), 1) if rates else 0.0

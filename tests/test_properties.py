@@ -306,3 +306,50 @@ def test_gopher_flags_match_python_model(spark, texts):
         assert q["ok_stopwords"] == (sw_hits >= 1), (t, sw_hits)
         assert q["pass"] == all([q["ok_words"], q["ok_mean_word_len"],
                                  q["ok_symbol_ratio"], q["ok_stopwords"]])
+
+
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    n=st.integers(1, 5),
+)
+@SLOW
+def test_quota_per_key_matches_python_model(spark, keys, n):
+    """quota_per_key == an independent Python model ranking by
+    md5(seed||id) with id tiebreak, for ANY key multiset and cap."""
+    import hashlib
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    rows = [(i, f"g{k % 5}") for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = sorted(r["doc_id"] for r in
+                 quota_per_key(df, "grp", n, "doc_id", seed="pp").collect())
+    by_grp: dict[str, list] = {}
+    for i, g in rows:
+        h = hashlib.md5(f"pp{i}".encode()).hexdigest()
+        by_grp.setdefault(g, []).append((h, i))
+    want = sorted(i for g, members in by_grp.items()
+                  for _, i in sorted(members)[:n])
+    assert got == want
+
+
+@given(keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=100))
+@SLOW
+def test_split_by_key_matches_python_model(spark, keys):
+    """split_by_key == the cumulative md5-prefix band model."""
+    import hashlib
+    from hazelcast_jet_spark.operators.sampling import split_by_key
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    got = {r["k"]: r["split"] for r in
+           split_by_key(df, "k", {"a": 0.5, "b": 0.25, "c": 0.25},
+                        seed="sp").collect()}
+    space = 16 ** 6
+    for k in set(keys):
+        p = int(hashlib.md5(f"sp{k}".encode()).hexdigest()[:6], 16)
+        if p < int(0.5 * space):
+            want = "a"
+        elif p < int(0.75 * space):
+            want = "b"
+        else:
+            want = "c"
+        assert got[k] == want, (k, p, got[k], want)

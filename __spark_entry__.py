@@ -2317,6 +2317,28 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(e, "value", HIST_LO, HIST_HI, HIST_BINS).orderBy("bin")
 
 
+def sliding_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sliding windows (operators/windows.sliding_agg — the
+    SlidingWindowP.java:393 deductFn cost-model analog): slide-grain
+    frame partials first, so the size/slide explode applies to |frames|
+    instead of |rows|.  2h window / 1h slide per event_type; DECIMAL-
+    exact sums; identical results to F.window (pinned in pytest — the
+    oracle here computes windows independently via per-event explode)."""
+    from hazelcast_jet_spark.operators.windows import sliding_agg
+
+    e = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    out = sliding_agg(
+        e, "ts", 7200, 3600, ["event_type"],
+        {"n_events": F.count(F.lit(1)), "s": F.sum(dec)},
+        {"n_events": F.sum("n_events"), "s": F.sum("s")},
+    )
+    return out.select(
+        "event_type", "window_start_epoch", "n_events",
+        F.col("s").cast("double").alias("sum_value"),
+    ).orderBy("event_type", "window_start_epoch")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2370,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "table_profile": table_profile,
         "value_histogram": value_histogram,
+        "sliding_agg_incremental": sliding_agg_incremental,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2386,8 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence_match": cep_sequence_match,
         "tfidf_top_terms": tfidf_top_terms,
         "stratified_sample_docs": stratified_sample_docs,
-        "reservoir_sample_events": reservoir_sample_events,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
@@ -4164,6 +4187,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
                 FROM documents
             ) ORDER BY col_name
+        """,
+        "sliding_agg_incremental": """
+            WITH e AS (
+                SELECT event_type, value,
+                       CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS frame
+                FROM events
+            ), x AS (
+                SELECT event_type, value, (frame + off - 1) * 3600 AS ws
+                FROM e, unnest(generate_series(0, 1)) AS t(off)
+            )
+            SELECT event_type, ws AS window_start_epoch,
+                   count(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM x GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "value_histogram": f"""
             SELECT bin,

@@ -64,4 +64,6 @@ dedup.minhash_index_build(accepted, index_path, num_hashes=8, bands=4, k=3,
                           mode="append")
 n_idx = spark.read.parquet(f"{index_path}/shingles").count()
 print(f"index now covers {n_idx} docs")
-spark.stop()
+# NOTE: no spark.stop() — examples run in-process in tests/test_examples.py
+# against a shared session (get_spark → getOrCreate), like the rest of the
+# suite; stopping here would kill every later test's session.

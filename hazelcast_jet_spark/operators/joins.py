@@ -56,7 +56,8 @@ def top_n_rows(df: DataFrame, n: int, partition_by: list, order_by: list,
 def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
               value_cols: list[str] | None = None,
               right_time_col: str | None = None,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: int | float | None = None) -> DataFrame:
     """As-of join: each left row picks the RIGHT row with the greatest
     right-time ≤ its time (``direction="backward"``, the default) or the
     smallest right-time ≥ its time (``"forward"``), per key — the
@@ -76,6 +77,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     If several right rows share (key, time), the greatest value per
     column wins (made deterministic by a pre-aggregation) — disambiguate
     upstream if another rule is needed.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a match farther than
+    this from the left time yields NULLs instead — in SECONDS for
+    timestamp time columns, in the column's own units for numerics.
+    Same one-window plan; the matched right time rides along and a
+    map-only post-filter nulls the too-far matches.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -86,12 +93,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     r = right.groupBy(F.col(key), F.col(rtc).alias(time_col)).agg(
         *[F.max(c).alias(c) for c in value_cols]
     )
+    carry_cols = list(value_cols)
+    if tolerance is not None:
+        carry_cols.append("__t")
+        r = r.withColumn("__t", F.col(time_col))
+    rtypes = dict(r.dtypes)
     lt = left.withColumn("_side", F.lit(1)).withColumns(
-        {f"_r_{c}": F.lit(None).cast(dict(r.dtypes)[c]) for c in value_cols}
+        {f"_r_{c}": F.lit(None).cast(rtypes[c]) for c in carry_cols}
     )
     rt = r.select(
         F.col(key), F.col(time_col), F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
     )
     lt_cols = [c for c in lt.columns]
     unioned = rt.unionByName(lt.select(*lt_cols), allowMissingColumns=True)
@@ -110,10 +122,21 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
         F.col("_side"),
         *[
             F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
+            for c in carry_cols
         ],
     )
     out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        if rtypes["__t"].startswith("timestamp"):
+            gap = F.abs(
+                (F.col(time_col) - F.col("_rv___t")).cast("long"))
+        else:
+            gap = F.abs(F.col(time_col) - F.col("_rv___t"))
+        keep = F.col("_rv___t").isNotNull() & (gap <= F.lit(tolerance))
+        for c in value_cols:
+            out = out.withColumn(
+                f"_rv_{c}", F.when(keep, F.col(f"_rv_{c}")))
+        out = out.drop("_rv___t", "_r___t")
     for c in value_cols:
         # avoid colliding with a same-named left column (e.g. both sides
         # carrying "value"): the joined-in column gets an asof_ prefix

@@ -124,3 +124,107 @@ def test_bloom_tiny_m_still_exact(spark, sf_dir):
     got = bloom_semi_join(o, c, "o_custkey", "c_custkey", m=64).count()
     want = o.join(c, o.o_custkey == c.c_custkey, "left_semi").count()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Two-level sliding windows (operators/windows.sliding_agg)
+# ---------------------------------------------------------------------------
+
+def test_sliding_agg_equals_builtin_window(spark, sf_dir):
+    """The frame-partial formulation must produce exactly the rows
+    F.window(size, slide) produces — same windows, same counts, same
+    decimal-exact sums."""
+    from hazelcast_jet_spark.operators.windows import sliding_agg
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    got = {
+        (r["event_type"], r["window_start_epoch"]): (r["n"], r["s"])
+        for r in sliding_agg(
+            e, "ts", 7200, 3600, ["event_type"],
+            {"n": F.count(F.lit(1)), "s": F.sum(dec)},
+            {"n": F.sum("n"), "s": F.sum("s")},
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["ws"]): (r["n"], r["s"])
+        for r in (
+            e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s"))
+            .select(
+                "event_type", "n", "s",
+                F.expr("CAST(window.start - CAST('1970-01-01 00:00:00'"
+                       " AS TIMESTAMP_NTZ) AS BIGINT)").alias("ws"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_agg_explodes_frames_not_rows(spark, sf_dir):
+    """The cost-model claim, pinned: the partial aggregation sits BELOW
+    the explode (generate/explode consumes the frame-grouped partials,
+    never the raw scan) — so the size/slide factor applies to |frames|."""
+    from hazelcast_jet_spark.operators.windows import sliding_agg
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    plan = sliding_agg(
+        e, "ts", 7200, 3600, ["event_type"],
+        {"n": F.count(F.lit(1))}, {"n": F.sum("n")},
+    )._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate explode")
+    # some HashAggregate (the frame partial) must appear BELOW the explode
+    below = plan[gen:]
+    assert "HashAggregate" in below and "__frame" in below
+    with __import__("pytest").raises(ValueError):
+        sliding_agg(e, "ts", 7000, 3600, [], {}, {})
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """asof_join(tolerance=...) == pandas merge_asof(tolerance=...) for
+    both numeric and timestamp time columns, both directions."""
+    import numpy as np
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    rng = np.random.RandomState(7)
+    lrows = [(int(k), float(t)) for k in range(4)
+             for t in sorted(rng.randint(0, 400, size=15))]
+    rrows = [(int(k), float(t), float(k * 1000 + t)) for k in range(4)
+             for t in sorted(rng.choice(np.arange(0, 400), size=10,
+                                        replace=False))]
+    left = spark.createDataFrame(lrows, "k long, t double")
+    right = spark.createDataFrame(rrows, "k long, t double, rv double")
+
+    for direction in ("backward", "forward"):
+        got = asof_join(left, right, "k", "t", ["rv"],
+                        direction=direction, tolerance=25).toPandas()
+        lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+        rp = pd.DataFrame(rrows, columns=["k", "t", "rv"]).sort_values("t")
+        want = pd.merge_asof(lp, rp, on="t", by="k",
+                             direction=direction, tolerance=25)
+        g = got.sort_values(["k", "t"]).reset_index(drop=True)
+        w = want.sort_values(["k", "t"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(g["rv"], w["rv"], check_names=False,
+                                       obj=f"rv-{direction}")
+
+
+def test_asof_join_tolerance_timestamp_seconds(spark, ev):
+    """Timestamp time columns: tolerance is in seconds; matches farther
+    than the bound resolve to NULL, closer ones keep their value."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    left = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id",
+                                                        "ts")
+    right = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "ts",
+                                                         "value")
+    tol = asof_join(left, right, "user_id", "ts", ["value"],
+                    tolerance=120).collect()
+    free = {(r["event_id"]): r["value"]
+            for r in asof_join(left, right, "user_id", "ts",
+                               ["value"]).collect()}
+    # tolerance only ever REMOVES matches, never changes or adds one
+    for r in tol:
+        if r["value"] is not None:
+            assert free[r["event_id"]] == r["value"]
+    assert any(r["value"] is None for r in tol)  # the bound actually bites

@@ -2339,6 +2339,23 @@ def sliding_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "window_start_epoch")
 
 
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/profile.quality_checks): orphaned
+    foreign keys (one anti-join, broadcast-able key projection),
+    duplicate-key violations (one groupBy), and null counts (one
+    aggregate) — the pre-training sanity report as three bounded
+    scalars, never a row-by-row collect."""
+    from hazelcast_jet_spark.operators.profile import quality_checks
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return quality_checks(
+        o, c, "o_custkey", "c_custkey",
+        unique_cols=["o_orderkey"],
+        not_null_cols=["o_custkey", "o_totalprice"],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2393,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile,
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
+        "dq_checks_orders": dq_checks_orders,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2408,8 +2426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
         "tfidf_top_terms": tfidf_top_terms,
-        "stratified_sample_docs": stratified_sample_docs,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "tpch_q18_large_orders": tpch_q18_large_orders,
@@ -4187,6 +4205,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
                 FROM documents
             ) ORDER BY col_name
+        """,
+        "dq_checks_orders": """
+            SELECT
+                (SELECT count(*) FROM orders
+                 WHERE o_custkey IS NULL
+                    OR o_custkey NOT IN (SELECT c_custkey FROM customer
+                                         WHERE c_custkey IS NOT NULL))
+                    AS n_orphans,
+                (SELECT COALESCE(SUM(n - 1), 0) FROM (
+                    SELECT count(*) AS n FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1))
+                    AS n_dup_rows,
+                (SELECT count(*) - count(o_custkey) FROM orders)
+                    AS nulls_o_custkey,
+                (SELECT count(*) - count(o_totalprice) FROM orders)
+                    AS nulls_o_totalprice
         """,
         "sliding_agg_incremental": """
             WITH e AS (

@@ -93,3 +93,43 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
             "n",
         )
     )
+
+
+def referential_orphans(child: DataFrame, parent: DataFrame,
+                        fk: str, pk: str | None = None) -> DataFrame:
+    """Rows of ``child`` whose foreign key has no match in ``parent``
+    (NULL fks are orphans too — flag them upstream if intended).  The
+    referential-integrity check of a data-quality gate: one left-anti
+    join, broadcast when the parent's key projection is small; at scale
+    pre-prune with joins.bloom_prune when the parent is too big to
+    broadcast raw."""
+    pk = pk or fk
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.join(keys, fk, "left_anti")
+
+
+def duplicate_keys(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Key groups violating a uniqueness expectation: one hash groupBy,
+    returns (cols…, n_rows) for every key appearing more than once."""
+    return (
+        df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def quality_checks(child: DataFrame, parent: DataFrame, fk: str,
+                   pk: str | None = None,
+                   unique_cols: list[str] | None = None,
+                   not_null_cols: list[str] | None = None) -> DataFrame:
+    """One-row data-quality summary: orphaned-fk count, duplicate-key
+    count, and per-column null counts — each check is one aggregate /
+    one anti-join; nothing is collected row-by-row."""
+    orphans = referential_orphans(child, parent, fk, pk).agg(
+        F.count(F.lit(1)).alias("n_orphans"))
+    dups = duplicate_keys(child, unique_cols or [fk]).agg(
+        F.coalesce(F.sum(F.col("n_rows") - 1), F.lit(0)).alias("n_dup_rows"))
+    nn = child.agg(*[
+        (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nulls_{c}")
+        for c in (not_null_cols or [fk])
+    ])
+    return orphans.crossJoin(dups).crossJoin(nn)

@@ -1070,3 +1070,24 @@ def test_histogram_semantics(spark):
     assert sum(n for _, _, n in got.values()) == 6
     with _pytest.raises(ValueError):
         histogram(df, "v", 5.0, 5.0, 10)
+
+
+def test_quality_checks_detect_planted_violations(spark):
+    from hazelcast_jet_spark.operators.profile import (
+        duplicate_keys, quality_checks, referential_orphans)
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, None), (12, 9, 1.0),   # 9 = orphan
+         (13, None, 2.0),                              # NULL fk = orphan
+         (10, 3, 3.0)],                                # duplicate id 10
+        "id long, fk long, v double")
+    orphans = referential_orphans(child, parent, "fk", "pk")
+    assert sorted(r["id"] for r in orphans.collect()) == [12, 13]
+    dups = duplicate_keys(child, ["id"]).collect()
+    assert [(r["id"], r["n_rows"]) for r in dups] == [(10, 2)]
+    row = quality_checks(child, parent, "fk", "pk", unique_cols=["id"],
+                         not_null_cols=["fk", "v"]).first()
+    assert row["n_orphans"] == 2
+    assert row["n_dup_rows"] == 1   # one extra row beyond the unique set
+    assert row["nulls_fk"] == 1 and row["nulls_v"] == 1

@@ -234,12 +234,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
 
 
 def _bloom_position(col: Column, i: int, m: int, seed: str) -> Column:
-    """Hash i of the Bloom family: a 48-bit slice of md5(seed:i || key)
-    reduced mod m.  All JVM expressions — identical on every executor,
-    independent of partitioning."""
-    h = F.md5(F.concat(F.lit(f"{seed}:{i}:"),
-                       F.coalesce(col.cast("string"), F.lit("\x00"))))
-    return F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint"), F.lit(m))
+    """Hash i of the Bloom family: xxhash64 seeded per-i, reduced mod m.
+    xxhash64 is a JVM intrinsic ~10× cheaper than an md5 hex pipeline —
+    and unlike the dedup signatures, Bloom positions never need
+    cross-engine portability (the oracle is the PLAIN semi join), so the
+    cheap hash is the right one for a filter evaluated on every big-side
+    row.  Deterministic on every executor, independent of partitioning."""
+    h = F.xxhash64(F.lit(f"{seed}:{i}"),
+                   F.coalesce(col.cast("string"), F.lit("\x00")))
+    return F.pmod(h, F.lit(m))
 
 
 def bloom_prune(big: DataFrame, keys: DataFrame, big_key: str, keys_key: str,

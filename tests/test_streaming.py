@@ -638,3 +638,55 @@ def test_minhash_index_streaming_ingest_equals_batch(spark, sf_dir, tmp_path):
         spark, once, probe_docs, num_hashes=8, bands=4, k=3,
         threshold=0.5).collect()))
     assert r_stream == r_once
+
+
+def test_distinct_within_watermark_bounded_state(spark, tmp_path):
+    """Bounded-state streaming dedup (StageWithKey.distinct(within=...) →
+    dropDuplicatesWithinWatermark): duplicates inside the horizon
+    collapse; once the watermark passes a key's event time + delay its
+    state is EVICTED, so a far-later duplicate re-emits — the O(keys in
+    window) state bound an unbounded stream needs.  Plain distinct() on
+    the same stream keeps state forever (the same key never re-emits)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.pipeline import Pipeline
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    land = tmp_path / "land"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "k string, ts timestamp") \
+            .coalesce(1).write.parquet(str(land / name))
+
+    write("b1", [("A", t0), ("A", t0 + dt.timedelta(seconds=10)), ("B", t0)])
+    write("b2", [("C", t0 + dt.timedelta(hours=3)),
+                 ("B", t0 + dt.timedelta(seconds=20))])
+    # state eviction runs at batch END against that batch's watermark, so
+    # the expired key needs one batch of separation before its re-emit
+    write("b3", [("D", t0 + dt.timedelta(hours=3, minutes=1))])
+    write("b4", [("A", t0 + dt.timedelta(hours=3, minutes=5))])
+
+    def stream():
+        return (spark.readStream.schema("k string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(land)))
+
+    p = Pipeline.create(spark)
+    bounded = (p.read_from(stream()).add_timestamps("ts", "1 minute")
+               .grouping_key("k").distinct(within="1 minute"))
+    got = {r["k"]: r["n"] for r in
+           run_to_batch(bounded.df, "append")
+           .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # A@10:00 emitted; A@+10s deduped; state evicted at the end of the
+    # batch after the watermark passed 10:01; A@13:05 re-emitted.  B's
+    # late dup arrives while its state is still live → dropped.
+    assert got == {"A": 2, "B": 1, "C": 1, "D": 1}
+
+    forever = (p.read_from(stream()).add_timestamps("ts", "1 minute")
+               .grouping_key("k").distinct())
+    got2 = {r["k"]: r["n"] for r in
+            run_to_batch(forever.df, "append")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got2 == {"A": 1, "B": 1, "C": 1, "D": 1}  # unbounded: never re-emits

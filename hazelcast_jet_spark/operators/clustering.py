@@ -56,6 +56,50 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
     return df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
 
 
+def _min_dist_udf(centroids: np.ndarray):
+    """Min squared L2 distance from each vector to the chosen centroids —
+    the farthest-point init's scoring kernel (same broadcast-matrix Arrow
+    matmul shape as assignment)."""
+    c = centroids.astype("float64")
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("double")
+    def mindist(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.stack(vecs.to_numpy())
+        x_sq = (x * x).sum(axis=1)
+        d = x_sq[:, None] + c_sq[None, :] - 2.0 * (x @ c.T)
+        return pd.Series(np.min(d, axis=1))
+
+    return mindist
+
+
+def _farthest_init(df: DataFrame, k: int, vec_col: str,
+                   id_col: str) -> np.ndarray:
+    """Deterministic farthest-first traversal (Gonzalez 1985 k-center
+    2-approx — the RNG-free cousin of k-means++ D² seeding): start from
+    the min-id vector, then repeatedly take the vector farthest from the
+    chosen set (ties → lower id).  Each round is one scan + a
+    TakeOrderedAndProject of ONE row — k-1 small jobs, no shuffle, fully
+    reproducible on any partitioning."""
+    first = df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("empty input")
+    chosen = [np.array(first[0][1], dtype="float64")]
+    for _ in range(1, k):
+        mud = _min_dist_udf(np.stack(chosen))
+        r = (
+            df.select(id_col, F.col(vec_col).alias("_v"))
+            .withColumn("_d", mud(F.col("_v")))
+            .orderBy(F.col("_d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(np.array(r["_v"], dtype="float64"))
+    return np.stack(chosen)
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -63,26 +107,37 @@ def kmeans_fit(
     id_col: str = "vec_id",
     max_iter: int = 10,
     tol: float = 1e-6,
+    init: str = "first",
 ) -> tuple[np.ndarray, DataFrame]:
     """Fit k-means; returns (centroids k x d, df with ``cluster`` column).
 
     Stops early when no centroid moves more than ``tol`` (L2).  Empty
     clusters keep their previous centroid (deterministic, no resampling).
-    """
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
-    cent = np.array([r[1] for r in init_rows], dtype="float64")
-    if len(cent) < k:
-        raise ValueError(f"need >= {k} rows to init {k} clusters")
 
-    # persist for the duration of the fit: every iteration (and the final
-    # assign) re-reads the input; without this the full source lineage —
-    # scans, casts, normalization — re-executes max_iter+1 times
+    ``init``: ``"first"`` seeds with the k lowest-id vectors (cheapest,
+    one job); ``"farthest"`` runs the deterministic farthest-first
+    traversal — k-1 extra one-row jobs, but seeds spread across the data
+    so a clustered id-order (e.g. first k ids all from one crawl shard)
+    cannot collapse the fit into one region.
+    """
+    # persist for the duration of the fit: init (especially farthest) and
+    # every iteration re-read the input; without this the full source
+    # lineage — scans, casts, normalization — re-executes each time
     from pyspark import StorageLevel
 
+    if init not in ("first", "farthest"):
+        raise ValueError(f"init must be first|farthest, got {init!r}")
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        if init == "farthest":
+            cent = _farthest_init(df, k, vec_col, id_col)
+        else:
+            init_rows = (
+                df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+            )
+            cent = np.array([r[1] for r in init_rows], dtype="float64")
+            if len(cent) < k:
+                raise ValueError(f"need >= {k} rows to init {k} clusters")
         for _ in range(max_iter):
             assigned = kmeans_assign(df, cent, vec_col)
             sums = (

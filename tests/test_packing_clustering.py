@@ -253,3 +253,42 @@ def test_pairs_to_groups_on_lsh_output(spark):
     for g, members in by_group.items():
         assert g == min(members)
     assert len(rows) > 0
+
+
+def test_farthest_init_recovers_separated_clusters(spark):
+    """Pathological id order: the first k ids are all inside ONE tight
+    blob, while the data has k well-separated true clusters.  first-k
+    init collapses into the blob; farthest-first traversal must place a
+    seed in every separated cluster and end with a far lower
+    quantization objective.  Deterministic — no RNG anywhere."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit
+
+    k, d = 4, 8
+    centers = np.eye(k, d) * 50.0
+    rows = []
+    # ids 0..k-1: all in cluster 0's blob (the pathological prefix)
+    for i in range(k):
+        rows.append((i, (centers[0] + 0.01 * i).tolist()))
+    nid = k
+    for c in range(k):
+        for j in range(25):
+            vec = centers[c] + 0.1 * ((j % 5) - 2)
+            rows.append((nid, vec.tolist()))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(cent, assigned):
+        pdf = assigned.select("vec_id", "embedding", "cluster").toPandas()
+        V = np.array(pdf["embedding"].tolist())
+        C = cent[pdf["cluster"].to_numpy()]
+        return float(((V - C) ** 2).sum())
+
+    c_first, a_first = kmeans_fit(df, k, max_iter=8, init="first")
+    c_far, a_far = kmeans_fit(df, k, max_iter=8, init="farthest")
+    o_first, o_far = objective(c_first, a_first), objective(c_far, a_far)
+    assert o_far < o_first / 10  # separated clusters actually recovered
+    # deterministic: same seeds and objective on a re-run
+    c_far2, a_far2 = kmeans_fit(df, k, max_iter=8, init="farthest")
+    assert np.allclose(c_far, c_far2)

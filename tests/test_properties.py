@@ -353,3 +353,37 @@ def test_split_by_key_matches_python_model(spark, keys):
         else:
             want = "c"
         assert got[k] == want, (k, p, got[k], want)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 2000),
+                            st.integers(-50, 50)), min_size=1, max_size=80),
+    n_frames=st.integers(1, 6),
+    slide=st.sampled_from([5, 60]),
+)
+@SLOW
+def test_sliding_agg_matches_python_model(spark, rows, n_frames, slide):
+    """windows.sliding_agg == a direct Python model assigning every event
+    to its size/slide windows — for arbitrary event times, window
+    geometry, and keys (numeric time column)."""
+    from hazelcast_jet_spark.operators.windows import sliding_agg
+    from pyspark.sql import functions as F
+
+    size = slide * n_frames
+    df = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in rows], "k int, ts double, v long")
+    got = {
+        (r["k"], r["window_start_epoch"]): (r["n"], r["s"])
+        for r in sliding_agg(df, "ts", size, slide, ["k"],
+                             {"n": F.count(F.lit(1)), "s": F.sum("v")},
+                             {"n": F.sum("n"), "s": F.sum("s")}).collect()
+    }
+    want: dict = {}
+    for k, t, v in rows:
+        frame = t // slide
+        for a in range(frame, frame + n_frames):
+            ws = (a - n_frames + 1) * slide
+            key = (k, ws)
+            n0, s0 = want.get(key, (0, 0))
+            want[key] = (n0 + 1, s0 + v)
+    assert got == want

@@ -168,6 +168,7 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iter: int = 10,
+    init: str = "first",
 ) -> list[list[float]]:
     """Spherical k-means centroids for the IVF index
     (operators/similarity.ivf_build_index / ivf_assign).
@@ -202,5 +203,5 @@ def train_ivf_centroids(
         )
     )
     cent, _ = kmeans_fit(norm, k, vec_col=vec_col, id_col=id_col,
-                         max_iter=max_iter)
+                         max_iter=max_iter, init=init)
     return cent.tolist()

@@ -177,7 +177,9 @@ def split_by_key(df: DataFrame, key_col: str, fractions: dict[str, float],
     decision is a function of the key alone — the property a training
     pipeline needs so near-identical group members never straddle
     train/test.  Map-only, no shuffle; fractions must sum to ≤ 1 (any
-    remainder gets NULL, i.e. "held out entirely").
+    remainder gets NULL, i.e. "held out entirely").  A NULL key also
+    yields a NULL split (md5 of NULL is NULL — both engines agree);
+    coalesce upstream if NULL-keyed rows must be assigned.
     """
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:

@@ -153,8 +153,13 @@ def quota_per_key(df: DataFrame, quota_col: str, n: int, key_col: str,
         def _local_topn(batches):
             for pdf in batches:
                 if len(pdf) > n:
+                    # dropna=False: pandas groupby silently DROPS the NaN
+                    # group by default — NULL quota keys are a legitimate
+                    # group (the exact window ranks them too) and must
+                    # survive the prefilter
                     pdf = (pdf.sort_values(["__qh", key_col], kind="mergesort")
-                              .groupby(quota_col, sort=False).head(n))
+                              .groupby(quota_col, sort=False,
+                                       dropna=False).head(n))
                 yield pdf
 
         staged = staged.mapInPandas(_local_topn, schema)

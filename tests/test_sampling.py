@@ -179,3 +179,22 @@ def test_split_by_key_partial_fractions_hold_out(spark, docs):
     assert n_null > 1000  # ~80% held out entirely
     with pytest.raises(ValueError):
         split_by_key(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_quota_prefilter_keeps_null_quota_group(spark):
+    """Regression: pandas groupby drops the NaN group by default, which
+    would silently delete every NULL-quota-key row inside the map-side
+    prefilter while the exact window path ranks NULL as its own group."""
+    from hazelcast_jet_spark.operators.sampling import quota_per_key
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"g{i % 2}") for i in range(60)],
+        "doc_id long, src string")
+    fast = quota_per_key(df, "src", 4, "doc_id", seed="nn",
+                         local_prefilter=True)
+    exact = quota_per_key(df, "src", 4, "doc_id", seed="nn",
+                          local_prefilter=False)
+    f_rows = sorted(map(tuple, fast.collect()))
+    e_rows = sorted(map(tuple, exact.collect()))
+    assert f_rows == e_rows
+    assert sum(1 for _, s in f_rows if s is None) == 4  # NULL group capped too

@@ -2356,6 +2356,26 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDING_DISTINCT_K = 4096
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct-user counts via mergeable KMV sketches
+    (operators/windows.sliding_distinct): distinct is NOT decomposable,
+    so the two-level frame plan merges per-frame k-minimum-values
+    sketches instead of raw values — bounded at k strings per (key,
+    frame) where exact distinct would shuffle every user id.  k=4096
+    exceeds any window's true cardinality at gate scale, so the sketch
+    answer is EXACT and the oracle is plain count(DISTINCT) per
+    window."""
+    from hazelcast_jet_spark.operators.windows import sliding_distinct
+
+    e = _t(spark, sf_dir, "events")
+    out = sliding_distinct(e, "ts", 7200, 3600, ["event_type"], "user_id",
+                           k=SLIDING_DISTINCT_K, count_col="n_users")
+    return out.orderBy("event_type", "window_start_epoch")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2411,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
         "dq_checks_orders": dq_checks_orders,
+        "sliding_distinct_users": sliding_distinct_users,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2425,8 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frames": window_frames,
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
-        "tfidf_top_terms": tfidf_top_terms,
         # ===== driver window boundary is 50 entries; everything below has =====
+        "tfidf_top_terms": tfidf_top_terms,
         "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
@@ -4205,6 +4226,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
                 FROM documents
             ) ORDER BY col_name
+        """,
+        "sliding_distinct_users": """
+            WITH e AS (
+                SELECT event_type, user_id,
+                       CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS frame
+                FROM events
+            ), x AS (
+                SELECT event_type, user_id, (frame + off - 1) * 3600 AS ws
+                FROM e, unnest(generate_series(0, 1)) AS t(off)
+            )
+            SELECT event_type, ws AS window_start_epoch,
+                   count(DISTINCT user_id) AS n_users
+            FROM x GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dq_checks_orders": """
             SELECT

@@ -73,3 +73,56 @@ def sliding_agg(df: DataFrame, time_col: str, size_sec: int, slide_sec: int,
                     .cast("bigint"))
         .drop("__anchor")
     )
+
+
+def sliding_distinct(df: DataFrame, time_col: str, size_sec: int,
+                     slide_sec: int, keys: list[str], value_col: str,
+                     k: int = 1024,
+                     count_col: str = "n_distinct") -> DataFrame:
+    """Sliding-window DISTINCT counts via mergeable KMV sketches — the
+    composition the two-level plan needs for a NON-decomposable
+    aggregate: exact distinct cannot be merged from plain partials, but
+    a k-minimum-values sketch can (union of per-frame sketches, re-take
+    k smallest — operators/sketch.py).
+
+    Per (key, frame): one KMV partial.  Per window: the frame sketches
+    union-merge (each sketch is ≤ k short strings, however many raw rows
+    the frame held).  The estimate is EXACT while a window's true
+    distinct count stays below ``k`` (every hash is retained) and
+    (k-1)/frac(kth) beyond — size k to the regime you need; the state
+    and shuffle stay bounded at k strings per (key, frame) either way,
+    where exact distinct would carry every value.
+
+    Same window geometry/alignment as :func:`sliding_agg`; output
+    ``(keys…, start_col, n_distinct)`` with ``n_distinct`` BIGINT.
+    """
+    from hazelcast_jet_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    if size_sec % slide_sec != 0:
+        raise ValueError("size must be a multiple of slide (frame model)")
+    n = size_sec // slide_sec
+    es = _epoch_seconds(df, time_col)
+    frame = F.floor(es / F.lit(slide_sec)).cast("bigint")
+    partial = (
+        df.withColumn("__frame", frame)
+        .groupBy(*keys, "__frame")
+        .agg(kmv_sketch(F.col(value_col), k).alias("__sk"))
+    )
+    anchored = partial.withColumn(
+        "__anchor", F.explode(F.sequence(F.col("__frame"),
+                                         F.col("__frame") + F.lit(n - 1)))
+    )
+    merged = F.slice(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("__sk")))),
+        1, k,
+    )
+    return (
+        anchored.groupBy(*keys, "__anchor")
+        .agg(merged.alias("__msk"))
+        .select(
+            *keys,
+            ((F.col("__anchor") - F.lit(n - 1)) * F.lit(slide_sec))
+            .cast("bigint").alias("window_start_epoch"),
+            kmv_estimate(F.col("__msk"), k).alias(count_col),
+        )
+    )

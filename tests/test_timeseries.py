@@ -228,3 +228,60 @@ def test_asof_join_tolerance_timestamp_seconds(spark, ev):
         if r["value"] is not None:
             assert free[r["event_id"]] == r["value"]
     assert any(r["value"] is None for r in tol)  # the bound actually bites
+
+
+def test_sliding_distinct_exact_below_k(spark, sf_dir):
+    """KMV-merged sliding distinct == built-in window + countDistinct
+    while every window's cardinality stays below k (all hashes kept)."""
+    from hazelcast_jet_spark.operators.windows import sliding_distinct
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        (r["event_type"], r["window_start_epoch"]): r["n"]
+        for r in sliding_distinct(e, "ts", 7200, 3600, ["event_type"],
+                                  "user_id", k=4096, count_col="n").collect()
+    }
+    want = {
+        (r["event_type"], r["ws"]): r["n"]
+        for r in (
+            e.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .select("event_type", "n",
+                    F.expr("CAST(window.start - CAST('1970-01-01 00:00:00'"
+                           " AS TIMESTAMP_NTZ) AS BIGINT)").alias("ws"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_distinct_estimates_above_k(spark, sf_dir):
+    """Tiny k forces the estimator regime: every window's answer must be
+    within ~3/sqrt(k) of the truth (KMV standard error ~1/sqrt(k))."""
+    from hazelcast_jet_spark.operators.windows import sliding_distinct
+    from hazelcast_jet_spark.session import load_table
+
+    k = 64
+    e = load_table(spark, sf_dir, "events")
+    week, day = 7 * 86400, 86400
+    est = {
+        r["window_start_epoch"]: r["n"]
+        for r in sliding_distinct(e, "ts", week, day, [],
+                                  "event_id", k=k, count_col="n").collect()
+    }
+    truth = {
+        r["ws"]: r["n"]
+        for r in (
+            e.groupBy(F.window("ts", "7 days", "1 day"))
+            .agg(F.countDistinct("event_id").alias("n"))
+            .select("n",
+                    F.expr("CAST(window.start - CAST('1970-01-01 00:00:00'"
+                           " AS TIMESTAMP_NTZ) AS BIGINT)").alias("ws"))
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    big = [kk for kk, v in truth.items() if v > 2 * k]
+    assert big, "fixture should have windows above the sketch size"
+    for kk in big:
+        rel = abs(est[kk] - truth[kk]) / truth[kk]
+        assert rel < 3.0 / (k ** 0.5) + 0.05, (kk, est[kk], truth[kk])

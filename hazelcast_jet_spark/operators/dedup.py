@@ -743,7 +743,8 @@ def minhash_index_probe(spark, path: str, new_docs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         num_hashes: int = 16, bands: int = 8, k: int = 3,
                         threshold: float = 0.8,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        before_epoch: int | None = None) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted index
     (:func:`minhash_index_build`) — returns
     ``(index_id, new_id, jaccard_sim)``.
@@ -762,13 +763,23 @@ def minhash_index_probe(spark, path: str, new_docs: DataFrame,
     ``mode="append"`` on the same docs to fold them into the index.
     """
     idx_buckets = spark.read.parquet(f"{path}/buckets")
+    idx_shingles_raw = spark.read.parquet(f"{path}/shingles")
+    if before_epoch is not None:
+        # epoch-layout indexes only: restrict to epochs strictly before
+        # `before_epoch` (partition-pruned).  This is what makes a
+        # REPLAYED streaming epoch idempotent — without it the replay
+        # would probe its own already-written epoch and emit self-pairs
+        # the original run never saw.
+        idx_buckets = idx_buckets.filter(F.col("epoch") < before_epoch)
+        idx_shingles_raw = idx_shingles_raw.filter(
+            F.col("epoch") < before_epoch)
     if max_bucket is not None:
         wb = Window.partitionBy("band", "bucket")
         idx_buckets = (
             idx_buckets.withColumn("_n", F.count(F.lit(1)).over(wb))
             .filter(F.col("_n") <= max_bucket).drop("_n")
         )
-    idx_shingles = spark.read.parquet(f"{path}/shingles")
+    idx_shingles = idx_shingles_raw
 
     rows_per_band = num_hashes // bands
     nb = new_docs.select(F.col(id_col).alias("id"),
@@ -839,50 +850,8 @@ def minhash_index_streaming_ingest(stream_docs: DataFrame, index_path: str,
     contract test pins.
     """
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        try:
-            import os as _os
-            # the batch's INTERNAL pairs (new-vs-new) ...
-            pairs = minhash_lsh_pairs(
-                batch_df, text_col, id_col, num_hashes, bands, k,
-                threshold).selectExpr("id_a AS index_id", "id_b AS new_id",
-                                      "jaccard_sim")
-            # ... plus CROSS pairs against everything ingested before it,
-            # so the union over all epochs equals one LSH pass over the
-            # whole corpus (every pair is within-batch or cross-batch)
-            if _os.path.isdir(f"{index_path}/buckets"):
-                pairs = pairs.unionByName(minhash_index_probe(
-                    spark, index_path, batch_df, text_col, id_col,
-                    num_hashes, bands, k, threshold, max_bucket))
-            (pairs.write.mode("overwrite")
-             .parquet(f"{pairs_path}/epoch={batch_id}"))
-            # fold the batch into the index, epoch-keyed for idempotence
-            rows_per_band = num_hashes // bands
-            base = batch_df.select(
-                F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
-            sigs = base.select(
-                "id",
-                F.array(*[
-                    F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
-                    for j in range(num_hashes)
-                ]).alias("sig"))
-            bucketed = sigs.select(
-                "id",
-                F.explode(F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(F.concat_ws(
-                            "|", *[F.col("sig")[b * rows_per_band + r]
-                                   for r in range(rows_per_band)])).alias("bucket"),
-                    ) for b in range(bands)
-                ])).alias("bb"),
-            ).select("id", "bb.band", "bb.bucket")
-            for sub, frame in (("buckets", bucketed), ("shingles", base)):
-                (frame.write.mode("overwrite")
-                 .parquet(f"{index_path}/{sub}/epoch={batch_id}"))
-        finally:
-            batch_df.unpersist()
+        ingest_epoch(batch_df, batch_id, index_path, pairs_path, text_col,
+                     id_col, num_hashes, bands, k, threshold, max_bucket)
 
     return (
         stream_docs.writeStream.foreachBatch(_apply)
@@ -890,3 +859,61 @@ def minhash_index_streaming_ingest(stream_docs: DataFrame, index_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
+                 pairs_path: str, text_col: str = "text",
+                 id_col: str = "doc_id", num_hashes: int = 16,
+                 bands: int = 8, k: int = 3, threshold: float = 0.8,
+                 max_bucket: int | None = None) -> None:
+    """One epoch of :func:`minhash_index_streaming_ingest`, exposed so
+    replay idempotence is directly testable: re-running an epoch must
+    rewrite byte-identical content.  The probe is restricted to epochs
+    STRICTLY BEFORE this one (``before_epoch``) — a replayed epoch's
+    own already-written index rows would otherwise join against the
+    batch and emit self-pairs the original run never produced."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.persist()
+    try:
+        import os as _os
+        # the batch's INTERNAL pairs (new-vs-new) ...
+        pairs = minhash_lsh_pairs(
+            batch_df, text_col, id_col, num_hashes, bands, k,
+            threshold).selectExpr("id_a AS index_id", "id_b AS new_id",
+                                  "jaccard_sim")
+        # ... plus CROSS pairs against everything ingested before it, so
+        # the union over all epochs equals one LSH pass over the whole
+        # corpus (every pair is within-batch or cross-batch)
+        if _os.path.isdir(f"{index_path}/buckets"):
+            pairs = pairs.unionByName(minhash_index_probe(
+                spark, index_path, batch_df, text_col, id_col,
+                num_hashes, bands, k, threshold, max_bucket,
+                before_epoch=batch_id))
+        (pairs.write.mode("overwrite")
+         .parquet(f"{pairs_path}/epoch={batch_id}"))
+        # fold the batch into the index, epoch-keyed for idempotence
+        rows_per_band = num_hashes // bands
+        base = batch_df.select(
+            F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+        sigs = base.select(
+            "id",
+            F.array(*[
+                F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+                for j in range(num_hashes)
+            ]).alias("sig"))
+        bucketed = sigs.select(
+            "id",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(
+                        "|", *[F.col("sig")[b * rows_per_band + r]
+                               for r in range(rows_per_band)])).alias("bucket"),
+                ) for b in range(bands)
+            ])).alias("bb"),
+        ).select("id", "bb.band", "bb.bucket")
+        for sub, frame in (("buckets", bucketed), ("shingles", base)):
+            (frame.write.mode("overwrite")
+             .parquet(f"{index_path}/{sub}/epoch={batch_id}"))
+    finally:
+        batch_df.unpersist()

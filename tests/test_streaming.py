@@ -690,3 +690,36 @@ def test_distinct_within_watermark_bounded_state(spark, tmp_path):
             run_to_batch(forever.df, "append")
             .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got2 == {"A": 1, "B": 1, "C": 1, "D": 1}  # unbounded: never re-emits
+
+
+def test_ingest_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once claim, tested directly: re-running an epoch (the
+    crash-between-sink-commit-and-checkpoint case) must leave pairs AND
+    index content identical — in particular the replay must NOT probe
+    its own already-written epoch (which would emit jaccard-1.0
+    self-pairs the original run never produced)."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    kw = dict(num_hashes=8, bands=4, k=3, threshold=0.5)
+    dedup.ingest_epoch(b0, 0, idx, pairs, **kw)
+    dedup.ingest_epoch(b1, 1, idx, pairs, **kw)
+    first = sorted(map(tuple, spark.read.parquet(pairs).collect()))
+    n_idx = spark.read.parquet(f"{idx}/shingles").count()
+    assert any(r for r in first), "fixture should produce pairs"
+    # self-pair guard: no pair may relate a doc to itself
+    assert all(a != b for a, b, *_ in
+               [(r[0], r[1]) for r in spark.read.parquet(pairs)
+                .select("index_id", "new_id").collect()])
+
+    # REPLAY epoch 1 against the index that already contains epoch 1
+    dedup.ingest_epoch(b1, 1, idx, pairs, **kw)
+    replayed = sorted(map(tuple, spark.read.parquet(pairs).collect()))
+    assert replayed == first
+    assert spark.read.parquet(f"{idx}/shingles").count() == n_idx

@@ -2376,6 +2376,49 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "window_start_epoch")
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/timeseries.sessionize — the batch
+    twin of session windows, SessionWindowP.java:79, as the lag-gap +
+    running-sum composition): per user, number of 30-minute-inactivity
+    sessions and events per session — ONE shuffle on the key serves the
+    flag and the numbering."""
+    from hazelcast_jet_spark.operators.timeseries import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", gap="30 minutes", id_col="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+ASOF_TOLERANCE_S = 3600
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (operators/joins.asof_join
+    tolerance — pandas merge_asof parity): purchases enriched with the
+    latest click value, but only when the click is within 1 hour; staler
+    matches resolve to NULL.  Same one-window carry plan; the oracle is
+    DuckDB's native ASOF JOIN with the matched time selected and the
+    bound applied as a post-CASE."""
+    from hazelcast_jet_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    out = asof_join(purchases, clicks, "user_id", "ts", ["value"],
+                    tolerance=ASOF_TOLERANCE_S)
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").alias("purchase_value"),
+        F.col("asof_value").alias("recent_click_value"),
+    ).orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2432,6 +2475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_agg_incremental": sliding_agg_incremental,
         "dq_checks_orders": dq_checks_orders,
         "sliding_distinct_users": sliding_distinct_users,
+        "user_sessions": user_sessions,
+        "asof_join_tolerance": asof_join_tolerance,
         # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
@@ -2444,9 +2489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_functions": datetime_functions,
         "array_higher_order": array_higher_order,
         "window_frames": window_frames,
+        # ===== driver window boundary is 50 entries; everything below has =====
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
-        # ===== driver window boundary is 50 entries; everything below has =====
         "tfidf_top_terms": tfidf_top_terms,
         "stratified_sample_docs": stratified_sample_docs,
         "reservoir_sample_events": reservoir_sample_events,
@@ -4226,6 +4271,47 @@ def oracle_sql() -> dict[str, str]:
                        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
                 FROM documents
             ) ORDER BY col_name
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+                               PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap_s
+                FROM events
+            ), f AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN gap_s IS NULL OR gap_s > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM g
+            ), s AS (
+                SELECT user_id,
+                       CAST(SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM f
+            )
+            SELECT user_id, session_id, count(*) AS n_events
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_join_tolerance": f"""
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts, max(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   p.value AS purchase_value,
+                   CASE WHEN c.ts IS NOT NULL
+                             AND CAST(floor(epoch(p.ts - c.ts)) AS BIGINT)
+                                 <= {ASOF_TOLERANCE_S}
+                        THEN c.value END AS recent_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "sliding_distinct_users": """
             WITH e AS (

@@ -2125,21 +2125,21 @@ def salted_aggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means over the embeddings table (operators/clustering.kmeans_fit:
-    broadcast-centroid matmul assign, posexplode partial-agg update) —
-    cluster membership counts.  Iterative and therefore not expressible
-    as one SQL oracle (driver records the weaker rows-only check; the
-    bit-for-bit Lloyd's-vs-numpy equivalence lives in
-    tests/test_packing_clustering.py).  Deterministic: seeds are the
-    first k vectors by id."""
-    from hazelcast_jet_spark.operators.clustering import kmeans_fit
+def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means ASSIGNMENT step against fixed literal centroids
+    (operators/clustering.l2_assign): map-only rounded-L2 argmin in
+    whole-stage codegen, then membership counts — the oracle-able gate
+    shape for the k-means family (r4 verdict: the driver contract has no
+    rows-only notion, so the iterative `kmeans_fit` gate slot could
+    never go green).  The iterative Lloyd's fit itself stays pinned
+    bit-for-bit against numpy in tests/test_packing_clustering.py; this
+    verifies the assignment kernel those iterations are built from."""
+    from hazelcast_jet_spark.operators.clustering import l2_assign
 
     e = _t(spark, sf_dir, "embeddings")
-    _, assigned = kmeans_fit(e, k=8, vec_col="embedding", id_col="vec_id",
-                             max_iter=5)
+    out = l2_assign(e, _ivf_centroids(), vec_col="embedding")
     return (
-        assigned.groupBy("cluster")
+        out.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
@@ -2435,21 +2435,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unaffected by the order.
     """
     return {
-        # -- must-verify: ZERO green driver rows through r3 (mirror-only) -----
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q9_product_profit": tpch_q9_product_profit,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
-        "tpch_q15_top_supplier": tpch_q15_top_supplier,
-        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
-        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
-        "winnow_fingerprint_dups": winnow_fingerprint_dups,
-        "repetition_top_ngram": repetition_top_ngram,
-        # -- new this round (r4) ----------------------------------------------
+        # -- must-verify: red in r4 (oracle typing, fixed) or new query name --
+        "dq_checks_orders": dq_checks_orders,
+        "kmeans_assign_counts": kmeans_assign_counts,
+        # -- new this round (r5) ----------------------------------------------
+        # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
+        "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
+        "nexmark_q7_window_max": nexmark_q7_window_max,
+        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "cep_stream_match": cep_stream_match,
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
+        "tfidf_top_terms": tfidf_top_terms,
+        "streaming_dedup_count": streaming_dedup_count,
+        "cep_sequence_match": cep_sequence_match,
+        # -- single-green r3 rows, displaced earlier in r4 --------------------
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        "tpch_q10_returned_items": tpch_q10_returned_items,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        # -- filler: single green row from r4 (newest green, rotate last) -----
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
         "pii_scrub_stats": pii_scrub_stats,
@@ -2463,7 +2478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_aggregate_orders": salted_aggregate_orders,
         "dup_span_stats_docs": dup_span_stats_docs,
         "fuzzy_match_parts": fuzzy_match_parts,
-        "kmeans_cluster_sizes": kmeans_cluster_sizes,  # rows-only (iterative)
         "source_quota_sample": source_quota_sample,
         "train_test_split_counts": train_test_split_counts,
         "bloom_semi_join_orders": bloom_semi_join_orders,
@@ -2473,15 +2487,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile,
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
-        "dq_checks_orders": dq_checks_orders,
         "sliding_distinct_users": sliding_distinct_users,
         "user_sessions": user_sessions,
         "asof_join_tolerance": asof_join_tolerance,
-        # -- one green driver row (r3; red in r1 before the typed-hash fixes) --
+        # ===== driver window boundary is 50 entries; everything below has =====
+        # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        # -- two green rows (r3 + r4) -----------------------------------------
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
         "scalar_functions": scalar_functions,
-        # -- one green driver row (r3 was their first/only window slot) --------
         "asof_join_events": asof_join_events,
         "tpch_q5_local_supplier": tpch_q5_local_supplier,
         "pivot_mktsegment": pivot_mktsegment,
@@ -2489,34 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_functions": datetime_functions,
         "array_higher_order": array_higher_order,
         "window_frames": window_frames,
-        # ===== driver window boundary is 50 entries; everything below has =====
-        "streaming_dedup_count": streaming_dedup_count,
-        "cep_sequence_match": cep_sequence_match,
-        "tfidf_top_terms": tfidf_top_terms,
-        "stratified_sample_docs": stratified_sample_docs,
-        "reservoir_sample_events": reservoir_sample_events,
-        "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
-        "cep_stream_match": cep_stream_match,
-        # ===== at least one green driver row across r1-r3 (entries down ======
-        # ===== through tpch_q22 — rotated just out this round to make room ===
-        # ===== for the 15 newest r4 queries — carry a single r3 green row; ===
-        # ===== the rest have 2+) =============================================
-        "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
-        "nexmark_q7_window_max": nexmark_q7_window_max,
-        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
-        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "tpch_q10_returned_items": tpch_q10_returned_items,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
         "values_inline": values_inline,
         # -- two green rows (r1 + r3, or r2 + r3) ------------------------------
         "wordcount": wordcount,
@@ -2650,6 +2649,16 @@ def _cos_raw_sql(a: str, b: str) -> str:
 
 def _cos_sql(a: str, b: str) -> str:
     return f"round({_cos_raw_sql(a, b)}, 6)"
+
+
+def _l2_sql(a: str, c) -> str:
+    """round(squared-L2(a, literal centroid), 9) — DuckDB twin of
+    clustering.l2_assign's per-centroid distance (same element-order
+    fold, same half-away rounding)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {list(c)}),"
+        f" x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))), 9)"
+    )
 
 
 def _split_hex(cum: float) -> str:
@@ -4333,7 +4342,9 @@ def oracle_sql() -> dict[str, str]:
                     OR o_custkey NOT IN (SELECT c_custkey FROM customer
                                          WHERE c_custkey IS NOT NULL))
                     AS n_orphans,
-                (SELECT COALESCE(SUM(n - 1), 0) FROM (
+                -- DuckDB SUM(BIGINT) yields HUGEINT; cast back so the typed
+                -- driver hash agrees with Spark's BIGINT (r4 red-row fix)
+                (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (
                     SELECT count(*) AS n FROM orders
                     GROUP BY o_orderkey HAVING count(*) > 1))
                     AS n_dup_rows,
@@ -4341,6 +4352,17 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "kmeans_assign_counts": f"""
+            WITH d AS (
+                SELECT [{", ".join(_l2_sql("embedding", c) for c in _ivf_centroids())}]
+                           AS dists
+                FROM embeddings
+            )
+            SELECT CAST(list_position(dists, list_min(dists)) - 1 AS INT)
+                       AS cluster,
+                   count(*) AS n_vectors
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "sliding_agg_incremental": """
             WITH e AS (

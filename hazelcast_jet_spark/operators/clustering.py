@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
-__all__ = ["kmeans_fit", "kmeans_assign", "train_ivf_centroids"]
+__all__ = ["kmeans_fit", "kmeans_assign", "l2_assign", "train_ivf_centroids"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -54,6 +54,39 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
                   vec_col: str = "embedding") -> DataFrame:
     """Add a ``cluster`` column: nearest centroid by L2 distance."""
     return df.withColumn("cluster", _assign_udf(centroids)(F.col(vec_col)))
+
+
+def l2_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+              out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid assignment as a pure Column expression over FIXED
+    literal centroids — the SQL-twinnable form of :func:`kmeans_assign`.
+
+    Map-only: the k×d literal matrix travels inside the task binary (no
+    broadcast, no shuffle), and the whole argmin runs in whole-stage
+    codegen.  Squared L2 distances round to 9 decimals before the argmin
+    so the first-index tie-break lands identically in any engine
+    computing the same rounded doubles (same convention as
+    similarity._centroid_dists).  `kmeans_assign` (Arrow matmul,
+    unrounded float64) is the kernel the iterative fit uses; away from
+    1e-9-scale ties the two agree.
+    """
+    dists = F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, y: acc + y,
+            ),
+            9,
+        )
+        for c in centroids
+    ])
+    cluster = (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+    return df.withColumn(out_col, cluster)
 
 
 def _min_dist_udf(centroids: np.ndarray):

@@ -96,9 +96,32 @@ def test_query_matches_oracle(spark, name):
 
 def test_every_query_has_oracle_or_is_declared():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may omit the oracle; keep the list explicit
-    allowed_rows_only = {"kmeans_cluster_sizes"}  # iterative Lloyd's (r4)
+    # The driver contract has NO rows-only notion (r4 verdict: the declared
+    # rows-only kmeans slot produced an error row every round) — every gate
+    # query must carry an oracle.  Iterative/non-SQL ops get a
+    # deterministic SQL-twinnable gate shape instead (e.g.
+    # kmeans_assign_counts) with the full algorithm pinned in pytest.
+    allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_types_are_driver_safe(name):
+    """Regression for the r4 dq_checks_orders red row: DuckDB widens
+    SUM(BIGINT) to HUGEINT, the driver's typed hash then disagrees with
+    Spark's BIGINT even for equal values — while this mirror passed,
+    because fetchall() collapses HUGEINT to Python int.  DESCRIBE every
+    oracle and reject HUGEINT/UHUGEINT outright (cast to BIGINT in the
+    oracle instead)."""
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    rows = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    assert not bad, f"{name}: HUGEINT-typed oracle columns {bad}"
 
 
 def test_mirror_is_typed():

@@ -94,7 +94,16 @@ def match_sequence_stream(
     because the cross-boundary tail lives in state.  Input must arrive
     per-key time-ordered (true for a keyed journal / CDC feed; otherwise
     add_timestamps + a window sort upstream).
+
+    The in-batch scan is vectorized (r4 verdict: the original per-event
+    ``iterrows`` fold was the one interpreted-Python hot path left in the
+    engine): the k-1 state tail is prepended to the batch arrays, then
+    the pattern match is k numpy slice-compares AND-reduced over every
+    window start, plus one slice-compare for ``within``.  Every window's
+    END element lies in the new batch (the tail is < k long), so
+    tail-only windows — already emitted last batch — cannot re-emit.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -115,31 +124,55 @@ def match_sequence_stream(
     # ns): a float-epoch round trip leaves ns residue that Arrow refuses
     # to truncate back to timestamp[us] on output
     state_schema = "ids array<long>, tss array<long>, types array<string>"
+    cols = [key, f"start_{id_col}", f"start_{time_col}",
+            f"end_{id_col}", f"end_{time_col}"]
 
     def fn(key_tuple, pdf_iter, state):
         if state.exists:
-            ids, tss, types = state.get
-            ids, tss, types = list(ids), list(tss), list(types)
+            t_ids, t_tss, t_types = (list(x) for x in state.get)
         else:
-            ids, tss, types = [], [], []
-        rows = []
+            t_ids, t_tss, t_types = [], [], []
+        frames = []
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values([time_col, id_col])
-            for _, r in pdf.iterrows():
-                ids.append(int(r[id_col]))
-                tss.append(int(r[time_col].value) // 1000)
-                types.append(str(r[type_col]))
-                if len(ids) > k:
-                    ids.pop(0); tss.pop(0); types.pop(0)
-                if len(ids) == k and types == pattern:
-                    if within_us is None or tss[-1] <= tss[0] + within_us:
-                        rows.append((key_tuple[0], ids[0],
-                                     pd.Timestamp(tss[0] * 1000),
-                                     ids[-1], pd.Timestamp(tss[-1] * 1000)))
-        state.update((ids[-(k - 1):], tss[-(k - 1):], types[-(k - 1):]))
-        cols = [key, f"start_{id_col}", f"start_{time_col}",
-                f"end_{id_col}", f"end_{time_col}"]
-        yield pd.DataFrame(rows, columns=cols)
+            ids = np.concatenate([
+                np.asarray(t_ids, dtype=np.int64),
+                pdf[id_col].to_numpy(dtype=np.int64),
+            ])
+            tss = np.concatenate([
+                np.asarray(t_tss, dtype=np.int64),
+                pdf[time_col].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                // 1000,
+            ])
+            types = np.concatenate([
+                np.asarray(t_types, dtype=object),
+                pdf[type_col].to_numpy(dtype=object),
+            ])
+            n = len(ids)
+            if n >= k:
+                m = np.ones(n - k + 1, dtype=bool)
+                for j, p in enumerate(pattern):
+                    m &= types[j:n - k + 1 + j] == p
+                if within_us is not None:
+                    m &= tss[k - 1:] <= tss[:n - k + 1] + within_us
+                starts = np.nonzero(m)[0]
+                if len(starts):
+                    frames.append(pd.DataFrame({
+                        cols[0]: key_tuple[0],
+                        cols[1]: ids[starts],
+                        cols[2]: pd.to_datetime(tss[starts] * 1000),
+                        cols[3]: ids[starts + k - 1],
+                        cols[4]: pd.to_datetime(tss[starts + k - 1] * 1000),
+                    }))
+            t_ids = [int(x) for x in ids[-(k - 1):]]
+            t_tss = [int(x) for x in tss[-(k - 1):]]
+            t_types = [str(x) for x in types[-(k - 1):]]
+        state.update((t_ids, t_tss, t_types))
+        # no-match groups yield nothing at all: with ~10k keys per batch,
+        # serializing 10k empty frames through Arrow is pure overhead
+        yield from frames
 
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

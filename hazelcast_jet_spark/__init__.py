@@ -25,12 +25,13 @@ cooperative threads).  It is an idiomatic Spark design:
 """
 
 from hazelcast_jet_spark.session import get_spark, load_table, load_tables
-from hazelcast_jet_spark.pipeline import Pipeline, WindowDefinition
+from hazelcast_jet_spark.pipeline import HashJoinBuilder, Pipeline, WindowDefinition
 from hazelcast_jet_spark import aggregates as AggregateOperations
 from hazelcast_jet_spark.sources import Sources, FileSources, S3Sources, TestSources
 from hazelcast_jet_spark.sinks import Sinks, AssertionSinks
 
 __all__ = [
+    "HashJoinBuilder",
     "Pipeline",
     "WindowDefinition",
     "AggregateOperations",

@@ -201,6 +201,11 @@ class GeneralStage:
         """hashJoin2 — GeneralStage.java:864: two enrichment stages at once."""
         return self.hash_join(r1, on1, how).hash_join(r2, on2, how)
 
+    def hash_join_builder(self) -> "HashJoinBuilder":
+        """hashJoinBuilder() — GeneralStage.java:954: Tag-based N-way
+        enrichment in ONE composite build step."""
+        return HashJoinBuilder(self)
+
     # --- distribution / debugging (GeneralStage.java:1031-1265) ----------
 
     def rebalance(self, num_or_cols=None) -> "GeneralStage":
@@ -268,6 +273,46 @@ class GeneralStage:
     def write_to(self, sink) -> Any:
         """writeTo(sink) — triggers execution (Jet: jet.newJob().join())."""
         return self.pipeline._execute(self.df, sink)
+
+
+class HashJoinBuilder:
+    """hashJoinBuilder — pipeline/GeneralHashJoinBuilder.java: register N
+    enrichment stages via :meth:`add` (each returns its Tag, Jet's
+    ``Tag<T>`` handle), then :meth:`build` emits ONE composite plan that
+    joins every stage broadcast-style against the primary stage.
+
+    Spark re-expression: the composite is a chain of broadcast hash joins
+    — Catalyst builds each tiny side's hash table once and streams the
+    primary side through all of them in a single whole-stage-codegen
+    pass, which is exactly Jet's HashJoinP replicated-lookup execution.
+    Instead of an ItemsByTag tuple, the enrichment columns land flat in
+    the output row; ``tag_cols(tag)`` names the columns a given stage
+    contributed (alias upstream on collisions)."""
+
+    def __init__(self, left: GeneralStage):
+        self._left = left
+        self._stages: list[tuple] = []
+
+    def add(self, right, on, how: str = "left", broadcast: bool = True) -> int:
+        """add(stage, joinClause) -> Tag (GeneralHashJoinBuilder.java:117)."""
+        rdf = right.df if isinstance(right, GeneralStage) else right
+        self._stages.append((rdf, on, how, broadcast))
+        return len(self._stages) - 1
+
+    def tag_cols(self, tag: int) -> list[str]:
+        """Column names the stage registered under ``tag`` contributes —
+        the ItemsByTag.get(tag) analog."""
+        return list(self._stages[tag][0].columns)
+
+    def build(self) -> GeneralStage:
+        """build(mapToOutputFn) — GeneralHashJoinBuilder.java:152: one
+        composite join of every added stage."""
+        if not self._stages:
+            raise ValueError("add at least one enrichment stage")
+        out = self._left
+        for rdf, on, how, broadcast in self._stages:
+            out = out.hash_join(rdf, on, how, broadcast)
+        return out
 
 
 class BatchStage(GeneralStage):

@@ -15,6 +15,12 @@ stack; this module contributes only the Jet-specific DDL dialect:
 * ``CREATE JOB name AS <streaming insert>`` / ``ALTER JOB`` /
   ``DROP JOB`` / ``SHOW JOBS`` → named StreamingQuery lifecycle
   (SqlCreateJob.java, JetSqlBackend.java:202-240),
+* ``CREATE SNAPSHOT snap FOR JOB job`` / ``DROP SNAPSHOT`` /
+  ``SHOW SNAPSHOTS`` → named checkpoint exports
+  (parse/SqlCreateSnapshot.java:38, SqlDropSnapshot.java:37); a new job
+  starts from one via ``CREATE JOB ...
+  OPTIONS('initialSnapshotName'='snap') AS ...`` (JobConfig
+  .setInitialSnapshotName analog),
 * table functions ``TABLE(generate_series(a,b))`` /
   ``TABLE(generate_stream(n))`` and ``{CSV,JSON,PARQUET,AVRO}_FILE``
   (JetSqlOperatorTable.java:82-88) → rewritten onto Spark's native
@@ -58,7 +64,15 @@ _CREATE_MAPPING = re.compile(
 _DROP_MAPPING = re.compile(
     r"^\s*DROP\s+MAPPING\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.IGNORECASE
 )
-_SHOW = re.compile(r"^\s*SHOW\s+(MAPPINGS|JOBS)\s*$", re.IGNORECASE)
+_SHOW = re.compile(r"^\s*SHOW\s+(MAPPINGS|JOBS|SNAPSHOTS)\s*$", re.IGNORECASE)
+_CREATE_SNAPSHOT = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SNAPSHOT\s+(?P<snap>\w+)"
+    r"\s+FOR\s+JOB\s+(?P<job>\w+)\s*$",
+    re.IGNORECASE,
+)
+_DROP_SNAPSHOT = re.compile(
+    r"^\s*DROP\s+SNAPSHOT\s+(?:IF\s+EXISTS\s+)?(?P<snap>\w+)\s*$", re.IGNORECASE
+)
 _CREATE_JOB = re.compile(
     r"^\s*CREATE\s+JOB\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
     r"(?:\s+OPTIONS\s*\((?P<opts>[^)]*)\))?"
@@ -106,6 +120,8 @@ class JetSqlEngine:
         self.mappings: dict[str, Mapping] = {}
         self.jobs: dict[str, Any] = {}       # name -> StreamingQuery
         self._job_specs: dict[str, str] = {}  # name -> statement (for RESTART)
+        self._job_ckpts: dict[str, str] = {}  # name -> checkpoint dir
+        self.snapshots: dict[str, str] = {}   # name -> exported state dir
         self._file_view_counter = 0
 
     # --- entry point ------------------------------------------------------
@@ -132,6 +148,12 @@ class JetSqlEngine:
         m = _DROP_JOB.match(s)
         if m:
             return self._drop_job(m.group("name"))
+        m = _CREATE_SNAPSHOT.match(s)
+        if m:
+            return self._create_snapshot(m.group("snap"), m.group("job"))
+        m = _DROP_SNAPSHOT.match(s)
+        if m:
+            return self._drop_snapshot(m.group("snap"))
         m = _INSERT_INTO.match(s)
         if m and m.group("name") in self.mappings:
             return self._insert_into(m.group("name"), m.group("stmt"))
@@ -216,6 +238,9 @@ class JetSqlEngine:
         if what == "MAPPINGS":
             rows = [(mp.name,) for mp in self.mappings.values()] or []
             return self.spark.createDataFrame(rows or [], "name string")
+        if what == "SNAPSHOTS":
+            rows = [(n,) for n in self.snapshots]
+            return self.spark.createDataFrame(rows or [], "name string")
         rows = [(n, "RUNNING" if q is not None and q.isActive else "SUSPENDED")
                 for n, q in self.jobs.items()]
         return self.spark.createDataFrame(rows or [], "name string, status string")
@@ -225,7 +250,11 @@ class JetSqlEngine:
     def _create_job(self, name: str, stmt: str, opts: str | None):
         """CREATE JOB wraps a streaming INSERT (SqlCreateJob.java).  The
         inner statement must be `INSERT INTO <mapping> <select>` where the
-        select reads a streaming view; we start a named StreamingQuery."""
+        select reads a streaming view; we start a named StreamingQuery.
+        OPTIONS('initialSnapshotName'='snap') seeds the job's checkpoint
+        from a named snapshot (JobConfig.setInitialSnapshotName)."""
+        import shutil
+
         m = re.match(r"\s*(?:SINK\s+INTO|INSERT\s+INTO)\s+(\w+)\s+(.*)$", stmt,
                      re.IGNORECASE | re.DOTALL)
         if not m:
@@ -239,15 +268,26 @@ class JetSqlEngine:
             df.write.mode("append").format(mp.fmt).save(mp.external_name)
             self.jobs[name] = None
             return None
+        ckpt = mp.external_name.rstrip("/") + f"__{name}_ckpt"
+        job_opts = dict(_OPTIONS_PAIR.findall(opts or ""))
+        snap = job_opts.get("initialSnapshotName")
+        if snap is not None:
+            src = self.snapshots.get(snap)
+            if src is None:
+                raise ValueError(f"unknown snapshot {snap}")
+            import os
+            if not os.path.isdir(ckpt):  # never clobber an existing checkpoint
+                shutil.copytree(src, ckpt)
         q = (
             df.writeStream.format(mp.fmt)
             .option("path", mp.external_name)
-            .option("checkpointLocation", mp.external_name.rstrip("/") + f"__{name}_ckpt")
+            .option("checkpointLocation", ckpt)
             .queryName(name)
             .start()
         )
         self.jobs[name] = q
         self._job_specs[name] = f"INSERT INTO {target} {select}"
+        self._job_ckpts[name] = ckpt
         return None
 
     def _alter_job(self, name: str, verb: str):
@@ -269,4 +309,49 @@ class JetSqlEngine:
         if q is not None:
             q.stop()
         self._job_specs.pop(name, None)
+        self._job_ckpts.pop(name, None)
+        return None
+
+    # --- snapshots (named checkpoint exports) --------------------------------
+
+    def _create_snapshot(self, snap: str, job: str):
+        """CREATE [OR REPLACE] SNAPSHOT snap FOR JOB job
+        (parse/SqlCreateSnapshot.java:38): export the job's state under a
+        name that outlives the job.  A consistent cut of a Spark
+        checkpoint needs the query quiesced, so a RUNNING job is briefly
+        suspended around the copy and resumed after — same observable
+        behavior as Jet's in-flight export (the job keeps running; the
+        snapshot is a committed prefix)."""
+        import shutil
+
+        if job not in self.jobs:
+            raise ValueError(f"unknown job {job}")
+        ckpt = self._job_ckpts.get(job)
+        if ckpt is None:
+            raise ValueError(f"job {job} is not a streaming job (no state)")
+        was_running = self.jobs[job] is not None and self.jobs[job].isActive
+        if was_running:
+            self._alter_job(job, "SUSPEND")
+        try:
+            target = ckpt.rstrip("/") + f"__snapshot__{snap}"
+            shutil.rmtree(target, ignore_errors=True)
+            ignore = shutil.ignore_patterns(".*.tmp", "*.tmp")
+            try:
+                shutil.copytree(ckpt, target, ignore=ignore)
+            except shutil.Error:  # racing executor cleanup of spill files
+                shutil.rmtree(target, ignore_errors=True)
+                shutil.copytree(ckpt, target, ignore=ignore)
+            self.snapshots[snap] = target
+        finally:
+            if was_running:
+                self._alter_job(job, "RESUME")
+        return None
+
+    def _drop_snapshot(self, snap: str):
+        """DROP SNAPSHOT (parse/SqlDropSnapshot.java:37)."""
+        import shutil
+
+        path = self.snapshots.pop(snap, None)
+        if path is not None:
+            shutil.rmtree(path, ignore_errors=True)
         return None

@@ -235,3 +235,45 @@ def test_set_name_and_local_parallelism(spark):
     )
     assert stage.df.count() == 50
     assert stage.df.rdd.getNumPartitions() == 4
+
+
+def test_hash_join_builder_three_stages(spark, sf_dir):
+    """Tag-based N-way hashJoinBuilder (GeneralHashJoinBuilder.java):
+    three enrichment stages added under tags, built as ONE composite —
+    all three join broadcast-style in a single codegen pass, and the
+    result equals the chained hash_join plan row-for-row."""
+    from hazelcast_jet_spark import Pipeline
+    from hazelcast_jet_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    p = Pipeline.create(spark)
+    b = p.read_from(o).hash_join_builder()
+    t1 = b.add(c, F.col("o_custkey") == F.col("c_custkey"))
+    t2 = b.add(n, F.col("c_nationkey") == F.col("n_nationkey"))
+    t3 = b.add(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    assert (t1, t2, t3) == (0, 1, 2)
+    assert b.tag_cols(t3) == ["r_regionkey", "r_name"]
+    built = b.build().df
+
+    plan = built._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+    chained = (
+        Pipeline.create(spark).read_from(o)
+        .hash_join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .hash_join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .hash_join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .df
+    )
+    a = built.select("o_orderkey", "c_name", "n_name", "r_name").orderBy("o_orderkey").collect()
+    e = chained.select("o_orderkey", "c_name", "n_name", "r_name").orderBy("o_orderkey").collect()
+    assert a == e and len(a) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Pipeline.create(spark).read_from(o).hash_join_builder().build()

@@ -147,3 +147,61 @@ def test_generate_stream_rewrites_all_occurrences(spark, engine):
     assert "generate_stream" not in s
     views = [w for w in s.split() if w.startswith("__stream_fn_")]
     assert len(set(views)) == 2
+
+
+def test_snapshot_ddl_round_trip(engine, spark, tmp_path):
+    """CREATE/SHOW/DROP SNAPSHOT (parse/SqlCreateSnapshot.java:38,
+    SqlDropSnapshot.java:37) and restarting a job from a named snapshot
+    via CREATE JOB ... OPTIONS('initialSnapshotName'='...')."""
+    import shutil
+
+    out_path = str(tmp_path / "snap_out")
+    os.makedirs(out_path, exist_ok=True)
+    engine.sql(
+        f"CREATE MAPPING snap_sink EXTERNAL NAME '{out_path}' (v BIGINT) "
+        f"TYPE File OPTIONS('format'='parquet')"
+    )
+    engine.sql(
+        "CREATE JOB snapjob AS INSERT INTO snap_sink "
+        "SELECT v FROM TABLE(generate_stream(50))"
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out_path).count() > 0:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    engine.sql("CREATE SNAPSHOT s1 FOR JOB snapjob")
+    # export leaves the job running and registers the named snapshot
+    assert {r["name"] for r in engine.sql("SHOW SNAPSHOTS").collect()} == {"s1"}
+    assert {r["status"] for r in engine.sql("SHOW JOBS").collect()} == {"RUNNING"}
+    snap_dir = engine.snapshots["s1"]
+    assert os.path.isdir(snap_dir)
+
+    ckpt = engine._job_ckpts["snapjob"]
+    engine.sql("ALTER JOB snapjob SUSPEND")
+    engine.sql("DROP JOB snapjob")
+    shutil.rmtree(ckpt)  # simulate the original job's state being gone
+    # a new job seeded from the snapshot starts from the exported state
+    engine.sql(
+        "CREATE JOB snapjob OPTIONS('initialSnapshotName'='s1') AS "
+        "INSERT INTO snap_sink SELECT v FROM TABLE(generate_stream(50))"
+    )
+    assert {r["status"] for r in engine.sql("SHOW JOBS").collect()} == {"RUNNING"}
+    assert os.path.isdir(ckpt)  # checkpoint was seeded from the snapshot
+    engine.sql("ALTER JOB snapjob SUSPEND")
+    engine.sql("DROP JOB snapjob")
+
+    engine.sql("DROP SNAPSHOT s1")
+    assert engine.sql("SHOW SNAPSHOTS").count() == 0
+    assert not os.path.isdir(snap_dir)
+    # unknown snapshot / unknown job are rejected
+    with pytest.raises(ValueError):
+        engine.sql(
+            "CREATE JOB j2 OPTIONS('initialSnapshotName'='nope') AS "
+            "INSERT INTO snap_sink SELECT v FROM TABLE(generate_stream(50))"
+        )
+    with pytest.raises(ValueError):
+        engine.sql("CREATE SNAPSHOT s2 FOR JOB no_such_job")

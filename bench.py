@@ -74,6 +74,9 @@ def main() -> None:
         "stream_window_rows_per_sec": stream_rps,
         "stream_map_rows_per_sec": stream_map_rps,
         "stream_nexmark_q5_rows_per_sec": stream_q5_rps,
+        # v2 = rate-micro-batch fixed batches + peak-batch rate (r4 change;
+        # v1 open-throttle numbers from r1-r3 are NOT comparable)
+        "stream_probe_version": 2,
         "queries": slowest,
     }))
 

@@ -861,6 +861,17 @@ def minhash_index_streaming_ingest(stream_docs: DataFrame, index_path: str,
     )
 
 
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so it answers
+    correctly on every filesystem Spark can write to (HDFS/S3A/ABFS/
+    local).  The previous ``os.path.isdir`` only saw the driver's local
+    disk: on an object-store index path it was ALWAYS false, silently
+    skipping the cross-batch probe while the index kept growing."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
                  pairs_path: str, text_col: str = "text",
                  id_col: str = "doc_id", num_hashes: int = 16,
@@ -875,7 +886,6 @@ def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
     spark = batch_df.sparkSession
     batch_df = batch_df.persist()
     try:
-        import os as _os
         # the batch's INTERNAL pairs (new-vs-new) ...
         pairs = minhash_lsh_pairs(
             batch_df, text_col, id_col, num_hashes, bands, k,
@@ -884,7 +894,7 @@ def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
         # ... plus CROSS pairs against everything ingested before it, so
         # the union over all epochs equals one LSH pass over the whole
         # corpus (every pair is within-batch or cross-batch)
-        if _os.path.isdir(f"{index_path}/buckets"):
+        if _fs_exists(spark, f"{index_path}/buckets"):
             pairs = pairs.unionByName(minhash_index_probe(
                 spark, index_path, batch_df, text_col, id_col,
                 num_hashes, bands, k, threshold, max_bucket,

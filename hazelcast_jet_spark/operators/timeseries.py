@@ -25,20 +25,27 @@ from pyspark.sql import functions as F
 
 
 def _epoch_seconds(df: DataFrame, time_col: str) -> Column:
-    """Whole-second epoch of a timestamp column, session-timezone-FREE.
+    """Whole-second (FLOOR) epoch of a timestamp column, session-tz-FREE.
 
-    For TIMESTAMP_NTZ the wall clock is the value: interval-since-epoch
-    cast to BIGINT (truncates sub-seconds) never consults the session
-    timezone.  ``unix_timestamp`` would re-interpret NTZ wall time in
-    the session zone — off by the zone offset, and off by 3600 across a
-    DST boundary (the hostile-tz mirror would catch exactly that).
-    Instant-typed TIMESTAMP casts through DOUBLE (epoch-based already).
+    For TIMESTAMP_NTZ the wall clock is the value: microseconds since
+    epoch via ``timestampdiff`` (never consults the session timezone),
+    floored to seconds.  ``unix_timestamp`` would re-interpret NTZ wall
+    time in the session zone — off by the zone offset, and off by 3600
+    across a DST boundary (the hostile-tz mirror would catch exactly
+    that).  Instant-typed TIMESTAMP floors the double epoch.
+
+    FLOOR, not truncate-toward-zero: sub-second fractions and pre-1970
+    (negative) times must bin/gap the same way as ``F.window`` and the
+    floor-based oracles (a plain BIGINT cast truncates toward zero,
+    which rounds negative epochs the other way).
     """
     if dict(df.dtypes).get(time_col) == "timestamp_ntz":
-        return F.expr(
-            f"CAST({time_col} - CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
-            " AS BIGINT)")
-    return F.col(time_col).cast("double").cast("bigint")
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), {time_col})")
+        # exact: micros < 2^53, so the double quotient floors correctly
+        return F.floor(micros / F.lit(1000000.0))
+    return F.floor(F.col(time_col).cast("double"))
 
 
 def event_features(df: DataFrame, key_col: str = "user_id",

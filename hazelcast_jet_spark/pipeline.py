@@ -22,12 +22,33 @@ Typical use::
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_INTERVAL_UNIT_S = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1.0,
+    "minute": 60.0, "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _interval_seconds(s: str) -> float:
+    """Duration string ('10 minutes', '1 hour 30 minutes') → seconds, for
+    comparing a requested horizon against a plan-printed watermark delay."""
+    total, matched = 0.0, False
+    for num, unit in re.findall(r"([\d.]+)\s*([a-zA-Z]+)", s):
+        unit = unit.lower().rstrip("s")
+        if unit not in _INTERVAL_UNIT_S:
+            raise ValueError(f"unsupported interval unit {unit!r} in {s!r}")
+        total += float(num) * _INTERVAL_UNIT_S[unit]
+        matched = True
+    if not matched:
+        raise ValueError(f"cannot parse interval {s!r}")
+    return total
 
 
 def _cond(c: Column | str) -> Column:
@@ -392,11 +413,24 @@ class StageWithKey:
         if not df.isStreaming:
             return self.stage._wrap(df.dropDuplicates(keys))
         # the dedup horizon IS the watermark delay.  If add_timestamps
-        # already set a watermark, reuse it (Spark forbids redefining);
-        # otherwise apply `within` on the recorded/default event column.
-        has_wm = "EventTimeWatermark" in \
-            df._jdf.queryExecution().analyzed().toString()
-        if not has_wm:
+        # already set a watermark, reuse it (Spark forbids redefining) —
+        # but ONLY when its delay equals the requested horizon: silently
+        # substituting an unrelated delay (e.g. add_timestamps' default
+        # '0 seconds' lag) would change the dedup semantics without any
+        # signal.  Otherwise apply `within` on the event column.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"EventTimeWatermark [^,]+, (.+)", plan)
+        if m:
+            existing = m.group(1).strip()
+            if _interval_seconds(existing) != _interval_seconds(within):
+                raise ValueError(
+                    f"distinct(within={within!r}) conflicts with the upstream "
+                    f"watermark delay {existing!r}: Spark allows one watermark "
+                    f"per stream, and the dedup horizon IS that delay.  Set "
+                    f"the same duration in add_timestamps(lag=...) or drop "
+                    f"`within` to reuse the upstream horizon explicitly."
+                )
+        else:
             ts = self.stage.ts_col or "timestamp"
             if dict(df.dtypes).get(ts) == "timestamp_ntz":
                 df = df.withColumn(ts, F.col(ts).cast("timestamp"))

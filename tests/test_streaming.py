@@ -723,3 +723,22 @@ def test_ingest_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     replayed = sorted(map(tuple, spark.read.parquet(pairs).collect()))
     assert replayed == first
     assert spark.read.parquet(f"{idx}/shingles").count() == n_idx
+
+
+def test_distinct_within_conflicting_watermark_rejected(spark):
+    """distinct(within=X) with an upstream watermark of a DIFFERENT delay
+    must raise, not silently dedup on the unrelated horizon (Spark allows
+    one watermark per stream; the dedup horizon IS that delay)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.pipeline import Pipeline
+
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+              .select(F.col("value").cast("string").alias("k"), "timestamp"))
+    p = Pipeline.create(spark)
+    stage = p.read_from(stream).add_timestamps("timestamp", "10 seconds")
+    with pytest.raises(ValueError, match="conflicts with the upstream"):
+        stage.grouping_key("k").distinct(within="1 minute")
+    # equal delay (different spelling) is accepted
+    out = stage.grouping_key("k").distinct(within="10 seconds")
+    assert out.df.isStreaming

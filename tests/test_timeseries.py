@@ -285,3 +285,29 @@ def test_sliding_distinct_estimates_above_k(spark, sf_dir):
     for kk in big:
         rel = abs(est[kk] - truth[kk]) / truth[kk]
         assert rel < 3.0 / (k ** 0.5) + 0.05, (kk, est[kk], truth[kk])
+
+
+def test_epoch_seconds_floor_semantics(spark):
+    """_epoch_seconds must FLOOR, not truncate toward zero: sub-second
+    fractions and pre-1970 (negative) times have to bin/gap exactly like
+    F.window and the floor-based oracles (ADVICE r4: the old
+    cast-to-bigint rounded negative epochs the other way)."""
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    rows = [
+        ("1969-12-31 23:59:59.25", -1),   # floor(-0.75) = -1 (trunc gives 0)
+        ("1969-12-31 23:59:58.5", -2),
+        ("1970-01-01 00:00:00.75", 0),
+        ("1970-01-01 00:00:01.5", 1),
+        ("2024-03-10 07:00:00.999999", 1710054000),  # across a US DST jump
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string") \
+        .select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    got = [r[0] for r in df.select(_epoch_seconds(df, "ts")).collect()]
+    assert got == [e for _, e in rows]
+
+    # instant-typed TIMESTAMP branch floors the double epoch the same way
+    df2 = spark.createDataFrame([(-0.75,), (1.5,)], "e double") \
+        .select(F.timestamp_seconds("e").alias("ts"))
+    got2 = [r[0] for r in df2.select(_epoch_seconds(df2, "ts")).collect()]
+    assert got2 == [-1, 1]

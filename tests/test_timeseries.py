@@ -311,3 +311,43 @@ def test_epoch_seconds_floor_semantics(spark):
         .select(F.timestamp_seconds("e").alias("ts"))
     got2 = [r[0] for r in df2.select(_epoch_seconds(df2, "ts")).collect()]
     assert got2 == [-1, 1]
+
+
+def test_sliding_distinct_fold_equals_flatten_form(spark, sf_dir):
+    """The k-bounded kmv_merge fold must equal the old flatten-sort-slice
+    merge bit-for-bit (k smallest of a union == k smallest of (k smallest
+    of a prefix) ∪ next) — in the ESTIMATOR regime (k small), where a
+    wrong merge would actually change the kth hash."""
+    from hazelcast_jet_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+    from hazelcast_jet_spark.operators.windows import sliding_distinct
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    k = 32  # far below per-window distinct users → estimator regime
+    got = {
+        (r["event_type"], r["window_start_epoch"]): r["n_users"]
+        for r in sliding_distinct(e, "ts", 7200, 3600, ["event_type"],
+                                  "user_id", k=k,
+                                  count_col="n_users").collect()
+    }
+    # independent: the old one-shot flatten merge over the same frames
+    es = _epoch_seconds(e, "ts")
+    frame = F.floor(es / F.lit(3600)).cast("bigint")
+    partial = (e.withColumn("__frame", frame)
+               .groupBy("event_type", "__frame")
+               .agg(kmv_sketch(F.col("user_id"), k).alias("__sk")))
+    anchored = partial.withColumn(
+        "__anchor", F.explode(F.sequence(F.col("__frame"), F.col("__frame") + 1)))
+    old_merged = F.slice(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("__sk")))), 1, k)
+    exp = {
+        (r["event_type"], r["ws"]): r["n_users"]
+        for r in anchored.groupBy("event_type", "__anchor")
+        .agg(old_merged.alias("__msk"))
+        .select("event_type",
+                ((F.col("__anchor") - 1) * 3600).cast("bigint").alias("ws"),
+                kmv_estimate(F.col("__msk"), k).alias("n_users"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0

@@ -2145,6 +2145,24 @@ def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKET_HEX = 3
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/importance.dsir_weights; Xie et
+    al. 2023): score every doc by the hashed-bigram log-likelihood ratio
+    of a target model (here: lang='en' docs) vs the raw corpus — the
+    data-mixing primitive for 'more like this' selection at corpus
+    scale.  One explode + one bucket aggregate + a broadcast log-ratio
+    join; DECIMAL-accumulated log sums hash identically on both
+    engines."""
+    from hazelcast_jet_spark.operators.importance import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_weights(d, F.col("lang") == "en", bucket_hex=DSIR_BUCKET_HEX)
+    return out.orderBy("doc_id")
+
+
 def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-long-span statistics (dedup.dup_span_stats; Lee
     et al. 2022 substring-dedup signal): per doc, the fraction of its
@@ -2439,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks_orders": dq_checks_orders,
         "kmeans_assign_counts": kmeans_assign_counts,
         # -- new this round (r5) ----------------------------------------------
+        "dsir_importance_weights": dsir_importance_weights,
         # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
@@ -2489,9 +2508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_agg_incremental": sliding_agg_incremental,
         "sliding_distinct_users": sliding_distinct_users,
         "user_sessions": user_sessions,
-        "asof_join_tolerance": asof_join_tolerance,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "asof_join_tolerance": asof_join_tolerance,
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
         "repetition_top_ngram": repetition_top_ngram,
         "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
@@ -4352,6 +4371,41 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "dsir_importance_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, (lang = 'en') AS is_t,
+                       string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id, is_t,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), pairs AS (
+                SELECT doc_id, is_t,
+                       substr(md5(gram), 1, {DSIR_BUCKET_HEX}) AS bucket
+                FROM g
+            ), counts AS (
+                SELECT bucket,
+                       CAST(count(*) AS BIGINT) AS c_raw,
+                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_tgt
+                FROM pairs GROUP BY 1
+            ), lr AS (
+                SELECT bucket,
+                       (ln(c_tgt + 1)
+                        - ln((SELECT SUM(c_tgt) FROM counts)
+                             + {16 ** DSIR_BUCKET_HEX}))
+                     - (ln(c_raw + 1)
+                        - ln((SELECT SUM(c_raw) FROM counts)
+                             + {16 ** DSIR_BUCKET_HEX})) AS lr
+                FROM counts
+            )
+            SELECT p.doc_id, count(*) AS n_grams,
+                   CAST(SUM(CAST(lr AS DECIMAL(28,12))) AS DOUBLE) AS weight
+            FROM pairs p JOIN lr USING (bucket)
+            GROUP BY 1 ORDER BY 1
         """,
         "kmeans_assign_counts": f"""
             WITH d AS (

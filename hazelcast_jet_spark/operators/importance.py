@@ -1,0 +1,117 @@
+"""Data-selection importance weights — DSIR (Xie et al. 2023, "Data
+Selection for Language Models via Importance Resampling").
+
+Given a RAW crawl corpus and a small TARGET corpus (the distribution you
+want more of — e.g. curated reference text), DSIR scores every raw
+document by the log-likelihood ratio of its hashed n-gram features under
+bag-of-ngrams models of target vs raw:
+
+    w(doc) = Σ_{g ∈ ngrams(doc)}  ln p_target(bucket(g))
+                                 - ln p_raw(bucket(g))
+
+then resamples raw docs proportional to exp(w).  Hashing n-grams into a
+fixed bucket space keeps both models a bounded table regardless of
+vocabulary size — the property that makes this a two-aggregate Spark job
+instead of an open vocabulary join.
+
+Scale shape (no reference analog; beyond-inventory LLM-pipeline op):
+
+1. one explode of the corpus into (doc, bucket) pairs — bucket is the
+   first ``bucket_hex`` hex chars of md5(ngram), so the feature space is
+   16^bucket_hex buckets and needs NO modulo arithmetic to be
+   engine-portable;
+2. ONE aggregation over buckets computing raw and target counts together
+   (the target flag rides the same rows — the target corpus is a
+   predicate over the raw corpus, the common "quality subset" setup);
+   an unpartitioned window over the ≤16^bucket_hex-row counts table
+   derives the totals and per-bucket log-ratios without any driver
+   round-trip;
+3. the tiny log-ratio table joins back BROADCAST onto the exploded
+   pairs; per-doc weights accumulate in DECIMAL(28,12) (exact,
+   order-independent) so results hash identically on any engine.
+
+Smoothing: add-one on both numerators against ``B = 16^bucket_hex``
+denominator inflation — every bucket has a finite probability under both
+models, so no doc weight is ±inf.
+
+Cross-engine determinism: ``ln`` is bit-identical across engines
+(probed; same discipline as text.unigram_lm_score), inputs to every
+``ln`` are exact integers, and the two-term groupings are fixed as
+``(ln(c+1) - ln(N+B))`` per model before the subtraction, so the double
+arithmetic is reproducible term for term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators.text import normalize_text, word_ngrams
+
+__all__ = ["dsir_weights"]
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = 3,
+    out_col: str = "weight",
+) -> DataFrame:
+    """Per-document DSIR importance weight of every raw doc.
+
+    ``target_pred``: boolean Column selecting the target subset within
+    ``df`` (rows where it is true train the target model; ALL rows train
+    the raw model and are scored).  Docs with fewer than ``n`` words
+    have no features and are omitted (their weight is an empty sum).
+
+    Returns ``(id_col, n_grams, out_col)`` — ``n_grams`` the feature
+    count, ``out_col`` the summed log-ratio (resample ∝ exp(weight)).
+    """
+    B = 16 ** bucket_hex
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("__is_target"),
+        F.split(normalize_text(text_col), " ").alias("__t"),
+    )
+    pairs = (
+        toks.filter(F.size("__t") >= n)
+        .select(
+            id_col, "__is_target",
+            F.explode(word_ngrams("__t", n)).alias("__gram"),
+        )
+        .select(
+            id_col, "__is_target",
+            F.substring(F.md5("__gram"), 1, bucket_hex).alias("__bucket"),
+        )
+    )
+    counts = pairs.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_tgt"),
+    )
+    from pyspark.sql.window import Window
+
+    all_w = Window.partitionBy()  # ≤ B rows: a single tiny partition
+    lr = counts.select(
+        "__bucket",
+        (
+            (F.log(F.col("__c_tgt") + F.lit(1))
+             - F.log(F.sum("__c_tgt").over(all_w) + F.lit(B)))
+            - (F.log(F.col("__c_raw") + F.lit(1))
+               - F.log(F.sum("__c_raw").over(all_w) + F.lit(B)))
+        ).alias("__lr"),
+    )
+    return (
+        pairs.join(F.broadcast(lr), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__lr").cast("decimal(28,12)")).alias("__s"),
+        )
+        .select(
+            id_col, "n_grams",
+            F.col("__s").cast("double").alias(out_col),
+        )
+    )

@@ -1091,3 +1091,57 @@ def test_quality_checks_detect_planted_violations(spark):
     assert row["n_orphans"] == 2
     assert row["n_dup_rows"] == 1   # one extra row beyond the unique set
     assert row["nulls_fk"] == 1 and row["nulls_v"] == 1
+
+
+def test_dsir_weights_match_python_model(spark):
+    """dsir_weights vs an independent hashlib/math model (DSIR, Xie et
+    al. 2023): same bigram buckets, same add-one smoothed log-ratio,
+    exact to 1e-9 (the DECIMAL(28,12) accumulation grain)."""
+    import hashlib
+    import math
+
+    from hazelcast_jet_spark.operators.importance import dsir_weights
+
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown dog runs", "en"),
+        (3, "le renard brun saute vite", "fr"),
+        (4, "fox fox fox fox", "xx"),
+        (5, "one", "en"),                       # < 2 words → no features
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["n_grams"], r["weight"])
+           for r in dsir_weights(df, F.col("lang") == "en",
+                                 bucket_hex=3).collect()}
+
+    B = 16 ** 3
+    def grams(t):
+        w = t.split()
+        return [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+    def bucket(g):
+        return hashlib.md5(g.encode()).hexdigest()[:3]
+    c_raw, c_tgt = {}, {}
+    for _id, t, lang in rows:
+        for g in grams(t):
+            b = bucket(g)
+            c_raw[b] = c_raw.get(b, 0) + 1
+            if lang == "en":
+                c_tgt[b] = c_tgt.get(b, 0) + 1
+    n_raw, n_tgt = sum(c_raw.values()), sum(c_tgt.values())
+    exp = {}
+    for _id, t, lang in rows:
+        gs = grams(t)
+        if not gs:
+            continue
+        w = sum(
+            (math.log(c_tgt.get(bucket(g), 0) + 1) - math.log(n_tgt + B))
+            - (math.log(c_raw[bucket(g)] + 1) - math.log(n_raw + B))
+            for g in gs
+        )
+        exp[_id] = (len(gs), w)
+    assert set(got) == set(exp)      # doc 5 absent from both
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9, k
+    # target docs score higher than the off-distribution doc
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]

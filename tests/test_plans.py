@@ -302,3 +302,17 @@ def test_semantic_dedup_assignment_is_map_only(spark, sf_dir):
         e, entry_mod._ivf_centroids(), 0.4)
     body = _plan(pairs).split("== Physical Plan ==")[-1]
     assert body.count("Exchange hashpartitioning") <= 2  # the two join sides
+
+
+def test_dsir_log_ratio_table_broadcasts(spark, sf_dir):
+    """dsir_weights: the ≤16^h-row log-ratio table joins back BROADCAST —
+    the corpus-side explode is never shuffled for the join; the only
+    exchanges are the bucket aggregate and the per-doc sum."""
+    from hazelcast_jet_spark.operators.importance import dsir_weights
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = dsir_weights(d, F.col("lang") == "en")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

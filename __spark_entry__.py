@@ -2145,6 +2145,44 @@ def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_BINS = 10
+
+
+def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum binning (operators/profile.rank_bins over
+    text.quality_score): equal-population deciles by rounded quality with
+    doc_id tiebreak, then per-decile count + score range.  Gate runs the
+    exact ntile; the approx-edges map-only variant is the documented
+    100 TB path (rank_bins docstring)."""
+    from hazelcast_jet_spark.operators.profile import rank_bins
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", F.round(text.quality_score("text"), 6).alias("q"))
+    out = rank_bins(scored, "q", QUALITY_BINS, "doc_id", bin_col="decile")
+    return (
+        out.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("q").alias("min_q"), F.max("q").alias("max_q"))
+        .orderBy("decile")
+    )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def funnel_conversion_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/timeseries.funnel_counts): users who
+    viewed, then clicked strictly after their first view, then purchased
+    strictly after that click — earliest-completion product-analytics
+    semantics.  Every join keys on user_id (one partitioning serves all
+    stages); per-stage counts stack map-only into one row per stage."""
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, FUNNEL_STAGES).orderBy("stage")
+
+
 DSIR_BUCKET_HEX = 3
 
 
@@ -2458,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign_counts": kmeans_assign_counts,
         # -- new this round (r5) ----------------------------------------------
         "dsir_importance_weights": dsir_importance_weights,
+        "funnel_conversion_counts": funnel_conversion_counts,
+        "quality_decile_stats": quality_decile_stats,
         # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
@@ -2506,10 +2546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile,
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
-        "sliding_distinct_users": sliding_distinct_users,
-        "user_sessions": user_sessions,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "sliding_distinct_users": sliding_distinct_users,
+        "user_sessions": user_sessions,
         "asof_join_tolerance": asof_join_tolerance,
         "winnow_fingerprint_dups": winnow_fingerprint_dups,
         "repetition_top_ngram": repetition_top_ngram,
@@ -4371,6 +4411,61 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "quality_decile_stats": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                       len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, lower(t))))
+                           / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM base
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                         least(n_alpha / greatest(n_tokens, 1) / 8.0, 1.0)
+                         + n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE)
+                         + least(sw_ratio * 10.0, 1.0), 6) AS q
+                FROM feat
+            ), binned AS (
+                SELECT doc_id, q,
+                       CAST(ntile({QUALITY_BINS}) OVER (ORDER BY q, doc_id)
+                            AS INT) AS decile
+                FROM scored
+            )
+            SELECT decile, count(*) AS n_docs,
+                   min(q) AS min_q, max(q) AS max_q
+            FROM binned GROUP BY 1 ORDER BY 1
+        """,
+        "funnel_conversion_counts": f"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t1
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s0.t0
+                GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t1
+                GROUP BY 1
+            )
+            SELECT * FROM (VALUES
+                (CAST(1 AS INT), '{FUNNEL_STAGES[0]}',
+                 (SELECT count(*) FROM s0)),
+                (CAST(2 AS INT), '{FUNNEL_STAGES[1]}',
+                 (SELECT count(*) FROM s1)),
+                (CAST(3 AS INT), '{FUNNEL_STAGES[2]}',
+                 (SELECT count(*) FROM s2))
+            ) AS t(stage, event_type, n_keys)
+            ORDER BY stage
         """,
         "dsir_importance_weights": f"""
             WITH toks AS (

@@ -95,6 +95,28 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
     )
 
 
+def rank_bins(df: DataFrame, score_col: str, n_bins: int,
+              tiebreak_col: str, bin_col: str = "bin") -> DataFrame:
+    """Exact equal-population binning (``ntile``) by a score — the
+    curriculum / quality-bucket primitive (bin 1 = lowest scores):
+    deterministic because the total order is ``(score, tiebreak_col)``.
+
+    Scale note: an exact global ntile is a single-partition window sort —
+    fine at profiling scale, NOT the 100 TB path.  At corpus scale
+    compute approximate bin edges first (``approx_percentile(score,
+    array(...))``) and bin map-only against the broadcast edges — same
+    output modulo boundary ties; this exact form exists so the gate can
+    pin the semantics against a SQL oracle (the same exact-vs-approx
+    split as profile_table's distinct counts).
+    """
+    from pyspark.sql.window import Window
+
+    if n_bins <= 0:
+        raise ValueError("need n_bins > 0")
+    w = Window.orderBy(F.col(score_col), F.col(tiebreak_col))
+    return df.withColumn(bin_col, F.ntile(n_bins).over(w).cast("int"))
+
+
 def referential_orphans(child: DataFrame, parent: DataFrame,
                         fk: str, pk: str | None = None) -> DataFrame:
     """Rows of ``child`` whose foreign key has no match in ``parent``

@@ -48,6 +48,51 @@ def _epoch_seconds(df: DataFrame, time_col: str) -> Column:
     return F.floor(F.col(time_col).cast("double"))
 
 
+def funnel_counts(df: DataFrame, stages: list[str],
+                  key_col: str = "user_id", time_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel conversion counts: how many keys reached stage i —
+    meaning events of ``stages[0..i]`` exist at strictly increasing
+    times (the earliest-completion semantics of product funnel
+    analytics; no reference analog — beyond-inventory op).
+
+    Plan: stage 0 is one keyed min; each later stage joins the previous
+    stage's completion times back to that stage's events and takes the
+    min event time strictly after it — k-1 equi-joins ALL keyed on
+    ``key_col``, so one hash partitioning serves every step, and each
+    join's probe side is pre-filtered to a single event type.  The final
+    per-stage counts collapse to one row per stage (stack — map-only).
+
+    Returns ``(stage INT 1-based, <type_col>, n_keys)``.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    base = df.select(key_col, type_col, time_col)
+    acc = (
+        base.filter(F.col(type_col) == stages[0])
+        .groupBy(key_col).agg(F.min(time_col).alias("t0"))
+    )
+    for i, s in enumerate(stages[1:], 1):
+        nxt = (
+            base.filter(F.col(type_col) == s)
+            .join(acc.select(key_col, f"t{i-1}"), key_col)
+            .filter(F.col(time_col) > F.col(f"t{i-1}"))
+            .groupBy(key_col).agg(F.min(time_col).alias(f"t{i}"))
+        )
+        acc = acc.join(nxt, key_col, "left")
+    counts = acc.agg(*[
+        F.count(f"t{i}").alias(f"n{i}") for i in range(len(stages))
+    ])
+    stack = ", ".join(
+        f"{i + 1}, '{s}', n{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack}) AS (stage, {type_col}, n_keys)"
+    ).select(
+        F.col("stage").cast("int").alias("stage"), type_col, "n_keys",
+    )
+
+
 def event_features(df: DataFrame, key_col: str = "user_id",
                    time_col: str = "ts", value_col: str = "value",
                    id_col: str = "event_id",

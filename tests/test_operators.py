@@ -1145,3 +1145,27 @@ def test_dsir_weights_match_python_model(spark):
         assert abs(got[k][1] - exp[k][1]) < 1e-9, k
     # target docs score higher than the off-distribution doc
     assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
+def test_rank_bins_equal_population_and_order(spark):
+    """rank_bins: ntile semantics — first bins get the extras, bins are
+    contiguous in score order, deterministic under the tiebreak."""
+    from hazelcast_jet_spark.operators.profile import rank_bins
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(23)], "id long, s double")
+    out = rank_bins(df, "s", 4, "id").collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    assert sizes == {1: 6, 2: 6, 3: 6, 4: 5}
+    # contiguity: every score in bin b <= every score in bin b+1
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["s"])
+    for b in (1, 2, 3):
+        assert max(by_bin[b]) <= min(by_bin[b + 1])
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        rank_bins(df, "s", 0, "id")

@@ -351,3 +351,29 @@ def test_sliding_distinct_fold_equals_flatten_form(spark, sf_dir):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """funnel_counts: a stage only counts when it happens STRICTLY after
+    the previous stage's earliest completion."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 10, 0, s)
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", t(0)), (1, "click", t(10)), (1, "purchase", t(20)),
+        # u2: click BEFORE view → stops at view
+        (2, "click", t(0)), (2, "view", t(10)),
+        # u3: click at the SAME time as view (not strictly after) → view only
+        (3, "view", t(5)), (3, "click", t(5)),
+        # u4: view+click ordered, purchase before click → stops at click
+        (4, "view", t(0)), (4, "purchase", t(5)), (4, "click", t(10)),
+        # u5: never viewed
+        (5, "purchase", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {(r["stage"], r["event_type"]): r["n_keys"]
+           for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert got == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}

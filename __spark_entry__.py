@@ -2145,6 +2145,50 @@ def kmeans_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_DIST = 63.5
+
+
+def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space assignment diagnostics (clustering.l2_assign with
+    dist_col): per cluster, member count, DECIMAL-exact mean and max of
+    the rounded squared-L2 distance to the assigned centroid, and how
+    many vectors sit beyond a fixed outlier radius — the corpus-drift /
+    junk-embedding monitor.  Map-only scoring; ONE aggregate."""
+    from hazelcast_jet_spark.operators.clustering import l2_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = l2_assign(e, _ivf_centroids(), vec_col="embedding",
+                  dist_col="dist")
+    n = F.count(F.lit(1))
+    return (
+        a.groupBy("cluster")
+        .agg(
+            n.alias("n_vectors"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(28,9)")).cast("double")
+                / n, 6).alias("mean_dist"),
+            F.max("dist").alias("max_dist"),
+            F.sum(F.when(F.col("dist") > OUTLIER_DIST, 1).otherwise(0))
+            .alias("n_outliers"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-policy over near-dup groups (operators/dedup.keep_best): each
+    exact-Jaccard dup group keeps its highest-quality member (rounded
+    text.quality_score, ties → lowest id) instead of blind min-id — the
+    keep/drop decision production dedup actually applies.  Labels join
+    scored docs once; one group-partitioned window yields argmax + size
+    together."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=SHINGLE_K, threshold=LSH_THRESHOLD)
+    out = dedup.keep_best(
+        d, pairs, F.round(text.quality_score("text"), 6))
+    return out.orderBy("group_id")
+
+
 QUALITY_BINS = 10
 
 
@@ -2498,6 +2542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": dsir_importance_weights,
         "funnel_conversion_counts": funnel_conversion_counts,
         "quality_decile_stats": quality_decile_stats,
+        "dedup_keep_best": dedup_keep_best,
+        "embedding_outlier_stats": embedding_outlier_stats,
         # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
@@ -2544,10 +2590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_features": event_time_features,
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "table_profile": table_profile,
-        "value_histogram": value_histogram,
-        "sliding_agg_incremental": sliding_agg_incremental,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "value_histogram": value_histogram,
+        "sliding_agg_incremental": sliding_agg_incremental,
         "sliding_distinct_users": sliding_distinct_users,
         "user_sessions": user_sessions,
         "asof_join_tolerance": asof_join_tolerance,
@@ -4411,6 +4457,82 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "embedding_outlier_stats": f"""
+            WITH d AS (
+                SELECT [{", ".join(_l2_sql("embedding", c) for c in _ivf_centroids())}]
+                           AS dists
+                FROM embeddings
+            ), a AS (
+                SELECT CAST(list_position(dists, list_min(dists)) - 1 AS INT)
+                           AS cluster,
+                       list_min(dists) AS dist
+                FROM d
+            )
+            SELECT cluster, count(*) AS n_vectors,
+                   round(CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE)
+                         / count(*), 6) AS mean_dist,
+                   max(dist) AS max_dist,
+                   CAST(SUM(CASE WHEN dist > {OUTLIER_DIST} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers
+            FROM a GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sizes AS (
+                SELECT id, len(sh) AS n FROM base
+            ), inv AS (
+                SELECT id, unnest(sh) AS s FROM base
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6)
+                      >= {LSH_THRESHOLD}
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+                SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+            ), grp AS (
+                SELECT node, min(r) AS group_id FROM reach GROUP BY node
+            ), tf AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+                       len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, lower(t))))
+                           / CAST(len(toks) AS DOUBLE) AS sw_ratio,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM tf
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                         least(n_alpha / greatest(n_tokens, 1) / 8.0, 1.0)
+                         + n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE)
+                         + least(sw_ratio * 10.0, 1.0), 6) AS q
+                FROM feat
+            ), m AS (
+                SELECT g.group_id, g.node, s.q,
+                       row_number() OVER (PARTITION BY g.group_id
+                                          ORDER BY s.q DESC, g.node) AS rn,
+                       count(*) OVER (PARTITION BY g.group_id) AS group_size
+                FROM grp g JOIN scored s ON s.doc_id = g.node
+            )
+            SELECT group_id, node AS keep_id, q AS keep_score, group_size
+            FROM m WHERE rn = 1 ORDER BY group_id
         """,
         "quality_decile_stats": f"""
             WITH base AS (

@@ -57,7 +57,7 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
 
 
 def l2_assign(df: DataFrame, centroids, vec_col: str = "embedding",
-              out_col: str = "cluster") -> DataFrame:
+              out_col: str = "cluster", dist_col: str | None = None) -> DataFrame:
     """Nearest-centroid assignment as a pure Column expression over FIXED
     literal centroids — the SQL-twinnable form of :func:`kmeans_assign`.
 
@@ -86,7 +86,12 @@ def l2_assign(df: DataFrame, centroids, vec_col: str = "embedding",
         for c in centroids
     ])
     cluster = (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
-    return df.withColumn(out_col, cluster)
+    out = df.withColumn(out_col, cluster)
+    if dist_col is not None:
+        # rounded squared L2 to the assigned centroid — the outlier /
+        # assignment-confidence signal, free from the same dists array
+        out = out.withColumn(dist_col, F.array_min(dists))
+    return out
 
 
 def _min_dist_udf(centroids: np.ndarray):

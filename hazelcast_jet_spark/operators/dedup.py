@@ -674,6 +674,43 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     return labels.select(F.col("node"), F.col("label").alias("group"))
 
 
+def keep_best(df: DataFrame, pairs: DataFrame, score: Column,
+              id_col: str = "doc_id", id_a: str = "id_a",
+              id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Keep-policy over dup groups: instead of blindly keeping the min-id
+    member, keep the BEST-scoring member of each near-dup group (ties →
+    lowest id) — e.g. the highest text.quality_score copy of a
+    boilerplate cluster.  This is the keep/drop decision production
+    pipelines actually want after pairs_to_groups.
+
+    ``score``: a Column evaluated over ``df`` (round it if it must be
+    engine-portable).  Returns one row per group:
+    ``(group_id, keep_id, keep_score, group_size)``.  Docs in no pair
+    are their own implicit groups and are not listed — filter the corpus
+    with an anti-join on (all group members minus keepers) to apply.
+
+    Plan: the connected-components labels join the scored docs once
+    (keyed on id), then ONE window partitioned by group computes the
+    argmax and the size together — no second shuffle.
+    """
+    groups = pairs_to_groups(pairs, id_a, id_b, max_iter)
+    scored = df.select(F.col(id_col).alias("node"), score.alias("__score"))
+    j = groups.join(scored, "node")
+    wp = Window.partitionBy("group")
+    wo = wp.orderBy(F.col("__score").desc(), F.col("node").asc())
+    return (
+        j.withColumn("__rn", F.row_number().over(wo))
+        .withColumn("group_size", F.count(F.lit(1)).over(wp))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("group").alias("group_id"),
+            F.col("node").alias("keep_id"),
+            F.col("__score").alias("keep_score"),
+            "group_size",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash+LSH: dedup a NEW batch against a persisted index
 # ---------------------------------------------------------------------------

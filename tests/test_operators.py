@@ -1169,3 +1169,20 @@ def test_rank_bins_equal_population_and_order(spark):
     import pytest as _p
     with _p.raises(ValueError):
         rank_bins(df, "s", 0, "id")
+
+
+def test_keep_best_argmax_and_ties(spark):
+    """keep_best: per dup group keep the highest score, ties to lowest
+    id; group_size counts every member; unpaired docs don't appear."""
+    from hazelcast_jet_spark.operators.dedup import keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (10, 0.7), (11, 0.2),
+         (99, 1.0)],  # 99 in no pair
+        "doc_id long, s double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r["group_id"]: (r["keep_id"], r["keep_score"], r["group_size"])
+           for r in keep_best(docs, pairs, F.col("s")).collect()}
+    assert got == {1: (2, 0.9, 4),   # 2 and 3 tie at 0.9 → lower id 2
+                   10: (10, 0.7, 2)}

@@ -540,3 +540,79 @@ class KeyedParquetTable:
                     if bdir.startswith(f"{BUCKET_COL}=") and not os.path.isdir(live):
                         os.rename(os.path.join(full, bdir), live)
                 shutil.rmtree(full, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance: small-file compaction + range-clustered layout
+# ---------------------------------------------------------------------------
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 << 20) -> tuple[int, int]:
+    """Small-file compaction for a parquet directory — the maintenance
+    job every incrementally-written table needs (each streaming epoch /
+    CDC batch appends files; after a while a scan opens thousands of
+    tiny footers and the NameNode/object store melts).
+
+    Rewrites the directory into ``ceil(total_bytes / target_file_bytes)``
+    files via a fresh shuffle-free coalesce when shrinking (or a round-
+    robin repartition when files must grow), using the same
+    write-new-then-swap discipline as KeyedParquetTable: the compacted
+    copy is fully durable in a sibling temp dir BEFORE the live dir is
+    replaced, so a crash leaves the table wholly old or wholly new.
+
+    Returns ``(files_before, files_after)``.  Paths are driver-local
+    (the same scope as KeyedParquetTable); on an object store run the
+    equivalent rewrite through your table format's compaction instead.
+    """
+    import math
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_target) if n_target <= len(files) else \
+        df.repartition(n_target)
+    tmp = path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    trash = path.rstrip("/") + ".compact-trash"
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    n_after = sum(
+        1 for dp, _d, fs in os.walk(path)
+        for f in fs if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    return len(files), n_after
+
+
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                    num_files: int | None = None,
+                    mode: str = "overwrite") -> None:
+    """Range-clustered parquet layout for data-skipping scans: rows are
+    range-partitioned AND sorted on ``cluster_cols``, so each output
+    file covers a narrow, near-disjoint value range and parquet
+    row-group min/max statistics let a filtered scan skip whole files —
+    the poor-man's Z-ORDER for the single-dimension case, and the layout
+    every time/id-filtered 100 TB table wants.
+
+    One range exchange + in-partition sort (no global sort barrier);
+    ``num_files`` defaults to the session's default parallelism.
+    """
+    if not cluster_cols:
+        raise ValueError("need at least one cluster column")
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in cluster_cols]
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

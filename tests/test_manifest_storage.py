@@ -200,3 +200,56 @@ def test_time_travel_gc_raises_clearly(spark, tmp_path):
     r = KeyedParquetTable(str(tmp_path / "rn"), ["id"], 4)
     with pytest.raises(ValueError, match="manifest"):
         r.read(spark, version=1)
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    """compact_parquet: many tiny files -> few target-size files, same
+    rows, write-then-swap (no live dir mutation before the copy is
+    durable)."""
+    from hazelcast_jet_spark.storage import compact_parquet
+
+    path = str(tmp_path / "tiny")
+    spark.range(0, 10_000).repartition(40).write.parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = compact_parquet(spark, path,
+                                        target_file_bytes=128 << 20)
+    assert n_before >= 40 and n_after < n_before and n_after >= 1
+    df = spark.read.parquet(path)
+    assert df.count() == before_rows
+    assert set(r["id"] for r in df.collect()) == set(range(10_000))
+    import pytest as _p
+    with _p.raises(ValueError):
+        compact_parquet(spark, str(tmp_path / "missing"))
+
+
+def test_write_clustered_ranges_are_disjoint(spark, tmp_path):
+    """write_clustered: per-file min/max ranges on the cluster column are
+    near-disjoint, so parquet stats can skip whole files for a range
+    filter."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from hazelcast_jet_spark.storage import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).selectExpr(
+        "pmod(id * 2654435761, 100000) AS k", "id AS v")
+    write_clustered(df, path, ["k"], num_files=8)
+    ranges = []
+    for dp, _d, fs in _os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(_os.path.join(dp, f)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(0)
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+                ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range partitioning → file ranges do not overlap
+    # and the table still reads complete
+    assert spark.read.parquet(path).count() == 100_000

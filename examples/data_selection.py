@@ -1,0 +1,68 @@
+"""Training-data SELECTION pipeline — the curation half that follows
+dedup (round-5 operators):
+
+1. DSIR importance weights (operators/importance.dsir_weights, Xie et
+   al. 2023): score every raw doc by hashed-bigram log-likelihood ratio
+   against a target subset — "more like this" selection,
+2. quality deciles (operators/profile.rank_bins over
+   text.quality_score): equal-population curriculum buckets,
+3. keep-best dedup (operators/dedup.keep_best): each near-dup group
+   keeps its highest-quality member instead of blind min-id,
+4. range-clustered output layout (storage.write_clustered): the final
+   mix lands sorted/clustered by doc_id so downstream filtered scans
+   skip whole files.
+
+Run: python examples/data_selection.py [sf_dir]
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark import get_spark, load_table
+from hazelcast_jet_spark.operators import dedup, text
+from hazelcast_jet_spark.operators.importance import dsir_weights
+from hazelcast_jet_spark.operators.profile import rank_bins
+from hazelcast_jet_spark.storage import write_clustered
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+spark = get_spark("example-data-selection")
+
+docs = load_table(spark, sf_dir, "documents")
+
+# 1. importance weights: target = docs tagged English
+weights = dsir_weights(docs, F.col("lang") == "en")
+print("top docs by importance weight (most target-like):")
+weights.orderBy(F.col("weight").desc()).show(5)
+
+# 2. quality curriculum deciles
+scored = docs.select(
+    "doc_id", F.round(text.quality_score("text"), 6).alias("q"))
+deciles = rank_bins(scored, "q", 10, "doc_id", bin_col="decile")
+print("docs per quality decile:")
+deciles.groupBy("decile").count().orderBy("decile").show()
+
+# 3. keep the best copy of every near-dup group
+pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+winners = dedup.keep_best(docs, pairs, F.round(text.quality_score("text"), 6))
+print("dup groups and their quality winners:")
+winners.show(5)
+
+# docs to drop = group members that are not the winner
+members = dedup.pairs_to_groups(pairs).select("node")
+keepers = winners.select(F.col("keep_id").alias("node"))
+drops = members.exceptAll(keepers)
+selected = docs.join(drops.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left_anti")
+print(f"selected {selected.count()} of {docs.count()} docs after keep-best")
+
+# 4. write the selection range-clustered by doc_id for skippable scans
+out = os.path.join(tempfile.mkdtemp(prefix="data_selection_"), "selected")
+write_clustered(selected.select("doc_id", "lang", "source", "text"),
+                out, ["doc_id"], num_files=4)
+print("clustered output:", out, "->",
+      spark.read.parquet(out).count(), "rows")

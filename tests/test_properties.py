@@ -387,3 +387,84 @@ def test_sliding_agg_matches_python_model(spark, rows, n_frames, slide):
             n0, s0 = want.get(key, (0, 0))
             want[key] = (n0 + 1, s0 + v)
     assert got == want
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 6),                 # user
+        st.sampled_from(["a", "b", "c"]),  # stage type
+        st.integers(0, 50),                # second offset
+    ),
+    min_size=1, max_size=60,
+)
+
+
+@given(events=FUNNEL_EVENTS)
+@SLOW
+def test_funnel_counts_match_python_model(spark, events):
+    """funnel_counts vs an independent greedy earliest-completion model
+    over arbitrary event streams (ties and repeats included)."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, s, t0 + dt.timedelta(seconds=sec)) for u, s, sec in events]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["stage"]: r["n_keys"]
+           for r in funnel_counts(df, ["a", "b", "c"]).collect()}
+
+    stages = ["a", "b", "c"]
+    counts = [0, 0, 0]
+    users = {u for u, _, _ in events}
+    for u in users:
+        evs = [(s, sec) for uu, s, sec in events if uu == u]
+        prev = None
+        for i, stage in enumerate(stages):
+            cand = [sec for s, sec in evs
+                    if s == stage and (prev is None or sec > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    assert got == {i + 1: c for i, c in enumerate(counts)}
+
+
+PAIR_SETS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=25,
+)
+
+
+@given(pairs=PAIR_SETS, scores=st.lists(st.integers(0, 5), min_size=16, max_size=16))
+@SLOW
+def test_keep_best_matches_union_find_model(spark, pairs, scores):
+    """keep_best vs union-find + per-group argmax (ties → lowest id)."""
+    from hazelcast_jet_spark.operators.dedup import keep_best
+
+    docs = spark.createDataFrame(
+        [(i, float(scores[i])) for i in range(16)], "doc_id long, s double")
+    pdf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "id_a long, id_b long")
+    got = {r["group_id"]: (r["keep_id"], r["group_size"])
+           for r in keep_best(docs, pdf, F.col("s")).collect()}
+
+    parent = list(range(16))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    nodes = {n for p in pairs for n in p}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    want = {}
+    for g, members in groups.items():
+        best = max(members, key=lambda n: (scores[n], -n))
+        want[min(members)] = (best, len(members))
+    assert got == want

@@ -2175,6 +2175,30 @@ def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus quality gate: the Gopher rules applied on a real
+    document stream (readStream → map-only JVM flag expressions →
+    complete-mode agg by lang) — the live-ingestion filter shape.
+    availableNow on bounded input makes the counts deterministic, so the
+    batch SQL twin is the exact oracle."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    d = read_stream_table(spark, sf_dir, "documents")
+    q = d.select(
+        "lang",
+        text.gopher_quality_flags(
+            "text", min_words=20, max_words=1000,
+            min_mean_word_len=3.0, max_mean_word_len=10.0,
+            max_symbol_ratio=0.1, min_stopword_hits=2,
+        ).alias("q"),
+    )
+    agg_df = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("q.pass").cast("bigint")).alias("n_pass"),
+    )
+    return run_to_batch(agg_df, "complete").orderBy("lang")
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-policy over near-dup groups (operators/dedup.keep_best): each
     exact-Jaccard dup group keeps its highest-quality member (rounded
@@ -2544,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_decile_stats": quality_decile_stats,
         "dedup_keep_best": dedup_keep_best,
         "embedding_outlier_stats": embedding_outlier_stats,
+        "streaming_quality_gate": streaming_quality_gate,
         # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
@@ -2589,9 +2614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
         "incremental_minhash_dedup": incremental_minhash_dedup,
-        "table_profile": table_profile,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "table_profile": table_profile,
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
         "sliding_distinct_users": sliding_distinct_users,
@@ -4457,6 +4482,32 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "streaming_quality_gate": f"""
+            WITH f AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_sym,
+                       length(text) AS n_chars,
+                       len(list_intersect(
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          t -> lower(t)),
+                           {_STOPWORDS_SQL})) AS sw_hits
+                FROM documents
+            ), r AS (
+                SELECT lang,
+                       (n_tok >= 20 AND n_tok <= 1000
+                        AND n_alpha / greatest(n_tok, 1) >= 3.0
+                        AND n_alpha / greatest(n_tok, 1) <= 10.0
+                        AND n_sym / greatest(n_chars, 1) <= 0.1
+                        AND sw_hits >= 2) AS ok
+                FROM f
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM r GROUP BY lang ORDER BY lang
         """,
         "embedding_outlier_stats": f"""
             WITH d AS (

@@ -52,6 +52,7 @@ def main() -> None:
     stream_rps = _stream_window_probe(spark)
     stream_map_rps = _stream_map_probe(spark)
     stream_q5_rps = _stream_q5_probe(spark)
+    latency_ms = _stream_latency_probe(spark)
 
     total = round(sum(timings.values()), 4)
     # Full per-query map first (long line, for humans / full-log capture) ...
@@ -77,6 +78,7 @@ def main() -> None:
         # v2 = rate-micro-batch fixed batches + peak-batch rate (r4 change;
         # v1 open-throttle numbers from r1-r3 are NOT comparable)
         "stream_probe_version": 2,
+        "stream_latency_ms_median": latency_ms,
         "queries": slowest,
     }))
 
@@ -214,6 +216,32 @@ def _stream_q5_probe(spark, seconds: float = 12.0) -> float:
     ]
     q.stop()
     return round(max(rates), 1) if rates else 0.0
+
+
+def _stream_latency_probe(spark, seconds: float = 10.0) -> float:
+    """Honest micro-batch latency grain: at LOW load (far from
+    saturation), the median batchDuration of a stateless map pipeline is
+    the floor on event-to-emission latency Spark's micro-batch model can
+    offer.  The reference claims single-digit-ms per-event latency
+    (BASELINE.md) — a per-event engine; this records our divergence as a
+    number instead of prose.  Methodology: rate source at 10k rows/s,
+    default trigger, median over the completed batches after the first."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 10_000)
+        .load()
+        .select("value", (F.col("value") % 1000).alias("k"))
+    )
+    q = df.writeStream.format("noop").outputMode("append").start()
+    time.sleep(seconds)
+    prog = list(q.recentProgress)
+    q.stop()
+    durs = sorted(p["batchDuration"] for p in prog[1:] if p["batchDuration"] > 0)
+    if not durs:
+        return 0.0
+    return round(float(durs[len(durs) // 2]), 1)
 
 
 if __name__ == "__main__":

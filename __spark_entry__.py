@@ -2175,6 +2175,20 @@ def embedding_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cut_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of substring dedup (dedup.cut_duplicated_spans; Lee
+    et al. 2022): tokens covered by an 8-token window appearing verbatim
+    in another document are REMOVED, the document survives.  Oracle
+    replays the same hash/df/mask pipeline in list SQL and fingerprints
+    the surviving text."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.cut_duplicated_spans(d, k=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_kept",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
 def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING corpus quality gate: the Gopher rules applied on a real
     document stream (readStream → map-only JVM flag expressions →
@@ -2569,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "embedding_outlier_stats": embedding_outlier_stats,
         "streaming_quality_gate": streaming_quality_gate,
+        "cut_dup_spans_docs": cut_dup_spans_docs,
         # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
@@ -2613,9 +2628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": bloom_semi_join_orders,
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
-        "incremental_minhash_dedup": incremental_minhash_dedup,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== a green row from r4 (single) or >= 2 green rows ===============
+        "incremental_minhash_dedup": incremental_minhash_dedup,
         "table_profile": table_profile,
         "value_histogram": value_histogram,
         "sliding_agg_incremental": sliding_agg_incremental,
@@ -4482,6 +4497,51 @@ def oracle_sql() -> dict[str, str]:
                     AS nulls_o_custkey,
                 (SELECT count(*) - count(o_totalprice) FROM orders)
                     AS nulls_o_totalprice
+        """,
+        "cut_dup_spans_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ), g AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= 8 THEN
+                           list_transform(generate_series(1, len(t) - 7),
+                               i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))
+                       ELSE CAST([] AS VARCHAR[])
+                       END AS hs
+                FROM toks
+            ), s AS (
+                SELECT doc_id, unnest(list_distinct(hs)) AS h FROM g
+            ), f AS (
+                SELECT h, count(*) AS df FROM s GROUP BY h
+            ), d AS (
+                SELECT doc_id, list(h) AS dup_hs
+                FROM (SELECT s.doc_id, s.h FROM s JOIN f USING (h)
+                      WHERE df > 1)
+                GROUP BY doc_id
+            ), m AS (
+                SELECT g.doc_id, g.t,
+                       list_transform(g.hs,
+                           h -> list_contains(COALESCE(d.dup_hs,
+                                                       CAST([] AS VARCHAR[])), h))
+                           AS flags,
+                       len(g.hs) AS W
+                FROM g LEFT JOIN d USING (doc_id)
+            ), kept AS (
+                SELECT doc_id, t,
+                       list_filter(generate_series(1, len(t)),
+                           j -> len(list_filter(
+                                    flags[greatest(j - 7, 1):least(j, W)],
+                                    fl -> fl)) = 0) AS kidx
+                FROM m
+            )
+            SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+                   CAST(len(kidx) AS INT) AS n_kept,
+                   -- array_to_string([]) is NULL in DuckDB; a fully-cut doc
+                   -- must fingerprint the empty string like Spark concat_ws
+                   md5(COALESCE(
+                       array_to_string(list_transform(kidx, j -> t[j]), ' '),
+                       '')) AS clean_fp
+            FROM kept ORDER BY doc_id
         """,
         "streaming_quality_gate": f"""
             WITH f AS (

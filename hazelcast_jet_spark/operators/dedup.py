@@ -594,6 +594,85 @@ def dup_span_stats(
     )
 
 
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> DataFrame:
+    """The CUT step of substring dedup (Lee et al. 2022): remove from
+    each document every token covered by a ``k``-token window that
+    appears verbatim in at least one OTHER document — keep the document,
+    drop the boilerplate span.  A duplicated substring of length ≥ k is
+    exactly the union of its duplicated k-windows, so "token covered by
+    ≥1 duplicated window" reproduces the paper's span removal at token
+    granularity.
+
+    Shape: same (hash, id) long-only shuffle as :func:`dup_span_stats`
+    for document frequency, then each doc's few duplicated hashes come
+    back as one bounded ``collect_set`` and the span masking runs as
+    array higher-order functions doc-locally (no second pass over the
+    corpus text).  Docs shorter than ``k`` tokens have no window and are
+    returned unchanged.
+
+    Returns ``(id_col, n_tokens, n_kept, clean_text)`` where
+    ``clean_text`` is the normalized surviving text (kept tokens joined
+    by one space).
+    """
+    from .text import normalize_text
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("t"))
+    n = F.size("t")
+    hash_at = lambda i: F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12),
+        16, 10).cast("bigint")
+    grams = toks.select(
+        "id", "t",
+        F.when(n >= k,
+               F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                           lambda i: hash_at(i)))
+        .otherwise(F.array().cast("array<bigint>")).alias("hs"),
+    )
+    spans = grams.select("id", F.explode(F.array_distinct("hs")).alias("h"))
+    docfreq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup_per_doc = (
+        spans.join(docfreq, "h")
+        .filter(F.col("df") > 1)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("dup_hs"))
+    )
+    j = grams.join(dup_per_doc, "id", "left").withColumn(
+        "dup_hs", F.coalesce("dup_hs", F.array().cast("array<bigint>")))
+    # flags[s] = window starting at 0-based s is duplicated
+    flags = F.transform("hs", lambda h: F.array_contains("dup_hs", h))
+    # 0-based token i is cut iff ANY window start s in
+    # [max(0, i-k+1), min(i, W-1)] is flagged (W = n-k+1 windows)
+    W = F.size("hs")
+    idx = F.transform("t", lambda x, i: F.struct(x.alias("x"), i.alias("i")))
+    lo = lambda i: F.greatest(i - (k - 1), F.lit(0))
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.slice(F.col("__flags"),
+                    lo(s["i"]) + 1,
+                    F.least(s["i"], W - 1) - lo(s["i"]) + 1),
+            lambda f: f,
+        ),
+    )
+    return (
+        j.withColumn("__flags", flags)
+        .select(
+            F.col("id").alias(id_col),
+            F.size("t").alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            F.concat_ws(" ", F.transform(kept, lambda s: s["x"]))
+            .alias("clean_text"),
+        )
+    )
+
+
 def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                     max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: turn the pair lists the

@@ -1186,3 +1186,34 @@ def test_keep_best_argmax_and_ties(spark):
            for r in keep_best(docs, pairs, F.col("s")).collect()}
     assert got == {1: (2, 0.9, 4),   # 2 and 3 tie at 0.9 → lower id 2
                    10: (10, 0.7, 2)}
+
+
+def test_cut_duplicated_spans_semantics(spark):
+    """cut_duplicated_spans (Lee et al. 2022 CUT step): tokens covered by
+    a k-window shared with ANOTHER doc are removed; within-doc repeats
+    alone don't cut; short docs pass through unchanged."""
+    from hazelcast_jet_spark.operators.dedup import cut_duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h"),              # shares "c d e" with doc 2
+        (2, "x y c d e z w q"),
+        (3, "totally unique words here now"),
+        (4, "rep rep rep rep rep rep"),      # within-doc repeats only
+        (5, "sh ort"),                       # < k tokens → no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["clean_text"])
+           for r in cut_duplicated_spans(df, k=3).collect()}
+    assert got[1] == (8, 5, "a b f g h")
+    assert got[2] == (8, 5, "x y z w q")
+    assert got[3] == (5, 5, "totally unique words here now")
+    assert got[4] == (6, 6, "rep rep rep rep rep rep")
+    assert got[5] == (2, 2, "sh ort")
+
+    # a doc fully contained in another is fully cut
+    df2 = spark.createDataFrame(
+        [(1, "p q r s"), (2, "zz p q r s yy")], "doc_id long, text string")
+    got2 = {r["doc_id"]: (r["n_kept"], r["clean_text"])
+            for r in cut_duplicated_spans(df2, k=3).collect()}
+    assert got2[1] == (0, "")
+    assert got2[2] == (2, "zz yy")

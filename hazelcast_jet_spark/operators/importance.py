@@ -76,6 +76,11 @@ def dsir_weights(
         target_pred.cast("boolean").alias("__is_target"),
         F.split(normalize_text(text_col), " ").alias("__t"),
     )
+    # pairs feeds BOTH the model aggregate and the scoring join — persist
+    # so the corpus normalize/ngram/md5 pipeline executes once, not twice
+    # (the dedup LRU registry bounds cache lifetime across queries)
+    from hazelcast_jet_spark.operators.dedup import _register_cache
+
     pairs = (
         toks.filter(F.size("__t") >= n)
         .select(
@@ -86,7 +91,9 @@ def dsir_weights(
             id_col, "__is_target",
             F.substring(F.md5("__gram"), 1, bucket_hex).alias("__bucket"),
         )
+        .persist()
     )
+    _register_cache(pairs)
     counts = pairs.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__c_raw"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__c_tgt"),

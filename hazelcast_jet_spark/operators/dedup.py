@@ -628,13 +628,16 @@ def cut_duplicated_spans(
     hash_at = lambda i: F.conv(
         F.substring(F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12),
         16, 10).cast("bigint")
+    # grams feeds three branches (df count, dup join, final masking) —
+    # persist so the tokenize + per-window md5 pipeline runs once
     grams = toks.select(
         "id", "t",
         F.when(n >= k,
                F.transform(F.sequence(F.lit(1), n - (k - 1)),
                            lambda i: hash_at(i)))
         .otherwise(F.array().cast("array<bigint>")).alias("hs"),
-    )
+    ).persist()
+    _register_cache(grams)
     spans = grams.select("id", F.explode(F.array_distinct("hs")).alias("h"))
     docfreq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     dup_per_doc = (

@@ -117,6 +117,35 @@ def rank_bins(df: DataFrame, score_col: str, n_bins: int,
     return df.withColumn(bin_col, F.ntile(n_bins).over(w).cast("int"))
 
 
+def rank_bins_approx(df: DataFrame, score_col: str, n_bins: int,
+                     bin_col: str = "bin",
+                     accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB path of :func:`rank_bins`: ONE pass computes
+    approximate quantile edges (``approx_percentile`` — bounded-state
+    GK sketch, map-side combined), then binning is a map-only expression
+    against the broadcast edge literals — no global sort, no
+    single-partition window.
+
+    Bins approximate equal population to the sketch's rank accuracy
+    (±n/accuracy rows per edge); boundary-tied rows may land one bin off
+    the exact ntile.  Same 1-based bin ids.
+    """
+    if n_bins <= 0:
+        raise ValueError("need n_bins > 0")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = df.agg(
+        F.expr(
+            f"approx_percentile({score_col}, array({', '.join(map(str, probs))}),"
+            f" {accuracy})"
+        ).alias("e")
+    ).collect()[0]["e"]
+    v = F.col(score_col)
+    b = F.lit(1)
+    for i, edge in enumerate(edges_row, start=2):
+        b = F.when(v > F.lit(edge), F.lit(i)).otherwise(b)
+    return df.withColumn(bin_col, b.cast("int"))
+
+
 def referential_orphans(child: DataFrame, parent: DataFrame,
                         fk: str, pk: str | None = None) -> DataFrame:
     """Rows of ``child`` whose foreign key has no match in ``parent``

@@ -1217,3 +1217,30 @@ def test_cut_duplicated_spans_semantics(spark):
             for r in cut_duplicated_spans(df2, k=3).collect()}
     assert got2[1] == (0, "")
     assert got2[2] == (2, "zz yy")
+
+
+def test_rank_bins_approx_matches_exact_within_tolerance(spark):
+    """rank_bins_approx (the no-global-sort 100 TB path): map-only
+    binning against approx_percentile edges — bin populations within
+    sketch tolerance of the exact ntile, ordering preserved, and the
+    plan contains NO Window (the exact form's single-partition sort)."""
+    from hazelcast_jet_spark.operators.profile import rank_bins, rank_bins_approx
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "CAST(pmod(id * 2654435761, 99991) AS DOUBLE) AS s")
+    exact = rank_bins(df, "s", 10, "id").groupBy("bin").count().collect()
+    approx = rank_bins_approx(df, "s", 10, accuracy=10_000)
+    ap = approx.groupBy("bin").count().collect()
+    exact_n = {r["bin"]: r["count"] for r in exact}
+    ap_n = {r["bin"]: r["count"] for r in ap}
+    assert set(ap_n) == set(range(1, 11))
+    for b in range(1, 11):
+        assert abs(ap_n[b] - exact_n[b]) <= 20_000 // 100, (b, ap_n[b], exact_n[b])
+    # monotone: max score of bin b <= min score of bin b+1
+    stats = {r["bin"]: (r["lo"], r["hi"]) for r in
+             approx.groupBy("bin").agg(F.min("s").alias("lo"),
+                                       F.max("s").alias("hi")).collect()}
+    for b in range(1, 10):
+        assert stats[b][1] <= stats[b + 1][0]
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

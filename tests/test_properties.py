@@ -468,3 +468,38 @@ def test_keep_best_matches_union_find_model(spark, pairs, scores):
         best = max(members, key=lambda n: (scores[n], -n))
         want[min(members)] = (best, len(members))
     assert got == want
+
+
+CORPUS = st.lists(
+    st.lists(st.sampled_from(list("abcde")), min_size=1, max_size=12),
+    min_size=2, max_size=8,
+)
+
+
+@given(corpus=CORPUS)
+@SLOW
+def test_cut_duplicated_spans_matches_python_model(spark, corpus):
+    """cut_duplicated_spans vs a direct Python model: token i survives
+    iff NO k-window covering it appears (as a token tuple) in another
+    document."""
+    from hazelcast_jet_spark.operators.dedup import cut_duplicated_spans
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_kept"], r["clean_text"])
+           for r in cut_duplicated_spans(df, k=k).collect()}
+
+    windows = {}  # tuple -> set of docs
+    for i, toks in enumerate(corpus):
+        for s in range(len(toks) - k + 1):
+            windows.setdefault(tuple(toks[s:s + k]), set()).add(i)
+    want = {}
+    for i, toks in enumerate(corpus):
+        w = len(toks) - k + 1
+        dup_starts = [s for s in range(max(w, 0))
+                      if len(windows[tuple(toks[s:s + k])]) > 1]
+        kept = [t for j, t in enumerate(toks)
+                if not any(s <= j <= s + k - 1 for s in dup_starts)]
+        want[i] = (len(kept), " ".join(kept))
+    assert got == want

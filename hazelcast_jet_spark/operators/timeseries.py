@@ -50,7 +50,8 @@ def _epoch_seconds(df: DataFrame, time_col: str) -> Column:
 
 def funnel_counts(df: DataFrame, stages: list[str],
                   key_col: str = "user_id", time_col: str = "ts",
-                  type_col: str = "event_type") -> DataFrame:
+                  type_col: str = "event_type",
+                  within_seconds: int | None = None) -> DataFrame:
     """Ordered-funnel conversion counts: how many keys reached stage i —
     meaning events of ``stages[0..i]`` exist at strictly increasing
     times (the earliest-completion semantics of product funnel
@@ -62,6 +63,10 @@ def funnel_counts(df: DataFrame, stages: list[str],
     ``key_col``, so one hash partitioning serves every step, and each
     join's probe side is pre-filtered to a single event type.  The final
     per-stage counts collapse to one row per stage (stack — map-only).
+
+    ``within_seconds`` bounds the WHOLE conversion: every later stage
+    must complete within that many seconds of the stage-0 completion
+    time (the "converted within 24h" product metric).
 
     Returns ``(stage INT 1-based, <type_col>, n_keys)``.
     """
@@ -75,10 +80,15 @@ def funnel_counts(df: DataFrame, stages: list[str],
     for i, s in enumerate(stages[1:], 1):
         nxt = (
             base.filter(F.col(type_col) == s)
-            .join(acc.select(key_col, f"t{i-1}"), key_col)
+            .join(acc.select(key_col, f"t{i-1}",
+                             *(["t0"] if i > 1 else [])), key_col)
             .filter(F.col(time_col) > F.col(f"t{i-1}"))
-            .groupBy(key_col).agg(F.min(time_col).alias(f"t{i}"))
         )
+        if within_seconds is not None:
+            nxt = nxt.filter(
+                F.col(time_col)
+                <= F.col("t0") + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+        nxt = nxt.groupBy(key_col).agg(F.min(time_col).alias(f"t{i}"))
         acc = acc.join(nxt, key_col, "left")
     counts = acc.agg(*[
         F.count(f"t{i}").alias(f"n{i}") for i in range(len(stages))

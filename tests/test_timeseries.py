@@ -377,3 +377,26 @@ def test_funnel_counts_ordering_semantics(spark):
     got = {(r["stage"], r["event_type"]): r["n_keys"]
            for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
     assert got == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}
+
+
+def test_funnel_counts_within_horizon(spark):
+    """within_seconds bounds the WHOLE conversion relative to stage-0
+    completion; the unbounded funnel still counts it."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(9)),   # in
+        (2, "view", t(0)), (2, "click", t(5)), (2, "purchase", t(60)),  # late purchase
+        (3, "view", t(0)), (3, "click", t(40)), (3, "purchase", t(50)), # late click
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["stage"]: r["n_keys"]
+           for r in funnel_counts(df, ["view", "click", "purchase"],
+                                  within_seconds=10).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+    unbounded = {r["stage"]: r["n_keys"]
+                 for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert unbounded == {1: 3, 2: 3, 3: 3}

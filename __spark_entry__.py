@@ -2350,6 +2350,31 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_RATE = 0.5
+
+
+def weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted Bernoulli sampling (operators/sampling.
+    weighted_sample): each doc kept with probability min(1, rate·w) —
+    the selection step downstream of DSIR-style importance weights.
+    Map-only: the keep decision is a string compare between the row's
+    md5-prefix uniform and a hex-rendered per-row threshold, identical
+    in any engine (no rand()).  The weight here is an exact-binary
+    function of n_chars ((n%7+1)/4 ∈ {{.25…1.75}}) so threshold doubles
+    are bit-equal across engines by construction."""
+    from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 7 + 1) / 4.0
+    out = weighted_sample(d, WSAMPLE_RATE, w, "doc_id", seed="w0")
+    return (
+        out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
 def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi join (operators/joins.bloom_semi_join): orders
     of BUILDING-segment customers, pre-filtered by a Bloom whose j=3 bit
@@ -2719,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
+        # ===== new in r5 session 3 (first driver window slot: r6) ===========
+        "weighted_sample_counts": weighted_sample_counts,
     }
 
 
@@ -4853,5 +4880,22 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_max_5
             FROM e
             ORDER BY user_id, seq
+        """,
+        "weighted_sample_counts": f"""
+            WITH s AS (
+                SELECT source, n_chars,
+                       greatest(0.0, least(1.0,
+                           ((n_chars % 7 + 1) / 4.0) * {WSAMPLE_RATE})) AS p,
+                       substr(md5('w0' || CAST(doc_id AS VARCHAR)), 1, 6) AS u
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
+            FROM s
+            WHERE p >= 1.0
+               OR u < lpad(lower(to_hex(
+                       CAST(floor(p * 16777216.0) AS BIGINT))), 6, '0')
+            GROUP BY source ORDER BY source
         """,
     }

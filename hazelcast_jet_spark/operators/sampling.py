@@ -202,3 +202,43 @@ def split_by_key(df: DataFrame, key_col: str, fractions: dict[str, float],
         expr = F.when((prefix >= F.lit(lo_hex)) & (prefix < F.lit(hi_hex)),
                       F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(df: DataFrame, rate: float, weight: Column | str,
+                    key_col: str, seed: str = "s0") -> DataFrame:
+    """Importance-weighted Bernoulli sampling: keep each row with
+    probability ``min(1, rate × weight)`` — the selection step that
+    consumes :func:`~hazelcast_jet_spark.operators.importance.dsir_weights`
+    -style scores (sample high-value documents proportionally more,
+    boilerplate proportionally less, with expected kept mass
+    ``rate × Σ min(weight, 1/rate)``).
+
+    Deterministic and engine-portable like everything in this module:
+    the per-row uniform is the 6-hex-digit md5 prefix, and the per-row
+    threshold is rendered AS A HEX STRING (``lpad(hex(floor(p·16⁶)))``)
+    so the keep decision is a pure string comparison both Spark and a
+    SQL oracle evaluate identically — no float RNG, no engine rand().
+    Weights must be reproducible doubles (derived from row columns by
+    IEEE arithmetic); NULL or negative weights never keep.
+
+    Map-only: no shuffle, no join — the CASE/compare pushes into the
+    scan.  Composes with :func:`split_by_key` (split first, then weight-
+    sample within the train split) and :func:`deterministic_shuffle`.
+    """
+    if rate < 0.0:
+        raise ValueError(f"rate must be >= 0, got {rate}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    # clamp to [0, 1]: a negative p would hex-render as two's-complement
+    # 'ffff…' and keep nearly everything.  NULL needs an explicit guard —
+    # least/greatest SKIP nulls (both engines), so least(1.0, NULL) is 1.0
+    # and an unguarded NULL weight would keep every row
+    raw = w * F.lit(float(rate))
+    p = F.when(raw.isNull(), F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)))
+    # floor(p·16⁶) truncated to bigint (p ≥ 0 so cast == floor), rendered
+    # as a 6-digit lowercase hex threshold; p == 1 keeps unconditionally
+    # (the string compare alone would lose the single 'ffffff' row)
+    thr = F.lpad(F.lower(F.hex((p * F.lit(float(_SPACE))).cast("bigint"))),
+                 _HEX_DIGITS, "0")
+    u = _hash_prefix(F.col(key_col), seed)
+    return df.filter((p >= 1.0) | (u < thr))

@@ -198,3 +198,46 @@ def test_quota_prefilter_keeps_null_quota_group(spark):
     e_rows = sorted(map(tuple, exact.collect()))
     assert f_rows == e_rows
     assert sum(1 for _, s in f_rows if s is None) == 4  # NULL group capped too
+
+
+def test_weighted_sample_proportional_and_clamped(spark, docs):
+    """Keep rate tracks min(1, rate*w) per weight band; w<=0 and NULL
+    never keep; w*rate>=1 keeps unconditionally."""
+    from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+    # four weight bands: 0.0, 0.5, 1.0, 3.0 at rate 0.5 → p = 0, .25, .5, 1
+    d = docs.withColumn(
+        "w",
+        F.element_at(F.array(F.lit(0.0), F.lit(0.5), F.lit(1.0), F.lit(3.0)),
+                     (F.col("doc_id") % 4 + 1).cast("int")))
+    out = weighted_sample(d, 0.5, "w", "doc_id", seed="ws")
+    got = {r.w: r["count"] for r in out.groupBy("w").count().collect()}
+    assert 0.0 not in got                 # p=0 band: nothing kept
+    assert 80 < got[0.5] < 170            # ~125 of 500
+    assert 190 < got[1.0] < 310           # ~250 of 500
+    assert got[3.0] == 500                # p=1 band: everything kept
+    # deterministic: repartitioning does not change membership
+    again = weighted_sample(d.repartition(7), 0.5, "w", "doc_id", seed="ws")
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect())
+
+
+def test_weighted_sample_null_and_negative_weights_drop(spark):
+    from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (2, None), (3, 2.0)], "doc_id long, w double")
+    kept = weighted_sample(df, 1.0, "w", "doc_id").collect()
+    assert [r.doc_id for r in kept] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample(df, -0.1, "w", "doc_id")
+
+
+def test_weighted_sample_is_map_only(spark, docs):
+    """The keep decision compiles into the scan stage — no exchange."""
+    from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+    plan = weighted_sample(
+        docs.withColumn("w", F.lit(0.5)), 0.5, "w", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -2519,6 +2519,19 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts (operators/profile.mad_outliers):
+    |x − median| > 3·MAD with both statistics rounded before the compare
+    — 50% breakdown point, so outliers cannot drag their own threshold.
+    Gate runs the exact sort-based percentile; approx_percentile
+    (t-digest partials) is the documented 100 TB path in the same call
+    shape."""
+    from hazelcast_jet_spark.operators.profile import mad_outliers
+
+    e = _t(spark, sf_dir, "events")
+    return mad_outliers(e, "value", "event_type", k=3.0).orderBy("event_type")
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -2746,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_functions": window_rank_functions,
         # ===== new in r5 session 3 (first driver window slot: r6) ===========
         "weighted_sample_counts": weighted_sample_counts,
+        "mad_outlier_stats": mad_outlier_stats,
     }
 
 
@@ -4897,5 +4911,24 @@ def oracle_sql() -> dict[str, str]:
                OR u < lpad(lower(to_hex(
                        CAST(floor(p * 16777216.0) AS BIGINT))), 6, '0')
             GROUP BY source ORDER BY source
+        """,
+        "mad_outlier_stats": """
+            WITH med AS (
+                SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+                FROM events GROUP BY event_type
+            ), mad AS (
+                SELECT e.event_type,
+                       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+                FROM events e JOIN med m USING (event_type)
+                GROUP BY e.event_type
+            )
+            SELECT e.event_type, count(*) AS n, m.med AS med, d.mad AS mad,
+                   CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e
+            JOIN med m USING (event_type)
+            JOIN mad d USING (event_type)
+            GROUP BY e.event_type, m.med, d.mad
+            ORDER BY e.event_type
         """,
     }

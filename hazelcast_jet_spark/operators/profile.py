@@ -184,3 +184,50 @@ def quality_checks(child: DataFrame, parent: DataFrame, fk: str,
         for c in (not_null_cols or [fk])
     ])
     return orphans.crossJoin(dups).crossJoin(nn)
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_col: str,
+                 k: float = 3.0, exact: bool = True,
+                 round_digits: int = 6) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation:
+    a row is an outlier when ``|x - median| > k * MAD`` (MAD = median of
+    ``|x - median|``).  Unlike mean/stddev z-scores, both statistics
+    have a 50% breakdown point, so the outliers themselves cannot drag
+    the threshold — the metric-drift / sensor-glitch monitor shape.
+
+    Returns one row per group: ``(group, n, med, mad, n_outliers)``.
+    Both statistics are rounded to ``round_digits`` BEFORE the
+    ``k·MAD`` comparison, making the outlier set a pure function of the
+    rounded values — deterministic and engine-portable (a SQL oracle
+    computing ``quantile_cont`` + the same rounded compare flags the
+    same rows).
+
+    Scale: two grouped percentile passes + one final count — three
+    shuffles on ``group_col``, with the tiny per-group stats tables
+    broadcast back (no row-side re-shuffle beyond the first hash
+    partitioning; AQE reuses the exchange).  ``exact=True`` uses
+    Spark's sort-based ``percentile`` (per-group state O(|group|) — the
+    oracle-gated form); ``exact=False`` swaps in ``approx_percentile``
+    (t-digest, mergeable partials, bounded state) — the 100 TB path,
+    same call shape, approximation documented rather than hidden.
+    """
+    pct = (lambda c: F.percentile(c, F.lit(0.5))) if exact else \
+        (lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(10000)))
+    x = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.round(pct(x), round_digits).alias("med"))
+    with_med = df.join(F.broadcast(med), group_col)
+    dev = F.abs(x - F.col("med"))
+    mad = with_med.groupBy(group_col).agg(
+        F.round(pct(dev), round_digits).alias("mad"))
+    return (
+        with_med.join(F.broadcast(mad), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.abs(x - F.col("med")) > F.lit(float(k)) * F.col("mad"))
+                  .cast("bigint")).alias("n_outliers"),
+        )
+    )

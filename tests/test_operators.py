@@ -1244,3 +1244,42 @@ def test_rank_bins_approx_matches_exact_within_tolerance(spark):
         assert stats[b][1] <= stats[b + 1][0]
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_mad_outliers_flags_known_outliers(spark):
+    """A tight cluster plus far spikes: MAD threshold flags exactly the
+    spikes; mean/stddev would have been dragged by them."""
+    from hazelcast_jet_spark.operators.profile import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 500, -400]]
+    rows += [("b", float(v)) for v in range(100)]  # uniform: no outliers at k=3
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: r for r in mad_outliers(df, "x", "g", k=3.0).collect()}
+    assert got["a"].n == 7 and got["a"].n_outliers == 2
+    # deviations from med=12: sorted [0,1,1,2,2,412,488] → MAD = 2
+    assert got["a"].med == 12.0 and got["a"].mad == 2.0
+    assert got["b"].n_outliers == 0
+
+
+def test_mad_outliers_approx_path_matches_exact_here(spark):
+    """exact=False (t-digest) equals the exact result on small groups —
+    the call-shape-compatible 100 TB path."""
+    from hazelcast_jet_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(50)] + [("g", 1e6)], "g string, x double")
+    exact = mad_outliers(df, "x", "g", k=3.0).collect()[0]
+    approx = mad_outliers(df, "x", "g", k=3.0, exact=False).collect()[0]
+    assert (exact.n, exact.n_outliers) == (approx.n, approx.n_outliers)
+    assert exact.n_outliers == 1
+
+
+def test_mad_outliers_null_values_counted_not_flagged(spark):
+    from hazelcast_jet_spark.operators.profile import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)], "g string, x double")
+    r = mad_outliers(df, "x", "g").collect()[0]
+    assert r.n == 4            # count(*) includes the NULL row
+    assert r.med == 2.0
+    assert r.n_outliers == 0   # NULL never satisfies the compare

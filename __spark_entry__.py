@@ -369,6 +369,18 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, k=SHINGLE_K, threshold=LSH_THRESHOLD)
 
 
+CONTAIN_THRESHOLD = 0.6
+
+
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (operators/dedup.containment_
+    pairs): |A∩B| / min(|A|,|B|) flags a short doc embedded in a long
+    one — resemblance (Jaccard) structurally misses this (Broder 1997).
+    Same one-shuffle inverted shingle index as the Jaccard gate."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, k=SHINGLE_K, threshold=CONTAIN_THRESHOLD)
+
+
 def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash duplicate buckets (operators/dedup.simhash)."""
     d = _t(spark, sf_dir, "documents")
@@ -2760,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== new in r5 session 3 (first driver window slot: r6) ===========
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
+        "containment_dup_pairs": containment_dup_pairs,
     }
 
 
@@ -4930,5 +4943,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN mad d USING (event_type)
             GROUP BY e.event_type, m.med, d.mad
             ORDER BY e.event_type
+        """,
+        "containment_dup_pairs": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sizes AS (
+                SELECT id, len(sh) AS n FROM base
+            ), inv AS (
+                SELECT id, unnest(sh) AS s FROM base
+            ), common AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+                FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                       AS containment
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+                  >= {CONTAIN_THRESHOLD}
         """,
     }

@@ -262,6 +262,69 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, threshold: float = 0.8,
+                      min_df: int = 1, max_df: int | None = None) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` — the quote / excerpt / boilerplate-
+    wrapper detector.  A short document fully embedded in a long one has
+    containment 1.0 but Jaccard ``|A|/|B|`` (arbitrarily low), so
+    :func:`ngram_jaccard_pairs` structurally cannot find it; training-
+    data dedup needs both lenses (Broder 1997 distinguishes resemblance
+    from containment for exactly this case).
+
+    Same inverted-index shape and 100 TB knobs as
+    :func:`ngram_jaccard_pairs`: one shuffle keyed by shingle, O(Σ df²)
+    candidate join bounded by ``max_df`` (drops boilerplate shingles)
+    and ``min_df`` (singletons can never pair).  Pruning affects
+    candidates only — survivors re-verify on full shingle sets, so
+    emitted containment values are exact.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    ).persist()
+    sizes = base.select("id", F.size("sh").alias("n"))
+    inv = base.select("id", F.explode("sh").alias("s"))
+    pruned = min_df > 1 or max_df is not None
+    if pruned:
+        dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        cond = F.col("_df") >= min_df
+        if max_df is not None:
+            cond = cond & (F.col("_df") <= max_df)
+        inv = inv.join(dfreq.filter(cond).select("s"), "s")
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pruned:
+        sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        _register_cache(base)
+        return (
+            common.select("id_a", "id_b")
+            .join(sh_a, "id_a").join(sh_b, "id_b")
+            .select(
+                "id_a", "id_b",
+                F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 6)
+                .alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+    _register_cache(base)
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("common") / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 #: default signature width: 63 bits is the widest that stays non-negative
 #: in a BIGINT (no sign-bit handling needed on either engine); at 100 TB a
 #: 16-bit space (65k distinct signatures) makes every band bucket

@@ -1283,3 +1283,34 @@ def test_mad_outliers_null_values_counted_not_flagged(spark):
     assert r.n == 4            # count(*) includes the NULL row
     assert r.med == 2.0
     assert r.n_outliers == 0   # NULL never satisfies the compare
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment = 1.0
+    while Jaccard ≈ |A|/|B| stays under its threshold."""
+    from hazelcast_jet_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now")],
+        "doc_id long, text string")
+    cp = containment_pairs(df, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in cp] == [(1, 2, 1.0)]
+    jp = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jp == []  # resemblance lens cannot see the embedding
+
+
+def test_containment_pruned_path_reverifies_exactly(spark):
+    """min_df/max_df pruning changes candidates only — surviving pairs
+    carry the exact containment of the full shingle sets."""
+    from hazelcast_jet_spark.operators.dedup import containment_pairs
+
+    docs = [(i, "shared text body common to all docs plus " + ("x " * i))
+            for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = sorted(map(tuple, containment_pairs(df, threshold=0.7).collect()))
+    pruned = sorted(map(tuple, containment_pairs(
+        df, threshold=0.7, min_df=2).collect()))
+    assert full == pruned and len(full) > 0

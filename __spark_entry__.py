@@ -369,6 +369,49 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, k=SHINGLE_K, threshold=LSH_THRESHOLD)
 
 
+def _pca_fixed_axes(dim: int = 64):
+    """Fixed literal mean + two projection axes over exact dyadic
+    rationals (…/4, …/8 — exactly representable doubles), so every
+    product and the plan-time constant c_j are bit-identical in any
+    IEEE engine.  The FITTED path (clustering.pca_fit) is pinned vs
+    numpy in pytest; the gate scores against fixed axes because a
+    distributed eigendecomposition is float-order-sensitive and the
+    driver hash needs bit equality."""
+    m = [((i % 5) - 2) / 4.0 for i in range(dim)]
+    w1 = [(((i * 7) % 11) - 5) / 8.0 for i in range(dim)]
+    w2 = [(((i * 13 + 3) % 11) - 5) / 8.0 for i in range(dim)]
+    cs = []
+    for w in (w1, w2):
+        c = 0.0
+        for m_i, w_i in zip(m, w):  # same sequential fold as pca_project
+            c += m_i * w_i
+        cs.append(c)
+    return m, w1, w2, cs
+
+
+def pca_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only PCA scoring (operators/clustering.pca_project): each
+    component is Σ v[i]·w[i] − c folded in whole-stage codegen — no
+    shuffle, no broadcast, weights in the task binary.  Per-label
+    spread of the two components via DECIMAL-exact sums."""
+    from hazelcast_jet_spark.operators.clustering import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    m, w1, w2, _ = _pca_fixed_axes()
+    out = pca_project(e, m, [w1, w2], round_digits=9)
+
+    def dec(c):
+        return F.sum(F.col(c).cast("decimal(28,12)")).cast("double")
+
+    return (
+        out.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dec("pc1").alias("sum_pc1"), dec("pc2").alias("sum_pc2"),
+             F.min("pc1").alias("min_pc1"), F.max("pc2").alias("max_pc2"))
+        .orderBy("label")
+    )
+
+
 CONTAIN_THRESHOLD = 0.6
 
 
@@ -2773,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
         "containment_dup_pairs": containment_dup_pairs,
+        "pca_projection_stats": pca_projection_stats,
     }
 
 
@@ -4965,4 +5009,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(common / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
                   >= {CONTAIN_THRESHOLD}
         """,
+        "pca_projection_stats": (lambda m, w1, w2, cs: f"""
+            WITH p AS (
+                SELECT label,
+                       round(list_sum(list_transform(
+                           list_zip(embedding, {w1}),
+                           x -> CAST(x[1] AS DOUBLE) * x[2])) - ({cs[0]!r}), 9)
+                           AS pc1,
+                       round(list_sum(list_transform(
+                           list_zip(embedding, {w2}),
+                           x -> CAST(x[1] AS DOUBLE) * x[2])) - ({cs[1]!r}), 9)
+                           AS pc2
+                FROM embeddings
+            )
+            SELECT label, count(*) AS n,
+                   CAST(SUM(CAST(pc1 AS DECIMAL(28,12))) AS DOUBLE) AS sum_pc1,
+                   CAST(SUM(CAST(pc2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_pc2,
+                   min(pc1) AS min_pc1, max(pc2) AS max_pc2
+            FROM p GROUP BY label ORDER BY label
+        """)(*_pca_fixed_axes()),
     }

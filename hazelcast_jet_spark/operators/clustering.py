@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
-__all__ = ["kmeans_fit", "kmeans_assign", "l2_assign", "train_ivf_centroids"]
+__all__ = ["kmeans_fit", "kmeans_assign", "l2_assign",
+           "train_ivf_centroids", "pca_fit", "pca_project"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -243,3 +244,117 @@ def train_ivf_centroids(
     cent, _ = kmeans_fit(norm, k, vec_col=vec_col, id_col=id_col,
                          max_iter=max_iter, init=init)
     return cent.tolist()
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", n_components: int = 2,
+            n_merge: int = 64):
+    """Distributed PCA fit over an embedding column — corpus drift
+    analysis, visualization axes, and decorrelated features for the
+    similarity operators, computed without ever shuffling a vector.
+
+    Two-level moment aggregation (the RowMatrix Gramian shape):
+
+    1. **map-only partials** — each input partition folds its Arrow
+       batches into ONE ``(n, Σx, Σxxᵀ)`` row (d + d² doubles, numpy),
+       so the exchange carries #partitions tiny rows, not the corpus;
+    2. **salted merge** — partials hash into ``n_merge`` groups, each
+       summed by one task; only ``n_merge`` rows ever reach the driver
+       (at d=64 that is 64 × ~33 KB regardless of corpus size).
+
+    The driver finishes with the d×d eigendecomposition (numpy ``eigh``
+    — d is embedding width, trivially in-memory).  Component signs are
+    fixed deterministically (largest-|loading| element positive, ties →
+    lower index) so repeated runs and different partitionings agree up
+    to float summation order.
+
+    Returns ``(mean, components, explained_var)``: ``components`` is
+    ``n_components × d``, rows ordered by descending eigenvalue.  Feed
+    to :func:`pca_project` (map-only Column expression) to score.
+    """
+    import pandas as pd
+
+    d_probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_probe is None:
+        raise ValueError("pca_fit on an empty DataFrame")
+    dim = d_probe["d"]
+
+    src = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def _partial(batches):
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s], "ss": [ss.ravel()]})
+
+    partials = src.mapInPandas(
+        _partial, "n long, s array<double>, ss array<double>")
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [int(pdf["n"].sum())],
+            "s": [np.sum(np.stack(pdf["s"].to_numpy()), axis=0)],
+            "ss": [np.sum(np.stack(pdf["ss"].to_numpy()), axis=0)],
+        })
+
+    merged = (
+        partials.withColumn(
+            "salt", F.pmod(F.spark_partition_id(), F.lit(n_merge)))
+        .groupBy("salt")
+        .applyInPandas(lambda pdf: _merge(pdf.drop(columns=["salt"])),
+                       "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in merged)
+    s = np.sum([np.asarray(r["s"]) for r in merged], axis=0)
+    ss = np.sum([np.asarray(r["ss"]) for r in merged], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = (ss - np.outer(s, s) / n) / max(n - 1, 1)
+    eigval, eigvec = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(eigval)[::-1][:n_components]
+    comps = eigvec[:, order].T                    # (n_components, d)
+    # deterministic sign: the largest-|loading| element of each component
+    # is made positive (first such index on ties)
+    for j in range(comps.shape[0]):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j][i] < 0:
+            comps[j] = -comps[j]
+    return mean, comps, eigval[order]
+
+
+def pca_project(df: DataFrame, mean, components, vec_col: str = "embedding",
+                out_prefix: str = "pc", round_digits: int | None = None) -> DataFrame:
+    """Score rows against fitted (or fixed literal) PCA axes — map-only.
+
+    Each component is a pure Column expression ``Σ v[i]·w[i] − c`` where
+    ``c = Σ mean[i]·w[i]`` folds to a Python scalar at plan time: the
+    weights travel inside the task binary, the fold runs in whole-stage
+    codegen, nothing shuffles and nothing is broadcast.  With
+    ``round_digits`` the output is a deterministic engine-portable
+    function of the inputs (same sequential fold a SQL twin evaluates) —
+    the convention :func:`l2_assign` uses for its gate.
+    """
+    mean = [float(x) for x in mean]
+    out = df
+    for j, comp in enumerate(components):
+        w = [float(x) for x in comp]
+        c = 0.0
+        for m_i, w_i in zip(mean, w):             # same sequential fold
+            c += m_i * w_i
+        expr = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"),
+                       F.array(*[F.lit(x) for x in w]),
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, y: acc + y,
+        ) - F.lit(c)
+        if round_digits is not None:
+            expr = F.round(expr, round_digits)
+        out = out.withColumn(f"{out_prefix}{j + 1}", expr)
+    return out

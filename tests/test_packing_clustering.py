@@ -292,3 +292,54 @@ def test_farthest_init_recovers_separated_clusters(spark):
     # deterministic: same seeds and objective on a re-run
     c_far2, a_far2 = kmeans_fit(df, k, max_iter=8, init="farthest")
     assert np.allclose(c_far, c_far2)
+
+
+def test_pca_fit_matches_numpy(spark):
+    """Distributed moment aggregation reproduces numpy's covariance PCA
+    (same eigenvectors up to the deterministic sign fix)."""
+    from hazelcast_jet_spark.operators.clustering import pca_fit
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: strong axis ~[1,1,0,0], weak axes elsewhere
+    base = rng.randn(400, 1) @ np.array([[3.0, 3.0, 0.3, 0.1]])
+    x = base + rng.randn(400, 4) * 0.2
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    mean, comps, var = pca_fit(df, n_components=2)
+
+    np_cov = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(np_cov)
+    top = v[:, np.argsort(w)[::-1][:2]].T
+    for j in range(2):
+        i = int(np.argmax(np.abs(top[j])))
+        if top[j][i] < 0:
+            top[j] = -top[j]
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(comps, top, atol=1e-7)
+    assert var[0] > 10 * var[1]  # the planted strong axis dominates
+
+    # partitioning-invariant (summation order differs only in ulps)
+    mean2, comps2, _ = pca_fit(df.repartition(13), n_components=2)
+    assert np.allclose(mean, mean2, atol=1e-12)
+    assert np.allclose(comps, comps2, atol=1e-9)
+
+
+def test_pca_project_is_map_only_and_matches_numpy(spark):
+    from hazelcast_jet_spark.operators.clustering import pca_fit, pca_project
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(100, 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    mean, comps, _ = pca_fit(df, n_components=2)
+    out = pca_project(df, mean, comps)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # scoring never shuffles
+
+    got = {r.vec_id: (r.pc1, r.pc2) for r in out.collect()}
+    want = (x - mean) @ comps.T
+    for i in range(100):
+        assert abs(got[i][0] - want[i][0]) < 1e-9
+        assert abs(got[i][1] - want[i][1]) < 1e-9

@@ -338,6 +338,21 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (operators/text.char_entropy):
+    bits/char of the per-doc character distribution — flags repeated-
+    char spam (≈0) and base64/binary junk (high) that token-level
+    heuristics miss.  Map-only Column expression; per-char −p·ln p
+    terms accumulate in DECIMAL so the value is independent of the
+    engine's distinct-char enumeration order."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text.char_entropy("text").alias("h_bits"),
+    ).orderBy("doc_id")
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (whitespace + BPE-ish regex) per source —
     the training-data token-budget query (operators/text.py)."""
@@ -2817,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_stats": mad_outlier_stats,
         "containment_dup_pairs": containment_dup_pairs,
         "pca_projection_stats": pca_projection_stats,
+        "char_entropy_quality": char_entropy_quality,
     }
 
 
@@ -5028,4 +5044,24 @@ def oracle_sql() -> dict[str, str]:
                    min(pc1) AS min_pc1, max(pc2) AS max_pc2
             FROM p GROUP BY label ORDER BY label
         """)(*_pca_fixed_axes()),
+        "char_entropy_quality": """
+            WITH ch AS (
+                SELECT doc_id,
+                       CAST(length(text) AS INTEGER) AS n_chars,
+                       list_transform(
+                           list_distinct(string_split(text, '')),
+                           c -> len(list_filter(string_split(text, ''),
+                                                x -> x = c))) AS counts
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                       round(CAST(list_sum(list_transform(counts,
+                           cnt -> CAST(-(cnt / CAST(n_chars AS DOUBLE))
+                                       * ln(cnt / CAST(n_chars AS DOUBLE))
+                                   AS DECIMAL(18,12))))
+                           AS DOUBLE) / 0.6931471805599453, 6)
+                   END AS h_bits
+            FROM ch ORDER BY doc_id
+        """,
     }

@@ -453,3 +453,47 @@ def pii_counts(col: Column | str) -> Column:
         F.size(F.regexp_extract_all(c, F.lit(p), 0)).alias(kind)
         for kind, p in PII_PATTERNS.items()
     ])
+
+
+#: ln(2) as the exact double both engines divide by for nats → bits
+_LN2 = 0.6931471805599453
+
+
+def char_entropy(col: Column | str, round_digits: int = 6) -> Column:
+    """Shannon entropy (bits/char) of a document's character
+    distribution — the randomness/boilerplate quality signal: near-zero
+    for repeated-character spam, low for templated boilerplate,
+    anomalously high for base64/binary junk; natural-language prose
+    sits in a stable mid band (used as a cheap pre-filter alongside
+    :func:`gopher_quality_flags`).
+
+    Pure Column expression, map-only, whole-stage codegen: per-char
+    counts via ``transform(array_distinct(chars), c -> count in chars)``
+    — O(len · distinct-chars) per document, fine for web-scale docs
+    (≤ a few KB × ≤ ~100 distinct chars); for very long documents wrap
+    a numpy ``bincount`` in a pandas UDF instead (same result modulo
+    float summation order).
+
+    Engine-portable determinism (the :func:`unigram_lm_score`
+    convention): per-char terms ``-(p·ln p)`` are cast to
+    DECIMAL(18,12) and summed exactly — the result is independent of
+    the (engine-specific) distinct-char enumeration order — then one
+    double division by ln 2 and a final round.  NULL text → NULL;
+    empty text → 0.0.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    n = F.length(c)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)))
+    terms = F.transform(
+        counts,
+        lambda cnt: (-(cnt / n) * F.log(cnt / n)).cast("decimal(18,12)"))
+    # decimal + widens precision (28,12)+(18,12)→(29,12); re-cast each
+    # step so the accumulator type is stable (values stay far below the
+    # 16-integer-digit capacity, so the cast never rounds)
+    s = F.aggregate(terms, F.lit(0).cast("decimal(28,12)"),
+                    lambda acc, y: (acc + y).cast("decimal(28,12)"))
+    bits = s.cast("double") / F.lit(_LN2)
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(bits, round_digits))

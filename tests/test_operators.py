@@ -1314,3 +1314,29 @@ def test_containment_pruned_path_reverifies_exactly(spark):
     pruned = sorted(map(tuple, containment_pairs(
         df, threshold=0.7, min_df=2).collect()))
     assert full == pruned and len(full) > 0
+
+
+def test_char_entropy_known_values_and_edges(spark):
+    from hazelcast_jet_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "id long, t string")
+    got = {r.id: r.h for r in df.select("id", char_entropy("t").alias("h")).collect()}
+    assert got[1] == 0.0          # single symbol: zero entropy
+    assert got[2] == 1.0          # two equiprobable symbols: 1 bit
+    assert got[3] == 2.0          # four equiprobable symbols: 2 bits
+    assert got[4] == 0.0          # empty text
+    assert got[5] is None         # NULL propagates
+
+
+def test_char_entropy_is_map_only_and_order_free(spark):
+    from hazelcast_jet_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "dlrow olleh")],
+                               "id long, t string")
+    out = df.select("id", char_entropy("t").alias("h"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    vals = [r.h for r in out.collect()]
+    assert vals[0] == vals[1]     # permutation-invariant distribution

@@ -6,9 +6,12 @@ dedup (round-5 operators):
    against a target subset — "more like this" selection,
 2. quality deciles (operators/profile.rank_bins over
    text.quality_score): equal-population curriculum buckets,
-3. keep-best dedup (operators/dedup.keep_best): each near-dup group
+3. importance-weighted sampling (operators/sampling.weighted_sample):
+   the DSIR weights become per-doc keep probabilities — deterministic,
+   map-only Bernoulli selection,
+4. keep-best dedup (operators/dedup.keep_best): each near-dup group
    keeps its highest-quality member instead of blind min-id,
-4. range-clustered output layout (storage.write_clustered): the final
+5. range-clustered output layout (storage.write_clustered): the final
    mix lands sorted/clustered by doc_id so downstream filtered scans
    skip whole files.
 
@@ -46,7 +49,15 @@ deciles = rank_bins(scored, "q", 10, "doc_id", bin_col="decile")
 print("docs per quality decile:")
 deciles.groupBy("decile").count().orderBy("decile").show()
 
-# 3. keep the best copy of every near-dup group
+# 3. importance-weighted sampling: DSIR weight → keep probability
+from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+weighted = weighted_sample(
+    docs.join(weights.select("doc_id", "weight"), "doc_id"),
+    rate=0.8, weight="weight", key_col="doc_id", seed="sel0")
+print(f"weighted sample kept {weighted.count()} of {docs.count()} docs")
+
+# 4. keep the best copy of every near-dup group
 pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
 winners = dedup.keep_best(docs, pairs, F.round(text.quality_score("text"), 6))
 print("dup groups and their quality winners:")
@@ -60,7 +71,7 @@ selected = docs.join(drops.withColumnRenamed("node", "doc_id"),
                      "doc_id", "left_anti")
 print(f"selected {selected.count()} of {docs.count()} docs after keep-best")
 
-# 4. write the selection range-clustered by doc_id for skippable scans
+# 5. write the selection range-clustered by doc_id for skippable scans
 out = os.path.join(tempfile.mkdtemp(prefix="data_selection_"), "selected")
 write_clustered(selected.select("doc_id", "lang", "source", "text"),
                 out, ["doc_id"], num_files=4)

@@ -467,33 +467,53 @@ def char_entropy(col: Column | str, round_digits: int = 6) -> Column:
     sits in a stable mid band (used as a cheap pre-filter alongside
     :func:`gopher_quality_flags`).
 
-    Pure Column expression, map-only, whole-stage codegen: per-char
-    counts via ``transform(array_distinct(chars), c -> count in chars)``
-    — O(len · distinct-chars) per document, fine for web-scale docs
-    (≤ a few KB × ≤ ~100 distinct chars); for very long documents wrap
-    a numpy ``bincount`` in a pandas UDF instead (same result modulo
-    float summation order).
+    Pure Column expression, map-only, whole-stage codegen.  Counting is
+    ONE fold over the SORTED char array (run-length counting): sort
+    groups equal chars into runs, the fold closes a term each time the
+    char changes — O(len·log len) per document with no nested loop.
+    (The naive ``transform(array_distinct, c -> count(filter(...)))``
+    shape is O(len·distinct) and, worse, Catalyst does not CSE the
+    char-split across nested lambdas, so the split itself re-executes
+    per distinct char — measured 5.1 s → ~1 s at sf0.1.)
 
     Engine-portable determinism (the :func:`unigram_lm_score`
-    convention): per-char terms ``-(p·ln p)`` are cast to
+    convention): per-run terms ``-(p·ln p)`` are cast to
     DECIMAL(18,12) and summed exactly — the result is independent of
-    the (engine-specific) distinct-char enumeration order — then one
-    double division by ln 2 and a final round.  NULL text → NULL;
-    empty text → 0.0.
+    enumeration order, so the SQL oracle may count per distinct char —
+    then one double division by ln 2 and a final round.  NULL text →
+    NULL; empty text → 0.0.
     """
     c = F.col(col) if isinstance(col, str) else col
-    chars = F.split(c, "")
     n = F.length(c)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda ch: F.size(F.filter(chars, lambda x: x == ch)))
-    terms = F.transform(
-        counts,
-        lambda cnt: (-(cnt / n) * F.log(cnt / n)).cast("decimal(18,12)"))
-    # decimal + widens precision (28,12)+(18,12)→(29,12); re-cast each
+
+    def term(run: Column) -> Column:
+        return (-(run / n) * F.log(run / n)).cast("decimal(18,12)")
+
+    # fold state: (prev char, current run length, decimal term sum);
+    # decimal + widens precision (28,12)+(18,12)→(29,12) — re-cast each
     # step so the accumulator type is stable (values stay far below the
     # 16-integer-digit capacity, so the cast never rounds)
-    s = F.aggregate(terms, F.lit(0).cast("decimal(28,12)"),
-                    lambda acc, y: (acc + y).cast("decimal(28,12)"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("decimal(28,12)").alias("s"),
+    )
+    s = F.aggregate(
+        F.array_sort(F.split(c, "")),
+        init,
+        lambda acc, ch: F.when(
+            acc["prev"].isNull() | (ch == acc["prev"]),
+            F.struct(ch.alias("prev"), (acc["run"] + 1).alias("run"),
+                     acc["s"].alias("s")),
+        ).otherwise(
+            F.struct(
+                ch.alias("prev"), F.lit(1).alias("run"),
+                (acc["s"] + term(acc["run"])).cast("decimal(28,12)").alias("s"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["prev"].isNull(), acc["s"]
+        ).otherwise((acc["s"] + term(acc["run"])).cast("decimal(28,12)")),
+    )
     bits = s.cast("double") / F.lit(_LN2)
     return F.when(n == 0, F.lit(0.0)).otherwise(F.round(bits, round_digits))

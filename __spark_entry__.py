@@ -2353,6 +2353,35 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+CLS_BIAS = -0.5
+
+
+def _cls_weights():
+    """Deterministic stand-in for an offline-trained weight vector: a
+    pure function of the bucket hex chars, so the SQL oracle derives
+    the identical table inline (ascii arithmetic, exact dyadic /8)."""
+    hexd = "0123456789abcdef"
+    return {
+        a + b + c: ((ord(a) + 3 * ord(b) + 7 * ord(c)) % 13 - 6) / 8.0
+        for a in hexd for b in hexd for c in hexd
+    }
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear-classifier inference (operators/importance.
+    hashed_classifier_score): an offline-trained quality model scored
+    over the corpus as bias + Σ w(bucket(bigram)) — one explode, one
+    broadcast weight join, DECIMAL-exact per-doc sums; the corpus
+    shuffles only for the per-doc aggregate."""
+    from hazelcast_jet_spark.operators.importance import (
+        hashed_classifier_score)
+
+    d = _t(spark, sf_dir, "documents")
+    out = hashed_classifier_score(
+        d, _cls_weights(), bucket_hex=DSIR_BUCKET_HEX, bias=CLS_BIAS)
+    return out.orderBy("doc_id")
+
+
 def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-long-span statistics (dedup.dup_span_stats; Lee
     et al. 2022 substring-dedup signal): per doc, the fraction of its
@@ -2833,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dup_pairs": containment_dup_pairs,
         "pca_projection_stats": pca_projection_stats,
         "char_entropy_quality": char_entropy_quality,
+        "quality_classifier_scores": quality_classifier_scores,
     }
 
 
@@ -5063,5 +5093,26 @@ def oracle_sql() -> dict[str, str]:
                            AS DOUBLE) / 0.6931471805599453, 6)
                    END AS h_bits
             FROM ch ORDER BY doc_id
+        """,
+        "quality_classifier_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), pairs AS (
+                SELECT doc_id, substr(md5(gram), 1, {DSIR_BUCKET_HEX}) AS b
+                FROM g
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(SUM(CAST(
+                       ((ascii(substr(b, 1, 1))
+                         + 3 * ascii(substr(b, 2, 1))
+                         + 7 * ascii(substr(b, 3, 1))) % 13 - 6) / 8.0
+                       AS DECIMAL(28,12))) AS DOUBLE) + ({CLS_BIAS}) AS score
+            FROM pairs GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.operators.text import normalize_text, word_ngrams
 
-__all__ = ["dsir_weights"]
+__all__ = ["dsir_weights", "hashed_classifier_score"]
 
 
 def dsir_weights(
@@ -121,4 +121,63 @@ def dsir_weights(
             id_col, "n_grams",
             F.col("__s").cast("double").alias(out_col),
         )
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = 3,
+    bias: float = 0.0,
+    out_col: str = "score",
+    prob_col: str | None = None,
+) -> DataFrame:
+    """Linear-classifier inference over hashed n-gram features — the
+    "offline-trained quality classifier applied at corpus scale" step
+    (the fasttext-style LID / GPT-3-era LR quality-filter shape): a
+    model is trained elsewhere on labeled docs, its weight vector is
+    hashed into the same ``16^bucket_hex`` feature space DSIR uses, and
+    scoring is ``bias + Σ_g w(bucket(g))`` per document.
+
+    ``weights`` maps bucket hex-prefixes to model weights (≤ 16^
+    bucket_hex entries — bounded regardless of vocabulary, the hashing-
+    trick property).  Buckets absent from the map score 0.
+
+    Scale shape: one explode into (doc, bucket) pairs, the weight table
+    broadcast-joined back (left), per-doc sums in DECIMAL(28,12) —
+    exact and order-independent, so weights are effectively rounded to
+    12 dp and the result hashes identically on any engine.  The corpus
+    is never shuffled except by the final per-doc aggregate.
+
+    ``prob_col`` adds the sigmoid ``1/(1+exp(−score))`` (double libm —
+    monotone in score; use ``out_col`` for bit-exact comparisons).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(b, float(w)) for b, w in sorted(weights.items())],
+        "__bucket string, __w double")
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__t"))
+    pairs = (
+        toks.filter(F.size("__t") >= n)
+        .select(id_col, F.explode(word_ngrams("__t", n)).alias("__gram"))
+        .select(id_col,
+                F.substring(F.md5("__gram"), 1, bucket_hex).alias("__bucket"))
+    )
+    scored = pairs.join(F.broadcast(wdf), "__bucket", "left")
+    score = F.col("__s").cast("double") + F.lit(float(bias))
+    extra = []
+    if prob_col:
+        extra.append((F.lit(1.0) / (F.lit(1.0) + F.exp(-score))).alias(prob_col))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))
+                  .cast("decimal(28,12)")).alias("__s"),
+        )
+        .select(id_col, "n_grams", score.alias(out_col), *extra)
     )

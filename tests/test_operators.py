@@ -1340,3 +1340,44 @@ def test_char_entropy_is_map_only_and_order_free(spark):
     assert "Exchange" not in plan
     vals = [r.h for r in out.collect()]
     assert vals[0] == vals[1]     # permutation-invariant distribution
+
+
+def test_hashed_classifier_score_matches_python_model(spark):
+    """Per-doc score equals an independent Python model over the same
+    hashed bigrams; sigmoid column is monotone in score."""
+    import hashlib
+    import math
+
+    from hazelcast_jet_spark.operators.importance import (
+        hashed_classifier_score)
+
+    docs = [(1, "the quick brown fox"), (2, "the the the the"),
+            (3, "one two"), (4, "single")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    weights = {"%03x" % i: ((i % 9) - 4) / 4.0 for i in range(16 ** 3)}
+    out = {r.doc_id: r for r in hashed_classifier_score(
+        df, weights, bias=0.25, prob_col="p").collect()}
+
+    for doc_id, txt in docs:
+        toks = txt.lower().split()
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if not grams:
+            assert doc_id not in out  # fewer than n words: no features
+            continue
+        s = 0.25 + sum(
+            weights.get(hashlib.md5(g.encode()).hexdigest()[:3], 0.0)
+            for g in grams)
+        r = out[doc_id]
+        assert r.n_grams == len(grams)
+        assert abs(r.score - s) < 1e-9
+        assert abs(r.p - 1.0 / (1.0 + math.exp(-r.score))) < 1e-12
+
+
+def test_hashed_classifier_weight_table_broadcasts(spark):
+    from hazelcast_jet_spark.operators.importance import (
+        hashed_classifier_score)
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = hashed_classifier_score(df, {"abc": 1.0})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -2173,6 +2173,19 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_lm_score(d).orderBy("doc_id")
 
 
+BIGRAM_LAM = 0.75
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM surprisal with interpolated unigram backoff
+    (text.bigram_lm_score): −ln(λ·p(w₂|w₁) + (1−λ)·p(w₂)) per bigram —
+    separates common-words-in-impossible-order junk (high) from common
+    phrases (low), which the unigram signal cannot.  Vocabulary-bounded
+    count tables join back broadcast; DECIMAL-accumulated nll."""
+    d = _t(spark, sf_dir, "documents")
+    return text.bigram_lm_score(d, lam=BIGRAM_LAM).orderBy("doc_id")
+
+
 def salted_aggregate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation via salting (operators/skew.salted_aggregate):
     groupBy(key, salt) partials → groupBy(key) recombine, so one mega-key
@@ -2863,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection_stats": pca_projection_stats,
         "char_entropy_quality": char_entropy_quality,
         "quality_classifier_scores": quality_classifier_scores,
+        "bigram_lm_quality": bigram_lm_quality,
     }
 
 
@@ -5114,5 +5128,44 @@ def oracle_sql() -> dict[str, str]:
                          + 7 * ascii(substr(b, 3, 1))) % 13 - 6) / 8.0
                        AS DECIMAL(28,12))) AS DOUBLE) + ({CLS_BIAS}) AS score
             FROM pairs GROUP BY doc_id ORDER BY doc_id
+        """,
+        "bigram_lm_quality": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1])) AS gram
+                FROM toks WHERE len(t) >= 2
+            ), uni AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c_u
+                FROM (SELECT unnest(t) AS w FROM toks)
+                WHERE w <> '' GROUP BY w
+            ), tot AS (
+                SELECT SUM(c_u) AS n_total FROM uni
+            ), bg AS (
+                SELECT gram, CAST(count(*) AS BIGINT) AS c_bg,
+                       split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2
+                FROM g GROUP BY gram
+            ), ctx AS (
+                SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx
+                FROM bg GROUP BY w1
+            ), probs AS (
+                SELECT gram,
+                       CAST(-ln({BIGRAM_LAM} * (c_bg / CAST(c_ctx AS DOUBLE))
+                                + {1.0 - BIGRAM_LAM}
+                                  * (c_u / CAST(n_total AS DOUBLE)))
+                            AS DECIMAL(18,12)) AS nll
+                FROM bg
+                JOIN ctx USING (w1)
+                JOIN uni ON uni.w = bg.w2
+                CROSS JOIN tot
+            )
+            SELECT g.doc_id, count(*) AS n_bigrams,
+                   round(CAST(SUM(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+            FROM g JOIN probs USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
         """,
     }

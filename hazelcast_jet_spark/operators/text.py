@@ -517,3 +517,83 @@ def char_entropy(col: Column | str, round_digits: int = 6) -> Column:
     )
     bits = s.cast("double") / F.lit(_LN2)
     return F.when(n == 0, F.lit(0.0)).otherwise(F.round(bits, round_digits))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document BIGRAM language-model surprisal with interpolated
+    unigram backoff — the step up from :func:`unigram_lm_score` toward
+    the CCNet/KenLM quality signal: per bigram token,
+
+        nll = −ln( λ·p(w₂|w₁) + (1−λ)·p(w₂) )
+
+    with MLE estimates from the corpus itself (``p(w₂|w₁) =
+    c(w₁w₂)/c(w₁·)``).  Bigram surprisal separates "common words in
+    impossible order" (shuffled/generated junk — high) from genuinely
+    common phrases (boilerplate — low), which a unigram model cannot.
+
+    Returns ``(id_col, n_bigrams, mean_nll)``; docs under 2 words have
+    no bigram features and are omitted.
+
+    Scale shape: the gram stream is built map-only (zip-shift
+    ``word_ngrams``) and persists across its two consumers; the bigram
+    /context/unigram count tables are vocabulary-bounded aggregates
+    that join back (broadcast at moderate vocab, AQE decides at
+    100 TB); totals come from an unpartitioned window over the tiny
+    unigram table, never a driver round-trip.  The corpus itself
+    shuffles only for the per-doc aggregate.
+
+    Determinism (the :func:`unigram_lm_score` convention): every
+    probability is a double quotient of exact integers combined in a
+    fixed expression order, ``ln`` is bit-identical across engines, and
+    per-gram nll terms accumulate in DECIMAL(18,12) before one final
+    double division — hashes identically on a SQL oracle engine.
+    ``lam`` should be an exact binary fraction (default 0.75).
+    """
+    from pyspark.sql.window import Window
+
+    from hazelcast_jet_spark.operators.dedup import _register_cache
+
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("__t"))
+    grams = (
+        toks.filter(F.size("__t") >= 2)
+        .select(id_col, F.explode(word_ngrams("__t", 2)).alias("__gram"))
+        .persist()
+    )
+    _register_cache(grams)
+    uni = (
+        toks.select(F.explode("__t").alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__c_u"))
+    )
+    all_w = Window.partitionBy()  # vocabulary-sized table: one tiny partition
+    uni = uni.withColumn("__n_total", F.sum("__c_u").over(all_w))
+    bg = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c_bg"))
+    bg = bg.withColumn("__w1", F.substring_index("__gram", " ", 1)) \
+           .withColumn("__w2", F.substring_index("__gram", " ", -1))
+    ctx = bg.groupBy("__w1").agg(F.sum("__c_bg").alias("__c_ctx"))
+    p = (
+        F.lit(float(lam)) * (F.col("__c_bg") / F.col("__c_ctx"))
+        + F.lit(1.0 - float(lam)) * (F.col("__c_u") / F.col("__n_total"))
+    )
+    probs = (
+        bg.join(F.broadcast(ctx), "__w1")
+        .join(F.broadcast(uni.withColumnRenamed("__w", "__w2")), "__w2")
+        .select("__gram", (-F.log(p)).cast("decimal(18,12)").alias("__nll"))
+    )
+    return (
+        grams.join(probs, "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("__nll").alias("__s"))
+        .select(
+            id_col, "n_bigrams",
+            F.round(F.col("__s").cast("double") / F.col("n_bigrams"), 6)
+            .alias("mean_nll"),
+        )
+    )

@@ -1381,3 +1381,42 @@ def test_hashed_classifier_weight_table_broadcasts(spark):
     plan = hashed_classifier_score(df, {"abc": 1.0})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_score_matches_python_model(spark):
+    """mean_nll equals an independent Python bigram-backoff model; docs
+    under 2 words are omitted; impossible-order text scores higher than
+    the common phrase it permutes."""
+    import math
+    from collections import Counter
+
+    from hazelcast_jet_spark.operators.text import bigram_lm_score
+
+    docs = [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"), (4, "one")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lam = 0.75
+    got = {r.doc_id: r for r in bigram_lm_score(df, lam=lam).collect()}
+    assert 4 not in got  # single word: no bigram features
+
+    token_lists = {i: t.lower().split() for i, t in docs}
+    uni = Counter(w for t in token_lists.values() for w in t)
+    n_total = sum(uni.values())
+    bg = Counter((t[i], t[i + 1]) for t in token_lists.values()
+                 for i in range(len(t) - 1))
+    ctx = Counter()
+    for (w1, _), c in bg.items():
+        ctx[w1] += c
+    for doc_id, t in token_lists.items():
+        grams = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        if not grams:
+            continue
+        nlls = [round(-math.log(lam * (bg[g] / ctx[g[0]])
+                                + (1 - lam) * (uni[g[1]] / n_total)), 12)
+                for g in grams]
+        want = round(sum(nlls) / len(grams), 6)
+        r = got[doc_id]
+        assert r.n_bigrams == len(grams)
+        assert abs(r.mean_nll - want) < 2e-6
+    # shuffled word salad is more surprising than the phrase it permutes
+    assert got[3].mean_nll > got[1].mean_nll

@@ -253,3 +253,60 @@ def test_write_clustered_ranges_are_disjoint(spark, tmp_path):
         assert hi1 <= lo2  # range partitioning → file ranges do not overlap
     # and the table still reads complete
     assert spark.read.parquet(path).count() == 100_000
+
+
+def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout: a narrow filter on EITHER clustered column
+    overlaps only a fraction of files; the single-column range layout
+    prunes nothing on the second column."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from hazelcast_jet_spark.storage import write_clustered, write_zordered
+
+    df = spark.range(0, 100_000).selectExpr(
+        "pmod(id * 2654435761, 100000) AS k1",
+        "pmod(id * 1103515245 + 12345, 100000) AS k2")
+
+    def overlap_count(path, col_idx, lo, hi):
+        n_files, n_overlap = 0, 0
+        for dp, _d, fs in _os.walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(_os.path.join(dp, f)).metadata
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col_idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                n_files += 1
+                if min(mins) <= hi and max(maxs) >= lo:
+                    n_overlap += 1
+        return n_files, n_overlap
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["k1", "k2"], num_files=16, bits=5)
+    lpath = str(tmp_path / "linear")
+    write_clustered(df, lpath, ["k1"], num_files=16)
+
+    box = (40_000, 43_000)  # ~one z-bucket row on either axis
+    zn, zo_k1 = overlap_count(zpath, 0, *box)
+    _, zo_k2 = overlap_count(zpath, 1, *box)
+    ln, lo_k2 = overlap_count(lpath, 1, *box)
+    assert zn == 16 and ln == 16
+    assert lo_k2 == 16          # linear layout: no pruning on k2
+    assert zo_k1 <= 8           # z-order: both axes prune to ≤ half
+    assert zo_k2 <= 8
+    assert spark.read.parquet(zpath).count() == 100_000
+
+
+def test_write_zordered_rejects_overwide_key(spark, tmp_path):
+    import pytest as _pytest
+
+    from hazelcast_jet_spark.storage import write_zordered
+
+    df = spark.range(10).selectExpr("id a", "id b", "id c")
+    with _pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "x"), ["a", "b", "c"], bits=22)

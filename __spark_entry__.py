@@ -2644,6 +2644,20 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(e, "value", "event_type", k=3.0).orderBy("event_type")
 
 
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (operators/profile.ks_drift): value-
+    distribution distance between the even- and odd-id halves of each
+    event type — the shape-sensitive drift monitor.  One hash exchange
+    serves totals, RANGE-framed cumulative counts (tie-order-free), and
+    the final max."""
+    from hazelcast_jet_spark.operators.profile import ks_drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return ks_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -2877,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_quality": char_entropy_quality,
         "quality_classifier_scores": quality_classifier_scores,
         "bigram_lm_quality": bigram_lm_quality,
+        "ks_drift_events": ks_drift_events,
     }
 
 
@@ -5167,5 +5182,36 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(nll) AS DOUBLE) / count(*), 6) AS mean_nll
             FROM g JOIN probs USING (gram)
             GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "ks_drift_events": """
+            WITH t AS (
+                SELECT event_type, value AS x,
+                       CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src
+                FROM events WHERE value IS NOT NULL
+            ), s AS (
+                SELECT event_type,
+                       SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY event_type) AS n_ref,
+                       SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY event_type) AS n_cur,
+                       SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY event_type ORDER BY x
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS c_ref,
+                       SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY event_type ORDER BY x
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS c_cur
+                FROM t
+            )
+            SELECT event_type,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round(max(abs(c_ref / CAST(n_ref AS DOUBLE)
+                                 - c_cur / CAST(n_cur AS DOUBLE))), 6)
+                       AS ks_stat
+            FROM s WHERE n_ref > 0 AND n_cur > 0
+            GROUP BY event_type, n_ref, n_cur
+            ORDER BY event_type
         """,
     }

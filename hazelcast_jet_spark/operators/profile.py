@@ -23,7 +23,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -229,5 +229,63 @@ def mad_outliers(df: DataFrame, value_col: str, group_col: str,
             F.first("mad").alias("mad"),
             F.sum((F.abs(x - F.col("med")) > F.lit(float(k)) * F.col("mad"))
                   .cast("bigint")).alias("n_outliers"),
+        )
+    )
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+             group_cols: list[str] | None = None,
+             round_digits: int = 6) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    distribution-drift monitor: ``D = sup_x |ECDF_ref(x) − ECDF_cur(x)|``
+    between a reference sample (yesterday / training time) and the
+    current one, per ``group_cols``.  Distribution-free and sensitive to
+    shape changes mean/stddev checks miss.
+
+    Plan: the two tagged samples union, then ONE hash exchange on the
+    group keys serves everything — the per-group totals (count windows),
+    the cumulative counts (a RANGE-framed window ordered by value, so
+    ties contribute wholly on both sides and the result is independent
+    of tie order — deterministic across engines), and the final max
+    aggregate.  In-partition sort per group, no global sort barrier.
+    Same per-group-state class as the exact percentile path; at extreme
+    group sizes, bin the values first (``histogram``) and accept binned-
+    ECDF resolution.
+
+    NULL values are dropped (an ECDF has no place for them — count them
+    upstream via :func:`profile_table` if NULL-rate drift matters).
+    Returns ``(group_cols…, n_ref, n_cur, ks_stat)``; groups present in
+    only one sample are omitted (no comparison exists).
+    """
+    g = group_cols or []
+    tagged = (
+        ref.select(*g, F.col(value_col).alias("__x"))
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            cur.select(*g, F.col(value_col).alias("__x"))
+            .withColumn("__src", F.lit(1)))
+        .filter(F.col("__x").isNotNull())
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    w_cum = (w_all.orderBy("__x")
+             .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    is_ref = (F.col("__src") == 0).cast("bigint")
+    is_cur = (F.col("__src") == 1).cast("bigint")
+    stepped = tagged.select(
+        *g,
+        F.sum(is_ref).over(w_all).alias("__n_ref"),
+        F.sum(is_cur).over(w_all).alias("__n_cur"),
+        F.sum(is_ref).over(w_cum).alias("__c_ref"),
+        F.sum(is_cur).over(w_cum).alias("__c_cur"),
+    )
+    d = F.abs(F.col("__c_ref") / F.col("__n_ref")
+              - F.col("__c_cur") / F.col("__n_cur"))
+    return (
+        stepped.filter((F.col("__n_ref") > 0) & (F.col("__n_cur") > 0))
+        .groupBy(*g)
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.round(F.max(d), round_digits).alias("ks_stat"),
         )
     )

@@ -1420,3 +1420,51 @@ def test_bigram_lm_score_matches_python_model(spark):
         assert abs(r.mean_nll - want) < 2e-6
     # shuffled word salad is more surprising than the phrase it permutes
     assert got[3].mean_nll > got[1].mean_nll
+
+
+def test_ks_drift_matches_scipy_free_model(spark):
+    """Per-group KS equals an independent Python ECDF model; identical
+    distributions score 0; disjoint ones score 1."""
+    from hazelcast_jet_spark.operators.profile import ks_drift
+
+    ref_rows = [("a", float(v)) for v in range(100)]            # uniform 0..99
+    cur_rows = [("a", float(v) + 50.0) for v in range(100)]     # shifted +50
+    ref_rows += [("b", float(v % 10)) for v in range(50)]
+    cur_rows += [("b", float(v % 10)) for v in range(30)]       # same dist
+    ref_rows += [("c", 1.0)] * 20
+    cur_rows += [("c", 100.0)] * 20                             # disjoint
+    ref = spark.createDataFrame(ref_rows, "g string, x double")
+    cur = spark.createDataFrame(cur_rows, "g string, x double")
+    got = {r.g: r for r in ks_drift(ref, cur, "x", ["g"]).collect()}
+
+    def ks(rs, cs):
+        xs = sorted(set(rs) | set(cs))
+        best = 0.0
+        for x in xs:
+            best = max(best, abs(
+                sum(1 for v in rs if v <= x) / len(rs)
+                - sum(1 for v in cs if v <= x) / len(cs)))
+        return best
+
+    for gname in ("a", "b", "c"):
+        rs = [x for g2, x in ref_rows if g2 == gname]
+        cs = [x for g2, x in cur_rows if g2 == gname]
+        assert abs(got[gname].ks_stat - round(ks(rs, cs), 6)) < 1e-9
+        assert (got[gname].n_ref, got[gname].n_cur) == (len(rs), len(cs))
+    assert got["b"].ks_stat == 0.0
+    assert got["c"].ks_stat == 1.0
+
+
+def test_ks_drift_single_exchange(spark):
+    """All four windows and the final aggregate share one hash
+    partitioning on the group key."""
+    from hazelcast_jet_spark.operators.profile import ks_drift
+
+    ref = spark.range(1000).selectExpr("pmod(id, 3) g", "id * 1.0 x")
+    cur = spark.range(1000).selectExpr("pmod(id, 3) g", "id * 2.0 x")
+    plan = ks_drift(ref, cur, "x", ["g"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    import re as _re
+    # union feeds one hashpartitioning(g) exchange; the windows and the
+    # final groupBy reuse it (no second shuffle of the data rows)
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -2644,6 +2644,25 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(e, "value", "event_type", k=3.0).orderBy("event_type")
 
 
+VOCAB_SIZE = 256
+
+
+def tokenize_ids_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale tokenization (text.build_vocab + text.tokenize_ids):
+    word-level vocab of the 256 most frequent tokens ((freq desc, term)
+    ranking — deterministic), docs encoded to ordered id arrays with
+    OOV→0.  Fingerprints the id sequence so the oracle proves order-
+    exact equality, not just counts."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(d, size=VOCAB_SIZE)
+    out = text.tokenize_ids(d, vocab)
+    return out.select(
+        "doc_id", "n_tokens", "n_unk",
+        F.md5(F.array_join(F.transform(
+            "ids", lambda x: x.cast("string")), " ")).alias("ids_fp"),
+    ).orderBy("doc_id")
+
+
 def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS drift (operators/profile.ks_drift): value-
     distribution distance between the even- and odd-id halves of each
@@ -2892,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": quality_classifier_scores,
         "bigram_lm_quality": bigram_lm_quality,
         "ks_drift_events": ks_drift_events,
+        "tokenize_ids_stats": tokenize_ids_stats,
     }
 
 
@@ -5213,5 +5233,36 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE n_ref > 0 AND n_cur > 0
             GROUP BY event_type, n_ref, n_cur
             ORDER BY event_type
+        """,
+        "tokenize_ids_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, s.pos AS pos, s.term AS term FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(t)),
+                               i -> struct_pack(pos := i, term := t[i]))) AS s
+                    FROM toks)
+                WHERE s.term <> ''
+            ), vocab AS (
+                SELECT term, tid FROM (
+                    SELECT term,
+                           CAST(row_number() OVER (
+                               ORDER BY count(*) DESC, term) AS INTEGER) AS tid
+                    FROM pos GROUP BY term
+                ) WHERE tid <= {VOCAB_SIZE}
+            ), ids AS (
+                SELECT p.doc_id, p.pos,
+                       COALESCE(v.tid, 0) AS tid,
+                       CASE WHEN v.tid IS NULL THEN 1 ELSE 0 END AS unk
+                FROM pos p LEFT JOIN vocab v USING (term)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(SUM(unk) AS BIGINT) AS n_unk,
+                   md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos))
+                       AS ids_fp
+            FROM ids GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -597,3 +597,76 @@ def bigram_lm_score(
             .alias("mean_nll"),
         )
     )
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                size: int = 4096) -> DataFrame:
+    """Deterministic word-level vocabulary of the ``size`` most frequent
+    normalized tokens: ``(term, token_id)`` with ids 1..size assigned by
+    (frequency desc, term asc) — reproducible on any engine/partitioning.
+    Id 0 is reserved for OOV (:func:`tokenize_ids`'s ``unk_id``).
+
+    One explode + one vocabulary-bounded aggregate; the ranking window
+    runs unpartitioned over the vocab-sized table only (the dsir/tf_idf
+    totals pattern — never over the corpus).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(
+            F.split(normalize_text(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy().orderBy(F.col("__c").desc(), F.col("term"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= size)
+        .select("term", "token_id")
+    )
+
+
+def tokenize_ids(df: DataFrame, vocab: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 unk_id: int = 0) -> DataFrame:
+    """Tokenize documents to id sequences against a vocabulary — the
+    corpus-scale "apply the tokenizer" step feeding sequence packing
+    (:mod:`~hazelcast_jet_spark.operators.packing`).  Word-level lookup
+    stands in for a subword encoder; the plumbing (order-preserving id
+    arrays, OOV accounting, broadcast vocab) is exactly what a BPE
+    encoder wrapped in a pandas UDF would reuse.
+
+    Returns ``(id_col, ids array<int>, n_tokens, n_unk)`` with ``ids``
+    in original token order; OOV tokens map to ``unk_id``.  Empty
+    normalized tokens are dropped; docs with no tokens are omitted.
+
+    Scale: posexplode (map-only) → broadcast vocab join (the vocab is
+    ``size`` rows by construction) → one per-doc aggregate rebuilding
+    order via ``array_sort(collect_list(struct(pos, id)))`` — a single
+    corpus shuffle keyed by document, same class as any per-doc
+    feature aggregate.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalize_text(text_col), " "))
+            .alias("__pos", "__term"))
+        .filter(F.col("__term") != "")
+    )
+    joined = toks.join(F.broadcast(vocab.withColumnRenamed("term", "__term")),
+                       "__term", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(int(unk_id))).cast("int")
+    return (
+        joined.select(
+            id_col, "__pos", tid.alias("__tid"),
+            F.col("token_id").isNull().cast("bigint").alias("__unk"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__unk").alias("n_unk"),
+        )
+    )

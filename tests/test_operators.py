@@ -1468,3 +1468,31 @@ def test_ks_drift_single_exchange(spark):
     # union feeds one hashpartitioning(g) exchange; the windows and the
     # final groupBy reuse it (no second shuffle of the data rows)
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_tokenize_ids_roundtrip_and_oov(spark):
+    """Ids preserve token order; OOV maps to unk; vocab ranking is
+    (freq desc, term asc) with ids from 1."""
+    from hazelcast_jet_spark.operators.text import build_vocab, tokenize_ids
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a zzz b"), (3, "")],
+        "doc_id long, text string")
+    vocab = build_vocab(df, size=3)
+    v = {r.term: r.token_id for r in vocab.collect()}
+    assert v == {"b": 1, "a": 2, "c": 3}  # freq desc, then term asc
+    out = {r.doc_id: r for r in tokenize_ids(df, vocab).collect()}
+    assert list(out[1].ids) == [1, 1, 1, 2, 2, 3]
+    assert list(out[2].ids) == [2, 0, 1]          # zzz → unk 0
+    assert (out[2].n_tokens, out[2].n_unk) == (3, 1)
+    assert 3 not in out                            # empty doc omitted
+
+
+def test_tokenize_ids_vocab_broadcasts(spark, sf_dir):
+    from hazelcast_jet_spark.operators.text import build_vocab, tokenize_ids
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = tokenize_ids(d, build_vocab(d, size=64))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

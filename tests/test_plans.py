@@ -316,3 +316,18 @@ def test_dsir_log_ratio_table_broadcasts(spark, sf_dir):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
+    """bigram_lm_score: the vocabulary-bounded bigram/context/unigram
+    tables join back BROADCAST; the gram stream persists across its two
+    consumers and shuffles only for the per-doc aggregate."""
+    from hazelcast_jet_spark.operators.text import bigram_lm_score
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = bigram_lm_score(d)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # ctx and unigram sides
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan           # persisted gram stream

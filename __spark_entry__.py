@@ -2677,6 +2677,23 @@ def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
 
 
+PSI_LO, PSI_HI, PSI_BINS = 0.0, 64.0, 16  # w = 4.0, exact dyadic
+
+
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned PSI drift (operators/profile.psi_drift): the continuously-
+    runnable, fully map-side companion of the exact KS gate — fixed
+    [0,64]×16 bins with edge clamping, Laplace-smoothed shares, DECIMAL
+    term accumulation."""
+    from hazelcast_jet_spark.operators.profile import psi_drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(ref, cur, "value", PSI_LO, PSI_HI, PSI_BINS,
+                     ["event_type"]).orderBy("event_type")
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -2912,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_quality": bigram_lm_quality,
         "ks_drift_events": ks_drift_events,
         "tokenize_ids_stats": tokenize_ids_stats,
+        "psi_drift_events": psi_drift_events,
     }
 
 
@@ -5264,5 +5282,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos))
                        AS ids_fp
             FROM ids GROUP BY doc_id ORDER BY doc_id
+        """,
+        "psi_drift_events": f"""
+            WITH t AS (
+                SELECT event_type,
+                       CAST(greatest(least(
+                           floor((CAST(value AS DOUBLE) - {PSI_LO})
+                                 / {(PSI_HI - PSI_LO) / PSI_BINS}),
+                           {PSI_BINS - 1}), 0) AS INTEGER) AS b,
+                       CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src
+                FROM events WHERE value IS NOT NULL
+            ), per_bin AS (
+                SELECT event_type, b,
+                       CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_ref,
+                       CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_cur
+                FROM t GROUP BY 1, 2
+            ), tot AS (
+                SELECT event_type,
+                       CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                       CAST(SUM(c_cur) AS BIGINT) AS n_cur
+                FROM per_bin GROUP BY 1
+            )
+            SELECT p.event_type, n_ref, n_cur,
+                   round(CAST(SUM(CAST(
+                       ((c_ref + 0.5) / (n_ref + {0.5 * PSI_BINS})
+                        - (c_cur + 0.5) / (n_cur + {0.5 * PSI_BINS}))
+                       * ln(((c_ref + 0.5) / (n_ref + {0.5 * PSI_BINS}))
+                            / ((c_cur + 0.5) / (n_cur + {0.5 * PSI_BINS})))
+                       AS DECIMAL(18,12))) AS DOUBLE), 6) AS psi
+            FROM per_bin p JOIN tot USING (event_type)
+            WHERE n_ref > 0 AND n_cur > 0
+            GROUP BY p.event_type, n_ref, n_cur
+            ORDER BY p.event_type
         """,
     }

@@ -289,3 +289,73 @@ def ks_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             F.round(F.max(d), round_digits).alias("ks_stat"),
         )
     )
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              lo: float, hi: float, bins: int,
+              group_cols: list[str] | None = None,
+              alpha: float = 0.5, round_digits: int = 6) -> DataFrame:
+    """Population Stability Index per group — the binned drift number
+    risk/monitoring systems track alongside :func:`ks_drift`:
+
+        PSI = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+    over smoothed bin shares of the reference (p) and current (q)
+    samples.  Rule-of-thumb thresholds: <0.1 stable, 0.1–0.25 shifting,
+    >0.25 drifted.  KS is exact but sort-based; PSI is fully map-side
+    (fixed bins, :func:`histogram` semantics: [lo, hi] clamped into the
+    edge bins so out-of-range mass is counted, not dropped) — the one
+    to run continuously at 100 TB.
+
+    Convention: the sum runs over OCCUPIED bins (any bin holding at
+    least one row from either sample).  Bins empty on BOTH sides are
+    skipped — their smoothed term is a negligible constant that would
+    require materializing the full bin grid per group; bins empty on
+    ONE side are present and contribute their full smoothed penalty,
+    which is the signal PSI exists for.
+
+    Laplace smoothing ``alpha`` keeps empty bins finite.  Determinism:
+    binning is IEEE sub/div/floor, shares are double quotients of exact
+    integers in fixed order, ``ln`` is bit-identical across engines,
+    per-bin terms accumulate in DECIMAL(18,12) — hashes identically on
+    a SQL oracle.  NULL values are dropped.
+
+    Returns ``(group_cols…, n_ref, n_cur, psi)``; groups with either
+    sample empty are omitted.
+    """
+    if bins <= 0 or not hi > lo:
+        raise ValueError("need bins > 0 and hi > lo")
+    g = group_cols or []
+    w = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    x = F.col("__x")  # post-union name — the bin expr must bind to it
+    b = F.greatest(
+        F.least(F.floor((x - F.lit(lo)) / F.lit(w)), F.lit(bins - 1)),
+        F.lit(0)).cast("int")
+    tagged = (
+        ref.select(*g, v.alias("__x")).withColumn("__src", F.lit(0))
+        .unionByName(cur.select(*g, v.alias("__x")).withColumn("__src", F.lit(1)))
+        .filter(x.isNotNull())
+        .select(*g, "__src", b.alias("__b"))
+    )
+    per_bin = tagged.groupBy(*g, "__b").agg(
+        F.sum((F.col("__src") == 0).cast("bigint")).alias("__c_ref"),
+        F.sum((F.col("__src") == 1).cast("bigint")).alias("__c_cur"),
+    )
+    totals = per_bin.groupBy(*g).agg(
+        F.sum("__c_ref").alias("__n_ref"), F.sum("__c_cur").alias("__n_cur"))
+    a = float(alpha)
+    joined = per_bin.join(F.broadcast(totals), g) if g else \
+        per_bin.crossJoin(F.broadcast(totals))
+    p = (F.col("__c_ref") + F.lit(a)) / (F.col("__n_ref") + F.lit(a * bins))
+    q = (F.col("__c_cur") + F.lit(a)) / (F.col("__n_cur") + F.lit(a * bins))
+    term = ((p - q) * F.log(p / q)).cast("decimal(18,12)")
+    return (
+        joined.filter((F.col("__n_ref") > 0) & (F.col("__n_cur") > 0))
+        .groupBy(*g)
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.round(F.sum(term).cast("double"), round_digits).alias("psi"),
+        )
+    )

@@ -1496,3 +1496,40 @@ def test_tokenize_ids_vocab_broadcasts(spark, sf_dir):
     plan = tokenize_ids(d, build_vocab(d, size=64))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_psi_drift_matches_python_model_and_thresholds(spark):
+    """PSI equals an independent Python model; near-0 on identical
+    samples, large on a shifted one."""
+    import math
+
+    from hazelcast_jet_spark.operators.profile import psi_drift
+
+    ref_rows = [("a", float(v % 40)) for v in range(200)]
+    cur_rows = [("a", float(v % 40) + 20.0) for v in range(200)]   # shifted
+    ref_rows += [("b", float(v % 40)) for v in range(200)]
+    cur_rows += [("b", float(v % 40)) for v in range(200)]         # identical
+    ref = spark.createDataFrame(ref_rows, "g string, x double")
+    cur = spark.createDataFrame(cur_rows, "g string, x double")
+    lo, hi, bins, a = 0.0, 64.0, 16, 0.5
+    got = {r.g: r for r in psi_drift(ref, cur, "x", lo, hi, bins, ["g"]).collect()}
+
+    def model(rs, cs):
+        w = (hi - lo) / bins
+        def binid(v):
+            return max(min(int((v - lo) // w), bins - 1), 0)
+        from collections import Counter
+        cr, cc = Counter(map(binid, rs)), Counter(map(binid, cs))
+        s = 0.0
+        for bb in sorted(set(cr) | set(cc)):
+            p = (cr[bb] + a) / (len(rs) + a * bins)
+            q = (cc[bb] + a) / (len(cs) + a * bins)
+            s += round((p - q) * math.log(p / q), 12)
+        return round(s, 6)
+
+    for gname in ("a", "b"):
+        rs = [x for g2, x in ref_rows if g2 == gname]
+        cs = [x for g2, x in cur_rows if g2 == gname]
+        assert abs(got[gname].psi - model(rs, cs)) < 2e-6
+    assert got["b"].psi < 0.01   # identical → stable
+    assert got["a"].psi > 0.25   # shifted → drifted

@@ -503,3 +503,40 @@ def test_cut_duplicated_spans_matches_python_model(spark, corpus):
                 if not any(s <= j <= s + k - 1 for s in dup_starts)]
         want[i] = (len(kept), " ".join(kept))
     assert got == want
+
+
+@given(
+    weights=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-2.0, max_value=3.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=40),
+    rate=st.floats(min_value=0.0, max_value=2.0,
+                   allow_nan=False, allow_infinity=False),
+)
+@SLOW
+def test_weighted_sample_matches_exact_python_model(spark, weights, rate):
+    """weighted_sample is DETERMINISTIC, so membership must equal an
+    independent Python replay of the md5/hex-threshold arithmetic
+    EXACTLY — including p≥1 short-circuit, clamping, and NULL drops."""
+    import hashlib
+
+    from hazelcast_jet_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w double")
+    got = sorted(r.doc_id for r in
+                 weighted_sample(df, rate, "w", "doc_id", seed="pp").collect())
+
+    want = []
+    for i, w in enumerate(weights):
+        if w is None:
+            continue
+        p = max(0.0, min(1.0, w * rate))
+        u = hashlib.md5(f"pp{i}".encode()).hexdigest()[:6]
+        thr = format(int(p * 16 ** 6), "x").rjust(6, "0")[:6]
+        if p >= 1.0 or u < thr:
+            want.append(i)
+    assert got == want

@@ -707,6 +707,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
 
 
+N_AUDIO_MEDIA = 40
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the gate (operators/multimodal.
+    audio_features): WAV payloads are synthesized distributedly from a
+    closed-form int16 signal (pure function of media_id), decoded with
+    the stdlib wave codec, and the oracle recomputes n_frames/duration/
+    rms/peak from the SAME formula via generate_series — equality
+    proves encode→decode→feature fidelity end to end."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from hazelcast_jet_spark.operators.multimodal import audio_features
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                n = 400 + (int(m) % 5) * 100
+                pcm = np.array(
+                    [((i * 37 + int(m) * 11) % 201) - 100 for i in range(n)],
+                    dtype="<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads})
+
+    media = (
+        spark.range(N_AUDIO_MEDIA)
+        .withColumnRenamed("id", "media_id")
+        .mapInPandas(synth, "media_id long, payload binary")
+    )
+    return audio_features(media).select(
+        "media_id", "n_frames", "duration_ms", "rms", "peak"
+    ).orderBy("media_id")
+
+
 COSINE_DEDUP_THRESHOLD = 0.4
 
 
@@ -2930,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_events": ks_drift_events,
         "tokenize_ids_stats": tokenize_ids_stats,
         "psi_drift_events": psi_drift_events,
+        "multimodal_audio_stats": multimodal_audio_stats,
     }
 
 
@@ -5316,5 +5363,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_ref > 0 AND n_cur > 0
             GROUP BY p.event_type, n_ref, n_cur
             ORDER BY p.event_type
+        """,
+        "multimodal_audio_stats": f"""
+            WITH m AS (
+                SELECT unnest(generate_series(0, {N_AUDIO_MEDIA - 1}))
+                           AS media_id
+            ), sig AS (
+                SELECT media_id,
+                       unnest(generate_series(
+                           0, 400 + (media_id % 5) * 100 - 1)) AS i
+                FROM m
+            ), v AS (
+                SELECT media_id,
+                       ((i * 37 + media_id * 11) % 201) - 100 AS s
+                FROM sig
+            )
+            SELECT media_id,
+                   CAST(count(*) AS INTEGER) AS n_frames,
+                   CAST((count(*) * 1000) // 8000 AS INTEGER) AS duration_ms,
+                   round(sqrt(avg(CAST(s AS DOUBLE) * s)), 6) AS rms,
+                   CAST(max(abs(s)) AS INTEGER) AS peak
+            FROM v GROUP BY media_id ORDER BY media_id
         """,
     }

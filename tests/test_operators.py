@@ -1533,3 +1533,87 @@ def test_psi_drift_matches_python_model_and_thresholds(spark):
         assert abs(got[gname].psi - model(rs, cs)) < 2e-6
     assert got["b"].psi < 0.01   # identical → stable
     assert got["a"].psi > 0.25   # shifted → drifted
+
+
+def _make_wav(rate, nch, pcm_int16):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(pcm_int16, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_decode(spark):
+    """REAL stdlib-wave decode: features equal direct numpy computation,
+    mono and stereo."""
+    import numpy as np
+
+    pcm_a = [((i * 37) % 201) - 100 for i in range(800)]
+    pcm_b = [((i * 13) % 101) - 50 for i in range(1000)]   # stereo → 500 frames
+    rows = [(1, _make_wav(8000, 1, pcm_a)), (2, _make_wav(16000, 2, pcm_b))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+
+    for mid, pcm, rate, nch in [(1, pcm_a, 8000, 1), (2, pcm_b, 16000, 2)]:
+        x = np.asarray(pcm, dtype="float64")
+        r = got[mid]
+        assert (r.sample_rate, r.n_channels) == (rate, nch)
+        assert r.n_frames == len(pcm) // nch
+        assert r.duration_ms == (len(pcm) // nch) * 1000 // rate
+        assert r.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        assert r.peak == int(np.max(np.abs(x)))
+
+
+def _make_ppm(arr):
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w = a.shape[:2]
+    return (f"P6\n{w} {h}\n255\n").encode() + a.tobytes()
+
+
+def test_image_features_real_ppm_decode_and_ahash(spark):
+    """REAL PPM decode: dimensions/channel means exact; ahash63 is
+    noise-robust (same scene ⇒ same hash) and scene-sensitive."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    # scene: left half dark, right half bright — a strong 8x8 pattern
+    base = np.zeros((32, 48, 3), dtype="uint8")
+    base[:, 24:, :] = 200
+    noisy = base.astype("int32") + rng.randint(-8, 9, base.shape)
+    noisy = np.clip(noisy, 0, 255).astype("uint8")
+    other = base[:, ::-1, :]  # mirrored scene
+    rows = [(1, _make_ppm(base)), (2, _make_ppm(noisy)), (3, _make_ppm(other))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.image_features(df).collect()}
+
+    assert (got[1].width, got[1].height) == (48, 32)
+    means = base.astype("float64").mean(axis=(0, 1))
+    assert got[1].mean_r == round(float(means[0]), 6)
+    assert got[1].ahash == got[2].ahash       # noise does not flip the hash
+    assert got[1].ahash != got[3].ahash       # mirrored scene does
+    assert 0 <= got[1].ahash < (1 << 63)      # non-negative BIGINT contract
+
+
+def test_decode_ppm_comment_and_resize(spark):
+    import numpy as np
+
+    img = np.arange(2 * 3 * 3, dtype="uint8").reshape(2, 3, 3)
+    payload = b"P6\n# a comment\n3 2\n255\n" + img.tobytes()
+    back = multimodal.decode_ppm(payload)
+    assert np.array_equal(back, img)
+    big = multimodal.resize_nearest(img, 4, 6)
+    assert big.shape == (4, 6, 3)
+    assert np.array_equal(big[::2][:, ::2], img)  # strided upsample exact
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....")
+    assert multimodal.decode_image(payload).shape == (2, 3, 3)

@@ -86,6 +86,15 @@ packed = pack_concat(
     partition_cols=["lang"])
 bins = pack_stats(packed, "tok", ["lang"])
 
+# 6b. tokenize to id sequences against a corpus vocab (the encoder step
+#     the packed bins feed; OOV tokens map to id 0)
+from hazelcast_jet_spark.operators.text import build_vocab, tokenize_ids
+
+vocab = build_vocab(sampled, size=512)
+encoded = tokenize_ids(sampled, vocab)
+print("encoded docs (ordered id arrays, OOV accounting):")
+encoded.select("doc_id", "n_tokens", "n_unk").orderBy("doc_id").show(5)
+
 # 7. token accounting + bounded-state vocabulary report for the final mix
 mix = (
     sampled.groupBy("lang")

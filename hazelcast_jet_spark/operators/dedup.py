@@ -443,20 +443,19 @@ def simhash_bands(bits: int, hamming: int) -> list[tuple[int, int]]:
     return spans
 
 
-def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                           bits: int = SIMHASH_DEFAULT_BITS, hamming: int = 2) -> DataFrame:
-    """SimHash near-duplicate pairs at hamming distance ≤ d — the rotated-
-    band probe: candidates share one of the d+1 signature bands (an exact,
-    recall-1 filter by pigeonhole), verified with bit_count(xor) — the same
-    band-bucket-join shape as MinHash LSH, so the shuffle carries
-    (id, band, bandbits) longs and never pairs across buckets.
-
-    At the default 63 bits / hamming 2 the three bands are 21 bits wide
-    (2^21 bucket values), so band buckets stay near-singleton at 100 TB;
-    a 16-bit signature would make every bucket quadratic (VERDICT r2)."""
-    sig = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash_udf(bits)(F.col(text_col)).alias("sh")
-    )
+def hamming_near_dup_pairs(sig_df: DataFrame, id_col: str = "id",
+                           sig_col: str = "sig",
+                           bits: int = SIMHASH_DEFAULT_BITS,
+                           hamming: int = 2) -> DataFrame:
+    """Near-dup pairs at hamming distance ≤ d over ANY bigint signature
+    column — the rotated-band probe: candidates share one of the d+1
+    signature bands (an exact, recall-1 filter by pigeonhole), verified
+    with bit_count(xor); the shuffle carries (id, band, bandbits) longs
+    and never pairs across buckets.  Backs both text simhash
+    (:func:`simhash_near_dup_pairs`) and image aHash
+    (operators/multimodal.image_near_dups) — any 63-bit-convention
+    fingerprint plugs in."""
+    sig = sig_df.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     bucketed = sig.select(
         "id", "sh",
         F.explode(F.array(*[
@@ -479,6 +478,21 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = 
         .filter(F.col("hamming_dist") <= hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                           bits: int = SIMHASH_DEFAULT_BITS, hamming: int = 2) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance ≤ d — the
+    :func:`hamming_near_dup_pairs` band probe over text simhash
+    signatures (same band-bucket-join shape as MinHash LSH).
+
+    At the default 63 bits / hamming 2 the three bands are 21 bits wide
+    (2^21 bucket values), so band buckets stay near-singleton at 100 TB;
+    a 16-bit signature would make every bucket quadratic (VERDICT r2)."""
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash_udf(bits)(F.col(text_col)).alias("sh")
+    )
+    return hamming_near_dup_pairs(sig, "id", "sh", bits=bits, hamming=hamming)
 
 
 def decontaminate(

@@ -234,3 +234,19 @@ def image_features(df: DataFrame, payload_col: str = "payload",
     schema = ("media_id long, width int, height int, mean_r double, "
               "mean_g double, mean_b double, ahash long")
     return df.mapInPandas(run, schema)
+
+
+def image_near_dups(df: DataFrame, hamming: int = 4,
+                    payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate IMAGE pairs: decode → :func:`ahash63` perceptual
+    fingerprint → the shared rotated-band hamming probe
+    (operators/dedup.hamming_near_dup_pairs).  Same scale shape as text
+    simhash: decode is map-only, the candidate join shuffles (id, band,
+    bandbits) longs — never payloads, never all-pairs.  Returns
+    ``(id_a, id_b, hamming_dist)`` at distance ≤ ``hamming``."""
+    from hazelcast_jet_spark.operators.dedup import hamming_near_dup_pairs
+
+    sig = image_features(df, payload_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("ahash").alias("sh"))
+    return hamming_near_dup_pairs(sig, "id", "sh", bits=63, hamming=hamming)

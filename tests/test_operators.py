@@ -1617,3 +1617,27 @@ def test_decode_ppm_comment_and_resize(spark):
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG....")
     assert multimodal.decode_image(payload).shape == (2, 3, 3)
+
+
+def test_image_near_dups_finds_noisy_copies_only(spark):
+    """aHash + rotated-band hamming probe: noisy re-encodes of the same
+    scene pair up; distinct scenes do not; payloads never cross-join."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    scenes = []
+    for s in range(4):  # 4 distinct block patterns
+        img = np.zeros((32, 32, 3), dtype="uint8")
+        img[(s // 2) * 16:(s // 2) * 16 + 16,
+            (s % 2) * 16:(s % 2) * 16 + 16, :] = 220
+        scenes.append(img)
+    rows = []
+    for s, img in enumerate(scenes):
+        rows.append((s * 10, _make_ppm(img)))
+        noisy = np.clip(img.astype("int32")
+                        + rng.randint(-6, 7, img.shape), 0, 255).astype("uint8")
+        rows.append((s * 10 + 1, _make_ppm(noisy)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = sorted((r.id_a, r.id_b) for r in
+                   multimodal.image_near_dups(df, hamming=4).collect())
+    assert pairs == [(0, 1), (10, 11), (20, 21), (30, 31)]

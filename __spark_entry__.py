@@ -707,6 +707,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
 
 
+PQ_M, PQ_K, PQ_SUBDIM = 8, 4, 8
+
+
+def _pq_fixed_codebooks():
+    """Fixed literal PQ codebooks over exact dyadic rationals (…/8) —
+    same rationale as _pca_fixed_axes: the FITTED path (similarity.
+    pq_fit) is pytest-pinned; the gate encodes against literals so the
+    rounded-argmin is bit-equal in any IEEE engine."""
+    return [[[((s * 5 + j * 3 + t * 7) % 9 - 4) / 8.0
+              for t in range(PQ_SUBDIM)]
+             for j in range(PQ_K)]
+            for s in range(PQ_M)]
+
+
+def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_encode; Jégou et al.
+    2011): per-subspace rounded-L2 argmin codes + total quantization
+    error — map-only, the memory arm of the ANN stack (64 float dims →
+    8 code bytes).  Per-label code diversity and DECIMAL-exact error
+    sums."""
+    from hazelcast_jet_spark.operators.similarity import pq_encode
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pq_encode(e, _pq_fixed_codebooks(), err_col="err")
+    code_str = F.array_join(
+        F.transform("pq_code", lambda x: x.cast("string")), " ")
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("err").cast("decimal(28,12)"))
+            .cast("double").alias("sum_sqerr"),
+            F.countDistinct(code_str).alias("n_codes"),
+        )
+        .orderBy("label")
+    )
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -2977,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids_stats": tokenize_ids_stats,
         "psi_drift_events": psi_drift_events,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "pq_encode_stats": pq_encode_stats,
     }
 
 
@@ -5385,4 +5424,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(s)) AS INTEGER) AS peak
             FROM v GROUP BY media_id ORDER BY media_id
         """,
+        "pq_encode_stats": (lambda books: f"""
+            WITH d AS (
+                SELECT label,
+                       {", ".join(
+                           "[" + ", ".join(
+                               _l2_sql(
+                                   f"embedding[{s * PQ_SUBDIM + 1}:"
+                                   f"{(s + 1) * PQ_SUBDIM}]", c)
+                               for c in book) + f"] AS d{s}"
+                           for s, book in enumerate(books))}
+                FROM embeddings
+            ), c AS (
+                SELECT label,
+                       {", ".join(
+                           f"CAST(list_position(d{s}, list_min(d{s})) - 1"
+                           f" AS INT) AS c{s}, list_min(d{s}) AS e{s}"
+                           for s in range(PQ_M))}
+                FROM d
+            )
+            SELECT label, count(*) AS n,
+                   CAST(SUM(CAST({" + ".join(f"e{s}" for s in range(PQ_M))}
+                       AS DECIMAL(28,12))) AS DOUBLE) AS sum_sqerr,
+                   CAST(count(DISTINCT {" || ' ' || ".join(
+                       f"CAST(c{s} AS VARCHAR)" for s in range(PQ_M))})
+                       AS BIGINT) AS n_codes
+            FROM c GROUP BY label ORDER BY label
+        """)(_pq_fixed_codebooks()),
     }

@@ -510,3 +510,74 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     losers = groups.filter(F.col("node") != F.col("group")).select(
         F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def pq_fit(df: DataFrame, vec_col: str = "embedding", m: int = 8, k: int = 16,
+           id_col: str = "vec_id", max_iter: int = 10, init: str = "first"):
+    """Product-quantization codebooks (Jégou et al. 2011): split each
+    vector into ``m`` subvectors and run Lloyd's per subspace —
+    ``m`` small k-means fits over map-only slices (each the
+    one-shuffle-per-iteration plan of clustering.kmeans_fit).  Returns
+    ``list[m][k][d/m]`` plain floats, the literal format
+    :func:`pq_encode` embeds in the plan.
+
+    PQ is the memory arm of the ANN stack: IVF prunes WHICH vectors to
+    scan, PQ shrinks each to ``m`` code bytes (k ≤ 256) — 64 float32
+    dims become 8 bytes, a 32× cut, with distances approximated
+    per-subspace.  Fit on a deterministic sample at 100 TB (like
+    train_ivf_centroids)."""
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit
+
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:
+        raise ValueError("pq_fit on an empty DataFrame")
+    dim = probe["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * subdim + 1, subdim).alias("v"))
+        cent, _ = kmeans_fit(sub, k, vec_col="v", id_col=id_col,
+                             max_iter=max_iter, init=init)
+        books.append([[float(x) for x in c] for c in cent])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
+              code_col: str = "pq_code", err_col: str | None = None) -> DataFrame:
+    """Encode vectors to PQ codes — map-only, whole-stage codegen, the
+    :func:`~hazelcast_jet_spark.operators.clustering.l2_assign`
+    convention per subspace: squared L2 to each codeword rounds to 9 dp
+    before the argmin, so the code (and the SQL oracle computing the
+    same rounded doubles) is engine-portable.  Adds ``code_col``
+    (array<int>, one code per subspace); ``err_col`` adds the total
+    quantization error Σ_s min-dist (left-to-right double sum of the
+    rounded per-subspace minima — deterministic)."""
+    subdim = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes, errs = [], []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * subdim + 1, subdim)
+        dists = F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, y: acc + y),
+                9)
+            for c in book
+        ])
+        codes.append((F.array_position(dists, F.array_min(dists)) - F.lit(1))
+                     .cast("int"))
+        errs.append(F.array_min(dists))
+    out = df.withColumn(code_col, F.array(*codes))
+    if err_col is not None:
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        out = out.withColumn(err_col, total)
+    return out

@@ -1641,3 +1641,57 @@ def test_image_near_dups_finds_noisy_copies_only(spark):
     pairs = sorted((r.id_a, r.id_b) for r in
                    multimodal.image_near_dups(df, hamming=4).collect())
     assert pairs == [(0, 1), (10, 11), (20, 21), (30, 31)]
+
+
+def test_pq_encode_matches_numpy_and_fit_reduces_error(spark):
+    """Codes equal a numpy argmin replay of the rounded-distance rule;
+    FITTED codebooks quantize with less error than arbitrary fixed
+    ones; encode is map-only."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import pq_encode, pq_fit
+
+    rng = np.random.RandomState(9)
+    # 4 natural clusters per 4-dim subspace, 16-dim vectors (m=4)
+    centers = rng.randn(4, 16) * 3
+    x = np.vstack([c + rng.randn(50, 16) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+
+    fixed = [[[((s + j + t) % 5 - 2) / 4.0 for t in range(4)]
+              for j in range(4)] for s in range(4)]
+    out = pq_encode(df, fixed, err_col="err")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    got = {r.vec_id: r for r in out.collect()}
+    books = np.array(fixed)  # (m, k, subdim)
+    for i in range(0, 200, 37):
+        v = x[i]
+        want_codes, want_err = [], 0.0
+        for s in range(4):
+            sub = v[s * 4:(s + 1) * 4]
+            d = np.round(((sub[None, :] - books[s]) ** 2).sum(axis=1), 9)
+            want_codes.append(int(np.argmin(d)))
+            want_err += float(d.min())
+        assert list(got[i].pq_code) == want_codes
+        assert abs(got[i].err - want_err) < 1e-9
+
+    fitted = pq_fit(df, m=4, k=4, max_iter=10)
+    fit_err = pq_encode(df, fitted, err_col="err") \
+        .agg(F.sum("err")).collect()[0][0]
+    fixed_err = pq_encode(df, fixed, err_col="err") \
+        .agg(F.sum("err")).collect()[0][0]
+    assert fit_err < 0.25 * fixed_err  # trained codebooks actually quantize
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    from hazelcast_jet_spark.operators.similarity import pq_fit
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, [0.0] * 10)],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pq_fit(df, m=4)

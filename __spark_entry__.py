@@ -707,6 +707,45 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes", "feature")
 
 
+N_IMAGE_MEDIA, IMG_W, IMG_H = 30, 24, 16
+
+
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the gate (operators/multimodal.
+    image_features): binary PPM payloads synthesized from a closed-form
+    pixel formula (pure function of media_id, x, y, channel), decoded
+    with the native P6 parser, and the oracle recomputes dims + channel
+    means from the SAME formula — decode fidelity end to end.  The
+    ahash63 fingerprint is pytest-pinned (8×8 resize in SQL is not
+    worth the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    from hazelcast_jet_spark.operators.multimodal import image_features
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                mm = int(m)
+                img = np.fromfunction(
+                    lambda y, x, c: (y * 7 + x * 5 + c * 29 + mm * 13) % 256,
+                    (IMG_H, IMG_W, 3)).astype("uint8")
+                payloads.append(
+                    f"P6\n{IMG_W} {IMG_H}\n255\n".encode() + img.tobytes())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads})
+
+    media = (
+        spark.range(N_IMAGE_MEDIA)
+        .withColumnRenamed("id", "media_id")
+        .mapInPandas(synth, "media_id long, payload binary")
+    )
+    return image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    ).orderBy("media_id")
+
+
 PQ_M, PQ_K, PQ_SUBDIM = 8, 4, 8
 
 
@@ -3015,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids_stats": tokenize_ids_stats,
         "psi_drift_events": psi_drift_events,
         "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_image_stats": multimodal_image_stats,
         "pq_encode_stats": pq_encode_stats,
     }
 
@@ -5423,6 +5463,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(avg(CAST(s AS DOUBLE) * s)), 6) AS rms,
                    CAST(max(abs(s)) AS INTEGER) AS peak
             FROM v GROUP BY media_id ORDER BY media_id
+        """,
+        "multimodal_image_stats": f"""
+            WITH m AS (
+                SELECT unnest(generate_series(0, {N_IMAGE_MEDIA - 1}))
+                           AS media_id
+            ), px AS (
+                SELECT media_id, y, x
+                FROM m,
+                     unnest(generate_series(0, {IMG_H - 1})) AS t1(y),
+                     unnest(generate_series(0, {IMG_W - 1})) AS t2(x)
+            )
+            SELECT media_id,
+                   CAST({IMG_W} AS INTEGER) AS width,
+                   CAST({IMG_H} AS INTEGER) AS height,
+                   round(avg(CAST((y * 7 + x * 5 + media_id * 13) % 256
+                                  AS DOUBLE)), 6) AS mean_r,
+                   round(avg(CAST((y * 7 + x * 5 + 29 + media_id * 13) % 256
+                                  AS DOUBLE)), 6) AS mean_g,
+                   round(avg(CAST((y * 7 + x * 5 + 58 + media_id * 13) % 256
+                                  AS DOUBLE)), 6) AS mean_b
+            FROM px GROUP BY media_id ORDER BY media_id
         """,
         "pq_encode_stats": (lambda books: f"""
             WITH d AS (

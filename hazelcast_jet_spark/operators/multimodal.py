@@ -99,6 +99,16 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _r6(v: float) -> float:
+    """round-half-AWAY to 6 dp for non-negative stats — matches SQL
+    round() semantics; Python's built-in round() is banker's and CAN
+    disagree on exact .5 boundaries (channel means are rationals with
+    power-of-two denominators, which terminate ON such boundaries)."""
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
 def decode_wav(payload: bytes):
     """Decode a WAV payload to ``(sample_rate, n_channels, pcm)`` with
     ``pcm`` an int16 numpy array of interleaved samples — stdlib `wave`
@@ -140,7 +150,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload",
                 out["n_frames"].append(len(pcm) // nch)
                 out["duration_ms"].append((len(pcm) // nch) * 1000 // rate)
                 out["rms"].append(
-                    round(float(np.sqrt(np.mean(x * x))), 6) if len(x) else 0.0)
+                    _r6(float(np.sqrt(np.mean(x * x)))) if len(x) else 0.0)
                 out["peak"].append(int(np.max(np.abs(pcm))) if len(pcm) else 0)
             yield pd.DataFrame(out)
 
@@ -225,9 +235,9 @@ def image_features(df: DataFrame, payload_col: str = "payload",
                 out["media_id"].append(mid)
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])
-                out["mean_r"].append(round(float(means[0]), 6))
-                out["mean_g"].append(round(float(means[1]), 6))
-                out["mean_b"].append(round(float(means[2]), 6))
+                out["mean_r"].append(_r6(float(means[0])))
+                out["mean_g"].append(_r6(float(means[1])))
+                out["mean_b"].append(_r6(float(means[2])))
                 out["ahash"].append(ahash63(img))
             yield pd.DataFrame(out)
 

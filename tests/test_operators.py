@@ -1567,7 +1567,7 @@ def test_audio_features_real_wav_decode(spark):
         assert (r.sample_rate, r.n_channels) == (rate, nch)
         assert r.n_frames == len(pcm) // nch
         assert r.duration_ms == (len(pcm) // nch) * 1000 // rate
-        assert r.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        assert r.rms == multimodal._r6(float(np.sqrt(np.mean(x * x))))
         assert r.peak == int(np.max(np.abs(x)))
 
 
@@ -1597,7 +1597,7 @@ def test_image_features_real_ppm_decode_and_ahash(spark):
 
     assert (got[1].width, got[1].height) == (48, 32)
     means = base.astype("float64").mean(axis=(0, 1))
-    assert got[1].mean_r == round(float(means[0]), 6)
+    assert got[1].mean_r == multimodal._r6(float(means[0]))
     assert got[1].ahash == got[2].ahash       # noise does not flip the hash
     assert got[1].ahash != got[3].ahash       # mirrored scene does
     assert 0 <= got[1].ahash < (1 << 63)      # non-negative BIGINT contract

@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 
 from hazelcast_jet_spark.operators.text import normalize_text, word_ngrams
 
-__all__ = ["dsir_weights", "hashed_classifier_score"]
+__all__ = ["dsir_weights", "hashed_classifier_score",
+           "fit_hashed_classifier"]
 
 
 def dsir_weights(
@@ -181,3 +182,91 @@ def hashed_classifier_score(
         )
         .select(id_col, "n_grams", score.alias(out_col), *extra)
     )
+
+
+def fit_hashed_classifier(
+    df: DataFrame,
+    label_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bucket_hex: int = 3,
+    lr: float = 1.0,
+    iters: int = 15,
+    l2: float = 0.0,
+):
+    """Train the quality classifier IN-ENGINE: batch-gradient logistic
+    regression over hashed n-gram counts — the fit half whose weights
+    :func:`hashed_classifier_score` applies at corpus scale.
+
+    ``label_pred`` is the boolean label column (e.g. "is curated
+    source").  Returns ``(weights: dict[bucket, float], bias: float)``
+    in exactly the format ``hashed_classifier_score`` consumes.
+
+    Scale shape, per iteration: score = (doc, bucket) pairs ⋈ broadcast
+    weight table → per-doc sums; residuals join back onto the pairs by
+    doc (hash join, reuses the pairs partitioning) → per-bucket
+    gradient sums — ≤ 16^bucket_hex rows to the driver, never a
+    feature matrix.  The pairs/labels persist across iterations, so
+    each pass is aggregation-only.  Train on a deterministic sample at
+    100 TB (the kmeans/pq_fit discipline); LR quality needs labeled
+    examples, not the corpus.
+    """
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.dedup import _register_cache
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        label_pred.cast("double").alias("__y"),
+        F.split(normalize_text(text_col), " ").alias("__t"),
+    )
+    pairs = (
+        toks.filter(F.size("__t") >= n)
+        .select("__id", F.explode(word_ngrams("__t", n)).alias("__gram"))
+        .select("__id",
+                F.substring(F.md5("__gram"), 1, bucket_hex).alias("__bucket"))
+        .persist()
+    )
+    labels = toks.select("__id", "__y").persist()
+    _register_cache(pairs)
+    _register_cache(labels)
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("fit_hashed_classifier on an empty DataFrame")
+
+    w: dict[str, float] = {}
+    b = 0.0
+    for _ in range(iters):
+        if w:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "__bucket string, __w double")
+            scores = (
+                pairs.join(F.broadcast(wdf), "__bucket", "left")
+                .groupBy("__id")
+                .agg(F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__s"))
+            )
+        else:
+            scores = pairs.groupBy("__id").agg(F.lit(0.0).alias("__s"))
+        resid = (
+            labels.join(scores, "__id", "left")
+            .select(
+                "__id",
+                ((F.lit(1.0) / (F.lit(1.0) + F.exp(
+                    -(F.lit(b) + F.coalesce(F.col("__s"), F.lit(0.0))))))
+                 - F.col("__y")).alias("__r"),
+            )
+        )
+        grad_rows = (
+            pairs.join(resid, "__id")
+            .groupBy("__bucket").agg(F.sum("__r").alias("__g"))
+            .collect()
+        )
+        grad_b = resid.agg(F.sum("__r")).collect()[0][0]
+        scale = lr / n_docs
+        b -= scale * grad_b
+        for row in grad_rows:
+            g = row["__g"] + l2 * w.get(row["__bucket"], 0.0)
+            w[row["__bucket"]] = w.get(row["__bucket"], 0.0) - scale * g
+    return w, b

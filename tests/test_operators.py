@@ -1733,3 +1733,29 @@ def test_pq_topk_adc_recall_vs_exact(spark):
         sub = x[0][s * 4:(s + 1) * 4]
         want += float(((sub - books_np[s][code_map[r0.corpus_id][s]]) ** 2).sum())
     assert abs(r0.approx_dist - want) < 1e-9
+
+
+def test_fit_hashed_classifier_learns_planted_signal(spark):
+    """In-engine LR over hashed bigrams separates planted labels; the
+    learned weights plug straight into hashed_classifier_score."""
+    from hazelcast_jet_spark.operators.importance import (
+        fit_hashed_classifier, hashed_classifier_score)
+
+    pos_marker, neg_marker = "curated reference", "spam junk"
+    rows = []
+    for i in range(60):
+        filler = f"w{i % 7} w{(i * 3) % 7} common words here"
+        if i % 2 == 0:
+            rows.append((i, f"{pos_marker} {filler}", 1))
+        else:
+            rows.append((i, f"{neg_marker} {filler}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+    w, b = fit_hashed_classifier(df, F.col("y") == 1, lr=2.0, iters=12)
+    scored = hashed_classifier_score(df, w, bias=b, prob_col="p")
+    got = {r.doc_id: r.p for r in scored.collect()}
+    correct = sum(
+        1 for i, _t, y in rows if (got[i] >= 0.5) == bool(y))
+    assert correct >= 57  # ≥95% train accuracy on a separable signal
+    # learned weights are a plain dict: the inference op's native format
+    assert all(isinstance(k, str) and len(k) == 3 for k in w)

@@ -48,3 +48,16 @@ a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
 e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
 print(f"recall@5 with nprobe=2/8: {len(a & e) / len(e):.2f} "
       f"({len(a & e)}/{len(e)} of brute-force top-k recovered)")
+
+# 4. product quantization: 64 float dims -> 8 code bytes, then ADC
+#    search over codes only (the memory + search arms of the ANN stack)
+from hazelcast_jet_spark.operators.similarity import pq_encode, pq_fit, pq_topk
+
+books = pq_fit(emb, m=8, k=16, max_iter=6)
+codes = pq_encode(emb, books, err_col="qerr")
+print("mean quantization error:",
+      codes.agg(F.round(F.avg("qerr"), 4)).collect()[0][0])
+adc = pq_topk(codes, queries, books, k=5)
+a2 = {(r["query_id"], r["corpus_id"]) for r in adc.collect()}
+# exact here is cosine; ADC is L2 — overlap is indicative, not 1.0
+print(f"ADC top-5 overlap with exact cosine: {len(a2 & e)}/{len(e)}")

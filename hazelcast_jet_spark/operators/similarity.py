@@ -583,28 +583,14 @@ def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
     return out
 
 
-def pq_topk(corpus_codes: DataFrame, queries: DataFrame, codebooks,
-            k: int = 5, id_col: str = "vec_id", code_col: str = "pq_code",
-            vec_col: str = "embedding") -> DataFrame:
-    """Asymmetric-distance (ADC) top-k over PQ codes — the search arm
-    completing the ANN stack (IVF prunes, :func:`pq_encode` compresses,
-    ADC scans codes instead of vectors):
+def _adc_scores(corpus_codes: DataFrame, queries: DataFrame, codebooks,
+                id_col: str, code_col: str, vec_col: str) -> DataFrame:
+    """ADC scoring core shared by :func:`pq_topk` and
+    :func:`ivf_pq_topk`: every (corpus, query) approximate distance,
+    unranked — the caller applies its own candidate restriction before
+    the per-query top-k window."""
 
-        dist(q, code) ≈ Σ_s LUT_q[s][code_s],
-        LUT_q[s][j] = ‖q_s − codebook[s][j]‖²
 
-    Queries collect to the driver (small by construction, the
-    :func:`cosine_topk` contract) and their n_q × m × k float LUTs ride
-    the task closure; the corpus side is a map-only Arrow kernel over
-    the CODE column — the raw vectors never re-enter the plan, so a
-    64-float corpus scans at m-bytes-per-row.  Ranking reuses the
-    per-query window with (dist asc, id asc) determinism.
-
-    Returns ``(query_id, corpus_id, approx_dist, rank)``.  Exactness:
-    ADC is an approximation of true L2 by construction; recall against
-    brute force is the pytest evidence (the gate-grade oracle lives on
-    :func:`pq_encode`, whose codes ARE exact).
-    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
@@ -643,12 +629,103 @@ def pq_topk(corpus_codes: DataFrame, queries: DataFrame, codebooks,
 
     schema = ST([SF("corpus_id", LongType()), SF("query_id", LongType()),
                  SF("approx_dist", DoubleType())])
-    scored = src.mapInPandas(scan, schema).filter(
+    return src.mapInPandas(scan, schema).filter(
         F.col("corpus_id") != F.col("query_id"))
+
+
+def pq_topk(corpus_codes: DataFrame, queries: DataFrame, codebooks,
+            k: int = 5, id_col: str = "vec_id", code_col: str = "pq_code",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the search arm
+    completing the ANN stack (IVF prunes, :func:`pq_encode` compresses,
+    ADC scans codes instead of vectors):
+
+        dist(q, code) ~= sum_s LUT_q[s][code_s],
+        LUT_q[s][j] = ||q_s - codebook[s][j]||^2
+
+    Queries collect to the driver (small by construction, the
+    :func:`cosine_topk` contract) and their n_q x m x k float LUTs ride
+    the task closure; the corpus side is a map-only Arrow kernel over
+    the CODE column — the raw vectors never re-enter the plan, so a
+    64-float corpus scans at m-bytes-per-row.  Ranking reuses the
+    per-query window with (dist asc, id asc) determinism.
+
+    Returns ``(query_id, corpus_id, approx_dist, rank)``.  Exactness:
+    ADC is an approximation of true L2 by construction; recall against
+    brute force is the pytest evidence (the gate-grade oracle lives on
+    :func:`pq_encode`, whose codes ARE exact).
+    """
+    scored = _adc_scores(corpus_codes, queries, codebooks,
+                         id_col, code_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("corpus_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_dist", "rank")
+    )
+
+
+def ivf_pq_build(corpus: DataFrame, centroids: list[list[float]], codebooks,
+                 path: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+    """Materialize the FAISS-IVFPQ-shaped index: coarse IVF assignment
+    partitioned by centroid_id, payload reduced to PQ CODES (plus the
+    raw vector for optional exact re-rank) — the two pruning axes
+    composed: partition pruning cuts WHICH rows a probe reads, PQ cuts
+    the BYTES per row the ADC scan touches."""
+    (
+        pq_encode(ivf_assign(corpus, centroids, id_col, vec_col), codebooks,
+                  vec_col=vec_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_pq_topk(spark, path: str, queries: DataFrame,
+                centroids: list[list[float]], codebooks, k: int = 5,
+                nprobe: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF-PQ index: prune to the queries' nprobe
+    centroid partitions (bounded ≤ k_centroids driver collect — never
+    data), then :func:`pq_topk`-style ADC over the surviving CODE rows.
+    Returns ``(query_id, corpus_id, approx_dist, rank)`` by approximate
+    L2.  Exact re-rank, when wanted, joins the top candidates back to
+    the stored vectors — a k-row lookup, not a scan."""
+    v = F.col(vec_col).cast("array<double>")
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_centroid_dists(v, centroids)).alias("cidx", "dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cidx").asc())
+    probe = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", (F.col("cidx") + 1).alias("centroid_id"))
+    )
+    probed_ids = sorted({int(r.centroid_id)
+                         for r in probe.select("centroid_id").distinct().collect()})
+    codes = (
+        spark.read.option("basePath", path).parquet(path)
+        .filter(F.col("centroid_id").isin(probed_ids))
+        .select(F.col(id_col), "pq_code", "centroid_id")
+    )
+    scored = _adc_scores(codes, queries, codebooks, id_col, "pq_code", vec_col)
+    # restrict each query to ITS probed partitions (the union scan above
+    # reads the union of all queries' partitions) BEFORE ranking, so the
+    # top-k window never sees out-of-probe candidates
+    allowed = (
+        codes.select(F.col(id_col).alias("corpus_id"), "centroid_id")
+        .join(F.broadcast(probe), "centroid_id")
+        .select("query_id", "corpus_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("corpus_id").asc())
+    return (
+        scored.join(allowed, ["query_id", "corpus_id"])
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_dist", "rank")
     )

@@ -1759,3 +1759,34 @@ def test_fit_hashed_classifier_learns_planted_signal(spark):
     assert correct >= 57  # ≥95% train accuracy on a separable signal
     # learned weights are a plain dict: the inference op's native format
     assert all(isinstance(k, str) and len(k) == 3 for k in w)
+
+
+def test_ivf_pq_index_prunes_and_ranks_within_probe(spark, tmp_path):
+    """IVF-PQ composed index: the probe reads only the queries' nprobe
+    partitions, ADC ranks within them, and top-1 stays in the planted
+    cluster."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_pq_build, ivf_pq_topk, pq_fit)
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(4, 16) * 5
+    x = np.vstack([c + rng.randn(30, 16) * 0.2 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    centroids = [[float(v) for v in c] for c in centers]
+    books = pq_fit(df, m=4, k=8, max_iter=8)
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_build(df, centroids, books, path)
+
+    queries = df.filter(F.col("vec_id").isin([0, 30, 60, 90]))
+    out = ivf_pq_topk(spark, path, queries, centroids, books, k=3, nprobe=1)
+    rows = out.collect()
+    top1 = {r.query_id: r.corpus_id for r in rows if r.rank == 1}
+    for qid in [0, 30, 60, 90]:
+        assert top1[qid] // 30 == qid // 30      # same planted cluster
+    # nprobe=1 ⇒ every returned candidate lives in the query's own cluster
+    for r in rows:
+        assert r.corpus_id // 30 == r.query_id // 30

@@ -242,3 +242,51 @@ def weighted_sample(df: DataFrame, rate: float, weight: Column | str,
                  _HEX_DIGITS, "0")
     u = _hash_prefix(F.col(key_col), seed)
     return df.filter((p >= 1.0) | (u < thr))
+
+
+def temperature_sample(df: DataFrame, group_col: str, key_col: str,
+                       alpha: float = 0.5, seed: str = "t0") -> DataFrame:
+    """Language/source-balanced temperature sampling: keep rows so the
+    sampled group mix follows ``p_g ∝ n_g^alpha`` instead of the raw
+    ``n_g`` (the UniMax / multilingual-temperature recipe, T = 1/alpha
+    — alpha < 1 flattens the head, boosting low-resource groups'
+    relative share).  The per-group keep rate is
+
+        ``rate_g = (n_min / n_g)^(1 - alpha)``
+
+    normalized so the SMALLEST group keeps everything (rate 1) and each
+    larger group is downsampled toward the tempered mix.
+
+    Determinism and engine portability: the per-row uniform is the md5
+    hex prefix of ``key_col`` (same as every sampler in this module).
+    For the default ``alpha = 0.5`` the rate is ``sqrt(n_min / n_g)`` —
+    IEEE division and square root are both correctly rounded, so the
+    rate doubles (and therefore the hex thresholds) are BIT-IDENTICAL
+    in any engine and the op can sit under an exact-hash gate.  Other
+    alphas go through ``pow``, which is not correctly rounded by
+    standard libms — fine in production, not exact-gate-safe.
+
+    Plan at scale: one tiny aggregate (a row per group), ``n_min``
+    derived by an unpartitioned window over that ≤|groups|-row table
+    (in-plan, no driver round-trip), then a BROADCAST join of the
+    rates back — the corpus itself is never shuffled; the keep filter
+    is a map-only string compare.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pyspark.sql.functions import broadcast
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy()  # ≤|groups| rows: a single-task window is fine
+    ratio = F.min("_n").over(w).cast("double") / F.col("_n").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.select(group_col, rate.alias("_rate"))
+    out = df.join(broadcast(rates), group_col)
+    thr = F.lpad(F.lower(F.hex(
+        (F.col("_rate") * F.lit(float(_SPACE))).cast("bigint"))),
+        _HEX_DIGITS, "0")
+    u = _hash_prefix(F.col(key_col), seed)
+    return out.filter((F.col("_rate") >= 1.0) | (u < thr)).drop("_rate")

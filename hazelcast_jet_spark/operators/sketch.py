@@ -208,3 +208,95 @@ def heavy_hitters(
         merged.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def count_min_build(df: DataFrame, item_col: str, width: int = 1024,
+                    depth: int = 4, seed: str = "cm") -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
+    column's value frequencies: ``depth`` independent hash rows of
+    ``width`` counters; estimates overcount (never undercount) by at
+    most the collision mass of the best row.
+
+    Third member of the mergeable-sketch family here (KMV cardinality,
+    Misra-Gries heavy hitters, CMS point frequencies): the returned
+    frame has AT MOST ``depth × width`` rows regardless of input size
+    or cardinality — ship it, store it, or union+re-aggregate sketches
+    from different days to merge them (counter-wise addition IS the
+    merge).
+
+    Determinism and portability: row ``j``'s hash is the first 12 hex
+    chars of ``md5(seed || j || ':' || value)`` mod ``width`` — pure
+    integer arithmetic an oracle replays bit-for-bit (no murmur seeds,
+    no engine-private hash).
+
+    Plan at scale: the ``depth`` hash rows explode map-side, then ONE
+    hash aggregation on ``(row, bucket)`` — partial (map-side) combine
+    caps each task's output at ``depth × width`` counters, so the
+    shuffle is bounded by ``tasks × depth × width`` longs, independent
+    of the corpus.  NULL values are skipped (md5(NULL) is NULL and a
+    NULL bucket row would pollute row 0).
+
+    Returns ``(cm_row INT, cm_bucket INT, cm_count BIGINT)``.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError(f"width/depth must be > 0, got {width}/{depth}")
+    v = F.col(item_col).cast("string")
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("cm_row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{seed}{j}:"), v)), 1, 12), 16, 10)
+             .cast("bigint") % width).cast("int").alias("cm_bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(rows).alias("h"))
+        .groupBy(F.col("h.cm_row").alias("cm_row"),
+                 F.col("h.cm_bucket").alias("cm_bucket"))
+        .agg(F.count(F.lit(1)).alias("cm_count"))
+    )
+
+
+def count_min_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                       depth: int = 4, width: int = 1024,
+                       seed: str = "cm") -> DataFrame:
+    """Point-frequency estimates from a :func:`count_min_build` sketch:
+    for each probe key, ``min`` over the ``depth`` rows of the counter
+    its hash lands in (0 if a row's counter is absent — the key was
+    never seen by that hash row).
+
+    The probe set is usually small (a watchlist, a vocabulary slice):
+    each key expands to its ``depth`` (row, bucket) coordinates and
+    equi-joins the ≤ depth×width-row sketch — Spark broadcasts the
+    sketch side, so probing is shuffle-free over the keys.  Guarantee:
+    ``estimate ≥ true count``, and with prob ≥ 1-(1/2)^depth the excess
+    is ≤ 2n/width (standard CMS bound with these row counts).
+
+    Returns ``(key STRING, cm_estimate BIGINT)``.
+    """
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(key_col).cast("string")
+    rows = F.array(*[
+        F.struct(
+            F.lit(j).alias("cm_row"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{seed}{j}:"), v)), 1, 12), 16, 10)
+             .cast("bigint") % width).cast("int").alias("cm_bucket"),
+        )
+        for j in range(depth)
+    ])
+    probes = (
+        keys.filter(v.isNotNull())
+        .select(v.alias("key"), F.explode(rows).alias("h"))
+        .select("key", F.col("h.cm_row").alias("cm_row"),
+                F.col("h.cm_bucket").alias("cm_bucket"))
+    )
+    return (
+        probes.join(broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cm_count"), F.lit(0)))
+             .alias("cm_estimate"))
+    )

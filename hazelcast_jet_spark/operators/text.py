@@ -670,3 +670,58 @@ def tokenize_ids(df: DataFrame, vocab: DataFrame,
             F.sum("__unk").alias("n_unk"),
         )
     )
+
+
+def ngram_novelty(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty vs everything that came BEFORE it in
+    ``id_col`` order: how many of the doc's distinct n-grams appear in
+    no lower-id document.  The corpus-freshness metric of dataset
+    analyses (a near-copy of earlier data scores ≈0; genuinely new text
+    scores ≈1) — complements the pairwise dedup ops with a cheap
+    per-doc scalar that needs NO pair enumeration.
+
+    Plan at scale — two bounded shuffles, no self-join, no pair blowup:
+
+    1. distinct ``(gram, id)`` explode, then per-gram MIN(id) — the
+       map-side partial min keeps shuffle rows at
+       distinct-grams-per-partition, and the aggregated "first seen"
+       table has one row per distinct gram in the corpus;
+    2. the exploded grams rejoin that table ON GRAM (partitioning
+       reused from the aggregation) and reduce per doc: a gram is
+       novel iff this doc IS its first-seen id.
+
+    Compare: a pairwise formulation (every doc × every earlier doc
+    sharing a gram) is quadratic in duplication depth; this is linear
+    in corpus gram volume however deep the duplication.
+
+    Returns ``(id_col, n_grams BIGINT, n_novel BIGINT, novelty
+    DOUBLE)``; docs with fewer than ``n`` words have 0 grams and NULL
+    novelty.
+    """
+    toks = tokens(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.array_distinct(
+                      word_ngrams(toks, n))).alias("_gram"))
+    )
+    first_seen = grams.groupBy("_gram").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        grams.join(first_seen, "_gram")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.when(F.col("_id") == F.col("_first"), 1)
+                   .otherwise(0)).alias("n_novel"))
+    )
+    # docs too short for any gram still deserve a row (0, 0, NULL)
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

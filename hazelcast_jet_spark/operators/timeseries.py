@@ -196,3 +196,53 @@ def ewma(df: DataFrame, key_col: str, time_col: str, value_col: str,
         return pdf
 
     return df.groupBy(key_col).applyInPandas(_ewm, out_schema)
+
+
+def cohort_retention(df: DataFrame, key_col: str = "user_id",
+                     time_col: str = "ts",
+                     period_seconds: int = 604800) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), counted again in every later period they were
+    active — the product-analytics staple behind "week-N retention"
+    dashboards.  No reference analog (Jet would chain two keyed
+    aggregates); beyond-inventory op.
+
+    Returns ``(cohort_period BIGINT, period_offset BIGINT, n_active
+    BIGINT)``: of the keys whose first activity fell in
+    ``cohort_period``, ``n_active`` were active ``period_offset``
+    periods later (offset 0 row = cohort size).
+
+    Plan at scale — three hash exchanges, each strictly smaller than
+    the last, none on the raw stream twice:
+
+    1. ``(key, period)`` DISTINCT — collapses the event stream to at
+       most keys × periods rows (map-side partial dedup first);
+    2. per-key MIN over those rows — one row per key (reuses the
+       key-compatible partitioning);
+    3. the activity rows rejoin their key's cohort (same key
+       partitioning — co-located, no broadcast needed since both
+       sides are already key-partitioned) and count per
+       ``(cohort, offset)``.  After step 1 each (key, period) is
+       unique, so a plain ``count`` IS the distinct-user count —
+       no count-distinct state anywhere.
+
+    Periods are FLOOR(epoch / period_seconds) — session-tz-free via
+    :func:`_epoch_seconds`, so a DuckDB/Trino oracle bins identically
+    (including pre-1970 and sub-second timestamps).
+    """
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be > 0, got {period_seconds}")
+    period = F.floor(
+        _epoch_seconds(df, time_col) / F.lit(float(period_seconds)))
+    activity = (
+        df.select(F.col(key_col).alias("_key"), period.alias("_period"))
+        .distinct()
+    )
+    cohorts = activity.groupBy("_key").agg(
+        F.min("_period").alias("_cohort"))
+    return (
+        activity.join(cohorts, "_key")
+        .groupBy(F.col("_cohort").alias("cohort_period"),
+                 (F.col("_period") - F.col("_cohort")).alias("period_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -675,3 +675,65 @@ def write_zordered(df: DataFrame, path: str, cluster_cols: list[str],
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Keyed diff of two table snapshots — the audit/CDC-backfill
+    primitive ("what changed between yesterday's export and today's"):
+    classifies every key as ``added`` (only in ``new``), ``removed``
+    (only in ``old``) or ``changed`` (present in both with any compared
+    column differing); unchanged keys are dropped.
+
+    ``compare_cols`` defaults to every shared non-key column.  Value
+    comparison is NULL-SAFE per column (``eqNullSafe`` — NULL = NULL is
+    "same", NULL vs value is "changed"), so a column going NULL shows up
+    as a change instead of vanishing from the diff.
+
+    Plan at scale: ONE full outer sort-merge/hash join on the key — the
+    minimal shape for a two-sided diff (each side is scanned once, only
+    key + compared columns are read, so column pruning reaches both
+    scans).  If both snapshots are written bucketed on the key
+    (``write_clustered``), the join is co-located and shuffle-free.
+    Emits ``key_cols…, change STRING`` — join the result back to either
+    snapshot for payloads (keeps this op's shuffle width at
+    keys + compared columns only).
+
+    Duplicate keys in either snapshot would cross-product in the join;
+    snapshots are by definition keyed (one row per key) — enforce
+    upstream with :class:`KeyedParquetTable` or a distinct.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(key_cols)]
+    o = old.select(*key_cols, *compare_cols)
+    n = new.select(*key_cols, *compare_cols)
+    o = o.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        F.struct(*compare_cols).alias("_ov") if compare_cols
+        else F.lit(0).alias("_ov"))
+    n = n.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        F.struct(*compare_cols).alias("_nv") if compare_cols
+        else F.lit(0).alias("_nv"))
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~F.col("_ov").eqNullSafe(F.col("_nv")), F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+              for k in key_cols],
+            change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

@@ -313,3 +313,49 @@ def test_write_zordered_rejects_overwide_key(spark, tmp_path):
     df = spark.range(10).selectExpr("id a", "id b", "id c")
     with _pytest.raises(ValueError):
         write_zordered(df, str(tmp_path / "x"), ["a", "b", "c"], bits=22)
+
+
+# ---------------------------------------------------------------- diff
+
+
+def test_snapshot_diff_classification(spark):
+    from hazelcast_jet_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, v string, n long")
+    new = spark.createDataFrame(
+        [(2, "b", 20),        # unchanged → dropped
+         (3, "c", 99),        # changed value
+         (4, None, 40),       # unchanged incl. NULL == NULL
+         (5, "e", 50)],       # added
+        "id long, v string, n long")
+    got = {r["id"]: r["change"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    from hazelcast_jet_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    got = {r["id"]: r["change"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {1: "changed"}  # value→NULL is a change; NULL→NULL is not
+
+
+def test_snapshot_diff_compare_cols_subset_and_composite_key(spark):
+    from hazelcast_jet_spark.storage import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", 10, "ig1"), (1, "y", 20, "ig2")],
+        "a long, b string, n long, noise string")
+    new = spark.createDataFrame(
+        [(1, "x", 10, "DIFFERENT"), (1, "y", 21, "ig2")],
+        "a long, b string, n long, noise string")
+    got = {(r["a"], r["b"]): r["change"]
+           for r in snapshot_diff(old, new, ["a", "b"],
+                                  compare_cols=["n"]).collect()}
+    # noise differs on (1,x) but is not compared
+    assert got == {(1, "y"): "changed"}

@@ -1790,3 +1790,99 @@ def test_ivf_pq_index_prunes_and_ranks_within_probe(spark, tmp_path):
     # nprobe=1 ⇒ every returned candidate lives in the query's own cluster
     for r in rows:
         assert r.corpus_id // 30 == r.query_id // 30
+
+
+def test_count_min_overcounts_never_under(spark):
+    """CMS guarantee: estimate >= true count for every present key; an
+    absent key estimates 0 when its buckets are collision-free."""
+    from hazelcast_jet_spark.operators.sketch import (
+        count_min_build, count_min_estimate)
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 37).cast("string").alias("term"))
+    sk = count_min_build(df, "term", width=64, depth=4, seed="t")
+    # bounded size: at most depth*width rows
+    assert sk.count() <= 4 * 64
+    probes = spark.createDataFrame(
+        [(str(i),) for i in range(37)] + [("absent-term",)], "term: string")
+    est = {r["key"]: r["cm_estimate"]
+           for r in count_min_estimate(sk, probes, "term",
+                                       depth=4, width=64, seed="t").collect()}
+    exact = {r["term"]: r["n"] for r in
+             df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    # wide sketch: no collisions among 37 keys + probe → exact estimates
+    sk_wide = count_min_build(df, "term", width=8192, depth=4, seed="t")
+    est_wide = {r["key"]: r["cm_estimate"]
+                for r in count_min_estimate(sk_wide, probes, "term",
+                                            depth=4, width=8192,
+                                            seed="t").collect()}
+    assert est_wide == {**{k: n for k, n in exact.items()}, "absent-term": 0}
+
+
+def test_count_min_merge_is_counter_addition(spark):
+    """union+re-aggregate of two sketches == sketch of the union — the
+    mergeable-summary property (ship daily sketches, add them up)."""
+    from hazelcast_jet_spark.operators.sketch import count_min_build
+
+    a = spark.range(0, 500).select((F.col("id") % 11).cast("string").alias("t"))
+    b = spark.range(0, 700).select((F.col("id") % 17).cast("string").alias("t"))
+    merged = (
+        count_min_build(a, "t", width=32, depth=3, seed="m")
+        .unionAll(count_min_build(b, "t", width=32, depth=3, seed="m"))
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cm_count").alias("cm_count"))
+    )
+    whole = count_min_build(a.unionAll(b), "t", width=32, depth=3, seed="m")
+    sym_diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert sym_diff == 0
+
+
+def test_count_min_hash_replays_in_python(spark):
+    """Bucket coordinates are pure md5 arithmetic — an external oracle
+    (or next year's rerun) derives identical sketches."""
+    import hashlib
+
+    from hazelcast_jet_spark.operators.sketch import count_min_build
+
+    df = spark.createDataFrame([("alpha",), ("beta",), ("alpha",)], "t: string")
+    got = {(r["cm_row"], r["cm_bucket"]): r["cm_count"]
+           for r in count_min_build(df, "t", width=100, depth=2,
+                                    seed="s").collect()}
+    exp = {}
+    for term, n in (("alpha", 2), ("beta", 1)):
+        for j in range(2):
+            h = hashlib.md5(f"s{j}:{term}".encode()).hexdigest()[:12]
+            key = (j, int(h, 16) % 100)
+            exp[key] = exp.get(key, 0) + n
+    assert got == exp
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from hazelcast_jet_spark.operators.text import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),          # grams: abc, bcd — both novel
+        (2, "a b c e"),          # grams: abc (seen), bce (novel)
+        (3, "a b c d"),          # exact dup of 1 — nothing novel
+        (4, "x y"),              # too short for 3-grams
+        (5, None),               # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df, n=3).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 0, 0.0)
+    assert got[4] == (0, 0, None)
+    assert got[5] == (0, 0, None)
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    from hazelcast_jet_spark.operators.text import ngram_novelty
+
+    # "a b a b a" has 2-grams [ab, ba, ab, ba] → distinct {ab, ba}
+    df = spark.createDataFrame([(1, "a b a b a")], "doc_id: long, text: string")
+    r = ngram_novelty(df, n=2).collect()[0]
+    assert (r["n_grams"], r["n_novel"]) == (2, 2)

@@ -241,3 +241,69 @@ def test_weighted_sample_is_map_only(spark, docs):
         docs.withColumn("w", F.lit(0.5)), 0.5, "w", "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from hazelcast_jet_spark.operators.sampling import temperature_sample
+
+    # groups of size 4000 / 1000 / 250 — heavily head-skewed
+    df = spark.range(0, 5250).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 4000, "big")
+        .when(F.col("id") < 5000, "mid")
+        .otherwise("small").alias("lang"),
+    )
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.5, seed="tt")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group keeps everything (rate 1 exactly)
+    assert got["small"] == 250
+    # expected kept ≈ n_g * sqrt(n_min/n_g) = sqrt(n_min * n_g)
+    import math
+    for g, n_g in (("big", 4000), ("mid", 1000)):
+        exp = math.sqrt(250 * n_g)
+        assert 0.75 * exp < got[g] < 1.3 * exp, (g, got[g], exp)
+    # deterministic: partitioning must not change membership
+    again = temperature_sample(
+        df.repartition(13), "lang", "doc_id", alpha=0.5, seed="tt")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+
+
+def test_temperature_sample_matches_python_replay(spark):
+    """The keep decision replays exactly in Python: sqrt/div are IEEE
+    correctly-rounded, the threshold render is floor(rate·16^6) hex."""
+    import hashlib
+    import math
+
+    from hazelcast_jet_spark.operators.sampling import temperature_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.5, seed="tp")
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    counts = {"a": 100, "b": 100, "c": 100}
+    n_min = min(counts.values())
+    exp = []
+    for i, lang in rows:
+        rate = math.sqrt(n_min / counts[lang])
+        if rate >= 1.0:
+            exp.append(i)
+            continue
+        thr = format(int(rate * 16 ** 6), "06x")
+        u = hashlib.md5(f"tp{i}".encode()).hexdigest()[:6]
+        if u < thr:
+            exp.append(i)
+    assert got == sorted(exp)
+
+
+def test_temperature_sample_alpha_one_keeps_all(spark):
+    from hazelcast_jet_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "x" if i < 90 else "y") for i in range(100)],
+        "doc_id: long, lang: string")
+    assert temperature_sample(df, "lang", "doc_id", alpha=1.0).count() == 100
+    with pytest.raises(ValueError):
+        temperature_sample(df, "lang", "doc_id", alpha=0.0)

@@ -400,3 +400,56 @@ def test_funnel_counts_within_horizon(spark):
     unbounded = {r["stage"]: r["n_keys"]
                  for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
     assert unbounded == {1: 3, 2: 3, 3: 3}
+
+
+def test_cohort_retention_hand_computed(spark):
+    from hazelcast_jet_spark.operators.timeseries import cohort_retention
+
+    day = 86400
+    t = lambda d, h=0: dt.datetime(1970, 1, 1 + d, h, 0, 0)
+    rows = [
+        # user 1: first day 0; active days 0, 1, 3 (twice on day 1)
+        (1, t(0)), (1, t(1)), (1, t(1, 5)), (1, t(3)),
+        # user 2: first day 0; active day 0 only
+        (2, t(0, 12)),
+        # user 3: first day 1; active days 1 and 3
+        (3, t(1)), (3, t(3, 23)),
+    ]
+    # NTZ so day binning is wall-clock under the hostile session tz
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, "user_id", "ts",
+                                     period_seconds=day).collect()}
+    assert got == {
+        (0, 0): 2,  # users 1, 2 in day-0 cohort
+        (0, 1): 1,  # user 1 back on day 1
+        (0, 3): 1,  # user 1 back on day 3
+        (1, 0): 1,  # user 3 in day-1 cohort
+        (1, 2): 1,  # user 3 back on day 3
+    }
+
+
+def test_cohort_retention_offset0_is_cohort_size(spark, sf_dir):
+    from hazelcast_jet_spark.operators.timeseries import cohort_retention
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = cohort_retention(e, "user_id", "ts").cache()
+    try:
+        # every cohort has an offset-0 row and it is the max of its column
+        per = {r["cohort_period"]: r for r in
+               out.groupBy("cohort_period")
+                  .agg(F.max(F.when(F.col("period_offset") == 0,
+                                    F.col("n_active"))).alias("size"),
+                       F.max("n_active").alias("peak"),
+                       F.min("period_offset").alias("min_off")).collect()}
+        assert per
+        for r in per.values():
+            assert r["min_off"] == 0
+            assert r["size"] == r["peak"]
+        # total cohort sizes == distinct users
+        total = out.filter("period_offset = 0").agg(
+            F.sum("n_active")).collect()[0][0]
+        assert total == e.select("user_id").distinct().count()
+    finally:
+        out.unpersist()

@@ -2880,6 +2880,126 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# -- r5 session 4 -----------------------------------------------------------
+
+CMS_WIDTH = 512
+CMS_DEPTH = 4
+CMS_SEED = "cm0"
+CMS_PROBE_TERMS = ("the", "data", "spark", "value", "row", "zz-absent")
+
+
+def temperature_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced temperature sampling (operators/sampling.
+    temperature_sample, UniMax recipe at T=2): per-lang keep rate
+    sqrt(n_min/n_g) — division and square root are IEEE correctly
+    rounded, so the rate doubles and hex thresholds are bit-identical
+    in any engine.  Plan: one tiny per-lang aggregate, rates broadcast
+    back, keep decision a map-only string compare — the corpus is never
+    shuffled."""
+    from hazelcast_jet_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_sample(d, "lang", "doc_id", alpha=0.5, seed="tmp0")
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("n_chars").alias("chars_kept"))
+        .orderBy("lang")
+    )
+
+
+def cohort_retention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/timeseries.
+    cohort_retention): users bucketed by first-activity week, counted in
+    each later week they return.  Three strictly-shrinking hash
+    exchanges — (user, week) distinct, per-user min, (cohort, offset)
+    count — with no count-distinct state anywhere (the distinct step
+    makes plain counts exact).  Week bins are FLOOR(epoch/604800) over
+    NTZ wall-clock epochs: session-tz-free, so any engine bins
+    identically."""
+    from hazelcast_jet_spark.operators.timeseries import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    out = cohort_retention(e, "user_id", "ts", period_seconds=604800)
+    return out.orderBy("cohort_period", "period_offset")
+
+
+def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates (operators/sketch.
+    count_min_build/estimate, Cormode & Muthukrishnan 2005): word
+    frequencies of the document corpus compressed into a 4×512 counter
+    grid (bounded shuffle: map-side combine caps each task's output at
+    depth×width longs regardless of vocabulary), probed for a fixed
+    term watchlist next to the exact counts — estimate ≥ exact always;
+    the absent probe shows pure collision mass.  Hashes are md5
+    arithmetic an oracle replays bit-for-bit."""
+    from hazelcast_jet_spark.operators.sketch import (
+        count_min_build, count_min_estimate)
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        F.explode(text.tokens(F.col("text"))).alias("term"))
+    sk = count_min_build(toks, "term", width=CMS_WIDTH, depth=CMS_DEPTH,
+                         seed=CMS_SEED)
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBE_TERMS], "term: string")
+    est = count_min_estimate(sk, probes, "term", depth=CMS_DEPTH,
+                             width=CMS_WIDTH, seed=CMS_SEED)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.join(exact, est["key"] == exact["term"], "left")
+        .select("key", "cm_estimate",
+                F.coalesce("_n", F.lit(0)).alias("exact_n"))
+        .orderBy("key")
+    )
+
+
+def table_diff_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (storage.snapshot_diff): two deterministic views of
+    orders — 'yesterday' drops keys %3==0, 'today' drops %5==0 and bumps
+    o_totalprice on %7==0 — classified added/removed/changed by ONE full
+    outer join on the key (NULL-safe value compare).  Counts + key
+    checksums per class pin the whole diff."""
+    from hazelcast_jet_spark.storage import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderkey") % 3 != 0)
+           .select("o_orderkey", "o_totalprice"))
+    new = (o.filter(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 7 == 0,
+                          F.col("o_totalprice") + 1.0)
+                   .otherwise(F.col("o_totalprice")).alias("o_totalprice")))
+    diff = snapshot_diff(old, new, ["o_orderkey"],
+                         compare_cols=["o_totalprice"])
+    return (
+        diff.groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("change")
+    )
+
+
+def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus freshness (operators/text.ngram_novelty): per-doc fraction
+    of distinct 3-grams unseen in any LOWER doc_id — aggregated per
+    source.  Two bounded shuffles (per-gram MIN(doc_id), then per-doc
+    reduce) — linear in gram volume, no pair enumeration however deep
+    the duplication."""
+    from hazelcast_jet_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    nov = ngram_novelty(d, "doc_id", "text", n=3)
+    return (
+        nov.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_grams").alias("total_grams"),
+             F.sum("n_novel").alias("total_novel"))
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2887,13 +3007,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window: the 13 entries that have never had a
-    green driver row first (11 TPC-H continuation shapes + winnowing +
-    repetition — mirror-verified only through r3), then queries new this
-    round, then every entry with exactly one green driver row.  The tail
-    holds only queries with at least TWO green driver rows, rotated out of
-    the window; bench.py still runs every entry, so perf coverage is
-    unaffected by the order.
+    correctness gate's 50-entry window.  r5 final ordering: every query with
+    NO green driver row yet first — the r4 red/no-oracle fixes, then all r5
+    additions (sessions 1-4) — followed by the 23 entries whose single green
+    row is r3 (stalest refresh first).  That fills the window exactly (27
+    never-green + 23 single-green-r3); everything below the boundary has a
+    green row from r4 (one round old) or ≥2 green rows.  bench.py still runs
+    every entry, so perf coverage is unaffected by the order.
     """
     return {
         # -- must-verify: red in r4 (oracle typing, fixed) or new query name --
@@ -2932,7 +3052,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
-        # -- filler: single green row from r4 (newest green, rotate last) -----
+        # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
+        "weighted_sample_counts": weighted_sample_counts,
+        "mad_outlier_stats": mad_outlier_stats,
+        "containment_dup_pairs": containment_dup_pairs,
+        "pca_projection_stats": pca_projection_stats,
+        "char_entropy_quality": char_entropy_quality,
+        "quality_classifier_scores": quality_classifier_scores,
+        "bigram_lm_quality": bigram_lm_quality,
+        "ks_drift_events": ks_drift_events,
+        "tokenize_ids_stats": tokenize_ids_stats,
+        "psi_drift_events": psi_drift_events,
+        "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_image_stats": multimodal_image_stats,
+        "pq_encode_stats": pq_encode_stats,
+        # -- new in r5 session 4 (no driver row yet) --------------------------
+        "temperature_sample_counts": temperature_sample_counts,
+        "cohort_retention_counts": cohort_retention_counts,
+        "count_min_estimates": count_min_estimates,
+        "table_diff_counts": table_diff_counts,
+        "ngram_novelty_stats": ngram_novelty_stats,
+        # ===== driver window boundary is 50 entries; everything below has =====
+        # ===== a green row from r4 (single) or >= 2 green rows ===============
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
         "pii_scrub_stats": pii_scrub_stats,
@@ -2951,8 +3092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": bloom_semi_join_orders,
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
-        # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== a green row from r4 (single) or >= 2 green rows ===============
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "table_profile": table_profile,
         "value_histogram": value_histogram,
@@ -3042,20 +3181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
-        # ===== new in r5 session 3 (first driver window slot: r6) ===========
-        "weighted_sample_counts": weighted_sample_counts,
-        "mad_outlier_stats": mad_outlier_stats,
-        "containment_dup_pairs": containment_dup_pairs,
-        "pca_projection_stats": pca_projection_stats,
-        "char_entropy_quality": char_entropy_quality,
-        "quality_classifier_scores": quality_classifier_scores,
-        "bigram_lm_quality": bigram_lm_quality,
-        "ks_drift_events": ks_drift_events,
-        "tokenize_ids_stats": tokenize_ids_stats,
-        "psi_drift_events": psi_drift_events,
-        "multimodal_audio_stats": multimodal_audio_stats,
-        "multimodal_image_stats": multimodal_image_stats,
-        "pq_encode_stats": pq_encode_stats,
     }
 
 
@@ -5512,4 +5637,115 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_codes
             FROM c GROUP BY label ORDER BY label
         """)(_pq_fixed_codebooks()),
+        # -- r5 session 4 --------------------------------------------------
+        "temperature_sample_counts": """
+            WITH c AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), r AS (
+                SELECT lang,
+                       sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE)
+                            / CAST(n AS DOUBLE)) AS rate
+                FROM c
+            )
+            SELECT d.lang, count(*) AS n_kept,
+                   CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+            FROM documents d JOIN r USING (lang)
+            WHERE r.rate >= 1.0
+               OR substr(md5('tmp0' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+                  < lpad(lower(to_hex(
+                        CAST(floor(r.rate * 16777216.0) AS BIGINT))), 6, '0')
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "cohort_retention_counts": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT) AS p
+                FROM events
+            ), coh AS (
+                SELECT user_id, min(p) AS c FROM act GROUP BY user_id
+            )
+            SELECT c.c AS cohort_period, a.p - c.c AS period_offset,
+                   count(*) AS n_active
+            FROM act a JOIN coh c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "count_min_estimates": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ), js AS (
+                SELECT unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j
+            ), cms AS (
+                SELECT j,
+                       CAST(CAST(CAST('0x' || substr(md5('{CMS_SEED}'
+                             || CAST(j AS VARCHAR) || ':' || term), 1, 12)
+                           AS UBIGINT) AS BIGINT) % {CMS_WIDTH} AS INT) AS b,
+                       count(*) AS cnt
+                FROM toks CROSS JOIN js GROUP BY 1, 2
+            ), probes AS (
+                SELECT unnest([{", ".join("'" + t + "'" for t in CMS_PROBE_TERMS)}]) AS key
+            ), coords AS (
+                SELECT key, j,
+                       CAST(CAST(CAST('0x' || substr(md5('{CMS_SEED}'
+                             || CAST(j AS VARCHAR) || ':' || key), 1, 12)
+                           AS UBIGINT) AS BIGINT) % {CMS_WIDTH} AS INT) AS b
+                FROM probes CROSS JOIN js
+            ), est AS (
+                SELECT key, min(coalesce(cnt, 0)) AS cm_estimate
+                FROM coords LEFT JOIN cms USING (j, b) GROUP BY key
+            ), exact AS (
+                SELECT term, count(*) AS n FROM toks GROUP BY term
+            )
+            SELECT e.key, e.cm_estimate, coalesce(x.n, 0) AS exact_n
+            FROM est e LEFT JOIN exact x ON e.key = x.term
+            ORDER BY e.key
+        """,
+        "table_diff_counts": """
+            WITH old AS (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 3 <> 0
+            ), new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 0
+            ), d AS (
+                SELECT coalesce(n.o_orderkey, o.o_orderkey) AS k,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                                 THEN 'changed' END AS change
+                FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT change, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+            FROM d WHERE change IS NOT NULL
+            GROUP BY change ORDER BY change
+        """,
+        "ngram_novelty_stats": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ), g AS (
+                SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(tk) >= 3
+                               THEN list_transform(
+                                   generate_series(1, len(tk) - 2),
+                                   i -> array_to_string(tk[i:i+2], ' '))
+                               ELSE [] END) AS gram
+                    FROM toks)
+            ), fs AS (
+                SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram
+            ), per AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN g.doc_id = fs.first_id THEN 1 ELSE 0 END)
+                           AS n_novel
+                FROM g JOIN fs USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(coalesce(per.n_grams, 0)) AS BIGINT) AS total_grams,
+                   CAST(sum(coalesce(per.n_novel, 0)) AS BIGINT) AS total_novel
+            FROM documents d LEFT JOIN per USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
+        """,
     }

@@ -331,3 +331,55 @@ def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2  # ctx and unigram sides
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan           # persisted gram stream
+
+
+def test_temperature_sample_rates_broadcast(spark, sf_dir):
+    """The per-group rate table joins back by BROADCAST — the corpus is
+    never shuffled for the keep decision (the rate derivation's own
+    aggregate is over the same scan, output ≤ |groups| rows)."""
+    plan = _plan(entry_mod.temperature_sample_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_count_min_single_aggregate_exchange(spark, sf_dir):
+    """CMS build: ONE hash exchange on (row, bucket) with a map-side
+    partial aggregate before it — the shuffle is bounded by
+    tasks × depth × width counters, not corpus size."""
+    from hazelcast_jet_spark.operators.sketch import count_min_build
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    df = count_min_build(toks, "term", width=512, depth=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial_count before the exchange (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_count_min_probe_broadcasts_sketch(spark, sf_dir):
+    plan = _plan(entry_mod.count_min_estimates(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    """The diff is ONE full outer join on the key — each snapshot
+    scanned once, only key + compared columns read."""
+    df = entry_mod.table_diff_counts(spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exec_plan.count("SortMergeJoin") + \
+        exec_plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in exec_plan
+    plan = _plan(df)
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "o_comment" not in read and "o_custkey" not in read  # pruned
+
+
+def test_ngram_novelty_no_pair_join(spark, sf_dir):
+    """Novelty never enumerates doc pairs: no nested-loop/cartesian
+    anywhere — only gram-keyed hash exchanges."""
+    plan = _plan(entry_mod.ngram_novelty_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -3000,6 +3000,63 @@ def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval-overlap join (operators/joins.interval_join):
+    lineitems of the SAME order whose discounted-price bands
+    ``[price·(1-disc), price)`` intersect (half-open; zero-discount
+    degenerate spans dropped) — an equi-join on the order key with the
+    overlap predicate as residual, never a nested-loop.  Per-order pair
+    counts pin the full pair set; the band arithmetic is one double
+    multiply, bit-identical in any engine."""
+    from hazelcast_jet_spark.operators.joins import interval_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    lo = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    a = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_linenumber").alias("ln_a"),
+                  lo.alias("sa"), F.col("l_extendedprice").alias("ea"))
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_linenumber").alias("ln_b"),
+                  lo.alias("sb"), F.col("l_extendedprice").alias("eb"))
+    pairs = interval_join(a, b, ("sa", "ea"), ("sb", "eb"), on=["k"],
+                          extra_cond=F.col("ln_a") < F.col("ln_b"))
+    return (
+        pairs.groupBy(F.col("k").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("o_orderkey")
+    )
+
+
+def interval_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-keyed interval-overlap join in GRID mode (operators/joins.
+    interval_join): every (view, purchase) event pair whose 300-second
+    windows intersect — both sides explode to 300 s bins, the join is a
+    plain equi-join on the bin id, and owner-bin filtering emits each
+    pair exactly once.  The oracle is the raw THETA join: equality
+    proves the grid decomposition lossless and duplicate-free.  A raw
+    Spark theta join here would plan BroadcastNestedLoop; the grid
+    shape is shuffle-partitioned and AQE-skew-splittable."""
+    from hazelcast_jet_spark.operators.joins import interval_join
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    ep = _epoch_seconds(e, "ts")
+    base = e.select("event_id", "event_type", ep.alias("t"))
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("t").alias("vs"),
+        (F.col("t") + 300).alias("ve"))
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("t").alias("ps"),
+        (F.col("t") + 300).alias("pe"))
+    pairs = interval_join(views, purchases, ("vs", "ve"), ("ps", "pe"),
+                          bin_width=300.0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("vid").alias("vid_sum"),
+        F.sum("pid").alias("pid_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3050,8 +3107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3072,8 +3127,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_estimates": count_min_estimates,
         "table_diff_counts": table_diff_counts,
         "ngram_novelty_stats": ngram_novelty_stats,
+        "interval_overlap_pairs": interval_overlap_pairs,
+        "interval_grid_pairs": interval_grid_pairs,
         # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== a green row from r4 (single) or >= 2 green rows ===============
+        # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
+        # the two r3-single-green entries displaced by the interval gates —
+        # refresh FIRST in r6:
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
         "pii_scrub_stats": pii_scrub_stats,
@@ -5747,5 +5808,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(coalesce(per.n_novel, 0)) AS BIGINT) AS total_novel
             FROM documents d LEFT JOIN per USING (doc_id)
             GROUP BY d.source ORDER BY d.source
+        """,
+        "interval_overlap_pairs": """
+            WITH l AS (
+                SELECT l_orderkey AS k, l_linenumber AS ln,
+                       l_extendedprice * (1.0 - l_discount) AS s,
+                       l_extendedprice AS e
+                FROM lineitem
+                WHERE l_extendedprice * (1.0 - l_discount) < l_extendedprice
+            )
+            SELECT a.k AS o_orderkey, count(*) AS n_pairs
+            FROM l a JOIN l b
+              ON a.k = b.k AND a.ln < b.ln AND a.s < b.e AND b.s < a.e
+            GROUP BY a.k ORDER BY a.k
+        """,
+        "interval_grid_pairs": """
+            WITH ev AS (
+                SELECT event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events
+            ), v AS (
+                SELECT event_id AS vid, t AS vs, t + 300 AS ve
+                FROM ev WHERE event_type = 'view'
+            ), p AS (
+                SELECT event_id AS pid, t AS ps, t + 300 AS pe
+                FROM ev WHERE event_type = 'purchase'
+            )
+            SELECT count(*) AS n_pairs,
+                   CAST(sum(vid) AS BIGINT) AS vid_sum,
+                   CAST(sum(pid) AS BIGINT) AS pid_sum
+            FROM v JOIN p ON v.vs < p.pe AND p.ps < v.ve
         """,
     }

@@ -1886,3 +1886,58 @@ def test_ngram_novelty_counts_distinct_grams_once(spark):
     df = spark.createDataFrame([(1, "a b a b a")], "doc_id: long, text: string")
     r = ngram_novelty(df, n=2).collect()[0]
     assert (r["n_grams"], r["n_novel"]) == (2, 2)
+
+
+def test_interval_join_keyed_half_open(spark):
+    from hazelcast_jet_spark.operators.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (1, "b", 20.0, 30.0), (2, "c", 0.0, 5.0),
+         (1, "z", 7.0, 7.0)],                       # empty span → dropped
+        "k long, lid string, ls double, le double")
+    right = spark.createDataFrame(
+        [(1, "x", 5.0, 15.0),   # overlaps a
+         (1, "y", 10.0, 20.0),  # touches a at 10 (half-open: no), b at 20 (no)
+         (2, "w", 5.0, 9.0)],   # touches c at 5 (no)
+        "k long, rid string, rs double, re double")
+    got = sorted((r["lid"], r["rid"]) for r in
+                 interval_join(left, right, ("ls", "le"), ("rs", "re"),
+                               on=["k"]).collect())
+    assert got == [("a", "x")]
+
+
+def test_interval_join_grid_equals_bruteforce(spark):
+    """Grid mode is a lossless, duplicate-free decomposition of the
+    theta join — for several bin widths incl. spans crossing many bins."""
+    from hazelcast_jet_spark.operators.joins import interval_join
+
+    left = spark.range(0, 120).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 7 % 97).cast("double").alias("ls"),
+        ((F.col("id") * 7 % 97) + 1 + F.col("id") % 13).cast("double").alias("le"))
+    right = spark.range(0, 150).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 11 % 101).cast("double").alias("rs"),
+        ((F.col("id") * 11 % 101) + 1 + F.col("id") % 9).cast("double").alias("re"))
+    brute = sorted(
+        (r["lid"], r["rid"]) for r in
+        left.crossJoin(right)
+        .filter((F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")))
+        .collect())
+    for bw in (0.7, 5.0, 1000.0):
+        got = sorted((r["lid"], r["rid"]) for r in
+                     interval_join(left, right, ("ls", "le"), ("rs", "re"),
+                                   bin_width=bw).collect())
+        assert got == brute, bw  # exactly once each — no misses, no dups
+
+
+def test_interval_join_arg_validation(spark):
+    import pytest
+
+    from hazelcast_jet_spark.operators.joins import interval_join
+
+    df = spark.range(1).select(F.lit(0.0).alias("s"), F.lit(1.0).alias("e"))
+    with pytest.raises(ValueError):
+        interval_join(df, df, ("s", "e"), ("s", "e"))
+    with pytest.raises(ValueError):
+        interval_join(df, df, ("s", "e"), ("s", "e"), on=["s"], bin_width=1.0)

@@ -383,3 +383,18 @@ def test_ngram_novelty_no_pair_join(spark, sf_dir):
     plan = _plan(entry_mod.ngram_novelty_stats(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_grid_join_no_nested_loop(spark, sf_dir):
+    """Grid-mode interval join: equi-join on the bin id — a raw theta
+    join here would plan BroadcastNestedLoop and go quadratic."""
+    df = entry_mod.interval_grid_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_keyed_join_equi_on_key(spark, sf_dir):
+    plan = _plan(entry_mod.interval_overlap_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

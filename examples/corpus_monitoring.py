@@ -60,3 +60,47 @@ ent.groupBy("lang").agg(
 
 print("bigram-LM surprisal (5 most out-of-distribution docs):")
 text.bigram_lm_score(docs).orderBy(F.col("mean_nll").desc()).show(5)
+
+# ---- round-5 session-4 additions -----------------------------------------
+
+from hazelcast_jet_spark.operators.sketch import (  # noqa: E402
+    count_min_build, count_min_estimate)
+from hazelcast_jet_spark.operators.text import ngram_novelty  # noqa: E402
+from hazelcast_jet_spark.operators.timeseries import cohort_retention  # noqa: E402
+from hazelcast_jet_spark.storage import snapshot_diff  # noqa: E402
+
+# 5. count-min sketch of the corpus vocabulary + a probe watchlist: the
+#    sketch is depth x width counters however large the vocabulary — ship
+#    one per day and add them to merge
+toks = docs.filter(F.col("text").isNotNull()).select(
+    F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+cms = count_min_build(toks, "term", width=512, depth=4)
+watch = spark.createDataFrame(
+    [("data",), ("spark",), ("value",)], "term: string")
+print("count-min term-frequency watchlist (estimate >= true):")
+count_min_estimate(cms, watch, "term", depth=4, width=512).show()
+
+# 6. day-over-day snapshot diff (stand-in: doc-id halves with a planted
+#    change) — the audit primitive for "what moved between exports"
+old = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "n_chars")
+new = docs.filter(F.col("doc_id") % 5 != 0).select(
+    "doc_id",
+    F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 1)
+    .otherwise(F.col("n_chars")).alias("n_chars"))
+print("snapshot diff (added/removed/changed):")
+snapshot_diff(old, new, ["doc_id"]).groupBy("change").count().show()
+
+# 7. corpus freshness: n-gram novelty per source (near-copies of earlier
+#    docs score ~0)
+print("3-gram novelty by source:")
+(ngram_novelty(docs, n=3)
+ .join(docs.select("doc_id", "source"), "doc_id")
+ .groupBy("source")
+ .agg(F.count(F.lit(1)).alias("n_docs"),
+      F.round(F.avg("novelty"), 3).alias("mean_novelty"))
+ .orderBy("source").show())
+
+# 8. weekly cohort retention of event users
+print("weekly cohort retention (first 10 cells):")
+cohort_retention(events, "user_id", "ts").orderBy(
+    "cohort_period", "period_offset").show(10)

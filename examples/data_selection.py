@@ -77,3 +77,15 @@ write_clustered(selected.select("doc_id", "lang", "source", "text"),
                 out, ["doc_id"], num_files=4)
 print("clustered output:", out, "->",
       spark.read.parquet(out).count(), "rows")
+
+# 6. language-balance the final mix with temperature sampling (T=2):
+#    large languages downsample toward p_g ∝ sqrt(n_g); the smallest
+#    keeps everything — deterministic, map-only, reproducible
+from hazelcast_jet_spark.operators.sampling import temperature_sample
+
+balanced = temperature_sample(selected, "lang", "doc_id", alpha=0.5)
+print("language mix before/after temperature sampling:")
+(selected.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+ .join(balanced.groupBy("lang").agg(F.count(F.lit(1)).alias("n_balanced")),
+       "lang", "left")
+ .orderBy("lang").show())

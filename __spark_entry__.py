@@ -3057,6 +3057,43 @@ def interval_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w1_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 drift (operators/profile.w1_drift): the
+    integral companion of the KS gate — same even-vs-odd halves per
+    event type, answering "how much mass moved how far" in value units
+    where KS reports only the supremum.  Two strictly-shrinking
+    exchanges: distinct-value compaction absorbs ties, then one group
+    window; terms accumulate in DECIMAL so the sum is order-free."""
+    from hazelcast_jet_spark.operators.profile import w1_drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return w1_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
+
+
+SCM_WIDTH = 256
+SCM_SEED = "scm"
+
+
+def streaming_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Count-Min maintenance: the same
+    sketch.count_min_build composition applied to readStream — a live
+    depth×width frequency summary maintained in complete mode (bounded
+    state: ≤ depth·width counters however high the stream rate).
+    availableNow on bounded input makes the counters deterministic, so
+    the batch SQL replay of the md5 bucket arithmetic is the exact
+    oracle.  The full counter grid is returned — the strongest pin."""
+    from hazelcast_jet_spark.operators.sketch import count_min_build
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    e = read_stream_table(spark, sf_dir, "events")
+    sk = count_min_build(e, "user_id", width=SCM_WIDTH, depth=CMS_DEPTH,
+                         seed=SCM_SEED)
+    return run_to_batch(sk, "complete").orderBy("cm_row", "cm_bucket")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3105,8 +3142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3129,10 +3164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_stats": ngram_novelty_stats,
         "interval_overlap_pairs": interval_overlap_pairs,
         "interval_grid_pairs": interval_grid_pairs,
+        "w1_drift_events": w1_drift_events,
+        "streaming_count_min_sketch": streaming_count_min_sketch,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the two r3-single-green entries displaced by the interval gates —
+        # the four r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
         "asof_join_forward": asof_join_forward,
@@ -5821,6 +5860,56 @@ def oracle_sql() -> dict[str, str]:
             FROM l a JOIN l b
               ON a.k = b.k AND a.ln < b.ln AND a.s < b.e AND b.s < a.e
             GROUP BY a.k ORDER BY a.k
+        """,
+        "w1_drift_events": """
+            WITH t AS (
+                SELECT event_type, value AS x,
+                       CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src
+                FROM events WHERE value IS NOT NULL
+            ), px AS (
+                SELECT event_type, x,
+                       SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS r,
+                       SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS c
+                FROM t GROUP BY event_type, x
+            ), s AS (
+                SELECT event_type,
+                       SUM(r) OVER (PARTITION BY event_type) AS n_ref,
+                       SUM(c) OVER (PARTITION BY event_type) AS n_cur,
+                       SUM(r) OVER (PARTITION BY event_type ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS c_ref,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS c_cur,
+                       lead(x) OVER (PARTITION BY event_type ORDER BY x) - x
+                           AS gap
+                FROM px
+            )
+            SELECT event_type,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round(CAST(SUM(CAST(
+                       abs(c_ref / CAST(n_ref AS DOUBLE)
+                           - c_cur / CAST(n_cur AS DOUBLE))
+                       * coalesce(gap, 0.0) AS DECIMAL(28,12)))
+                       AS DOUBLE), 6) AS w1
+            FROM s WHERE n_ref > 0 AND n_cur > 0
+            GROUP BY event_type, n_ref, n_cur
+            ORDER BY event_type
+        """,
+        "streaming_count_min_sketch": f"""
+            WITH js AS (
+                SELECT unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j
+            )
+            SELECT j AS cm_row,
+                   CAST(CAST(CAST('0x' || substr(md5('{SCM_SEED}'
+                         || CAST(j AS VARCHAR) || ':'
+                         || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) % {SCM_WIDTH} AS INT) AS cm_bucket,
+                   count(*) AS cm_count
+            FROM events CROSS JOIN js
+            WHERE user_id IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "interval_grid_pairs": """
             WITH ev AS (

@@ -359,3 +359,75 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             F.round(F.sum(term).cast("double"), round_digits).alias("psi"),
         )
     )
+
+
+def w1_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+             group_cols: list[str] | None = None,
+             round_digits: int = 6) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth-mover) distance per group —
+    the INTEGRAL companion of :func:`ks_drift`'s supremum:
+
+        ``W1 = ∫ |ECDF_ref(x) − ECDF_cur(x)| dx``
+
+    KS answers "how far apart do the CDFs get" (scale-free, capped at
+    1); W1 answers "how much probability mass moved, how far" in the
+    value's own units — a uniform +c shift of the whole distribution
+    gives exactly ``W1 = c`` while KS saturates.  Track both: KS for
+    shape alarm, W1 for magnitude.
+
+    Plan — two strictly-shrinking exchanges:
+
+    1. aggregate per ``(group, x)``: the tagged union compacts to one
+       row per DISTINCT value with ref/cur counts (map-side combine
+       absorbs ties — heavy-tie columns shrink here);
+    2. one window exchange on the group over those distinct-value rows:
+       cumulative counts + ``lead(x)`` gaps, then
+       ``Σ |Fr − Fc| · gap``.
+
+    Each term accumulates in DECIMAL(28,12) so the sum is
+    order-independent and engine-portable (the per-term double
+    arithmetic — two divisions, one multiply — is IEEE-identical
+    everywhere; only the summation order would differ).
+
+    NULLs are dropped; groups present in only one sample are omitted.
+    Returns ``(group_cols…, n_ref, n_cur, w1)``.
+    """
+    g = group_cols or []
+    tagged = (
+        ref.select(*g, F.col(value_col).alias("__x"))
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            cur.select(*g, F.col(value_col).alias("__x"))
+            .withColumn("__src", F.lit(1)))
+        .filter(F.col("__x").isNotNull())
+    )
+    per_x = tagged.groupBy(*g, "__x").agg(
+        F.sum((F.col("__src") == 0).cast("bigint")).alias("__r"),
+        F.sum((F.col("__src") == 1).cast("bigint")).alias("__c"),
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    w_ord = w_all.orderBy("__x")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = per_x.select(
+        *g,
+        F.sum("__r").over(w_all).alias("__n_ref"),
+        F.sum("__c").over(w_all).alias("__n_cur"),
+        F.sum("__r").over(w_cum).alias("__c_ref"),
+        F.sum("__c").over(w_cum).alias("__c_cur"),
+        (F.lead("__x").over(w_ord) - F.col("__x")).alias("__gap"),
+    )
+    term = (
+        F.abs(F.col("__c_ref") / F.col("__n_ref")
+              - F.col("__c_cur") / F.col("__n_cur"))
+        * F.coalesce(F.col("__gap").cast("double"), F.lit(0.0))
+    )
+    return (
+        stepped.filter((F.col("__n_ref") > 0) & (F.col("__n_cur") > 0))
+        .groupBy(*g)
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.round(F.sum(term.cast("decimal(28,12)")).cast("double"),
+                    round_digits).alias("w1"),
+        )
+    )

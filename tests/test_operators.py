@@ -1941,3 +1941,49 @@ def test_interval_join_arg_validation(spark):
         interval_join(df, df, ("s", "e"), ("s", "e"))
     with pytest.raises(ValueError):
         interval_join(df, df, ("s", "e"), ("s", "e"), on=["s"], bin_width=1.0)
+
+
+def _w1_python(ref, cur):
+    """Independent model: W1 = sum |Fr - Fc| * gap over distinct values."""
+    xs = sorted(set(ref) | set(cur))
+    nr, nc = len(ref), len(cur)
+    w1 = 0.0
+    cr = cc = 0
+    for i, x in enumerate(xs[:-1]):
+        cr += sum(1 for v in ref if v == x)
+        cc += sum(1 for v in cur if v == x)
+        w1 += abs(cr / nr - cc / nc) * (xs[i + 1] - x)
+    return w1
+
+
+def test_w1_drift_shift_and_zero(spark):
+    from hazelcast_jet_spark.operators.profile import w1_drift
+
+    base = [float(i) for i in range(100)]
+    ref = spark.createDataFrame([(x,) for x in base], "v: double")
+    same = w1_drift(ref, ref, "v").collect()[0]
+    assert same["w1"] == 0.0 and same["n_ref"] == 100
+    # uniform shift by 2.5 → W1 exactly 2.5
+    cur = spark.createDataFrame([(x + 2.5,) for x in base], "v: double")
+    assert w1_drift(ref, cur, "v").collect()[0]["w1"] == 2.5
+
+
+def test_w1_drift_matches_python_model_with_ties(spark):
+    from hazelcast_jet_spark.operators.profile import w1_drift
+
+    ref = [(i * 37 % 11) / 3.0 for i in range(200)]       # heavy ties
+    cur = [(i * 53 % 13) / 3.0 + 0.25 for i in range(150)]
+    rdf = spark.createDataFrame([("g", x) for x in ref], "k: string, v: double")
+    cdf = spark.createDataFrame([("g", x) for x in cur], "k: string, v: double")
+    got = w1_drift(rdf, cdf, "v", ["k"]).collect()[0]
+    assert got["n_ref"] == 200 and got["n_cur"] == 150
+    assert abs(got["w1"] - _w1_python(ref, cur)) < 1e-6
+
+
+def test_w1_drift_single_sided_group_omitted(spark):
+    from hazelcast_jet_spark.operators.profile import w1_drift
+
+    rdf = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k: string, v: double")
+    cdf = spark.createDataFrame([("a", 1.5)], "k: string, v: double")
+    got = {r["k"] for r in w1_drift(rdf, cdf, "v", ["k"]).collect()}
+    assert got == {"a"}

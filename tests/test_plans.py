@@ -398,3 +398,11 @@ def test_interval_keyed_join_equi_on_key(spark, sf_dir):
     plan = _plan(entry_mod.interval_overlap_pairs(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_w1_drift_two_exchanges(spark, sf_dir):
+    """W1: distinct-value compaction exchange + one group window
+    exchange; the final aggregate reuses the window partitioning."""
+    df = entry_mod.w1_drift_events(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -742,3 +742,21 @@ def test_distinct_within_conflicting_watermark_rejected(spark):
     # equal delay (different spelling) is accepted
     out = stage.grouping_key("k").distinct(within="10 seconds")
     assert out.df.isStreaming
+
+
+def test_streaming_count_min_equals_batch(spark, sf_dir):
+    """The streamed CMS (complete-mode agg over readStream) lands on
+    exactly the batch sketch — counter-for-counter."""
+    from hazelcast_jet_spark.operators.sketch import count_min_build
+    from hazelcast_jet_spark.session import load_table
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    stream = run_to_batch(
+        count_min_build(read_stream_table(spark, sf_dir, "events"),
+                        "user_id", width=64, depth=3, seed="eq"),
+        "complete")
+    batch = count_min_build(load_table(spark, sf_dir, "events"),
+                            "user_id", width=64, depth=3, seed="eq")
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0

@@ -3094,6 +3094,33 @@ def streaming_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(sk, "complete").orderBy("cm_row", "cm_bucket")
 
 
+#: fixed merge list for the BPE gate — a real hierarchy ("table" built in
+#: 4 steps); bpe_fit-learned lists are pinned against the reference
+#: implementation in pytest (iterative fit is not SQL-expressible)
+BPE_MERGES = [("t", "a"), ("a", "</w>"), ("ta", "b"), ("l", "e"),
+              ("tab", "le")]
+
+
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation (operators/bpe.bpe_segments): the corpus encoded
+    with a FIXED merge hierarchy — per-word char symbols + one greedy
+    left-to-right fold per merge, all JVM expressions — then symbol
+    frequencies.  The oracle replays each fold as a delimited-string
+    ``replace`` (provably the same left-to-right non-overlapping
+    semantics).  The LEARNED path (bpe_fit: corpus scanned once, every
+    merge iteration on the vocab table only) is pinned bit-for-bit
+    against an independent reference trainer in pytest."""
+    from hazelcast_jet_spark.operators.bpe import bpe_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(bpe_segments("text", BPE_MERGES)).alias("sym"))
+        .groupBy("sym").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sym")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3141,7 +3168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3166,10 +3192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_grid_pairs": interval_grid_pairs,
         "w1_drift_events": w1_drift_events,
         "streaming_count_min_sketch": streaming_count_min_sketch,
+        "bpe_segment_stats": bpe_segment_stats,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the four r3-single-green entries displaced by late-session gates —
+        # the five r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
@@ -5861,6 +5889,29 @@ def oracle_sql() -> dict[str, str]:
               ON a.k = b.k AND a.ln < b.ln AND a.s < b.e AND b.s < a.e
             GROUP BY a.k ORDER BY a.k
         """,
+        "bpe_segment_stats": (lambda reps: f"""
+            WITH w AS (
+                SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ), nz AS (
+                SELECT w FROM w WHERE length(w) > 0
+            ), ds AS (
+                SELECT '  ' || array_to_string(list_append(
+                           list_transform(generate_series(1, length(w)),
+                                          i -> w[i]), '</w>'), '  ')
+                       || '  ' AS s
+                FROM nz
+            ), m AS (
+                SELECT {reps} AS s FROM ds
+            )
+            SELECT sym, count(*) AS n FROM (
+                SELECT unnest(list_filter(string_split(s, '  '),
+                                          x -> x <> '')) AS sym
+                FROM m
+            ) GROUP BY sym ORDER BY sym
+        """)("".join(
+            f"replace(" for _ in BPE_MERGES) + "s" + "".join(
+            f", ' {a}  {b} ', ' {a}{b} ')" for a, b in BPE_MERGES)),
         "w1_drift_events": """
             WITH t AS (
                 SELECT event_type, value AS x,

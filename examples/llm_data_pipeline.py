@@ -111,3 +111,16 @@ print(f"corpus: {n0} → exact-dedup {n1} → near-dup {n2} → "
 print(f"packed into {bins.count()} bins of <=512 tokens (start-offset rule)")
 mix.show()
 top_terms.show()
+
+# 8. learn a subword tokenizer IN-ENGINE (BPE): the corpus is scanned
+#    once for word counts; every merge iteration runs on the vocab table
+#    only — then segment with the learned merges
+from hazelcast_jet_spark.operators.bpe import bpe_fit, bpe_segments
+
+merges = bpe_fit(sampled, "text", n_merges=12)
+print(f"learned {len(merges)} BPE merges, first 6: {merges[:6]}")
+segmented = sampled.select(
+    "doc_id", bpe_segments("text", merges).alias("syms"))
+print("subword symbols per doc (learned tokenizer):")
+segmented.select("doc_id", F.size("syms").alias("n_syms")).orderBy(
+    "doc_id").show(5)

@@ -1987,3 +1987,83 @@ def test_w1_drift_single_sided_group_omitted(spark):
     cdf = spark.createDataFrame([("a", 1.5)], "k: string, v: double")
     got = {r["k"] for r in w1_drift(rdf, cdf, "v", ["k"]).collect()}
     assert got == {"a"}
+
+
+def _ref_bpe_fit(texts, n_merges, min_pair_count=2):
+    """Independent pure-Python BPE trainer (Sennrich 2016 semantics,
+    ties -> lexicographically smallest pair)."""
+    from collections import Counter
+
+    words = Counter(w for t in texts if t for w in t.strip().split())
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_fit_matches_reference(spark):
+    from hazelcast_jet_spark.operators.bpe import bpe_fit
+
+    texts = [
+        "low low low lower lower newest newest newest newest",
+        "widest widest widest newest low",
+        "new new news news",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = bpe_fit(df, "text", n_merges=12)
+    exp, _ = _ref_bpe_fit(texts, 12)
+    assert got == exp
+    assert len(got) == 12  # corpus is rich enough that nothing stalled
+
+
+def test_bpe_segments_paths_agree_and_match_reference(spark):
+    from hazelcast_jet_spark.operators.bpe import (
+        bpe_apply_pandas, bpe_fit, bpe_segments)
+
+    texts = [
+        "low low low lower lower newest newest newest newest",
+        "widest widest widest newest low",
+        "new new news news",
+        "",           # empty text -> empty symbol list
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+    merges = bpe_fit(df, "text", n_merges=8)
+    _, ref_vocab = _ref_bpe_fit(texts, 8)
+
+    jvm = {r["id"]: r["s"] for r in df.select(
+        "id", bpe_segments("text", merges).alias("s")).collect()}
+    pnd = {r["id"]: r["bpe_syms"]
+           for r in bpe_apply_pandas(df, "text", merges).collect()}
+    assert jvm == pnd
+    for i, t in enumerate(texts):
+        exp = [s for w in t.strip().split() for s in ref_vocab[w]]
+        assert jvm[i] == exp, (i, jvm[i], exp)
+
+
+def test_bpe_fit_early_stop_on_singletons(spark):
+    from hazelcast_jet_spark.operators.bpe import bpe_fit
+
+    # every adjacent pair unique -> nothing reaches min_pair_count=2
+    df = spark.createDataFrame([("abcdefg",)], "text: string")
+    assert bpe_fit(df, "text", n_merges=5) == []

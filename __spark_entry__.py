@@ -3121,6 +3121,24 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series regularization (operators/timeseries.resample): per-type
+    hourly means on a MATERIALIZED gap-free grid with forward fill —
+    grid rows explode from per-key min/max sequence (never a calendar
+    cross join), the rejoin reuses the aggregate's partitioning, and
+    the fill is one ordered window (last ignorenulls).  Means are
+    DECIMAL-sum/double-count so every engine computes the identical
+    double before the 6 dp round."""
+    from hazelcast_jet_spark.operators.timeseries import resample
+
+    e = _t(spark, sf_dir, "events")
+    out = resample(e, "event_type", "ts", "value", 3600, fill="ffill")
+    return out.select(
+        "event_type", "period",
+        F.round("value", 6).alias("value"), "observed",
+    ).orderBy("event_type", "period")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3167,7 +3185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3193,10 +3210,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_drift_events": w1_drift_events,
         "streaming_count_min_sketch": streaming_count_min_sketch,
         "bpe_segment_stats": bpe_segment_stats,
+        "resample_gap_fill": resample_gap_fill,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the five r3-single-green entries displaced by late-session gates —
+        # the six r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
@@ -5888,6 +5907,30 @@ def oracle_sql() -> dict[str, str]:
             FROM l a JOIN l b
               ON a.k = b.k AND a.ln < b.ln AND a.s < b.e AND b.s < a.e
             GROUP BY a.k ORDER BY a.k
+        """,
+        "resample_gap_fill": """
+            WITH per AS (
+                SELECT event_type AS k,
+                       CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) AS p,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS mean
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), bounds AS (
+                SELECT k, min(p) AS lo, max(p) AS hi FROM per GROUP BY k
+            ), grid AS (
+                SELECT k, unnest(generate_series(lo, hi)) AS p FROM bounds
+            ), j AS (
+                SELECT g.k, g.p, per.mean
+                FROM grid g LEFT JOIN per ON g.k = per.k AND g.p = per.p
+            )
+            SELECT k AS event_type, p AS period,
+                   round(last_value(mean IGNORE NULLS) OVER (
+                       PARTITION BY k ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS value,
+                   mean IS NOT NULL AS observed
+            FROM j ORDER BY event_type, period
         """,
         "bpe_segment_stats": (lambda reps: f"""
             WITH w AS (

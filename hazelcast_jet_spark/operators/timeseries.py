@@ -246,3 +246,73 @@ def cohort_retention(df: DataFrame, key_col: str = "user_id",
                  (F.col("_period") - F.col("_cohort")).alias("period_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def resample(df: DataFrame, key_col: str, time_col: str, value_col: str,
+             period_seconds: int, fill: str = "ffill") -> DataFrame:
+    """Regularize an irregular per-key series onto a fixed grid — the
+    gap-fill / downsample step between raw event logs and feature or
+    chart pipelines (Jet users hand-roll this with mapStateful; no
+    reference analog — beyond-inventory op).
+
+    Each key's events aggregate per period (mean of ``value_col`` —
+    exact DECIMAL accumulation, surfaced as double); missing periods
+    between a key's first and last are MATERIALIZED and filled:
+
+    - ``fill="ffill"``  — last observed period mean carries forward;
+    - ``fill="zero"``   — gaps fill with 0.0;
+    - ``fill="null"``   — gaps stay NULL (caller interpolates).
+
+    Plan at scale — no per-key iteration, no driver loop:
+
+    1. one aggregate to per-(key, period) means (map-side combine);
+    2. per-key min/max period reuses that partitioning; the grid
+       EXPLODES from ``sequence(min, max)`` — rows created exactly
+       where gaps exist, never a cross join against a calendar table;
+    3. a left join back on (key, period) — both sides hash-partition
+       the same way — then one ordered window for the forward fill
+       (``last(value, ignorenulls)``).
+
+    State note: a key spanning years at 1 s periods explodes to
+    ~31M grid rows — the inherent size of its regularized series; pick
+    ``period_seconds`` for the grid you actually want.
+
+    Returns ``(key_col, period BIGINT, value DOUBLE, observed BOOLEAN)``
+    with ``period = FLOOR(epoch/period_seconds)`` (tz-free, engine-
+    portable bins as everywhere in this module).
+    """
+    if fill not in ("ffill", "zero", "null"):
+        raise ValueError(f"fill must be ffill|zero|null, got {fill}")
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be > 0, got {period_seconds}")
+    period = F.floor(
+        _epoch_seconds(df, time_col) / F.lit(float(period_seconds)))
+    per = (
+        df.select(F.col(key_col).alias("_k"), period.alias("_p"),
+                  F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_k", "_p")
+        # DECIMAL sum (order-free) cast to double, then ONE double
+        # division — decimal/int division scale rules differ between
+        # engines; double arithmetic does not
+        .agg((F.sum(F.col("_v").cast("decimal(28,12)")).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("_mean"))
+    )
+    grid = (
+        per.groupBy("_k")
+        .agg(F.min("_p").alias("_lo"), F.max("_p").alias("_hi"))
+        .select("_k", F.explode(F.sequence("_lo", "_hi")).alias("_p"))
+    )
+    joined = grid.join(per, ["_k", "_p"], "left")
+    observed = F.col("_mean").isNotNull()
+    if fill == "ffill":
+        w = (Window.partitionBy("_k").orderBy("_p")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        value = F.last("_mean", ignorenulls=True).over(w)
+    elif fill == "zero":
+        value = F.coalesce("_mean", F.lit(0.0))
+    else:
+        value = F.col("_mean")
+    return joined.select(
+        F.col("_k").alias(key_col), F.col("_p").alias("period"),
+        value.alias("value"), observed.alias("observed"))

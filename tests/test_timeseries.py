@@ -453,3 +453,50 @@ def test_cohort_retention_offset0_is_cohort_size(spark, sf_dir):
         assert total == e.select("user_id").distinct().count()
     finally:
         out.unpersist()
+
+
+def test_resample_gap_fill_hand_computed(spark):
+    from hazelcast_jet_spark.operators.timeseries import resample
+
+    t = lambda s: dt.datetime(1970, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        # key A: periods 0 (two values -> mean 2.0), 3 (5.0); gaps 1, 2
+        ("A", t(10), 1.0), ("A", t(50), 3.0), ("A", t(190), 5.0),
+        # key B: single period
+        ("B", t(70), 7.0),
+        # NULL values are ignored
+        ("A", t(15), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    got = {(r["k"], r["period"]): (r["value"], r["observed"])
+           for r in resample(df, "k", "ts", "v", 60).collect()}
+    assert got == {
+        ("A", 0): (2.0, True),
+        ("A", 1): (2.0, False),   # ffill
+        ("A", 2): (2.0, False),
+        ("A", 3): (5.0, True),
+        ("B", 1): (7.0, True),
+    }
+    null_fill = {(r["k"], r["period"]): r["value"]
+                 for r in resample(df, "k", "ts", "v", 60,
+                                   fill="null").collect()}
+    assert null_fill[("A", 1)] is None and null_fill[("A", 0)] == 2.0
+    zero_fill = {(r["k"], r["period"]): r["value"]
+                 for r in resample(df, "k", "ts", "v", 60,
+                                   fill="zero").collect()}
+    assert zero_fill[("A", 2)] == 0.0
+
+
+def test_resample_no_gaps_identity_and_validation(spark):
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import resample
+
+    t = lambda s: dt.datetime(1970, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    df = spark.createDataFrame(
+        [("A", t(i * 60), float(i)) for i in range(5)],
+        "k string, ts timestamp_ntz, v double")
+    out = resample(df, "k", "ts", "v", 60).collect()
+    assert len(out) == 5 and all(r["observed"] for r in out)
+    with pytest.raises(ValueError):
+        resample(df, "k", "ts", "v", 60, fill="bogus")

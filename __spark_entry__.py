@@ -3139,6 +3139,28 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "period")
 
 
+def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling control-band anomalies (operators/timeseries.
+    anomaly_flags): per-user bands from the PRECEDING 10 points
+    (current excluded — no self-masking), flag at 2.5 sample stddevs,
+    no band below 5 points of history.  One key exchange; count / exact
+    DECIMAL sum / sum-of-squares ride a single window frame, so mean
+    and std are identical doubles in any engine.  Corpus-level counts +
+    an id checksum of the flagged set pin the full flag vector."""
+    from hazelcast_jet_spark.operators.timeseries import anomaly_flags
+
+    e = _t(spark, sf_dir, "events")
+    out = anomaly_flags(e, "user_id", "ts", "value", "event_id",
+                        window_n=10, k=2.5, min_history=5)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("mean").alias("n_banded"),
+        F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anomalies"),
+        F.sum(F.when(F.col("is_anomaly"), F.col("event_id")))
+        .alias("anomaly_id_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3184,7 +3206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3211,10 +3232,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_count_min_sketch": streaming_count_min_sketch,
         "bpe_segment_stats": bpe_segment_stats,
         "resample_gap_fill": resample_gap_fill,
+        "anomaly_band_flags": anomaly_band_flags,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the six r3-single-green entries displaced by late-session gates —
+        # the seven r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
@@ -5907,6 +5930,39 @@ def oracle_sql() -> dict[str, str]:
             FROM l a JOIN l b
               ON a.k = b.k AND a.ln < b.ln AND a.s < b.e AND b.s < a.e
             GROUP BY a.k ORDER BY a.k
+        """,
+        "anomaly_band_flags": """
+            WITH s AS (
+                SELECT event_id, value AS v,
+                       count(value) OVER w AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER w
+                            AS DOUBLE) AS sm,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,12))) OVER w
+                            AS DOUBLE) AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            ), b AS (
+                SELECT event_id, v,
+                       CASE WHEN n >= 5 THEN sm / n END AS mean,
+                       CASE WHEN n >= 5 THEN sqrt(greatest(
+                           (s2 - sm * sm / n) / (n - 1), 0.0)) END AS std,
+                       n
+                FROM s
+            ), f AS (
+                SELECT event_id, mean,
+                       CASE WHEN n >= 5 AND std IS NOT NULL
+                            THEN abs(v - mean) > 2.5 * std
+                            ELSE false END AS is_anomaly
+                FROM b
+            )
+            SELECT count(*) AS n_points,
+                   count(mean) AS n_banded,
+                   CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_anomalies,
+                   CAST(sum(CASE WHEN is_anomaly THEN event_id END)
+                        AS BIGINT) AS anomaly_id_sum
+            FROM f
         """,
         "resample_gap_fill": """
             WITH per AS (

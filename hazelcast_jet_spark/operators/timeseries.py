@@ -316,3 +316,49 @@ def resample(df: DataFrame, key_col: str, time_col: str, value_col: str,
     return joined.select(
         F.col("_k").alias(key_col), F.col("_p").alias("period"),
         value.alias("value"), observed.alias("observed"))
+
+
+def anomaly_flags(df: DataFrame, key_col: str, time_col: str, value_col: str,
+                  id_col: str, window_n: int = 20, k: float = 3.0,
+                  min_history: int = 5) -> DataFrame:
+    """Rolling control-band anomaly detection per key: flag points
+    farther than ``k`` sample standard deviations from the mean of the
+    PRECEDING ``window_n`` points (current point excluded — a spike
+    must not mask itself by inflating its own band; the classic
+    self-contamination mistake).  Points with fewer than
+    ``min_history`` predecessors are never flagged (no band exists).
+
+    Mechanics: one exchange on ``key_col`` + an ordered window frame
+    ``[-window_n, -1]`` carrying count / DECIMAL-exact sum / sum of
+    squares — mean and sample std derive per row as
+
+        ``std = sqrt((sumsq − sum²/n) / (n−1))``
+
+    in plain double arithmetic over the exact sums, so every engine
+    computes the identical band (the naive running-float variance would
+    be partitioning-dependent).  Adding more bands (other k) is free —
+    same window exec.
+
+    Returns the input's ``(id_col, key_col, time_col, value_col)`` plus
+    ``mean, std`` (NULL below ``min_history``) and ``is_anomaly``
+    (false there).  Complements :func:`~hazelcast_jet_spark.operators.
+    profile.mad_outliers` (global, distribution-robust) with a LOCAL,
+    time-adaptive band.
+    """
+    if window_n < 2 or min_history < 2:
+        raise ValueError("window_n and min_history must be >= 2")
+    w = (Window.partitionBy(key_col).orderBy(time_col, id_col)
+         .rowsBetween(-window_n, -1))
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v.cast("decimal(28,12)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    have = n >= F.lit(min_history)
+    mean = F.when(have, s / n)
+    var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+    std = F.when(have, F.sqrt(var))
+    flag = F.when(have & std.isNotNull(),
+                  F.abs(v - mean) > F.lit(float(k)) * std).otherwise(F.lit(False))
+    return df.select(
+        id_col, key_col, time_col, value_col,
+        mean.alias("mean"), std.alias("std"), flag.alias("is_anomaly"))

@@ -500,3 +500,46 @@ def test_resample_no_gaps_identity_and_validation(spark):
     assert len(out) == 5 and all(r["observed"] for r in out)
     with pytest.raises(ValueError):
         resample(df, "k", "ts", "v", 60, fill="bogus")
+
+
+def test_anomaly_flags_vs_python_model(spark):
+    import math
+
+    from hazelcast_jet_spark.operators.timeseries import anomaly_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [float((i * 37) % 10) for i in range(60)]
+    vals[40] = 500.0                      # planted spike
+    rows = [(i, "k", t0 + dt.timedelta(seconds=60 * i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts timestamp_ntz, v double")
+    got = {r["event_id"]: (r["is_anomaly"], r["mean"], r["std"])
+           for r in anomaly_flags(df, "k", "ts", "v", "event_id",
+                                  window_n=10, k=3.0,
+                                  min_history=5).collect()}
+    for i, v in enumerate(vals):
+        hist = vals[max(0, i - 10):i]
+        if len(hist) < 5:
+            assert got[i] == (False, None, None), i
+            continue
+        n = len(hist)
+        mean = sum(hist) / n
+        var = max((sum(x * x for x in hist) - sum(hist) ** 2 / n) / (n - 1), 0.0)
+        std = math.sqrt(var)
+        exp_flag = abs(v - mean) > 3.0 * std
+        assert got[i][0] == exp_flag, (i, got[i], mean, std)
+        assert abs(got[i][1] - mean) < 1e-9 and abs(got[i][2] - std) < 1e-9
+    # the spike itself is flagged (excluded from its own band) and the
+    # points after it are NOT all flagged (band widens, by design)
+    assert got[40][0] is True
+
+
+def test_anomaly_flags_validation(spark):
+    from hazelcast_jet_spark.operators.timeseries import anomaly_flags
+
+    df = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 1), 1.0)],
+        "event_id long, k string, ts timestamp_ntz, v double")
+    with pytest.raises(ValueError):
+        anomaly_flags(df, "k", "ts", "v", "event_id", window_n=1)

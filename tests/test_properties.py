@@ -540,3 +540,59 @@ def test_weighted_sample_matches_exact_python_model(spark, weights, rate):
         if p >= 1.0 or u < thr:
             want.append(i)
     assert got == want
+
+
+BPE_TEXTS = st.lists(
+    st.text(alphabet="abcd ", min_size=0, max_size=40),
+    min_size=1, max_size=6)
+
+
+@given(texts=BPE_TEXTS, n_merges=st.integers(1, 6))
+@SLOW
+def test_bpe_fit_and_segment_match_reference(spark, texts, n_merges):
+    """Learned merge sequence AND the fold-based segmentation agree with
+    an independent pure-Python BPE (Sennrich semantics) on arbitrary
+    corpora — incl. repeated chars, empty texts, singleton pairs."""
+    from hazelcast_jet_spark.operators.bpe import bpe_fit, bpe_segments
+    from tests.test_operators import _ref_bpe_fit
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+    got = bpe_fit(df, "text", n_merges=n_merges)
+    exp, ref_vocab = _ref_bpe_fit(texts, n_merges)
+    assert got == exp
+    seg = {r["id"]: r["s"] for r in df.select(
+        "id", bpe_segments("text", got).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        want = [s for w in t.strip().split() for s in ref_vocab[w]]
+        assert seg[i] == want
+
+
+INTERVALS = st.lists(
+    st.tuples(st.integers(-30, 30), st.integers(1, 12)),
+    min_size=1, max_size=25)
+
+
+@given(left=INTERVALS, right=INTERVALS,
+       bw=st.sampled_from([0.9, 2.0, 7.5, 50.0]))
+@SLOW
+def test_interval_grid_join_matches_bruteforce(spark, left, right, bw):
+    """Grid decomposition == theta join for arbitrary spans/bin widths:
+    no pair missed, none duplicated (owner-bin uniqueness)."""
+    from hazelcast_jet_spark.operators.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(i, float(s), float(s + d)) for i, (s, d) in enumerate(left)],
+        "lid: long, ls: double, le: double")
+    rdf = spark.createDataFrame(
+        [(i, float(s), float(s + d)) for i, (s, d) in enumerate(right)],
+        "rid: long, rs: double, re: double")
+    got = sorted((r["lid"], r["rid"]) for r in
+                 interval_join(ldf, rdf, ("ls", "le"), ("rs", "re"),
+                               bin_width=bw).collect())
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(left)
+        for j, (rs, rd) in enumerate(right)
+        if ls < rs + rd and rs < ls + ld)
+    assert got == want

@@ -2817,6 +2817,23 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ["event_type"]).orderBy("event_type")
 
 
+def categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators/profile.categorical_drift): chi2 /
+    Cramér's V / Jensen–Shannon between the even- and odd-id halves'
+    event_type distributions, grouped by [0,64]/16 value band — the
+    discrete companion of the ks/psi/w1 numeric drift gates."""
+    from hazelcast_jet_spark.operators.profile import categorical_drift
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).withColumn(
+        "value_band",
+        F.greatest(F.least(F.floor(F.col("value").cast("double") / 16),
+                           F.lit(3)), F.lit(0)).cast("int"))
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return categorical_drift(ref, cur, "event_type",
+                             ["value_band"]).orderBy("value_band")
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -3205,7 +3222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- single-green r3 rows, displaced earlier in r4 --------------------
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "tpch_q10_returned_items": tpch_q10_returned_items,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3233,10 +3249,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_stats": bpe_segment_stats,
         "resample_gap_fill": resample_gap_fill,
         "anomaly_band_flags": anomaly_band_flags,
+        # -- new in r5 session 5 (no driver row yet) --------------------------
+        "categorical_drift_events": categorical_drift_events,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the seven r3-single-green entries displaced by late-session gates —
+        # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
@@ -5737,6 +5756,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_ref > 0 AND n_cur > 0
             GROUP BY p.event_type, n_ref, n_cur
             ORDER BY p.event_type
+        """,
+        "categorical_drift_events": """
+            WITH t AS (
+                SELECT CAST(greatest(least(
+                           floor(CAST(value AS DOUBLE) / 16), 3), 0)
+                           AS INTEGER) AS value_band,
+                       event_type,
+                       CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), per_cat AS (
+                SELECT value_band, event_type,
+                       CAST(SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_ref,
+                       CAST(SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_cur
+                FROM t GROUP BY 1, 2
+            ), s AS (
+                SELECT value_band, c_ref, c_cur,
+                       CAST(SUM(c_ref) OVER w AS BIGINT) AS n_ref,
+                       CAST(SUM(c_cur) OVER w AS BIGINT) AS n_cur,
+                       CAST(count(*) OVER w AS BIGINT) AS k
+                FROM per_cat WINDOW w AS (PARTITION BY value_band)
+            ), terms AS (
+                SELECT value_band, n_ref, n_cur, k,
+                       CAST((c_ref - CAST(n_ref AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            * (c_ref - CAST(n_ref AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            / (CAST(n_ref AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            + (c_cur - CAST(n_cur AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            * (c_cur - CAST(n_cur AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            / (CAST(n_cur AS DOUBLE)
+                                 * CAST(c_ref + c_cur AS DOUBLE)
+                                 / CAST(n_ref + n_cur AS DOUBLE))
+                            AS DECIMAL(28,12)) AS chi_term,
+                       CAST(CASE WHEN c_ref > 0
+                               THEN (c_ref / CAST(n_ref AS DOUBLE))
+                                    * ln((c_ref / CAST(n_ref AS DOUBLE))
+                                         / ((c_ref / CAST(n_ref AS DOUBLE)
+                                             + c_cur / CAST(n_cur AS DOUBLE))
+                                            / 2.0))
+                               ELSE 0.0 END
+                            + CASE WHEN c_cur > 0
+                               THEN (c_cur / CAST(n_cur AS DOUBLE))
+                                    * ln((c_cur / CAST(n_cur AS DOUBLE))
+                                         / ((c_ref / CAST(n_ref AS DOUBLE)
+                                             + c_cur / CAST(n_cur AS DOUBLE))
+                                            / 2.0))
+                               ELSE 0.0 END
+                            AS DECIMAL(28,12)) AS js_term
+                FROM s WHERE n_ref > 0 AND n_cur > 0
+            ), agged AS (
+                SELECT value_band, n_ref, n_cur, k AS n_categories,
+                       CAST(SUM(chi_term) AS DOUBLE) AS chi2d,
+                       CAST(SUM(js_term) AS DOUBLE) AS js2d
+                FROM terms GROUP BY value_band, n_ref, n_cur, k
+            )
+            SELECT value_band, n_ref, n_cur, n_categories,
+                   round(chi2d, 6) AS chi2,
+                   round(CASE WHEN n_categories > 1 THEN
+                       sqrt(chi2d / (CAST(n_ref + n_cur AS DOUBLE)
+                                     * CAST(n_categories - 1 AS DOUBLE)))
+                       END, 6) AS cramers_v,
+                   round(js2d / 2.0, 6) AS js_div
+            FROM agged ORDER BY value_band
         """,
         "multimodal_audio_stats": f"""
             WITH m AS (

@@ -361,6 +361,101 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     )
 
 
+def categorical_drift(ref: DataFrame, cur: DataFrame, cat_col: str,
+                      group_cols: list[str] | None = None,
+                      round_digits: int = 6) -> DataFrame:
+    """Categorical drift per group — the discrete companion of
+    :func:`ks_drift`/:func:`psi_drift`/:func:`w1_drift`, for columns
+    where an ECDF has no meaning (event types, languages, sources,
+    labels).  Emits three standard lenses over the two samples'
+    category distributions:
+
+    - ``chi2``: Pearson's two-sample chi-squared statistic
+      ``Σ_cells (O − E)² / E`` with expected counts under homogeneity
+      ``E = n_side · t_c / N`` — the classical independence test stat;
+    - ``cramers_v``: ``sqrt(chi2 / (N · (k − 1)))`` — chi2 normalized
+      to [0, 1] so it is comparable across groups of different sizes
+      and cardinalities (NULL when k = 1: no variation to measure);
+    - ``js_div``: Jensen–Shannon divergence (nats) between the two
+      share vectors — bounded by ln 2, symmetric, finite even for
+      categories present on only one side (the ``0·ln 0 = 0``
+      convention), so no smoothing constant to tune.
+
+    Plan — two strictly-shrinking exchanges: (1) the tagged union
+    compacts to one row per ``(group, category)`` with per-side counts
+    (map-side combine absorbs the heavy lifting — cardinality bounds
+    the shuffle, not row count); (2) one window exchange on the group
+    derives totals and category counts in-plan, and the final groupBy
+    reuses that partitioning.  Per-cell terms are IEEE doubles in fixed
+    expression order accumulated in DECIMAL(28,12) — order-independent
+    and engine-portable, same determinism contract as psi_drift.
+
+    NULL categories are dropped (count NULL-rate drift upstream via
+    :func:`profile_table`).  Groups present in only one sample are
+    omitted.  Returns ``(group_cols…, n_ref, n_cur, n_categories,
+    chi2, cramers_v, js_div)``.
+    """
+    g = group_cols or []
+    tagged = (
+        ref.select(*g, F.col(cat_col).alias("__cat"))
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            cur.select(*g, F.col(cat_col).alias("__cat"))
+            .withColumn("__src", F.lit(1)))
+        .filter(F.col("__cat").isNotNull())
+    )
+    per_cat = tagged.groupBy(*g, "__cat").agg(
+        F.sum((F.col("__src") == 0).cast("bigint")).alias("__c_ref"),
+        F.sum((F.col("__src") == 1).cast("bigint")).alias("__c_cur"),
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    stepped = per_cat.select(
+        *g, "__c_ref", "__c_cur",
+        F.sum("__c_ref").over(w_all).alias("__n_ref"),
+        F.sum("__c_cur").over(w_all).alias("__n_cur"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+    )
+    n_ref_d = F.col("__n_ref").cast("double")
+    n_cur_d = F.col("__n_cur").cast("double")
+    n_tot_d = (F.col("__n_ref") + F.col("__n_cur")).cast("double")
+    t_c = (F.col("__c_ref") + F.col("__c_cur")).cast("double")
+    e_ref = n_ref_d * t_c / n_tot_d
+    e_cur = n_cur_d * t_c / n_tot_d
+    chi_term = (
+        (F.col("__c_ref") - e_ref) * (F.col("__c_ref") - e_ref) / e_ref
+        + (F.col("__c_cur") - e_cur) * (F.col("__c_cur") - e_cur) / e_cur
+    ).cast("decimal(28,12)")
+    p = F.col("__c_ref") / n_ref_d
+    q = F.col("__c_cur") / n_cur_d
+    m = (p + q) / F.lit(2.0)
+    js_term = (
+        F.when(F.col("__c_ref") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__c_cur") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ).cast("decimal(28,12)")
+    agged = (
+        stepped.filter((F.col("__n_ref") > 0) & (F.col("__n_cur") > 0))
+        .groupBy(*g)
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.first("__k").alias("n_categories"),
+            F.sum(chi_term).cast("double").alias("__chi2"),
+            F.sum(js_term).cast("double").alias("__js2"),
+        )
+    )
+    chi2 = F.col("__chi2")
+    cramers = F.when(
+        F.col("n_categories") > 1,
+        F.sqrt(chi2 / ((F.col("n_ref") + F.col("n_cur")).cast("double")
+                       * (F.col("n_categories") - F.lit(1)).cast("double"))))
+    return agged.select(
+        *g, "n_ref", "n_cur", "n_categories",
+        F.round(chi2, round_digits).alias("chi2"),
+        F.round(cramers, round_digits).alias("cramers_v"),
+        F.round(F.col("__js2") / F.lit(2.0), round_digits).alias("js_div"),
+    )
+
+
 def w1_drift(ref: DataFrame, cur: DataFrame, value_col: str,
              group_cols: list[str] | None = None,
              round_digits: int = 6) -> DataFrame:

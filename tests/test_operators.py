@@ -2067,3 +2067,76 @@ def test_bpe_fit_early_stop_on_singletons(spark):
     # every adjacent pair unique -> nothing reaches min_pair_count=2
     df = spark.createDataFrame([("abcdefg",)], "text: string")
     assert bpe_fit(df, "text", n_merges=5) == []
+
+
+def test_categorical_drift_matches_python_model(spark):
+    """chi2 / Cramér's V / JS per group equal an independent Python
+    model; identical distributions score 0; k=1 groups get NULL V."""
+    import math
+
+    from hazelcast_jet_spark.operators.profile import categorical_drift
+
+    ref_rows = [("a", c) for c in "xxyyz" * 20]            # 40/40/20
+    cur_rows = [("a", c) for c in "xyzzz" * 10]            # 10/10/30
+    ref_rows += [("b", c) for c in "pq" * 15]              # same dist
+    cur_rows += [("b", c) for c in "qp" * 25]
+    ref_rows += [("c", "only")] * 7                        # k = 1
+    cur_rows += [("c", "only")] * 3
+    ref = spark.createDataFrame(ref_rows, "g string, cat string")
+    cur = spark.createDataFrame(cur_rows, "g string, cat string")
+    got = {r.g: r for r in categorical_drift(ref, cur, "cat", ["g"]).collect()}
+
+    def model(rs, cs):
+        cats = sorted(set(rs) | set(cs))
+        nr, nc, n = len(rs), len(cs), len(rs) + len(cs)
+        chi2 = js = 0.0
+        for c in cats:
+            cr, cc = rs.count(c), cs.count(c)
+            for o, ns in ((cr, nr), (cc, nc)):
+                e = ns * (cr + cc) / n
+                chi2 += (o - e) ** 2 / e
+            p, q = cr / nr, cc / nc
+            m = (p + q) / 2
+            js += (p * math.log(p / m) if p else 0.0) + \
+                  (q * math.log(q / m) if q else 0.0)
+        k = len(cats)
+        v = math.sqrt(chi2 / (n * (k - 1))) if k > 1 else None
+        return chi2, v, js / 2, k
+
+    for gname in ("a", "b", "c"):
+        rs = [c for g2, c in ref_rows if g2 == gname]
+        cs = [c for g2, c in cur_rows if g2 == gname]
+        chi2, v, js, k = model(rs, cs)
+        r = got[gname]
+        assert (r.n_ref, r.n_cur, r.n_categories) == (len(rs), len(cs), k)
+        assert abs(r.chi2 - chi2) < 1e-6
+        assert abs(r.js_div - js) < 1e-6
+        if v is None:
+            assert r.cramers_v is None
+        else:
+            assert abs(r.cramers_v - v) < 1e-6
+    assert got["b"].chi2 == 0.0 and got["b"].js_div == 0.0
+    assert got["c"].chi2 == 0.0 and got["c"].cramers_v is None
+
+
+def test_categorical_drift_one_sided_group_omitted(spark):
+    from hazelcast_jet_spark.operators.profile import categorical_drift
+
+    ref = spark.createDataFrame([("a", "x"), ("b", "y")], "g string, cat string")
+    cur = spark.createDataFrame([("a", "x")], "g string, cat string")
+    got = {r.g for r in categorical_drift(ref, cur, "cat", ["g"]).collect()}
+    assert got == {"a"}
+
+
+def test_categorical_drift_two_shrinking_exchanges(spark):
+    """Exchange 1 compacts rows to (group, category) cells; exchange 2
+    on the group serves the window AND the final aggregate."""
+    import re as _re
+
+    from hazelcast_jet_spark.operators.profile import categorical_drift
+
+    ref = spark.range(1000).selectExpr("pmod(id, 3) g", "concat('c', pmod(id, 7)) cat")
+    cur = spark.range(1000).selectExpr("pmod(id, 3) g", "concat('c', pmod(id, 5)) cat")
+    plan = categorical_drift(ref, cur, "cat", ["g"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2

@@ -2834,6 +2834,44 @@ def categorical_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ["value_band"]).orderBy("value_band")
 
 
+COPURCHASE_MAX_GROUP = 64  # order baskets are small; the cap guards hot groups
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hazelcast_jet_spark.operators.graph import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                              max_group=COPURCHASE_MAX_GROUP)
+
+
+def copurchase_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural summary (operators/graph.graph_summary) of the
+    part co-purchase graph: nodes/edges, degree extremes, wedges,
+    triangles (ordered-edge join — each a<b<c once), global clustering
+    coefficient.  Edges enumerate in-task from per-order sorted part
+    lists (max_group cap = the market-basket hot-group guard)."""
+    from hazelcast_jet_spark.operators.graph import graph_summary
+
+    return graph_summary(_copurchase_edges(spark, sf_dir))
+
+
+PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.pagerank) over the
+    co-purchase graph — the link-analysis quality prior (Page et al.
+    1999), deterministic by DECIMAL contribution accumulation: top 20
+    parts by rank with id tie-break."""
+    from hazelcast_jet_spark.operators.graph import pagerank
+
+    pr = pagerank(_copurchase_edges(spark, sf_dir),
+                  iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    return (pr.select(F.col("node").alias("part"), "pagerank")
+            .orderBy(F.desc("pagerank"), "part").limit(20))
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -3220,8 +3258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
         # -- single-green r3 rows, displaced earlier in r4 --------------------
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3251,10 +3287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_band_flags": anomaly_band_flags,
         # -- new in r5 session 5 (no driver row yet) --------------------------
         "categorical_drift_events": categorical_drift_events,
+        "copurchase_graph_stats": copurchase_graph_stats,
+        "pagerank_copurchase": pagerank_copurchase,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "tpch_q4_order_priority": tpch_q4_order_priority,
@@ -3468,6 +3508,42 @@ def _split_hex(cum: float) -> str:
 def _dsum(x: str) -> str:
     """SQL twin of dsum(): exact decimal accumulation emitted as double."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+#: DuckDB twin of graph.cooccurrence_edges over the lineitem co-purchase
+#: graph (distinct per-order parts, [2, max_group] basket sizes, src<dst)
+_COPURCHASE_EDGES_SQL = f"""nodes AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), gs AS (
+                SELECT g FROM nodes GROUP BY g
+                HAVING count(*) >= 2 AND count(*) <= {COPURCHASE_MAX_GROUP}
+            ), edges AS (
+                SELECT DISTINCT a.n AS src, b.n AS dst
+                FROM nodes a JOIN gs USING (g) JOIN nodes b USING (g)
+                WHERE a.n < b.n
+            )"""
+
+
+def _pagerank_iter_sql(i: int, prev: str) -> str:
+    """One unrolled PageRank iteration — the DuckDB twin of the loop body
+    in graph.pagerank (same DECIMAL(28,18) contribution accumulation and
+    fixed-order double update, so ranks are bit-identical)."""
+    omd = repr(1.0 - PAGERANK_DAMPING)
+    d = repr(PAGERANK_DAMPING)
+    return f"""c{i} AS (
+                SELECT dir.dst AS node,
+                       CAST(SUM(CAST(r.rank / CAST(r.deg AS DOUBLE)
+                            AS DECIMAL(28,18))) AS DOUBLE) AS inr
+                FROM dir JOIN {prev} r ON dir.src = r.node
+                GROUP BY dir.dst
+            ), r{i} AS (
+                SELECT d.node, d.deg,
+                       CAST('{omd}' AS DOUBLE) / CAST(n AS DOUBLE)
+                       + CAST('{d}' AS DOUBLE)
+                         * COALESCE(c.inr, CAST('0.0' AS DOUBLE)) AS rank
+                FROM deg d CROSS JOIN nn LEFT JOIN c{i} c ON c.node = d.node
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5830,6 +5906,61 @@ def oracle_sql() -> dict[str, str]:
                        END, 6) AS cramers_v,
                    round(js2d / 2.0, 6) AS js_div
             FROM agged ORDER BY value_band
+        """,
+        "copurchase_graph_stats": f"""
+            WITH {_COPURCHASE_EDGES_SQL},
+            ends AS (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+            ), deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM ends GROUP BY node
+            ), dstats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       CAST(max(degree) AS BIGINT) AS max_degree,
+                       CAST(SUM(degree) AS BIGINT) AS deg_sum,
+                       CAST(SUM(degree * (degree - 1) // 2) AS BIGINT)
+                           AS n_wedges
+                FROM deg
+            ), ec AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+            ), tc AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                FROM edges e1
+                JOIN edges e2 ON e1.dst = e2.src
+                JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            )
+            SELECT n_nodes, n_edges, max_degree,
+                   round(CAST(deg_sum AS DOUBLE)
+                         / CAST(n_nodes AS DOUBLE), 6) AS avg_degree,
+                   n_wedges, n_triangles,
+                   round(CASE WHEN n_wedges > 0 THEN
+                       CAST('3.0' AS DOUBLE) * n_triangles
+                       / CAST(n_wedges AS DOUBLE) END, 6)
+                       AS clustering_coeff
+            FROM dstats, ec, tc
+        """,
+        "pagerank_copurchase": f"""
+            WITH {_COPURCHASE_EDGES_SQL},
+            dir AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM dir GROUP BY src
+            ), nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+            ), r0 AS (
+                SELECT node, deg,
+                       CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+                FROM deg, nn
+            ),
+            {_pagerank_iter_sql(1, 'r0')},
+            {_pagerank_iter_sql(2, 'r1')},
+            {_pagerank_iter_sql(3, 'r2')}
+            SELECT node AS part, round(rank, 9) AS pagerank
+            FROM r3
+            ORDER BY round(rank, 9) DESC, node LIMIT 20
         """,
         "multimodal_audio_stats": f"""
             WITH m AS (

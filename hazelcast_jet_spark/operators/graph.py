@@ -1,0 +1,293 @@
+"""Graph analytics over co-occurrence graphs — degree/wedge/triangle
+structure and fixed-iteration PageRank, Spark-first.
+
+The reference ships no graph operators; these are the standard
+large-corpus companions of the dedup suite: the near-dup pair graph's
+structure (``dedup.pairs_to_groups`` consumes the same edge shape),
+market-basket co-occurrence, and link-analysis weighting of a crawled
+corpus (PageRank as a document-quality prior, the classic
+Page/Brin/Motwani/Winograd 1999 formulation).
+
+Design notes for 100 TB:
+
+- Edges are canonical undirected ``(src < dst)`` BIGINT pairs — the
+  shuffles carry two longs per edge, never payloads.
+- :func:`cooccurrence_edges` enumerates pairs INSIDE a task from a
+  per-group sorted node list (one exchange), with an explicit
+  ``max_group`` cap: a hot group of size g yields g·(g−1)/2 pairs, so
+  unbounded groups are the quadratic blowup to refuse, exactly like the
+  hot-bucket caps in the LSH probes.
+- :func:`triangle_count` is the ordered-edge join (node-iterator):
+  every triangle ``a<b<c`` is counted exactly once via
+  ``e(a,b) ⋈ e(b,c) ⋈ e(a,c)`` — two equi-joins, no explosion beyond
+  the wedge set.
+- :func:`pagerank` runs a FIXED iteration count (the deterministic,
+  gate-friendly form): ranks are (node, double) rows; each iteration is
+  one shuffle join ranks⋈edges on ``src`` plus a ``dst`` aggregate with
+  DECIMAL(28,18) contribution accumulation, so the sum is
+  order-independent and the result bit-identical across engines and
+  partitionings.  Edges are hash-partitioned on ``src`` once and
+  persisted; only the (small) rank table moves between iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(df: DataFrame, group_col: str, node_col: str,
+                       max_group: int = 1024) -> DataFrame:
+    """Distinct undirected edges ``(src < dst)`` between nodes sharing a
+    group (order ⇒ co-purchased parts, document ⇒ co-occurring terms,
+    session ⇒ co-visited pages).
+
+    Plan: distinct ``(group, node)`` compacts duplicates map-side; one
+    groupBy collects the per-group sorted node list (bounded by
+    ``max_group`` — larger groups are DROPPED, the standard
+    market-basket guard against quadratic hot groups); pairs explode
+    in-task from the sorted list; a final distinct dedups edges seen in
+    many groups.
+    """
+    if max_group < 2:
+        raise ValueError("max_group must be >= 2")
+    nodes = (
+        df.select(F.col(group_col).alias("__g"),
+                  F.col(node_col).alias("__n"))
+        .filter(F.col("__n").isNotNull())
+    )
+    # collect_set fuses the per-group distinct into the aggregation
+    # buffers — one exchange on the group instead of distinct + regroup
+    grouped = (
+        nodes.groupBy("__g")
+        .agg(F.sort_array(F.collect_set("__n")).alias("__ns"))
+        .filter((F.size("__ns") >= 2) & (F.size("__ns") <= max_group))
+    )
+    # pairs (ns[i], ns[j]) for i<j, generated inside the task; the list
+    # is sorted so src < dst holds by construction
+    pairs = F.flatten(F.transform(
+        "__ns",
+        lambda x, i: F.transform(
+            F.slice("__ns", i + F.lit(2),
+                    F.size("__ns") - (i + F.lit(1))),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    return (
+        grouped.select(F.explode(pairs).alias("__e"))
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of a canonical undirected edge list."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node")))
+    return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+#: node-count ceiling under which the per-node rank table is broadcast —
+#: ~16 B/node; 2 M nodes is tens of MB, comfortably under executor
+#: memory, while billion-node graphs fall back to shuffle joins
+BROADCAST_NODES_MAX = 2_000_000
+
+#: edge-count ceiling under which degree/adjacency tables are broadcast
+#: in triangle_count — total adjacency payload is ~16 B/edge, so this is
+#: the size that actually bounds the broadcast, not the node count
+BROADCAST_ADJ_EDGES_MAX = 10_000_000
+
+
+def triangle_count(edges: DataFrame,
+                   broadcast_adjacency: bool | None = None) -> DataFrame:
+    """Triangles ``(a < b < c)`` of a canonical undirected edge list,
+    each exactly once — degree-ordered orientation + adjacency-list
+    intersection (the "forward" / Chiba–Nishizeki edge-iterator):
+    every edge is directed from its lower-``(degree, node)`` endpoint
+    to the higher one, and for each oriented edge u→v the common
+    out-neighbors ``w ∈ out(u) ∩ out(v)`` close a triangle.
+
+    Why not the naive ordered-edge join: its wedge set is
+    ``Σ d(d−1)/2`` over RAW degrees — 148 M join rows on the sf0.1
+    co-purchase graph (1.2 M edges) and quadratic in hub degree at
+    100 TB.  Here wedges are NEVER materialized as rows: the
+    intersection runs in-task over two sorted arrays whose length is
+    bounded by the post-orientation out-degree O(√m), and the exploded
+    output is exactly the triangle set.  Total work is the
+    theoretical-minimum O(m^1.5); the only shuffles are the two
+    adjacency equi-joins.  Output triples are re-sorted to
+    ``a < b < c`` by node id, identical to the naive join's result set.
+
+    ``broadcast_adjacency``: the adjacency table has one row per node
+    but Catalyst cannot estimate its size (collect_list), so left to
+    itself it shuffle-joins — and the SECOND join then shuffles
+    edge rows already carrying their u-side arrays, Σ d² bytes (the
+    wedge blowup smuggled back in as row width; measured 7.9 s on the
+    sf0.1 co-purchase gate).  True broadcasts the degree AND adjacency
+    joins map-side (zero array movement); None (default) auto-decides
+    by edge count vs :data:`BROADCAST_ADJ_EDGES_MAX` (~16 B/edge of
+    adjacency payload is what the broadcast actually costs); False
+    forces shuffle joins for graphs whose adjacency exceeds memory.
+    """
+    if broadcast_adjacency is None:
+        broadcast_adjacency = edges.count() <= BROADCAST_ADJ_EDGES_MAX
+    deg = degrees(edges)
+    if broadcast_adjacency:
+        deg = deg.localCheckpoint()  # build once, ship to both joins
+    d_src = deg.select(F.col("node").alias("src"),
+                       F.col("degree").alias("__ds"))
+    d_dst = deg.select(F.col("node").alias("dst"),
+                       F.col("degree").alias("__dd"))
+    if broadcast_adjacency:
+        d_src, d_dst = F.broadcast(d_src), F.broadcast(d_dst)
+    e = edges.join(d_src, "src").join(d_dst, "dst")
+    fwd = (F.col("__ds") < F.col("__dd")) | (
+        (F.col("__ds") == F.col("__dd")) & (F.col("src") < F.col("dst")))
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    ).localCheckpoint()  # feeds the edge scan and both adjacency joins
+    # per-node sorted out-neighbor lists; post-orientation out-degree is
+    # O(√m), so each array is bounded even at hub nodes
+    adj = oriented.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("__nbrs"))
+    if broadcast_adjacency:
+        adj = adj.localCheckpoint()  # build once, ship to both joins
+    adj_v = adj.select(F.col("u").alias("v"),
+                       F.col("__nbrs").alias("__nbrs_v"))
+    if broadcast_adjacency:
+        adj, adj_v = F.broadcast(adj), F.broadcast(adj_v)
+    # edge-iterator with intersection: for oriented edge u→v the common
+    # out-neighbors w close the triangle u<v<w in rank order — each
+    # triangle is found exactly once, at its two rank-lowest vertices.
+    # Wedges are never materialized as rows: the intersection runs
+    # in-task over the two bounded arrays, and the exploded output is
+    # exactly the triangle set.
+    probe = (
+        oriented
+        .join(adj, "u")
+        .join(adj_v, "v")
+        .select("u", "v", F.explode(
+            F.array_intersect("__nbrs", "__nbrs_v")).alias("w"))
+    )
+    tri = F.array_sort(F.array("u", "v", "w"))
+    return probe.select(
+        tri[0].alias("a"), tri[1].alias("b"), tri[2].alias("c"))
+
+
+def graph_summary(edges: DataFrame, round_digits: int = 6) -> DataFrame:
+    """One-row structural summary: node/edge counts, degree extremes,
+    wedge and triangle counts, and the global clustering coefficient
+    ``3·triangles / wedges`` (NULL when the graph has no wedges).
+
+    Exact integer counts; the two doubles (avg degree, clustering) are
+    fixed-order IEEE quotients of exact integers — engine-portable.
+
+    The edge list feeds five plan branches (degrees, the edge count, and
+    all three sides of the triangle join), so it is materialized ONCE via
+    localCheckpoint — without it the whole upstream derivation executes
+    five times (measured 2.5× wall-clock on the co-purchase gate).
+    """
+    edges = edges.localCheckpoint()
+    deg = degrees(edges)
+    dstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("degree").alias("max_degree"),
+        F.sum("degree").alias("__deg_sum"),
+        F.sum(F.expr("CAST(degree AS BIGINT) * (degree - 1) DIV 2"))
+        .alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    tcount = triangle_count(edges).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    row = dstats.crossJoin(F.broadcast(ecount)).crossJoin(F.broadcast(tcount))
+    avg_deg = F.col("__deg_sum").cast("double") / F.col("n_nodes").cast("double")
+    clust = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double"))
+    return row.select(
+        "n_nodes", "n_edges", "max_degree",
+        F.round(avg_deg, round_digits).alias("avg_degree"),
+        "n_wedges", "n_triangles",
+        F.round(clust, round_digits).alias("clustering_coeff"),
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             round_digits: int = 9,
+             broadcast_ranks: bool | None = None) -> DataFrame:
+    """PageRank over a canonical undirected edge list, FIXED ``iters``
+    power iterations from the uniform start — the deterministic form a
+    corpus pipeline uses as a link-quality prior (convergence-threshold
+    stopping is a driver-side loop over the same body).
+
+    r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u)/deg(u)
+
+    Undirected edges are expanded to both directions, so every node has
+    degree ≥ 1 and the dangling-mass term vanishes by construction.
+
+    Determinism: per-edge contributions ``r/deg`` are IEEE doubles cast
+    to DECIMAL(28,18) before the dst-sum (order-independent), and the
+    new rank is a fixed-order double expression — bit-identical across
+    engines, partition counts, and join orders.  Returns
+    ``(node, pagerank)`` with the rank rounded to ``round_digits``.
+
+    Plan: directed edges are materialized once and persisted; the rank
+    table (one row per node) is broadcast into each iteration's
+    contribution join (``broadcast_ranks=None`` auto-decides by node
+    count vs :data:`BROADCAST_NODES_MAX`; a per-iteration sort-merge
+    join against the persisted edges is the billion-node fallback), so
+    an iteration is one map-side join plus one thin ``dst`` aggregate.
+    The node count is a single driver-side scalar (bounded: one long),
+    and each rank table is localCheckpoint()ed so lineage stays O(1)
+    per iteration.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    edges = edges.localCheckpoint()  # one materialization feeds both directions
+    directed = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .persist()
+    )
+    nodes = (
+        directed.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        .select(F.col("src").alias("node"), "__deg")
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= BROADCAST_NODES_MAX
+    # Python doubles: IEEE-identical to the same divisions done
+    # in-engine (and in the SQL oracle), so ranks stay bit-portable
+    r0 = 1.0 / float(n)
+    base_term = (1.0 - damping) / float(n)
+    ranks = nodes.select(
+        "node", "__deg", F.lit(r0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        side = ranks.select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("__deg").cast("double")).alias("__c"))
+        if broadcast_ranks:
+            side = F.broadcast(side)
+        contrib = (
+            directed.join(side, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("__c").cast("decimal(28,18)"))
+                 .cast("double").alias("__in"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node", "__deg",
+                (F.lit(base_term)
+                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                 ).alias("rank"))
+            .localCheckpoint()
+        )
+        prev.unpersist(False)
+    directed.unpersist(False)
+    return ranks.select(
+        "node", F.round("rank", round_digits).alias("pagerank"))

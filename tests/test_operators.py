@@ -2140,3 +2140,75 @@ def test_categorical_drift_two_shrinking_exchanges(spark):
     plan = categorical_drift(ref, cur, "cat", ["g"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def _toy_graph(spark):
+    """g1={1,2,3} triangle, g2={3,4}, g3={2,3,4} triangle; edge set
+    {(1,2),(1,3),(2,3),(2,4),(3,4)}; dup memberships must not dup edges."""
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 2), (3, 3), (3, 4),
+            (3, 3)]
+    return spark.createDataFrame(rows, "g int, n int")
+
+
+def test_cooccurrence_edges_canonical_and_capped(spark):
+    from hazelcast_jet_spark.operators.graph import cooccurrence_edges
+
+    e = cooccurrence_edges(_toy_graph(spark), "g", "n")
+    assert sorted((r.src, r.dst) for r in e.collect()) == \
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    # max_group=2 drops the size-3 baskets entirely
+    e2 = cooccurrence_edges(_toy_graph(spark), "g", "n", max_group=2)
+    assert sorted((r.src, r.dst) for r in e2.collect()) == [(3, 4)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cooccurrence_edges(_toy_graph(spark), "g", "n", max_group=1)
+
+
+def test_graph_summary_and_triangles(spark):
+    from hazelcast_jet_spark.operators.graph import (
+        cooccurrence_edges, graph_summary, triangle_count)
+
+    e = cooccurrence_edges(_toy_graph(spark), "g", "n")
+    assert sorted(tuple(r) for r in triangle_count(e).collect()) == \
+        [(1, 2, 3), (2, 3, 4)]
+    s = graph_summary(e).collect()[0]
+    # degrees: 1→2, 2→3, 3→3, 4→2 ⇒ wedges = 1+3+3+1 = 8
+    assert (s.n_nodes, s.n_edges, s.max_degree, s.n_wedges,
+            s.n_triangles) == (4, 5, 3, 8, 2)
+    assert s.avg_degree == 2.5
+    assert s.clustering_coeff == 0.75  # 3·2/8
+
+
+def test_pagerank_matches_python_model(spark):
+    import collections
+
+    from hazelcast_jet_spark.operators.graph import cooccurrence_edges, pagerank
+
+    e = cooccurrence_edges(_toy_graph(spark), "g", "n")
+    got = {r.node: r.pagerank for r in pagerank(e, iters=4).collect()}
+
+    adj = collections.defaultdict(list)
+    for a, b in [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = {v: 1.0 / len(adj) for v in adj}
+    for _ in range(4):
+        r = {v: 0.15000000000000002 / len(adj)
+             + 0.85 * sum(r[u] / len(adj[u]) for u in adj[v]) for v in adj}
+    assert got == {v: round(x, 9) for v, x in r.items()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # rank mass conserved
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(e, iters=0)
+    with _pt.raises(ValueError):
+        pagerank(e, damping=1.0)
+
+
+def test_triangle_join_no_cartesian(spark):
+    from hazelcast_jet_spark.operators.graph import (
+        cooccurrence_edges, triangle_count)
+
+    e = cooccurrence_edges(_toy_graph(spark), "g", "n")
+    plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

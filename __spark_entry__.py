@@ -2585,6 +2585,27 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KFOLD_K = 5
+
+
+def kfold_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (operators/sampling.kfold_split):
+    integer folds from equal md5-prefix hash bands — map-only, group-
+    leakage-safe; per-fold sizes plus doc_id/char checksums prove the
+    exact membership, not just the counts."""
+    from hazelcast_jet_spark.operators.sampling import kfold_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = kfold_split(d, "doc_id", KFOLD_K, seed="fold0")
+    return (
+        out.groupBy("fold").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.sum("n_chars").alias("n_chars_sum"))
+        .orderBy("fold")
+    )
+
+
 WSAMPLE_RATE = 0.5
 
 
@@ -3256,8 +3277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "streaming_dedup_count": streaming_dedup_count,
-        "cep_sequence_match": cep_sequence_match,
-        # -- single-green r3 rows, displaced earlier in r4 --------------------
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3289,10 +3308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_drift_events": categorical_drift_events,
         "copurchase_graph_stats": copurchase_graph_stats,
         "pagerank_copurchase": pagerank_copurchase,
+        "kfold_split_counts": kfold_split_counts,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "cep_sequence_match": cep_sequence_match,
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
@@ -3508,6 +3529,18 @@ def _split_hex(cum: float) -> str:
 def _dsum(x: str) -> str:
     """SQL twin of dsum(): exact decimal accumulation emitted as double."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _kfold_case_sql(key_sql: str, k: int, seed: str) -> str:
+    """DuckDB twin of sampling.kfold_split's band CASE — reproduces the
+    SAME floating cumulative band edges (repeated ``cum + 1/k``
+    addition, not ``i/k``) so thresholds match bit-for-bit."""
+    pfx = f"substr(md5('{seed}' || CAST({key_sql} AS VARCHAR)), 1, 6)"
+    whens, cum = [f"WHEN {key_sql} IS NULL THEN NULL"], 0.0
+    for i in range(k - 1):
+        cum = cum + 1.0 / k
+        whens.append(f"WHEN {pfx} < '{_split_hex(cum)}' THEN {i}")
+    return f"CAST(CASE {' '.join(whens)} ELSE {k - 1} END AS INTEGER)"
 
 
 #: DuckDB twin of graph.cooccurrence_edges over the lineitem co-purchase
@@ -5527,6 +5560,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, lang, count(*) AS n_docs
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "kfold_split_counts": f"""
+            WITH s AS (
+                SELECT {_kfold_case_sql('doc_id', KFOLD_K, 'fold0')} AS fold,
+                       doc_id, n_chars
+                FROM documents
+            )
+            SELECT fold, count(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+            FROM s GROUP BY fold ORDER BY fold
         """,
         "bloom_semi_join_orders": """
             SELECT o_orderkey, o_custkey FROM orders

@@ -204,6 +204,27 @@ def split_by_key(df: DataFrame, key_col: str, fractions: dict[str, float],
     return df.withColumn(split_col, expr)
 
 
+def kfold_split(df: DataFrame, key_col: str, k: int,
+                seed: str = "s0", fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: label every row
+    with an INTEGER fold in ``[0, k)`` from equal cumulative bands of
+    the ``md5(seed || key)`` hash space — the k-way generalization of
+    :func:`split_by_key` (same arithmetic, same hex-band compare, so a
+    SQL oracle reproduces it bit-for-bit).
+
+    Group-leakage-safe like split_by_key: all rows sharing the key land
+    in the same fold, so grouped examples never straddle a fold
+    boundary during cross-validation.  Map-only — the CASE chain pushes
+    into the scan; NULL keys get a NULL fold.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    named = split_by_key(
+        df, key_col, {str(i): 1.0 / k for i in range(k)},
+        seed=seed, split_col=fold_col)
+    return named.withColumn(fold_col, F.col(fold_col).cast("int"))
+
+
 def weighted_sample(df: DataFrame, rate: float, weight: Column | str,
                     key_col: str, seed: str = "s0") -> DataFrame:
     """Importance-weighted Bernoulli sampling: keep each row with

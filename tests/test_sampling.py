@@ -307,3 +307,35 @@ def test_temperature_sample_alpha_one_keeps_all(spark):
     assert temperature_sample(df, "lang", "doc_id", alpha=1.0).count() == 100
     with pytest.raises(ValueError):
         temperature_sample(df, "lang", "doc_id", alpha=0.0)
+
+
+def test_kfold_split_matches_python_replay_and_partitions(spark):
+    """Folds replay the md5 band arithmetic exactly, cover every row,
+    are group-stable by key, and NULL keys get NULL fold."""
+    import hashlib
+
+    from hazelcast_jet_spark.operators.sampling import kfold_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)] + [(None,)], "key: long")
+    out = {r.key: r.fold for r in kfold_split(df, "key", 4, seed="f0").collect()}
+    assert out[None] is None
+
+    def model(key):
+        pfx = hashlib.md5(f"f0{key}".encode()).hexdigest()[:6]
+        cum, edges = 0.0, []
+        for _ in range(3):
+            cum = cum + 1.0 / 4
+            edges.append(format(int(cum * 16 ** 6), "06x"))
+        for i, e in enumerate(edges):
+            if pfx < e:
+                return i
+        return 3
+
+    for k in range(500):
+        assert out[k] == model(k), k
+    sizes = [sum(1 for v in out.values() if v == i) for i in range(4)]
+    assert sum(sizes) == 500 and min(sizes) > 80  # roughly balanced
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kfold_split(df, "key", 1)

@@ -2585,6 +2585,38 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RL_THRESHOLD, RL_W_NAME, RL_W_TYPE = 0.6, 0.7, 0.3
+
+
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field record linkage (operators/joins.record_linkage):
+    even- vs odd-key parts matched on weighted normalized-Levenshtein
+    similarity of (name, type), blocked on (brand, first name token) —
+    Fellegi–Sunter block→compare→score→threshold without a cross join;
+    per-score-band pair counts + DECIMAL score mass."""
+    from hazelcast_jet_spark.operators.joins import record_linkage
+
+    p = _t(spark, sf_dir, "part").withColumn(
+        "p_first", F.split(F.col("p_name"), " ")[0])
+    pl = p.filter(F.col("p_partkey") % 2 == 0) \
+        .withColumnRenamed("p_partkey", "left_key")
+    pr = p.filter(F.col("p_partkey") % 2 == 1) \
+        .withColumnRenamed("p_partkey", "right_key")
+    m = record_linkage(
+        pl, pr,
+        fields=[("p_name", "p_name", RL_W_NAME),
+                ("p_type", "p_type", RL_W_TYPE)],
+        block_on=[("p_brand", "p_brand"), ("p_first", "p_first")],
+        threshold=RL_THRESHOLD, left_id="left_key", right_id="right_key")
+    return (
+        m.groupBy(F.floor(F.col("score") * 10).cast("int")
+                  .alias("score_band"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             dsum("score").alias("score_sum"))
+        .orderBy("score_band")
+    )
+
+
 KFOLD_K = 5
 
 
@@ -3276,7 +3308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
         "tfidf_top_terms": tfidf_top_terms,
-        "streaming_dedup_count": streaming_dedup_count,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3309,10 +3340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_graph_stats": copurchase_graph_stats,
         "pagerank_copurchase": pagerank_copurchase,
         "kfold_split_counts": kfold_split_counts,
+        "record_linkage_parts": record_linkage_parts,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
@@ -3529,6 +3562,17 @@ def _split_hex(cum: float) -> str:
 def _dsum(x: str) -> str:
     """SQL twin of dsum(): exact decimal accumulation emitted as double."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _lev_sim_sql(a: str, b: str) -> str:
+    """DuckDB twin of joins.field_similarity — same guard order and the
+    same fixed-order double division."""
+    return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0.0 "
+        f"WHEN greatest(length({a}), length({b})) = 0 THEN 1.0 "
+        f"ELSE 1.0 - levenshtein({a}, {b}) "
+        f"/ CAST(greatest(length({a}), length({b})) AS DOUBLE) END)"
+    )
 
 
 def _kfold_case_sql(key_sql: str, k: int, seed: str) -> str:
@@ -5560,6 +5604,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT split, lang, count(*) AS n_docs
             FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "record_linkage_parts": f"""
+            WITH base AS (
+                SELECT p_partkey, p_name, p_type, p_brand,
+                       string_split(p_name, ' ')[1] AS p_first
+                FROM part
+            ), l0 AS (
+                SELECT * FROM base WHERE p_partkey % 2 = 0
+            ), r0 AS (
+                SELECT * FROM base WHERE p_partkey % 2 = 1
+            ), lok AS (
+                SELECT p_brand, p_first FROM l0
+                GROUP BY 1, 2 HAVING count(*) <= 10000
+            ), rok AS (
+                SELECT p_brand, p_first FROM r0
+                GROUP BY 1, 2 HAVING count(*) <= 10000
+            ), l AS (
+                SELECT l0.* FROM l0 JOIN lok USING (p_brand, p_first)
+            ), r AS (
+                SELECT r0.* FROM r0 JOIN rok USING (p_brand, p_first)
+            ), pairs AS (
+                SELECT round(
+                    (CAST('{RL_W_NAME!r}' AS DOUBLE)
+                       * {_lev_sim_sql('l.p_name', 'r.p_name')}
+                     + CAST('{RL_W_TYPE!r}' AS DOUBLE)
+                       * {_lev_sim_sql('l.p_type', 'r.p_type')})
+                    / CAST('{RL_W_NAME + RL_W_TYPE!r}' AS DOUBLE), 6)
+                    AS score
+                FROM l JOIN r
+                  ON l.p_brand = r.p_brand AND l.p_first = r.p_first
+            )
+            SELECT CAST(floor(score * 10) AS INTEGER) AS score_band,
+                   count(*) AS n_pairs,
+                   CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                       AS score_sum
+            FROM pairs WHERE score >= {RL_THRESHOLD}
+            GROUP BY 1 ORDER BY 1
         """,
         "kfold_split_counts": f"""
             WITH s AS (

@@ -2212,3 +2212,79 @@ def test_triangle_join_no_cartesian(spark):
     plan = triangle_count(e)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_record_linkage_scores_and_threshold(spark):
+    """Weighted per-field normalized-Levenshtein scores match a Python
+    model; blocking restricts candidates; threshold applies to the
+    ROUNDED score."""
+    from hazelcast_jet_spark.operators.joins import record_linkage
+
+    left = spark.createDataFrame(
+        [(1, "acme corp", "retail", "us"),
+         (2, "zenith ltd", "mining", "us"),
+         (3, "nulls here", None, "eu")],
+        "lid long, name string, sector string, region string")
+    right = spark.createDataFrame(
+        [(10, "acme corp.", "retail", "us"),    # near-exact
+         (11, "acme corp", "mining", "us"),     # name exact, sector off
+         (12, "acme corp", "retail", "eu"),     # other block
+         (13, "nulls here", "x", "eu")],
+        "rid long, name string, sector string, region string")
+    out = record_linkage(
+        left, right, fields=[("name", "name", 0.7), ("sector", "sector", 0.3)],
+        block_on=[("region", "region")], threshold=0.5,
+        left_id="lid", right_id="rid")
+    got = {(r.lid, r.rid): r.score for r in out.collect()}
+    assert (1, 12) not in got                       # blocked away
+    assert (3, 13) in got                           # NULL field scores 0
+
+    def sim(a, b):
+        if a is None or b is None:
+            return 0.0
+        import difflib  # noqa: F401  (not used — exact lev below)
+        # tiny exact levenshtein
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        if max(m, n) == 0:
+            return 1.0
+        return 1.0 - d[n] / max(m, n)
+
+    exp = round((0.7 * sim("acme corp", "acme corp.")
+                 + 0.3 * sim("retail", "retail")) / (0.7 + 0.3), 6)
+    assert got[(1, 10)] == exp
+    exp11 = round((0.7 * 1.0 + 0.3 * sim("retail", "mining")) / (0.7 + 0.3), 6)
+    if exp11 >= 0.5:
+        assert got[(1, 11)] == exp11
+    exp3 = round((0.7 * 1.0 + 0.3 * 0.0) / (0.7 + 0.3), 6)
+    assert got[(3, 13)] == exp3
+
+
+def test_record_linkage_hot_block_cap_and_plan(spark):
+    from hazelcast_jet_spark.operators.joins import record_linkage
+
+    left = spark.createDataFrame(
+        [(i, f"n{i}", "b") for i in range(50)], "lid long, name string, blk string")
+    right = spark.createDataFrame(
+        [(i, f"n{i}", "b") for i in range(50)], "rid long, name string, blk string")
+    # cap below the block size drops the whole block
+    out = record_linkage(left, right, [("name", "name", 1.0)],
+                         [("blk", "blk")], 0.0, "lid", "rid", max_block=10)
+    assert out.count() == 0
+    full = record_linkage(left, right, [("name", "name", 1.0)],
+                          [("blk", "blk")], 0.0, "lid", "rid")
+    assert full.count() == 2500
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        record_linkage(left, right, [], [("blk", "blk")], 0.0, "lid", "rid")
+    with _pt.raises(ValueError):
+        record_linkage(left, right, [("name", "name", 1.0)], [], 0.0,
+                       "lid", "rid")

@@ -3269,6 +3269,32 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHANGEPOINT_W = 50
+
+
+def changepoint_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint detection (operators/timeseries.
+    changepoint_scores): sliding two-sample mean shift + Welch z over
+    full before/after frames of one window exchange; the strongest
+    |z| point per event type (id tie-break) — the regime-change
+    companion of the anomaly-band gate."""
+    from hazelcast_jet_spark.operators.timeseries import changepoint_scores
+
+    e = _t(spark, sf_dir, "events")
+    out = changepoint_scores(e, "event_type", "ts", "value", "event_id",
+                             window_n=CHANGEPOINT_W)
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("zscore")).desc(), "event_id")
+    return (
+        out.filter(F.col("zscore").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "event_id", "mean_before", "mean_after",
+                "shift", "zscore")
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3307,7 +3333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
-        "tfidf_top_terms": tfidf_top_terms,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3341,10 +3366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_copurchase": pagerank_copurchase,
         "kfold_split_counts": kfold_split_counts,
         "record_linkage_parts": record_linkage_parts,
+        "changepoint_shift_events": changepoint_shift_events,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tfidf_top_terms": tfidf_top_terms,
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
         "range_join_value_bands": range_join_value_bands,
@@ -6312,6 +6339,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN is_anomaly THEN event_id END)
                         AS BIGINT) AS anomaly_id_sum
             FROM f
+        """,
+        "changepoint_shift_events": f"""
+            WITH s AS (
+                SELECT event_type, event_id,
+                       count(value) OVER wb AS nb,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER wb
+                            AS DOUBLE) AS sb,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,12))) OVER wb
+                            AS DOUBLE) AS sb2,
+                       count(value) OVER wa AS na,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12))) OVER wa
+                            AS DOUBLE) AS sa,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,12))) OVER wa
+                            AS DOUBLE) AS sa2
+                FROM events
+                WINDOW wb AS (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN {CHANGEPOINT_W} PRECEDING
+                                       AND 1 PRECEDING),
+                       wa AS (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                       AND {CHANGEPOINT_W - 1} FOLLOWING)
+            ), c AS (
+                SELECT event_type, event_id, nb, na,
+                       nb = {CHANGEPOINT_W} AND na = {CHANGEPOINT_W} AS isfull,
+                       sb / nb AS mb, sa / na AS ma,
+                       greatest((sb2 - sb * sb / nb) / (nb - 1), 0.0) AS vb,
+                       greatest((sa2 - sa * sa / na) / (na - 1), 0.0) AS va
+                FROM s
+            ), z AS (
+                SELECT event_type, event_id,
+                       round(CASE WHEN isfull THEN mb END, 6) AS mean_before,
+                       round(CASE WHEN isfull THEN ma END, 6) AS mean_after,
+                       round(CASE WHEN isfull THEN ma - mb END, 6) AS shift,
+                       round(CASE WHEN isfull
+                                   AND sqrt(vb / nb + va / na) > 0
+                             THEN (ma - mb) / sqrt(vb / nb + va / na)
+                             END, 6) AS zscore
+                FROM c
+            ), r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(zscore) DESC, event_id) AS rn
+                FROM z WHERE zscore IS NOT NULL
+            )
+            SELECT event_type, event_id, mean_before, mean_after,
+                   shift, zscore
+            FROM r WHERE rn = 1 ORDER BY event_type
         """,
         "resample_gap_fill": """
             WITH per AS (

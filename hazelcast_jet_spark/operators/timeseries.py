@@ -362,3 +362,61 @@ def anomaly_flags(df: DataFrame, key_col: str, time_col: str, value_col: str,
     return df.select(
         id_col, key_col, time_col, value_col,
         mean.alias("mean"), std.alias("std"), flag.alias("is_anomaly"))
+
+
+def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
+                       value_col: str, id_col: str, window_n: int = 20,
+                       round_digits: int = 6) -> DataFrame:
+    """Level-shift (changepoint) scoring per key: at every point, the
+    difference between the mean of the NEXT ``window_n`` values
+    (current included — a shift AT t shows its boundary at t) and the
+    mean of the PREVIOUS ``window_n``, plus the Welch z-score
+
+        ``z = (mean_after − mean_before) / sqrt(var_b/n + var_a/n)``
+
+    — the classic sliding two-sample test for offline changepoint
+    detection, the LEVEL-SHIFT companion of :func:`anomaly_flags`
+    (which flags single-point spikes against a local band; a persistent
+    regime change moves the band with it and stays invisible there).
+
+    Both frames must be FULL (``window_n`` rows) or the score is NULL —
+    partial-frame edges systematically inflate shift estimates.  Both
+    means/variances come from count + DECIMAL-exact sum/sum-of-squares
+    on two frames of ONE ordered window exchange (same determinism
+    contract as anomaly_flags: plain double arithmetic over exact sums,
+    identical in any engine).  ``z`` is NULL when both variances are 0
+    (two flat regimes — ``shift`` alone carries the signal).
+
+    Returns ``(id_col, key_col, time_col, value_col, mean_before,
+    mean_after, shift, zscore)`` rounded for gate portability.
+    """
+    if window_n < 2:
+        raise ValueError("window_n must be >= 2")
+    base = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    wb = base.rowsBetween(-window_n, -1)
+    wa = base.rowsBetween(0, window_n - 1)
+    v = F.col(value_col)
+    dv = v.cast("decimal(28,12)")
+    dv2 = (v * v).cast("decimal(28,12)")
+
+    def stats(w):
+        n = F.count(v).over(w)
+        s = F.sum(dv).over(w).cast("double")
+        s2 = F.sum(dv2).over(w).cast("double")
+        mean = s / n
+        var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+        return n, mean, var
+
+    nb, mb, vb = stats(wb)
+    na, ma, va = stats(wa)
+    full = (nb == window_n) & (na == window_n)
+    shift = F.when(full, ma - mb)
+    se = F.sqrt(vb / nb + va / na)
+    z = F.when(full & (se > 0), (ma - mb) / se)
+    return df.select(
+        id_col, key_col, time_col, value_col,
+        F.round(F.when(full, mb), round_digits).alias("mean_before"),
+        F.round(F.when(full, ma), round_digits).alias("mean_after"),
+        F.round(shift, round_digits).alias("shift"),
+        F.round(z, round_digits).alias("zscore"),
+    )

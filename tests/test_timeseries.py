@@ -543,3 +543,62 @@ def test_anomaly_flags_validation(spark):
         "event_id long, k string, ts timestamp_ntz, v double")
     with pytest.raises(ValueError):
         anomaly_flags(df, "k", "ts", "v", "event_id", window_n=1)
+
+
+def test_changepoint_scores_match_python_model(spark):
+    """Shift/z equal an independent model; the planted level shift is
+    the strongest point; partial frames give NULL."""
+    import math
+
+    from hazelcast_jet_spark.operators.timeseries import changepoint_scores
+
+    vals = [10.0] * 30 + [20.0 + (i % 3) for i in range(30)]  # shift at 30
+    rows = [(i, "k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, k string, t double, v double")
+    out = {r.id: r for r in changepoint_scores(
+        df, "k", "t", "v", "id", window_n=10).collect()}
+
+    def model(i):
+        b, a = vals[max(0, i - 10):i], vals[i:i + 10]
+        if len(b) < 10 or len(a) < 10:
+            return None
+        mb, ma = sum(b) / 10, sum(a) / 10
+        vb = sum((x - mb) ** 2 for x in b) / 9
+        va = sum((x - ma) ** 2 for x in a) / 9
+        se = math.sqrt(vb / 10 + va / 10)
+        return (round(ma - mb, 6),
+                round((ma - mb) / se, 6) if se > 0 else None)
+
+    for i in range(60):
+        m = model(i)
+        r = out[i]
+        if m is None:
+            assert r.shift is None and r.zscore is None, i
+        else:
+            assert r.shift == m[0], i
+            assert r.zscore == m[1], (i, r.zscore, m[1])
+    # strongest |z| is exactly at the plant
+    best = max((r for r in out.values() if r.zscore is not None),
+               key=lambda r: abs(r.zscore))
+    assert best.id == 30
+    # flat-flat regime: shift present, z NULL (se == 0)
+    flat = [(i, "f", float(i), 1.0) for i in range(25)]
+    f = spark.createDataFrame(flat, "id long, k string, t double, v double")
+    mid = [r for r in changepoint_scores(f, "k", "t", "v", "id",
+                                         window_n=10).collect() if r.id == 12][0]
+    assert mid.shift == 0.0 and mid.zscore is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        changepoint_scores(f, "k", "t", "v", "id", window_n=1)
+
+
+def test_changepoint_single_exchange(spark):
+    import re as _re
+
+    from hazelcast_jet_spark.operators.timeseries import changepoint_scores
+
+    df = spark.range(100).selectExpr("id", "pmod(id, 2) k", "id t",
+                                     "id * 1.0 v")
+    plan = changepoint_scores(df, "k", "t", "v", "id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -3269,6 +3269,33 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/profile.benford_digits) of
+    order totals: string-exact integer-part digit extraction (no
+    log/pow ulp risk), full 9-digit grid with zero-fill, per-digit
+    Pearson chi2 terms against Python-precomputed log10(1+1/d)
+    literals — no engine evaluates a log anywhere."""
+    from hazelcast_jet_spark.operators.profile import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digits(o, "o_totalprice").orderBy("digit")
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (operators/timeseries.acf) of event
+    values per type at lags 1-3: full-series-mean ACF with DECIMAL
+    cross-product accumulation on ONE key window exchange."""
+    from hazelcast_jet_spark.operators.timeseries import acf
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (acf(e, "event_type", "ts", "value", "event_id",
+                lags=list(ACF_LAGS))
+            .orderBy("key", "lag"))
+
+
 CHANGEPOINT_W = 50
 
 
@@ -3331,8 +3358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "reservoir_sample_events": reservoir_sample_events,
-        "stratified_sample_docs": stratified_sample_docs,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3367,10 +3392,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_split_counts": kfold_split_counts,
         "record_linkage_parts": record_linkage_parts,
         "changepoint_shift_events": changepoint_shift_events,
+        "benford_orders": benford_orders,
+        "acf_events": acf_events,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "streaming_dedup_count": streaming_dedup_count,
         "cep_sequence_match": cep_sequence_match,
@@ -3589,6 +3618,9 @@ def _split_hex(cum: float) -> str:
 def _dsum(x: str) -> str:
     """SQL twin of dsum(): exact decimal accumulation emitted as double."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+from hazelcast_jet_spark.operators.profile import BENFORD_EXPECTED as _BENFORD
 
 
 def _lev_sim_sql(a: str, b: str) -> str:
@@ -6339,6 +6371,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN is_anomaly THEN event_id END)
                         AS BIGINT) AS anomaly_id_sum
             FROM f
+        """,
+        "benford_orders": f"""
+            WITH c AS (
+                SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))
+                           AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+                           AS digit,
+                       CAST(count(*) AS BIGINT) AS n0
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+                GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n0) AS BIGINT) AS N FROM c
+            ), grid AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"({d}, CAST('{_BENFORD[d]!r}' AS DOUBLE))"
+                    for d in range(1, 10))}) AS t(digit, exp_share)
+            )
+            SELECT g.digit,
+                   CAST(COALESCE(c.n0, 0) AS BIGINT) AS n,
+                   round(COALESCE(c.n0, 0) / CAST(N AS DOUBLE), 6)
+                       AS obs_share,
+                   round(g.exp_share, 6) AS exp_share,
+                   round((COALESCE(c.n0, 0) - CAST(N AS DOUBLE) * g.exp_share)
+                         * (COALESCE(c.n0, 0) - CAST(N AS DOUBLE) * g.exp_share)
+                         / (CAST(N AS DOUBLE) * g.exp_share), 6)
+                       AS chi2_term
+            FROM grid g CROSS JOIN tot LEFT JOIN c USING (digit)
+            ORDER BY g.digit
+        """,
+        "acf_events": f"""
+            WITH e AS (
+                SELECT event_type, event_id, ts, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ), s AS (
+                SELECT event_type,
+                       count(v) OVER wk AS n,
+                       CAST(SUM(CAST(v AS DECIMAL(28,12))) OVER wk
+                            AS DOUBLE) AS sm,
+                       v,
+                       lead(v, 1) OVER wo AS l1,
+                       lead(v, 2) OVER wo AS l2,
+                       lead(v, 3) OVER wo AS l3
+                FROM e
+                WINDOW wk AS (PARTITION BY event_type),
+                       wo AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ), t AS (
+                SELECT event_type, n,
+                       CAST((v - sm / n) * (v - sm / n)
+                            AS DECIMAL(28,12)) AS den,
+                       CAST((v - sm / n) * (l1 - sm / n)
+                            AS DECIMAL(28,12)) AS p1,
+                       CAST((v - sm / n) * (l2 - sm / n)
+                            AS DECIMAL(28,12)) AS p2,
+                       CAST((v - sm / n) * (l3 - sm / n)
+                            AS DECIMAL(28,12)) AS p3
+                FROM s
+            ), agged AS (
+                SELECT event_type, max(n) AS n,
+                       CAST(SUM(den) AS DOUBLE) AS d,
+                       CAST(SUM(p1) AS DOUBLE) AS s1,
+                       CAST(SUM(p2) AS DOUBLE) AS s2,
+                       CAST(SUM(p3) AS DOUBLE) AS s3
+                FROM t GROUP BY event_type
+            )
+            SELECT * FROM (
+                SELECT event_type AS key, 1 AS lag, n,
+                       round(CASE WHEN d > 0 THEN s1 / d END, 6) AS acf
+                FROM agged
+                UNION ALL
+                SELECT event_type, 2, n,
+                       round(CASE WHEN d > 0 THEN s2 / d END, 6) FROM agged
+                UNION ALL
+                SELECT event_type, 3, n,
+                       round(CASE WHEN d > 0 THEN s3 / d END, 6) FROM agged
+            ) ORDER BY key, lag
         """,
         "changepoint_shift_events": f"""
             WITH s AS (

@@ -23,6 +23,8 @@ Scale notes
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -525,4 +527,64 @@ def w1_drift(ref: DataFrame, cur: DataFrame, value_col: str,
             F.round(F.sum(term.cast("decimal(28,12)")).cast("double"),
                     round_digits).alias("w1"),
         )
+    )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), precomputed in
+#: Python so NO engine evaluates a log — the literals (and everything
+#: downstream) are bit-identical in Spark and any SQL oracle
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digits(df: DataFrame, value_col: str,
+                   group_cols: list[str] | None = None,
+                   round_digits: int = 6) -> DataFrame:
+    """Benford's-law first-digit audit per group — the classic
+    fabricated-data / upstream-corruption detector for naturally-spread
+    positive quantities (amounts, populations, file sizes): the leading
+    digit of such data follows ``P(d) = log10(1 + 1/d)``, and a corpus
+    that drifts from it (manual entry, synthetic padding, unit bugs)
+    shows up digit by digit.
+
+    Digit extraction is STRING-based on the integer part
+    (``substr(cast(floor(abs(x)) as bigint), 1, 1)``) — integer-to-
+    string is exact in every engine, where a ``log10``/``pow`` pipeline
+    is only ulp-accurate and can flip digits at power-of-ten
+    boundaries.  Rows with ``|x| < 1`` (no integer digit) or NULL are
+    dropped; this is integer-part Benford, the convention used for
+    money columns.
+
+    Returns the FULL 9-digit grid per group (zero-count digits
+    included — they carry the chi-squared signal): ``(group…, digit,
+    n, obs_share, exp_share, chi2_term)`` where ``chi2_term =
+    (n − N·e)² / (N·e)``; ``Σ chi2_term`` is Pearson's statistic
+    against the Benford null (8 dof).  Plan: one cell aggregate, the
+    9-row digit table broadcast onto the per-group totals — counts
+    shuffle, rows never.
+    """
+    g = group_cols or []
+    v = F.col(value_col)
+    digit = F.substring(
+        F.floor(F.abs(v)).cast("bigint").cast("string"), 1, 1).cast("int")
+    base = (
+        df.filter(v.isNotNull() & (F.abs(v) >= 1))
+        .select(*g, digit.alias("digit"))
+    )
+    counts = base.groupBy(*g, "digit").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy(*g).agg(F.sum("n").alias("__N"))
+    spark = df.sparkSession
+    grid_rows = [(d, BENFORD_EXPECTED[d]) for d in range(1, 10)]
+    grid = spark.createDataFrame(grid_rows, "digit int, exp_share double")
+    full = totals.crossJoin(F.broadcast(grid))
+    joined = full.join(counts, [*g, "digit"], "left") \
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    exp_n = F.col("__N").cast("double") * F.col("exp_share")
+    chi2_term = (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n
+    return joined.select(
+        *g, "digit", "n",
+        F.round(F.col("n") / F.col("__N").cast("double"),
+                round_digits).alias("obs_share"),
+        F.round("exp_share", round_digits).alias("exp_share"),
+        F.round(chi2_term, round_digits).alias("chi2_term"),
     )

@@ -420,3 +420,61 @@ def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
         F.round(shift, round_digits).alias("shift"),
         F.round(z, round_digits).alias("zscore"),
     )
+
+
+def acf(df: DataFrame, key_col: str, time_col: str, value_col: str,
+        id_col: str, lags: list[int] = (1, 2, 3),
+        round_digits: int = 6) -> DataFrame:
+    """Per-key autocorrelation function at fixed lags — the standard
+    seasonality / persistence feature for time-series monitoring:
+
+        ``r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²``
+
+    with the full-series mean and denominator (the classic biased ACF
+    estimator, what statsmodels ``acf(adjusted=False)`` computes).
+
+    Plan: ONE window exchange on the key serves the series mean
+    (partition frame, DECIMAL-exact sum), every ``lead(k)`` and the
+    final per-key aggregate (same partitioning — no second shuffle).
+    Cross-products and squares accumulate in DECIMAL(28,12) after
+    fixed-order double centering, so r_k hashes identically on a SQL
+    oracle.  NULL values are excluded from the mean but break the lag
+    chain like any missing row would (lead skips over rows, not time —
+    regularize with :func:`resample` first for calendar lags).
+
+    Returns ``(key, lag, n, acf_k)`` — one row per key per lag; keys
+    with zero variance emit NULL acf (no structure to correlate).
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be >= 1")
+    w_all = Window.partitionBy(key_col)
+    w_ord = w_all.orderBy(time_col, id_col)
+    v = F.col(value_col).cast("double")
+    mean = (F.sum(v.cast("decimal(28,12)")).over(w_all).cast("double")
+            / F.count(v).over(w_all))
+    c = v - mean
+    per_row = df.select(
+        key_col,  # keep the source attribute so the aggregate reuses the
+        # window's hash partitioning (an alias here costs a second exchange)
+        F.count(v).over(w_all).alias("__n"),
+        (c * c).cast("decimal(28,12)").alias("__den"),
+        *[(c * (F.lead(v, k).over(w_ord) - mean)).cast("decimal(28,12)")
+          .alias(f"__num{k}") for k in lags],
+    )
+    agged = per_row.groupBy(F.col(key_col).alias("key")).agg(
+        F.first("__n").alias("n"),
+        F.sum("__den").cast("double").alias("__d"),
+        *[F.sum(f"__num{k}").cast("double").alias(f"__s{k}") for k in lags],
+    )
+    stacked = agged.select(
+        "key", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("lag"),
+                     F.when(F.col("__d") > 0,
+                            F.col(f"__s{k}") / F.col("__d")).alias("r"))
+            for k in lags])).alias("__e"),
+    )
+    return stacked.select(
+        "key", F.col("__e.lag").alias("lag"), "n",
+        F.round(F.col("__e.r"), round_digits).alias("acf"),
+    )

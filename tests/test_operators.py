@@ -2288,3 +2288,78 @@ def test_record_linkage_hot_block_cap_and_plan(spark):
     with _pt.raises(ValueError):
         record_linkage(left, right, [("name", "name", 1.0)], [], 0.0,
                        "lid", "rid")
+
+
+def test_benford_digits_grid_and_model(spark):
+    """Full 9-digit grid with zero-fill; shares and chi2 terms match a
+    Python model; <1 and NULL rows dropped."""
+    import math
+
+    vals = [123.4, 19.0, 1.5, 250.0, 2.0, 0.5, None, -345.0, 999.0, 1e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v: double")
+    from hazelcast_jet_spark.operators.profile import benford_digits
+
+    rows = {r.digit: r for r in benford_digits(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))
+    kept = [123.4, 19.0, 1.5, 250.0, 2.0, 345.0, 999.0, 1e6]
+    counts = {d: sum(1 for v in kept if str(int(v))[0] == str(d))
+              for d in range(1, 10)}
+    N = len(kept)
+    for d in range(1, 10):
+        e = math.log10(1 + 1 / d)
+        r = rows[d]
+        assert r.n == counts[d]
+        assert r.obs_share == round(counts[d] / N, 6)
+        assert r.exp_share == round(e, 6)
+        assert abs(r.chi2_term
+                   - (counts[d] - N * e) ** 2 / (N * e)) < 1e-6
+    # a benford-ish corpus scores low total chi2 vs a constant-digit one
+    import random
+    rnd = random.Random(7)
+    ben = spark.createDataFrame(
+        [(10 ** (rnd.random() * 4),) for _ in range(2000)], "v: double")
+    con = spark.createDataFrame(
+        [(900.0 + i % 50,) for i in range(2000)], "v: double")
+    chi = lambda d: sum(r.chi2_term for r in benford_digits(d, "v").collect())
+    assert chi(ben) < 30 < chi(con)
+
+
+def test_acf_matches_python_model(spark):
+    """ACF at lags 1-3 equals the biased full-mean estimator; a strict
+    period-2 series gives acf(2) ≈ +1-ish and acf(1) negative; constant
+    series → NULL."""
+    from hazelcast_jet_spark.operators.timeseries import acf
+
+    vals = [1.0, 5.0] * 20
+    rows = [(i, "a", float(i), v) for i, v in enumerate(vals)]
+    rows += [(i, "c", float(i), 7.0) for i in range(10)]  # zero variance
+    df = spark.createDataFrame(rows, "id long, k string, t double, v double")
+    got = {(r.key, r.lag): r for r in
+           acf(df, "k", "t", "v", "id", lags=[1, 2, 3]).collect()}
+
+    def model(xs, k):
+        n = len(xs)
+        m = sum(xs) / n
+        den = sum((x - m) ** 2 for x in xs)
+        num = sum((xs[i] - m) * (xs[i + k] - m) for i in range(n - k))
+        return round(num / den, 6)
+
+    for k in (1, 2, 3):
+        assert got[("a", k)].acf == model(vals, k), k
+        assert got[("a", k)].n == 40
+        assert got[("c", k)].acf is None
+    assert got[("a", 1)].acf < 0 < got[("a", 2)].acf
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        acf(df, "k", "t", "v", "id", lags=[0])
+
+
+def test_acf_single_exchange(spark):
+    import re as _re
+
+    from hazelcast_jet_spark.operators.timeseries import acf
+
+    df = spark.range(200).selectExpr("id", "pmod(id, 2) k", "id t", "id * 1.0 v")
+    plan = acf(df, "k", "t", "v", "id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -104,3 +104,32 @@ print("3-gram novelty by source:")
 print("weekly cohort retention (first 10 cells):")
 cohort_retention(events, "user_id", "ts").orderBy(
     "cohort_period", "period_offset").show(10)
+
+from hazelcast_jet_spark.operators.profile import (  # noqa: E402
+    benford_digits, categorical_drift)
+from hazelcast_jet_spark.operators.timeseries import (  # noqa: E402
+    acf, changepoint_scores)
+
+# 9. categorical drift: did the event-type MIX shift between the two
+#    id halves?  chi2/V for the alarm, JS for a bounded distance
+print("categorical drift of event_type (even vs odd ids):")
+categorical_drift(events.filter(F.col("event_id") % 2 == 0),
+                  events.filter(F.col("event_id") % 2 == 1),
+                  "event_type").show()
+
+# 10. Benford's law on event values — a cheap fabricated-data tripwire
+print("Benford first-digit audit of event values:")
+benford_digits(events, "value").orderBy("digit").show()
+
+# 11. level-shift changepoints per event type (the regime-change
+#     companion of point-anomaly bands)
+print("strongest level shift per event type:")
+cp = changepoint_scores(events, "event_type", "ts", "value", "event_id",
+                        window_n=20)
+(cp.filter(F.col("zscore").isNotNull())
+ .orderBy(F.abs(F.col("zscore")).desc()).show(5))
+
+# 12. autocorrelation at lags 1-3 — persistence/seasonality signature
+print("value ACF per event type:")
+acf(events.filter(F.col("value").isNotNull()),
+    "event_type", "ts", "value", "event_id").orderBy("key", "lag").show()

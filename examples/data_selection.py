@@ -89,3 +89,11 @@ print("language mix before/after temperature sampling:")
  .join(balanced.groupBy("lang").agg(F.count(F.lit(1)).alias("n_balanced")),
        "lang", "left")
  .orderBy("lang").show())
+
+from hazelcast_jet_spark.operators.sampling import kfold_split  # noqa: E402
+
+# k-fold assignment for cross-validated filter-model training: folds are
+# a pure function of the doc id hash, so membership never drifts between
+# runs and grouped rows never straddle folds
+print("5-fold split sizes:")
+kfold_split(docs, "doc_id", 5).groupBy("fold").count().orderBy("fold").show()

@@ -3269,6 +3269,20 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCENTER_K = 5
+
+
+def coreset_kcenter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (operators/clustering.
+    coreset_kcenter): diversity-maximizing embedding pruning — lowest-id
+    seed, then farthest-point iterations with rounded-L2 running
+    minima and id tie-breaks, map-only per pass."""
+    from hazelcast_jet_spark.operators.clustering import coreset_kcenter
+
+    e = _t(spark, sf_dir, "embeddings")
+    return coreset_kcenter(e, KCENTER_K).orderBy("sel_order")
+
+
 def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (operators/profile.benford_digits) of
     order totals: string-exact integer-part digit extraction (no
@@ -3357,7 +3371,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": embedding_quantize_int8,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
-        "nexmark_q8_stream_join": nexmark_q8_stream_join,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3394,10 +3407,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_shift_events": changepoint_shift_events,
         "benford_orders": benford_orders,
         "acf_events": acf_events,
+        "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
         "tfidf_top_terms": tfidf_top_terms,
@@ -3632,6 +3647,55 @@ def _lev_sim_sql(a: str, b: str) -> str:
         f"ELSE 1.0 - levenshtein({a}, {b}) "
         f"/ CAST(greatest(length({a}), length({b})) AS DOUBLE) END)"
     )
+
+
+def _l2_cols_sql(a: str, b: str) -> str:
+    """round(squared-L2(a, b), 9) between two vector COLUMNS — the
+    column-column twin of _l2_sql (same fold, same rounding)."""
+    return (
+        f"round(list_sum(list_transform(list_zip({a}, {b}),"
+        f" x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        f" * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 9)"
+    )
+
+
+def _kcenter_sql(k: int) -> str:
+    """DuckDB twin of clustering.coreset_kcenter on the embeddings
+    table: k−1 unrolled farthest-point iterations (rounded-L2 running
+    least, NOT-IN exclusion, id tie-break)."""
+    parts = ["""sel1 AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings
+                                WHERE embedding IS NOT NULL)
+            ), d1 AS (
+                SELECT e.vec_id, e.embedding,
+                       """ + _l2_cols_sql("e.embedding", "s.embedding") + """
+                           AS m
+                FROM embeddings e CROSS JOIN sel1 s
+                WHERE e.embedding IS NOT NULL
+            )"""]
+    for i in range(2, k + 1):
+        excl = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i))
+        parts.append(f"""sel{i} AS (
+                SELECT vec_id, embedding, m FROM d{i - 1}
+                WHERE vec_id NOT IN ({excl})
+                ORDER BY m DESC, vec_id LIMIT 1
+            )""")
+        if i < k:
+            parts.append(f"""d{i} AS (
+                SELECT d.vec_id, d.embedding,
+                       least(d.m, {_l2_cols_sql('d.embedding', 's.embedding')})
+                           AS m
+                FROM d{i - 1} d CROSS JOIN sel{i} s
+            )""")
+    sels = ["SELECT CAST(1 AS INTEGER) AS sel_order, vec_id, "
+            "CAST(NULL AS DOUBLE) AS dist FROM sel1"]
+    sels += [f"SELECT CAST({i} AS INTEGER), vec_id, m FROM sel{i}"
+             for i in range(2, k + 1)]
+    return ("WITH " + ",\n            ".join(parts)
+            + "\n            " + "\n            UNION ALL ".join(sels)
+            + "\n            ORDER BY sel_order")
 
 
 def _kfold_case_sql(key_sql: str, k: int, seed: str) -> str:
@@ -6372,6 +6436,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS anomaly_id_sum
             FROM f
         """,
+        "coreset_kcenter_embeddings": _kcenter_sql(KCENTER_K),
         "benford_orders": f"""
             WITH c AS (
                 SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

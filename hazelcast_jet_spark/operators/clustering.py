@@ -358,3 +358,94 @@ def pca_project(df: DataFrame, mean, components, vec_col: str = "embedding",
             expr = F.round(expr, round_digits)
         out = out.withColumn(f"{out_prefix}{j + 1}", expr)
     return out
+
+
+def _l2_lit(vec_col: str, center: list[float], round_digits: int = 9):
+    """Rounded squared L2 between a vector column and one LITERAL center
+    — the single-centroid slice of :func:`l2_assign`'s distance array
+    (same fold order, same half-away rounding, SQL-twinnable)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in center]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ),
+        round_digits,
+    )
+
+
+def coreset_kcenter(df: DataFrame, k: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    round_digits: int = 9) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    diversity-maximizing data-pruning primitive (Sener & Savarese 2018
+    core-set active learning; the selection half of embedding-based
+    corpus pruning): start from the lowest-id vector, then repeatedly
+    take the point FARTHEST from everything selected so far.  The
+    resulting set 2-approximates the optimal k-center cover, i.e. it
+    spreads over the embedding space instead of oversampling dense
+    modes the way random selection does.
+
+    Determinism contract (gate-portable): distances are squared L2
+    ROUNDED to ``round_digits`` at every step (same convention as
+    :func:`l2_assign`), the running min-distance is a ``least`` of
+    rounded values, and argmax ties break toward the lower id — so any
+    engine replaying the arithmetic selects the identical sequence.
+
+    Plan: each of the k−1 iterations is a MAP-ONLY distance update
+    against the newest center (a d-double literal riding the task
+    binary) followed by a top-1 ``orderBy(desc(min_dist), id)`` —
+    TakeOrdered, no full sort.  One vector (d doubles) returns to the
+    driver per iteration, independent of corpus size;
+    ``localCheckpoint`` per iteration keeps the plan O(1).  k is capped
+    at 256 — beyond that train IVF/k-means centroids instead.
+
+    Returns ``(sel_order, <id_col>, dist)`` — ``dist`` is the coverage
+    distance at selection time (NULL for the seed); fewer than k rows
+    when the corpus is smaller.
+    """
+    if not 1 <= k <= 256:
+        raise ValueError("k must be in [1, 256]")
+    base = (
+        df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .localCheckpoint()
+    )
+    first_rows = base.orderBy(id_col).limit(1).collect()
+    if not first_rows:
+        raise ValueError("empty input")
+    first = first_rows[0]
+    selected = [(1, first[id_col], None)]
+    chosen = [first[id_col]]
+    cur = base.withColumn(
+        "__m", _l2_lit(vec_col, list(first[vec_col]), round_digits)
+    ).localCheckpoint()
+    for i in range(2, k + 1):
+        cand = (cur.filter(~F.col(id_col).isin(chosen))
+                .orderBy(F.desc("__m"), id_col).limit(1).collect())
+        if not cand:
+            break
+        row = cand[0]
+        selected.append((i, row[id_col], float(row["__m"])))
+        chosen.append(row[id_col])
+        prev = cur
+        cur = cur.withColumn(
+            "__m",
+            F.least("__m", _l2_lit(vec_col, list(row[vec_col]),
+                                   round_digits)),
+        ).localCheckpoint()
+        prev.unpersist(False)
+    spark = df.sparkSession
+    from pyspark.sql.types import (DoubleType, IntegerType as _IT,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("sel_order", _IT(), False),
+        StructField(id_col, df.schema[id_col].dataType, True),
+        StructField("dist", DoubleType(), True),
+    ])
+    return spark.createDataFrame(selected, schema)

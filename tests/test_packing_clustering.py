@@ -343,3 +343,62 @@ def test_pca_project_is_map_only_and_matches_numpy(spark):
     for i in range(100):
         assert abs(got[i][0] - want[i][0]) < 1e-9
         assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+def test_coreset_kcenter_matches_python_greedy(spark):
+    """Selection sequence equals an exact Python greedy replay (rounded
+    distances, id tie-break); corners beat dense modes."""
+    import random
+
+    from hazelcast_jet_spark.operators.clustering import coreset_kcenter
+
+    rnd = random.Random(11)
+    pts = [(i, [round(rnd.uniform(0, 10), 3) for _ in range(4)])
+           for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "id long, v array<float>")
+    got = [(r.sel_order, r.id, r.dist)
+           for r in coreset_kcenter(df, 6, "id", "v").collect()]
+
+    import struct
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    vecs = {i: [f32(x) for x in v] for i, v in pts}
+
+    def l2r(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return round(acc, 9)
+
+    chosen = [min(vecs)]
+    mind = {i: l2r(v, vecs[chosen[0]]) for i, v in vecs.items()}
+    exp = [(1, chosen[0], None)]
+    for step in range(2, 7):
+        cand = max(((d, -i) for i, d in mind.items() if i not in chosen))
+        nxt = -cand[1]
+        exp.append((step, nxt, mind[nxt]))
+        chosen.append(nxt)
+        for i, v in vecs.items():
+            mind[i] = min(mind[i], l2r(v, vecs[nxt]))
+    assert got == exp
+
+    # corner spread: 4 tight clusters -> first 4 picks hit 4 clusters
+    corners = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]
+    rows = [(c * 20 + j, [cx + j * 0.01, cy + j * 0.01])
+            for c, (cx, cy) in enumerate(corners) for j in range(10)]
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "id long, v array<float>")
+    sel = coreset_kcenter(cdf, 4, "id", "v").collect()
+    assert {r.id // 20 for r in sel} == {0, 1, 2, 3}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        coreset_kcenter(df, 0, "id", "v")
+    with _pt.raises(ValueError):
+        coreset_kcenter(df, 500, "id", "v")
+    # k > n returns all n rows
+    tiny = spark.createDataFrame(
+        [(1, [0.0]), (2, [5.0])], "id long, v array<float>")
+    assert coreset_kcenter(tiny, 5, "id", "v").count() == 2

@@ -3269,6 +3269,50 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson matrix (operators/profile.
+    correlation_matrix) over the four lineitem measures: every pair
+    from a single scan with DECIMAL-exact sums/cross-products, listwise
+    NULL handling."""
+    from hazelcast_jet_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, list(CORR_COLS)).orderBy("col_x", "col_y")
+
+
+def _corr_matrix_sql(cols) -> str:
+    """DuckDB twin of profile.correlation_matrix (same listwise filter,
+    DECIMAL accumulation, and fixed-order corr expression)."""
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, c in enumerate(cols):
+        v = f"CAST({c} AS DOUBLE)"
+        aggs.append(f"CAST(SUM(CAST({v} AS DECIMAL(28,12))) AS DOUBLE) AS s{i}")
+        aggs.append(f"CAST(SUM(CAST({v} * {v} AS DECIMAL(28,12))) AS DOUBLE)"
+                    f" AS q{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            vi, vj = f"CAST({cols[i]} AS DOUBLE)", f"CAST({cols[j]} AS DOUBLE)"
+            aggs.append(f"CAST(SUM(CAST({vi} * {vj} AS DECIMAL(28,12)))"
+                        f" AS DOUBLE) AS x{i}_{j}")
+    sels = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = f"(CAST(n AS DOUBLE) * x{i}_{j} - s{i} * s{j})"
+            den = (f"(sqrt(CAST(n AS DOUBLE) * q{i} - s{i} * s{i})"
+                   f" * sqrt(CAST(n AS DOUBLE) * q{j} - s{j} * s{j}))")
+            sels.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, n,"
+                f" round(CASE WHEN {den} > 0 THEN {num} / {den} END, 6)"
+                f" AS corr FROM a")
+    return (f"WITH a AS (SELECT {', '.join(aggs)} FROM lineitem WHERE {nn})"
+            + " " + " UNION ALL ".join(sels)
+            + " ORDER BY col_x, col_y")
+
+
 KCENTER_K = 5
 
 
@@ -3370,7 +3414,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
         "tpch_q18_large_orders": tpch_q18_large_orders,
-        "cep_stream_match": cep_stream_match,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3408,10 +3451,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": benford_orders,
         "acf_events": acf_events,
         "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "cep_stream_match": cep_stream_match,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
@@ -6437,6 +6482,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "coreset_kcenter_embeddings": _kcenter_sql(KCENTER_K),
+        "corr_matrix_lineitem": _corr_matrix_sql(CORR_COLS),
         "benford_orders": f"""
             WITH c AS (
                 SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

@@ -588,3 +588,68 @@ def benford_digits(df: DataFrame, value_col: str,
         F.round("exp_share", round_digits).alias("exp_share"),
         F.round(chi2_term, round_digits).alias("chi2_term"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       round_digits: int = 6) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregate pass — the feature-redundancy / leakage screen of a
+    profiling suite (every pair from a single scan, vs one
+    ``F.corr`` job per pair).
+
+    Listwise NULL handling: rows with a NULL in ANY of ``cols`` are
+    dropped, so every pair sees the same n and the matrix is positive
+    semi-definite (pairwise-complete matrices need not be; document
+    which you computed — this is the one statsmodels calls
+    ``nan_policy='omit'`` rowwise).
+
+    Determinism: all sums/cross-products accumulate in DECIMAL(28,12)
+    (sum type widens to 38,12 — headroom for 1e14-scale squares times
+    1e12 rows), and
+
+        ``corr = (n·s_xy − s_x·s_y) /
+                 (sqrt(n·s_xx − s_x²) · sqrt(n·s_yy − s_y²))``
+
+    is a fixed-order double expression over those exact sums — hashes
+    identically on a SQL oracle.  Zero-variance columns yield NULL
+    correlations.  Returns ``(col_x, col_y, n, corr)`` for the
+    ``k·(k−1)/2`` pairs in input order.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    base = df.select(*cols)
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    base = base.filter(cond)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(v.cast("decimal(28,12)")).cast("double")
+                    .alias(f"__s{i}"))
+        aggs.append(F.sum((v * v).cast("decimal(28,12)")).cast("double")
+                    .alias(f"__q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            vi = F.col(cols[i]).cast("double")
+            vj = F.col(cols[j]).cast("double")
+            aggs.append(F.sum((vi * vj).cast("decimal(28,12)"))
+                        .cast("double").alias(f"__x{i}_{j}"))
+    one = base.agg(*aggs)
+    n = F.col("__n").cast("double")
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = n * F.col(f"__x{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")
+            den = (F.sqrt(n * F.col(f"__q{i}")
+                          - F.col(f"__s{i}") * F.col(f"__s{i}"))
+                   * F.sqrt(n * F.col(f"__q{j}")
+                            - F.col(f"__s{j}") * F.col(f"__s{j}")))
+            pairs.append(F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.col("__n").alias("n"),
+                F.round(F.when(den > 0, num / den), round_digits)
+                .alias("corr")))
+    return one.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -2363,3 +2363,44 @@ def test_acf_single_exchange(spark):
     plan = acf(df, "k", "t", "v", "id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_correlation_matrix_matches_numpy_listwise(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.profile import correlation_matrix
+
+    rng = np.random.RandomState(5)
+    a = rng.uniform(0, 10, 200)
+    b = 2.0 * a + rng.normal(0, 0.5, 200)     # strongly correlated
+    c = rng.uniform(0, 1, 200)                # independent
+    d = np.full(200, 3.25)                    # zero variance
+    rows = [(float(a[i]), float(b[i]), float(c[i]), float(d[i]))
+            for i in range(200)]
+    rows[7] = (None, rows[7][1], rows[7][2], rows[7][3])  # listwise drop
+    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
+    got = {(r.col_x, r.col_y): r for r in
+           correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+    assert len(got) == 6 and all(r.n == 199 for r in got.values())
+    keep = [i for i in range(200) if i != 7]
+    m = np.corrcoef(np.stack([a[keep], b[keep], c[keep]]))
+    assert abs(got[("a", "b")].corr - m[0, 1]) < 1e-6
+    assert abs(got[("a", "c")].corr - m[0, 2]) < 1e-6
+    assert abs(got[("b", "c")].corr - m[1, 2]) < 1e-6
+    assert got[("a", "b")].corr > 0.99
+    for pair in (("a", "d"), ("b", "d"), ("c", "d")):
+        assert got[pair].corr is None          # zero variance → NULL
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        correlation_matrix(df, ["a"])
+
+
+def test_correlation_matrix_single_aggregate(spark, sf_dir):
+    from hazelcast_jet_spark.operators.profile import correlation_matrix
+    from hazelcast_jet_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = correlation_matrix(li, ["l_quantity", "l_discount"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # global agg only
+    assert plan.count("HashAggregate") <= 2         # partial + final

@@ -3269,6 +3269,30 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEASONAL_PERIOD = 24
+
+
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (operators/timeseries.
+    seasonal_decompose): centered-MA trend (full frames only),
+    per-position centered seasonal profile, residuals — summarized per
+    (event_type, position) with DECIMAL component sums."""
+    from hazelcast_jet_spark.operators.timeseries import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = seasonal_decompose(e, "event_type", "ts", "value", "event_id",
+                             period=SEASONAL_PERIOD)
+    return (
+        out.groupBy("event_type", "pos").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("trend").alias("n_trended"),
+            F.min("seasonal").alias("seasonal"),
+            dsum("trend").alias("trend_sum"),
+            dsum("resid").alias("resid_sum"))
+        .orderBy("event_type", "pos")
+    )
+
+
 CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -3413,7 +3437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3452,10 +3475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": acf_events,
         "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
         "corr_matrix_lineitem": corr_matrix_lineitem,
+        "seasonal_decompose_events": seasonal_decompose_events,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
         "reservoir_sample_events": reservoir_sample_events,
@@ -6483,6 +6508,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coreset_kcenter_embeddings": _kcenter_sql(KCENTER_K),
         "corr_matrix_lineitem": _corr_matrix_sql(CORR_COLS),
+        "seasonal_decompose_events": f"""
+            WITH e AS (
+                SELECT event_type AS k, event_id, ts,
+                       CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ), w1 AS (
+                SELECT k, event_id, v,
+                       CAST((row_number() OVER wo - 1) % {SEASONAL_PERIOD}
+                            AS INTEGER) AS pos,
+                       count(v) OVER wt AS nt,
+                       CAST(SUM(CAST(v AS DECIMAL(28,12))) OVER wt
+                            AS DOUBLE) AS st
+                FROM e
+                WINDOW wo AS (PARTITION BY k ORDER BY ts, event_id),
+                       wt AS (PARTITION BY k ORDER BY ts, event_id
+                              ROWS BETWEEN {SEASONAL_PERIOD // 2} PRECEDING
+                                       AND {SEASONAL_PERIOD // 2} FOLLOWING)
+            ), w2 AS (
+                SELECT k, event_id, v, pos,
+                       CASE WHEN nt = {SEASONAL_PERIOD + 1}
+                            THEN st / nt END AS trend
+                FROM w1
+            ), sm AS (
+                SELECT k, pos,
+                       CAST(SUM(CAST(v - trend AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(v - trend) AS s_raw
+                FROM w2 GROUP BY k, pos
+            ), sc AS (
+                SELECT k, pos,
+                       s_raw
+                       - CAST(SUM(CAST(s_raw AS DECIMAL(28,12))) OVER wk
+                              AS DOUBLE) / count(s_raw) OVER wk AS seasonal
+                FROM sm WINDOW wk AS (PARTITION BY k)
+            ), r AS (
+                SELECT w2.k, w2.pos,
+                       round(w2.trend, 6) AS trend,
+                       round(sc.seasonal, 6) AS seasonal,
+                       round(w2.v - w2.trend - sc.seasonal, 6) AS resid
+                FROM w2 JOIN sc ON w2.k = sc.k AND w2.pos = sc.pos
+            )
+            SELECT k AS event_type, pos,
+                   count(*) AS n,
+                   CAST(count(trend) AS BIGINT) AS n_trended,
+                   min(seasonal) AS seasonal,
+                   CAST(SUM(CAST(trend AS DECIMAL(18,6))) AS DOUBLE)
+                       AS trend_sum,
+                   CAST(SUM(CAST(resid AS DECIMAL(18,6))) AS DOUBLE)
+                       AS resid_sum
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "benford_orders": f"""
             WITH c AS (
                 SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice))

@@ -478,3 +478,69 @@ def acf(df: DataFrame, key_col: str, time_col: str, value_col: str,
         "key", F.col("__e.lag").alias("lag"), "n",
         F.round(F.col("__e.r"), round_digits).alias("acf"),
     )
+
+
+def seasonal_decompose(df: DataFrame, key_col: str, time_col: str,
+                       value_col: str, id_col: str, period: int,
+                       round_digits: int = 6) -> DataFrame:
+    """Classical additive seasonal decomposition per key —
+    ``value = trend + seasonal + residual`` (the moving-average
+    decomposition statsmodels calls ``seasonal_decompose``), the
+    monitoring primitive that separates "traffic is down" from "it's
+    Sunday":
+
+    - **trend**: centered moving average over an ODD window of
+      ``period`` rows (period+1 when even, the classic parity fix so
+      the window is symmetric); NULL where the frame is not full —
+      edge trends are systematically biased, so they are withheld
+      rather than wrong.
+    - **seasonal**: per-position mean of the detrended series
+      (position = per-key row index mod ``period``), centered so one
+      full cycle sums to ~0 — level stays in the trend.
+    - **residual**: ``value − trend − seasonal`` where trend exists.
+
+    Determinism: every mean is a DECIMAL(28,12) sum over counts in
+    fixed-order double division (the module-wide contract), positions
+    come from ``row_number`` over ``(time, id)``, so all three
+    components hash identically on a SQL oracle.
+
+    Plan: one key-window exchange (row numbers + the trend frame), one
+    ``(key, pos)`` aggregate for the seasonal profile (≤ keys·period
+    rows), one key-window over that tiny table for centering, and a
+    broadcast join back onto the rows.  Row volume shuffles once.
+
+    Returns the input ids plus ``(pos, trend, seasonal, resid)``
+    rounded to ``round_digits``.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    tw = period if period % 2 == 1 else period + 1
+    h = tw // 2
+    base = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    wt = base.rowsBetween(-h, h)
+    v = F.col(value_col).cast("double")
+    nt = F.count(v).over(wt)
+    st = F.sum(v.cast("decimal(28,12)")).over(wt).cast("double")
+    rows = df.select(
+        id_col, key_col, time_col, value_col,
+        ((F.row_number().over(base) - 1) % period).alias("pos"),
+        F.when(nt == tw, st / nt).alias("__trend"),
+    )
+    detr = (v - F.col("__trend")).cast("decimal(28,12)")
+    prof = rows.groupBy(key_col, "pos").agg(
+        (F.sum(detr).cast("double")
+         / F.count(v - F.col("__trend"))).alias("__s_raw"))
+    wk = Window.partitionBy(key_col)
+    prof = prof.select(
+        key_col, "pos",
+        (F.col("__s_raw")
+         - F.sum(F.col("__s_raw").cast("decimal(28,12)")).over(wk)
+         .cast("double") / F.count("__s_raw").over(wk)).alias("__seasonal"))
+    out = rows.join(F.broadcast(prof), [key_col, "pos"])
+    return out.select(
+        id_col, key_col, time_col, value_col, "pos",
+        F.round("__trend", round_digits).alias("trend"),
+        F.round("__seasonal", round_digits).alias("seasonal"),
+        F.round(v - F.col("__trend") - F.col("__seasonal"),
+                round_digits).alias("resid"),
+    )

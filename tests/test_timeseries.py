@@ -602,3 +602,44 @@ def test_changepoint_single_exchange(spark):
     plan = changepoint_scores(df, "k", "t", "v", "id")._jdf \
         .queryExecution().executedPlan().toString()
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """Planted trend+seasonal signal: recovered seasonal profile matches
+    the plant up to centering, trend is NULL at edges, resid ≈ 0, and
+    value == trend + seasonal + resid wherever trend exists."""
+    import math
+
+    from hazelcast_jet_spark.operators.timeseries import seasonal_decompose
+
+    period = 4
+    seas = [3.0, -1.0, -2.0, 0.0]  # already centered
+    rows = [(i, "k", float(i), 0.5 * i + seas[i % period])
+            for i in range(48)]
+    df = spark.createDataFrame(rows, "id long, k string, t double, v double")
+    out = {r.id: r for r in seasonal_decompose(
+        df, "k", "t", "v", "id", period=period).collect()}
+    h = (period + 1) // 2  # tw = 5, h = 2
+    for i in range(48):
+        r = out[i]
+        assert r.pos == i % period
+        if i < 2 or i >= 46:
+            assert r.trend is None and r.resid is None
+        else:
+            # centered MA of linear trend = exact trend; seasonal avg
+            # over a full window of period+1 rows leaves seas[i%p]/5 bias
+            assert r.resid is not None
+            assert abs(r.v - (r.trend + r.seasonal + r.resid)) < 1e-6
+    # seasonal profile sums to ~0 per key and is position-constant
+    prof = {}
+    for r in out.values():
+        prof.setdefault(r.pos, set()).add(r.seasonal)
+    assert all(len(v) == 1 for v in prof.values())
+    assert abs(sum(next(iter(v)) for v in prof.values())) < 1e-3
+    # relative ordering of the plant survives decomposition
+    got = [next(iter(prof[p])) for p in range(period)]
+    assert sorted(range(4), key=lambda p: got[p]) == \
+        sorted(range(4), key=lambda p: seas[p])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        seasonal_decompose(df, "k", "t", "v", "id", period=1)

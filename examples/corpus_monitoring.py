@@ -133,3 +133,21 @@ cp = changepoint_scores(events, "event_type", "ts", "value", "event_id",
 print("value ACF per event type:")
 acf(events.filter(F.col("value").isNotNull()),
     "event_type", "ts", "value", "event_id").orderBy("key", "lag").show()
+
+from hazelcast_jet_spark.operators.profile import correlation_matrix  # noqa: E402
+from hazelcast_jet_spark.operators.timeseries import seasonal_decompose  # noqa: E402
+
+# 13. feature-redundancy screen: all pairwise correlations in one pass
+print("event-feature correlation matrix:")
+correlation_matrix(
+    events.withColumn("hour", F.hour("ts") * 1.0)
+    .withColumn("uid", F.col("user_id") * 1.0),
+    ["value", "hour", "uid"]).show()
+
+# 14. separate "traffic is down" from "it's that hour": additive
+#     seasonal decomposition of event values per type
+print("seasonal profile of event values (first positions):")
+dec = seasonal_decompose(events.filter(F.col("value").isNotNull()),
+                         "event_type", "ts", "value", "event_id", period=12)
+(dec.groupBy("event_type", "pos").agg(F.min("seasonal").alias("seasonal"))
+ .orderBy("event_type", "pos").show(8))

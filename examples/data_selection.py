@@ -97,3 +97,11 @@ from hazelcast_jet_spark.operators.sampling import kfold_split  # noqa: E402
 # runs and grouped rows never straddle folds
 print("5-fold split sizes:")
 kfold_split(docs, "doc_id", 5).groupBy("fold").count().orderBy("fold").show()
+
+from hazelcast_jet_spark.operators.clustering import coreset_kcenter  # noqa: E402
+
+# diversity-maximizing coreset over the embedding space: greedy k-center
+# picks spread-out exemplars instead of oversampling dense modes
+emb = load_table(spark, sf_dir, "embeddings")
+print("k-center coreset selection order:")
+coreset_kcenter(emb, 5).orderBy("sel_order").show()

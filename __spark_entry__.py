@@ -3269,6 +3269,32 @@ def anomaly_band_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K, NEG_SEED = 3, "neg0"
+
+
+def negative_samples_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/sampling.
+    negative_sample): 3 pseudo-random non-matching parts per sampled
+    lineitem — md5-indexed draws from the part table, self-collisions
+    dropped; per-draw counts + part-id checksums."""
+    from hazelcast_jet_spark.operators.sampling import negative_sample
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 100 == 1)
+          .withColumn("pair_key", F.concat_ws(
+              "-", F.col("l_orderkey"), F.col("l_linenumber"))))
+    items = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"))
+    out = negative_sample(li, items, NEG_K, "pair_key", "l_partkey",
+                          seed=NEG_SEED)
+    return (
+        out.groupBy("j").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("negative").alias("neg_sum"))
+        .orderBy("j")
+    )
+
+
 SEASONAL_PERIOD = 24
 
 
@@ -3436,7 +3462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
-        "embedding_quantize_int8": embedding_quantize_int8,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3476,10 +3501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
         "corr_matrix_lineitem": corr_matrix_lineitem,
         "seasonal_decompose_events": seasonal_decompose_events,
+        "negative_samples_lineitem": negative_samples_lineitem,
         # ===== driver window boundary is 50 entries; everything below has =====
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "embedding_quantize_int8": embedding_quantize_int8,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
@@ -6508,6 +6535,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coreset_kcenter_embeddings": _kcenter_sql(KCENTER_K),
         "corr_matrix_lineitem": _corr_matrix_sql(CORR_COLS),
+        "negative_samples_lineitem": f"""
+            WITH pos AS (
+                SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR) AS pair_key,
+                       l_partkey
+                FROM lineitem WHERE l_orderkey % 100 = 1
+            ), items AS (
+                SELECT item,
+                       row_number() OVER (ORDER BY item) - 1 AS idx
+                FROM (SELECT DISTINCT p_partkey AS item FROM part)
+            ), cnt AS (
+                SELECT count(*) AS n FROM items
+            ), probes AS (
+                SELECT pair_key, l_partkey, j,
+                       (CAST(CAST('0x' || substr(md5('{NEG_SEED}'
+                               || CAST(j AS VARCHAR) || ':' || pair_key),
+                               1, 12) AS UBIGINT) AS BIGINT) % n) AS idx
+                FROM pos
+                CROSS JOIN cnt
+                CROSS JOIN (SELECT unnest([{", ".join(
+                    str(j) for j in range(NEG_K))}]) AS j)
+            )
+            SELECT j, count(*) AS n_rows,
+                   CAST(SUM(i.item) AS BIGINT) AS neg_sum
+            FROM probes p JOIN items i USING (idx)
+            WHERE i.item <> p.l_partkey
+            GROUP BY j ORDER BY j
+        """,
         "seasonal_decompose_events": f"""
             WITH e AS (
                 SELECT event_type AS k, event_id, ts,

@@ -311,3 +311,58 @@ def temperature_sample(df: DataFrame, group_col: str, key_col: str,
         _HEX_DIGITS, "0")
     u = _hash_prefix(F.col(key_col), seed)
     return out.filter((F.col("_rate") >= 1.0) | (u < thr)).drop("_rate")
+
+
+def negative_sample(positives: DataFrame, items: DataFrame, k: int,
+                    key_col: str, item_col: str, seed: str = "n0",
+                    broadcast_items_max: int = 5_000_000) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: attach
+    ``k`` pseudo-random candidate items to every positive row — the
+    (anchor, positive, negatives…) batch builder for embedding /
+    retrieval training, without any engine ``rand()`` (reruns, retries
+    and the SQL oracle all draw the SAME negatives).
+
+    Draw j for a row is the item at index ``md5(seed‖j‖':'‖key) mod n``
+    of the item table ordered by ``item_col`` — md5 prefix to integer is
+    the same portable arithmetic as the count-min coordinates.  A draw
+    that collides with the row's OWN item (``item_col`` on the positive
+    side) is DROPPED, not remapped — expected loss k/n per row, and the
+    convention an oracle can replay with one filter.
+
+    Plan: the item table is indexed once (row_number over the item
+    order — a single-partition window, fine for item/vocabulary tables;
+    at billion-item scale pre-assign dense ids upstream), then each
+    positive explodes to k (j, idx) probes and equi-joins the index —
+    broadcast when ``n ≤ broadcast_items_max``, shuffle otherwise.  The
+    item count reaching the driver is one long.
+
+    Returns the positive's ``(key_col, item_col)`` plus ``(j,
+    negative)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    indexed = items.select(F.col(item_col).alias("__item")).distinct() \
+        .select(F.col("__item"),
+                (F.row_number().over(Window.orderBy("__item")) - 1)
+                .alias("__idx"))
+    indexed = indexed.localCheckpoint()
+    n = indexed.count()
+    if n < 2:
+        raise ValueError("need at least 2 distinct items")
+    if n <= broadcast_items_max:
+        indexed = F.broadcast(indexed)
+    probes = positives.select(
+        key_col, item_col,
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"))
+    draw = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(seed), F.col("j").cast("string"),
+                           F.lit(":"), F.col(key_col).cast("string"))),
+            1, 12), 16, 10).cast("bigint") % F.lit(n)
+    ).alias("__idx")
+    return (
+        probes.select(key_col, item_col, "j", draw)
+        .join(indexed, "__idx")
+        .filter(F.col("__item") != F.col(item_col))
+        .select(key_col, item_col, "j", F.col("__item").alias("negative"))
+    )

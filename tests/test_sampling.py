@@ -339,3 +339,41 @@ def test_kfold_split_matches_python_replay_and_partitions(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         kfold_split(df, "key", 1)
+
+
+def test_negative_sample_deterministic_draws_and_exclusion(spark):
+    """Draws replay the md5 index arithmetic exactly; self-collisions
+    are dropped; reruns and repartitions give identical negatives."""
+    import hashlib
+
+    from hazelcast_jet_spark.operators.sampling import negative_sample
+
+    items = spark.createDataFrame([(i * 10,) for i in range(7)], "item: long")
+    pos = spark.createDataFrame(
+        [("a", 20), ("b", 50), ("c", 0)], "key string, item long")
+    out = negative_sample(pos, items, 4, "key", "item", seed="t0")
+    got = sorted((r.key, r.j, r.negative) for r in out.collect())
+
+    sorted_items = [i * 10 for i in range(7)]
+
+    def draw(key, j):
+        h = hashlib.md5(f"t0{j}:{key}".encode()).hexdigest()[:12]
+        return sorted_items[int(h, 16) % 7]
+
+    exp = sorted(
+        (k, j, draw(k, j))
+        for k, it in [("a", 20), ("b", 50), ("c", 0)]
+        for j in range(4) if draw(k, j) != it)
+    assert got == exp
+    assert all(neg != dict([("a", 20), ("b", 50), ("c", 0)])[k]
+               for k, _, neg in got)
+    # repartitioning the inputs changes nothing
+    got2 = sorted((r.key, r.j, r.negative) for r in negative_sample(
+        pos.repartition(5), items.repartition(3), 4, "key", "item",
+        seed="t0").collect())
+    assert got2 == got
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        negative_sample(pos, items, 0, "key", "item")
+    with _pt.raises(ValueError):
+        negative_sample(pos, items.limit(1), 2, "key", "item")

@@ -3430,6 +3430,34 @@ def changepoint_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 4
+
+
+def hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch (operators/sketch.hll_build/
+    hll_estimate; Flajolet et al. 2007 — the Hazelcast
+    CardinalityEstimator analog): distinct users per event type through
+    a 16-register HLL next to the exact count.  Register index and rho
+    are md5 hex-string arithmetic the oracle replays bit-for-bit; the
+    harmonic sum is carried as DECIMAL(38,0) (absent registers count
+    2^57) so the only floating op is the final correctly-rounded
+    division — the estimate is exact-hash-gate safe in this regime
+    (true cardinality >> 2.5m keeps the ln correction branch cold)."""
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
+
+    e = _t(spark, sf_dir, "events")
+    sk = hll_build(e, "user_id", ["event_type"], p=HLL_P)
+    est = hll_estimate(sk, ["event_type"], p=HLL_P)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "hll_registers", "hll_zero_registers",
+                "hll_sum", "hll_estimate", "exact_distinct")
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3457,11 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_stats": embedding_outlier_stats,
         "streaming_quality_gate": streaming_quality_gate,
         "cut_dup_spans_docs": cut_dup_spans_docs,
-        # -- single-green r3 rows displaced by r4 session 3 (oldest first) ----
-        "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
-        "nexmark_q7_window_max": nexmark_q7_window_max,
-        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
-        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+        # -- new in r5 session 6 (no driver row yet) --------------------------
+        "hll_cardinality_events": hll_cardinality_events,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -3506,6 +3531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
         # the r3-single-green entries displaced by late-session gates —
         # refresh FIRST in r6:
+        "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
+        "nexmark_q7_window_max": nexmark_q7_window_max,
+        "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
@@ -6438,6 +6467,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.key, e.cm_estimate, coalesce(x.n, 0) AS exact_n
             FROM est e LEFT JOIN exact x ON e.key = x.term
             ORDER BY e.key
+        """,
+        "hll_cardinality_events": """
+            WITH h AS (
+                SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events WHERE user_id IS NOT NULL
+            ), rr AS (
+                SELECT event_type,
+                       CAST(CAST(('0x' || substr(hx, 1, 1)) AS UBIGINT) AS INT)
+                           AS hll_reg,
+                       regexp_replace(substr(hx, 2, 14), '^0+', '') AS t
+                FROM h
+            ), rho AS (
+                SELECT event_type, hll_reg,
+                       CASE WHEN t = '' THEN 57
+                            ELSE 4 * (14 - length(t))
+                                 + CASE WHEN substr(t, 1, 1) IN
+                                          ('8','9','a','b','c','d','e','f')
+                                        THEN 0
+                                        WHEN substr(t, 1, 1) IN
+                                          ('4','5','6','7') THEN 1
+                                        WHEN substr(t, 1, 1) IN ('2','3')
+                                        THEN 2 ELSE 3 END
+                                 + 1 END AS rho
+                FROM rr
+            ), regs AS (
+                SELECT event_type, hll_reg, MAX(rho) AS mrho
+                FROM rho GROUP BY 1, 2
+            ), agg AS (
+                SELECT event_type,
+                       count(*) AS hll_registers,
+                       CAST(SUM(CAST((CAST(1 AS BIGINT) << (57 - mrho))
+                                     AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS s_present
+                FROM regs GROUP BY 1
+            ), est AS (
+                SELECT event_type, hll_registers,
+                       16 - hll_registers AS hll_zero_registers,
+                       CAST(CAST(s_present AS HUGEINT)
+                            + (16 - hll_registers)
+                              * CAST(144115188075855872 AS HUGEINT)
+                            AS DECIMAL(38,0)) AS hll_sum
+                FROM agg
+            ), ex AS (
+                SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_type, e.hll_registers, e.hll_zero_registers,
+                   e.hll_sum,
+                   CASE WHEN CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE)
+                             <= CAST('40.0' AS DOUBLE)
+                             AND e.hll_zero_registers > 0
+                        THEN CAST('16.0' AS DOUBLE)
+                             * ln(CAST('16.0' AS DOUBLE)
+                                  / CAST(e.hll_zero_registers AS DOUBLE))
+                        ELSE CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE) END AS hll_estimate,
+                   x.exact_distinct
+            FROM est e JOIN ex x USING (event_type)
+            ORDER BY e.event_type
         """,
         "table_diff_counts": """
             WITH old AS (

@@ -556,6 +556,71 @@ def test_kmv_merge_column_fn(spark):
     assert merged == whole
 
 
+def test_hll_matches_python_model_bit_for_bit(spark):
+    """hll_build/hll_estimate replay vs an independent hashlib model:
+    registers, rho values, the DECIMAL harmonic sum and the final
+    double estimate must all be IDENTICAL — this is what lets HLL sit
+    under the exact-hash gate."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
+
+    p, m = 4, 16
+    df = spark.range(0, 777).select((F.col("id") * 37 % 500).alias("v"))
+    got = hll_estimate(hll_build(df, "v", p=p), p=p).collect()[0]
+
+    clz = {c: 0 for c in "89abcdef"} | {c: 1 for c in "4567"} \
+        | {"2": 2, "3": 2, "1": 3}
+    regs: dict[int, int] = {}
+    for r in df.collect():
+        hx = hashlib.md5(str(r.v).encode()).hexdigest()
+        t = hx[1:15].lstrip("0")
+        rho = 57 if not t else 4 * (14 - len(t)) + clz[t[0]] + 1
+        reg = int(hx[0], 16)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (57 - rho) for rho in regs.values()) \
+        + (m - len(regs)) * (1 << 57)
+    raw = (0.673 * m * m * float(2 ** 57)) / float(s)
+    assert got.hll_registers == len(regs)
+    assert int(got.hll_sum) == s
+    assert got.hll_estimate == raw  # bit-for-bit, harmonic regime
+    # sanity: estimate is actually close (true distinct = 500)
+    assert abs(got.hll_estimate - 500) / 500 < 0.35
+
+
+def test_hll_merge_is_lossless(spark):
+    """Register-wise max of two sketches == sketch of the union, and the
+    merged estimate is identical to the whole-data estimate."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import (
+        hll_build, hll_estimate, hll_merge)
+
+    p = 8
+    a = hll_build(spark.range(0, 4000).select(F.col("id").alias("v")), "v", p=p)
+    b = hll_build(spark.range(2000, 9000).select(F.col("id").alias("v")), "v", p=p)
+    merged = hll_estimate(hll_merge(a.unionAll(b)), p=p).collect()[0]
+    whole = hll_estimate(
+        hll_build(spark.range(0, 9000).select(F.col("id").alias("v")), "v", p=p),
+        p=p).collect()[0]
+    assert merged.hll_sum == whole.hll_sum
+    assert merged.hll_estimate == whole.hll_estimate
+    assert abs(whole.hll_estimate - 9000) / 9000 < 0.25
+
+
+def test_hll_build_rejects_bad_precision(spark):
+    import pytest as _pytest
+
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
+
+    df = spark.range(3).selectExpr("id AS v")
+    for bad in (3, 6, 20):
+        with _pytest.raises(ValueError):
+            hll_build(df, "v", p=bad)
+        with _pytest.raises(ValueError):
+            hll_estimate(df, p=bad)
+
+
 def test_scrub_pii_and_counts(spark):
     from hazelcast_jet_spark.operators.text import pii_counts, scrub_pii
 

@@ -342,6 +342,20 @@ def test_temperature_sample_rates_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_hll_build_single_bounded_exchange(spark, sf_dir):
+    """HLL build: ONE hash exchange on (group, register) with a map-side
+    partial max — each task ships at most groups-per-task × m register
+    rows, never the raw values."""
+    from hazelcast_jet_spark.operators.sketch import hll_build
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    df = hll_build(e, "user_id", ["event_type"], p=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan
+
+
 def test_count_min_single_aggregate_exchange(spark, sf_dir):
     """CMS build: ONE hash exchange on (row, bucket) with a map-side
     partial aggregate before it — the shuffle is bounded by

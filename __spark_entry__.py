@@ -3210,20 +3210,25 @@ BPE_MERGES = [("t", "a"), ("a", "</w>"), ("ta", "b"), ("l", "e"),
 
 
 def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE segmentation (operators/bpe.bpe_segments): the corpus encoded
-    with a FIXED merge hierarchy — per-word char symbols + one greedy
-    left-to-right fold per merge, all JVM expressions — then symbol
-    frequencies.  The oracle replays each fold as a delimited-string
-    ``replace`` (provably the same left-to-right non-overlapping
-    semantics).  The LEARNED path (bpe_fit: corpus scanned once, every
-    merge iteration on the vocab table only) is pinned bit-for-bit
-    against an independent reference trainer in pytest."""
-    from hazelcast_jet_spark.operators.bpe import bpe_segments
+    """BPE segmentation (operators/bpe.bpe_apply_pandas): the corpus
+    encoded with a FIXED merge hierarchy — greedy left-to-right
+    non-overlapping passes, memoized per DISTINCT word in Arrow batches
+    — then symbol frequencies.  The gate runs the production
+    (full-size-tokenizer) pandas path; it is equality-pinned against
+    the all-JVM :func:`bpe_segments` fold in pytest, whose deep
+    per-merge expression tree costs ~10 s of one-time Catalyst codegen
+    at gate scale (the r5 bench tail item) while computing the
+    identical result.  The oracle replays each fold as a
+    delimited-string ``replace`` (provably the same left-to-right
+    non-overlapping semantics)."""
+    from hazelcast_jet_spark.operators.bpe import bpe_apply_pandas
 
     d = _t(spark, sf_dir, "documents")
+    enc = bpe_apply_pandas(
+        d.filter(F.col("text").isNotNull()).select("text"),
+        "text", BPE_MERGES)
     return (
-        d.filter(F.col("text").isNotNull())
-        .select(F.explode(bpe_segments("text", BPE_MERGES)).alias("sym"))
+        enc.select(F.explode("bpe_syms").alias("sym"))
         .groupBy("sym").agg(F.count(F.lit(1)).alias("n"))
         .orderBy("sym")
     )
@@ -3439,10 +3444,14 @@ def hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     CardinalityEstimator analog): distinct users per event type through
     a 16-register HLL next to the exact count.  Register index and rho
     are md5 hex-string arithmetic the oracle replays bit-for-bit; the
-    harmonic sum is carried as DECIMAL(38,0) (absent registers count
-    2^57) so the only floating op is the final correctly-rounded
-    division — the estimate is exact-hash-gate safe in this regime
-    (true cardinality >> 2.5m keeps the ln correction branch cold)."""
+    harmonic sum is carried integer-exact (absent registers count 2^57)
+    so the only floating op is the final correctly-rounded division —
+    the estimate is exact-hash-gate safe in this regime (true
+    cardinality >> 2.5m keeps the ln correction branch cold).  The gate
+    surfaces hll_sum as BIGINT — its maximum is m*2^57 = 2^61 < 2^63,
+    and >18-precision decimals are not representation-safe across the
+    driver's typed-hash path (r5 red row; tests/test_oracle_parity.py
+    now rejects them)."""
     from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
 
     e = _t(spark, sf_dir, "events")
@@ -3453,7 +3462,8 @@ def hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         est.join(exact, "event_type")
         .select("event_type", "hll_registers", "hll_zero_registers",
-                "hll_sum", "hll_estimate", "exact_distinct")
+                F.col("hll_sum").cast("bigint").alias("hll_sum"),
+                "hll_estimate", "exact_distinct")
         .orderBy("event_type")
     )
 
@@ -6507,7 +6517,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(CAST(s_present AS HUGEINT)
                             + (16 - hll_registers)
                               * CAST(144115188075855872 AS HUGEINT)
-                            AS DECIMAL(38,0)) AS hll_sum
+                            AS BIGINT) AS hll_sum
                 FROM agg
             ), ex AS (
                 SELECT event_type, count(DISTINCT user_id) AS exact_distinct

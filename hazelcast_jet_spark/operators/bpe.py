@@ -142,7 +142,13 @@ def bpe_apply_pandas(df: DataFrame, text_col: str, merges: list[tuple[str, str]]
     application when two merges produce the same symbol), memoized per
     batch (corpora repeat words heavily, so the amortized cost per row
     is a dict lookup), via mapInPandas — Arrow batches in, list columns
-    out.  Identical output to :func:`bpe_segments` (property-tested)."""
+    out.  Identical output to :func:`bpe_segments` (property-tested) —
+    including the word split: Java's ``\\s`` is ASCII-only
+    (``[ \\t\\n\\x0B\\f\\r]``) while Python's ``str.split()`` splits on
+    any Unicode whitespace (NBSP, U+2028, ...), so this path splits
+    with the explicit Java class, not ``str.split``."""
+    import re
+
     import pandas as pd
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
@@ -171,6 +177,10 @@ def bpe_apply_pandas(df: DataFrame, text_col: str, merges: list[tuple[str, str]]
         cache[w] = syms
         return syms
 
+    # Java \s, exactly (tokens() splits on it JVM-side); empties dropped
+    # like bpe_segments' length>0 filter, which also makes trim moot.
+    _java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _run(batches):
         cache: dict = {}
         for pdf in batches:
@@ -181,8 +191,9 @@ def bpe_apply_pandas(df: DataFrame, text_col: str, merges: list[tuple[str, str]]
                     col.append(None)
                     continue
                 syms: list[str] = []
-                for w in t.strip().split():
-                    syms.extend(_encode_word(w, cache))
+                for w in _java_ws.split(t):
+                    if w:
+                        syms.extend(_encode_word(w, cache))
                 col.append(syms)
             pdf = pdf.copy()
             pdf[out_col] = pd.Series(col, index=pdf.index, dtype=object)

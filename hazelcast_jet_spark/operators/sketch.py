@@ -332,7 +332,23 @@ def hll_estimate(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAX_RHO} - hll_rho)")
             .cast("decimal(38,0)")
         ).alias("_s_present"),
+        F.max("hll_reg").alias("_max_reg"),
     )
+    # Nothing in the register table records the p used by hll_build, so a
+    # mismatched p would silently skew m and alpha; fail loudly instead:
+    # any register index >= 2**p proves the sketch was built with a larger
+    # p.  The guard is woven into hll_registers (not a dropped side column,
+    # which Catalyst would prune away unevaluated).
+    agg = agg.withColumn(
+        "hll_registers",
+        F.when(
+            F.col("_max_reg") >= F.lit(m),
+            F.raise_error(F.lit(
+                f"hll_estimate: register index >= m={m}; sketch was built "
+                f"with a larger p than the p={p} passed here")
+            ).cast("long"),
+        ).otherwise(F.col("hll_registers")),
+    ).drop("_max_reg")
     total = (
         F.col("_s_present")
         + (F.lit(m) - F.col("hll_registers")) * big

@@ -328,15 +328,23 @@ def anomaly_flags(df: DataFrame, key_col: str, time_col: str, value_col: str,
     self-contamination mistake).  Points with fewer than
     ``min_history`` predecessors are never flagged (no band exists).
 
-    Mechanics: one exchange on ``key_col`` + an ordered window frame
-    ``[-window_n, -1]`` carrying count / DECIMAL-exact sum / sum of
-    squares — mean and sample std derive per row as
+    Mechanics: one exchange on ``key_col``; the frame stats come from
+    ONE cumulative (unbounded-preceding) count / DECIMAL-exact sum /
+    sum-of-squares per row, with each ``[-window_n, -1]`` frame derived
+    as the difference of two ``lag``-shifted running totals
+    (``cum(t-1) − cum(t-window_n-1)``).  Spark evaluates bounded
+    sliding frames by re-aggregating the frame per row (O(n·w) — the
+    r5 bench's top cost at w=50), while running frames are incremental
+    (O(n)); subtraction of exact decimals is exact, so the derived
+    frame sums are bit-identical to the direct-frame formulation and
+    the band
 
         ``std = sqrt((sumsq − sum²/n) / (n−1))``
 
-    in plain double arithmetic over the exact sums, so every engine
-    computes the identical band (the naive running-float variance would
-    be partitioning-dependent).  Adding more bands (other k) is free —
+    is unchanged in any engine (the naive running-float variance would
+    be partitioning-dependent).  This is the batch twin of the
+    reference's ``deductFn`` sliding-window optimization
+    (SlidingWindowP.java:393).  Adding more bands (other k) is free —
     same window exec.
 
     Returns the input's ``(id_col, key_col, time_col, value_col)`` plus
@@ -347,12 +355,22 @@ def anomaly_flags(df: DataFrame, key_col: str, time_col: str, value_col: str,
     """
     if window_n < 2 or min_history < 2:
         raise ValueError("window_n and min_history must be >= 2")
-    w = (Window.partitionBy(key_col).orderBy(time_col, id_col)
-         .rowsBetween(-window_n, -1))
+    base = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    cw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
-    n = F.count(v).over(w)
-    s = F.sum(v.cast("decimal(28,12)")).over(w).cast("double")
-    s2 = F.sum((v * v).cast("decimal(28,12)")).over(w).cast("double")
+    cn = F.count(v).over(cw)
+    cs = F.sum(v.cast("decimal(28,12)")).over(cw)
+    cs2 = F.sum((v * v).cast("decimal(28,12)")).over(cw)
+
+    def _diff(cum, zero):
+        hi = F.coalesce(F.lag(cum, 1).over(base), zero)
+        lo = F.coalesce(F.lag(cum, window_n + 1).over(base), zero)
+        return hi - lo
+
+    dzero = F.lit(0).cast("decimal(38,12)")
+    n = _diff(cn, F.lit(0).cast("bigint"))
+    s = _diff(cs, dzero).cast("double")
+    s2 = _diff(cs2, dzero).cast("double")
     have = n >= F.lit(min_history)
     mean = F.when(have, s / n)
     var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
@@ -381,11 +399,18 @@ def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
 
     Both frames must be FULL (``window_n`` rows) or the score is NULL —
     partial-frame edges systematically inflate shift estimates.  Both
-    means/variances come from count + DECIMAL-exact sum/sum-of-squares
-    on two frames of ONE ordered window exchange (same determinism
-    contract as anomaly_flags: plain double arithmetic over exact sums,
-    identical in any engine).  ``z`` is NULL when both variances are 0
-    (two flat regimes — ``shift`` alone carries the signal).
+    means/variances derive from ONE cumulative count / DECIMAL-exact
+    sum / sum-of-squares on ONE ordered window exchange, with each
+    frame's stats taken as the difference of two shifted running totals
+    (``lag`` for the before-frame, ``lead`` for the after-frame) —
+    O(n) where the direct two-bounded-frames formulation is O(n·w)
+    (Spark re-aggregates bounded frames per row; this was the r5
+    bench's single most expensive query at w=50).  Subtraction of
+    exact decimals is exact, so results are bit-identical to the
+    direct-frame version and the oracle is unchanged (the batch twin
+    of the reference's deductFn, SlidingWindowP.java:393).  ``z`` is
+    NULL when both variances are 0 (two flat regimes — ``shift`` alone
+    carries the signal).
 
     Returns ``(id_col, key_col, time_col, value_col, mean_before,
     mean_after, shift, zscore)`` rounded for gate portability.
@@ -393,22 +418,38 @@ def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
     if window_n < 2:
         raise ValueError("window_n must be >= 2")
     base = Window.partitionBy(key_col).orderBy(time_col, id_col)
-    wb = base.rowsBetween(-window_n, -1)
-    wa = base.rowsBetween(0, window_n - 1)
+    cw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
-    dv = v.cast("decimal(28,12)")
-    dv2 = (v * v).cast("decimal(28,12)")
+    cn = F.count(v).over(cw)
+    cs = F.sum(v.cast("decimal(28,12)")).over(cw)
+    cs2 = F.sum((v * v).cast("decimal(28,12)")).over(cw)
+    nzero = F.lit(0).cast("bigint")
+    dzero = F.lit(0).cast("decimal(38,12)")
 
-    def stats(w):
-        n = F.count(v).over(w)
-        s = F.sum(dv).over(w).cast("double")
-        s2 = F.sum(dv2).over(w).cast("double")
+    def _before(cum, zero):
+        # frame [-window_n, -1] == cum(t-1) - cum(t-window_n-1)
+        return (F.coalesce(F.lag(cum, 1).over(base), zero)
+                - F.coalesce(F.lag(cum, window_n + 1).over(base), zero))
+
+    def _after(cum, zero):
+        # frame [0, window_n-1] == cum(t+window_n-1) - cum(t-1); the lead
+        # is left un-coalesced so a truncated end-of-partition frame goes
+        # NULL -> `full` is never satisfied there (same visible output as
+        # the direct-frame version, which counted the short frame).
+        return (F.lead(cum, window_n - 1).over(base)
+                - F.coalesce(F.lag(cum, 1).over(base), zero))
+
+    def stats(n, s_dec, s2_dec):
+        s = s_dec.cast("double")
+        s2 = s2_dec.cast("double")
         mean = s / n
         var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
-        return n, mean, var
+        return mean, var
 
-    nb, mb, vb = stats(wb)
-    na, ma, va = stats(wa)
+    nb = _before(cn, nzero)
+    na = _after(cn, nzero)
+    mb, vb = stats(nb, _before(cs, dzero), _before(cs2, dzero))
+    ma, va = stats(na, _after(cs, dzero), _after(cs2, dzero))
     full = (nb == window_n) & (na == window_n)
     shift = F.when(full, ma - mb)
     se = F.sqrt(vb / nb + va / na)

@@ -608,6 +608,22 @@ def test_hll_merge_is_lossless(spark):
     assert abs(whole.hll_estimate - 9000) / 9000 < 0.25
 
 
+def test_hll_estimate_rejects_mismatched_p(spark):
+    """A sketch built with p=8 estimated with p=4 must fail loudly, not
+    silently skew m/alpha (register indexes >= 2**4 prove the mismatch)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
+
+    sk = hll_build(spark.range(5000).select(F.col("id").alias("v")), "v", p=8)
+    with _pytest.raises(Exception, match="larger p"):
+        hll_estimate(sk, p=4).collect()
+    # and the matching p still works on the same sketch
+    ok = hll_estimate(sk, p=8).collect()[0]
+    assert abs(ok.hll_estimate - 5000) / 5000 < 0.25
+
+
 def test_hll_build_rejects_bad_precision(spark):
     import pytest as _pytest
 
@@ -2124,6 +2140,32 @@ def test_bpe_segments_paths_agree_and_match_reference(spark):
     for i, t in enumerate(texts):
         exp = [s for w in t.strip().split() for s in ref_vocab[w]]
         assert jvm[i] == exp, (i, jvm[i], exp)
+
+
+def test_bpe_paths_agree_on_unicode_whitespace(spark):
+    """Java \\s is ASCII-only while Python str.split() is Unicode-aware:
+    a word with an embedded NBSP / U+2028 must stay ONE word on BOTH
+    paths (regression for the r5 advice finding — the pandas path used
+    str.split() and split it in two)."""
+    from hazelcast_jet_spark.operators.bpe import bpe_apply_pandas, bpe_segments
+
+    texts = [
+        "foo bar baz",        # NBSP inside a "word"
+        "line1 line2 low",    # U+2028 line separator
+        "a　b",                # ideographic space
+        " \tleading  mixed\r\n",   # ASCII ws still splits/drops empties
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+    merges = [("l", "o"), ("lo", "w")]
+    jvm = {r["id"]: r["s"] for r in df.select(
+        "id", bpe_segments("text", merges).alias("s")).collect()}
+    pnd = {r["id"]: r["bpe_syms"]
+           for r in bpe_apply_pandas(df, "text", merges).collect()}
+    assert jvm == pnd
+    # and the NBSP word really is one word (ends in exactly one </w> pair
+    # boundary count = number of words)
+    assert jvm[0].count("</w>") == 2  # "foo bar" + "baz"
 
 
 def test_bpe_fit_early_stop_on_singletons(spark):

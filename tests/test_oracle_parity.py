@@ -122,6 +122,50 @@ def test_oracle_types_are_driver_safe(name):
     rows = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
     bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
     assert not bad, f"{name}: HUGEINT-typed oracle columns {bad}"
+    # r5's second typed-representation red row (hll_cardinality_events): a
+    # DECIMAL(38,0) output column passed fetchall() (both sides produce
+    # decimal.Decimal) but failed the DRIVER's hash, because DuckDB's
+    # pandas path coerces >18-precision DECIMAL to float64 while Spark's
+    # toPandas keeps decimal.Decimal objects.  Reject any oracle output
+    # column of DECIMAL with precision > 18 (cast to BIGINT/DOUBLE in the
+    # oracle instead).
+    import re as _re
+    wide = []
+    for cname, ctype in ((r[0], str(r[1]).upper()) for r in rows):
+        m = _re.match(r"DECIMAL\((\d+),(\d+)\)", ctype)
+        if m and int(m.group(1)) > 18:
+            wide.append((cname, ctype))
+    assert not wide, (
+        f"{name}: oracle columns with DECIMAL precision > 18 are not "
+        f"driver-representation-safe: {wide}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_gate_output_decimals_are_driver_safe(spark, name):
+    """Spark-side twin of the DuckDB check above: reject any gate-output
+    column of DecimalType with precision > 18.  Spark's toPandas keeps
+    such values as decimal.Decimal objects while DuckDB's pandas path
+    coerces them to float64, so the driver's typed hash disagrees even
+    when every value is equal (the r5 hll_cardinality_events red row).
+    Schema-only: no execution."""
+    from pyspark.sql.types import ArrayType, DecimalType, StructType
+
+    def _wide(dt, path):
+        if isinstance(dt, DecimalType) and dt.precision > 18:
+            yield (path, str(dt))
+        elif isinstance(dt, ArrayType):
+            yield from _wide(dt.elementType, path + "[]")
+        elif isinstance(dt, StructType):
+            for f in dt.fields:
+                yield from _wide(f.dataType, f"{path}.{f.name}")
+
+    schema = QUERIES[name](spark, SF_DIR).schema
+    bad = [b for f in schema.fields for b in _wide(f.dataType, f.name)]
+    assert not bad, (
+        f"{name}: gate-output columns with DecimalType precision > 18 are "
+        f"not driver-representation-safe: {bad}"
+    )
 
 
 def test_mirror_is_typed():

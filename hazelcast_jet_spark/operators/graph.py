@@ -128,6 +128,11 @@ def triangle_count(edges: DataFrame,
     forces shuffle joins for graphs whose adjacency exceeds memory.
     """
     if broadcast_adjacency is None:
+        # The auto-decide needs a count; checkpoint FIRST so the count
+        # doesn't execute the full upstream lineage of an un-materialized
+        # edge frame once for itself and again for the real job (the
+        # checkpoint also feeds the degree join and orientation below).
+        edges = edges.localCheckpoint(eager=True)
         broadcast_adjacency = edges.count() <= BROADCAST_ADJ_EDGES_MAX
     deg = degrees(edges)
     if broadcast_adjacency:

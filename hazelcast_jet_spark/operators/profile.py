@@ -603,9 +603,15 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     which you computed — this is the one statsmodels calls
     ``nan_policy='omit'`` rowwise).
 
-    Determinism: all sums/cross-products accumulate in DECIMAL(28,12)
-    (sum type widens to 38,12 — headroom for 1e14-scale squares times
-    1e12 rows), and
+    Determinism: all sums/cross-products accumulate per-row in
+    DECIMAL(38,12) — 26 integer digits, so squares/cross-products are
+    exact for |v| up to ~1e13 (a 28,12 per-row cast overflowed at
+    |v| >= 1e8 and non-ANSI Spark turned it into a silently-skipped
+    NULL, biasing the result).  Overflow of the accumulated sums
+    themselves FAILS LOUDLY: a NULL sum alongside a non-zero row count
+    can only mean decimal overflow (listwise-complete rows contain no
+    NULLs), and the guard raises instead of emitting a plausible-looking
+    matrix.  The correlation
 
         ``corr = (n·s_xy − s_x·s_y) /
                  (sqrt(n·s_xx − s_x²) · sqrt(n·s_yy − s_y²))``
@@ -623,20 +629,43 @@ def correlation_matrix(df: DataFrame, cols: list[str],
         nn = F.col(c).isNotNull()
         cond = nn if cond is None else (cond & nn)
     base = base.filter(cond)
+    def _dterm(expr):
+        # Rows here are listwise-complete, so a NULL decimal cast can only
+        # mean overflow (or NaN/Inf input — equally corrupting): raise
+        # instead of letting sum() silently skip the row and bias the
+        # matrix.
+        d = expr.cast("decimal(38,12)")
+        return F.when(d.isNull(), F.raise_error(F.lit(
+            "correlation_matrix: value out of DECIMAL(38,12) range "
+            "(|v| ~> 1e13, or NaN/Inf) — result would be silently biased"
+        )).cast("decimal(38,12)")).otherwise(d)
+
     aggs = [F.count(F.lit(1)).alias("__n")]
+    sum_aliases = []
     for i, c in enumerate(cols):
         v = F.col(c).cast("double")
-        aggs.append(F.sum(v.cast("decimal(28,12)")).cast("double")
-                    .alias(f"__s{i}"))
-        aggs.append(F.sum((v * v).cast("decimal(28,12)")).cast("double")
-                    .alias(f"__q{i}"))
+        aggs.append(F.sum(_dterm(v)).cast("double").alias(f"__s{i}"))
+        aggs.append(F.sum(_dterm(v * v)).cast("double").alias(f"__q{i}"))
+        sum_aliases += [f"__s{i}", f"__q{i}"]
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             vi = F.col(cols[i]).cast("double")
             vj = F.col(cols[j]).cast("double")
-            aggs.append(F.sum((vi * vj).cast("decimal(28,12)"))
-                        .cast("double").alias(f"__x{i}_{j}"))
+            aggs.append(F.sum(_dterm(vi * vj)).cast("double")
+                        .alias(f"__x{i}_{j}"))
+            sum_aliases.append(f"__x{i}_{j}")
     one = base.agg(*aggs)
+    null_any = None
+    for a in sum_aliases:
+        isnull = F.col(a).isNull()
+        null_any = isnull if null_any is None else (null_any | isnull)
+    n_out = F.when(
+        (F.col("__n") > 0) & null_any,
+        F.raise_error(F.lit(
+            "correlation_matrix: decimal accumulator overflow — a sum is "
+            "NULL with rows present; |values| exceed DECIMAL(38,12) range"
+        )).cast("long"),
+    ).otherwise(F.col("__n"))
     n = F.col("__n").cast("double")
     pairs = []
     for i in range(len(cols)):
@@ -649,7 +678,7 @@ def correlation_matrix(df: DataFrame, cols: list[str],
             pairs.append(F.struct(
                 F.lit(cols[i]).alias("col_x"),
                 F.lit(cols[j]).alias("col_y"),
-                F.col("__n").alias("n"),
+                n_out.alias("n"),
                 F.round(F.when(den > 0, num / den), round_digits)
                 .alias("corr")))
     return one.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

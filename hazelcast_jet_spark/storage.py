@@ -688,7 +688,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     ``compare_cols`` defaults to every shared non-key column.  Value
     comparison is NULL-SAFE per column (``eqNullSafe`` — NULL = NULL is
     "same", NULL vs value is "changed"), so a column going NULL shows up
-    as a change instead of vanishing from the diff.
+    as a change instead of vanishing from the diff.  Key comparison is
+    null-safe too, and side-presence is carried as explicit marker
+    columns rather than inferred from key nullability — a NULL-keyed
+    row is a matchable key like any other, present on one side =
+    added/removed, on both = value-compared (inferring presence from
+    ``key_cols[0]`` nullability misclassified NULL-keyed rows).
 
     Plan at scale: ONE full outer sort-merge/hash join on the key — the
     minimal shape for a two-sided diff (each side is scanned once, only
@@ -713,18 +718,20 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     o = o.select(
         *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
         F.struct(*compare_cols).alias("_ov") if compare_cols
-        else F.lit(0).alias("_ov"))
+        else F.lit(0).alias("_ov"),
+        F.lit(True).alias("_o_present"))
     n = n.select(
         *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
         F.struct(*compare_cols).alias("_nv") if compare_cols
-        else F.lit(0).alias("_nv"))
+        else F.lit(0).alias("_nv"),
+        F.lit(True).alias("_n_present"))
     cond = None
     for k in key_cols:
-        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
         cond = c if cond is None else (cond & c)
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"_nk_{key_cols[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     change = (
         F.when(~in_old, F.lit("added"))
         .when(~in_new, F.lit("removed"))

@@ -345,6 +345,32 @@ def test_snapshot_diff_null_transitions_are_changes(spark):
     assert got == {1: "changed"}  # value→NULL is a change; NULL→NULL is not
 
 
+def test_snapshot_diff_null_keys(spark):
+    """Regression (r5 advice): presence was inferred from key_cols[0]
+    nullability, so a NULL-keyed row only in `old` reported 'added' and
+    NULL-keyed rows on both sides double-reported.  With explicit
+    presence markers + null-safe key equality, NULL is a matchable key:
+    one side = added/removed, both sides = value-compared."""
+    from hazelcast_jet_spark.storage import snapshot_diff
+
+    # NULL key only in old -> removed
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "id long, v string")
+    new = spark.createDataFrame([(1, "x")], "id long, v string")
+    got = {r["id"]: r["change"]
+           for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {None: "removed"}
+
+    # NULL key on both sides, same value -> dropped (not double-reported)
+    both = spark.createDataFrame([(None, "a")], "id long, v string")
+    assert snapshot_diff(both, both, ["id"]).collect() == []
+
+    # NULL key on both sides, changed value -> changed
+    new2 = spark.createDataFrame([(None, "b")], "id long, v string")
+    got2 = {r["id"]: r["change"]
+            for r in snapshot_diff(both, new2, ["id"]).collect()}
+    assert got2 == {None: "changed"}
+
+
 def test_snapshot_diff_compare_cols_subset_and_composite_key(spark):
     from hazelcast_jet_spark.storage import snapshot_diff
 

@@ -2502,6 +2502,39 @@ def test_correlation_matrix_matches_numpy_listwise(spark):
         correlation_matrix(df, ["a"])
 
 
+def test_correlation_matrix_large_magnitudes_and_overflow_guard(spark):
+    """Regression (r5 advice): |v| >= 1e8 squared overflowed the 28,12
+    per-row cast, sum() silently skipped the NULLs and produced a
+    plausible but biased matrix.  38,12 terms handle 1e9 exactly; truly
+    out-of-range values now raise instead of biasing."""
+    import numpy as np
+    import pytest as _pt
+
+    from hazelcast_jet_spark.operators.profile import correlation_matrix
+
+    rows = [(float(i) * 1e9, float(i) * 2e9 + 1e9) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = correlation_matrix(df, ["a", "b"]).collect()[0]
+    exp = np.corrcoef([r[0] for r in rows], [r[1] for r in rows])[0, 1]
+    assert got.n == 20
+    assert abs(got.corr - exp) < 1e-6
+
+    # |v| ~ 1e14 -> square ~ 1e28 exceeds DECIMAL(38,12): loud failure
+    # either way — ANSI mode (Spark 4 default) throws
+    # NUMERIC_VALUE_OUT_OF_RANGE at the cast; non-ANSI sessions hit the
+    # operator's own raise_error guard instead of silently biasing.
+    big = spark.createDataFrame(
+        [(1e14, 1.0), (2e14, 2.0)], "a double, b double")
+    with _pt.raises(Exception, match="(?i)decimal\\(38,\\s*12\\)"):
+        correlation_matrix(big, ["a", "b"]).collect()
+    with _pt.raises(Exception, match="(?i)decimal\\(38,\\s*12\\)"):
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            correlation_matrix(big, ["a", "b"]).collect()
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+
+
 def test_correlation_matrix_single_aggregate(spark, sf_dir):
     from hazelcast_jet_spark.operators.profile import correlation_matrix
     from hazelcast_jet_spark.session import load_table

@@ -784,6 +784,104 @@ def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the full IVF-PQ-with-re-rank pipeline against exact
+    cosine top-k — the quality metric completing the ANN family
+    (similarity.ivf_pq_topk is the throughput path; this measures what
+    the approximation costs).  The pipeline under test is the
+    production shape: IVF prunes to nprobe cells, ADC over PQ codes
+    shortlists RERANK_C candidates (similarity.adc_dist_portable: the
+    SQL-portable twin of the Arrow LUT kernel — fixed-order folds,
+    round-9 per-subspace terms, left-to-right subspace sum), and an
+    exact cosine re-rank of the shortlist picks the final k (a k-row
+    lookup per query, never a scan).  Everything uses fixed dyadic
+    centroids/codebooks and the (score, id) determinism convention, so
+    the oracle replays every float op bit-for-bit and recall is an
+    integer intersection count over k."""
+    from hazelcast_jet_spark.operators import similarity
+    from hazelcast_jet_spark.operators.similarity import (
+        _centroid_dists, adc_dist_portable, ivf_assign, pq_encode)
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    exact = similarity.cosine_topk(e, q, k=TOPK).select("query_id", "corpus_id")
+    cents = _ivf_centroids()
+    books = _pq_fixed_codebooks()
+    corp = pq_encode(ivf_assign(e, cents), books).select(
+        F.col("vec_id").alias("corpus_id"), "centroid_id", "pq_code")
+    qd = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.posexplode(
+            _centroid_dists(F.col("embedding").cast("array<double>"), cents)
+        ).alias("cidx", "dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("cidx").asc())
+    probe = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qv", (F.col("cidx") + 1).alias("centroid_id"))
+    )
+    scored = (
+        corp.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("adist",
+                    adc_dist_portable(F.col("qv"), F.col("pq_code"), books))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("corpus_id").asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RERANK_C)
+        .select("query_id", "qv", "corpus_id")
+    )
+    cvecs = e.select(F.col("vec_id").alias("corpus_id"),
+                     F.col("embedding").cast("array<double>").alias("cv"))
+    rr = shortlist.join(cvecs, "corpus_id").withColumn(
+        "cos_sim", F.round(similarity.cosine(F.col("qv"), F.col("cv")), 6))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    ann = (
+        rr.withColumn("rrank", F.row_number().over(wr))
+        .filter(F.col("rrank") <= TOPK)
+        .select("query_id", "corpus_id")
+    )
+    hits = ann.join(exact, ["query_id", "corpus_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    base = q.select(F.col("vec_id").alias("query_id"))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return (
+        base.join(hits, "query_id", "left")
+        .select("query_id", nh.alias("n_hits"),
+                (nh.cast("double") / F.lit(float(TOPK))).alias("recall_at_k"))
+        .orderBy("query_id")
+    )
+
+
+def pq_code_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-domain near-dup detection over PQ codes (similarity.
+    pq_code_near_dup_pairs): embeddings compressed to m code bytes, then
+    pairs differing in <= 1 subspace found via the one-hot-packed
+    rotated-band hamming probe — no pairwise scan, the composition of
+    pq_encode and dedup.hamming_near_dup_pairs.  Output aggregates the
+    pair set (count + id checksum per code distance) so the gate row
+    set stays tiny at any SF; the oracle brute-forces the same pair set
+    directly on code arrays."""
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_code_near_dup_pairs, pq_encode)
+
+    e = _t(spark, sf_dir, "embeddings")
+    coded = pq_encode(e, _pq_fixed_codebooks())
+    pairs = pq_code_near_dup_pairs(coded, k_cb=PQ_K, max_diff_codes=1)
+    return (
+        pairs.groupBy("n_diff_codes")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum(F.col("id_a") + F.col("id_b")).alias("sum_ids"))
+        .orderBy("n_diff_codes")
+    )
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -951,6 +1049,7 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bands), probe the 2 nearest inverted lists per query
 IVF_N_CENTROIDS = 8
 IVF_NPROBE = 2
+RERANK_C = 50  # ADC shortlist size fed to the exact re-rank (ann_recall)
 _IVF_CENTROIDS = None
 
 
@@ -1376,6 +1475,84 @@ def nexmark_q8_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_user").alias("user_id"), "s_id", "p_id",
         F.date_format("s_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def streaming_interval_join_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join with dual event-time
+    watermarks (Spark extension; the reference has no stream-stream
+    join): signups left-joined to purchases within 12 h, unmatched
+    signups flushing as null-extended rows once the watermark passes
+    their interval.  Event time is rebuilt as ``timestamp_seconds`` of
+    integer epoch seconds derived from the NTZ column with pure
+    timestamp arithmetic (``timestampdiff`` against the NTZ epoch), so
+    watermarks work on instants and the whole query is
+    session-timezone-independent.
+
+    Determinism armor: Spark flushes an unmatched left row when the
+    final watermark passes its interval end, and the final watermark of
+    a bounded run is min(max event time per leg).  Rows whose interval
+    end falls within 1 h of that boundary are excluded on BOTH sides
+    (a batch post-filter here, the same arithmetic in the oracle), so
+    the result is identical under either strict/non-strict eviction —
+    the gate never rides the engine's internal boundary convention.
+    State at 100 TB: both legs keyed on user, watermark-bounded state,
+    single-shuffle symmetric hash join — the streaming twin of
+    operators/joins.interval_overlap_pairs."""
+    from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
+
+    sec = F.floor(F.expr(
+        "timestampdiff(MICROSECOND, "
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)") / F.lit(1e6))
+    e = read_stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", sec.alias("sec"),
+        F.timestamp_seconds(sec).alias("ets"))
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"),
+                F.col("event_id").alias("s_id"),
+                F.col("sec").alias("s_sec"),
+                F.col("ets").alias("s_ets"))
+        .withWatermark("s_ets", "0 seconds"))
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("p_id"),
+                F.col("sec").alias("p_sec"),
+                F.col("ets").alias("p_ets"))
+        .withWatermark("p_ets", "0 seconds"))
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ets") >= F.col("s_ets"))
+        & (F.col("p_ets") <= F.col("s_ets") + F.expr("INTERVAL 12 HOUR")),
+        "left_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_batch(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # final watermark = min over legs of max event time (0 s delay),
+    # computed batch-side from the same table
+    b = _t(spark, sf_dir, "events")
+    bsec = F.floor(F.expr(
+        "timestampdiff(MICROSECOND, "
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)") / F.lit(1e6))
+    wm_row = (
+        b.select("event_type", bsec.alias("sec"))
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type").agg(F.max("sec").alias("mx"))
+        .agg(F.min("mx").alias("wm")).first())
+    wm = int(wm_row["wm"])
+    keep = F.col("p_id").isNotNull() | (
+        F.col("s_sec") + F.lit(43200) < F.lit(wm - 3600))
+    return (
+        out.filter(keep)
+        .select(F.col("s_user").alias("user_id"), "s_id", "s_sec",
+                "p_id", "p_sec")
+        .orderBy("s_id", "p_id")
     )
 
 
@@ -3497,6 +3674,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_dup_spans_docs": cut_dup_spans_docs,
         # -- new in r5 session 6 (no driver row yet) --------------------------
         "hll_cardinality_events": hll_cardinality_events,
+        # -- new in r6 --------------------------------------------------------
+        "ann_recall_ivf_pq": ann_recall_ivf_pq,
+        "pq_code_dup_pairs": pq_code_dup_pairs,
+        "streaming_interval_join_flush": streaming_interval_join_flush,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -6415,6 +6596,155 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_codes
             FROM c GROUP BY label ORDER BY label
         """)(_pq_fixed_codebooks()),
+        # -- r6: ANN recall probe + PQ-code dedup + streaming interval join
+        "ann_recall_ivf_pq": (lambda cents, books: f"""
+            WITH d AS (
+                SELECT vec_id, embedding,
+                       [{", ".join(
+                           f"round(1.0 - {_cos_raw_sql('embedding', str(c))}, 9)"
+                           for c in cents)}] AS cd,
+                       {", ".join(
+                           "[" + ", ".join(
+                               _l2_sql(
+                                   f"embedding[{s * PQ_SUBDIM + 1}:"
+                                   f"{(s + 1) * PQ_SUBDIM}]", c)
+                               for c in book) + f"] AS d{s}"
+                           for s, book in enumerate(books))}
+                FROM embeddings
+            ), corp AS (
+                SELECT vec_id AS corpus_id,
+                       list_position(cd, list_min(cd)) AS centroid_id,
+                       {", ".join(
+                           f"CAST(list_position(d{s}, list_min(d{s}))"
+                           f" AS INT) AS c{s}"
+                           for s in range(PQ_M))}
+                FROM d
+            ), qc AS (
+                SELECT vec_id AS query_id, embedding AS qv,
+                       unnest(cd) AS dist,
+                       unnest(generate_series(1, {IVF_N_CENTROIDS}))
+                           AS centroid_id
+                FROM d WHERE vec_id < {N_QUERY_VECS}
+            ), probe AS (
+                SELECT query_id, qv, centroid_id FROM (
+                    SELECT query_id, qv, centroid_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY dist ASC,
+                                                       centroid_id ASC) AS pr
+                    FROM qc
+                ) WHERE pr <= {IVF_NPROBE}
+            ), scored AS (
+                SELECT p.query_id, p.qv, c.corpus_id,
+                       ({" + ".join(
+                           "[" + ", ".join(
+                               _l2_sql(
+                                   f"p.qv[{s * PQ_SUBDIM + 1}:"
+                                   f"{(s + 1) * PQ_SUBDIM}]", cw)
+                               for cw in book) + f"][c.c{s}]"
+                           for s, book in enumerate(books))}) AS adist
+                FROM corp c JOIN probe p USING (centroid_id)
+                WHERE c.corpus_id <> p.query_id
+            ), shortlist AS (
+                SELECT query_id, qv, corpus_id FROM (
+                    SELECT query_id, qv, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY adist ASC,
+                                                       corpus_id ASC) AS rnk
+                    FROM scored
+                ) WHERE rnk <= {RERANK_C}
+            ), rr AS (
+                SELECT sl.query_id, sl.corpus_id,
+                       {_cos_sql("sl.qv", "cv.embedding")} AS cos_sim
+                FROM shortlist sl
+                JOIN embeddings cv ON cv.vec_id = sl.corpus_id
+            ), ann AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC,
+                                                       corpus_id ASC) AS rrank
+                    FROM rr
+                ) WHERE rrank <= {TOPK}
+            ), ex_scored AS (
+                SELECT q.vec_id AS query_id, cp.vec_id AS corpus_id,
+                       {_cos_sql("q.embedding", "cp.embedding")} AS cos_sim
+                FROM embeddings cp, embeddings q
+                WHERE q.vec_id < {N_QUERY_VECS} AND cp.vec_id <> q.vec_id
+            ), ex AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC,
+                                                       corpus_id ASC) AS rnk
+                    FROM ex_scored
+                ) WHERE rnk <= {TOPK}
+            ), hits AS (
+                SELECT query_id, count(*) AS n_hits
+                FROM ann JOIN ex USING (query_id, corpus_id)
+                GROUP BY 1
+            )
+            SELECT qq.query_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {float(TOPK)}
+                       AS recall_at_k
+            FROM (SELECT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < {N_QUERY_VECS}) qq
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY qq.query_id
+        """)(_ivf_centroids(), _pq_fixed_codebooks()),
+        "pq_code_dup_pairs": (lambda books: f"""
+            WITH d AS (
+                SELECT vec_id,
+                       {", ".join(
+                           "[" + ", ".join(
+                               _l2_sql(
+                                   f"embedding[{s * PQ_SUBDIM + 1}:"
+                                   f"{(s + 1) * PQ_SUBDIM}]", c)
+                               for c in book) + f"] AS d{s}"
+                           for s, book in enumerate(books))}
+                FROM embeddings
+            ), c AS (
+                SELECT vec_id,
+                       {", ".join(
+                           f"CAST(list_position(d{s}, list_min(d{s})) - 1"
+                           f" AS INT) AS c{s}"
+                           for s in range(PQ_M))}
+                FROM d
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ({" + ".join(
+                           f"CASE WHEN a.c{s} <> b.c{s} THEN 1 ELSE 0 END"
+                           for s in range(PQ_M))}) AS n_diff_codes
+                FROM c a JOIN c b ON a.vec_id < b.vec_id
+            )
+            SELECT n_diff_codes,
+                   count(*) AS n_pairs,
+                   CAST(SUM(id_a + id_b) AS BIGINT) AS sum_ids
+            FROM pairs WHERE n_diff_codes <= 1
+            GROUP BY 1 ORDER BY 1
+        """)(_pq_fixed_codebooks()),
+        "streaming_interval_join_flush": """
+            WITH ev AS (
+                SELECT event_id, user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), s AS (
+                SELECT user_id AS u, event_id AS s_id, sec AS s_sec
+                FROM ev WHERE event_type = 'signup'
+            ), p AS (
+                SELECT user_id AS u, event_id AS p_id, sec AS p_sec
+                FROM ev WHERE event_type = 'purchase'
+            ), wm AS (
+                SELECT least((SELECT max(s_sec) FROM s),
+                             (SELECT max(p_sec) FROM p)) AS w
+            )
+            SELECT s.u AS user_id, s.s_id, s.s_sec, p.p_id, p.p_sec
+            FROM s CROSS JOIN wm
+            LEFT JOIN p ON s.u = p.u AND p.p_sec >= s.s_sec
+                        AND p.p_sec <= s.s_sec + 43200
+            WHERE p.p_id IS NOT NULL OR s.s_sec + 43200 < wm.w - 3600
+            ORDER BY s.s_id, p.p_id
+        """,
         # -- r5 session 4 --------------------------------------------------
         "temperature_sample_counts": """
             WITH c AS (

@@ -729,3 +729,91 @@ def ivf_pq_topk(spark, path: str, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_dist", "rank")
     )
+
+
+def adc_dist_portable(qvec: Column, code: Column, codebooks) -> Column:
+    """Engine-portable ADC distance (the SQL-twinnable form of
+    :func:`_adc_scores`' numpy LUT):
+
+        dist = sum_s round(||q_s - codebook[s][code_s]||^2, 9)
+
+    with the per-subspace squared-L2 as a sequential ``zip_with`` +
+    ``aggregate`` fold (same element order as :func:`pq_encode` /
+    DuckDB's ``list_sum``) and the subspace terms added LEFT TO RIGHT —
+    every float op has a fixed order, so a SQL oracle computes the
+    bit-identical double.  ``code`` holds 0-based codes (the
+    :func:`pq_encode` convention).
+
+    Cost shape: evaluates the k_cb candidate distances per subspace per
+    ROW (the code picks one), so it is the right tool for gate-sized /
+    verification scans; the production 100 TB path is
+    :func:`ivf_pq_topk`'s Arrow kernel, which materializes each query's
+    LUT once.
+    """
+    subdim = len(codebooks[0][0])
+    total = None
+    for s, book in enumerate(codebooks):
+        sub = F.slice(qvec, s * subdim + 1, subdim)
+        dists = F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, y: acc + y),
+                9)
+            for c in book
+        ])
+        term = F.element_at(dists, F.element_at(code, s + 1) + F.lit(1))
+        total = term if total is None else (total + term)
+    return total
+
+
+def pq_code_near_dup_pairs(codes: DataFrame, k_cb: int,
+                           id_col: str = "vec_id",
+                           code_col: str = "pq_code",
+                           max_diff_codes: int = 1) -> DataFrame:
+    """Near-duplicate pairs in PQ-CODE space: pairs whose code arrays
+    differ in at most ``max_diff_codes`` subspaces — byte-domain
+    (embedding/image) dedup composed from two existing pieces:
+    :func:`pq_encode` compresses each vector to ``m`` code bytes, and
+    :func:`~hazelcast_jet_spark.operators.dedup.hamming_near_dup_pairs`
+    finds close signatures without any pairwise scan.
+
+    The bridge is a ONE-HOT bit packing: subspace ``s`` with code ``c``
+    sets bit ``s*k_cb + c``, so two rows differing in exactly ``d``
+    subspaces differ in exactly ``2*d`` bits — "<= d differing codes"
+    becomes "hamming <= 2*d" EXACTLY (no slack), and the rotated-band
+    pigeonhole probe applies unchanged.  Requires ``m*k_cb <= 63``
+    (bigint signature convention).
+
+    Returns ``(id_a, id_b, n_diff_codes)`` with ``id_a < id_b``.
+    Scale shape: inherited from hamming_near_dup_pairs — the shuffle
+    carries (id, band, bandbits) longs; candidates share a band bucket;
+    no cross join.
+    """
+    probe = codes.select(F.size(code_col).alias("m")).first()
+    if probe is None:  # empty input: no pairs, typed empty result
+        return codes.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, n_diff_codes int")
+    m = probe["m"]
+    bits = m * k_cb
+    if bits > 63:
+        raise ValueError(
+            f"m*k_cb = {bits} exceeds the 63-bit bigint signature "
+            f"convention of hamming_near_dup_pairs")
+    from hazelcast_jet_spark.operators.dedup import hamming_near_dup_pairs
+
+    sig = F.lit(0).cast("bigint")
+    for s in range(m):
+        # SQL shiftleft accepts an expression shift amount (the PySpark
+        # wrapper does not): bit s*k_cb + code_s of the one-hot signature
+        sig = sig.bitwiseOR(F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"{s * k_cb} + element_at(`{code_col}`, {s + 1}))"))
+    packed = codes.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    pairs = hamming_near_dup_pairs(
+        packed, id_col="id", sig_col="sig", bits=bits,
+        hamming=2 * max_diff_codes)
+    return pairs.select(
+        "id_a", "id_b",
+        (F.col("hamming_dist") / 2).cast("int").alias("n_diff_codes"))

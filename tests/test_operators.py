@@ -2544,3 +2544,82 @@ def test_correlation_matrix_single_aggregate(spark, sf_dir):
         .queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # global agg only
     assert plan.count("HashAggregate") <= 2         # partial + final
+
+
+def test_adc_dist_portable_matches_python_model(spark):
+    """adc_dist_portable == sequential-fold Python replay (round-9 per
+    subspace, left-to-right over subspaces), and ranks agree with the
+    numpy LUT path on well-separated data."""
+    from hazelcast_jet_spark.operators.similarity import (
+        adc_dist_portable, pq_encode)
+
+    books = [[[((s * 5 + j * 3 + t * 7) % 9 - 4) / 8.0 for t in range(4)]
+              for j in range(3)] for s in range(2)]
+    rows = [(i, [((i * 7 + t) % 11 - 5) / 4.0 for t in range(8)])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coded = pq_encode(df, books)
+    q = rows[0][1]
+    got = {r["vec_id"]: r["d"] for r in coded.select(
+        "vec_id",
+        adc_dist_portable(F.array(*[F.lit(x) for x in q]),
+                          F.col("pq_code"), books).alias("d")).collect()}
+
+    def rhalf(x, d=9):
+        import math
+        s = 10.0 ** d
+        return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+    for i, vec in rows:
+        code = []
+        for s in range(2):
+            sub = vec[s * 4:(s + 1) * 4]
+            ds = []
+            for c in books[s]:
+                acc = 0.0
+                for a, b in zip(sub, c):
+                    acc = acc + (a - b) * (a - b)
+                ds.append(rhalf(acc))
+            code.append(ds.index(min(ds)))
+        exp = None
+        for s in range(2):
+            sub = q[s * 4:(s + 1) * 4]
+            acc = 0.0
+            for a, b in zip(sub, books[s][code[s]]):
+                acc = acc + (a - b) * (a - b)
+            t = rhalf(acc)
+            exp = t if exp is None else exp + t
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_pq_code_near_dup_pairs_exact(spark):
+    """One-hot packing makes '<= d differing codes' EXACTLY
+    'hamming <= 2d': verify pair set + n_diff_codes against a brute
+    force over the code arrays."""
+    from itertools import combinations
+
+    from hazelcast_jet_spark.operators.similarity import pq_code_near_dup_pairs
+
+    codes = {
+        1: [0, 1, 2, 3],
+        2: [0, 1, 2, 3],   # identical to 1 -> 0 diffs
+        3: [0, 1, 2, 0],   # 1 diff vs 1/2
+        4: [3, 1, 2, 0],   # 2 diffs vs 3, 2 vs 1/2... actually 2 vs 3
+        5: [1, 2, 3, 0],   # far from everything
+    }
+    df = spark.createDataFrame(
+        [(i, c) for i, c in codes.items()], "vec_id long, pq_code array<int>")
+    got = {(r.id_a, r.id_b): r.n_diff_codes
+           for r in pq_code_near_dup_pairs(df, k_cb=4, max_diff_codes=1)
+           .collect()}
+    exp = {}
+    for a, b in combinations(sorted(codes), 2):
+        d = sum(x != y for x, y in zip(codes[a], codes[b]))
+        if d <= 1:
+            exp[(a, b)] = d
+    assert got == exp
+    assert (1, 2) in got and got[(1, 2)] == 0
+
+    # empty input returns a typed empty frame
+    empty = spark.createDataFrame([], "vec_id long, pq_code array<int>")
+    assert pq_code_near_dup_pairs(empty, k_cb=4).collect() == []

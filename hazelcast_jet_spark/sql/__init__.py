@@ -122,6 +122,8 @@ class JetSqlEngine:
         self._job_specs: dict[str, str] = {}  # name -> statement (for RESTART)
         self._job_ckpts: dict[str, str] = {}  # name -> checkpoint dir
         self.snapshots: dict[str, str] = {}   # name -> exported state dir
+        self._snapshot_jobs: dict[str, str] = {}  # snapshot -> source job
+        self._job_seeds: dict[str, str] = {}  # job -> initialSnapshotName
         self._file_view_counter = 0
 
     # --- entry point ------------------------------------------------------
@@ -239,11 +241,14 @@ class JetSqlEngine:
             rows = [(mp.name,) for mp in self.mappings.values()] or []
             return self.spark.createDataFrame(rows or [], "name string")
         if what == "SNAPSHOTS":
-            rows = [(n,) for n in self.snapshots]
-            return self.spark.createDataFrame(rows or [], "name string")
-        rows = [(n, "RUNNING" if q is not None and q.isActive else "SUSPENDED")
+            rows = [(n, self._snapshot_jobs.get(n)) for n in self.snapshots]
+            return self.spark.createDataFrame(
+                rows or [], "name string, source_job string")
+        rows = [(n, "RUNNING" if q is not None and q.isActive else "SUSPENDED",
+                 self._job_seeds.get(n))
                 for n, q in self.jobs.items()]
-        return self.spark.createDataFrame(rows or [], "name string, status string")
+        return self.spark.createDataFrame(
+            rows or [], "name string, status string, seeded_from string")
 
     # --- jobs (streaming queries) --------------------------------------------
 
@@ -278,6 +283,7 @@ class JetSqlEngine:
             import os
             if not os.path.isdir(ckpt):  # never clobber an existing checkpoint
                 shutil.copytree(src, ckpt)
+            self._job_seeds[name] = snap  # lineage for SHOW JOBS
         q = (
             df.writeStream.format(mp.fmt)
             .option("path", mp.external_name)
@@ -342,6 +348,7 @@ class JetSqlEngine:
                 shutil.rmtree(target, ignore_errors=True)
                 shutil.copytree(ckpt, target, ignore=ignore)
             self.snapshots[snap] = target
+            self._snapshot_jobs[snap] = job  # lineage for SHOW SNAPSHOTS
         finally:
             if was_running:
                 self._alter_job(job, "RESUME")
@@ -352,6 +359,7 @@ class JetSqlEngine:
         import shutil
 
         path = self.snapshots.pop(snap, None)
+        self._snapshot_jobs.pop(snap, None)
         if path is not None:
             shutil.rmtree(path, ignore_errors=True)
         return None

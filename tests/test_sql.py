@@ -174,8 +174,11 @@ def test_snapshot_ddl_round_trip(engine, spark, tmp_path):
             pass
         time.sleep(1)
     engine.sql("CREATE SNAPSHOT s1 FOR JOB snapjob")
-    # export leaves the job running and registers the named snapshot
-    assert {r["name"] for r in engine.sql("SHOW SNAPSHOTS").collect()} == {"s1"}
+    # export leaves the job running and registers the named snapshot,
+    # with lineage: SHOW SNAPSHOTS names the source job
+    snaps = {r["name"]: r["source_job"]
+             for r in engine.sql("SHOW SNAPSHOTS").collect()}
+    assert snaps == {"s1": "snapjob"}
     assert {r["status"] for r in engine.sql("SHOW JOBS").collect()} == {"RUNNING"}
     snap_dir = engine.snapshots["s1"]
     assert os.path.isdir(snap_dir)
@@ -189,7 +192,10 @@ def test_snapshot_ddl_round_trip(engine, spark, tmp_path):
         "CREATE JOB snapjob OPTIONS('initialSnapshotName'='s1') AS "
         "INSERT INTO snap_sink SELECT v FROM TABLE(generate_stream(50))"
     )
-    assert {r["status"] for r in engine.sql("SHOW JOBS").collect()} == {"RUNNING"}
+    jobs = {r["name"]: (r["status"], r["seeded_from"])
+            for r in engine.sql("SHOW JOBS").collect()}
+    # lineage: SHOW JOBS records which snapshot seeded the job
+    assert jobs == {"snapjob": ("RUNNING", "s1")}
     assert os.path.isdir(ckpt)  # checkpoint was seeded from the snapshot
     engine.sql("ALTER JOB snapjob SUSPEND")
     engine.sql("DROP JOB snapjob")

@@ -882,6 +882,48 @@ def pq_code_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "table", "window")
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring (operators/text.bm25_scores;
+    Robertson & Zaragoza 2009) of the documents table against a fixed
+    3-term query — one corpus scan, query-term-only exchange, tiny
+    broadcast stats; idf's ln is correctly-rounded libm on both engines
+    (the unigram-LM convention) and per-term contributions accumulate
+    in DECIMAL(18,12), so the score hashes exactly."""
+    from hazelcast_jet_spark.operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, list(BM25_TERMS)).orderBy("doc_id")
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-aware hard-negative mining (similarity.
+    hard_negative_topk): per anchor, the 5 most-cosine-similar vectors
+    with a DIFFERENT label — the contrastive-training companion of the
+    random negative sampler (negative_samples_lineitem).  Same
+    broadcast-anchor map-only plan as cosine_topk with the label
+    predicate pushed into the join."""
+    from hazelcast_jet_spark.operators.similarity import hard_negative_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return hard_negative_topk(e, q, k=TOPK)
+
+
+def label_centroid_confusion_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid confusion matrix (clustering.
+    label_centroid_confusion) — the class-separability probe of a
+    training-data profile: per-label exact-decimal mean prototypes
+    (bounded LABELS×DIMS driver collect), then a map-only rounded-L2
+    argmin assignment and one count aggregate."""
+    from hazelcast_jet_spark.operators.clustering import label_centroid_confusion
+
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroid_confusion(e)
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -3678,6 +3720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_pq": ann_recall_ivf_pq,
         "pq_code_dup_pairs": pq_code_dup_pairs,
         "streaming_interval_join_flush": streaming_interval_join_flush,
+        "bm25_search_docs": bm25_search_docs,
+        "hard_negative_mining": hard_negative_mining,
+        "label_centroid_confusion_emb": label_centroid_confusion_emb,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -6723,6 +6768,98 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE n_diff_codes <= 1
             GROUP BY 1 ORDER BY 1
         """)(_pq_fixed_codebooks()),
+        "bm25_search_docs": (lambda terms: r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+                FROM norm
+            ), tk AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1
+            ), corpus AS (
+                SELECT count(*) AS n_docs,
+                       SUM(CAST(dl AS DECIMAL(18,6))) AS sum_dl
+                FROM dl
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tk WHERE term IN ({terms})
+                GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), sc AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (corpus.n_docs - dfq.df + 0.5)
+                                / (dfq.df + 0.5))
+                       * tf.tf
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / (CAST(corpus.sum_dl AS DOUBLE) / corpus.n_docs)))
+                           AS c
+                FROM tf JOIN dl USING (doc_id)
+                        JOIN dfq USING (term)
+                        CROSS JOIN corpus
+            )
+            SELECT doc_id, count(*) AS n_hits,
+                   CAST(SUM(CAST(c AS DECIMAL(18,12))) AS DOUBLE) AS bm25
+            FROM sc GROUP BY doc_id ORDER BY doc_id
+        """.replace("{terms}", terms))(
+            ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))),
+        "hard_negative_mining": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec,
+                       label AS anchor_label
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       q.anchor_label, c.label AS negative_label,
+                       {_cos_sql("q.qvec", "c.embedding")} AS cos_sim
+                FROM embeddings c, q
+                WHERE c.vec_id <> q.query_id
+                  AND c.label <> q.anchor_label
+            )
+            SELECT query_id, corpus_id, anchor_label, negative_label,
+                   cos_sim, rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, corpus_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {TOPK}
+        """,
+        "label_centroid_confusion_emb": """
+            WITH per AS (
+                SELECT label, unnest(embedding) AS v,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                FROM embeddings
+            ), cent AS (
+                SELECT label, pos,
+                       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12)))
+                            AS DOUBLE) / count(*) AS cv
+                FROM per GROUP BY 1, 2
+            ), cl AS (
+                SELECT label AS clabel, list(cv ORDER BY pos) AS cvec
+                FROM cent GROUP BY 1
+            ), d AS (
+                SELECT e.vec_id, e.label, cl.clabel,
+                       round(list_sum(list_transform(
+                           list_zip(e.embedding, cl.cvec),
+                           x -> (CAST(x[1] AS DOUBLE) - x[2])
+                                * (CAST(x[1] AS DOUBLE) - x[2]))), 9) AS dist
+                FROM embeddings e CROSS JOIN cl
+            ), a AS (
+                SELECT vec_id, label, clabel AS assigned_label FROM (
+                    SELECT vec_id, label, clabel,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, clabel ASC) AS rn
+                    FROM d
+                ) WHERE rn = 1
+            )
+            SELECT label, assigned_label, count(*) AS n_vectors
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "streaming_interval_join_flush": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

@@ -449,3 +449,62 @@ def coreset_kcenter(df: DataFrame, k: int, id_col: str = "vec_id",
         StructField("dist", DoubleType(), True),
     ])
     return spark.createDataFrame(selected, schema)
+
+
+def label_centroids(df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> list[tuple]:
+    """Per-label mean vectors ("class prototypes") with exact decimal
+    per-dimension accumulation: posexplode → one (label, dim) aggregate
+    → a LABELS×DIMS-row driver collect (bounded by construction — for
+    10 labels × 64 dims that is 640 rows, never data).  Each centroid
+    value is ``CAST(decimal_sum AS DOUBLE)/count`` — one correctly
+    rounded division, so any engine derives the identical doubles.
+
+    Returns ``[(label, [float, ...]), ...]`` sorted by label.
+    """
+    per = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    rows = (
+        per.groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("decimal(28,12)")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = float(r["s"]) / r["n"]
+    return [
+        (lab, [vals[p] for p in range(len(vals))])
+        for lab, vals in sorted(by_label.items())
+    ]
+
+
+def label_centroid_confusion(df: DataFrame, label_col: str = "label",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Nearest-class-centroid confusion counts — the class-separability
+    probe of a training-data profile (a dataset whose labels can't even
+    be recovered by their own prototypes is noisy or mislabeled):
+    every vector is assigned to the nearest per-label mean
+    (:func:`label_centroids` exact-decimal prototypes,
+    :func:`l2_assign` rounded-L2 argmin with the first-index tie-break
+    = lowest label, since the centroid list is label-sorted), and the
+    (true, assigned) membership matrix comes back as counts.
+
+    Plan: one bounded centroid aggregate (LABELS×DIMS rows to the
+    driver), then a map-only literal-centroid assignment + one count
+    aggregate — two scans total, nothing data-sized ever moves.
+
+    Returns ``(label, assigned_label, n_vectors)``.
+    """
+    cents = label_centroids(df, label_col, vec_col)
+    labels = [lab for lab, _ in cents]
+    assigned = l2_assign(df, [c for _, c in cents], vec_col=vec_col)
+    lab_arr = F.array(*[F.lit(lab) for lab in labels])
+    return (
+        assigned.withColumn(
+            "assigned_label", F.element_at(lab_arr, F.col("cluster") + 1))
+        .groupBy(F.col(label_col).alias("label"), "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("label", "assigned_label")
+    )

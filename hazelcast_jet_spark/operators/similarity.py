@@ -817,3 +817,47 @@ def pq_code_near_dup_pairs(codes: DataFrame, k_cb: int,
     return pairs.select(
         "id_a", "id_b",
         (F.col("hamming_dist") / 2).cast("int").alias("n_diff_codes"))
+
+
+def hard_negative_topk(corpus: DataFrame, anchors: DataFrame, k: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, the ``k`` most-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually teach a margin (random
+    negatives are trivially far; these sit just across the boundary).
+    Complements :func:`~hazelcast_jet_spark.operators.sampling.
+    negative_sample`'s random pairing with a similarity-aware pick.
+
+    Same contract and plan as :func:`cosine_topk` (broadcast anchors,
+    map-only scan, per-anchor window with the (sim desc, id asc)
+    tiebreak) plus the label-mismatch predicate pushed into the join —
+    at 100 TB, swap the corpus side for an ANN candidate stage
+    (:func:`ann_topk` / :func:`ivf_pq_topk`) and keep the re-rank.
+
+    Returns ``(query_id, corpus_id, anchor_label, negative_label,
+    cos_sim, rank)``.
+    """
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("cvec"),
+                      F.col(label_col).alias("negative_label"))
+    q = anchors.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       F.col(label_col).alias("anchor_label"))
+    cos6 = _cosine6_udf()
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("corpus_id") != F.col("query_id"))
+               & (F.col("negative_label") != F.col("anchor_label")))
+        .select("query_id", "corpus_id", "anchor_label", "negative_label",
+                cos6(F.col("qvec").cast("array<double>"),
+                     F.col("cvec").cast("array<double>")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "anchor_label", "negative_label",
+                "cos_sim", "rank")
+    )

@@ -793,3 +793,72 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
         .select("bigram", "w1", "w2", "n_pair",
                 F.round(pmi, round_digits).alias("pmi"))
     )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term query
+    (Robertson & Zaragoza 2009) — the retrieval scorer completing the
+    text-analysis family next to :func:`tf_idf` (corpus statistics) and
+    the LM surprisal scores (fluency):
+
+        score(d) = sum_t idf_t * tf / (tf + k1*(1 - b + b*|d|/avgdl))
+
+    with the Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive, stable for df > N/2).
+
+    Plan at scale: ONE corpus scan — tokens explode, per-(doc, term) tf
+    for the query terms only (filter BEFORE the aggregation, so the
+    exchange carries query-term rows only), doc lengths ride the same
+    pass via a grouping on the doc; N/avgdl/df are a tiny aggregate
+    broadcast back.  Nothing is collected.
+
+    Determinism: ``ln`` is correctly-rounded libm on both engines (the
+    unigram-LM convention); per-term contributions are IEEE doubles
+    accumulated in DECIMAL(18,12) — exact, order-independent — and cast
+    back once, so the score hashes identically on a SQL oracle.
+
+    Returns ``(id_col, n_hits, bm25)`` for documents matching at least
+    one query term; ``n_hits`` = number of distinct query terms present.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    toks = (
+        df.select(F.col(id_col), F.explode(
+            F.split(normalize_text(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("decimal(18,6)")).alias("sum_dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = (F.col("sum_dl").cast("double") / F.col("n_docs"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)))
+    contrib = (
+        idf * F.col("tf")
+        / (F.col("tf")
+           + F.lit(float(k1))
+           * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), contrib.alias("c"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.sum(F.col("c").cast("decimal(18,12)"))
+             .cast("double").alias("bm25"))
+    )

@@ -2623,3 +2623,104 @@ def test_pq_code_near_dup_pairs_exact(spark):
     # empty input returns a typed empty frame
     empty = spark.createDataFrame([], "vec_id long, pq_code array<int>")
     assert pq_code_near_dup_pairs(empty, k_cb=4).collect() == []
+
+
+def test_bm25_matches_python_model(spark):
+    import math
+
+    from hazelcast_jet_spark.operators.text import bm25_scores
+
+    docs = {
+        1: "spark makes big data fast",
+        2: "the table has a window and a table",
+        3: "window window window",
+        4: "nothing relevant here",
+        5: "spark table",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["bm25"])
+           for r in bm25_scores(df, ["spark", "table", "window"]).collect()}
+
+    toks = {i: t.split() for i, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {t: sum(1 for v in toks.values() if t in v)
+             for t in ("spark", "table", "window")}
+    exp = {}
+    for i, v in toks.items():
+        s, hits = 0.0, 0
+        for t in ("spark", "table", "window"):
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if hits:
+            exp[i] = (hits, s)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-9, (i, got[i], exp[i])
+    assert 4 not in got  # no hits -> no row
+
+
+def test_hard_negative_topk_labels_and_ranks(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import hard_negative_topk
+
+    rows = [(i, [float((i * 3 + j) % 7 - 3) for j in range(8)], i % 2)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = df.filter(F.col("vec_id") < 2)
+    out = hard_negative_topk(df, anchors, k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["negative_label"] != r["anchor_label"]
+        assert r["corpus_id"] != r["query_id"]
+    # ranks descend in cos_sim within each anchor
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+    # cross-check top-1 for anchor 0 against numpy
+    V = np.array([r[1] for r in rows])
+    labs = np.array([r[2] for r in rows])
+    cos = (V @ V[0]) / (np.linalg.norm(V, axis=1) * np.linalg.norm(V[0]))
+    cos[0] = -2
+    cos[labs == labs[0]] = -2
+    top1 = int(np.argmax(np.round(cos, 6)))
+    got_top1 = [r["corpus_id"] for r in out
+                if r["query_id"] == 0 and r["rank"] == 1][0]
+    assert got_top1 == top1
+
+
+def test_label_centroid_confusion_matches_numpy(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import (
+        label_centroid_confusion, label_centroids)
+
+    rng = [(i, [float(((i * 5 + j * 11) % 13) - 6 + (i % 3) * 4)
+                for j in range(6)], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>, label int")
+    cents = label_centroids(df)
+    V = np.array([r[1] for r in rng]); labs = np.array([r[2] for r in rng])
+    for lab, c in cents:
+        exp = V[labs == lab].mean(axis=0)
+        assert np.allclose(np.array(c), exp, atol=1e-9), lab
+    got = {(r["label"], r["assigned_label"]): r["n_vectors"]
+           for r in label_centroid_confusion(df).collect()}
+    C = np.array([c for _, c in cents])
+    assigned = ((V[:, None, :] - C[None]) ** 2).sum(axis=2).round(9).argmin(axis=1)
+    exp_conf = {}
+    for lab, a in zip(labs, assigned):
+        k = (int(lab), int(cents[a][0]))
+        exp_conf[k] = exp_conf.get(k, 0) + 1
+    assert got == exp_conf
+    assert sum(got.values()) == 30

@@ -924,6 +924,54 @@ def label_centroid_confusion_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroid_confusion(e)
 
 
+PAD_BOUNDARIES = (16, 32, 64)
+
+
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval builder (operators/timeseries.scd2_intervals):
+    each user's event-type change log collapsed to validity intervals
+    [valid_from, valid_to) with NULL = current — one ordered window
+    exchange (lag drops no-op repeats, lead closes intervals).  Event
+    time enters as tz-free integer epoch seconds so the oracle's
+    floor(epoch()) replays it exactly."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        _epoch_seconds, scd2_intervals)
+
+    e = _t(spark, sf_dir, "events")
+    e = e.select("user_id", "event_id", "event_type",
+                 _epoch_seconds(e, "ts").alias("sec"))
+    return (
+        scd2_intervals(e, "user_id", "sec", "event_type", "event_id")
+        .orderBy("user_id", "version")
+    )
+
+
+def categorical_assoc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + chi-squared + Cramér's V between lang and
+    source (operators/profile.categorical_association) — one
+    contingency aggregate, margins derived from the cell table, exact
+    DECIMAL accumulation of the fixed-order per-cell terms."""
+    from hazelcast_jet_spark.operators.profile import categorical_association
+
+    d = _t(spark, sf_dir, "documents")
+    return categorical_association(d, "lang", "source")
+
+
+def padding_efficiency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching
+    (operators/packing.padding_efficiency): documents bucketed by
+    whitespace token count into the smallest boundary >= length
+    (overflow truncates to the last), per-bucket real-vs-padded token
+    volume — the metric that picks bucket boundaries for a training
+    run; map-only bucket assignment + one aggregate."""
+    from hazelcast_jet_spark.operators.packing import padding_efficiency
+    from hazelcast_jet_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(token_count("text").alias("n_tok"))
+    return padding_efficiency(toks, "n_tok", list(PAD_BOUNDARIES))
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -3723,6 +3771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "hard_negative_mining": hard_negative_mining,
         "label_centroid_confusion_emb": label_centroid_confusion_emb,
+        "scd2_event_type_intervals": scd2_event_type_intervals,
+        "categorical_assoc_docs": categorical_assoc_docs,
+        "padding_efficiency_docs": padding_efficiency_docs,
         # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
@@ -6860,6 +6911,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, assigned_label, count(*) AS n_vectors
             FROM a GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "scd2_event_type_intervals": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), ch AS (
+                SELECT user_id, event_type, sec, event_id,
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), kept AS (
+                SELECT user_id, event_type, sec, event_id FROM ch
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, sec AS valid_from,
+                   lead(sec) OVER w2 AS valid_to,
+                   CAST(row_number() OVER w2 AS INT) AS version
+            FROM kept
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ORDER BY user_id, version
+        """,
+        "categorical_assoc_docs": """
+            WITH cells AS (
+                SELECT coalesce(CAST(lang AS VARCHAR), chr(0) || 'NULL') AS a,
+                       coalesce(CAST(source AS VARCHAR), chr(0) || 'NULL') AS b,
+                       count(*) AS nxy
+                FROM documents GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1
+            ), mb AS (
+                SELECT b, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+                       count(DISTINCT a) AS r, count(DISTINCT b) AS c
+                FROM cells
+            ), j AS (
+                SELECT CAST(cells.nxy AS DOUBLE) AS nxy,
+                       CAST(ma.nx AS DOUBLE) AS nx,
+                       CAST(mb.ny AS DOUBLE) AS ny,
+                       CAST(tot.n AS DOUBLE) AS nd,
+                       tot.n AS n, tot.r AS r, tot.c AS c
+                FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+            ), agg AS (
+                SELECT MAX(n) AS n, count(*) AS n_cells,
+                       CAST(SUM(CAST(nxy / nd * ln(nxy * nd / (nx * ny))
+                                AS DECIMAL(18,12))) AS DOUBLE) AS mi,
+                       CAST(SUM(CAST((nxy - nx * ny / nd)
+                                     * (nxy - nx * ny / nd)
+                                     / (nx * ny / nd)
+                                AS DECIMAL(18,12))) AS DOUBLE) AS chi2,
+                       MAX(r) AS r, MAX(c) AS c
+                FROM j
+            )
+            SELECT n, n_cells, mi, chi2,
+                   CASE WHEN CAST(n AS DOUBLE)
+                             * (CAST(least(r, c) AS DOUBLE) - 1.0) > 0
+                        THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                             * (CAST(least(r, c) AS DOUBLE) - 1.0)))
+                   END AS cramers_v
+            FROM agg
+        """,
+        "padding_efficiency_docs": (lambda bs: f"""
+            WITH t AS (
+                SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS l
+                FROM documents
+            ), b AS (
+                SELECT l,
+                       CASE {' '.join(f"WHEN l <= {x} THEN {x}" for x in bs)}
+                            ELSE {bs[-1]} END AS bucket_len,
+                       least(l, {bs[-1]}) AS real
+                FROM t
+            )
+            SELECT bucket_len, count(*) AS n_seqs,
+                   CAST(SUM(l) AS BIGINT) AS sum_len,
+                   CAST(count(*) * bucket_len AS BIGINT) AS padded,
+                   1.0 - CAST(CAST(SUM(real) AS BIGINT) AS DOUBLE)
+                         / CAST(count(*) * bucket_len AS DOUBLE) AS waste_frac
+            FROM b GROUP BY bucket_len ORDER BY bucket_len
+        """)(PAD_BOUNDARIES),
         "streaming_interval_join_flush": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

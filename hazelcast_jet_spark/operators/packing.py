@@ -106,3 +106,46 @@ def pack_stats(packed: DataFrame, token_col: str,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).cast("bigint").alias("total_tokens"),
     )
+
+
+def padding_efficiency(df: DataFrame, len_col: str,
+                       boundaries: list[int]) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching: sequences
+    are padded up to the smallest bucket boundary >= their length
+    (sequences above the last boundary are TRUNCATED to it — the
+    max-seq-len convention), and the op reports, per bucket, how much
+    of the padded volume is real tokens — the metric that decides
+    bucket boundaries for a training run (the measurement companion of
+    :func:`pack_sequences`, which eliminates the waste instead).
+
+    Map-only bucket assignment + one aggregate.  Returns per bucket:
+    ``(bucket_len, n_seqs, sum_len, padded, waste_frac)`` where
+    ``padded = n_seqs * bucket_len`` and
+    ``waste_frac = 1 - sum_real/padded`` (real = len capped at the
+    boundary), as a fixed-order double division.
+    """
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be a non-empty ascending list")
+    ln = F.col(len_col)
+    bucket = None
+    for b in reversed(boundaries):
+        bucket = F.when(ln <= b, F.lit(b)) if bucket is None else \
+            F.when(ln <= b, F.lit(b)).otherwise(bucket)
+    bucket = F.when(ln > boundaries[-1],
+                    F.lit(boundaries[-1])).otherwise(bucket)
+    real = F.least(ln, F.lit(boundaries[-1]))
+    agg = (
+        df.select(bucket.alias("bucket_len"), ln.alias("l"),
+                  real.alias("real"))
+        .groupBy("bucket_len")
+        .agg(F.count(F.lit(1)).alias("n_seqs"),
+             F.sum("l").alias("sum_len"),
+             F.sum("real").alias("sum_real"))
+    )
+    padded = F.col("n_seqs") * F.col("bucket_len")
+    waste = (F.lit(1.0)
+             - F.col("sum_real").cast("double") / padded.cast("double"))
+    return agg.select(
+        "bucket_len", "n_seqs", "sum_len",
+        padded.alias("padded"), waste.alias("waste_frac"),
+    ).orderBy("bucket_len")

@@ -682,3 +682,60 @@ def correlation_matrix(df: DataFrame, cols: list[str],
                 F.round(F.when(den > 0, num / den), round_digits)
                 .alias("corr")))
     return one.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def categorical_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Association strength between two categorical columns in ONE
+    contingency aggregate — the redundancy/leakage screen for
+    categorical features (the categorical twin of
+    :func:`correlation_matrix`): mutual information
+
+        MI = sum_xy (n_xy/n) * ln(n_xy * n / (n_x * n_y))
+
+    plus the chi-squared statistic and Cramér's V
+    ``sqrt(chi2 / (n * (min(r, c) - 1)))``.
+
+    Plan at scale: one groupBy(a, b) count (the only data-sized
+    exchange); margins derive from the CELL table (|a|·|b| rows) via
+    two tiny re-aggregations joined back broadcast, and the final
+    reduce is over cells.  NULL categories count as regular values
+    (dropping them would silently bias both statistics).
+
+    Determinism: per-cell terms are fixed-order IEEE doubles over
+    integer counts (``ln`` is correctly-rounded libm on both engines —
+    the unigram-LM convention), accumulated in DECIMAL(18,12), so the
+    statistics hash exactly on a SQL oracle.
+
+    Returns one row ``(n, n_cells, mi, chi2, cramers_v)``.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.select(F.coalesce(a.cast("string"), F.lit("\x00NULL")).alias("a"),
+                  F.coalesce(b.cast("string"), F.lit("\x00NULL")).alias("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("nxy").alias("nx"))
+    mb = cells.groupBy("b").agg(F.sum("nxy").alias("ny"))
+    tot = cells.agg(F.sum("nxy").alias("n"),
+                    F.count_distinct("a").alias("r"),
+                    F.count_distinct("b").alias("c"))
+    j = (cells.join(F.broadcast(ma), "a").join(F.broadcast(mb), "b")
+         .crossJoin(F.broadcast(tot)))
+    nxy = F.col("nxy").cast("double")
+    nx = F.col("nx").cast("double")
+    ny = F.col("ny").cast("double")
+    n = F.col("n").cast("double")
+    mi_term = nxy / n * F.log(nxy * n / (nx * ny))
+    e = nx * ny / n
+    chi_term = (nxy - e) * (nxy - e) / e
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term.cast("decimal(18,12)")).cast("double").alias("mi"),
+        F.sum(chi_term.cast("decimal(18,12)")).cast("double").alias("chi2"),
+        F.max("r").alias("r"), F.max("c").alias("c"),
+    )
+    denom = (F.col("n").cast("double")
+             * (F.least("r", "c").cast("double") - F.lit(1.0)))
+    v = F.when(denom > 0, F.sqrt(F.col("chi2") / denom))
+    return agg.select("n", "n_cells", "mi", "chi2", v.alias("cramers_v"))

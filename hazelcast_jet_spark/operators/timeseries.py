@@ -630,3 +630,38 @@ def ohlc_bars(df: DataFrame, key_col: str, time_col: str, value_col: str,
             .cast("double").alias("value_sum"),
         )
     )
+
+
+def scd2_intervals(df: DataFrame, key_col: str, time_col: str,
+                   state_col: str, id_col: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval builder from a change
+    log: per key, consecutive rows with the SAME state collapse, and
+    each surviving state change becomes a validity interval
+    ``[valid_from, valid_to)`` (``valid_to`` NULL = current) — the
+    standard warehouse history table, and the batch complement of the
+    CDC sink (a Debezium stream replayed through this yields the same
+    table the source system's history would).
+
+    Mechanics: ONE ordered window exchange on ``key_col`` — ``lag`` to
+    drop no-op repeats (null-safe: a state going NULL IS a change),
+    then ``lead`` over the survivors for the interval end.  Emits
+    ``(key_col, state_col, valid_from, valid_to, version)`` with
+    ``version`` numbering each key's states from 1 in time order.
+
+    Determinism: ties on ``time_col`` break by ``id_col`` (the event-id
+    convention every ordered operator here uses).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    changed = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .withColumn("__first", F.row_number().over(w) == 1)
+        .filter(F.col("__first")
+                | ~F.col("__prev").eqNullSafe(F.col(state_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    return changed.select(
+        key_col, state_col,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )

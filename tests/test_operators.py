@@ -2724,3 +2724,72 @@ def test_label_centroid_confusion_matches_numpy(spark):
         exp_conf[k] = exp_conf.get(k, 0) + 1
     assert got == exp_conf
     assert sum(got.values()) == 30
+
+
+def test_scd2_intervals_collapse_and_versions(spark):
+    from hazelcast_jet_spark.operators.timeseries import scd2_intervals
+
+    rows = [
+        (1, 10, "A", 100), (1, 20, "A", 101),  # repeat collapses
+        (1, 30, "B", 102), (1, 40, "A", 103),  # back to A = new version
+        (2, 10, "X", 200), (2, 15, None, 201), # state -> NULL is a change
+        (2, 20, None, 202),                    # NULL repeat collapses
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, s string, id long")
+    got = sorted(
+        (r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"])
+        for r in scd2_intervals(df, "k", "t", "s", "id").collect())
+    assert got == [
+        (1, 1, "A", 10, 30), (1, 2, "B", 30, 40), (1, 3, "A", 40, None),
+        (2, 1, "X", 10, 15), (2, 2, None, 15, None),
+    ]
+
+
+def test_categorical_association_matches_python(spark):
+    import math
+
+    from hazelcast_jet_spark.operators.profile import categorical_association
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"),
+            ("b", "x"), ("c", "x"), ("c", "x"), (None, "y")]
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = categorical_association(df, "u", "v").collect()[0]
+    # python model (NULL is a regular category)
+    from collections import Counter
+    cells = Counter(( "\x00NULL" if a is None else a, b) for a, b in rows)
+    n = sum(cells.values())
+    ma = Counter(); mb = Counter()
+    for (a, b), c in cells.items():
+        ma[a] += c; mb[b] += c
+    mi = sum(c / n * math.log(c * n / (ma[a] * mb[b]))
+             for (a, b), c in cells.items())
+    chi2 = sum((c - ma[a] * mb[b] / n) ** 2 / (ma[a] * mb[b] / n)
+               for (a, b), c in cells.items())
+    v = math.sqrt(chi2 / (n * (min(len(ma), len(mb)) - 1)))
+    assert got["n"] == n and got["n_cells"] == len(cells)
+    assert abs(got["mi"] - mi) < 1e-9
+    assert abs(got["chi2"] - chi2) < 1e-9
+    assert abs(got["cramers_v"] - v) < 1e-9
+    # independence -> mi ~ 0, chi2 ~ 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "xy" for _ in range(5)],
+        "u string, v string")
+    g2 = categorical_association(ind, "u", "v").collect()[0]
+    assert abs(g2["mi"]) < 1e-12 and abs(g2["chi2"]) < 1e-12
+
+
+def test_padding_efficiency(spark):
+    from hazelcast_jet_spark.operators.packing import padding_efficiency
+
+    df = spark.createDataFrame(
+        [(l,) for l in (5, 20, 33, 64, 65, 300)], "n long")
+    got = {r["bucket_len"]: (r["n_seqs"], r["sum_len"], r["padded"],
+                             r["waste_frac"])
+           for r in padding_efficiency(df, "n", [32, 64, 128]).collect()}
+    # 5,20 -> 32; 33,64 -> 64; 65 -> 128; 300 -> truncated to 128
+    assert got[32] == (2, 25, 64, 1 - 25 / 64)
+    assert got[64] == (2, 97, 128, 1 - 97 / 128)
+    assert got[128] == (2, 365, 256, 1 - (65 + 128) / 256)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        padding_efficiency(df, "n", [64, 32])

@@ -3742,29 +3742,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window.  r5 final ordering: every query with
-    NO green driver row yet first — the r4 red/no-oracle fixes, then all r5
-    additions (sessions 1-4) — followed by the 23 entries whose single green
-    row is r3 (stalest refresh first).  That fills the window exactly (27
-    never-green + 23 single-green-r3); everything below the boundary has a
-    green row from r4 (one round old) or ≥2 green rows.  bench.py still runs
-    every entry, so perf coverage is unaffected by the order.
+    correctness gate's 50-entry window.  r6 ordering (the NOTES_r5 handoff
+    plan + this round's changes): hll_cardinality_events first (the only
+    never-green query — its DECIMAL(38,0) gate-output fix landed this
+    round), then the 9 new-in-r6 queries, then the 5 queries whose
+    IMPLEMENTATION changed this round (changepoint/anomaly prefix-sum
+    rewrite, bpe pandas-path gate, corr-matrix decimal widening,
+    snapshot_diff presence markers), then the 13 entries whose only green
+    row is r4, the 7 r4-green entries displaced below the boundary during
+    r5, and the 15 r3-single-green refresh backlog.  Everything below the
+    boundary has a green row from r5 (one round old) or ≥2 green rows.
+    bench.py still runs every entry, so perf coverage is unaffected by the
+    order.
     """
     return {
-        # -- must-verify: red in r4 (oracle typing, fixed) or new query name --
-        "dq_checks_orders": dq_checks_orders,
-        "kmeans_assign_counts": kmeans_assign_counts,
-        # -- new this round (r5) ----------------------------------------------
-        "dsir_importance_weights": dsir_importance_weights,
-        "funnel_conversion_counts": funnel_conversion_counts,
-        "quality_decile_stats": quality_decile_stats,
-        "dedup_keep_best": dedup_keep_best,
-        "embedding_outlier_stats": embedding_outlier_stats,
-        "streaming_quality_gate": streaming_quality_gate,
-        "cut_dup_spans_docs": cut_dup_spans_docs,
-        # -- new in r5 session 6 (no driver row yet) --------------------------
+        # ==== r6 window (first 50 = the driver correctness gate) =========
+        # 1 never-green (hll, repr fix landed) + 9 new r6 + 5 changed-impl
+        # + 13 stale-r4 + 7 displaced-r4 + 15 r3-single-green refresh
         "hll_cardinality_events": hll_cardinality_events,
-        # -- new in r6 --------------------------------------------------------
         "ann_recall_ivf_pq": ann_recall_ivf_pq,
         "pq_code_dup_pairs": pq_code_dup_pairs,
         "streaming_interval_join_flush": streaming_interval_join_flush,
@@ -3774,7 +3769,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_event_type_intervals": scd2_event_type_intervals,
         "categorical_assoc_docs": categorical_assoc_docs,
         "padding_efficiency_docs": padding_efficiency_docs,
-        # -- new in r5 session 3 (no driver row yet — must sit in-window) -----
+        "changepoint_shift_events": changepoint_shift_events,
+        "anomaly_band_flags": anomaly_band_flags,
+        "bpe_segment_stats": bpe_segment_stats,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "table_diff_counts": table_diff_counts,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        "table_profile": table_profile,
+        "value_histogram": value_histogram,
+        "sliding_agg_incremental": sliding_agg_incremental,
+        "sliding_distinct_users": sliding_distinct_users,
+        "user_sessions": user_sessions,
+        "asof_join_tolerance": asof_join_tolerance,
+        "incremental_minhash_dedup": incremental_minhash_dedup,
+        "tpch_q10_returned_items": tpch_q10_returned_items,
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        "cep_sequence_match": cep_sequence_match,
+        "streaming_dedup_count": streaming_dedup_count,
+        "tfidf_top_terms": tfidf_top_terms,
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
+        # ===== driver window boundary: everything below has a green row ===
+        # ===== from r5 (one round old) or >= 2 green rows =================
+        "dq_checks_orders": dq_checks_orders,
+        "kmeans_assign_counts": kmeans_assign_counts,
+        "dsir_importance_weights": dsir_importance_weights,
+        "funnel_conversion_counts": funnel_conversion_counts,
+        "quality_decile_stats": quality_decile_stats,
+        "dedup_keep_best": dedup_keep_best,
+        "embedding_outlier_stats": embedding_outlier_stats,
+        "streaming_quality_gate": streaming_quality_gate,
+        "cut_dup_spans_docs": cut_dup_spans_docs,
         "weighted_sample_counts": weighted_sample_counts,
         "mad_outlier_stats": mad_outlier_stats,
         "containment_dup_pairs": containment_dup_pairs,
@@ -3788,36 +3833,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_image_stats": multimodal_image_stats,
         "pq_encode_stats": pq_encode_stats,
-        # -- new in r5 session 4 (no driver row yet) --------------------------
         "temperature_sample_counts": temperature_sample_counts,
         "cohort_retention_counts": cohort_retention_counts,
         "count_min_estimates": count_min_estimates,
-        "table_diff_counts": table_diff_counts,
         "ngram_novelty_stats": ngram_novelty_stats,
         "interval_overlap_pairs": interval_overlap_pairs,
         "interval_grid_pairs": interval_grid_pairs,
         "w1_drift_events": w1_drift_events,
         "streaming_count_min_sketch": streaming_count_min_sketch,
-        "bpe_segment_stats": bpe_segment_stats,
         "resample_gap_fill": resample_gap_fill,
-        "anomaly_band_flags": anomaly_band_flags,
-        # -- new in r5 session 5 (no driver row yet) --------------------------
         "categorical_drift_events": categorical_drift_events,
         "copurchase_graph_stats": copurchase_graph_stats,
         "pagerank_copurchase": pagerank_copurchase,
         "kfold_split_counts": kfold_split_counts,
         "record_linkage_parts": record_linkage_parts,
-        "changepoint_shift_events": changepoint_shift_events,
         "benford_orders": benford_orders,
         "acf_events": acf_events,
         "coreset_kcenter_embeddings": coreset_kcenter_embeddings,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
         "seasonal_decompose_events": seasonal_decompose_events,
         "negative_samples_lineitem": negative_samples_lineitem,
-        # ===== driver window boundary is 50 entries; everything below has =====
-        # ===== single-green rows (r3 or r4) or >= 2 green rows ===============
-        # the r3-single-green entries displaced by late-session gates —
-        # refresh FIRST in r6:
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
@@ -3826,21 +3860,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": tpch_q18_large_orders,
         "cep_stream_match": cep_stream_match,
         "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "reservoir_sample_events": reservoir_sample_events,
-        "stratified_sample_docs": stratified_sample_docs,
-        "tfidf_top_terms": tfidf_top_terms,
-        "streaming_dedup_count": streaming_dedup_count,
-        "cep_sequence_match": cep_sequence_match,
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "tpch_q10_returned_items": tpch_q10_returned_items,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
         "asof_join_forward": asof_join_forward,
         "dedup_group_sizes": dedup_group_sizes,
         "pii_scrub_stats": pii_scrub_stats,
@@ -3859,27 +3878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": bloom_semi_join_orders,
         "semantic_dedup_docs": semantic_dedup_docs,
         "event_time_features": event_time_features,
-        "incremental_minhash_dedup": incremental_minhash_dedup,
-        "table_profile": table_profile,
-        "value_histogram": value_histogram,
-        "sliding_agg_incremental": sliding_agg_incremental,
-        "sliding_distinct_users": sliding_distinct_users,
-        "user_sessions": user_sessions,
-        "asof_join_tolerance": asof_join_tolerance,
-        "winnow_fingerprint_dups": winnow_fingerprint_dups,
-        "repetition_top_ngram": repetition_top_ngram,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q9_product_profit": tpch_q9_product_profit,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
-        "tpch_q15_top_supplier": tpch_q15_top_supplier,
-        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
-        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
-        # -- two green rows (r3 + r4) -----------------------------------------
         "pandas_udf_text_metrics": pandas_udf_text_metrics,
         "token_stats": token_stats,
         "scalar_functions": scalar_functions,
@@ -3891,7 +3889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_higher_order": array_higher_order,
         "window_frames": window_frames,
         "values_inline": values_inline,
-        # -- two green rows (r1 + r3, or r2 + r3) ------------------------------
         "wordcount": wordcount,
         "nexmark_q5_hot_items": nexmark_q5_hot_items,
         "ann_lsh_search": ann_lsh_search,
@@ -3908,7 +3905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "streaming_session_window": streaming_session_window,
-        # -- two green rows (r1 + r2) ------------------------------------------
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
         "streaming_tumbling_window": streaming_tumbling_window,

@@ -972,6 +972,40 @@ def padding_efficiency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_efficiency(toks, "n_tok", list(PAD_BOUNDARIES))
 
 
+def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (operators/
+    sketch.cms_join_size — the AGMS/CM inner product): the
+    orders⨝customer output size predicted from two bounded
+    depth×width sketches built map-side, next to the exact join count
+    — the "plan before you shuffle" probe (estimate ≥ exact always).
+    Same md5 hash arithmetic as count_min_estimates, replayed
+    bit-for-bit by the oracle."""
+    from hazelcast_jet_spark.operators.sketch import (
+        cms_join_size, count_min_build)
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ca = count_min_build(o.select("o_custkey"), "o_custkey",
+                         width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED)
+    cb = count_min_build(c.select("c_custkey"), "c_custkey",
+                         width=CMS_WIDTH, depth=CMS_DEPTH, seed=CMS_SEED)
+    est = cms_join_size(ca, cb)
+    exact = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(exact)
+
+
+def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile of orders.o_custkey (operators/profile.
+    key_skew): one keyed count exchange, then scalar skew statistics
+    (max/mean ratio — the salt-or-not signal) plus the 5 heaviest keys
+    with a deterministic (count desc, key asc) tiebreak."""
+    from hazelcast_jet_spark.operators.profile import key_skew
+
+    o = _t(spark, sf_dir, "orders")
+    return key_skew(o, "o_custkey", top_n=5)
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -3769,6 +3803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_event_type_intervals": scd2_event_type_intervals,
         "categorical_assoc_docs": categorical_assoc_docs,
         "padding_efficiency_docs": padding_efficiency_docs,
+        "cms_join_size_orders": cms_join_size_orders,
+        "key_skew_orders": key_skew_orders,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -3807,10 +3843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "sequence_packing": sequence_packing,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
         "dq_checks_orders": dq_checks_orders,
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -6989,6 +7025,76 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) * bucket_len AS DOUBLE) AS waste_frac
             FROM b GROUP BY bucket_len ORDER BY bucket_len
         """)(PAD_BOUNDARIES),
+        "cms_join_size_orders": f"""
+            WITH js AS (
+                SELECT unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j
+            ), ca AS (
+                SELECT j,
+                       CAST(CAST(CAST('0x' || substr(md5('{CMS_SEED}'
+                             || CAST(j AS VARCHAR) || ':'
+                             || CAST(o_custkey AS VARCHAR)), 1, 12)
+                           AS UBIGINT) AS BIGINT) % {CMS_WIDTH} AS INT) AS b,
+                       count(*) AS n
+                FROM orders CROSS JOIN js
+                WHERE o_custkey IS NOT NULL GROUP BY 1, 2
+            ), cb AS (
+                SELECT j,
+                       CAST(CAST(CAST('0x' || substr(md5('{CMS_SEED}'
+                             || CAST(j AS VARCHAR) || ':'
+                             || CAST(c_custkey AS VARCHAR)), 1, 12)
+                           AS UBIGINT) AS BIGINT) % {CMS_WIDTH} AS INT) AS b,
+                       count(*) AS n
+                FROM customer CROSS JOIN js
+                WHERE c_custkey IS NOT NULL GROUP BY 1, 2
+            ), pr AS (
+                SELECT ca.j, CAST(SUM(ca.n * cb.n) AS BIGINT) AS ip
+                FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
+                GROUP BY 1
+            ), fullr AS (
+                SELECT js.j, coalesce(pr.ip, 0) AS ip
+                FROM js LEFT JOIN pr USING (j)
+            ), est AS (
+                SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM fullr
+            ), ex AS (
+                SELECT count(*) AS exact_join_size
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT est.est_join_size, ex.exact_join_size
+            FROM est CROSS JOIN ex
+        """,
+        "key_skew_orders": """
+            WITH counts AS (
+                SELECT coalesce(CAST(o_custkey AS VARCHAR),
+                                chr(0) || 'NULL') AS key,
+                       count(*) AS n
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                       count(*) AS n_keys,
+                       CAST(MAX(n) AS BIGINT) AS max_n
+                FROM counts
+            ), summary AS (
+                SELECT CAST(NULL AS VARCHAR) AS key, 0 AS rank,
+                       n_rows, n_keys, max_n,
+                       CAST(n_rows AS DOUBLE) / n_keys AS mean_n,
+                       CAST(max_n AS DOUBLE)
+                           / (CAST(n_rows AS DOUBLE) / n_keys) AS skew_ratio
+                FROM s
+            ), heavy AS (
+                SELECT key, rank,
+                       CAST(NULL AS BIGINT) AS n_rows,
+                       n AS n_keys,
+                       CAST(NULL AS BIGINT) AS max_n,
+                       CAST(NULL AS DOUBLE) AS mean_n,
+                       CAST(NULL AS DOUBLE) AS skew_ratio
+                FROM (SELECT key, n, CAST(row_number() OVER (
+                          ORDER BY n DESC, key ASC) AS INT) AS rank
+                      FROM counts)
+                WHERE rank <= 5
+            )
+            SELECT * FROM summary UNION ALL SELECT * FROM heavy
+            ORDER BY rank
+        """,
         "streaming_interval_join_flush": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

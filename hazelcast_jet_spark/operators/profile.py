@@ -739,3 +739,53 @@ def categorical_association(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
              * (F.least("r", "c").cast("double") - F.lit(1.0)))
     v = F.when(denom > 0, F.sqrt(F.col("chi2") / denom))
     return agg.select("n", "n_cells", "mi", "chi2", v.alias("cramers_v"))
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Key-skew profile for a prospective join/aggregation on
+    ``key_col`` — the operator that decides whether to salt BEFORE the
+    shuffle surprises you: one groupBy(key) count (the only data-sized
+    exchange), then scalar skew statistics plus the ``top_n`` heaviest
+    keys from the counts table.
+
+    Emits one row per heavy key plus one summary row (key = NULL):
+
+    - summary: ``n_rows``, ``n_keys``, ``max_n``, ``mean_n``
+      (n_rows/n_keys as a double), ``skew_ratio`` (max_n/mean_n — the
+      factor by which the hottest partition-share exceeds the average;
+      > ~20 on a 1000-executor cluster says salt or AQE-skew-join this
+      key), with ``key``/``rank`` NULL/0;
+    - heavy keys: ``key`` (as string), ``n`` and ``rank`` 1..top_n by
+      (count desc, key asc).
+
+    NULL keys count as a regular group (they hash together in a real
+    join, which is exactly how they skew).
+    """
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00NULL"))
+    counts = df.select(k.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"))
+    summary = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    ).select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(0).alias("rank"),
+        "n_rows", "n_keys", "max_n",
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("mean_n"),
+        (F.col("max_n").cast("double")
+         / (F.col("n_rows").cast("double") / F.col("n_keys")))
+        .alias("skew_ratio"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    heavy = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("key", "rank",
+                F.lit(None).cast("bigint").alias("n_rows"),
+                F.col("n").alias("n_keys"),
+                F.lit(None).cast("bigint").alias("max_n"),
+                F.lit(None).cast("double").alias("mean_n"),
+                F.lit(None).cast("double").alias("skew_ratio"))
+    )
+    return summary.unionByName(heavy).orderBy("rank")

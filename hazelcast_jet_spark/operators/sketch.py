@@ -456,3 +456,43 @@ def count_min_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
         .agg(F.min(F.coalesce(F.col("cm_count"), F.lit(0)))
              .alias("cm_estimate"))
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join output-size estimate from two Count-Min sketches built
+    with the SAME (width, depth, seed): the classic sketch inner
+    product (Alon-Gibbons-Matias-Szegedy / Cormode-Muthukrishnan) —
+
+        |A join B| <= min over rows r of sum_w a[r][w] * b[r][w]
+
+    with equality in expectation minus collision bias (the estimate
+    never UNDERcounts).  This is the "plan before you shuffle" probe:
+    two bounded sketches (depth x width counters each, built map-side)
+    answer "how big would this join be?" without moving either table —
+    at 100 TB the difference between a key-skew surprise mid-shuffle
+    and a salting decision made up front.  Pair it with
+    :func:`~hazelcast_jet_spark.operators.profile.key_skew` for the
+    per-key view.
+
+    Plan: one (row, bucket) equi-join of two sketch tables (each at
+    most depth x width rows), one per-row sum, one min.  Missing
+    buckets contribute 0 (inner join drops them — a bucket absent from
+    either sketch has a zero counter).
+
+    Returns one row ``(est_join_size BIGINT)``.
+    """
+    a = cms_a.select("cm_row", "cm_bucket",
+                     F.col("cm_count").alias("__ca"))
+    b = cms_b.select("cm_row", "cm_bucket",
+                     F.col("cm_count").alias("__cb"))
+    per_row = (
+        a.join(b, ["cm_row", "cm_bucket"])
+        .groupBy("cm_row")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    # a hash row with NO overlapping buckets has inner product 0 — it must
+    # drive the min to 0, so left-join the sketch's full row set back in
+    rows = cms_a.select("cm_row").distinct()
+    full = rows.join(per_row, "cm_row", "left").select(
+        F.coalesce("__ip", F.lit(0)).alias("__ip"))
+    return full.agg(F.min("__ip").cast("bigint").alias("est_join_size"))

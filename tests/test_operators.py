@@ -2793,3 +2793,43 @@ def test_padding_efficiency(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         padding_efficiency(df, "n", [64, 32])
+
+
+def test_cms_join_size_overcounts_never_under(spark):
+    from hazelcast_jet_spark.operators.sketch import (
+        cms_join_size, count_min_build)
+
+    a_rows = [(k,) for k in [1, 1, 1, 2, 2, 3, 7, 7]]
+    b_rows = [(k,) for k in [1, 2, 2, 2, 3, 3, 9]]
+    a = spark.createDataFrame(a_rows, "k long")
+    b = spark.createDataFrame(b_rows, "k long")
+    exact = a.join(b, "k").count()  # 3*1 + 2*3 + 1*2 = 11
+    assert exact == 11
+    est = cms_join_size(
+        count_min_build(a, "k", width=64, depth=4),
+        count_min_build(b, "k", width=64, depth=4),
+    ).collect()[0]["est_join_size"]
+    assert est >= exact             # CMS inner product never undercounts
+    assert est <= exact + 20        # tiny collision mass at width 64
+    # disjoint key sets -> estimate ~0 (only collisions)
+    c = spark.createDataFrame([(100 + i,) for i in range(5)], "k long")
+    est0 = cms_join_size(
+        count_min_build(a, "k", width=1024, depth=4),
+        count_min_build(c, "k", width=1024, depth=4),
+    ).collect()[0]["est_join_size"]
+    assert est0 <= 2
+
+
+def test_key_skew_profile(spark):
+    from hazelcast_jet_spark.operators.profile import key_skew
+
+    rows = [(k,) for k in ["a"] * 10 + ["b"] * 4 + ["c"] * 2 + [None] * 4]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew(df, "k", top_n=2).collect()
+    summary = [r for r in out if r["rank"] == 0][0]
+    assert summary["n_rows"] == 20 and summary["n_keys"] == 4
+    assert summary["max_n"] == 10
+    assert abs(summary["mean_n"] - 5.0) < 1e-12
+    assert abs(summary["skew_ratio"] - 2.0) < 1e-12
+    heavy = {r["rank"]: (r["key"], r["n_keys"]) for r in out if r["rank"] > 0}
+    assert heavy == {1: ("a", 10), 2: ("\x00NULL", 4)}

@@ -1006,6 +1006,86 @@ def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew(o, "o_custkey", top_n=5)
 
 
+MMR_K, MMR_POOL, MMR_LAM = 3, 10, 0.7
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified selection (similarity.
+    mmr_select; Carbonell & Goldstein 1998): per query, 3 greedy picks
+    from a 10-candidate relevance pool trading cosine relevance
+    against redundancy (lam=0.7) — the data-selection step that spends
+    a budget on coverage instead of near-identical top hits.  All
+    scores are round-6 cosines with fixed-order IEEE arithmetic and
+    id-ascending tiebreaks; the oracle unrolls the identical greedy
+    steps as chained CTEs."""
+    from hazelcast_jet_spark.operators.similarity import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return mmr_select(e, q, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+
+
+def _mmr_oracle_sql() -> str:
+    """Generated CTE chain unrolling mmr_select's greedy steps."""
+    lam, inv = repr(float(MMR_LAM)), repr(float(1 - MMR_LAM))
+    parts = [f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), scored AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       c.embedding AS cvec,
+                       {_cos_sql("q.qvec", "c.embedding")} AS rel
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            ), cand AS (
+                SELECT query_id, corpus_id, cvec, rel FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, corpus_id ASC) AS rn
+                    FROM scored
+                ) WHERE rn <= {MMR_POOL}
+            ), ps AS (
+                SELECT a.query_id, a.corpus_id AS id_a, b.corpus_id AS id_b,
+                       {_cos_sql("a.cvec", "b.cvec")} AS sim
+                FROM cand a JOIN cand b
+                  ON a.query_id = b.query_id AND a.corpus_id <> b.corpus_id
+            ), selall1 AS (
+                SELECT query_id, corpus_id, 1 AS step FROM (
+                    SELECT query_id, corpus_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rel DESC, corpus_id ASC) AS rn
+                    FROM cand
+                ) WHERE rn = 1
+            )"""]
+    for t in range(2, MMR_K + 1):
+        parts.append(f""", rem{t} AS (
+                SELECT c.query_id, c.corpus_id, c.rel
+                FROM cand c LEFT JOIN selall{t-1} s
+                  ON c.query_id = s.query_id AND c.corpus_id = s.corpus_id
+                WHERE s.corpus_id IS NULL
+            ), sc{t} AS (
+                SELECT r.query_id, r.corpus_id,
+                       {lam} * r.rel - {inv} * MAX(p.sim) AS score
+                FROM rem{t} r
+                JOIN selall{t-1} s ON r.query_id = s.query_id
+                JOIN ps p ON p.query_id = r.query_id
+                         AND p.id_a = r.corpus_id AND p.id_b = s.corpus_id
+                GROUP BY r.query_id, r.corpus_id, r.rel
+            ), selall{t} AS (
+                SELECT * FROM selall{t-1}
+                UNION ALL
+                SELECT query_id, corpus_id, {t} AS step FROM (
+                    SELECT query_id, corpus_id, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, corpus_id ASC) AS rn
+                    FROM sc{t}
+                ) WHERE rn = 1
+            )""")
+    parts.append(f"""
+            SELECT query_id, corpus_id, step FROM selall{MMR_K}
+            ORDER BY query_id, step""")
+    return "".join(parts)
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -3805,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_efficiency_docs": padding_efficiency_docs,
         "cms_join_size_orders": cms_join_size_orders,
         "key_skew_orders": key_skew_orders,
+        "mmr_diverse_topk": mmr_diverse_topk,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -3842,9 +3923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
         "kmv_distinct_sketch": kmv_distinct_sketch,
         "dq_checks_orders": dq_checks_orders,
@@ -7095,6 +7176,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM summary UNION ALL SELECT * FROM heavy
             ORDER BY rank
         """,
+        "mmr_diverse_topk": _mmr_oracle_sql(),
         "streaming_interval_join_flush": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

@@ -629,12 +629,22 @@ def correlation_matrix(df: DataFrame, cols: list[str],
         nn = F.col(c).isNotNull()
         cond = nn if cond is None else (cond & nn)
     base = base.filter(cond)
+    # In ANSI mode (the Spark 4 default) an out-of-range cast throws
+    # NUMERIC_VALUE_OUT_OF_RANGE on its own; only NON-ANSI sessions turn
+    # it into a silently-skipped NULL and need the explicit per-row guard
+    # (which costs ~2x the aggregate — don't pay it where ANSI already
+    # fails loudly).
+    ansi = str(df.sparkSession.conf.get(
+        "spark.sql.ansi.enabled", "true")).lower() == "true"
+
     def _dterm(expr):
         # Rows here are listwise-complete, so a NULL decimal cast can only
         # mean overflow (or NaN/Inf input — equally corrupting): raise
         # instead of letting sum() silently skip the row and bias the
         # matrix.
         d = expr.cast("decimal(38,12)")
+        if ansi:
+            return d
         return F.when(d.isNull(), F.raise_error(F.lit(
             "correlation_matrix: value out of DECIMAL(38,12) range "
             "(|v| ~> 1e13, or NaN/Inf) — result would be silently biased"

@@ -861,3 +861,107 @@ def hard_negative_topk(corpus: DataFrame, anchors: DataFrame, k: int = 5,
         .select("query_id", "corpus_id", "anchor_label", "negative_label",
                 "cos_sim", "rank")
     )
+
+
+def mmr_select(corpus: DataFrame, queries: DataFrame, k: int = 3,
+               pool: int = 10, lam: float = 0.7,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    per query, greedily pick ``k`` results trading relevance against
+    redundancy —
+
+        score(c) = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)
+
+    — the diversified-retrieval step of a data-selection pipeline
+    (near-identical top hits waste a training-data budget; MMR spends
+    it on coverage).
+
+    Plan shape: the candidate pool is the top-``pool`` by relevance
+    (:func:`cosine_topk` contract — broadcast queries, map-only scan),
+    after which EVERYTHING operates on pool-sized frames: one
+    pool x pool pair-similarity table per query, then ``k`` unrolled
+    greedy steps (joins + one argmax window each) over at most
+    ``pool`` rows per query.  The corpus is scanned once; the greedy
+    recursion never touches it again.  ``k`` and ``pool`` are plan
+    constants (the plan grows with k), which is the right trade for
+    retrieval-sized k.
+
+    Determinism: relevance and pair similarities are round-6 cosines
+    (the gate convention), the score is a fixed-order IEEE expression,
+    and every argmax breaks ties by ``corpus_id`` ascending — a SQL
+    oracle unrolling the same steps reproduces the selection exactly.
+
+    Returns ``(query_id, corpus_id, step)`` with step 1..k.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need k >= 1 and pool >= k")
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    cos6 = _cosine6_udf()
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", "cvec",
+                cos6(F.col("qvec").cast("array<double>"),
+                     F.col("cvec").cast("array<double>")).alias("rel"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("corpus_id").asc())
+    cand = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= pool)
+            .select("query_id", "corpus_id", "cvec", "rel")
+            .localCheckpoint())
+    a = cand.select("query_id", F.col("corpus_id").alias("id_a"),
+                    F.col("cvec").alias("va"))
+    b = cand.select("query_id", F.col("corpus_id").alias("id_b"),
+                    F.col("cvec").alias("vb"))
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b",
+                cos6(F.col("va").cast("array<double>"),
+                     F.col("vb").cast("array<double>")).alias("sim"))
+        .localCheckpoint()
+    )
+    rel_only = cand.select("query_id", "corpus_id", "rel")
+    sel = (
+        rel_only.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "corpus_id", F.lit(1).alias("step"))
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(float(1 - lam))
+    for step in range(2, k + 1):
+        remaining = (
+            rel_only.join(sel.select("query_id",
+                                     F.col("corpus_id").alias("__sel")),
+                          "query_id")
+            .filter(F.col("corpus_id") != F.col("__sel"))
+            .groupBy("query_id", "corpus_id", "rel")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") == step - 1)   # not selected in ANY step
+            .drop("__n")
+        )
+        mscore = (
+            remaining
+            .join(sel.select("query_id", F.col("corpus_id").alias("id_b")),
+                  "query_id")
+            .join(psim.select("query_id",
+                              F.col("id_a").alias("corpus_id"),
+                              "id_b", "sim"),
+                  ["query_id", "corpus_id", "id_b"])
+            .groupBy("query_id", "corpus_id", "rel")
+            .agg(F.max("sim").alias("__ms"))
+            .select("query_id", "corpus_id",
+                    (lam_c * F.col("rel") - inv_c * F.col("__ms"))
+                    .alias("__score"))
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("corpus_id").asc())
+        nxt = (
+            mscore.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "corpus_id", F.lit(step).alias("step"))
+        )
+        sel = sel.unionByName(nxt).localCheckpoint()
+    return sel.orderBy("query_id", "step")

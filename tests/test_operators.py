@@ -2833,3 +2833,48 @@ def test_key_skew_profile(spark):
     assert abs(summary["skew_ratio"] - 2.0) < 1e-12
     heavy = {r["rank"]: (r["key"], r["n_keys"]) for r in out if r["rank"] > 0}
     assert heavy == {1: ("a", 10), 2: ("\x00NULL", 4)}
+
+
+def test_mmr_select_matches_greedy_model_and_diversifies(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import mmr_select
+
+    # clusterable vectors: two tight groups + outliers so diversity matters
+    def vec(base, eps, d=8):
+        v = np.zeros(d); v[base] = 1.0; v[(base + 1) % d] = eps
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(0, 0.0)),          # query
+        (1, vec(0, 0.1)), (2, vec(0, 0.12)), (3, vec(0, 0.14)),  # near-dups
+        (4, vec(1, 0.1)), (5, vec(2, 0.1)),                      # diverse
+        (6, vec(3, 0.05)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = {(r["query_id"], r["step"]): r["corpus_id"]
+           for r in mmr_select(df, q, k=3, pool=6, lam=0.5).collect()}
+
+    # python greedy replay with the same round-6 cosine convention
+    def rh(x, d=6):
+        import math
+        s = 10.0 ** d
+        return math.copysign(math.floor(abs(x) * s + 0.5) / s, x)
+
+    V = {i: np.array(v) for i, v in rows}
+    def cos(a, b):
+        return rh(float(V[a] @ V[b] /
+                        (np.linalg.norm(V[a]) * np.linalg.norm(V[b]))))
+    cands = sorted((i for i in V if i != 0),
+                   key=lambda i: (-cos(0, i), i))[:6]
+    rel = {i: cos(0, i) for i in cands}
+    sel = [max(cands, key=lambda i: (rel[i], -i))]
+    while len(sel) < 3:
+        rest = [i for i in cands if i not in sel]
+        scores = {i: 0.5 * rel[i] - 0.5 * max(cos(i, s) for s in sel)
+                  for i in rest}
+        sel.append(max(rest, key=lambda i: (scores[i], -i)))
+    assert [got[(0, s)] for s in (1, 2, 3)] == sel
+    # diversity actually kicked in: not all three from the near-dup cluster
+    assert not set(sel) <= {1, 2, 3}

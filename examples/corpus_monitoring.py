@@ -151,3 +151,26 @@ dec = seasonal_decompose(events.filter(F.col("value").isNotNull()),
                          "event_type", "ts", "value", "event_id", period=12)
 (dec.groupBy("event_type", "pos").agg(F.min("seasonal").alias("seasonal"))
  .orderBy("event_type", "pos").show(8))
+
+# 15. plan BEFORE you shuffle: key-skew profile (salt-or-not signal)
+#     and a join-size forecast from two bounded Count-Min sketches
+from hazelcast_jet_spark.operators.profile import key_skew  # noqa: E402
+from hazelcast_jet_spark.operators.sketch import (  # noqa: E402
+    cms_join_size, count_min_build)
+
+print("events.user_id skew profile:")
+key_skew(events, "user_id", top_n=3).show()
+a = count_min_build(events.select("user_id"), "user_id", width=512, depth=4)
+b = count_min_build(events.select("user_id").distinct(), "user_id",
+                    width=512, depth=4)
+print("forecast |events JOIN users| from sketches:",
+      cms_join_size(a, b).collect()[0]["est_join_size"],
+      "(exact:", events.count(), ")")
+
+# 16. categorical feature redundancy: MI / chi^2 / Cramér's V between
+#     two discrete columns in one contingency aggregate
+from hazelcast_jet_spark.operators.profile import categorical_association  # noqa: E402
+
+docs = load_table(spark, sf_dir, "documents")
+print("lang x source association:")
+categorical_association(docs, "lang", "source").show()

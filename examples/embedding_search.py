@@ -61,3 +61,50 @@ adc = pq_topk(codes, queries, books, k=5)
 a2 = {(r["query_id"], r["corpus_id"]) for r in adc.collect()}
 # exact here is cosine; ADC is L2 — overlap is indicative, not 1.0
 print(f"ADC top-5 overlap with exact cosine: {len(a2 & e)}/{len(e)}")
+
+# 5. ANN quality probe: recall of the full IVF-PQ-with-re-rank pipeline
+#    (shortlist by ADC, finish with exact cosine over the shortlist) —
+#    the metric that sizes nprobe/shortlist for a recall target
+from hazelcast_jet_spark.operators.similarity import adc_dist_portable  # noqa: E402
+
+short = pq_topk(codes, queries, books, k=25)
+rr = (short.join(emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+                 "corpus_id")
+      .join(queries.select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("qv")), "query_id"))
+from hazelcast_jet_spark.operators.similarity import cosine  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+reranked = (rr.withColumn("cs", F.round(cosine(
+                F.col("qv").cast("array<double>"),
+                F.col("embedding").cast("array<double>")), 6))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("query_id")
+                .orderBy(F.col("cs").desc(), F.col("corpus_id"))))
+            .filter(F.col("rk") <= 5))
+a3 = {(r["query_id"], r["corpus_id"]) for r in reranked.collect()}
+print(f"ADC-shortlist + exact re-rank recall@5: {len(a3 & e)}/{len(e)}")
+
+# 6. byte-domain near-dups straight off PQ codes (no vectors read):
+#    pairs differing in <= 1 of 8 subspaces via the one-hot hamming
+#    probe.  The one-hot bigint packing needs m*k_cb <= 63 bits, so the
+#    DEDUP codebook is a coarser k=4 fit than the k=16 search codebook
+#    (coarser codes collide more aggressively — what dedup wants).
+from hazelcast_jet_spark.operators.similarity import pq_code_near_dup_pairs  # noqa: E402
+
+books4 = pq_fit(emb, m=8, k=4, max_iter=4)
+codes4 = pq_encode(emb, books4)
+code_dups = pq_code_near_dup_pairs(codes4, k_cb=4, max_diff_codes=1)
+print("PQ-code near-dup pairs (<=1 differing subspace):", code_dups.count())
+
+# 7. hard negatives + MMR: the selection end of the embedding pipeline —
+#    similarity-aware negatives for contrastive training, and a
+#    diversified top-k that spends a budget on coverage
+from hazelcast_jet_spark.operators.similarity import (  # noqa: E402
+    hard_negative_topk, mmr_select)
+
+labeled = emb  # embeddings table carries a label column
+print("hard negatives (most-similar different-label) for 3 anchors:")
+hard_negative_topk(labeled, labeled.filter(F.col("vec_id") < 3), k=3).show()
+print("MMR diversified selection (k=3 from a 10-candidate pool):")
+mmr_select(emb, queries, k=3, pool=10, lam=0.7).show()

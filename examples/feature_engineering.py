@@ -52,3 +52,15 @@ win = sliding_agg(events, "ts", 7200, 3600, ["event_type"],
                   {"n": F.sum("n"), "s": F.sum("s")})
 print("2h/1h sliding windows (two-level plan):")
 win.orderBy("event_type", "window_start_epoch").show(5)
+
+# SCD2: collapse each user's event-type change log into validity
+# intervals [valid_from, valid_to) — the warehouse history table a CDC
+# stream would maintain, built batch-side in one ordered window
+from hazelcast_jet_spark.operators.timeseries import (  # noqa: E402
+    _epoch_seconds, scd2_intervals)
+
+ev = events.select("user_id", "event_id", "event_type",
+                   _epoch_seconds(events, "ts").alias("sec"))
+print("SCD2 state intervals (first user):")
+(scd2_intervals(ev, "user_id", "sec", "event_type", "event_id")
+ .orderBy("user_id", "version").show(5))

@@ -808,11 +808,12 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     with the Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
     (always positive, stable for df > N/2).
 
-    Plan at scale: ONE corpus scan — tokens explode, per-(doc, term) tf
-    for the query terms only (filter BEFORE the aggregation, so the
-    exchange carries query-term rows only), doc lengths ride the same
-    pass via a grouping on the doc; N/avgdl/df are a tiny aggregate
-    broadcast back.  Nothing is collected.
+    Plan at scale: ONE corpus scan — a single per-doc token aggregation
+    carries the doc length AND one conditional-sum tf per query term;
+    tf rows unpivot from that bounded frame (docs x |terms| max), and
+    N/avgdl/df are tiny aggregates broadcast back.  The per-doc
+    aggregate's consumers share an identical subtree, so Spark's
+    exchange reuse materializes it once.  Nothing is collected.
 
     Determinism: ``ln`` is correctly-rounded libm on both engines (the
     unigram-LM convention); per-term contributions are IEEE doubles
@@ -830,13 +831,33 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
             F.split(normalize_text(text_col), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
+    # ONE token aggregation carries doc length AND every query term's tf
+    # (a per-term conditional sum) — the per-doc frame then feeds tf
+    # rows, document frequencies and the corpus stats; its identical
+    # aggregate subtree is exchange-reused at runtime, so the corpus is
+    # scanned once.
+    aggs = [F.count(F.lit(1)).alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                    .alias(f"__tf{i}"))
+    per = toks.groupBy(id_col).agg(*aggs)
+    # keep the corpus aggregate's input columns identical to tf's (a
+    # zero-valued dependency on every __tf column) so Catalyst's column
+    # pruning can't diverge the two subtrees — with identical children
+    # the per-doc aggregate's exchange is REUSED, not recomputed
+    # (verified: ReusedExchange in the executed plan).
+    keep_dl = F.col("dl")
+    for i in range(len(terms)):
+        keep_dl = keep_dl + F.lit(0) * F.col(f"__tf{i}")
+    corpus = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("dl").cast("decimal(18,6)")).alias("sum_dl"))
+        F.sum(keep_dl.cast("decimal(18,6)")).alias("sum_dl"))
+    stack = ", ".join(
+        f"'{t}', CAST(__tf{i} AS BIGINT)" for i, t in enumerate(terms))
     tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        per.selectExpr(id_col, "dl",
+                       f"stack({len(terms)}, {stack}) AS (term, tf)")
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = (F.col("sum_dl").cast("double") / F.col("n_docs"))
@@ -851,8 +872,7 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
            * (F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / avgdl))
     )
     scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(corpus))
         .select(F.col(id_col), contrib.alias("c"))
     )

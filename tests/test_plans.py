@@ -420,3 +420,72 @@ def test_w1_drift_two_exchanges(spark, sf_dir):
     df = entry_mod.w1_drift_events(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bm25_single_scan_broadcast_stats(spark, sf_dir):
+    """bm25: one per-doc token aggregation feeds tf rows, df and corpus
+    stats (identical subtrees -> exchange reuse at runtime); the
+    stats join back broadcast, never sort-merge."""
+    df = entry_mod.bm25_search_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed  # per-doc aggregate built once
+
+
+def test_hard_negative_anchor_broadcast(spark, sf_dir):
+    """hard negatives: anchors broadcast; the corpus scan is map-only up
+    to the per-anchor window."""
+    plan = _plan(entry_mod.hard_negative_mining(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # theta join, broadcast side
+    assert "SortMergeJoin" not in plan
+
+
+def test_key_skew_reuses_counts_exchange(spark, sf_dir):
+    """key_skew: the keyed-count exchange is the only data-sized one;
+    the summary and heavy-keys branches REUSE it at runtime instead of
+    re-scanning orders."""
+    df = entry_mod.key_skew_orders(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    assert "CartesianProduct" not in executed
+
+
+def test_cms_join_size_no_cartesian(spark, sf_dir):
+    """cms_join_size: the sketch-vs-sketch join and the 1-row estimate x
+    exact cross join must never plan a CartesianProduct over data."""
+    plan = _plan(entry_mod.cms_join_size_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "est_join_size" in plan
+
+
+def test_scd2_single_window_exchange(spark, sf_dir):
+    """scd2: ONE ordered hash exchange on the key serves lag, lead and
+    version numbering (the final presentation sort adds a range
+    exchange — not a second hash shuffle)."""
+    plan = _plan(entry_mod.scd2_event_type_intervals(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_label_centroid_assignment_map_only(spark, sf_dir):
+    """label_centroid_confusion's assignment phase: literal centroids
+    ride the task binary — no join in the plan; the confusion count is
+    the only hash aggregation."""
+    from hazelcast_jet_spark.operators.clustering import (
+        label_centroid_confusion)
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(label_centroid_confusion(e))
+    assert "Join" not in plan          # no centroid join — literals only
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_padding_efficiency_single_aggregate(spark, sf_dir):
+    plan = _plan(entry_mod.padding_efficiency_docs(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+    # formatted plans mention each node twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2

@@ -3583,6 +3583,79 @@ def streaming_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(sk, "complete").orderBy("cm_row", "cm_bucket")
 
 
+def streaming_psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: per-day PSI of the live value
+    distribution against the full-corpus reference — the live
+    data-quality dashboard shape.  The STREAM maintains only the
+    per-(day, bin) counts (complete mode; bounded state: days × bins
+    cells however high the rate); PSI derives batch-side from the
+    final counts with operators/profile.psi_drift's exact conventions
+    (clamped [lo,hi] equi-width bins, Laplace alpha=0.5, occupied-bin
+    sum, ln terms in DECIMAL(18,12)).  Day buckets come from tz-free
+    integer epoch seconds; availableNow on bounded input makes the
+    counters deterministic, so the batch SQL replay is the exact
+    oracle."""
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    w = (PSI_HI - PSI_LO) / PSI_BINS
+    alpha = 0.5
+
+    def _bin(x):
+        return F.greatest(
+            F.least(F.floor((x - F.lit(PSI_LO)) / F.lit(w)),
+                    F.lit(PSI_BINS - 1)),
+            F.lit(0)).cast("int")
+
+    e = read_stream_table(spark, sf_dir, "events")
+    sec = F.floor(F.expr(
+        "timestampdiff(MICROSECOND, "
+        "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), ts)") / F.lit(1e6))
+    x = F.col("value").cast("double")
+    cur = run_to_batch(
+        e.filter(x.isNotNull())
+        .select(F.floor(sec / F.lit(86400)).alias("day"),
+                _bin(x).alias("bin"))
+        .groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c_cur")),
+        "complete")
+    b = _t(spark, sf_dir, "events")
+    bx = F.col("value").cast("double")
+    ref = (
+        b.filter(bx.isNotNull())
+        .select(_bin(bx).alias("bin"))
+        .groupBy("bin").agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    ref_tot = ref.agg(F.sum("c_ref").alias("n_ref"))
+    day_tot = cur.groupBy("day").agg(F.sum("c_cur").alias("n_cur"))
+    # the day list is bounded (one row per observed day) and must not
+    # share the memory-sink lineage with cur (self-join attribute
+    # conflict) — collect it and rebuild a literal frame
+    days = spark.createDataFrame(
+        [(int(r["day"]),) for r in cur.select("day").distinct().collect()],
+        "day bigint")
+    grid = ref.crossJoin(days)
+    j = (
+        grid.join(cur, ["day", "bin"], "left")
+        .select("day", "c_ref",
+                F.coalesce("c_cur", F.lit(0)).alias("c_cur"))
+        .join(F.broadcast(day_tot), "day")
+        .crossJoin(F.broadcast(ref_tot))
+        .select("day", "n_ref", "n_cur", "c_ref", "c_cur")
+    )
+    p = (F.col("c_ref") + F.lit(alpha)) / (F.col("n_ref")
+                                           + F.lit(alpha * PSI_BINS))
+    q = (F.col("c_cur") + F.lit(alpha)) / (F.col("n_cur")
+                                           + F.lit(alpha * PSI_BINS))
+    term = ((p - q) * F.log(p / q)).cast("decimal(18,12)")
+    return (
+        j.groupBy("day")
+        .agg(F.first("n_ref").alias("n_ref"),
+             F.first("n_cur").alias("n_cur"),
+             F.round(F.sum(term).cast("double"), 6).alias("psi"))
+        .orderBy("day")
+    )
+
+
 #: fixed merge list for the BPE gate — a real hierarchy ("table" built in
 #: 4 steps); bpe_fit-learned lists are pinned against the reference
 #: implementation in pytest (iterative fit is not SQL-expressible)
@@ -3886,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size_orders": cms_join_size_orders,
         "key_skew_orders": key_skew_orders,
         "mmr_diverse_topk": mmr_diverse_topk,
+        "streaming_psi_drift_events": streaming_psi_drift_events,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -3922,9 +3996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
         "kmv_distinct_sketch": kmv_distinct_sketch,
@@ -7177,6 +7251,44 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rank
         """,
         "mmr_diverse_topk": _mmr_oracle_sql(),
+        "streaming_psi_drift_events": f"""
+            WITH ev AS (
+                SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+                           AS day,
+                       CAST(greatest(least(
+                            floor((CAST(value AS DOUBLE) - {PSI_LO})
+                                  / {(PSI_HI - PSI_LO) / PSI_BINS}),
+                            {PSI_BINS - 1}), 0) AS INT) AS bin
+                FROM events WHERE value IS NOT NULL
+            ), cur AS (
+                SELECT day, bin, count(*) AS c_cur FROM ev GROUP BY 1, 2
+            ), ref AS (
+                SELECT bin, count(*) AS c_ref FROM ev GROUP BY 1
+            ), ref_tot AS (
+                SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref FROM ref
+            ), day_tot AS (
+                SELECT day, CAST(SUM(c_cur) AS BIGINT) AS n_cur
+                FROM cur GROUP BY 1
+            ), grid AS (
+                SELECT d.day, r.bin, r.c_ref FROM ref r
+                CROSS JOIN (SELECT DISTINCT day FROM cur) d
+            ), j AS (
+                SELECT g.day, rt.n_ref, dt.n_cur, g.c_ref,
+                       coalesce(c.c_cur, 0) AS c_cur
+                FROM grid g
+                LEFT JOIN cur c ON g.day = c.day AND g.bin = c.bin
+                JOIN day_tot dt ON g.day = dt.day
+                CROSS JOIN ref_tot rt
+            )
+            SELECT day, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+                   round(CAST(SUM(CAST(
+                       ((c_ref + 0.5) / (n_ref + {0.5 * PSI_BINS})
+                        - (c_cur + 0.5) / (n_cur + {0.5 * PSI_BINS}))
+                       * ln(((c_ref + 0.5) / (n_ref + {0.5 * PSI_BINS}))
+                            / ((c_cur + 0.5) / (n_cur + {0.5 * PSI_BINS})))
+                       AS DECIMAL(18,12))) AS DOUBLE), 6) AS psi
+            FROM j GROUP BY day ORDER BY day
+        """,
         "streaming_interval_join_flush": """
             WITH ev AS (
                 SELECT event_id, user_id, event_type,

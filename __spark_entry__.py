@@ -946,6 +946,37 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: split instant for the incremental-SCD2 gate (2024-01-21 00:00:00 —
+#: inside the events range at every SF, so both halves are non-empty)
+SCD2_SPLIT_SEC = 1705795200
+
+
+def scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/timeseries.
+    scd2_apply_delta): the history table built from the first 20 days
+    is merged with the remaining days' changelog, rebuilding ONLY
+    delta-touched keys (semi/anti split + bounded per-key replay) —
+    and, because a time-split delta is append-only per key, the result
+    is provably IDENTICAL to a full rebuild, which is exactly what the
+    oracle computes.  The strongest pin an incremental operator can
+    have: incremental == batch."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        _epoch_seconds, scd2_apply_delta, scd2_intervals)
+
+    e = _t(spark, sf_dir, "events")
+    e = e.select("user_id", "event_id", "event_type",
+                 _epoch_seconds(e, "ts").alias("sec"))
+    old_half = e.filter(F.col("sec") < SCD2_SPLIT_SEC)
+    delta = e.filter(F.col("sec") >= SCD2_SPLIT_SEC)
+    existing = scd2_intervals(old_half, "user_id", "sec", "event_type",
+                              "event_id")
+    return (
+        scd2_apply_delta(existing, delta, "user_id", "sec", "event_type",
+                         "event_id")
+        .orderBy("user_id", "version")
+    )
+
+
 def categorical_assoc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information + chi-squared + Cramér's V between lang and
     source (operators/profile.categorical_association) — one
@@ -3954,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": hard_negative_mining,
         "label_centroid_confusion_emb": label_centroid_confusion_emb,
         "scd2_event_type_intervals": scd2_event_type_intervals,
+        "scd2_incremental_merge": scd2_incremental_merge,
         "categorical_assoc_docs": categorical_assoc_docs,
         "padding_efficiency_docs": padding_efficiency_docs,
         "cms_join_size_orders": cms_join_size_orders,
@@ -3995,9 +4027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": stratified_sample_docs,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
@@ -7115,6 +7147,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_type, sec AS valid_from,
                    lead(sec) OVER w2 AS valid_to,
+                   event_id AS open_id,
+                   CAST(row_number() OVER w2 AS INT) AS version
+            FROM kept
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ORDER BY user_id, version
+        """,
+        "scd2_incremental_merge": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), ch AS (
+                SELECT user_id, event_type, sec, event_id,
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), kept AS (
+                SELECT user_id, event_type, sec, event_id FROM ch
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, sec AS valid_from,
+                   lead(sec) OVER w2 AS valid_to,
+                   event_id AS open_id,
                    CAST(row_number() OVER w2 AS INT) AS version
             FROM kept
             WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)

@@ -645,8 +645,11 @@ def scd2_intervals(df: DataFrame, key_col: str, time_col: str,
     Mechanics: ONE ordered window exchange on ``key_col`` — ``lag`` to
     drop no-op repeats (null-safe: a state going NULL IS a change),
     then ``lead`` over the survivors for the interval end.  Emits
-    ``(key_col, state_col, valid_from, valid_to, version)`` with
-    ``version`` numbering each key's states from 1 in time order.
+    ``(key_col, state_col, valid_from, valid_to, open_id, version)``
+    with ``version`` numbering each key's states from 1 in time order
+    and ``open_id`` the ``id_col`` of the interval-opening event
+    (provenance, and what :func:`scd2_apply_delta` uses to replay the
+    table as a change log).
 
     Determinism: ties on ``time_col`` break by ``id_col`` (the event-id
     convention every ordered operator here uses).
@@ -663,5 +666,44 @@ def scd2_intervals(df: DataFrame, key_col: str, time_col: str,
         key_col, state_col,
         F.col(time_col).alias("valid_from"),
         F.lead(time_col).over(w2).alias("valid_to"),
+        F.col(id_col).alias("open_id"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+def scd2_apply_delta(intervals: DataFrame, delta: DataFrame, key_col: str,
+                     time_col: str, state_col: str, id_col: str) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a NEW changelog batch into an
+    existing :func:`scd2_intervals` table, rebuilding ONLY the keys the
+    delta touches — the 100 TB shape (a daily CDC batch touches a tiny
+    key fraction; re-deriving the whole history table every day is the
+    thing this avoids).
+
+    Mechanics: delta keys split the table with one semi/anti join pair;
+    affected keys' intervals replay as change events (``valid_from`` /
+    ``open_id`` are exactly the surviving change points), union the
+    delta, and re-run :func:`scd2_intervals` on that bounded slice;
+    untouched keys pass through with versions intact.
+
+    Exactness contract: for APPEND-ONLY deltas (every delta event at or
+    after the key's last recorded change — the streaming-CDC case) the
+    result is IDENTICAL to rebuilding from the full original log,
+    because collapse only ever dropped repeats that cannot interleave
+    with future events.  A backfill that lands BETWEEN two collapsed
+    repeats of an old state cannot resurrect the dropped repeat (the
+    log was compacted); rebuild from the raw log when out-of-order
+    history matters.
+    """
+    dk = delta.select(F.col(key_col)).distinct()
+    affected = intervals.join(dk, key_col, "left_semi")
+    untouched = intervals.join(dk, key_col, "left_anti")
+    replay = affected.select(
+        F.col(key_col),
+        F.col("valid_from").alias(time_col),
+        F.col(state_col),
+        F.col("open_id").alias(id_col),
+    )
+    merged = replay.unionByName(
+        delta.select(key_col, time_col, state_col, id_col))
+    rebuilt = scd2_intervals(merged, key_col, time_col, state_col, id_col)
+    return untouched.unionByName(rebuilt)

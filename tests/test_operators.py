@@ -2737,12 +2737,48 @@ def test_scd2_intervals_collapse_and_versions(spark):
     ]
     df = spark.createDataFrame(rows, "k long, t long, s string, id long")
     got = sorted(
-        (r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"])
+        (r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"],
+         r["open_id"])
         for r in scd2_intervals(df, "k", "t", "s", "id").collect())
     assert got == [
-        (1, 1, "A", 10, 30), (1, 2, "B", 30, 40), (1, 3, "A", 40, None),
-        (2, 1, "X", 10, 15), (2, 2, None, 15, None),
+        (1, 1, "A", 10, 30, 100), (1, 2, "B", 30, 40, 102),
+        (1, 3, "A", 40, None, 103),
+        (2, 1, "X", 10, 15, 200), (2, 2, None, 15, None, 201),
     ]
+
+
+def test_scd2_apply_delta_append_only_equals_full_rebuild(spark):
+    """Incremental maintenance invariant: for append-only deltas,
+    apply_delta(scd2(old), delta) == scd2(old UNION delta) — including
+    collapse ACROSS the boundary (delta continuing the last state) and
+    brand-new keys; untouched keys pass through unchanged."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        scd2_apply_delta, scd2_intervals)
+
+    old_rows = [
+        (1, 10, "A", 100), (1, 20, "A", 101), (1, 30, "B", 102),
+        (2, 10, "X", 200),
+        (3, 10, "Q", 300),                    # untouched by the delta
+    ]
+    delta_rows = [
+        (1, 40, "B", 103),   # same state as key 1's last -> collapses
+        (1, 50, "C", 104),
+        (2, 40, "Y", 201),
+        (4, 10, "N", 400),   # brand-new key
+    ]
+    schema = "k long, t long, s string, id long"
+    old = spark.createDataFrame(old_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    inc = scd2_apply_delta(
+        scd2_intervals(old, "k", "t", "s", "id"), delta, "k", "t", "s", "id")
+    full = scd2_intervals(old.unionByName(delta), "k", "t", "s", "id")
+    key = lambda r: (r["k"], r["version"])
+    gi = {key(r): tuple(r) for r in inc.collect()}
+    gf = {key(r): tuple(r) for r in full.collect()}
+    assert gi == gf
+    # and the delta genuinely collapsed into key 1's open B interval
+    k1 = sorted((r["version"], r["s"]) for r in inc.filter("k = 1").collect())
+    assert k1 == [(1, "A"), (2, "B"), (3, "C")]
 
 
 def test_categorical_association_matches_python(spark):

@@ -1117,6 +1117,59 @@ def _mmr_oracle_sql() -> str:
     return "".join(parts)
 
 
+MATRYOSHKA_DIMS = 16
+
+
+def matryoshka_recall_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall (similarity.truncated_cosine_topk;
+    Kusupati et al. 2022 Matryoshka evaluation): recall@5 of cosine
+    top-k over the FIRST 16 of 64 dims against full-vector top-k —
+    the sizing decision for prefix-truncated embedding storage (every
+    ANN scan's bytes scale with stored dims).  Integer intersection
+    counts; both sides use the round-6 (sim, id) convention."""
+    from hazelcast_jet_spark.operators import similarity
+    from hazelcast_jet_spark.operators.similarity import truncated_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    full = similarity.cosine_topk(e, q, k=TOPK).select("query_id", "corpus_id")
+    trunc = truncated_cosine_topk(e, q, MATRYOSHKA_DIMS, k=TOPK).select(
+        "query_id", "corpus_id")
+    hits = trunc.join(full, ["query_id", "corpus_id"]).groupBy(
+        "query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = q.select(F.col("vec_id").alias("query_id"))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+    return (
+        base.join(hits, "query_id", "left")
+        .select("query_id", nh.alias("n_hits"),
+                (nh.cast("double") / F.lit(float(TOPK))).alias("recall_at_k"))
+        .orderBy("query_id")
+    )
+
+
+def embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization (clustering.
+    embedding_standardize): one bounded moment aggregate (DIMS rows to
+    the driver), map-only transform with literal constants; the gate
+    verifies the standardized distribution per dim — order-free
+    DECIMAL sum (~0), rounded extrema — for the first 8 dims."""
+    from hazelcast_jet_spark.operators.clustering import embedding_standardize
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_standardize(e)
+    per = out.select(F.posexplode("std_embedding").alias("pos", "v")) \
+        .filter(F.col("pos") < 8)
+    return (
+        per.groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("v").cast("decimal(18,12)"))
+                     .cast("double"), 6).alias("sum_std"),
+             F.round(F.min("v"), 6).alias("min_std"),
+             F.round(F.max("v"), 6).alias("max_std"))
+        .orderBy("pos")
+    )
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -3992,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_orders": key_skew_orders,
         "mmr_diverse_topk": mmr_diverse_topk,
         "streaming_psi_drift_events": streaming_psi_drift_events,
+        "matryoshka_recall_emb": matryoshka_recall_emb,
+        "embedding_standardize_stats": embedding_standardize_stats,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -4025,10 +4080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": tfidf_top_terms,
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
         "tpch_q22_missing_customers": tpch_q22_missing_customers,
         "decontaminate_docs": decontaminate_docs,
@@ -7175,6 +7230,80 @@ def oracle_sql() -> dict[str, str]:
             FROM kept
             WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)
             ORDER BY user_id, version
+        """,
+        "matryoshka_recall_emb": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), full_s AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       {_cos_sql("q.qvec", "c.embedding")} AS cs
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            ), full_k AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cs DESC,
+                        corpus_id ASC) AS rnk
+                    FROM full_s) WHERE rnk <= {TOPK}
+            ), tr_s AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       {_cos_sql(f"q.qvec[1:{MATRYOSHKA_DIMS}]",
+                                 f"c.embedding[1:{MATRYOSHKA_DIMS}]")} AS cs
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            ), tr_k AS (
+                SELECT query_id, corpus_id FROM (
+                    SELECT query_id, corpus_id, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cs DESC,
+                        corpus_id ASC) AS rnk
+                    FROM tr_s) WHERE rnk <= {TOPK}
+            ), hits AS (
+                SELECT query_id, count(*) AS n_hits
+                FROM tr_k JOIN full_k USING (query_id, corpus_id)
+                GROUP BY 1
+            )
+            SELECT qq.query_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) AS DOUBLE) / {float(TOPK)}
+                       AS recall_at_k
+            FROM (SELECT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < {N_QUERY_VECS}) qq
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY qq.query_id
+        """,
+        "embedding_standardize_stats": """
+            WITH per AS (
+                SELECT CAST(v AS DOUBLE) AS v, pos FROM (
+                    SELECT unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1))
+                               AS pos
+                    FROM embeddings)
+            ), stats AS (
+                SELECT pos,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS mean,
+                       sqrt(greatest(
+                           CAST(SUM(CAST(v * v AS DECIMAL(38,12)))
+                                AS DOUBLE) / count(*)
+                           - (CAST(SUM(CAST(v AS DECIMAL(38,12)))
+                                   AS DOUBLE) / count(*))
+                             * (CAST(SUM(CAST(v AS DECIMAL(38,12)))
+                                     AS DOUBLE) / count(*)),
+                           0.0)) AS std
+                FROM per GROUP BY 1
+            ), z AS (
+                SELECT p.pos,
+                       CASE WHEN s.std > 1e-9
+                            THEN (p.v - s.mean) / s.std
+                            ELSE p.v - s.mean END AS v
+                FROM per p JOIN stats s USING (pos)
+                WHERE p.pos < 8
+            )
+            SELECT pos, count(*) AS n,
+                   round(CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE), 6)
+                       AS sum_std,
+                   round(MIN(v), 6) AS min_std,
+                   round(MAX(v), 6) AS max_std
+            FROM z GROUP BY pos ORDER BY pos
         """,
         "categorical_assoc_docs": """
             WITH cells AS (

@@ -508,3 +508,51 @@ def label_centroid_confusion(df: DataFrame, label_col: str = "label",
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("label", "assigned_label")
     )
+
+
+def embedding_standardize(df: DataFrame, vec_col: str = "embedding",
+                          out_col: str = "std_embedding",
+                          eps: float = 1e-9) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling step before distance-based ops (k-means, L2
+    ANN, coresets) when dimensions carry different scales: one bounded
+    moment aggregate (DIMS rows of exact-decimal sum/sumsq to the
+    driver, never data), then a map-only ``(x - mean) / std`` with the
+    per-dim constants as literals in the task binary.
+
+    ``std`` is the population standard deviation from the exact
+    decimal moments (one correctly rounded sqrt per dim);
+    near-constant dims (std <= eps) pass through centered but
+    unscaled (dividing by ~0 would explode noise).
+
+    Adds ``out_col`` (array<double>); original column untouched.
+    """
+    per = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    rows = (
+        per.groupBy("pos")
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+             F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+             .alias("s2"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    import math
+
+    stats = {}
+    for r in rows:
+        n = r["n"]
+        mean = float(r["s"]) / n
+        var = max(float(r["s2"]) / n - mean * mean, 0.0)
+        stats[r["pos"]] = (mean, math.sqrt(var))
+    dims = len(stats)
+    means = F.array(*[F.lit(stats[p][0]) for p in range(dims)])
+    stds = F.array(*[F.lit(stats[p][1]) for p in range(dims)])
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(1), F.lit(dims))
+    out = F.transform(idx, lambda i: F.when(
+        F.element_at(stds, i) > F.lit(float(eps)),
+        (F.element_at(v, i) - F.element_at(means, i))
+        / F.element_at(stds, i),
+    ).otherwise(F.element_at(v, i) - F.element_at(means, i)))
+    return df.withColumn(out_col, out)

@@ -965,3 +965,40 @@ def mmr_select(corpus: DataFrame, queries: DataFrame, k: int = 3,
         )
         sel = sel.unionByName(nxt).localCheckpoint()
     return sel.orderBy("query_id", "step")
+
+
+def truncated_cosine_topk(corpus: DataFrame, queries: DataFrame, dims: int,
+                          k: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k over the FIRST ``dims`` dimensions only — the
+    evaluation half of Matryoshka-style dimension truncation (Kusupati
+    et al. 2022): would storing a prefix of each embedding preserve the
+    neighborhoods?  Compare against :func:`cosine_topk` on the full
+    vectors to get recall@k per truncation width; at 100 TB, halving
+    stored dims halves every ANN scan's bytes, so this recall curve is
+    the sizing decision.
+
+    Same contract/plan as cosine_topk (broadcast queries, map-only
+    scan, (sim desc, id asc) window); the slice happens before the
+    Arrow kernel so only ``dims`` floats per row are touched.
+    """
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    sl = lambda c: F.slice(F.col(c).cast("array<double>"), 1, dims)
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      sl(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       sl(vec_col).alias("qvec"))
+    cos6 = _cosine6_udf()
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id",
+                cos6(F.col("qvec"), F.col("cvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    )

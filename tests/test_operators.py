@@ -2914,3 +2914,43 @@ def test_mmr_select_matches_greedy_model_and_diversifies(spark):
     assert [got[(0, s)] for s in (1, 2, 3)] == sel
     # diversity actually kicked in: not all three from the near-dup cluster
     assert not set(sel) <= {1, 2, 3}
+
+
+def test_truncated_cosine_topk_matches_sliced_numpy(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import truncated_cosine_topk
+
+    rows = [(i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(16)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 2)
+    got = {(r["query_id"], r["rank"]): r["corpus_id"]
+           for r in truncated_cosine_topk(df, q, dims=8, k=3).collect()}
+    V = np.array([r[1] for r in rows])[:, :8]
+    for qi in range(2):
+        cos = (V @ V[qi]) / (np.linalg.norm(V, axis=1)
+                             * np.linalg.norm(V[qi]))
+        cos = np.round(cos, 6); cos[qi] = -2
+        order = sorted(range(20), key=lambda i: (-cos[i], i))[:3]
+        for rk, cid in enumerate(order, 1):
+            assert got[(qi, rk)] == cid
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        truncated_cosine_topk(df, q, dims=0)
+
+
+def test_embedding_standardize_moments(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import embedding_standardize
+
+    rows = [(i, [float(i), float(i * 10 + 1), 7.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = np.array([r["std_embedding"] for r in
+                    embedding_standardize(df).orderBy("vec_id").collect()])
+    # standardized dims: mean ~0, population std ~1
+    assert np.allclose(out[:, :2].mean(axis=0), 0, atol=1e-12)
+    assert np.allclose(out[:, :2].std(axis=0), 1, atol=1e-9)
+    # constant dim: centered, NOT divided by ~0
+    assert np.allclose(out[:, 2], 0, atol=1e-12)

@@ -1170,6 +1170,34 @@ def embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_NOISE_AUDIT = 50
+
+
+def knn_label_noise_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by neighborhood voting (clustering.
+    knn_label_disagreement, the confident-learning-style signal): for
+    the first 50 vectors, the fraction of their 5 cosine-nearest
+    neighbors (full corpus) with a DIFFERENT label — high scores are
+    the mislabeled/boundary review queue.  Neighbors use the round-6
+    (sim, id) convention; the vote is one bounded aggregate."""
+    from hazelcast_jet_spark.operators.clustering import knn_label_disagreement
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_NOISE_AUDIT)
+    return knn_label_disagreement(e, k=TOPK, queries=q).orderBy("vec_id")
+
+
+def anova_f_per_dim_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension one-way ANOVA F against the label (clustering.
+    anova_f_per_dim) — which embedding dims actually separate the
+    classes; ONE posexplode aggregate bounded at dims·labels rows,
+    exact decimal moments, fixed-order F expression.  First 8 dims."""
+    from hazelcast_jet_spark.operators.clustering import anova_f_per_dim
+
+    e = _t(spark, sf_dir, "embeddings")
+    return anova_f_per_dim(e).filter(F.col("pos") < 8).orderBy("pos")
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -4047,6 +4075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi_drift_events": streaming_psi_drift_events,
         "matryoshka_recall_emb": matryoshka_recall_emb,
         "embedding_standardize_stats": embedding_standardize_stats,
+        "knn_label_noise_emb": knn_label_noise_emb,
+        "anova_f_per_dim_emb": anova_f_per_dim_emb,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -4078,10 +4108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_sequence_match": cep_sequence_match,
         "streaming_dedup_count": streaming_dedup_count,
         "tfidf_top_terms": tfidf_top_terms,
-        "reservoir_sample_events": reservoir_sample_events,
-        "stratified_sample_docs": stratified_sample_docs,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
         "tpch_q4_order_priority": tpch_q4_order_priority,
         "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
         "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
@@ -7304,6 +7334,69 @@ def oracle_sql() -> dict[str, str]:
                    round(MIN(v), 6) AS min_std,
                    round(MAX(v), 6) AS max_std
             FROM z GROUP BY pos ORDER BY pos
+        """,
+        "knn_label_noise_emb": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec,
+                       label AS ql
+                FROM embeddings WHERE vec_id < {N_NOISE_AUDIT}
+            ), scored AS (
+                SELECT q.query_id, q.ql, c.vec_id AS corpus_id,
+                       c.label AS cl,
+                       {_cos_sql("q.qvec", "c.embedding")} AS cs
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            ), nn AS (
+                SELECT query_id, ql, cl FROM (
+                    SELECT query_id, ql, cl, row_number() OVER (
+                        PARTITION BY query_id ORDER BY cs DESC,
+                        corpus_id ASC) AS rnk
+                    FROM scored) WHERE rnk <= {TOPK}
+            )
+            SELECT query_id AS vec_id, MIN(ql) AS label,
+                   CAST(SUM(CASE WHEN cl IS DISTINCT FROM ql
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+                   CAST(SUM(CASE WHEN cl IS DISTINCT FROM ql
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / {float(TOPK)} AS disagreement
+            FROM nn GROUP BY query_id ORDER BY query_id
+        """,
+        "anova_f_per_dim_emb": """
+            WITH per AS (
+                SELECT label AS lab, CAST(v AS DOUBLE) AS v, pos FROM (
+                    SELECT label, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1))
+                               AS pos
+                    FROM embeddings)
+            ), cells AS (
+                SELECT pos, lab,
+                       SUM(CAST(v AS DECIMAL(38,12))) AS s,
+                       SUM(CAST(v * v AS DECIMAL(38,12))) AS s2,
+                       count(*) AS n
+                FROM per GROUP BY 1, 2
+            ), tot AS (
+                SELECT pos, SUM(s) AS ts, SUM(s2) AS ts2,
+                       CAST(SUM(n) AS BIGINT) AS tn, count(*) AS g
+                FROM cells GROUP BY 1
+            ), ssb AS (
+                SELECT c.pos,
+                       CAST(SUM(CAST(
+                           c.n * (CAST(c.s AS DOUBLE) / c.n
+                                  - CAST(t.ts AS DOUBLE) / t.tn)
+                               * (CAST(c.s AS DOUBLE) / c.n
+                                  - CAST(t.ts AS DOUBLE) / t.tn)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+                       MIN(CAST(t.ts2 AS DOUBLE)) AS ts2,
+                       MIN(CAST(t.ts AS DOUBLE)) AS ts,
+                       MIN(t.tn) AS n, MIN(t.g) AS g
+                FROM cells c JOIN tot t USING (pos)
+                GROUP BY c.pos
+            )
+            SELECT pos, n, g,
+                   round(CASE WHEN (ts2 - n * (ts / n) * (ts / n)) - ssb > 0
+                        THEN (ssb / (g - 1))
+                             / (((ts2 - n * (ts / n) * (ts / n)) - ssb)
+                                / (n - g)) END, 6) AS f_stat
+            FROM ssb WHERE pos < 8 ORDER BY pos
         """,
         "categorical_assoc_docs": """
             WITH cells AS (

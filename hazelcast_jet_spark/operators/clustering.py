@@ -556,3 +556,115 @@ def embedding_standardize(df: DataFrame, vec_col: str = "embedding",
         / F.element_at(stds, i),
     ).otherwise(F.element_at(v, i) - F.element_at(means, i)))
     return df.withColumn(out_col, out)
+
+
+def knn_label_disagreement(df: DataFrame, k: int = 5,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label",
+                           queries: DataFrame | None = None) -> DataFrame:
+    """Label-noise screening by neighborhood voting (the
+    confident-learning-style signal): for every vector, the fraction of
+    its k nearest neighbors (round-6 cosine, id tiebreak) carrying a
+    DIFFERENT label.  A clean, separable dataset scores low; rows with
+    high disagreement are mislabeled or sit on class boundaries — the
+    review queue for label audits.
+
+    Plan: the all-pairs scoring uses the corpus AS the query set — at
+    profiling sizes this is the exact O(n²/batch) Arrow kernel of
+    :func:`~hazelcast_jet_spark.operators.similarity.cosine_topk`; at
+    corpus scale swap the neighbor stage for the ANN index
+    (ivf_pq_topk shortlist + re-rank) and keep the voting unchanged.
+    The vote itself is one bounded aggregate over n·k rows.
+
+    ``queries`` restricts the audited rows (neighbors always come from
+    the full ``df``) — the sampled-audit mode.
+
+    Returns ``(id_col, label, n_diff, disagreement)`` with
+    ``disagreement = n_diff / k``.
+    """
+    from hazelcast_jet_spark.operators.similarity import cosine_topk
+
+    nn = cosine_topk(df, queries if queries is not None else df,
+                     k=k, id_col=id_col, vec_col=vec_col)
+    labels = df.select(F.col(id_col), F.col(label_col))
+    q_lab = labels.select(F.col(id_col).alias("query_id"),
+                          F.col(label_col).alias("__ql"))
+    c_lab = labels.select(F.col(id_col).alias("corpus_id"),
+                          F.col(label_col).alias("__cl"))
+    voted = (
+        nn.join(F.broadcast(q_lab), "query_id")
+        .join(F.broadcast(c_lab), "corpus_id")
+        .groupBy("query_id", "__ql")
+        .agg(F.sum((~F.col("__cl").eqNullSafe(F.col("__ql")))
+                   .cast("bigint")).alias("n_diff"))
+    )
+    return voted.select(
+        F.col("query_id").alias(id_col),
+        F.col("__ql").alias(label_col),
+        "n_diff",
+        (F.col("n_diff").cast("double") / F.lit(float(k)))
+        .alias("disagreement"),
+    )
+
+
+def anova_f_per_dim(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label",
+                    round_digits: int = 6) -> DataFrame:
+    """One-way ANOVA F statistic per embedding dimension against a
+    label — the feature-relevance screen for vector columns (which
+    dims actually separate the classes; the continuous-vs-categorical
+    companion of :func:`~hazelcast_jet_spark.operators.profile.
+    categorical_association`):
+
+        F = (SSB / (g - 1)) / (SSW / (n - g))
+
+    with between/within sums of squares from exact per-(dim, label)
+    decimal moments — ONE posexplode aggregate bounded at dims·labels
+    rows, then a dims-sized reduce; nothing data-sized after the first
+    aggregation.  Per-group and grand means are correctly-rounded
+    doubles of exact decimal sums, and SSB/SSW combine them in fixed
+    order, so the statistic hashes identically on a SQL oracle.
+
+    Returns ``(pos, n, g, f_stat)`` — NULL f_stat when SSW is 0
+    (perfect separation or constant dim: the ratio is degenerate
+    either way).
+    """
+    from pyspark.sql.window import Window
+
+    per = df.select(
+        F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"))
+    cells = (
+        per.groupBy("pos", "__lab")
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+             F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+             .alias("s2"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("pos")
+    tot_s = F.sum(F.col("s")).over(w)
+    tot_n = F.sum(F.col("n")).over(w)
+    tot_s2 = F.sum(F.col("s2")).over(w)
+    g = F.count(F.lit(1)).over(w)
+    gm = tot_s.cast("double") / tot_n
+    cm = F.col("s").cast("double") / F.col("n")
+    ssb_term = (F.col("n") * (cm - gm) * (cm - gm)).cast("decimal(38,12)")
+    per_pos = (
+        cells.select(
+            "pos", ssb_term.alias("__ssb"),
+            tot_s2.alias("__ts2"), tot_s.alias("__ts"),
+            tot_n.alias("__tn"), g.alias("__g"))
+        .groupBy("pos")
+        .agg(F.sum("__ssb").cast("double").alias("ssb"),
+             F.first("__ts2").alias("ts2"), F.first("__ts").alias("ts"),
+             F.first("__tn").alias("n"), F.first("__g").alias("g"))
+    )
+    gmean = F.col("ts").cast("double") / F.col("n")
+    sst = F.col("ts2").cast("double") - F.col("n") * gmean * gmean
+    ssw = sst - F.col("ssb")
+    f = (F.col("ssb") / (F.col("g") - F.lit(1))) / (ssw / (F.col("n") - F.col("g")))
+    return per_pos.select(
+        "pos", F.col("n"), F.col("g"),
+        F.round(F.when(ssw > 0, f), round_digits).alias("f_stat"),
+    )

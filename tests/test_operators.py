@@ -2954,3 +2954,56 @@ def test_embedding_standardize_moments(spark):
     assert np.allclose(out[:, :2].std(axis=0), 1, atol=1e-9)
     # constant dim: centered, NOT divided by ~0
     assert np.allclose(out[:, 2], 0, atol=1e-12)
+
+
+def test_knn_label_disagreement_flags_planted_noise(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import knn_label_disagreement
+
+    # two tight clusters; one vector carries the WRONG label
+    rows = []
+    for i in range(8):
+        v = [10.0 + (i % 4) * 0.1, 1.0, 0.0]
+        rows.append((i, v, 0))
+    for i in range(8, 16):
+        v = [0.0, 1.0, 10.0 + (i % 4) * 0.1]
+        rows.append((i, v, 1))
+    rows.append((16, [10.05, 1.0, 0.0], 1))   # cluster-0 geometry, label 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["vec_id"]: r["disagreement"]
+           for r in knn_label_disagreement(df, k=5).collect()}
+    assert got[16] == 1.0              # all 5 neighbors disagree
+    clean = [got[i] for i in range(8, 16)]
+    assert max(clean) == 0.0           # cluster-1 members agree fully
+    # cluster-0 members see the impostor among neighbors occasionally
+    assert all(got[i] <= 0.2 for i in range(8))
+
+
+def test_anova_f_per_dim_matches_scipy_style_model(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import anova_f_per_dim
+
+    rng = [(i, [float(i % 3) * 5 + (i % 7) * 0.1,   # separates by label
+                float((i * 13) % 11),               # noise
+                1.0],                               # constant
+            i % 3) for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>, label int")
+    got = {r["pos"]: r for r in anova_f_per_dim(df).collect()}
+    V = np.array([r[1] for r in rng]); labs = np.array([r[2] for r in rng])
+
+    def f_stat(x, y):
+        groups = [x[y == g] for g in np.unique(y)]
+        n, g = len(x), len(groups)
+        gm = x.mean()
+        ssb = sum(len(gr) * (gr.mean() - gm) ** 2 for gr in groups)
+        ssw = sum(((gr - gr.mean()) ** 2).sum() for gr in groups)
+        return (ssb / (g - 1)) / (ssw / (n - g))
+
+    for pos in (0, 1):
+        exp = f_stat(V[:, pos], labs)
+        assert abs(got[pos]["f_stat"] - exp) < 1e-4, (pos, got[pos], exp)
+    assert got[0]["f_stat"] > 10 * got[1]["f_stat"]  # signal dim dominates
+    assert got[2]["f_stat"] is None                  # constant dim -> NULL
+    assert got[0]["n"] == 30 and got[0]["g"] == 3

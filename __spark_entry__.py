@@ -1198,6 +1198,67 @@ def anova_f_per_dim_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_f_per_dim(e).filter(F.col("pos") < 8).orderBy("pos")
 
 
+def temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup against SCD2 history — the query side
+    completing the SCD2 story (build: scd2_event_type_intervals;
+    maintain: scd2_incremental_merge; query: THIS): each purchase
+    event joined to the user's activity state valid AT purchase time
+    (``valid_from <= t < valid_to``, open interval NULL-terminated).
+    One equi-join on the user with the interval residual — the
+    standard warehouse point-in-time enrichment; the dimension side is
+    change-points only, so it broadcasts at realistic scales.
+    Purchases before any recorded state keep NULL state (left join)."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        _epoch_seconds, scd2_intervals)
+
+    e = _t(spark, sf_dir, "events")
+    e = e.select("user_id", "event_id", "event_type",
+                 _epoch_seconds(e, "ts").alias("sec"))
+    dim = scd2_intervals(
+        e.filter(F.col("event_type") != "purchase"),
+        "user_id", "sec", "event_type", "event_id",
+    ).select("user_id", F.col("event_type").alias("state"),
+             "valid_from", "valid_to", "version")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.col("sec").alias("p_sec"))
+    cond = ((facts.user_id == dim.user_id)
+            & (dim.valid_from <= facts.p_sec)
+            & (dim.valid_to.isNull() | (facts.p_sec < dim.valid_to)))
+    return (
+        facts.join(dim, cond, "left")
+        .select("p_id", facts.user_id.alias("user_id"), "p_sec",
+                "state", "version")
+        .orderBy("p_id")
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (operators/profile.winsorize): event values clamped
+    into their per-type [p5, p95] band (cut points rounded before the
+    clamp — the mad_outliers determinism convention), then per-type
+    stats of the clamped column: DECIMAL-exact sum + rounded extrema.
+    One grouped exact-percentile pass (approx_percentile is the
+    documented 100 TB path), broadcast cut points, map-only clamp."""
+    from hazelcast_jet_spark.operators.profile import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    out = winsorize(e.filter(F.col("value").isNotNull()), "value",
+                    WINSOR_LO, WINSOR_HI, group_col="event_type")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("value_w").cast("decimal(18,6)"))
+                     .cast("double"), 4).alias("sum_w"),
+             F.round(F.min("value_w"), 6).alias("min_w"),
+             F.round(F.max("value_w"), 6).alias("max_w"))
+        .orderBy("event_type")
+    )
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -4077,6 +4138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize_stats": embedding_standardize_stats,
         "knn_label_noise_emb": knn_label_noise_emb,
         "anova_f_per_dim_emb": anova_f_per_dim_emb,
+        "temporal_scd2_lookup": temporal_scd2_lookup,
+        "winsorized_value_stats": winsorized_value_stats,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -4106,10 +4169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "cep_sequence_match": cep_sequence_match,
-        "streaming_dedup_count": streaming_dedup_count,
-        "tfidf_top_terms": tfidf_top_terms,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "streaming_dedup_count": streaming_dedup_count,
+        "tfidf_top_terms": tfidf_top_terms,
         "reservoir_sample_events": reservoir_sample_events,
         "stratified_sample_docs": stratified_sample_docs,
         "tpch_q4_order_priority": tpch_q4_order_priority,
@@ -7397,6 +7460,57 @@ def oracle_sql() -> dict[str, str]:
                              / (((ts2 - n * (ts / n) * (ts / n)) - ssb)
                                 / (n - g)) END, 6) AS f_stat
             FROM ssb WHERE pos < 8 ORDER BY pos
+        """,
+        "temporal_scd2_lookup": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events
+            ), ch AS (
+                SELECT user_id, event_type, sec, event_id,
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM ev WHERE event_type <> 'purchase'
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), kept AS (
+                SELECT user_id, event_type, sec, event_id FROM ch
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            ), dim AS (
+                SELECT user_id, event_type AS state, sec AS valid_from,
+                       lead(sec) OVER w2 AS valid_to,
+                       CAST(row_number() OVER w2 AS INT) AS version
+                FROM kept
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), p AS (
+                SELECT user_id, event_id AS p_id, sec AS p_sec
+                FROM ev WHERE event_type = 'purchase'
+            )
+            SELECT p.p_id, p.user_id, p.p_sec, d.state, d.version
+            FROM p LEFT JOIN dim d
+              ON p.user_id = d.user_id AND d.valid_from <= p.p_sec
+                 AND (d.valid_to IS NULL OR p.p_sec < d.valid_to)
+            ORDER BY p.p_id
+        """,
+        "winsorized_value_stats": f"""
+            WITH ev AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ), cuts AS (
+                SELECT event_type,
+                       round(quantile_cont(v, {WINSOR_LO}), 6) AS lo,
+                       round(quantile_cont(v, {WINSOR_HI}), 6) AS hi
+                FROM ev GROUP BY 1
+            ), w AS (
+                SELECT ev.event_type,
+                       least(greatest(ev.v, cuts.lo), cuts.hi) AS vw
+                FROM ev JOIN cuts USING (event_type)
+            )
+            SELECT event_type, count(*) AS n,
+                   round(CAST(SUM(CAST(vw AS DECIMAL(18,6))) AS DOUBLE), 4)
+                       AS sum_w,
+                   round(MIN(vw), 6) AS min_w,
+                   round(MAX(vw), 6) AS max_w
+            FROM w GROUP BY event_type ORDER BY event_type
         """,
         "categorical_assoc_docs": """
             WITH cells AS (

@@ -799,3 +799,51 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
                 F.lit(None).cast("double").alias("skew_ratio"))
     )
     return summary.unionByName(heavy).orderBy("rank")
+
+
+def winsorize(df: DataFrame, value_col: str, lo_p: float = 0.01,
+              hi_p: float = 0.99, group_col: str | None = None,
+              out_col: str | None = None, exact: bool = True,
+              round_digits: int = 6) -> DataFrame:
+    """Winsorization — clamp a value column into its [lo_p, hi_p]
+    quantile band (per group when ``group_col`` is given): the standard
+    robust pre-processing step when outliers should be CAPPED rather
+    than dropped (:func:`mad_outliers` is the detect-and-review
+    companion; this is the silent-repair one — reward clipping, price
+    caps, sensor saturation).
+
+    Both cut points are rounded to ``round_digits`` before the clamp so
+    the output is a pure function of the rounded quantiles —
+    deterministic and engine-portable (a SQL oracle computing
+    ``quantile_cont`` + the same rounded clamp produces identical
+    values).  NULL values pass through.
+
+    Scale: one grouped percentile pass (exact sort-based per-group
+    ``percentile`` for gate parity; ``exact=False`` switches to
+    ``approx_percentile``'s bounded-state sketch — the 100 TB default),
+    cut points broadcast back, then a map-only ``least/greatest``.
+
+    Adds ``out_col`` (default ``<value_col>_w``) plus the per-row cut
+    points ``__lo``/``__hi`` are NOT retained — join the stats from
+    the aggregate if you need them.
+    """
+    if not 0.0 <= lo_p < hi_p <= 1.0:
+        raise ValueError("need 0 <= lo_p < hi_p <= 1")
+    out_col = out_col or f"{value_col}_w"
+    fn = "percentile" if exact else "approx_percentile"
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.round(F.expr(f"{fn}({value_col}, {lo_p})"), round_digits)
+        .alias("__lo"),
+        F.round(F.expr(f"{fn}({value_col}, {hi_p})"), round_digits)
+        .alias("__hi"),
+    ]
+    if group_col is None:
+        stats = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(group_col).agg(*aggs)
+        joined = df.join(F.broadcast(stats), group_col)
+    clamped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
+    return joined.withColumn(out_col, clamped).drop("__lo", "__hi")

@@ -3007,3 +3007,31 @@ def test_anova_f_per_dim_matches_scipy_style_model(spark):
     assert got[0]["f_stat"] > 10 * got[1]["f_stat"]  # signal dim dominates
     assert got[2]["f_stat"] is None                  # constant dim -> NULL
     assert got[0]["n"] == 30 and got[0]["g"] == 3
+
+
+def test_winsorize_clamps_to_rounded_quantiles(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.profile import winsorize
+
+    vals = [float(x) for x in range(1, 100)] + [1e6, -1e6, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["v"]: r["v_w"] for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    arr = np.array([v for v in vals if v is not None])
+    lo = round(float(np.percentile(arr, 5, method="linear")), 6)
+    hi = round(float(np.percentile(arr, 95, method="linear")), 6)
+    assert out[1e6] == hi and out[-1e6] == lo     # outliers capped
+    assert out[50.0] == 50.0                      # interior untouched
+    assert out[None] is None                      # NULL passes through
+    # grouped mode clamps within each group
+    g = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] +
+        [("a", 1e9), ("b", 5.0), ("b", 6.0), ("b", 1e9)],
+        "g string, v double")
+    got = winsorize(g, "v", 0.0, 0.9, group_col="g").collect()
+    b_max = max(r["v_w"] for r in got if r["g"] == "b")
+    a_max = max(r["v_w"] for r in got if r["g"] == "a")
+    assert b_max < 1e9 and a_max < 1e9 and b_max != a_max
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)

@@ -882,3 +882,49 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
              F.sum(F.col("c").cast("decimal(18,12)"))
              .cast("double").alias("bm25"))
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out_col: str = "compression_ratio",
+                      level: int = 6) -> DataFrame:
+    """Deflate compression ratio per document — the classic
+    low-information detector (boilerplate, repeated templates, and
+    base64/random noise sit at the two extremes: highly compressible
+    ≈ templated, incompressible ≈ encoded junk; natural prose lands in
+    between).  Complements :func:`char_entropy` (character-level) with
+    a string-structure-level signal that catches LONG-RANGE repetition
+    entropy can't see.
+
+    Arrow-batched ``mapInPandas`` over the stdlib zlib codec — the
+    documented exception to "stay JVM-side": there is no JVM-expression
+    deflate, and zlib at a FIXED level is deterministic bytes-for-bytes
+    across platforms (RFC 1951 fixed algorithm), so results are
+    reproducible (though not SQL-oracle-expressible — this operator is
+    pytest-pinned, not gate-oracled).
+
+    ``ratio = compressed_bytes / utf8_bytes`` (NULL text → NULL;
+    empty → NULL, a ratio of header bytes over zero is noise).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())])
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            vals = []
+            for t in pdf[text_col]:
+                if t is None or len(t) == 0:
+                    vals.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                vals.append(len(zlib.compress(raw, level)) / len(raw))
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -3035,3 +3035,28 @@ def test_winsorize_clamps_to_rounded_quantiles(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         winsorize(df, "v", 0.9, 0.1)
+
+
+def test_compression_ratio_separates_template_noise_prose(spark):
+    import random
+    import string
+    import zlib
+
+    from hazelcast_jet_spark.operators.text import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(2000))
+    template = "the same line repeated over and over " * 60
+    prose = ("spark builds a logical plan and the optimizer picks a "
+             "physical strategy for each operator in the query " * 12)
+    df = spark.createDataFrame(
+        [(1, template), (2, prose), (3, noise), (4, None), (5, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert got[1] < got[2] < got[3]          # template < prose < noise
+    assert got[4] is None and got[5] is None
+    # bytes-exact vs direct zlib (fixed level => deterministic)
+    exp = len(zlib.compress(prose.encode(), 6)) / len(prose.encode())
+    assert got[2] == exp

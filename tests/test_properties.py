@@ -596,3 +596,86 @@ def test_interval_grid_join_matches_bruteforce(spark, left, right, bw):
         for j, (rs, rd) in enumerate(right)
         if ls < rs + rd and rs < ls + ld)
     assert got == want
+
+
+@given(
+    logs=st.lists(
+        st.tuples(st.integers(0, 3),            # key
+                  st.integers(0, 50),           # time
+                  st.sampled_from(["A", "B", None])),  # state
+        min_size=1, max_size=40),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_intervals_match_python_model(spark, logs):
+    """scd2_intervals vs a direct Python replay: per key, sort by
+    (time, id), collapse null-safe consecutive repeats, close intervals
+    with the next change, number versions."""
+    from hazelcast_jet_spark.operators.timeseries import scd2_intervals
+
+    rows = [(k, t, s, i) for i, (k, t, s) in enumerate(logs)]
+    df = spark.createDataFrame(rows, "k long, t long, s string, id long")
+    got = sorted(
+        (r["k"], r["version"], r["s"], r["valid_from"], r["valid_to"],
+         r["open_id"])
+        for r in scd2_intervals(df, "k", "t", "s", "id").collect())
+
+    exp = []
+    bykey: dict = {}
+    for k, t, s, i in rows:
+        bykey.setdefault(k, []).append((t, i, s))
+    for k, evs in bykey.items():
+        evs.sort()
+        kept = []
+        for t, i, s in evs:
+            # Python == on None IS null-safe equality, matching eqNullSafe
+            if not kept or kept[-1][2] != s:
+                kept.append((t, i, s))
+        for v, (t, i, s) in enumerate(kept, 1):
+            vt = kept[v][0] if v < len(kept) else None
+            exp.append((k, v, s, t, vt, i))
+    assert got == sorted(exp)
+
+
+@given(
+    docs=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                  min_size=1, max_size=12),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bm25_matches_python_model_property(spark, docs):
+    """bm25_scores vs the direct formula on arbitrary tiny corpora
+    (normalization, df/N/avgdl derivation, absent-term rows)."""
+    import math
+
+    from hazelcast_jet_spark.operators.text import bm25_scores
+
+    terms = ["a", "b"]
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["bm25"])
+           for r in bm25_scores(df, terms).collect()}
+
+    toks = {i: [w for w in t.split() if w] for i, t in enumerate(docs)}
+    toks = {i: v for i, v in toks.items() if v}       # docs with >= 1 token
+    if not toks:
+        assert got == {}
+        return
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    exp = {}
+    for i, v in toks.items():
+        s, hits = 0.0, 0
+        for t in sorted(terms):
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+        if hits:
+            exp[i] = (hits, s)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-9

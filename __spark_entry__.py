@@ -1259,6 +1259,23 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BOOT_REPS = 20
+
+
+def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (operators/sampling.
+    bootstrap_sums; Chamandy et al. 2012): 20 resampled totals of
+    orders.o_totalprice in ONE aggregate pass — the error bar for any
+    scan-level aggregate without a second scan or engine rand();
+    md5-threshold draws make every replicate identical across reruns,
+    retries and the SQL oracle."""
+    from hazelcast_jet_spark.operators.sampling import bootstrap_sums
+
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_sums(o, "o_totalprice", "o_orderkey",
+                          n_reps=N_BOOT_REPS).orderBy("rep")
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -4140,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anova_f_per_dim_emb": anova_f_per_dim_emb,
         "temporal_scd2_lookup": temporal_scd2_lookup,
         "winsorized_value_stats": winsorized_value_stats,
+        "bootstrap_ci_orders": bootstrap_ci_orders,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -4168,9 +4186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": tpch_q10_returned_items,
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "cep_sequence_match": cep_sequence_match,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "cep_sequence_match": cep_sequence_match,
         "streaming_dedup_count": streaming_dedup_count,
         "tfidf_top_terms": tfidf_top_terms,
         "reservoir_sample_events": reservoir_sample_events,
@@ -7511,6 +7529,72 @@ def oracle_sql() -> dict[str, str]:
                    round(MIN(vw), 6) AS min_w,
                    round(MAX(vw), 6) AS max_w
             FROM w GROUP BY event_type ORDER BY event_type
+        """,
+        "bootstrap_ci_orders": """
+            WITH agg AS (
+                SELECT CAST(SUM((CASE WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n0,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:0:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s0,
+                   CAST(SUM((CASE WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n1,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:1:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+                   CAST(SUM((CASE WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n2,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:2:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+                   CAST(SUM((CASE WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n3,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:3:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+                   CAST(SUM((CASE WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n4,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:4:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s4,
+                   CAST(SUM((CASE WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n5,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:5:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s5,
+                   CAST(SUM((CASE WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n6,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:6:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s6,
+                   CAST(SUM((CASE WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n7,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:7:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s7,
+                   CAST(SUM((CASE WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n8,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:8:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s8,
+                   CAST(SUM((CASE WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n9,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:9:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s9,
+                   CAST(SUM((CASE WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n10,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:10:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s10,
+                   CAST(SUM((CASE WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n11,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:11:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s11,
+                   CAST(SUM((CASE WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n12,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:12:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s12,
+                   CAST(SUM((CASE WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n13,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:13:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s13,
+                   CAST(SUM((CASE WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n14,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:14:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s14,
+                   CAST(SUM((CASE WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n15,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:15:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s15,
+                   CAST(SUM((CASE WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n16,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:16:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s16,
+                   CAST(SUM((CASE WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n17,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:17:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s17,
+                   CAST(SUM((CASE WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n18,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:18:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s18,
+                   CAST(SUM((CASE WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END)) AS BIGINT) AS n19,
+                   CAST(SUM(CAST((CASE WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < '5e2d58' THEN 0 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'bc5ab1' THEN 1 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'eb715e' THEN 2 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fb2397' THEN 3 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ff1025' THEN 4 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffd90f' THEN 5 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'fffa8b' THEN 6 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffff54' THEN 7 WHEN substr(md5('boot:19:' || CAST(o_orderkey AS VARCHAR)), 1, 6) < 'ffffed' THEN 8 ELSE 8 END) * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s19
+                FROM orders
+            )
+            SELECT 0 AS rep, n0 AS n_eff, s0 AS sum_v FROM agg
+            UNION ALL SELECT 1 AS rep, n1 AS n_eff, s1 AS sum_v FROM agg
+            UNION ALL SELECT 2 AS rep, n2 AS n_eff, s2 AS sum_v FROM agg
+            UNION ALL SELECT 3 AS rep, n3 AS n_eff, s3 AS sum_v FROM agg
+            UNION ALL SELECT 4 AS rep, n4 AS n_eff, s4 AS sum_v FROM agg
+            UNION ALL SELECT 5 AS rep, n5 AS n_eff, s5 AS sum_v FROM agg
+            UNION ALL SELECT 6 AS rep, n6 AS n_eff, s6 AS sum_v FROM agg
+            UNION ALL SELECT 7 AS rep, n7 AS n_eff, s7 AS sum_v FROM agg
+            UNION ALL SELECT 8 AS rep, n8 AS n_eff, s8 AS sum_v FROM agg
+            UNION ALL SELECT 9 AS rep, n9 AS n_eff, s9 AS sum_v FROM agg
+            UNION ALL SELECT 10 AS rep, n10 AS n_eff, s10 AS sum_v FROM agg
+            UNION ALL SELECT 11 AS rep, n11 AS n_eff, s11 AS sum_v FROM agg
+            UNION ALL SELECT 12 AS rep, n12 AS n_eff, s12 AS sum_v FROM agg
+            UNION ALL SELECT 13 AS rep, n13 AS n_eff, s13 AS sum_v FROM agg
+            UNION ALL SELECT 14 AS rep, n14 AS n_eff, s14 AS sum_v FROM agg
+            UNION ALL SELECT 15 AS rep, n15 AS n_eff, s15 AS sum_v FROM agg
+            UNION ALL SELECT 16 AS rep, n16 AS n_eff, s16 AS sum_v FROM agg
+            UNION ALL SELECT 17 AS rep, n17 AS n_eff, s17 AS sum_v FROM agg
+            UNION ALL SELECT 18 AS rep, n18 AS n_eff, s18 AS sum_v FROM agg
+            UNION ALL SELECT 19 AS rep, n19 AS n_eff, s19 AS sum_v FROM agg
+            ORDER BY rep
         """,
         "categorical_assoc_docs": """
             WITH cells AS (

@@ -366,3 +366,73 @@ def negative_sample(positives: DataFrame, items: DataFrame, k: int,
         .filter(F.col("__item") != F.col(item_col))
         .select(key_col, item_col, "j", F.col("__item").alias("negative"))
     )
+
+
+#: cumulative Poisson(1) probabilities for the bootstrap inverse-CDF
+#: (math.exp sums computed once in Python; the tail clamps at k=8 —
+#: P(k>8) < 1e-6, negligible for replicate statistics)
+_POIS1_CUM = None
+
+
+def _pois1_thresholds() -> list[str]:
+    global _POIS1_CUM
+    if _POIS1_CUM is None:
+        import math
+
+        p, cum, out = math.exp(-1.0), 0.0, []
+        for k in range(9):
+            cum += p
+            out.append(format(min(int(cum * _SPACE), _SPACE - 1),
+                              f"0{_HEX_DIGITS}x"))
+            p /= (k + 1)
+        _POIS1_CUM = out
+    return _POIS1_CUM
+
+
+def bootstrap_sums(df: DataFrame, value_col: str, key_col: str,
+                   n_reps: int = 20, seed: str = "boot") -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    uncertainty for massive data streams"): ``n_reps`` resampled
+    sums/counts of a column, giving ERROR BARS for any downstream
+    aggregate without a second scan or any engine ``rand()`` —
+
+        k_r(row) ~ Poisson(1)  via inverse CDF on the md5-hex uniform
+                   of (seed, rep, key)
+
+    so each replicate re-weights every row by an iid Poisson(1) count,
+    the classic scan-friendly approximation of the multinomial
+    bootstrap.  Deterministic hashing means reruns, retries, AND a SQL
+    oracle draw the identical replicates (the same md5-threshold
+    convention as every sampler here; tail clamped at k=8,
+    P(k>8) < 1e-6).
+
+    Plan at scale: ONE aggregate pass — all ``n_reps`` replicate counts
+    derive per row from literal hex-threshold CASE chains and combine
+    map-side; the result is 2·n_reps scalars, unpivoted to
+    ``(rep, n_eff, sum_v)``.  NULL values count toward ``n_eff`` but
+    add 0 to ``sum_v`` (the same convention as a plain SUM over the
+    resample).
+
+    The replicate spread estimates the sampling distribution:
+    ``std(sum_v)`` across reps ≈ the standard error of the total.
+    """
+    if n_reps < 2:
+        raise ValueError("need n_reps >= 2")
+    thr = _pois1_thresholds()
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for r in range(n_reps):
+        u = _hash_prefix(F.col(key_col), f"{seed}:{r}:")
+        k = F.lit(8)
+        for kk in range(8, 0, -1):
+            k = F.when(u < F.lit(thr[kk - 1]), F.lit(kk - 1)).otherwise(k)
+        k = k.cast("bigint")
+        aggs.append(F.sum(k).alias(f"__n{r}"))
+        aggs.append(F.sum((k.cast("double") * F.coalesce(v, F.lit(0.0)))
+                          .cast("decimal(28,6)")).alias(f"__s{r}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"{r}, __n{r}, CAST(__s{r} AS DOUBLE)" for r in range(n_reps))
+    return one.selectExpr(
+        f"stack({n_reps}, {stack}) AS (rep, n_eff, sum_v)"
+    ).select(F.col("rep").cast("int").alias("rep"), "n_eff", "sum_v")

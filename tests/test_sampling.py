@@ -377,3 +377,47 @@ def test_negative_sample_deterministic_draws_and_exclusion(spark):
         negative_sample(pos, items, 0, "key", "item")
     with _pt.raises(ValueError):
         negative_sample(pos, items.limit(1), 2, "key", "item")
+
+
+def test_bootstrap_sums_matches_hashlib_replay_and_estimates_se(spark):
+    """Every replicate's counts replay exactly from hashlib + the same
+    inverse-CDF thresholds; the replicate spread approximates the
+    theoretical standard error of the total."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.sampling import (
+        _pois1_thresholds, bootstrap_sums)
+
+    rows = [(i, float(i % 7) + 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["rep"]: (r["n_eff"], r["sum_v"])
+           for r in bootstrap_sums(df, "v", "id", n_reps=10).collect()}
+    thr = [int(t, 16) for t in _pois1_thresholds()]
+
+    def draw(key, rep):
+        u = int(hashlib.md5(f"boot:{rep}:{key}".encode()).hexdigest()[:6], 16)
+        for k, t in enumerate(thr):
+            if u < t:
+                return k
+        return 8
+
+    for rep in range(10):
+        n = sum(draw(i, rep) for i, _ in rows)
+        s = sum(draw(i, rep) * v for i, v in rows)
+        assert got[rep][0] == n, rep
+        assert abs(got[rep][1] - s) < 1e-6, rep
+
+    # spread sanity: SE of the Poisson-bootstrap total is
+    # sqrt(sum(v_i^2)); the 10-replicate std should be same order
+    true_se = math.sqrt(sum(v * v for _, v in rows))
+    sums = [got[r][1] for r in range(10)]
+    mean = sum(sums) / len(sums)
+    sd = math.sqrt(sum((x - mean) ** 2 for x in sums) / (len(sums) - 1))
+    assert 0.3 * true_se < sd < 3 * true_se
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bootstrap_sums(df, "v", "id", n_reps=1)

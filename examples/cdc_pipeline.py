@@ -35,3 +35,27 @@ query.awaitTermination()
 
 print("final table after INSERT/UPDATE/DELETE replay:")
 spark.read.parquet(tbl).show()
+
+# SCD2 history maintenance from the SAME change stream: instead of the
+# current-state table above, keep the full validity-interval history
+# (who was in which state, when) — rebuilt incrementally per batch for
+# the touched keys only, idempotent under checkpoint replay
+from hazelcast_jet_spark.storage import KeyedParquetTable  # noqa: E402
+from hazelcast_jet_spark.streaming.scd2 import scd2_stream_maintain  # noqa: E402
+
+hist = KeyedParquetTable(f"{work}/balance_history", ["id"], num_buckets=8)
+stream2 = spark.readStream.schema("value string").text(src)
+changes2 = parse_debezium(stream2, "id bigint, name string, balance bigint")
+log = changes2.selectExpr(
+    "coalesce(after.id, before.id) AS id",
+    "ts_ms AS t",
+    # track balance transitions; a delete closes the history with a
+    # terminal 'DELETED' state
+    "CASE WHEN op = 'DELETE' THEN 'DELETED' "
+    "     ELSE CAST(after.balance AS STRING) END AS state",
+    "ts_ms AS change_id")
+q2 = scd2_stream_maintain(log, hist, "id", "t", "state", "change_id",
+                          checkpoint=f"{work}/ckpt_hist")
+q2.awaitTermination()
+print("SCD2 balance history (validity intervals per account):")
+hist.read(spark).orderBy("id", "version").show()

@@ -760,3 +760,45 @@ def test_streaming_count_min_equals_batch(spark, sf_dir):
                             "user_id", width=64, depth=3, seed="eq")
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_scd2_stream_maintain_matches_batch_rebuild(spark, tmp_path):
+    """CDC stream -> SCD2 history table: after two micro-batches the
+    table equals the batch rebuild from the full log; re-applying the
+    same batches (fresh checkpoint = forced replay) is idempotent."""
+    import os
+
+    from hazelcast_jet_spark.operators.timeseries import scd2_intervals
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+    from hazelcast_jet_spark.streaming.scd2 import scd2_stream_maintain
+
+    b1 = [(1, 10, "A", 100), (1, 20, "A", 101), (2, 10, "X", 200)]
+    b2 = [(1, 30, "B", 102), (2, 40, "X", 201),   # X repeat collapses
+          (3, 5, "Q", 300)]                       # new key
+    schema = "k long, t long, s string, id long"
+    src = str(tmp_path / "src"); os.makedirs(src)
+    spark.createDataFrame(b1, schema).write.parquet(src + "/f1")
+    spark.createDataFrame(b2, schema).write.parquet(src + "/f2")
+
+    table = KeyedParquetTable(str(tmp_path / "scd2"), ["k"], num_buckets=8)
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+        q = scd2_stream_maintain(stream, table, "k", "t", "s", "id",
+                                 checkpoint=str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    run("ck1")
+    full = scd2_intervals(
+        spark.createDataFrame(b1 + b2, schema), "k", "t", "s", "id")
+    key = lambda r: (r["k"], r["version"])
+    want = {key(r): tuple(r) for r in full.collect()}
+    got = {key(r): tuple(r) for r in table.read(spark).collect()}
+    assert got == want
+    assert len(got) == 4  # (1,A),(1,B),(2,X),(3,Q)
+
+    # forced replay of both batches: same table (idempotent merge)
+    run("ck2")
+    got2 = {key(r): tuple(r) for r in table.read(spark).collect()}
+    assert got2 == want

@@ -1276,6 +1276,42 @@ def bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_reps=N_BOOT_REPS).orderBy("rep")
 
 
+CPMI_MIN, CPMI_TOPK = 8, 15
+
+
+def collocation_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by PMI (operators/text.collocations): the
+    corpus's most over-represented adjacent word pairs — vocab-bounded
+    bigram/unigram aggregates, broadcast joins back, fixed-order
+    double quotients of exact counts with correctly-rounded ln."""
+    from hazelcast_jet_spark.operators.text import collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, min_count=CPMI_MIN, top_k=CPMI_TOPK)
+
+
+def weekly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, week) exact value percentiles — the distribution-over-
+    time monitoring table (p50/p90 bands per week; the grouped-quantile
+    companion of the drift gates).  Week bins are FLOOR(epoch/604800)
+    over tz-free NTZ epochs; exact sort-based percentile for the gate
+    (approx_percentile is the documented 100 TB path, the
+    mad_outliers/winsorize convention), rounded 6dp."""
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    wk = F.floor(_epoch_seconds(e, "ts") / F.lit(604800))
+    return (
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", wk.alias("week"), "value")
+        .groupBy("event_type", "week")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"))
+        .orderBy("event_type", "week")
+    )
+
+
 N_AUDIO_MEDIA = 40
 
 
@@ -4158,6 +4194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_scd2_lookup": temporal_scd2_lookup,
         "winsorized_value_stats": winsorized_value_stats,
         "bootstrap_ci_orders": bootstrap_ci_orders,
+        "collocation_pmi_docs": collocation_pmi_docs,
+        "weekly_value_percentiles": weekly_value_percentiles,
         "changepoint_shift_events": changepoint_shift_events,
         "anomaly_band_flags": anomaly_band_flags,
         "bpe_segment_stats": bpe_segment_stats,
@@ -4184,10 +4222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": asof_join_tolerance,
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         # ===== driver window boundary: everything below has a green row ===
         # ===== from r5 (one round old) or >= 2 green rows =================
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "cep_sequence_match": cep_sequence_match,
         "streaming_dedup_count": streaming_dedup_count,
         "tfidf_top_terms": tfidf_top_terms,
@@ -7595,6 +7633,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 18 AS rep, n18 AS n_eff, s18 AS sum_v FROM agg
             UNION ALL SELECT 19 AS rep, n19 AS n_eff, s19 AS sum_v FROM agg
             ORDER BY rep
+        """,
+        "collocation_pmi_docs": (lambda mc, tk: r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), tk0 AS (
+                SELECT doc_id,
+                       unnest(string_split(nt, ' ')) AS term,
+                       unnest(generate_series(1, len(string_split(nt, ' '))))
+                           AS p
+                FROM norm
+            ), tks AS (
+                SELECT * FROM tk0 WHERE term <> ''
+            ), adj AS (
+                SELECT term AS a,
+                       lead(term) OVER (PARTITION BY doc_id ORDER BY p) AS b
+                FROM tks
+            ), pc AS (
+                SELECT a AS term_a, b AS term_b, count(*) AS n_pair
+                FROM adj WHERE b IS NOT NULL
+                GROUP BY 1, 2 HAVING count(*) >= {MC}
+            ), uni AS (
+                SELECT term, count(*) AS n FROM tks GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM uni
+            ), pt AS (
+                SELECT CAST(SUM(n_pair) AS BIGINT) AS n_pair_tot FROM pc
+            ), j AS (
+                SELECT pc.term_a, pc.term_b, pc.n_pair,
+                       round(ln((CAST(pc.n_pair AS DOUBLE) / pt.n_pair_tot)
+                             / ((CAST(ua.n AS DOUBLE) / tot.n_tok)
+                                * (CAST(ub.n AS DOUBLE) / tot.n_tok))), 6)
+                           AS pmi
+                FROM pc
+                JOIN uni ua ON ua.term = pc.term_a
+                JOIN uni ub ON ub.term = pc.term_b
+                CROSS JOIN tot CROSS JOIN pt
+            )
+            SELECT term_a, term_b, n_pair, pmi FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pmi DESC, term_a, term_b) AS r
+                FROM j
+            ) WHERE r <= {TK}
+        """.replace("{MC}", str(mc)).replace("{TK}", str(tk)))(
+            CPMI_MIN, CPMI_TOPK),
+        "weekly_value_percentiles": """
+            SELECT event_type,
+                   CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week,
+                   count(*) AS n,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "categorical_assoc_docs": """
             WITH cells AS (

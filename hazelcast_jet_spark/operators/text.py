@@ -928,3 +928,64 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+def collocations(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_count: int = 5,
+                 top_k: int = 20, round_digits: int = 6) -> DataFrame:
+    """Collocation mining by pointwise mutual information — which word
+    PAIRS occur together far more than chance (the phrase/terminology
+    extractor of corpus analysis, and the signal behind phrase-aware
+    tokenizers):
+
+        PMI(a, b) = ln( p(a,b) / (p(a) p(b)) )
+
+    over adjacent-bigram and unigram frequencies of the normalized
+    token stream.  ``min_count`` drops rare pairs (PMI is famously
+    noisy at low counts); ``top_k`` ranks by (PMI desc, pair asc).
+
+    Plan at scale: the gram stream aggregates once per arity (the
+    bigram-LM shape — vocab-bounded tables, corpus never re-enters);
+    unigram totals join back broadcast; the final rank runs on the
+    ≥min_count pair table.  All probabilities are double quotients of
+    exact integer counts in fixed order; ``ln`` is correctly-rounded
+    libm — the statistic hashes exactly on a SQL oracle.
+
+    Returns ``(term_a, term_b, n_pair, pmi)``, top_k rows.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(F.col(id_col), F.posexplode(
+            F.split(normalize_text(text_col), " ")).alias("p", "term"))
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    pairs = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("term").alias("term_a"), F.col("nxt").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_uni"))
+    tot = uni.agg(F.sum("n_uni").alias("n_tok"),
+                  F.sum(F.lit(1)).alias("_vocab"))
+    npairs = pairs.agg(F.sum("n_pair").alias("n_pair_tot"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_uni").alias("na"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_uni").alias("nb"))
+    j = (pairs.join(F.broadcast(ua), "term_a")
+         .join(F.broadcast(ub), "term_b")
+         .crossJoin(F.broadcast(tot))
+         .crossJoin(F.broadcast(npairs)))
+    p_ab = F.col("n_pair").cast("double") / F.col("n_pair_tot")
+    p_a = F.col("na").cast("double") / F.col("n_tok")
+    p_b = F.col("nb").cast("double") / F.col("n_tok")
+    pmi = F.round(F.log(p_ab / (p_a * p_b)), round_digits)
+    ranked = j.select("term_a", "term_b", "n_pair", pmi.alias("pmi"))
+    wr = Window.orderBy(F.col("pmi").desc(), "term_a", "term_b")
+    return (
+        ranked.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") <= top_k)
+        .drop("__r")
+    )

@@ -3060,3 +3060,42 @@ def test_compression_ratio_separates_template_noise_prose(spark):
     # bytes-exact vs direct zlib (fixed level => deterministic)
     exp = len(zlib.compress(prose.encode(), 6)) / len(prose.encode())
     assert got[2] == exp
+
+
+def test_collocations_pmi_matches_python_model(spark):
+    import math
+    from collections import Counter
+
+    from hazelcast_jet_spark.operators.text import collocations
+
+    docs = [
+        "new york is a big city",
+        "new york has new parks",
+        "york new has no meaning here",
+        "a big city has big parks in new york",
+    ] * 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = [(r["term_a"], r["term_b"], r["n_pair"], r["pmi"])
+           for r in collocations(df, min_count=3, top_k=5).collect()]
+
+    uni = Counter(); pair = Counter()
+    for d in docs:
+        ws = d.split()
+        uni.update(ws)
+        pair.update(zip(ws, ws[1:]))
+    n_tok = sum(uni.values()); n_pair_tot = sum(pair.values())
+    exp = []
+    for (a, b), c in pair.items():
+        if c < 3:
+            continue
+        pmi = math.log((c / n_pair_tot) / ((uni[a] / n_tok) * (uni[b] / n_tok)))
+        exp.append((a, b, c, round(pmi, 6)))
+    exp.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == exp[:5]
+    # "new york" is a real collocation: present with positive PMI in the
+    # wider ranking (rare always-together pairs like "no meaning"
+    # legitimately outrank it — PMI's known high-variance-at-low-count
+    # behavior, which is why min_count exists)
+    wide = {(r["term_a"], r["term_b"]): r["pmi"]
+            for r in collocations(df, min_count=3, top_k=50).collect()}
+    assert wide[("new", "york")] > 0

@@ -4155,23 +4155,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window.  r6 ordering (the NOTES_r5 handoff
-    plan + this round's changes): hll_cardinality_events first (the only
-    never-green query — its DECIMAL(38,0) gate-output fix landed this
-    round), then the 9 new-in-r6 queries, then the 5 queries whose
+    correctness gate's 50-entry window.  r6 final ordering:
+    hll_cardinality_events first (the only never-green query — its
+    DECIMAL(38,0) gate-output fix landed this round), then the 23
+    new-in-r6 queries (no green row exists for them at all —
+    never-green outranks stale-green), then the 5 queries whose
     IMPLEMENTATION changed this round (changepoint/anomaly prefix-sum
     rewrite, bpe pandas-path gate, corr-matrix decimal widening,
-    snapshot_diff presence markers), then the 13 entries whose only green
-    row is r4, the 7 r4-green entries displaced below the boundary during
-    r5, and the 15 r3-single-green refresh backlog.  Everything below the
-    boundary has a green row from r5 (one round old) or ≥2 green rows.
-    bench.py still runs every entry, so perf coverage is unaffected by the
-    order.
+    snapshot_diff presence markers), then the FULL 15-entry
+    r3-single-green refresh backlog (3 rounds stale — older than the
+    r4-green class, so it goes first), then 6 of the stale-r4 set.
+    The remaining r4-green entries (tpch_q11/q12/q15/q17/q19/q20/q21,
+    table_profile, value_histogram, sliding_agg/distinct,
+    user_sessions, asof_tolerance, incremental_minhash) head the r7
+    refresh list.  bench.py still runs every entry, so perf coverage
+    is unaffected by the order.
     """
     return {
         # ==== r6 window (first 50 = the driver correctness gate) =========
-        # 1 never-green (hll, repr fix landed) + 9 new r6 + 5 changed-impl
-        # + 13 stale-r4 + 7 displaced-r4 + 15 r3-single-green refresh
+        # 1 never-green (hll, repr fix landed) + 23 new r6 + 5 changed-impl
+        # + the full 15-entry r3-single-green refresh backlog (stalest
+        # single-green rows outrank r4-green ones) + 6 of the stale-r4 set;
+        # the remaining r4-green entries head the r7 refresh list.
         "hll_cardinality_events": hll_cardinality_events,
         "ann_recall_ivf_pq": ann_recall_ivf_pq,
         "pq_code_dup_pairs": pq_code_dup_pairs,
@@ -4201,29 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_stats": bpe_segment_stats,
         "corr_matrix_lineitem": corr_matrix_lineitem,
         "table_diff_counts": table_diff_counts,
-        "winnow_fingerprint_dups": winnow_fingerprint_dups,
-        "repetition_top_ngram": repetition_top_ngram,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q9_product_profit": tpch_q9_product_profit,
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
-        "tpch_q15_top_supplier": tpch_q15_top_supplier,
-        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
-        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
-        "table_profile": table_profile,
-        "value_histogram": value_histogram,
-        "sliding_agg_incremental": sliding_agg_incremental,
-        "sliding_distinct_users": sliding_distinct_users,
-        "user_sessions": user_sessions,
-        "asof_join_tolerance": asof_join_tolerance,
-        "incremental_minhash_dedup": incremental_minhash_dedup,
         "tpch_q10_returned_items": tpch_q10_returned_items,
-        # ===== driver window boundary: everything below has a green row ===
-        # ===== from r5 (one round old) or >= 2 green rows =================
         "range_join_value_bands": range_join_value_bands,
         "continuous_aggregate_rollup": continuous_aggregate_rollup,
         "cep_sequence_match": cep_sequence_match,
@@ -4238,6 +4221,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
         "kmv_distinct_sketch": kmv_distinct_sketch,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
+        # ===== driver window boundary: everything below has a green row ===
+        # ===== from r4/r5 or >= 2 green rows ==============================
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        "table_profile": table_profile,
+        "value_histogram": value_histogram,
+        "sliding_agg_incremental": sliding_agg_incremental,
+        "sliding_distinct_users": sliding_distinct_users,
+        "user_sessions": user_sessions,
+        "asof_join_tolerance": asof_join_tolerance,
+        "incremental_minhash_dedup": incremental_minhash_dedup,
         "dq_checks_orders": dq_checks_orders,
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,

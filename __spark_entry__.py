@@ -4148,6 +4148,85 @@ def hll_cardinality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSK_K = 256
+
+
+def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch (sketch.quantile_sketch —
+    the 5th mergeable sketch beside KMV/MG/CMS/HLL): per event_type, a
+    k=256 bottom-k-by-md5(event_id) uniform row sample; p50/p90 order
+    statistics of the sample beside the exact percentiles.  One
+    exchange carries sketch AND exact (same groupBy); at 100 TB the
+    sharded twin bounds partial state (pytest bit-identity pin)."""
+    from hazelcast_jet_spark.operators.sketch import (
+        quantile_estimate, quantile_sketch)
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        quantile_sketch("value", "event_id", k=QSK_K).alias("__sk"),
+    )
+    return agg.select(
+        "event_type", "n_rows",
+        F.size("__sk").alias("n_sample"),
+        quantile_estimate(F.col("__sk"), 0.5).alias("p50_est"),
+        quantile_estimate(F.col("__sk"), 0.9).alias("p90_est"),
+        "p50_exact", "p90_exact",
+    ).orderBy("event_type")
+
+
+AR_MIN_PAIR, AR_MAX_BASKET, AR_TOPK = 3, 64, 20
+
+
+def association_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (graph.association_rules) over
+    order->part baskets: pair-tier Apriori with support/confidence/lift,
+    top-20 by lift.  The rule-mining companion of copurchase_graph_stats
+    (same in-task pair enumeration, same hot-basket cap)."""
+    from hazelcast_jet_spark.operators.graph import association_rules
+
+    l = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        l, "l_orderkey", "l_partkey",
+        min_pair_count=AR_MIN_PAIR, max_basket=AR_MAX_BASKET,
+        top_k=AR_TOPK)
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event streams
+    (timeseries.event_transitions): one key exchange orders the
+    streams; the K^2-bounded pair table carries counts + row-normalized
+    probabilities."""
+    from hazelcast_jet_spark.operators.timeseries import event_transitions
+
+    e = _t(spark, sf_dir, "events")
+    return event_transitions(e)
+
+
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syllable-heuristic readability metrics (text.readability):
+    map-only vowel-group counting over the normalized token stream —
+    words, syllables, complex-word fraction, Flesch-proxy score."""
+    from hazelcast_jet_spark.operators.text import readability
+
+    d = _t(spark, sf_dir, "documents")
+    return readability(d).orderBy("doc_id")
+
+
+def gini_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini concentration of order value
+    (profile.gini_concentration): exact rank-formula Gini with
+    DECIMAL-accumulated terms — one exchange serves rank window and
+    final aggregate."""
+    from hazelcast_jet_spark.operators.profile import gini_concentration
+
+    o = _t(spark, sf_dir, "orders")
+    return gini_concentration(
+        o, ["o_orderpriority"], "o_totalprice").orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4376,6 +4455,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
+        # ---- new in r6 session 7 (below the finalized window; these
+        # ---- never-green entries lead the r7 rotation) ---------------
+        "quantile_sketch_events": quantile_sketch_events,
+        "association_rules_lineitem": association_rules_lineitem,
+        "event_transition_matrix": event_transition_matrix,
+        "readability_docs": readability_docs,
+        "gini_value_orders": gini_value_orders,
     }
 
 
@@ -8417,5 +8503,155 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vid) AS BIGINT) AS vid_sum,
                    CAST(sum(pid) AS BIGINT) AS pid_sum
             FROM v JOIN p ON v.vs < p.pe AND p.ps < v.ve
+        """,
+        "quantile_sketch_events": f"""
+            WITH h AS (
+                SELECT event_type, value,
+                       md5(CAST(event_id AS VARCHAR)) AS hsh
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY hsh) AS rn
+                FROM h
+            ), sk AS (
+                SELECT event_type,
+                       list_sort(list(value)) AS vals,
+                       count(*) AS n_sample
+                FROM r WHERE rn <= {QSK_K} GROUP BY 1
+            ), ex AS (
+                SELECT event_type, count(*) AS n_rows,
+                       round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                       round(quantile_cont(value, 0.9), 6) AS p90_exact
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT ex.event_type, ex.n_rows, sk.n_sample,
+                   vals[CAST(floor(0.5 * (n_sample - 1)) AS BIGINT) + 1]
+                       AS p50_est,
+                   vals[CAST(floor(0.9 * (n_sample - 1)) AS BIGINT) + 1]
+                       AS p90_est,
+                   ex.p50_exact, ex.p90_exact
+            FROM ex JOIN sk USING (event_type)
+            ORDER BY event_type
+        """,
+        "association_rules_lineitem": f"""
+            WITH bi AS (
+                SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), keep AS (
+                SELECT b FROM bi GROUP BY b
+                HAVING count(*) <= {AR_MAX_BASKET}
+            ), kb AS (
+                SELECT bi.b, bi.i FROM bi JOIN keep USING (b)
+            ), nb AS (
+                SELECT count(DISTINCT b) AS n_baskets FROM kb
+            ), itc AS (
+                SELECT i, count(*) AS n FROM kb GROUP BY 1
+            ), pr AS (
+                SELECT x.i AS a, y.i AS c, count(*) AS n_pair
+                FROM kb x JOIN kb y ON x.b = y.b AND x.i < y.i
+                GROUP BY 1, 2 HAVING count(*) >= {AR_MIN_PAIR}
+            ), dr AS (
+                SELECT a AS ante, c AS cons, n_pair FROM pr
+                UNION ALL
+                SELECT c AS ante, a AS cons, n_pair FROM pr
+            ), rules AS (
+                SELECT dr.ante AS antecedent, dr.cons AS consequent,
+                       dr.n_pair,
+                       ia.n AS n_ante, ic.n AS n_cons,
+                       round(CAST(dr.n_pair AS DOUBLE)
+                             / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+                       round(CAST(dr.n_pair AS DOUBLE)
+                             / CAST(ia.n AS DOUBLE), 6) AS confidence,
+                       round(CAST(dr.n_pair AS DOUBLE)
+                             * CAST(nb.n_baskets AS DOUBLE)
+                             / (CAST(ia.n AS DOUBLE)
+                                * CAST(ic.n AS DOUBLE)), 6) AS lift
+                FROM dr
+                JOIN itc ia ON ia.i = dr.ante
+                JOIN itc ic ON ic.i = dr.cons
+                CROSS JOIN nb
+            )
+            SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+                   support, confidence, lift
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY lift DESC, confidence DESC,
+                             antecedent, consequent) AS rk
+                FROM rules
+            ) WHERE rk <= {AR_TOPK}
+        """,
+        "event_transition_matrix": """
+            WITH seq AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+                FROM events
+            ), pairs AS (
+                SELECT from_type, to_type, count(*) AS n_trans
+                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n_trans,
+                   round(CAST(n_trans AS DOUBLE)
+                         / CAST(SUM(n_trans) OVER (
+                               PARTITION BY from_type) AS DOUBLE), 6)
+                       AS p_trans
+            FROM pairs ORDER BY from_type, to_type
+        """,
+        "readability_docs": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+                FROM documents
+            ), syl AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(string_split(nt, ' '),
+                                       t -> t <> ''),
+                           t -> greatest(len(regexp_extract_all(
+                                    t, '[aeiouy]+')), 1)) AS s
+                FROM norm
+            ), m AS (
+                SELECT doc_id,
+                       len(s) AS n_words,
+                       CAST(coalesce(list_sum(s), 0) AS BIGINT)
+                           AS n_syllables,
+                       len(list_filter(s, x -> x >= 3)) AS n_complex
+                FROM syl
+            )
+            SELECT doc_id, n_words, n_syllables,
+                   round(CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE), 6) AS avg_syllables,
+                   round(CAST(n_complex AS DOUBLE)
+                         / CAST(n_words AS DOUBLE), 6) AS pct_complex,
+                   round(206.835 - 84.6
+                         * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)), 6) AS flesch_proxy
+            FROM m WHERE n_words > 0
+            ORDER BY doc_id
+        """,
+        "gini_value_orders": """
+            WITH r AS (
+                SELECT o_orderpriority,
+                       CAST(o_totalprice AS DECIMAL(18,6)) AS x,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice) AS DECIMAL(12,0)) AS i
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), agg AS (
+                SELECT o_orderpriority,
+                       count(*) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx,
+                       CAST(SUM(i * x) AS DOUBLE) AS six
+                FROM r GROUP BY 1
+            )
+            SELECT o_orderpriority, n,
+                   round(sx, 2) AS total,
+                   CASE WHEN n > 0 AND sx <> 0.0 THEN
+                       round((2.0 * six - (CAST(n AS DOUBLE) + 1.0) * sx)
+                             / (CAST(n AS DOUBLE) * sx), 6)
+                   END AS gini
+            FROM agg ORDER BY o_orderpriority
         """,
     }

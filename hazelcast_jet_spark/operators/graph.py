@@ -296,3 +296,110 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     directed.unpersist(False)
     return ranks.select(
         "node", F.round("rank", round_digits).alias("pagerank"))
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 5,
+    max_basket: int = 1024,
+    top_k: int = 20,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal/Imielinski/Swami 1993):
+    for every co-occurring item pair seen in >= min_pair_count baskets,
+    both directed rules ``antecedent -> consequent`` with
+
+        support    = n_pair / n_baskets
+        confidence = n_pair / n_antecedent
+        lift       = n_pair * n_baskets / (n_ante * n_cons)
+
+    ranked by (lift desc, confidence desc, antecedent, consequent),
+    top_k rows.  The length-2-itemset core of Apriori — at 100 TB the
+    pair tier is where basket mining lives (higher arities explode and
+    are mined on the pair survivors).
+
+    Plan at scale: one exchange collects each basket's sorted distinct
+    item set (``max_basket`` drops quadratic hot baskets, the
+    :func:`cooccurrence_edges` guard — dropped baskets leave BOTH the
+    pair counts and the support base, keeping the probabilities
+    consistent); pairs explode in-task; one pair-keyed aggregate, one
+    item-keyed aggregate off the same kept-basket frame; item supports
+    and the scalar basket count join back broadcast.  All ratios are
+    fixed-order double quotients of exact counts — the statistic
+    replays bit-for-bit on a SQL oracle.
+
+    Returns ``(antecedent, consequent, n_pair, n_ante, n_cons,
+    support, confidence, lift)``.
+    """
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    bi = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__i").isNotNull())
+    )
+    baskets = (
+        bi.groupBy("__b")
+        .agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+        .filter(F.size("__items") <= max_basket)
+        .persist()
+    )
+    n_baskets = baskets.groupBy().agg(
+        F.count(F.lit(1)).alias("__nb"))
+    item_counts = (
+        baskets.select(F.explode("__items").alias("__i"))
+        .groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    # pairs a<b enumerated in-task from the sorted set (no self-join)
+    pair_expr = F.filter(
+        F.flatten(F.transform(
+            F.col("__items"),
+            lambda a: F.transform(F.col("__items"),
+                                  lambda b: F.struct(a.alias("a"),
+                                                     b.alias("c"))),
+        )),
+        lambda s: s["a"] < s["c"],
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("__p"))
+        .groupBy(F.col("__p.a").alias("__a"), F.col("__p.c").alias("__c"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    # both rule directions from each undirected pair
+    directed = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("__a").alias("ante"), F.col("__c").alias("cons"),
+                     F.col("n_pair")),
+            F.struct(F.col("__c").alias("ante"), F.col("__a").alias("cons"),
+                     F.col("n_pair")),
+        )).alias("__r")
+    ).select("__r.ante", "__r.cons", "__r.n_pair")
+    ia = item_counts.select(F.col("__i").alias("ante"),
+                            F.col("__ni").alias("n_ante"))
+    ic = item_counts.select(F.col("__i").alias("cons"),
+                            F.col("__ni").alias("n_cons"))
+    j = (directed.join(F.broadcast(ia), "ante")
+         .join(F.broadcast(ic), "cons")
+         .crossJoin(F.broadcast(n_baskets)))
+    npair_d = F.col("n_pair").cast("double")
+    nb_d = F.col("__nb").cast("double")
+    support = F.round(npair_d / nb_d, round_digits)
+    confidence = F.round(npair_d / F.col("n_ante").cast("double"),
+                         round_digits)
+    lift = F.round(npair_d * nb_d
+                   / (F.col("n_ante").cast("double")
+                      * F.col("n_cons").cast("double")), round_digits)
+    ranked = j.select(
+        F.col("ante").alias("antecedent"), F.col("cons").alias("consequent"),
+        "n_pair", "n_ante", "n_cons",
+        support.alias("support"), confidence.alias("confidence"),
+        lift.alias("lift"))
+    w = Window.orderBy(F.col("lift").desc(), F.col("confidence").desc(),
+                       "antecedent", "consequent")
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .drop("__rk")
+    )

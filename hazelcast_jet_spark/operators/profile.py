@@ -847,3 +847,61 @@ def winsorize(df: DataFrame, value_col: str, lo_p: float = 0.01,
     clamped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
         F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
     return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value — the
+    concentration/inequality audit (how skewed is training-data volume
+    across source domains, spend across customers, tokens across
+    shards?).  0 = perfectly even, -> 1 = one member holds everything.
+    Uses the exact rank formulation over ascending values
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with 1-based rank i.  Equal values make ``sum(i * x_i)`` invariant
+    to tie order (the i's of a tie block sum to a constant), so the
+    statistic is deterministic without a tie-break column.
+
+    Plan at scale: ONE exchange on the group key serves both the
+    rank window and the final aggregate (same partitioning, Catalyst
+    reuses it).  Per-row terms accumulate in DECIMAL — ``i * x`` at
+    DECIMAL(38,6) — so sums are order-independent and the result
+    bit-identical across engines; the single division happens once in
+    double.  Groups with sum(x) = 0 or n = 0 return NULL gini.
+
+    Returns ``(group_cols..., n, total, gini)``; ``total`` is the
+    exact decimal sum emitted as double.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    xdec = F.col(value_col).cast("decimal(18,6)")
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__i", F.row_number().over(w))
+        # rank at DECIMAL(12,0): 12 + 18 = 30 total width keeps the
+        # product inside every engine's 38-digit multiply bound (and
+        # caps supported group size at 1e12 rows — document past that)
+        .withColumn("__ix", F.col("__i").cast("decimal(12,0)") * xdec)
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xdec).alias("__sx"),
+        F.sum("__ix").alias("__six"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("__sx").cast("double")
+    six_d = F.col("__six").cast("double")
+    gini = F.when(
+        (F.col("n") > 0) & (sx_d != 0.0),
+        F.round((2.0 * six_d - (n_d + 1.0) * sx_d) / (n_d * sx_d),
+                round_digits),
+    )
+    return agg.select(
+        *group_cols, "n",
+        F.round(sx_d, 2).alias("total"),
+        gini.alias("gini"),
+    )

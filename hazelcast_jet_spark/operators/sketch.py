@@ -496,3 +496,75 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     full = rows.join(per_row, "cm_row", "left").select(
         F.coalesce("__ip", F.lit(0)).alias("__ip"))
     return full.agg(F.min("__ip").cast("bigint").alias("est_join_size"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (bottom-k uniform row sample)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch(value_col: Column | str, key_col: Column | str,
+                    k: int = 256) -> Column:
+    """Aggregate: a deterministic, mergeable QUANTILE sketch — the k rows
+    whose md5(key) hashes are smallest, stored as sorted
+    ``array<struct<h: string, v: double>>``.
+
+    Hashing a unique row key uniformly at random (md5 is the same
+    "fixed public randomness" used by every sampler in this repo)
+    makes the kept rows a uniform-without-replacement size-k sample of
+    the group, so order statistics of the sample estimate the group's
+    quantiles with the standard ~1/sqrt(k) error — the same regime as
+    GK/KLL sketches (Greenwald-Khanna 2001) but, unlike them,
+
+    - **deterministic and engine-portable**: md5 + array ops only, so a
+      SQL oracle replays the sketch bit-for-bit (no randomized sketch
+      can sit under an exact-hash gate);
+    - **mergeable**: union two sketches and re-take the k smallest by
+      hash — the global bottom-k of a union is contained in the union
+      of per-part bottom-ks (the KMV argument, applied to row hashes);
+    - **exact below k**: fewer than k rows -> the sketch IS the group.
+
+    Aggregation state is O(rows-per-group) before the slice (the
+    collect_list caveat shared with :func:`kmv_sketch`); at 100 TB use
+    :func:`quantile_sketch_sharded`, which bounds each partial to one
+    hash shard and folds to the identical sketch.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pair = F.struct(F.md5(key.cast("string")).alias("h"),
+                    v.cast("double").alias("v"))
+    return F.slice(F.sort_array(F.collect_list(pair)), 1, k)
+
+
+def quantile_sketch_sharded(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    num_shards: int = 16,
+    sketch_col: str = "qsk",
+) -> DataFrame:
+    """Two-level :func:`quantile_sketch`: bottom-k per (group, hash
+    shard), folded per group — bit-identical to the unsharded sketch
+    (the global k smallest row hashes are a subset of the union of the
+    per-shard k smallest) with per-partial state bounded at one shard's
+    rows and merge state at num_shards * k structs."""
+    key = F.col(key_col)
+    shard = F.pmod(F.xxhash64(key.cast("string")), F.lit(num_shards))
+    partial = df.groupBy(*group_cols, shard.alias("_qs_shard")).agg(
+        quantile_sketch(value_col, key_col, k).alias("_pqs"))
+    return partial.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_pqs"))), 1, k)
+        .alias(sketch_col)
+    )
+
+
+def quantile_estimate(sketch: Column, q: float) -> Column:
+    """Quantile-q estimate from a :func:`quantile_sketch` column: the
+    lower-index order statistic ``sorted_values[floor(q * (n-1)) + 1]``
+    of the sampled values (1-based; no interpolation, so the estimate
+    is always an actual data value and replays exactly in SQL)."""
+    vals = F.sort_array(F.transform(sketch, lambda s: s["v"]))
+    n = F.size(vals)
+    idx = F.floor(F.lit(float(q)) * (n - F.lit(1)).cast("double")) + F.lit(1)
+    return F.element_at(vals, idx.cast("int"))

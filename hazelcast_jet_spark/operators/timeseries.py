@@ -707,3 +707,51 @@ def scd2_apply_delta(intervals: DataFrame, delta: DataFrame, key_col: str,
         delta.select(key_col, time_col, state_col, id_col))
     rebuilt = scd2_intervals(merged, key_col, time_col, state_col, id_col)
     return untouched.unionByName(rebuilt)
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of per-entity event streams:
+    for every ordered pair ``(from_type, to_type)`` of CONSECUTIVE
+    events of one entity, the transition count and the row-normalized
+    probability ``p = n / sum(n over from_type)`` — the behavioral
+    fingerprint behind next-event prediction, funnel-leak diagnosis and
+    bot/sequence anomaly detection (a transition-level companion of the
+    CEP matcher, which hunts specific sequences).
+
+    Ordering ties on ``time_col`` break by ``order_col`` so the
+    consecutive-pair relation is total and the result deterministic.
+
+    Plan at scale: ONE exchange on the entity key orders each stream
+    and takes ``lead(type)``; the pair aggregate re-keys K^2-bounded
+    (type, next) rows; the per-from_type denominator is a window ``sum``
+    over that tiny pair table — the raw stream never enters a second
+    exchange.  Probabilities are fixed-order double quotients of exact
+    counts.
+
+    Returns ``(from_type, to_type, n_trans, p_trans)`` ordered by
+    (from_type, to_type).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, order_col)
+    pairs = (
+        df.withColumn("__nxt", F.lead(type_col).over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"),
+                 F.col("__nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = Window.partitionBy("from_type")
+    p = F.round(
+        F.col("n_trans").cast("double")
+        / F.sum("n_trans").over(tot).cast("double"), round_digits)
+    return (
+        pairs.select("from_type", "to_type", "n_trans",
+                     p.alias("p_trans"))
+        .orderBy("from_type", "to_type")
+    )

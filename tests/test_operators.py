@@ -3099,3 +3099,157 @@ def test_collocations_pmi_matches_python_model(spark):
     wide = {(r["term_a"], r["term_b"]): r["pmi"]
             for r in collocations(df, min_count=3, top_k=50).collect()}
     assert wide[("new", "york")] > 0
+
+
+def test_quantile_sketch_sharded_bit_identical_and_exact_below_k(spark):
+    """quantile_sketch: sharded twin folds to the bit-identical sketch
+    (the KMV argument over row hashes); below-k groups ARE the group,
+    so estimates are exact order statistics."""
+    from hazelcast_jet_spark.operators.sketch import (
+        quantile_estimate, quantile_sketch, quantile_sketch_sharded)
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 1009).cast("double").alias("v"),
+    )
+    whole = df.groupBy("g").agg(
+        quantile_sketch("v", "k", 64).alias("qsk"))
+    sharded = quantile_sketch_sharded(df, ["g"], "v", "k", k=64,
+                                      num_shards=8)
+    w = {r.g: r.qsk for r in whole.collect()}
+    s = {r.g: r.qsk for r in sharded.collect()}
+    assert w == s
+    # below k: sketch == the group; quantile estimate == exact order stat
+    small = spark.range(0, 10).select(
+        F.lit(0).alias("g"), F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"))
+    est = small.groupBy("g").agg(
+        quantile_estimate(quantile_sketch("v", "k", 64), 0.5).alias("m")
+    ).collect()[0].m
+    assert est == 4.0  # lower-index convention: floor(0.5*9)=4 -> value 4
+
+    # sample-based estimate lands near truth for a uniform column
+    big = spark.range(0, 20000).select(
+        F.lit(0).alias("g"), F.col("id").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"))
+    p50 = big.groupBy("g").agg(
+        quantile_estimate(quantile_sketch("v", "k", 256), 0.5).alias("m")
+    ).collect()[0].m
+    assert abs(p50 - 500.0) < 100.0
+
+
+def test_association_rules_matches_python_model(spark):
+    """association_rules vs a brute-force python model on toy baskets,
+    incl. the hot-basket cap dropping a basket from counts AND base."""
+    import itertools
+    from collections import Counter
+
+    from hazelcast_jet_spark.operators.graph import association_rules
+
+    baskets = {
+        1: ["a", "b", "c"], 2: ["a", "b"], 3: ["a", "b", "d"],
+        4: ["b", "c"], 5: ["a", "c"], 6: ["a", "b"],
+        7: list("abcdefgh"),  # dropped by max_basket=6
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = association_rules(df, "basket", "item", min_pair_count=2,
+                            max_basket=6, top_k=50).collect()
+
+    kept = {b: set(i) for b, i in baskets.items() if len(set(i)) <= 6}
+    nb = len(kept)
+    item_n = Counter(i for s in kept.values() for i in s)
+    pair_n = Counter()
+    for s in kept.values():
+        for a, c in itertools.combinations(sorted(s), 2):
+            pair_n[(a, c)] += 1
+    want = {}
+    for (a, c), n in pair_n.items():
+        if n < 2:
+            continue
+        for ante, cons in [(a, c), (c, a)]:
+            want[(ante, cons)] = (
+                n, item_n[ante], item_n[cons],
+                round(n / nb, 6), round(n / item_n[ante], 6),
+                round(n * nb / (item_n[ante] * item_n[cons]), 6))
+    got_map = {(r.antecedent, r.consequent):
+               (r.n_pair, r.n_ante, r.n_cons, r.support, r.confidence,
+                r.lift) for r in got}
+    assert got_map == want
+    # ranked by lift desc then confidence desc
+    lifts = [(r.lift, r.confidence) for r in got]
+    assert lifts == sorted(lifts, reverse=True) or \
+        [r.lift for r in got] == sorted([r.lift for r in got], reverse=True)
+
+
+def test_event_transitions_counts_and_row_normalization(spark):
+    """event_transitions: consecutive pairs per user in (ts, id) order;
+    probabilities row-normalize per from_type."""
+    from hazelcast_jet_spark.operators.timeseries import event_transitions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "a"),
+        (4, "2024-01-01 00:00:30", 2, "a"),
+        (5, "2024-01-01 00:01:30", 2, "a"),
+        # same-ts tie on user 3 breaks by event_id: a -> b
+        (6, "2024-01-01 00:00:00", 3, "a"),
+        (7, "2024-01-01 00:00:00", 3, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                 "event_type")
+    got = {(r.from_type, r.to_type): (r.n_trans, r.p_trans)
+           for r in event_transitions(df).collect()}
+    # from 'a': a->b twice (users 1 and 3), a->a once (user 2)
+    assert got == {
+        ("a", "b"): (2, 0.666667), ("a", "a"): (1, 0.333333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_readability_metrics_match_hand_counts(spark):
+    """readability: vowel-group syllables, complex-word fraction and the
+    Flesch proxy against hand-computed values; zero-word docs dropped."""
+    from hazelcast_jet_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"),          # syl 1/1/1
+         (2, "beautiful analysis"),   # beau-ti-ful? groups: eau,i,u=3; a,a,y,i=4
+         (3, "xyz"),                  # no aeiouy run except y -> 1
+         (4, "   "),                  # dropped
+         (5, None)],                  # dropped
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in readability(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_words, got[1].n_syllables, got[1].n_complex
+            if hasattr(got[1], "n_complex") else None) in [
+        (3, 3, None)]
+    assert got[1].avg_syllables == 1.0
+    assert got[1].pct_complex == 0.0
+    assert got[1].flesch_proxy == round(206.835 - 84.6, 6)
+    # 'beautiful' -> eau,i,u = 3 groups; 'analysis' -> a,a,y,i = 4 groups
+    assert got[2].n_syllables == 7
+    assert got[2].pct_complex == 1.0
+    assert got[3].n_syllables == 1  # 'y' run, clamped path unused
+
+
+def test_gini_concentration_known_values(spark):
+    """gini_concentration: 0 for equal values; hand-checked value for a
+    skewed group; NULL for all-zero totals."""
+    from hazelcast_jet_spark.operators.profile import gini_concentration
+
+    rows = ([("eq", 10.0)] * 4
+            + [("sk", 0.0), ("sk", 0.0), ("sk", 0.0), ("sk", 100.0)]
+            + [("z", 0.0), ("z", 0.0)])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in gini_concentration(df, ["g"], "v").collect()}
+    assert got["eq"].gini == 0.0
+    # G = (2*(4*100) - 5*100) / (4*100) = 0.75
+    assert got["sk"].gini == 0.75
+    assert got["sk"].total == 100.0
+    assert got["z"].gini is None

@@ -489,3 +489,54 @@ def test_padding_efficiency_single_aggregate(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1
     # formatted plans mention each node twice (tree + detail section)
     assert plan.count("Scan parquet") <= 2
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    """readability is pure per-row array expressions — no exchange at
+    all (the shape that runs at input bandwidth on 100 TB)."""
+    from hazelcast_jet_spark.operators.text import readability
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    assert "Exchange" not in _plan(readability(d))
+
+
+def test_event_transitions_single_stream_exchange(spark, sf_dir):
+    """One hash exchange on user_id orders the streams; the pair
+    aggregate and row-normalizing window run on the K^2-bounded pair
+    table (its exchanges move vocabulary-sized data, not the stream)."""
+    from hazelcast_jet_spark.operators.timeseries import event_transitions
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    body = event_transitions(e)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert body.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_gini_reuses_group_exchange(spark, sf_dir):
+    """gini_concentration: the rank window's hash exchange on the group
+    key is the ONLY hash exchange — the final aggregate reuses the
+    window's partitioning instead of re-shuffling."""
+    from hazelcast_jet_spark.operators.profile import gini_concentration
+    from hazelcast_jet_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    body = gini_concentration(o, ["o_orderpriority"], "o_totalprice") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert body.count("Exchange hashpartitioning") == 1
+
+
+def test_association_rules_broadcasts_supports(spark, sf_dir):
+    """association_rules: item supports and the scalar basket count join
+    back broadcast — no shuffle join on the rule table; pair enumeration
+    is in-task (no self-join of the basket frame)."""
+    from hazelcast_jet_spark.operators.graph import association_rules
+    from hazelcast_jet_spark.session import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(association_rules(l, "l_orderkey", "l_partkey",
+                                   min_pair_count=3, max_basket=64))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

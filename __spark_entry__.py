@@ -4227,6 +4227,32 @@ def gini_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["o_orderpriority"], "o_totalprice").orderBy("o_orderpriority")
 
 
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (dedup.source_overlap) at the
+    shingle grain: shared word 3-shingles + Jaccard overlap per source
+    pair — phrase-level contamination, nonzero long before whole
+    documents collide.  Payloads never shuffle, only shingles and
+    source names."""
+    from hazelcast_jet_spark.operators.dedup import source_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return source_overlap(d, unit="shingle", shingle_k=SHINGLE_K)
+
+
+WFILL_FRAC = 0.6
+
+
+def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling training-mixture allocator
+    (sampling.waterfill_allocation): 60% of total corpus chars split
+    max-min-fair across sources — small sources taken whole, large ones
+    capped at the closed-form fill level."""
+    from hazelcast_jet_spark.operators.sampling import waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4462,6 +4488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": event_transition_matrix,
         "readability_docs": readability_docs,
         "gini_value_orders": gini_value_orders,
+        "source_overlap_docs": source_overlap_docs,
+        "mixture_allocation_docs": mixture_allocation_docs,
     }
 
 
@@ -8653,5 +8681,67 @@ def oracle_sql() -> dict[str, str]:
                              / (CAST(n AS DOUBLE) * sx), 6)
                    END AS gini
             FROM agg ORDER BY o_orderpriority
+        """,
+        "source_overlap_docs": f"""
+            WITH fs AS (
+                SELECT DISTINCT source AS s, unnest({_shingle_sql()}) AS fp
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+            ), ps AS (
+                SELECT s, count(*) AS n FROM fs GROUP BY 1
+            ), sh AS (
+                SELECT a.s AS source_a, b.s AS source_b,
+                       count(*) AS n_shared
+                FROM fs a JOIN fs b ON a.fp = b.fp AND a.s < b.s
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   pa.n AS n_a, pb.n AS n_b,
+                   round(CAST(n_shared AS DOUBLE)
+                         / CAST(pa.n + pb.n - n_shared AS DOUBLE), 6)
+                       AS jaccard
+            FROM sh
+            JOIN ps pa ON pa.s = sh.source_a
+            JOIN ps pb ON pb.s = sh.source_b
+            ORDER BY source_a, source_b
+        """,
+        "mixture_allocation_docs": f"""
+            WITH caps AS (
+                SELECT source, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+                           AS capacity
+                FROM documents GROUP BY 1
+            ), r AS (
+                SELECT source, capacity,
+                       row_number() OVER (ORDER BY capacity, source) AS i,
+                       coalesce(SUM(capacity) OVER (
+                           ORDER BY capacity, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS pfx,
+                       count(*) OVER () AS n,
+                       SUM(capacity) OVER () AS tot
+                FROM caps
+            ), c AS (
+                SELECT *,
+                       (CAST(tot AS DOUBLE) * {WFILL_FRAC}
+                        - CAST(pfx AS DOUBLE))
+                       / CAST(n - i + 1 AS DOUBLE) AS cand
+                FROM r
+            ), th AS (
+                SELECT min_by(cand, i) AS theta FROM c
+                WHERE cand <= CAST(capacity AS DOUBLE)
+            )
+            SELECT source, capacity,
+                   round(CASE WHEN theta IS NULL
+                              THEN CAST(capacity AS DOUBLE)
+                              ELSE least(CAST(capacity AS DOUBLE), theta)
+                         END, 6) AS alloc,
+                   CASE WHEN capacity > 0 THEN
+                       round(CASE WHEN theta IS NULL
+                                  THEN CAST(capacity AS DOUBLE)
+                                  ELSE least(CAST(capacity AS DOUBLE),
+                                             theta)
+                             END / CAST(capacity AS DOUBLE), 6)
+                   END AS rate
+            FROM c CROSS JOIN th ORDER BY source
         """,
     }

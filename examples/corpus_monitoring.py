@@ -174,3 +174,47 @@ from hazelcast_jet_spark.operators.profile import categorical_association  # noq
 docs = load_table(spark, sf_dir, "documents")
 print("lang x source association:")
 categorical_association(docs, "lang", "source").show()
+
+# 17. readability distribution per language — syllable-heuristic lexical
+#     scoring, pure map-only array expressions
+from hazelcast_jet_spark.operators.text import readability  # noqa: E402
+
+print("readability by lang:")
+(readability(docs).join(docs.select("doc_id", "lang"), "doc_id")
+ .groupBy("lang").agg(F.round(F.avg("avg_syllables"), 4).alias("avg_syl"),
+                      F.round(F.avg("pct_complex"), 4).alias("complex"),
+                      F.round(F.avg("flesch_proxy"), 2).alias("flesch"))
+ .orderBy("lang").show())
+
+# 18. corpus concentration: Gini of char volume across sources — how
+#     lopsided is the training mix?
+from hazelcast_jet_spark.operators.profile import gini_concentration  # noqa: E402
+
+print("char-volume concentration across sources (global Gini):")
+gini_concentration(docs.withColumn("_all", F.lit("corpus")),
+                   ["_all"], "n_chars").show()
+
+# 19. mergeable quantile sketch beside the exact percentiles — the
+#     bounded-state way to track p50/p90 at 100 TB
+from hazelcast_jet_spark.operators.sketch import (  # noqa: E402
+    quantile_estimate, quantile_sketch_sharded)
+
+qs = quantile_sketch_sharded(events.filter(F.col("value").isNotNull()),
+                             ["event_type"], "value", "event_id", k=128)
+print("sketched p50/p90 per event type:")
+qs.select("event_type",
+          quantile_estimate(F.col("qsk"), 0.5).alias("p50_est"),
+          quantile_estimate(F.col("qsk"), 0.9).alias("p90_est")) \
+  .orderBy("event_type").show()
+
+# 20. cross-source contamination: shared shingles between sources
+from hazelcast_jet_spark.operators.dedup import source_overlap  # noqa: E402
+
+print("phrase-level source overlap (top pairs):")
+source_overlap(docs, unit="shingle").orderBy(F.desc("jaccard")).show(5)
+
+# 21. behavioral fingerprint: event-type transition matrix
+from hazelcast_jet_spark.operators.timeseries import event_transitions  # noqa: E402
+
+print("event transition matrix:")
+event_transitions(events).show()

@@ -105,3 +105,10 @@ from hazelcast_jet_spark.operators.clustering import coreset_kcenter  # noqa: E4
 emb = load_table(spark, sf_dir, "embeddings")
 print("k-center coreset selection order:")
 coreset_kcenter(emb, 5).orderBy("sel_order").show()
+
+from hazelcast_jet_spark.operators.sampling import waterfill_allocation  # noqa: E402
+
+# budget the final mixture: water-fill 60% of total chars across
+# sources — scarce domains kept whole, big ones capped at the fill level
+print("water-filled source budget (60% of corpus):")
+waterfill_allocation(docs, "source", "n_chars", 0.6).show(25)

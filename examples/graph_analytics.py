@@ -64,3 +64,10 @@ matches = record_linkage(
     threshold=0.8, left_id="left_key", right_id="right_key")
 print("strongest cross-half part matches:")
 matches.orderBy(F.desc("score"), "left_key", "right_key").show(5)
+
+# 5. market-basket association rules over the same co-purchase baskets
+from hazelcast_jet_spark.operators.graph import association_rules  # noqa: E402
+
+print("top association rules by lift:")
+association_rules(lineitem, "l_orderkey", "l_partkey",
+                  min_pair_count=2, max_basket=64, top_k=5).show()

@@ -1123,3 +1123,82 @@ def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
              .parquet(f"{index_path}/{sub}/epoch={batch_id}"))
     finally:
         batch_df.unpersist()
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    unit: str = "fingerprint",
+    shingle_k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many content units they share, plus the Jaccard overlap of their
+    unit sets — the "is dataset B just a re-crawl of dataset A?" audit
+    that decides which sources are worth ingesting and where dedup will
+    bite.  ``unit`` picks the granularity:
+
+    - ``"fingerprint"`` — whole-document exact-duplicate prints
+      (md5 of normalized text): re-crawl / mirror detection;
+    - ``"shingle"`` — word ``shingle_k``-grams (the minhash shingle
+      set): phrase-level near-dup contamination, nonzero long before
+      whole documents collide.
+
+    Plan at scale: one distinct on (unit, source) compacts map-side;
+    one exchange on the unit collects each unit's sorted source set
+    (bounded by the source count, so never hot); pairs enumerate
+    in-task; per-source distinct counts come off the same compacted
+    frame and join back broadcast (the source dimension is tiny).
+    Document payloads never shuffle — only hashes/shingles and source
+    names.
+
+    Returns ``(source_a, source_b, n_shared, n_a, n_b, jaccard)`` for
+    ``source_a < source_b``, ordered.
+    """
+    from hazelcast_jet_spark.operators.text import fingerprint
+
+    base = df.filter(F.col(text_col).isNotNull()
+                     & F.col(source_col).isNotNull())
+    if unit == "fingerprint":
+        fs = base.select(fingerprint(text_col).alias("__fp"),
+                         F.col(source_col).alias("__s")).distinct()
+    elif unit == "shingle":
+        fs = (
+            base.select(F.explode(shingles(text_col, shingle_k))
+                        .alias("__fp"),
+                        F.col(source_col).alias("__s"))
+            .distinct()
+        )
+    else:
+        raise ValueError("unit must be 'fingerprint' or 'shingle'")
+    per_source = fs.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    sets = fs.groupBy("__fp").agg(
+        F.sort_array(F.collect_set("__s")).alias("__srcs"))
+    pair_expr = F.filter(
+        F.flatten(F.transform(
+            F.col("__srcs"),
+            lambda a: F.transform(F.col("__srcs"),
+                                  lambda b: F.struct(a.alias("a"),
+                                                     b.alias("b"))),
+        )),
+        lambda s: s["a"] < s["b"],
+    )
+    shared = (
+        sets.select(F.explode(pair_expr).alias("__p"))
+        .groupBy(F.col("__p.a").alias("source_a"),
+                 F.col("__p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = per_source.select(F.col("__s").alias("source_a"),
+                           F.col("__n").alias("n_a"))
+    nb = per_source.select(F.col("__s").alias("source_b"),
+                           F.col("__n").alias("n_b"))
+    j = shared.join(F.broadcast(na), "source_a") \
+              .join(F.broadcast(nb), "source_b")
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        round_digits)
+    return j.select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                    jac.alias("jaccard")).orderBy("source_a", "source_b")

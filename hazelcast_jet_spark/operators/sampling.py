@@ -436,3 +436,78 @@ def bootstrap_sums(df: DataFrame, value_col: str, key_col: str,
     return one.selectExpr(
         f"stack({n_reps}, {stack}) AS (rep, n_eff, sum_v)"
     ).select(F.col("rep").cast("int").alias("rep"), "n_eff", "sum_v")
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget_frac: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Training-mixture budget allocator: split a total token budget
+    ``budget_frac * sum(size)`` across sources by WATER-FILLING — every
+    source gets ``min(capacity, theta)`` where the common fill level
+    theta solves ``sum(min(c_i, theta)) = budget``.  Small sources are
+    taken whole; big ones are capped at theta: the max-min-fair mixture
+    that up-weights scarce domains without oversampling any of them
+    (the flat-cap special case of DoReMi-style reweighting, computed
+    exactly).
+
+    theta has a CLOSED FORM over capacities sorted ascending: with
+    prefix sums ``P_i`` and ``r_i = n - i + 1`` sources remaining,
+    ``theta = (B - P_{i-1}) / r_i`` at the FIRST i where that candidate
+    is <= c_i (all earlier sources saturate); if even the last candidate
+    exceeds c_n the budget covers everything and every rate is 1.
+
+    Plan at scale: capacities aggregate once (the group dimension is
+    tiny — sources, domains, languages); the sorted-prefix window, the
+    theta pick and the per-group allocation all run on that
+    groups-bounded table; the corpus itself is touched by the ONE
+    capacity aggregate only.  Prefix sums are exact BIGINTs; theta and
+    the rates are fixed-order double quotients — a SQL oracle replays
+    them bit-for-bit.
+
+    Returns ``(group_col, capacity, alloc, rate)`` ordered by group;
+    ``sum(alloc)`` equals the budget whenever capacities cover it
+    (up to one final double rounding).
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    # the capacity table is groups-bounded (tiny); checkpoint it so the
+    # theta branch and the allocation branch don't each re-scan the
+    # corpus through the duplicated aggregate lineage
+    caps = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("capacity"),
+    ).localCheckpoint(eager=True)
+    w = Window.orderBy("capacity", group_col)
+    tot = Window.partitionBy()
+    ranked = caps.select(
+        group_col, "capacity",
+        F.row_number().over(w).alias("__i"),
+        (F.sum("capacity").over(
+            w.rowsBetween(Window.unboundedPreceding, -1))).alias("__pfx"),
+        F.count(F.lit(1)).over(tot).alias("__n"),
+        F.sum("capacity").over(tot).alias("__tot"),
+    ).withColumn("__pfx", F.coalesce("__pfx", F.lit(0)))
+    budget = F.col("__tot").cast("double") * F.lit(float(budget_frac))
+    cand = (budget - F.col("__pfx").cast("double")) \
+        / (F.col("__n") - F.col("__i") + 1).cast("double")
+    with_cand = ranked.withColumn("__cand", cand)
+    theta_row = (
+        with_cand.filter(F.col("__cand") <= F.col("capacity").cast("double"))
+        .groupBy().agg(F.min_by("__cand", "__i").alias("__theta"))
+    )
+    out = with_cand.crossJoin(F.broadcast(theta_row))
+    alloc = F.when(
+        F.col("__theta").isNull(),  # budget >= total: take everything
+        F.col("capacity").cast("double"),
+    ).otherwise(F.least(F.col("capacity").cast("double"), F.col("__theta")))
+    rate = F.when(F.col("capacity") > 0,
+                  F.round(alloc / F.col("capacity").cast("double"),
+                          round_digits))
+    return out.select(
+        group_col, "capacity",
+        F.round(alloc, round_digits).alias("alloc"),
+        rate.alias("rate"),
+    ).orderBy(group_col)

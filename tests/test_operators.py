@@ -3253,3 +3253,63 @@ def test_gini_concentration_known_values(spark):
     assert got["sk"].gini == 0.75
     assert got["sk"].total == 100.0
     assert got["z"].gini is None
+
+
+def test_source_overlap_fingerprint_and_shingle_units(spark):
+    """source_overlap: fingerprint unit counts whole-doc duplicates
+    across sources; shingle unit sees phrase-level overlap long before
+    documents collide; Jaccard hand-checked."""
+    from hazelcast_jet_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "A"),
+         (2, "THE quick  brown fox!", "B"),   # same fingerprint as 1
+         (3, "lazy dog sleeps here", "A"),
+         (4, "lazy dog sleeps there", "B"),   # shares shingle 'lazy dog sleeps'
+         (5, "totally different text", "C")],
+        ["doc_id", "text", "source"])
+    fp = {(r.source_a, r.source_b): r
+          for r in source_overlap(df).collect()}
+    assert set(fp) == {("A", "B")}
+    assert fp[("A", "B")].n_shared == 1
+    assert fp[("A", "B")].n_a == 2 and fp[("A", "B")].n_b == 2
+    assert fp[("A", "B")].jaccard == round(1 / 3, 6)
+
+    sh = {(r.source_a, r.source_b): r
+          for r in source_overlap(df, unit="shingle").collect()}
+    # A/B share 'the quick brown','quick brown fox','lazy dog sleeps' = 3
+    ab = sh[("A", "B")]
+    assert ab.n_shared == 3
+    assert ab.n_a == 4 and ab.n_b == 4  # 2 shingles per 4-word doc
+    assert ab.jaccard == round(3 / 5, 6)
+    assert ("A", "C") not in sh and ("B", "C") not in sh
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        source_overlap(df, unit="bogus")
+
+
+def test_waterfill_allocation_known_level_and_full_budget(spark):
+    """waterfill_allocation: hand-solved fill level (small sources taken
+    whole, big one capped); frac=1.0 takes everything; allocs sum to
+    the budget."""
+    from hazelcast_jet_spark.operators.sampling import waterfill_allocation
+
+    rows = ([("s1", 10)] + [("s2", 20)] + [("s3", 70)])
+    df = spark.createDataFrame(rows, ["src", "sz"])
+    got = {r.src: r for r in
+           waterfill_allocation(df, "src", "sz", 0.5).collect()}
+    # B = 50; theta = (50-10)/2 = 20 -> allocs 10, 20, 20
+    assert got["s1"].alloc == 10.0 and got["s1"].rate == 1.0
+    assert got["s2"].alloc == 20.0 and got["s2"].rate == 1.0
+    assert got["s3"].alloc == 20.0 and got["s3"].rate == round(20 / 70, 6)
+    assert sum(r.alloc for r in got.values()) == 50.0
+
+    full = {r.src: r for r in
+            waterfill_allocation(df, "src", "sz", 1.0).collect()}
+    assert all(full[s].rate == 1.0 for s in full)
+    assert sum(r.alloc for r in full.values()) == 100.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        waterfill_allocation(df, "src", "sz", 0.0)

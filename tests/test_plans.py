@@ -540,3 +540,32 @@ def test_association_rules_broadcasts_supports(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_shuffles_units_not_payloads(spark, sf_dir):
+    """source_overlap: the only row-volume exchange carries (unit,
+    source) pairs; per-source counts join back broadcast; no sort-merge
+    join of document payloads."""
+    from hazelcast_jet_spark.operators.dedup import source_overlap
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(source_overlap(d, unit="shingle"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "text" in read and "doc_id" not in read  # payload cols pruned
+
+
+def test_waterfill_touches_corpus_once(spark, sf_dir):
+    """waterfill_allocation: the corpus is read by ONE capacity
+    aggregate; everything after runs on the groups-bounded table."""
+    from hazelcast_jet_spark.operators.sampling import waterfill_allocation
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(waterfill_allocation(d, "source", "n_chars", 0.6))
+    # the capacity aggregate is checkpointed: the theta and allocation
+    # branches read the groups-bounded checkpoint, never the parquet
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan

@@ -4253,6 +4253,58 @@ def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
 
 
+#: DuckDB twin of timeseries.event_transitions — also the oracle of the
+#: STREAMING transition gate (summed stateful deltas == batch matrix)
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), pairs AS (
+        SELECT from_type, to_type, count(*) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           round(CAST(n_trans AS DOUBLE)
+                 / CAST(SUM(n_trans) OVER (
+                       PARTITION BY from_type) AS DOUBLE), 6)
+               AS p_trans
+    FROM pairs ORDER BY from_type, to_type
+"""
+
+
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Markov transition matrix (streaming/transitions.py):
+    keyed applyInPandasWithState carries ONE event per user (O(1)
+    state); each micro-batch emits delta pair counts, summed batch-side
+    into the same matrix as the batch operator — the oracle IS the
+    batch SQL replay."""
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+    from hazelcast_jet_spark.streaming.transitions import (
+        stream_event_transitions)
+
+    e = read_stream_table(spark, sf_dir, "events")
+    out = stream_event_transitions(e)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        emitted = run_to_batch(out, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    pairs = emitted.groupBy("from_type", "to_type").agg(
+        F.sum("cnt").alias("n_trans"))
+    tot = Window.partitionBy("from_type")
+    p = F.round(F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(tot).cast("double"), 6)
+    return pairs.select("from_type", "to_type",
+                        F.col("n_trans").cast("long").alias("n_trans"),
+                        p.alias("p_trans")) \
+        .orderBy("from_type", "to_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4490,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_value_orders": gini_value_orders,
         "source_overlap_docs": source_overlap_docs,
         "mixture_allocation_docs": mixture_allocation_docs,
+        "streaming_event_transitions": streaming_event_transitions,
     }
 
 
@@ -8608,24 +8661,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM rules
             ) WHERE rk <= {AR_TOPK}
         """,
-        "event_transition_matrix": """
-            WITH seq AS (
-                SELECT event_type AS from_type,
-                       lead(event_type) OVER (
-                           PARTITION BY user_id
-                           ORDER BY ts, event_id) AS to_type
-                FROM events
-            ), pairs AS (
-                SELECT from_type, to_type, count(*) AS n_trans
-                FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
-            )
-            SELECT from_type, to_type, n_trans,
-                   round(CAST(n_trans AS DOUBLE)
-                         / CAST(SUM(n_trans) OVER (
-                               PARTITION BY from_type) AS DOUBLE), 6)
-                       AS p_trans
-            FROM pairs ORDER BY from_type, to_type
-        """,
+        "event_transition_matrix": _TRANSITIONS_SQL,
+        # the streaming stateful counter's summed deltas equal the batch
+        # matrix — the oracle IS the batch SQL replay
+        "streaming_event_transitions": _TRANSITIONS_SQL,
         "readability_docs": r"""
             WITH norm AS (
                 SELECT doc_id,

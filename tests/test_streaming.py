@@ -802,3 +802,56 @@ def test_scd2_stream_maintain_matches_batch_rebuild(spark, tmp_path):
     run("ck2")
     got2 = {key(r): tuple(r) for r in table.read(spark).collect()}
     assert got2 == want
+
+
+def test_stream_event_transitions_across_batches_equals_batch(spark, tmp_path):
+    """stream_event_transitions: per-key carried state stitches the
+    transition at the micro-batch BOUNDARY (maxFilesPerTrigger=1 forces
+    one file per batch); summed deltas == the batch operator."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.timeseries import event_transitions
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+    from hazelcast_jet_spark.streaming.transitions import (
+        stream_event_transitions)
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    b1 = [(1, "2024-01-01 00:00:00", 1, "view"),
+          (2, "2024-01-01 00:01:00", 1, "view"),
+          (3, "2024-01-01 00:00:30", 2, "view")]
+    # batch 2 continues both users: the view->click for user 1 and
+    # view->purchase for user 2 SPAN the batch boundary
+    b2 = [(4, "2024-01-01 00:02:00", 1, "click"),
+          (5, "2024-01-01 00:03:00", 2, "purchase"),
+          (6, "2024-01-01 00:04:00", 2, "view")]
+    src = str(tmp_path / "src"); os.makedirs(src)
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
+         for i, t, u, e in b1], schema).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
+         for i, t, u, e in b2], schema).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        emitted = run_to_batch(stream_event_transitions(stream), "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {(r.from_type, r.to_type): r.n for r in
+           emitted.groupBy("from_type", "to_type")
+           .agg(F.sum("cnt").alias("n")).collect()}
+
+    batch_df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
+         for i, t, u, e in b1 + b2], schema)
+    want = {(r.from_type, r.to_type): r.n_trans
+            for r in event_transitions(batch_df).collect()}
+    assert got == want
+    assert got[("view", "click")] == 1      # crossed the boundary
+    assert got[("view", "purchase")] == 1   # crossed the boundary

@@ -4253,6 +4253,53 @@ def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
 
 
+HILL_K = 100
+
+
+def hill_tail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill power-law tail-index estimate (profile.hill_tail_index) of
+    order values per priority — the distributional "will one record
+    dominate this aggregate?" audit beside key_skew's observed counts;
+    one rank window keeps k+1 rows per group, DECIMAL-accumulated ln
+    terms."""
+    from hazelcast_jet_spark.operators.profile import hill_tail_index
+
+    o = _t(spark, sf_dir, "orders")
+    return hill_tail_index(o, ["o_orderpriority"], "o_totalprice",
+                           k=HILL_K)
+
+
+RBO_DEPTH, RBO_P = 20, 0.9
+
+
+def _rbo_case_sql(m_expr: str) -> str:
+    """DuckDB CASE mapping max(rank) -> the SAME pre-rounded Decimal
+    suffix weights the Spark operator looks up (similarity.rbo_weights)."""
+    from hazelcast_jet_spark.operators.similarity import rbo_weights
+
+    whens = " ".join(
+        f"WHEN {j + 1} THEN CAST('{w}' AS DECIMAL(18,12))"
+        for j, w in enumerate(rbo_weights(RBO_DEPTH, RBO_P)))
+    return f"CASE {m_expr} {whens} END"
+
+
+def rbo_rank_similarity_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (similarity.rbo_overlap; Webber et al. 2010)
+    between full-vector and 16-dim-prefix cosine top-20 rankings — the
+    graded, top-weighted companion of matryoshka_recall_emb (recall@k
+    treats rank 1 and rank 20 alike; RBO doesn't).  One depth-bounded
+    rank join + literal Decimal suffix weights; corpora never touched
+    past the two ranking scans."""
+    from hazelcast_jet_spark.operators.similarity import (
+        cosine_topk, rbo_overlap, truncated_cosine_topk)
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    full = cosine_topk(e, q, k=RBO_DEPTH)
+    trunc = truncated_cosine_topk(e, q, MATRYOSHKA_DIMS, k=RBO_DEPTH)
+    return rbo_overlap(full, trunc, RBO_DEPTH, RBO_P)
+
+
 #: DuckDB twin of timeseries.event_transitions — also the oracle of the
 #: STREAMING transition gate (summed stateful deltas == batch matrix)
 _TRANSITIONS_SQL = """
@@ -4543,6 +4590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_docs": source_overlap_docs,
         "mixture_allocation_docs": mixture_allocation_docs,
         "streaming_event_transitions": streaming_event_transitions,
+        "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
+        "hill_tail_orders": hill_tail_orders,
     }
 
 
@@ -8782,5 +8831,84 @@ def oracle_sql() -> dict[str, str]:
                              END / CAST(capacity AS DOUBLE), 6)
                    END AS rate
             FROM c CROSS JOIN th ORDER BY source
+        """,
+        "rbo_rank_similarity_emb": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), full_k AS (
+                SELECT query_id, corpus_id, rnk FROM (
+                    SELECT q.query_id, c.vec_id AS corpus_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {_cos_sql("q.qvec", "c.embedding")}
+                                   DESC, c.vec_id ASC) AS rnk
+                    FROM embeddings c, q WHERE c.vec_id <> q.query_id
+                ) WHERE rnk <= {RBO_DEPTH}
+            ), tr_k AS (
+                SELECT query_id, corpus_id, rnk FROM (
+                    SELECT q.query_id, c.vec_id AS corpus_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {_cos_sql(
+                                   f"q.qvec[1:{MATRYOSHKA_DIMS}]",
+                                   f"c.embedding[1:{MATRYOSHKA_DIMS}]")}
+                                   DESC, c.vec_id ASC) AS rnk
+                    FROM embeddings c, q WHERE c.vec_id <> q.query_id
+                ) WHERE rnk <= {RBO_DEPTH}
+            ), m AS (
+                SELECT a.query_id,
+                       {_rbo_case_sql("greatest(a.rnk, b.rnk)")} AS w
+                FROM full_k a
+                JOIN tr_k b USING (query_id, corpus_id)
+            ), per_q AS (
+                SELECT query_id, count(*) AS n_common, SUM(w) AS ws
+                FROM m GROUP BY 1
+            )
+            SELECT qq.query_id,
+                   CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+                   round({repr(1.0 - RBO_P)}
+                         * coalesce(CAST(p.ws AS DOUBLE), 0.0), 6) AS rbo
+            FROM (SELECT vec_id AS query_id FROM embeddings
+                  WHERE vec_id < {N_QUERY_VECS}) qq
+            LEFT JOIN per_q p USING (query_id)
+            ORDER BY qq.query_id
+        """,
+        "hill_tail_orders": f"""
+            WITH pos AS (
+                SELECT o_orderpriority AS g, o_totalprice AS v
+                FROM orders WHERE o_totalprice > 0
+            ), cnt AS (
+                SELECT g, count(*) AS n_pos FROM pos GROUP BY 1
+            ), r AS (
+                SELECT g, CAST(v AS DOUBLE) AS v,
+                       row_number() OVER (
+                           PARTITION BY g ORDER BY v DESC) AS rn
+                FROM pos
+            ), kept AS (
+                SELECT * FROM r WHERE rn <= {HILL_K + 1}
+            ), agg AS (
+                SELECT g, min(v) AS x_kth,
+                       SUM(CASE WHEN rn <= {HILL_K}
+                           THEN CAST(ln(v) AS DECIMAL(18,12)) END) AS sl,
+                       count(*) AS nk
+                FROM kept GROUP BY 1
+            )
+            SELECT c.g AS o_orderpriority, c.n_pos,
+                   round(a.x_kth, 6) AS x_kth,
+                   CASE WHEN a.nk = {HILL_K + 1} THEN
+                       round((CAST(a.sl AS DOUBLE)
+                              - {float(HILL_K)} * ln(a.x_kth))
+                             / {float(HILL_K)}, 6)
+                   END AS alpha_inv,
+                   CASE WHEN a.nk = {HILL_K + 1}
+                        AND (CAST(a.sl AS DOUBLE)
+                             - {float(HILL_K)} * ln(a.x_kth))
+                            / {float(HILL_K)} > 0.0 THEN
+                       round(1.0 / ((CAST(a.sl AS DOUBLE)
+                                     - {float(HILL_K)} * ln(a.x_kth))
+                                    / {float(HILL_K)}), 6)
+                   END AS alpha
+            FROM agg a JOIN cnt c USING (g) ORDER BY o_orderpriority
         """,
     }

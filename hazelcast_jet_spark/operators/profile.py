@@ -905,3 +905,62 @@ def gini_concentration(
         F.round(sx_d, 2).alias("total"),
         gini.alias("gini"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Hill estimator of the power-law tail index (Hill 1975):
+    over the k largest positive values ``x_(1) >= ... >= x_(k)`` and the
+    (k+1)-th,
+
+        1/alpha = (1/k) * sum_{i=1..k} ln(x_(i) / x_(k+1))
+
+    Small alpha (< 2) = genuinely heavy tail: means/variances of the
+    column are unstable, sums are dominated by a few records — the
+    "will one hot key/doc/user dominate this aggregate?" audit that
+    complements :func:`key_skew` (observed counts) with a
+    distributional verdict, and the Gini/quantile family with a tail
+    EXPONENT.
+
+    Plan at scale: one rank window keeps k+1 rows per group (the same
+    single exchange the final aggregate reuses); everything after runs
+    on the (groups x (k+1))-bounded table.  ``ln`` terms accumulate in
+    DECIMAL(18,12) (the BM25/PMI convention) so the sum is order-free;
+    the closing arithmetic is fixed-order double — engine-identical.
+
+    Returns ``(group_cols..., n_pos, x_kth, alpha_inv, alpha)``; groups
+    with fewer than k+1 positive values return NULL alpha (the
+    estimator is undefined).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pos = df.filter(F.col(value_col) > 0)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).desc())
+    ranked = pos.withColumn("__r", F.row_number().over(w)) \
+        .filter(F.col("__r") <= k + 1)
+    cnt = pos.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pos"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.min(F.col(value_col).cast("double")).alias("x_kth"),
+        F.sum(F.when(F.col("__r") <= k,
+                     F.log(F.col(value_col).cast("double"))
+                     .cast("decimal(18,12)"))).alias("__sl"),
+        F.count(F.lit(1)).alias("__nk"),
+    )
+    alpha_inv = (F.col("__sl").cast("double")
+                 - F.lit(float(k)) * F.log("x_kth")) / F.lit(float(k))
+    valid = F.col("__nk") == k + 1
+    out = agg.join(cnt, list(group_cols))
+    return out.select(
+        *group_cols, "n_pos",
+        F.round("x_kth", round_digits).alias("x_kth"),
+        F.when(valid, F.round(alpha_inv, round_digits)).alias("alpha_inv"),
+        F.when(valid & (alpha_inv > 0.0),
+               F.round(F.lit(1.0) / alpha_inv, round_digits)).alias("alpha"),
+    ).orderBy(*group_cols)

@@ -1002,3 +1002,73 @@ def truncated_cosine_topk(corpus: DataFrame, queries: DataFrame, dims: int,
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cos_sim", "rank")
     )
+
+
+def rbo_weights(depth: int, p: float = 0.9) -> list:
+    """Suffix weights of finite-prefix RBO: ``W[j] = sum_{d=j}^{depth}
+    p^(d-1) / d`` for j = 1..depth, each rounded to 12 dp and returned
+    as :class:`decimal.Decimal` so both engines sum them exactly."""
+    import decimal
+
+    raw = [0.0] * (depth + 2)
+    for d in range(depth, 0, -1):
+        raw[d] = raw[d + 1] + (p ** (d - 1)) / d
+    return [decimal.Decimal(repr(round(raw[j], 12)))
+            for j in range(1, depth + 1)]
+
+
+def rbo_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    depth: int,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    item_col: str = "corpus_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010), finite-prefix
+    form — the graded similarity of two RANKINGS (ANN vs exact, two
+    model versions, yesterday's top-k vs today's): unlike recall@k it
+    rewards agreeing EARLY, with geometric patience ``p``:
+
+        RBO = (1 - p) * sum_{d=1..depth} p^(d-1) * |A_d ∩ B_d| / d
+
+    An item ranked ``ra`` in A and ``rb`` in B joins every prefix
+    intersection from ``m = max(ra, rb)`` on, so its total contribution
+    is the closed-form suffix weight ``W[m]`` (:func:`rbo_weights`) —
+    the double sum collapses to ONE weight lookup per matched item.
+
+    Plan at scale: one equi-join of two depth-bounded rank tables on
+    (query, item), a literal-array weight lookup, one per-query
+    DECIMAL-exact aggregate — the rankings' source corpora are never
+    touched.  Weights are pre-rounded Decimal literals, so the sum is
+    order-free and engine-identical.
+
+    Returns ``(query_col, n_common, rbo)`` per query of ``rank_a``
+    (queries with disjoint rankings score 0).
+    """
+    ws = rbo_weights(depth, p)
+    warr = F.array(*[F.lit(w) for w in ws])
+    a = rank_a.filter(F.col(rank_col) <= depth).select(
+        F.col(query_col), F.col(item_col), F.col(rank_col).alias("__ra"))
+    b = rank_b.filter(F.col(rank_col) <= depth).select(
+        F.col(query_col), F.col(item_col), F.col(rank_col).alias("__rb"))
+    matched = a.join(b, [query_col, item_col]).select(
+        query_col,
+        F.element_at(warr, F.greatest("__ra", "__rb").cast("int"))
+        .alias("__w"))
+    per_q = matched.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum("__w").alias("__ws"))
+    base = rank_a.select(query_col).distinct()
+    return (
+        base.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.round(F.lit(1.0 - p)
+                    * F.coalesce(F.col("__ws").cast("double"), F.lit(0.0)),
+                    round_digits).alias("rbo"))
+        .orderBy(query_col)
+    )

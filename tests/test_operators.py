@@ -3313,3 +3313,56 @@ def test_waterfill_allocation_known_level_and_full_budget(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         waterfill_allocation(df, "src", "sz", 0.0)
+
+
+def test_rbo_overlap_identity_disjoint_and_partial(spark):
+    """rbo_overlap: identical rankings hit the closed-form prefix RBO;
+    disjoint rankings score 0; a single shared item at rank 1 matches
+    the hand-computed two-depth value."""
+    from hazelcast_jet_spark.operators.similarity import rbo_overlap
+
+    ident = spark.createDataFrame(
+        [(1, f"i{r}", r) for r in range(1, 6)],
+        ["query_id", "corpus_id", "rank"])
+    got = rbo_overlap(ident, ident, depth=5, p=0.9).collect()[0]
+    # (1-p) * sum_{d=1..5} p^(d-1) = 0.40951
+    assert got.n_common == 5 and got.rbo == 0.40951
+
+    other = spark.createDataFrame(
+        [(1, f"j{r}", r) for r in range(1, 6)],
+        ["query_id", "corpus_id", "rank"])
+    assert rbo_overlap(ident, other, 5, 0.9).collect()[0].rbo == 0.0
+
+    a = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                              ["query_id", "corpus_id", "rank"])
+    b = spark.createDataFrame([(1, "x", 1), (1, "z", 2)],
+                              ["query_id", "corpus_id", "rank"])
+    got = rbo_overlap(a, b, depth=2, p=0.5).collect()[0]
+    # d=1: 0.5*1/1 ; d=2: 0.5*0.5*1/2 -> 0.625
+    assert got.n_common == 1 and got.rbo == 0.625
+
+
+def test_hill_tail_index_hand_value_and_pareto_recovery(spark):
+    """hill_tail_index: hand-computable ln-spaced values; undefined
+    (<k+1 positives) group -> NULL; Pareto(2) grid recovers alpha~2."""
+    import math
+
+    from hazelcast_jet_spark.operators.profile import hill_tail_index
+
+    rows = ([("h", math.exp(4)), ("h", math.exp(2)), ("h", math.exp(1)),
+             ("h", 0.5), ("h", -1.0), ("h", 0.0)]
+            + [("tiny", 1.0), ("tiny", 2.0)])
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r.g: r for r in hill_tail_index(df, ["g"], "v", k=2).collect()}
+    # alpha_inv = ((4 + 2) - 2*1) / 2 = 2 -> alpha 0.5
+    assert got["h"].n_pos == 4
+    assert got["h"].alpha_inv == 2.0 and got["h"].alpha == 0.5
+    assert got["tiny"].alpha is None and got["tiny"].alpha_inv is None
+
+    # deterministic Pareto(alpha=2) via inverse CDF on a uniform grid
+    n = 4000
+    par = spark.createDataFrame(
+        [("p", (1.0 - (i + 0.5) / n) ** (-1.0 / 2.0)) for i in range(n)],
+        ["g", "v"])
+    est = hill_tail_index(par, ["g"], "v", k=200).collect()[0].alpha
+    assert abs(est - 2.0) < 0.35

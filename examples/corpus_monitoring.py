@@ -218,3 +218,10 @@ from hazelcast_jet_spark.operators.timeseries import event_transitions  # noqa: 
 
 print("event transition matrix:")
 event_transitions(events).show()
+
+# 22. heavy-tail audit: Hill tail index of the value distribution —
+#     alpha < 2 means sums are dominated by a few records
+from hazelcast_jet_spark.operators.profile import hill_tail_index  # noqa: E402
+
+print("Hill tail index per event type (k=50):")
+hill_tail_index(events, ["event_type"], "value", k=50).show()

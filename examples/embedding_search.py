@@ -108,3 +108,13 @@ print("hard negatives (most-similar different-label) for 3 anchors:")
 hard_negative_topk(labeled, labeled.filter(F.col("vec_id") < 3), k=3).show()
 print("MMR diversified selection (k=3 from a 10-candidate pool):")
 mmr_select(emb, queries, k=3, pool=10, lam=0.7).show()
+
+# 8. rank-quality metric: RBO between full-dim and truncated-dim
+#    rankings — rewards agreement at the TOP, unlike recall@k
+from hazelcast_jet_spark.operators.similarity import (  # noqa: E402
+    cosine_topk, rbo_overlap, truncated_cosine_topk)
+
+full_r = cosine_topk(emb, queries, k=10)
+trunc_r = truncated_cosine_topk(emb, queries, dims=16, k=10)
+print("RBO(full vs 16-dim prefix) per query:")
+rbo_overlap(full_r, trunc_r, depth=10).show()

@@ -679,3 +679,67 @@ def test_bm25_matches_python_model_property(spark, docs):
     for i in exp:
         assert got[i][0] == exp[i][0]
         assert abs(got[i][1] - exp[i][1]) < 1e-9
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3),
+                               st.integers(1, 10_000)),
+                     min_size=1, max_size=50),
+       frac=st.sampled_from([0.25, 0.5, 0.75, 1.0]))
+@SLOW
+def test_waterfill_matches_python_model(spark, rows, frac):
+    """waterfill_allocation vs an independent python water-filling
+    solver: allocations sum to the budget (when coverable), small
+    sources saturate, nothing exceeds its capacity."""
+    from hazelcast_jet_spark.operators.sampling import waterfill_allocation
+
+    df = spark.createDataFrame(rows, "g int, sz long")
+    got = {r.g: r for r in
+           waterfill_allocation(df, "g", "sz", frac).collect()}
+
+    caps = {}
+    for g, sz in rows:
+        caps[g] = caps.get(g, 0) + sz
+    total = sum(caps.values())
+    budget = total * frac
+    order = sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))
+    theta, pfx = None, 0
+    for i, (_g, c) in enumerate(order):
+        cand = (budget - pfx) / (len(order) - i)
+        if cand <= c:
+            theta = cand
+            break
+        pfx += c
+    for g, c in caps.items():
+        want = float(c) if theta is None else min(float(c), theta)
+        assert abs(got[g].alloc - round(want, 6)) < 1e-9, (g, c, theta)
+        assert got[g].alloc <= c + 1e-9
+    assert abs(sum(r.alloc for r in got.values()) - budget) < 1e-3
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 10_000),
+                               st.floats(-1e6, 1e6, allow_nan=False)),
+                     min_size=1, max_size=60, unique_by=lambda t: t[1]),
+       k=st.sampled_from([4, 16]),
+       shards=st.sampled_from([2, 5]))
+@SLOW
+def test_quantile_sketch_sharded_always_equals_whole(spark, rows, k, shards):
+    """quantile_sketch property: the sharded fold is bit-identical to
+    the unsharded sketch for arbitrary data/k/shard counts, and below-k
+    groups keep every row."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sketch import (
+        quantile_sketch, quantile_sketch_sharded)
+
+    df = spark.createDataFrame(rows, "g int, key long, v double")
+    whole = {r.g: r.qsk for r in
+             df.groupBy("g").agg(
+                 quantile_sketch("v", "key", k).alias("qsk")).collect()}
+    shard = {r.g: r.qsk for r in
+             quantile_sketch_sharded(df, ["g"], "v", "key", k=k,
+                                     num_shards=shards).collect()}
+    assert whole == shard
+    sizes = {}
+    for g, _key, _v in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    for g, sk in whole.items():
+        assert len(sk) == min(k, sizes[g])

@@ -4253,6 +4253,22 @@ def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
 
 
+TOPMASS_P = 0.5
+
+
+def top_mass_selection_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style top-p selection (sampling.top_mass_selection): per
+    source, the shortest biggest-first prefix of documents carrying 50%
+    of the char mass — the concentration-adaptive pruning rule (skewed
+    sources keep few docs, flat ones many).  Integer-exact keep
+    predicate, one group exchange."""
+    from hazelcast_jet_spark.operators.sampling import top_mass_selection
+
+    d = _t(spark, sf_dir, "documents")
+    return top_mass_selection(d, "source", "n_chars", "doc_id",
+                              p=TOPMASS_P)
+
+
 HILL_K = 100
 
 
@@ -4592,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_transitions": streaming_event_transitions,
         "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
         "hill_tail_orders": hill_tail_orders,
+        "top_mass_selection_docs": top_mass_selection_docs,
     }
 
 
@@ -8910,5 +8927,33 @@ def oracle_sql() -> dict[str, str]:
                                     / {float(HILL_K)}), 6)
                    END AS alpha
             FROM agg a JOIN cnt c USING (g) ORDER BY o_orderpriority
+        """,
+        "top_mass_selection_docs": """
+            WITH r AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS w,
+                       coalesce(SUM(CAST(n_chars AS BIGINT)) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS before,
+                       SUM(CAST(n_chars AS BIGINT)) OVER (
+                           PARTITION BY source) AS tot
+                FROM documents WHERE n_chars IS NOT NULL
+            ), agg AS (
+                SELECT source,
+                       count(*) AS n_rows,
+                       CAST(SUM(CASE WHEN before * 2 < tot
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_kept,
+                       CAST(max(tot) AS BIGINT) AS total_w,
+                       CAST(SUM(CASE WHEN before * 2 < tot
+                                     THEN w ELSE 0 END) AS BIGINT)
+                           AS kept_w
+                FROM r GROUP BY 1
+            )
+            SELECT source, n_rows, n_kept, total_w, kept_w,
+                   round(CAST(kept_w AS DOUBLE)
+                         / CAST(total_w AS DOUBLE), 6) AS kept_frac
+            FROM agg ORDER BY source
         """,
     }

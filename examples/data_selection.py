@@ -112,3 +112,10 @@ from hazelcast_jet_spark.operators.sampling import waterfill_allocation  # noqa:
 # sources — scarce domains kept whole, big ones capped at the fill level
 print("water-filled source budget (60% of corpus):")
 waterfill_allocation(docs, "source", "n_chars", 0.6).show(25)
+
+from hazelcast_jet_spark.operators.sampling import top_mass_selection  # noqa: E402
+
+# concentration-adaptive pruning: per source, keep the shortest
+# biggest-first prefix carrying half the char mass
+print("top-50%-mass selection per source:")
+top_mass_selection(docs, "source", "n_chars", "doc_id", p=0.5).show(25)

@@ -511,3 +511,66 @@ def waterfill_allocation(
         F.round(alloc, round_digits).alias("alloc"),
         rate.alias("rate"),
     ).orderBy(group_col)
+
+
+def top_mass_selection(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    order_col: str,
+    p: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nucleus-style (top-p) selection per group: walk rows in
+    ``(weight desc, order_col)`` order and keep the SHORTEST prefix
+    whose weight reaches fraction ``p`` of the group's total — "keep
+    the highest-quality documents carrying 50% of the token mass", the
+    budget-pruning rule that adapts to each group's concentration
+    instead of a fixed top-k or a fixed rate (a skewed source keeps few
+    rows, a flat one keeps many).
+
+    A row is kept iff the mass STRICTLY BEFORE it is < p * total —
+    the crossing row is included, so kept mass >= p exactly like
+    nucleus sampling.  All comparisons are exact integer arithmetic
+    (``before * 1 < p`` rearranged as ``before < p * total`` evaluated
+    in double would round; instead both sides stay integral:
+    ``before * DENOM < NUM * total`` with p = NUM/DENOM) — the
+    selection is engine-exact, no float boundary anywhere.
+
+    Plan at scale: ONE exchange on the group key serves the ordering
+    window, the exclusive running sum and the final per-group
+    aggregate.  Weights are summed as BIGINTs.
+
+    Returns ``(group_col, n_rows, n_kept, total_w, kept_w,
+    kept_frac)`` per group.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(p).limit_denominator(10 ** 9)
+    num, den = frac.numerator, frac.denominator
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(weight_col).desc(), F.col(order_col))
+    wt = F.col(weight_col).cast("long")
+    ranked = (
+        df.filter(F.col(weight_col).isNotNull())
+        .withColumn("__before", F.coalesce(
+            F.sum(wt).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+        .withColumn("__tot", F.sum(wt).over(
+            Window.partitionBy(group_col)))
+    )
+    keep = (F.col("__before") * F.lit(den)) < (F.lit(num) * F.col("__tot"))
+    return (
+        ranked.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.max("__tot").alias("total_w"),
+            F.sum(F.when(keep, wt).otherwise(F.lit(0))).alias("kept_w"),
+        )
+        .select(
+            group_col, "n_rows", "n_kept", "total_w", "kept_w",
+            F.round(F.col("kept_w").cast("double")
+                    / F.col("total_w").cast("double"),
+                    round_digits).alias("kept_frac"))
+        .orderBy(group_col)
+    )

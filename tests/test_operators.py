@@ -3366,3 +3366,24 @@ def test_hill_tail_index_hand_value_and_pareto_recovery(spark):
         ["g", "v"])
     est = hill_tail_index(par, ["g"], "v", k=200).collect()[0].alpha
     assert abs(est - 2.0) < 0.35
+
+
+def test_top_mass_selection_concentration_adaptive(spark):
+    """top_mass_selection: a skewed group keeps only its giant; a flat
+    group keeps ceil-half; crossing row included (kept mass >= p);
+    integer-exact boundary (no float wobble at before == p*total)."""
+    from hazelcast_jet_spark.operators.sampling import top_mass_selection
+
+    rows = ([("skew", 1, 100)] + [("skew", i, 1) for i in range(2, 12)]
+            + [("flat", i, 10) for i in range(1, 5)]
+            # boundary: weights 5,5 with p=0.5 -> first row alone is
+            # EXACTLY half; second row has before == p*total -> dropped
+            + [("edge", 1, 5), ("edge", 2, 5)])
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    got = {r.g: r for r in
+           top_mass_selection(df, "g", "w", "id", p=0.5).collect()}
+    assert got["skew"].n_kept == 1 and got["skew"].kept_w == 100
+    assert got["skew"].kept_frac == round(100 / 110, 6)
+    assert got["flat"].n_kept == 2 and got["flat"].kept_w == 20
+    assert got["edge"].n_kept == 1 and got["edge"].kept_w == 5
+    assert got["edge"].kept_frac == 0.5

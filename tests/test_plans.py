@@ -569,3 +569,15 @@ def test_waterfill_touches_corpus_once(spark, sf_dir):
     # branches read the groups-bounded checkpoint, never the parquet
     assert plan.count("Scan parquet") == 0
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_top_mass_single_group_exchange(spark, sf_dir):
+    """top_mass_selection: one hash exchange on the group key serves the
+    ordering window, the running sum and the final aggregate."""
+    from hazelcast_jet_spark.operators.sampling import top_mass_selection
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    body = top_mass_selection(d, "source", "n_chars", "doc_id", 0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert body.count("Exchange hashpartitioning") == 1

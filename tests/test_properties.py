@@ -743,3 +743,36 @@ def test_quantile_sketch_sharded_always_equals_whole(spark, rows, k, shards):
         sizes[g] = sizes.get(g, 0) + 1
     for g, sk in whole.items():
         assert len(sk) == min(k, sizes[g])
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500),
+                               st.integers(1, 1000)),
+                     min_size=1, max_size=50, unique_by=lambda t: t[1]),
+       p=st.sampled_from([0.25, 0.5, 0.9]))
+@SLOW
+def test_top_mass_selection_matches_python_model(spark, rows, p):
+    """top_mass_selection vs an exact python walk: same kept set size
+    and mass for arbitrary weights; kept mass always reaches p."""
+    from fractions import Fraction
+
+    from hazelcast_jet_spark.operators.sampling import top_mass_selection
+
+    df = spark.createDataFrame(rows, "g int, id long, w long")
+    got = {r.g: r for r in
+           top_mass_selection(df, "g", "w", "id", p=p).collect()}
+
+    groups = {}
+    for g, i, w in rows:
+        groups.setdefault(g, []).append((i, w))
+    fr = Fraction(p)
+    for g, items in groups.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        tot = sum(w for _i, w in items)
+        before, kept_n, kept_w = 0, 0, 0
+        for _i, w in items:
+            if Fraction(before) < fr * tot:
+                kept_n += 1
+                kept_w += w
+            before += w
+        assert got[g].n_kept == kept_n and got[g].kept_w == kept_w
+        assert kept_w * fr.denominator >= fr.numerator * tot

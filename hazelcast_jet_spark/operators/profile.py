@@ -623,7 +623,12 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     """
     if len(cols) < 2:
         raise ValueError("need at least 2 columns")
-    base = df.select(*cols)
+    from hazelcast_jet_spark.session import ensure_parallelism
+
+    # k*(k+1)/2 DECIMAL products per row is CPU-heavy map work: a
+    # one-row-group parquet scan would serialize it on one task (r6
+    # bench: 5.8 s -> 2.1 s on 32 tasks at sf0.1); no-op on a real scan
+    base = ensure_parallelism(df.select(*cols))
     cond = None
     for c in cols:
         nn = F.col(c).isNotNull()

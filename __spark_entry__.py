@@ -4253,6 +4253,18 @@ def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
 
 
+def source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence of source unigram
+    distributions (text.source_term_divergence): the distribution-level
+    "which corpora speak the same language?" matrix beside
+    source_overlap's shared-unit counts; inner-join-only decomposition,
+    DECIMAL-accumulated terms."""
+    from hazelcast_jet_spark.operators.text import source_term_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return source_term_divergence(d)
+
+
 TOPMASS_P = 0.5
 
 
@@ -4609,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
         "hill_tail_orders": hill_tail_orders,
         "top_mass_selection_docs": top_mass_selection_docs,
+        "source_divergence_docs": source_divergence_docs,
     }
 
 
@@ -8956,4 +8969,43 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(total_w AS DOUBLE), 6) AS kept_frac
             FROM agg ORDER BY source
         """,
+        "source_divergence_docs": r"""
+            WITH toks AS (
+                SELECT source AS s,
+                       unnest(string_split(trim(regexp_replace(
+                           regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                          'g'), '\s+', ' ', 'g')), ' '))
+                           AS t
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+            ), uni AS (
+                SELECT s, t, count(*) AS n FROM toks
+                WHERE t <> '' GROUP BY 1, 2
+            ), tot AS (
+                SELECT s, SUM(n) AS ns FROM uni GROUP BY 1
+            ), u AS (
+                SELECT uni.s, uni.t,
+                       CAST(uni.n AS DOUBLE) / CAST(tot.ns AS DOUBLE) AS p
+                FROM uni JOIN tot USING (s)
+            ), pairs AS (
+                SELECT a.s AS source_a, b.s AS source_b,
+                       a.p AS pa, b.p AS pb
+                FROM u a JOIN u b ON a.t = b.t AND a.s < b.s
+            ), agg AS (
+                SELECT source_a, source_b,
+                       count(*) AS n_shared_terms,
+                       SUM(CAST((pa / 2.0) * ln(2.0 * pa / (pa + pb))
+                                + (pb / 2.0) * ln(2.0 * pb / (pa + pb))
+                                AS DECIMAL(18,12))) AS c,
+                       SUM(CAST(pa AS DECIMAL(18,12))) AS pm,
+                       SUM(CAST(pb AS DECIMAL(18,12))) AS qm
+                FROM pairs GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared_terms,
+                   round(CAST(c AS DOUBLE)
+                         + (1.0 - CAST(pm AS DOUBLE)) / 2.0 * {LN2}
+                         + (1.0 - CAST(qm AS DOUBLE)) / 2.0 * {LN2}, 6)
+                       AS jsd
+            FROM agg ORDER BY source_a, source_b
+        """.replace("{LN2}", repr(__import__("math").log(2.0))),
     }

@@ -225,3 +225,10 @@ from hazelcast_jet_spark.operators.profile import hill_tail_index  # noqa: E402
 
 print("Hill tail index per event type (k=50):")
 hill_tail_index(events, ["event_type"], "value", k=50).show()
+
+# 23. distribution-level source similarity: pairwise Jensen-Shannon
+#     divergence of unigram mixes (0 = same language, ln2 = disjoint)
+from hazelcast_jet_spark.operators.text import source_term_divergence  # noqa: E402
+
+print("closest source pairs by term-distribution JSD:")
+source_term_divergence(docs).orderBy("jsd").show(5)

@@ -1047,3 +1047,77 @@ def readability(df: DataFrame, id_col: str = "doc_id",
         F.round(F.lit(206.835) - F.lit(84.6) * avg_syl,
                 round_digits).alias("flesch_proxy"),
     )
+
+
+def source_term_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between sources' unigram
+    distributions — "which corpora speak the same language?" (domain
+    mixing, re-crawl detection at the DISTRIBUTION level, transfer
+    pairing).  0 = identical term mix; ln 2 = disjoint vocabularies.
+
+    The naive JSD needs terms present in EITHER source; this
+    implementation needs only the INNER join: for a term in p only,
+    the contribution is ``p_t/2 * ln 2``, and those mass sums are
+    ``1 − sum_{shared} p_t`` — so
+
+        JSD = sum_shared[ p/2·ln(2p/(p+q)) + q/2·ln(2q/(p+q)) ]
+              + (1 − P∩)/2·ln2 + (1 − Q∩)/2·ln2
+
+    with every per-term contribution DECIMAL(18,12)-accumulated (the
+    BM25/PMI convention: order-free exact sums of fixed-order double
+    terms), closing arithmetic fixed-order double — a SQL oracle
+    replays the statistic bit-for-bit.
+
+    Plan at scale: ONE corpus aggregate builds the vocab-bounded
+    (source, term, n) table; per-source totals broadcast back; the
+    pair space is one term-keyed self-join of that table (a term shared
+    by s sources yields s·(s−1)/2 rows — bounded by the SOURCE count
+    squared per term, and sources are a small dimension by nature).
+    The corpus itself never re-enters.
+
+    Returns ``(source_a, source_b, n_shared_terms, jsd)`` for
+    ``source_a < source_b``, ordered.
+    """
+    import math
+
+    ln2 = F.lit(math.log(2.0))
+    toks = (
+        df.filter(F.col(text_col).isNotNull()
+                  & F.col(source_col).isNotNull())
+        .select(F.col(source_col).alias("__s"),
+                F.explode(F.split(normalize_text(text_col), " "))
+                .alias("__t"))
+        .filter(F.col("__t") != "")
+    )
+    uni = toks.groupBy("__s", "__t").agg(F.count(F.lit(1)).alias("__n"))
+    tot = uni.groupBy("__s").agg(F.sum("__n").alias("__ns"))
+    u = (uni.join(F.broadcast(tot), "__s")
+         .select("__s", "__t",
+                 (F.col("__n").cast("double")
+                  / F.col("__ns").cast("double")).alias("__p")))
+    a = u.select(F.col("__s").alias("source_a"), F.col("__t"),
+                 F.col("__p").alias("__pa"))
+    b = u.select(F.col("__s").alias("source_b"), F.col("__t"),
+                 F.col("__p").alias("__pb"))
+    pairs = a.join(b, "__t").filter(F.col("source_a") < F.col("source_b"))
+    pa, pb = F.col("__pa"), F.col("__pb")
+    contrib = ((pa / F.lit(2.0)) * F.log(F.lit(2.0) * pa / (pa + pb))
+               + (pb / F.lit(2.0)) * F.log(F.lit(2.0) * pb / (pa + pb)))
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_terms"),
+        F.sum(contrib.cast("decimal(18,12)")).alias("__c"),
+        F.sum(pa.cast("decimal(18,12)")).alias("__pm"),
+        F.sum(pb.cast("decimal(18,12)")).alias("__qm"),
+    )
+    jsd = (F.col("__c").cast("double")
+           + (F.lit(1.0) - F.col("__pm").cast("double")) / F.lit(2.0) * ln2
+           + (F.lit(1.0) - F.col("__qm").cast("double")) / F.lit(2.0) * ln2)
+    return agg.select(
+        "source_a", "source_b", "n_shared_terms",
+        F.round(jsd, round_digits).alias("jsd"),
+    ).orderBy("source_a", "source_b")

@@ -3387,3 +3387,47 @@ def test_top_mass_selection_concentration_adaptive(spark):
     assert got["flat"].n_kept == 2 and got["flat"].kept_w == 20
     assert got["edge"].n_kept == 1 and got["edge"].kept_w == 5
     assert got["edge"].kept_frac == 0.5
+
+
+def test_source_term_divergence_matches_python_model(spark):
+    """source_term_divergence: 0 for identical term mixes, ln 2 for
+    disjoint vocabularies, and an arbitrary mixed case replays an
+    independent full-JSD python model (incl. the one-sided mass
+    terms the inner-join decomposition reconstructs)."""
+    import math
+    from collections import Counter
+
+    docs = [
+        (1, "alpha beta beta gamma", "A"),
+        (2, "alpha beta", "A"),
+        (3, "beta beta beta beta gamma zeta", "B"),    # overlapping mix
+        (4, "delta delta epsilon", "C"),               # disjoint from A
+        (5, "alpha beta beta gamma alpha beta", "D"),  # same mix as A
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    from hazelcast_jet_spark.operators.text import source_term_divergence
+
+    got = {(r.source_a, r.source_b): r
+           for r in source_term_divergence(df).collect()}
+
+    dists = {}
+    for _i, text, s in docs:
+        dists.setdefault(s, Counter()).update(text.split())
+    def jsd(p, q):
+        pt, qt = sum(p.values()), sum(q.values())
+        out = 0.0
+        for t in set(p) | set(q):
+            pp, qq = p.get(t, 0) / pt, q.get(t, 0) / qt
+            m = (pp + qq) / 2
+            if pp:
+                out += pp / 2 * math.log(pp / m)
+            if qq:
+                out += qq / 2 * math.log(qq / m)
+        return out
+
+    assert got[("A", "D")].jsd == 0.0          # identical mixes
+    assert ("A", "C") not in got               # disjoint: no shared terms
+    for pair in [("A", "B"), ("B", "D")]:
+        want = jsd(dists[pair[0]], dists[pair[1]])
+        assert abs(got[pair].jsd - round(want, 6)) < 2e-6, (pair, want)
+    assert 0.0 < got[("A", "B")].jsd < math.log(2.0)

@@ -4253,6 +4253,30 @@ def mixture_allocation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(d, "source", "n_chars", WFILL_FRAC)
 
 
+CALIB_BINS, CALIB_LO, CALIB_HI = 10, -15.0, 15.0
+
+
+def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE contributions
+    (profile.calibration_bins; Naeini et al. 2015) of the hashed
+    quality classifier's raw scores against the lang=='en' label —
+    the "is the filter's confidence trustworthy?" audit downstream of
+    quality_classifier_scores.  Raw scores, not the sigmoid: prob is
+    monotone-but-not-bit-exact across engines (the
+    hashed_classifier_score docstring's own caveat)."""
+    from hazelcast_jet_spark.operators.importance import (
+        hashed_classifier_score)
+    from hazelcast_jet_spark.operators.profile import calibration_bins
+
+    d = _t(spark, sf_dir, "documents")
+    scored = hashed_classifier_score(
+        d, _cls_weights(), bucket_hex=DSIR_BUCKET_HEX, bias=CLS_BIAS)
+    labeled = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "score", (F.col("lang") == "en").alias("is_en"))
+    return calibration_bins(labeled, "score", "is_en",
+                            n_bins=CALIB_BINS, lo=CALIB_LO, hi=CALIB_HI)
+
+
 def source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence of source unigram
     distributions (text.source_term_divergence): the distribution-level
@@ -4622,6 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_orders": hill_tail_orders,
         "top_mass_selection_docs": top_mass_selection_docs,
         "source_divergence_docs": source_divergence_docs,
+        "classifier_calibration_docs": classifier_calibration_docs,
     }
 
 
@@ -8968,6 +8993,59 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(kept_w AS DOUBLE)
                          / CAST(total_w AS DOUBLE), 6) AS kept_frac
             FROM agg ORDER BY source
+        """,
+        "classifier_calibration_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1]))
+                           AS gram
+                FROM toks WHERE len(t) >= 2
+            ), pairs AS (
+                SELECT doc_id, substr(md5(gram), 1, {DSIR_BUCKET_HEX}) AS b
+                FROM g
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(
+                           ((ascii(substr(b, 1, 1))
+                             + 3 * ascii(substr(b, 2, 1))
+                             + 7 * ascii(substr(b, 3, 1))) % 13 - 6) / 8.0
+                           AS DECIMAL(28,12))) AS DOUBLE) + ({CLS_BIAS})
+                           AS score
+                FROM pairs GROUP BY doc_id
+            ), lab AS (
+                SELECT s.score,
+                       CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM scored s JOIN documents d USING (doc_id)
+            ), binned AS (
+                SELECT CAST(greatest(least(
+                           floor((score - ({CALIB_LO})) / 3.0),
+                           {CALIB_BINS - 1}), 0) AS INTEGER) AS bin,
+                       score, y
+                FROM lab WHERE score IS NOT NULL
+            ), agg AS (
+                SELECT bin, count(*) AS n,
+                       SUM(CAST(score AS DECIMAL(18,12))) AS ss,
+                       CAST(SUM(y) AS BIGINT) AS np
+                FROM binned GROUP BY 1
+            )
+            SELECT bin,
+                   CAST(({CALIB_LO}) + bin * 3.0 AS DOUBLE) AS bin_lo,
+                   CAST(({CALIB_LO}) + (bin + 1) * 3.0 AS DOUBLE) AS bin_hi,
+                   n,
+                   round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS avg_score,
+                   round(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS frac_pos,
+                   round((CAST(n AS DOUBLE)
+                          / CAST(SUM(n) OVER () AS DOUBLE))
+                         * abs(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+                               - CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)),
+                         6) AS w_abs_gap
+            FROM agg ORDER BY bin
         """,
         "source_divergence_docs": r"""
             WITH toks AS (

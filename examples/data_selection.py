@@ -119,3 +119,17 @@ from hazelcast_jet_spark.operators.sampling import top_mass_selection  # noqa: E
 # biggest-first prefix carrying half the char mass
 print("top-50%-mass selection per source:")
 top_mass_selection(docs, "source", "n_chars", "doc_id", p=0.5).show(25)
+
+from hazelcast_jet_spark.operators.importance import hashed_classifier_score  # noqa: E402
+from hazelcast_jet_spark.operators.profile import calibration_bins  # noqa: E402
+
+# audit the quality filter's confidence: reliability diagram + ECE
+# contributions of classifier scores against the lang=='en' label
+hexd = "0123456789abcdef"
+weights = {a + b + c: ((ord(a) + 3 * ord(b) + 7 * ord(c)) % 13 - 6) / 8.0
+           for a in hexd for b in hexd for c in hexd}
+scored = hashed_classifier_score(docs, weights, bucket_hex=3, bias=-0.5)
+lab = scored.join(docs.select("doc_id", "lang"), "doc_id") \
+    .select("score", (F.col("lang") == "en").alias("y"))
+print("classifier calibration bins (ECE = sum of w_abs_gap):")
+calibration_bins(lab, "score", "y", n_bins=10, lo=-15.0, hi=15.0).show()

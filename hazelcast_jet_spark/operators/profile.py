@@ -969,3 +969,66 @@ def hill_tail_index(
         F.when(valid & (alpha_inv > 0.0),
                F.round(F.lit(1.0) / alpha_inv, round_digits)).alias("alpha"),
     ).orderBy(*group_cols)
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram table for a scored binary label — the
+    calibration audit of a quality/LID classifier (is a 0.9-scoring doc
+    actually positive ~90% of the time?): equi-width score bins over
+    [lo, hi] (outliers clamp to the edge bins, the psi_drift
+    convention) with per-bin mean score, positive rate, and the
+    bin's weighted calibration-gap contribution
+
+        w_abs_gap_b = (n_b / N) * |frac_pos_b − avg_score_b|
+
+    whose sum over bins is the Expected Calibration Error (ECE,
+    Naeini et al. 2015).
+
+    Plan at scale: one map-only binning expression + ONE aggregate on
+    the bin id (≤ n_bins partial rows per task); N re-derives from the
+    bin table by a window sum — the corpus is scanned once.  Score
+    sums accumulate in DECIMAL(18,12); every ratio is a fixed-order
+    double quotient of exact sums — SQL-oracle exact.
+
+    Returns ``(bin, bin_lo, bin_hi, n, avg_score, frac_pos,
+    w_abs_gap)`` for non-empty bins, ordered.
+    """
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    w = (hi - lo) / n_bins
+    s = F.col(score_col).cast("double")
+    b = F.greatest(
+        F.least(F.floor((s - F.lit(lo)) / F.lit(w)), F.lit(n_bins - 1)),
+        F.lit(0)).cast("int")
+    lab = F.col(label_col).cast("boolean")
+    binned = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"),
+                lab.cast("long").alias("__y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("__s").cast("decimal(18,12)")).alias("__ss"),
+             F.sum("__y").alias("__np"))
+    )
+    tot = Window.partitionBy()
+    avg_s = F.col("__ss").cast("double") / F.col("n").cast("double")
+    frac = F.col("__np").cast("double") / F.col("n").cast("double")
+    gap = (F.col("n").cast("double")
+           / F.sum("n").over(tot).cast("double")) * F.abs(frac - avg_s)
+    return binned.select(
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+        "n",
+        F.round(avg_s, round_digits).alias("avg_score"),
+        F.round(frac, round_digits).alias("frac_pos"),
+        F.round(gap, round_digits).alias("w_abs_gap"),
+    ).orderBy("bin")

@@ -3431,3 +3431,28 @@ def test_source_term_divergence_matches_python_model(spark):
         want = jsd(dists[pair[0]], dists[pair[1]])
         assert abs(got[pair].jsd - round(want, 6)) < 2e-6, (pair, want)
     assert 0.0 < got[("A", "B")].jsd < math.log(2.0)
+
+
+def test_calibration_bins_perfect_and_miscalibrated(spark):
+    """calibration_bins: a perfectly calibrated score column yields ~0
+    gaps; a constant overconfident score shows its full gap; clamping
+    puts outliers in edge bins; ECE = sum of w_abs_gap."""
+    from hazelcast_jet_spark.operators.profile import calibration_bins
+
+    # bin [0.6, 0.8): scores 0.7, positives 7/10 -> gap 0
+    rows = ([(0.7, i < 7) for i in range(10)]
+            + [(0.95, True) for _ in range(8)]    # bin 9: frac 8/10
+            + [(0.95, False), (1.5, False)])      # 1.5 clamps to bin 9
+    df = spark.createDataFrame(rows, ["s", "y"])
+    got = {r.bin: r for r in
+           calibration_bins(df, "s", "y", n_bins=10, lo=0.0,
+                            hi=1.0).collect()}
+    assert set(got) == {6, 9}
+    assert got[6].avg_score == 0.7 and got[6].frac_pos == 0.7
+    assert got[6].w_abs_gap == 0.0
+    assert got[9].n == 10
+    # avg score (8*0.95 + 0.95 + 1.5)/10 = 1.005; frac_pos 0.8
+    assert got[9].avg_score == 1.005 and got[9].frac_pos == 0.8
+    assert got[9].w_abs_gap == round(0.5 * abs(0.8 - 1.005), 6)
+    ece = sum(r.w_abs_gap for r in got.values())
+    assert abs(ece - 0.1025) < 1e-9

@@ -1162,10 +1162,13 @@ def embedding_standardize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.groupBy("pos")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(F.col("v").cast("decimal(18,12)"))
-                     .cast("double"), 6).alias("sum_std"),
-             F.round(F.min("v"), 6).alias("min_std"),
-             F.round(F.max("v"), 6).alias("max_std"))
+             # + 0.0 normalizes IEEE signed zero: round() may yield -0.0
+             # on one engine and +0.0 on the other (equal under ==, but
+             # different bit patterns -> different typed driver hash).
+             (F.round(F.sum(F.col("v").cast("decimal(18,12)"))
+                      .cast("double"), 6) + F.lit(0.0)).alias("sum_std"),
+             (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_std"),
+             (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_std"))
         .orderBy("pos")
     )
 
@@ -7725,9 +7728,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pos, count(*) AS n,
                    round(CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE), 6)
-                       AS sum_std,
-                   round(MIN(v), 6) AS min_std,
-                   round(MAX(v), 6) AS max_std
+                       + 0.0 AS sum_std,
+                   round(MIN(v), 6) + 0.0 AS min_std,
+                   round(MAX(v), 6) + 0.0 AS max_std
             FROM z GROUP BY pos ORDER BY pos
         """,
         "knn_label_noise_emb": f"""

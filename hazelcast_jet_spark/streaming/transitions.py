@@ -26,6 +26,7 @@ def stream_event_transitions(
     time_col: str = "ts",
     order_col: str = "event_id",
     type_col: str = "event_type",
+    on_out_of_order: str = "raise",
 ) -> DataFrame:
     """Keyed stateful transition counter over a streaming DataFrame.
 
@@ -35,23 +36,51 @@ def stream_event_transitions(
     timeseries.event_transitions` counts.  Event-time state is stored
     as integer MICROseconds (never float epoch — Arrow rejects the
     timestamp cast on float ns-residue).
+
+    ``on_out_of_order`` polices the documented in-order-per-key contract:
+    a micro-batch delivering an event OLDER than the carried state would
+    otherwise stitch it after the carried one and silently corrupt the
+    matrix.  ``"raise"`` (default) fails the batch loudly;
+    ``"drop"`` discards the late rows and keeps counting.
     """
     import pandas as pd
 
     from hazelcast_jet_spark.streaming.stateful import map_stateful_stream
 
+    if on_out_of_order not in ("raise", "drop"):
+        raise ValueError(
+            f"on_out_of_order must be 'raise' or 'drop', "
+            f"got {on_out_of_order!r}")
+
     def fn(key, pdfs, state):
         from collections import Counter
 
         if state.exists:
-            _last_us, _last_id, last_type = state.get
+            last_us, last_id, last_type = state.get
         else:
-            _last_us, _last_id, last_type = None, None, None
+            last_us, last_id, last_type = None, None, None
         parts = [p for p in pdfs if len(p)]
         counts: Counter = Counter()
         if parts:
             rows = (pd.concat(parts, ignore_index=True)
                     .sort_values([time_col, order_col]))
+            if last_us is not None:
+                us = rows[time_col].map(
+                    lambda t: int(pd.Timestamp(t).value // 1000))
+                late = (us < last_us) | (
+                    (us == last_us) & (rows[order_col] < last_id))
+                if bool(late.any()):
+                    if on_out_of_order == "raise":
+                        raise RuntimeError(
+                            f"stream_event_transitions: key {key} got "
+                            f"{int(late.sum())} event(s) older than the "
+                            f"carried state (last_us={last_us}, "
+                            f"last_id={last_id}) — per-key in-order "
+                            f"delivery violated (see operator contract); "
+                            f"pass on_out_of_order='drop' to discard")
+                    rows = rows[~late]
+                    if not len(rows):
+                        return
             prev = last_type
             for ty in rows[type_col].tolist():
                 if prev is not None:

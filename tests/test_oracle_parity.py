@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime
 import math
 import os
+import struct
 from decimal import Decimal
 
 import duckdb
@@ -56,7 +57,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "NaN")
-        return ("float", v)
+        # Compare BIT PATTERNS, not == : the r6 driver red row
+        # (embedding_standardize_stats) was round() yielding -0.0 on
+        # DuckDB and +0.0 on Spark — equal under Python ==, different
+        # IEEE bits, different typed driver hash.  struct.pack makes
+        # -0.0 != +0.0 here so the mirror catches the class pre-driver.
+        return ("float", struct.pack(">d", v))
     if isinstance(v, datetime.datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):

@@ -828,12 +828,22 @@ def test_stream_event_transitions_across_batches_equals_batch(spark, tmp_path):
           (5, "2024-01-01 00:03:00", 2, "purchase"),
           (6, "2024-01-01 00:04:00", 2, "view")]
     src = str(tmp_path / "src"); os.makedirs(src)
-    spark.createDataFrame(
-        [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
-         for i, t, u, e in b1], schema).write.parquet(src + "/f1")
-    spark.createDataFrame(
-        [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
-         for i, t, u, e in b2], schema).write.parquet(src + "/f2")
+    # ONE part file per logical batch (.coalesce(1)) with strictly
+    # increasing mtimes: a multi-part directory under
+    # maxFilesPerTrigger=1 splits a logical batch into several
+    # micro-batches whose order (mtime ties broken by path) can
+    # interleave users across batches and violate the operator's
+    # in-order-per-key contract — the r6 flake.
+    import glob as _glob
+    import time as _time
+    for bi, batch in enumerate([b1, b2]):
+        d = src + f"/f{bi + 1}"
+        spark.createDataFrame(
+            [(i, __import__("datetime").datetime.fromisoformat(t), u, e)
+             for i, t, u, e in batch], schema).coalesce(1).write.parquet(d)
+        for f in _glob.glob(d + "/*.parquet"):
+            os.utime(f, (1700000000 + bi * 60, 1700000000 + bi * 60))
+        _time.sleep(0.01)
 
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
@@ -855,3 +865,57 @@ def test_stream_event_transitions_across_batches_equals_batch(spark, tmp_path):
     assert got == want
     assert got[("view", "click")] == 1      # crossed the boundary
     assert got[("view", "purchase")] == 1   # crossed the boundary
+
+
+def test_stream_event_transitions_out_of_order_guard(spark, tmp_path):
+    """The in-order-per-key contract is POLICED, not assumed: a later
+    micro-batch delivering an event older than the carried state raises
+    by default (loud), and with on_out_of_order='drop' the late row is
+    discarded while in-order rows keep counting."""
+    import datetime as dt
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+    from hazelcast_jet_spark.streaming.transitions import (
+        stream_event_transitions)
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    b1 = [(2, dt.datetime(2024, 1, 1, 0, 5), 1, "view")]
+    # batch 2 delivers an EARLIER event for user 1 -> contract violation
+    b2 = [(1, dt.datetime(2024, 1, 1, 0, 1), 1, "click"),
+          (3, dt.datetime(2024, 1, 1, 0, 9), 1, "purchase")]
+    src = str(tmp_path / "src"); os.makedirs(src)
+    for bi, batch in enumerate([b1, b2]):
+        d = src + f"/f{bi + 1}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(d)
+        for f in glob.glob(d + "/*.parquet"):
+            os.utime(f, (1700000000 + bi * 60, 1700000000 + bi * 60))
+
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+
+    with pytest.raises(Exception) as ei:
+        run_to_batch(stream_event_transitions(stream()), "update")
+    assert "in-order" in str(ei.value) or "older than the carried" in str(
+        ei.value)
+
+    emitted = run_to_batch(
+        stream_event_transitions(stream(), on_out_of_order="drop"),
+        "update")
+    got = {(r.from_type, r.to_type): r.n for r in
+           emitted.groupBy("from_type", "to_type")
+           .agg(F.sum("cnt").alias("n")).collect()}
+    # the late click is dropped; view(b1) -> purchase(b2) still stitches
+    assert got == {("view", "purchase"): 1}
+
+
+def test_stream_event_transitions_rejects_bad_policy():
+    from hazelcast_jet_spark.streaming.transitions import (
+        stream_event_transitions)
+    with pytest.raises(ValueError):
+        stream_event_transitions(None, on_out_of_order="explode")

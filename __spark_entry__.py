@@ -4414,80 +4414,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window.  r6 final ordering:
-    hll_cardinality_events first (the only never-green query — its
-    DECIMAL(38,0) gate-output fix landed this round), then the 23
-    new-in-r6 queries (no green row exists for them at all —
-    never-green outranks stale-green), then the 5 queries whose
-    IMPLEMENTATION changed this round (changepoint/anomaly prefix-sum
-    rewrite, bpe pandas-path gate, corr-matrix decimal widening,
-    snapshot_diff presence markers), then the FULL 15-entry
-    r3-single-green refresh backlog (3 rounds stale — older than the
-    r4-green class, so it goes first), then 6 of the stale-r4 set.
-    The remaining r4-green entries (tpch_q11/q12/q15/q17/q19/q20/q21,
-    table_profile, value_histogram, sliding_agg/distinct,
-    user_sessions, asof_tolerance, incremental_minhash) head the r7
-    refresh list.  bench.py still runs every entry, so perf coverage
-    is unaffected by the order.
+    correctness gate's 50-entry window.  r7 ordering: the single r6 red
+    row first (embedding_standardize_stats — its signed-zero fix landed
+    this round), then the 13 session-7 queries that were registered
+    below the finalized r6 boundary and have never been driver-checked,
+    then new r7 queries as they land, then the 14 stale r4-green refresh
+    entries flagged in NOTES_r6's handoff, with r5-green single-row
+    entries (oldest first) filling the window to 50.  Everything below
+    the boundary has an r5/r6 green row; the r6 window rotated to the
+    back (its rows are the freshest).  bench.py still runs every entry,
+    so perf coverage is unaffected by the order.
     """
     return {
-        # ==== r6 window (first 50 = the driver correctness gate) =========
-        # 1 never-green (hll, repr fix landed) + 23 new r6 + 5 changed-impl
-        # + the full 15-entry r3-single-green refresh backlog (stalest
-        # single-green rows outrank r4-green ones) + 6 of the stale-r4 set;
-        # the remaining r4-green entries head the r7 refresh list.
-        "hll_cardinality_events": hll_cardinality_events,
-        "ann_recall_ivf_pq": ann_recall_ivf_pq,
-        "pq_code_dup_pairs": pq_code_dup_pairs,
-        "streaming_interval_join_flush": streaming_interval_join_flush,
-        "bm25_search_docs": bm25_search_docs,
-        "hard_negative_mining": hard_negative_mining,
-        "label_centroid_confusion_emb": label_centroid_confusion_emb,
-        "scd2_event_type_intervals": scd2_event_type_intervals,
-        "scd2_incremental_merge": scd2_incremental_merge,
-        "categorical_assoc_docs": categorical_assoc_docs,
-        "padding_efficiency_docs": padding_efficiency_docs,
-        "cms_join_size_orders": cms_join_size_orders,
-        "key_skew_orders": key_skew_orders,
-        "mmr_diverse_topk": mmr_diverse_topk,
-        "streaming_psi_drift_events": streaming_psi_drift_events,
-        "matryoshka_recall_emb": matryoshka_recall_emb,
+        # ==== r7 window (first 50 = the driver correctness gate) =========
+        # The r6 red row leads (embedding_standardize_stats — signed-zero
+        # fix landed this round), then the 13 session-7 never-driver-checked
+        # queries, then new r7 queries (inserted as they land), then the 14
+        # stale r4-green refresh entries, then r5-green single-row entries
+        # oldest-first as fillers.  bench.py still runs every entry.
         "embedding_standardize_stats": embedding_standardize_stats,
-        "knn_label_noise_emb": knn_label_noise_emb,
-        "anova_f_per_dim_emb": anova_f_per_dim_emb,
-        "temporal_scd2_lookup": temporal_scd2_lookup,
-        "winsorized_value_stats": winsorized_value_stats,
-        "bootstrap_ci_orders": bootstrap_ci_orders,
-        "collocation_pmi_docs": collocation_pmi_docs,
-        "weekly_value_percentiles": weekly_value_percentiles,
-        "changepoint_shift_events": changepoint_shift_events,
-        "anomaly_band_flags": anomaly_band_flags,
-        "bpe_segment_stats": bpe_segment_stats,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
-        "table_diff_counts": table_diff_counts,
-        "tpch_q10_returned_items": tpch_q10_returned_items,
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "cep_sequence_match": cep_sequence_match,
-        "streaming_dedup_count": streaming_dedup_count,
-        "tfidf_top_terms": tfidf_top_terms,
-        "reservoir_sample_events": reservoir_sample_events,
-        "stratified_sample_docs": stratified_sample_docs,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
-        "winnow_fingerprint_dups": winnow_fingerprint_dups,
-        "repetition_top_ngram": repetition_top_ngram,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q9_product_profit": tpch_q9_product_profit,
-        # ===== driver window boundary: everything below has a green row ===
-        # ===== from r4/r5 or >= 2 green rows ==============================
+        # -- 13 session-7 never-green (registered below the r6 boundary) --
+        "quantile_sketch_events": quantile_sketch_events,
+        "association_rules_lineitem": association_rules_lineitem,
+        "event_transition_matrix": event_transition_matrix,
+        "readability_docs": readability_docs,
+        "gini_value_orders": gini_value_orders,
+        "source_overlap_docs": source_overlap_docs,
+        "mixture_allocation_docs": mixture_allocation_docs,
+        "streaming_event_transitions": streaming_event_transitions,
+        "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
+        "hill_tail_orders": hill_tail_orders,
+        "top_mass_selection_docs": top_mass_selection_docs,
+        "source_divergence_docs": source_divergence_docs,
+        "classifier_calibration_docs": classifier_calibration_docs,
+        # -- new r7 queries insert HERE (before the r4-stale refresh) -----
+        # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
         "tpch_q15_top_supplier": tpch_q15_top_supplier,
@@ -4502,6 +4463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": user_sessions,
         "asof_join_tolerance": asof_join_tolerance,
         "incremental_minhash_dedup": incremental_minhash_dedup,
+        # -- r5-green single-row cohort, oldest first (window fillers; ----
+        # -- entries 29-50 complete the gate window) ----------------------
         "dq_checks_orders": dq_checks_orders,
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -4524,6 +4487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_image_stats": multimodal_image_stats,
         "pq_encode_stats": pq_encode_stats,
+        # ===== driver window boundary: everything below has a green row ===
+        # ===== from r5/r6 (the r6 window rotated to the back: freshest) ===
         "temperature_sample_counts": temperature_sample_counts,
         "cohort_retention_counts": cohort_retention_counts,
         "count_min_estimates": count_min_estimates,
@@ -4635,21 +4600,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "like_and_trim": like_and_trim,
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
-        # ---- new in r6 session 7 (below the finalized window; these
-        # ---- never-green entries lead the r7 rotation) ---------------
-        "quantile_sketch_events": quantile_sketch_events,
-        "association_rules_lineitem": association_rules_lineitem,
-        "event_transition_matrix": event_transition_matrix,
-        "readability_docs": readability_docs,
-        "gini_value_orders": gini_value_orders,
-        "source_overlap_docs": source_overlap_docs,
-        "mixture_allocation_docs": mixture_allocation_docs,
-        "streaming_event_transitions": streaming_event_transitions,
-        "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
-        "hill_tail_orders": hill_tail_orders,
-        "top_mass_selection_docs": top_mass_selection_docs,
-        "source_divergence_docs": source_divergence_docs,
-        "classifier_calibration_docs": classifier_calibration_docs,
+        "hll_cardinality_events": hll_cardinality_events,
+        "ann_recall_ivf_pq": ann_recall_ivf_pq,
+        "pq_code_dup_pairs": pq_code_dup_pairs,
+        "streaming_interval_join_flush": streaming_interval_join_flush,
+        "bm25_search_docs": bm25_search_docs,
+        "hard_negative_mining": hard_negative_mining,
+        "label_centroid_confusion_emb": label_centroid_confusion_emb,
+        "scd2_event_type_intervals": scd2_event_type_intervals,
+        "scd2_incremental_merge": scd2_incremental_merge,
+        "categorical_assoc_docs": categorical_assoc_docs,
+        "padding_efficiency_docs": padding_efficiency_docs,
+        "cms_join_size_orders": cms_join_size_orders,
+        "key_skew_orders": key_skew_orders,
+        "mmr_diverse_topk": mmr_diverse_topk,
+        "streaming_psi_drift_events": streaming_psi_drift_events,
+        "matryoshka_recall_emb": matryoshka_recall_emb,
+        "knn_label_noise_emb": knn_label_noise_emb,
+        "anova_f_per_dim_emb": anova_f_per_dim_emb,
+        "temporal_scd2_lookup": temporal_scd2_lookup,
+        "winsorized_value_stats": winsorized_value_stats,
+        "bootstrap_ci_orders": bootstrap_ci_orders,
+        "collocation_pmi_docs": collocation_pmi_docs,
+        "weekly_value_percentiles": weekly_value_percentiles,
+        "changepoint_shift_events": changepoint_shift_events,
+        "anomaly_band_flags": anomaly_band_flags,
+        "bpe_segment_stats": bpe_segment_stats,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "table_diff_counts": table_diff_counts,
+        "tpch_q10_returned_items": tpch_q10_returned_items,
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        "cep_sequence_match": cep_sequence_match,
+        "streaming_dedup_count": streaming_dedup_count,
+        "tfidf_top_terms": tfidf_top_terms,
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
     }
 
 

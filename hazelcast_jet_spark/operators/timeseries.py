@@ -358,26 +358,37 @@ def anomaly_flags(df: DataFrame, key_col: str, time_col: str, value_col: str,
     base = Window.partitionBy(key_col).orderBy(time_col, id_col)
     cw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
-    cn = F.count(v).over(cw)
-    cs = F.sum(v.cast("decimal(28,12)")).over(cw)
-    cs2 = F.sum((v * v).cast("decimal(28,12)")).over(cw)
-
-    def _diff(cum, zero):
-        hi = F.coalesce(F.lag(cum, 1).over(base), zero)
-        lo = F.coalesce(F.lag(cum, window_n + 1).over(base), zero)
-        return hi - lo
-
+    # Stage 1: the three running totals, once.  Stage 2: shift them as ONE
+    # struct column — 2 lag expressions instead of 6, each over a tiny
+    # attribute-ref tree instead of a duplicated cumulative-aggregate tree
+    # (the stacked form's one-time analysis/codegen cost dominated the
+    # cold driver run; lag-of-struct == struct-of-lags, bit-identical).
+    staged = df.select(
+        id_col, key_col, time_col, value_col,
+        F.struct(
+            F.count(v).over(cw).alias("n"),
+            F.sum(v.cast("decimal(28,12)")).over(cw).alias("s"),
+            F.sum((v * v).cast("decimal(28,12)")).over(cw).alias("s2"),
+        ).alias("_cum"))
+    hi = F.lag("_cum", 1).over(base)
+    lo = F.lag("_cum", window_n + 1).over(base)
     dzero = F.lit(0).cast("decimal(38,12)")
-    n = _diff(cn, F.lit(0).cast("bigint"))
-    s = _diff(cs, dzero).cast("double")
-    s2 = _diff(cs2, dzero).cast("double")
+    nzero = F.lit(0).cast("bigint")
+
+    def _diff(field, zero):
+        return F.coalesce(hi[field], zero) - F.coalesce(lo[field], zero)
+
+    v = F.col(value_col)
+    n = _diff("n", nzero)
+    s = _diff("s", dzero).cast("double")
+    s2 = _diff("s2", dzero).cast("double")
     have = n >= F.lit(min_history)
     mean = F.when(have, s / n)
     var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
     std = F.when(have, F.sqrt(var))
     flag = F.when(have & std.isNotNull(),
                   F.abs(v - mean) > F.lit(float(k)) * std).otherwise(F.lit(False))
-    return df.select(
+    return staged.select(
         id_col, key_col, time_col, value_col,
         mean.alias("mean"), std.alias("std"), flag.alias("is_anomaly"))
 
@@ -420,24 +431,34 @@ def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
     base = Window.partitionBy(key_col).orderBy(time_col, id_col)
     cw = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     v = F.col(value_col)
-    cn = F.count(v).over(cw)
-    cs = F.sum(v.cast("decimal(28,12)")).over(cw)
-    cs2 = F.sum((v * v).cast("decimal(28,12)")).over(cw)
+    # Stage the three running totals once, then shift the whole struct:
+    # 3 lag/lead expressions instead of 9, each over an attribute ref —
+    # the cumulative trees are never duplicated into the shift
+    # expressions (cold analysis/codegen was the residual driver cost;
+    # lag-of-struct == struct-of-lags, bit-identical, oracle unchanged).
+    staged = df.select(
+        id_col, key_col, time_col, value_col,
+        F.struct(
+            F.count(v).over(cw).alias("n"),
+            F.sum(v.cast("decimal(28,12)")).over(cw).alias("s"),
+            F.sum((v * v).cast("decimal(28,12)")).over(cw).alias("s2"),
+        ).alias("_cum"))
+    prev1 = F.lag("_cum", 1).over(base)
+    prevw = F.lag("_cum", window_n + 1).over(base)
+    nextw = F.lead("_cum", window_n - 1).over(base)
     nzero = F.lit(0).cast("bigint")
     dzero = F.lit(0).cast("decimal(38,12)")
 
-    def _before(cum, zero):
+    def _before(field, zero):
         # frame [-window_n, -1] == cum(t-1) - cum(t-window_n-1)
-        return (F.coalesce(F.lag(cum, 1).over(base), zero)
-                - F.coalesce(F.lag(cum, window_n + 1).over(base), zero))
+        return F.coalesce(prev1[field], zero) - F.coalesce(prevw[field], zero)
 
-    def _after(cum, zero):
+    def _after(field, zero):
         # frame [0, window_n-1] == cum(t+window_n-1) - cum(t-1); the lead
         # is left un-coalesced so a truncated end-of-partition frame goes
         # NULL -> `full` is never satisfied there (same visible output as
         # the direct-frame version, which counted the short frame).
-        return (F.lead(cum, window_n - 1).over(base)
-                - F.coalesce(F.lag(cum, 1).over(base), zero))
+        return nextw[field] - F.coalesce(prev1[field], zero)
 
     def stats(n, s_dec, s2_dec):
         s = s_dec.cast("double")
@@ -446,15 +467,15 @@ def changepoint_scores(df: DataFrame, key_col: str, time_col: str,
         var = F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
         return mean, var
 
-    nb = _before(cn, nzero)
-    na = _after(cn, nzero)
-    mb, vb = stats(nb, _before(cs, dzero), _before(cs2, dzero))
-    ma, va = stats(na, _after(cs, dzero), _after(cs2, dzero))
+    nb = _before("n", nzero)
+    na = _after("n", nzero)
+    mb, vb = stats(nb, _before("s", dzero), _before("s2", dzero))
+    ma, va = stats(na, _after("s", dzero), _after("s2", dzero))
     full = (nb == window_n) & (na == window_n)
     shift = F.when(full, ma - mb)
     se = F.sqrt(vb / nb + va / na)
     z = F.when(full & (se > 0), (ma - mb) / se)
-    return df.select(
+    return staged.select(
         id_col, key_col, time_col, value_col,
         F.round(F.when(full, mb), round_digits).alias("mean_before"),
         F.round(F.when(full, ma), round_digits).alias("mean_after"),

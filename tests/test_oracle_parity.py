@@ -26,12 +26,12 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
-def _duck(sql: str):
+def _duck(sql: str, sf_dir: str = SF_DIR):
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
@@ -81,13 +81,12 @@ def _normalize(cols, rows):
     return sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=_sort_key)
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, name):
+def _compare(spark, name, sf_dir):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
-    sdf = QUERIES[name](spark, SF_DIR)
+    sdf = QUERIES[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = _duck(ORACLES[name])
+    d_cols, d_rows = _duck(ORACLES[name], sf_dir)
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     assert len(s_rows) == len(d_rows), (
@@ -98,6 +97,242 @@ def test_query_matches_oracle(spark, name):
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    _compare(spark, name, SF_DIR)
+
+
+# Queries registered through r6 were sf0.1-mirrored MANUALLY each round
+# (NOTES_r4..r6).  This set is FROZEN — never add to it: every query
+# registered after r6 automatically gets an ENFORCED second mirror leg at
+# sf0.1 below, so SF-dependent boundary cases (empty groups, quantile cut
+# ties, caps that only bind at scale) cannot slip to the driver.
+_SF01_GRANDFATHERED = frozenset({
+    "acf_events",
+    "ann_lsh_search",
+    "ann_recall_ivf_pq",
+    "anomaly_band_flags",
+    "anova_f_per_dim_emb",
+    "array_higher_order",
+    "asof_join_events",
+    "asof_join_forward",
+    "asof_join_tolerance",
+    "association_rules_lineitem",
+    "benford_orders",
+    "bigram_lm_quality",
+    "bloom_semi_join_orders",
+    "bm25_search_docs",
+    "bootstrap_ci_orders",
+    "bpe_segment_stats",
+    "cast_matrix",
+    "categorical_assoc_docs",
+    "categorical_drift_events",
+    "cep_sequence_match",
+    "cep_stream_match",
+    "changepoint_shift_events",
+    "char_entropy_quality",
+    "classifier_calibration_docs",
+    "cms_join_size_orders",
+    "cogroup_orders_lineitem",
+    "cohort_retention_counts",
+    "collection_aggs",
+    "collocation_pmi_docs",
+    "containment_dup_pairs",
+    "continuous_aggregate_rollup",
+    "copurchase_graph_stats",
+    "coreset_kcenter_embeddings",
+    "corr_covar_aggs",
+    "corr_matrix_lineitem",
+    "cosine_topk_search",
+    "count_min_estimates",
+    "custom_udaf_agg",
+    "cut_dup_spans_docs",
+    "datetime_functions",
+    "decontaminate_docs",
+    "dedup_group_sizes",
+    "dedup_keep_best",
+    "distinct_aggregates",
+    "distinct_by_key",
+    "distinct_op",
+    "doc_chunks",
+    "dq_checks_orders",
+    "dsir_importance_weights",
+    "dup_span_stats_docs",
+    "embedding_cosine_dedup",
+    "embedding_outlier_stats",
+    "embedding_quantize_int8",
+    "embedding_standardize_stats",
+    "event_time_features",
+    "event_transition_matrix",
+    "exact_dedup_docs",
+    "filter_project",
+    "filtered_aggs",
+    "full_outer_join",
+    "funnel_conversion_counts",
+    "fuzzy_match_parts",
+    "generate_series_agg",
+    "gini_value_orders",
+    "global_aggregate",
+    "gopher_quality_filter",
+    "hard_negative_mining",
+    "hash_join_enrich",
+    "having_filter",
+    "heavy_hitter_terms",
+    "hill_tail_orders",
+    "hll_cardinality_events",
+    "incremental_minhash_dedup",
+    "interval_grid_pairs",
+    "interval_overlap_pairs",
+    "ivf_topk_search",
+    "join_orders_customer",
+    "json_props",
+    "key_skew_orders",
+    "kfold_split_counts",
+    "kmeans_assign_counts",
+    "kmv_distinct_sketch",
+    "knn_label_noise_emb",
+    "ks_drift_events",
+    "label_centroid_confusion_emb",
+    "left_join_counts",
+    "like_and_trim",
+    "linear_trend_agg",
+    "mad_outlier_stats",
+    "map_aggregate",
+    "matryoshka_recall_emb",
+    "merge_union",
+    "min_max_by",
+    "minhash_lsh_dedup",
+    "mixture_allocation_docs",
+    "mmr_diverse_topk",
+    "multi_hop_enrichment",
+    "multimodal_audio_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_stats",
+    "negative_samples_lineitem",
+    "nexmark_q4_avg_by_category",
+    "nexmark_q5_hot_items",
+    "nexmark_q6_avg_last10",
+    "nexmark_q7_window_max",
+    "nexmark_q8_stream_join",
+    "ngram_jaccard_dedup",
+    "ngram_novelty_stats",
+    "padding_efficiency_docs",
+    "pagerank_copurchase",
+    "pandas_udf_text_metrics",
+    "pca_projection_stats",
+    "percentile_stats",
+    "pii_scrub_stats",
+    "pivot_mktsegment",
+    "pq_code_dup_pairs",
+    "pq_encode_stats",
+    "psi_drift_events",
+    "q1_pricing_summary",
+    "quality_classifier_scores",
+    "quality_decile_stats",
+    "quantile_sketch_events",
+    "range_join_value_bands",
+    "rbo_rank_similarity_emb",
+    "readability_docs",
+    "record_linkage_parts",
+    "reducing_agg",
+    "repetition_top_ngram",
+    "resample_gap_fill",
+    "reservoir_sample_events",
+    "rolling_aggregate",
+    "rollup_agg",
+    "salted_aggregate_orders",
+    "scalar_functions",
+    "scd2_event_type_intervals",
+    "scd2_incremental_merge",
+    "seasonal_decompose_events",
+    "semantic_dedup_docs",
+    "semi_anti_join",
+    "sequence_packing",
+    "session_window_batch",
+    "set_operations",
+    "simhash_groups",
+    "simhash_near_dups",
+    "sliding_agg_incremental",
+    "sliding_distinct_users",
+    "sliding_window_batch",
+    "sort_limit",
+    "source_divergence_docs",
+    "source_overlap_docs",
+    "source_quota_sample",
+    "stratified_sample_docs",
+    "streaming_count_min_sketch",
+    "streaming_dedup_count",
+    "streaming_event_transitions",
+    "streaming_interval_join_flush",
+    "streaming_psi_drift_events",
+    "streaming_quality_gate",
+    "streaming_rolling_count",
+    "streaming_session_window",
+    "streaming_stateful_count",
+    "streaming_tumbling_window",
+    "table_diff_counts",
+    "table_profile",
+    "temperature_sample_counts",
+    "temporal_scd2_lookup",
+    "text_features",
+    "tfidf_top_terms",
+    "theta_join",
+    "token_stats",
+    "tokenize_ids_stats",
+    "top_mass_selection_docs",
+    "top_n_per_group",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_missing_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "train_test_split_counts",
+    "tumbling_window_batch",
+    "unigram_lm_quality",
+    "url_dedup_stats",
+    "user_sessions",
+    "value_histogram",
+    "values_inline",
+    "w1_drift_events",
+    "weekly_value_percentiles",
+    "weighted_sample_counts",
+    "window_frames",
+    "window_rank_functions",
+    "winnow_fingerprint_dups",
+    "winsorized_value_stats",
+    "wordcount",
+})
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_TEST_SF1_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(ORACLES) - _SF01_GRANDFATHERED) or ["_none"])
+def test_new_query_matches_oracle_at_sf01(spark, name):
+    """The sf0.1 leg, enforced for every post-r6 query by construction
+    (anything not in the frozen grandfather set)."""
+    if name == "_none":
+        pytest.skip("no post-r6 queries yet")
+    _compare(spark, name, SF1_DIR)
 
 
 def test_every_query_has_oracle_or_is_declared():

@@ -4407,6 +4407,77 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("from_type", "to_type")
 
 
+def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily event rate per type (timeseries.ewma — the
+    recurrence SQL windows cannot express, run through the production
+    Arrow applyInPandas path).  alpha=0.5 makes every multiply an exact
+    binary scaling, so the pandas recurrence and the oracle's recursive
+    CTE replay produce identical bits with no rounding at all; the
+    oracle unrolls ``s_t = 0.5*s_{t-1} + 0.5*v_t`` level by level."""
+    from hazelcast_jet_spark.operators.timeseries import ewma
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    sm = ewma(daily, key_col="event_type", time_col="day",
+              value_col="n", alpha=0.5, out_col="ewma_rate")
+    return sm.select("event_type", "day", "n", "ewma_rate") \
+        .orderBy("event_type", "day")
+
+
+PACK_BUDGET = 1500
+
+
+def greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit greedy packing per source (packing.pack_greedy →
+    pack_stats): documents walk in doc_id order per stratum; a doc that
+    would overflow the 1500-char budget closes the bin.  All-integer
+    arithmetic — the oracle replays the recurrence as a recursive CTE
+    per stratum, one level per document (bounded: docs-per-source).
+    The 100 TB shape is the operator's documented one: the stratum is
+    the parallelism unit (pack per shard/source, never globally)."""
+    from hazelcast_jet_spark.operators.packing import pack_greedy, pack_stats
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(d.select("doc_id", "source", "n_chars"),
+                         token_col="n_chars", budget=PACK_BUDGET,
+                         order_col="doc_id", partition_cols=["source"])
+    return (pack_stats(packed, "n_chars", ["source"])
+            .withColumnRenamed("total_tokens", "total_chars")
+            .orderBy("source", "bin_id"))
+
+
+KMEANS_FIT_K = 4
+KMEANS_FIT_ITERS = 2
+
+
+def kmeans_fit_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-centroid k-means path, oracle-replayed end to end
+    (clustering.kmeans_fit_unrolled): 2 full Lloyd iterations seeded
+    with the 4 lowest-id vectors — rounded-distance argmin assignment
+    (the l2_assign convention) and DECIMAL-exact centroid updates make
+    every float op engine-portable, so the oracle unrolls BOTH
+    iterations in SQL (closing the r6 honest-non-gate slot where only
+    the assignment step of a trained fit was driver-checked).  Output:
+    per-cluster membership count + the first 4 centroid dims, rounded,
+    signed-zero-normalized."""
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent, assigned = kmeans_fit_unrolled(
+        e, k=KMEANS_FIT_K, iters=KMEANS_FIT_ITERS)
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    rows = [(c, *[float(cent[c, p]) for p in range(4)])
+            for c in range(KMEANS_FIT_K)]
+    cw = spark.createDataFrame(
+        rows, "cluster int, d0 double, d1 double, d2 double, d3 double")
+    sel = [F.col("cluster"), F.col("n_vectors")]
+    for p in range(4):
+        sel.append((F.round(F.col(f"d{p}"), 6) + F.lit(0.0)).alias(f"c{p}"))
+    return counts.join(cw, "cluster").select(*sel).orderBy("cluster")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4448,6 +4519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence_docs": source_divergence_docs,
         "classifier_calibration_docs": classifier_calibration_docs,
         # -- new r7 queries insert HERE (before the r4-stale refresh) -----
+        "ewma_event_rate": ewma_event_rate,
+        "greedy_pack_bins": greedy_pack_bins,
+        "kmeans_fit_iter_stats": kmeans_fit_iter_stats,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -7732,6 +7806,150 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(v), 6) + 0.0 AS max_std
             FROM z GROUP BY pos ORDER BY pos
         """,
+        "ewma_event_rate": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY day) AS idx
+                FROM daily
+            ), ew AS (
+                SELECT event_type, day, n, idx,
+                       CAST(n AS DOUBLE) AS ewma_rate
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.event_type, s.day, s.n, s.idx,
+                       0.5 * e.ewma_rate + 0.5 * CAST(s.n AS DOUBLE)
+                FROM ser s JOIN ew e
+                  ON s.event_type = e.event_type AND s.idx = e.idx + 1
+            )
+            SELECT event_type, day, n, ewma_rate
+            FROM ew ORDER BY event_type, day
+        """,
+        "greedy_pack_bins": """
+            WITH RECURSIVE ser AS (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id) AS idx
+                FROM documents
+            ), packed AS (
+                SELECT source, idx, n_chars,
+                       CAST(0 AS BIGINT) AS bin_id, n_chars AS cur
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.source, s.idx, s.n_chars,
+                       CASE WHEN p.cur + s.n_chars > {PACK_BUDGET}
+                            THEN p.bin_id + 1 ELSE p.bin_id END,
+                       CASE WHEN p.cur + s.n_chars > {PACK_BUDGET}
+                            THEN s.n_chars ELSE p.cur + s.n_chars END
+                FROM ser s JOIN packed p
+                  ON s.source = p.source AND s.idx = p.idx + 1
+            )
+            SELECT source, bin_id, count(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+        """.replace("{PACK_BUDGET}", str(PACK_BUDGET)),
+        "kmeans_fit_iter_stats": """
+            WITH seedv AS (
+                SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {K}
+            ), seed AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+                           AS cluster, embedding
+                FROM seedv
+            ), cent0 AS (
+                SELECT cluster, CAST(pos AS INT) AS pos, CAST(v AS DOUBLE) AS v
+                FROM (SELECT cluster, unnest(embedding) AS v,
+                             unnest(generate_series(0, len(embedding) - 1))
+                                 AS pos
+                      FROM seed)
+            ), lst0 AS (
+                SELECT cluster, list(v ORDER BY pos) AS cvec
+                FROM cent0 GROUP BY 1
+            ), ex AS (
+                SELECT vec_id, CAST(pos AS INT) AS pos, CAST(v AS DOUBLE) AS v
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             unnest(generate_series(0, len(embedding) - 1))
+                                 AS pos
+                      FROM embeddings)
+            ),
+            a1 AS (
+                SELECT e.vec_id, c.cluster, round(list_sum(list_transform(list_zip(e.embedding, c.cvec), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 9) AS dist
+                FROM embeddings e CROSS JOIN lst0 c
+            ), p1 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rn
+                    FROM a1) WHERE rn = 1
+            ),
+            s1 AS (
+                SELECT p.cluster, x.pos,
+                       CAST(SUM(CAST(x.v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS v
+                FROM p1 p JOIN ex x USING (vec_id)
+                GROUP BY 1, 2
+            ), cent1 AS (
+                SELECT b.cluster, b.pos, COALESCE(s.v, b.v) AS v
+                FROM cent0 b LEFT JOIN s1 s
+                  ON b.cluster = s.cluster AND b.pos = s.pos
+            ), lst1 AS (
+                SELECT cluster, list(v ORDER BY pos) AS cvec
+                FROM cent1 GROUP BY 1
+            ),
+            a2 AS (
+                SELECT e.vec_id, c.cluster, round(list_sum(list_transform(list_zip(e.embedding, c.cvec), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 9) AS dist
+                FROM embeddings e CROSS JOIN lst1 c
+            ), p2 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rn
+                    FROM a2) WHERE rn = 1
+            ),
+            s2 AS (
+                SELECT p.cluster, x.pos,
+                       CAST(SUM(CAST(x.v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS v
+                FROM p2 p JOIN ex x USING (vec_id)
+                GROUP BY 1, 2
+            ), cent2 AS (
+                SELECT b.cluster, b.pos, COALESCE(s.v, b.v) AS v
+                FROM cent1 b LEFT JOIN s2 s
+                  ON b.cluster = s.cluster AND b.pos = s.pos
+            ), lst2 AS (
+                SELECT cluster, list(v ORDER BY pos) AS cvec
+                FROM cent2 GROUP BY 1
+            ),
+            a3 AS (
+                SELECT e.vec_id, c.cluster, round(list_sum(list_transform(list_zip(e.embedding, c.cvec), x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), 9) AS dist
+                FROM embeddings e CROSS JOIN lst2 c
+            ), p3 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT vec_id, cluster,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY dist, cluster) AS rn
+                    FROM a3) WHERE rn = 1
+            ),
+            cnt AS (
+                SELECT cluster, count(*) AS n_vectors FROM p3 GROUP BY 1
+            )
+            SELECT c.cluster, n.n_vectors,
+                   round(MAX(CASE WHEN pos = 0 THEN v END), 6) + 0.0 AS c0,
+                   round(MAX(CASE WHEN pos = 1 THEN v END), 6) + 0.0 AS c1,
+                   round(MAX(CASE WHEN pos = 2 THEN v END), 6) + 0.0 AS c2,
+                   round(MAX(CASE WHEN pos = 3 THEN v END), 6) + 0.0 AS c3
+            FROM cent2 c JOIN cnt n USING (cluster)
+            WHERE c.pos < 4
+            GROUP BY c.cluster, n.n_vectors
+            ORDER BY c.cluster
+        """.replace("{K}", str(KMEANS_FIT_K)),
         "knn_label_noise_emb": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec,

@@ -201,6 +201,65 @@ def kmeans_fit(
         df.unpersist()
 
 
+def kmeans_fit_unrolled(
+    df: DataFrame,
+    k: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, DataFrame]:
+    """Engine-portable k-means fit: a FIXED number of Lloyd iterations,
+    seeded with the ``k`` lowest-id vectors, where every float operation
+    has a fixed, replayable order — assignment via :func:`l2_assign`
+    (rounded-distance argmin, first-index tie-break) and centroid
+    updates as order-free DECIMAL(38,12) sums cast to double.  An SQL
+    oracle can therefore replay the WHOLE fit, iteration by iteration
+    (the batch-analytics counterpart of :func:`kmeans_fit`, whose
+    float-sum updates are partitioning-dependent and honestly
+    pytest-only).  Empty clusters keep their previous centroid.
+
+    At scale the per-iteration cost is one map-only assignment plus one
+    (cluster, dim)-bounded aggregate — k*d rows to the driver per
+    iteration, the same bounded-seed collect pattern as
+    train_ivf_centroids (reference analog: the AggregateOperations
+    fold over a grouped stage, AggregateOperations.java:94).
+
+    Returns ``(centroids k x d, df with 'cluster' column from the final
+    centroids)``.
+    """
+    from pyspark import StorageLevel
+
+    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cent = np.array([r[1] for r in seed_rows], dtype="float64")
+    if len(cent) < k:
+        raise ValueError(f"need >= {k} rows to init {k} clusters")
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            assigned = l2_assign(df, cent, vec_col)
+            sums = (
+                assigned.select(
+                    "cluster",
+                    F.posexplode(F.col(vec_col).cast("array<double>"))
+                    .alias("pos", "v"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_cent = cent.copy()
+            for r in sums:
+                # float(Decimal) is correctly rounded — the same
+                # nearest-double the engines produce for
+                # CAST(decimal AS DOUBLE); division by the exact int
+                # count is one more deterministic double op.
+                new_cent[r["cluster"], r["pos"]] = float(r["s"]) / r["n"]
+            cent = new_cent
+        return cent, l2_assign(df, cent, vec_col)
+    finally:
+        df.unpersist()
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int,

@@ -4478,6 +4478,73 @@ def kmeans_fit_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(cw, "cluster").select(*sel).orderBy("cluster")
 
 
+def llm_data_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline as ONE gate query — the
+    composition examples/llm_data_pipeline.py runs, with every
+    inter-operator contract pinned by a single oracle: exact dedup
+    (keep min doc_id per normalized text) → MinHash/LSH near-dup prune
+    (connected-component groups, drop non-min members) → benchmark
+    decontamination (doc_id%50==0 stands in for the eval set;
+    ≥3-shingle overlap drops) → Gopher quality gate → deterministic
+    per-language stratified downsample (md5-keyed, seed s42-) →
+    sequence packing into 512-token bins per language.  Output: the
+    per-language shape of the final packed corpus.  Every stage is JVM
+    expressions, a bounded band join, or a broadcast of the tiny eval
+    set — the documented 100 TB shape of each operator, now also
+    pinned in composition."""
+    from hazelcast_jet_spark.operators.dedup import (
+        decontaminate, exact_dedup, minhash_lsh_pairs, pairs_to_groups)
+    from hazelcast_jet_spark.operators.packing import pack_concat, pack_stats
+    from hazelcast_jet_spark.operators.sampling import stratified_sample
+    from hazelcast_jet_spark.operators.text import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dedup(docs, "text", "doc_id")
+    surv = docs.join(groups.select(F.col("keep_id").alias("doc_id")),
+                     "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id", threshold=0.7)
+    drop = (pairs_to_groups(pairs)
+            .filter(F.col("node") != F.col("group"))
+            .select(F.col("node").alias("doc_id")))
+    surv = surv.join(drop, "doc_id", "left_anti")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cont = decontaminate(surv, bench, k=3, min_overlap=3)
+    surv = surv.join(cont.select("doc_id"), "doc_id", "left_anti")
+    surv = surv.filter(gopher_quality_flags("text")["pass"])
+    sampled = stratified_sample(
+        surv, key_col="doc_id", stratum_col="lang",
+        rates={"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5},
+        default_rate=0.1, seed="s42-")
+    toks = sampled.select("lang", "doc_id",
+                          text.token_count("text").alias("tok"))
+    packed = pack_concat(toks, token_col="tok", budget=512,
+                         order_col="doc_id", partition_cols=["lang"])
+    stats = pack_stats(packed, "tok", ["lang"])
+    return (stats.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_bins"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs"),
+                 F.sum("total_tokens").cast("bigint").alias("total_tokens"))
+            .orderBy("lang"))
+
+
+MULTI_SPAN_KS = (4, 8, 16)
+
+
+def multi_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain exact-substring duplication (dedup.
+    dup_span_stats_multi; Lee et al. 2022 use several span lengths —
+    short grains catch boilerplate, long grains catch near-whole-doc
+    copies).  One corpus pass + ONE (k, hash) document-frequency
+    shuffle covers all three grains; the gate keeps only docs with at
+    least one duplicated span at some grain (the actionable minority)."""
+    from hazelcast_jet_spark.operators.dedup import dup_span_stats_multi
+
+    d = _t(spark, sf_dir, "documents")
+    out = dup_span_stats_multi(d, ks=MULTI_SPAN_KS)
+    return (out.filter(F.col("n_dup_spans") > 0)
+            .orderBy("doc_id", "k"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4522,6 +4589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_event_rate": ewma_event_rate,
         "greedy_pack_bins": greedy_pack_bins,
         "kmeans_fit_iter_stats": kmeans_fit_iter_stats,
+        "llm_data_pipeline_counts": llm_data_pipeline_counts,
+        "multi_span_dup_stats": multi_span_dup_stats,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -7950,6 +8019,204 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.cluster, n.n_vectors
             ORDER BY c.cluster
         """.replace("{K}", str(KMEANS_FIT_K)),
+        "llm_data_pipeline_counts": f"""
+            WITH RECURSIVE d1 AS (
+                SELECT d.doc_id, d.lang, d.text FROM documents d
+                JOIN (SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id
+                      FROM documents GROUP BY 1) k
+                  ON d.doc_id = k.keep_id
+            ), base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM d1
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([md5(sig[1] || '|' || sig[2]),
+                                       md5(sig[3] || '|' || sig[4]),
+                                       md5(sig[5] || '|' || sig[6]),
+                                       md5(sig[7] || '|' || sig[8])]) AS bucket,
+                       unnest(generate_series(0, 3)) AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(list_concat(sh_a, sh_b)))
+                                   AS DOUBLE), 6) >= 0.7
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+                SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT reach.node, e.dst FROM reach
+                JOIN edges e ON reach.r = e.src
+            ), drop2 AS (
+                SELECT node AS doc_id FROM (
+                    SELECT node, min(r) AS grp FROM reach GROUP BY node)
+                WHERE node <> grp
+            ), d2 AS (
+                SELECT * FROM d1
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+            ), bset AS (
+                SELECT DISTINCT s FROM (
+                    SELECT unnest({_shingle_sql()}) AS s FROM documents
+                    WHERE doc_id % 50 = 0)
+            ), cont AS (
+                SELECT b.id AS doc_id FROM (
+                    SELECT id, unnest(sh) AS s FROM base
+                    WHERE id IN (SELECT doc_id FROM d2)) b
+                JOIN bset ON b.s = bset.s
+                GROUP BY b.id HAVING count(DISTINCT b.s) >= 3
+            ), d3 AS (
+                SELECT * FROM d2
+                WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+            ), g AS (
+                SELECT doc_id, lang, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS n_sym,
+                       length(text) AS n_chars,
+                       len(list_intersect(
+                           list_transform(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               t -> lower(t)),
+                           {_STOPWORDS_SQL})) AS sw_hits
+                FROM d3
+            ), d4 AS (
+                SELECT doc_id, lang, n_tok FROM g
+                WHERE n_tok >= 20 AND n_tok <= 1000
+                  AND n_alpha / greatest(n_tok, 1) >= 3.0
+                  AND n_alpha / greatest(n_tok, 1) <= 10.0
+                  AND n_sym / greatest(n_chars, 1) <= 0.1
+                  AND sw_hits >= 2
+            ), samp AS (
+                SELECT doc_id, lang, n_tok AS tok FROM d4
+                WHERE substr(md5('s42-' || CAST(doc_id AS VARCHAR)), 1, 6) <
+                      CASE lang
+                          WHEN 'en' THEN '400000'
+                          WHEN 'de' THEN 'cccccc'
+                          WHEN 'fr' THEN 'cccccc'
+                          WHEN 'es' THEN '800000'
+                          WHEN 'zh' THEN '800000'
+                          ELSE '199999'
+                      END
+            ), c AS (
+                SELECT lang, doc_id, tok,
+                       COALESCE(SUM(tok) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS prior
+                FROM samp
+            ), bins AS (
+                SELECT lang, CAST(prior // 512 AS BIGINT) AS bin_id,
+                       count(*) AS n_docs, CAST(SUM(tok) AS BIGINT)
+                           AS total_tokens
+                FROM c GROUP BY 1, 2
+            )
+            SELECT lang, count(*) AS n_bins,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                   CAST(SUM(total_tokens) AS BIGINT) AS total_tokens
+            FROM bins GROUP BY lang ORDER BY lang
+        """,
+        "multi_span_dup_stats": """
+            WITH toks AS (
+                SELECT doc_id, string_split({NORM_PLACEHOLDER}, ' ') AS t FROM documents
+            )
+            SELECT * FROM (
+            SELECT doc_id, CAST(4 AS INT) AS k, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_fraction
+            FROM (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 4 THEN
+                        list_transform(generate_series(1, len(t) - 3),
+                            i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 12))
+                    ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                    END)) AS h
+                FROM toks
+            ) s
+            JOIN (
+                SELECT h, count(*) AS df FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(t) >= 4 THEN
+                            list_transform(generate_series(1, len(t) - 3),
+                                i -> substr(md5(array_to_string(t[i:i+3], ' ')), 1, 12))
+                        ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                        END)) AS h
+                    FROM toks
+                ) GROUP BY h
+            ) f USING (h)
+            GROUP BY doc_id
+            HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) > 0
+            UNION ALL
+            SELECT doc_id, CAST(8 AS INT) AS k, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_fraction
+            FROM (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 8 THEN
+                        list_transform(generate_series(1, len(t) - 7),
+                            i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))
+                    ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                    END)) AS h
+                FROM toks
+            ) s
+            JOIN (
+                SELECT h, count(*) AS df FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(t) >= 8 THEN
+                            list_transform(generate_series(1, len(t) - 7),
+                                i -> substr(md5(array_to_string(t[i:i+7], ' ')), 1, 12))
+                        ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                        END)) AS h
+                    FROM toks
+                ) GROUP BY h
+            ) f USING (h)
+            GROUP BY doc_id
+            HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) > 0
+            UNION ALL
+            SELECT doc_id, CAST(16 AS INT) AS k, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS dup_fraction
+            FROM (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 16 THEN
+                        list_transform(generate_series(1, len(t) - 15),
+                            i -> substr(md5(array_to_string(t[i:i+15], ' ')), 1, 12))
+                    ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                    END)) AS h
+                FROM toks
+            ) s
+            JOIN (
+                SELECT h, count(*) AS df FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(t) >= 16 THEN
+                            list_transform(generate_series(1, len(t) - 15),
+                                i -> substr(md5(array_to_string(t[i:i+15], ' ')), 1, 12))
+                        ELSE [substr(md5(array_to_string(t, ' ')), 1, 12)]
+                        END)) AS h
+                    FROM toks
+                ) GROUP BY h
+            ) f USING (h)
+            GROUP BY doc_id
+            HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) > 0
+            ) ORDER BY doc_id, k
+        """.replace("{NORM_PLACEHOLDER}", _NORM),
         "knn_label_noise_emb": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec,

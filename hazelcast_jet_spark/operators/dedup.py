@@ -671,6 +671,72 @@ def dup_span_stats(
     )
 
 
+def dup_span_stats_multi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ks: tuple[int, ...] = (4, 8, 16),
+) -> DataFrame:
+    """Multi-grain exact-substring duplication profile — the
+    multi-length-span form of :func:`dup_span_stats` (Lee et al. 2022
+    cut spans at several lengths; a single k misses both short
+    boilerplate and long near-whole-doc copies).
+
+    ONE pass over the corpus for every grain: tokens are computed once
+    per row, each grain's distinct window hashes are tagged with the
+    grain and flattened into one explode, and a single (k, hash)
+    document-frequency shuffle serves all grains — the k-fold cost is
+    in the map-side hash arrays, never in extra corpus scans or extra
+    shuffles.  Hashes travel as 12-hex md5 prefixes (the engine-portable
+    idiom; same birthday-collision note as dup_span_stats).
+
+    Returns ``(id_col, k, n_spans, n_dup_spans, dup_fraction)`` — one
+    row per document per grain.
+    """
+    from .text import normalize_text
+
+    if not ks or any(k < 1 for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError(f"ks must be distinct positive ints, got {ks}")
+
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("t"))
+    n = F.size("t")
+
+    def _grams(k: int):
+        # single-argument lambdas only: a two-parameter F.transform
+        # lambda receives (element, INDEX), which would silently shadow
+        # any default-bound k; k is closed over via this factory instead
+        def _win(i):
+            return F.substring(
+                F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12)
+
+        def _tag(h):
+            return F.struct(F.lit(k).cast("int").alias("k"), h.alias("h"))
+
+        whole = F.array(F.substring(F.md5(F.concat_ws(" ", F.col("t"))), 1, 12))
+        windows = F.transform(F.sequence(F.lit(1), n - (k - 1)), _win)
+        hs = F.when(n >= k, windows).otherwise(whole)
+        return F.transform(F.array_distinct(hs), _tag)
+
+    spans = (toks.select(
+        "id", F.explode(F.flatten(F.array(*[_grams(k) for k in ks])))
+        .alias("kh"))
+        .select("id", F.col("kh.k").alias("k"), F.col("kh.h").alias("h")))
+    docfreq = spans.groupBy("k", "h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        spans.join(docfreq, ["k", "h"])
+        .groupBy(F.col("id").alias(id_col), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("df") > 1).cast("bigint")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+    )
+
+
 def cut_duplicated_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -3456,3 +3456,45 @@ def test_calibration_bins_perfect_and_miscalibrated(spark):
     assert got[9].w_abs_gap == round(0.5 * abs(0.8 - 1.005), 6)
     ece = sum(r.w_abs_gap for r in got.values())
     assert abs(ece - 0.1025) < 1e-9
+
+
+def test_dup_span_stats_multi_grains(spark):
+    """Multi-grain span stats: one pass over all grains agrees with the
+    single-k operator at each k, and the grain column is the REAL k
+    (regression: a two-arg F.transform lambda shadows closure defaults
+    with the array index)."""
+    from hazelcast_jet_spark.operators.dedup import (
+        dup_span_stats, dup_span_stats_multi)
+
+    shared = "one two three four five six seven eight"          # 8 tokens
+    docs = [
+        (1, shared + " alpha beta"),
+        (2, "gamma delta " + shared),
+        (3, "totally unrelated words with nothing repeated here at all"),
+        (4, "tiny doc"),
+        (5, "tiny doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    multi = dup_span_stats_multi(df, ks=(4, 8))
+    got = {(r["doc_id"], r["k"]): (r["n_spans"], r["n_dup_spans"])
+           for r in multi.collect()}
+    assert set(k for _, k in got) == {4, 8}
+    for k in (4, 8):
+        single = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+                  for r in dup_span_stats(df, k=k).collect()}
+        for doc_id, want in single.items():
+            assert got[(doc_id, k)] == want, (doc_id, k)
+
+
+def test_dup_span_stats_multi_rejects_bad_ks(spark):
+    import pytest as _pytest
+
+    from hazelcast_jet_spark.operators.dedup import dup_span_stats_multi
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        dup_span_stats_multi(df, ks=())
+    with _pytest.raises(ValueError):
+        dup_span_stats_multi(df, ks=(4, 4))
+    with _pytest.raises(ValueError):
+        dup_span_stats_multi(df, ks=(0,))

@@ -402,3 +402,44 @@ def test_coreset_kcenter_matches_python_greedy(spark):
     tiny = spark.createDataFrame(
         [(1, [0.0]), (2, [5.0])], "id long, v array<float>")
     assert coreset_kcenter(tiny, 5, "id", "v").count() == 2
+
+
+def test_kmeans_fit_unrolled_separates_blobs(spark):
+    """kmeans_fit_unrolled on two well-separated blobs: the fixed
+    2-iteration fit lands one centroid in each blob and the final
+    assignment splits the points exactly; centroids equal the exact
+    per-blob means after convergence-in-one-step data."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [0.0 + 0.01 * i, 0.0]))          # blob A near 0
+    for i in range(10):
+        rows.append((100 + i, [10.0 + 0.01 * i, 10.0]))  # blob B near 10
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent, assigned = kmeans_fit_unrolled(df, k=2, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    a_clusters = {got[i] for i in range(10)}
+    b_clusters = {got[100 + i] for i in range(10)}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # after the first update each centroid is its blob's mean; the second
+    # update is a fixed point
+    a_mean = np.mean([[0.0 + 0.01 * i, 0.0] for i in range(10)], axis=0)
+    b_mean = np.mean([[10.0 + 0.01 * i, 10.0] for i in range(10)], axis=0)
+    c_sorted = cent[np.argsort(cent[:, 0])]
+    assert np.allclose(c_sorted[0], a_mean, atol=1e-9)
+    assert np.allclose(c_sorted[1], b_mean, atol=1e-9)
+
+
+def test_kmeans_fit_unrolled_needs_k_rows(spark):
+    import pytest as _pytest
+
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        kmeans_fit_unrolled(df, k=3)

@@ -4527,6 +4527,45 @@ def llm_data_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+HEAPS_CHECKPOINTS = (50, 100, 200, 400)
+ZIPF_TOP_N = 100
+
+
+def lexical_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token lexical diversity (text.
+    lexical_diversity): token count, distinct types, TTR, Herdan's C —
+    the boilerplate signal the length/symbol gates miss.  Map-only JVM
+    expressions; per-row double division and log are bit-identical in
+    any engine."""
+    from hazelcast_jet_spark.operators.text import lexical_diversity
+
+    d = _t(spark, sf_dir, "documents")
+    return lexical_diversity(d).orderBy("doc_id")
+
+
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (text.vocab_growth): distinct
+    vocabulary size and cumulative tokens after the first N documents,
+    N in a fixed checkpoint ladder — one explode, one per-term
+    min-doc aggregate, ONE conditional-sum aggregate for all
+    checkpoints."""
+    from hazelcast_jet_spark.operators.text import vocab_growth
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_growth(d, checkpoints=HEAPS_CHECKPOINTS)
+
+
+def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit over the top-100 term frequencies (text.
+    zipf_fit): ln(freq) on ln(rank), decimal-exact moments (the
+    linear_trend convention), deterministic count-desc/term-asc
+    ranking.  One row: (n_terms, slope, intercept)."""
+    from hazelcast_jet_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, top_n=ZIPF_TOP_N)
+
+
 MULTI_SPAN_KS = (4, 8, 16)
 
 
@@ -4591,6 +4630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit_iter_stats": kmeans_fit_iter_stats,
         "llm_data_pipeline_counts": llm_data_pipeline_counts,
         "multi_span_dup_stats": multi_span_dup_stats,
+        "lexical_diversity_docs": lexical_diversity_docs,
+        "heaps_vocab_growth": heaps_vocab_growth,
+        "zipf_slope_terms": zipf_slope_terms,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8217,6 +8259,80 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) > 0
             ) ORDER BY doc_id, k
         """.replace("{NORM_PLACEHOLDER}", _NORM),
+        "lexical_diversity_docs": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_types,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE), 6) AS ttr,
+                   CASE WHEN len(toks) > 1 AND len(list_distinct(toks)) > 0
+                        THEN round(ln(CAST(len(list_distinct(toks)) AS DOUBLE))
+                                   / ln(CAST(len(toks) AS DOUBLE)), 6)
+                   END AS herdan_c
+            FROM t ORDER BY doc_id
+        """,
+        "heaps_vocab_growth": f"""
+            WITH ranks AS (
+                SELECT doc_id AS id,
+                       row_number() OVER (ORDER BY doc_id) AS r
+                FROM documents
+            ), first_t AS (
+                SELECT min(doc_id) AS id FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t
+                    FROM documents)
+                GROUP BY t
+            ), fr AS (
+                SELECT r FROM first_t JOIN ranks USING (id)
+            ), tok AS (
+                SELECT ranks.r,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n
+                FROM documents JOIN ranks ON documents.doc_id = ranks.id
+            ), cp AS (
+                SELECT unnest([{", ".join(str(n) for n in HEAPS_CHECKPOINTS)}])
+                           AS checkpoint
+            )
+            SELECT CAST(checkpoint AS INT) AS checkpoint,
+                   (SELECT CAST(sum(CASE WHEN r <= checkpoint THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM tok) AS n_docs,
+                   (SELECT CAST(sum(CASE WHEN r <= checkpoint THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM fr) AS vocab_size,
+                   (SELECT CAST(sum(CASE WHEN r <= checkpoint THEN n ELSE 0 END)
+                        AS BIGINT) FROM tok) AS cum_tokens
+            FROM cp ORDER BY checkpoint
+        """,
+        "zipf_slope_terms": f"""
+            WITH counts AS (
+                SELECT t, count(*) AS n FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS t
+                    FROM documents)
+                WHERE t <> '' GROUP BY t
+            ), ranked AS (
+                SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, t) AS DOUBLE))
+                           AS x,
+                       ln(CAST(n AS DOUBLE)) AS y
+                FROM counts
+                ORDER BY n DESC, t LIMIT {ZIPF_TOP_N}
+            ), m AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+                FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+                       AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                         / n, 6) + 0.0 AS intercept
+            FROM m
+        """,
         "knn_label_noise_emb": f"""
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qvec,

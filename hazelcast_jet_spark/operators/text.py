@@ -1121,3 +1121,137 @@ def source_term_divergence(
         "source_a", "source_b", "n_shared_terms",
         F.round(jsd, round_digits).alias("jsd"),
     ).orderBy("source_a", "source_b")
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Type-token lexical-diversity profile per document: token count,
+    distinct-type count, type-token ratio, and Herdan's C
+    (``log V / log N`` — the length-robust TTR variant; Herdan 1960).
+    Low diversity flags templated/boilerplate text the Gopher rules
+    miss (a 500-token page of 12 repeated phrases passes every
+    length/symbol gate).
+
+    Pure JVM expressions over normalized whitespace tokens — map-only,
+    zero shuffles, runs inside the same corpus scan as the other
+    row-local quality signals at any scale.
+    """
+    t = F.split(normalize_text(text_col), " ")
+    nt = F.size(t)
+    ty = F.size(F.array_distinct(t))
+    ttr = F.round(ty.cast("double") / nt.cast("double"), round_digits)
+    herdan = F.when(
+        (nt > 1) & (ty > 0),
+        F.round(F.log(ty.cast("double")) / F.log(nt.cast("double")),
+                round_digits))
+    return df.select(
+        F.col(id_col), nt.alias("n_tokens"), ty.alias("n_types"),
+        ttr.alias("ttr"), herdan.alias("herdan_c"))
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: tuple[int, ...] = (50, 100, 200, 400),
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: the distinct vocabulary size (and
+    cumulative token count) after the first ``N`` documents in id
+    order, for a ladder of checkpoints — the corpus-scaling diagnostic
+    behind "will more crawl keep adding words?".
+
+    Shape: one explode → per-term ``min(doc_id)`` (the term's first
+    document), one id-only ranking join, then ONE aggregate producing
+    every checkpoint as a conditional sum — the corpus text is read
+    once and only (term, first_id) pairs shuffle.  The id-rank window
+    sorts only the id projection; at 100 TB replace it with a
+    precomputed ingest ordinal.
+    """
+    from pyspark.sql import Window
+
+    if not checkpoints or any(c < 1 for c in checkpoints):
+        raise ValueError(f"checkpoints must be positive, got {checkpoints}")
+    ranks = df.select(F.col(id_col).alias("__id")).withColumn(
+        "__r", F.row_number().over(Window.orderBy("__id")))
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__t"))
+    first = toks.groupBy("__t").agg(F.min("__id").alias("__id"))
+    first_r = first.join(ranks, "__id").select("__t", "__r")
+    tok_n = df.select(
+        F.col(id_col).alias("__id"),
+        token_count(text_col).alias("__n")).join(ranks, "__id")
+    # every checkpoint is a conditional sum in ONE aggregate per input
+    # (two single-row frames), then unpivoted — no per-checkpoint jobs
+    va = first_r.agg(*[
+        F.sum((F.col("__r") <= n).cast("bigint")).alias(f"__v{n}")
+        for n in checkpoints])
+    ta = tok_n.agg(
+        *[F.sum((F.col("__r") <= n).cast("bigint")).alias(f"__d{n}")
+          for n in checkpoints],
+        *[F.sum(F.when(F.col("__r") <= n, F.col("__n"))
+                .otherwise(F.lit(0)).cast("bigint")).alias(f"__t{n}")
+          for n in checkpoints])
+    wide = va.crossJoin(ta)
+    stacked = wide.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(n).cast("int").alias("checkpoint"),
+            F.col(f"__d{n}").alias("n_docs"),
+            F.col(f"__v{n}").alias("vocab_size"),
+            F.col(f"__t{n}").alias("cum_tokens"))
+        for n in checkpoints])).alias("c"))
+    return stacked.select("c.checkpoint", "c.n_docs", "c.vocab_size",
+                          "c.cum_tokens").orderBy("checkpoint")
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the term frequency distribution: OLS of
+    ``ln(freq)`` on ``ln(rank)`` for the ``top_n`` most frequent terms
+    (rank by count desc, term asc — deterministic).  A healthy natural
+    corpus fits slope ≈ −1; templated or synthetic text bends the
+    curve.  Returns one row ``(n_terms, slope, intercept)``.
+
+    Moments accumulate as exact decimals (the linear_trend convention)
+    so the slope is bit-stable under any partitioning; per-row ``ln``
+    products are plain IEEE doubles.  The top-N ranking window runs on
+    the term-count table; at 100 TB cut the tail with a count floor or
+    heavy_hitters first.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(F.split(normalize_text(text_col), " "))
+                  .alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t").agg(F.count(F.lit(1)).alias("__n")))
+    ranked = counts.withColumn(
+        "__r", F.row_number().over(
+            Window.orderBy(F.col("__n").desc(), F.col("__t")))) \
+        .filter(F.col("__r") <= top_n)
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__n").cast("double"))
+
+    def _dacc(c):
+        return F.sum(c.cast("decimal(28,12)")).cast("double")
+
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dacc(x).alias("sx"), _dacc(y).alias("sy"),
+        _dacc(x * y).alias("sxy"), _dacc(x * x).alias("sxx"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return g.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.round(slope, round_digits) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept, round_digits) + F.lit(0.0)).alias("intercept"))

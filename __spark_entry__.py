@@ -4566,6 +4566,48 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, top_n=ZIPF_TOP_N)
 
 
+MARKOV_SPLIT = "2024-01-21 00:00:00"
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-event prediction accuracy of the first-order Markov
+    model (timeseries.markov_holdout_accuracy): transitions whose
+    destination lands before Jan 21 train the argmax predictor; the
+    rest score it.  Same single keyed exchange as event_transitions;
+    train counts / predictions are K²/K-bounded broadcasts."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        markov_holdout_accuracy)
+
+    e = _t(spark, sf_dir, "events")
+    split = F.expr(f"CAST('{MARKOV_SPLIT}' AS TIMESTAMP_NTZ)")
+    return markov_holdout_accuracy(e, split_ts=split)
+
+
+def item_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard top-3 neighbors over order baskets (graph.
+    item_similarity_topk — basket-level collaborative filtering):
+    co-counts and per-item basket counts share the same ≤64-item
+    hot-basket cap so every ratio describes one population; pairs
+    explode in-task, ranking runs on the pair table only."""
+    from hazelcast_jet_spark.operators.graph import item_similarity_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_similarity_topk(li, "l_orderkey", "l_partkey",
+                                k=3, max_group=64, min_co=2)
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit (dedup.minhash_estimate_vs_exact): the
+    8-hash MinHash Jaccard estimate vs exact shingle Jaccard on every
+    LSH candidate pair — the error profile that decides whether a
+    sketch-only threshold is safe when exact verification becomes the
+    expensive step at scale."""
+    from hazelcast_jet_spark.operators.dedup import minhash_estimate_vs_exact
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_estimate_vs_exact(d, num_hashes=8, bands=4, k=3)
+
+
 MULTI_SPAN_KS = (4, 8, 16)
 
 
@@ -4633,6 +4675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity_docs": lexical_diversity_docs,
         "heaps_vocab_growth": heaps_vocab_growth,
         "zipf_slope_terms": zipf_slope_terms,
+        "markov_next_event_accuracy": markov_next_event_accuracy,
+        "item_similarity_parts": item_similarity_parts,
+        "minhash_estimate_error": minhash_estimate_error,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8332,6 +8377,106 @@ def oracle_sql() -> dict[str, str]:
                    round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
                          / n, 6) + 0.0 AS intercept
             FROM m
+        """,
+        "markov_next_event_accuracy": f"""
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER w AS to_type,
+                       lead(ts) OVER w AS dest_ts
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), pp AS (
+                SELECT * FROM p WHERE to_type IS NOT NULL
+            ), tr AS (
+                SELECT from_type, to_type, count(*) AS n FROM pp
+                WHERE dest_ts < TIMESTAMP '{MARKOV_SPLIT}'
+                GROUP BY 1, 2
+            ), pred AS (
+                SELECT from_type, to_type AS predicted FROM (
+                    SELECT from_type, to_type,
+                           row_number() OVER (
+                               PARTITION BY from_type
+                               ORDER BY n DESC, to_type) AS rn
+                    FROM tr) WHERE rn = 1
+            )
+            SELECT t.from_type, pred.predicted, count(*) AS n_test,
+                   CAST(sum(CASE WHEN t.to_type = pred.predicted
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+                   round(CAST(sum(CASE WHEN t.to_type = pred.predicted
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS accuracy
+            FROM pp t LEFT JOIN pred USING (from_type)
+            WHERE t.dest_ts >= TIMESTAMP '{MARKOV_SPLIT}'
+            GROUP BY 1, 2 ORDER BY t.from_type
+        """,
+        "item_similarity_parts": """
+            WITH nodes AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), gs AS (
+                SELECT g FROM nodes GROUP BY g
+                HAVING count(*) >= 2 AND count(*) <= 64
+            ), kept AS (
+                SELECT nodes.g, nodes.n FROM nodes JOIN gs USING (g)
+            ), item_n AS (
+                SELECT n, count(*) AS ng FROM kept GROUP BY n
+            ), co AS (
+                SELECT a.n AS a, b.n AS b, count(*) AS n_co
+                FROM kept a JOIN kept b ON a.g = b.g AND a.n < b.n
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), directed AS (
+                SELECT a, b, n_co FROM co
+                UNION ALL SELECT b, a, n_co FROM co
+            ), sim AS (
+                SELECT d.a AS item, d.b AS neighbor, d.n_co,
+                       round(CAST(d.n_co AS DOUBLE)
+                             / CAST(na.ng + nb.ng - d.n_co AS DOUBLE), 6)
+                           AS sim
+                FROM directed d
+                JOIN item_n na ON na.n = d.a
+                JOIN item_n nb ON nb.n = d.b
+            )
+            SELECT item, neighbor, n_co, sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT item, neighbor, n_co, sim,
+                       row_number() OVER (
+                           PARTITION BY item
+                           ORDER BY sim DESC, neighbor) AS rank
+                FROM sim)
+            WHERE rank <= 3 ORDER BY item, rank
+        """,
+        "minhash_estimate_error": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, unnest([md5(sig[1] || '|' || sig[2]),
+                                   md5(sig[3] || '|' || sig[4]),
+                                   md5(sig[5] || '|' || sig[6]),
+                                   md5(sig[7] || '|' || sig[8])]) AS bucket,
+                       unnest(generate_series(0, 3)) AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+            ), j AS (
+                SELECT c.id_a, c.id_b,
+                       round(len(list_filter(list_zip(a.sig, b.sig),
+                                             x -> x[1] = x[2])) / 8.0, 6)
+                           AS est_sim,
+                       round(len(list_intersect(a.sh, b.sh))
+                             / CAST(len(list_distinct(
+                                   list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+                           AS exact_sim
+                FROM cands c
+                JOIN sigs a ON a.id = c.id_a
+                JOIN sigs b ON b.id = c.id_b
+            )
+            SELECT id_a, id_b, est_sim, exact_sim,
+                   round(abs(est_sim - exact_sim), 6) + 0.0 AS abs_err
+            FROM j ORDER BY id_a, id_b
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

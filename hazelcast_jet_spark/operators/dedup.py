@@ -1268,3 +1268,74 @@ def source_overlap(
         round_digits)
     return j.select("source_a", "source_b", "n_shared", "n_a", "n_b",
                     jac.alias("jaccard")).orderBy("source_a", "source_b")
+
+
+def minhash_estimate_vs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the
+    MinHash similarity ESTIMATE (matching signature components /
+    ``num_hashes`` — the unbiased Jaccard estimator) next to the exact
+    shingle Jaccard.  At 100 TB the exact verify is the expensive step;
+    this measures, on the candidates themselves, how far the estimator
+    you would rely on actually sits from the truth (and therefore what
+    thresholds are safe to act on sketch-only).
+
+    Same plan as :func:`minhash_lsh_pairs` — cached (id, shingles)
+    projection, map-only signatures, band bucket join — plus one
+    zip_with over the two signatures per candidate.
+
+    Returns ``(id_a, id_b, est_sim, exact_sim, abs_err)``, id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(text_col, k).alias("sh")).persist()
+    sigs = base.select(
+        "id", "sh",
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"))
+    bucketed = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[
+                    F.col("sig")[b * rows_per_band + r]
+                    for r in range(rows_per_band)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cands = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]))
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                     F.col("sig").alias("sig_b"))
+    _register_cache(base)
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+        lambda m: m))
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)),
+                  round_digits)
+    exact = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), round_digits)
+    return (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_sim"),
+                exact.alias("exact_sim"),
+                (F.round(F.abs(est - exact), round_digits)
+                 + F.lit(0.0)).alias("abs_err"))
+        .orderBy("id_a", "id_b"))

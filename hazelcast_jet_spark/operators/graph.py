@@ -403,3 +403,71 @@ def association_rules(
         .filter(F.col("__rk") <= top_k)
         .drop("__rk")
     )
+
+
+def item_similarity_topk(
+    df: DataFrame,
+    group_col: str,
+    node_col: str,
+    k: int = 3,
+    max_group: int = 64,
+    min_co: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Item-item Jaccard similarity with top-k neighbors per item —
+    basket-level collaborative filtering ("customers who bought X"):
+    ``sim(a,b) = co(a,b) / (n_a + n_b - co(a,b))`` where ``co`` counts
+    groups containing both items and ``n_x`` counts groups containing
+    the item, BOTH computed after the hot-group cap so numerator and
+    denominators describe the same basket population.
+
+    Plan: distinct (group, item) once; groups over ``max_group`` items
+    are dropped (the market-basket quadratic guard); pairs explode
+    in-task from each group's sorted item list and aggregate to co
+    counts; per-item group counts broadcast back; ranking runs on the
+    pair table only.  ``min_co`` prunes noise neighbors (a single
+    shared basket is not evidence).
+
+    Returns ``(item, neighbor, n_co, sim, rank)`` with ``rank <= k``
+    per item, ordered by (item, rank).
+    """
+    if k < 1 or max_group < 2 or min_co < 1:
+        raise ValueError("need k >= 1, max_group >= 2, min_co >= 1")
+    nodes = (df.select(F.col(group_col).alias("__g"),
+                       F.col(node_col).alias("__n"))
+             .filter(F.col("__n").isNotNull()).distinct())
+    grouped = (nodes.groupBy("__g")
+               .agg(F.sort_array(F.collect_set("__n")).alias("__ns"))
+               .filter((F.size("__ns") >= 2) & (F.size("__ns") <= max_group)))
+    kept = grouped.select("__g", F.explode("__ns").alias("__n"))
+    item_n = kept.groupBy("__n").agg(F.count(F.lit(1)).alias("__ng"))
+    pair_list = F.flatten(F.transform(
+        "__ns",
+        lambda x, i: F.transform(
+            F.slice("__ns", i + F.lit(2), F.size("__ns") - (i + F.lit(1))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    co = (grouped.select(F.explode(pair_list).alias("__e"))
+          .groupBy(F.col("__e.a").alias("__a"), F.col("__e.b").alias("__b"))
+          .agg(F.count(F.lit(1)).alias("n_co"))
+          .filter(F.col("n_co") >= min_co))
+    directed = co.unionByName(
+        co.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"),
+                  "n_co"))
+    sim = (directed
+           .join(F.broadcast(item_n.withColumnRenamed("__ng", "__na")),
+                 directed["__a"] == item_n["__n"]).drop("__n")
+           .join(F.broadcast(item_n.withColumnRenamed("__ng", "__nb")),
+                 directed["__b"] == item_n["__n"]).drop("__n")
+           .withColumn(
+               "sim",
+               F.round(F.col("n_co").cast("double")
+                       / (F.col("__na") + F.col("__nb") - F.col("n_co"))
+                       .cast("double"), round_digits)))
+    rw = Window.partitionBy("__a").orderBy(
+        F.col("sim").desc(), F.col("__b"))
+    return (sim.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__a").alias("item"),
+                    F.col("__b").alias("neighbor"),
+                    "n_co", "sim", "rank")
+            .orderBy("item", "rank"))

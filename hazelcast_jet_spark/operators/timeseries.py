@@ -776,3 +776,59 @@ def event_transitions(
                      p.alias("p_trans"))
         .orderBy("from_type", "to_type")
     )
+
+
+def markov_holdout_accuracy(
+    df: DataFrame,
+    split_ts,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Held-out next-event prediction accuracy of the first-order Markov
+    model — the evaluation loop that tells you whether
+    :func:`event_transitions` is a usable predictor or just a
+    descriptive matrix.  Transitions whose DESTINATION event lands
+    before ``split_ts`` train the model; the prediction per from_type is
+    the argmax transition count (ties break to the lexicographically
+    smallest to_type, deterministic); transitions at/after the split
+    score it.
+
+    Plan at scale: the same single keyed exchange as event_transitions
+    produces every consecutive pair ONCE with its destination
+    timestamp; train counts, the argmax and the test join all run on
+    the K²-bounded pair table / K-bounded prediction table (broadcast).
+
+    Returns ``(from_type, predicted, n_test, n_correct, accuracy)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, order_col)
+    pairs = (
+        df.withColumn("__nxt", F.lead(type_col).over(w))
+        .withColumn("__nts", F.lead(time_col).over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .select(F.col(type_col).alias("from_type"),
+                F.col("__nxt").alias("to_type"),
+                F.col("__nts").alias("__dest_ts")))
+    split_c = split_ts if isinstance(split_ts, Column) else F.lit(split_ts)
+    train = (pairs.filter(F.col("__dest_ts") < split_c)
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    pw = Window.partitionBy("from_type").orderBy(
+        F.col("__n").desc(), F.col("to_type"))
+    pred = (train.withColumn("__rn", F.row_number().over(pw))
+            .filter(F.col("__rn") == 1)
+            .select("from_type", F.col("to_type").alias("predicted")))
+    test = pairs.filter(F.col("__dest_ts") >= split_c)
+    scored = test.join(F.broadcast(pred), "from_type", "left")
+    return (
+        scored.groupBy("from_type", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_test"),
+             F.sum((F.col("to_type") == F.col("predicted")).cast("bigint"))
+             .alias("n_correct"))
+        .withColumn(
+            "accuracy",
+            F.round(F.col("n_correct").cast("double")
+                    / F.col("n_test").cast("double"), round_digits))
+        .orderBy("from_type"))

@@ -4566,6 +4566,60 @@ def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(d, top_n=ZIPF_TOP_N)
 
 
+def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY as a product surface (sketch.hll_build /
+    hll_merge / hll_estimate): per-day HLL register tables of distinct
+    users, estimated per day AND rolled up to the full-month total by
+    register-wise max — the ad-hoc-total-without-rescan pattern that is
+    the reason sketches matter at 100 TB (store 16 registers per day,
+    answer any date-range cardinality later).  All register arithmetic
+    is md5 hex-string derivation the oracle replays bit-for-bit; every
+    scope here sits in the harmonic regime (>> 2.5m)."""
+    from hazelcast_jet_spark.operators.sketch import (
+        hll_build, hll_estimate, hll_merge)
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_build(e, "user_id", ["day"], p=HLL_P)
+    per_day = hll_estimate(daily, ["day"], p=HLL_P).select(
+        F.col("day").cast("string").alias("scope"), "hll_estimate")
+    merged = hll_merge(daily.select("hll_reg", "hll_rho"), [])
+    total = hll_estimate(merged, [], p=HLL_P).select(
+        F.lit("ALL").alias("scope"), "hll_estimate")
+    exact_day = e.groupBy(F.col("day").cast("string").alias("scope")).agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    exact_all = e.agg(
+        F.countDistinct("user_id").alias("exact_distinct")).select(
+        F.lit("ALL").alias("scope"), "exact_distinct")
+    est = per_day.unionByName(total)
+    exact = exact_day.unionByName(exact_all)
+    return est.join(exact, "scope").orderBy("scope")
+
+
+QBINS_N = 10
+
+
+def outlier_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-detector outlier ensemble (profile.outlier_ensemble): MAD,
+    Tukey-IQR and z-score flags side by side per event type with
+    agreement counts — the "is the point the outlier, or is the
+    detector?" audit.  Rounded cut points, decimal-exact moments."""
+    from hazelcast_jet_spark.operators.profile import outlier_ensemble
+
+    e = _t(spark, sf_dir, "events")
+    return outlier_ensemble(e, "value", "event_type")
+
+
+def quantile_bins_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization of order totals (profile.
+    quantile_bins): exact decile cut points + per-bin counts, rounded
+    edges, right-closed assignment — the feature-binning primitive
+    drift monitors consume."""
+    from hazelcast_jet_spark.operators.profile import quantile_bins
+
+    o = _t(spark, sf_dir, "orders")
+    return quantile_bins(o, "o_totalprice", n_bins=QBINS_N)
+
+
 MARKOV_SPLIT = "2024-01-21 00:00:00"
 
 
@@ -4678,6 +4732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_next_event_accuracy": markov_next_event_accuracy,
         "item_similarity_parts": item_similarity_parts,
         "minhash_estimate_error": minhash_estimate_error,
+        "hll_daily_rollup": hll_daily_rollup,
+        "outlier_ensemble_events": outlier_ensemble_events,
+        "quantile_bins_orders": quantile_bins_orders,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8477,6 +8534,156 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, est_sim, exact_sim,
                    round(abs(est_sim - exact_sim), 6) + 0.0 AS abs_err
             FROM j ORDER BY id_a, id_b
+        """,
+        "hll_daily_rollup": """
+            WITH h AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+                       md5(CAST(user_id AS VARCHAR)) AS hx,
+                       user_id
+                FROM events WHERE user_id IS NOT NULL
+            ), rr AS (
+                SELECT scope,
+                       CAST(CAST(('0x' || substr(hx, 1, 1)) AS UBIGINT) AS INT)
+                           AS hll_reg,
+                       regexp_replace(substr(hx, 2, 14), '^0+', '') AS t
+                FROM h
+            ), rho AS (
+                SELECT scope, hll_reg,
+                       CASE WHEN t = '' THEN 57
+                            ELSE 4 * (14 - length(t))
+                                 + CASE WHEN substr(t, 1, 1) IN
+                                          ('8','9','a','b','c','d','e','f')
+                                        THEN 0
+                                        WHEN substr(t, 1, 1) IN
+                                          ('4','5','6','7') THEN 1
+                                        WHEN substr(t, 1, 1) IN ('2','3')
+                                        THEN 2 ELSE 3 END
+                                 + 1 END AS rho
+                FROM rr
+            ), regs AS (
+                SELECT scope, hll_reg, MAX(rho) AS mrho
+                FROM rho GROUP BY 1, 2
+                UNION ALL
+                SELECT 'ALL' AS scope, hll_reg, MAX(rho) AS mrho
+                FROM rho GROUP BY 'ALL', hll_reg
+            ), agg AS (
+                SELECT scope,
+                       count(*) AS hll_registers,
+                       CAST(SUM(CAST((CAST(1 AS BIGINT) << (57 - mrho))
+                                     AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS s_present
+                FROM regs GROUP BY 1
+            ), est AS (
+                SELECT scope,
+                       16 - hll_registers AS zr,
+                       CAST(CAST(s_present AS HUGEINT)
+                            + (16 - hll_registers)
+                              * CAST(144115188075855872 AS HUGEINT)
+                            AS BIGINT) AS hll_sum
+                FROM agg
+            ), ex AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+                UNION ALL
+                SELECT 'ALL', count(DISTINCT user_id) FROM events
+            )
+            SELECT e.scope,
+                   CASE WHEN CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE)
+                             <= CAST('40.0' AS DOUBLE)
+                             AND e.zr > 0
+                        THEN CAST('16.0' AS DOUBLE)
+                             * ln(CAST('16.0' AS DOUBLE)
+                                  / CAST(e.zr AS DOUBLE))
+                        ELSE CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE) END AS hll_estimate,
+                   x.exact_distinct
+            FROM est e JOIN ex x USING (scope)
+            ORDER BY e.scope
+        """,
+        "outlier_ensemble_events": """
+            WITH stats AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.5), 6) AS med,
+                       round(quantile_cont(value, 0.25), 6) AS q1,
+                       round(quantile_cont(value, 0.75), 6) AS q3,
+                       count(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+                           AS s,
+                       CAST(SUM(CAST(value * value AS DECIMAL(28,12)))
+                            AS DOUBLE) AS s2
+                FROM events GROUP BY 1
+            ), mad AS (
+                SELECT e.event_type,
+                       round(quantile_cont(abs(e.value - t.med), 0.5), 6)
+                           AS mad
+                FROM events e JOIN stats t USING (event_type)
+                GROUP BY 1
+            ), f AS (
+                SELECT e.event_type,
+                       (abs(e.value - t.med) > 3.0 * d.mad) AS f_mad,
+                       (e.value < t.q1 - 1.5 * (t.q3 - t.q1)
+                        OR e.value > t.q3 + 1.5 * (t.q3 - t.q1)) AS f_iqr,
+                       (abs(e.value - round(t.s / CAST(t.n AS DOUBLE), 6))
+                        > 3.0 * round(sqrt(greatest(
+                              (t.s2 - t.s * t.s / CAST(t.n AS DOUBLE))
+                              / (CAST(t.n AS DOUBLE) - 1.0), 0.0)), 6))
+                           AS f_z
+                FROM events e
+                JOIN stats t USING (event_type)
+                JOIN mad d USING (event_type)
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN f_mad THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mad,
+                   CAST(sum(CASE WHEN f_iqr THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_iqr,
+                   CAST(sum(CASE WHEN f_z THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_z,
+                   CAST(sum(CASE WHEN f_mad OR f_iqr OR f_z
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_any,
+                   CAST(sum(CASE WHEN f_mad AND f_iqr AND f_z
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_all
+            FROM f GROUP BY event_type ORDER BY event_type
+        """,
+        "quantile_bins_orders": """
+            WITH e AS (
+                SELECT """ + ", ".join(
+                    f"round(quantile_cont(o_totalprice, {i}/10.0), 6) AS e{i}"
+                    for i in range(1, 10)) + """
+                FROM orders
+            ), assigned AS (
+                SELECT CASE
+                           WHEN o_totalprice >= e9 THEN 9
+                           WHEN o_totalprice >= e8 THEN 8
+                           WHEN o_totalprice >= e7 THEN 7
+                           WHEN o_totalprice >= e6 THEN 6
+                           WHEN o_totalprice >= e5 THEN 5
+                           WHEN o_totalprice >= e4 THEN 4
+                           WHEN o_totalprice >= e3 THEN 3
+                           WHEN o_totalprice >= e2 THEN 2
+                           WHEN o_totalprice >= e1 THEN 1
+                           ELSE 0 END AS bin
+                FROM orders CROSS JOIN e
+            ), counts AS (
+                SELECT bin, count(*) AS n_rows FROM assigned GROUP BY bin
+            ), bins AS (
+                SELECT CAST(i AS INT) AS bin,
+                       CASE i WHEN 1 THEN e1 WHEN 2 THEN e2 WHEN 3 THEN e3
+                              WHEN 4 THEN e4 WHEN 5 THEN e5 WHEN 6 THEN e6
+                              WHEN 7 THEN e7 WHEN 8 THEN e8 WHEN 9 THEN e9
+                       END AS lo,
+                       CASE i WHEN 0 THEN e1 WHEN 1 THEN e2 WHEN 2 THEN e3
+                              WHEN 3 THEN e4 WHEN 4 THEN e5 WHEN 5 THEN e6
+                              WHEN 6 THEN e7 WHEN 7 THEN e8 WHEN 8 THEN e9
+                       END AS hi
+                FROM generate_series(0, 9) AS t(i) CROSS JOIN e
+            )
+            SELECT b.bin, b.lo, b.hi,
+                   CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows
+            FROM bins b LEFT JOIN counts c USING (bin)
+            ORDER BY b.bin
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

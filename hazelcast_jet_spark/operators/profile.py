@@ -1032,3 +1032,104 @@ def calibration_bins(
         F.round(frac, round_digits).alias("frac_pos"),
         F.round(gap, round_digits).alias("w_abs_gap"),
     ).orderBy("bin")
+
+
+def outlier_ensemble(df: DataFrame, value_col: str, group_col: str,
+                     mad_k: float = 3.0, iqr_k: float = 1.5,
+                     z_k: float = 3.0, round_digits: int = 6) -> DataFrame:
+    """Multi-detector outlier ensemble per group: MAD
+    (``|x−med| > k·MAD``), Tukey IQR fences
+    (``x < q1 − k·IQR or x > q3 + k·IQR``) and the classic z-score
+    (``|x−mean| > k·σ``) flagged side by side, with the agreement
+    counts that tell you whether a point is an outlier or the DETECTOR
+    is (z-score has a 0% breakdown point — heavy tails drag its own
+    threshold; when n_z diverges from n_mad/n_iqr the tail is doing
+    exactly that).
+
+    All cut points are rounded before comparison (deterministic,
+    engine-portable — the mad_outliers convention); mean/σ come from
+    exact decimal moments.  One stats pass + one flag pass, with the
+    tiny per-group stats broadcast back.
+
+    Returns ``(group, n, n_mad, n_iqr, n_z, n_any, n_all)``.
+    """
+    x = F.col(value_col)
+    pct = lambda c, q: F.percentile(c, F.lit(q))  # noqa: E731
+    med = df.groupBy(group_col).agg(
+        F.round(pct(x, 0.5), round_digits).alias("__med"),
+        F.round(pct(x, 0.25), round_digits).alias("__q1"),
+        F.round(pct(x, 0.75), round_digits).alias("__q3"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x.cast("decimal(28,12)")).alias("__s"),
+        F.sum((x * x).cast("decimal(28,12)")).alias("__s2"))
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.round(pct(F.abs(x - F.col("__med")), 0.5), round_digits)
+        .alias("__mad"))
+    j = with_med.join(F.broadcast(mad), group_col)
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = F.round(s / n, round_digits)
+    std = F.round(
+        F.sqrt(F.greatest((s2 - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))),
+        round_digits)
+    iqr = F.col("__q3") - F.col("__q1")
+    f_mad = F.abs(x - F.col("__med")) > F.lit(float(mad_k)) * F.col("__mad")
+    f_iqr = (x < F.col("__q1") - F.lit(float(iqr_k)) * iqr) | \
+            (x > F.col("__q3") + F.lit(float(iqr_k)) * iqr)
+    f_z = F.abs(x - mean) > F.lit(float(z_k)) * std
+    return (
+        j.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(f_mad.cast("bigint")).alias("n_mad"),
+             F.sum(f_iqr.cast("bigint")).alias("n_iqr"),
+             F.sum(f_z.cast("bigint")).alias("n_z"),
+             F.sum((f_mad | f_iqr | f_z).cast("bigint")).alias("n_any"),
+             F.sum((f_mad & f_iqr & f_z).cast("bigint")).alias("n_all"))
+        .orderBy(group_col))
+
+
+def quantile_bins(df: DataFrame, value_col: str, n_bins: int = 10,
+                  round_digits: int = 6) -> DataFrame:
+    """Equal-frequency discretization: exact quantile cut points at
+    ``i/n_bins`` plus per-bin row counts — the feature-binning /
+    monotonic-binning primitive (and the bin layout PSI-style drift
+    monitors consume).  Cut points are rounded before assignment so
+    binning is a pure function of the rounded edges (engine-portable);
+    values equal to an edge go RIGHT (``edge <= x < next``), the last
+    bin closes at +inf.
+
+    One exact-percentile aggregate (single row, broadcast literal-free
+    join) + one conditional-sum pass.  At 100 TB swap the exact
+    percentile for approx_percentile exactly as rank_bins_approx does.
+
+    Returns ``(bin INT, lo, hi, n_rows)`` with NULL lo on the first
+    bin and NULL hi on the last.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    x = F.col(value_col)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges_row = df.agg(*[
+        F.round(F.percentile(x, F.lit(q)), round_digits).alias(f"__e{i}")
+        for i, q in enumerate(qs)])
+    j = df.crossJoin(F.broadcast(edges_row))
+    bin_expr = F.lit(0)
+    for i in range(len(qs)):
+        bin_expr = F.when(x >= F.col(f"__e{i}"), F.lit(i + 1)) \
+            .otherwise(bin_expr)
+    counts = (j.groupBy(bin_expr.cast("int").alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    edges = edges_row.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("int").alias("bin"),
+                 (F.col(f"__e{i-1}") if i > 0 else
+                  F.lit(None).cast("double")).alias("lo"),
+                 (F.col(f"__e{i}") if i < len(qs) else
+                  F.lit(None).cast("double")).alias("hi"))
+        for i in range(n_bins)])).alias("b")).select("b.*")
+    return (edges.join(counts, "bin", "left")
+            .select("bin", "lo", "hi",
+                    F.coalesce("n_rows", F.lit(0)).cast("bigint")
+                    .alias("n_rows"))
+            .orderBy("bin"))

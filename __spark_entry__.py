@@ -4595,6 +4595,45 @@ def hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "scope").orderBy("scope")
 
 
+def streaming_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HLL maintenance: the hll_build register aggregation
+    applied to readStream in complete mode — a live distinct-users-per-
+    day dashboard whose state is bounded at days × 16 register rows
+    however high the stream rate (the streaming twin of
+    hll_daily_rollup; estimates derive batch-side from the final
+    registers).  availableNow on bounded input makes the registers
+    deterministic, so the batch md5 replay is the exact oracle."""
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_estimate
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    e = read_stream_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    regs = run_to_batch(hll_build(e, "user_id", ["day"], p=HLL_P),
+                        "complete")
+    est = hll_estimate(regs, ["day"], p=HLL_P).select(
+        F.col("day").cast("string").alias("day"), "hll_estimate")
+    exact = _t(spark, sf_dir, "events").groupBy(
+        F.to_date("ts").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(exact, "day").orderBy("day")
+
+
+def dedup_group_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-merge audit of MinHash/LSH dedup groups (dedup.
+    dedup_group_quality): per connected component, the member count,
+    verified-edge count and weakest/mean edge Jaccard — the signal that
+    a transitive chain is about to false-merge distinct documents.
+    Runs on the pair/group tables only; no second corpus pass."""
+    from hazelcast_jet_spark.operators.dedup import (
+        dedup_group_quality, minhash_lsh_pairs)
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", num_hashes=8, bands=4,
+                              threshold=0.5)
+    return dedup_group_quality(pairs)
+
+
 QBINS_N = 10
 
 
@@ -4735,6 +4774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": hll_daily_rollup,
         "outlier_ensemble_events": outlier_ensemble_events,
         "quantile_bins_orders": quantile_bins_orders,
+        "streaming_hll_cardinality": streaming_hll_cardinality,
+        "dedup_group_quality_docs": dedup_group_quality_docs,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8684,6 +8725,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows
             FROM bins b LEFT JOIN counts c USING (bin)
             ORDER BY b.bin
+        """,
+        "streaming_hll_cardinality": """
+            WITH h AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events WHERE user_id IS NOT NULL
+            ), rr AS (
+                SELECT day,
+                       CAST(CAST(('0x' || substr(hx, 1, 1)) AS UBIGINT) AS INT)
+                           AS hll_reg,
+                       regexp_replace(substr(hx, 2, 14), '^0+', '') AS t
+                FROM h
+            ), rho AS (
+                SELECT day, hll_reg,
+                       CASE WHEN t = '' THEN 57
+                            ELSE 4 * (14 - length(t))
+                                 + CASE WHEN substr(t, 1, 1) IN
+                                          ('8','9','a','b','c','d','e','f')
+                                        THEN 0
+                                        WHEN substr(t, 1, 1) IN
+                                          ('4','5','6','7') THEN 1
+                                        WHEN substr(t, 1, 1) IN ('2','3')
+                                        THEN 2 ELSE 3 END
+                                 + 1 END AS rho
+                FROM rr
+            ), regs AS (
+                SELECT day, hll_reg, MAX(rho) AS mrho
+                FROM rho GROUP BY 1, 2
+            ), agg AS (
+                SELECT day, count(*) AS hll_registers,
+                       CAST(SUM(CAST((CAST(1 AS BIGINT) << (57 - mrho))
+                                     AS DECIMAL(38,0)))
+                            AS DECIMAL(38,0)) AS s_present
+                FROM regs GROUP BY 1
+            ), est AS (
+                SELECT day, 16 - hll_registers AS zr,
+                       CAST(CAST(s_present AS HUGEINT)
+                            + (16 - hll_registers)
+                              * CAST(144115188075855872 AS HUGEINT)
+                            AS BIGINT) AS hll_sum
+                FROM agg
+            ), ex AS (
+                SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT e.day,
+                   CASE WHEN CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE)
+                             <= CAST('40.0' AS DOUBLE)
+                             AND e.zr > 0
+                        THEN CAST('16.0' AS DOUBLE)
+                             * ln(CAST('16.0' AS DOUBLE)
+                                  / CAST(e.zr AS DOUBLE))
+                        ELSE CAST('2.482931752321306e+19' AS DOUBLE)
+                             / CAST(e.hll_sum AS DOUBLE) END AS hll_estimate,
+                   x.exact_distinct
+            FROM est e JOIN ex x USING (day)
+            ORDER BY e.day
+        """,
+        "dedup_group_quality_docs": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([md5(sig[1] || '|' || sig[2]),
+                                       md5(sig[3] || '|' || sig[4]),
+                                       md5(sig[5] || '|' || sig[6]),
+                                       md5(sig[7] || '|' || sig[8])]) AS bucket,
+                       unnest(generate_series(0, 3)) AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+            ), pairs AS (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(sh_a, sh_b))
+                             / CAST(len(list_distinct(
+                                   list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+                           AS sim
+                FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(list_concat(sh_a, sh_b)))
+                                   AS DOUBLE), 6) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT reach.node, e.dst FROM reach
+                JOIN edges e ON reach.r = e.src
+            ), grp AS (
+                SELECT node, min(r) AS group_id FROM reach GROUP BY node
+            ), sizes AS (
+                SELECT group_id, count(*) AS group_size FROM grp GROUP BY 1
+            ), estats AS (
+                SELECT g.group_id, count(*) AS n_edges,
+                       min(p.sim) AS min_sim,
+                       round(CAST(SUM(CAST(p.sim AS DECIMAL(18,12)))
+                                  AS DOUBLE) / count(*), 6) AS mean_sim
+                FROM pairs p JOIN grp g ON p.id_a = g.node
+                GROUP BY 1
+            )
+            SELECT s.group_id, s.group_size, e.n_edges, e.min_sim, e.mean_sim
+            FROM sizes s JOIN estats e USING (group_id)
+            ORDER BY s.group_id
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

@@ -1339,3 +1339,40 @@ def minhash_estimate_vs_exact(
                 (F.round(F.abs(est - exact), round_digits)
                  + F.lit(0.0)).alias("abs_err"))
         .orderBy("id_a", "id_b"))
+
+
+def dedup_group_quality(
+    pairs: DataFrame,
+    sim_col: str = "jaccard_sim",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Over-merge audit for near-dup groups: connected components glue
+    documents together transitively (A~B, B~C puts A with C even when
+    sim(A,C) is low), so before dropping every non-minimum member you
+    want each group's edge-similarity profile — a big group held
+    together by one weak edge is a dedup FALSE MERGE about to delete
+    distinct documents.
+
+    Per group: member count, verified-edge count, the weakest and the
+    mean edge similarity (decimal-accumulated).  Runs entirely on the
+    pair/group tables the LSH operators already produced — no second
+    pass over the corpus.
+
+    Returns ``(group_id, group_size, n_edges, min_sim, mean_sim)``.
+    """
+    groups = pairs_to_groups(pairs, id_a, id_b)
+    sizes = groups.groupBy(F.col("group").alias("group_id")).agg(
+        F.count(F.lit(1)).alias("group_size"))
+    edges = pairs.join(
+        groups.select(F.col("node").alias(id_a),
+                      F.col("group").alias("group_id")), id_a)
+    s = F.col(sim_col)
+    estats = edges.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min(s).alias("min_sim"),
+        F.round(F.sum(s.cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)), round_digits).alias("mean_sim"))
+    return (sizes.join(estats, "group_id")
+            .orderBy("group_id"))

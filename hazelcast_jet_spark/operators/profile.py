@@ -1111,23 +1111,26 @@ def quantile_bins(df: DataFrame, value_col: str, n_bins: int = 10,
         raise ValueError("n_bins must be >= 2")
     x = F.col(value_col)
     qs = [i / n_bins for i in range(1, n_bins)]
-    edges_row = df.agg(*[
-        F.round(F.percentile(x, F.lit(q)), round_digits).alias(f"__e{i}")
-        for i, q in enumerate(qs)])
-    j = df.crossJoin(F.broadcast(edges_row))
+    # the edge frame is ONE row of n_bins-1 doubles — collect it (the
+    # bounded-seed pattern) so the counting pass runs map-only against
+    # literals instead of re-scanning the fact table per branch
+    edges_vals = df.agg(*[
+        F.round(F.percentile(x, F.lit(q)), round_digits).alias(f"e{i}")
+        for i, q in enumerate(qs)]).collect()[0]
+    ev = [edges_vals[i] for i in range(len(qs))]
     bin_expr = F.lit(0)
-    for i in range(len(qs)):
-        bin_expr = F.when(x >= F.col(f"__e{i}"), F.lit(i + 1)) \
+    for i, e in enumerate(ev):
+        bin_expr = F.when(x >= F.lit(float(e)), F.lit(i + 1)) \
             .otherwise(bin_expr)
-    counts = (j.groupBy(bin_expr.cast("int").alias("bin"))
+    counts = (df.groupBy(bin_expr.cast("int").alias("bin"))
               .agg(F.count(F.lit(1)).alias("n_rows")))
-    edges = edges_row.select(F.explode(F.array(*[
-        F.struct(F.lit(i).cast("int").alias("bin"),
-                 (F.col(f"__e{i-1}") if i > 0 else
-                  F.lit(None).cast("double")).alias("lo"),
-                 (F.col(f"__e{i}") if i < len(qs) else
-                  F.lit(None).cast("double")).alias("hi"))
-        for i in range(n_bins)])).alias("b")).select("b.*")
+    spark = df.sparkSession
+    edges = spark.createDataFrame(
+        [(i,
+          float(ev[i - 1]) if i > 0 else None,
+          float(ev[i]) if i < len(qs) else None)
+         for i in range(n_bins)],
+        "bin int, lo double, hi double")
     return (edges.join(counts, "bin", "left")
             .select("bin", "lo", "hi",
                     F.coalesce("n_rows", F.lit(0)).cast("bigint")

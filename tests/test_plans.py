@@ -581,3 +581,61 @@ def test_top_mass_single_group_exchange(spark, sf_dir):
     body = top_mass_selection(d, "source", "n_chars", "doc_id", 0.5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert body.count("Exchange hashpartitioning") == 1
+
+
+def test_multi_span_single_docfreq_exchange(spark, sf_dir):
+    """dup_span_stats_multi: ALL grains share one (k, hash) document-
+    frequency shuffle — the k-fold cost lives in map-side arrays, never
+    in extra corpus scans (one parquet scan of documents)."""
+    plan = _plan(entry_mod.multi_span_dup_stats(spark, sf_dir))
+    # formatted mode mentions each node twice (tree + details): count
+    # the numbered detail entries, i.e. distinct scan NODES
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_item_similarity_broadcast_counts(spark, sf_dir):
+    """item_similarity_topk: per-item basket counts broadcast back to
+    the pair table; no cartesian product anywhere."""
+    plan = _plan(entry_mod.item_similarity_parts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_holdout_broadcast_predictions(spark, sf_dir):
+    """markov_holdout_accuracy: the K-bounded prediction table joins
+    broadcast; the event stream is exchanged once (the window)."""
+    plan = _plan(entry_mod.markov_next_event_accuracy(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_bins_single_scan_pair(spark, sf_dir):
+    """quantile_bins: one percentile aggregate + one counting pass —
+    the single-row edge frame joins as a broadcast nested loop (1 row),
+    never a shuffled join."""
+    plan = _plan(entry_mod.quantile_bins_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # counting pass is map-only vs literal edges: ONE fact-table scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_kmeans_fit_unrolled_assign_map_only(spark, sf_dir):
+    """kmeans_fit_unrolled's final assignment: literal centroids travel
+    in the task binary — the returned frame's plan has no join and no
+    exchange beyond the source scan."""
+    from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _cent, assigned = kmeans_fit_unrolled(e, k=2, iters=1)
+    plan = _plan(assigned)
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_ewma_single_key_exchange(spark, sf_dir):
+    """ewma gate: daily aggregation then ONE applyInPandas exchange on
+    the key — no extra shuffle between them beyond the two aggregations."""
+    plan = _plan(entry_mod.ewma_event_rate(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
+    assert "CartesianProduct" not in plan

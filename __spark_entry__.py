@@ -4634,6 +4634,42 @@ def dedup_group_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_group_quality(pairs)
 
 
+VOCAB_SIZES = (100, 500, 1000, 2000)
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve (text.vocab_coverage_curve):
+    token-occurrence coverage of the top-N terms for a ladder of
+    candidate vocab sizes — one term-count aggregate, every size a
+    conditional sum in ONE final aggregate."""
+    from hazelcast_jet_spark.operators.text import vocab_coverage_curve
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage_curve(d, sizes=VOCAB_SIZES)
+
+
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process burstiness (timeseries.burstiness): per-type
+    Fano factor (variance/mean of daily counts — 1 = Poisson, >1 =
+    bursty).  Tz-free integer day buckets, exact counts, decimal
+    moments over the tiny bucketed table."""
+    from hazelcast_jet_spark.operators.timeseries import burstiness
+
+    e = _t(spark, sf_dir, "events")
+    return burstiness(e, key_col="event_type", bucket_seconds=86400)
+
+
+def lorenz_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of order values (profile.
+    lorenz_curve): cumulative revenue share at each population decile —
+    the curve behind the Gini number.  Decimal-exact mass accumulation;
+    one ranking exchange + one conditional-sum aggregate."""
+    from hazelcast_jet_spark.operators.profile import lorenz_curve
+
+    o = _t(spark, sf_dir, "orders")
+    return lorenz_curve(o, "o_totalprice", n_points=10)
+
+
 QBINS_N = 10
 
 
@@ -4776,6 +4812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins_orders": quantile_bins_orders,
         "streaming_hll_cardinality": streaming_hll_cardinality,
         "dedup_group_quality_docs": dedup_group_quality_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "burstiness_events": burstiness_events,
+        "lorenz_curve_orders": lorenz_curve_orders,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8835,6 +8874,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.group_id, s.group_size, e.n_edges, e.min_sim, e.mean_sim
             FROM sizes s JOIN estats e USING (group_id)
             ORDER BY s.group_id
+        """,
+        "vocab_coverage_docs": f"""
+            WITH counts AS (
+                SELECT t, count(*) AS n FROM (
+                    SELECT unnest(string_split({_NORM}, ' ')) AS t
+                    FROM documents)
+                WHERE t <> '' GROUP BY t
+            ), ranked AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+                FROM counts
+            ), agg AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                       {", ".join(
+                           f"CAST(SUM(CASE WHEN r <= {s} THEN n ELSE 0 END)"
+                           f" AS BIGINT) AS c{s},"
+                           f" CAST(SUM(CASE WHEN r <= {s} THEN 1 ELSE 0 END)"
+                           f" AS BIGINT) AS k{s}"
+                           for s in VOCAB_SIZES)}
+                FROM ranked
+            ), cp AS (
+                {" UNION ALL ".join(
+                    f"SELECT CAST({s} AS INT) AS vocab_size, k{s} AS n_terms,"
+                    f" c{s} AS covered_tokens, tot AS total_tokens FROM agg"
+                    for s in VOCAB_SIZES)}
+            )
+            SELECT vocab_size, n_terms, covered_tokens, total_tokens,
+                   round(CAST(covered_tokens AS DOUBLE)
+                         / CAST(total_tokens AS DOUBLE), 6) AS coverage
+            FROM cp ORDER BY vocab_size
+        """,
+        "burstiness_events": """
+            WITH b AS (
+                SELECT event_type AS key,
+                       CAST(floor(CAST(floor(epoch(ts)) AS BIGINT)
+                                  / 86400.0) AS BIGINT) AS bk,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), g AS (
+                SELECT key, count(*) AS n_buckets,
+                       CAST(SUM(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                     AS DECIMAL(28,12))) AS DOUBLE) AS s2
+                FROM b GROUP BY 1
+            )
+            SELECT key, n_buckets,
+                   round(s / CAST(n_buckets AS DOUBLE), 6) AS mean_count,
+                   round(greatest((s2 - s * s / CAST(n_buckets AS DOUBLE))
+                                  / (CAST(n_buckets AS DOUBLE) - 1.0), 0.0),
+                         6) + 0.0 AS var_count,
+                   CASE WHEN s / CAST(n_buckets AS DOUBLE) > 0
+                        THEN round(greatest(
+                                 (s2 - s * s / CAST(n_buckets AS DOUBLE))
+                                 / (CAST(n_buckets AS DOUBLE) - 1.0), 0.0)
+                                 / (s / CAST(n_buckets AS DOUBLE)), 6) + 0.0
+                   END AS fano
+            FROM g ORDER BY key
+        """,
+        "lorenz_curve_orders": """
+            WITH ranked AS (
+                SELECT o_totalprice AS v,
+                       row_number() OVER (ORDER BY o_totalprice) AS r
+                FROM orders
+            ), tot AS (
+                SELECT count(*) AS n,
+                       SUM(CAST(v AS DECIMAL(28,12))) AS t
+                FROM ranked
+            ), agg AS (
+                SELECT """ + ", ".join(
+                    f"SUM(CASE WHEN r <= n * {i} / 10 THEN"
+                    f" CAST(v AS DECIMAL(28,12))"
+                    f" ELSE CAST(0 AS DECIMAL(28,12)) END) AS c{i}"
+                    for i in range(1, 11)) + """,
+                       any_value(n) AS n_total, any_value(t) AS tsum
+                FROM ranked CROSS JOIN tot
+            )
+            SELECT * FROM (
+            """ + " UNION ALL ".join(
+                    f"SELECT CAST({i * 10} AS INT) AS pctile,"
+                    f" CAST(n_total * {i} // 10 AS BIGINT) AS n_rows,"
+                    f" round(CAST(c{i} AS DOUBLE) / CAST(tsum AS DOUBLE), 6)"
+                    f" AS cum_value_share FROM agg"
+                    for i in range(1, 11)) + """
+            ) ORDER BY pctile
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

@@ -1136,3 +1136,50 @@ def quantile_bins(df: DataFrame, value_col: str, n_bins: int = 10,
                     F.coalesce("n_rows", F.lit(0)).cast("bigint")
                     .alias("n_rows"))
             .orderBy("bin"))
+
+
+def lorenz_curve(df: DataFrame, value_col: str, n_points: int = 10,
+                 round_digits: int = 6) -> DataFrame:
+    """Lorenz concentration curve: for each population decile (by
+    ascending value), the cumulative share of the total value mass —
+    the curve behind :func:`gini_concentration`'s single number ("the
+    top 10% of orders carry X% of revenue").
+
+    One ordered ranking exchange over (value, rank) pairs + one
+    conditional-sum aggregate for all points; value mass accumulates
+    in exact decimals, the share is one rounded double quotient per
+    point.  Ties order by value then input order irrelevance: rank by
+    (value, row id) is not needed since equal values contribute equal
+    mass to either side of a cut.
+
+    Returns ``(pctile INT, n_rows, cum_value_share)``.
+    """
+    from pyspark.sql import Window
+
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    x = F.col(value_col)
+    ranked = df.select(x.alias("__v")).withColumn(
+        "__r", F.row_number().over(Window.orderBy("__v")))
+    total = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(28,12)")).alias("__tot"))
+    j = ranked.crossJoin(F.broadcast(total))
+    cut = lambda i: (F.col("__n") * i / n_points)  # noqa: E731
+    agg = j.agg(
+        F.first("__n").alias("n_total"),
+        F.first("__tot").alias("tot"),
+        *[F.sum(F.when(F.col("__r") <= cut(i),
+                       F.col("__v").cast("decimal(28,12)"))
+                .otherwise(F.lit(0).cast("decimal(28,12)")))
+          .alias(f"__c{i}") for i in range(1, n_points + 1)])
+    stacked = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(i * 100 // n_points).cast("int").alias("pctile"),
+            F.floor(F.col("n_total") * i / n_points).cast("bigint")
+            .alias("n_rows"),
+            F.round(F.col(f"__c{i}").cast("double")
+                    / F.col("tot").cast("double"), round_digits)
+            .alias("cum_value_share"))
+        for i in range(1, n_points + 1)])).alias("c")).select("c.*")
+    return stacked.orderBy("pctile")

@@ -1255,3 +1255,54 @@ def zipf_fit(
         F.col("n").cast("bigint").alias("n_terms"),
         (F.round(slope, round_digits) + F.lit(0.0)).alias("slope"),
         (F.round(intercept, round_digits) + F.lit(0.0)).alias("intercept"))
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (100, 500, 1000, 2000),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: for each candidate vocab size
+    N, the fraction of ALL token occurrences covered by the N most
+    frequent terms (rank by count desc, term asc) — the curve that
+    decides how large a vocab (or how aggressive a BPE merge budget)
+    the corpus actually needs before OOV tokens stop mattering.
+
+    One term-count aggregate; ranking runs on the term table; every
+    size is a conditional sum in ONE final aggregate.  Coverage ratios
+    are exact-integer quotients (one double division, rounded).
+
+    Returns ``(vocab_size INT, n_terms, covered_tokens, total_tokens,
+    coverage)``.
+    """
+    from pyspark.sql import Window
+
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"sizes must be positive, got {sizes}")
+    counts = (
+        df.select(F.explode(F.split(normalize_text(text_col), " "))
+                  .alias("__t"))
+        .filter(F.col("__t") != "")
+        .groupBy("__t").agg(F.count(F.lit(1)).alias("__n")))
+    ranked = counts.withColumn(
+        "__r", F.row_number().over(
+            Window.orderBy(F.col("__n").desc(), F.col("__t"))))
+    agg = ranked.agg(
+        F.sum("__n").alias("__tot"),
+        *[F.sum(F.when(F.col("__r") <= s, F.col("__n"))
+                .otherwise(F.lit(0))).alias(f"__c{s}") for s in sizes],
+        *[F.sum((F.col("__r") <= s).cast("bigint")).alias(f"__k{s}")
+          for s in sizes])
+    stacked = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("vocab_size"),
+            F.col(f"__k{s}").alias("n_terms"),
+            F.col(f"__c{s}").cast("bigint").alias("covered_tokens"),
+            F.col("__tot").cast("bigint").alias("total_tokens"))
+        for s in sizes])).alias("c")).select("c.*")
+    return stacked.withColumn(
+        "coverage",
+        F.round(F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"), round_digits)) \
+        .orderBy("vocab_size")

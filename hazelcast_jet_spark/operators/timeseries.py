@@ -832,3 +832,47 @@ def markov_holdout_accuracy(
             F.round(F.col("n_correct").cast("double")
                     / F.col("n_test").cast("double"), round_digits))
         .orderBy("from_type"))
+
+
+def burstiness(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    bucket_seconds: int = 86400,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Burstiness (Fano factor) of each key's arrival process: the
+    variance-to-mean ratio of per-bucket event counts — 1 for a Poisson
+    stream, >1 for bursty traffic (bot storms, batch replays), <1 for
+    regular/throttled sources.  The load-model diagnostic behind
+    capacity planning and anomaly baselining.
+
+    Buckets derive from tz-free integer epoch seconds; counts are
+    exact; mean/variance come from decimal-exact moments over the
+    BUCKETED table (keys × buckets rows), so the whole statistic is one
+    stream exchange plus one tiny aggregate.
+
+    Returns ``(key, n_buckets, mean_count, var_count, fano)``.
+    """
+    sec = _epoch_seconds(df, time_col)
+    bucketed = (df.select(F.col(key_col).alias("key"),
+                          F.floor(sec / F.lit(bucket_seconds))
+                          .cast("bigint").alias("__b"))
+                .groupBy("key", "__b")
+                .agg(F.count(F.lit(1)).alias("__n")))
+    x = F.col("__n").cast("double")
+    g = bucketed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.col("__n").cast("decimal(28,12)")).alias("__s"),
+        F.sum((x * x).cast("decimal(28,12)")).alias("__s2"))
+    n = F.col("n_buckets").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / n
+    var = F.greatest((s2 - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+    return g.select(
+        "key", "n_buckets",
+        F.round(mean, round_digits).alias("mean_count"),
+        (F.round(var, round_digits) + F.lit(0.0)).alias("var_count"),
+        F.when(mean > 0, F.round(var / mean, round_digits) + F.lit(0.0))
+        .alias("fano")).orderBy("key")

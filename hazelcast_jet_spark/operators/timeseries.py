@@ -811,7 +811,16 @@ def markov_holdout_accuracy(
         .select(F.col(type_col).alias("from_type"),
                 F.col("__nxt").alias("to_type"),
                 F.col("__nts").alias("__dest_ts")))
-    split_c = split_ts if isinstance(split_ts, Column) else F.lit(split_ts)
+    if isinstance(split_ts, Column):
+        split_c = split_ts
+    elif dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        # F.lit(datetime) builds an instant-typed literal; comparing it to
+        # an NTZ column would re-interpret through the session timezone
+        # (off by the zone offset under a hostile tz).  Build the literal
+        # AS NTZ from the wall-clock text instead.
+        split_c = F.expr(f"CAST('{split_ts}' AS TIMESTAMP_NTZ)")
+    else:
+        split_c = F.lit(split_ts)
     train = (pairs.filter(F.col("__dest_ts") < split_c)
              .groupBy("from_type", "to_type")
              .agg(F.count(F.lit(1)).alias("__n")))

@@ -3498,3 +3498,126 @@ def test_dup_span_stats_multi_rejects_bad_ks(spark):
         dup_span_stats_multi(df, ks=(4, 4))
     with _pytest.raises(ValueError):
         dup_span_stats_multi(df, ks=(0,))
+
+
+def test_markov_holdout_accuracy_planted(spark):
+    """Planted predictable user: train period establishes a->b as the
+    majority transition; the test period scores exactly the transitions
+    whose DESTINATION is at/after the split."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        markov_holdout_accuracy)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(i, u, ty):
+        return (i, t0 + dt.timedelta(minutes=i), u, ty)
+
+    rows = [row(1, 1, "a"), row(2, 1, "b"),     # train: a->b
+            row(3, 1, "a"), row(4, 1, "b"),     # train: b->a, a->b
+            row(5, 1, "a"),                      # train: b->a
+            row(6, 1, "b"), row(7, 1, "c")]      # test: a->b (hit), b->c (miss)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    split = t0 + dt.timedelta(minutes=5, seconds=30)
+    out = {r["from_type"]: r for r in
+           markov_holdout_accuracy(df, split_ts=split).collect()}
+    assert out["a"]["predicted"] == "b"
+    assert out["a"]["n_test"] == 1 and out["a"]["n_correct"] == 1
+    assert out["b"]["predicted"] == "a"
+    assert out["b"]["n_test"] == 1 and out["b"]["n_correct"] == 0
+
+
+def test_item_similarity_topk_planted(spark):
+    """Two items always together score sim 1.0; an item sharing only
+    half its baskets scores 1/3 under Jaccard (1 shared of 3 total)."""
+    from hazelcast_jet_spark.operators.graph import item_similarity_topk
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"),      # x,y in 2 baskets
+            (3, "x"), (3, "y"), (3, "z"),                # z joins once...
+            (4, "z"), (4, "x")]                          # ...and with x again
+    df = spark.createDataFrame(rows, "g long, item string")
+    out = {(r["item"], r["neighbor"]): r for r in
+           item_similarity_topk(df, "g", "item", k=3, min_co=2).collect()}
+    assert out[("x", "y")]["sim"] == 0.75   # co=3, nx=4, ny=3 -> 3/4
+    assert out[("x", "z")]["n_co"] == 2     # baskets 3 and 4
+    assert out[("y", "x")]["rank"] == 1
+
+
+def test_lorenz_curve_uniform_and_concentrated(spark):
+    """Uniform values give a straight Lorenz line; full concentration
+    puts all mass in the top decile."""
+    from hazelcast_jet_spark.operators.profile import lorenz_curve
+
+    uni = spark.createDataFrame([(float(1),) for _ in range(100)], "v double")
+    got = {r["pctile"]: r["cum_value_share"]
+           for r in lorenz_curve(uni, "v", n_points=10).collect()}
+    assert got[50] == 0.5 and got[100] == 1.0
+    conc = spark.createDataFrame(
+        [(0.0,)] * 99 + [(100.0,)], "v double")
+    got2 = {r["pctile"]: r["cum_value_share"]
+            for r in lorenz_curve(conc, "v", n_points=10).collect()}
+    assert got2[90] == 0.0 and got2[100] == 1.0
+
+
+def test_burstiness_poisson_vs_constant(spark):
+    """A constant-rate stream has Fano 0 (zero variance); a bursty one
+    (all events in one bucket) has Fano equal to its single-bucket count
+    spread over... (n_buckets=1 -> var undefined -> guarded)."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):                       # constant: 5/day
+        for i in range(5):
+            rows.append(("flat", t0 + dt.timedelta(days=d, minutes=i)))
+    for d in (0, 5):                          # bursty: 1 then 9
+        n = 1 if d == 0 else 9
+        for i in range(n):
+            rows.append(("burst", t0 + dt.timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r["key"]: r for r in burstiness(df).collect()}
+    assert out["flat"]["fano"] == 0.0
+    assert out["burst"]["fano"] > 1.0         # var=(1-5)^2+(9-5)^2 /1 /5
+
+
+def test_vocab_coverage_monotone(spark):
+    from hazelcast_jet_spark.operators.text import vocab_coverage_curve
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], ["doc_id", "text"])
+    out = {r["vocab_size"]: r for r in
+           vocab_coverage_curve(df, sizes=(1, 2, 3)).collect()}
+    assert out[1]["covered_tokens"] == 3 and out[1]["coverage"] == 0.5
+    assert out[2]["coverage"] == round(5 / 6, 6)
+    assert out[3]["coverage"] == 1.0
+
+
+def test_quantile_bins_counts_sum_and_edges(spark):
+    from hazelcast_jet_spark.operators.profile import quantile_bins
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = quantile_bins(df, "v", n_bins=4).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in out) == 100
+    assert out[0]["lo"] is None and out[-1]["hi"] is None
+
+
+def test_dedup_group_quality_weak_link(spark):
+    """A chain A~B~C where A and C never banded together: the group's
+    min edge sim exposes the weak link even though the component merged
+    all three."""
+    from hazelcast_jet_spark.operators.dedup import dedup_group_quality
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.55)],
+        "id_a long, id_b long, jaccard_sim double")
+    out = dedup_group_quality(pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["group_id"] == 1 and r["group_size"] == 3
+    assert r["n_edges"] == 2 and r["min_sim"] == 0.55

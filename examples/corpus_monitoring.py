@@ -232,3 +232,65 @@ from hazelcast_jet_spark.operators.text import source_term_divergence  # noqa: E
 
 print("closest source pairs by term-distribution JSD:")
 source_term_divergence(docs).orderBy("jsd").show(5)
+
+# 24. lexical diversity: TTR + Herdan's C — the boilerplate signal
+#     length/symbol gates miss
+from hazelcast_jet_spark.operators.text import lexical_diversity  # noqa: E402
+
+print("least lexically diverse docs (template suspects):")
+lexical_diversity(docs).orderBy("ttr").show(5)
+
+# 25. corpus scaling laws: Heaps' vocabulary growth + Zipf slope
+from hazelcast_jet_spark.operators.text import vocab_growth, zipf_fit  # noqa: E402
+
+print("Heaps vocabulary growth (distinct terms after first N docs):")
+vocab_growth(docs, checkpoints=(10, 20, 40)).show()
+print("Zipf fit over top terms (healthy natural text: slope near -1):")
+zipf_fit(docs, top_n=50).show()
+
+# 26. tokenizer sizing: token coverage of candidate vocab sizes
+from hazelcast_jet_spark.operators.text import vocab_coverage_curve  # noqa: E402
+
+print("vocab coverage curve:")
+vocab_coverage_curve(docs, sizes=(50, 200, 500)).show()
+
+# 27. arrival burstiness: Fano factor of daily counts (1 = Poisson)
+from hazelcast_jet_spark.operators.timeseries import burstiness  # noqa: E402
+
+print("per-type burstiness:")
+burstiness(events).show()
+
+# 28. live distinct counting: per-day HLL registers merged to a month
+#     total WITHOUT rescanning (the sketch-mergeability pattern)
+from hazelcast_jet_spark.operators.sketch import (  # noqa: E402
+    hll_build, hll_estimate, hll_merge)
+
+daily_regs = hll_build(events.withColumn("day", F.to_date("ts")),
+                       "user_id", ["day"], p=4)
+print("per-day distinct-user estimates (16 registers/day):")
+hll_estimate(daily_regs, ["day"], p=4).select("day", "hll_estimate") \
+    .orderBy("day").show(5)
+print("month total from merged registers (no rescan):")
+hll_estimate(hll_merge(daily_regs.select("hll_reg", "hll_rho"), []),
+             [], p=4).select("hll_estimate").show()
+
+# 29. next-event predictability: held-out Markov accuracy
+from hazelcast_jet_spark.operators.timeseries import (  # noqa: E402
+    markov_holdout_accuracy)
+
+print("next-event prediction accuracy (train < Jan 21, test after):")
+markov_holdout_accuracy(
+    events, split_ts=F.expr("CAST('2024-01-21 00:00:00' AS TIMESTAMP_NTZ)")
+).show()
+
+# 30. value concentration: Lorenz deciles + multi-detector outliers +
+#     equal-frequency binning on the same value column
+from hazelcast_jet_spark.operators.profile import (  # noqa: E402
+    lorenz_curve, outlier_ensemble, quantile_bins)
+
+print("Lorenz curve of event values:")
+lorenz_curve(events, "value", n_points=4).show()
+print("outlier-detector agreement per event type:")
+outlier_ensemble(events, "value", "event_type").show()
+print("equal-frequency value bins:")
+quantile_bins(events, "value", n_bins=4).show()

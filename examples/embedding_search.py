@@ -118,3 +118,12 @@ full_r = cosine_topk(emb, queries, k=10)
 trunc_r = truncated_cosine_topk(emb, queries, dims=16, k=10)
 print("RBO(full vs 16-dim prefix) per query:")
 rbo_overlap(full_r, trunc_r, depth=10).show()
+
+# replayable training: a fixed-iteration k-means fit whose every float
+# op has a fixed order (rounded-distance argmin + decimal centroid
+# updates) — the auditable twin of kmeans_fit
+from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
+
+cent_u, assigned_u = kmeans_fit_unrolled(emb, k=4, iters=2)
+print("replayable 2-iteration k-means cluster sizes:")
+assigned_u.groupBy("cluster").count().orderBy("cluster").show()

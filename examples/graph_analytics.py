@@ -71,3 +71,10 @@ from hazelcast_jet_spark.operators.graph import association_rules  # noqa: E402
 print("top association rules by lift:")
 association_rules(lineitem, "l_orderkey", "l_partkey",
                   min_pair_count=2, max_basket=64, top_k=5).show()
+
+# 6. "customers who bought X": item-item Jaccard top-k neighbors
+from hazelcast_jet_spark.operators.graph import item_similarity_topk  # noqa: E402
+
+print("top co-purchase neighbors per part:")
+item_similarity_topk(lineitem, "l_orderkey", "l_partkey",
+                     k=3, min_co=2).show(10)

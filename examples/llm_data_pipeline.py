@@ -124,3 +124,23 @@ segmented = sampled.select(
 print("subword symbols per doc (learned tokenizer):")
 segmented.select("doc_id", F.size("syms").alias("n_syms")).orderBy(
     "doc_id").show(5)
+
+# 9. dedup QUALITY audits before trusting the pipeline at scale:
+#    (a) multi-grain exact-substring duplication (short boilerplate AND
+#        long copies in one pass), (b) the weakest edge inside each LSH
+#        group (transitive false-merge signal), (c) how well the MinHash
+#        estimate tracks exact Jaccard on the candidates it generated
+from hazelcast_jet_spark.operators.dedup import (
+    dedup_group_quality, dup_span_stats_multi, minhash_estimate_vs_exact)
+
+print("multi-grain duplicated-span profile (docs with any dup span):")
+dup_span_stats_multi(docs, ks=(4, 8, 16)) \
+    .filter(F.col("n_dup_spans") > 0).orderBy("doc_id", "k").show(6)
+
+audit_pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                                num_hashes=8, bands=4, threshold=0.5)
+if audit_pairs.head(1):
+    print("LSH group quality (weakest edge per group):")
+    dedup_group_quality(audit_pairs).show(5)
+print("MinHash estimate vs exact Jaccard on LSH candidates:")
+minhash_estimate_vs_exact(docs, num_hashes=8, bands=4).show(5)

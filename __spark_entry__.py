@@ -4634,6 +4634,35 @@ def dedup_group_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_group_quality(pairs)
 
 
+def langid_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic EVALUATION: the stopword-ratio lang_id
+    prediction cross-tabulated against the labeled lang column with
+    per-label recall share — the confusion audit that tells you where
+    the cheap JVM-side heuristic is safe and where a model is needed.
+    Map-only prediction + one aggregate."""
+    from hazelcast_jet_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy(F.col("lang"), lang_id("text").alias("lang_pred"))         .agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy("lang")
+    share = F.round(F.col("n_docs").cast("double")
+                    / F.sum("n_docs").over(tot).cast("double"), 6)
+    return cell.select("lang", "lang_pred", "n_docs",
+                       share.alias("label_share"))         .orderBy("lang", "lang_pred")
+
+
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest KS statistic per source over document lengths
+    (profile.source_ks_matrix): which corpus slice is distributionally
+    unlike the rest — one corpus aggregate, the dense source × value
+    step grid (bounded, broadcast), rest-side ECDF derived as
+    global − source (no row amplification)."""
+    from hazelcast_jet_spark.operators.profile import source_ks_matrix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_ks_matrix(d, "n_chars", "source")
+
+
 VOCAB_SIZES = (100, 500, 1000, 2000)
 
 
@@ -4815,6 +4844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_docs": vocab_coverage_docs,
         "burstiness_events": burstiness_events,
         "lorenz_curve_orders": lorenz_curve_orders,
+        "langid_confusion_docs": langid_confusion_docs,
+        "source_length_ks": source_length_ks,
         # -- 14 stale r4-green refresh entries ----------------------------
         "tpch_q11_important_stock": tpch_q11_important_stock,
         "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
@@ -8957,6 +8988,68 @@ def oracle_sql() -> dict[str, str]:
                     f" AS cum_value_share FROM agg"
                     for i in range(1, 11)) + """
             ) ORDER BY pctile
+        """,
+        "langid_confusion_docs": f"""
+            WITH t AS (
+                SELECT lang,
+                       CASE WHEN len(list_filter(
+                                list_transform(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> lower(t)),
+                                t -> list_contains({_STOPWORDS_SQL}, t)))
+                            / CAST(len(regexp_split_to_array(trim(text),
+                                                             '\\s+'))
+                                   AS DOUBLE) >= 0.05
+                            THEN 'en' ELSE 'unknown' END AS lang_pred
+                FROM documents
+            ), cell AS (
+                SELECT lang, lang_pred, count(*) AS n_docs
+                FROM t GROUP BY 1, 2
+            )
+            SELECT lang, lang_pred, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST(SUM(n_docs) OVER (PARTITION BY lang)
+                                AS DOUBLE), 6) AS label_share
+            FROM cell ORDER BY lang, lang_pred
+        """,
+        "source_length_ks": """
+            WITH c AS (
+                SELECT source AS s, n_chars AS x, count(*) AS n
+                FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+            ), grid AS (
+                SELECT s, x FROM (SELECT DISTINCT s FROM c)
+                CROSS JOIN (SELECT DISTINCT x FROM c)
+            ), filled AS (
+                SELECT g.s, g.x, COALESCE(c.n, 0) AS n
+                FROM grid g LEFT JOIN c ON c.s = g.s AND c.x = g.x
+            ), stepped AS (
+                SELECT s, x,
+                       SUM(n) OVER (PARTITION BY s ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c_s,
+                       SUM(n) OVER (PARTITION BY s) AS n_s
+                FROM filled
+            ), g0 AS (
+                SELECT n_chars AS x, count(*) AS gn FROM documents
+                WHERE n_chars IS NOT NULL GROUP BY 1
+            ), gcum AS (
+                SELECT x, SUM(gn) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS c_all
+                FROM g0
+            ), tot AS (
+                SELECT count(*) AS t FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT s AS source,
+                   CAST(any_value(n_s) AS BIGINT) AS n_source,
+                   CAST(any_value(t - n_s) AS BIGINT) AS n_rest,
+                   round(MAX(abs(CAST(c_s AS DOUBLE) / CAST(n_s AS DOUBLE)
+                                 - CAST(c_all - c_s AS DOUBLE)
+                                   / CAST(t - n_s AS DOUBLE))), 6)
+                       AS ks_stat
+            FROM stepped JOIN gcum USING (x) CROSS JOIN tot
+            WHERE n_s > 0 AND t - n_s > 0
+            GROUP BY s ORDER BY s
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

@@ -1186,3 +1186,58 @@ def lorenz_curve(df: DataFrame, value_col: str, n_points: int = 10,
             .alias("cum_value_share"))
         for i in range(1, n_points + 1)])).alias("c")).select("c.*")
     return stacked.orderBy("pctile")
+
+
+def source_ks_matrix(df: DataFrame, value_col: str, source_col: str,
+                     round_digits: int = 6) -> DataFrame:
+    """One-vs-rest Kolmogorov–Smirnov statistic for EVERY source in one
+    pass: ``D_s = sup_x |ECDF_s(x) − ECDF_rest(x)|`` — "which corpus
+    slice is distributionally unlike the others?", the per-source twin
+    of :func:`ks_drift` (which needs a designated reference sample).
+
+    Shape: one (source, value) count aggregate, then the dense
+    source × distinct-value step grid (two SMALL broadcast sides — the
+    grid is |sources| · |distinct values| rows, independent of row
+    count); cumulative counts come from one window over the grid and
+    the rest-side derives as ``global_cum − source_cum``, so the corpus
+    is scanned ONCE and never amplified.  For continuous value columns
+    bin first (``histogram``) and accept binned-ECDF resolution —
+    |distinct values| is the grid bound.
+
+    Returns ``(source, n_source, n_rest, ks_stat)``.
+    """
+    counts = (df.filter(F.col(value_col).isNotNull())
+              .groupBy(F.col(source_col).alias("__s"),
+                       F.col(value_col).alias("__x"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    values = counts.select("__x").distinct()
+    sources = counts.select("__s").distinct()
+    grid = sources.crossJoin(values)
+    filled = grid.join(counts, ["__s", "__x"], "left") \
+        .select("__s", "__x", F.coalesce("__n", F.lit(0)).alias("__n"))
+    w_cum = (Window.partitionBy("__s").orderBy("__x")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_src = Window.partitionBy("__s")
+    stepped = filled.select(
+        "__s", "__x",
+        F.sum("__n").over(w_cum).alias("__c_s"),
+        F.sum("__n").over(w_src).alias("__n_s"))
+    gw_cum = (Window.orderBy("__x")
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    glob = (df.filter(F.col(value_col).isNotNull())
+            .groupBy(F.col(value_col).alias("__x"))
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .select("__x", F.sum("__gn").over(gw_cum).alias("__c_all")))
+    tot = (df.filter(F.col(value_col).isNotNull())
+           .agg(F.count(F.lit(1)).alias("__tot")))
+    j = stepped.join(F.broadcast(glob), "__x").crossJoin(F.broadcast(tot))
+    c_rest = F.col("__c_all") - F.col("__c_s")
+    n_rest = F.col("__tot") - F.col("__n_s")
+    d = F.abs(F.col("__c_s").cast("double") / F.col("__n_s").cast("double")
+              - c_rest.cast("double") / n_rest.cast("double"))
+    return (j.filter((F.col("__n_s") > 0) & (n_rest > 0))
+            .groupBy(F.col("__s").alias("source"))
+            .agg(F.first("__n_s").alias("n_source"),
+                 F.first(n_rest).alias("n_rest"),
+                 F.round(F.max(d), round_digits).alias("ks_stat"))
+            .orderBy("source"))

@@ -3621,3 +3621,94 @@ def test_dedup_group_quality_weak_link(spark):
     r = out[0]
     assert r["group_id"] == 1 and r["group_size"] == 3
     assert r["n_edges"] == 2 and r["min_sim"] == 0.55
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A synthetic corpus with freq(term_r) ~ r^-1 fits slope ~ -1."""
+    rows = []
+    for r in range(1, 41):
+        freq = max(1, int(round(2000 / r)))
+        rows.append((r, (" w%03d" % r) * freq))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from hazelcast_jet_spark.operators.text import zipf_fit
+
+    out = zipf_fit(df, top_n=40).collect()[0]
+    assert out["n_terms"] == 40
+    assert -1.05 < out["slope"] < -0.95, out["slope"]
+
+
+def test_vocab_growth_hand_counts(spark):
+    from hazelcast_jet_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d e"), (4, "a")],
+        ["doc_id", "text"])
+    out = {r["checkpoint"]: r for r in
+           vocab_growth(df, checkpoints=(1, 2, 4)).collect()}
+    assert out[1]["vocab_size"] == 2 and out[1]["cum_tokens"] == 2
+    assert out[2]["vocab_size"] == 3 and out[2]["cum_tokens"] == 4
+    assert out[4]["vocab_size"] == 5 and out[4]["n_docs"] == 4
+
+
+def test_lexical_diversity_template_vs_varied(spark):
+    from hazelcast_jet_spark.operators.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "buy now " * 50), (2, " ".join(f"w{i}" for i in range(100)))],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert out[1]["n_types"] == 2 and out[1]["ttr"] == 0.02
+    assert out[2]["ttr"] == 1.0
+    assert out[1]["herdan_c"] < out[2]["herdan_c"]
+
+
+def test_source_ks_matrix_planted_shift(spark):
+    """A source drawn from a shifted distribution scores a much larger
+    one-vs-rest KS than sources sharing one distribution."""
+    rows = []
+    for s in ("a", "b"):
+        for i in range(200):
+            rows.append((s, float(i % 50)))
+    for i in range(200):
+        rows.append(("shifted", float(100 + i % 50)))
+    df = spark.createDataFrame(rows, "source string, v double")
+    from hazelcast_jet_spark.operators.profile import source_ks_matrix
+
+    out = {r["source"]: r for r in source_ks_matrix(df, "v", "source").collect()}
+    assert out["shifted"]["ks_stat"] == 1.0     # disjoint supports
+    # a's rest = b (same dist) + shifted: at the top of a's support
+    # ECDF_a = 1.0 while ECDF_rest = 0.5 -> D exactly 0.5
+    assert out["a"]["ks_stat"] == 0.5
+    assert out["a"]["n_source"] == 200 and out["a"]["n_rest"] == 400
+
+
+def test_minhash_estimate_vs_exact_identical_docs(spark):
+    """Identical docs: every signature component matches (est 1.0) and
+    exact Jaccard is 1.0 — zero estimator error on the easy case."""
+    from hazelcast_jet_spark.operators.dedup import minhash_estimate_vs_exact
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "completely different words here form")],
+        ["doc_id", "text"])
+    out = minhash_estimate_vs_exact(df).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert pairs[(1, 2)]["est_sim"] == 1.0
+    assert pairs[(1, 2)]["exact_sim"] == 1.0
+    assert pairs[(1, 2)]["abs_err"] == 0.0
+
+
+def test_hll_merge_equals_global_sketch(spark):
+    """Register-wise max merge of per-group sketches == the global
+    sketch, bit for bit (the lossless-merge property the rollup gate
+    relies on)."""
+    from hazelcast_jet_spark.operators.sketch import hll_build, hll_merge
+
+    df = spark.createDataFrame(
+        [(i % 3, f"u{i % 70}") for i in range(500)], "g int, u string")
+    per_g = hll_build(df, "u", ["g"], p=4)
+    merged = {(r["hll_reg"], r["hll_rho"]) for r in
+              hll_merge(per_g.select("hll_reg", "hll_rho"), []).collect()}
+    direct = {(r["hll_reg"], r["hll_rho"]) for r in
+              hll_build(df, "u", [], p=4).collect()}
+    assert merged == direct

@@ -294,3 +294,17 @@ print("outlier-detector agreement per event type:")
 outlier_ensemble(events, "value", "event_type").show()
 print("equal-frequency value bins:")
 quantile_bins(events, "value", n_bins=4).show()
+
+# 31. language-ID heuristic evaluation: confusion vs labeled lang
+from hazelcast_jet_spark.operators.text import lang_id  # noqa: E402
+
+print("lang_id confusion (labeled vs predicted):")
+docs.groupBy("lang", lang_id("text").alias("pred")).count() \
+    .orderBy("lang", "pred").show()
+
+# 32. which source is distributionally unlike the rest (one-vs-rest KS)
+from hazelcast_jet_spark.operators.profile import source_ks_matrix  # noqa: E402
+
+print("per-source one-vs-rest KS over doc length:")
+source_ks_matrix(docs, "n_chars", "source") \
+    .orderBy(F.desc("ks_stat")).show(5)

@@ -4784,6 +4784,43 @@ def multi_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "k"))
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawl is dirtiest: per-source exact-duplicate and near-
+    duplicate rates — the operational dashboard a dedup pipeline feeds
+    back to crawling.  Exact dups = docs that are not their normalized-
+    text group's keeper; near dups = exact-survivors dropped as non-
+    minimum members of an LSH connected component (the llm pipeline's
+    own drop sets, so the rates describe exactly what the pipeline
+    would remove).  One fingerprint groupBy + the LSH band join; counts
+    aggregate per source."""
+    from hazelcast_jet_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs, pairs_to_groups)
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = exact_dedup(docs, "text", "doc_id")
+    keep = groups.select(F.col("keep_id").alias("doc_id"))
+    surv = docs.join(keep, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(surv, "text", "doc_id", threshold=0.7)
+    near_drop = (pairs_to_groups(pairs)
+                 .filter(F.col("node") != F.col("group"))
+                 .select(F.col("node").alias("doc_id"),
+                         F.lit(1).alias("__near")))
+    flagged = (docs
+               .join(keep.withColumn("__keep", F.lit(1)), "doc_id", "left")
+               .join(near_drop, "doc_id", "left"))
+    n_exact = F.sum(F.when(F.col("__keep").isNull(), 1).otherwise(0))
+    n_near = F.sum(F.coalesce(F.col("__near"), F.lit(0)))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 n_exact.cast("bigint").alias("n_exact_dup"),
+                 n_near.cast("bigint").alias("n_near_dup"))
+            .withColumn(
+                "dup_rate",
+                F.round((F.col("n_exact_dup") + F.col("n_near_dup"))
+                        .cast("double") / F.col("n_docs").cast("double"), 6))
+            .orderBy("source"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5047,6 +5084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q9_product_profit": tpch_q9_product_profit,
+        # ---- new in r7 session tail (below the finalized window; this
+        # ---- never-green entry leads the r8 rotation) -----------------
+        "dedup_rate_by_source": dedup_rate_by_source,
     }
 
 
@@ -9050,6 +9090,60 @@ def oracle_sql() -> dict[str, str]:
             FROM stepped JOIN gcum USING (x) CROSS JOIN tot
             WHERE n_s > 0 AND t - n_s > 0
             GROUP BY s ORDER BY s
+        """,
+        "dedup_rate_by_source": f"""
+            WITH RECURSIVE keep AS (
+                SELECT min(doc_id) AS doc_id FROM (
+                    SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+                GROUP BY fp
+            ), base AS (
+                SELECT d.doc_id AS id, {_shingle_sql()} AS sh
+                FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([md5(sig[1] || '|' || sig[2]),
+                                       md5(sig[3] || '|' || sig[4]),
+                                       md5(sig[5] || '|' || sig[6]),
+                                       md5(sig[7] || '|' || sig[8])]) AS bucket,
+                       unnest(generate_series(0, 3)) AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+            ), pairs AS (
+                SELECT id_a, id_b FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(list_concat(sh_a, sh_b)))
+                                   AS DOUBLE), 6) >= 0.7
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT src AS node, src AS r FROM edges
+                UNION
+                SELECT reach.node, e.dst FROM reach
+                JOIN edges e ON reach.r = e.src
+            ), near_drop AS (
+                SELECT node AS doc_id FROM (
+                    SELECT node, min(r) AS grp FROM reach GROUP BY node)
+                WHERE node <> grp
+            )
+            SELECT d.source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dup,
+                   CAST(sum(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_near_dup,
+                   round(CAST(sum(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+                              + sum(CASE WHEN n.doc_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+            FROM documents d
+            LEFT JOIN keep k ON d.doc_id = k.doc_id
+            LEFT JOIN near_drop n ON d.doc_id = n.doc_id
+            GROUP BY d.source ORDER BY d.source
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

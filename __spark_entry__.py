@@ -4821,6 +4821,42 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+BUDGET_SAMPLE_CHARS = 3000
+
+
+def budget_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (sampling.budget_sample): walk
+    each source in md5 order and keep docs while the running char mass
+    before the row is under the budget (crossing row included — the
+    pack/top-mass convention).  The selection step that CONSUMES a
+    waterfill allocation: uniform content, integer-only keep predicate,
+    one stratum exchange."""
+    from hazelcast_jet_spark.operators.sampling import budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = budget_sample(d, stratum_col="source", weight_col="n_chars",
+                         budget=BUDGET_SAMPLE_CHARS, key_col="doc_id",
+                         seed="bs7-")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").cast("bigint").alias("chars_kept"))
+            .orderBy("source"))
+
+
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label (clustering.
+    embedding_centroid_drift): L2 distance between the DECIMAL-exact
+    mean vectors of the even-id and odd-id halves — the vector twin of
+    the scalar drift family.  One bounded (label, half, dim) aggregate
+    to the driver; the distance folds squared diffs in dim order so
+    the oracle replays it term for term."""
+    from hazelcast_jet_spark.operators.clustering import (
+        embedding_centroid_drift)
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5087,6 +5123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in r7 session tail (below the finalized window; this
         # ---- never-green entry leads the r8 rotation) -----------------
         "dedup_rate_by_source": dedup_rate_by_source,
+        "budget_sample_docs": budget_sample_docs,
+        "embedding_drift_labels": embedding_drift_labels,
     }
 
 
@@ -9144,6 +9182,57 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN keep k ON d.doc_id = k.doc_id
             LEFT JOIN near_drop n ON d.doc_id = n.doc_id
             GROUP BY d.source ORDER BY d.source
+        """,
+        "budget_sample_docs": """
+            WITH r AS (
+                SELECT source, doc_id, n_chars,
+                       substr(md5('bs7-' || CAST(doc_id AS VARCHAR)), 1, 6)
+                           AS h
+                FROM documents
+            ), c AS (
+                SELECT source, n_chars,
+                       COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS prior
+                FROM r
+            )
+            SELECT source, count(*) AS n_kept,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+            FROM c WHERE prior < 3000
+            GROUP BY source ORDER BY source
+        """,
+        "embedding_drift_labels": """
+            WITH ex AS (
+                SELECT label, CAST(vec_id % 2 = 0 AS INT) AS ev,
+                       CAST(pos AS INT) AS pos, CAST(v AS DOUBLE) AS v
+                FROM (SELECT vec_id, label, unnest(embedding) AS v,
+                             unnest(generate_series(0, len(embedding) - 1))
+                                 AS pos
+                      FROM embeddings)
+            ), s AS (
+                SELECT label, ev, pos,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / count(*) AS m,
+                       count(*) AS n
+                FROM ex GROUP BY 1, 2, 3
+            ), lists AS (
+                SELECT label,
+                       list(m ORDER BY pos) FILTER (WHERE ev = 1) AS la,
+                       list(m ORDER BY pos) FILTER (WHERE ev = 0) AS lb,
+                       any_value(n) FILTER (WHERE ev = 1) AS n_even,
+                       any_value(n) FILTER (WHERE ev = 0) AS n_odd
+                FROM s GROUP BY label
+            )
+            SELECT label,
+                   CAST(COALESCE(n_even, 0) AS BIGINT) AS n_even,
+                   CAST(COALESCE(n_odd, 0) AS BIGINT) AS n_odd,
+                   CASE WHEN n_even IS NOT NULL AND n_odd IS NOT NULL THEN
+                       round(sqrt(list_sum(list_transform(
+                           list_zip(la, lb),
+                           x -> (x[1] - x[2]) * (x[1] - x[2])))), 6) + 0.0
+                   END AS drift
+            FROM lists ORDER BY label
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

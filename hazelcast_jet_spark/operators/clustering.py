@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
-__all__ = ["kmeans_fit", "kmeans_assign", "l2_assign",
-           "train_ivf_centroids", "pca_fit", "pca_project"]
+__all__ = ["kmeans_fit", "kmeans_fit_unrolled", "kmeans_assign",
+           "l2_assign", "train_ivf_centroids", "pca_fit", "pca_project",
+           "embedding_centroid_drift"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -727,3 +728,62 @@ def anova_f_per_dim(df: DataFrame, vec_col: str = "embedding",
         "pos", F.col("n"), F.col("g"),
         F.round(F.when(ssw > 0, f), round_digits).alias("f_stat"),
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-space drift monitor per label: the L2 distance between
+    the exact mean vectors of two deterministic halves of the data
+    (even vs odd ids — swap in time/batch for production) — the vector
+    twin of the scalar drift family (ks/psi/w1): "has this class's
+    representation moved?".
+
+    Centroid sums accumulate as DECIMAL(38,12) per (label, half, dim)
+    — order-free, one bounded aggregate (labels × 2 × dims rows to the
+    driver, the bounded-seed collect pattern); the distance folds the
+    per-dim squared differences in dim order with plain IEEE doubles,
+    so an oracle replays it term for term.
+
+    Returns ``(label, n_even, n_odd, drift)`` (NULL drift when a half
+    is empty).
+    """
+    half = (F.col(id_col) % 2 == 0).cast("int").alias("__even")
+    sums = (df.select(F.col(label_col).alias("__l"), half,
+                      F.posexplode(F.col(vec_col).cast("array<double>"))
+                      .alias("__p", "__v"))
+            .groupBy("__l", "__even", "__p")
+            .agg(F.sum(F.col("__v").cast("decimal(38,12)")).alias("__s"),
+                 F.count(F.lit(1)).alias("__n"))
+            .collect())
+    by_label: dict = {}
+    for r in sums:
+        d = by_label.setdefault(r["__l"], {0: {}, 1: {}})
+        d[r["__even"]][r["__p"]] = (float(r["__s"]) / r["__n"], r["__n"])
+    rows = []
+    for label in sorted(by_label):
+        halves = by_label[label]
+        n_even = next(iter(halves[1].values()))[1] if halves[1] else 0
+        n_odd = next(iter(halves[0].values()))[1] if halves[0] else 0
+        if halves[0] and halves[1]:
+            import math
+
+            acc = 0.0
+            for p in sorted(halves[1]):
+                diff = halves[1][p][0] - halves[0][p][0]
+                acc = acc + diff * diff
+            # math.sqrt, not **0.5: sqrt is correctly rounded in every
+            # engine (pow(x, 0.5) carries no such guarantee)
+            drift = round(math.sqrt(acc), round_digits) + 0.0
+        else:
+            drift = None
+        rows.append((label, n_even, n_odd, drift))
+    spark = df.sparkSession
+    label_t = dict(df.dtypes)[label_col]
+    return spark.createDataFrame(
+        rows, f"label {label_t}, n_even bigint, n_odd bigint, drift double") \
+        .orderBy("label")

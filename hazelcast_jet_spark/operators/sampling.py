@@ -580,3 +580,40 @@ def top_mass_selection(
                     round_digits).alias("kept_frac"))
         .orderBy(group_col)
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    budget: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum BUDGET sampling: walk each stratum's
+    rows in md5(seed||key) order (a reproducible uniform shuffle) and
+    keep rows while the running weight BEFORE the row is under
+    ``budget`` — the crossing row is included (the pack/top-mass
+    crossing convention), so every non-empty stratum yields at least
+    one row and the kept mass is >= min(budget, stratum mass).
+
+    This is the selection step that CONSUMES a per-source token budget
+    (e.g. :func:`waterfill_allocation`'s output): where
+    ``stratified_sample`` keeps a fixed FRACTION of rows and
+    ``top_mass_selection`` keeps the biggest-first mass prefix, this
+    keeps a budget's worth of UNIFORMLY drawn content.
+
+    One exchange on the stratum; the running sum is exact BIGINT; the
+    keep predicate is integer-only (no float boundary).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    order = _hash_prefix(F.col(key_col), seed)
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(order, F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum(F.col(weight_col).cast("bigint")).over(w),
+                       F.lit(0).cast("bigint"))
+    return (df.withColumn("__prior", prior)
+            .filter(F.col("__prior") < budget)
+            .drop("__prior"))

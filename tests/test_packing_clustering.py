@@ -443,3 +443,23 @@ def test_kmeans_fit_unrolled_needs_k_rows(spark):
         [(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         kmeans_fit_unrolled(df, k=3)
+
+
+def test_embedding_centroid_drift_planted(spark):
+    """A label whose odd half is shifted by delta in one dim drifts by
+    exactly delta; an unshifted label drifts 0."""
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, "same", [1.0, 2.0]))        # even ids
+        rows.append((i * 2 + 1, "same", [1.0, 2.0]))    # odd ids
+        rows.append((1000 + i * 2, "moved", [1.0, 2.0]))
+        rows.append((1001 + i * 2, "moved", [4.0, 2.0]))  # odd shifted +3
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+    from hazelcast_jet_spark.operators.clustering import (
+        embedding_centroid_drift)
+
+    out = {r["label"]: r for r in embedding_centroid_drift(df).collect()}
+    assert out["same"]["drift"] == 0.0
+    assert out["moved"]["drift"] == 3.0
+    assert out["moved"]["n_even"] == 20 and out["moved"]["n_odd"] == 20

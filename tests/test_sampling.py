@@ -421,3 +421,26 @@ def test_bootstrap_sums_matches_hashlib_replay_and_estimates_se(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bootstrap_sums(df, "v", "id", n_reps=1)
+
+
+def test_budget_sample_crossing_and_determinism(spark):
+    """budget_sample keeps rows while the PRIOR mass is under budget
+    (crossing row included), walks in md5 order (partition-independent),
+    and every non-empty stratum yields at least one row."""
+    from hazelcast_jet_spark.operators.sampling import budget_sample
+
+    rows = [("a", i, 100) for i in range(10)] + [("b", 100, 999)]
+    df = spark.createDataFrame(rows, "src string, k long, w long")
+    kept = budget_sample(df, "src", "w", budget=250, key_col="k",
+                         seed="t-")
+    got = kept.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    assert by["a"] == 3          # 100+100 prior < 250 -> third row crosses
+    assert by["b"] == 1          # oversized single row still kept
+    again = budget_sample(df.repartition(7), "src", "w", budget=250,
+                          key_col="k", seed="t-")
+    assert sorted(r["k"] for r in kept.collect()) == \
+        sorted(r["k"] for r in again.collect())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        budget_sample(df, "src", "w", budget=0, key_col="k")

@@ -133,3 +133,14 @@ lab = scored.join(docs.select("doc_id", "lang"), "doc_id") \
     .select("score", (F.col("lang") == "en").alias("y"))
 print("classifier calibration bins (ECE = sum of w_abs_gap):")
 calibration_bins(lab, "score", "y", n_bins=10, lo=-15.0, hi=15.0).show()
+
+# consume a budget: per-source token-budget sampling in md5 order —
+# the selection step a waterfill allocation feeds
+from hazelcast_jet_spark.operators.sampling import budget_sample  # noqa: E402
+
+kept = budget_sample(docs, stratum_col="source", weight_col="n_chars",
+                     budget=2000, key_col="doc_id", seed="sel-")
+print("per-source kept docs under a 2000-char budget:")
+kept.groupBy("source").agg(
+    F.count(F.lit(1)).alias("n_kept"),
+    F.sum("n_chars").alias("chars_kept")).orderBy("source").show(5)

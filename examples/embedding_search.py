@@ -127,3 +127,10 @@ from hazelcast_jet_spark.operators.clustering import kmeans_fit_unrolled
 cent_u, assigned_u = kmeans_fit_unrolled(emb, k=4, iters=2)
 print("replayable 2-iteration k-means cluster sizes:")
 assigned_u.groupBy("cluster").count().orderBy("cluster").show()
+
+# representation drift: has any label's centroid moved between the two
+# deterministic halves of the data?
+from hazelcast_jet_spark.operators.clustering import embedding_centroid_drift
+
+print("per-label centroid drift (even vs odd ids):")
+embedding_centroid_drift(emb).show(5)

@@ -4857,6 +4857,63 @@ def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroid_drift(e)
 
 
+def event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival spacing profile: per event type, exact p50/p90 of
+    the seconds since the user's previous event (gap assigned to the
+    LATER event's type) — the arrival-latency shape behind alerting
+    thresholds.  One keyed window exchange for the gaps; percentiles
+    aggregate the tiny (type, gap) projection; tz-free integer-second
+    gaps."""
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = _epoch_seconds(e, "ts")
+    gaps = (e.withColumn("__gap", sec - F.lag(sec, 1).over(w))
+            .filter(F.col("__gap").isNotNull()))
+    return (gaps.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.percentile(F.col("__gap"), F.lit(0.5)), 6)
+                 .alias("p50_gap_s"),
+                 F.round(F.percentile(F.col("__gap"), F.lit(0.9)), 6)
+                 .alias("p90_gap_s"),
+                 F.max("__gap").cast("bigint").alias("max_gap_s"))
+            .orderBy("event_type"))
+
+
+PREFIX_DUP_CHARS = 24
+
+
+def prefix_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate groups (dedup.prefix_dup_stats): docs
+    whose normalized text opens with the same 24 chars — boilerplate
+    headers and mirrored templates that body-level similarity dilutes.
+    One substring groupBy."""
+    from hazelcast_jet_spark.operators.dedup import prefix_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_dup_stats(d, prefix_chars=PREFIX_DUP_CHARS,
+                            source_col="source")
+
+
+def user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity distribution in one row: user count and exact
+    p50/p90/p99 + max of events-per-user — the engagement-shape /
+    bot-screening profile (a heavy top tail with a low median = a few
+    hyperactive keys about to skew every per-user aggregate).  One
+    keyed count + one percentile aggregate over the tiny per-user
+    table."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("__n"))
+    x = F.col("__n")
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.percentile(x, F.lit(0.5)), 6).alias("p50_events"),
+        F.round(F.percentile(x, F.lit(0.9)), 6).alias("p90_events"),
+        F.round(F.percentile(x, F.lit(0.99)), 6).alias("p99_events"),
+        F.max(x).cast("bigint").alias("max_events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5125,6 +5182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": dedup_rate_by_source,
         "budget_sample_docs": budget_sample_docs,
         "embedding_drift_labels": embedding_drift_labels,
+        "event_gap_percentiles": event_gap_percentiles,
+        "prefix_dup_docs": prefix_dup_docs,
+        "user_activity_stats": user_activity_stats,
     }
 
 
@@ -9233,6 +9293,41 @@ def oracle_sql() -> dict[str, str]:
                            x -> (x[1] - x[2]) * (x[1] - x[2])))), 6) + 0.0
                    END AS drift
             FROM lists ORDER BY label
+        """,
+        "event_gap_percentiles": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+                   round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
+                   CAST(max(gap) AS BIGINT) AS max_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "prefix_dup_docs": f"""
+            SELECT substr({_NORM}, 1, 24) AS prefix,
+                   count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+            ORDER BY prefix
+        """,
+        "user_activity_stats": """
+            WITH per_user AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY 1
+            )
+            SELECT count(*) AS n_users,
+                   round(quantile_cont(n, 0.5), 6) AS p50_events,
+                   round(quantile_cont(n, 0.9), 6) AS p90_events,
+                   round(quantile_cont(n, 0.99), 6) AS p99_events,
+                   CAST(max(n) AS BIGINT) AS max_events
+            FROM per_user
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

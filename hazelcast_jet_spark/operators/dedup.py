@@ -1376,3 +1376,32 @@ def dedup_group_quality(
                 / F.count(F.lit(1)), round_digits).alias("mean_sim"))
     return (sizes.join(estats, "group_id")
             .orderBy("group_id"))
+
+
+def prefix_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 24,
+    source_col: str | None = None,
+) -> DataFrame:
+    """Shared-prefix duplicate detection: documents whose normalized
+    text starts with the same ``prefix_chars`` characters — the crawl-
+    artifact signal (boilerplate headers, mirrored templates) that
+    whole-document fingerprints miss when tails differ and shingle
+    methods dilute across a long body.
+
+    One substring projection + one hash groupBy; emits only groups with
+    more than one document.  Returns ``(prefix, n_docs[, n_sources])``.
+    """
+    if prefix_chars < 1:
+        raise ValueError("prefix_chars must be >= 1")
+    from .text import normalize_text
+
+    pre = F.substring(normalize_text(text_col), 1, prefix_chars)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if source_col is not None:
+        aggs.append(F.count_distinct(F.col(source_col)).alias("n_sources"))
+    return (df.groupBy(pre.alias("prefix")).agg(*aggs)
+            .filter(F.col("n_docs") > 1)
+            .orderBy("prefix"))

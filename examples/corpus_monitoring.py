@@ -308,3 +308,16 @@ from hazelcast_jet_spark.operators.profile import source_ks_matrix  # noqa: E402
 print("per-source one-vs-rest KS over doc length:")
 source_ks_matrix(docs, "n_chars", "source") \
     .orderBy(F.desc("ks_stat")).show(5)
+
+# 33. arrival spacing + engagement shape + boilerplate prefixes
+from hazelcast_jet_spark.operators.dedup import prefix_dup_stats  # noqa: E402
+
+print("shared-prefix doc groups (boilerplate suspects):")
+prefix_dup_stats(docs, prefix_chars=24, source_col="source").show(5)
+
+print("events-per-user distribution:")
+events.groupBy("user_id").count() \
+    .agg(F.count(F.lit(1)).alias("n_users"),
+         F.expr("percentile(count, 0.5)").alias("p50"),
+         F.expr("percentile(count, 0.99)").alias("p99"),
+         F.max("count").alias("max")).show()

@@ -8678,10 +8678,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM ranked
             )
             SELECT CAST(n AS BIGINT) AS n_terms,
-                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
-                       AS slope,
-                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                         / n, 6) + 0.0 AS intercept
+                   CASE WHEN n > 1 THEN
+                       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       + 0.0 END AS slope,
+                   CASE WHEN n > 1 THEN
+                       round((sy - ((n * sxy - sx * sy)
+                                    / (n * sxx - sx * sx)) * sx)
+                             / n, 6) + 0.0 END AS intercept
             FROM m
         """,
         "markov_next_event_accuracy": f"""
@@ -8874,7 +8877,8 @@ def oracle_sql() -> dict[str, str]:
                        (abs(e.value - t.med) > 3.0 * d.mad) AS f_mad,
                        (e.value < t.q1 - 1.5 * (t.q3 - t.q1)
                         OR e.value > t.q3 + 1.5 * (t.q3 - t.q1)) AS f_iqr,
-                       (abs(e.value - round(t.s / CAST(t.n AS DOUBLE), 6))
+                       (t.n > 1 AND
+                        abs(e.value - round(t.s / CAST(t.n AS DOUBLE), 6))
                         > 3.0 * round(sqrt(greatest(
                               (t.s2 - t.s * t.s / CAST(t.n AS DOUBLE))
                               / (CAST(t.n AS DOUBLE) - 1.0), 0.0)), 6))
@@ -9089,10 +9093,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT key, n_buckets,
                    round(s / CAST(n_buckets AS DOUBLE), 6) AS mean_count,
-                   round(greatest((s2 - s * s / CAST(n_buckets AS DOUBLE))
-                                  / (CAST(n_buckets AS DOUBLE) - 1.0), 0.0),
-                         6) + 0.0 AS var_count,
-                   CASE WHEN s / CAST(n_buckets AS DOUBLE) > 0
+                   CASE WHEN n_buckets > 1
+                        THEN round(greatest(
+                                 (s2 - s * s / CAST(n_buckets AS DOUBLE))
+                                 / (CAST(n_buckets AS DOUBLE) - 1.0), 0.0),
+                                 6) + 0.0
+                   END AS var_count,
+                   CASE WHEN n_buckets > 1
+                             AND s / CAST(n_buckets AS DOUBLE) > 0
                         THEN round(greatest(
                                  (s2 - s * s / CAST(n_buckets AS DOUBLE))
                                  / (CAST(n_buckets AS DOUBLE) - 1.0), 0.0)

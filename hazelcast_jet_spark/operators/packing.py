@@ -95,6 +95,17 @@ def pack_greedy(
 
     if parts:
         return df.groupBy(*parts).applyInPandas(_pack, schema=out_schema)
+    # A global pack is a single sequential task by construction.  Silently
+    # serializing a large input is a scale hazard, so be loud about it:
+    # the caller should pass partition_cols (pack per shard/source).
+    if df.rdd.getNumPartitions() > 1:
+        import warnings
+
+        warnings.warn(
+            "pack_greedy without partition_cols collapses a "
+            f"{df.rdd.getNumPartitions()}-partition input to ONE sequential "
+            "task; pass partition_cols to pack per stratum at scale",
+            ResourceWarning, stacklevel=2)
     return df.coalesce(1).groupBy().applyInPandas(_pack, schema=out_schema)
 
 

@@ -1078,7 +1078,10 @@ def outlier_ensemble(df: DataFrame, value_col: str, group_col: str,
     f_mad = F.abs(x - F.col("__med")) > F.lit(float(mad_k)) * F.col("__mad")
     f_iqr = (x < F.col("__q1") - F.lit(float(iqr_k)) * iqr) | \
             (x > F.col("__q3") + F.lit(float(iqr_k)) * iqr)
-    f_z = F.abs(x - mean) > F.lit(float(z_k)) * std
+    # n == 1 makes the sample variance 0/0 (NaN semantics diverge between
+    # engines): a singleton group is explicitly never a z-outlier on both
+    # sides (the oracle carries the matching n > 1 conjunct).
+    f_z = (F.col("__n") > 1) & (F.abs(x - mean) > F.lit(float(z_k)) * std)
     return (
         j.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"),

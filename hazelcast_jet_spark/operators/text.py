@@ -1251,10 +1251,16 @@ def zipf_fit(
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = num / den
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    # a single-term corpus has den == 0 (0/0 NaN diverges between
+    # engines): slope/intercept are explicitly NULL below 2 points on
+    # both sides (the oracle carries the matching CASE WHEN n > 1).
+    fit_ok = F.col("n") > 1
     return g.select(
         F.col("n").cast("bigint").alias("n_terms"),
-        (F.round(slope, round_digits) + F.lit(0.0)).alias("slope"),
-        (F.round(intercept, round_digits) + F.lit(0.0)).alias("intercept"))
+        F.when(fit_ok, F.round(slope, round_digits) + F.lit(0.0))
+        .alias("slope"),
+        F.when(fit_ok, F.round(intercept, round_digits) + F.lit(0.0))
+        .alias("intercept"))
 
 
 def vocab_coverage_curve(

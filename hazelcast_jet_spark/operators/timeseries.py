@@ -834,7 +834,12 @@ def markov_holdout_accuracy(
     return (
         scored.groupBy("from_type", "predicted")
         .agg(F.count(F.lit(1)).alias("n_test"),
-             F.sum((F.col("to_type") == F.col("predicted")).cast("bigint"))
+             # coalesce: a test from_type unseen in training has predicted
+             # NULL, so the equality is NULL for every row and a bare SUM
+             # would return NULL where the oracle's CASE WHEN scores 0.
+             F.sum(F.coalesce(
+                 (F.col("to_type") == F.col("predicted")).cast("bigint"),
+                 F.lit(0)))
              .alias("n_correct"))
         .withColumn(
             "accuracy",
@@ -878,7 +883,12 @@ def burstiness(
     s = F.col("__s").cast("double")
     s2 = F.col("__s2").cast("double")
     mean = s / n
-    var = F.greatest((s2 - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+    # n_buckets == 1 would divide by zero: Spark returns NULL but DuckDB
+    # returns inf/NaN — make the sample variance explicitly NULL on both
+    # sides (the oracle carries the matching CASE WHEN n_buckets > 1).
+    var = F.when(
+        F.col("n_buckets") > 1,
+        F.greatest((s2 - s * s / n) / (n - F.lit(1.0)), F.lit(0.0)))
     return g.select(
         "key", "n_buckets",
         F.round(mean, round_digits).alias("mean_count"),

@@ -3712,3 +3712,78 @@ def test_hll_merge_equals_global_sketch(spark):
     direct = {(r["hll_reg"], r["hll_rho"]) for r in
               hll_build(df, "u", [], p=4).collect()}
     assert merged == direct
+
+
+def test_markov_holdout_unseen_from_type_scores_zero(spark):
+    """A test-period from_type never seen in training has no prediction:
+    predicted is NULL and n_correct/accuracy are 0 (not NULL) — matching
+    the oracle's CASE WHEN scoring (ADVICE r7)."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        markov_holdout_accuracy)
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(i, ty):
+        return (i, t0 + dt.timedelta(minutes=i), 1, ty)
+
+    rows = [row(1, "a"), row(2, "b"),           # train: a->b
+            row(3, "z"), row(4, "q")]           # test: b->z, z->q (both unseen)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    split = t0 + dt.timedelta(minutes=2, seconds=30)
+    out = {r["from_type"]: r for r in
+           markov_holdout_accuracy(df, split_ts=split).collect()}
+    assert out["z"]["predicted"] is None
+    assert out["z"]["n_test"] == 1
+    assert out["z"]["n_correct"] == 0
+    assert out["z"]["accuracy"] == 0.0
+
+
+def test_burstiness_single_bucket_null_variance(spark):
+    """n_buckets == 1: sample variance is undefined — explicitly NULL on
+    both engine and oracle (ADVICE r7: Spark NULL vs DuckDB NaN/inf)."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("solo", t0 + dt.timedelta(minutes=i)) for i in range(7)]
+    rows += [("multi", t0 + dt.timedelta(days=d)) for d in range(3)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r["key"]: r for r in burstiness(df).collect()}
+    assert out["solo"]["n_buckets"] == 1
+    assert out["solo"]["mean_count"] == 7.0
+    assert out["solo"]["var_count"] is None
+    assert out["solo"]["fano"] is None
+    assert out["multi"]["var_count"] == 0.0
+
+
+def test_zipf_fit_single_term_null_slope(spark):
+    """A one-term vocabulary cannot support an OLS fit: slope/intercept
+    are explicitly NULL (den = 0 would be engine-divergent 0/0)."""
+    from hazelcast_jet_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "word word word"), (2, "word")], ["doc_id", "text"])
+    out = zipf_fit(df, top_n=10).collect()[0]
+    assert out["n_terms"] == 1
+    assert out["slope"] is None
+    assert out["intercept"] is None
+
+
+def test_outlier_ensemble_singleton_group(spark):
+    """A group with one row: no detector can flag its only point — all
+    counts 0 (the z-detector is guarded against the 0/0 variance)."""
+    from hazelcast_jet_spark.operators.profile import outlier_ensemble
+
+    rows = [("one", 42.0)] + [("many", float(v))
+                              for v in (1, 2, 3, 4, 5, 100)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in outlier_ensemble(df, "v", "g").collect()}
+    assert out["one"]["n"] == 1
+    assert out["one"]["n_mad"] == 0 and out["one"]["n_iqr"] == 0
+    assert out["one"]["n_z"] == 0 and out["one"]["n_any"] == 0
+    assert out["many"]["n_any"] >= 1      # 100 is an outlier by MAD/IQR

@@ -463,3 +463,27 @@ def test_embedding_centroid_drift_planted(spark):
     assert out["same"]["drift"] == 0.0
     assert out["moved"]["drift"] == 3.0
     assert out["moved"]["n_even"] == 20 and out["moved"]["n_odd"] == 20
+
+
+def test_pack_greedy_global_warns_on_multi_partition(spark):
+    """pack_greedy without partition_cols serializes the whole input into
+    one task — it must say so loudly instead of silently coalescing."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [("a", i, 10) for i in range(20)],
+        "source string, doc_id long, tok long").repartition(4)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = packing.pack_greedy(df, "tok", budget=100,
+                                  order_col="doc_id").collect()
+    assert any("pack_greedy without partition_cols" in str(w.message)
+               for w in rec)
+    assert len(out) == 20
+    # single-partition input stays quiet
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        packing.pack_greedy(df.coalesce(1), "tok", budget=100,
+                            order_col="doc_id").collect()
+    assert not [w for w in rec2
+                if "pack_greedy without partition_cols" in str(w.message)]

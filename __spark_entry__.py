@@ -4920,80 +4920,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so that every query needing driver verification sits inside the
-    correctness gate's 50-entry window.  r7 ordering: the single r6 red
-    row first (embedding_standardize_stats — its signed-zero fix landed
-    this round), then the 13 session-7 queries that were registered
-    below the finalized r6 boundary and have never been driver-checked,
-    then new r7 queries as they land, then the 14 stale r4-green refresh
-    entries flagged in NOTES_r6's handoff, with r5-green single-row
-    entries (oldest first) filling the window to 50.  Everything below
-    the boundary has an r5/r6 green row; the r6 window rotated to the
-    back (its rows are the freshest).  bench.py still runs every entry,
-    so perf coverage is unaffected by the order.
+    """Ordered so that every query needing driver verification sits inside
+    the correctness gate's 50-entry window.  r8 ordering: the six r7-tail
+    queries registered below the finalized r7 window lead (never
+    driver-checked), then new r8 queries as they land, then the r5-green
+    single-row cohort (the stalest class — their only green row is from
+    r5; ADVICE r7 established they were OUTSIDE the r7 window despite its
+    comments) fills to 50 in registry order.  The r2/r3/r4 two-green
+    cohorts queue below the boundary for the r9/r10 rotations, oldest
+    first.  bench.py still runs every entry, so perf coverage is
+    unaffected by the order.
     """
     return {
-        # ==== r7 window (first 50 = the driver correctness gate) =========
-        # The r6 red row leads (embedding_standardize_stats — signed-zero
-        # fix landed this round), then the 13 session-7 never-driver-checked
-        # queries, then new r7 queries (inserted as they land), then the 14
-        # stale r4-green refresh entries, then r5-green single-row entries
-        # oldest-first as fillers.  bench.py still runs every entry.
-        "embedding_standardize_stats": embedding_standardize_stats,
-        # -- 13 session-7 never-green (registered below the r6 boundary) --
-        "quantile_sketch_events": quantile_sketch_events,
-        "association_rules_lineitem": association_rules_lineitem,
-        "event_transition_matrix": event_transition_matrix,
-        "readability_docs": readability_docs,
-        "gini_value_orders": gini_value_orders,
-        "source_overlap_docs": source_overlap_docs,
-        "mixture_allocation_docs": mixture_allocation_docs,
-        "streaming_event_transitions": streaming_event_transitions,
-        "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
-        "hill_tail_orders": hill_tail_orders,
-        "top_mass_selection_docs": top_mass_selection_docs,
-        "source_divergence_docs": source_divergence_docs,
-        "classifier_calibration_docs": classifier_calibration_docs,
-        # -- new r7 queries insert HERE (before the r4-stale refresh) -----
-        "ewma_event_rate": ewma_event_rate,
-        "greedy_pack_bins": greedy_pack_bins,
-        "kmeans_fit_iter_stats": kmeans_fit_iter_stats,
-        "llm_data_pipeline_counts": llm_data_pipeline_counts,
-        "multi_span_dup_stats": multi_span_dup_stats,
-        "lexical_diversity_docs": lexical_diversity_docs,
-        "heaps_vocab_growth": heaps_vocab_growth,
-        "zipf_slope_terms": zipf_slope_terms,
-        "markov_next_event_accuracy": markov_next_event_accuracy,
-        "item_similarity_parts": item_similarity_parts,
-        "minhash_estimate_error": minhash_estimate_error,
-        "hll_daily_rollup": hll_daily_rollup,
-        "outlier_ensemble_events": outlier_ensemble_events,
-        "quantile_bins_orders": quantile_bins_orders,
-        "streaming_hll_cardinality": streaming_hll_cardinality,
-        "dedup_group_quality_docs": dedup_group_quality_docs,
-        "vocab_coverage_docs": vocab_coverage_docs,
-        "burstiness_events": burstiness_events,
-        "lorenz_curve_orders": lorenz_curve_orders,
-        "langid_confusion_docs": langid_confusion_docs,
-        "source_length_ks": source_length_ks,
-        # -- 14 stale r4-green refresh entries ----------------------------
-        "tpch_q11_important_stock": tpch_q11_important_stock,
-        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
-        "tpch_q15_top_supplier": tpch_q15_top_supplier,
-        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
-        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
-        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
-        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
-        "table_profile": table_profile,
-        "value_histogram": value_histogram,
-        "sliding_agg_incremental": sliding_agg_incremental,
-        "sliding_distinct_users": sliding_distinct_users,
-        "user_sessions": user_sessions,
-        "asof_join_tolerance": asof_join_tolerance,
-        "incremental_minhash_dedup": incremental_minhash_dedup,
-        # -- r5-green single-row cohort, oldest first (window fillers; ----
-        # -- entries 29-50 complete the gate window) ----------------------
-        "dq_checks_orders": dq_checks_orders,
+        # ==== r8 window (first 50 = the driver correctness gate) =========
+        # -- 6 r8 leads: registered after the r7 window froze; never
+        # -- driver-checked (mirror-green at sf0.01 + sf0.1) --------------
+        "dedup_rate_by_source": dedup_rate_by_source,
+        "budget_sample_docs": budget_sample_docs,
+        "embedding_drift_labels": embedding_drift_labels,
+        "event_gap_percentiles": event_gap_percentiles,
+        "prefix_dup_docs": prefix_dup_docs,
+        "user_activity_stats": user_activity_stats,
+        # -- new r8 queries insert HERE (each pushes the boundary up) -----
+        # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
         "funnel_conversion_counts": funnel_conversion_counts,
@@ -5015,8 +4964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_stats": multimodal_audio_stats,
         "multimodal_image_stats": multimodal_image_stats,
         "pq_encode_stats": pq_encode_stats,
-        # ===== driver window boundary: everything below has a green row ===
-        # ===== from r5/r6 (the r6 window rotated to the back: freshest) ===
         "temperature_sample_counts": temperature_sample_counts,
         "cohort_retention_counts": cohort_retention_counts,
         "count_min_estimates": count_min_estimates,
@@ -5039,6 +4986,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "embedding_standardize_stats": embedding_standardize_stats,
+        # ===== driver window boundary: entry 50 is the last line above ===
+        # ===== (recompute at round close — every new r8 query above    ===
+        # ===== moves this boundary up by one).  Everything below has a ===
+        # ===== green r4-r7 row; r2/r3/r4 cohorts queue for r9+ rotation ==
+        "quantile_sketch_events": quantile_sketch_events,
+        "association_rules_lineitem": association_rules_lineitem,
+        "event_transition_matrix": event_transition_matrix,
+        "readability_docs": readability_docs,
+        "gini_value_orders": gini_value_orders,
+        "source_overlap_docs": source_overlap_docs,
+        "mixture_allocation_docs": mixture_allocation_docs,
+        "streaming_event_transitions": streaming_event_transitions,
+        "rbo_rank_similarity_emb": rbo_rank_similarity_emb,
+        "hill_tail_orders": hill_tail_orders,
+        "top_mass_selection_docs": top_mass_selection_docs,
+        "source_divergence_docs": source_divergence_docs,
+        "classifier_calibration_docs": classifier_calibration_docs,
+        "ewma_event_rate": ewma_event_rate,
+        "greedy_pack_bins": greedy_pack_bins,
+        "kmeans_fit_iter_stats": kmeans_fit_iter_stats,
+        "llm_data_pipeline_counts": llm_data_pipeline_counts,
+        "multi_span_dup_stats": multi_span_dup_stats,
+        "lexical_diversity_docs": lexical_diversity_docs,
+        "heaps_vocab_growth": heaps_vocab_growth,
+        "zipf_slope_terms": zipf_slope_terms,
+        "markov_next_event_accuracy": markov_next_event_accuracy,
+        "item_similarity_parts": item_similarity_parts,
+        "minhash_estimate_error": minhash_estimate_error,
+        "hll_daily_rollup": hll_daily_rollup,
+        "outlier_ensemble_events": outlier_ensemble_events,
+        "quantile_bins_orders": quantile_bins_orders,
+        "streaming_hll_cardinality": streaming_hll_cardinality,
+        "dedup_group_quality_docs": dedup_group_quality_docs,
+        "vocab_coverage_docs": vocab_coverage_docs,
+        "burstiness_events": burstiness_events,
+        "lorenz_curve_orders": lorenz_curve_orders,
+        "langid_confusion_docs": langid_confusion_docs,
+        "source_length_ks": source_length_ks,
+        "tpch_q11_important_stock": tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": tpch_q12_priority_shipping,
+        "tpch_q15_top_supplier": tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": tpch_q17_small_quantity_revenue,
+        "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+        "tpch_q20_promotion_suppliers": tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
+        "table_profile": table_profile,
+        "value_histogram": value_histogram,
+        "sliding_agg_incremental": sliding_agg_incremental,
+        "sliding_distinct_users": sliding_distinct_users,
+        "user_sessions": user_sessions,
+        "asof_join_tolerance": asof_join_tolerance,
+        "incremental_minhash_dedup": incremental_minhash_dedup,
+        "dq_checks_orders": dq_checks_orders,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
         "embedding_quantize_int8": embedding_quantize_int8,
         "tpch_q18_large_orders": tpch_q18_large_orders,
@@ -5177,14 +5178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q9_product_profit": tpch_q9_product_profit,
-        # ---- new in r7 session tail (below the finalized window; this
-        # ---- never-green entry leads the r8 rotation) -----------------
-        "dedup_rate_by_source": dedup_rate_by_source,
-        "budget_sample_docs": budget_sample_docs,
-        "embedding_drift_labels": embedding_drift_labels,
-        "event_gap_percentiles": event_gap_percentiles,
-        "prefix_dup_docs": prefix_dup_docs,
-        "user_activity_stats": user_activity_stats,
     }
 
 

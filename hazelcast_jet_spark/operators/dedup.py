@@ -1035,6 +1035,14 @@ def minhash_index_probe(spark, path: str, new_docs: DataFrame,
         idx_buckets = idx_buckets.filter(F.col("epoch") < before_epoch)
         idx_shingles_raw = idx_shingles_raw.filter(
             F.col("epoch") < before_epoch)
+    tomb = _load_tombstones(spark, path, before_epoch)
+    if tomb is not None:
+        # retracted docs never candidate again; left_anti on the tiny
+        # broadcast tombstone set, applied BEFORE the bucket-popularity
+        # cap so a hot bucket shrunk by retractions can come back under it
+        idx_buckets = idx_buckets.join(F.broadcast(tomb), "id", "left_anti")
+        idx_shingles_raw = idx_shingles_raw.join(
+            F.broadcast(tomb), "id", "left_anti")
     if max_bucket is not None:
         wb = Window.partitionBy("band", "bucket")
         idx_buckets = (
@@ -1189,6 +1197,159 @@ def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
              .parquet(f"{index_path}/{sub}/epoch={batch_id}"))
     finally:
         batch_df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: tombstones + compaction
+# ---------------------------------------------------------------------------
+# A continuously-ingested LSH index (minhash_index_streaming_ingest) only
+# ever GROWS: one epoch directory of small files per micro-batch, and no
+# way to retract a document (takedowns, license revocations, corpus
+# re-curation).  These two ops close that gap with the same plain-parquet
+# discipline as the index itself — no bespoke format, no transaction log.
+
+
+def _index_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _list_epochs(spark, path: str) -> list[int]:
+    """Epoch partition numbers under ``path`` (empty if none)."""
+    fs, jvm = _index_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _load_tombstones(spark, index_path: str,
+                     before_epoch: int | None = None):
+    """The retracted-id set as a 1-column ``id`` DataFrame, or None if no
+    tombstones exist.  With ``before_epoch`` set, only tombstones written
+    at strictly-earlier epochs apply — the same replay-idempotence
+    convention as the bucket/shingle epoch filter."""
+    tpath = f"{index_path}/tombstones"
+    # a compaction that consumed every tombstone leaves the parent dir
+    # empty — reading it would fail schema inference, so require epochs
+    if not _fs_exists(spark, tpath) or not _list_epochs(spark, tpath):
+        return None
+    tomb = spark.read.parquet(tpath)
+    if before_epoch is not None and "epoch" in tomb.columns:
+        tomb = tomb.filter(F.col("epoch") < before_epoch)
+    return tomb.select("id").distinct()
+
+
+def minhash_index_retract(ids_df: DataFrame, index_path: str, epoch: int,
+                          id_col: str = "doc_id") -> None:
+    """Tombstone retracted documents (takedown / license revocation /
+    re-curation): the ids stop matching as index-side candidates on every
+    subsequent :func:`minhash_index_probe`, WITHOUT rewriting any index
+    file — the physical rows go at the next :func:`minhash_index_compact`.
+
+    ``epoch`` convention: pass the id of the LAST INGESTED batch.  A
+    tombstone takes effect for probes at strictly LATER epochs (and for
+    un-epoch-filtered probes), mirroring the bucket/shingle
+    ``before_epoch`` filter — so a replayed epoch still sees exactly the
+    index state its original run saw, and compaction up to that epoch
+    consumes the tombstone together with the data it retracts.
+    Re-running the retraction is idempotent (overwrite of the same
+    directory with the same deterministic content).
+
+    Scale shape: the tombstone set is assumed small relative to the
+    corpus (retractions are exceptional); the probe applies it as a
+    broadcast left_anti join.  A retraction wave large enough to matter
+    in the join should be followed by a compaction, which folds it into
+    the data and resets the set to empty.
+    """
+    (ids_df.select(F.col(id_col).alias("id")).distinct()
+     .write.mode("overwrite")
+     .parquet(f"{index_path}/tombstones/epoch={epoch}"))
+
+
+def minhash_index_compact(spark, index_path: str,
+                          upto_epoch: int | None = None,
+                          max_bucket: int | None = None) -> dict:
+    """Fold every epoch directory ``<= upto_epoch`` (default: all) into
+    ONE epoch directory, physically dropping tombstoned ids and
+    (optionally) permanently shedding over-popular buckets — the
+    maintenance pass a 100 TB continuous-ingest dedup index needs to keep
+    file counts bounded and takedowns actually deleted from disk.
+
+    Semantics pin (tested): probing the compacted index is EQUAL to
+    probing the uncompacted index with its tombstones applied, which in
+    turn equals a fresh :func:`minhash_index_build` over the surviving
+    documents.  ``max_bucket`` here materializes the probe-time cap: a
+    (band, bucket) group with more than ``max_bucket`` member ids is
+    boilerplate by definition and its bucket rows are dropped for good
+    (their shingle rows stay — exact-verify for OTHER buckets'
+    candidates still works).
+
+    The rewrite lands at ``epoch=<upto_epoch>`` so later epochs'
+    ``before_epoch`` replay filters still see all compacted history.
+    NOT concurrency-safe: stop the ingest stream (or run between
+    batches) — same discipline as any parquet compactor.  Consumed
+    tombstone epochs are deleted; tombstones written at later epochs
+    survive untouched.
+
+    Returns ``{"epochs_compacted": n, "target_epoch": e,
+    "ids_dropped": n_tombstoned}``.
+    """
+    bucket_epochs = _list_epochs(spark, f"{index_path}/buckets")
+    if not bucket_epochs:
+        raise ValueError(
+            f"no epoch directories under {index_path}/buckets — compaction "
+            "only applies to the epoch layout (build with epoch=, or via "
+            "the streaming ingest)")
+    if upto_epoch is None:
+        upto_epoch = bucket_epochs[-1]
+    todo = [e for e in bucket_epochs if e <= upto_epoch]
+    tomb_epochs = [e for e in _list_epochs(spark, f"{index_path}/tombstones")
+                   if e <= upto_epoch]
+    tomb = None
+    n_dropped = 0
+    if tomb_epochs:
+        tomb = (spark.read.parquet(f"{index_path}/tombstones")
+                .filter(F.col("epoch") <= upto_epoch)
+                .select("id").distinct().persist())
+        n_dropped = tomb.count()
+
+    fs, jvm = _index_fs(spark, index_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    results = {}
+    for sub in ("buckets", "shingles"):
+        df = (spark.read.parquet(f"{index_path}/{sub}")
+              .filter(F.col("epoch") <= upto_epoch).drop("epoch"))
+        if tomb is not None:
+            df = df.join(F.broadcast(tomb), "id", "left_anti")
+        if sub == "buckets" and max_bucket is not None:
+            wb = Window.partitionBy("band", "bucket")
+            df = (df.withColumn("_n", F.count(F.lit(1)).over(wb))
+                  .filter(F.col("_n") <= max_bucket).drop("_n"))
+        # write-rename dance: the target epoch dir is one of the inputs,
+        # so stage the rewrite next to the table, then swap directories
+        tmp = f"{index_path}/{sub}__compact_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        results[sub] = tmp
+    # inputs fully materialized — now swap: delete consumed epoch dirs
+    # (and consumed tombstones), move each tmp into place
+    for sub in ("buckets", "shingles"):
+        for e in todo:
+            fs.delete(hpath(f"{index_path}/{sub}/epoch={e}"), True)
+        fs.rename(hpath(results[sub]),
+                  hpath(f"{index_path}/{sub}/epoch={upto_epoch}"))
+    for e in tomb_epochs:
+        fs.delete(hpath(f"{index_path}/tombstones/epoch={e}"), True)
+    if tomb is not None:
+        tomb.unpersist()
+    return {"epochs_compacted": len(todo), "target_epoch": upto_epoch,
+            "ids_dropped": n_dropped}
 
 
 def source_overlap(

@@ -3787,3 +3787,77 @@ def test_outlier_ensemble_singleton_group(spark):
     assert out["one"]["n_mad"] == 0 and out["one"]["n_iqr"] == 0
     assert out["one"]["n_z"] == 0 and out["one"]["n_any"] == 0
     assert out["many"]["n_any"] >= 1      # 100 is an outlier by MAD/IQR
+
+
+def test_minhash_index_retract_and_compact_equal_rebuild(spark, sf_dir, tmp_path):
+    """Index-maintenance contract: (a) after tombstoning, probing the
+    uncompacted index equals probing a fresh index built from only the
+    surviving docs; (b) compaction preserves that result bit-for-bit
+    while physically folding the epoch dirs and consuming the
+    tombstones."""
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=8, bands=4, k=3)
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    for e in (0, 1, 2):                      # 3 ingest epochs
+        dedup.ingest_epoch(d.filter(F.col("doc_id") % 4 == e), e, idx,
+                           pairs, **kw)
+    probe_docs = d.filter(F.col("doc_id") % 4 == 3)
+    # retract every fifth ingested doc, filed at the last ingested epoch
+    retract = d.filter((F.col("doc_id") % 4 != 3)
+                       & (F.col("doc_id") % 5 == 0))
+    dedup.minhash_index_retract(retract, idx, epoch=2)
+    got_tomb = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, idx, probe_docs, threshold=0.5, **kw).collect()))
+    fresh = str(tmp_path / "fresh")
+    survivors = d.filter((F.col("doc_id") % 4 != 3)
+                         & (F.col("doc_id") % 5 != 0))
+    dedup.minhash_index_build(survivors, fresh, **kw)
+    want = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, fresh, probe_docs, threshold=0.5, **kw).collect()))
+    assert got_tomb == want and len(want) > 0
+    stats = dedup.minhash_index_compact(spark, idx)
+    assert stats["epochs_compacted"] == 3
+    assert stats["target_epoch"] == 2
+    assert stats["ids_dropped"] == retract.select("doc_id").distinct().count()
+    got_compact = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, idx, probe_docs, threshold=0.5, **kw).collect()))
+    assert got_compact == want
+    assert dedup._list_epochs(spark, f"{idx}/buckets") == [2]
+    assert dedup._list_epochs(spark, f"{idx}/tombstones") == []
+
+
+def test_minhash_index_compact_max_bucket_materializes_cap(spark, tmp_path):
+    """Compacting with max_bucket permanently sheds boilerplate buckets:
+    the compacted index probes like the uncompacted one probed WITH the
+    cap, and keeps the shingle rows (exact-verify stays intact)."""
+    from hazelcast_jet_spark.operators import dedup
+
+    boiler = "the exact same boilerplate sentence repeated here " * 3
+    rows = [(i, boiler) for i in range(8)] + [
+        (100, "a genuinely unique document about spark window joins"),
+        (101, "a genuinely unique document about spark window joins")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    pairs = str(tmp_path / "pairs")
+    kw = dict(num_hashes=8, bands=4, k=3)
+    dedup.ingest_epoch(df, 0, idx, pairs, **kw)
+    probe = spark.createDataFrame(
+        [(200, boiler),
+         (201, "a genuinely unique document about spark window joins")],
+        ["doc_id", "text"])
+    want = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, idx, probe, threshold=0.5, max_bucket=4, **kw).collect()))
+    dedup.minhash_index_compact(spark, idx, max_bucket=4)
+    got = sorted(map(tuple, dedup.minhash_index_probe(
+        spark, idx, probe, threshold=0.5, **kw).collect()))
+    assert got == want
+    # the unique pair survives; the boilerplate cluster was shed
+    assert any(a == 100 or a == 101 for a, _, _ in got)
+    assert not any(a < 8 for a, _, _ in got)
+    # shingle rows for shed docs remain (exact-verify side untouched)
+    sh = spark.read.parquet(f"{idx}/shingles")
+    assert sh.filter(F.col("id") < 8).count() == 8

@@ -4914,6 +4914,21 @@ def user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(x).cast("bigint").alias("max_events"))
 
 
+def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card (profile.corpus_data_card): per-source docs/
+    tokens with corpus shares, length percentiles, exact + MinHash-LSH
+    near-dup rates, Gopher quality-pass rate and the language mix — the
+    profiling twin of the llm_data_pipeline composition gate: one oracle
+    row set pins the contracts of fingerprinting, LSH, Gopher flags and
+    the share arithmetic TOGETHER."""
+    from hazelcast_jet_spark.operators.profile import corpus_data_card
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_data_card(
+        d, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, k=SHINGLE_K,
+        near_threshold=LSH_THRESHOLD)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4942,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_docs": prefix_dup_docs,
         "user_activity_stats": user_activity_stats,
         # -- new r8 queries insert HERE (each pushes the boundary up) -----
+        "corpus_data_card_docs": corpus_data_card_docs,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -9329,6 +9345,114 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n, 0.99), 6) AS p99_events,
                    CAST(max(n) AS BIGINT) AS max_events
             FROM per_user
+        """,
+        "corpus_data_card_docs": f"""
+            WITH feats AS (
+                SELECT doc_id AS id, source, lang,
+                       length(text) AS chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS tok,
+                       md5({_NORM}) AS fp,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS n_sym,
+                       len(list_intersect(
+                           list_transform(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               t -> lower(t)),
+                           {_STOPWORDS_SQL})) AS sw_hits
+                FROM documents
+            ), quality AS (
+                SELECT id,
+                       (tok >= 20 AND tok <= 1000
+                        AND n_alpha / greatest(tok, 1) >= 3.0
+                        AND n_alpha / greatest(tok, 1) <= 10.0
+                        AND n_sym / greatest(chars, 1) <= 0.1
+                        AND sw_hits >= 2) AS q_pass
+                FROM feats
+            ), fp_counts AS (
+                SELECT fp, count(*) AS c FROM feats GROUP BY fp
+            ), base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
+                           AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.id < r.id
+            ), prs AS (
+                SELECT id_a, id_b FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(list_concat(sh_a, sh_b)))
+                                   AS DOUBLE), 6) >= {LSH_THRESHOLD}
+            ), near AS (
+                SELECT DISTINCT id FROM (
+                    SELECT id_a AS id FROM prs
+                    UNION ALL SELECT id_b AS id FROM prs)
+            ), per_src AS (
+                SELECT f.source,
+                       count(*) AS n_docs,
+                       CAST(SUM(f.tok) AS BIGINT) AS n_tokens,
+                       round(quantile_cont(f.chars, 0.5), 6) AS p50_chars,
+                       round(quantile_cont(f.chars, 0.9), 6) AS p90_chars,
+                       SUM(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END) AS n_exact,
+                       SUM(CASE WHEN near.id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS n_near,
+                       SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS n_pass,
+                       CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs
+                FROM feats f
+                JOIN fp_counts fc USING (fp)
+                JOIN quality q ON q.id = f.id
+                LEFT JOIN near ON near.id = f.id
+                GROUP BY f.source
+            ), lang_counts AS (
+                SELECT source, lang, count(*) AS n FROM feats GROUP BY 1, 2
+            ), top_lang AS (
+                SELECT source, lang AS top_lang, n AS top_n FROM (
+                    SELECT source, lang, n, row_number() OVER (
+                        PARTITION BY source ORDER BY n DESC, lang) AS rn
+                    FROM lang_counts) WHERE rn = 1
+            ), tot AS (
+                SELECT count(*) AS tot_docs,
+                       CAST(SUM(tok) AS BIGINT) AS tot_tokens
+                FROM feats
+            )
+            SELECT p.source, p.n_docs,
+                   round(CAST(p.n_docs AS DOUBLE)
+                         / CAST(t.tot_docs AS DOUBLE), 6) + 0.0 AS doc_share,
+                   p.n_tokens,
+                   round(CAST(p.n_tokens AS DOUBLE)
+                         / CAST(t.tot_tokens AS DOUBLE), 6) + 0.0
+                       AS token_share,
+                   p.p50_chars + 0.0 AS p50_chars,
+                   p.p90_chars + 0.0 AS p90_chars,
+                   round(CAST(p.n_exact AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS exact_dup_rate,
+                   round(CAST(p.n_near AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS near_dup_rate,
+                   round(CAST(p.n_pass AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS quality_pass_rate,
+                   p.n_langs, tl.top_lang,
+                   round(CAST(tl.top_n AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS top_lang_share
+            FROM per_src p
+            JOIN top_lang tl USING (source)
+            CROSS JOIN tot t
+            ORDER BY p.source
         """,
         "knn_label_noise_emb": f"""
             WITH q AS (

@@ -321,3 +321,11 @@ events.groupBy("user_id").count() \
          F.expr("percentile(count, 0.5)").alias("p50"),
          F.expr("percentile(count, 0.99)").alias("p99"),
          F.max("count").alias("max")).show()
+
+# 34. the corpus DATA CARD: the one-report-per-source summary a
+# training-data run starts from (volume + shares, length percentiles,
+# exact/near dup rates, Gopher pass rate, language mix) in one frame
+from hazelcast_jet_spark.operators.profile import corpus_data_card  # noqa: E402
+
+print("corpus data card (per source):")
+corpus_data_card(docs).show(5, truncate=False)

@@ -1244,3 +1244,130 @@ def source_ks_matrix(df: DataFrame, value_col: str, source_col: str,
                  F.first(n_rest).alias("n_rest"),
                  F.round(F.max(d), round_digits).alias("ks_stat"))
             .orderBy("source"))
+
+
+def corpus_data_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    near_threshold: float = 0.5,
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The corpus "data card" — the one-report-per-source summary every
+    training-data run starts from, composing the profiling, dedup and
+    quality operators into a single frame (the profiling twin of the
+    llm_data_pipeline transform-chain gate): per source, volume (docs +
+    whitespace tokens, with corpus shares), length percentiles, exact and
+    near duplicate rates, Gopher quality-pass rate, and the language mix
+    (distinct langs, majority lang and its share).
+
+    No reference analog (Jet users would hand-build a fan-out DAG of
+    aggregate stages per metric); extension for the 100 TB curation loop.
+
+    Scale shape: ONE corpus scan computes every per-doc feature map-side
+    (fingerprint, token count, Gopher flags); exact-dup membership is one
+    window count over the fingerprint shuffle; near-dup membership reuses
+    the banded LSH pair table (the only non-linear stage — same cost
+    class as the dedup run the card describes) reduced to a DISTINCT id
+    set that joins back as a broadcast; everything then folds in ONE
+    per-source aggregate plus a broadcast 1-row global total.  Ratios are
+    fixed-order double divisions, rounded (+0.0 normalized).
+
+    Returns per source, ordered by source::
+
+        (source, n_docs, doc_share, n_tokens, token_share,
+         p50_chars, p90_chars, exact_dup_rate, near_dup_rate,
+         quality_pass_rate, n_langs, top_lang, top_lang_share)
+    """
+    from hazelcast_jet_spark.operators.dedup import minhash_lsh_pairs
+    from hazelcast_jet_spark.operators.text import (
+        fingerprint, gopher_quality_flags, token_count)
+
+    flags = gopher_quality_flags(
+        text_col, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio)
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).alias("__chars"),
+        token_count(text_col).alias("__tok"),
+        flags["pass"].alias("__q"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    feats = feats.withColumn(
+        "__exact_dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("__fp")) > 1)
+        .cast("bigint"))
+    dup_ids = (
+        minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k,
+                          near_threshold)
+        .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .distinct()
+        .withColumn("__nd", F.lit(1)))
+    feats = (feats.join(F.broadcast(dup_ids), "id", "left")
+             .withColumn("__near_dup", F.coalesce(F.col("__nd"), F.lit(0))))
+    per_source = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.round(F.percentile(F.col("__chars"), F.lit(0.5)), round_digits)
+        .alias("p50_chars"),
+        F.round(F.percentile(F.col("__chars"), F.lit(0.9)), round_digits)
+        .alias("p90_chars"),
+        F.sum("__exact_dup").alias("__n_exact"),
+        F.sum("__near_dup").alias("__n_near"),
+        F.sum(F.col("__q").cast("bigint")).alias("__n_pass"),
+        F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+    )
+    lang_counts = feats.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("__n"))
+    wl = Window.partitionBy("source").orderBy(
+        F.col("__n").desc(), F.col("lang"))
+    top_lang = (lang_counts.withColumn("__rn", F.row_number().over(wl))
+                .filter(F.col("__rn") == 1)
+                .select("source", F.col("lang").alias("top_lang"),
+                        F.col("__n").alias("__top_n")))
+    totals = feats.agg(
+        F.count(F.lit(1)).alias("__tot_docs"),
+        F.sum("__tok").cast("bigint").alias("__tot_tokens"))
+    nd = F.col("n_docs").cast("double")
+
+    def _share(num, den):
+        return (F.round(num.cast("double") / den.cast("double"),
+                        round_digits) + F.lit(0.0))
+
+    return (
+        per_source
+        .join(F.broadcast(top_lang), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs",
+            _share(F.col("n_docs"), F.col("__tot_docs")).alias("doc_share"),
+            "n_tokens",
+            _share(F.col("n_tokens"),
+                   F.col("__tot_tokens")).alias("token_share"),
+            (F.col("p50_chars") + F.lit(0.0)).alias("p50_chars"),
+            (F.col("p90_chars") + F.lit(0.0)).alias("p90_chars"),
+            (F.round(F.col("__n_exact") / nd, round_digits)
+             + F.lit(0.0)).alias("exact_dup_rate"),
+            (F.round(F.col("__n_near") / nd, round_digits)
+             + F.lit(0.0)).alias("near_dup_rate"),
+            (F.round(F.col("__n_pass") / nd, round_digits)
+             + F.lit(0.0)).alias("quality_pass_rate"),
+            "n_langs", "top_lang",
+            (F.round(F.col("__top_n") / nd, round_digits)
+             + F.lit(0.0)).alias("top_lang_share"),
+        )
+        .orderBy("source"))

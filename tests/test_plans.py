@@ -639,3 +639,18 @@ def test_ewma_single_key_exchange(spark, sf_dir):
     plan = _plan(entry_mod.ewma_event_rate(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_data_card_broadcast_small_sides(spark, sf_dir):
+    """corpus_data_card: the dup-id set, the top-lang table and the
+    1-row global total all join back as broadcasts; no cartesian
+    product; the exact-dup membership is one window over the
+    fingerprint exchange (no per-doc self-join)."""
+    plan = _plan(entry_mod.corpus_data_card_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row totals
+    assert "Window" in plan
+    # feats side reads the fact table once; LSH legs reuse the persisted
+    # shingle base (InMemoryRelation), not extra parquet scans
+    assert "InMemoryTableScan" in plan

@@ -4914,6 +4914,72 @@ def user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(x).cast("bigint").alias("max_events"))
 
 
+def shipping_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: exact
+    p50/p90/p99 + max of (l_shipdate − o_orderdate) in days — the SLA
+    percentile report (the relational twin of event_gap_percentiles).
+    One equi-join on the order key + one percentile aggregate; the lag
+    is a calendar-day difference of NTZ timestamps (tz-free)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias("__lag"))
+    x = F.col("__lag")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.round(F.percentile(x, F.lit(0.5)), 6) + F.lit(0.0))
+        .alias("p50_lag_days"),
+        (F.round(F.percentile(x, F.lit(0.9)), 6) + F.lit(0.0))
+        .alias("p90_lag_days"),
+        (F.round(F.percentile(x, F.lit(0.99)), 6) + F.lit(0.0))
+        .alias("p99_lag_days"),
+        F.max(x).alias("max_lag_days"),
+    ).orderBy("o_orderpriority")
+
+
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (profile.rfm_segments) over orders:
+    recency/frequency/monetary ntile(5) scores per customer (score 1 =
+    best, ties break on custkey), populations + decimal-exact mean
+    monetary per (r, f, m) cell.  The oracle replays the identical
+    ntile windows."""
+    from hazelcast_jet_spark.operators.profile import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o, key_col="o_custkey", time_col="o_orderdate",
+                        value_col="o_totalprice", n_bins=5)
+
+
+def transition_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state transition entropy (timeseries.transition_entropy):
+    how predictable each event type's successor is — the scalar summary
+    of the event_transition_matrix gate.  Entropy terms accumulate as
+    exact DECIMAL(18,12) (char_entropy convention) so the oracle may
+    enumerate pairs in any order."""
+    from hazelcast_jet_spark.operators.timeseries import transition_entropy
+
+    e = _t(spark, sf_dir, "events")
+    return transition_entropy(e)
+
+
+def holt_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear trend smoothing (timeseries.holt_linear) of the
+    daily event rate per type — the trend-aware sibling of the ewma
+    gate, same Arrow applyInPandas recurrence lane.  alpha=beta=0.5
+    makes every multiply an exact binary scaling; the oracle replays
+    the coupled (level, trend) recurrence as a recursive CTE."""
+    from hazelcast_jet_spark.operators.timeseries import holt_linear
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    sm = holt_linear(daily, key_col="event_type", time_col="day",
+                     value_col="n", alpha=0.5, beta=0.5)
+    return sm.select("event_type", "day", "n", "level", "trend",
+                     "forecast").orderBy("event_type", "day")
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -4958,6 +5024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_stats": user_activity_stats,
         # -- new r8 queries insert HERE (each pushes the boundary up) -----
         "corpus_data_card_docs": corpus_data_card_docs,
+        "shipping_lag_percentiles": shipping_lag_percentiles,
+        "rfm_segments_orders": rfm_segments_orders,
+        "transition_entropy_events": transition_entropy_events,
+        "holt_linear_events": holt_linear_events,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -9345,6 +9415,112 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n, 0.99), 6) AS p99_events,
                    CAST(max(n) AS BIGINT) AS max_events
             FROM per_user
+        """,
+        "shipping_lag_percentiles": """
+            WITH j AS (
+                SELECT o.o_orderpriority,
+                       CAST(CAST(l.l_shipdate AS DATE)
+                            - CAST(o.o_orderdate AS DATE) AS DOUBLE) AS lag
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   round(quantile_cont(lag, 0.5), 6) + 0.0 AS p50_lag_days,
+                   round(quantile_cont(lag, 0.9), 6) + 0.0 AS p90_lag_days,
+                   round(quantile_cont(lag, 0.99), 6) + 0.0 AS p99_lag_days,
+                   max(lag) AS max_lag_days
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "rfm_segments_orders": """
+            WITH per AS (
+                SELECT o_custkey,
+                       max(o_orderdate) AS last_t,
+                       count(*) AS freq,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS mon_dec
+                FROM orders GROUP BY 1
+            ), anch AS (
+                SELECT max(o_orderdate) AS anchor FROM orders
+            ), scored AS (
+                SELECT o_custkey, mon_dec,
+                       ntile(5) OVER (ORDER BY
+                           CAST(anchor AS DATE) - CAST(last_t AS DATE) ASC,
+                           o_custkey) AS r_score,
+                       ntile(5) OVER (ORDER BY freq DESC, o_custkey)
+                           AS f_score,
+                       ntile(5) OVER (ORDER BY CAST(mon_dec AS DOUBLE) DESC,
+                                      o_custkey) AS m_score
+                FROM per CROSS JOIN anch
+            )
+            SELECT CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   count(*) AS n_keys,
+                   round(CAST(SUM(mon_dec) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "transition_entropy_events": """
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER w AS to_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), cnt AS (
+                SELECT from_type, to_type, count(*) AS n FROM p
+                WHERE to_type IS NOT NULL GROUP BY 1, 2
+            ), terms AS (
+                SELECT from_type, n,
+                       CAST(-((CAST(n AS DOUBLE)
+                               / CAST(SUM(n) OVER (PARTITION BY from_type)
+                                      AS DOUBLE))
+                              * ln(CAST(n AS DOUBLE)
+                                   / CAST(SUM(n) OVER (
+                                         PARTITION BY from_type)
+                                         AS DOUBLE)))
+                            AS DECIMAL(18,12)) AS term
+                FROM cnt
+            ), g AS (
+                SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans_total,
+                       count(*) AS n_next_types, SUM(term) AS h
+                FROM terms GROUP BY 1
+            )
+            SELECT from_type, n_trans_total, n_next_types,
+                   round(CAST(h AS DOUBLE), 6) + 0.0 AS entropy_nats,
+                   CASE WHEN n_next_types > 1
+                        THEN round(CAST(h AS DOUBLE)
+                                   / ln(CAST(n_next_types AS DOUBLE)), 6)
+                             + 0.0
+                        ELSE 0.0 END AS norm_entropy
+            FROM g ORDER BY from_type
+        """,
+        "holt_linear_events": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY day) AS idx
+                FROM daily
+            ), h AS (
+                SELECT event_type, day, n, idx,
+                       CAST(n AS DOUBLE) AS level,
+                       CAST(0.0 AS DOUBLE) AS trend
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.event_type, s.day, s.n, s.idx,
+                       0.5 * CAST(s.n AS DOUBLE)
+                           + 0.5 * (p.level + p.trend),
+                       0.5 * ((0.5 * CAST(s.n AS DOUBLE)
+                               + 0.5 * (p.level + p.trend)) - p.level)
+                           + 0.5 * p.trend
+                FROM ser s JOIN h p
+                  ON s.event_type = p.event_type AND s.idx = p.idx + 1
+            )
+            SELECT event_type, day, n, level, trend,
+                   level + trend AS forecast
+            FROM h ORDER BY event_type, day
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

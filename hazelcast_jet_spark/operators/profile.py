@@ -1371,3 +1371,51 @@ def corpus_data_card(
              + F.lit(0.0)).alias("top_lang_share"),
         )
         .orderBy("source"))
+
+
+def rfm_segments(df: DataFrame, key_col: str, time_col: str,
+                 value_col: str, n_bins: int = 5,
+                 round_digits: int = 6) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-analytics rollup: per key, days since last activity, event
+    count, and exact-decimal value sum, each scored into ``n_bins``
+    quantile bins (ntile; score 1 = best: most recent, most frequent,
+    highest value — ties break on the key for determinism), then the
+    population counted per (r, f, m) cell.
+
+    Plan at scale: one keyed rollup collapses the raw stream to |keys|
+    rows; the three ntile windows run on THAT table (one single-node
+    ordered pass each — acceptable to ~10^8 keys; beyond that swap
+    ntile for precomputed quantile edges, the quantile_bins shape).
+    The reference day anchors to max(time_col) so the result is
+    reproducible from the data alone.
+
+    Returns ``(r_score, f_score, m_score, n_keys, avg_monetary)``
+    ordered by the three scores.
+    """
+    # the monetary rollup stays an EXACT decimal all the way to the final
+    # per-cell mean (double only for ntile ordering and the one division):
+    # re-casting an intermediate double back to decimal is not
+    # engine-stable at the rounding grain
+    per = df.groupBy(key_col).agg(
+        F.max(time_col).alias("__last"),
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__mon_dec"))
+    anchor = df.agg(F.max(time_col).alias("__anchor"))
+    per = (per.crossJoin(F.broadcast(anchor))
+           .withColumn("__rec", F.datediff("__anchor", "__last")))
+    k = F.col(key_col)
+    per = per.select(
+        key_col, "__mon_dec",
+        F.ntile(n_bins).over(Window.orderBy(F.col("__rec").asc(), k))
+        .alias("r_score"),
+        F.ntile(n_bins).over(Window.orderBy(F.col("__freq").desc(), k))
+        .alias("f_score"),
+        F.ntile(n_bins).over(Window.orderBy(
+            F.col("__mon_dec").cast("double").desc(), k)).alias("m_score"))
+    return (per.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 (F.round(F.sum("__mon_dec").cast("double")
+                          / F.count(F.lit(1)).cast("double"),
+                          round_digits) + F.lit(0.0)).alias("avg_monetary"))
+            .orderBy("r_score", "f_score", "m_score"))

@@ -895,3 +895,106 @@ def burstiness(
         (F.round(var, round_digits) + F.lit(0.0)).alias("var_count"),
         F.when(mean > 0, F.round(var / mean, round_digits) + F.lit(0.0))
         .alias("fano")).orderBy("key")
+
+
+def holt_linear(df: DataFrame, key_col: str, time_col: str, value_col: str,
+                alpha: float = 0.5, beta: float = 0.5,
+                id_col: str | None = None) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per key — the
+    trend-aware sibling of :func:`ewma` for series with drift, where a
+    flat EWMA systematically lags:
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    initialized ``l_1 = x_1, b_1 = 0`` (deterministic, needs no second
+    point).  Appends ``level``, ``trend`` and the one-step-ahead
+    ``forecast = level + trend`` columns.
+
+    The recurrence is inherently sequential per key (two coupled state
+    variables — not a prefix sum), so like ewma it runs as ONE
+    Arrow-batched applyInPandas exchange on the key; the group is the
+    parallelism unit, and the input is expected to be a per-key ROLLUP
+    (daily/hourly aggregates), bounded per key by the calendar, never
+    the raw stream.  With the default alpha=beta=0.5 every multiply is
+    an exact binary scaling, so a recursive-CTE oracle replays the
+    bits exactly.
+    """
+    import pandas as pd  # noqa: F401
+
+    order = [time_col] + ([id_col] if id_col else [])
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, level double, trend double, forecast double"
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].astype("float64").to_list()
+        levels, trends = [], []
+        l_prev = b_prev = 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l_cur, b_cur = x, 0.0
+            else:
+                l_cur = alpha * x + (1.0 - alpha) * (l_prev + b_prev)
+                b_cur = beta * (l_cur - l_prev) + (1.0 - beta) * b_prev
+            levels.append(l_cur)
+            trends.append(b_cur)
+            l_prev, b_prev = l_cur, b_cur
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["forecast"] = pdf["level"] + pdf["trend"]
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_holt, out_schema)
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Predictability of each state's outgoing transitions: the Shannon
+    entropy (nats) of every ``from_type``'s next-event distribution —
+    the summary :func:`event_transitions` is the matrix of.  Near-zero
+    entropy = deterministic flows (bots, rigid funnels); entropy near
+    ``ln(n_next_types)`` = uniformly unpredictable.  ``norm_entropy``
+    rescales by that maximum (explicitly 0.0 for single-successor
+    states on both engine and oracle — no 0/0).
+
+    Plan: the same single keyed exchange as event_transitions builds
+    the K²-bounded pair table; entropy terms ``-(p·ln p)`` accumulate
+    as exact DECIMAL(18,12) per from_type (the char_entropy convention
+    — order-independent, so the oracle may enumerate differently).
+
+    Returns ``(from_type, n_trans_total, n_next_types, entropy_nats,
+    norm_entropy)`` ordered by from_type.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, order_col)
+    pairs = (
+        df.withColumn("__nxt", F.lead(type_col).over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"),
+                 F.col("__nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("__n")))
+    tot = Window.partitionBy("from_type")
+    p = F.col("__n").cast("double") / F.sum("__n").over(tot).cast("double")
+    terms = pairs.select(
+        "from_type", "__n",
+        (-(p * F.log(p))).cast("decimal(18,12)").alias("__term"))
+    g = terms.groupBy("from_type").agg(
+        F.sum("__n").alias("n_trans_total"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum("__term").alias("__h"))
+    h = F.col("__h").cast("double")
+    return g.select(
+        "from_type", "n_trans_total", "n_next_types",
+        (F.round(h, round_digits) + F.lit(0.0)).alias("entropy_nats"),
+        F.when(F.col("n_next_types") > 1,
+               F.round(h / F.log(F.col("n_next_types").cast("double")),
+                       round_digits) + F.lit(0.0))
+        .otherwise(F.lit(0.0)).alias("norm_entropy"),
+    ).orderBy("from_type")

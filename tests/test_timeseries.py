@@ -643,3 +643,64 @@ def test_seasonal_decompose_recovers_planted_components(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         seasonal_decompose(df, "k", "t", "v", "id", period=1)
+
+
+def test_holt_linear_matches_python_model(spark):
+    """holt_linear replays the coupled (level, trend) recurrence exactly
+    (alpha=beta=0.5 binary scaling — bit-comparable to the model)."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import holt_linear
+
+    t0 = dt.date(2024, 1, 1)
+    xs = [10.0, 14.0, 13.0, 20.0, 18.0, 25.0]
+    rows = [("a", t0 + dt.timedelta(days=i), float(v))
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    got = {r["day"]: (r["level"], r["trend"], r["forecast"])
+           for r in holt_linear(df, "k", "day", "v").collect()}
+    l_prev = b_prev = 0.0
+    for i, x in enumerate(xs):
+        if i == 0:
+            l_cur, b_cur = x, 0.0
+        else:
+            l_cur = 0.5 * x + 0.5 * (l_prev + b_prev)
+            b_cur = 0.5 * (l_cur - l_prev) + 0.5 * b_prev
+        day = t0 + dt.timedelta(days=i)
+        assert got[day] == (l_cur, b_cur, l_cur + b_cur)
+        l_prev, b_prev = l_cur, b_cur
+    # trend tracks the upward drift where flat EWMA would lag
+    assert got[t0 + dt.timedelta(days=5)][1] > 0
+
+
+def test_transition_entropy_planted(spark):
+    """Deterministic successor -> entropy 0 (norm 0 by the explicit
+    single-successor guard); 2-way uniform successor -> ln(2), norm 1."""
+    import datetime as dt
+    import math
+
+    from hazelcast_jet_spark.operators.timeseries import transition_entropy
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # user 1: a->b, a->b (deterministic from a)
+    for seq in (["a", "b", "a", "b"],):
+        for ty in seq:
+            rows.append((i, t0 + dt.timedelta(minutes=i), 1, ty))
+            i += 1
+    # user 2: c->x, c->y (uniform 2-way from c)
+    for seq in (["c", "x", "c", "y"],):
+        for ty in seq:
+            rows.append((i, t0 + dt.timedelta(minutes=i), 2, ty))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    out = {r["from_type"]: r for r in transition_entropy(df).collect()}
+    assert out["a"]["n_next_types"] == 1
+    assert out["a"]["entropy_nats"] == 0.0
+    assert out["a"]["norm_entropy"] == 0.0
+    assert out["c"]["n_next_types"] == 2
+    assert abs(out["c"]["entropy_nats"] - math.log(2)) < 1e-6
+    assert out["c"]["norm_entropy"] == 1.0

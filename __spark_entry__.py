@@ -4980,6 +4980,51 @@ def holt_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "forecast").orderBy("event_type", "day")
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution (similarity.embedding_norm_stats):
+    the un-normalized-vector / mixed-encoder-batch sanity check every
+    ANN index assumes away.  Map-only norm fold + one aggregate."""
+    from hazelcast_jet_spark.operators.similarity import (
+        embedding_norm_stats as _norm_stats)
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _norm_stats(e)
+
+
+def dup_lang_confusion_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label consistency over near-dup pairs
+    (dedup.near_dup_label_confusion on lang): off-diagonal cells are
+    near-identical docs carrying different language tags — annotation
+    noise / mirrored-corpus mis-tags.  Confusion aggregate runs on the
+    LSH pair table, never the corpus."""
+    from hazelcast_jet_spark.operators.dedup import near_dup_label_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_label_confusion(
+        d, label_col="lang", num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS, k=SHINGLE_K, threshold=LSH_THRESHOLD)
+
+
+def chunk_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain duplication (dedup.chunk_dup_stats): per source, the
+    share of 12-token chunks whose fingerprint repeats corpus-wide —
+    boilerplate at the granularity RAG stores and packers consume."""
+    from hazelcast_jet_spark.operators.dedup import chunk_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dup_stats(d, chunk_tokens=12)
+
+
+def token_len_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token character-length histogram (text.token_length_histogram):
+    the tokenizer/vocab budgeting curve, lengths capped into a terminal
+    12+ bucket."""
+    from hazelcast_jet_spark.operators.text import token_length_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return token_length_histogram(d, max_len=12)
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5028,6 +5073,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments_orders": rfm_segments_orders,
         "transition_entropy_events": transition_entropy_events,
         "holt_linear_events": holt_linear_events,
+        "embedding_norm_stats": embedding_norm_stats,
+        "dup_lang_confusion_docs": dup_lang_confusion_docs,
+        "chunk_dup_docs": chunk_dup_docs,
+        "token_len_histogram_docs": token_len_histogram_docs,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -9521,6 +9570,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, n, level, trend,
                    level + trend AS forecast
             FROM h ORDER BY event_type, day
+        """,
+        "embedding_norm_stats": """
+            WITH b AS (
+                SELECT label AS "group",
+                       round(sqrt(round(list_sum(list_transform(embedding,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                           9)), 6) AS nrm
+                FROM embeddings WHERE embedding IS NOT NULL
+            )
+            SELECT "group", count(*) AS n_vecs,
+                   round(quantile_cont(nrm, 0.5), 6) + 0.0 AS p50_norm,
+                   round(quantile_cont(nrm, 0.9), 6) + 0.0 AS p90_norm,
+                   min(nrm) AS min_norm,
+                   max(nrm) AS max_norm,
+                   round(CAST(SUM(CAST(nrm AS DECIMAL(18,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_norm
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "dup_lang_confusion_docs": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
+                           AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.id < r.id
+            ), prs AS (
+                SELECT id_a, id_b,
+                       round(len(list_intersect(sh_a, sh_b))
+                             / CAST(len(list_distinct(
+                                   list_concat(sh_a, sh_b))) AS DOUBLE),
+                             6) AS sim
+                FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(
+                                  list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+                      >= {LSH_THRESHOLD}
+            ), lab AS (
+                SELECT doc_id AS id, lang FROM documents
+            ), j AS (
+                SELECT least(a.lang, b.lang) AS label_a,
+                       greatest(a.lang, b.lang) AS label_b, sim
+                FROM prs
+                JOIN lab a ON a.id = prs.id_a
+                JOIN lab b ON b.id = prs.id_b
+            )
+            SELECT label_a, label_b, count(*) AS n_pairs,
+                   round(CAST(SUM(CAST(sim AS DECIMAL(18,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_sim
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "chunk_dup_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, source, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), nc AS (
+                SELECT doc_id, source, t,
+                       greatest((len(t) + 11) // 12, 1) AS n_chunks
+                FROM toks
+            ), c AS (
+                SELECT source,
+                       md5(array_to_string(
+                           t[ci * 12 + 1 : ci * 12 + 12], ' ')) AS fp
+                FROM (SELECT source, t,
+                             unnest(generate_series(0, n_chunks - 1)) AS ci
+                      FROM nc)
+            ), fc AS (
+                SELECT fp, count(*) AS c FROM c GROUP BY fp
+            )
+            SELECT source, count(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   round(CAST(SUM(CASE WHEN fc.c > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS dup_chunk_rate
+            FROM c JOIN fc USING (fp) GROUP BY source ORDER BY source
+        """,
+        "token_len_histogram_docs": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM}, ' ')) AS t
+                FROM documents
+            ), g AS (
+                SELECT CAST(least(length(t), 12) AS INT) AS token_len,
+                       count(*) AS n_tokens
+                FROM toks WHERE t <> '' GROUP BY 1
+            )
+            SELECT token_len, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE)
+                         / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) + 0.0
+                       AS share
+            FROM g ORDER BY token_len
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

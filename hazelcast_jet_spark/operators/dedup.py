@@ -1566,3 +1566,99 @@ def prefix_dup_stats(
     return (df.groupBy(pre.alias("prefix")).agg(*aggs)
             .filter(F.col("n_docs") > 1)
             .orderBy("prefix"))
+
+
+def near_dup_label_confusion(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Label consistency over near-duplicate pairs: for every MinHash-LSH
+    pair, the (unordered) label pair of its two sides — the annotation-
+    noise / wrong-language-mirror audit.  Off-diagonal cells are
+    near-identical documents carrying DIFFERENT labels: at training time
+    those pairs should collapse to one label or be dropped, and a heavy
+    off-diagonal against one label pair usually means one side of a
+    mirrored corpus is mis-tagged.
+
+    Cost is the LSH pair table (the dedup run's own price) plus two
+    id-keyed joins of the tiny label projection; the confusion aggregate
+    runs on the pair table, never the corpus.
+
+    Returns ``(label_a, label_b, n_pairs, mean_sim)`` with
+    ``label_a <= label_b``, ordered.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k,
+                              threshold)
+    lab = df.select(F.col(id_col).alias("__id"),
+                    F.col(label_col).alias("__lab"))
+    j = (pairs
+         .join(lab.withColumnRenamed("__id", "id_a")
+               .withColumnRenamed("__lab", "__la"), "id_a")
+         .join(lab.withColumnRenamed("__id", "id_b")
+               .withColumnRenamed("__lab", "__lb"), "id_b"))
+    la = F.least(F.col("__la"), F.col("__lb"))
+    lb = F.greatest(F.col("__la"), F.col("__lb"))
+    cnt = F.count(F.lit(1))
+    return (j.select(la.alias("label_a"), lb.alias("label_b"),
+                     F.col("jaccard_sim"))
+            .groupBy("label_a", "label_b")
+            .agg(cnt.alias("n_pairs"),
+                 (F.round(F.sum(F.col("jaccard_sim").cast("decimal(18,12)"))
+                          .cast("double") / cnt.cast("double"), round_digits)
+                  + F.lit(0.0)).alias("mean_sim"))
+            .orderBy("label_a", "label_b"))
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chunk_tokens: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Chunk-grain duplication: split every document's NORMALIZED text
+    into fixed ``chunk_tokens``-token chunks, fingerprint each chunk,
+    and report per source how many chunks repeat corpus-wide — the
+    boilerplate measure at exactly the granularity RAG retrieval and
+    sequence packing consume (doc-level dedup misses a shared footer;
+    span stats count n-grams; this counts the unit you'd actually
+    deduplicate a chunk store by).
+
+    Map-only chunk explode (the chunk_documents shape) + one md5
+    groupBy for corpus-wide chunk frequencies + one per-source
+    aggregate.
+
+    Returns ``(source, n_chunks, n_dup_chunks, dup_chunk_rate)``
+    ordered by source.
+    """
+    from hazelcast_jet_spark.operators.text import chunk_documents
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(source_col).alias("source"),
+                     F.col(text_col).alias("__txt"))
+    # chunk_documents normalizes internally (the dedup canonical form)
+    chunks = chunk_documents(base, id_col="id", text_col="__txt",
+                             chunk_tokens=chunk_tokens, overlap=0,
+                             keep_cols=["source"])
+    fp = chunks.select("source", F.md5(F.col("chunk_text")).alias("__fp"))
+    fp = fp.withColumn(
+        "__dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("__fp")) > 1)
+        .cast("bigint"))
+    return (fp.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("__dup").alias("n_dup_chunks"))
+            .select("source", "n_chunks", "n_dup_chunks",
+                    (F.round(F.col("n_dup_chunks").cast("double")
+                             / F.col("n_chunks").cast("double"),
+                             round_digits) + F.lit(0.0))
+                    .alias("dup_chunk_rate"))
+            .orderBy("source"))

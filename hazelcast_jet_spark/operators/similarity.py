@@ -1072,3 +1072,41 @@ def rbo_overlap(
                     round_digits).alias("rbo"))
         .orderBy(query_col)
     )
+
+
+def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding",
+                         group_col: str = "label",
+                         round_digits: int = 6) -> DataFrame:
+    """Per-group L2-norm distribution of an embedding column — the
+    pre-indexing sanity check: un-normalized vectors silently break the
+    cosine/inner-product interchange every ANN index assumes, and a
+    shifted norm distribution in one group flags a bad encoder batch or
+    mixed embedding versions long before recall degrades.
+
+    Map-only squared-norm fold (the l2_assign convention: fold in
+    double, round to 9 before sqrt so the value is engine-portable),
+    then ONE per-group aggregate: exact percentiles + extrema + a
+    decimal-exact mean.
+
+    Returns ``(group, n_vecs, p50_norm, p90_norm, min_norm, max_norm,
+    mean_norm)`` ordered by group.
+    """
+    sq = F.aggregate(F.col(vec_col).cast("array<double>"), F.lit(0.0),
+                     lambda acc, v: acc + v * v)
+    nrm = F.round(F.sqrt(F.round(sq, 9)), round_digits)
+    base = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(group_col).alias("group"), nrm.alias("__n")))
+    x = F.col("__n")
+    cnt = F.count(F.lit(1))
+    return base.groupBy("group").agg(
+        cnt.alias("n_vecs"),
+        (F.round(F.percentile(x, F.lit(0.5)), round_digits) + F.lit(0.0))
+        .alias("p50_norm"),
+        (F.round(F.percentile(x, F.lit(0.9)), round_digits) + F.lit(0.0))
+        .alias("p90_norm"),
+        F.min(x).alias("min_norm"),
+        F.max(x).alias("max_norm"),
+        (F.round(F.sum(x.cast("decimal(18,12)")).cast("double")
+                 / cnt.cast("double"), round_digits) + F.lit(0.0))
+        .alias("mean_norm"),
+    ).orderBy("group")

@@ -1312,3 +1312,33 @@ def vocab_coverage_curve(
         F.round(F.col("covered_tokens").cast("double")
                 / F.col("total_tokens").cast("double"), round_digits)) \
         .orderBy("vocab_size")
+
+
+def token_length_histogram(df: DataFrame, text_col: str = "text",
+                           max_len: int = 12,
+                           round_digits: int = 6) -> DataFrame:
+    """Token character-length histogram over the normalized corpus —
+    the tokenizer/vocab budgeting signal (long-token mass decides how
+    much a subword vocab actually compresses; a spike at the cap is
+    concatenated junk).  Lengths cap at ``max_len`` into a terminal
+    bucket.
+
+    One explode + one K-bounded aggregate; shares are one window sum
+    over the <= max_len-row histogram.
+
+    Returns ``(token_len INT, n_tokens, share)`` ordered by token_len.
+    """
+    from pyspark.sql import Window
+
+    toks = (df.select(F.explode(F.split(normalize_text(text_col), " "))
+                      .alias("__t"))
+            .filter(F.col("__t") != ""))
+    tl = F.least(F.length("__t"), F.lit(max_len)).cast("int")
+    g = toks.select(tl.alias("token_len")).groupBy("token_len").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+    tot = F.sum("n_tokens").over(Window.partitionBy())
+    return g.select(
+        "token_len", "n_tokens",
+        (F.round(F.col("n_tokens").cast("double") / tot.cast("double"),
+                 round_digits) + F.lit(0.0)).alias("share"),
+    ).orderBy("token_len")

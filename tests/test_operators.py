@@ -3861,3 +3861,66 @@ def test_minhash_index_compact_max_bucket_materializes_cap(spark, tmp_path):
     # shingle rows for shed docs remain (exact-verify side untouched)
     sh = spark.read.parquet(f"{idx}/shingles")
     assert sh.filter(F.col("id") < 8).count() == 8
+
+
+def test_embedding_norm_stats_planted(spark):
+    """Unit vectors report norm 1 everywhere; a doubled vector doubles
+    its group's stats."""
+    from hazelcast_jet_spark.operators.similarity import embedding_norm_stats
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(4)] + \
+           [(10, [0.0, 2.0, 0.0], 1), (11, [2.0, 0.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                     "label int")
+    out = {r["group"]: r for r in embedding_norm_stats(df).collect()}
+    assert out[0]["p50_norm"] == 1.0 and out[0]["mean_norm"] == 1.0
+    assert out[0]["min_norm"] == out[0]["max_norm"] == 1.0
+    assert out[1]["mean_norm"] == 2.0 and out[1]["n_vecs"] == 2
+
+
+def test_near_dup_label_confusion_planted(spark):
+    """Identical docs with different labels land off-diagonal; same-label
+    dups stay on the diagonal."""
+    from hazelcast_jet_spark.operators.dedup import near_dup_label_confusion
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated words forming a different document here"
+    df = spark.createDataFrame(
+        [(1, txt, "en"), (2, txt, "fr"),       # conflict pair
+         (3, other, "en"), (4, other, "en")],  # consistent pair
+        ["doc_id", "text", "lang"])
+    out = {(r["label_a"], r["label_b"]): r for r in
+           near_dup_label_confusion(df, "lang", num_hashes=8, bands=4,
+                                    threshold=0.8).collect()}
+    assert out[("en", "fr")]["n_pairs"] == 1
+    assert out[("en", "fr")]["mean_sim"] == 1.0
+    assert out[("en", "en")]["n_pairs"] == 1
+
+
+def test_chunk_dup_stats_planted(spark):
+    """A footer shared verbatim by two docs duplicates its chunk while
+    the distinct bodies do not."""
+    from hazelcast_jet_spark.operators.dedup import chunk_dup_stats
+
+    footer = " ".join(f"w{i}" for i in range(12))      # one exact chunk
+    body_a = " ".join(f"a{i}" for i in range(12))
+    body_b = " ".join(f"b{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, body_a + " " + footer, "s1"),
+         (2, body_b + " " + footer, "s2")],
+        ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in chunk_dup_stats(df).collect()}
+    assert out["s1"]["n_chunks"] == 2 and out["s1"]["n_dup_chunks"] == 1
+    assert out["s1"]["dup_chunk_rate"] == 0.5
+    assert out["s2"]["n_dup_chunks"] == 1
+
+
+def test_token_length_histogram_caps(spark):
+    from hazelcast_jet_spark.operators.text import token_length_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a bb ccc supercalifragilistic")], ["doc_id", "text"])
+    out = {r["token_len"]: r for r in
+           token_length_histogram(df, max_len=5).collect()}
+    assert out[1]["n_tokens"] == 1 and out[1]["share"] == 0.25
+    assert out[5]["n_tokens"] == 1      # the long token capped into 5+

@@ -5025,6 +5025,61 @@ def token_len_histogram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(d, max_len=12)
 
 
+def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (sketch.hll_pairwise_overlap):
+    inclusion-exclusion distinct-user overlap estimates between event
+    types from ONE scan of 16-register HLLs, next to the exact overlap
+    from a (user, type) self-join.  The union estimate reuses the
+    lossless register-wise max merge — no second scan."""
+    from hazelcast_jet_spark.operators.sketch import hll_pairwise_overlap
+
+    e = _t(spark, sf_dir, "events")
+    est = hll_pairwise_overlap(e, "user_id", "event_type", p=HLL_P)
+    ut = e.select("user_id", "event_type").distinct()
+    exact = (ut.alias("a")
+             .join(ut.alias("b"),
+                   (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("group_a"),
+                      F.col("b.event_type").alias("group_b"))
+             .agg(F.count(F.lit(1)).alias("exact_overlap")))
+    return (est.join(exact, ["group_a", "group_b"], "left")
+            .select("group_a", "group_b", "est_a", "est_b", "est_union",
+                    "est_overlap",
+                    F.coalesce("exact_overlap", F.lit(0))
+                    .alias("exact_overlap"))
+            .orderBy("group_a", "group_b"))
+
+
+def dow_hourly_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-seasonal anomalies
+    (timeseries.seasonal_baseline_anomalies): hourly counts z-scored
+    against their own (day-of-week, hour) baseline; dow from an
+    epoch-day modulus so both engines anchor identically."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        seasonal_baseline_anomalies)
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_baseline_anomalies(e, z_threshold=2.0)
+
+
+def sample_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling QA composition (sampling.sample_audit over
+    sampling.stratified_sample): realized per-language rates and
+    full-vs-sample mean doc length of the deterministic md5 stratified
+    sample — pins the sampler's membership AND the representativeness
+    arithmetic under one oracle."""
+    from hazelcast_jet_spark.operators.sampling import (sample_audit,
+                                                        stratified_sample)
+
+    d = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(
+        d, key_col="doc_id", stratum_col="lang",
+        rates={"en": 0.25, "de": 0.8, "fr": 0.8, "es": 0.5, "zh": 0.5},
+        default_rate=0.1, seed="s42-")
+    return sample_audit(d, samp, stratum_col="lang", value_col="n_chars")
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5077,6 +5132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_lang_confusion_docs": dup_lang_confusion_docs,
         "chunk_dup_docs": chunk_dup_docs,
         "token_len_histogram_docs": token_len_histogram_docs,
+        "hll_overlap_events": hll_overlap_events,
+        "dow_hourly_anomaly_events": dow_hourly_anomaly_events,
+        "sample_audit_docs": sample_audit_docs,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -5522,6 +5580,31 @@ def _pagerank_iter_sql(i: int, prev: str) -> str:
                          * COALESCE(c.inr, CAST('0.0' AS DOUBLE)) AS rank
                 FROM deg d CROSS JOIN nn LEFT JOIN c{i} c ON c.node = d.node
             )"""
+
+
+def _hll_est16_sql(regs: str, groups: str) -> str:
+    """DuckDB twin of sketch.hll_estimate at p=4 (m=16) over a CTE
+    ``regs(<groups>, hll_reg, mrho)``: per-group ``est`` via the
+    integer-exact harmonic sum + one correctly-rounded division (the
+    hll_cardinality_events oracle's arithmetic, factored for reuse)."""
+    from hazelcast_jet_spark.operators.sketch import _hll_alpha
+
+    alpha = repr(_hll_alpha(16) * 16 * 16 * float(2 ** 57))
+    total = ("CAST(CAST(s_present AS HUGEINT) + (16 - hr) "
+             "* CAST(144115188075855872 AS HUGEINT) AS DOUBLE)")
+    return f"""
+        SELECT {groups},
+               CASE WHEN CAST('{alpha}' AS DOUBLE) / {total}
+                         <= CAST('40.0' AS DOUBLE) AND (16 - hr) > 0
+                    THEN CAST('16.0' AS DOUBLE)
+                         * ln(CAST('16.0' AS DOUBLE)
+                              / CAST(16 - hr AS DOUBLE))
+                    ELSE CAST('{alpha}' AS DOUBLE) / {total} END AS est
+        FROM (SELECT {groups}, count(*) AS hr,
+                     SUM(CAST((CAST(1 AS BIGINT) << (57 - mrho))
+                              AS DECIMAL(38,0))) AS s_present
+              FROM {regs} GROUP BY {groups})
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9670,6 +9753,145 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) + 0.0
                        AS share
             FROM g ORDER BY token_len
+        """,
+        "hll_overlap_events": f"""
+            WITH h AS (
+                SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+                FROM events WHERE user_id IS NOT NULL
+            ), rr AS (
+                SELECT event_type,
+                       CAST(CAST(('0x' || substr(hx, 1, 1)) AS UBIGINT)
+                            AS INT) AS hll_reg,
+                       regexp_replace(substr(hx, 2, 14), '^0+', '') AS t
+                FROM h
+            ), rho AS (
+                SELECT event_type, hll_reg,
+                       CASE WHEN t = '' THEN 57
+                            ELSE 4 * (14 - length(t))
+                                 + CASE WHEN substr(t, 1, 1) IN
+                                          ('8','9','a','b','c','d','e','f')
+                                        THEN 0
+                                        WHEN substr(t, 1, 1) IN
+                                          ('4','5','6','7') THEN 1
+                                        WHEN substr(t, 1, 1) IN ('2','3')
+                                        THEN 2 ELSE 3 END
+                                 + 1 END AS rho
+                FROM rr
+            ), regs AS (
+                SELECT event_type, hll_reg, MAX(rho) AS mrho
+                FROM rho GROUP BY 1, 2
+            ), e1 AS ({_hll_est16_sql("regs", "event_type")}
+            ), tp AS (
+                SELECT a.event_type AS group_a, b.event_type AS group_b
+                FROM (SELECT DISTINCT event_type FROM regs) a
+                JOIN (SELECT DISTINCT event_type FROM regs) b
+                  ON a.event_type < b.event_type
+            ), pregs AS (
+                SELECT tp.group_a, tp.group_b, r.hll_reg,
+                       MAX(r.mrho) AS mrho
+                FROM tp JOIN regs r
+                  ON r.event_type = tp.group_a
+                     OR r.event_type = tp.group_b
+                GROUP BY 1, 2, 3
+            ), eu AS ({_hll_est16_sql("pregs", "group_a, group_b")}
+            ), ex AS (
+                SELECT a.event_type AS group_a, b.event_type AS group_b,
+                       count(*) AS n
+                FROM (SELECT DISTINCT user_id, event_type FROM events) a
+                JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+                  ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT tp.group_a, tp.group_b,
+                   round(ea.est, 6) + 0.0 AS est_a,
+                   round(eb.est, 6) + 0.0 AS est_b,
+                   round(eu.est, 6) + 0.0 AS est_union,
+                   round(ea.est + eb.est - eu.est, 6) + 0.0
+                       AS est_overlap,
+                   COALESCE(ex.n, 0) AS exact_overlap
+            FROM tp
+            JOIN e1 ea ON ea.event_type = tp.group_a
+            JOIN e1 eb ON eb.event_type = tp.group_b
+            JOIN eu ON eu.group_a = tp.group_a
+                   AND eu.group_b = tp.group_b
+            LEFT JOIN ex ON ex.group_a = tp.group_a
+                        AND ex.group_b = tp.group_b
+            ORDER BY 1, 2
+        """,
+        "dow_hourly_anomaly_events": """
+            WITH hourly AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(hour(ts) AS INT) AS hour, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), hb AS (
+                SELECT day, hour, n,
+                       (day - DATE '1970-01-01') % 7 AS dw
+                FROM hourly
+            ), base AS (
+                SELECT dw, hour, count(*) AS cells,
+                       CAST(SUM(CAST(n AS DECIMAL(28,12))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                     AS DECIMAL(28,12))) AS DOUBLE) AS s2
+                FROM hb GROUP BY 1, 2
+            ), scored AS (
+                SELECT hb.day, hb.hour, hb.n,
+                       round(s / CAST(cells AS DOUBLE), 6) + 0.0
+                           AS mean_count,
+                       CASE WHEN cells > 1
+                                 AND sqrt(greatest(
+                                     (s2 - s * s / CAST(cells AS DOUBLE))
+                                     / (CAST(cells AS DOUBLE) - 1.0),
+                                     0.0)) > 0
+                            THEN round((CAST(hb.n AS DOUBLE)
+                                        - s / CAST(cells AS DOUBLE))
+                                       / sqrt(greatest(
+                                           (s2 - s * s
+                                            / CAST(cells AS DOUBLE))
+                                           / (CAST(cells AS DOUBLE) - 1.0),
+                                           0.0)), 6) + 0.0
+                       END AS z
+                FROM hb JOIN base USING (dw, hour)
+            )
+            SELECT day, hour, n, mean_count, z FROM scored
+            WHERE abs(z) > 2.0 ORDER BY day, hour
+        """,
+        "sample_audit_docs": """
+            WITH samp AS (
+                SELECT lang, n_chars FROM documents
+                WHERE substr(md5('s42-' || CAST(doc_id AS VARCHAR)), 1, 6) <
+                      CASE lang
+                          WHEN 'en' THEN '400000'
+                          WHEN 'de' THEN 'cccccc'
+                          WHEN 'fr' THEN 'cccccc'
+                          WHEN 'es' THEN '800000'
+                          WHEN 'zh' THEN '800000'
+                          ELSE '199999'
+                      END
+            ), f AS (
+                SELECT lang AS stratum, count(*) AS n_full,
+                       round(CAST(SUM(CAST(n_chars AS DECIMAL(28,12)))
+                                  AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6) + 0.0
+                           AS mean_value_full
+                FROM documents GROUP BY 1
+            ), s AS (
+                SELECT lang AS stratum, count(*) AS n_s,
+                       round(CAST(SUM(CAST(n_chars AS DECIMAL(28,12)))
+                                  AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE), 6) + 0.0
+                           AS mean_value_sample
+                FROM samp GROUP BY 1
+            )
+            SELECT f.stratum, f.n_full,
+                   COALESCE(s.n_s, 0) AS n_sample,
+                   round(CAST(COALESCE(s.n_s, 0) AS DOUBLE)
+                         / CAST(f.n_full AS DOUBLE), 6) + 0.0
+                       AS observed_rate,
+                   f.mean_value_full, s.mean_value_sample,
+                   round(abs(f.mean_value_full - s.mean_value_sample), 6)
+                       + 0.0 AS mean_abs_diff
+            FROM f LEFT JOIN s USING (stratum) ORDER BY f.stratum
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

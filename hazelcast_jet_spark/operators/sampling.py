@@ -617,3 +617,45 @@ def budget_sample(
     return (df.withColumn("__prior", prior)
             .filter(F.col("__prior") < budget)
             .drop("__prior"))
+
+
+def sample_audit(full: DataFrame, sample: DataFrame, stratum_col: str,
+                 value_col: str, round_digits: int = 6) -> DataFrame:
+    """Representativeness audit of a sample against its source frame:
+    per stratum, the realized sampling rate and the full-vs-sample mean
+    of a value column — the QA step that runs after EVERY sampling
+    stage of a data mix (a deterministic sampler is still the wrong
+    sampler if a stratum's realized rate or value profile drifts from
+    the plan).
+
+    Two independent per-stratum rollups (each one aggregate over its
+    frame) joined on the bounded stratum table; means are decimal-exact
+    then one rounded double division.  Strata absent from the sample
+    report 0 sampled rows and NULL means (explicit on both engine and
+    oracle).
+
+    Returns ``(stratum, n_full, n_sample, observed_rate,
+    mean_value_full, mean_value_sample, mean_abs_diff)`` ordered.
+    """
+    def _roll(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        cnt = F.count(F.lit(1))
+        return df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+            cnt.alias(n_name),
+            (F.round(F.sum(F.col(value_col).cast("decimal(28,12)"))
+                     .cast("double") / cnt.cast("double"), round_digits)
+             + F.lit(0.0)).alias(m_name))
+
+    f = _roll(full, "n_full", "mean_value_full")
+    s = _roll(sample, "__n_s", "mean_value_sample")
+    j = f.join(s, "stratum", "left")
+    return (j.select(
+        "stratum", "n_full",
+        F.coalesce(F.col("__n_s"), F.lit(0)).alias("n_sample"),
+        (F.round(F.coalesce(F.col("__n_s"), F.lit(0)).cast("double")
+                 / F.col("n_full").cast("double"), round_digits)
+         + F.lit(0.0)).alias("observed_rate"),
+        "mean_value_full", "mean_value_sample",
+        (F.round(F.abs(F.col("mean_value_full")
+                       - F.col("mean_value_sample")), round_digits)
+         + F.lit(0.0)).alias("mean_abs_diff"))
+        .orderBy("stratum"))

@@ -568,3 +568,68 @@ def quantile_estimate(sketch: Column, q: float) -> Column:
     n = F.size(vals)
     idx = F.floor(F.lit(float(q)) * (n - F.lit(1)).cast("double")) + F.lit(1)
     return F.element_at(vals, idx.cast("int"))
+
+
+def hll_pairwise_overlap(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    p: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups from ONE pass
+    of HLL sketches, via inclusion-exclusion::
+
+        |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
+
+    where ``est(A ∪ B)`` is the estimate of the register-wise max merge
+    (lossless, so the union estimate costs no second scan).  This is
+    the audience-overlap / cross-segment-reach primitive: at 100 TB the
+    exact answer needs a (user, group) self-join, while this reads the
+    corpus once, keeps ``m = 2**p`` registers per group, and derives
+    ALL O(G²) pair overlaps from the G sketch tables.
+
+    Same determinism contract as :func:`hll_build`/:func:`hll_estimate`
+    (md5 registers, integer-exact harmonic sum, one correctly-rounded
+    division) — exact-hash-gate safe in the harmonic regime.
+
+    Returns ``(group_a, group_b, est_a, est_b, est_union, est_overlap)``
+    with ``group_a < group_b``, ordered; estimates rounded.
+    """
+    sk = hll_build(df, item_col, [group_col], p=p)
+    singles = hll_estimate(sk, [group_col], p=p).select(
+        group_col, "hll_estimate")
+    groups = sk.select(group_col).distinct()
+    pairs = (groups.alias("ga")
+             .join(groups.alias("gb"),
+                   F.col(f"ga.{group_col}") < F.col(f"gb.{group_col}"))
+             .select(F.col(f"ga.{group_col}").alias("group_a"),
+                     F.col(f"gb.{group_col}").alias("group_b")))
+    # union registers: each pair collects both sides' registers (two
+    # broadcast joins of the tiny pair list against the sketch table),
+    # then the lossless register-wise max merge
+    side_a = (pairs.join(sk, F.col(group_col) == F.col("group_a"))
+              .select("group_a", "group_b", "hll_reg", "hll_rho"))
+    side_b = (pairs.join(sk, F.col(group_col) == F.col("group_b"))
+              .select("group_a", "group_b", "hll_reg", "hll_rho"))
+    pair_regs = hll_merge(side_a.unionByName(side_b),
+                          ["group_a", "group_b"])
+    union_est = hll_estimate(pair_regs, ["group_a", "group_b"], p=p) \
+        .select("group_a", "group_b",
+                F.col("hll_estimate").alias("__u"))
+    ea = singles.select(F.col(group_col).alias("group_a"),
+                        F.col("hll_estimate").alias("__ea"))
+    eb = singles.select(F.col(group_col).alias("group_b"),
+                        F.col("hll_estimate").alias("__eb"))
+    rd = round_digits
+    return (union_est
+            .join(F.broadcast(ea), "group_a")
+            .join(F.broadcast(eb), "group_b")
+            .select(
+                "group_a", "group_b",
+                (F.round(F.col("__ea"), rd) + F.lit(0.0)).alias("est_a"),
+                (F.round(F.col("__eb"), rd) + F.lit(0.0)).alias("est_b"),
+                (F.round(F.col("__u"), rd) + F.lit(0.0)).alias("est_union"),
+                (F.round(F.col("__ea") + F.col("__eb") - F.col("__u"), rd)
+                 + F.lit(0.0)).alias("est_overlap"))
+            .orderBy("group_a", "group_b"))

@@ -998,3 +998,58 @@ def transition_entropy(
                        round_digits) + F.lit(0.0))
         .otherwise(F.lit(0.0)).alias("norm_entropy"),
     ).orderBy("from_type")
+
+
+def seasonal_baseline_anomalies(
+    df: DataFrame,
+    time_col: str = "ts",
+    z_threshold: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Calendar-seasonal anomaly cells: hourly event counts scored
+    against their own (day-of-week, hour) baseline — traffic has a
+    weekly pulse, so a flat global threshold either drowns weekday
+    peaks or sleeps through weekend incidents; the baseline that
+    matters is "this hour, on this weekday".
+
+    Day-of-week derives from an epoch-day modulus (NOT dayofweek(), whose
+    0- vs 1-based anchor differs between engines).  Per-cell mean/std
+    come from exact decimal moments over the bounded (dow, hour) × weeks
+    grid; the 168-row baseline broadcasts back onto the hourly table.
+    z-scores round BEFORE the threshold compare so the flag boundary is
+    engine-identical; single-week cells (n == 1) have no variance and
+    are never flagged (both sides).
+
+    Returns flagged cells ``(day, hour, n, mean_count, z)`` ordered by
+    (day, hour).
+    """
+    hourly = df.groupBy(
+        F.to_date(time_col).alias("day"),
+        F.hour(time_col).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    import datetime as _dt
+
+    dow = F.pmod(F.datediff(F.col("day"), F.lit(_dt.date(1970, 1, 1))), 7)
+    hourly = hourly.withColumn("__dow", dow)
+    x = F.col("n").cast("double")
+    base = hourly.groupBy("__dow", "hour").agg(
+        F.count(F.lit(1)).alias("__cells"),
+        F.sum(F.col("n").cast("decimal(28,12)")).alias("__s"),
+        F.sum((x * x).cast("decimal(28,12)")).alias("__s2"))
+    nc = F.col("__cells").cast("double")
+    s = F.col("__s").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s / nc
+    std = F.when(
+        F.col("__cells") > 1,
+        F.sqrt(F.greatest((s2 - s * s / nc) / (nc - F.lit(1.0)),
+                          F.lit(0.0))))
+    j = hourly.join(F.broadcast(base), ["__dow", "hour"])
+    z = F.when(std > 0, F.round((x - mean) / std, round_digits)
+               + F.lit(0.0))
+    return (j.select("day", "hour", "n",
+                     (F.round(mean, round_digits) + F.lit(0.0))
+                     .alias("mean_count"),
+                     z.alias("z"))
+            .filter(F.abs(F.col("z")) > F.lit(float(z_threshold)))
+            .orderBy("day", "hour"))

@@ -3924,3 +3924,68 @@ def test_token_length_histogram_caps(spark):
            token_length_histogram(df, max_len=5).collect()}
     assert out[1]["n_tokens"] == 1 and out[1]["share"] == 0.25
     assert out[5]["n_tokens"] == 1      # the long token capped into 5+
+
+
+def test_hll_pairwise_overlap_inclusion_exclusion(spark):
+    """est_overlap == est_a + est_b - est_union by construction, and the
+    union estimate of two disjoint-ish groups exceeds either single."""
+    from hazelcast_jet_spark.operators.sketch import hll_pairwise_overlap
+
+    rows = [(f"u{i}", "a") for i in range(300)] + \
+           [(f"u{i}", "b") for i in range(150, 450)]
+    df = spark.createDataFrame(rows, "u string, g string")
+    out = hll_pairwise_overlap(df, "u", "g", p=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    assert abs(r["est_overlap"]
+               - round(r["est_a"] + r["est_b"] - r["est_union"], 6)) < 1e-9
+    # 16-register HLL is coarse; just require the right order of magnitude
+    assert 50 < r["est_overlap"] < 400
+
+
+def test_seasonal_baseline_anomalies_planted(spark):
+    """A single spiked (weekday, hour) cell among flat weeks is the only
+    flagged anomaly."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        seasonal_baseline_anomalies)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)   # Monday
+    rows = []
+    eid = 0
+    for week in range(6):
+        for i in range(10 + (100 if week == 3 else 0)):   # spike week 3
+            rows.append((eid, t0 + dt.timedelta(weeks=week, seconds=i)))
+            eid += 1
+        # a second, always-flat cell (same dow, different hour)
+        for i in range(7):
+            rows.append((eid, t0 + dt.timedelta(weeks=week, hours=5,
+                                                seconds=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    out = seasonal_baseline_anomalies(df, z_threshold=2.0).collect()
+    assert len(out) == 1
+    assert out[0]["day"] == dt.date(2024, 1, 22)
+    assert out[0]["hour"] == 0 and out[0]["n"] == 110
+    assert out[0]["z"] > 2.0
+
+
+def test_sample_audit_rates_and_means(spark):
+    from hazelcast_jet_spark.operators.sampling import sample_audit
+
+    full = spark.createDataFrame(
+        [(i, "a", float(10 + i % 3)) for i in range(10)]
+        + [(i, "b", 5.0) for i in range(100, 104)],
+        "id long, s string, v double")
+    samp = full.filter((F.col("s") == "a") & (F.col("id") < 5))
+    out = {r["stratum"]: r for r in
+           sample_audit(full, samp, "s", "v").collect()}
+    assert out["a"]["n_full"] == 10 and out["a"]["n_sample"] == 5
+    assert out["a"]["observed_rate"] == 0.5
+    assert out["b"]["n_sample"] == 0 and out["b"]["observed_rate"] == 0.0
+    assert out["b"]["mean_value_sample"] is None
+    assert out["b"]["mean_abs_diff"] is None
+    assert out["b"]["mean_value_full"] == 5.0

@@ -5080,6 +5080,23 @@ def sample_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_audit(d, samp, stratum_col="lang", value_col="n_chars")
 
 
+def rrf_fusion_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (similarity.rrf_fuse) of the full-vector
+    cosine top-k and the Matryoshka 16-dim-prefix top-k — the hybrid
+    combiner pattern: fuse a cheap coarse ranking with an expensive
+    exact one using only ranks (no score calibration).  Scores round
+    before the fused ranking so the order is engine-identical."""
+    from hazelcast_jet_spark.operators import similarity
+    from hazelcast_jet_spark.operators.similarity import (
+        rrf_fuse, truncated_cosine_topk)
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    full = similarity.cosine_topk(e, q, k=TOPK)
+    trunc = truncated_cosine_topk(e, q, MATRYOSHKA_DIMS, k=TOPK)
+    return rrf_fuse(full, trunc, k=TOPK)
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5135,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_events": hll_overlap_events,
         "dow_hourly_anomaly_events": dow_hourly_anomaly_events,
         "sample_audit_docs": sample_audit_docs,
+        "rrf_fusion_emb": rrf_fusion_emb,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -9892,6 +9910,55 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.mean_value_full - s.mean_value_sample), 6)
                        + 0.0 AS mean_abs_diff
             FROM f LEFT JOIN s USING (stratum) ORDER BY f.stratum
+        """,
+        "rrf_fusion_emb": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), full_k AS (
+                SELECT query_id, corpus_id, rnk FROM (
+                    SELECT q.query_id, c.vec_id AS corpus_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {_cos_sql("q.qvec", "c.embedding")}
+                                   DESC, c.vec_id ASC) AS rnk
+                    FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+                WHERE rnk <= {TOPK}
+            ), tr_k AS (
+                SELECT query_id, corpus_id, rnk FROM (
+                    SELECT q.query_id, c.vec_id AS corpus_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {_cos_sql(
+                                   f"q.qvec[1:{MATRYOSHKA_DIMS}]",
+                                   f"c.embedding[1:{MATRYOSHKA_DIMS}]")}
+                                   DESC, c.vec_id ASC) AS rnk
+                    FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+                WHERE rnk <= {TOPK}
+            ), fused AS (
+                SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                       COALESCE(a.corpus_id, b.corpus_id) AS corpus_id,
+                       round(COALESCE(1.0 / (60.0 + CAST(a.rnk AS DOUBLE)),
+                                      0.0)
+                             + COALESCE(1.0
+                                        / (60.0 + CAST(b.rnk AS DOUBLE)),
+                                        0.0), 6) + 0.0 AS rrf_score
+                FROM full_k a
+                FULL OUTER JOIN tr_k b
+                  ON a.query_id = b.query_id
+                     AND a.corpus_id = b.corpus_id
+            )
+            SELECT query_id, corpus_id, rrf_score,
+                   CAST(fused_rank AS INT) AS fused_rank
+            FROM (
+                SELECT query_id, corpus_id, rrf_score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rrf_score DESC, corpus_id ASC)
+                           AS fused_rank
+                FROM fused)
+            WHERE fused_rank <= {TOPK}
+            ORDER BY query_id, fused_rank
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

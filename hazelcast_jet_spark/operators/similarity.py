@@ -1110,3 +1110,36 @@ def embedding_norm_stats(df: DataFrame, vec_col: str = "embedding",
                  / cnt.cast("double"), round_digits) + F.lit(0.0))
         .alias("mean_norm"),
     ).orderBy("group")
+
+
+def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int = 5,
+             c: int = 60, round_digits: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    ranked retrieval lists: ``score(d) = Σ_lists 1 / (c + rank_d)`` with
+    a document absent from a list contributing 0 — the standard
+    hybrid-retrieval combiner (dense + sparse, full-dim + truncated)
+    that needs no score calibration because it only consumes RANKS.
+
+    Inputs are ``(query_id, corpus_id, rank)`` frames (the cosine_topk /
+    bm25 output shape).  The fusion is one full-outer join of two
+    already-k-bounded lists per query — the expensive part is producing
+    the input rankings, never the fusion.  Scores round before the final
+    ranking so the fused order (ties → corpus_id) is engine-identical.
+
+    Returns ``(query_id, corpus_id, rrf_score, fused_rank)`` top-``k``
+    per query, ordered.
+    """
+    a = rank_a.select("query_id", "corpus_id", F.col("rank").alias("__ra"))
+    b = rank_b.select("query_id", "corpus_id", F.col("rank").alias("__rb"))
+    j = a.join(b, ["query_id", "corpus_id"], "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(c)) + F.col(r).cast("double")),
+        F.lit(0.0))
+    score = (F.round(term("__ra") + term("__rb"), round_digits)
+             + F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("corpus_id").asc())
+    return (j.select("query_id", "corpus_id", score.alias("rrf_score"))
+            .withColumn("fused_rank", F.row_number().over(w))
+            .filter(F.col("fused_rank") <= k)
+            .orderBy("query_id", "fused_rank"))

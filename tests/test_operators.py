@@ -3989,3 +3989,22 @@ def test_sample_audit_rates_and_means(spark):
     assert out["b"]["mean_value_sample"] is None
     assert out["b"]["mean_abs_diff"] is None
     assert out["b"]["mean_value_full"] == 5.0
+
+
+def test_rrf_fuse_combines_and_handles_absent(spark):
+    """A doc ranked 1 in both lists outranks docs ranked 1 in only one;
+    a doc absent from one list still scores its present-list term."""
+    from hazelcast_jet_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, corpus_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 13, 2), (1, 11, 3)],
+        "query_id long, corpus_id long, rank int")
+    out = rrf_fuse(a, b, k=4).collect()
+    assert [r["corpus_id"] for r in out] == [10, 11, 13, 12]
+    top = out[0]
+    assert top["rrf_score"] == round(1 / 61 + 1 / 61, 6)
+    solo = [r for r in out if r["corpus_id"] == 12][0]
+    assert solo["rrf_score"] == round(1 / 63, 6)

@@ -5097,6 +5097,53 @@ def rrf_fusion_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(full, trunc, k=TOPK)
 
 
+def classifier_lift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table (importance.lift_table) of the hashed quality
+    classifier against Gopher-pass labels: per score decile, positive
+    rate, cumulative positive share and lift over base rate — the
+    decide-the-threshold curve for classifier-based data selection
+    (the selection-efficiency companion of classifier_calibration)."""
+    from hazelcast_jet_spark.operators.importance import (
+        hashed_classifier_score, lift_table)
+    from hazelcast_jet_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    scores = hashed_classifier_score(
+        d, _cls_weights(), bucket_hex=DSIR_BUCKET_HEX,
+        bias=CLS_BIAS).select("doc_id", "score")
+    flags = d.select(
+        "doc_id",
+        gopher_quality_flags(
+            "text", min_words=20, max_words=1000, min_mean_word_len=3.0,
+            max_mean_word_len=10.0, max_symbol_ratio=0.1)["pass"]
+        .alias("pos"))
+    return lift_table(scores.join(flags, "doc_id"), "score", "pos",
+                      n_bins=10)
+
+
+def conversion_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert (timeseries.conversion_lag_stats): first view →
+    first subsequent purchase lag per user, summarized as exact
+    percentiles — the funnel gate counts who converts; this measures
+    how long conversion takes."""
+    from hazelcast_jet_spark.operators.timeseries import conversion_lag_stats
+
+    e = _t(spark, sf_dir, "events")
+    return conversion_lag_stats(e, "view", "purchase")
+
+
+def lsh_band_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH tuning diagnostics (dedup.lsh_band_diagnostics):
+    candidate volume and verify precision of each band — the
+    measurement behind the (bands, rows-per-band) knob."""
+    from hazelcast_jet_spark.operators.dedup import lsh_band_diagnostics
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_band_diagnostics(
+        d, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS, k=SHINGLE_K,
+        threshold=LSH_THRESHOLD)
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5153,6 +5200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hourly_anomaly_events": dow_hourly_anomaly_events,
         "sample_audit_docs": sample_audit_docs,
         "rrf_fusion_emb": rrf_fusion_emb,
+        "classifier_lift_docs": classifier_lift_docs,
+        "conversion_lag_events": conversion_lag_events,
+        "lsh_band_precision_docs": lsh_band_precision_docs,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -9959,6 +10009,140 @@ def oracle_sql() -> dict[str, str]:
                 FROM fused)
             WHERE fused_rank <= {TOPK}
             ORDER BY query_id, fused_rank
+        """,
+        "classifier_lift_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i+1]))
+                           AS gram
+                FROM toks WHERE len(t) >= 2
+            ), prs AS (
+                SELECT doc_id, substr(md5(gram), 1, {DSIR_BUCKET_HEX}) AS b
+                FROM g
+            ), scores AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(
+                           ((ascii(substr(b, 1, 1))
+                             + 3 * ascii(substr(b, 2, 1))
+                             + 7 * ascii(substr(b, 3, 1))) % 13 - 6) / 8.0
+                           AS DECIMAL(28,12))) AS DOUBLE) + ({CLS_BIAS})
+                           AS score
+                FROM prs GROUP BY doc_id
+            ), q AS (
+                SELECT doc_id,
+                       (n_tok >= 20 AND n_tok <= 1000
+                        AND n_alpha / greatest(n_tok, 1) >= 3.0
+                        AND n_alpha / greatest(n_tok, 1) <= 10.0
+                        AND n_sym / greatest(n_chars_t, 1) <= 0.1
+                        AND sw_hits >= 2) AS q_pass
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+')) END
+                               AS n_tok,
+                           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                               AS n_alpha,
+                           length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                                 'g')) AS n_sym,
+                           length(text) AS n_chars_t,
+                           len(list_intersect(
+                               list_transform(
+                                   regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   t -> lower(t)),
+                               {_STOPWORDS_SQL})) AS sw_hits
+                    FROM documents)
+            ), ranked AS (
+                SELECT CASE WHEN q.q_pass THEN 1 ELSE 0 END AS pos,
+                       ntile(10) OVER (ORDER BY s.score DESC, s.doc_id)
+                           AS bin
+                FROM scores s JOIN q USING (doc_id)
+            ), gg AS (
+                SELECT bin, count(*) AS n_rows,
+                       CAST(SUM(pos) AS BIGINT) AS n_pos
+                FROM ranked GROUP BY bin
+            )
+            SELECT CAST(bin AS INT) AS bin, n_rows, n_pos,
+                   round(CAST(n_pos AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                       + 0.0 AS pos_rate,
+                   CASE WHEN SUM(n_pos) OVER () > 0 THEN
+                       round(CAST(SUM(n_pos) OVER (ORDER BY bin
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                             / CAST(SUM(n_pos) OVER () AS DOUBLE), 6) + 0.0
+                   END AS cum_pos_share,
+                   CASE WHEN SUM(n_pos) OVER () > 0 THEN
+                       round((CAST(n_pos AS DOUBLE)
+                              / CAST(n_rows AS DOUBLE))
+                             / (CAST(SUM(n_pos) OVER () AS DOUBLE)
+                                / CAST(SUM(n_rows) OVER () AS DOUBLE)), 6)
+                       + 0.0
+                   END AS lift
+            FROM gg ORDER BY bin
+        """,
+        "conversion_lag_events": """
+            WITH b AS (
+                SELECT user_id AS k, event_type AS ty,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), f AS (
+                SELECT k, min(es) AS t0 FROM b WHERE ty = 'view'
+                GROUP BY 1
+            ), c AS (
+                SELECT b.k, f.t0, min(b.es) AS t1
+                FROM b JOIN f ON b.k = f.k
+                WHERE b.ty = 'purchase' AND b.es > f.t0
+                GROUP BY 1, 2
+            ), l AS (
+                SELECT t1 - t0 AS lag FROM c
+            ), nf AS (
+                SELECT count(*) AS n FROM f
+            )
+            SELECT nf.n AS n_from_keys, count(*) AS n_converted,
+                   round(CAST(count(*) AS DOUBLE) / CAST(nf.n AS DOUBLE), 6)
+                       + 0.0 AS conversion_rate,
+                   round(quantile_cont(CAST(lag AS DOUBLE), 0.5), 6) + 0.0
+                       AS p50_lag_s,
+                   round(quantile_cont(CAST(lag AS DOUBLE), 0.9), 6) + 0.0
+                       AS p90_lag_s,
+                   max(lag) AS max_lag_s
+            FROM l CROSS JOIN nf GROUP BY nf.n
+        """,
+        "lsh_band_precision_docs": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
+                           AS band
+                FROM sigs
+            ), candsb AS (
+                SELECT DISTINCT l.band, l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.id < r.id
+            ), v AS (
+                SELECT band,
+                       CASE WHEN round(len(list_intersect(sh_a, sh_b))
+                                 / CAST(len(list_distinct(
+                                       list_concat(sh_a, sh_b)))
+                                        AS DOUBLE), 6) >= {LSH_THRESHOLD}
+                            THEN 1 ELSE 0 END AS ok
+                FROM candsb
+            )
+            SELECT CAST(band AS INT) AS band,
+                   count(*) AS n_candidate_pairs,
+                   CAST(SUM(ok) AS BIGINT) AS n_verified,
+                   round(CAST(SUM(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                         6) + 0.0 AS "precision"
+            FROM v GROUP BY band ORDER BY band
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

@@ -1662,3 +1662,76 @@ def chunk_dup_stats(
                              round_digits) + F.lit(0.0))
                     .alias("dup_chunk_rate"))
             .orderBy("source"))
+
+
+def lsh_band_diagnostics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-band LSH tuning diagnostics: how many candidate pairs each
+    band contributes and what fraction verify at the Jaccard threshold
+    — the measurement behind the (bands, rows-per-band) knob.  Uniform
+    low precision across bands = the banding is too permissive (wasted
+    verify compute); one saturated band = a degenerate minhash slot or
+    boilerplate bucket to cap.
+
+    Same plan as :func:`minhash_lsh_pairs` with the band kept through
+    candidate generation: a pair colliding in 3 bands is counted (and
+    verified) in each — the per-band workload is exactly what you pay,
+    which is the point of the diagnostic.
+
+    Returns ``(band INT, n_candidate_pairs, n_verified, precision)``
+    ordered by band.
+    """
+    rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(text_col, k).alias("sh")).persist()
+    sigs = base.select(
+        "id",
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"))
+    bucketed = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col("sig")[b * rows_per_band + r]
+                           for r in range(rows_per_band)])).alias("bucket"),
+            ) for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cands = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.band").alias("band"),
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["band", "id_a", "id_b"]))
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    _register_cache(base)
+    verified = (
+        cands.join(sh_a, "id_a").join(sh_b, "id_b")
+        .select("band",
+                (F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                 >= F.lit(threshold)).cast("bigint").alias("__ok")))
+    return (verified.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_candidate_pairs"),
+                 F.sum("__ok").alias("n_verified"))
+            .select(F.col("band").cast("int").alias("band"),
+                    "n_candidate_pairs", "n_verified",
+                    (F.round(F.col("n_verified").cast("double")
+                             / F.col("n_candidate_pairs").cast("double"),
+                             round_digits) + F.lit(0.0)).alias("precision"))
+            .orderBy("band"))

@@ -270,3 +270,49 @@ def fit_hashed_classifier(
             g = row["__g"] + l2 * w.get(row["__bucket"], 0.0)
             w[row["__bucket"]] = w.get(row["__bucket"], 0.0) - scale * g
     return w, b
+
+
+def lift_table(df: DataFrame, score_col: str, label_col: str,
+               id_col: str = "doc_id", n_bins: int = 10,
+               round_digits: int = 6) -> DataFrame:
+    """Gains/lift table of a ranked selection policy: rank rows by
+    ``score_col`` (desc, ties on ``id_col``), cut into ``n_bins``
+    ntile bins, and report per bin the positive rate, the cumulative
+    share of ALL positives captured so far, and the lift over the base
+    rate — the decide-the-threshold curve for every quality-classifier
+    filtering stage (a classifier with great calibration but lift ~1 in
+    the top decile selects nothing).
+
+    One ntile window over the scored table (|rows| of the SCORED frame,
+    not the corpus — score upstream, rank here), one K-bounded
+    aggregate, window cumsums on the n_bins-row result.
+
+    Returns ``(bin INT, n_rows, n_pos, pos_rate, cum_pos_share, lift)``
+    ordered by bin (bin 1 = highest scores).
+    """
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.col(label_col).cast("bigint").alias("__pos"),
+        F.ntile(n_bins).over(
+            Window.orderBy(F.col(score_col).desc(), F.col(id_col)))
+        .alias("bin"))
+    g = ranked.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__pos").alias("n_pos"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    tot_rows = F.sum("n_rows").over(wall).cast("double")
+    tot_pos = F.sum("n_pos").over(wall).cast("double")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+    base_rate = tot_pos / tot_rows
+    return (g.select(
+        "bin", "n_rows", "n_pos",
+        (F.round(pos_rate, round_digits) + F.lit(0.0)).alias("pos_rate"),
+        F.when(tot_pos > 0,
+               F.round(F.sum("n_pos").over(wcum).cast("double") / tot_pos,
+                       round_digits) + F.lit(0.0)).alias("cum_pos_share"),
+        F.when(tot_pos > 0,
+               F.round(pos_rate / base_rate, round_digits) + F.lit(0.0))
+        .alias("lift"))
+        .orderBy("bin"))

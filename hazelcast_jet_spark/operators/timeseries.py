@@ -1053,3 +1053,53 @@ def seasonal_baseline_anomalies(
                      z.alias("z"))
             .filter(F.abs(F.col("z")) > F.lit(float(z_threshold)))
             .orderBy("day", "hour"))
+
+
+def conversion_lag_stats(
+    df: DataFrame,
+    from_type: str,
+    to_type: str,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-to-convert distribution: per key, the lag from the FIRST
+    ``from_type`` event to the first ``to_type`` event strictly after
+    it — the product metric behind "median time from signup to
+    purchase" (the funnel gate counts who converts; this measures how
+    long conversion takes).
+
+    Two keyed min-aggregates + one co-partitioned join (both sides
+    hash on the key), then ONE tiny global percentile aggregate over
+    the per-key lag table.  Lags are integer seconds from tz-free
+    epochs.
+
+    Returns one row: ``(n_from_keys, n_converted, conversion_rate,
+    p50_lag_s, p90_lag_s, max_lag_s)``.
+    """
+    es = _epoch_seconds(df, time_col)
+    base = df.select(F.col(key_col).alias("k"),
+                     F.col(type_col).alias("ty"), es.alias("es"))
+    first_from = (base.filter(F.col("ty") == from_type)
+                  .groupBy("k").agg(F.min("es").alias("t0")))
+    conv = (base.filter(F.col("ty") == to_type)
+            .join(first_from, "k")
+            .filter(F.col("es") > F.col("t0"))
+            .groupBy("k", "t0").agg(F.min("es").alias("t1"))
+            .select((F.col("t1") - F.col("t0")).alias("lag")))
+    n_from = first_from.agg(F.count(F.lit(1)).alias("__n"))
+    x = F.col("lag").cast("double")
+    agg = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.round(F.percentile(x, F.lit(0.5)), round_digits) + F.lit(0.0))
+        .alias("p50_lag_s"),
+        (F.round(F.percentile(x, F.lit(0.9)), round_digits) + F.lit(0.0))
+        .alias("p90_lag_s"),
+        F.max("lag").alias("max_lag_s"))
+    return (agg.crossJoin(F.broadcast(n_from))
+            .select(F.col("__n").alias("n_from_keys"), "n_converted",
+                    (F.round(F.col("n_converted").cast("double")
+                             / F.col("__n").cast("double"), round_digits)
+                     + F.lit(0.0)).alias("conversion_rate"),
+                    "p50_lag_s", "p90_lag_s", "max_lag_s"))

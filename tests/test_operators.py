@@ -4008,3 +4008,57 @@ def test_rrf_fuse_combines_and_handles_absent(spark):
     assert top["rrf_score"] == round(1 / 61 + 1 / 61, 6)
     solo = [r for r in out if r["corpus_id"] == 12][0]
     assert solo["rrf_score"] == round(1 / 63, 6)
+
+
+def test_lift_table_perfect_classifier(spark):
+    """A perfectly-separating score puts all positives in the top bins:
+    lift = 1/base_rate there, 0 below; cum share hits 1.0 early."""
+    from hazelcast_jet_spark.operators.importance import lift_table
+
+    rows = [(i, float(100 - i), i < 20) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, pos boolean")
+    out = {r["bin"]: r for r in
+           lift_table(df, "score", "pos", n_bins=10).collect()}
+    assert out[1]["n_pos"] == 10 and out[1]["lift"] == 5.0
+    assert out[2]["n_pos"] == 10 and out[2]["cum_pos_share"] == 1.0
+    assert out[3]["n_pos"] == 0 and out[3]["lift"] == 0.0
+
+
+def test_conversion_lag_stats_planted(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import conversion_lag_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(seconds=100), 1, "purchase"),
+        (3, t0, 2, "view"), (4, t0 + dt.timedelta(seconds=300), 2, "purchase"),
+        (5, t0, 3, "view"),                           # never converts
+        (6, t0, 4, "purchase"),                       # purchase w/o view
+        # purchase BEFORE the first view must not count
+        (7, t0 + dt.timedelta(seconds=50), 5, "purchase"),
+        (8, t0 + dt.timedelta(seconds=60), 5, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    out = conversion_lag_stats(df, "view", "purchase").collect()[0]
+    assert out["n_from_keys"] == 4 and out["n_converted"] == 2
+    assert out["conversion_rate"] == 0.5
+    assert out["p50_lag_s"] == 200.0 and out["max_lag_s"] == 300
+
+
+def test_lsh_band_diagnostics_sums_to_candidates(spark, sf_dir):
+    """Per-band candidate counts are >= the deduped pair count and every
+    verified pair at the threshold appears in at least one band."""
+    from hazelcast_jet_spark.operators import dedup
+    from hazelcast_jet_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    diag = dedup.lsh_band_diagnostics(d, num_hashes=8, bands=4,
+                                      threshold=0.5).collect()
+    n_pairs = dedup.minhash_lsh_pairs(d, num_hashes=8, bands=4,
+                                      threshold=0.5).count()
+    assert sum(r["n_verified"] for r in diag) >= n_pairs
+    assert all(0.0 <= r["precision"] <= 1.0 for r in diag)
+    assert {r["band"] for r in diag} <= {0, 1, 2, 3}

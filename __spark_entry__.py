@@ -5232,6 +5232,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_pairs": interval_overlap_pairs,
         "interval_grid_pairs": interval_grid_pairs,
         "w1_drift_events": w1_drift_events,
+        # ===== driver window boundary: w1_drift_events above is entry 50 =
+        # ===== (6 r8 leads + 16 new r8 queries + 28 r5-cohort refreshes).
+        # ===== Everything below has a green r4-r7 row; the remaining r5
+        # ===== cohort + the r2/r3/r4 cohorts queue for the r9+ rotations =
         "streaming_count_min_sketch": streaming_count_min_sketch,
         "resample_gap_fill": resample_gap_fill,
         "categorical_drift_events": categorical_drift_events,
@@ -5248,10 +5252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
         "embedding_standardize_stats": embedding_standardize_stats,
-        # ===== driver window boundary: entry 50 is the last line above ===
-        # ===== (recompute at round close — every new r8 query above    ===
-        # ===== moves this boundary up by one).  Everything below has a ===
-        # ===== green r4-r7 row; r2/r3/r4 cohorts queue for r9+ rotation ==
         "quantile_sketch_events": quantile_sketch_events,
         "association_rules_lineitem": association_rules_lineitem,
         "event_transition_matrix": event_transition_matrix,

@@ -144,3 +144,18 @@ print("per-source kept docs under a 2000-char budget:")
 kept.groupBy("source").agg(
     F.count(F.lit(1)).alias("n_kept"),
     F.sum("n_chars").alias("chars_kept")).orderBy("source").show(5)
+
+# does the classifier actually SELECT well?  gains/lift per score decile
+# against a Gopher-pass label: lift >> 1 in bin 1 = the filter works
+from hazelcast_jet_spark.operators.importance import lift_table  # noqa: E402
+from hazelcast_jet_spark.operators.text import gopher_quality_flags  # noqa: E402
+
+labeled = scored.join(
+    docs.select(
+        "doc_id",
+        gopher_quality_flags("text", min_words=20, max_words=1000,
+                             min_mean_word_len=3.0, max_mean_word_len=10.0,
+                             max_symbol_ratio=0.1)["pass"].alias("pos")),
+    "doc_id")
+print("classifier gains/lift per decile:")
+lift_table(labeled, "score", "pos", n_bins=10).show()

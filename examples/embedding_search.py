@@ -134,3 +134,21 @@ from hazelcast_jet_spark.operators.clustering import embedding_centroid_drift
 
 print("per-label centroid drift (even vs odd ids):")
 embedding_centroid_drift(emb).show(5)
+
+# pre-indexing sanity: per-label norm distribution (un-normalized vectors
+# silently break the cosine/IP interchange ANN indexes assume)
+from hazelcast_jet_spark.operators.similarity import embedding_norm_stats
+
+print("per-label embedding norm profile:")
+embedding_norm_stats(emb).show(5)
+
+# hybrid retrieval: fuse the cheap 16-dim prefix ranking with the exact
+# full-vector ranking using only RANKS (reciprocal-rank fusion)
+from hazelcast_jet_spark.operators.similarity import (rrf_fuse,
+                                                      truncated_cosine_topk)
+
+q = emb.filter(F.col("vec_id") < 3)
+fused = rrf_fuse(cosine_topk(emb, q, k=5),
+                 truncated_cosine_topk(emb, q, 16, k=5), k=5)
+print("RRF-fused top-5 per query:")
+fused.show(15)

@@ -67,3 +67,22 @@ print(f"index now covers {n_idx} docs")
 # NOTE: no spark.stop() — examples run in-process in tests/test_examples.py
 # against a shared session (get_spark → getOrCreate), like the rest of the
 # suite; stopping here would kill every later test's session.
+
+# -- maintenance: retract a takedown + compact the epoch layout ----------
+# (tombstones hide the doc from every later probe with no index rewrite;
+# compaction folds epoch dirs, physically drops tombstoned rows, and
+# consumes the tombstones — probe results are pinned equal to a fresh
+# rebuild over the surviving docs)
+maint_base = tempfile.mkdtemp(prefix="ingest_maint_")
+epoch_index = os.path.join(maint_base, "epoch_index")
+dedup.ingest_epoch(day0, 0, epoch_index, os.path.join(maint_base, "pairs0"),
+                   num_hashes=8, bands=4, k=3)
+dedup.ingest_epoch(accepted, 1, epoch_index,
+                   os.path.join(maint_base, "pairs1"),
+                   num_hashes=8, bands=4, k=3)
+takedown = day0.orderBy("doc_id").limit(3).select("doc_id")
+dedup.minhash_index_retract(takedown, epoch_index, epoch=1)
+stats = dedup.minhash_index_compact(spark, epoch_index)
+print(f"compacted {stats['epochs_compacted']} epochs into "
+      f"epoch={stats['target_epoch']}, dropped {stats['ids_dropped']} "
+      "retracted docs")

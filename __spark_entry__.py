@@ -5055,12 +5055,15 @@ def dow_hourly_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-seasonal anomalies
     (timeseries.seasonal_baseline_anomalies): hourly counts z-scored
     against their own (day-of-week, hour) baseline; dow from an
-    epoch-day modulus so both engines anchor identically."""
+    epoch-day modulus so both engines anchor identically.  Gate
+    threshold 1.5 (not the operator's 2.0 default): the synthetic
+    stream is smooth — max |z| ≈ 1.78 at both gate SFs — and a 0-row
+    gate proves nothing (the no-empty-oracle suite guard)."""
     from hazelcast_jet_spark.operators.timeseries import (
         seasonal_baseline_anomalies)
 
     e = _t(spark, sf_dir, "events")
-    return seasonal_baseline_anomalies(e, z_threshold=2.0)
+    return seasonal_baseline_anomalies(e, z_threshold=1.5)
 
 
 def sample_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9922,7 +9925,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM hb JOIN base USING (dw, hour)
             )
             SELECT day, hour, n, mean_count, z FROM scored
-            WHERE abs(z) > 2.0 ORDER BY day, hour
+            WHERE abs(z) > 1.5 ORDER BY day, hour
         """,
         "sample_audit_docs": """
             WITH samp AS (

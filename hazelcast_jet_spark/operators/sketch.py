@@ -596,7 +596,12 @@ def hll_pairwise_overlap(
     Returns ``(group_a, group_b, est_a, est_b, est_union, est_overlap)``
     with ``group_a < group_b``, ordered; estimates rounded.
     """
-    sk = hll_build(df, item_col, [group_col], p=p)
+    # the register table feeds four consumers (single estimates, the
+    # group list, both pair sides): persist it so the corpus is scanned
+    # ONCE — the sketch is bounded at groups x m rows, the whole point
+    # of sketching (unpersisted, each consumer would re-scan the input;
+    # measured 10 parquet scans at sf0.01 pre-fix)
+    sk = hll_build(df, item_col, [group_col], p=p).persist()
     singles = hll_estimate(sk, [group_col], p=p).select(
         group_col, "hll_estimate")
     groups = sk.select(group_col).distinct()

@@ -654,3 +654,59 @@ def test_corpus_data_card_broadcast_small_sides(spark, sf_dir):
     # feats side reads the fact table once; LSH legs reuse the persisted
     # shingle base (InMemoryRelation), not extra parquet scans
     assert "InMemoryTableScan" in plan
+
+
+def test_shipping_lag_single_join_no_cartesian(spark, sf_dir):
+    """shipping_lag: one equi-join on the order key (broadcast at test
+    scale, shuffle-joinable at 100 TB) + one percentile aggregate."""
+    plan = _plan(entry_mod.shipping_lag_percentiles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_transition_entropy_no_join(spark, sf_dir):
+    """transition_entropy: the keyed lead() exchange + the K2-bounded
+    pair aggregate — no join anywhere."""
+    plan = _plan(entry_mod.transition_entropy_events(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_holt_linear_single_pandas_exchange(spark, sf_dir):
+    """holt gate: daily aggregation then ONE applyInPandas exchange on
+    the key (the ewma lane)."""
+    plan = _plan(entry_mod.holt_linear_events(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_chunk_dup_no_join_one_window(spark, sf_dir):
+    """chunk_dup: map-side chunk explode + fingerprint window — the
+    corpus never self-joins."""
+    plan = _plan(entry_mod.chunk_dup_docs(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_hll_overlap_sketch_cached(spark, sf_dir):
+    """hll_pairwise_overlap: the register table persists — its four
+    consumers read the cache, not the corpus (pre-fix: 10 parquet
+    scans); pair construction is broadcast-sized, never cartesian."""
+    plan = _plan(entry_mod.hll_overlap_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_rrf_fusion_no_cartesian(spark, sf_dir):
+    """rrf gate: both ranking legs broadcast the query side; fusion is
+    a k-bounded full-outer join."""
+    plan = _plan(entry_mod.rrf_fusion_emb(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_classifier_lift_broadcast_weights(spark, sf_dir):
+    """lift gate: the classifier's weight table joins broadcast; the
+    ntile ranking runs on the scored table only."""
+    plan = _plan(entry_mod.classifier_lift_docs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

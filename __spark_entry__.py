@@ -5147,6 +5147,63 @@ def lsh_band_precision_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=LSH_THRESHOLD)
 
 
+def cube_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (the one grouping-set shape not yet gated —
+    rollup/grouping-sets are): doc and token counts over every
+    (source, lang) subset combination with the grouping_id
+    disambiguator.  One Expand + one aggregate; the NULL group cells
+    pin Spark's and DuckDB's grouping-set NULL conventions against
+    each other."""
+    from hazelcast_jet_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_count("text")).cast("bigint")
+                 .alias("n_tokens"),
+                 F.grouping_id().cast("int").alias("gid"))
+            .orderBy("gid", "source", "lang"))
+
+
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (profile.weighted_percentiles): the smallest price whose cumulative
+    shipped quantity reaches 25/50/75% of the flag's total — what "the
+    typical unit shipped costs", not "the typical order line"."""
+    from hazelcast_jet_spark.operators.profile import weighted_percentiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentiles(li, value_col="l_extendedprice",
+                                weight_col="l_quantity",
+                                group_col="l_returnflag")
+
+
+def referential_integrity_counts(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Cross-table FK orphan audit (profile.fk_orphan_counts) over the
+    whole TPC-H-ish join graph in one frame — the first DQ gate after
+    any ingest (orphans silently become dropped rows in every
+    downstream inner join)."""
+    from hazelcast_jet_spark.operators.profile import fk_orphan_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return fk_orphan_counts([
+        ("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+        ("lineitem.order", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("nation.region", n, "n_regionkey", r, "r_regionkey"),
+        ("orders.customer", o, "o_custkey", c, "c_custkey"),
+        ("supplier.nation", s, "s_nationkey", n, "n_nationkey"),
+    ])
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5206,6 +5263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_lift_docs": classifier_lift_docs,
         "conversion_lag_events": conversion_lag_events,
         "lsh_band_precision_docs": lsh_band_precision_docs,
+        "cube_token_stats_docs": cube_token_stats_docs,
+        "weighted_median_lineitem": weighted_median_lineitem,
+        "referential_integrity_counts": referential_integrity_counts,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -10146,6 +10206,88 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE),
                          6) + 0.0 AS "precision"
             FROM v GROUP BY band ORDER BY band
+        """,
+        "cube_token_stats_docs": f"""
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END)
+                        AS BIGINT) AS n_tokens,
+                   CAST(GROUPING(source, lang) AS INT) AS gid
+            FROM documents
+            GROUP BY CUBE (source, lang)
+            ORDER BY gid, source, lang
+        """,
+        "weighted_median_lineitem": """
+            WITH per_val AS (
+                SELECT l_returnflag AS "group", l_extendedprice AS v,
+                       SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+                FROM lineitem GROUP BY 1, 2
+            ), scored AS (
+                SELECT "group", v,
+                       CAST(SUM(w) OVER (PARTITION BY "group" ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                           AS cum,
+                       CAST(SUM(w) OVER (PARTITION BY "group") AS DOUBLE)
+                           AS tot
+                FROM per_val
+            )
+            SELECT "group", round(max(tot), 6) AS total_weight,
+                   min(CASE WHEN cum >= 0.25 * tot THEN v END) AS wp_0_25,
+                   min(CASE WHEN cum >= 0.5 * tot THEN v END) AS wp_0_5,
+                   min(CASE WHEN cum >= 0.75 * tot THEN v END) AS wp_0_75
+            FROM scored GROUP BY 1 ORDER BY 1
+        """,
+        "referential_integrity_counts": """
+            WITH rel AS (
+                SELECT 'customer.nation' AS relation,
+                       (SELECT count(*) FROM customer) AS n_child,
+                       (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+                        AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                WHERE n_nationkey IS NOT NULL))
+                           AS n_orphans
+                UNION ALL
+                SELECT 'lineitem.order',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                WHERE o_orderkey IS NOT NULL))
+                UNION ALL
+                SELECT 'lineitem.part',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+                        AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                WHERE p_partkey IS NOT NULL))
+                UNION ALL
+                SELECT 'lineitem.supplier',
+                       (SELECT count(*) FROM lineitem),
+                       (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+                        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_suppkey IS NOT NULL))
+                UNION ALL
+                SELECT 'nation.region',
+                       (SELECT count(*) FROM nation),
+                       (SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
+                        AND n_regionkey NOT IN (SELECT r_regionkey FROM region
+                                WHERE r_regionkey IS NOT NULL))
+                UNION ALL
+                SELECT 'orders.customer',
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                        AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL))
+                UNION ALL
+                SELECT 'supplier.nation',
+                       (SELECT count(*) FROM supplier),
+                       (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL
+                        AND s_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                WHERE n_nationkey IS NOT NULL))
+            )
+            SELECT relation, n_child, n_orphans,
+                   round(CAST(n_orphans AS DOUBLE)
+                         / CAST(n_child AS DOUBLE), 6) + 0.0
+                       AS orphan_rate
+            FROM rel ORDER BY relation
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

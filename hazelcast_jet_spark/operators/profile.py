@@ -1419,3 +1419,77 @@ def rfm_segments(df: DataFrame, key_col: str, time_col: str,
                           / F.count(F.lit(1)).cast("double"),
                           round_digits) + F.lit(0.0)).alias("avg_monetary"))
             .orderBy("r_score", "f_score", "m_score"))
+
+
+def weighted_percentiles(df: DataFrame, value_col: str, weight_col: str,
+                         group_col: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                         round_digits: int = 6) -> DataFrame:
+    """Weighted lower percentiles per group: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — the
+    volume-weighted median/quartiles (an unweighted median of order
+    lines answers "the typical line"; weighting by quantity answers
+    "the typical unit shipped", which is what capacity and pricing
+    actually see).
+
+    Engine-stable by construction: weights accumulate as exact decimals
+    per DISTINCT value (ties collapse before the scan, so no
+    within-value ordering ambiguity), one cumulative window per group,
+    and the threshold compare runs on the exact cumulative converted
+    once to double.  One (group, value) aggregate + one window + one
+    K-bounded final aggregate.
+
+    Returns ``(group, total_weight, wp_<q> ...)`` ordered by group.
+    """
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    per_val = df.groupBy(
+        F.col(group_col).alias("group"),
+        F.col(value_col).alias("__v"),
+    ).agg(F.sum(F.col(weight_col).cast("decimal(18,6)")).alias("__w"))
+    wspec = Window.partitionBy("group").orderBy("__v")
+    cum = F.sum("__w").over(
+        wspec.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+    tot = F.sum("__w").over(Window.partitionBy("group")).cast("double")
+    scored = per_val.select(
+        "group", "__v", cum.alias("__cum"), tot.alias("__tot"))
+    aggs = [F.round(F.max(F.col("__tot")), round_digits).alias("total_weight")]
+    for q in qs:
+        name = f"wp_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= F.lit(float(q)) * F.col("__tot"),
+                         F.col("__v"))).alias(name))
+    return scored.groupBy("group").agg(*aggs).orderBy("group")
+
+
+def fk_orphan_counts(relations) -> DataFrame:
+    """Referential-integrity audit over declared FK relations: for each
+    ``(name, child_df, child_key, parent_df, parent_key)``, the child
+    row count and how many child rows reference a missing parent — the
+    first DQ gate after any ingest/join-graph change (orphans silently
+    become dropped rows in every downstream inner join).
+
+    Each relation is one left_anti join (broadcast for dimension-sized
+    parents, shuffle otherwise — Catalyst picks) + a count; results
+    stack into one tiny frame via unionByName.
+
+    Returns ``(relation, n_child, n_orphans, orphan_rate)`` in the
+    declared order of ``relations`` (ordered by relation name).
+    """
+    out = None
+    for name, child, ckey, parent, pkey in relations:
+        c = child.select(F.col(ckey).alias("__k"))
+        p = parent.select(F.col(pkey).alias("__k")).distinct()
+        # an orphan is a NON-NULL key missing from the parent: a NULL FK
+        # is "optional", not broken (and NULL semantics differ between
+        # an anti-join and SQL NOT IN — pin the non-NULL definition)
+        orphans = c.filter(F.col("__k").isNotNull()).join(p, "__k",
+                                                          "left_anti")
+        row = c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(
+            F.lit(name).alias("relation"), "n_child", "n_orphans",
+            (F.round(F.col("n_orphans").cast("double")
+                     / F.col("n_child").cast("double"), 6)
+             + F.lit(0.0)).alias("orphan_rate"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relation")

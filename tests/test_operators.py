@@ -4062,3 +4062,34 @@ def test_lsh_band_diagnostics_sums_to_candidates(spark, sf_dir):
     assert sum(r["n_verified"] for r in diag) >= n_pairs
     assert all(0.0 <= r["precision"] <= 1.0 for r in diag)
     assert {r["band"] for r in diag} <= {0, 1, 2, 3}
+
+
+def test_weighted_percentiles_planted(spark):
+    """Weighted median follows the weight mass, not the row count: one
+    heavy value outweighs many light ones."""
+    from hazelcast_jet_spark.operators.profile import weighted_percentiles
+
+    rows = [("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 100.0, 10.0),
+            ("b", 5.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r["group"]: r for r in
+           weighted_percentiles(df, "v", "w", "g").collect()}
+    # group a: total 12; cum(1)=1 <3, cum(2)=2 <3, cum(100)=12 >= all qs
+    assert out["a"]["total_weight"] == 12.0
+    assert out["a"]["wp_0_25"] == 100.0
+    assert out["a"]["wp_0_5"] == 100.0
+    assert out["b"]["wp_0_5"] == 5.0
+
+
+def test_fk_orphan_counts_planted(spark):
+    from hazelcast_jet_spark.operators.profile import fk_orphan_counts
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "k bigint")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    out = fk_orphan_counts(
+        [("c.p", child, "k", parent, "k")]).collect()[0]
+    assert out["n_child"] == 4
+    # NULL FK is optional, not an orphan; 9 is the only orphan
+    assert out["n_orphans"] == 1
+    assert out["orphan_rate"] == 0.25

@@ -5204,6 +5204,31 @@ def referential_integrity_counts(spark: SparkSession,
     ])
 
 
+def session_cooccurrence_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Session-basket type co-occurrence
+    (timeseries.session_type_cooccurrence): which event types happen
+    together inside one 30-minute session, with lift over independence
+    — market-basket analysis where the basket is time-grouped behavior
+    (the oracle replays sessionize's lag+running-sum windows)."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        session_type_cooccurrence)
+
+    e = _t(spark, sf_dir, "events")
+    return session_type_cooccurrence(e, gap="30 minutes")
+
+
+def top_event_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths (timeseries.top_event_paths): the
+    common multi-hop flows the one-hop transition matrix can't see —
+    one keyed lead() exchange, one K^3-bounded count, deterministic
+    top-10."""
+    from hazelcast_jet_spark.operators.timeseries import top_event_paths
+
+    e = _t(spark, sf_dir, "events")
+    return top_event_paths(e, length=3, k=10)
+
+
 def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus data card (profile.corpus_data_card): per-source docs/
     tokens with corpus shares, length percentiles, exact + MinHash-LSH
@@ -5266,6 +5291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_token_stats_docs": cube_token_stats_docs,
         "weighted_median_lineitem": weighted_median_lineitem,
         "referential_integrity_counts": referential_integrity_counts,
+        "session_cooccurrence_events": session_cooccurrence_events,
+        "top_event_paths_events": top_event_paths_events,
         # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
@@ -10288,6 +10315,68 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_child AS DOUBLE), 6) + 0.0
                        AS orphan_rate
             FROM rel ORDER BY relation
+        """,
+        "session_cooccurrence_events": """
+            WITH ord AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), flg AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(es) OVER w IS NULL
+                                 OR es - lag(es) OVER w > 1800
+                            THEN 1 ELSE 0 END AS nw
+                FROM ord
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), ses AS (
+                SELECT user_id, event_type,
+                       SUM(nw) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flg
+            ), baskets AS (
+                SELECT DISTINCT user_id AS k, sid, event_type AS ty
+                FROM ses
+            ), nses AS (
+                SELECT count(*) AS n FROM (
+                    SELECT DISTINCT k, sid FROM baskets)
+            ), pt AS (
+                SELECT ty, count(*) AS n_ty FROM baskets GROUP BY 1
+            ), co AS (
+                SELECT a.ty AS type_a, b.ty AS type_b, count(*) AS n_co
+                FROM baskets a JOIN baskets b
+                  ON a.k = b.k AND a.sid = b.sid AND a.ty < b.ty
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_co AS n_co_sessions,
+                   na.n_ty AS n_a_sessions, nb.n_ty AS n_b_sessions,
+                   round(CAST(n_co AS DOUBLE) * CAST(nses.n AS DOUBLE)
+                         / (CAST(na.n_ty AS DOUBLE)
+                            * CAST(nb.n_ty AS DOUBLE)), 6) + 0.0 AS lift
+            FROM co
+            JOIN pt na ON na.ty = type_a
+            JOIN pt nb ON nb.ty = type_b
+            CROSS JOIN nses
+            ORDER BY type_a, type_b
+        """,
+        "top_event_paths_events": """
+            WITH p AS (
+                SELECT event_type AS t0,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+                SELECT t0 || '>' || t1 || '>' || t2 AS path,
+                       count(*) AS n_paths
+                FROM p WHERE t2 IS NOT NULL GROUP BY 1
+            )
+            SELECT CAST(rank AS INT) AS rank, path, n_paths FROM (
+                SELECT path, n_paths,
+                       row_number() OVER (ORDER BY n_paths DESC, path)
+                           AS rank
+                FROM g)
+            WHERE rank <= 10 ORDER BY rank
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

@@ -1103,3 +1103,99 @@ def conversion_lag_stats(
                              / F.col("__n").cast("double"), round_digits)
                      + F.lit(0.0)).alias("conversion_rate"),
                     "p50_lag_s", "p90_lag_s", "max_lag_s"))
+
+
+def session_type_cooccurrence(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Market-basket analysis where the basket is a SESSION: for every
+    unordered event-type pair, how many sessions contain both, and the
+    lift over independence — the behavioral-association view
+    (association_rules mines order lines; this mines time-grouped
+    behavior, where "configure" co-occurring with "error" inside one
+    session is the actionable signal).
+
+    Composes :func:`sessionize` (one keyed exchange) with a
+    basket-level pair join: the DISTINCT (key, session, type) table is
+    at most sessions × K rows, the pair join runs on THAT, never the
+    raw stream.  Lift is ``n_co · N / (n_a · n_b)`` — integer counts,
+    one fixed-order double expression.
+
+    Returns ``(type_a, type_b, n_co_sessions, n_a_sessions,
+    n_b_sessions, lift)`` ordered by (type_a, type_b).
+    """
+    s = sessionize(df, key_col=key_col, time_col=time_col, gap=gap,
+                   id_col=id_col)
+    baskets = s.select(F.col(key_col).alias("k"),
+                       F.col("session_id").alias("sid"),
+                       F.col(type_col).alias("ty")).distinct()
+    n_sessions = baskets.select("k", "sid").distinct().count()
+    per_type = baskets.groupBy("ty").agg(
+        F.count(F.lit(1)).alias("n_ty"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (a.join(b, (F.col("a.k") == F.col("b.k"))
+                 & (F.col("a.sid") == F.col("b.sid"))
+                 & (F.col("a.ty") < F.col("b.ty")))
+          .groupBy(F.col("a.ty").alias("type_a"),
+                   F.col("b.ty").alias("type_b"))
+          .agg(F.count(F.lit(1)).alias("n_co_sessions")))
+    na = per_type.select(F.col("ty").alias("type_a"),
+                         F.col("n_ty").alias("n_a_sessions"))
+    nb = per_type.select(F.col("ty").alias("type_b"),
+                         F.col("n_ty").alias("n_b_sessions"))
+    lift = (F.col("n_co_sessions").cast("double")
+            * F.lit(float(n_sessions))
+            / (F.col("n_a_sessions").cast("double")
+               * F.col("n_b_sessions").cast("double")))
+    return (co.join(F.broadcast(na), "type_a")
+            .join(F.broadcast(nb), "type_b")
+            .select("type_a", "type_b", "n_co_sessions", "n_a_sessions",
+                    "n_b_sessions",
+                    (F.round(lift, round_digits) + F.lit(0.0))
+                    .alias("lift"))
+            .orderBy("type_a", "type_b"))
+
+
+def top_event_paths(
+    df: DataFrame,
+    length: int = 3,
+    k: int = 10,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    sep: str = ">",
+) -> DataFrame:
+    """Most frequent length-``length`` event-type paths across all
+    per-key timelines — the sequence-mining lite behind "what do users
+    actually do" Sankey views (the transition matrix sees one hop; this
+    sees the common multi-hop flows).
+
+    One keyed exchange produces every consecutive ``length``-gram via
+    lead() (same single Window exec for all offsets), then one
+    K^length-bounded count + a top-k rank with a lexicographic
+    tie-break.
+
+    Returns ``(rank INT, path, n_paths)`` ordered by rank.
+    """
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)]
+    paths = (df.select(F.concat_ws(sep, *cols).alias("path"),
+                       cols[-1].isNotNull().alias("__full"))
+             .filter(F.col("__full"))
+             .groupBy("path").agg(F.count(F.lit(1)).alias("n_paths")))
+    rk = Window.orderBy(F.col("n_paths").desc(), F.col("path"))
+    return (paths.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= k)
+            .select(F.col("rank").cast("int").alias("rank"), "path",
+                    "n_paths")
+            .orderBy("rank"))

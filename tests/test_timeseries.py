@@ -704,3 +704,55 @@ def test_transition_entropy_planted(spark):
     assert out["c"]["n_next_types"] == 2
     assert abs(out["c"]["entropy_nats"] - math.log(2)) < 1e-6
     assert out["c"]["norm_entropy"] == 1.0
+
+
+def test_session_type_cooccurrence_planted(spark):
+    """Two types in one session co-occur with lift > 1 when they always
+    travel together; types in separate sessions never pair."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        session_type_cooccurrence)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):                    # session per user: {a, b}
+        for i, ty in enumerate(("a", "b")):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, ty))
+            eid += 1
+        # a second, far-later session: {c} alone
+        rows.append((eid, t0 + dt.timedelta(hours=5), u, "c"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           session_type_cooccurrence(df).collect()}
+    ab = out[("a", "b")]
+    assert ab["n_co_sessions"] == 2
+    # N=4 sessions, na=nb=2 -> lift = 2*4/(2*2) = 2
+    assert ab["lift"] == 2.0
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_top_event_paths_planted(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import top_event_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(3):                       # a>b>c three times
+        for i, ty in enumerate(("a", "b", "c")):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), u, ty))
+            eid += 1
+    rows.append((eid, t0, 99, "x"))          # too short: no 3-path
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string")
+    out = top_event_paths(df, length=3, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["path"] == "a>b>c" and out[0]["n_paths"] == 3
+    assert out[0]["rank"] == 1

@@ -776,3 +776,57 @@ def test_top_mass_selection_matches_python_model(spark, rows, p):
             before += w
         assert got[g].n_kept == kept_n and got[g].kept_w == kept_w
         assert kept_w * fr.denominator >= fr.numerator * tot
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 50),
+              st.integers(1, 20)),
+    min_size=1, max_size=40))
+@SLOW
+def test_weighted_percentiles_match_model(spark, rows):
+    """weighted_percentiles == the brute-force cumulative-weight model
+    on arbitrary integer-weighted inputs."""
+    from hazelcast_jet_spark.operators.profile import weighted_percentiles
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in rows],
+        "g int, v double, w double")
+    got = {r["group"]: r for r in
+           weighted_percentiles(df, "v", "w", "g",
+                                qs=(0.25, 0.5, 0.75)).collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    for g, grp in pdf.groupby("g"):
+        per_val = grp.groupby("v")["w"].sum().sort_index()
+        tot = float(per_val.sum())
+        cum = per_val.cumsum()
+        for q, name in ((0.25, "wp_0_25"), (0.5, "wp_0_5"),
+                        (0.75, "wp_0_75")):
+            want = float(cum.index[(cum >= q * tot).argmax()])
+            assert got[int(g)][name] == want, (g, q)
+        assert got[int(g)]["total_weight"] == round(tot, 6)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30), st.integers(1, 10)),
+    min_size=1, max_size=30, unique_by=lambda t: (t[0], t[1])))
+@SLOW
+def test_rrf_fuse_matches_model(spark, rows):
+    """rrf_fuse == the dict model: sum of 1/(60+rank) per (query, doc),
+    docs absent from one list contribute only the present term."""
+    from hazelcast_jet_spark.operators.similarity import rrf_fuse
+
+    a_rows = [(q, d, r) for q, d, r in rows]
+    b_rows = [(q, d + 1, r) for q, d, r in rows]       # shifted doc ids
+    a = spark.createDataFrame(a_rows or [(0, 0, 1)],
+                              "query_id int, corpus_id int, rank int")
+    b = spark.createDataFrame(b_rows or [(0, 0, 1)],
+                              "query_id int, corpus_id int, rank int")
+    got = {(r["query_id"], r["corpus_id"]): r["rrf_score"]
+           for r in rrf_fuse(a, b, k=1000).collect()}
+    scores: dict = {}
+    for q, d, r in a_rows:
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60.0 + r)
+    for q, d, r in b_rows:
+        scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60.0 + r)
+    for key, s in scores.items():
+        assert got[key] == round(s, 6), key

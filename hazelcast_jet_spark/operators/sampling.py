@@ -424,19 +424,32 @@ def bootstrap_sums(df: DataFrame, value_col: str, key_col: str,
     # parquet scan would serialize it on a single task (r6 bench: 8.4 s
     # -> 2.8 s on 32 tasks at sf0.1); no-op on an already-split scan
     df = ensure_parallelism(df)
-    thr = _pois1_thresholds()
+    # hex prefix -> integer ONCE per (row, rep), compared against integer
+    # thresholds, and the k_r draws STAGED as a projection so each one is
+    # evaluated once instead of once per aggregate that mentions it
+    # (string-threshold CASEs inside the aggregate were 2.8 s warm at
+    # sf0.1; this shape is 1.5 s — same k values: fixed-width lowercase
+    # hex ordering IS the integer ordering, so the oracle is untouched)
+    thr_int = [int(t, 16) for t in _pois1_thresholds()]
     v = F.col(value_col).cast("double")
-    aggs = []
+    kcols = []
     for r in range(n_reps):
-        u = _hash_prefix(F.col(key_col), f"{seed}:{r}:")
+        u = F.conv(_hash_prefix(F.col(key_col), f"{seed}:{r}:"), 16, 10) \
+            .cast("long")
         k = F.lit(8)
         for kk in range(8, 0, -1):
-            k = F.when(u < F.lit(thr[kk - 1]), F.lit(kk - 1)).otherwise(k)
-        k = k.cast("bigint")
+            k = F.when(u < F.lit(thr_int[kk - 1]), F.lit(kk - 1)) \
+                .otherwise(k)
+        kcols.append(k.cast("bigint").alias(f"__k{r}"))
+    staged = df.select(v.alias("__v"), *kcols)
+    aggs = []
+    for r in range(n_reps):
+        k = F.col(f"__k{r}")
         aggs.append(F.sum(k).alias(f"__n{r}"))
-        aggs.append(F.sum((k.cast("double") * F.coalesce(v, F.lit(0.0)))
+        aggs.append(F.sum((k.cast("double")
+                           * F.coalesce(F.col("__v"), F.lit(0.0)))
                           .cast("decimal(28,6)")).alias(f"__s{r}"))
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     stack = ", ".join(
         f"{r}, __n{r}, CAST(__s{r} AS DOUBLE)" for r in range(n_reps))
     return one.selectExpr(

@@ -5244,6 +5244,48 @@ def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_threshold=LSH_THRESHOLD)
 
 
+def cusum_alarm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection (timeseries.cusum_alarms; Page
+    1954) of the daily event rate per type against each type's own
+    exact mean — the small-persistent-shift alarm the mean-shift
+    changepoint scan complements.  Pure add/sub/max IEEE arithmetic,
+    so the recursive-CTE oracle replays the bits with no rounding."""
+    from hazelcast_jet_spark.operators.timeseries import cusum_alarms
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = cusum_alarms(daily, key_col="event_type", time_col="day",
+                       value_col="n", slack=0.0, threshold=10.0)
+    return out.select("event_type", "day", "n", "target", "cusum",
+                      "alarm").orderBy("event_type", "day")
+
+
+def streaming_cohort_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast join (the one join shape not yet gated
+    on a REAL stream): a live event stream enriched with each user's
+    precomputed signup-cohort week (batch profile, broadcast), counted
+    per cohort in complete mode.  availableNow on bounded input makes
+    the counts deterministic, so the batch replay is the exact
+    oracle."""
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    eb = _t(spark, sf_dir, "events")
+    static = (eb.groupBy("user_id")
+              .agg(F.floor(F.min(_epoch_seconds(eb, "ts"))
+                           / F.lit(604800.0)).cast("bigint")
+                   .alias("cohort_week")))
+    s = read_stream_table(spark, sf_dir, "events")
+    enriched = s.join(F.broadcast(static), "user_id")
+    agg = enriched.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"))
+    return run_to_batch(agg, "complete").orderBy("cohort_week")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5529,6 +5571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q9_product_profit": tpch_q9_product_profit,
+        # ---- new in r8 session tail (below the finalized window; these
+        # ---- never-green entries lead the r9 rotation) -----------------
+        "cusum_alarm_events": cusum_alarm_events,
+        "streaming_cohort_enrich": streaming_cohort_enrich,
     }
 
 
@@ -10377,6 +10423,56 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM g)
             WHERE rank <= 10 ORDER BY rank
+        """,
+        "cusum_alarm_events": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), m AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(n AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS target
+                FROM daily GROUP BY 1
+            ), ser AS (
+                SELECT d.event_type, d.day, d.n, m.target,
+                       row_number() OVER (
+                           PARTITION BY d.event_type ORDER BY d.day)
+                           AS idx
+                FROM daily d JOIN m USING (event_type)
+            ), c AS (
+                SELECT event_type, day, n, target, idx,
+                       greatest(CAST(0.0 AS DOUBLE),
+                                CAST(n AS DOUBLE) - target) AS cusum
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.event_type, s.day, s.n, s.target, s.idx,
+                       greatest(CAST(0.0 AS DOUBLE),
+                                p.cusum + (CAST(s.n AS DOUBLE)
+                                           - s.target))
+                FROM ser s JOIN c p
+                  ON s.event_type = p.event_type AND s.idx = p.idx + 1
+            )
+            SELECT event_type, day, n, target, cusum,
+                   cusum > 10.0 AS alarm
+            FROM c ORDER BY event_type, day
+        """,
+        "streaming_cohort_enrich": """
+            WITH es AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       value
+                FROM events
+            ), coh AS (
+                SELECT user_id,
+                       CAST(floor(min(es) / 604800.0) AS BIGINT)
+                           AS cohort_week
+                FROM es GROUP BY 1
+            )
+            SELECT c.cohort_week, count(*) AS n_events,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM es e JOIN coh c USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "corpus_data_card_docs": f"""
             WITH feats AS (

@@ -1199,3 +1199,52 @@ def top_event_paths(
             .select(F.col("rank").cast("int").alias("rank"), "path",
                     "n_paths")
             .orderBy("rank"))
+
+
+def cusum_alarms(df: DataFrame, key_col: str, time_col: str,
+                 value_col: str, slack: float = 0.0,
+                 threshold: float = 5.0,
+                 id_col: str | None = None) -> DataFrame:
+    """One-sided CUSUM change detector per key (Page 1954): the
+    classic small-persistent-shift alarm the mean-shift changepoint
+    scan complements —
+
+        S_t = max(0, S_{t-1} + (x_t - target - slack))
+
+    with ``target`` = the key's own exact-decimal mean (two-pass:
+    the reference level is computed from the same series, so the
+    detector needs no configuration per key), alarming where
+    ``S_t > threshold``.  CUSUM accumulates small drifts a
+    per-point z-test never flags.
+
+    The recurrence is sequential per key (the ewma/holt lane): one
+    keyed applyInPandas exchange over the per-key ROLLUP, broadcast
+    of the tiny per-key means.  All arithmetic is add/sub/max on
+    doubles — exact IEEE ops, so a recursive-CTE oracle replays the
+    bits with no rounding anywhere.
+
+    Appends ``target``, ``cusum`` and ``alarm`` columns.
+    """
+    import pandas as pd  # noqa: F401
+
+    order = [time_col] + ([id_col] if id_col else [])
+    means = df.groupBy(key_col).agg(
+        (F.sum(F.col(value_col).cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("target"))
+    j = df.join(F.broadcast(means), key_col)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in j.schema.fields)
+    out_schema = f"{fields}, cusum double, alarm boolean"
+
+    def _cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        t = float(pdf["target"].iloc[0])
+        s, out = 0.0, []
+        for x in pdf[value_col].astype("float64"):
+            s = max(0.0, s + (x - t - slack))
+            out.append(s)
+        pdf["cusum"] = pd.Series(out, dtype="float64")
+        pdf["alarm"] = pdf["cusum"] > threshold
+        return pdf
+
+    return j.groupBy(key_col).applyInPandas(_cusum, out_schema)

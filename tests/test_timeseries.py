@@ -756,3 +756,25 @@ def test_top_event_paths_planted(spark):
     assert len(out) == 1
     assert out[0]["path"] == "a>b>c" and out[0]["n_paths"] == 3
     assert out[0]["rank"] == 1
+
+
+def test_cusum_alarms_detects_persistent_shift(spark):
+    """A small persistent upward shift accumulates into an alarm that a
+    per-point z-test would never fire; the pre-shift regime stays
+    quiet."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import cusum_alarms
+
+    t0 = dt.date(2024, 1, 1)
+    xs = [10.0] * 10 + [12.0] * 10        # +2 shift halfway
+    rows = [("a", t0 + dt.timedelta(days=i), v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"]: r for r in
+           cusum_alarms(df, "k", "day", "v", threshold=5.0).collect()}
+    # target = 11; pre-shift drifts down to 0, post-shift climbs +1/day
+    assert out[t0]["target"] == 11.0
+    assert out[t0 + dt.timedelta(days=9)]["cusum"] == 0.0
+    assert not out[t0 + dt.timedelta(days=9)]["alarm"]
+    assert out[t0 + dt.timedelta(days=19)]["cusum"] == 10.0
+    assert out[t0 + dt.timedelta(days=15)]["alarm"]      # crossed 5 by day 16

@@ -5359,15 +5359,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_stats": pq_encode_stats,
         "temperature_sample_counts": temperature_sample_counts,
         "cohort_retention_counts": cohort_retention_counts,
+        # ===== driver window boundary: cohort_retention_counts above is ==
+        # ===== entry 50 (6 r8 leads + 21 new r8 queries + 23 r5-cohort
+        # ===== refreshes).  Everything below has a green r4-r7 row; the
+        # ===== remaining r5 cohort + r2/r3/r4 cohorts queue for r9+, and
+        # ===== the two r9 leads sit at the registry tail ================
         "count_min_estimates": count_min_estimates,
         "ngram_novelty_stats": ngram_novelty_stats,
         "interval_overlap_pairs": interval_overlap_pairs,
         "interval_grid_pairs": interval_grid_pairs,
         "w1_drift_events": w1_drift_events,
-        # ===== driver window boundary: w1_drift_events above is entry 50 =
-        # ===== (6 r8 leads + 16 new r8 queries + 28 r5-cohort refreshes).
-        # ===== Everything below has a green r4-r7 row; the remaining r5
-        # ===== cohort + the r2/r3/r4 cohorts queue for the r9+ rotations =
         "streaming_count_min_sketch": streaming_count_min_sketch,
         "resample_gap_fill": resample_gap_fill,
         "categorical_drift_events": categorical_drift_events,

@@ -5286,6 +5286,44 @@ def streaming_cohort_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "complete").orderBy("cohort_week")
 
 
+def dup_graph_degree_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the MinHash-LSH near-dup pair graph: how
+    many docs have exactly d near-duplicates — the dedup observability
+    histogram (a heavy tail = boilerplate hubs that keep-best should
+    collapse; mass at degree 1 = simple mirror pairs).  One count over
+    the pair table's exploded endpoints, never the corpus."""
+    from hazelcast_jet_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=MINHASH_HASHES,
+                              bands=MINHASH_BANDS, k=SHINGLE_K,
+                              threshold=LSH_THRESHOLD)
+    deg = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("__d")))
+    return (deg.groupBy(F.col("__d").alias("degree"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("degree"))
+
+
+def monthly_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: exact-decimal monthly totals,
+    lag window on the months-bounded rollup, growth = (cur − prev) /
+    prev as one rounded double division (NULL for the first month on
+    both sides).  The KPI-dashboard primitive."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                       "yyyy-MM").alias("month"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                    .alias("__rev")))
+    w = Window.orderBy("month")
+    rev = F.col("__rev").cast("double")
+    prev = F.lag(F.col("__rev")).over(w).cast("double")
+    return monthly.select(
+        "month", rev.alias("revenue"),
+        (F.round((rev - prev) / prev, 6) + F.lit(0.0)).alias("mom_growth"),
+    ).orderBy("month")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5576,6 +5614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- never-green entries lead the r9 rotation) -----------------
         "cusum_alarm_events": cusum_alarm_events,
         "streaming_cohort_enrich": streaming_cohort_enrich,
+        "dup_graph_degree_docs": dup_graph_degree_docs,
+        "monthly_growth_orders": monthly_growth_orders,
     }
 
 
@@ -10424,6 +10464,52 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM g)
             WHERE rank <= 10 ORDER BY rank
+        """,
+        "dup_graph_degree_docs": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
+                           AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.id < r.id
+            ), prs AS (
+                SELECT id_a, id_b FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(
+                                  list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+                      >= {LSH_THRESHOLD}
+            ), deg AS (
+                SELECT id, count(*) AS d FROM (
+                    SELECT id_a AS id FROM prs
+                    UNION ALL SELECT id_b AS id FROM prs)
+                GROUP BY id
+            )
+            SELECT d AS degree, count(*) AS n_docs
+            FROM deg GROUP BY d ORDER BY degree
+        """,
+        "monthly_growth_orders": """
+            WITH monthly AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                           AS month,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT month, CAST(rev AS DOUBLE) AS revenue,
+                   round((CAST(rev AS DOUBLE)
+                          - CAST(lag(rev) OVER (ORDER BY month)
+                                 AS DOUBLE))
+                         / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE),
+                         6) + 0.0 AS mom_growth
+            FROM monthly ORDER BY month
         """,
         "cusum_alarm_events": """
             WITH RECURSIVE daily AS (

@@ -5324,6 +5324,103 @@ def monthly_growth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+KM_CENSOR_DAYS = 7
+
+
+def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-lifetime survival curve
+    (timeseries.kaplan_meier; Kaplan & Meier 1958): duration = days
+    between a user's first and last event; users still active in the
+    final week of the log are right-censored (their true lifetime is
+    longer than observed) — the churn curve cohort retention
+    approximates, with censoring handled correctly.  One user rollup,
+    then window math on the tiny curve table; the survival product is
+    Spark's strictly-sequential running F.product, replayed
+    bit-for-bit by the recursive-CTE oracle."""
+    from hazelcast_jet_spark.operators.timeseries import kaplan_meier
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"))
+    mx = span.agg(F.max("last_day").alias("__mx"))
+    subj = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("duration"),
+        (F.col("last_day") <= F.date_sub("__mx", KM_CENSOR_DAYS))
+        .alias("observed"))
+    return kaplan_meier(subj, "duration", "observed")
+
+
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/size Pareto frontier over part (profile.pareto_front;
+    Börzsönyi et al. 2001 skyline): the sizes whose best retail price
+    strictly beats every larger size's best — the undominated
+    catalog shortlist.  O(n log n): one per-size rollup, then a
+    cumulative-min window over the ~50-row level table; pure
+    comparisons, engine-exact by construction."""
+    from hazelcast_jet_spark.operators.profile import pareto_front
+
+    p = _t(spark, sf_dir, "part")
+    return pareto_front(p, "p_size", "p_retailprice")
+
+
+CUPED_SEED = "exp42"
+CUPED_SPLIT = "1996-01-01"
+
+
+def cuped_experiment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (experiment.cuped_adjusted_
+    means; Deng, Xu, Kohavi & Walker 2013): customers are
+    deterministically md5-split into two arms, pre-period spend
+    (before 1996) is the covariate, post-period spend the metric;
+    theta = cov/var from DECIMAL-exact pooled moments, adjusted arm
+    means remove the pre-period variance component.  Two aggregates
+    over the per-customer rollup; theta is a broadcast scalar."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          cuped_adjusted_means)
+
+    o = _t(spark, sf_dir, "orders")
+    pre = F.when(F.to_date("o_orderdate") < F.lit(CUPED_SPLIT).cast("date"),
+                 F.col("o_totalprice"))
+    post = F.when(F.to_date("o_orderdate") >= F.lit(CUPED_SPLIT).cast("date"),
+                  F.col("o_totalprice"))
+    units = o.groupBy("o_custkey").agg(
+        F.coalesce(F.sum(pre.cast("decimal(28,12)")).cast("double"),
+                   F.lit(0.0)).alias("pre"),
+        F.coalesce(F.sum(post.cast("decimal(28,12)")).cast("double"),
+                   F.lit(0.0)).alias("post"))
+    units = units.withColumn("arm", ab_assign(F.col("o_custkey"), CUPED_SEED))
+    return cuped_adjusted_means(units, "arm", "pre", "post")
+
+
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First- vs last-touch conversion attribution
+    (experiment.touch_attribution): per converting user, the first and
+    the last non-purchase touch strictly before their first purchase,
+    credited per channel — the bookend models whose disagreement
+    measures top- vs bottom-of-funnel channels; touchless conversions
+    land in '(direct)'.  Two aggregates on the user_id key — the
+    bookends are conditional min_by/max_by, no window, no per-user
+    sort."""
+    from hazelcast_jet_spark.operators.experiment import touch_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return touch_attribution(e, conversion_type="purchase")
+
+
+def isotropy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding isotropy (similarity.embedding_isotropy;
+    Ethayarajh 2019): ||mean vector|| / mean(||vector||) — the
+    common-direction diagnostic that flags encoder batches needing
+    centering/whitening before ANN indexing.  One posexplode +
+    (label, dim) aggregate with DECIMAL coordinate sums; norms reuse
+    the l2 fold convention."""
+    from hazelcast_jet_spark.operators.similarity import embedding_isotropy
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_isotropy(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5616,6 +5713,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cohort_enrich": streaming_cohort_enrich,
         "dup_graph_degree_docs": dup_graph_degree_docs,
         "monthly_growth_orders": monthly_growth_orders,
+        "kaplan_meier_events": kaplan_meier_events,
+        "pareto_front_parts": pareto_front_parts,
+        "cuped_experiment_orders": cuped_experiment_orders,
+        "attribution_events": attribution_events,
+        "isotropy_embeddings": isotropy_embeddings,
     }
 
 
@@ -12025,4 +12127,211 @@ def oracle_sql() -> dict[str, str]:
                        AS jsd
             FROM agg ORDER BY source_a, source_b
         """.replace("{LN2}", repr(__import__("math").log(2.0))),
+        "kaplan_meier_events": f"""
+            WITH RECURSIVE span AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                       CAST(max(ts) AS DATE) AS l
+                FROM events GROUP BY 1
+            ), mx AS (
+                SELECT max(l) AS m FROM span
+            ), subj AS (
+                SELECT datediff('day', f, l) AS duration,
+                       (l <= m - {KM_CENSOR_DAYS}) AS obs
+                FROM span, mx
+            ), g AS (
+                SELECT duration,
+                       CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_events,
+                       count(*) AS c
+                FROM subj GROUP BY 1
+            ), ser AS (
+                SELECT duration, n_events, c,
+                       SUM(c) OVER (ORDER BY duration
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n_risk,
+                       row_number() OVER (ORDER BY duration) AS idx
+                FROM g
+            ), km AS (
+                SELECT idx, duration, n_risk, n_events, c,
+                       CAST(1 AS DOUBLE)
+                       - CAST(n_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE) AS s
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT r.idx, r.duration, r.n_risk, r.n_events, r.c,
+                       km.s * (CAST(1 AS DOUBLE)
+                               - CAST(r.n_events AS DOUBLE)
+                                 / CAST(r.n_risk AS DOUBLE))
+                FROM ser r JOIN km ON r.idx = km.idx + 1
+            )
+            SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                   CAST(c - n_events AS BIGINT) AS n_censored,
+                   round(s, 6) + 0.0 AS survival
+            FROM km ORDER BY duration
+        """,
+        "pareto_front_parts": """
+            WITH m AS (
+                SELECT p_size, min(p_retailprice) AS best
+                FROM part GROUP BY 1
+            ), lev AS (
+                SELECT p.p_size, m.best AS best_p_retailprice,
+                       count(*) AS n_best
+                FROM part p JOIN m ON p.p_size = m.p_size
+                                   AND p.p_retailprice = m.best
+                GROUP BY 1, 2
+            ), fr AS (
+                SELECT p_size, best_p_retailprice, n_best,
+                       min(best_p_retailprice) OVER (
+                           ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prior
+                FROM lev
+            )
+            SELECT p_size, best_p_retailprice, n_best
+            FROM fr
+            WHERE prior IS NULL OR best_p_retailprice < prior
+            ORDER BY p_size DESC
+        """,
+        "cuped_experiment_orders": f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       CASE WHEN substr(md5('{CUPED_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       COALESCE(CAST(SUM(CASE
+                           WHEN CAST(o_orderdate AS DATE)
+                                < DATE '{CUPED_SPLIT}'
+                           THEN CAST(o_totalprice AS DECIMAL(28,12))
+                           END) AS DOUBLE), 0.0) AS pre,
+                       COALESCE(CAST(SUM(CASE
+                           WHEN CAST(o_orderdate AS DATE)
+                                >= DATE '{CUPED_SPLIT}'
+                           THEN CAST(o_totalprice AS DECIMAL(28,12))
+                           END) AS DOUBLE), 0.0) AS post
+                FROM orders GROUP BY 1
+            ), g AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(pre AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(post AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(pre * post AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(pre * pre AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxx
+                FROM u
+            ), t AS (
+                SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+                       sx / n AS mx
+                FROM g
+            ), a AS (
+                SELECT arm, count(*) AS n_units,
+                       CAST(SUM(CAST(pre AS DECIMAL(38,12)))
+                            AS DOUBLE) AS ax,
+                       CAST(SUM(CAST(post AS DECIMAL(38,12)))
+                            AS DOUBLE) AS ay
+                FROM u GROUP BY 1
+            )
+            SELECT arm, n_units,
+                   round(ax / CAST(n_units AS DOUBLE), 6) + 0.0
+                       AS mean_pre,
+                   round(ay / CAST(n_units AS DOUBLE), 6) + 0.0
+                       AS mean_post,
+                   round(ay / CAST(n_units AS DOUBLE)
+                         - t.theta * (ax / CAST(n_units AS DOUBLE)
+                                      - t.mx), 6) + 0.0 AS mean_adj,
+                   round(t.theta, 6) + 0.0 AS theta
+            FROM a, t ORDER BY arm
+        """,
+        "attribution_events": """
+            WITH conv AS (
+                SELECT user_id, ts AS cts, event_id AS cid FROM (
+                    SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+                    FROM events WHERE event_type = 'purchase')
+                WHERE rn = 1
+            ), tch AS (
+                SELECT e.user_id, e.event_type, e.ts, e.event_id
+                FROM events e JOIN conv c ON e.user_id = c.user_id
+                WHERE e.event_type <> 'purchase'
+                  AND (e.ts < c.cts
+                       OR (e.ts = c.cts AND e.event_id < c.cid))
+            ), ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM tch
+            ), pu AS (
+                SELECT user_id,
+                       MAX(CASE WHEN rf = 1 THEN event_type END)
+                           AS first_t,
+                       MAX(CASE WHEN rl = 1 THEN event_type END)
+                           AS last_t
+                FROM ranked GROUP BY 1
+            ), cf AS (
+                SELECT first_t AS channel, count(*) AS n_first_touch
+                FROM pu GROUP BY 1
+            ), cl AS (
+                SELECT last_t AS channel, count(*) AS n_last_touch
+                FROM pu GROUP BY 1
+            ), direct AS (
+                SELECT '(direct)' AS channel,
+                       count(*) AS n_first_touch,
+                       count(*) AS n_last_touch
+                FROM conv c LEFT JOIN pu ON c.user_id = pu.user_id
+                WHERE pu.user_id IS NULL
+                HAVING count(*) > 0
+            )
+            SELECT channel,
+                   COALESCE(n_first_touch, 0) AS n_first_touch,
+                   COALESCE(n_last_touch, 0) AS n_last_touch
+            FROM cf FULL OUTER JOIN cl USING (channel)
+            UNION ALL
+            SELECT * FROM direct
+            ORDER BY channel
+        """,
+        "isotropy_embeddings": """
+            WITH base AS (
+                SELECT label AS grp, embedding
+                FROM embeddings WHERE embedding IS NOT NULL
+            ), nrm AS (
+                SELECT grp,
+                       round(sqrt(round(list_sum(list_transform(embedding,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                           9)), 6) AS nrm
+                FROM base
+            ), pg AS (
+                SELECT grp, count(*) AS n_vecs,
+                       CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS mean_norm
+                FROM nrm GROUP BY 1
+            ), per AS (
+                SELECT grp, CAST(v AS DOUBLE) AS v, pos FROM (
+                    SELECT grp, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1))
+                               AS pos
+                    FROM base)
+            ), dims AS (
+                SELECT grp, pos,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS m
+                FROM per GROUP BY 1, 2
+            ), mv AS (
+                SELECT grp, count(*) AS dim,
+                       CAST(SUM(CAST(m * m AS DECIMAL(38,12)))
+                            AS DOUBLE) AS msq
+                FROM dims GROUP BY 1
+            )
+            SELECT pg.grp AS "group", pg.n_vecs, mv.dim,
+                   round(sqrt(round(mv.msq, 9)), 6) + 0.0
+                       AS mean_vec_norm,
+                   round(pg.mean_norm, 6) + 0.0 AS mean_norm,
+                   round(round(sqrt(round(mv.msq, 9)), 6) / pg.mean_norm,
+                         6) + 0.0 AS anisotropy
+            FROM pg JOIN mv USING (grp) ORDER BY 1
+        """,
     }

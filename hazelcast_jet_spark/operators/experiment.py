@@ -1,0 +1,136 @@
+"""Experiment-analysis operators: deterministic A/B assignment, CUPED
+variance reduction, and multi-touch attribution — the product-analytics
+lane downstream of the event/KPI queries (no reference analog: Jet users
+build these as groupAndAggregate chains; batch Spark expresses them as
+two aggregates and a broadcast of the tiny arm/theta table).
+
+Scale notes
+-----------
+- Assignment is a pure function of the unit key via md5 (the
+  operators/sampling.py convention): no stored assignment table, no
+  shuffle, replayable by any engine — the property a 100 TB experiment
+  readout needs (recompute > join against a 10 B-row assignment dim).
+- CUPED needs exactly TWO aggregates over the unit table: one global
+  (theta from decimal-exact moment sums, broadcast scalar) and one
+  per-arm.  The unit table itself is the one real shuffle (groupBy
+  unit), already paid by any per-unit metric.
+- Attribution is two aggregates on the same user_id key (conversion
+  lookup, then conditional min_by/max_by bookends) — no window, no
+  per-user sort, no duplicated subtrees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ab_assign(key: Column, seed: str = "ab1", arms: tuple = ("A", "B"),
+              split_hex: str = "8") -> Column:
+    """Deterministic 2-arm assignment: first hex char of
+    ``md5(seed || key)`` below ``split_hex`` → ``arms[0]`` else
+    ``arms[1]`` ('8' = 50/50; '4' = 25/75).  Uniform over keys,
+    engine-portable (any SQL engine's md5 replays the arm), and
+    collision-free with sampling seeds by namespace discipline.
+    """
+    h = F.substring(F.md5(F.concat(F.lit(seed + "-"), key.cast("string"))),
+                    1, 1)
+    return (F.when(h < F.lit(split_hex), F.lit(arms[0]))
+            .otherwise(F.lit(arms[1])))
+
+
+def cuped_adjusted_means(units: DataFrame, arm_col: str, pre_col: str,
+                         post_col: str,
+                         round_digits: int = 6) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker 2013): with a pre-experiment covariate X and metric Y,
+
+        theta = cov(X, Y) / var(X)
+        Y_adj = Y - theta * (X - mean(X))
+
+    removes the pre-period component of the variance (1 - rho^2
+    remains), tightening the arm-mean confidence without bias (theta is
+    pooled across arms, mean(X) is global).
+
+    Input is ONE ROW PER UNIT (build it with the per-unit metric
+    groupBy you already pay).  Moments are DECIMAL(38,12)-accumulated
+    sums (order-free exact, engine-portable); theta and the adjusted
+    means are a handful of double ops on those exact sums.
+
+    Returns one row per arm: ``(arm, n_units, mean_pre, mean_post,
+    mean_adj, theta)`` ordered by arm — ``theta`` repeated per row for
+    readout convenience.
+    """
+    x = F.col(pre_col).cast("double")
+    y = F.col(post_col).cast("double")
+    d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    glob = units.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        d(x).alias("__sx"), d(y).alias("__sy"),
+        d(x * y).alias("__sxy"), d(x * x).alias("__sxx"))
+    theta = ((F.col("__sxy") - F.col("__sx") * F.col("__sy") / F.col("__n"))
+             / (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")))
+    g = glob.select(theta.alias("__theta"),
+                    (F.col("__sx") / F.col("__n")).alias("__mx"))
+    arms = units.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        d(x).alias("__ax"), d(y).alias("__ay"))
+    n = F.col("n_units").cast("double")
+    mean_pre = F.col("__ax") / n
+    mean_post = F.col("__ay") / n
+    adj = mean_post - F.col("__theta") * (mean_pre - F.col("__mx"))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (arms.crossJoin(F.broadcast(g))
+            .select("arm", "n_units",
+                    r6(mean_pre).alias("mean_pre"),
+                    r6(mean_post).alias("mean_post"),
+                    r6(adj).alias("mean_adj"),
+                    r6(F.col("__theta")).alias("theta"))
+            .orderBy("arm"))
+
+
+def touch_attribution(events: DataFrame, user_col: str = "user_id",
+                      time_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id",
+                      conversion_type: str = "purchase") -> DataFrame:
+    """First- vs last-touch conversion attribution: for every user whose
+    journey reaches ``conversion_type``, credit the FIRST touch (any
+    other event type strictly before the first conversion) and the LAST
+    touch to their channels — the two bookend models whose disagreement
+    measures how top- vs bottom-of-funnel a channel is.
+
+    Two aggregates total: the conversion lookup and ONE per-user
+    ``min_by``/``max_by`` with a conditional ordering (NULL ordering
+    rows — touches at/after the conversion, and the conversion itself —
+    never win), so the bookends need no window, no per-user sort, and
+    no recomputed subtrees (the first cut used row_number windows plus
+    a full-outer of two groupBys: Catalyst duplicated the whole
+    touch subtree 5×, caught by the plan pin).  Ties break on
+    ``id_col`` so credit is deterministic.  Users who convert with no
+    prior touch land in the ``(direct)`` channel in both models.
+
+    Returns ``(channel, n_first_touch, n_last_touch)`` ordered by
+    channel.
+    """
+    conv = (events.filter(F.col(type_col) == conversion_type)
+            .groupBy(user_col)
+            .agg(F.min(F.struct(time_col, id_col)).alias("__c")))
+    pre = ((F.col(type_col) != conversion_type)
+           & (F.struct(time_col, id_col) < F.col("__c")))
+    order = F.when(pre, F.struct(time_col, id_col))
+    bookends = (events.join(conv, user_col)
+                .groupBy(user_col)
+                .agg(F.coalesce(F.min_by(type_col, order),
+                                F.lit("(direct)")).alias("__first"),
+                     F.coalesce(F.max_by(type_col, order),
+                                F.lit("(direct)")).alias("__last")))
+    credits = bookends.select(F.explode(F.array(
+        F.struct(F.col("__first").alias("channel"),
+                 F.lit(1).alias("__f"), F.lit(0).alias("__l")),
+        F.struct(F.col("__last").alias("channel"),
+                 F.lit(0).alias("__f"), F.lit(1).alias("__l"))))
+        .alias("c"))
+    return (credits.groupBy(F.col("c.channel").alias("channel"))
+            .agg(F.sum("c.__f").alias("n_first_touch"),
+                 F.sum("c.__l").alias("n_last_touch"))
+            .orderBy("channel"))

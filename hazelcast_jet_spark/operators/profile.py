@@ -1556,3 +1556,42 @@ def fk_orphan_counts(relations) -> DataFrame:
              + F.lit(0.0)).alias("orphan_rate"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relation")
+
+
+def pareto_front(df: DataFrame, maximize_col: str, minimize_col: str,
+                 group_cols: list[str] | None = None) -> DataFrame:
+    """2-D Pareto frontier (skyline operator; Börzsönyi et al. 2001
+    "The Skyline Operator"): the rows not dominated by any other row
+    when ``maximize_col`` should be as large and ``minimize_col`` as
+    small as possible — the price/performance shortlist every catalog
+    query ("cheapest part at each size class or better") reduces to.
+
+    Scale shape: the classic O(n log n) 2-D skyline — collapse to one
+    row per level of ``maximize_col`` (min of ``minimize_col`` + the
+    count of rows achieving it: the ONLY full-data aggregate), then a
+    cumulative-min window over the tiny level table, descending: a
+    level is on the frontier iff its best value strictly beats the
+    best among all strictly-higher levels.  No self-join, no
+    quadratic dominance test; the window table is |distinct levels|.
+
+    Returns ``(group_cols..., <maximize_col>, best_<minimize_col>,
+    n_best)`` — frontier levels only, ordered by (group, level desc).
+    Pure comparisons and MIN — no float arithmetic, so results are
+    engine-exact by construction.
+    """
+    gcols = list(group_cols or [])
+    per_row_best = Window.partitionBy(*gcols, maximize_col)
+    lev = (df.withColumn("__best", F.min(minimize_col).over(per_row_best))
+           .filter(F.col(minimize_col) == F.col("__best"))
+           .groupBy(*gcols, maximize_col)
+           .agg(F.min(minimize_col).alias(f"best_{minimize_col}"),
+                F.count(F.lit(1)).alias("n_best")))
+    wpart = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_prior = (wpart.orderBy(F.col(maximize_col).desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.min(f"best_{minimize_col}").over(w_prior)
+    return (lev.withColumn("__prior", prior)
+            .filter(F.col("__prior").isNull()
+                    | (F.col(f"best_{minimize_col}") < F.col("__prior")))
+            .drop("__prior")
+            .orderBy(*gcols, F.col(maximize_col).desc()))

@@ -1143,3 +1143,56 @@ def rrf_fuse(rank_a: DataFrame, rank_b: DataFrame, k: int = 5,
             .withColumn("fused_rank", F.row_number().over(w))
             .filter(F.col("fused_rank") <= k)
             .orderBy("query_id", "fused_rank"))
+
+
+def embedding_isotropy(df: DataFrame, vec_col: str = "embedding",
+                       group_col: str = "label",
+                       round_digits: int = 6) -> DataFrame:
+    """Per-group isotropy profile of an embedding column: the norm of
+    the mean vector versus the mean of the norms,
+
+        anisotropy = ||mean(v)|| / mean(||v||)  in [0, 1],
+
+    the "common-direction" diagnostic (Ethayarajh 2019: contextual
+    embeddings are anisotropic — a large shared component makes all
+    cosines look alike and crushes ANN contrast; ~0 = isotropic cloud,
+    ~1 = all vectors point one way).  A group whose ratio jumps flags
+    an encoder batch that needs centering/whitening before indexing.
+
+    Scale shape: one posexplode → one (group, dim) aggregate with
+    DECIMAL(38,12) coordinate sums (order-free exact), then the
+    ||mean|| fold over the tiny (group, dim) table; per-vector norms
+    reuse the map-only l2 fold convention (double fold, round 9 before
+    sqrt) and decimal-accumulate into the group mean.  The corpus
+    shuffles once, on the (group, dim) key.
+
+    Returns ``(group, n_vecs, dim, mean_vec_norm, mean_norm,
+    anisotropy)`` ordered by group.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    base = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(group_col).alias("group"), vec.alias("__v")))
+    # per-vector norm: the embedding_norm_stats fold convention
+    sq = F.aggregate(F.col("__v"), F.lit(0.0), lambda a, v: a + v * v)
+    nrm = F.round(F.sqrt(F.round(sq, 9)), round_digits)
+    per_group = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum(nrm.cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__mean_norm"))
+    dims = (base.select("group", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("group", "pos")
+            .agg((F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("__m")))
+    mean_vec = dims.groupBy("group").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum((F.col("__m") * F.col("__m")).cast("decimal(38,12)"))
+        .cast("double").alias("__msq"))
+    mv_norm = F.round(F.sqrt(F.round(F.col("__msq"), 9)), round_digits)
+    return (per_group.join(mean_vec, "group")
+            .select("group", "n_vecs", "dim",
+                    (mv_norm + F.lit(0.0)).alias("mean_vec_norm"),
+                    (F.round(F.col("__mean_norm"), round_digits)
+                     + F.lit(0.0)).alias("mean_norm"),
+                    (F.round(mv_norm / F.col("__mean_norm"), round_digits)
+                     + F.lit(0.0)).alias("anisotropy"))
+            .orderBy("group"))

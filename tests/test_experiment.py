@@ -1,0 +1,216 @@
+"""Experiment-analysis operators (operators/experiment.py) plus the
+r8-session survival / skyline / isotropy additions — each verified
+against an independent hand or pandas/numpy model, not against the
+implementation's own arithmetic."""
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ab_assign
+# ---------------------------------------------------------------------------
+
+def test_ab_assign_matches_md5_and_is_deterministic(spark):
+    from hazelcast_jet_spark.operators.experiment import ab_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    got = {r["k"]: r["arm"] for r in
+           df.select("k", ab_assign(F.col("k"), "s1").alias("arm")).collect()}
+    for k in range(200):
+        h = hashlib.md5(f"s1-{k}".encode()).hexdigest()
+        assert got[k] == ("A" if h[0] < "8" else "B")
+    # roughly balanced (md5 uniformity; exact count is deterministic)
+    n_a = sum(1 for v in got.values() if v == "A")
+    assert 60 <= n_a <= 140
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjusted_means
+# ---------------------------------------------------------------------------
+
+def test_cuped_matches_closed_form(spark):
+    """theta and adjusted means equal the numpy closed form; CUPED on a
+    metric fully explained by the covariate collapses both arms to the
+    same adjusted mean."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.experiment import cuped_adjusted_means
+
+    # covariate depends on the PAIR index (i // 2) so both arms see the
+    # identical x distribution -> cov(x, arm) = 0 -> pooled theta == 3
+    rng = [(i, "A" if i % 2 == 0 else "B", float(10 + ((i // 2) * 7) % 13))
+           for i in range(40)]
+    # post = 3*pre + arm effect (B gets +2)
+    rows = [(i, a, x, 3.0 * x + (2.0 if a == "B" else 0.0))
+            for (i, a, x) in rng]
+    df = spark.createDataFrame(rows, "u long, arm string, pre double, post double")
+    out = {r["arm"]: r for r in
+           cuped_adjusted_means(df, "arm", "pre", "post").collect()}
+
+    x = np.array([r[2] for r in rows])
+    y = np.array([r[3] for r in rows])
+    theta = ((x * y).sum() - x.sum() * y.sum() / len(x)) / \
+            ((x * x).sum() - x.sum() ** 2 / len(x))
+    assert abs(out["A"]["theta"] - round(theta, 6)) < 1e-9
+    for arm in ("A", "B"):
+        xa = x[[i for i, r in enumerate(rows) if r[1] == arm]]
+        ya = y[[i for i, r in enumerate(rows) if r[1] == arm]]
+        adj = ya.mean() - theta * (xa.mean() - x.mean())
+        assert abs(out[arm]["mean_adj"] - adj) < 1e-6
+    # metric = f(covariate) + constant arm effect: adjusted diff == 2
+    assert abs((out["B"]["mean_adj"] - out["A"]["mean_adj"]) - 2.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# touch_attribution
+# ---------------------------------------------------------------------------
+
+def test_touch_attribution_bookends_and_direct(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins, typ):
+        return (eid, uid, t0 + dt.timedelta(minutes=mins), typ)
+
+    rows = [
+        # user 1: ad -> email -> purchase (first=ad, last=email)
+        ev(1, 1, 0, "ad"), ev(2, 1, 5, "email"), ev(3, 1, 10, "purchase"),
+        # touches AFTER the first purchase never get credit
+        ev(4, 1, 20, "ad"),
+        # user 2: single touch -> first == last == search
+        ev(5, 2, 0, "search"), ev(6, 2, 9, "purchase"),
+        # user 3: purchase with no prior touch -> (direct)
+        ev(7, 3, 0, "purchase"), ev(8, 3, 5, "email"),
+        # user 4: no purchase -> contributes nothing
+        ev(9, 4, 0, "ad"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    from hazelcast_jet_spark.operators.experiment import touch_attribution
+
+    out = {r["channel"]: (r["n_first_touch"], r["n_last_touch"])
+           for r in touch_attribution(df).collect()}
+    assert out == {"(direct)": (1, 1), "ad": (1, 0),
+                   "email": (0, 1), "search": (1, 1)}
+
+
+def test_touch_attribution_tiebreak_on_id(spark):
+    """Two touches at the identical timestamp: event_id orders them."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(2, 1, t0, "b_channel"), (1, 1, t0, "a_channel"),
+            (3, 1, t0 + dt.timedelta(minutes=1), "purchase")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    from hazelcast_jet_spark.operators.experiment import touch_attribution
+
+    out = {r["channel"]: (r["n_first_touch"], r["n_last_touch"])
+           for r in touch_attribution(df).collect()}
+    assert out == {"a_channel": (1, 0), "b_channel": (0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_textbook_example(spark):
+    """Hand-computed product-limit curve with censoring: durations
+    [1, 2+, 3, 3, 5+] (+ = censored)."""
+    from hazelcast_jet_spark.operators.timeseries import kaplan_meier
+
+    rows = [(1, True), (2, False), (3, True), (3, True), (5, False)]
+    df = spark.createDataFrame(rows, "duration int, observed boolean")
+    out = {r["duration"]: r for r in
+           kaplan_meier(df, "duration", "observed").collect()}
+    # t=1: n=5, d=1 -> S=0.8 ; t=2: censored only, S stays 0.8
+    # t=3: n=3, d=2 -> S=0.8*(1/3) ; t=5: censored only
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == 0.8
+    assert out[2]["n_censored"] == 1 and out[2]["survival"] == 0.8
+    assert out[3]["n_risk"] == 3
+    assert out[3]["survival"] == round(0.8 * (1 / 3), 6)
+    assert out[5]["n_risk"] == 1 and out[5]["survival"] == out[3]["survival"]
+
+
+def test_kaplan_meier_grouped_curves_are_independent(spark):
+    from hazelcast_jet_spark.operators.timeseries import kaplan_meier
+
+    rows = [("g1", 1, True), ("g1", 2, True),
+            ("g2", 1, False), ("g2", 2, True)]
+    df = spark.createDataFrame(rows, "g string, duration int, observed boolean")
+    out = {(r["g"], r["duration"]): r["survival"] for r in
+           kaplan_meier(df, "duration", "observed", ["g"]).collect()}
+    assert out[("g1", 1)] == 0.5 and out[("g1", 2)] == 0.0
+    # g2: t=1 censored -> S=1.0 ; t=2 d=1/n=1 -> 0.0
+    assert out[("g2", 1)] == 1.0 and out[("g2", 2)] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pareto_front
+# ---------------------------------------------------------------------------
+
+def test_pareto_front_matches_naive_dominance(spark):
+    """The window skyline equals the O(n^2) dominance definition on a
+    deterministic point set with duplicates and ties."""
+    from hazelcast_jet_spark.operators.profile import pareto_front
+
+    pts = [((i * 13) % 7, float((i * 29) % 11)) for i in range(60)]
+    df = spark.createDataFrame(pts, "size int, price double")
+    got = {(r["size"], r["best_price"], r["n_best"])
+           for r in pareto_front(df, "size", "price").collect()}
+
+    best = {}
+    for s, p in pts:
+        best[s] = min(p, best.get(s, p))
+    expect = set()
+    for s, p in best.items():
+        if not any(s2 > s and p2 <= p for s2, p2 in best.items()):
+            n = sum(1 for s1, p1 in pts if s1 == s and p1 == p)
+            expect.add((s, p, n))
+    assert got == expect
+    # frontier prices strictly increase as size decreases
+    ordered = sorted(got, key=lambda t: -t[0])
+    prices = [p for _, p, _ in ordered]
+    assert prices == sorted(prices)
+
+
+def test_pareto_front_grouped(spark):
+    from hazelcast_jet_spark.operators.profile import pareto_front
+
+    rows = [("x", 1, 5.0), ("x", 2, 4.0), ("x", 3, 6.0),
+            ("y", 1, 1.0), ("y", 2, 1.0)]
+    df = spark.createDataFrame(rows, "g string, size int, price double")
+    got = {(r["g"], r["size"]) for r in
+           pareto_front(df, "size", "price", ["g"]).collect()}
+    # x: size 3 (6.0) and size 2 (4.0) survive; size 1 (5.0) dominated
+    # y: size 2 (1.0) survives; size 1 tied on price -> dominated
+    assert got == {("x", 3), ("x", 2), ("y", 2)}
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy
+# ---------------------------------------------------------------------------
+
+def test_embedding_isotropy_extremes(spark):
+    """All-identical vectors -> anisotropy 1; a symmetric +/- pair ->
+    mean vector 0 -> anisotropy 0; numpy cross-check on a mixed group."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.similarity import embedding_isotropy
+
+    aligned = [(i, [3.0, 4.0], 0) for i in range(4)]
+    opposed = [(10, [1.0, 0.0], 1), (11, [-1.0, 0.0], 1)]
+    mixed = [(20, [1.0, 1.0], 2), (21, [1.0, 0.0], 2), (22, [0.0, 1.0], 2)]
+    df = spark.createDataFrame(aligned + opposed + mixed,
+                               "vec_id long, embedding array<float>, label int")
+    out = {r["group"]: r for r in embedding_isotropy(df).collect()}
+    assert out[0]["anisotropy"] == 1.0 and out[0]["mean_norm"] == 5.0
+    assert out[1]["anisotropy"] == 0.0 and out[1]["mean_vec_norm"] == 0.0
+    V = np.array([v for _, v, _ in mixed])
+    expect = np.linalg.norm(V.mean(axis=0)) / \
+        np.mean([np.linalg.norm(v) for v in V])
+    assert abs(out[2]["anisotropy"] - expect) < 1e-5
+    assert out[2]["dim"] == 2 and out[2]["n_vecs"] == 3

@@ -710,3 +710,50 @@ def test_classifier_lift_broadcast_weights(spark, sf_dir):
     plan = _plan(entry_mod.classifier_lift_docs(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_window_after_rollup(spark, sf_dir):
+    """kaplan_meier gate: the corpus collapses to the per-user span
+    rollup, the horizon is a 1-row broadcast, and the survival/at-risk
+    windows run on the tiny duration curve — no real-table self-join."""
+    plan = _plan(entry_mod.kaplan_meier_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row horizon
+    assert "Window" in plan
+
+
+def test_pareto_front_no_join_two_windows(spark, sf_dir):
+    """pareto_front gate: per-level min window + cumulative-min window
+    on the level table — the O(n^2) dominance self-join never appears."""
+    plan = _plan(entry_mod.pareto_front_parts(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_cuped_broadcast_theta(spark, sf_dir):
+    """cuped gate: theta/mean(X) is a 1-row broadcast onto the per-arm
+    aggregate; the unit rollup is the only full shuffle."""
+    plan = _plan(entry_mod.cuped_experiment_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row theta
+    assert plan.count("FileScan") <= 2  # units rollup feeds both aggs
+
+
+def test_attribution_no_window_no_duplicated_subtree(spark, sf_dir):
+    """attribution gate: bookends are conditional min_by/max_by
+    aggregates — no Window exec, no per-user sort, and the events
+    table is scanned exactly twice (conversion lookup + touch side);
+    the first cut's window/full-outer form duplicated the touch
+    subtree 5x."""
+    plan = _plan(entry_mod.attribution_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_isotropy_one_explode_no_cartesian(spark, sf_dir):
+    """isotropy gate: one posexplode feeding the (group, dim) aggregate;
+    the per-group join is broadcast-sized (|labels| rows)."""
+    plan = _plan(entry_mod.isotropy_embeddings(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the posexplode

@@ -5421,6 +5421,54 @@ def isotropy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_isotropy(e)
 
 
+WF_WITHIN_SECONDS = 86400
+
+
+def window_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (timeseries.funnel_counts with
+    within_seconds; the ClickHouse-windowFunnel metric): view → click →
+    purchase where EVERY later stage completes within 24 h of the
+    first view — 'converted within a day', the SLA form of the funnel.
+    Same one-partitioning join chain as the unbounded gate; the bound
+    is exact NTZ microsecond interval arithmetic on both engines."""
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_counts(e, FUNNEL_STAGES,
+                         within_seconds=WF_WITHIN_SECONDS).orderBy("stage")
+
+
+FP_COLS = ("doc_id", "lang", "n_chars")
+
+
+def table_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reconciliation fingerprint (profile.table_fingerprint):
+    count + commutative 48-bit-md5 checksum + min/max hash probes over
+    engine-stable column casts — the replica/migration audit.  The gate
+    IS the use case: DuckDB recomputes the identical fingerprint from
+    its own scan of the same rows."""
+    from hazelcast_jet_spark.operators.profile import table_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return table_fingerprint(d, list(FP_COLS), group_cols=["source"])
+
+
+RAKE_TOP_K = 20
+RAKE_MAX_WORDS = 4
+
+
+def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyphrase vocabulary (text.rake_keyphrases; Rose et al.
+    2010 RAKE): stopword-free token runs scored by summed word
+    degree/freq — the 'what is this corpus about' report.  One keyed
+    window exchange builds phrases; word stats join back broadcast;
+    deterministic (score desc, phrase) top-20."""
+    from hazelcast_jet_spark.operators.text import rake_keyphrases
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(d, top_k=RAKE_TOP_K, max_words=RAKE_MAX_WORDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5718,6 +5766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_experiment_orders": cuped_experiment_orders,
         "attribution_events": attribution_events,
         "isotropy_embeddings": isotropy_embeddings,
+        "window_funnel_events": window_funnel_events,
+        "table_fingerprint_docs": table_fingerprint_docs,
+        "rake_keyphrases_docs": rake_keyphrases_docs,
     }
 
 
@@ -12333,5 +12384,102 @@ def oracle_sql() -> dict[str, str]:
                    round(round(sqrt(round(mv.msq, 9)), 6) / pg.mean_norm,
                          6) + 0.0 AS anisotropy
             FROM pg JOIN mv USING (grp) ORDER BY 1
+        """,
+        "window_funnel_events": f"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t1, min(s0.t0) AS t0
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = '{FUNNEL_STAGES[1]}'
+                  AND e.ts > s0.t0
+                  AND e.ts <= s0.t0 + INTERVAL {WF_WITHIN_SECONDS} SECOND
+                GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = '{FUNNEL_STAGES[2]}'
+                  AND e.ts > s1.t1
+                  AND e.ts <= s1.t0 + INTERVAL {WF_WITHIN_SECONDS} SECOND
+                GROUP BY 1
+            )
+            SELECT * FROM (VALUES
+                (CAST(1 AS INT), '{FUNNEL_STAGES[0]}',
+                 (SELECT count(*) FROM s0)),
+                (CAST(2 AS INT), '{FUNNEL_STAGES[1]}',
+                 (SELECT count(*) FROM s1)),
+                (CAST(3 AS INT), '{FUNNEL_STAGES[2]}',
+                 (SELECT count(*) FROM s2))
+            ) AS t(stage, event_type, n_keys)
+            ORDER BY stage
+        """,
+        "table_fingerprint_docs": """
+            WITH h AS (
+                SELECT source, substr(md5(concat_ws(chr(31),
+                           COALESCE(CAST(doc_id AS VARCHAR), '<NULL>'),
+                           COALESCE(lang, '<NULL>'),
+                           COALESCE(CAST(n_chars AS VARCHAR), '<NULL>'))),
+                           1, 12) AS hh
+                FROM documents
+            )
+            SELECT source, count(*) AS n_rows,
+                   SUM(CAST(CAST('0x' || hh AS UBIGINT)
+                            AS DECIMAL(38,0))) AS checksum,
+                   min(hh) AS min_hash, max(hh) AS max_hash
+            FROM h GROUP BY 1 ORDER BY 1
+        """,
+        "rake_keyphrases_docs": f"""
+            WITH nt AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS ts
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, tok, pos FROM (
+                    SELECT doc_id, unnest(ts) AS tok,
+                           unnest(generate_series(1, len(ts))) AS pos
+                    FROM nt)
+                WHERE tok <> ''
+            ), grp AS (
+                SELECT doc_id, tok, pos,
+                       SUM(CASE WHEN list_contains({_STOPWORDS_SQL}, tok)
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS g
+                FROM toks
+            ), phr AS (
+                SELECT doc_id, g,
+                       string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                       count(*) AS n_words
+                FROM grp
+                WHERE NOT list_contains({_STOPWORDS_SQL}, tok)
+                GROUP BY 1, 2
+                HAVING count(*) <= {RAKE_MAX_WORDS}
+            ), iw AS (
+                SELECT n_words, unnest(string_split(phrase, ' ')) AS word
+                FROM phr
+            ), stats AS (
+                SELECT word,
+                       CAST(SUM(n_words) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS r
+                FROM iw GROUP BY 1
+            ), dph AS (
+                SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+                       count(*) AS n_occurrences
+                FROM phr GROUP BY 1, 2
+            ), pwords AS (
+                SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+                FROM dph
+            ), scored AS (
+                SELECT p.phrase,
+                       round(CAST(SUM(CAST(s.r AS DECIMAL(28,12)))
+                                  AS DOUBLE), 6) + 0.0 AS score
+                FROM pwords p JOIN stats s USING (word)
+                GROUP BY 1
+            )
+            SELECT d.phrase, d.n_words, d.n_occurrences, s.score
+            FROM dph d JOIN scored s USING (phrase)
+            ORDER BY s.score DESC, d.phrase
+            LIMIT {RAKE_TOP_K}
         """,
     }

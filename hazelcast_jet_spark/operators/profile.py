@@ -1595,3 +1595,41 @@ def pareto_front(df: DataFrame, maximize_col: str, minimize_col: str,
                     | (F.col(f"best_{minimize_col}") < F.col("__prior")))
             .drop("__prior")
             .orderBy(*gcols, F.col(maximize_col).desc()))
+
+
+def table_fingerprint(df: DataFrame, cols: list[str],
+                      group_cols: list[str] | None = None,
+                      null_sentinel: str = "<NULL>") -> DataFrame:
+    """Order-free table fingerprint for cross-engine / cross-copy
+    reconciliation: per group, the row count plus an md5-derived
+    checksum that any SQL engine can recompute over its own copy —
+    THE migration/replication audit ("does the replica hold exactly
+    these rows?") without shipping or sorting either side.
+
+    checksum = Σ over rows of the first 48 bits of
+    ``md5(concat_ws(US, coalesce(col::string, sentinel)...))`` as an
+    exact DECIMAL(38,0) — commutative, so no ordering requirement and
+    no shuffle beyond the one per-group aggregate; min/max hash give
+    cheap spot probes for WHERE a mismatch lives (binary-search by
+    re-fingerprinting halves).  A sum (not xor) also catches
+    duplicated-row divergence of even multiplicity.
+
+    Caveats (documented contract): columns must have engine-stable
+    string casts (ints/strings/dates — NOT doubles, whose formatting
+    is engine-specific), and values must not contain the unit
+    separator.
+
+    Returns ``(group_cols..., n_rows, checksum, min_hash, max_hash)``
+    ordered by group.
+    """
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
+             for c in cols]
+    h = F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 12)
+    hv = F.conv(h, 16, 10).cast("decimal(38,0)")
+    gcols = list(group_cols or [])
+    out = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(hv).alias("checksum"),
+        F.min(h).alias("min_hash"),
+        F.max(h).alias("max_hash"))
+    return out.orderBy(*gcols) if gcols else out

@@ -1342,3 +1342,73 @@ def token_length_histogram(df: DataFrame, text_col: str = "text",
         (F.round(F.col("n_tokens").cast("double") / tot.cast("double"),
                  round_digits) + F.lit(0.0)).alias("share"),
     ).orderBy("token_len")
+
+
+def rake_keyphrases(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 20,
+                    max_words: int = 4,
+                    stopwords: tuple = EN_STOPWORDS,
+                    round_digits: int = 6) -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree(w)/freq(w) (degree = summed length of phrases
+    containing w, freq = occurrences), and a phrase scores the sum of
+    its words — long co-occurring content-word runs outrank frequent
+    singletons.  Corpus-level: identical phrases aggregate before
+    ranking, the content-phrase vocabulary every "what is this corpus
+    about" report starts from.  (Simplification vs the paper: phrase
+    boundaries are stopwords only — normalize_text already folded
+    punctuation to spaces.)
+
+    Scale shape: phrase assembly is one posexplode + running stopword
+    count per doc (one keyed window exchange); word stats and phrase
+    scores are two aggregates on the exploded-phrase-word table; the
+    per-word ratio joins back BROADCAST (vocabulary-sized).  Scores
+    decimal-accumulate per phrase (order-free exact) with one rounded
+    double at the end.
+
+    Returns the global ``top_k`` rows ``(phrase, n_words, n_occurrences,
+    score)`` by (score desc, phrase) — deterministic.
+    """
+    from pyspark.sql import Window
+
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(tokens(normalize_text(text_col)))
+                      .alias("pos", "tok"))
+            .filter(F.col("tok") != ""))
+    is_stop = F.array_contains(sw, F.col("tok")).cast("int")
+    w = (Window.partitionBy("__id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    words = (toks.withColumn("__grp", F.sum(is_stop).over(w))
+             .filter(~F.array_contains(sw, F.col("tok"))))
+    phrases = (words.groupBy("__id", "__grp")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s["tok"]), " ").alias("phrase"),
+                    F.count(F.lit(1)).alias("n_words"))
+               .filter(F.col("n_words") <= max_words))
+    # word stats over ALL phrase instances (corpus freq/degree) ...
+    inst_words = phrases.select(
+        "n_words", F.explode(F.split("phrase", " ")).alias("word"))
+    stats = inst_words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("n_words").alias("__deg"))
+    ratio = (F.col("__deg").cast("double") / F.col("__freq").cast("double"))
+    # ... but each DISTINCT phrase is scored once (then ranked with its
+    # corpus occurrence count)
+    dph = (phrases.groupBy("phrase", "n_words")
+           .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    scored = (dph.select("phrase",
+                         F.explode(F.split("phrase", " ")).alias("word"))
+              .join(F.broadcast(stats.select("word", ratio.alias("__r"))),
+                    "word")
+              .groupBy("phrase")
+              .agg((F.round(F.sum(F.col("__r").cast("decimal(28,12)"))
+                            .cast("double"), round_digits) + F.lit(0.0))
+                   .alias("score")))
+    return (dph.join(scored, "phrase")
+            .select("phrase", "n_words", "n_occurrences", "score")
+            .orderBy(F.col("score").desc(), "phrase").limit(top_k))

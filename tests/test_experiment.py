@@ -214,3 +214,81 @@ def test_embedding_isotropy_extremes(spark):
         np.mean([np.linalg.norm(v) for v in V])
     assert abs(out[2]["anisotropy"] - expect) < 1e-5
     assert out[2]["dim"] == 2 and out[2]["n_vecs"] == 3
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 2: table_fingerprint / rake_keyphrases / windowed funnel
+# ---------------------------------------------------------------------------
+
+def test_table_fingerprint_order_free_and_sensitive(spark):
+    from hazelcast_jet_spark.operators.profile import table_fingerprint
+
+    rows = [(1, "en", 10, "a"), (2, "de", 20, "a"), (3, None, 30, "b")]
+    a = spark.createDataFrame(rows, "id long, lang string, n long, src string")
+    # same rows, reversed order, different partitioning -> same fingerprint
+    b = spark.createDataFrame(rows[::-1], "id long, lang string, n long, src string") \
+             .repartition(7)
+    fa = {r["src"]: r for r in
+          table_fingerprint(a, ["id", "lang", "n"], ["src"]).collect()}
+    fb = {r["src"]: r for r in
+          table_fingerprint(b, ["id", "lang", "n"], ["src"]).collect()}
+    assert fa == fb and fa["a"]["n_rows"] == 2
+    # a single changed value flips the checksum but not the count
+    rows2 = [(1, "en", 11, "a"), (2, "de", 20, "a"), (3, None, 30, "b")]
+    c = spark.createDataFrame(rows2, "id long, lang string, n long, src string")
+    fc = {r["src"]: r for r in
+          table_fingerprint(c, ["id", "lang", "n"], ["src"]).collect()}
+    assert fc["a"]["n_rows"] == 2 and fc["a"]["checksum"] != fa["a"]["checksum"]
+    assert fc["b"] == fa["b"]
+    # NULL is distinguished from the literal sentinel string
+    import hashlib
+    h = hashlib.md5("3\x1f<NULL>\x1f30".encode()).hexdigest()[:12]
+    assert fa["b"]["min_hash"] == h == fa["b"]["max_hash"]
+    assert fa["b"]["checksum"] == int(h, 16)
+
+
+def test_rake_keyphrases_hand_model(spark):
+    """RAKE on a two-doc corpus, hand-computed: degree/freq scoring,
+    phrase aggregation across docs, stopword boundaries."""
+    from hazelcast_jet_spark.operators.text import rake_keyphrases
+
+    docs = [(1, "deep learning of deep networks"),
+            (2, "deep learning in practice")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["phrase"]: r for r in rake_keyphrases(df, top_k=10).collect()}
+    # phrases: "deep learning" x2, "deep networks", "practice"
+    # freq: deep 3, learning 2, networks 1, practice 1
+    # degree: deep 2+2+2=6, learning 4, networks 2, practice 1
+    # scores: deep 2.0, learning 2.0, networks 2.0, practice 1.0
+    assert out["deep learning"]["n_occurrences"] == 2
+    assert out["deep learning"]["score"] == 4.0
+    assert out["deep networks"]["score"] == 4.0
+    assert out["practice"]["score"] == 1.0
+    assert out["deep learning"]["n_words"] == 2
+
+
+def test_funnel_within_seconds_bound(spark):
+    """The 24h-style bound rejects completions outside the window of
+    the FIRST stage, even when each consecutive gap is small."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, mins, typ):
+        return (u, t0 + dt.timedelta(minutes=mins), typ)
+
+    rows = [
+        # user 1 completes within 60 min of the first view
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 50, "purchase"),
+        # user 2: click inside, purchase at +70 min -> stage 3 misses
+        ev(2, 0, "view"), ev(2, 30, "click"), ev(2, 70, "purchase"),
+        # user 3: click already outside the window
+        ev(3, 0, "view"), ev(3, 61, "click"), ev(3, 62, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    out = {r["stage"]: r["n_keys"] for r in
+           funnel_counts(df, ["view", "click", "purchase"],
+                         within_seconds=3600).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}

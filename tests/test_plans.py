@@ -736,7 +736,7 @@ def test_cuped_broadcast_theta(spark, sf_dir):
     plan = _plan(entry_mod.cuped_experiment_orders(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row theta
-    assert plan.count("FileScan") <= 2  # units rollup feeds both aggs
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # units rollup feeds both aggs
 
 
 def test_attribution_no_window_no_duplicated_subtree(spark, sf_dir):
@@ -748,7 +748,7 @@ def test_attribution_no_window_no_duplicated_subtree(spark, sf_dir):
     plan = _plan(entry_mod.attribution_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
-    assert plan.count("FileScan") <= 2
+    assert plan.count("Location: InMemoryFileIndex") <= 2
 
 
 def test_isotropy_one_explode_no_cartesian(spark, sf_dir):
@@ -757,3 +757,27 @@ def test_isotropy_one_explode_no_cartesian(spark, sf_dir):
     plan = _plan(entry_mod.isotropy_embeddings(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the posexplode
+
+
+def test_table_fingerprint_single_aggregate_no_join(spark, sf_dir):
+    """fingerprint gate: one map-side hash expression + one per-group
+    aggregate — no join, no window, one scan."""
+    plan = _plan(entry_mod.table_fingerprint_docs(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_rake_broadcast_word_stats(spark, sf_dir):
+    """rake gate: the vocabulary-sized word-ratio table joins back
+    broadcast; phrase assembly is the single keyed window exchange."""
+    plan = _plan(entry_mod.rake_keyphrases_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+
+
+def test_window_funnel_broadcast_chain(spark, sf_dir):
+    """windowed funnel gate: same stage-join chain as the unbounded
+    funnel — every join an equi-join on user_id, no cartesian."""
+    plan = _plan(entry_mod.window_funnel_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -5469,6 +5469,64 @@ def rake_keyphrases_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_keyphrases(d, top_k=RAKE_TOP_K, max_words=RAKE_MAX_WORDS)
 
 
+LPA_ITERS = 2
+
+
+def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (graph.label_propagation; Raghavan
+    et al. 2007, deterministic min-label tie-break) over the co-purchase
+    graph: top 20 communities by size — the 'product family' clustering
+    the association rules slice pair-wise.  Each of the 2 fixed rounds
+    is one edge join + two node-keyed aggregates; the oracle unrolls the
+    identical rounds."""
+    from hazelcast_jet_spark.operators.graph import label_propagation
+
+    labels = label_propagation(_copurchase_edges(spark, sf_dir),
+                               iters=LPA_ITERS)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy(F.desc("n_nodes"), "community").limit(20))
+
+
+LINKPRED_MAX_DEGREE = 256
+
+
+def link_prediction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction (graph.jaccard_link_prediction;
+    Liben-Nowell & Kleinberg 2003) over the SPARSE near-dup document
+    graph: doc pairs that share near-dup neighbors but were never
+    LSH-matched themselves — the banding-miss audit (transitive dup
+    candidates to re-verify).  Wedge enumeration is Σdeg² — fine on a
+    sparse dup graph, deliberately NOT run on the dense co-purchase
+    graph (median degree ~120 ⇒ 300 M wedges at sf0.1; item-item
+    similarity is the right tool there — q:item_similarity_parts).
+    The pair table persists: every consumer of the edge list reads the
+    cache, not a re-run of the LSH pipeline."""
+    from hazelcast_jet_spark.operators.dedup import minhash_lsh_pairs
+    from hazelcast_jet_spark.operators.graph import jaccard_link_prediction
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, num_hashes=MINHASH_HASHES,
+                              bands=MINHASH_BANDS, k=SHINGLE_K,
+                              threshold=LSH_THRESHOLD).persist()
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    return jaccard_link_prediction(edges, top_k=20,
+                                   max_degree=LINKPRED_MAX_DEGREE)
+
+
+def ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type (timeseries.ohlc_resample):
+    open/close via conditional min_by/max_by over the (ts, event_id)
+    struct — ONE aggregate, no window, no sort; the tick-to-daily
+    downsampling every monitoring rollup is."""
+    from hazelcast_jet_spark.operators.timeseries import ohlc_resample
+
+    e = _t(spark, sf_dir, "events")
+    out = ohlc_resample(e, "event_type", "ts", "value", "event_id")
+    return out.withColumnRenamed("key", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5769,6 +5827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel_events": window_funnel_events,
         "table_fingerprint_docs": table_fingerprint_docs,
         "rake_keyphrases_docs": rake_keyphrases_docs,
+        "lpa_communities_parts": lpa_communities_parts,
+        "link_prediction_docs": link_prediction_docs,
+        "ohlc_events": ohlc_events,
     }
 
 
@@ -12481,5 +12542,102 @@ def oracle_sql() -> dict[str, str]:
             FROM dph d JOIN scored s USING (phrase)
             ORDER BY s.score DESC, d.phrase
             LIMIT {RAKE_TOP_K}
+        """,
+        "lpa_communities_parts": f"""
+            WITH {_COPURCHASE_EDGES_SQL}, bt AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), lab0 AS (
+                SELECT DISTINCT src AS node, src AS label FROM bt
+            ), c1 AS (
+                SELECT b.src AS node, l.label, count(*) AS c
+                FROM bt b JOIN lab0 l ON b.dst = l.node GROUP BY 1, 2
+            ), lab1 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                    FROM c1) WHERE rn = 1
+            ), c2 AS (
+                SELECT b.src AS node, l.label, count(*) AS c
+                FROM bt b JOIN lab1 l ON b.dst = l.node GROUP BY 1, 2
+            ), lab2 AS (
+                SELECT node, label FROM (
+                    SELECT node, label, row_number() OVER (
+                        PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                    FROM c2) WHERE rn = 1
+            )
+            SELECT label AS community, count(*) AS n_nodes
+            FROM lab2 GROUP BY 1
+            ORDER BY n_nodes DESC, community LIMIT 20
+        """,
+        "link_prediction_docs": f"""
+            WITH base AS (
+                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
+            ), sigs AS (
+                SELECT id, sh, {_minhash_sql()} AS sig FROM base
+            ), buckets AS (
+                SELECT id, sh, unnest([{band_entries}]) AS bucket,
+                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
+                           AS band
+                FROM sigs
+            ), cands AS (
+                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                       l.sh AS sh_a, r.sh AS sh_b
+                FROM buckets l JOIN buckets r
+                  ON l.band = r.band AND l.bucket = r.bucket
+                     AND l.id < r.id
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM cands
+                WHERE round(len(list_intersect(sh_a, sh_b))
+                            / CAST(len(list_distinct(
+                                  list_concat(sh_a, sh_b))) AS DOUBLE), 6)
+                      >= {LSH_THRESHOLD}
+            ), bt AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, count(*) AS degree FROM bt GROUP BY 1
+            ), ctr AS (
+                SELECT b.src, b.dst FROM bt b JOIN deg d ON b.src = d.node
+                WHERE d.degree <= {LINKPRED_MAX_DEGREE}
+            ), common AS (
+                SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
+                FROM ctr x JOIN ctr y
+                  ON x.src = y.src AND x.dst < y.dst
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT c.a, c.b, c.n_common
+                FROM common c LEFT JOIN edges e
+                  ON c.a = e.src AND c.b = e.dst
+                WHERE e.src IS NULL
+            )
+            SELECT c.a AS src, c.b AS dst,
+                   CAST(c.n_common AS BIGINT) AS n_common,
+                   round(CAST(c.n_common AS DOUBLE)
+                         / CAST(da.degree + db.degree - c.n_common
+                                AS DOUBLE), 6) + 0.0 AS jaccard
+            FROM cand c JOIN deg da ON c.a = da.node
+                        JOIN deg db ON c.b = db.node
+            ORDER BY jaccard DESC, src, dst LIMIT 20
+        """,
+        "ohlc_events": """
+            WITH r AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM events
+            )
+            SELECT event_type, day,
+                   MAX(CASE WHEN rf = 1 THEN value END) AS open,
+                   MAX(value) AS high, MIN(value) AS low,
+                   MAX(CASE WHEN rl = 1 THEN value END) AS close,
+                   count(*) AS n_points,
+                   round(CAST(SUM(CAST(value AS DECIMAL(28,12)))
+                              AS DOUBLE), 6) + 0.0 AS sum_value
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -471,3 +471,88 @@ def item_similarity_topk(
                     F.col("__b").alias("neighbor"),
                     "n_co", "sim", "rank")
             .orderBy("item", "rank"))
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan, Albert &
+    Kumara 2007) with deterministic tie-breaks: every node starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors, ties resolved to the SMALLEST label — so the result is a
+    pure function of the graph, replayable by an unrolled SQL oracle
+    (async/random LPA is not).
+
+    Plan per round: one equi-join of the directed edge list against the
+    (node, label) table + two aggregates ((node, label) counts, then a
+    per-node ``max_by(label, (count, -label))`` argmax) — all keyed on
+    the node, so one partitioning serves the whole loop.  ``iters`` is
+    fixed and small (community structure stabilizes in a few rounds;
+    this is the bounded-iteration convention of graph.pagerank).
+
+    Returns ``(node, label)`` after ``iters`` rounds.
+    """
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (both.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(iters):
+        nbr = (both.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .groupBy(F.col("src").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        labels = (nbr.groupBy("node")
+                  .agg(F.max_by("label",
+                                F.struct(F.col("__c"),
+                                         (-F.col("label")).alias("__nl")))
+                       .alias("label")))
+    return labels
+
+
+def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
+                            max_degree: int = 256,
+                            round_digits: int = 6) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    2003): for non-adjacent pairs sharing neighbors, score
+    ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` — the "customers who bought these
+    also bought together" candidate edge list.
+
+    Plan: wedge enumeration (two directed copies joined on the shared
+    neighbor, ``a < b`` canonical) counts common neighbors; existing
+    edges drop via one left_anti; degrees join back for the union size.
+    Hub nodes above ``max_degree`` are excluded from wedge CENTERS (the
+    degree² guard — a celebrity node makes every fan pair a candidate,
+    which is both quadratic and a useless signal), the market-basket
+    hot-group convention.
+
+    Returns the ``top_k`` rows ``(src, dst, n_common, jaccard)`` by
+    (jaccard desc, src, dst) — deterministic.
+    """
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    # hub filter: AQE sizes the eligible-node side at runtime (broadcast
+    # when small); persisted because BOTH wedge legs read it
+    centers = (both.join(deg.filter(F.col("degree") <= max_degree)
+                         .select(F.col("node").alias("src")), "src")
+               .persist())
+    a = centers.select(F.col("src").alias("__w"), F.col("dst").alias("a"))
+    b = centers.select(F.col("src").alias("__w"), F.col("dst").alias("b"))
+    # the wedge self-join is |edges|-sized on BOTH sides — force the
+    # shuffle path (the static estimator under-sizes the aggregated leg
+    # and tries to broadcast the whole directed edge list: OOMs a
+    # default-memory driver at sf0.1 already, let alone 100 TB)
+    common = (a.join(b.hint("shuffle_merge"), "__w")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common")))
+    cand = common.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    scored = (cand.join(da, "a").join(db, "b")
+              .select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                      "n_common",
+                      (F.round(F.col("n_common").cast("double")
+                               / (F.col("__da") + F.col("__db")
+                                  - F.col("n_common")).cast("double"),
+                               round_digits) + F.lit(0.0)).alias("jaccard")))
+    return scored.orderBy(F.desc("jaccard"), "src", "dst").limit(top_k)

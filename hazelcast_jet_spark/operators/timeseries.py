@@ -1300,3 +1300,34 @@ def kaplan_meier(df: DataFrame, duration_col: str, observed_col: str,
             .select(*gcols, duration_col, "n_risk", "n_events",
                     "n_censored", "survival")
             .orderBy(*gcols, duration_col))
+
+
+def ohlc_resample(df: DataFrame, key_col: str, time_col: str,
+                  value_col: str, id_col: str,
+                  round_digits: int = 6) -> DataFrame:
+    """OHLC down-sampling: per (key, calendar day), the opening (first),
+    high, low and closing (last) value plus count and an exact decimal
+    sum — the candlestick/metrics-rollup primitive that turns a raw
+    tick/event stream into a bounded daily series.
+
+    ONE aggregate, no window, no sort: open/close are conditional
+    ``min_by``/``max_by`` over the (time, id) struct (the id breaks
+    equal-timestamp ties deterministically), high/low plain extrema.
+    The oracle replays the bookends with row_number windows — same
+    picks by the same total order.
+
+    Returns ``(key, day, open, high, low, close, n_points, sum_value)``
+    ordered by (key, day).
+    """
+    order = F.struct(time_col, id_col)
+    return (df.groupBy(F.col(key_col).alias("key"),
+                       F.to_date(time_col).alias("day"))
+            .agg(F.min_by(value_col, order).alias("open"),
+                 F.max(value_col).alias("high"),
+                 F.min(value_col).alias("low"),
+                 F.max_by(value_col, order).alias("close"),
+                 F.count(F.lit(1)).alias("n_points"),
+                 (F.round(F.sum(F.col(value_col).cast("decimal(28,12)"))
+                          .cast("double"), round_digits) + F.lit(0.0))
+                 .alias("sum_value"))
+            .orderBy("key", "day"))

@@ -292,3 +292,99 @@ def test_funnel_within_seconds_bound(spark):
            funnel_counts(df, ["view", "click", "purchase"],
                          within_seconds=3600).collect()}
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 3: label propagation / link prediction / OHLC
+# ---------------------------------------------------------------------------
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: after 2 sync rounds with
+    min-label ties the left triangle has converged to label 1; the
+    bridge-side triangle is mid-oscillation exactly as the synchronous
+    update rule dictates (4 sees {1,4,4}->4; 5 and 6 see {3,4}->3) —
+    pinned values, hand-derived."""
+    from hazelcast_jet_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
+
+
+def test_label_propagation_matches_python_model(spark):
+    """Sync LPA with (count desc, label asc) argmax replayed in python
+    on a deterministic random-ish graph."""
+    from hazelcast_jet_spark.operators.graph import label_propagation
+
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in (((i * 7) % 15, (i * 11 + 3) % 15)
+                                 for i in range(40)) if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    assert got == lab
+
+
+def test_jaccard_link_prediction_square(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals are the only predictions,
+    each with 2 common neighbors and union 2 -> jaccard 1.0."""
+    from hazelcast_jet_spark.operators.graph import jaccard_link_prediction
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["src"], r["dst"]): (r["n_common"], r["jaccard"])
+           for r in jaccard_link_prediction(df, top_k=10).collect()}
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_jaccard_link_prediction_hub_guard(spark):
+    """A star hub above max_degree contributes no wedges: its fan pairs
+    are not predicted."""
+    from hazelcast_jet_spark.operators.graph import jaccard_link_prediction
+
+    star = [(100, i) for i in range(1, 6)]          # hub degree 5
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert jaccard_link_prediction(df, max_degree=4).count() == 0
+    assert jaccard_link_prediction(df, max_degree=5).count() == 10
+
+
+def test_ohlc_resample_bookends(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import ohlc_resample
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0)
+    rows = [
+        (1, "a", t0, 5.0),
+        (2, "a", t0 + dt.timedelta(hours=1), 9.0),
+        (3, "a", t0 + dt.timedelta(hours=2), 1.0),
+        (4, "a", t0 + dt.timedelta(hours=3), 7.0),
+        # equal-timestamp tie on day 2: event_id picks open=10, close=20
+        (6, "a", t0 + dt.timedelta(days=1), 20.0),
+        (5, "a", t0 + dt.timedelta(days=1), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp_ntz, value double")
+    out = {str(r["day"]): r for r in
+           ohlc_resample(df, "event_type", "ts", "value", "event_id").collect()}
+    d1 = out["2024-03-01"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (5.0, 9.0, 1.0, 7.0)
+    assert d1["n_points"] == 4 and d1["sum_value"] == 22.0
+    d2 = out["2024-03-02"]
+    assert (d2["open"], d2["close"]) == (10.0, 20.0)

@@ -781,3 +781,30 @@ def test_window_funnel_broadcast_chain(spark, sf_dir):
     funnel — every join an equi-join on user_id, no cartesian."""
     plan = _plan(entry_mod.window_funnel_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_lpa_no_cartesian_bounded_joins(spark, sf_dir):
+    """LPA gate: every per-round join is an equi-join on the node key;
+    no cartesian, no nested loop."""
+    plan = _plan(entry_mod.lpa_communities_parts(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_link_prediction_wedge_never_broadcast(spark, sf_dir):
+    """link-prediction gate: the |edges|-sized wedge self-join must take
+    the shuffle path (the static estimator under-sizes the aggregated
+    leg and a forced broadcast OOMs a default-memory driver); the
+    persisted LSH pair table feeds every edge consumer from cache."""
+    plan = _plan(entry_mod.link_prediction_docs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan  # the hinted wedge join
+    assert "InMemoryTableScan" in plan  # persisted pair table
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """ohlc gate: conditional min_by/max_by bookends — one aggregate,
+    no window, no join, one scan."""
+    plan = _plan(entry_mod.ohlc_events(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1

@@ -5527,6 +5527,54 @@ def ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("key", "event_type")
 
 
+def session_bounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit/bounce report (timeseries.session_entry_exit): per
+    event type, sessions opened / closed / bounced on it — the
+    landing-page analysis of web analytics over the 30-min sessionize.
+    One sessionize exchange, conditional min_by/max_by bookends, one
+    credit-explode aggregate (no full-outer, no second window)."""
+    from hazelcast_jet_spark.operators.timeseries import session_entry_exit
+
+    e = _t(spark, sf_dir, "events")
+    return session_entry_exit(e)
+
+
+def seasonality_strength_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength (timeseries.seasonality_strength):
+    SS_between_dow / SS_total of daily counts per event type — the
+    calendar-drivenness screen that justifies (dow, hour) baselines.
+    Exact integer moment sums; dow via epoch-day modulus."""
+    from hazelcast_jet_spark.operators.timeseries import seasonality_strength
+
+    e = _t(spark, sf_dir, "events")
+    return (seasonality_strength(e, "event_type", "ts")
+            .withColumnRenamed("key", "event_type"))
+
+
+def streaming_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING daily OHLC: the conditional min_by/max_by bookend lane
+    on a real stream (complete mode) — min_by's ordering struct makes
+    the bookends commutative across micro-batches, so arrival order
+    cannot change the candle; availableNow on bounded input makes the
+    batch OHLC SQL the exact oracle."""
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    agg = (s.groupBy("event_type", F.to_date("ts").alias("day"))
+           .agg(F.min_by("value", order).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", order).alias("close"),
+                F.count(F.lit(1)).alias("n_points"),
+                (F.round(F.sum(F.col("value").cast("decimal(28,12)"))
+                         .cast("double"), 6) + F.lit(0.0))
+                .alias("sum_value")))
+    return run_to_batch(agg, "complete").orderBy("event_type", "day")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5830,6 +5878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities_parts": lpa_communities_parts,
         "link_prediction_docs": link_prediction_docs,
         "ohlc_events": ohlc_events,
+        "session_bounce_events": session_bounce_events,
+        "seasonality_strength_events": seasonality_strength_events,
+        "streaming_ohlc_events": streaming_ohlc_events,
     }
 
 
@@ -12621,6 +12672,115 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY jaccard DESC, src, dst LIMIT 20
         """,
         "ohlc_events": """
+            WITH r AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM events
+            )
+            SELECT event_type, day,
+                   MAX(CASE WHEN rf = 1 THEN value END) AS open,
+                   MAX(value) AS high, MIN(value) AS low,
+                   MAX(CASE WHEN rl = 1 THEN value END) AS close,
+                   count(*) AS n_points,
+                   round(CAST(SUM(CAST(value AS DECIMAL(28,12)))
+                              AS DOUBLE), 6) + 0.0 AS sum_value
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_bounce_events": """
+            WITH ord AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es
+                FROM events
+            ), flg AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(es) OVER w IS NULL
+                                 OR es - lag(es) OVER w > 1800
+                            THEN 1 ELSE 0 END AS nw
+                FROM ord
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), ses AS (
+                SELECT user_id, event_type, ts, event_id,
+                       SUM(nw) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flg
+            ), rk AS (
+                SELECT user_id, sid, event_type,
+                       row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id, sid
+                           ORDER BY ts DESC, event_id DESC) AS rl
+                FROM ses
+            ), per AS (
+                SELECT user_id, sid,
+                       MAX(CASE WHEN rf = 1 THEN event_type END) AS entry,
+                       MAX(CASE WHEN rl = 1 THEN event_type END) AS exit,
+                       count(*) AS n
+                FROM rk GROUP BY 1, 2
+            ), credits AS (
+                SELECT entry AS t, 1 AS e, 0 AS x,
+                       CASE WHEN n = 1 THEN 1 ELSE 0 END AS b FROM per
+                UNION ALL
+                SELECT exit AS t, 0 AS e, 1 AS x, 0 AS b FROM per
+            ), agg AS (
+                SELECT t AS event_type,
+                       CAST(SUM(e) AS BIGINT) AS n_entries,
+                       CAST(SUM(x) AS BIGINT) AS n_exits,
+                       CAST(SUM(b) AS BIGINT) AS n_bounces
+                FROM credits GROUP BY 1
+            )
+            SELECT event_type, n_entries, n_exits, n_bounces,
+                   CASE WHEN n_entries > 0
+                        THEN round(CAST(n_bounces AS DOUBLE)
+                                   / CAST(n_entries AS DOUBLE), 6) + 0.0
+                        END AS bounce_rate
+            FROM agg ORDER BY event_type
+        """,
+        "seasonality_strength_events": """
+            WITH daily AS (
+                SELECT event_type AS key, CAST(ts AS DATE) AS d,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), pd AS (
+                SELECT key,
+                       ((CAST(d AS DATE) - DATE '1970-01-05') % 7 + 7) % 7
+                           AS dow,
+                       count(*) AS c,
+                       CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS s
+                FROM daily GROUP BY 1, 2
+            ), g AS (
+                SELECT key, count(*) AS n_days,
+                       CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE) AS S,
+                       CAST(SUM(CAST(n * n AS DECIMAL(38,0))) AS DOUBLE)
+                           AS Q
+                FROM daily GROUP BY 1
+            ), bt AS (
+                SELECT p.key,
+                       CAST(SUM(CAST(
+                           CAST(p.c AS DOUBLE)
+                           * (p.s / CAST(p.c AS DOUBLE)
+                              - g.S / CAST(g.n_days AS DOUBLE))
+                           * (p.s / CAST(p.c AS DOUBLE)
+                              - g.S / CAST(g.n_days AS DOUBLE))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS ssb
+                FROM pd p JOIN g USING (key) GROUP BY 1
+            )
+            SELECT g.key AS event_type, g.n_days,
+                   CASE WHEN g.Q - g.S * g.S / CAST(g.n_days AS DOUBLE)
+                             > 0.0
+                        THEN round(bt.ssb
+                                   / (g.Q - g.S * g.S
+                                      / CAST(g.n_days AS DOUBLE)), 6)
+                             + 0.0
+                        END AS strength
+            FROM g JOIN bt USING (key) ORDER BY 1
+        """,
+        "streaming_ohlc_events": """
             WITH r AS (
                 SELECT event_type, CAST(ts AS DATE) AS day, value,
                        row_number() OVER (

@@ -1331,3 +1331,107 @@ def ohlc_resample(df: DataFrame, key_col: str, time_col: str,
                           .cast("double"), round_digits) + F.lit(0.0))
                  .alias("sum_value"))
             .orderBy("key", "day"))
+
+
+def session_entry_exit(df: DataFrame, key_col: str = "user_id",
+                       time_col: str = "ts", type_col: str = "event_type",
+                       id_col: str = "event_id", gap: str = "30 minutes",
+                       round_digits: int = 6) -> DataFrame:
+    """Entry/exit-page analysis with bounce rates: per event type, how
+    many sessions START with it, END with it, and BOUNCE on it (a
+    single-event session) — the landing/exit report of web analytics,
+    generalized to any event log.
+
+    One sessionize exchange (the shared lag + running-sum assignment),
+    then one per-session aggregate whose bookends are conditional
+    ``min_by``/``max_by`` over (time, id) — no second window — and one
+    credit-explode aggregate (the attribution convention: entry and
+    exit credit emit as two struct rows, so no full-outer join of two
+    groupBys and no duplicated session subtree).
+
+    Returns ``(event_type, n_entries, n_exits, n_bounces,
+    bounce_rate)`` ordered by event_type; ``bounce_rate`` =
+    bounces/entries (NULL where a type never opens a session).
+    """
+    ses = sessionize(df, key_col=key_col, time_col=time_col, gap=gap,
+                     id_col=id_col)
+    order = F.struct(time_col, id_col)
+    per = (ses.groupBy(key_col, "session_id")
+           .agg(F.min_by(type_col, order).alias("__entry"),
+                F.max_by(type_col, order).alias("__exit"),
+                F.count(F.lit(1)).alias("__n")))
+    credits = per.select(F.explode(F.array(
+        F.struct(F.col("__entry").alias("t"),
+                 F.lit(1).alias("e"), F.lit(0).alias("x"),
+                 (F.col("__n") == 1).cast("int").alias("b")),
+        F.struct(F.col("__exit").alias("t"),
+                 F.lit(0).alias("e"), F.lit(1).alias("x"),
+                 F.lit(0).alias("b")))).alias("c"))
+    agg = (credits.groupBy(F.col("c.t").alias(type_col))
+           .agg(F.sum("c.e").alias("n_entries"),
+                F.sum("c.x").alias("n_exits"),
+                F.sum("c.b").alias("n_bounces")))
+    rate = F.when(F.col("n_entries") > 0,
+                  F.round(F.col("n_bounces").cast("double")
+                          / F.col("n_entries").cast("double"),
+                          round_digits) + F.lit(0.0))
+    return (agg.withColumn("bounce_rate", rate).orderBy(type_col))
+
+
+def seasonality_strength(df: DataFrame, key_col: str, time_col: str,
+                         round_digits: int = 6) -> DataFrame:
+    """Weekly-seasonality strength per key: the share of daily-count
+    variance explained by day-of-week,
+
+        strength = SS_between_dow / SS_total   in [0, 1],
+
+    the one-number "is this series calendar-driven" screen that decides
+    whether a forecast/anomaly baseline needs (dow) cells (compare
+    q:dow_hourly_anomaly_events, which assumes it) or a flat mean.
+
+    Exactness: daily counts collapse first (the only full-data
+    aggregate); S = Σn and Q = Σn² accumulate as exact DECIMAL(38,0)
+    integers, so SS_total = Q − S²/N is a handful of double ops;
+    per-dow terms c_d·(s_d/c_d − S/N)² are doubles DECIMAL-accumulated
+    across the ≤7 dow rows (engine addition order differs; decimal does
+    not).  Day-of-week is an epoch-day modulus — engines disagree on
+    dayofweek() anchors (the dow_hourly convention).
+
+    Returns ``(key, n_days, strength)`` ordered by key; strength NULL
+    for keys with zero total variance (constant series).
+    """
+    day = F.to_date(time_col)
+    daily = (df.groupBy(F.col(key_col).alias("key"), day.alias("__d"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    dow = F.pmod(F.datediff("__d", F.lit("1970-01-05").cast("date")),
+                 F.lit(7))  # 1970-01-05 = Monday; engines agree on dates
+    di = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    per_dow = (daily.groupBy("key", dow.alias("__dow"))
+               .agg(F.count(F.lit(1)).alias("__c"), di(F.col("__n"))
+                    .alias("__s")))
+    glob = (daily.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 di(F.col("__n")).alias("__gs"),
+                 di(F.col("__n") * F.col("__n")).alias("__gq")))
+    term = (F.col("__c").cast("double")
+            * (F.col("__s") / F.col("__c").cast("double")
+               - F.col("__gs") / F.col("n_days").cast("double"))
+            * (F.col("__s") / F.col("__c").cast("double")
+               - F.col("__gs") / F.col("n_days").cast("double")))
+    # carry the (constant-per-key) global moments through the between
+    # aggregate so glob is consumed ONCE — the naive glob-join-between
+    # form recomputed the daily rollup (and the scan under it) 3x
+    between = (per_dow.join(glob, "key")
+               .groupBy("key")
+               .agg(F.sum(term.cast("decimal(38,12)")).cast("double")
+                    .alias("__ssb"),
+                    F.min("n_days").alias("n_days"),
+                    F.min("__gs").alias("__gs"),
+                    F.min("__gq").alias("__gq")))
+    ss_total = (F.col("__gq") - F.col("__gs") * F.col("__gs")
+                / F.col("n_days").cast("double"))
+    strength = F.when(ss_total > 0.0,
+                      F.round(F.col("__ssb") / ss_total, round_digits)
+                      + F.lit(0.0))
+    return (between.select("key", "n_days", strength.alias("strength"))
+            .orderBy("key"))

@@ -388,3 +388,83 @@ def test_ohlc_resample_bookends(spark):
     assert d1["n_points"] == 4 and d1["sum_value"] == 22.0
     d2 = out["2024-03-02"]
     assert (d2["open"], d2["close"]) == (10.0, 20.0)
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 4: session bounce / seasonality strength
+# ---------------------------------------------------------------------------
+
+def test_session_entry_exit_hand_model(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import session_entry_exit
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins, typ):
+        return (eid, uid, t0 + dt.timedelta(minutes=mins), typ)
+
+    rows = [
+        # user 1, session 1: view -> click   (entry view, exit click)
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "click"),
+        # user 1, session 2 (gap > 30min): single purchase -> bounce
+        ev(3, 1, 60, "purchase"),
+        # user 2, session 1: single view -> bounce on view
+        ev(4, 2, 0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    out = {r["event_type"]: r for r in session_entry_exit(df).collect()}
+    v = out["view"]
+    assert (v["n_entries"], v["n_exits"], v["n_bounces"]) == (2, 1, 1)
+    assert v["bounce_rate"] == 0.5
+    c = out["click"]
+    assert (c["n_entries"], c["n_exits"], c["n_bounces"]) == (0, 1, 0)
+    assert c["bounce_rate"] is None
+    p = out["purchase"]
+    assert (p["n_entries"], p["n_exits"], p["n_bounces"]) == (1, 1, 1)
+    assert p["bounce_rate"] == 1.0
+
+
+def test_seasonality_strength_extremes(spark):
+    """A purely dow-driven series scores ~1; a constant series has zero
+    variance -> NULL; numpy cross-check on a mixed series."""
+    import datetime as dt
+
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import seasonality_strength
+
+    d0 = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    # key 'pure': count = dow+1 exactly (emit that many events per day)
+    for day in range(28):
+        dow = day % 7
+        for k in range(dow + 1):
+            rows.append(("pure", dt.datetime.combine(
+                d0 + dt.timedelta(days=day), dt.time(1, k))))
+    # key 'flat': constant 2/day
+    for day in range(28):
+        for k in range(2):
+            rows.append(("flat", dt.datetime.combine(
+                d0 + dt.timedelta(days=day), dt.time(2, k))))
+    # key 'mix': dow signal + deterministic noise
+    counts = []
+    for day in range(28):
+        n = (day % 7) + 1 + (day * 3) % 5
+        counts.append(n)
+        for k in range(n):
+            rows.append(("mix", dt.datetime.combine(
+                d0 + dt.timedelta(days=day), dt.time(3, k % 60))))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = {r["key"]: r for r in
+           seasonality_strength(df, "event_type", "ts").collect()}
+    assert out["pure"]["strength"] == 1.0
+    assert out["flat"]["strength"] is None
+    x = np.array(counts, dtype=float)
+    dows = np.arange(28) % 7
+    ss_tot = ((x - x.mean()) ** 2).sum()
+    ss_b = sum(len(x[dows == d]) * (x[dows == d].mean() - x.mean()) ** 2
+               for d in range(7))
+    assert abs(out["mix"]["strength"] - ss_b / ss_tot) < 1e-6
+    assert out["mix"]["n_days"] == 28

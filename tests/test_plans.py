@@ -808,3 +808,20 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     plan = _plan(entry_mod.ohlc_events(spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_session_bounce_one_window_one_scan(spark, sf_dir):
+    """bounce gate: the sessionize lag+cumsum windows share the user
+    exchange; bookends are conditional min_by/max_by (no extra window);
+    one scan."""
+    plan = _plan(entry_mod.session_bounce_events(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_seasonality_strength_broadcast_moments(spark, sf_dir):
+    """seasonality gate: daily rollup first; the per-key global moment
+    table joins the <=7-row-per-key dow table small-side; no cartesian."""
+    plan = _plan(entry_mod.seasonality_strength_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # dow + global moment aggs

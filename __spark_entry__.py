@@ -5575,6 +5575,47 @@ def streaming_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "complete").orderBy("event_type", "day")
 
 
+AB_CONV_VALUE = 95.0
+
+
+def ab_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout + SRM guardrail
+    (experiment.ab_proportion_test): users md5-split into arms,
+    conversion = made a purchase of value >= 95 (every user purchases
+    in the synthetic log; an all-converted metric has zero pooled
+    variance — the operator raises on that degenerate pool); per-arm rates plus the pooled z
+    and the sample-ratio-mismatch z — the binary-metric twin of the
+    CUPED gate.  Counts are exact BIGINTs; both statistics are a few
+    double ops the oracle replays in the same order."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          ab_proportion_test)
+
+    e = _t(spark, sf_dir, "events")
+    big = ((F.col("event_type") == "purchase")
+           & (F.col("value") >= AB_CONV_VALUE)).cast("int")
+    units = (e.groupBy("user_id")
+             .agg(F.max(big).cast("boolean").alias("converted"))
+             .withColumn("arm", ab_assign(F.col("user_id"), CUPED_SEED)))
+    return ab_proportion_test(units, "arm", "converted")
+
+
+SELFREP_K = 5
+SELFREP_THRESHOLD = 0.2
+
+
+def self_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition screen (text.self_repetition): per source,
+    mean 1−distinct/total token 5-gram windows and the share of
+    degenerate docs — the loop/stutter/template-spam metric corpus-wide
+    dup-span stats can't see (the repeats never leave the doc).
+    Map-side window assembly; one per-source rollup."""
+    from hazelcast_jet_spark.operators.text import self_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return self_repetition(d, k=SELFREP_K,
+                           degenerate_threshold=SELFREP_THRESHOLD)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5881,6 +5922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_bounce_events": session_bounce_events,
         "seasonality_strength_events": seasonality_strength_events,
         "streaming_ohlc_events": streaming_ohlc_events,
+        "ab_conversion_events": ab_conversion_events,
+        "self_repetition_docs": self_repetition_docs,
     }
 
 
@@ -12799,5 +12842,80 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CAST(value AS DECIMAL(28,12)))
                               AS DOUBLE), 6) + 0.0 AS sum_value
             FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ab_conversion_events": f"""
+            WITH u AS (
+                SELECT user_id,
+                       CASE WHEN substr(md5('{CUPED_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                     AND value >= 95.0
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1
+            ), per AS (
+                SELECT arm, count(*) AS n_units,
+                       CAST(SUM(conv) AS BIGINT) AS n_converted
+                FROM u GROUP BY 1
+            ), ab AS (
+                SELECT max(CASE WHEN arm = 'A' THEN n_units END) AS na,
+                       max(CASE WHEN arm = 'A' THEN n_converted END)
+                           AS ca,
+                       max(CASE WHEN arm = 'B' THEN n_units END) AS nb,
+                       max(CASE WHEN arm = 'B' THEN n_converted END)
+                           AS cb
+                FROM per
+            ), st AS (
+                SELECT
+                    round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                           - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          / sqrt((CAST(ca + cb AS DOUBLE)
+                                  / CAST(na + nb AS DOUBLE))
+                                 * (1.0 - CAST(ca + cb AS DOUBLE)
+                                          / CAST(na + nb AS DOUBLE))
+                                 * (1.0 / CAST(na AS DOUBLE)
+                                    + 1.0 / CAST(nb AS DOUBLE))), 6)
+                        + 0.0 AS z,
+                    round((CAST(na AS DOUBLE)
+                           - CAST(na + nb AS DOUBLE) / 2.0)
+                          / sqrt(CAST(na + nb AS DOUBLE) / 4.0), 6)
+                        + 0.0 AS srm_z
+                FROM ab
+            )
+            SELECT p.arm, p.n_units, p.n_converted,
+                   round(CAST(p.n_converted AS DOUBLE)
+                         / CAST(p.n_units AS DOUBLE), 6) + 0.0 AS rate,
+                   st.z, st.srm_z
+            FROM per p, st ORDER BY p.arm
+        """,
+        "self_repetition_docs": f"""
+            WITH toks AS (
+                SELECT source, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ), pd AS (
+                SELECT source,
+                       len(g) AS total,
+                       1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                             / CAST(len(g) AS DOUBLE) AS rep
+                FROM (
+                    SELECT source,
+                           list_transform(
+                               generate_series(1, len(t) - {SELFREP_K - 1}),
+                               i -> array_to_string(
+                                   list_slice(t, i, i + {SELFREP_K - 1}),
+                                   ' ')) AS g
+                    FROM toks)
+                WHERE len(g) >= 1
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(CAST(SUM(CAST(rep AS DECIMAL(28,12))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS mean_repetition,
+                   round(CAST(SUM(CASE WHEN rep >= {SELFREP_THRESHOLD}
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS share_degenerate
+            FROM pd GROUP BY 1 ORDER BY 1
         """,
     }

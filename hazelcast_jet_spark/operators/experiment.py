@@ -21,6 +21,8 @@ Scale notes
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,3 +136,51 @@ def touch_attribution(events: DataFrame, user_col: str = "user_id",
             .agg(F.sum("c.__f").alias("n_first_touch"),
                  F.sum("c.__l").alias("n_last_touch"))
             .orderBy("channel"))
+
+
+def ab_proportion_test(units: DataFrame, arm_col: str,
+                       converted_col: str,
+                       round_digits: int = 6) -> DataFrame:
+    """Two-proportion A/B readout with guardrails: per-arm conversion
+    rates, the pooled two-proportion z statistic, and the
+    sample-ratio-mismatch (SRM) z — the first thing to check before
+    believing any experiment (a non-uniform split means broken
+    assignment, and no downstream stat is trustworthy).
+
+        z      = (pA − pB) / sqrt(p̂(1−p̂)(1/nA + 1/nB))
+        srm_z  = (nA − N/2) / sqrt(N/4)          (50/50 design)
+
+    Input is one row per unit with a boolean ``converted_col``; both
+    statistics are a handful of double ops on exact BIGINT counts, so
+    any engine replays them bit-for-bit.  Arms beyond the first two
+    (lexicographic) raise — the z-test is pairwise by definition.
+
+    Returns one row per arm: ``(arm, n_units, n_converted, rate, z,
+    srm_z)`` — z/srm_z repeated per row for readout convenience.
+    """
+    per = (units.groupBy(F.col(arm_col).alias("arm"))
+           .agg(F.count(F.lit(1)).alias("n_units"),
+                F.sum(F.col(converted_col).cast("bigint"))
+                .alias("n_converted"))
+           .orderBy("arm"))
+    rows = per.limit(3).collect()  # bounded: arms are a tiny domain
+    if len(rows) != 2:
+        raise ValueError(f"ab_proportion_test needs exactly 2 arms, "
+                         f"got {len(rows)}")
+    (na, ca), (nb, cb) = [(r["n_units"], r["n_converted"]) for r in rows]
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    if pool in (0.0, 1.0):
+        raise ValueError("degenerate conversion metric: pooled rate is "
+                         f"{pool} — the z statistic is undefined")
+    z = (pa - pb) / math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    n = na + nb
+    srm_z = (na - n / 2.0) / math.sqrt(n / 4.0)
+    r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    rate = (F.round(F.col("n_converted").cast("double")
+                    / F.col("n_units").cast("double"), round_digits)
+            + F.lit(0.0))
+    return (per.select("arm", "n_units", "n_converted",
+                       rate.alias("rate"),
+                       r6(z).alias("z"), r6(srm_z).alias("srm_z"))
+            .orderBy("arm"))

@@ -1412,3 +1412,54 @@ def rake_keyphrases(df: DataFrame, text_col: str = "text",
     return (dph.join(scored, "phrase")
             .select("phrase", "n_words", "n_occurrences", "score")
             .orderBy(F.col("score").desc(), "phrase").limit(top_k))
+
+
+def self_repetition(df: DataFrame, text_col: str = "text",
+                    source_col: str = "source", k: int = 5,
+                    degenerate_threshold: float = 0.2,
+                    round_digits: int = 6) -> DataFrame:
+    """Intra-document repetition score: 1 − (distinct k-gram windows /
+    total windows) per doc — the degenerate-text screen (loops, boiler
+    stutter, copy-paste padding) that corpus-wide dup-span stats can't
+    see because the repeats never leave the document.  A high mean at a
+    source flags template spam; ``share_degenerate`` counts docs whose
+    ratio clears the threshold.
+
+    Entirely map-side JVM expressions (token k-grams assembled with
+    ``transform`` + ``array_distinct`` inside the row); the only
+    shuffle is the per-source rollup.  Per-doc ratios are exact integer
+    divisions, so both engines agree bit-for-bit before the decimal
+    mean.
+
+    Returns ``(source, n_docs, mean_repetition, share_degenerate)``
+    over docs with ≥1 window, ordered by source.
+    """
+    toks = tokens(normalize_text(text_col))
+    n = F.size(toks)
+    # guard: F.sequence(1, x) DESCENDS for x < 1 (it never returns empty)
+    # while the oracle's generate_series is empty — docs shorter than k
+    # must yield zero windows on both engines
+    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1)))
+    grams = F.coalesce(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")),
+        F.expr("CAST(array() AS array<string>)"))
+    total = F.size(grams)
+    rep = (F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
+           / total.cast("double"))
+    per_doc = (df.select(F.col(source_col).alias("source"),
+                         rep.alias("__rep"), total.alias("__t"))
+               .filter(F.col("__t") >= 1))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.round(F.sum(F.col("__rep").cast("decimal(28,12)"))
+                          .cast("double")
+                          / F.count(F.lit(1)).cast("double"),
+                          round_digits) + F.lit(0.0))
+                 .alias("mean_repetition"),
+                 (F.round(F.sum((F.col("__rep")
+                                 >= F.lit(degenerate_threshold))
+                                .cast("bigint")).cast("double")
+                          / F.count(F.lit(1)).cast("double"),
+                          round_digits) + F.lit(0.0))
+                 .alias("share_degenerate"))
+            .orderBy("source"))

@@ -468,3 +468,55 @@ def test_seasonality_strength_extremes(spark):
                for d in range(7))
     assert abs(out["mix"]["strength"] - ss_b / ss_tot) < 1e-6
     assert out["mix"]["n_days"] == 28
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 5: ab_proportion_test / self_repetition
+# ---------------------------------------------------------------------------
+
+def test_ab_proportion_test_closed_form(spark):
+    rows = ([(i, "A", i < 30) for i in range(100)]          # 30% conv
+            + [(i + 100, "B", i < 40) for i in range(100)])  # 40% conv
+    df = spark.createDataFrame(rows, "u long, arm string, converted boolean")
+    from hazelcast_jet_spark.operators.experiment import ab_proportion_test
+
+    out = {r["arm"]: r for r in
+           ab_proportion_test(df, "arm", "converted").collect()}
+    assert out["A"]["rate"] == 0.3 and out["B"]["rate"] == 0.4
+    pool = 0.35
+    z = (0.3 - 0.4) / math.sqrt(pool * (1 - pool) * (1 / 100 + 1 / 100))
+    assert out["A"]["z"] == round(z, 6) + 0.0
+    assert out["A"]["srm_z"] == 0.0  # perfectly balanced split
+
+
+def test_ab_proportion_test_guards(spark):
+    from hazelcast_jet_spark.operators.experiment import ab_proportion_test
+
+    allconv = spark.createDataFrame(
+        [(1, "A", True), (2, "B", True)], "u long, arm string, converted boolean")
+    with pytest.raises(ValueError, match="degenerate"):
+        ab_proportion_test(allconv, "arm", "converted")
+    three = spark.createDataFrame(
+        [(1, "A", True), (2, "B", False), (3, "C", True)],
+        "u long, arm string, converted boolean")
+    with pytest.raises(ValueError, match="exactly 2 arms"):
+        ab_proportion_test(three, "arm", "converted")
+
+
+def test_self_repetition_hand_model(spark):
+    from hazelcast_jet_spark.operators.text import self_repetition
+
+    loop = "spam ham " * 6                  # 12 tokens, heavy repeats
+    fresh = "a b c d e f g h i j k l"       # 12 distinct tokens
+    short = "too short"                     # < k tokens -> no windows
+    df = spark.createDataFrame(
+        [(1, loop, "s1"), (2, fresh, "s2"), (3, short, "s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in self_repetition(df, k=5).collect()}
+    # loop: 8 windows, distinct = 2 ("spam ham..."/"ham spam...") -> 0.75
+    assert out["s1"]["mean_repetition"] == 0.75
+    assert out["s1"]["share_degenerate"] == 1.0
+    # fresh doc: all 8 windows distinct -> 0; short doc contributes nothing
+    assert out["s2"]["n_docs"] == 1
+    assert out["s2"]["mean_repetition"] == 0.0
+    assert out["s2"]["share_degenerate"] == 0.0

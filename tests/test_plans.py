@@ -825,3 +825,11 @@ def test_seasonality_strength_broadcast_moments(spark, sf_dir):
     plan = _plan(entry_mod.seasonality_strength_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2  # dow + global moment aggs
+
+
+def test_self_repetition_map_side_no_join(spark, sf_dir):
+    """self-repetition gate: window assembly is in-row (transform +
+    array_distinct); one scan, one rollup, no join/window."""
+    plan = _plan(entry_mod.self_repetition_docs(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1

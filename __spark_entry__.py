@@ -5616,6 +5616,42 @@ def self_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            degenerate_threshold=SELFREP_THRESHOLD)
 
 
+def fisher_separation_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation profile (clustering.fisher_separation): per
+    label the within-class scatter and centroid-to-global distance,
+    plus the between/within Fisher ratio — the 'are these labels even
+    separable' screen run before training any probe.  One posexplode,
+    one (label, dim) DECIMAL aggregate; everything after runs on the
+    |labels|·dim table."""
+    from hazelcast_jet_spark.operators.clustering import fisher_separation
+
+    e = _t(spark, sf_dir, "embeddings")
+    return fisher_separation(e)
+
+
+def growth_decomposition_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """MoM revenue-change decomposition (timeseries.growth_
+    decomposition): ΔR split into volume, price and cross effects —
+    the 'why did the KPI move' follow-up to q:monthly_growth_orders.
+    One monthly rollup + lag-window arithmetic on the months table."""
+    from hazelcast_jet_spark.operators.timeseries import growth_decomposition
+
+    o = _t(spark, sf_dir, "orders")
+    return growth_decomposition(o, "o_orderdate", "o_totalprice")
+
+
+def stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness (timeseries.stickiness): the
+    engagement-depth pulse.  Distinct (week, day, user) compacts
+    first; DAU and WAU both derive from that one table; epoch-week
+    integer math (no calendar anchors)."""
+    from hazelcast_jet_spark.operators.timeseries import stickiness
+
+    e = _t(spark, sf_dir, "events")
+    return stickiness(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5924,6 +5960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ohlc_events": streaming_ohlc_events,
         "ab_conversion_events": ab_conversion_events,
         "self_repetition_docs": self_repetition_docs,
+        "fisher_separation_emb": fisher_separation_emb,
+        "growth_decomposition_orders": growth_decomposition_orders,
+        "stickiness_events": stickiness_events,
     }
 
 
@@ -12917,5 +12956,103 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 6) + 0.0
                        AS share_degenerate
             FROM pd GROUP BY 1 ORDER BY 1
+        """,
+        "fisher_separation_emb": """
+            WITH per AS (
+                SELECT label, CAST(v AS DOUBLE) AS v, pos FROM (
+                    SELECT label, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1))
+                               AS pos
+                    FROM embeddings WHERE embedding IS NOT NULL)
+            ), dims AS (
+                SELECT label, pos, count(*) AS n,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           AS s,
+                       CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE)
+                           AS q
+                FROM per GROUP BY 1, 2
+            ), gdims AS (
+                SELECT pos,
+                       CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                           AS gs,
+                       SUM(n) AS gn
+                FROM dims GROUP BY 1
+            ), per_label AS (
+                SELECT d.label, max(d.n) AS n_vecs,
+                       CAST(SUM(CAST(d.q - d.s * d.s
+                                     / CAST(d.n AS DOUBLE)
+                                AS DECIMAL(38,12))) AS DOUBLE) AS ssw,
+                       CAST(SUM(CAST(
+                           (d.s / CAST(d.n AS DOUBLE)
+                            - g.gs / CAST(g.gn AS DOUBLE))
+                           * (d.s / CAST(d.n AS DOUBLE)
+                              - g.gs / CAST(g.gn AS DOUBLE))
+                           AS DECIMAL(38,12))) AS DOUBLE) AS d2
+                FROM dims d JOIN gdims g USING (pos) GROUP BY 1
+            ), tot AS (
+                SELECT
+                    CAST(SUM(CAST(CAST(n_vecs AS DOUBLE) * d2
+                             AS DECIMAL(38,12))) AS DOUBLE) AS ssb,
+                    CAST(SUM(CAST(ssw AS DECIMAL(38,12))) AS DOUBLE)
+                        AS ssw_all
+                FROM per_label
+            )
+            SELECT p.label, CAST(p.n_vecs AS BIGINT) AS n_vecs,
+                   round(p.ssw / CAST(p.n_vecs AS DOUBLE), 6) + 0.0
+                       AS mean_within,
+                   round(sqrt(round(p.d2, 9)), 6) + 0.0
+                       AS centroid_dist,
+                   round(t.ssb / t.ssw_all, 6) + 0.0 AS fisher_ratio
+            FROM per_label p, tot t ORDER BY p.label
+        """,
+        "growth_decomposition_orders": """
+            WITH monthly AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                           AS month,
+                       count(*) AS n,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+                FROM orders GROUP BY 1
+            ), lagged AS (
+                SELECT month, n, CAST(rev AS DOUBLE) AS rev,
+                       CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE)
+                           AS prev_rev,
+                       CAST(lag(n) OVER (ORDER BY month) AS DOUBLE)
+                           AS prev_n
+                FROM monthly
+            )
+            SELECT month, n,
+                   rev + 0.0 AS revenue,
+                   rev - prev_rev + 0.0 AS d_revenue,
+                   (CAST(n AS DOUBLE) - prev_n)
+                       * (prev_rev / prev_n) + 0.0 AS volume_effect,
+                   (rev / CAST(n AS DOUBLE) - prev_rev / prev_n)
+                       * prev_n + 0.0 AS price_effect,
+                   (CAST(n AS DOUBLE) - prev_n)
+                       * (rev / CAST(n AS DOUBLE)
+                          - prev_rev / prev_n) + 0.0 AS cross_effect
+            FROM lagged ORDER BY month
+        """,
+        "stickiness_events": """
+            WITH base AS (
+                SELECT DISTINCT
+                       CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01')
+                                  / 7.0) AS BIGINT) AS week,
+                       CAST(ts AS DATE) AS d, user_id
+                FROM events
+            ), dau AS (
+                SELECT week, d, count(*) AS dau FROM base GROUP BY 1, 2
+            ), wau AS (
+                SELECT week, count(DISTINCT user_id) AS wau
+                FROM base GROUP BY 1
+            ), pw AS (
+                SELECT week,
+                       CAST(SUM(CAST(dau AS DECIMAL(38,0))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS ad
+                FROM dau GROUP BY 1
+            )
+            SELECT w.week, w.wau, round(p.ad, 6) + 0.0 AS avg_dau,
+                   round(p.ad / CAST(w.wau AS DOUBLE), 6) + 0.0
+                       AS stickiness
+            FROM wau w JOIN pw p USING (week) ORDER BY w.week
         """,
     }

@@ -787,3 +787,78 @@ def embedding_centroid_drift(
     return spark.createDataFrame(
         rows, f"label {label_t}, n_even bigint, n_odd bigint, drift double") \
         .orderBy("label")
+
+
+def fisher_separation(df: DataFrame, vec_col: str = "embedding",
+                      label_col: str = "label",
+                      round_digits: int = 6) -> DataFrame:
+    """Fisher-style class-separation profile of a labeled embedding
+    table: per label the mean within-class scatter and the distance of
+    the class centroid to the global centroid, plus the one-number
+    separation ratio
+
+        fisher = (Σ_l n_l·||μ_l − μ||² / N) / (Σ_l SS_within_l / N)
+
+    — between-class over within-class variance, the embedding-quality
+    screen that says whether labels are separable at all BEFORE anyone
+    trains a probe on them (complements anisotropy, which sees a shared
+    direction but not class structure).
+
+    Exactness at scale: one posexplode → one (label, dim) aggregate
+    with DECIMAL coordinate sums S and square-sums Q (the standardize
+    convention).  SS_within_l = Σ_dim (Q_d − S_d²/n) folds the per-dim
+    double terms through DECIMAL(38,12); centroids are S/n doubles and
+    the global centroid derives from the per-label sums (a ≤|labels|·d
+    table), so the corpus shuffles exactly once.
+
+    Returns ``(label, n_vecs, mean_within, centroid_dist,
+    fisher_ratio)`` ordered by label — the ratio repeated per row.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    per = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.col(label_col).alias("label"),
+                   F.posexplode(vec).alias("pos", "v")))
+    dd = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    dims = (per.groupBy("label", "pos")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 dd(F.col("v")).alias("__s"),
+                 dd(F.col("v") * F.col("v")).alias("__q")))
+    nd = F.col("__n").cast("double")
+    within_term = F.col("__q") - F.col("__s") * F.col("__s") / nd
+    # global per-dim sums via a per-pos window over the tiny
+    # (label, dim) table — a groupBy + join-back would consume `dims`
+    # twice and recompute the corpus explode (plan-pinned to one scan)
+    from pyspark.sql import Window
+    wpos = Window.partitionBy("pos")
+    j = (dims
+         .withColumn("__gs", F.sum(F.col("__s").cast("decimal(38,12)"))
+                     .over(wpos).cast("double"))
+         .withColumn("__gn", F.sum("__n").over(wpos)))
+    mu_l = F.col("__s") / nd
+    mu_g = F.col("__gs") / F.col("__gn").cast("double")
+    dist_term = (mu_l - mu_g) * (mu_l - mu_g)
+    per_label = (j.groupBy("label")
+                 .agg(F.max("__n").alias("n_vecs"),
+                      F.sum(within_term.cast("decimal(38,12)"))
+                      .cast("double").alias("__ssw"),
+                      F.sum(dist_term.cast("decimal(38,12)"))
+                      .cast("double").alias("__d2")))
+    # totals via a global window over the |labels|-row table — an
+    # agg + crossJoin-back would consume per_label twice and recompute
+    # the corpus explode subtree (plan-pinned to one scan)
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+    ssb = (F.sum((F.col("n_vecs").cast("double") * F.col("__d2"))
+                 .cast("decimal(38,12)")).over(wall).cast("double"))
+    ssw_all = (F.sum(F.col("__ssw").cast("decimal(38,12)")).over(wall)
+               .cast("double"))
+    fisher = F.round(ssb / ssw_all, round_digits) + F.lit(0.0)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (per_label
+            .select("label", "n_vecs",
+                    r6(F.col("__ssw") / F.col("n_vecs").cast("double"))
+                    .alias("mean_within"),
+                    r6(F.sqrt(F.round(F.col("__d2"), 9)))
+                    .alias("centroid_dist"),
+                    fisher.alias("fisher_ratio"))
+            .orderBy("label"))

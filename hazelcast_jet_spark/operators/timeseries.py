@@ -1435,3 +1435,96 @@ def seasonality_strength(df: DataFrame, key_col: str, time_col: str,
                       + F.lit(0.0))
     return (between.select("key", "n_days", strength.alias("strength"))
             .orderBy("key"))
+
+
+def growth_decomposition(df: DataFrame, time_col: str, value_col: str,
+                         round_digits: int = 6) -> DataFrame:
+    """Period-over-period growth decomposition: splits each month's
+    revenue change into the volume effect, the price (average-value)
+    effect and the cross term,
+
+        ΔR = Δn·avg₋₁  +  Δavg·n₋₁  +  Δn·Δavg,
+
+    the "WHY did the KPI move" follow-up to the MoM growth number — a
+    revenue drop with positive volume effect and negative price effect
+    reads 'more but cheaper orders', which no single growth rate shows.
+
+    The monthly rollup (exact DECIMAL revenue, BIGINT counts) is the
+    only full-data aggregate; the decomposition is lag-window double
+    arithmetic on the ≤|months| table, identities exact by
+    construction (the three effects sum to ΔR in IEEE, before
+    rounding).
+
+    Returns ``(month, n, revenue, d_revenue, volume_effect,
+    price_effect, cross_effect)`` ordered by month — NULL effects for
+    the first month.
+    """
+    # DECIMAL(18,6), not (28,12): the cast BACK to double must be
+    # engine-identical, and that holds only while the scaled integer
+    # stays under 2^53 (DuckDB converts int128/10^s via two double
+    # roundings; Spark's BigDecimal conversion rounds once — they
+    # diverge by 1 ulp beyond 2^53, caught by the sf0.1 mirror)
+    monthly = (df.groupBy(F.date_format(F.date_trunc("month", time_col),
+                                        "yyyy-MM").alias("month"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col(value_col).cast("decimal(18,6)"))
+                    .alias("__rev")))
+    w = Window.orderBy("month")
+    rev = F.col("__rev").cast("double")
+    prev_rev = F.lag(F.col("__rev")).over(w).cast("double")
+    nn = F.col("n").cast("double")
+    prev_n = F.lag(F.col("n")).over(w).cast("double")
+    avg, prev_avg = rev / nn, prev_rev / prev_n
+    # NO rounding: every output is deterministic IEEE arithmetic on
+    # exact-decimal-derived doubles, so both engines agree bit-for-bit
+    # unrounded — while round(x, 6) at revenue magnitude (~1e8, 15 sig
+    # digits) hits the engines' DIFFERENT rounding algorithms (Spark
+    # BigDecimal HALF_UP vs DuckDB scale-multiply): 1-ulp divergence,
+    # caught by the sf0.1 mirror leg and invisible at sf0.01
+    z = lambda c: c + F.lit(0.0)  # noqa: E731  signed-zero normalize
+    return (monthly.select(
+        "month", "n", z(rev).alias("revenue"),
+        z(rev - prev_rev).alias("d_revenue"),
+        z((nn - prev_n) * prev_avg).alias("volume_effect"),
+        z((avg - prev_avg) * prev_n).alias("price_effect"),
+        z((nn - prev_n) * (avg - prev_avg)).alias("cross_effect"))
+        .orderBy("month"))
+
+
+def stickiness(df: DataFrame, key_col: str = "user_id",
+               time_col: str = "ts",
+               round_digits: int = 6) -> DataFrame:
+    """Weekly engagement stickiness: per epoch-week, the weekly active
+    users, the average daily active users, and their ratio
+
+        stickiness = avg(DAU) / WAU   in (0, 1]
+
+    — the 'how many of this week's users show up on a given day'
+    retention pulse (the DAU/MAU industry metric at the week grain,
+    where a bounded log has full windows).
+
+    Two exact distinct aggregates off one scan: distinct (week, day,
+    user) collapses first (the only full-data shuffle), then DAU per
+    day and WAU per week both derive from that compacted table.  Weeks
+    are epoch-day / 7 integer math — no calendar/locale anchors.
+
+    Returns ``(week, wau, avg_dau, stickiness)`` ordered by week.
+    """
+    day = F.datediff(F.to_date(time_col), F.lit("1970-01-01").cast("date"))
+    base = (df.select(F.floor(day / F.lit(7)).cast("bigint").alias("week"),
+                      day.alias("__day"), F.col(key_col).alias("__u"))
+            .distinct())
+    dau = (base.groupBy("week", "__day")
+           .agg(F.count(F.lit(1)).alias("__dau")))
+    wau = (base.groupBy("week")
+           .agg(F.countDistinct("__u").alias("wau")))
+    per_week = (dau.groupBy("week")
+                .agg((F.sum(F.col("__dau").cast("decimal(38,0)"))
+                      .cast("double")
+                      / F.count(F.lit(1)).cast("double")).alias("__ad")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (wau.join(per_week, "week")
+            .select("week", "wau", r6(F.col("__ad")).alias("avg_dau"),
+                    r6(F.col("__ad") / F.col("wau").cast("double"))
+                    .alias("stickiness"))
+            .orderBy("week"))

@@ -520,3 +520,87 @@ def test_self_repetition_hand_model(spark):
     assert out["s2"]["n_docs"] == 1
     assert out["s2"]["mean_repetition"] == 0.0
     assert out["s2"]["share_degenerate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 6: fisher separation / growth decomposition / stickiness
+# ---------------------------------------------------------------------------
+
+def test_fisher_separation_numpy_model(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import fisher_separation
+
+    vecs = {0: [[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]],
+            1: [[10.0, 0.0], [12.0, 0.0]]}
+    rows = [(i * 10 + j, v, lab) for i, (lab, vs) in enumerate(vecs.items())
+            for j, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in fisher_separation(df).collect()}
+
+    allv = np.array([v for vs in vecs.values() for v in vs])
+    mu_g = allv.mean(axis=0)
+    ssw, ssb = {}, 0.0
+    for lab, vs in vecs.items():
+        V = np.array(vs)
+        mu = V.mean(axis=0)
+        ssw[lab] = ((V - mu) ** 2).sum()
+        ssb += len(vs) * ((mu - mu_g) ** 2).sum()
+        assert abs(out[lab]["mean_within"] - ssw[lab] / len(vs)) < 1e-6
+        assert abs(out[lab]["centroid_dist"]
+                   - np.linalg.norm(mu - mu_g)) < 1e-6
+    fisher = ssb / sum(ssw.values())
+    assert abs(out[0]["fisher_ratio"] - fisher) < 1e-6
+    assert out[0]["fisher_ratio"] == out[1]["fisher_ratio"]
+
+
+def test_growth_decomposition_identity(spark):
+    """The three effects sum exactly to the revenue delta, and a pure
+    volume change shows zero price effect."""
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import growth_decomposition
+
+    rows = []
+    # month 1: 10 orders x 100 ; month 2: 20 orders x 100 (pure volume)
+    # month 3: 20 orders x 110 (pure price)
+    for i in range(10):
+        rows.append((dt.datetime(2024, 1, 1 + i), 100.0))
+    for i in range(20):
+        rows.append((dt.datetime(2024, 2, 1 + i), 100.0))
+    for i in range(20):
+        rows.append((dt.datetime(2024, 3, 1 + i), 110.0))
+    df = spark.createDataFrame(rows, "t timestamp_ntz, v double")
+    out = {r["month"]: r for r in
+           growth_decomposition(df, "t", "v").collect()}
+    feb = out["2024-02"]
+    assert feb["volume_effect"] == 1000.0 and feb["price_effect"] == 0.0
+    assert feb["cross_effect"] == 0.0 and feb["d_revenue"] == 1000.0
+    mar = out["2024-03"]
+    assert mar["volume_effect"] == 0.0 and mar["price_effect"] == 200.0
+    for m in ("2024-02", "2024-03"):
+        r = out[m]
+        assert (r["volume_effect"] + r["price_effect"] + r["cross_effect"]
+                == r["d_revenue"])
+    assert out["2024-01"]["d_revenue"] is None
+
+
+def test_stickiness_hand_model(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import stickiness
+
+    d0 = dt.datetime(2024, 1, 4)  # Thursday, start of an epoch week? no:
+    # epoch weeks are day//7 blocks; use two clean consecutive blocks
+    rows = []
+    # week A: user 1 active 2 days, user 2 active 1 day
+    rows += [(1, d0), (1, d0 + dt.timedelta(days=1)), (2, d0)]
+    # duplicate events same day must not double-count DAU
+    rows += [(1, d0 + dt.timedelta(hours=2))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = stickiness(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # days active: d0 (users 1,2 -> dau 2), d0+1 (user 1 -> dau 1)
+    assert r["wau"] == 2 and r["avg_dau"] == 1.5
+    assert r["stickiness"] == 0.75

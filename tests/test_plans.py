@@ -833,3 +833,29 @@ def test_self_repetition_map_side_no_join(spark, sf_dir):
     plan = _plan(entry_mod.self_repetition_docs(spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_fisher_one_explode_shuffles_once(spark, sf_dir):
+    """fisher gate: the corpus shuffles once on (label, dim); the
+    global-centroid and total tables are tiny derived joins — no
+    cartesian beyond the 1-row totals broadcast."""
+    plan = _plan(entry_mod.fisher_separation_emb(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_growth_decomposition_single_rollup(spark, sf_dir):
+    """decomposition gate: one monthly rollup + lag window — one scan,
+    no join."""
+    plan = _plan(entry_mod.growth_decomposition_orders(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_stickiness_one_distinct_base(spark, sf_dir):
+    """stickiness gate: DAU and WAU both derive from the one distinct
+    (week, day, user) compaction; no cartesian."""
+    plan = _plan(entry_mod.stickiness_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2

@@ -5652,6 +5652,38 @@ def stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stickiness(e)
 
 
+TREND_HALFLIFE_DAYS = 28
+
+
+def trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed part popularity (timeseries.decayed_score): every
+    28 days of age halves an order's weight; DYADIC decay (2^−n is an
+    exact IEEE power of two) so there is zero libm exp()/pow() rounding
+    exposure — the engine-portable trending score.  One broadcast ref
+    date, one equi-join to orders, one per-part aggregate."""
+    from hazelcast_jet_spark.operators.timeseries import decayed_score
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.select("l_orderkey", "l_partkey").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    out = decayed_score(j, "l_partkey", "o_orderdate",
+                        halflife_days=TREND_HALFLIFE_DAYS)
+    return out.withColumnRenamed("key", "part")
+
+
+def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (timeseries.new_vs_returning): per epoch week,
+    users in their first-ever active week vs returning — the 'new' leg
+    of net growth, complementing cohort retention.  One distinct
+    compaction + one per-user min, both keyed on the user."""
+    from hazelcast_jet_spark.operators.timeseries import new_vs_returning
+
+    e = _t(spark, sf_dir, "events")
+    return new_vs_returning(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5963,6 +5995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fisher_separation_emb": fisher_separation_emb,
         "growth_decomposition_orders": growth_decomposition_orders,
         "stickiness_events": stickiness_events,
+        "trending_parts": trending_parts,
+        "new_vs_returning_events": new_vs_returning_events,
     }
 
 
@@ -13054,5 +13088,41 @@ def oracle_sql() -> dict[str, str]:
                    round(p.ad / CAST(w.wau AS DOUBLE), 6) + 0.0
                        AS stickiness
             FROM wau w JOIN pw p USING (week) ORDER BY w.week
+        """,
+        "trending_parts": f"""
+            WITH mx AS (
+                SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders
+            ), j AS (
+                SELECT l.l_partkey AS key,
+                       datediff('day', CAST(o.o_orderdate AS DATE),
+                                mx.ref) AS age
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey, mx
+            )
+            SELECT key AS part, count(*) AS n_events,
+                   round(CAST(SUM(CAST(
+                       pow(2.0, -CAST(floor(age
+                                 / {TREND_HALFLIFE_DAYS}.0) AS DOUBLE))
+                       AS DECIMAL(38,18))) AS DOUBLE), 6) + 0.0 AS score
+            FROM j GROUP BY 1
+            ORDER BY score DESC, part LIMIT 20
+        """,
+        "new_vs_returning_events": """
+            WITH base AS (
+                SELECT DISTINCT
+                       CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01')
+                                  / 7.0) AS BIGINT) AS week,
+                       user_id
+                FROM events
+            ), fw AS (
+                SELECT user_id, min(week) AS fw FROM base GROUP BY 1
+            )
+            SELECT b.week,
+                   CAST(SUM(CASE WHEN b.week = f.fw THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN b.week <> f.fw THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
+            FROM base b JOIN fw f USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
     }

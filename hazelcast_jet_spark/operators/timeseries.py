@@ -1528,3 +1528,63 @@ def stickiness(df: DataFrame, key_col: str = "user_id",
                     r6(F.col("__ad") / F.col("wau").cast("double"))
                     .alias("stickiness"))
             .orderBy("week"))
+
+
+def decayed_score(df: DataFrame, key_col: str, time_col: str,
+                  halflife_days: int = 28, top_k: int = 20,
+                  round_digits: int = 6) -> DataFrame:
+    """Time-decayed popularity ("trending") score per key:
+
+        score(k) = Σ over events of 2^(−floor(age_days / halflife))
+
+    — recent activity counts full, every ``halflife_days`` halves the
+    weight.  The dyadic base is deliberate: 2^(−n) for integer n is an
+    EXACT IEEE double (a power of two), so the per-event weights are
+    bit-identical on every engine with no libm exp()/pow() rounding
+    exposure, and the DECIMAL-accumulated sum is exact — a decay score
+    any engine can replay (e^−λt gives the same ranking up to the
+    bucket grain and none of the portability).
+
+    One broadcast of the 1-row reference date (max event time), one
+    per-key aggregate.  Returns the ``top_k`` rows ``(key, n_events,
+    score)`` by (score desc, key) — deterministic.
+    """
+    day = F.to_date(time_col)
+    mx = df.agg(F.max(day).alias("__ref"))
+    age = F.datediff("__ref", day)
+    w = F.pow(F.lit(2.0), -F.floor(age / F.lit(halflife_days))
+              .cast("double"))
+    return (df.crossJoin(F.broadcast(mx))
+            .select(F.col(key_col).alias("key"), w.alias("__w"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.round(F.sum(F.col("__w").cast("decimal(38,18)"))
+                          .cast("double"), round_digits) + F.lit(0.0))
+                 .alias("score"))
+            .orderBy(F.desc("score"), "key").limit(top_k))
+
+
+def new_vs_returning(df: DataFrame, key_col: str = "user_id",
+                     time_col: str = "ts") -> DataFrame:
+    """New-vs-returning user split per epoch week: a user is NEW in
+    their first-ever active week and RETURNING in every later active
+    week — the growth-accounting companion to cohort retention (net
+    growth = new − churned; this is the 'new' leg).
+
+    One distinct (week, user) compaction, one per-user min (both keyed
+    on the user), then a per-week rollup — exact counts only.
+
+    Returns ``(week, n_new, n_returning)`` ordered by week.
+    """
+    day = F.datediff(F.to_date(time_col), F.lit("1970-01-01").cast("date"))
+    base = (df.select(F.floor(day / F.lit(7)).cast("bigint").alias("week"),
+                      F.col(key_col).alias("__u"))
+            .distinct())
+    first = base.groupBy("__u").agg(F.min("week").alias("__fw"))
+    return (base.join(first, "__u")
+            .groupBy("week")
+            .agg(F.sum((F.col("week") == F.col("__fw")).cast("bigint"))
+                 .alias("n_new"),
+                 F.sum((F.col("week") != F.col("__fw")).cast("bigint"))
+                 .alias("n_returning"))
+            .orderBy("week"))

@@ -604,3 +604,49 @@ def test_stickiness_hand_model(spark):
     # days active: d0 (users 1,2 -> dau 2), d0+1 (user 1 -> dau 1)
     assert r["wau"] == 2 and r["avg_dau"] == 1.5
     assert r["stickiness"] == 0.75
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 7: decayed trending / new-vs-returning
+# ---------------------------------------------------------------------------
+
+def test_decayed_score_dyadic_weights(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import decayed_score
+
+    ref = dt.datetime(2024, 6, 1)
+    rows = [
+        ("a", ref),                               # age 0   -> 1.0
+        ("a", ref - dt.timedelta(days=28)),       # age 28  -> 0.5
+        ("a", ref - dt.timedelta(days=57)),       # age 57  -> 0.25
+        ("b", ref - dt.timedelta(days=27)),       # age 27  -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp_ntz")
+    out = {r["key"]: r for r in
+           decayed_score(df, "k", "t", halflife_days=28).collect()}
+    assert out["a"]["score"] == 1.75 and out["a"]["n_events"] == 3
+    assert out["b"]["score"] == 1.0
+    # ordering: a (1.75) before b (1.0)
+    top = decayed_score(df, "k", "t", halflife_days=28, top_k=1).collect()
+    assert top[0]["key"] == "a"
+
+
+def test_new_vs_returning_weeks(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import new_vs_returning
+
+    w0 = dt.datetime(2024, 1, 1)  # epoch week floor(19723/7)
+    rows = [
+        (1, w0), (2, w0),                          # both new in week 0
+        (1, w0 + dt.timedelta(days=7)),            # 1 returns week 1
+        (3, w0 + dt.timedelta(days=7)),            # 3 new in week 1
+        (1, w0 + dt.timedelta(days=8)),            # same week, no dup
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {r["week"]: (r["n_new"], r["n_returning"])
+           for r in new_vs_returning(df).collect()}
+    weeks = sorted(out)
+    assert out[weeks[0]] == (2, 0)
+    assert out[weeks[1]] == (1, 1)

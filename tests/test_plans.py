@@ -859,3 +859,19 @@ def test_stickiness_one_distinct_base(spark, sf_dir):
     plan = _plan(entry_mod.stickiness_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_trending_broadcast_ref_no_cartesian_blowup(spark, sf_dir):
+    """trending gate: the 1-row reference date broadcasts; the
+    fact-fact join is an equi-join; one per-key aggregate."""
+    plan = _plan(entry_mod.trending_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row ref date
+    assert "CartesianProduct" not in plan
+
+
+def test_new_vs_returning_two_keyed_aggs(spark, sf_dir):
+    """new-vs-returning gate: distinct compaction + per-user min share
+    the user partitioning; no cartesian."""
+    plan = _plan(entry_mod.new_vs_returning_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Location: InMemoryFileIndex") <= 2

@@ -830,3 +830,106 @@ def test_rrf_fuse_matches_model(spark, rows):
         scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (60.0 + r)
     for key, s in scores.items():
         assert got[key] == round(s, 6), key
+
+
+# ---------------------------------------------------------------------------
+# r8 session-2 operators
+# ---------------------------------------------------------------------------
+
+@given(pts=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 20)),
+                    min_size=1, max_size=50))
+@SLOW
+def test_pareto_front_matches_naive(spark, pts):
+    """Window skyline == O(n²) dominance definition on arbitrary points."""
+    from hazelcast_jet_spark.operators.profile import pareto_front
+
+    df = spark.createDataFrame([(s, float(p)) for s, p in pts],
+                               "size int, price double")
+    got = {(r["size"], r["best_price"], r["n_best"])
+           for r in pareto_front(df, "size", "price").collect()}
+    best = {}
+    for s, p in pts:
+        best[s] = min(float(p), best.get(s, float(p)))
+    want = set()
+    for s, p in best.items():
+        if not any(s2 > s and p2 <= p for s2, p2 in best.items()):
+            n = sum(1 for s1, p1 in pts if s1 == s and float(p1) == p)
+            want.add((s, p, n))
+    assert got == want
+
+
+@given(subj=st.lists(st.tuples(st.integers(0, 6), st.booleans()),
+                     min_size=1, max_size=40))
+@SLOW
+def test_kaplan_meier_matches_python(spark, subj):
+    """Product-limit curve == the sequential python fold on arbitrary
+    censored duration sets."""
+    from hazelcast_jet_spark.operators.timeseries import kaplan_meier
+
+    df = spark.createDataFrame(subj, "duration int, observed boolean")
+    got = {r["duration"]: (r["n_risk"], r["n_events"], r["n_censored"],
+                           r["survival"])
+           for r in kaplan_meier(df, "duration", "observed").collect()}
+    want = {}
+    s = 1.0
+    remaining = len(subj)
+    for t in sorted({d for d, _ in subj}):
+        d = sum(1 for dd, o in subj if dd == t and o)
+        c = sum(1 for dd, o in subj if dd == t and not o)
+        s = s * (1.0 - d / remaining)
+        want[t] = (remaining, d, c, round(s, 6) + 0.0)
+        remaining -= d + c
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(-5, 5),
+                               st.text(alphabet="abcde", max_size=3)),
+                     min_size=1, max_size=50),
+       perm=st.randoms())
+@SLOW
+def test_table_fingerprint_invariance_and_sensitivity(spark, rows, perm):
+    """Fingerprints are row-order/partitioning-invariant and change when
+    any single value changes."""
+    from hazelcast_jet_spark.operators.profile import table_fingerprint
+
+    schema = "a int, b int, c string"
+    f1 = table_fingerprint(spark.createDataFrame(rows, schema),
+                           ["a", "b", "c"]).collect()[0]
+    shuffled = list(rows)
+    perm.shuffle(shuffled)
+    f2 = table_fingerprint(
+        spark.createDataFrame(shuffled, schema).repartition(5),
+        ["a", "b", "c"]).collect()[0]
+    assert f1 == f2
+    mutated = list(rows)
+    a, b, c = mutated[0]
+    mutated[0] = (a, b + 1, c)
+    f3 = table_fingerprint(spark.createDataFrame(mutated, schema),
+                           ["a", "b", "c"]).collect()[0]
+    assert f3["checksum"] != f1["checksum"]
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                      min_size=1, max_size=30),
+       iters=st.integers(1, 3))
+@SLOW
+def test_label_propagation_matches_python(spark, edges, iters):
+    from hazelcast_jet_spark.operators.graph import label_propagation
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src long, dst long")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, iters=iters).collect()}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        lab = {v: min({l: sum(1 for u in ns if lab[u] == l)
+                       for l in {lab[u] for u in ns}}.items(),
+                      key=lambda kv: (-kv[1], kv[0]))[0]
+               for v, ns in adj.items()}
+    assert got == lab

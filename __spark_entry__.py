@@ -5684,6 +5684,77 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_vs_returning(e)
 
 
+K_ANON_KS = (2, 5, 10, 20)
+
+
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (profile.k_anonymity; Sweeney 2002) over the
+    customer quasi-identifiers (nation, market segment): rows in
+    equivalence classes below k are re-identifiable — the governance
+    screen before any extract ships.  One groupBy; every k derives
+    from the same class-size table in one pass."""
+    from hazelcast_jet_spark.operators.profile import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], ks=K_ANON_KS)
+
+
+def streaming_fingerprint_events(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CONTINUOUS reconciliation (profile.table_fingerprint on a real
+    stream): the commutative checksum is micro-batch-order-free by
+    construction, so the streaming fingerprint equals the batch one —
+    the live replica-audit loop (stream the CDC feed, compare
+    checksums downstream)."""
+    from hazelcast_jet_spark.operators.profile import table_fingerprint
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    agg = table_fingerprint(s, ["event_id", "user_id", "event_type"],
+                            group_cols=["event_type"])
+    return run_to_batch(agg, "complete").orderBy("event_type")
+
+
+def experiment_readout_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Composition gate: the full experiment readout in ONE row set —
+    per md5 arm: users, high-value-purchase conversion rate, exact mean
+    events/user, and the p50 first-view→first-purchase lag in minutes.
+    Pins ab_assign, the conversion predicate, per-user rollups and the
+    lag bookends against each other the way llm_data_pipeline_counts
+    pins the transform chain."""
+    from hazelcast_jet_spark.operators.experiment import ab_assign
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    es = _epoch_seconds(e, "ts")
+    per = (e.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.max(((F.col("event_type") == "purchase")
+                       & (F.col("value") >= AB_CONV_VALUE)).cast("int"))
+                .alias("__conv"),
+                F.min(F.when(F.col("event_type") == "view", es))
+                .alias("__v0"),
+                F.min(F.when(F.col("event_type") == "purchase", es))
+                .alias("__p0"))
+           .withColumn("arm", ab_assign(F.col("user_id"), CUPED_SEED)))
+    lag_min = F.when(F.col("__p0") > F.col("__v0"),
+                     (F.col("__p0") - F.col("__v0")) / F.lit(60.0))
+    return (per.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 (F.round(F.sum("__conv").cast("double")
+                          / F.count(F.lit(1)).cast("double"), 6)
+                  + F.lit(0.0)).alias("conv_rate"),
+                 (F.round(F.sum(F.col("__n").cast("decimal(38,0)"))
+                          .cast("double")
+                          / F.count(F.lit(1)).cast("double"), 6)
+                  + F.lit(0.0)).alias("avg_events"),
+                 (F.round(F.percentile(lag_min, F.lit(0.5)), 6)
+                  + F.lit(0.0)).alias("p50_lag_min"))
+            .orderBy("arm"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5997,6 +6068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness_events": stickiness_events,
         "trending_parts": trending_parts,
         "new_vs_returning_events": new_vs_returning_events,
+        "k_anonymity_customer": k_anonymity_customer,
+        "streaming_fingerprint_events": streaming_fingerprint_events,
+        "experiment_readout_events": experiment_readout_events,
     }
 
 
@@ -13124,5 +13198,101 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_returning
             FROM base b JOIN fw f USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "k_anonymity_customer": """
+            WITH cls AS (
+                SELECT c_nationkey, c_mktsegment, count(*) AS n
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT * FROM (
+                SELECT 2 AS k,
+                       CAST(SUM(CASE WHEN n < 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_risky_classes,
+                       CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_risky_rows,
+                       round(CAST(SUM(CASE WHEN n < 2 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS risky_share
+                FROM cls
+                UNION ALL
+                SELECT 5 AS k,
+                       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_risky_classes,
+                       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_risky_rows,
+                       round(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS risky_share
+                FROM cls
+                UNION ALL
+                SELECT 10 AS k,
+                       CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_risky_classes,
+                       CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_risky_rows,
+                       round(CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS risky_share
+                FROM cls
+                UNION ALL
+                SELECT 20 AS k,
+                       CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_risky_classes,
+                       CAST(SUM(CASE WHEN n < 20 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_risky_rows,
+                       round(CAST(SUM(CASE WHEN n < 20 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS risky_share
+                FROM cls
+            ) ORDER BY k
+        """,
+        "streaming_fingerprint_events": """
+            WITH h AS (
+                SELECT event_type, substr(md5(concat_ws(chr(31),
+                           COALESCE(CAST(event_id AS VARCHAR), '<NULL>'),
+                           COALESCE(CAST(user_id AS VARCHAR), '<NULL>'),
+                           COALESCE(event_type, '<NULL>'))),
+                           1, 12) AS hh
+                FROM events
+            )
+            SELECT event_type, count(*) AS n_rows,
+                   SUM(CAST(CAST('0x' || hh AS UBIGINT)
+                            AS DECIMAL(38,0))) AS checksum,
+                   min(hh) AS min_hash, max(hh) AS max_hash
+            FROM h GROUP BY 1 ORDER BY 1
+        """,
+        "experiment_readout_events": """
+            WITH per AS (
+                SELECT user_id, count(*) AS n,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                     AND value >= 95.0
+                                THEN 1 ELSE 0 END) AS conv,
+                       min(CASE WHEN event_type = 'view'
+                                THEN CAST(floor(epoch(ts)) AS BIGINT)
+                           END) AS v0,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(epoch(ts)) AS BIGINT)
+                           END) AS p0,
+                       CASE WHEN substr(md5('exp42-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM events GROUP BY user_id
+            )
+            SELECT arm, count(*) AS n_users,
+                   round(CAST(SUM(conv) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS conv_rate,
+                   round(CAST(SUM(CAST(n AS DECIMAL(38,0))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS avg_events,
+                   round(quantile_cont(CASE WHEN p0 > v0
+                             THEN (p0 - v0) / 60.0 END, 0.5), 6) + 0.0
+                       AS p50_lag_min
+            FROM per GROUP BY arm ORDER BY arm
         """,
     }

@@ -1633,3 +1633,44 @@ def table_fingerprint(df: DataFrame, cols: list[str],
         F.min(h).alias("min_hash"),
         F.max(h).alias("max_hash"))
     return out.orderBy(*gcols) if gcols else out
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                ks: tuple = (2, 5, 10, 20),
+                round_digits: int = 6) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier set:
+    for each threshold k, how many equivalence classes (distinct
+    quasi-identifier combinations) hold FEWER than k rows, how many
+    rows sit in them, and the re-identifiable share — the
+    privacy-governance screen run before any dataset leaves the
+    boundary (a row in a size-1 class is uniquely re-identifiable from
+    its quasi-identifiers alone).
+
+    One groupBy on the quasi-identifier tuple (the only full-data
+    shuffle), then conditional sums over the class-size table — the ks
+    come out of ONE pass, not |ks| scans.  Exact integer counts, one
+    rounded share.
+
+    Returns ``(k, n_risky_classes, n_risky_rows, risky_share)``
+    ordered by k.
+    """
+    classes = (df.groupBy(*quasi_cols)
+               .agg(F.count(F.lit(1)).alias("__n")))
+    total = F.sum("__n")
+    aggs = [F.count(F.lit(1)).alias("__classes"), total.alias("__rows")]
+    for k in ks:
+        aggs.append(F.sum((F.col("__n") < k).cast("bigint"))
+                    .alias(f"__c{k}"))
+        aggs.append(F.sum(F.when(F.col("__n") < k, F.col("__n"))
+                          .otherwise(F.lit(0))).alias(f"__r{k}"))
+    one = classes.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("k"),
+                 F.col(f"__c{k}").alias("n_risky_classes"),
+                 F.col(f"__r{k}").alias("n_risky_rows"),
+                 (F.round(F.col(f"__r{k}").cast("double")
+                          / F.col("__rows").cast("double"),
+                          round_digits) + F.lit(0.0))
+                 .alias("risky_share"))
+        for k in ks]))
+    return (one.select(rows.alias("o")).select("o.*").orderBy("k"))

@@ -650,3 +650,22 @@ def test_new_vs_returning_weeks(spark):
     weeks = sorted(out)
     assert out[weeks[0]] == (2, 0)
     assert out[weeks[1]] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 8: k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_hand_model(spark):
+    from hazelcast_jet_spark.operators.profile import k_anonymity
+
+    # classes: (a,x):1 row, (a,y):3 rows, (b,x):5 rows  -> 9 rows total
+    rows = ([("a", "x")] + [("a", "y")] * 3 + [("b", "x")] * 5)
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    out = {r["k"]: r for r in
+           k_anonymity(df, ["q1", "q2"], ks=(2, 4, 10)).collect()}
+    assert (out[2]["n_risky_classes"], out[2]["n_risky_rows"]) == (1, 1)
+    assert out[2]["risky_share"] == round(1 / 9, 6)
+    assert (out[4]["n_risky_classes"], out[4]["n_risky_rows"]) == (2, 4)
+    assert (out[10]["n_risky_classes"], out[10]["n_risky_rows"]) == (3, 9)
+    assert out[10]["risky_share"] == 1.0

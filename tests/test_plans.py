@@ -875,3 +875,11 @@ def test_new_vs_returning_two_keyed_aggs(spark, sf_dir):
     plan = _plan(entry_mod.new_vs_returning_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_k_anonymity_single_pass_all_ks(spark, sf_dir):
+    """k-anonymity gate: one quasi-identifier groupBy; every k is a
+    conditional sum over the same class table — one scan, no join."""
+    plan = _plan(entry_mod.k_anonymity_customer(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1

@@ -5755,6 +5755,40 @@ def experiment_readout_events(spark: SparkSession,
             .orderBy("arm"))
 
 
+L_DIV_LS = (2, 3, 5)
+
+
+def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (profile.l_diversity; Machanavajjhala et al.
+    2007): classes anonymous by size whose sensitive value (market
+    segment) is near-constant still disclose it — the homogeneity-
+    attack companion to q:k_anonymity_customer, same single-pass
+    shape."""
+    from hazelcast_jet_spark.operators.profile import l_diversity
+
+    c = _t(spark, sf_dir, "customer")
+    return l_diversity(c, ["c_nationkey"], "c_mktsegment", ls=L_DIV_LS)
+
+
+def rank_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-semantics pin: rank(), dense_rank() and row_number() over
+    the same (order count desc) ordering for the top customers — order
+    counts collide heavily, so every gap/density/tiebreak convention
+    is exercised and must match the oracle exactly (row_number gets
+    the deterministic custkey tiebreak; rank/dense_rank deliberately
+    rank on the tied key alone)."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = (o.groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy(F.desc("n_orders"))
+    wd = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    return (cnt.select("o_custkey", "n_orders",
+                       F.rank().over(w).alias("rnk"),
+                       F.dense_rank().over(w).alias("drnk"),
+                       F.row_number().over(wd).alias("rn"))
+            .orderBy(F.desc("n_orders"), "o_custkey").limit(20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6071,6 +6105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customer": k_anonymity_customer,
         "streaming_fingerprint_events": streaming_fingerprint_events,
         "experiment_readout_events": experiment_readout_events,
+        "l_diversity_customer": l_diversity_customer,
+        "rank_semantics_orders": rank_semantics_orders,
     }
 
 
@@ -13294,5 +13330,61 @@ def oracle_sql() -> dict[str, str]:
                              THEN (p0 - v0) / 60.0 END, 0.5), 6) + 0.0
                        AS p50_lag_min
             FROM per GROUP BY arm ORDER BY arm
+        """,
+        "l_diversity_customer": """
+            WITH cls AS (
+                SELECT c_nationkey, count(*) AS n,
+                       count(DISTINCT c_mktsegment) AS d
+                FROM customer GROUP BY 1
+            )
+            SELECT * FROM (
+                SELECT 2 AS l,
+                       CAST(SUM(CASE WHEN d < 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_weak_classes,
+                       CAST(SUM(CASE WHEN d < 2 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_weak_rows,
+                       round(CAST(SUM(CASE WHEN d < 2 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS weak_share
+                FROM cls
+                UNION ALL
+                SELECT 3 AS l,
+                       CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_weak_classes,
+                       CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_weak_rows,
+                       round(CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS weak_share
+                FROM cls
+                UNION ALL
+                SELECT 5 AS l,
+                       CAST(SUM(CASE WHEN d < 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_weak_classes,
+                       CAST(SUM(CASE WHEN d < 5 THEN n ELSE 0 END)
+                            AS BIGINT) AS n_weak_rows,
+                       round(CAST(SUM(CASE WHEN d < 5 THEN n ELSE 0
+                                      END) AS DOUBLE)
+                             / CAST(SUM(n) AS DOUBLE), 6) + 0.0
+                           AS weak_share
+                FROM cls
+            ) ORDER BY l
+        """,
+        "rank_semantics_orders": """
+            WITH cnt AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT o_custkey, n_orders,
+                   CAST(rank() OVER (ORDER BY n_orders DESC) AS INT)
+                       AS rnk,
+                   CAST(dense_rank() OVER (ORDER BY n_orders DESC)
+                        AS INT) AS drnk,
+                   CAST(row_number() OVER (ORDER BY n_orders DESC,
+                                           o_custkey) AS INT) AS rn
+            FROM cnt
+            ORDER BY n_orders DESC, o_custkey LIMIT 20
         """,
     }

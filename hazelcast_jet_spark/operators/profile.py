@@ -1674,3 +1674,41 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
                  .alias("risky_share"))
         for k in ks]))
     return (one.select(rows.alias("o")).select("o.*").orderBy("k"))
+
+
+def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
+                ls: tuple = (2, 3, 5),
+                round_digits: int = 6) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a large equivalence class whose SENSITIVE value
+    is constant still discloses it (homogeneity attack).  For each
+    threshold l, the classes holding fewer than l distinct sensitive
+    values, the rows in them, and the disclosed share.
+
+    Same single-pass shape as :func:`k_anonymity`: one groupBy on the
+    quasi-identifier tuple computing (rows, distinct sensitive), then
+    conditional sums over the class table for every l at once.
+
+    Returns ``(l, n_weak_classes, n_weak_rows, weak_share)`` ordered
+    by l.
+    """
+    classes = (df.groupBy(*quasi_cols)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.countDistinct(sensitive_col).alias("__d")))
+    aggs = [F.sum("__n").alias("__rows")]
+    for l in ls:
+        aggs.append(F.sum((F.col("__d") < l).cast("bigint"))
+                    .alias(f"__c{l}"))
+        aggs.append(F.sum(F.when(F.col("__d") < l, F.col("__n"))
+                          .otherwise(F.lit(0))).alias(f"__r{l}"))
+    one = classes.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(l).alias("l"),
+                 F.col(f"__c{l}").alias("n_weak_classes"),
+                 F.col(f"__r{l}").alias("n_weak_rows"),
+                 (F.round(F.col(f"__r{l}").cast("double")
+                          / F.col("__rows").cast("double"),
+                          round_digits) + F.lit(0.0))
+                 .alias("weak_share"))
+        for l in ls]))
+    return (one.select(rows.alias("o")).select("o.*").orderBy("l"))

@@ -669,3 +669,19 @@ def test_k_anonymity_hand_model(spark):
     assert (out[4]["n_risky_classes"], out[4]["n_risky_rows"]) == (2, 4)
     assert (out[10]["n_risky_classes"], out[10]["n_risky_rows"]) == (3, 9)
     assert out[10]["risky_share"] == 1.0
+
+
+def test_l_diversity_hand_model(spark):
+    from hazelcast_jet_spark.operators.profile import l_diversity
+
+    # class a: 4 rows, 1 distinct sensitive (homogeneous!)
+    # class b: 2 rows, 2 distinct ; class c: 3 rows, 3 distinct
+    rows = ([("a", "s1")] * 4
+            + [("b", "s1"), ("b", "s2")]
+            + [("c", "s1"), ("c", "s2"), ("c", "s3")])
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["l"]: r for r in
+           l_diversity(df, ["q"], "s", ls=(2, 3)).collect()}
+    assert (out[2]["n_weak_classes"], out[2]["n_weak_rows"]) == (1, 4)
+    assert out[2]["weak_share"] == round(4 / 9, 6)
+    assert (out[3]["n_weak_classes"], out[3]["n_weak_rows"]) == (2, 6)

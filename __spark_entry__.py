@@ -5489,28 +5489,29 @@ def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LINKPRED_MAX_DEGREE = 256
+LINKPRED_MAX_BASKET = 3
 
 
-def link_prediction_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard link prediction (graph.jaccard_link_prediction;
-    Liben-Nowell & Kleinberg 2003) over the SPARSE near-dup document
-    graph: doc pairs that share near-dup neighbors but were never
-    LSH-matched themselves — the banding-miss audit (transitive dup
-    candidates to re-verify).  Wedge enumeration is Σdeg² — fine on a
-    sparse dup graph, deliberately NOT run on the dense co-purchase
-    graph (median degree ~120 ⇒ 300 M wedges at sf0.1; item-item
-    similarity is the right tool there — q:item_similarity_parts).
-    The pair table persists: every consumer of the edge list reads the
-    cache, not a re-run of the LSH pipeline."""
-    from hazelcast_jet_spark.operators.dedup import minhash_lsh_pairs
-    from hazelcast_jet_spark.operators.graph import jaccard_link_prediction
+    Liben-Nowell & Kleinberg 2003) over the SMALL-BASKET co-purchase
+    graph (baskets of ≤3 distinct parts): the 20 strongest
+    never-co-purchased part pairs — the recommendation candidate list.
+    Substrate choice is load-bearing and was measured: the full
+    co-purchase graph is dense (median degree ~120 ⇒ 300 M wedges at
+    sf0.1 — item-item similarity is the right tool there), and the
+    near-dup doc graph has NO open wedges at all (dup clusters are
+    cliques, so its oracle returned 0 rows — caught by the
+    no-empty-oracle invariant).  Small baskets keep the wedge count
+    ~1.3 M at sf0.1 with real predictions; the wedge self-join is
+    shuffle-hinted (the static estimator would broadcast the edge
+    list)."""
+    from hazelcast_jet_spark.operators.graph import (cooccurrence_edges,
+                                                     jaccard_link_prediction)
 
-    d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, num_hashes=MINHASH_HASHES,
-                              bands=MINHASH_BANDS, k=SHINGLE_K,
-                              threshold=LSH_THRESHOLD).persist()
-    edges = pairs.select(F.col("id_a").alias("src"),
-                         F.col("id_b").alias("dst"))
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group=LINKPRED_MAX_BASKET)
     return jaccard_link_prediction(edges, top_k=20,
                                    max_degree=LINKPRED_MAX_DEGREE)
 
@@ -6090,7 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint_docs": table_fingerprint_docs,
         "rake_keyphrases_docs": rake_keyphrases_docs,
         "lpa_communities_parts": lpa_communities_parts,
-        "link_prediction_docs": link_prediction_docs,
+        "link_prediction_parts": link_prediction_parts,
         "ohlc_events": ohlc_events,
         "session_bounce_events": session_bounce_events,
         "seasonality_strength_events": seasonality_strength_events,
@@ -12762,8 +12763,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT source, count(*) AS n_rows,
-                   SUM(CAST(CAST('0x' || hh AS UBIGINT)
-                            AS DECIMAL(38,0))) AS checksum,
+                   CAST(SUM(CAST(CAST('0x' || hh AS UBIGINT)
+                            AS DECIMAL(38,0)))
+                        % 2305843009213693951 AS BIGINT) AS checksum,
                    min(hh) AS min_hash, max(hh) AS max_hash
             FROM h GROUP BY 1 ORDER BY 1
         """,
@@ -12847,28 +12849,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lab2 GROUP BY 1
             ORDER BY n_nodes DESC, community LIMIT 20
         """,
-        "link_prediction_docs": f"""
-            WITH base AS (
-                SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents
-            ), sigs AS (
-                SELECT id, sh, {_minhash_sql()} AS sig FROM base
-            ), buckets AS (
-                SELECT id, sh, unnest([{band_entries}]) AS bucket,
-                       unnest(generate_series(0, {MINHASH_BANDS - 1}))
-                           AS band
-                FROM sigs
-            ), cands AS (
-                SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-                       l.sh AS sh_a, r.sh AS sh_b
-                FROM buckets l JOIN buckets r
-                  ON l.band = r.band AND l.bucket = r.bucket
-                     AND l.id < r.id
+        "link_prediction_parts": f"""
+            WITH nodes AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), gs AS (
+                SELECT g FROM nodes GROUP BY g
+                HAVING count(*) >= 2
+                   AND count(*) <= {LINKPRED_MAX_BASKET}
             ), edges AS (
-                SELECT id_a AS src, id_b AS dst FROM cands
-                WHERE round(len(list_intersect(sh_a, sh_b))
-                            / CAST(len(list_distinct(
-                                  list_concat(sh_a, sh_b))) AS DOUBLE), 6)
-                      >= {LSH_THRESHOLD}
+                SELECT DISTINCT a.n AS src, b.n AS dst
+                FROM nodes a JOIN gs USING (g) JOIN nodes b USING (g)
+                WHERE a.n < b.n
             ), bt AS (
                 SELECT src, dst FROM edges
                 UNION ALL SELECT dst AS src, src AS dst FROM edges
@@ -13296,8 +13288,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, count(*) AS n_rows,
-                   SUM(CAST(CAST('0x' || hh AS UBIGINT)
-                            AS DECIMAL(38,0))) AS checksum,
+                   CAST(SUM(CAST(CAST('0x' || hh AS UBIGINT)
+                            AS DECIMAL(38,0)))
+                        % 2305843009213693951 AS BIGINT) AS checksum,
                    min(hh) AS min_hash, max(hh) AS max_hash
             FROM h GROUP BY 1 ORDER BY 1
         """,

@@ -1606,13 +1606,20 @@ def table_fingerprint(df: DataFrame, cols: list[str],
     THE migration/replication audit ("does the replica hold exactly
     these rows?") without shipping or sorting either side.
 
-    checksum = Σ over rows of the first 48 bits of
-    ``md5(concat_ws(US, coalesce(col::string, sentinel)...))`` as an
-    exact DECIMAL(38,0) — commutative, so no ordering requirement and
-    no shuffle beyond the one per-group aggregate; min/max hash give
+    checksum = (Σ over rows of the first 48 bits of
+    ``md5(concat_ws(US, coalesce(col::string, sentinel)...))``)
+    mod 2^61−1 — commutative, so no ordering requirement and no
+    shuffle beyond the one per-group aggregate; min/max hash give
     cheap spot probes for WHERE a mismatch lives (binary-search by
     re-fingerprinting halves).  A sum (not xor) also catches
-    duplicated-row divergence of even multiplicity.
+    duplicated-row divergence of even multiplicity.  The Mersenne
+    modulus keeps the OUTPUT a plain BIGINT: a DECIMAL(38,0) output
+    column is not driver-representation-safe (the r5
+    hll_cardinality_events red-row class — DuckDB's pandas path
+    coerces >18-precision decimals to float64), caught here by the
+    in-suite type invariants; the exact sum still accumulates in
+    DECIMAL(38,0) internally, so no overflow before the mod at any
+    row count up to ~10^26.
 
     Caveats (documented contract): columns must have engine-stable
     string casts (ints/strings/dates — NOT doubles, whose formatting
@@ -1626,10 +1633,11 @@ def table_fingerprint(df: DataFrame, cols: list[str],
              for c in cols]
     h = F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 12)
     hv = F.conv(h, 16, 10).cast("decimal(38,0)")
+    mod = F.lit((1 << 61) - 1).cast("decimal(38,0)")
     gcols = list(group_cols or [])
     out = df.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(hv).alias("checksum"),
+        F.pmod(F.sum(hv), mod).cast("bigint").alias("checksum"),
         F.min(h).alias("min_hash"),
         F.max(h).alias("max_hash"))
     return out.orderBy(*gcols) if gcols else out

@@ -795,11 +795,11 @@ def test_link_prediction_wedge_never_broadcast(spark, sf_dir):
     """link-prediction gate: the |edges|-sized wedge self-join must take
     the shuffle path (the static estimator under-sizes the aggregated
     leg and a forced broadcast OOMs a default-memory driver); the
-    persisted LSH pair table feeds every edge consumer from cache."""
-    plan = _plan(entry_mod.link_prediction_docs(spark, sf_dir))
+    hub-filtered center table is persisted for its two wedge legs."""
+    plan = _plan(entry_mod.link_prediction_parts(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan  # the hinted wedge join
-    assert "InMemoryTableScan" in plan  # persisted pair table
+    assert "InMemoryTableScan" in plan  # persisted center table
 
 
 def test_ohlc_single_aggregate_no_window(spark, sf_dir):

@@ -1434,20 +1434,34 @@ def self_repetition(df: DataFrame, text_col: str = "text",
     Returns ``(source, n_docs, mean_repetition, share_degenerate)``
     over docs with ≥1 window, ordered by source.
     """
-    toks = tokens(normalize_text(text_col))
-    n = F.size(toks)
-    # guard: F.sequence(1, x) DESCENDS for x < 1 (it never returns empty)
-    # while the oracle's generate_series is empty — docs shorter than k
-    # must yield zero windows on both engines
-    idx = F.when(n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1)))
-    grams = F.coalesce(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " ")),
-        F.expr("CAST(array() AS array<string>)"))
-    total = F.size(grams)
-    rep = (F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double")
-           / total.cast("double"))
-    per_doc = (df.select(F.col(source_col).alias("source"),
-                         rep.alias("__rep"), total.alias("__t"))
+    # STAGE the intermediates as real columns: a transform() lambda
+    # re-evaluates every captured expression PER ELEMENT, so inlining
+    # tokens(normalize_text(...)) here re-ran the regex normalization
+    # once per window — ~9x wall at sf0.1 for a map-only op (caught by
+    # the 10x scale probe).  Column references are computed once per
+    # row.
+    toked = df.select(F.col(source_col).alias("source"),
+                      tokens(normalize_text(text_col)).alias("__toks"))
+    # k-gram windows as a zip of k SHIFTED SLICES folded with a string
+    # concat: k O(len) slices per doc plus cheap per-element concats.
+    # The obvious transform(sequence(...), i -> array_join(slice(toks,
+    # i, k))) allocates a fresh sub-array per WINDOW inside the
+    # interpreted higher-order evaluator — measured 4x slower on the
+    # same data (the 10x scale probe flagged it).  Docs shorter than k
+    # get W <= 0 -> greatest(.,0) -> empty slices -> zero windows,
+    # matching the oracle's generate_series.
+    w = F.size("__toks") - F.lit(k - 1)
+    shifted = [F.slice("__toks", F.lit(i + 1), F.greatest(w, F.lit(0)))
+               for i in range(k)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt,
+                           lambda x, y: F.concat_ws(" ", x, y))
+    grammed = toked.select("source", grams.alias("__g"))
+    rep = (F.lit(1.0) - F.size(F.array_distinct("__g")).cast("double")
+           / F.size("__g").cast("double"))
+    per_doc = (grammed.select("source", rep.alias("__rep"),
+                              F.size("__g").alias("__t"))
                .filter(F.col("__t") >= 1))
     return (per_doc.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),

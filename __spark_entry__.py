@@ -5790,6 +5790,33 @@ def rank_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n_orders"), "o_custkey").limit(20))
 
 
+MARKOV_ITERS = 3
+
+
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state behavioral mix (timeseries.markov_stationary):
+    3-round power method on the row-normalized transition matrix —
+    the long-run state-share ranking transition probabilities alone
+    can't show.  K²-bounded iterations; oracle unrolls the rounds."""
+    from hazelcast_jet_spark.operators.timeseries import markov_stationary
+
+    e = _t(spark, sf_dir, "events")
+    return markov_stationary(e, iters=MARKOV_ITERS)
+
+
+def position_attribution_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (timeseries.position_
+    attribution): 0.4/0.2-split/0.4 fractional credits per channel —
+    the marketing-standard compromise between the first/last bookends
+    of q:attribution_events.  One user exchange, one Window exec,
+    decimal-exact fractional sums."""
+    from hazelcast_jet_spark.operators.timeseries import position_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return position_attribution(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6108,6 +6135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "experiment_readout_events": experiment_readout_events,
         "l_diversity_customer": l_diversity_customer,
         "rank_semantics_orders": rank_semantics_orders,
+        "markov_stationary_events": markov_stationary_events,
+        "position_attribution_events": position_attribution_events,
     }
 
 
@@ -13379,5 +13408,82 @@ def oracle_sql() -> dict[str, str]:
                                            o_custkey) AS INT) AS rn
             FROM cnt
             ORDER BY n_orders DESC, o_custkey LIMIT 20
+        """,
+        "markov_stationary_events": """
+            WITH pr AS (
+                SELECT event_type AS f,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t
+                FROM events
+            ), pairs AS (
+                SELECT f, t, count(*) AS n FROM pr
+                WHERE t IS NOT NULL GROUP BY 1, 2
+            ), P AS (
+                SELECT f, t,
+                       CAST(n AS DOUBLE)
+                       / CAST(SUM(n) OVER (PARTITION BY f) AS DOUBLE)
+                           AS p
+                FROM pairs
+            ), states AS (
+                SELECT DISTINCT f AS state FROM P
+            ), kk AS (
+                SELECT count(*) AS k FROM states
+            ), p0 AS (
+                SELECT state, CAST(1 AS DOUBLE) / CAST(kk.k AS DOUBLE)
+                           AS prob
+                FROM states, kk
+            ), p1 AS (
+                SELECT P.t AS state,
+                       CAST(SUM(CAST(p0.prob * P.p
+                                AS DECIMAL(38,18))) AS DOUBLE) AS prob
+                FROM P JOIN p0 ON P.f = p0.state GROUP BY 1
+            ), p2 AS (
+                SELECT P.t AS state,
+                       CAST(SUM(CAST(p1.prob * P.p
+                                AS DECIMAL(38,18))) AS DOUBLE) AS prob
+                FROM P JOIN p1 ON P.f = p1.state GROUP BY 1
+            ), p3 AS (
+                SELECT P.t AS state,
+                       CAST(SUM(CAST(p2.prob * P.p
+                                AS DECIMAL(38,18))) AS DOUBLE) AS prob
+                FROM P JOIN p2 ON P.f = p2.state GROUP BY 1
+            )
+            SELECT state AS event_type,
+                   round(prob, 6) + 0.0 AS stationary_prob
+            FROM p3 ORDER BY 1
+        """,
+        "position_attribution_events": """
+            WITH conv AS (
+                SELECT user_id, ts AS cts, event_id AS cid FROM (
+                    SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+                    FROM events WHERE event_type = 'purchase')
+                WHERE rn = 1
+            ), tch AS (
+                SELECT e.user_id, e.event_type, e.ts, e.event_id
+                FROM events e JOIN conv c ON e.user_id = c.user_id
+                WHERE e.event_type <> 'purchase'
+                  AND (e.ts < c.cts
+                       OR (e.ts = c.cts AND e.event_id < c.cid))
+            ), t AS (
+                SELECT event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS m
+                FROM tch
+            )
+            SELECT event_type AS channel,
+                   round(CAST(SUM(CAST(
+                       CASE WHEN m = 1 THEN CAST(1 AS DOUBLE)
+                            WHEN m = 2 THEN CAST(0.5 AS DOUBLE)
+                            WHEN rn = 1 THEN CAST(0.4 AS DOUBLE)
+                            WHEN rn = m THEN CAST(0.4 AS DOUBLE)
+                            ELSE CAST(0.2 AS DOUBLE)
+                                 / CAST(m - 2 AS DOUBLE)
+                       END AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0
+                       AS credit,
+                   count(*) AS n_touches
+            FROM t GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1588,3 +1588,95 @@ def new_vs_returning(df: DataFrame, key_col: str = "user_id",
                  F.sum((F.col("week") != F.col("__fw")).cast("bigint"))
                  .alias("n_returning"))
             .orderBy("week"))
+
+
+def markov_stationary(df: DataFrame, key_col: str = "user_id",
+                      time_col: str = "ts", type_col: str = "event_type",
+                      order_col: str = "event_id", iters: int = 3,
+                      round_digits: int = 6) -> DataFrame:
+    """Stationary distribution of the behavioral Markov chain: where a
+    user's session state settles if the observed transition dynamics
+    keep running — the steady-state ranking ("long-run share of time in
+    each state") that single-step transition probabilities can't show.
+
+    Fixed-iteration power method from the uniform start:
+    p_{t+1}[j] = Σ_i p_t[i]·P[i][j] with P the row-normalized
+    transition matrix of :func:`event_transitions` semantics (lead()
+    pairs, (time, id) ordering).  The matrix is K²-bounded (K = event
+    types), so every iteration is one tiny join + aggregate; the Σ over
+    K terms DECIMAL-accumulates (engine addition order differs, decimal
+    does not); P's quotients are fixed-order doubles of exact counts.
+    ``iters`` is fixed and small — the bounded-iteration convention of
+    graph.pagerank (states mix fast at K≈5; the oracle unrolls the
+    identical rounds).
+
+    Returns ``(event_type, stationary_prob)`` after ``iters`` rounds,
+    ordered by event_type.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, order_col)
+    pairs = (df.withColumn("__to", F.lead(type_col).over(w))
+             .filter(F.col("__to").isNotNull())
+             .groupBy(F.col(type_col).alias("__from"), "__to")
+             .agg(F.count(F.lit(1)).alias("__n")))
+    wf = Window.partitionBy("__from")
+    P = pairs.withColumn(
+        "__p", F.col("__n").cast("double")
+        / F.sum("__n").over(wf).cast("double")).drop("__n")
+    states = P.select(F.col("__from").alias("state")).distinct()
+    k = states.count()  # bounded: K event types (the centroid-seed convention)
+    p = states.withColumn("prob", F.lit(1.0 / k))
+    for _ in range(iters):
+        p = (P.join(p.withColumnRenamed("state", "__from"), "__from")
+             .groupBy(F.col("__to").alias("state"))
+             .agg(F.sum((F.col("prob") * F.col("__p"))
+                        .cast("decimal(38,18)")).cast("double")
+                  .alias("prob")))
+    return (p.select(F.col("state").alias(type_col),
+                     (F.round(F.col("prob"), round_digits) + F.lit(0.0))
+                     .alias("stationary_prob"))
+            .orderBy(type_col))
+
+
+def position_attribution(events: DataFrame, user_col: str = "user_id",
+                         time_col: str = "ts",
+                         type_col: str = "event_type",
+                         id_col: str = "event_id",
+                         conversion_type: str = "purchase",
+                         round_digits: int = 6) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: per converting
+    user the FIRST touch earns 0.4, the LAST 0.4, and the middles share
+    0.2 equally (single touch = 1.0; two touches = 0.5 each) — the
+    fractional-credit compromise between the first/last bookend models
+    (experiment.touch_attribution), standard in marketing analytics.
+
+    One user exchange orders the pre-conversion touches (row_number +
+    count over the same window spec → one Window exec); credits are
+    per-user-constant doubles (0.4 / 0.2÷m) DECIMAL-accumulated per
+    channel, so the fractional sums are engine-exact.
+
+    Returns ``(channel, credit, n_touches)`` ordered by channel.
+    """
+    from pyspark.sql import Window as W
+
+    conv = (events.filter(F.col(type_col) == conversion_type)
+            .groupBy(user_col)
+            .agg(F.min(F.struct(time_col, id_col)).alias("__c")))
+    touches = (events.join(conv, user_col)
+               .filter((F.col(type_col) != conversion_type)
+                       & (F.struct(time_col, id_col) < F.col("__c"))))
+    w = W.partitionBy(user_col).orderBy(time_col, id_col)
+    wn = W.partitionBy(user_col)
+    t = (touches.withColumn("__rn", F.row_number().over(w))
+         .withColumn("__m", F.count(F.lit(1)).over(wn)))
+    credit = (F.when(F.col("__m") == 1, F.lit(1.0))
+              .when(F.col("__m") == 2, F.lit(0.5))
+              .when(F.col("__rn") == 1, F.lit(0.4))
+              .when(F.col("__rn") == F.col("__m"), F.lit(0.4))
+              .otherwise(F.lit(0.2)
+                         / (F.col("__m") - F.lit(2)).cast("double")))
+    return (t.groupBy(F.col(type_col).alias("channel"))
+            .agg((F.round(F.sum(credit.cast("decimal(28,12)"))
+                          .cast("double"), round_digits) + F.lit(0.0))
+                 .alias("credit"),
+                 F.count(F.lit(1)).alias("n_touches"))
+            .orderBy("channel"))

@@ -685,3 +685,76 @@ def test_l_diversity_hand_model(spark):
     assert (out[2]["n_weak_classes"], out[2]["n_weak_rows"]) == (1, 4)
     assert out[2]["weak_share"] == round(4 / 9, 6)
     assert (out[3]["n_weak_classes"], out[3]["n_weak_rows"]) == (2, 6)
+
+
+# ---------------------------------------------------------------------------
+# r8-session batch 10: markov stationary / position attribution
+# ---------------------------------------------------------------------------
+
+def test_markov_stationary_numpy_power_method(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import markov_stationary
+
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: "aabab", 2: "bbaba", 3: "abbba"}
+    rows = []
+    eid = 0
+    for uid, seq in seqs.items():
+        for i, ch in enumerate(seq):
+            eid += 1
+            rows.append((eid, uid, t0 + dt.timedelta(minutes=i), ch))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    got = {r["event_type"]: r["stationary_prob"] for r in
+           markov_stationary(df, iters=3).collect()}
+
+    # transition counts over consecutive pairs per user
+    from collections import Counter
+    c = Counter()
+    for seq in seqs.values():
+        for a, b in zip(seq, seq[1:]):
+            c[(a, b)] += 1
+    states = sorted({a for a, _ in c} | {b for _, b in c})
+    P = np.zeros((len(states), len(states)))
+    for (a, b), n in c.items():
+        P[states.index(a), states.index(b)] = n
+    P = P / P.sum(axis=1, keepdims=True)
+    p = np.full(len(states), 1.0 / len(states))
+    for _ in range(3):
+        p = p @ P
+    for s, v in zip(states, p):
+        assert abs(got[s] - v) < 1e-6
+
+
+def test_position_attribution_u_shape(spark):
+    import datetime as dt
+
+    from hazelcast_jet_spark.operators.timeseries import position_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins, typ):
+        return (eid, uid, t0 + dt.timedelta(minutes=mins), typ)
+
+    rows = [
+        # user 1: a b c d -> purchase: a 0.4, b 0.1, c 0.1, d 0.4
+        ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "c"),
+        ev(4, 1, 3, "d"), ev(5, 1, 4, "purchase"),
+        # user 2: single touch a -> 1.0
+        ev(6, 2, 0, "a"), ev(7, 2, 1, "purchase"),
+        # user 3: two touches a, b -> 0.5 each
+        ev(8, 3, 0, "a"), ev(9, 3, 1, "b"), ev(10, 3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string")
+    out = {r["channel"]: (r["credit"], r["n_touches"]) for r in
+           position_attribution(df).collect()}
+    assert out["a"] == (1.9, 3)          # 0.4 + 1.0 + 0.5
+    assert out["b"] == (0.6, 2)          # 0.1 + 0.5
+    assert out["c"] == (0.1, 1)
+    assert out["d"] == (0.4, 1)
+    # total credit equals number of attributed conversions
+    assert abs(sum(v for v, _ in out.values()) - 3.0) < 1e-9

@@ -5817,6 +5817,18 @@ def position_attribution_events(spark: SparkSession,
     return position_attribution(e)
 
 
+def centroid_distance_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label confusability map (clustering.centroid_distances): pairwise
+    centroid distances — WHERE a probe on these embeddings will bleed,
+    the per-pair detail behind q:fisher_separation_emb's one number.
+    One posexplode + (label, dim) aggregate; the pair join runs on the
+    |labels|·dim centroid table."""
+    from hazelcast_jet_spark.operators.clustering import centroid_distances
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_distances(e)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6142,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_semantics_orders": rank_semantics_orders,
         "markov_stationary_events": markov_stationary_events,
         "position_attribution_events": position_attribution_events,
+        "centroid_distance_emb": centroid_distance_emb,
     }
 
 
@@ -13490,5 +13503,27 @@ def oracle_sql() -> dict[str, str]:
                        AS credit,
                    count(*) AS n_touches
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "centroid_distance_emb": """
+            WITH per AS (
+                SELECT label, CAST(v AS DOUBLE) AS v, pos FROM (
+                    SELECT label, unnest(embedding) AS v,
+                           unnest(generate_series(0, len(embedding) - 1))
+                               AS pos
+                    FROM embeddings WHERE embedding IS NOT NULL)
+            ), dims AS (
+                SELECT label, pos,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS m
+                FROM per GROUP BY 1, 2
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   round(sqrt(round(CAST(SUM(CAST(
+                       (a.m - b.m) * (a.m - b.m)
+                       AS DECIMAL(38,12))) AS DOUBLE), 9)), 6) + 0.0
+                       AS dist
+            FROM dims a JOIN dims b
+              ON a.pos = b.pos AND a.label < b.label
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

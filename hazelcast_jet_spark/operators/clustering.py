@@ -33,7 +33,8 @@ from pyspark.sql.types import IntegerType
 
 __all__ = ["kmeans_fit", "kmeans_fit_unrolled", "kmeans_assign",
            "l2_assign", "train_ivf_centroids", "pca_fit", "pca_project",
-           "embedding_centroid_drift"]
+           "embedding_centroid_drift", "fisher_separation",
+           "centroid_distances"]
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -862,3 +863,44 @@ def fisher_separation(df: DataFrame, vec_col: str = "embedding",
                     .alias("centroid_dist"),
                     fisher.alias("fisher_ratio"))
             .orderBy("label"))
+
+
+def centroid_distances(df: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label",
+                       round_digits: int = 6) -> DataFrame:
+    """Pairwise label-centroid distance matrix — the class
+    CONFUSABILITY map that :func:`fisher_separation`'s one-number ratio
+    summarizes away: the closest centroid pairs are where a classifier
+    trained on these embeddings will actually bleed, and where label
+    noise concentrates (compare near_dup_label_confusion, which finds
+    the noise at the instance grain).
+
+    One posexplode → one (label, dim) DECIMAL aggregate (the corpus
+    shuffles once); the pair join runs on the |labels|·dim centroid
+    table.  Per-dim squared gaps DECIMAL-accumulate; one rounded sqrt
+    (round-9-before-sqrt, the l2 convention).
+
+    Returns ``(label_a, label_b, dist)`` for ``label_a < label_b``,
+    ordered by (label_a, label_b).
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    dims = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(label_col).alias("label"),
+                    F.posexplode(vec).alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg((F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("__m")))
+    a = dims.select(F.col("label").alias("label_a"), "pos",
+                    F.col("__m").alias("__ma"))
+    b = dims.select(F.col("label").alias("label_b"), "pos",
+                    F.col("__m").alias("__mb"))
+    gap = (F.col("__ma") - F.col("__mb")) * (F.col("__ma") - F.col("__mb"))
+    return (a.join(b, "pos")
+            .filter(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(gap.cast("decimal(38,12)")).cast("double")
+                 .alias("__d2"))
+            .select("label_a", "label_b",
+                    (F.round(F.sqrt(F.round(F.col("__d2"), 9)),
+                             round_digits) + F.lit(0.0)).alias("dist"))
+            .orderBy("label_a", "label_b"))

@@ -758,3 +758,22 @@ def test_position_attribution_u_shape(spark):
     assert out["d"] == (0.4, 1)
     # total credit equals number of attributed conversions
     assert abs(sum(v for v, _ in out.values()) - 3.0) < 1e-9
+
+
+def test_centroid_distances_numpy(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.clustering import centroid_distances
+
+    vecs = {0: [[0.0, 0.0], [2.0, 0.0]],
+            1: [[10.0, 0.0], [10.0, 2.0]],
+            2: [[0.0, 5.0]]}
+    rows = [(i * 10 + j, v, lab) for i, (lab, vs) in enumerate(vecs.items())
+            for j, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r["dist"]
+           for r in centroid_distances(df).collect()}
+    mus = {l: np.array(v).mean(axis=0) for l, v in vecs.items()}
+    for (a, b), d in out.items():
+        assert abs(d - np.linalg.norm(mus[a] - mus[b])) < 1e-6
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}

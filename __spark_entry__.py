@@ -6121,7 +6121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cohort_enrich": streaming_cohort_enrich,
         "dup_graph_degree_docs": dup_graph_degree_docs,
         "monthly_growth_orders": monthly_growth_orders,
-        # ---- r8 SESSION 2 (driver restarted the round): 28 further
+        # ---- r8 SESSION 2 (driver restarted the round): 29 further
         # ---- never-driver-checked entries, registered in landing order.
         # ---- Together with the 4 above they queue ahead of the stale
         # ---- cohorts in the r9 window plan (see NOTES_r8 handoff); all

@@ -5834,29 +5834,94 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+#: Queries registered AFTER this round's 50-entry window froze: deferred
+#: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
+#: session-tail handoff convention, now machine-readable).  Names listed
+#: here must sit below the window boundary in ``queries()``.
+NEXT_ROUND_LEADS: tuple[str, ...] = ()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every query needing driver verification sits inside
-    the correctness gate's 50-entry window.  r8 ordering: the six r7-tail
-    queries registered below the finalized r7 window lead (never
-    driver-checked), then new r8 queries as they land, then the r5-green
-    single-row cohort (the stalest class — their only green row is from
-    r5; ADVICE r7 established they were OUTSIDE the r7 window despite its
-    comments) fills to 50 in registry order.  The r2/r3/r4 two-green
-    cohorts queue below the boundary for the r9/r10 rotations, oldest
-    first.  bench.py still runs every entry, so perf coverage is
-    unaffected by the order.
+    the correctness gate's 50-entry window.  The ordering is GENERATED by
+    ``tools/window_plan.py`` (r8 verdict #5) from the CORRECTNESS_r*.json
+    ledger -- never-driver-checked queries first in registry order, then
+    stalest-green -- and ``tests/test_window_plan.py`` pins registry[:50]
+    to the tool's output, so the window can no longer drift from the
+    ledger by hand-counting.  r9 window: the 33 never-checked r8-session-2
+    tail queries lead, then new r9 queries as they land (each displaces a
+    filler), then the six-round-stale r2 cohort fills to 50 oldest-first.
+    Queries registered after this round's window freezes go below the
+    boundary AND into ``NEXT_ROUND_LEADS`` so the planner defers them to
+    r10.  bench.py runs every entry in name order, so perf coverage is
+    unaffected by the rotation.
     """
     return {
-        # ==== r8 window (first 50 = the driver correctness gate) =========
-        # -- 6 r8 leads: registered after the r7 window froze; never
-        # -- driver-checked (mirror-green at sf0.01 + sf0.1) --------------
+        # ==== r9 window (first 50 = the driver correctness gate; ======
+        # ==== generated by tools/window_plan.py, pinned by the suite) ==
+        # -- 33 r8-session-2 tail queries: never driver-checked --------
+        "cusum_alarm_events": cusum_alarm_events,
+        "streaming_cohort_enrich": streaming_cohort_enrich,
+        "dup_graph_degree_docs": dup_graph_degree_docs,
+        "monthly_growth_orders": monthly_growth_orders,
+        "kaplan_meier_events": kaplan_meier_events,
+        "pareto_front_parts": pareto_front_parts,
+        "cuped_experiment_orders": cuped_experiment_orders,
+        "attribution_events": attribution_events,
+        "isotropy_embeddings": isotropy_embeddings,
+        "window_funnel_events": window_funnel_events,
+        "table_fingerprint_docs": table_fingerprint_docs,
+        "rake_keyphrases_docs": rake_keyphrases_docs,
+        "lpa_communities_parts": lpa_communities_parts,
+        "link_prediction_parts": link_prediction_parts,
+        "ohlc_events": ohlc_events,
+        "session_bounce_events": session_bounce_events,
+        "seasonality_strength_events": seasonality_strength_events,
+        "streaming_ohlc_events": streaming_ohlc_events,
+        "ab_conversion_events": ab_conversion_events,
+        "self_repetition_docs": self_repetition_docs,
+        "fisher_separation_emb": fisher_separation_emb,
+        "growth_decomposition_orders": growth_decomposition_orders,
+        "stickiness_events": stickiness_events,
+        "trending_parts": trending_parts,
+        "new_vs_returning_events": new_vs_returning_events,
+        "k_anonymity_customer": k_anonymity_customer,
+        "streaming_fingerprint_events": streaming_fingerprint_events,
+        "experiment_readout_events": experiment_readout_events,
+        "l_diversity_customer": l_diversity_customer,
+        "rank_semantics_orders": rank_semantics_orders,
+        "markov_stationary_events": markov_stationary_events,
+        "position_attribution_events": position_attribution_events,
+        "centroid_distance_emb": centroid_distance_emb,
+        # -- new r9 queries insert HERE (each pushes a filler below
+        # -- the boundary; re-run tools/window_plan.py --check) --------
+        # -- r2-green cohort, stalest-first window fillers -------------
+        "simhash_groups": simhash_groups,
+        "cosine_topk_search": cosine_topk_search,
+        "streaming_tumbling_window": streaming_tumbling_window,
+        "streaming_stateful_count": streaming_stateful_count,
+        "streaming_rolling_count": streaming_rolling_count,
+        "linear_trend_agg": linear_trend_agg,
+        "distinct_aggregates": distinct_aggregates,
+        "having_filter": having_filter,
+        "semi_anti_join": semi_anti_join,
+        "full_outer_join": full_outer_join,
+        "set_operations": set_operations,
+        "rollup_agg": rollup_agg,
+        "multi_hop_enrichment": multi_hop_enrichment,
+        "q1_pricing_summary": q1_pricing_summary,
+        "rolling_aggregate": rolling_aggregate,
+        "text_features": text_features,
+        "exact_dedup_docs": exact_dedup_docs,
+        # ===== driver window boundary (entry 50 above).  Below: the ===
+        # ===== remaining r2 cohort then r3/r4/r5-green queue for r10+, =
+        # ===== in prior registry order ================================
         "dedup_rate_by_source": dedup_rate_by_source,
         "budget_sample_docs": budget_sample_docs,
         "embedding_drift_labels": embedding_drift_labels,
         "event_gap_percentiles": event_gap_percentiles,
         "prefix_dup_docs": prefix_dup_docs,
         "user_activity_stats": user_activity_stats,
-        # -- new r8 queries insert HERE (each pushes the boundary up) -----
         "corpus_data_card_docs": corpus_data_card_docs,
         "shipping_lag_percentiles": shipping_lag_percentiles,
         "rfm_segments_orders": rfm_segments_orders,
@@ -5878,7 +5943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity_counts": referential_integrity_counts,
         "session_cooccurrence_events": session_cooccurrence_events,
         "top_event_paths_events": top_event_paths_events,
-        # -- r5-green single-row cohort, registry order (window fillers) --
         "kmeans_assign_counts": kmeans_assign_counts,
         "dsir_importance_weights": dsir_importance_weights,
         "funnel_conversion_counts": funnel_conversion_counts,
@@ -5902,11 +5966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_stats": pq_encode_stats,
         "temperature_sample_counts": temperature_sample_counts,
         "cohort_retention_counts": cohort_retention_counts,
-        # ===== driver window boundary: cohort_retention_counts above is ==
-        # ===== entry 50 (6 r8 leads + 21 new r8 queries + 23 r5-cohort
-        # ===== refreshes).  Everything below has a green r4-r7 row; the
-        # ===== remaining r5 cohort + r2/r3/r4 cohorts queue for r9+, and
-        # ===== the two r9 leads sit at the registry tail ================
         "count_min_estimates": count_min_estimates,
         "ngram_novelty_stats": ngram_novelty_stats,
         "interval_overlap_pairs": interval_overlap_pairs,
@@ -6027,23 +6086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
         "streaming_session_window": streaming_session_window,
-        "simhash_groups": simhash_groups,
-        "cosine_topk_search": cosine_topk_search,
-        "streaming_tumbling_window": streaming_tumbling_window,
-        "streaming_stateful_count": streaming_stateful_count,
-        "streaming_rolling_count": streaming_rolling_count,
-        "linear_trend_agg": linear_trend_agg,
-        "distinct_aggregates": distinct_aggregates,
-        "having_filter": having_filter,
-        "semi_anti_join": semi_anti_join,
-        "full_outer_join": full_outer_join,
-        "set_operations": set_operations,
-        "rollup_agg": rollup_agg,
-        "multi_hop_enrichment": multi_hop_enrichment,
-        "q1_pricing_summary": q1_pricing_summary,
-        "rolling_aggregate": rolling_aggregate,
-        "text_features": text_features,
-        "exact_dedup_docs": exact_dedup_docs,
         "minhash_lsh_dedup": minhash_lsh_dedup,
         "ngram_jaccard_dedup": ngram_jaccard_dedup,
         "filter_project": filter_project,
@@ -6115,46 +6157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q9_product_profit": tpch_q9_product_profit,
-        # ---- new in r8 session tail (below the finalized window; these
-        # ---- never-green entries lead the r9 rotation) -----------------
-        "cusum_alarm_events": cusum_alarm_events,
-        "streaming_cohort_enrich": streaming_cohort_enrich,
-        "dup_graph_degree_docs": dup_graph_degree_docs,
-        "monthly_growth_orders": monthly_growth_orders,
-        # ---- r8 SESSION 2 (driver restarted the round): 29 further
-        # ---- never-driver-checked entries, registered in landing order.
-        # ---- Together with the 4 above they queue ahead of the stale
-        # ---- cohorts in the r9 window plan (see NOTES_r8 handoff); all
-        # ---- are emulation-green at sf0.01 + sf0.1. ---------------------
-        "kaplan_meier_events": kaplan_meier_events,
-        "pareto_front_parts": pareto_front_parts,
-        "cuped_experiment_orders": cuped_experiment_orders,
-        "attribution_events": attribution_events,
-        "isotropy_embeddings": isotropy_embeddings,
-        "window_funnel_events": window_funnel_events,
-        "table_fingerprint_docs": table_fingerprint_docs,
-        "rake_keyphrases_docs": rake_keyphrases_docs,
-        "lpa_communities_parts": lpa_communities_parts,
-        "link_prediction_parts": link_prediction_parts,
-        "ohlc_events": ohlc_events,
-        "session_bounce_events": session_bounce_events,
-        "seasonality_strength_events": seasonality_strength_events,
-        "streaming_ohlc_events": streaming_ohlc_events,
-        "ab_conversion_events": ab_conversion_events,
-        "self_repetition_docs": self_repetition_docs,
-        "fisher_separation_emb": fisher_separation_emb,
-        "growth_decomposition_orders": growth_decomposition_orders,
-        "stickiness_events": stickiness_events,
-        "trending_parts": trending_parts,
-        "new_vs_returning_events": new_vs_returning_events,
-        "k_anonymity_customer": k_anonymity_customer,
-        "streaming_fingerprint_events": streaming_fingerprint_events,
-        "experiment_readout_events": experiment_readout_events,
-        "l_diversity_customer": l_diversity_customer,
-        "rank_semantics_orders": rank_semantics_orders,
-        "markov_stationary_events": markov_stationary_events,
-        "position_attribution_events": position_attribution_events,
-        "centroid_distance_emb": centroid_distance_emb,
     }
 
 

@@ -62,6 +62,11 @@ def cuped_adjusted_means(units: DataFrame, arm_col: str, pre_col: str,
     Returns one row per arm: ``(arm, n_units, mean_pre, mean_post,
     mean_adj, theta)`` ordered by arm — ``theta`` repeated per row for
     readout convenience.
+
+    A zero-variance covariate (constant X) leaves theta undefined; this
+    raises at execution time (``raise_error`` inside the theta branch —
+    the guard is lazy, so non-degenerate plans are unchanged) instead of
+    silently emitting NULL adjusted means (ADVICE r8).
     """
     x = F.col(pre_col).cast("double")
     y = F.col(post_col).cast("double")
@@ -70,8 +75,16 @@ def cuped_adjusted_means(units: DataFrame, arm_col: str, pre_col: str,
         F.count(F.lit(1)).cast("double").alias("__n"),
         d(x).alias("__sx"), d(y).alias("__sy"),
         d(x * y).alias("__sxy"), d(x * x).alias("__sxx"))
-    theta = ((F.col("__sxy") - F.col("__sx") * F.col("__sy") / F.col("__n"))
-             / (F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")))
+    var_x = F.col("__sxx") - F.col("__sx") * F.col("__sx") / F.col("__n")
+    theta_raw = ((F.col("__sxy")
+                  - F.col("__sx") * F.col("__sy") / F.col("__n")) / var_x)
+    theta = F.when(
+        var_x == F.lit(0.0),
+        F.raise_error(F.lit(
+            "cuped_adjusted_means: zero-variance pre-period covariate "
+            "(var(X)=0) — theta is undefined; drop the covariate or "
+            "report unadjusted means")).cast("double"),
+    ).otherwise(theta_raw)
     g = glob.select(theta.alias("__theta"),
                     (F.col("__sx") / F.col("__n")).alias("__mx"))
     arms = units.groupBy(F.col(arm_col).alias("arm")).agg(
@@ -157,6 +170,14 @@ def ab_proportion_test(units: DataFrame, arm_col: str,
 
     Returns one row per arm: ``(arm, n_units, n_converted, rate, z,
     srm_z)`` — z/srm_z repeated per row for readout convenience.
+
+    The per-arm aggregate executes EXACTLY ONCE: its collected rows both
+    feed the z/srm_z math and become the returned plan (a 2-row local
+    relation), so ``units`` is never scanned a second time and a
+    non-deterministic input cannot make the collected statistics diverge
+    from the returned rows (r8 verdict hygiene item).  The rate rounding
+    still runs in Spark, over the local relation, so the arithmetic is
+    identical to the pre-fix plan.
     """
     per = (units.groupBy(F.col(arm_col).alias("arm"))
            .agg(F.count(F.lit(1)).alias("n_units"),
@@ -180,7 +201,8 @@ def ab_proportion_test(units: DataFrame, arm_col: str,
     rate = (F.round(F.col("n_converted").cast("double")
                     / F.col("n_units").cast("double"), round_digits)
             + F.lit(0.0))
-    return (per.select("arm", "n_units", "n_converted",
-                       rate.alias("rate"),
-                       r6(z).alias("z"), r6(srm_z).alias("srm_z"))
+    local = units.sparkSession.createDataFrame(rows, schema=per.schema)
+    return (local.select("arm", "n_units", "n_converted",
+                         rate.alias("rate"),
+                         r6(z).alias("z"), r6(srm_z).alias("srm_z"))
             .orderBy("arm"))

@@ -498,10 +498,15 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
         nbr = (both.join(labels.withColumnRenamed("node", "dst"), "dst")
                .groupBy(F.col("src").alias("node"), "label")
                .agg(F.count(F.lit(1)).alias("__c")))
+        # argmax by (count desc, label asc) via min_by over
+        # struct(-count, label): negating the COUNT (always numeric)
+        # keeps the smallest-label tie-break correct for ANY orderable
+        # label type — negating the label itself silently cast string
+        # node ids to NULL and broke determinism (ADVICE r8)
         labels = (nbr.groupBy("node")
-                  .agg(F.max_by("label",
-                                F.struct(F.col("__c"),
-                                         (-F.col("label")).alias("__nl")))
+                  .agg(F.min_by("label",
+                                F.struct((-F.col("__c")).alias("__nc"),
+                                         F.col("label")))
                        .alias("label")))
     return labels
 
@@ -522,11 +527,25 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
     which is both quadratic and a useless signal), the market-basket
     hot-group convention.
 
+    Input contract: an UNDIRECTED edge list in ANY representation —
+    arbitrary orientation, duplicates, and bidirectional rows are all
+    accepted because the first step canonicalizes to distinct
+    ``least/greatest`` pairs (self-loops drop).  Before r9 the existing-
+    edge anti-join compared raw ``(src, dst)`` rows, so an edge stored
+    as ``(b, a)`` with ``b > a`` survived as a "predicted" link and
+    duplicate rows inflated degrees (ADVICE r8).
+
     Returns the ``top_k`` rows ``(src, dst, n_common, jaccard)`` by
-    (jaccard desc, src, dst) — deterministic.
+    (jaccard desc, src, dst) — deterministic, materialized eagerly
+    (bounded: ``top_k`` rows) so the persisted wedge-center table can be
+    unpersisted before returning.
     """
-    both = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    canon = (edges.select(F.least("src", "dst").alias("src"),
+                          F.greatest("src", "dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    both = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree"))
     # hub filter: AQE sizes the eligible-node side at runtime (broadcast
@@ -543,8 +562,10 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
     common = (a.join(b.hint("shuffle_merge"), "__w")
               .filter(F.col("a") < F.col("b"))
               .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_common")))
+    # anti-join against the CANONICAL edge set: wedge pairs are (a < b)
+    # canonical, so the comparison set must be too
     cand = common.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        canon.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         ["a", "b"], "left_anti")
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
@@ -555,4 +576,10 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
                                / (F.col("__da") + F.col("__db")
                                   - F.col("n_common")).cast("double"),
                                round_digits) + F.lit(0.0)).alias("jaccard")))
-    return scored.orderBy(F.desc("jaccard"), "src", "dst").limit(top_k)
+    # materialize the bounded result (top_k rows) so the persisted
+    # centers table can be released instead of leaking executor storage
+    # across repeated invocations in a long session (ADVICE r8)
+    out = (scored.orderBy(F.desc("jaccard"), "src", "dst").limit(top_k)
+           .localCheckpoint())
+    centers.unpersist()
+    return out

@@ -1612,6 +1612,16 @@ def markov_stationary(df: DataFrame, key_col: str = "user_id",
 
     Returns ``(event_type, stationary_prob)`` after ``iters`` rounds,
     ordered by event_type.
+
+    Semantics notes (ADVICE r8): the state space is the set of types
+    with at least one OUTGOING transition, so a pure sink state (one
+    that only ever appears as a destination) receives mass during a
+    round and leaks it at the next — the reported probabilities can sum
+    to less than 1 when the observed chain is absorbing.  That is the
+    honest reading of a transition log with dead ends (the alternative,
+    synthesizing self-loops, invents dynamics the data never showed).
+    A log with NO transitions at all (every key has a single event)
+    raises ``ValueError`` instead of a bare ZeroDivisionError.
     """
     w = Window.partitionBy(key_col).orderBy(time_col, order_col)
     pairs = (df.withColumn("__to", F.lead(type_col).over(w))
@@ -1624,6 +1634,10 @@ def markov_stationary(df: DataFrame, key_col: str = "user_id",
         / F.sum("__n").over(wf).cast("double")).drop("__n")
     states = P.select(F.col("__from").alias("state")).distinct()
     k = states.count()  # bounded: K event types (the centroid-seed convention)
+    if k == 0:
+        raise ValueError(
+            "markov_stationary: the log has no transitions (no key has "
+            "two ordered events) — the chain is empty")
     p = states.withColumn("prob", F.lit(1.0 / k))
     for _ in range(iters):
         p = (P.join(p.withColumnRenamed("state", "__from"), "__from")

@@ -777,3 +777,86 @@ def test_centroid_distances_numpy(spark):
     for (a, b), d in out.items():
         assert abs(d - np.linalg.norm(mus[a] - mus[b])) < 1e-6
     assert set(out) == {(0, 1), (0, 2), (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# r9 fixes: single-execution ab test, CUPED guard, graph contracts,
+# markov empty-chain guard (r8 verdict hygiene + ADVICE items)
+# ---------------------------------------------------------------------------
+
+
+def test_ab_proportion_test_single_execution_plan(spark):
+    """The returned plan must be a local relation over the ALREADY
+    collected per-arm rows — no second scan / aggregate of the input
+    (r8 verdict: the collected stats and returned rows could diverge on
+    a non-deterministic input)."""
+    from hazelcast_jet_spark.operators.experiment import ab_proportion_test
+
+    rows = ([(i, "A", i % 3 == 0) for i in range(60)]
+            + [(i + 60, "B", i % 4 == 0) for i in range(60)])
+    df = spark.createDataFrame(rows, "u long, arm string, converted boolean")
+    out = ab_proportion_test(df, "arm", "converted")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan
+    assert "LocalRelation" in plan or "LogicalRDD" in plan, plan
+    got = {r["arm"]: (r["n_units"], r["n_converted"]) for r in out.collect()}
+    assert got == {"A": (60, 20), "B": (60, 15)}
+
+
+def test_cuped_zero_variance_covariate_raises(spark):
+    """Constant pre-period covariate: theta is undefined and must raise
+    at execution instead of silently emitting NULL means (ADVICE r8)."""
+    from hazelcast_jet_spark.operators.experiment import cuped_adjusted_means
+
+    rows = [(i, "A" if i % 2 == 0 else "B", 5.0, float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "u long, arm string, pre double, post double")
+    with pytest.raises(Exception, match="zero-variance"):
+        cuped_adjusted_means(df, "arm", "pre", "post").collect()
+
+
+def test_jaccard_link_prediction_noncanonical_edges(spark):
+    """ADVICE r8 (medium): edges stored in arbitrary orientation or
+    duplicated must behave exactly like the canonical representation —
+    an existing (3,1) edge must NOT surface as a predicted (1,3) link,
+    and duplicate rows must not inflate degrees."""
+    from hazelcast_jet_spark.operators.graph import jaccard_link_prediction
+
+    # triangle with one reversed edge: nothing to predict
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "src long, dst long")
+    assert jaccard_link_prediction(tri, top_k=10).count() == 0
+
+    # 4-cycle with reversed + duplicated + bidirectional rows == canonical
+    messy = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (1, 4), (1, 2), (4, 3)],
+        "src long, dst long")
+    out = {(r["src"], r["dst"]): (r["n_common"], r["jaccard"])
+           for r in jaccard_link_prediction(messy, top_k=10).collect()}
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_label_propagation_string_node_ids(spark):
+    """ADVICE r8: the smallest-label tie-break must hold for STRING node
+    ids (the old unary-minus tie-break cast strings to NULL).  Two
+    triangles converge to their lexicographically smallest member."""
+    from hazelcast_jet_spark.operators.graph import label_propagation
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["label"] for r in label_propagation(df, iters=2).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
+
+
+def test_markov_stationary_empty_chain_raises(spark):
+    """ADVICE r8: a log with no transitions (single event per key) must
+    raise a clear ValueError, not ZeroDivisionError."""
+    from hazelcast_jet_spark.operators.timeseries import markov_stationary
+
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, i), f"t{i}", i) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long")
+    with pytest.raises(ValueError, match="no transitions"):
+        markov_stationary(df)

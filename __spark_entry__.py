@@ -5244,6 +5244,30 @@ def corpus_data_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_threshold=LSH_THRESHOLD)
 
 
+def streaming_corpus_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS corpus data card (r8 verdict #6): the per-source
+    monitoring report a live 100 TB ingest runs alongside the batch
+    card — readStream over documents maintains ONE complete-mode
+    aggregation at (source, lang, fingerprint) grain (profile.
+    corpus_card_stream_counters; state = one row per distinct triple,
+    the streaming-exact-dedup state class), then profile.
+    corpus_card_fold derives docs/tokens/shares, corpus-wide exact-dup
+    rate, Gopher pass rate and the language mix batch-side from the
+    final counters.  availableNow on bounded input makes the counters
+    deterministic, so the batch SQL replay is the exact oracle."""
+    from hazelcast_jet_spark.operators.profile import (
+        corpus_card_fold, corpus_card_stream_counters)
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    d = read_stream_table(spark, sf_dir, "documents")
+    counters = run_to_batch(corpus_card_stream_counters(d), "complete")
+    # the fold self-joins the counter table (fp totals); break the
+    # memory-sink lineage first (bounded: one row per distinct
+    # (source, lang, fingerprint) triple)
+    return corpus_card_fold(counters.localCheckpoint())
+
+
 def cusum_alarm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change detection (timeseries.cusum_alarms; Page
     1954) of the daily event rate per type against each type's own
@@ -5895,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_distance_emb": centroid_distance_emb,
         # -- new r9 queries insert HERE (each pushes a filler below
         # -- the boundary; re-run tools/window_plan.py --check) --------
+        "streaming_corpus_card_docs": streaming_corpus_card_docs,
         # -- r2-green cohort, stalest-first window fillers -------------
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
@@ -11198,6 +11223,83 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(p.n_near AS DOUBLE)
                          / CAST(p.n_docs AS DOUBLE), 6) + 0.0
                        AS near_dup_rate,
+                   round(CAST(p.n_pass AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS quality_pass_rate,
+                   p.n_langs, tl.top_lang,
+                   round(CAST(tl.top_n AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS top_lang_share
+            FROM per_src p
+            JOIN top_lang tl USING (source)
+            CROSS JOIN tot t
+            ORDER BY p.source
+        """,
+        "streaming_corpus_card_docs": f"""
+            WITH feats AS (
+                SELECT source, lang,
+                       md5({_NORM}) AS fp,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS tok,
+                       length(text) AS chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           AS n_sym,
+                       len(list_intersect(
+                           list_transform(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               t -> lower(t)),
+                           {_STOPWORDS_SQL})) AS sw_hits
+                FROM documents
+            ), counters AS (
+                SELECT source, lang, fp,
+                       count(*) AS n_docs,
+                       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                       SUM(CASE WHEN tok >= 20 AND tok <= 1000
+                                 AND n_alpha / greatest(tok, 1) >= 3.0
+                                 AND n_alpha / greatest(tok, 1) <= 10.0
+                                 AND n_sym / greatest(chars, 1) <= 0.1
+                                 AND sw_hits >= 2
+                                THEN 1 ELSE 0 END) AS n_pass
+                FROM feats GROUP BY 1, 2, 3
+            ), fp_tot AS (
+                SELECT fp, SUM(n_docs) AS fp_n FROM counters GROUP BY fp
+            ), per_src AS (
+                SELECT c.source,
+                       CAST(SUM(c.n_docs) AS BIGINT) AS n_docs,
+                       CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens,
+                       CAST(SUM(CASE WHEN ft.fp_n > 1 THEN c.n_docs
+                                     ELSE 0 END) AS BIGINT) AS n_exact,
+                       CAST(SUM(c.n_pass) AS BIGINT) AS n_pass,
+                       CAST(count(DISTINCT c.lang) AS BIGINT) AS n_langs
+                FROM counters c JOIN fp_tot ft USING (fp)
+                GROUP BY c.source
+            ), lang_counts AS (
+                SELECT source, lang, SUM(n_docs) AS n
+                FROM counters GROUP BY 1, 2
+            ), top_lang AS (
+                SELECT source, lang AS top_lang, n AS top_n FROM (
+                    SELECT source, lang, n, row_number() OVER (
+                        PARTITION BY source ORDER BY n DESC, lang) AS rn
+                    FROM lang_counts) WHERE rn = 1
+            ), tot AS (
+                SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+                       CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+                FROM counters
+            )
+            SELECT p.source, p.n_docs,
+                   round(CAST(p.n_docs AS DOUBLE)
+                         / CAST(t.tot_docs AS DOUBLE), 6) + 0.0 AS doc_share,
+                   p.n_tokens,
+                   round(CAST(p.n_tokens AS DOUBLE)
+                         / CAST(t.tot_tokens AS DOUBLE), 6) + 0.0
+                       AS token_share,
+                   round(CAST(p.n_exact AS DOUBLE)
+                         / CAST(p.n_docs AS DOUBLE), 6) + 0.0
+                       AS exact_dup_rate,
                    round(CAST(p.n_pass AS DOUBLE)
                          / CAST(p.n_docs AS DOUBLE), 6) + 0.0
                        AS quality_pass_rate,

@@ -41,12 +41,21 @@ def main() -> None:
     # run in NAME order, not declaration order: queries() is reordered per
     # round for the correctness gate's window rotation, and letting that
     # reshuffle which query pays the early-JVM codegen warmup would make
-    # per-query numbers incomparable across rounds
+    # per-query numbers incomparable across rounds.
+    #
+    # Each query runs TWICE (r8 verdict #4): the first (cold) timing
+    # absorbs that query's codegen + Python-worker spin-up, the second
+    # (warm) measures the steady-state plan — r8's driver window read
+    # 13.4 s for a 40-row multimodal query and forced judge-side
+    # re-measurement; regressions are adjudicated on WARM from r9 on.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name, fn in sorted(entry_mod.queries().items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings_cold[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     stream_rps = _stream_window_probe(spark)
@@ -55,10 +64,11 @@ def main() -> None:
     latency_p50, latency_p99 = _stream_latency_probe(spark)
 
     total = round(sum(timings.values()), 4)
+    total_cold = round(sum(timings_cold.values()), 4)
     # Full per-query map first (long line, for humans / full-log capture) ...
     print(json.dumps({
         "metric": "per_query_sec",
-        "queries": timings,
+        "queries": timings,          # WARM (bench v2; v1 r1-r8 = single run)
         "sf": float(sf),
     }))
     # ... and the same full detail to a FILE: the driver's BENCH artifact
@@ -75,8 +85,16 @@ def main() -> None:
                 "metric": "per_query_sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                # bench v2 (r9): every query runs twice; `queries` = WARM
+                # (steady-state plan — adjudicate regressions on this),
+                # `queries_cold` = first run (includes that query's
+                # codegen + Python-worker spin-up).  r1-r8 single-run
+                # numbers sit between the two, usually nearer cold.
+                "bench_version": 2,
                 "total_sec": total,
+                "total_cold_sec": total_cold,
                 "queries": timings,
+                "queries_cold": timings_cold,
                 "stream_window_rows_per_sec": stream_rps,
                 "stream_map_rows_per_sec": stream_map_rps,
                 "stream_nexmark_q5_rows_per_sec": stream_q5_rps,
@@ -93,9 +111,11 @@ def main() -> None:
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps({
         "metric": "suite_total",
-        "value": total,
+        "value": total,               # WARM total (bench v2, r9+)
         "unit": "sec",
         "sf": float(sf),
+        "bench_version": 2,
+        "total_cold_sec": total_cold,
         "n_queries": len(timings),
         "mean_query_sec": round(total / max(len(timings), 1), 4),
         "stream_window_rows_per_sec": stream_rps,

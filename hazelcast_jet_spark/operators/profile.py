@@ -1373,6 +1373,124 @@ def corpus_data_card(
         .orderBy("source"))
 
 
+def corpus_card_stream_counters(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """The STREAMING-legal counter grain of the corpus data card: one
+    aggregation ``groupBy(source, lang, fingerprint)`` carrying doc /
+    token / quality-pass counts.  Works identically on a batch or a
+    streaming DataFrame — on a stream it is a single complete-mode
+    aggregation whose state is one row per distinct (source, lang,
+    fingerprint) triple, the same O(distinct-docs) state class any
+    streaming exact-dedup already holds (every feature feeding the key
+    and the sums is a row-local map-side expression).
+
+    Feed the finished counter table to :func:`corpus_card_fold` for the
+    per-source report.  Jet analog: a mapJournal → groupingKey →
+    rolling aggregate DAG (no reference operator; 100 TB ingest-monitor
+    extension, r8 verdict #6).
+    """
+    from hazelcast_jet_spark.operators.text import (
+        fingerprint, gopher_quality_flags, token_count)
+
+    flags = gopher_quality_flags(
+        text_col, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_ratio=max_symbol_ratio)
+    feats = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        fingerprint(text_col).alias("fp"),
+        token_count(text_col).alias("__tok"),
+        flags["pass"].cast("bigint").alias("__q"),
+    )
+    return feats.groupBy("source", "lang", "fp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.sum("__q").alias("n_pass"),
+    )
+
+
+def corpus_card_fold(counters: DataFrame,
+                     round_digits: int = 6) -> DataFrame:
+    """Batch fold of :func:`corpus_card_stream_counters` output into the
+    per-source data card — the streamable subset of
+    :func:`corpus_data_card` with IDENTICAL conventions (global
+    fingerprint-dup membership, (count desc, lang) top-lang tie-break,
+    fixed-order rounded shares).  Length percentiles and LSH near-dup
+    rates are deliberately absent: order statistics and candidate-pair
+    joins are not incrementally maintainable over a stream — the batch
+    card covers them on the at-rest corpus.
+
+    Returns per source, ordered by source::
+
+        (source, n_docs, doc_share, n_tokens, token_share,
+         exact_dup_rate, quality_pass_rate, n_langs, top_lang,
+         top_lang_share)
+    """
+    # a doc is an exact dup if its fingerprint occurs >1 time CORPUS-WIDE
+    # (the corpus_data_card convention) — fold fp totals across sources
+    # and langs, then count member docs per source
+    fp_tot = (counters.groupBy("fp")
+              .agg(F.sum("n_docs").alias("__fp_n")))
+    with_dup = (counters.join(fp_tot, "fp")
+                .withColumn("__n_exact",
+                            F.when(F.col("__fp_n") > 1, F.col("n_docs"))
+                            .otherwise(F.lit(0))))
+    per_source = with_dup.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("__n_exact").alias("__n_exact"),
+        F.sum("n_pass").alias("__n_pass"),
+        F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+    )
+    lang_counts = (counters.groupBy("source", "lang")
+                   .agg(F.sum("n_docs").alias("__n")))
+    wl = Window.partitionBy("source").orderBy(
+        F.col("__n").desc(), F.col("lang"))
+    top_lang = (lang_counts.withColumn("__rn", F.row_number().over(wl))
+                .filter(F.col("__rn") == 1)
+                .select("source", F.col("lang").alias("top_lang"),
+                        F.col("__n").alias("__top_n")))
+    totals = counters.agg(
+        F.sum("n_docs").alias("__tot_docs"),
+        F.sum("n_tokens").cast("bigint").alias("__tot_tokens"))
+    nd = F.col("n_docs").cast("double")
+
+    def _share(num, den):
+        return (F.round(num.cast("double") / den.cast("double"),
+                        round_digits) + F.lit(0.0))
+
+    return (
+        per_source
+        .join(F.broadcast(top_lang), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs",
+            _share(F.col("n_docs"), F.col("__tot_docs")).alias("doc_share"),
+            "n_tokens",
+            _share(F.col("n_tokens"),
+                   F.col("__tot_tokens")).alias("token_share"),
+            (F.round(F.col("__n_exact") / nd, round_digits)
+             + F.lit(0.0)).alias("exact_dup_rate"),
+            (F.round(F.col("__n_pass") / nd, round_digits)
+             + F.lit(0.0)).alias("quality_pass_rate"),
+            "n_langs", "top_lang",
+            (F.round(F.col("__top_n") / nd, round_digits)
+             + F.lit(0.0)).alias("top_lang_share"),
+        )
+        .orderBy("source"))
+
+
 def rfm_segments(df: DataFrame, key_col: str, time_col: str,
                  value_col: str, n_bins: int = 5,
                  round_digits: int = 6) -> DataFrame:

@@ -919,3 +919,42 @@ def test_stream_event_transitions_rejects_bad_policy():
         stream_event_transitions)
     with pytest.raises(ValueError):
         stream_event_transitions(None, on_out_of_order="explode")
+
+
+def test_streaming_corpus_card_equals_batch(spark, sf_dir):
+    """The continuous data card (complete-mode counters over readStream
+    + batch fold) equals the identical operators over the batch reader —
+    row-for-row, so the live and at-rest reports can never disagree
+    (r8 verdict #6)."""
+    from hazelcast_jet_spark.operators.profile import (
+        corpus_card_fold, corpus_card_stream_counters)
+    from hazelcast_jet_spark.session import load_table
+    from hazelcast_jet_spark.streaming.run import (
+        read_stream_table, run_to_batch)
+
+    counters = run_to_batch(
+        corpus_card_stream_counters(
+            read_stream_table(spark, sf_dir, "documents")), "complete")
+    stream_card = corpus_card_fold(counters.localCheckpoint())
+    batch_card = corpus_card_fold(corpus_card_stream_counters(
+        load_table(spark, sf_dir, "documents")))
+    s = [tuple(r) for r in stream_card.collect()]
+    b = [tuple(r) for r in batch_card.collect()]
+    assert s == b and len(s) > 0
+
+
+def test_corpus_card_fold_matches_full_card_shared_columns(spark, sf_dir):
+    """The streamable fold agrees with profile.corpus_data_card on every
+    column both produce (the batch card adds percentiles + LSH near-dup
+    rate, which are not incrementally maintainable)."""
+    from hazelcast_jet_spark.operators.profile import (
+        corpus_card_fold, corpus_card_stream_counters, corpus_data_card)
+    from hazelcast_jet_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lite = corpus_card_fold(corpus_card_stream_counters(docs))
+    full = corpus_data_card(docs)
+    shared = [c for c in lite.columns if c in full.columns]
+    l = [tuple(r) for r in lite.select(shared).orderBy("source").collect()]
+    f = [tuple(r) for r in full.select(shared).orderBy("source").collect()]
+    assert l == f

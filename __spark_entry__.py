@@ -1505,6 +1505,23 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK, nprobe=IVF_NPROBE)
 
 
+def ivf_staleness_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index freshness report (similarity.ivf_index_staleness, r8
+    verdict #7): per centroid, member count, mean assignment distance
+    and the drift of the list's true mean from the stored centroid —
+    the recluster-when-needed signal an incrementally-upserted ANN
+    index (similarity.ivf_index_upsert) runs instead of a timer.  ONE
+    exploded scan folds both statistics; DECIMAL(38,9) accumulation
+    keeps the scaled sums under 2^53 so the decimal→double cast is
+    engine-stable."""
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_assign, ivf_index_staleness)
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    return ivf_index_staleness(ivf_assign(e, cents), cents)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
     sample timestamps derive from DURATION METADATA only — column pruning
@@ -5920,6 +5937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new r9 queries insert HERE (each pushes a filler below
         # -- the boundary; re-run tools/window_plan.py --check) --------
         "streaming_corpus_card_docs": streaming_corpus_card_docs,
+        "ivf_staleness_emb": ivf_staleness_emb,
         # -- r2-green cohort, stalest-first window fillers -------------
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
@@ -7417,6 +7435,64 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos_sim DESC, corpus_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= {TOPK}
+        """,
+        "ivf_staleness_emb": f"""
+            WITH d AS (
+                SELECT vec_id, embedding,
+                       [{", ".join(
+                           f"round(1.0 - {_cos_raw_sql('embedding', str(c))}, 9)"
+                           for c in _ivf_centroids()
+                       )}] AS dists
+                FROM embeddings
+            ), a AS (
+                SELECT CAST(list_position(dists, list_min(dists)) AS BIGINT)
+                           AS centroid_id,
+                       dists[list_position(dists, list_min(dists))] AS dist,
+                       embedding
+                FROM d
+            ), e AS (
+                SELECT centroid_id, dist,
+                       CAST(unnest(embedding) AS DOUBLE) AS val,
+                       unnest(generate_series(
+                           0, {len(_ivf_centroids()[0]) - 1})) AS pos
+                FROM a
+            ), per AS (
+                SELECT centroid_id, pos, count(*) AS n,
+                       CAST(SUM(CAST(val AS DECIMAL(38,9))) AS DOUBLE) AS s,
+                       CAST(SUM(CASE WHEN pos = 0
+                                     THEN CAST(dist AS DECIMAL(38,9))
+                                END) AS DOUBLE) AS ds
+                FROM e GROUP BY 1, 2
+            ), c AS (
+                SELECT CAST(cid AS BIGINT) AS centroid_id,
+                       unnest(generate_series(
+                           0, {len(_ivf_centroids()[0]) - 1})) AS pos,
+                       CAST(unnest(cv) AS DOUBLE) AS cval,
+                       CAST(csq AS DOUBLE) AS csq
+                FROM (VALUES {", ".join(
+                    f"({i + 1}, {list(map(float, cc))},"
+                    f" {sum(float(y) * float(y) for y in cc)!r})"
+                    for i, cc in enumerate(_ivf_centroids())
+                )}) AS t(cid, cv, csq)
+            ), agg AS (
+                SELECT p.centroid_id,
+                       MAX(p.n) AS n_vectors,
+                       CAST(SUM(CAST((p.s / CAST(p.n AS DOUBLE)) * c.cval
+                                     AS DECIMAL(38,9))) AS DOUBLE) AS dot,
+                       CAST(SUM(CAST((p.s / CAST(p.n AS DOUBLE))
+                                     * (p.s / CAST(p.n AS DOUBLE))
+                                     AS DECIMAL(38,9))) AS DOUBLE) AS msq,
+                       MAX(p.ds) AS dsum,
+                       MAX(c.csq) AS csq
+                FROM per p JOIN c USING (centroid_id, pos)
+                GROUP BY 1
+            )
+            SELECT centroid_id, n_vectors,
+                   round(dsum / CAST(n_vectors AS DOUBLE), 6) + 0.0
+                       AS mean_dist,
+                   round(1.0 - dot / (sqrt(msq) * sqrt(csq)), 6) + 0.0
+                       AS drift
+            FROM agg ORDER BY centroid_id
         """,
         "simhash_near_dups": f"""
             WITH hs AS (

@@ -331,6 +331,100 @@ def ivf_build_index(corpus: DataFrame, centroids: list[list[float]], path: str,
     )
 
 
+def ivf_index_upsert(new_vectors: DataFrame, centroids: list[list[float]],
+                     path: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental IVF index maintenance (r8 verdict #7, mirroring the
+    dedup index's append discipline): assign ONLY the new vectors to the
+    EXISTING centroids (map-only, no shuffle, zero recompute of the
+    resident corpus) and append them under the same
+    ``partitionBy(centroid_id)`` layout :func:`ivf_build_index` wrote —
+    probes prune identically over old and new files.
+
+    Because the assignment is a pure function of (vector, centroids),
+    an upserted index is row-identical to a full rebuild over the union
+    corpus (pinned in tests) — freshness degrades only through CENTROID
+    staleness, which :func:`ivf_index_staleness` measures; recluster
+    (recompute centroids + :func:`ivf_build_index`) when it reports
+    drift beyond threshold, not on a timer.
+    """
+    (
+        ivf_assign(new_vectors, centroids, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_index_staleness(assigned: DataFrame, centroids: list[list[float]],
+                        vec_col: str = "embedding",
+                        round_digits: int = 6) -> DataFrame:
+    """IVF index freshness report: per centroid, how well it still
+    represents its inverted list after incremental upserts.
+
+    - ``mean_dist``: mean assignment distance (round(1-cosine, 9), the
+      :func:`ivf_assign` metric) of the list's members to the stored
+      centroid — rises as upserted vectors land far from every centroid.
+    - ``drift``: 1 - cosine(current member MEAN vector, stored centroid)
+      — how far the list's true center has moved.  0 for a fresh index
+      on its own training data; grows monotonically with distribution
+      shift.
+
+    Recluster guidance (documented contract): recompute centroids and
+    rebuild when ``max(drift)`` exceeds ~0.5 × the median ``mean_dist``
+    — past that point the nearest-centroid partition of NEW vectors no
+    longer matches the partition a fresh k-means would produce and
+    probe recall decays (measure with ann_recall_ivf_pq before/after).
+
+    ``assigned`` is the index table (read of the :func:`ivf_build_index`
+    path, or :func:`ivf_assign` output).  ONE scan: the per-dimension
+    mean and the distance sum fold in the same exploded aggregate
+    (K·dim bounded rows out); sums DECIMAL(38,9)-accumulate — exact,
+    order-free, and the scaled integers stay below 2^53 so the
+    decimal→double cast is engine-stable.  Empty centroids (no members)
+    have no row — they are maximally stale; treat absence as "recluster"
+    signal.
+
+    Returns ``(centroid_id, n_vectors, mean_dist, drift)`` ordered by
+    centroid_id.
+    """
+    spark = assigned.sparkSession
+    v = F.col(vec_col).cast("array<double>")
+    dists = _centroid_dists(v, centroids)
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    base = assigned.select(
+        F.col("centroid_id"),
+        F.element_at(dists, F.col("centroid_id").cast("int")).alias("__dist"),
+        F.posexplode(v).alias("pos", "val"),
+    )
+    per = base.groupBy("centroid_id", "pos").agg(
+        F.count(F.lit(1)).alias("__n"),
+        d9(F.col("val")).alias("__s"),
+        # distance folds once per member: only the pos-0 group carries it
+        d9(F.when(F.col("pos") == 0, F.col("__dist"))).alias("__ds"),
+    )
+    cframe = spark.createDataFrame(
+        [(cid + 1, pos, float(x), float(sum(y * y for y in c)))
+         for cid, c in enumerate(centroids) for pos, x in enumerate(c)],
+        "centroid_id long, pos int, cval double, csq double")
+    m = F.col("__s") / F.col("__n").cast("double")
+    agg = (per.join(F.broadcast(cframe), ["centroid_id", "pos"])
+           .groupBy("centroid_id")
+           .agg(F.max("__n").alias("n_vectors"),
+                d9(m * F.col("cval")).alias("__dot"),
+                d9(m * m).alias("__msq"),
+                F.max("__ds").alias("__dsum"),
+                F.max("csq").alias("__csq")))
+    return (agg.select(
+        "centroid_id", "n_vectors",
+        (F.round(F.col("__dsum") / F.col("n_vectors").cast("double"),
+                 round_digits) + F.lit(0.0)).alias("mean_dist"),
+        (F.round(F.lit(1.0) - F.col("__dot")
+                 / (F.sqrt(F.col("__msq")) * F.sqrt(F.col("__csq"))),
+                 round_digits) + F.lit(0.0)).alias("drift"))
+        .orderBy("centroid_id"))
+
+
 def ivf_topk_indexed(spark, path: str, queries: DataFrame,
                      centroids: list[list[float]], k: int = 5, nprobe: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

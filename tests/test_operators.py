@@ -4093,3 +4093,68 @@ def test_fk_orphan_counts_planted(spark):
     # NULL FK is optional, not an orphan; 9 is the only orphan
     assert out["n_orphans"] == 1
     assert out["orphan_rate"] == 0.25
+
+
+def test_ivf_index_upsert_equals_rebuild(spark, tmp_path, sf_dir):
+    """r8 verdict #7: build(base) + upsert(delta) is row-identical to a
+    full rebuild over the union corpus, and the persisted probe returns
+    identical results over either index."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_build_index, ivf_index_upsert, ivf_topk_indexed)
+
+    e = entry_mod._t(spark, sf_dir, "embeddings")
+    cents = entry_mod._ivf_centroids()
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_build_index(base, cents, inc)
+    ivf_index_upsert(delta, cents, inc)
+    full = str(tmp_path / "ivf_full")
+    ivf_build_index(e, cents, full)
+
+    key = lambda r: (r["vec_id"], r["centroid_id"])
+    rows_inc = sorted(map(key, spark.read.parquet(inc).collect()))
+    rows_full = sorted(map(key, spark.read.parquet(full).collect()))
+    assert rows_inc == rows_full and len(rows_inc) == e.count()
+
+    q = e.filter(F.col("vec_id") < 3)
+    pk = lambda r: (r.query_id, r.rank, r.corpus_id, r.cos_sim)
+    got_inc = sorted(map(pk, ivf_topk_indexed(
+        spark, inc, q, cents, k=5, nprobe=2).collect()))
+    got_full = sorted(map(pk, ivf_topk_indexed(
+        spark, full, q, cents, k=5, nprobe=2).collect()))
+    assert got_inc == got_full
+
+
+def test_ivf_index_staleness_fresh_vs_shifted(spark):
+    """drift == 0 when the centroids ARE the member means; a shifted
+    upsert raises both drift and mean_dist for the receiving list."""
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_assign, ivf_index_staleness)
+
+    # two tight clusters whose means are exactly the centroids
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    members = ([(i, [1.0, e, 0.0, 0.0]) for i, e in
+                [(1, 0.01), (2, -0.01)]]
+               + [(i, [e, 1.0, 0.0, 0.0]) for i, e in
+                  [(3, 0.02), (4, -0.02)]])
+    df = spark.createDataFrame(members, "vec_id long, embedding array<double>")
+    cents = [c0, c1]
+    fresh = {r["centroid_id"]: r for r in
+             ivf_index_staleness(ivf_assign(df, cents), cents).collect()}
+    assert set(fresh) == {1, 2}
+    for r in fresh.values():
+        assert r["drift"] < 1e-4 and 0.0 <= r["mean_dist"] < 1e-3
+
+    # upsert a batch rotated toward the diagonal: list 1 goes stale
+    shifted = [(10 + i, [1.0, 0.8, 0.0, 0.0]) for i in range(4)]
+    df2 = df.unionByName(spark.createDataFrame(
+        shifted, "vec_id long, embedding array<double>"))
+    stale = {r["centroid_id"]: r for r in
+             ivf_index_staleness(ivf_assign(df2, cents), cents).collect()}
+    assert stale[1]["drift"] > fresh[1]["drift"] + 0.01
+    assert stale[1]["mean_dist"] > fresh[1]["mean_dist"] + 0.01
+    assert stale[1]["n_vectors"] == 6  # the shifted batch landed on c0

@@ -1522,6 +1522,109 @@ def ivf_staleness_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_staleness(ivf_assign(e, cents), cents)
 
 
+def kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (profile.cohen_kappa) between the labeled lang
+    column and the stopword-ratio language-ID heuristic — the ONE
+    chance-corrected number behind q:langid_confusion_docs' matrix
+    (raw agreement flatters a majority-class predictor; kappa doesn't).
+    One K×K cell aggregate; po/pe/kappa are fixed-order doubles on
+    exact counts."""
+    from hazelcast_jet_spark.operators.profile import cohen_kappa
+    from hazelcast_jet_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("a"),
+                    lang_id("text").alias("b"))
+    return cohen_kappa(pred, "a", "b")
+
+
+PW_SEED = "pw1"
+#: repr round-trips the exact doubles, so the oracle parses the same bits
+from hazelcast_jet_spark.operators.experiment import (  # noqa: E402
+    Z_ALPHA_0_05 as _Z_ALPHA, Z_POWER_0_80 as _Z_POWER)
+Z_ALPHA_SQL = repr(_Z_ALPHA)
+Z_POWER_SQL = repr(_Z_POWER)
+
+
+def experiment_power_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc power analysis (experiment.ab_power_mde): the minimum
+    detectable effect at the realized md5-split arm sizes with
+    any-URGENT-order conversion as the metric — the "could this test
+    even see the lift we care about?" readout that gates
+    q:cuped_experiment_orders / ab z-tests.  One per-customer rollup +
+    one collected 2-row aggregate; closed-form MDE on exact counts."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          ab_power_mde)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(F.max((F.col("o_orderpriority") == "1-URGENT")
+                        .cast("int")).alias("conv")))
+    units = units.withColumn("arm", ab_assign(F.col("o_custkey"), PW_SEED))
+    return ab_power_mde(units, "arm", "conv")
+
+
+def tokenizer_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: BPE-ish subword tokens per
+    whitespace word and bytes per subword token — the budgeting curve
+    that prices a source in TOKENS before training (fertility >> 1
+    flags scripts/markup the tokenizer fragments).  Map-only feature
+    extraction (text.regex_token_count / token_count / octet_length),
+    one per-source aggregate of exact counts."""
+    from hazelcast_jet_spark.operators.text import (regex_token_count,
+                                                    token_count)
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        token_count("text").cast("bigint").alias("__w"),
+        regex_token_count("text").cast("bigint").alias("__s"),
+        F.octet_length("text").cast("bigint").alias("__b"))
+    r6 = lambda num, den: (F.round(num.cast("double")  # noqa: E731
+                                   / den.cast("double"), 6) + F.lit(0.0))
+    return (f.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__w").alias("n_words"),
+                 F.sum("__s").alias("n_subtokens"),
+                 F.sum("__b").alias("n_bytes"))
+            .select("source", "n_docs", "n_words", "n_subtokens", "n_bytes",
+                    r6(F.col("n_subtokens"),
+                       F.col("n_words")).alias("fertility"),
+                    r6(F.col("n_bytes"),
+                       F.col("n_subtokens")).alias("bytes_per_subtoken"))
+            .orderBy("source"))
+
+
+def dup_rate_by_length_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE dedup bites: exact-duplicate rate per document-length
+    decile (fingerprint membership corpus-wide, ntile over (chars,
+    doc_id)) — short boilerplate docs dominate dup mass, and this curve
+    is the evidence.  ntile runs on the scalar (chars, id) projection
+    (the rfm_segments single-pass convention — swap for precomputed
+    quantile edges beyond ~10^8 docs)."""
+    from hazelcast_jet_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    f = d.select("doc_id", F.length("text").alias("__chars"),
+                 fingerprint("text").alias("__fp"))
+    fpc = Window.partitionBy("__fp")
+    flagged = f.withColumn(
+        "__dup", (F.count(F.lit(1)).over(fpc) > 1).cast("int"))
+    wd = Window.orderBy("__chars", "doc_id")
+    t = flagged.withColumn("decile", F.ntile(10).over(wd))
+    n = F.count(F.lit(1))
+    return (t.groupBy("decile")
+            .agg(n.alias("n_docs"),
+                 F.sum("__dup").cast("bigint").alias("n_dups"),
+                 (F.round(F.sum("__dup").cast("double")
+                          / n.cast("double"), 6)
+                  + F.lit(0.0)).alias("dup_rate"),
+                 (F.round(F.sum("__chars").cast("double")
+                          / n.cast("double"), 6)
+                  + F.lit(0.0)).alias("mean_chars"))
+            .orderBy("decile"))
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
     sample timestamps derive from DURATION METADATA only — column pruning
@@ -5938,6 +6041,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- the boundary; re-run tools/window_plan.py --check) --------
         "streaming_corpus_card_docs": streaming_corpus_card_docs,
         "ivf_staleness_emb": ivf_staleness_emb,
+        "kappa_langid_docs": kappa_langid_docs,
+        "experiment_power_orders": experiment_power_orders,
+        "tokenizer_fertility_docs": tokenizer_fertility_docs,
+        "dup_rate_by_length_docs": dup_rate_by_length_docs,
         # -- r2-green cohort, stalest-first window fillers -------------
         "simhash_groups": simhash_groups,
         "cosine_topk_search": cosine_topk_search,
@@ -10255,6 +10362,136 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(SUM(n_docs) OVER (PARTITION BY lang)
                                 AS DOUBLE), 6) AS label_share
             FROM cell ORDER BY lang, lang_pred
+        """,
+        "kappa_langid_docs": f"""
+            WITH cell AS (
+                SELECT lang AS a,
+                       CASE WHEN len(list_filter(
+                                list_transform(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> lower(t)),
+                                t -> list_contains({_STOPWORDS_SQL}, t)))
+                            / CAST(len(regexp_split_to_array(trim(text),
+                                                             '\\s+'))
+                                   AS DOUBLE) >= 0.05
+                            THEN 'en' ELSE 'unknown' END AS b,
+                       count(*) AS n
+                FROM documents GROUP BY 1, 2
+            ), rw AS (
+                SELECT a, SUM(n) AS ra FROM cell GROUP BY a
+            ), cl AS (
+                SELECT b, SUM(n) AS cb FROM cell GROUP BY b
+            ), pe_num AS (
+                SELECT CAST(SUM(CAST(CAST(ra * cb AS DOUBLE)
+                                     AS DECIMAL(38,2))) AS DOUBLE)
+                           AS pe_num
+                FROM rw JOIN cl ON rw.a = cl.b
+            ), base AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+                       CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END)
+                            AS BIGINT) AS diag
+                FROM cell
+            )
+            SELECT n_items,
+                   round(CAST(diag AS DOUBLE)
+                         / CAST(n_items AS DOUBLE), 6) + 0.0 AS po,
+                   round(pe_num / CAST(n_items AS DOUBLE)
+                                / CAST(n_items AS DOUBLE), 6) + 0.0 AS pe,
+                   round((CAST(diag AS DOUBLE) / CAST(n_items AS DOUBLE)
+                          - pe_num / CAST(n_items AS DOUBLE)
+                                   / CAST(n_items AS DOUBLE))
+                         / (1.0 - pe_num / CAST(n_items AS DOUBLE)
+                                         / CAST(n_items AS DOUBLE)), 6)
+                       + 0.0 AS kappa
+            FROM base CROSS JOIN pe_num
+        """,
+        "experiment_power_orders": f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       CASE WHEN substr(md5('{PW_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM orders GROUP BY 1
+            ), per AS (
+                SELECT arm, count(*) AS n, SUM(conv) AS c
+                FROM u GROUP BY arm
+            ), ab AS (
+                SELECT CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT)
+                           AS na,
+                       CAST(MAX(CASE WHEN arm = 'A' THEN c END) AS BIGINT)
+                           AS ca,
+                       CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT)
+                           AS nb,
+                       CAST(MAX(CASE WHEN arm = 'B' THEN c END) AS BIGINT)
+                           AS cb
+                FROM per
+            ), s AS (
+                SELECT na, nb,
+                       CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                           AS pool
+                FROM ab
+            ), m AS (
+                SELECT na, nb, pool,
+                       ({Z_ALPHA_SQL} + {Z_POWER_SQL})
+                       * sqrt((pool * (1.0 - pool))
+                              * ((1.0 / CAST(na AS DOUBLE))
+                                 + (1.0 / CAST(nb AS DOUBLE)))) AS mde
+                FROM s
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(pool, 6) + 0.0 AS pooled_rate,
+                   round(mde, 6) + 0.0 AS mde_abs,
+                   round(mde / pool, 6) + 0.0 AS mde_rel
+            FROM m
+        """,
+        "tokenizer_fertility_docs": f"""
+            WITH f AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+')) END
+                           AS w,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS s,
+                       octet_length(encode(text)) AS b
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS n_words,
+                   CAST(SUM(s) AS BIGINT) AS n_subtokens,
+                   CAST(SUM(b) AS BIGINT) AS n_bytes,
+                   round(CAST(SUM(s) AS DOUBLE)
+                         / CAST(SUM(w) AS DOUBLE), 6) + 0.0 AS fertility,
+                   round(CAST(SUM(b) AS DOUBLE)
+                         / CAST(SUM(s) AS DOUBLE), 6) + 0.0
+                       AS bytes_per_subtoken
+            FROM f GROUP BY source ORDER BY source
+        """,
+        "dup_rate_by_length_docs": f"""
+            WITH f AS (
+                SELECT doc_id, length(text) AS chars,
+                       md5({_NORM}) AS fp
+                FROM documents
+            ), fpc AS (
+                SELECT fp, count(*) AS c FROM f GROUP BY fp
+            ), t AS (
+                SELECT CAST(ntile(10) OVER (ORDER BY chars, doc_id)
+                            AS INT) AS decile,
+                       chars,
+                       CASE WHEN fpc.c > 1 THEN 1 ELSE 0 END AS isdup
+                FROM f JOIN fpc USING (fp)
+            )
+            SELECT decile, count(*) AS n_docs,
+                   CAST(SUM(isdup) AS BIGINT) AS n_dups,
+                   round(CAST(SUM(isdup) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate,
+                   round(CAST(SUM(chars) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_chars
+            FROM t GROUP BY decile ORDER BY decile
         """,
         "source_length_ks": """
             WITH c AS (

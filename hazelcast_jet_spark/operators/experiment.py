@@ -104,6 +104,57 @@ def cuped_adjusted_means(units: DataFrame, arm_col: str, pre_col: str,
             .orderBy("arm"))
 
 
+#: two-sided alpha=0.05 and power=0.80 normal quantiles — fixed literals
+#: so every engine replays the MDE arithmetic bit-for-bit
+Z_ALPHA_0_05 = 1.9599639845400545
+Z_POWER_0_80 = 0.8416212335729143
+
+
+def ab_power_mde(units: DataFrame, arm_col: str, converted_col: str,
+                 z_alpha: float = Z_ALPHA_0_05,
+                 z_power: float = Z_POWER_0_80,
+                 round_digits: int = 6) -> DataFrame:
+    """Post-hoc power analysis for a two-proportion experiment: the
+    minimum detectable effect (MDE) at the realized arm sizes and the
+    pooled baseline rate — "what lift COULD this test even see?", the
+    question to answer before reading :func:`ab_proportion_test`'s z.
+
+        mde_abs = (z_{α/2} + z_β) · sqrt(p̂(1−p̂)·(1/nA + 1/nB))
+        mde_rel = mde_abs / p̂
+
+    Same execute-once discipline as ab_proportion_test: ONE per-arm
+    aggregate is collected (bounded: 2 rows) and the returned frame is
+    a local relation over the collected counts — closed-form double
+    arithmetic on exact BIGINT counts, engine-replayable.
+
+    Returns ONE row ``(n_a, n_b, pooled_rate, mde_abs, mde_rel)``.
+    """
+    per = (units.groupBy(F.col(arm_col).alias("arm"))
+           .agg(F.count(F.lit(1)).alias("n_units"),
+                F.sum(F.col(converted_col).cast("bigint"))
+                .alias("n_converted"))
+           .orderBy("arm"))
+    rows = per.limit(3).collect()
+    if len(rows) != 2:
+        raise ValueError(f"ab_power_mde needs exactly 2 arms, "
+                         f"got {len(rows)}")
+    (na, ca), (nb, cb) = [(r["n_units"], r["n_converted"]) for r in rows]
+    pool = (ca + cb) / (na + nb)
+    if pool in (0.0, 1.0):
+        raise ValueError("degenerate conversion metric: pooled rate is "
+                         f"{pool} — the MDE is undefined")
+    mde = (z_alpha + z_power) * math.sqrt(
+        pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    local = units.sparkSession.createDataFrame(
+        [(na, nb)], "n_a bigint, n_b bigint")
+    r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    return local.select(
+        "n_a", "n_b",
+        r6(pool).alias("pooled_rate"),
+        r6(mde).alias("mde_abs"),
+        r6(mde / pool).alias("mde_rel"))
+
+
 def touch_attribution(events: DataFrame, user_col: str = "user_id",
                       time_col: str = "ts", type_col: str = "event_type",
                       id_col: str = "event_id",

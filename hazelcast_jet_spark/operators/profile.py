@@ -1491,6 +1491,46 @@ def corpus_card_fold(counters: DataFrame,
         .orderBy("source"))
 
 
+def cohen_kappa(df: DataFrame, col_a: str, col_b: str,
+                round_digits: int = 6) -> DataFrame:
+    """Cohen's kappa (Cohen 1960): chance-corrected agreement between two
+    categorical labelings — the data-QA number behind a confusion matrix
+    (two annotators, a heuristic vs a gold column, two model versions).
+    kappa = (po − pe) / (1 − pe) with po the observed agreement rate and
+    pe = Σ_k (row_k/n)(col_k/n) the agreement expected from the
+    marginals alone.
+
+    ONE scan builds the K×K cell table; the marginals, the diagonal and
+    the pe sum all fold from those bounded cells (K² rows), so the cost
+    is one aggregate however large the input.  The pe terms are exact
+    integer products below 2^53 carried as decimal-summed doubles
+    (exact to ~9·10^6 items per category; beyond that the products
+    round — acceptable for an agreement RATE), and po/pe/kappa are
+    fixed-order double arithmetic — engine-replayable.
+
+    Returns ONE row ``(n_items, po, pe, kappa)``.
+    """
+    cell = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    rows = cell.groupBy("a").agg(F.sum("n").alias("ra"))
+    cols = cell.groupBy("b").agg(F.sum("n").alias("cb"))
+    pe_num = (rows.join(cols, rows["a"] == cols["b"])
+              .agg(F.sum((F.col("ra") * F.col("cb")).cast("double")
+                         .cast("decimal(38,2)")).cast("double")
+                   .alias("__pe_num")))
+    base = cell.agg(
+        F.sum("n").alias("n_items"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n"))
+              .otherwise(F.lit(0))).alias("__diag"))
+    n = F.col("n_items").cast("double")
+    po = F.col("__diag").cast("double") / n
+    pe = F.col("__pe_num") / n / n
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (base.crossJoin(F.broadcast(pe_num))
+            .select("n_items", r6(po).alias("po"), r6(pe).alias("pe"),
+                    r6((po - pe) / (F.lit(1.0) - pe)).alias("kappa")))
+
+
 def rfm_segments(df: DataFrame, key_col: str, time_col: str,
                  value_col: str, n_bins: int = 5,
                  round_digits: int = 6) -> DataFrame:

@@ -860,3 +860,50 @@ def test_markov_stationary_empty_chain_raises(spark):
         rows, "user_id long, ts timestamp_ntz, event_type string, event_id long")
     with pytest.raises(ValueError, match="no transitions"):
         markov_stationary(df)
+
+
+def test_ab_power_mde_closed_form(spark):
+    from hazelcast_jet_spark.operators.experiment import (
+        Z_ALPHA_0_05, Z_POWER_0_80, ab_power_mde)
+
+    rows = ([(i, "A", i < 30) for i in range(100)]
+            + [(i + 100, "B", i < 40) for i in range(200)])
+    df = spark.createDataFrame(rows, "u long, arm string, conv boolean")
+    out = ab_power_mde(df, "arm", "conv").collect()
+    assert len(out) == 1
+    r = out[0]
+    pool = 70 / 300
+    mde = (Z_ALPHA_0_05 + Z_POWER_0_80) * math.sqrt(
+        pool * (1 - pool) * (1 / 100 + 1 / 200))
+    assert (r["n_a"], r["n_b"]) == (100, 200)
+    assert r["pooled_rate"] == round(pool, 6) + 0.0
+    assert r["mde_abs"] == round(mde, 6) + 0.0
+    assert r["mde_rel"] == round(mde / pool, 6) + 0.0
+    # single-execution: local relation, no aggregate in the returned plan
+    plan = (ab_power_mde(df, "arm", "conv")
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Aggregate" not in plan
+
+
+def test_cohen_kappa_hand_values(spark):
+    from hazelcast_jet_spark.operators.profile import cohen_kappa
+
+    # perfect agreement -> kappa 1
+    same = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(30)], "i long, l string")
+    perfect = cohen_kappa(same.select(F.col("l").alias("a"),
+                                      F.col("l").alias("b")), "a", "b")
+    r = perfect.collect()[0]
+    assert (r["po"], r["kappa"]) == (1.0, 1.0)
+
+    # textbook 2x2: cells a/b = yes,yes:20 yes,no:5 no,yes:10 no,no:15
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50 / 50
+    assert r["n_items"] == 50
+    assert r["po"] == round(po, 6)
+    assert r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6) + 0.0

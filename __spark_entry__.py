@@ -6057,15 +6057,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": semi_anti_join,
         "full_outer_join": full_outer_join,
         "set_operations": set_operations,
+        # ===== driver window boundary (entry 50 above; authoritative ==
+        # ===== check: tools/window_plan.py --check, pinned in the =====
+        # ===== suite).  Below: the remaining r2 cohort then the =======
+        # ===== r3/r4/r5-green queue for r10+, in prior registry order =
         "rollup_agg": rollup_agg,
         "multi_hop_enrichment": multi_hop_enrichment,
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
         "text_features": text_features,
         "exact_dedup_docs": exact_dedup_docs,
-        # ===== driver window boundary (entry 50 above).  Below: the ===
-        # ===== remaining r2 cohort then r3/r4/r5-green queue for r10+, =
-        # ===== in prior registry order ================================
         "dedup_rate_by_source": dedup_rate_by_source,
         "budget_sample_docs": budget_sample_docs,
         "embedding_drift_labels": embedding_drift_labels,

@@ -5973,6 +5973,109 @@ def centroid_distance_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_distances(e)
 
 
+DID_SEED = "did9"
+DID_SPLIT = "1998-01-01"
+
+
+def did_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (experiment.diff_in_diff) on a
+    simulated staged rollout: customers md5-split into two arms, order
+    value compared across the pre/post halves of the order log —
+    the quasi-experimental estimator for launches that can't randomize
+    per-unit (parallel-trends assumption documented in the operator).
+    One customer-period rollup (the only real shuffle), then ONE 4-cell
+    conditional aggregate collected once; estimate/SE/t are fixed-order
+    doubles on exact DECIMAL sums."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          diff_in_diff)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy(
+        "o_custkey",
+        F.when(F.col("o_orderdate") < DID_SPLIT, F.lit("pre"))
+         .otherwise(F.lit("post")).alias("period"))
+        .agg((dsum(F.col("o_totalprice"))
+              / F.count(F.lit(1)).cast("double")).alias("avg_value"))
+        .withColumn("arm", ab_assign(F.col("o_custkey"), DID_SEED)))
+    return diff_in_diff(units, "arm", "period", "avg_value")
+
+
+BAL_SEED = "bal9"
+
+
+def covariate_balance_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment randomization audit (experiment.covariate_balance):
+    standardized mean differences of account balance, order count and
+    total spend between the md5-assigned arms — run BEFORE the readout;
+    |smd| >= 0.1 flags a broken split.  One orders rollup + broadcast-
+    sized melt; moments are DECIMAL-exact."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          covariate_balance)
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n_orders"),
+        dsum(F.col("o_totalprice")).alias("__spend"))
+    units = (c.join(spend, c.c_custkey == spend.o_custkey, "left")
+             .select(
+                 ab_assign(F.col("c_custkey"), BAL_SEED).alias("arm"),
+                 F.col("c_acctbal").alias("acctbal"),
+                 F.coalesce("__n_orders", F.lit(0)).cast("double")
+                 .alias("n_orders"),
+                 F.coalesce("__spend", F.lit(0.0)).alias("total_spend")))
+    return covariate_balance(units, "arm",
+                             ["acctbal", "n_orders", "total_spend"])
+
+
+FDR_SEED = "fdr9"
+FDR_Q = 0.05
+
+
+def fdr_bh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guardrail-metric sweep with FDR control (experiment.fdr_bh;
+    Benjamini & Hochberg 1995): one two-proportion z-test per event
+    type ("do the md5-split arms differ in the share of users whose
+    FIRST event is this type?") and the BH-adjusted p-values that keep
+    the family-wise false-alarm budget at q=0.05 — the correction any
+    dashboard reading 5+ metrics per experiment needs.  First-event
+    composition (min_by with an (ts, event_id) tie-break) is the
+    metric because per-type REACH is saturated in this log (every user
+    reaches every type → pool=1 → z degenerate).  Plan: one per-user
+    min_by, one per-(type, arm) count, arm totals broadcast back; z
+    and the A&S two-sided p (experiment.two_sided_p — sub-ulp exp()
+    variance absorbed by round-6) run on the tiny per-type table, and
+    fdr_bh's windows add no extra scan (m is an in-plan window count)."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign, fdr_bh,
+                                                          two_sided_p)
+
+    e = _t(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+             .agg(F.min_by("event_type", F.struct("ts", "event_id"))
+                  .alias("event_type"))
+             .withColumn("arm", ab_assign(F.col("user_id"), FDR_SEED)))
+    # arm totals are the column sums of the tiny per-type table (each
+    # user contributes exactly one first-event row), so ONE scan of the
+    # event log feeds both the cells and the denominators
+    w_all = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    conv = (first.groupBy("event_type")
+            .agg(F.sum((F.col("arm") == "A").cast("bigint")).alias("__ca"),
+                 F.sum((F.col("arm") == "B").cast("bigint")).alias("__cb"))
+            .withColumn("__na", F.sum("__ca").over(w_all))
+            .withColumn("__nb", F.sum("__cb").over(w_all)))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    pa = F.col("__ca").cast("double") / na
+    pb = F.col("__cb").cast("double") / nb
+    pool = ((F.col("__ca") + F.col("__cb")).cast("double")
+            / (F.col("__na") + F.col("__nb")).cast("double"))
+    z = (pa - pb) / F.sqrt(pool * (F.lit(1.0) - pool)
+                           * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    tests = conv.select(F.col("event_type"), two_sided_p(z).alias("__p"))
+    out = fdr_bh(tests, "event_type", "__p", q=FDR_Q)
+    return out.withColumnRenamed("test", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5982,7 +6085,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
 #: session-tail handoff convention, now machine-readable).  Names listed
 #: here must sit below the window boundary in ``queries()``.
-NEXT_ROUND_LEADS: tuple[str, ...] = ()
+NEXT_ROUND_LEADS: tuple[str, ...] = (
+    "did_orders",
+    "covariate_balance_customer",
+    "fdr_bh_events",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6308,6 +6415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch_q8_market_share,
         "tpch_q9_product_profit": tpch_q9_product_profit,
+        # -- r9-session-2 additions: registered after the r9 window ----
+        # -- froze; NEXT_ROUND_LEADS defers them to lead the r10 window
+        "did_orders": did_orders,
+        "covariate_balance_customer": covariate_balance_customer,
+        "fdr_bh_events": fdr_bh_events,
     }
 
 
@@ -6408,6 +6520,8 @@ def _dsum(x: str) -> str:
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+from hazelcast_jet_spark.operators.experiment import (  # noqa: E402
+    two_sided_p_sql as _two_sided_p_sql)
 from hazelcast_jet_spark.operators.profile import BENFORD_EXPECTED as _BENFORD
 
 
@@ -13944,4 +14058,174 @@ def oracle_sql() -> dict[str, str]:
               ON a.pos = b.pos AND a.label < b.label
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "did_orders": f"""
+            WITH u AS (
+                SELECT CASE WHEN substr(md5('{DID_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       CASE WHEN o_orderdate
+                                 < TIMESTAMP '{DID_SPLIT} 00:00:00'
+                            THEN 'pre' ELSE 'post' END AS period,
+                       {_dsum('o_totalprice')}
+                           / CAST(count(*) AS DOUBLE) AS avg_value
+                FROM orders GROUP BY o_custkey, 2, 1
+            ), cell AS (
+                SELECT arm, period, count(*) AS n_units,
+                       CAST(SUM(CAST(avg_value AS DECIMAL(38,12)))
+                            AS DOUBLE) AS s,
+                       CAST(SUM(CAST(avg_value * avg_value
+                                     AS DECIMAL(38,12)))
+                            AS DOUBLE) AS ss
+                FROM u GROUP BY 1, 2
+            ), st AS (
+                SELECT arm, period,
+                       CASE WHEN n_units > 1
+                            THEN (ss - s * s / CAST(n_units AS DOUBLE))
+                                 / CAST(n_units - 1 AS DOUBLE)
+                            ELSE 0.0 END AS vr,
+                       s / CAST(n_units AS DOUBLE) AS mean,
+                       CAST(n_units AS DOUBLE) AS nd
+                FROM cell
+            ), wide AS (
+                SELECT MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                                THEN mean END) AS ma0,
+                       MAX(CASE WHEN arm = 'A' AND period = 'post'
+                                THEN mean END) AS ma1,
+                       MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                                THEN mean END) AS mb0,
+                       MAX(CASE WHEN arm = 'B' AND period = 'post'
+                                THEN mean END) AS mb1,
+                       MAX(CASE WHEN arm = 'A' AND period = 'pre'
+                                THEN vr / nd END) AS q_a0,
+                       MAX(CASE WHEN arm = 'A' AND period = 'post'
+                                THEN vr / nd END) AS q_a1,
+                       MAX(CASE WHEN arm = 'B' AND period = 'pre'
+                                THEN vr / nd END) AS q_b0,
+                       MAX(CASE WHEN arm = 'B' AND period = 'post'
+                                THEN vr / nd END) AS q_b1
+                FROM st
+            ), eff AS (
+                SELECT (mb1 - mb0) - (ma1 - ma0) AS did,
+                       sqrt(q_a0 + q_a1 + q_b0 + q_b1) AS se
+                FROM wide
+            )
+            SELECT arm, period, n_units,
+                   round(s / CAST(n_units AS DOUBLE), 6) + 0.0 AS mean_y,
+                   round(did, 6) + 0.0 AS did,
+                   round(se, 6) + 0.0 AS se,
+                   round(did / se, 6) + 0.0 AS t
+            FROM cell CROSS JOIN eff
+            ORDER BY arm ASC, period DESC
+        """,
+        "covariate_balance_customer": f"""
+            WITH sp AS (
+                SELECT o_custkey, count(*) AS n_orders,
+                       {_dsum('o_totalprice')} AS spend
+                FROM orders GROUP BY 1
+            ), u AS (
+                SELECT CASE WHEN substr(md5('{BAL_SEED}-'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       CAST(c_acctbal AS DOUBLE) AS acctbal,
+                       CAST(COALESCE(n_orders, 0) AS DOUBLE) AS n_orders,
+                       COALESCE(spend, 0.0) AS total_spend
+                FROM customer LEFT JOIN sp ON c_custkey = o_custkey
+            ), m AS (
+                SELECT arm, 'acctbal' AS covariate, acctbal AS v FROM u
+                UNION ALL
+                SELECT arm, 'n_orders', n_orders FROM u
+                UNION ALL
+                SELECT arm, 'total_spend', total_spend FROM u
+            ), per AS (
+                SELECT covariate, arm, count(*) AS n,
+                       CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(v * v AS DECIMAL(38,12)))
+                            AS DOUBLE) AS ss
+                FROM m GROUP BY 1, 2
+            ), wide AS (
+                SELECT covariate,
+                       MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                       MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                       MAX(CASE WHEN arm = 'A' THEN s END) AS sa,
+                       MAX(CASE WHEN arm = 'B' THEN s END) AS sb,
+                       MAX(CASE WHEN arm = 'A' THEN ss END) AS ssa,
+                       MAX(CASE WHEN arm = 'B' THEN ss END) AS ssb
+                FROM per GROUP BY 1
+            ), stats AS (
+                SELECT covariate, n_a, n_b,
+                       sa / CAST(n_a AS DOUBLE) AS ma,
+                       sb / CAST(n_b AS DOUBLE) AS mb,
+                       sqrt((((ssa - sa * sa / CAST(n_a AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE) - 1))
+                             + ((ssb - sb * sb / CAST(n_b AS DOUBLE))
+                                / (CAST(n_b AS DOUBLE) - 1))) / 2.0)
+                           AS pooled
+                FROM wide
+            )
+            SELECT covariate, n_a, n_b,
+                   round(ma, 6) + 0.0 AS mean_a,
+                   round(mb, 6) + 0.0 AS mean_b,
+                   round(CASE WHEN pooled > 0.0
+                              THEN (ma - mb) / pooled END, 6) + 0.0 AS smd,
+                   COALESCE(abs(CASE WHEN pooled > 0.0
+                                     THEN (ma - mb) / pooled END) >= 0.1,
+                            false) AS imbalanced
+            FROM stats ORDER BY covariate
+        """,
+        "fdr_bh_events": f"""
+            WITH first AS (
+                SELECT user_id, event_type,
+                       CASE WHEN substr(md5('{FDR_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM (SELECT user_id, event_type,
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                                 AS rn
+                      FROM events)
+                WHERE rn = 1
+            ), cells AS (
+                SELECT event_type,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+                FROM first GROUP BY 1
+            ), conv AS (
+                SELECT event_type, ca, cb,
+                       SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+                FROM cells
+            ), zz AS (
+                SELECT event_type,
+                       (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                       / sqrt((CAST(ca + cb AS DOUBLE)
+                               / CAST(na + nb AS DOUBLE)
+                               * (1.0 - CAST(ca + cb AS DOUBLE)
+                                        / CAST(na + nb AS DOUBLE)))
+                              * (1.0 / CAST(na AS DOUBLE)
+                                 + 1.0 / CAST(nb AS DOUBLE))) AS z
+                FROM conv
+            ), tests AS (
+                SELECT event_type,
+                       {{p_expr}} AS p
+                FROM zz
+            ), ranked AS (
+                SELECT event_type, p,
+                       row_number() OVER (ORDER BY p ASC, event_type ASC)
+                           AS rank,
+                       count(*) OVER () AS m
+                FROM tests
+            ), adj AS (
+                SELECT event_type, p, rank,
+                       MIN(least(1.0, CAST(m AS DOUBLE) * p
+                                      / CAST(rank AS DOUBLE)))
+                           OVER (ORDER BY rank DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS p_adj
+                FROM ranked
+            )
+            SELECT event_type, round(p, 6) + 0.0 AS p_value, rank,
+                   round(p_adj, 6) + 0.0 AS p_adj,
+                   p_adj <= {FDR_Q} AS rejected
+            FROM adj ORDER BY event_type
+        """.replace("{p_expr}", _two_sided_p_sql("z")),
     }

@@ -257,3 +257,226 @@ def ab_proportion_test(units: DataFrame, arm_col: str,
                          rate.alias("rate"),
                          r6(z).alias("z"), r6(srm_z).alias("srm_z"))
             .orderBy("arm"))
+
+
+def diff_in_diff(units: DataFrame, arm_col: str, period_col: str,
+                 y_col: str, pre_value: str = "pre",
+                 post_value: str = "post",
+                 round_digits: int = 6) -> DataFrame:
+    """Difference-in-differences estimator (the quasi-experimental
+    workhorse when assignment can't be randomized per-unit — geo
+    launches, staged rollouts): with arm means per period,
+
+        did = (mean_B_post − mean_B_pre) − (mean_A_post − mean_A_pre)
+
+    the treatment effect under the parallel-trends assumption, with a
+    standard error from the four independent cell variances
+
+        se = sqrt(Σ_cell s²_cell / n_cell)
+
+    (cells treated as independent samples — the two-period unpaired
+    design; a within-unit paired design would need per-unit deltas
+    instead, which callers can build and feed to
+    :func:`ab_proportion_test`-style readouts).
+
+    Input is ONE ROW PER UNIT-PERIOD ``(arm, period, y)``.  Exactly ONE
+    aggregate runs: 4 conditional DECIMAL(38,12) sums + sum-squares +
+    counts (order-free exact), and the estimate/SE are fixed-order
+    double arithmetic on those exact sums — engine-replayable.  Arms
+    are the two lexicographically-first values; more than two raise.
+
+    Returns one row per (arm, period) cell — ``(arm, period, n_units,
+    mean_y)`` plus the scalar ``did``, ``se`` and ``t`` repeated per
+    row for readout convenience, ordered by (arm, period DESC) so pre
+    precedes post alphabetically-stable.
+    """
+    y = F.col(y_col).cast("double")
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    per = (units.groupBy(F.col(arm_col).alias("arm"),
+                         F.col(period_col).alias("period"))
+           .agg(F.count(F.lit(1)).alias("n_units"),
+                dsum(y).alias("__s"), dsum(y * y).alias("__ss"))
+           .orderBy("arm", "period"))
+    rows = per.limit(5).collect()  # bounded: 2 arms x 2 periods
+    cells = {(r["arm"], r["period"]): r for r in rows}
+    arms = sorted({a for a, _ in cells})
+    if len(arms) != 2 or len(rows) != 4:
+        raise ValueError(
+            f"diff_in_diff needs exactly 2 arms x 2 periods, got "
+            f"{sorted(cells)}")
+    for k in [(a, p) for a in arms for p in (pre_value, post_value)]:
+        if k not in cells:
+            raise ValueError(f"diff_in_diff: missing cell {k}")
+
+    def stats(a: str, p: str) -> tuple[int, float, float]:
+        r = cells[(a, p)]
+        n, s, ss = r["n_units"], r["__s"], r["__ss"]
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1) if n > 1 else 0.0
+        return n, mean, var
+
+    na0, ma0, va0 = stats(arms[0], pre_value)
+    na1, ma1, va1 = stats(arms[0], post_value)
+    nb0, mb0, vb0 = stats(arms[1], pre_value)
+    nb1, mb1, vb1 = stats(arms[1], post_value)
+    did = (mb1 - mb0) - (ma1 - ma0)
+    se = math.sqrt(va0 / na0 + va1 / na1 + vb0 / nb0 + vb1 / nb1)
+    t = did / se if se > 0.0 else float("nan")
+    local = units.sparkSession.createDataFrame(
+        [(r["arm"], r["period"], r["n_units"], r["__s"]) for r in rows],
+        "arm string, period string, n_units bigint, __s double")
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    rl = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    return (local.select(
+        "arm", "period", "n_units",
+        r6(F.col("__s") / F.col("n_units").cast("double")).alias("mean_y"),
+        rl(did).alias("did"), rl(se).alias("se"), rl(t).alias("t"))
+        .orderBy("arm", F.col("period").desc()))
+
+
+def covariate_balance(units: DataFrame, arm_col: str,
+                      covariates: list[str],
+                      round_digits: int = 6) -> DataFrame:
+    """Pre-experiment covariate-balance audit: for each covariate, the
+    standardized mean difference between the two arms
+
+        smd = (mean_A − mean_B) / sqrt((s²_A + s²_B) / 2)
+
+    — the randomization health check run BEFORE the readout (|smd| ≥
+    0.1 is the conventional imbalance flag; a broken split shows up
+    here and in :func:`ab_proportion_test`'s srm_z).
+
+    The unit table is melted (one in-plan explode of a literal struct
+    array — map-side, no extra scan per covariate) and ONE aggregate
+    computes per-(covariate, arm) DECIMAL(38,12) moment sums; the smd
+    is fixed-order double arithmetic on exact sums.  Arms must be
+    exactly two (lexicographic); a zero pooled variance yields a NULL
+    smd (flagged imbalanced=false only when means also agree).
+
+    Returns one row per covariate: ``(covariate, n_a, n_b, mean_a,
+    mean_b, smd, imbalanced)`` ordered by covariate.
+    """
+    if not covariates:
+        raise ValueError("covariate_balance needs >= 1 covariate")
+    melted = units.select(
+        F.col(arm_col).alias("__arm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("covariate"),
+                     F.col(c).cast("double").alias("__v"))
+            for c in covariates])).alias("m")
+    ).select("__arm", "m.covariate", "m.__v")
+    dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    v = F.col("__v")
+    per = (melted.groupBy("covariate", "__arm")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                dsum(v).alias("__s"), dsum(v * v).alias("__ss")))
+    arms = [r["__arm"] for r in
+            per.select("__arm").distinct().orderBy("__arm").limit(3)
+            .collect()]
+    if len(arms) != 2:
+        raise ValueError(f"covariate_balance needs exactly 2 arms, "
+                         f"got {arms}")
+    a, b = arms
+    pick = lambda arm, col: F.max(F.when(F.col("__arm") == arm,  # noqa: E731
+                                         F.col(col)))
+    cells = (per.groupBy("covariate")
+             .agg(pick(a, "__n").alias("n_a"), pick(b, "__n").alias("n_b"),
+                  pick(a, "__s").alias("__sa"), pick(b, "__s").alias("__sb"),
+                  pick(a, "__ss").alias("__ssa"),
+                  pick(b, "__ss").alias("__ssb")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    var_a = (F.col("__ssa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    var_b = (F.col("__ssb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    pooled = F.sqrt((var_a + var_b) / F.lit(2.0))
+    smd = F.when(pooled > 0.0, (ma - mb) / pooled)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (cells.select(
+        "covariate", "n_a", "n_b",
+        r6(ma).alias("mean_a"), r6(mb).alias("mean_b"),
+        r6(smd).alias("smd"),
+        F.coalesce(F.abs(smd) >= 0.1, F.lit(False)).alias("imbalanced"))
+        .orderBy("covariate"))
+
+
+#: Zelen & Severo (A&S 26.2.17) Φ tail coefficients — fixed literals so
+#: the two-sided p is the SAME fixed-order double arithmetic in Spark
+#: and any SQL oracle (|approx error| < 7.5e-8, absorbed by round-6)
+_PHI_B = (0.319381530, -0.356563782, 1.781477937,
+          -1.821255978, 1.330274429)
+_PHI_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` via the Zelen &
+    Severo polynomial tail (Abramowitz & Stegun 26.2.17) — Horner
+    order fixed so Spark and a SQL oracle produce bit-identical
+    doubles (exp() is the only libm call; its sub-ulp variance is
+    absorbed by the callers' round-6 discipline)."""
+    az = F.abs(z.cast("double"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_PHI_T) * az)
+    b1, b2, b3, b4, b5 = (F.lit(b) for b in _PHI_B)
+    poly = t * (b1 + t * (b2 + t * (b3 + t * (b4 + t * b5))))
+    phi = F.exp(-(az * az) / F.lit(2.0)) * F.lit(_INV_SQRT_2PI)
+    return F.lit(2.0) * phi * poly
+
+
+def two_sided_p_sql(z_expr: str) -> str:
+    """The ANSI-SQL twin of :func:`two_sided_p` — textually the same
+    fixed-order arithmetic, for DuckDB oracles."""
+    b1, b2, b3, b4, b5 = _PHI_B
+    az = f"abs(CAST({z_expr} AS DOUBLE))"
+    t = f"(1.0 / (1.0 + {_PHI_T} * {az}))"
+    poly = (f"({t} * ({b1!r} + {t} * ({b2!r} + {t} * ({b3!r} + {t} "
+            f"* ({b4!r} + {t} * {b5!r})))))")
+    return (f"(2.0 * (exp(-({az} * {az}) / 2.0) * {_INV_SQRT_2PI!r}) "
+            f"* {poly})")
+
+
+def fdr_bh(tests: DataFrame, test_col: str, p_col: str,
+           q: float = 0.05, round_digits: int = 6) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control (Benjamini &
+    Hochberg 1995) over a table of per-test p-values — the multiple-
+    testing correction an experiment readout with many guardrail
+    metrics needs (at m tests, α=0.05 each expects m/20 false alarms).
+
+        p_adj_(i) = min_{j ≥ i} ( m · p_(j) / j ),  clamped to 1
+
+    with ranks ascending by p (ties broken by test name for
+    determinism); ``rejected`` = p_adj ≤ q.
+
+    The test table is tiny by construction (one row per metric), so
+    the rank + reverse-running-min windows run in one task — and ``m``
+    is computed IN-PLAN (an unbounded window count) rather than via
+    ``tests.count()``, so the upstream plan (often a full-scan
+    aggregate) executes exactly once.  Empty input yields an empty
+    result.
+
+    Returns ``(test, p_value, rank, p_adj, rejected)`` ordered by
+    test.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
+    w_all = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                             Window.unboundedFollowing)
+    ranked = tests.select(
+        F.col(test_col).alias("test"),
+        F.col(p_col).cast("double").alias("p_value"),
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("__m"))
+    step = F.least(F.lit(1.0),
+                   F.col("__m").cast("double") * F.col("p_value")
+                   / F.col("rank").cast("double"))
+    w_tail = (Window.orderBy(F.col("rank").desc())
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (ranked
+            .withColumn("__adj", F.min(step).over(w_tail))
+            .select("test", r6(F.col("p_value")).alias("p_value"), "rank",
+                    r6(F.col("__adj")).alias("p_adj"),
+                    (F.col("__adj") <= F.lit(float(q))).alias("rejected"))
+            .orderBy("test"))

@@ -907,3 +907,155 @@ def test_cohen_kappa_hand_values(spark):
     assert r["po"] == round(po, 6)
     assert r["pe"] == round(pe, 6)
     assert r["kappa"] == round((po - pe) / (1 - pe), 6) + 0.0
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff
+# ---------------------------------------------------------------------------
+
+def test_diff_in_diff_matches_closed_form(spark):
+    """The DiD estimate, SE and cell means equal the numpy closed form
+    on a panel with a known injected effect."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.experiment import diff_in_diff
+
+    # Arm A trend: pre 10 -> post 12; arm B: pre 20 -> post 25 (+3 did)
+    rows = []
+    for i in range(30):
+        noise = ((i * 7) % 5) - 2.0
+        rows += [("A", "pre", 10.0 + noise), ("A", "post", 12.0 + noise),
+                 ("B", "pre", 20.0 - noise), ("B", "post", 25.0 - noise)]
+    df = spark.createDataFrame(rows, "arm string, period string, y double")
+    out = diff_in_diff(df, "arm", "period", "y")
+    got = {(r["arm"], r["period"]): r for r in out.collect()}
+
+    cells = {}
+    for a in ("A", "B"):
+        for p in ("pre", "post"):
+            ys = np.array([y for (aa, pp, y) in rows if aa == a and pp == p])
+            cells[(a, p)] = (len(ys), ys.mean(), ys.var(ddof=1))
+    did = ((cells[("B", "post")][1] - cells[("B", "pre")][1])
+           - (cells[("A", "post")][1] - cells[("A", "pre")][1]))
+    se = math.sqrt(sum(v / n for (n, _, v) in cells.values()))
+    for (a, p), (n, mean, _) in cells.items():
+        r = got[(a, p)]
+        assert r["n_units"] == n
+        assert abs(r["mean_y"] - round(mean, 6)) < 1e-9
+        assert abs(r["did"] - round(did, 6)) < 1e-9
+        assert abs(r["se"] - round(se, 6)) < 1e-9
+        assert abs(r["t"] - round(did / se, 6)) < 1e-9
+    # ordering: (arm asc, period desc) -> pre rows before post per arm
+    names = [(r["arm"], r["period"]) for r in out.collect()]
+    assert names == [("A", "pre"), ("A", "post"), ("B", "pre"), ("B", "post")]
+
+
+def test_diff_in_diff_rejects_bad_shapes(spark):
+    from hazelcast_jet_spark.operators.experiment import diff_in_diff
+
+    three_arms = spark.createDataFrame(
+        [(a, p, 1.0) for a in "ABC" for p in ("pre", "post")],
+        "arm string, period string, y double")
+    with pytest.raises(ValueError, match="2 arms"):
+        diff_in_diff(three_arms, "arm", "period", "y")
+    missing_cell = spark.createDataFrame(
+        [("A", "pre", 1.0), ("A", "post", 2.0), ("B", "pre", 3.0)],
+        "arm string, period string, y double")
+    with pytest.raises(ValueError, match="2 arms x 2 periods"):
+        diff_in_diff(missing_cell, "arm", "period", "y")
+
+
+# ---------------------------------------------------------------------------
+# covariate_balance
+# ---------------------------------------------------------------------------
+
+def test_covariate_balance_matches_numpy_smd(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.experiment import covariate_balance
+
+    rows = [("A" if i % 2 == 0 else "B",
+             float(i % 11), float((i * 3) % 7) + (0.8 if i % 2 else 0.0))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "arm string, x1 double, x2 double")
+    out = {r["covariate"]: r for r in
+           covariate_balance(df, "arm", ["x1", "x2"]).collect()}
+    for ci, name in ((1, "x1"), (2, "x2")):
+        xa = np.array([r[ci] for r in rows if r[0] == "A"])
+        xb = np.array([r[ci] for r in rows if r[0] == "B"])
+        smd = (xa.mean() - xb.mean()) / math.sqrt(
+            (xa.var(ddof=1) + xb.var(ddof=1)) / 2.0)
+        r = out[name]
+        assert (r["n_a"], r["n_b"]) == (len(xa), len(xb))
+        assert abs(r["mean_a"] - round(xa.mean(), 6)) < 1e-9
+        assert abs(r["smd"] - round(smd, 6)) < 1e-9
+        assert r["imbalanced"] == (abs(smd) >= 0.1)
+
+
+def test_covariate_balance_zero_variance_gives_null_smd(spark):
+    from hazelcast_jet_spark.operators.experiment import covariate_balance
+
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", 5.0), ("B", 5.0), ("B", 5.0)],
+        "arm string, x double")
+    r = covariate_balance(df, "arm", ["x"]).collect()[0]
+    assert r["smd"] is None and r["imbalanced"] is False
+
+
+# ---------------------------------------------------------------------------
+# two_sided_p / fdr_bh
+# ---------------------------------------------------------------------------
+
+def test_two_sided_p_matches_scipy_like_reference(spark):
+    """The A&S 26.2.17 tail is within 1.5e-7 of the exact normal
+    two-sided p (erfc reference via math)."""
+    from hazelcast_jet_spark.operators.experiment import two_sided_p
+
+    zs = [0.0, 0.5, -0.5, 1.0, 1.96, -2.5, 3.3, 5.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r["z"]: r["p"] for r in
+           df.select("z", two_sided_p(F.col("z")).alias("p")).collect()}
+    for z in zs:
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 1.5e-7
+
+
+def test_two_sided_p_sql_twin_matches_spark(spark):
+    """DuckDB evaluating two_sided_p_sql agrees with the Spark Column
+    to within 1 ulp (exp() is the one libm call — JVM vs libm differ
+    sub-ulp, e.g. at z=0.7) and EXACTLY after the round-6 discipline
+    every gate query applies."""
+    import duckdb
+
+    from hazelcast_jet_spark.operators.experiment import (two_sided_p,
+                                                          two_sided_p_sql)
+
+    zs = [0.0, 0.7, -1.3, 2.1, -3.9]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    sp = [r["p"] for r in
+          df.select(two_sided_p(F.col("z")).alias("p")).collect()]
+    dk = [duckdb.sql(f"select {two_sided_p_sql(repr(z))} as p").fetchone()[0]
+          for z in zs]
+    for s, d in zip(sp, dk):
+        assert abs(s - d) <= math.ulp(max(abs(s), abs(d)))
+        assert round(s, 6) == round(d, 6)
+
+
+def test_fdr_bh_matches_hand_computation(spark):
+    from hazelcast_jet_spark.operators.experiment import fdr_bh
+
+    ps = {"t1": 0.001, "t2": 0.012, "t3": 0.021, "t4": 0.04, "t5": 0.9}
+    df = spark.createDataFrame(list(ps.items()), "test string, p double")
+    out = {r["test"]: r for r in fdr_bh(df, "test", "p", q=0.05).collect()}
+    m = len(ps)
+    ordered = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    step = [min(1.0, m * p / (i + 1)) for i, (_, p) in enumerate(ordered)]
+    adj = [min(step[i:]) for i in range(m)]
+    for i, (name, p) in enumerate(ordered):
+        r = out[name]
+        assert r["rank"] == i + 1
+        assert abs(r["p_adj"] - round(adj[i], 6)) < 1e-9
+        assert r["rejected"] == (adj[i] <= 0.05)
+    # t1..t4 survive BH at q=.05 (0.04*5/4=0.05), t5 does not
+    assert [out[t]["rejected"] for t in sorted(ps)] == [
+        True, True, True, True, False]

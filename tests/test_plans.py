@@ -883,3 +883,30 @@ def test_k_anonymity_single_pass_all_ks(spark, sf_dir):
     plan = _plan(entry_mod.k_anonymity_customer(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_did_orders_returns_local_relation(spark, sf_dir):
+    """diff_in_diff executes its 4-cell aggregate exactly once (at
+    build time, collected); the RETURNED plan is a local relation over
+    the collected cells — zero further scans of orders (the
+    ab_proportion_test execute-once discipline)."""
+    plan = _plan(entry_mod.did_orders(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_covariate_balance_scans_each_table_once(spark, sf_dir):
+    """covariate_balance melts covariates with ONE in-plan explode —
+    the covariate count multiplies rows map-side, never parquet scans
+    (one of customer + one of orders)."""
+    plan = _plan(entry_mod.covariate_balance_customer(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_fdr_bh_events_single_event_scan(spark, sf_dir):
+    """fdr_bh_events: the event log is scanned ONCE — arm totals are
+    window sums over the per-type cells and fdr_bh's m is an in-plan
+    window count, so neither adds a scan or a job."""
+    plan = _plan(entry_mod.fdr_bh_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -6076,6 +6076,69 @@ def fdr_bh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("test", "event_type")
 
 
+def nelson_aalen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative user-churn hazard
+    (timeseries.nelson_aalen) over the SAME censored subject table as
+    q:kaplan_meier_events — the additive twin of the KM curve,
+    preferred when hazards are compared or summed.  Unlike KM's
+    strictly-sequential product (which forced a recursive-CTE oracle),
+    the hazard sum accumulates in DECIMAL — order-free exact, so the
+    oracle is a plain windowed decimal SUM."""
+    from hazelcast_jet_spark.operators.timeseries import nelson_aalen
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"))
+    mx = span.agg(F.max("last_day").alias("__mx"))
+    subj = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("duration"),
+        (F.col("last_day") <= F.date_sub("__mx", KM_CENSOR_DAYS))
+        .alias("observed"))
+    return nelson_aalen(subj, "duration", "observed")
+
+
+def theilsen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume trend per event type
+    (timeseries.theil_sen_trend; Theil 1950, Sen 1968): the median of
+    pairwise slopes — the outlier-immune answer to "is this event type
+    growing?" that q:linear_trend_agg's OLS gets wrong under one bad
+    day (29% breakdown vs 0).  One daily rollup (the only event scan),
+    then the calendar-bounded pair join; medians are SELECTION (lower
+    median by rank), so every double is engine-exact."""
+    from hazelcast_jet_spark.operators.timeseries import theil_sen_trend
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(
+        F.col("event_type").alias("key"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return theil_sen_trend(daily, "key", "day", "n")
+
+
+LEAD_LAG_X = "view"
+LEAD_LAG_Y = "purchase"
+LEAD_LAG_MAX = 6
+
+
+def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag discovery (timeseries.lead_lag_corr): Pearson
+    cross-correlation between hourly 'view' and 'purchase' volumes at
+    lags −6..+6 h on the complete zero-filled hour grid — "does
+    browsing volume move before buying volume, and by how much?", the
+    causal-direction screen run before any funnel attribution.  One
+    event-scan rollup; the lag explode multiplies only the bounded
+    hour grid; moments are DECIMAL-exact integer products."""
+    from hazelcast_jet_spark.operators.timeseries import lead_lag_corr
+
+    e = _t(spark, sf_dir, "events")
+    return lead_lag_corr(e, "ts",
+                         F.col("event_type") == LEAD_LAG_X,
+                         F.col("event_type") == LEAD_LAG_Y,
+                         bucket_seconds=3600, max_lag=LEAD_LAG_MAX)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6089,6 +6152,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "did_orders",
     "covariate_balance_customer",
     "fdr_bh_events",
+    "nelson_aalen_events",
+    "theilsen_trend_events",
+    "lead_lag_events",
 )
 
 
@@ -6420,6 +6486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_orders": did_orders,
         "covariate_balance_customer": covariate_balance_customer,
         "fdr_bh_events": fdr_bh_events,
+        "nelson_aalen_events": nelson_aalen_events,
+        "theilsen_trend_events": theilsen_trend_events,
+        "lead_lag_events": lead_lag_events,
     }
 
 
@@ -14228,4 +14297,135 @@ def oracle_sql() -> dict[str, str]:
                    p_adj <= {FDR_Q} AS rejected
             FROM adj ORDER BY event_type
         """.replace("{p_expr}", _two_sided_p_sql("z")),
+        "nelson_aalen_events": f"""
+            WITH span AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                       CAST(max(ts) AS DATE) AS l
+                FROM events GROUP BY 1
+            ), mx AS (
+                SELECT max(l) AS m FROM span
+            ), subj AS (
+                SELECT datediff('day', f, l) AS duration,
+                       (l <= m - {KM_CENSOR_DAYS}) AS obs
+                FROM span, mx
+            ), g AS (
+                SELECT duration,
+                       CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_events,
+                       count(*) AS c
+                FROM subj GROUP BY 1
+            ), ser AS (
+                SELECT duration, n_events, c,
+                       SUM(c) OVER (ORDER BY duration
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n_risk
+                FROM g
+            )
+            SELECT duration, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                   CAST(c - n_events AS BIGINT) AS n_censored,
+                   round(CAST(SUM(CAST(
+                       CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       AS DECIMAL(38,12))) OVER (ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE), 6) + 0.0
+                       AS cum_hazard
+            FROM ser ORDER BY duration
+        """,
+        "theilsen_trend_events": """
+            WITH daily AS (
+                SELECT event_type AS key,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS DOUBLE) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a.key, (b.y - a.y) / (b.x - a.x) AS s
+                FROM daily a JOIN daily b
+                  ON a.key = b.key AND b.x > a.x
+            ), ps AS (
+                SELECT key, s,
+                       row_number() OVER (PARTITION BY key ORDER BY s)
+                           AS rn,
+                       count(*) OVER (PARTITION BY key) AS np
+                FROM pairs
+            ), slope AS (
+                SELECT key, np AS n_pairs, s AS slope
+                FROM ps WHERE rn = CAST(ceil(CAST(np AS DOUBLE) / 2)
+                                        AS BIGINT)
+            ), ds AS (
+                SELECT key, x, y,
+                       row_number() OVER (PARTITION BY key ORDER BY x)
+                           AS rx,
+                       row_number() OVER (PARTITION BY key ORDER BY y)
+                           AS ry,
+                       count(*) OVER (PARTITION BY key) AS n
+                FROM daily
+            ), meds AS (
+                SELECT key, MAX(n) AS n_points,
+                       MAX(CASE WHEN rx = CAST(ceil(CAST(n AS DOUBLE) / 2)
+                                           AS BIGINT)
+                                THEN x END) AS mx,
+                       MAX(CASE WHEN ry = CAST(ceil(CAST(n AS DOUBLE) / 2)
+                                           AS BIGINT)
+                                THEN y END) AS my
+                FROM ds GROUP BY key
+            )
+            SELECT s.key, CAST(m.n_points AS BIGINT) AS n_points,
+                   CAST(s.n_pairs AS BIGINT) AS n_pairs,
+                   round(s.slope, 6) + 0.0 AS slope,
+                   round(m.my - s.slope * m.mx, 6) + 0.0 AS intercept
+            FROM slope s JOIN meds m ON s.key = m.key
+            ORDER BY s.key
+        """,
+        "lead_lag_events": f"""
+            WITH per AS (
+                SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)
+                           AS h,
+                       SUM(CASE WHEN event_type = '{LEAD_LAG_X}'
+                                THEN 1 ELSE 0 END) AS x,
+                       SUM(CASE WHEN event_type = '{LEAD_LAG_Y}'
+                                THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1
+            ), ends AS (
+                SELECT min(h) AS lo, max(h) AS hi FROM per
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+                           AS h
+                FROM ends
+            ), full_g AS (
+                SELECT g.h,
+                       CAST(COALESCE(p.x, 0) AS DOUBLE) AS x,
+                       CAST(COALESCE(p.y, 0) AS DOUBLE) AS y
+                FROM grid g LEFT JOIN per p ON g.h = p.h
+            ), lagged AS (
+                SELECT CAST(l AS BIGINT) AS lag, a.x, b.y
+                FROM full_g a
+                CROSS JOIN (SELECT unnest(generate_series(
+                    -{LEAD_LAG_MAX}, {LEAD_LAG_MAX})) AS l)
+                JOIN full_g b ON a.h + l = b.h
+            ), m AS (
+                SELECT lag, count(*) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sx,
+                       CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sy,
+                       CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sxy,
+                       CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sxx,
+                       CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE)
+                           AS syy
+                FROM lagged GROUP BY 1
+            )
+            SELECT lag, n,
+                   round(CASE WHEN
+                           CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                           AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
+                         THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                     * (CAST(n AS DOUBLE) * syy
+                                        - sy * sy))
+                         END, 6) + 0.0 AS corr
+            FROM m ORDER BY lag
+        """,
     }

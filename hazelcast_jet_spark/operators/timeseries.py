@@ -1694,3 +1694,188 @@ def position_attribution(events: DataFrame, user_col: str = "user_id",
                  .alias("credit"),
                  F.count(F.lit(1)).alias("n_touches"))
             .orderBy("channel"))
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, observed_col: str,
+                 group_cols: list[str] | None = None,
+                 round_digits: int = 6) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) over the same right-censored subject table as
+    :func:`kaplan_meier`:
+
+        H(t) = Σ_{t_i <= t}  d_i / n_i
+
+    — the additive twin of the KM product (S ≈ exp(−H)); preferred when
+    hazards are compared or summed across groups because increments are
+    linear.
+
+    Scale shape mirrors kaplan_meier: one (group, duration) collapse,
+    then window arithmetic on the tiny curve table.  The running sum
+    uses DECIMAL(38,12) accumulation of the per-row double increments —
+    order-free EXACT, so the oracle needs no recursive CTE (the KM
+    lesson: engine window aggregates combine doubles in different
+    orders; decimal addition is immune).  Scale 12 keeps the scaled
+    magnitude far under 2^53 (H is O(log n)), avoiding the
+    DECIMAL→DOUBLE double-rounding ulp trap.
+
+    Returns ``(group_cols..., duration, n_risk, n_events, n_censored,
+    cum_hazard)`` ordered by (group, duration).
+    """
+    gcols = list(group_cols or [])
+    curve = df.groupBy(*gcols, duration_col).agg(
+        F.sum(F.col(observed_col).cast("bigint")).alias("n_events"),
+        F.count(F.lit(1)).alias("__n"))
+    wpart = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_risk = (wpart.orderBy(duration_col)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_sum = (wpart.orderBy(duration_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    inc = (F.col("n_events").cast("double")
+           / F.col("n_risk").cast("double")).cast("decimal(38,12)")
+    return (curve
+            .withColumn("n_risk", F.sum("__n").over(w_risk))
+            .withColumn("n_censored", F.col("__n") - F.col("n_events"))
+            .withColumn("cum_hazard",
+                        F.round(F.sum(inc).over(w_sum).cast("double"),
+                                round_digits) + F.lit(0.0))
+            .select(*gcols, duration_col, "n_risk", "n_events",
+                    "n_censored", "cum_hazard")
+            .orderBy(*gcols, duration_col))
+
+
+def theil_sen_trend(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                    round_digits: int = 6) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950, Sen 1968) per key:
+    the median of all pairwise slopes
+
+        slope = median over i<j of  (y_j − y_i) / (x_j − x_i)
+
+    with ``intercept = median(y) − slope · median(x)`` — outlier-robust
+    where OLS (aggregates.linear_trend) is not (breakdown point 29%).
+
+    Medians are the LOWER median (the value at rank ⌈n/2⌉ of the sorted
+    multiset) — pure SELECTION, no interpolation arithmetic, so any
+    engine picks the bit-identical value (interpolated percentile
+    formulas differ in FP evaluation order across engines).
+
+    Scale shape: input must already be ONE ROW PER (key, x) — a bounded
+    series per key (daily/hourly rollups: x is a grid index, so rows
+    per key are calendar-bounded).  The pair table is an equi-join on
+    the key with x_j > x_i: O(points²) per key map-side, never a
+    corpus shuffle — at a daily grain that is ~66k pairs per key-year;
+    resample to a coarser grid before calling this beyond ~10⁴ points
+    per key.  Keys with fewer than 2 points are dropped (no pair, no
+    slope).
+
+    Returns ``(key, n_points, n_pairs, slope, intercept)`` ordered by
+    key.
+    """
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(x_col).cast("double").alias("__x"),
+                     F.col(y_col).cast("double").alias("__y"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (a.join(b, (F.col("a.key") == F.col("b.key"))
+                    & (F.col("b.__x") > F.col("a.__x")))
+             .select(F.col("a.key").alias("key"),
+                     ((F.col("b.__y") - F.col("a.__y"))
+                      / (F.col("b.__x") - F.col("a.__x"))).alias("__s")))
+    w_s = Window.partitionBy("key").orderBy("__s")
+    w_n = (Window.partitionBy("key")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    slope = (pairs
+             .withColumn("__rn", F.row_number().over(w_s))
+             .withColumn("__np", F.count(F.lit(1)).over(w_n))
+             .filter(F.col("__rn") == F.ceil(F.col("__np") / F.lit(2)))
+             .select("key", F.col("__np").alias("n_pairs"),
+                     F.col("__s").alias("slope")))
+    w_x = Window.partitionBy("key").orderBy("__x")
+    w_y = Window.partitionBy("key").orderBy("__y")
+    meds = (base
+            .withColumn("__rx", F.row_number().over(w_x))
+            .withColumn("__ry", F.row_number().over(w_y))
+            .withColumn("__n", F.count(F.lit(1)).over(w_n))
+            .groupBy("key")
+            .agg(F.max("__n").alias("n_points"),
+                 F.max(F.when(F.col("__rx")
+                              == F.ceil(F.col("__n") / F.lit(2)),
+                              F.col("__x"))).alias("__mx"),
+                 F.max(F.when(F.col("__ry")
+                              == F.ceil(F.col("__n") / F.lit(2)),
+                              F.col("__y"))).alias("__my")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (slope.join(meds, "key")
+            .select("key", "n_points", "n_pairs",
+                    r6(F.col("slope")).alias("slope"),
+                    r6(F.col("__my") - F.col("slope") * F.col("__mx"))
+                    .alias("intercept"))
+            .orderBy("key"))
+
+
+def lead_lag_corr(df: DataFrame, time_col: str, flag_x: Column,
+                  flag_y: Column, bucket_seconds: int = 3600,
+                  max_lag: int = 6,
+                  round_digits: int = 6) -> DataFrame:
+    """Lead-lag cross-correlation between two event streams: Pearson
+    corr between the bucketed count series x(t) and y(t + lag) for
+    every lag in [−max_lag, max_lag] — "does x move BEFORE y?"; the
+    arg-max lag estimates the delay (positive lag ⇒ x leads y).
+
+    Both series are materialized on the COMPLETE bucket grid
+    (sequence(min, max), zero-filled) so missing buckets count as 0
+    instead of silently shrinking the overlap; at each lag the overlap
+    is the grid minus |lag| buckets.  Pearson runs on DECIMAL-exact
+    moment sums (counts are integers, so products are exact), fixed-
+    order double arithmetic after.
+
+    Scale shape: one bucket rollup of the event scan (the only
+    full-data pass), then grid + lag arithmetic on the bounded bucket
+    table (buckets are calendar-bounded; the lag explode multiplies
+    the GRID, not the events).
+
+    Returns ``(lag, n, corr)`` for the 2·max_lag+1 lags ordered by
+    lag; ``corr`` is NULL when either side is constant on the overlap.
+    """
+    hr = F.floor(_epoch_seconds(df, time_col)
+                 / F.lit(float(bucket_seconds)))
+    # the bucket rollup is calendar-bounded (tiny); checkpoint it so the
+    # ends/grid/x-side/y-side reuses never re-scan the event log (the
+    # waterfill_allocation convention)
+    per = (df.select(hr.alias("__h"),
+                     flag_x.cast("bigint").alias("__fx"),
+                     flag_y.cast("bigint").alias("__fy"))
+           .groupBy("__h")
+           .agg(F.sum("__fx").alias("__x"), F.sum("__fy").alias("__y"))
+           .localCheckpoint(eager=True))
+    ends = per.agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+    grid = (ends.select(F.explode(F.sequence("__lo", "__hi"))
+                        .alias("__h")))
+    full = (grid.join(per, "__h", "left")
+            .select("__h",
+                    F.coalesce("__x", F.lit(0)).alias("__x"),
+                    F.coalesce("__y", F.lit(0)).alias("__y")))
+    # y at bucket h+lag joins x at bucket h (hash join on the computed
+    # bucket key; the lag explode multiplies the bounded grid only)
+    lags = F.explode(F.sequence(F.lit(-max_lag).cast("bigint"),
+                                F.lit(max_lag).cast("bigint")))
+    xs = full.select("__h", "__x", lags.alias("lag"))
+    ys = full.select(F.col("__h").alias("__hy"), "__y")
+    joined = (xs.join(ys, xs["__h"] + xs["lag"] == ys["__hy"])
+              .select("lag", "__x", "__y"))
+    d = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    x, y = F.col("__x").cast("double"), F.col("__y").cast("double")
+    m = (joined.groupBy("lag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              d(x).alias("__sx"), d(y).alias("__sy"),
+              d(x * y).alias("__sxy"),
+              d(x * x).alias("__sxx"), d(y * y).alias("__syy")))
+    n = F.col("n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when((vx > 0.0) & (vy > 0.0),
+                  cov / F.sqrt(vx * vy))
+    return (m.select("lag", "n",
+                     (F.round(corr, round_digits) + F.lit(0.0))
+                     .alias("corr"))
+            .orderBy("lag"))

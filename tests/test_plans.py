@@ -910,3 +910,35 @@ def test_fdr_bh_events_single_event_scan(spark, sf_dir):
     window count, so neither adds a scan or a job."""
     plan = _plan(entry_mod.fdr_bh_events(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_nelson_aalen_window_after_rollup(spark, sf_dir):
+    """nelson_aalen gate: the corpus collapses to the per-user span
+    rollup, the horizon is a 1-row broadcast (the kaplan_meier shape),
+    and the hazard windows run on the tiny duration curve."""
+    plan = _plan(entry_mod.nelson_aalen_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row horizon
+    assert "Window" in plan
+
+
+def test_theilsen_pairs_join_after_daily_rollup(spark, sf_dir):
+    """theil_sen gate: ONE event scan feeds the daily rollup; the
+    O(days^2) pair join runs on the calendar-bounded daily table (the
+    rollup subtree may appear on both join sides, but each side is the
+    tiny aggregate, never a second corpus pass at row volume)."""
+    plan = _plan(entry_mod.theilsen_trend_events(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the pair join is an equi-join on the key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
+def test_lead_lag_single_event_scan(spark, sf_dir):
+    """lead_lag gate: the bucket rollup (the ONLY event-log pass) is
+    checkpointed, so the returned plan's ends/grid/x/y reuses read the
+    bounded bucket table — zero parquet scans downstream."""
+    plan = _plan(entry_mod.lead_lag_events(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "CartesianProduct" not in plan

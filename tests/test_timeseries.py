@@ -778,3 +778,119 @@ def test_cusum_alarms_detects_persistent_shift(spark):
     assert not out[t0 + dt.timedelta(days=9)]["alarm"]
     assert out[t0 + dt.timedelta(days=19)]["cusum"] == 10.0
     assert out[t0 + dt.timedelta(days=15)]["alarm"]      # crossed 5 by day 16
+
+
+# ---------------------------------------------------------------------------
+# nelson_aalen
+# ---------------------------------------------------------------------------
+
+def test_nelson_aalen_textbook_example(spark):
+    """H(t) accumulates d_i/n_i only at observed-event times; censored
+    subjects reduce at-risk without increments (hand-computed)."""
+    from hazelcast_jet_spark.operators.timeseries import nelson_aalen
+
+    # durations: 1(event), 2(censored), 3(event), 3(event), 4(censored)
+    rows = [(1, True), (2, False), (3, True), (3, True), (4, False)]
+    df = spark.createDataFrame(rows, "duration int, observed boolean")
+    out = {r["duration"]: r for r in
+           nelson_aalen(df, "duration", "observed").collect()}
+    # t=1: n=5, d=1 -> 1/5 = .2 ; t=2: censored only, H unchanged
+    # t=3: n=3, d=2 -> +2/3 ; t=4: censored only
+    assert out[1]["n_risk"] == 5 and out[1]["cum_hazard"] == 0.2
+    assert out[2]["n_events"] == 0 and out[2]["cum_hazard"] == 0.2
+    assert out[3]["n_risk"] == 3
+    assert abs(out[3]["cum_hazard"] - round(0.2 + 2.0 / 3.0, 6)) < 1e-9
+    assert out[4]["cum_hazard"] == out[3]["cum_hazard"]
+    assert out[4]["n_censored"] == 1
+
+
+def test_nelson_aalen_grouped(spark):
+    from hazelcast_jet_spark.operators.timeseries import nelson_aalen
+
+    rows = [("a", 1, True), ("a", 2, True), ("b", 1, True)]
+    df = spark.createDataFrame(rows, "g string, duration int, observed boolean")
+    out = {(r["g"], r["duration"]): r["cum_hazard"] for r in
+           nelson_aalen(df, "duration", "observed", ["g"]).collect()}
+    assert out[("a", 1)] == 0.5 and out[("a", 2)] == 1.5
+    assert out[("b", 1)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_matches_numpy_pairwise_median(spark):
+    """Slope equals the lower median of all pairwise slopes; an
+    injected outlier barely moves it (robustness), unlike OLS."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import theil_sen_trend
+
+    xs = list(range(13))
+    ys = [2.0 * x + 1.0 + (100.0 if x == 6 else 0.0) for x in xs]
+    df = spark.createDataFrame([("k", float(x), y) for x, y in zip(xs, ys)],
+                               "key string, x double, y double")
+    r = theil_sen_trend(df, "key", "x", "y").collect()[0]
+    slopes = sorted((ys[j] - ys[i]) / (xs[j] - xs[i])
+                    for i in range(len(xs)) for j in range(i + 1, len(xs)))
+    lower_median = slopes[(len(slopes) + 1) // 2 - 1]
+    assert r["n_points"] == 13
+    assert r["n_pairs"] == 13 * 12 // 2
+    assert abs(r["slope"] - round(lower_median, 6)) < 1e-9
+    assert abs(r["slope"] - 2.0) < 0.2          # outlier-robust
+    mx = sorted(xs)[(len(xs) + 1) // 2 - 1]
+    my = sorted(ys)[(len(ys) + 1) // 2 - 1]
+    assert abs(r["intercept"] - round(my - lower_median * mx, 6)) < 1e-9
+
+
+def test_theil_sen_drops_singleton_keys(spark):
+    from hazelcast_jet_spark.operators.timeseries import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 1.0, 3.0), ("solo", 5.0, 5.0)],
+        "key string, x double, y double")
+    out = theil_sen_trend(df, "key", "x", "y").collect()
+    assert [r["key"] for r in out] == ["a"]
+    assert out[0]["slope"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# lead_lag_corr
+# ---------------------------------------------------------------------------
+
+def test_lead_lag_recovers_known_shift(spark):
+    """y is x shifted by +2 buckets -> corr peaks (exactly 1.0) at
+    lag=+2, with the overlap shrinking by |lag|."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import lead_lag_corr
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    xcounts = [(h * 7) % 5 + 1 for h in range(24)]
+    for h, c in enumerate(xcounts):
+        for i in range(c):
+            rows.append((base + dt.timedelta(hours=h, seconds=i), "x"))
+        if 0 <= h + 2 < 24:
+            for i in range(c):
+                rows.append((base + dt.timedelta(hours=h + 2, seconds=30 + i),
+                             "y"))
+    df = spark.createDataFrame(rows, "ts timestamp, kind string")
+    out = {r["lag"]: r for r in
+           lead_lag_corr(df, "ts", F.col("kind") == "x",
+                         F.col("kind") == "y", 3600, 3).collect()}
+    assert len(out) == 7
+    assert out[2]["corr"] == 1.0                      # x leads y by 2
+    assert out[2]["n"] == 22                          # 24-grid minus |2|
+    assert out[0]["n"] == 24
+    best = max(out.values(), key=lambda r: (r["corr"] is not None
+                                            and r["corr"]))
+    assert best["lag"] == 2
+    # numpy cross-check at lag 0 on the zero-filled grid
+    x = np.array(xcounts, dtype=float)
+    y = np.zeros(24)
+    for h, c in enumerate(xcounts):
+        if 0 <= h + 2 < 24:
+            y[h + 2] = c
+    expected = np.corrcoef(x, y)[0, 1]
+    assert abs(out[0]["corr"] - round(expected, 6)) < 1e-6

@@ -6139,6 +6139,64 @@ def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          bucket_seconds=3600, max_lag=LEAD_LAG_MAX)
 
 
+DP_EPS = 0.5
+DP_SEED = "dp9"
+
+
+def dp_noisy_counts_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private per-nation customer counts
+    (profile.dp_noisy_counts; Dwork et al. 2006, ε=0.5) — the
+    release-side governance twin of q:k_anonymity_customer: instead of
+    suppressing small groups, every count carries seeded Laplace(1/ε)
+    noise calibrated to sensitivity 1.  Seeded noise (md5 inverse-CDF)
+    is what makes the release testable/replayable here; the operator
+    docstring spells out that production releases rotate a secret
+    seed.  One map-side aggregate + row-local noise arithmetic."""
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    c = _t(spark, sf_dir, "customer")
+    return dp_noisy_counts(c, ["c_nationkey"], DP_EPS, seed=DP_SEED)
+
+
+def automation_screen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation shortlist (timeseries.automation_screen): the 20
+    users most suspicious by events-per-active-minute, with the
+    inter-arrival regularity statistic (gap cv ≈ 0 = timer-driven,
+    ≈ 1 = human/Poisson) — the traffic-cleaning screen run before any
+    engagement metric is trusted.  Threshold-free (ranked shortlist);
+    one per-user lag window + one exact-moment aggregate; top-k is
+    TakeOrdered."""
+    from hazelcast_jet_spark.operators.timeseries import automation_screen
+
+    e = _t(spark, sf_dir, "events")
+    return automation_screen(e, "user_id", "ts", top_k=20)
+
+
+ZORDER_FILES = 64
+
+
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout planner (bucketing.layout_locality_audit;
+    Morton 1966): simulate writing orders as 64 files sorted by
+    customer, by date, or Z-ORDERED on (customer, date), and report
+    per-file min/max span fractions per dimension — x-sort prunes
+    customer predicates but scans everything for date ranges; Z-order
+    lands ~1/sqrt(files) on BOTH, the evidence needed before paying
+    for a 100 TB OPTIMIZE ZORDER rewrite.  Rank-quantization (ntile
+    with an o_orderkey tiebreak) keeps engines bit-agreed; the audit
+    windows run on a 2-int projection (sample beyond ~10^7 rows — the
+    rewrite itself uses repartitionByRange, which scales)."""
+    from hazelcast_jet_spark.operators.bucketing import layout_locality_audit
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"),
+                     F.lit("1970-01-01").cast("date"))
+    base = o.select(F.col("o_custkey").alias("cust"), day.alias("day"),
+                    F.col("o_orderkey").alias("okey"))
+    return layout_locality_audit(base, "cust", "day", "okey",
+                                 n_files=ZORDER_FILES)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6155,6 +6213,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "nelson_aalen_events",
     "theilsen_trend_events",
     "lead_lag_events",
+    "dp_noisy_counts_customer",
+    "automation_screen_events",
+    "zorder_layout_orders",
 )
 
 
@@ -6489,6 +6550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_events": nelson_aalen_events,
         "theilsen_trend_events": theilsen_trend_events,
         "lead_lag_events": lead_lag_events,
+        "dp_noisy_counts_customer": dp_noisy_counts_customer,
+        "automation_screen_events": automation_screen_events,
+        "zorder_layout_orders": zorder_layout_orders,
     }
 
 
@@ -6587,6 +6651,16 @@ def _split_hex(cum: float) -> str:
 def _dsum(x: str) -> str:
     """SQL twin of dsum(): exact decimal accumulation emitted as double."""
     return f"CAST(SUM(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """SQL twin of bucketing.zorder_key: bit i of x at position 2i+1,
+    bit i of y at 2i — explicit shift/mask terms, engine-exact."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i + 1)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i)})")
+    return "(" + " + ".join(terms) + ")"
 
 
 from hazelcast_jet_spark.operators.experiment import (  # noqa: E402
@@ -14427,5 +14501,101 @@ def oracle_sql() -> dict[str, str]:
                                         - sy * sy))
                          END, 6) + 0.0 AS corr
             FROM m ORDER BY lag
+        """,
+        "dp_noisy_counts_customer": f"""
+            WITH per AS (
+                SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+            ), noise AS (
+                SELECT c_nationkey, n,
+                       (CAST(CAST('0x' || substr(md5('{DP_SEED}-'
+                            || CAST(c_nationkey AS VARCHAR)), 1, 12)
+                            AS UBIGINT) AS BIGINT) + 0.5)
+                           / {float(1 << 48)!r} - 0.5 AS c
+                FROM per
+            )
+            SELECT c_nationkey,
+                   round(CAST(n AS DOUBLE)
+                         + ({-1.0 / DP_EPS!r} * sign(c))
+                           * ln(1.0 - 2.0 * abs(c)), 6) + 0.0
+                       AS noisy_count
+            FROM noise ORDER BY c_nationkey
+        """,
+        "automation_screen_events": """
+            WITH g AS (
+                SELECT user_id AS key,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT))
+                           AS gap
+                FROM events
+            ), per AS (
+                SELECT key, count(*) AS n_events,
+                       max(ep) - min(ep) AS span_s,
+                       count(gap) AS m,
+                       CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)
+                           AS s,
+                       CAST(SUM(CAST(gap * gap AS DECIMAL(38,0)))
+                            AS DOUBLE) AS ss
+                FROM g GROUP BY 1
+                HAVING count(*) >= 5 AND max(ep) - min(ep) > 0
+            )
+            SELECT key, n_events, CAST(span_s AS BIGINT) AS span_s,
+                   round(CAST(n_events AS DOUBLE)
+                         / (CAST(span_s AS DOUBLE) / 60.0), 6) + 0.0
+                       AS events_per_min,
+                   round(CASE WHEN s > 0.0
+                         THEN sqrt(CAST(m AS DOUBLE) * ss - s * s) / s
+                         END, 6) + 0.0 AS gap_cv
+            FROM per
+            ORDER BY events_per_min DESC, key
+            LIMIT 20
+        """,
+        "zorder_layout_orders": f"""
+            WITH q AS (
+                SELECT CAST(ntile(256) OVER (ORDER BY o_custkey,
+                                             o_orderkey) - 1
+                            AS BIGINT) AS qx,
+                       CAST(ntile(256) OVER (
+                            ORDER BY datediff('day', DATE '1970-01-01',
+                                              CAST(o_orderdate AS DATE)),
+                                     o_orderkey) - 1
+                            AS BIGINT) AS qy
+                FROM orders
+            ), layouts AS (
+                SELECT qx, qy, 'x_sorted' AS layout,
+                       qx * {1 << 32} AS k FROM q
+                UNION ALL
+                SELECT qx, qy, 'y_sorted', qy * {1 << 32} FROM q
+                UNION ALL
+                SELECT qx, qy, 'zorder',
+                       {_morton_sql('qx', 'qy')} FROM q
+            ), files AS (
+                SELECT layout,
+                       ntile({ZORDER_FILES}) OVER (
+                           PARTITION BY layout
+                           ORDER BY k, qx, qy) AS f,
+                       qx, qy
+                FROM layouts
+            ), spans AS (
+                SELECT layout, f,
+                       CAST(max(qx) - min(qx) + 1 AS DOUBLE) / 256.0
+                           AS span_x,
+                       CAST(max(qy) - min(qy) + 1 AS DOUBLE) / 256.0
+                           AS span_y
+                FROM files GROUP BY 1, 2
+            ), per_dim AS (
+                SELECT layout, 'x' AS dim, span_x AS span FROM spans
+                UNION ALL
+                SELECT layout, 'y', span_y FROM spans
+            )
+            SELECT layout, dim,
+                   round(CAST(SUM(CAST(span AS DECIMAL(38,12)))
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0
+                       AS mean_span,
+                   round(max(span), 6) + 0.0 AS max_span
+            FROM per_dim GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

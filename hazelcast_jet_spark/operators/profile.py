@@ -1878,3 +1878,53 @@ def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
                  .alias("weak_share"))
         for l in ls]))
     return (one.select(rows.alias("o")).select("o.*").orderBy("l"))
+
+
+#: 16^12 — the md5 12-hex-digit uniform space (matches operators/sampling)
+_DP_SPACE = float(1 << 48)
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
+                    seed: str = "dp0", round_digits: int = 6) -> DataFrame:
+    """ε-differentially-private count release (Dwork et al. 2006): per
+    group, ``count + Laplace(1/ε)`` — counting queries have sensitivity
+    1, so Laplace noise with scale 1/ε gives ε-DP.  The governance twin
+    of :func:`k_anonymity`: instead of suppressing small groups, every
+    released count is perturbed just enough that one individual's
+    presence is statistically deniable.
+
+    The noise is DETERMINISTIC-BY-SEED: the per-group uniform is the
+    12-hex-digit md5 prefix of ``seed || group key`` (the
+    operators/sampling convention), centered to (0,1) with a half-step
+    offset so the inverse-CDF
+
+        noise = −(1/ε) · sign(u − ½) · ln(1 − 2·|u − ½|)
+
+    never sees ln(0).  Seeded noise makes reruns, retries and SQL
+    oracles replay the identical release — essential for testing the
+    pipeline; a PRODUCTION release must draw fresh physical randomness
+    instead (a replayable seed leaks the noise to anyone who knows it),
+    which callers do by passing a secret, rotated seed.
+
+    ONE aggregate (map-side partial), then row-local noise arithmetic
+    on the tiny group table — ln()'s sub-ulp libm variance is absorbed
+    by round-6.
+
+    Returns ``(group_cols..., noisy_count)`` ordered by the group
+    columns — the TRUE count never leaves the operator.
+    """
+    if epsilon <= 0.0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "-"), key)), 1, 12),
+               16, 10).cast("bigint").cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_DP_SPACE)
+    centered = u - F.lit(0.5)
+    noise = (F.lit(-1.0 / epsilon) * F.signum(centered)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)))
+    return (per.select(
+        *group_cols,
+        (F.round(F.col("__n").cast("double") + noise, round_digits)
+         + F.lit(0.0)).alias("noisy_count"))
+        .orderBy(*group_cols))

@@ -1879,3 +1879,55 @@ def lead_lag_corr(df: DataFrame, time_col: str, flag_x: Column,
                      (F.round(corr, round_digits) + F.lit(0.0))
                      .alias("corr"))
             .orderBy("lag"))
+
+
+def automation_screen(df: DataFrame, key_col: str = "user_id",
+                      time_col: str = "ts", top_k: int = 20,
+                      min_events: int = 5,
+                      round_digits: int = 6) -> DataFrame:
+    """Automation/bot screen: the ``top_k`` keys most suspicious by
+    event rate, with the regularity statistic that separates scripted
+    traffic from humans — high events-per-active-minute AND a low
+    coefficient of variation of inter-arrival gaps (machines fire on
+    timers; humans are bursty, cv ≈ 1 for Poisson arrivals).
+
+    Threshold-free by design: absolute rate cut-offs are corpus-
+    dependent, so this returns a ranked shortlist for review (compose
+    with a filter once the corpus' rate scale is known).  Keys with
+    fewer than ``min_events`` events are excluded (their gap moments
+    are noise).
+
+    Plan: one per-key lag window for gaps (the event shuffle any
+    sessionization pays), one per-key aggregate of exact integer
+    moments; rate and cv are fixed-order doubles on exact sums, so any
+    engine replays them.  Top-k is TakeOrdered — no global sort.
+
+    Returns ``(key, n_events, span_s, events_per_min, gap_cv)`` by
+    (events_per_min desc, key).
+    """
+    ep = _epoch_seconds(df, time_col)
+    gaps = (df.select(F.col(key_col).alias("key"), ep.alias("__ep"))
+            .withColumn("__gap", F.col("__ep")
+                        - F.lag("__ep").over(
+                            Window.partitionBy("key").orderBy("__ep"))))
+    per = (gaps.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                (F.max("__ep") - F.min("__ep")).alias("span_s"),
+                F.count("__gap").alias("__m"),
+                F.sum(F.col("__gap").cast("decimal(38,0)")).alias("__s"),
+                F.sum((F.col("__gap") * F.col("__gap"))
+                      .cast("decimal(38,0)")).alias("__ss"))
+           .filter((F.col("n_events") >= min_events)
+                   & (F.col("span_s") > 0)))
+    m = F.col("__m").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    epm = (F.col("n_events").cast("double")
+           / (F.col("span_s").cast("double") / F.lit(60.0)))
+    cv = F.when(s > 0.0, F.sqrt(m * ss - s * s) / s)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (per.select("key", "n_events", "span_s",
+                       r6(epm).alias("events_per_min"),
+                       r6(cv).alias("gap_cv"))
+            .orderBy(F.desc("events_per_min"), "key")
+            .limit(top_k))

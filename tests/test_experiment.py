@@ -1059,3 +1059,38 @@ def test_fdr_bh_matches_hand_computation(spark):
     # t1..t4 survive BH at q=.05 (0.04*5/4=0.05), t5 does not
     assert [out[t]["rejected"] for t in sorted(ps)] == [
         True, True, True, True, False]
+
+
+# ---------------------------------------------------------------------------
+# dp_noisy_counts (governance lane, operators/profile.py)
+# ---------------------------------------------------------------------------
+
+def test_dp_noisy_counts_matches_seeded_laplace_formula(spark):
+    """Noise equals the md5-seeded inverse-CDF Laplace draw exactly,
+    and is calibrated: mean |noise| over many groups ~ 1/eps."""
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    eps = 0.5
+    rows = [(f"g{i:03d}", j) for i in range(200) for j in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {r["g"]: r["noisy_count"] for r in
+           dp_noisy_counts(df, ["g"], eps, seed="t1").collect()}
+    abs_noise = []
+    for i in range(200):
+        g = f"g{i:03d}"
+        n = i % 7 + 1
+        h = int(hashlib.md5(f"t1-{g}".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / float(1 << 48)
+        noise = -(1.0 / eps) * math.copysign(1.0, u - 0.5) \
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        assert abs(out[g] - round(n + noise, 6)) < 1e-6
+        abs_noise.append(abs(noise))
+    assert abs(sum(abs_noise) / len(abs_noise) - 1.0 / eps) < 0.5
+
+
+def test_dp_noisy_counts_rejects_bad_epsilon(spark):
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    df = spark.createDataFrame([("a", 1)], "g string, v int")
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], 0.0)

@@ -4158,3 +4158,49 @@ def test_ivf_index_staleness_fresh_vs_shifted(spark):
     assert stale[1]["drift"] > fresh[1]["drift"] + 0.01
     assert stale[1]["mean_dist"] > fresh[1]["mean_dist"] + 0.01
     assert stale[1]["n_vectors"] == 6  # the shifted batch landed on c0
+
+
+# ---------------------------------------------------------------------------
+# zorder_key / layout_locality_audit (operators/bucketing.py)
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_matches_bit_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from hazelcast_jet_spark.operators.bucketing import zorder_key
+
+    pts = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 3, 128, 255)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y",
+                     zorder_key(F.col("x"), F.col("y")).alias("z"))
+           .collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    for x, y in pts:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_layout_audit_zorder_balances_both_dims(spark):
+    """On an independent 2-D grid: x_sorted gives tiny x-spans but
+    full-domain y-spans; zorder lands in between on BOTH dims (the
+    whole point of the curve)."""
+    from hazelcast_jet_spark.operators.bucketing import layout_locality_audit
+
+    rows = [((i * 131) % 1024, (i * 257) % 1024, i) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x int, y int, i int")
+    out = {(r["layout"], r["dim"]): r["mean_span"]
+           for r in layout_locality_audit(df, "x", "y", "i",
+                                          n_files=64).collect()}
+    assert out[("x_sorted", "x")] < 0.05          # ~1/64
+    assert out[("x_sorted", "y")] > 0.9           # unclustered dim
+    assert out[("y_sorted", "y")] < 0.05
+    assert out[("y_sorted", "x")] > 0.9
+    for dim in ("x", "y"):                        # z: good on BOTH
+        assert 0.05 < out[("zorder", dim)] < 0.5

@@ -942,3 +942,27 @@ def test_lead_lag_single_event_scan(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dp_noisy_counts_map_side_only(spark, sf_dir):
+    """dp release: one customer scan -> partial-agg count; noise is
+    row-local arithmetic on the tiny group table (no join)."""
+    plan = _plan(entry_mod.dp_noisy_counts_customer(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_automation_screen_takeordered(spark, sf_dir):
+    """automation screen: one event scan, per-user window + aggregate,
+    top-k via TakeOrdered (no global sort)."""
+    plan = _plan(entry_mod.automation_screen_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_audit_single_scan(spark, sf_dir):
+    """layout audit: ONE orders scan feeds the quantization windows;
+    the 3-layout explode multiplies rows in-plan, never scans."""
+    plan = _plan(entry_mod.zorder_layout_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan

@@ -894,3 +894,35 @@ def test_lead_lag_recovers_known_shift(spark):
             y[h + 2] = c
     expected = np.corrcoef(x, y)[0, 1]
     assert abs(out[0]["corr"] - round(expected, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# automation_screen
+# ---------------------------------------------------------------------------
+
+def test_automation_screen_ranks_scripted_traffic_first(spark):
+    """A timer-driven key (constant 10 s gaps) outranks a bursty human
+    on rate and shows gap_cv == 0; a sub-min_events key is excluded."""
+    from hazelcast_jet_spark.operators.timeseries import automation_screen
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):                       # bot: every 10 s
+        rows.append(("bot", base + dt.timedelta(seconds=10 * i)))
+    for i, g in enumerate([0, 300, 320, 2000, 2040, 5000, 5002, 9000]):
+        rows.append(("human", base + dt.timedelta(seconds=g)))
+    rows.append(("drive_by", base))           # 1 event -> excluded
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = automation_screen(df, "user_id", "ts", top_k=10, min_events=5)
+    got = out.collect()
+    assert [r["key"] for r in got] == ["bot", "human"]
+    bot = got[0]
+    assert bot["n_events"] == 60 and bot["span_s"] == 590
+    assert abs(bot["events_per_min"] - round(60 / (590 / 60.0), 6)) < 1e-9
+    assert bot["gap_cv"] == 0.0               # perfectly regular
+    human = got[1]
+    gaps = [300, 20, 1680, 40, 2960, 2, 3998]
+    m = len(gaps)
+    mean = sum(gaps) / m
+    sd = (sum(g * g for g in gaps) / m - mean ** 2) ** 0.5
+    assert abs(human["gap_cv"] - round(sd / mean, 6)) < 1e-6

@@ -6197,6 +6197,67 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_files=ZORDER_FILES)
 
 
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest (timeseries.forecast_backtest): naive /
+    seasonal-naive / Holt forecasts of the daily event rate per type,
+    scored MAE + sMAPE on the shared evaluation window — the "is the
+    model better than yesterday's value?" gate behind
+    q:holt_linear_events.  Same Arrow recurrence lane (alpha=beta=0.5
+    exact binary scalings), lag baselines are windows on the daily
+    rollup; the oracle replays Holt as a recursive CTE then scores
+    identically."""
+    from hazelcast_jet_spark.operators.timeseries import forecast_backtest
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type").alias("key"),
+                       F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return forecast_backtest(daily, "key", "day", "n")
+
+
+def ltv_cohort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (timeseries.ltv_cohorts): customers
+    cohorted by first-order month; per (cohort, month-age) the active
+    count, revenue, and CUMULATIVE revenue per cohort member — the LTV
+    curve that prices acquisition, the value twin of
+    q:cohort_retention_counts.  Integer month arithmetic, DECIMAL money
+    end-to-end (the monthly_growth (18,6) convention), one customer
+    shuffle."""
+    from hazelcast_jet_spark.operators.timeseries import ltv_cohorts
+
+    o = _t(spark, sf_dir, "orders")
+    return ltv_cohorts(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+OPS_SEED = "ops9"
+
+
+def offline_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (experiment.offline_policy_value; Li et
+    al. 2011): from the md5-randomized log, estimate the purchase-rate
+    a CONTEXTUAL rule ("arm B for users whose first event is a view,
+    else A") would have collected — IPS and SNIPS, the counterfactual
+    readout that prices a targeting rule without a new experiment.
+    One per-user aggregate builds (logged, target, reward); the
+    estimator is one more aggregate of exact counts + DECIMAL reward
+    sums."""
+    from hazelcast_jet_spark.operators.experiment import (
+        ab_assign, offline_policy_value)
+
+    e = _t(spark, sf_dir, "events")
+    units = (e.groupBy("user_id")
+             .agg(F.min_by("event_type", F.struct("ts", "event_id"))
+                  .alias("__first"),
+                  F.max((F.col("event_type") == "purchase").cast("int"))
+                  .cast("double").alias("reward"))
+             .select(ab_assign(F.col("user_id"), OPS_SEED).alias("logged"),
+                     F.when(F.col("__first") == "view", F.lit("B"))
+                     .otherwise(F.lit("A")).alias("target"),
+                     "reward"))
+    return offline_policy_value(units, "logged", "target", "reward",
+                                propensity=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6216,6 +6277,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "dp_noisy_counts_customer",
     "automation_screen_events",
     "zorder_layout_orders",
+    "forecast_backtest_events",
+    "ltv_cohort_orders",
+    "offline_policy_events",
 )
 
 
@@ -6553,6 +6617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts_customer": dp_noisy_counts_customer,
         "automation_screen_events": automation_screen_events,
         "zorder_layout_orders": zorder_layout_orders,
+        "forecast_backtest_events": forecast_backtest_events,
+        "ltv_cohort_orders": ltv_cohort_orders,
+        "offline_policy_events": offline_policy_events,
     }
 
 
@@ -14597,5 +14664,132 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_span,
                    round(max(span), 6) + 0.0 AS max_span
             FROM per_dim GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "forecast_backtest_events": """
+            WITH RECURSIVE daily AS (
+                SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY 1, 2
+            ), ser AS (
+                SELECT key, day, n,
+                       row_number() OVER (
+                           PARTITION BY key ORDER BY day) AS idx
+                FROM daily
+            ), h AS (
+                SELECT key, day, n, idx, n AS level,
+                       CAST(0.0 AS DOUBLE) AS trend
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.key, s.day, s.n, s.idx,
+                       0.5 * s.n + 0.5 * (p.level + p.trend),
+                       0.5 * ((0.5 * s.n + 0.5 * (p.level + p.trend))
+                              - p.level) + 0.5 * p.trend
+                FROM ser s JOIN h p
+                  ON s.key = p.key AND s.idx = p.idx + 1
+            ), preds AS (
+                SELECT key, n,
+                       lag(n, 1) OVER w AS naive,
+                       lag(n, 7) OVER w AS snaive,
+                       lag(level + trend, 1) OVER w AS holt
+                FROM h
+                WINDOW w AS (PARTITION BY key ORDER BY day)
+            ), m AS (
+                SELECT key, n, f.model, f.fc
+                FROM preds, LATERAL (SELECT * FROM (VALUES
+                    ('naive', naive), ('snaive', snaive),
+                    ('holt', holt)) AS v(model, fc)) f
+                WHERE snaive IS NOT NULL
+            )
+            SELECT key, model, count(*) AS n,
+                   round(CAST(SUM(CAST(abs(fc - n) AS DECIMAL(38,9)))
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mae,
+                   round(CAST(SUM(CAST(
+                       CASE WHEN abs(fc) + abs(n) > 0.0
+                            THEN 2.0 * abs(fc - n)
+                                 / (abs(fc) + abs(n))
+                            ELSE 0.0 END AS DECIMAL(38,9))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) + 0.0 AS smape
+            FROM m GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ltv_cohort_orders": """
+            WITH base AS (
+                SELECT o_custkey AS k,
+                       CAST(year(CAST(o_orderdate AS DATE)) * 12
+                            + month(CAST(o_orderdate AS DATE)) - 1
+                            AS BIGINT) AS m,
+                       o_totalprice AS v
+                FROM orders
+            ), first AS (
+                SELECT k, min(m) AS cm FROM base GROUP BY 1
+            ), sizes AS (
+                SELECT cm, count(*) AS cohort_size FROM first GROUP BY 1
+            ), cells AS (
+                SELECT f.cm, b.m - f.cm AS age_months,
+                       count(DISTINCT b.k) AS n_active,
+                       SUM(CAST(b.v AS DECIMAL(18,6))) AS rev
+                FROM base b JOIN first f ON b.k = f.k
+                GROUP BY 1, 2
+            ), cum AS (
+                SELECT cm, age_months, n_active, rev,
+                       SUM(rev) OVER (PARTITION BY cm ORDER BY age_months
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS crev
+                FROM cells
+            )
+            SELECT make_date(CAST(cm // 12 AS INT),
+                             CAST(cm % 12 + 1 AS INT), 1)
+                       AS cohort_month,
+                   age_months, n_active,
+                   round(CAST(rev AS DOUBLE), 6) + 0.0 AS revenue,
+                   round(CAST(crev AS DOUBLE)
+                         / CAST(s.cohort_size AS DOUBLE), 6) + 0.0
+                       AS cum_value_per_member
+            FROM cum JOIN sizes s USING (cm)
+            ORDER BY cohort_month, age_months
+        """,
+        "offline_policy_events": f"""
+            WITH fu AS (
+                SELECT user_id, event_type AS first_type, has_p
+                FROM (SELECT user_id, event_type,
+                             row_number() OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                                 AS rn,
+                             max(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                                 OVER (PARTITION BY user_id) AS has_p
+                      FROM events)
+                WHERE rn = 1
+            ), u AS (
+                SELECT CASE WHEN substr(md5('{OPS_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS logged,
+                       CASE WHEN first_type = 'view'
+                            THEN 'B' ELSE 'A' END AS target,
+                       CAST(has_p AS DOUBLE) AS r
+                FROM fu
+            ), agg AS (
+                SELECT count(*) AS n_units,
+                       CAST(SUM(CASE WHEN logged = target
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+                       CAST(SUM(CAST(r AS DECIMAL(38,9))) AS DOUBLE)
+                           AS sr,
+                       CAST(SUM(CAST(CASE WHEN logged = target THEN r
+                                          ELSE 0.0 END AS DECIMAL(38,9)))
+                            AS DOUBLE) AS smr
+                FROM u
+            )
+            SELECT n_units,
+                   round(CAST(nm AS DOUBLE)
+                         / CAST(n_units AS DOUBLE), 6) + 0.0
+                       AS match_rate,
+                   round(sr / CAST(n_units AS DOUBLE), 6) + 0.0
+                       AS mean_reward_logged,
+                   round(smr * 2.0 / CAST(n_units AS DOUBLE), 6) + 0.0
+                       AS ips_value,
+                   round(CASE WHEN nm > 0
+                              THEN smr / CAST(nm AS DOUBLE) END, 6) + 0.0
+                       AS snips_value
+            FROM agg
         """,
     }

@@ -480,3 +480,50 @@ def fdr_bh(tests: DataFrame, test_col: str, p_col: str,
                     r6(F.col("__adj")).alias("p_adj"),
                     (F.col("__adj") <= F.lit(float(q))).alias("rejected"))
             .orderBy("test"))
+
+
+def offline_policy_value(units: DataFrame, logged_arm_col: str,
+                         target_arm_col: str, reward_col: str,
+                         propensity: float = 0.5,
+                         round_digits: int = 6) -> DataFrame:
+    """Off-policy evaluation of a counterfactual assignment rule from
+    logged randomized data (Li et al. 2011; Horvitz-Thompson 1952):
+    with logged arms drawn uniformly (propensity p per arm), the
+    inverse-propensity-scored value of a target policy π is
+
+        V_IPS(π)   = (1/N) · Σ  1{π(u) = logged(u)} · r(u) / p
+        V_SNIPS(π) = Σ w·r / Σ w,   w = 1{π(u) = logged(u)} / p
+
+    — "what reward would THIS rule have collected?" answered without
+    running a new experiment.  SNIPS trades a little bias for much
+    lower variance when the match rate drifts from p.
+
+    Input is one row per unit with the logged arm, the target policy's
+    arm (any deterministic column expression), and a numeric reward.
+    ONE aggregate (exact counts + DECIMAL reward sums); the estimates
+    are fixed-order doubles on those sums.
+
+    Returns ONE row ``(n_units, match_rate, mean_reward_logged,
+    ips_value, snips_value)``.
+    """
+    if not 0.0 < propensity <= 1.0:
+        raise ValueError(f"propensity must be in (0, 1], got {propensity}")
+    match = (F.col(logged_arm_col) == F.col(target_arm_col))
+    r = F.col(reward_col).cast("double")
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    agg = units.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(match.cast("bigint")).alias("__nm"),
+        d9(r).alias("__sr"),
+        d9(F.when(match, r).otherwise(F.lit(0.0))).alias("__smr"))
+    n = F.col("n_units").cast("double")
+    w = F.lit(1.0 / propensity)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n_units",
+        r6(F.col("__nm").cast("double") / n).alias("match_rate"),
+        r6(F.col("__sr") / n).alias("mean_reward_logged"),
+        r6(F.col("__smr") * w / n).alias("ips_value"),
+        r6(F.when(F.col("__nm") > 0,
+                  F.col("__smr") / F.col("__nm").cast("double")))
+        .alias("snips_value"))

@@ -1931,3 +1931,114 @@ def automation_screen(df: DataFrame, key_col: str = "user_id",
                        r6(cv).alias("gap_cv"))
             .orderBy(F.desc("events_per_min"), "key")
             .limit(top_k))
+
+
+def forecast_backtest(df: DataFrame, key_col: str, time_col: str,
+                      value_col: str, seasonal_lag: int = 7,
+                      alpha: float = 0.5, beta: float = 0.5,
+                      round_digits: int = 6) -> DataFrame:
+    """One-step-ahead forecast backtest: naive (last value), seasonal
+    naive (value ``seasonal_lag`` steps back) and Holt linear
+    (:func:`holt_linear`'s forecast, lagged so each prediction uses
+    only the past) scored on the SAME evaluation window — MAE and
+    sMAPE per (key, model).  This is the "is the fancy model actually
+    better?" gate run before any forecast is trusted; the naive
+    baselines are free and embarrassingly hard to beat on noisy
+    series.
+
+    Evaluation rows are those where ALL models have a prediction
+    (step > seasonal_lag), so the comparison is apples-to-apples.
+    sMAPE terms with a zero denominator (both sides 0) count as 0.
+
+    Input is a per-key ROLLUP (the holt_linear contract — calendar-
+    bounded per key).  Error sums accumulate in DECIMAL(38,9) (exact,
+    and scaled magnitude stays far under 2^53 at count-series
+    magnitudes); with the default alpha=beta=0.5 the Holt forecasts
+    are exact binary scalings, so a recursive-CTE oracle replays every
+    bit.
+
+    Returns ``(key, model, n, mae, smape)`` ordered by (key, model).
+    """
+    sm = holt_linear(df, key_col, time_col, value_col,
+                     alpha=alpha, beta=beta)
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    preds = (sm
+             .withColumn("__naive", F.lag(x, 1).over(w))
+             .withColumn("__snaive", F.lag(x, seasonal_lag).over(w))
+             .withColumn("__holt", F.lag(F.col("forecast"), 1).over(w))
+             .filter(F.col("__snaive").isNotNull()))
+    m = preds.select(
+        F.col(key_col).alias("key"), x.alias("__x"),
+        F.explode(F.array(
+            F.struct(F.lit("naive").alias("model"),
+                     F.col("__naive").alias("f")),
+            F.struct(F.lit("snaive").alias("model"),
+                     F.col("__snaive").alias("f")),
+            F.struct(F.lit("holt").alias("model"),
+                     F.col("__holt").alias("f")),
+        )).alias("p")
+    ).select("key", "p.model", "__x", "p.f")
+    ae = F.abs(F.col("f") - F.col("__x"))
+    den = F.abs(F.col("f")) + F.abs(F.col("__x"))
+    sm_term = F.when(den > 0.0, F.lit(2.0) * ae / den).otherwise(F.lit(0.0))
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    n = F.count(F.lit(1))
+    return (m.groupBy("key", "model")
+            .agg(n.alias("n"),
+                 r6(d9(ae) / n.cast("double")).alias("mae"),
+                 r6(d9(sm_term) / n.cast("double")).alias("smape"))
+            .orderBy("key", "model"))
+
+
+def ltv_cohorts(df: DataFrame, key_col: str, time_col: str,
+                value_col: str, round_digits: int = 6) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by their
+    first-activity month; per (cohort, month-age) the active count,
+    period revenue, and the CUMULATIVE revenue per cohort member — the
+    LTV curve whose flattening point prices acquisition (the value
+    twin of :func:`cohort_retention`, which only counts heads).
+
+    Month arithmetic is integer (year·12 + month − 1), so ages are
+    engine-exact; revenue accumulates in the :func:`dsum`-style
+    DECIMAL(18,6) money convention and the running cumulative sum
+    stays DECIMAL (order-free exact) until the final per-member
+    division.
+
+    Plan: one per-key min (the cohort lookup, keyed like any per-user
+    rollup), one join back on the key (the shuffle any cohort analysis
+    pays), one (cohort, age) aggregate; the cumulative window runs on
+    the tiny cohort×age table.
+
+    Returns ``(cohort_month, age_months, n_active, revenue,
+    cum_value_per_member)`` ordered by (cohort_month, age_months).
+    """
+    midx = lambda c: (F.year(c) * F.lit(12)  # noqa: E731
+                      + F.month(c) - F.lit(1)).cast("bigint")
+    base = df.select(F.col(key_col).alias("__k"),
+                     midx(F.to_date(time_col)).alias("__m"),
+                     F.col(value_col).cast("double").alias("__v"))
+    first = base.groupBy("__k").agg(F.min("__m").alias("__cm"))
+    sizes = first.groupBy("__cm").agg(
+        F.count(F.lit(1)).alias("__cohort_size"))
+    cells = (base.join(first, "__k")
+             .groupBy(F.col("__cm"), (F.col("__m") - F.col("__cm"))
+                      .alias("age_months"))
+             .agg(F.count_distinct(F.col("__k")).alias("n_active"),
+                  F.sum(F.col("__v").cast("decimal(18,6)"))
+                  .alias("__rev")))
+    w_cum = (Window.partitionBy("__cm").orderBy("age_months")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    month_date = F.make_date((F.col("__cm") / F.lit(12)).cast("int"),
+                             (F.col("__cm") % F.lit(12) + F.lit(1))
+                             .cast("int"), F.lit(1))
+    return (cells.join(F.broadcast(sizes), "__cm")
+            .select(month_date.alias("cohort_month"), "age_months",
+                    "n_active",
+                    r6(F.col("__rev").cast("double")).alias("revenue"),
+                    r6(F.sum("__rev").over(w_cum).cast("double")
+                       / F.col("__cohort_size").cast("double"))
+                    .alias("cum_value_per_member"))
+            .orderBy("cohort_month", "age_months"))

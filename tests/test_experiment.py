@@ -1094,3 +1094,48 @@ def test_dp_noisy_counts_rejects_bad_epsilon(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v int")
     with pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(df, ["g"], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# offline_policy_value
+# ---------------------------------------------------------------------------
+
+def test_offline_policy_value_hand_computed(spark):
+    """IPS and SNIPS equal the hand formulas; evaluating the LOGGING
+    policy itself recovers the plain mean reward (w == 1/p on every
+    matched row, match_rate ~ p)."""
+    from hazelcast_jet_spark.operators.experiment import offline_policy_value
+
+    rows = [
+        # (logged, target, reward)
+        ("A", "A", 1.0), ("A", "B", 1.0), ("B", "B", 0.0),
+        ("B", "A", 1.0), ("A", "A", 0.0), ("B", "B", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "logged string, target string, r double")
+    out = offline_policy_value(df, "logged", "target", "r",
+                               propensity=0.5).collect()[0]
+    n = len(rows)
+    matched = [(lg, tg, r) for lg, tg, r in rows if lg == tg]
+    ips = sum(r for _, _, r in matched) / 0.5 / n
+    snips = sum(r for _, _, r in matched) / len(matched)
+    assert out["n_units"] == n
+    assert abs(out["match_rate"] - round(len(matched) / n, 6)) < 1e-9
+    assert abs(out["mean_reward_logged"]
+               - round(sum(r for *_, r in rows) / n, 6)) < 1e-9
+    assert abs(out["ips_value"] - round(ips, 6)) < 1e-9
+    assert abs(out["snips_value"] - round(snips, 6)) < 1e-9
+    # identity policy: target == logged everywhere
+    ident = df.withColumn("target2", F.col("logged"))
+    o2 = offline_policy_value(ident, "logged", "target2", "r",
+                              propensity=0.5).collect()[0]
+    assert o2["match_rate"] == 1.0
+    assert abs(o2["snips_value"] - o2["mean_reward_logged"]) < 1e-9
+
+
+def test_offline_policy_value_rejects_bad_propensity(spark):
+    from hazelcast_jet_spark.operators.experiment import offline_policy_value
+
+    df = spark.createDataFrame([("A", "A", 1.0)],
+                               "logged string, target string, r double")
+    with pytest.raises(ValueError, match="propensity"):
+        offline_policy_value(df, "logged", "target", "r", propensity=0.0)

@@ -966,3 +966,28 @@ def test_zorder_audit_single_scan(spark, sf_dir):
     plan = _plan(entry_mod.zorder_layout_orders(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_backtest_single_scan_one_python_stage(spark, sf_dir):
+    """backtest gate: one event scan -> daily rollup -> ONE Arrow
+    applyInPandas (the Holt recurrence); baselines and scoring are
+    plain windows/aggregates on the rollup."""
+    plan = _plan(entry_mod.forecast_backtest_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+
+
+def test_ltv_cohorts_broadcast_sizes(spark, sf_dir):
+    """ltv gate: one customer-key shuffle; cohort sizes broadcast back;
+    the cumulative window runs on the cohort-by-age table."""
+    plan = _plan(entry_mod.ltv_cohort_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_offline_policy_single_event_scan(spark, sf_dir):
+    """off-policy gate: ONE event scan -> per-user aggregate -> one
+    global estimator aggregate; no joins anywhere."""
+    plan = _plan(entry_mod.offline_policy_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan

@@ -926,3 +926,73 @@ def test_automation_screen_ranks_scripted_traffic_first(spark):
     mean = sum(gaps) / m
     sd = (sum(g * g for g in gaps) / m - mean ** 2) ** 0.5
     assert abs(human["gap_cv"] - round(sd / mean, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest
+# ---------------------------------------------------------------------------
+
+def test_forecast_backtest_matches_python_replica(spark):
+    """MAE/sMAPE per model equal a pure-Python replay of the Holt
+    recurrence + lag baselines on the shared evaluation window; on a
+    clean linear trend Holt beats naive, and snaive is worst."""
+    from hazelcast_jet_spark.operators.timeseries import forecast_backtest
+
+    xs = [10.0 + 2.0 * i for i in range(20)]            # linear trend
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, t int, n double")
+    out = {r["model"]: r for r in
+           forecast_backtest(df, "key", "t", "n").collect()}
+
+    level, trend, fc = [], [], []
+    lp = bp = 0.0
+    for i, x in enumerate(xs):
+        if i == 0:
+            lc, bc = x, 0.0
+        else:
+            lc = 0.5 * x + 0.5 * (lp + bp)
+            bc = 0.5 * (lc - lp) + 0.5 * bp
+        level.append(lc); trend.append(bc); fc.append(lc + bc)
+        lp, bp = lc, bc
+    models = {
+        "naive": lambda t: xs[t - 1],
+        "snaive": lambda t: xs[t - 7],
+        "holt": lambda t: fc[t - 1],
+    }
+    for name, f in models.items():
+        errs = [abs(f(t) - xs[t]) for t in range(7, len(xs))]
+        sm = [2.0 * abs(f(t) - xs[t]) / (abs(f(t)) + abs(xs[t]))
+              for t in range(7, len(xs))]
+        r = out[name]
+        assert r["n"] == len(errs)
+        assert abs(r["mae"] - round(sum(errs) / len(errs), 6)) < 1e-6
+        assert abs(r["smape"] - round(sum(sm) / len(sm), 6)) < 1e-6
+    assert out["holt"]["mae"] < out["naive"]["mae"] < out["snaive"]["mae"]
+
+
+# ---------------------------------------------------------------------------
+# ltv_cohorts
+# ---------------------------------------------------------------------------
+
+def test_ltv_cohorts_hand_example(spark):
+    from hazelcast_jet_spark.operators.timeseries import ltv_cohorts
+
+    rows = [
+        # cohort 2024-01: u1 spends 10 in m0, 20 in m1; u2 spends 30 in m0
+        (1, dt.datetime(2024, 1, 5), 10.0),
+        (1, dt.datetime(2024, 2, 7), 20.0),
+        (2, dt.datetime(2024, 1, 20), 30.0),
+        # cohort 2024-02: u3 spends 5 in m0
+        (3, dt.datetime(2024, 2, 1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp_ntz, v double")
+    out = {(str(r["cohort_month"]), r["age_months"]): r for r in
+           ltv_cohorts(df, "uid", "ts", "v").collect()}
+    a0 = out[("2024-01-01", 0)]
+    assert a0["n_active"] == 2 and a0["revenue"] == 40.0
+    assert a0["cum_value_per_member"] == 20.0            # 40 / 2 members
+    a1 = out[("2024-01-01", 1)]
+    assert a1["n_active"] == 1 and a1["revenue"] == 20.0
+    assert a1["cum_value_per_member"] == 30.0            # 60 / 2
+    b0 = out[("2024-02-01", 0)]
+    assert b0["n_active"] == 1 and b0["cum_value_per_member"] == 5.0

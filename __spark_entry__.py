@@ -6258,6 +6258,69 @@ def offline_policy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 propensity=0.5)
 
 
+def streaming_dp_counts_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CONTINUOUS ε-DP count release: the streaming twin of
+    q:dp_noisy_counts_customer — per-event-type counts maintained by a
+    complete-mode streaming aggregate (bounded state: one row per
+    type), with the seeded Laplace noise applied to the RELEASED table
+    each emission.  This is how a privacy-preserving live dashboard
+    runs: the true counter state never leaves the engine; every
+    emission re-perturbs from the same seed so the release is stable
+    across micro-batches (a per-emission fresh draw would leak by
+    averaging — the composition caveat the operator documents).
+    availableNow on bounded input makes the batch release the exact
+    oracle."""
+    from hazelcast_jet_spark.operators.profile import dp_laplace_noise
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    counts = run_to_batch(
+        s.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n")),
+        "complete")
+    noise = dp_laplace_noise(F.col("event_type"), DP_EPS, DP_SEED)
+    return (counts.select(
+        "event_type",
+        (F.round(F.col("__n").cast("double") + noise, 6)
+         + F.lit(0.0)).alias("noisy_count"))
+        .orderBy("event_type"))
+
+
+def streaming_lead_lag_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CONTINUOUS lead-lag monitor: the UNBOUNDED pass of
+    q:lead_lag_events — the hourly (view, purchase) bucket rollup —
+    runs as a complete-mode streaming aggregate (state: one row per
+    hour, calendar-bounded); the grid/lag/Pearson tail is bounded
+    batch post-processing on each released counter table.  The
+    decomposition is the point: at 100 TB/day only the rollup touches
+    the stream, and it is commutative (counts), so arrival order and
+    micro-batch boundaries cannot change the correlation."""
+    from hazelcast_jet_spark.operators.timeseries import lead_lag_corr
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
+
+    s = read_stream_table(spark, sf_dir, "events")
+    hr = F.floor(_epoch_seconds(s, "ts") / F.lit(3600.0))
+    from hazelcast_jet_spark.operators.timeseries import (
+        lead_lag_from_buckets)
+
+    per = run_to_batch(
+        s.select(hr.alias("__h"),
+                 (F.col("event_type") == LEAD_LAG_X).cast("bigint")
+                 .alias("__fx"),
+                 (F.col("event_type") == LEAD_LAG_Y).cast("bigint")
+                 .alias("__fy"))
+        .groupBy("__h")
+        .agg(F.sum("__fx").alias("__x"), F.sum("__fy").alias("__y")),
+        "complete")
+    # the streamed counter table feeds the SAME bounded tail the batch
+    # operator uses — identical arithmetic, shared code
+    return lead_lag_from_buckets(per, max_lag=LEAD_LAG_MAX)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6280,6 +6343,8 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "forecast_backtest_events",
     "ltv_cohort_orders",
     "offline_policy_events",
+    "streaming_dp_counts_events",
+    "streaming_lead_lag_events",
 )
 
 
@@ -6620,6 +6685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest_events": forecast_backtest_events,
         "ltv_cohort_orders": ltv_cohort_orders,
         "offline_policy_events": offline_policy_events,
+        "streaming_dp_counts_events": streaming_dp_counts_events,
+        "streaming_lead_lag_events": streaming_lead_lag_events,
     }
 
 
@@ -6874,7 +6941,7 @@ def oracle_sql() -> dict[str, str]:
         "md5(" + " || '|' || ".join(f"sig[{b * rows_per_band + r + 1}]" for r in range(rows_per_band)) + ")"
         for b in range(MINHASH_BANDS)
     )
-    return {
+    oracles = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_dsum('l_quantity')} AS sum_qty,
@@ -14792,4 +14859,26 @@ def oracle_sql() -> dict[str, str]:
                        AS snips_value
             FROM agg
         """,
+        "streaming_dp_counts_events": f"""
+            WITH per AS (
+                SELECT event_type, count(*) AS n FROM events GROUP BY 1
+            ), noise AS (
+                SELECT event_type, n,
+                       (CAST(CAST('0x' || substr(md5('{DP_SEED}-'
+                            || event_type), 1, 12)
+                            AS UBIGINT) AS BIGINT) + 0.5)
+                           / {float(1 << 48)!r} - 0.5 AS c
+                FROM per
+            )
+            SELECT event_type,
+                   round(CAST(n AS DOUBLE)
+                         + ({-1.0 / DP_EPS!r} * sign(c))
+                           * ln(1.0 - 2.0 * abs(c)), 6) + 0.0
+                       AS noisy_count
+            FROM noise ORDER BY event_type
+        """,
     }
+    # the streaming lead-lag twin shares the batch tail arithmetic, so
+    # the bounded-input (availableNow) result IS the batch result
+    oracles["streaming_lead_lag_events"] = oracles["lead_lag_events"]
+    return oracles

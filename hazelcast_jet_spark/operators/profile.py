@@ -1917,14 +1917,24 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "-"), key)), 1, 12),
-               16, 10).cast("bigint").cast("double")
-    u = (h + F.lit(0.5)) / F.lit(_DP_SPACE)
-    centered = u - F.lit(0.5)
-    noise = (F.lit(-1.0 / epsilon) * F.signum(centered)
-             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)))
+    noise = dp_laplace_noise(key, epsilon, seed)
     return (per.select(
         *group_cols,
         (F.round(F.col("__n").cast("double") + noise, round_digits)
          + F.lit(0.0)).alias("noisy_count"))
         .orderBy(*group_cols))
+
+
+def dp_laplace_noise(key: Column, epsilon: float,
+                     seed: str = "dp0") -> Column:
+    """The seeded Laplace(1/ε) draw :func:`dp_noisy_counts` adds: md5
+    12-hex uniform (half-step-offset so ln never sees 0) through the
+    inverse CDF.  Exposed so streaming releases apply the SAME noise to
+    every emission of a group (a fresh draw per emission would leak the
+    true count by averaging — ε composes over independent draws)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed + "-"),
+                                          key.cast("string"))), 1, 12),
+               16, 10).cast("bigint").cast("double")
+    centered = (h + F.lit(0.5)) / F.lit(_DP_SPACE) - F.lit(0.5)
+    return (F.lit(-1.0 / epsilon) * F.signum(centered)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)))

@@ -1847,6 +1847,16 @@ def lead_lag_corr(df: DataFrame, time_col: str, flag_x: Column,
            .groupBy("__h")
            .agg(F.sum("__fx").alias("__x"), F.sum("__fy").alias("__y"))
            .localCheckpoint(eager=True))
+    return lead_lag_from_buckets(per, max_lag, round_digits)
+
+
+def lead_lag_from_buckets(per: DataFrame, max_lag: int = 6,
+                          round_digits: int = 6) -> DataFrame:
+    """The bounded tail of :func:`lead_lag_corr`: grid completion, lag
+    shift join and Pearson on an already-built ``(__h, __x, __y)``
+    bucket-count table.  Exposed separately so a STREAMING rollup (the
+    only unbounded pass) can feed the identical arithmetic — see
+    ``__spark_entry__.streaming_lead_lag_events``."""
     ends = per.agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
     grid = (ends.select(F.explode(F.sequence("__lo", "__hi"))
                         .alias("__h")))

@@ -933,3 +933,87 @@ def test_label_propagation_matches_python(spark, edges, iters):
                       key=lambda kv: (-kv[1], kv[0]))[0]
                for v, ns in adj.items()}
     assert got == lab
+
+
+@given(subj=st.lists(st.tuples(st.integers(0, 8), st.booleans()),
+                     min_size=1, max_size=40))
+@SLOW
+def test_nelson_aalen_matches_python(spark, subj):
+    """H(t) equals the Python fold over sorted distinct durations, and
+    exp(-H) >= KM survival pointwise (Jensen: 1-x <= e^-x)."""
+    from hazelcast_jet_spark.operators.timeseries import nelson_aalen
+
+    df = spark.createDataFrame(subj, "duration int, observed boolean")
+    got = {r["duration"]: r["cum_hazard"] for r in
+           nelson_aalen(df, "duration", "observed").collect()}
+    h = 0.0
+    expect = {}
+    for t in sorted({d for d, _ in subj}):
+        at = [o for d, o in subj if d == t]
+        risk = sum(1 for d, _ in subj if d >= t)
+        h += sum(at) / risk
+        expect[t] = round(h, 6)
+    assert set(got) == set(expect)
+    for t in expect:
+        assert abs(got[t] - expect[t]) < 1e-9
+
+
+@given(ps=st.lists(st.floats(0.0, 1.0, allow_nan=False), min_size=1,
+                   max_size=12), q=st.floats(0.01, 0.2))
+@SLOW
+def test_fdr_bh_properties(spark, ps, q):
+    """BH invariants on arbitrary p-vectors: p_adj >= p, p_adj is
+    monotone in the p-ordering, p_adj <= 1, and the rejection set is a
+    prefix of the sorted order."""
+    from hazelcast_jet_spark.operators.experiment import fdr_bh
+
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    out = sorted(fdr_bh(df, "test", "p", q=q).collect(),
+                 key=lambda r: r["rank"])
+    for r, (name, p) in zip(out, sorted(rows, key=lambda t: (t[1], t[0]))):
+        assert r["p_adj"] <= 1.0 + 1e-12
+        assert r["p_adj"] >= round(p, 6) - 1e-9      # adj never shrinks p
+    adjs = [r["p_adj"] for r in out]
+    assert adjs == sorted(adjs)                      # monotone in rank
+    rejected = [r["rejected"] for r in out]
+    assert rejected == sorted(rejected, reverse=True)  # prefix property
+
+
+@given(pts=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                    min_size=1, max_size=50))
+@SLOW
+def test_zorder_key_is_injective_and_bounded(spark, pts):
+    """Morton codes are unique per (x, y) pair and bounded by 2^16."""
+    from hazelcast_jet_spark.operators.bucketing import zorder_key
+
+    df = spark.createDataFrame(pts, "x int, y int").distinct()
+    rows = df.select("x", "y",
+                     zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) == len(zs)
+    assert all(0 <= z < (1 << 16) for z in zs)
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from(["A", "B"]),
+                               st.sampled_from(["A", "B"]),
+                               st.floats(0.0, 1.0, allow_nan=False)),
+                     min_size=1, max_size=40))
+@SLOW
+def test_offline_policy_matches_python(spark, rows):
+    from hazelcast_jet_spark.operators.experiment import offline_policy_value
+
+    df = spark.createDataFrame(rows, "lg string, tg string, r double")
+    out = offline_policy_value(df, "lg", "tg", "r",
+                               propensity=0.5).collect()[0]
+    n = len(rows)
+    matched = [r for lg, tg, r in rows if lg == tg]
+    assert out["n_units"] == n
+    assert abs(out["match_rate"] - round(len(matched) / n, 6)) < 1e-6
+    assert abs(out["ips_value"]
+               - round(sum(matched) * 2.0 / n, 6)) < 1e-6
+    if matched:
+        assert abs(out["snips_value"]
+                   - round(sum(matched) / len(matched), 6)) < 1e-6
+    else:
+        assert out["snips_value"] is None

@@ -6321,6 +6321,59 @@ def streaming_lead_lag_events(spark: SparkSession,
     return lead_lag_from_buckets(per, max_lag=LEAD_LAG_MAX)
 
 
+WT_SEED = "wt9"
+
+
+def welch_t_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t readout (experiment.welch_t_test) on per-customer
+    total spend across the md5 arms — the CONTINUOUS-metric test the
+    two-proportion z (q:ab_conversion_events) cannot give; normal-
+    approximation p at experiment-scale df.  One per-arm moment
+    aggregate, execute-once local relation."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          welch_t_test)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(dsum(F.col("o_totalprice")).alias("spend"))
+             .withColumn("arm", ab_assign(F.col("o_custkey"), WT_SEED)))
+    return welch_t_test(units, "arm", "spend")
+
+
+def mann_whitney_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U readout (experiment.mann_whitney_u) on
+    per-customer ORDER COUNT across the md5 arms — the nonparametric
+    twin of q:welch_t_orders, on a metric with heavy ties (counts), so
+    the tie-corrected variance actually binds.  The metric collapses
+    to its distinct-value table; average ranks come from one
+    cumulative window over it."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          mann_whitney_u)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n_orders"))
+             .withColumn("arm", ab_assign(F.col("o_custkey"), WT_SEED)))
+    return mann_whitney_u(units, "arm", "n_orders", arms=("A", "B"))
+
+
+def qte_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (experiment.quantile_treatment_effects)
+    of per-customer spend across the md5 arms: where in the
+    distribution the arms differ — the distributional readout a mean
+    lift hides.  Lower-rank selection quantiles (engine-exact), one
+    per-arm ordering window over the (arm, spend) projection."""
+    from hazelcast_jet_spark.operators.experiment import (
+        ab_assign, quantile_treatment_effects)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(dsum(F.col("o_totalprice")).alias("spend"))
+             .withColumn("arm", ab_assign(F.col("o_custkey"), WT_SEED)))
+    return quantile_treatment_effects(units, "arm", "spend",
+                                      arms=("A", "B"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6345,6 +6398,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "offline_policy_events",
     "streaming_dp_counts_events",
     "streaming_lead_lag_events",
+    "welch_t_orders",
+    "mann_whitney_orders",
+    "qte_orders",
 )
 
 
@@ -6687,6 +6743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offline_policy_events": offline_policy_events,
         "streaming_dp_counts_events": streaming_dp_counts_events,
         "streaming_lead_lag_events": streaming_lead_lag_events,
+        "welch_t_orders": welch_t_orders,
+        "mann_whitney_orders": mann_whitney_orders,
+        "qte_orders": qte_orders,
     }
 
 
@@ -14876,6 +14935,134 @@ def oracle_sql() -> dict[str, str]:
                            * ln(1.0 - 2.0 * abs(c)), 6) + 0.0
                        AS noisy_count
             FROM noise ORDER BY event_type
+        """,
+        "welch_t_orders": f"""
+            WITH u AS (
+                SELECT CASE WHEN substr(md5('{WT_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       {_dsum('o_totalprice')} AS y
+                FROM orders GROUP BY o_custkey
+            ), per AS (
+                SELECT arm, count(*) AS n,
+                       CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE)
+                           AS ss
+                FROM u GROUP BY 1
+            ), wide AS (
+                SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+                       MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+                       MAX(CASE WHEN arm = 'A' THEN s END) AS sa,
+                       MAX(CASE WHEN arm = 'B' THEN s END) AS sb,
+                       MAX(CASE WHEN arm = 'A' THEN ss END) AS ssa,
+                       MAX(CASE WHEN arm = 'B' THEN ss END) AS ssb
+                FROM per
+            ), st AS (
+                SELECT na, nb,
+                       sa / CAST(na AS DOUBLE) AS ma,
+                       sb / CAST(nb AS DOUBLE) AS mb,
+                       ((ssa - sa * sa / CAST(na AS DOUBLE))
+                        / CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE)
+                           AS qa,
+                       ((ssb - sb * sb / CAST(nb AS DOUBLE))
+                        / CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE)
+                           AS qb
+                FROM wide
+            ), tt AS (
+                SELECT na, nb, ma, mb,
+                       (ma - mb) / sqrt(qa + qb) AS t,
+                       ((qa + qb) * (qa + qb))
+                       / (qa * qa / CAST(na - 1 AS DOUBLE)
+                          + qb * qb / CAST(nb - 1 AS DOUBLE)) AS dof
+                FROM st
+            )
+            SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   round(ma, 6) + 0.0 AS mean_a,
+                   round(mb, 6) + 0.0 AS mean_b,
+                   round(t, 6) + 0.0 AS t,
+                   round(dof, 6) + 0.0 AS df,
+                   round({{p_expr}}, 6) + 0.0 AS p_approx
+            FROM tt
+        """.replace("{p_expr}", _two_sided_p_sql("t")),
+        "mann_whitney_orders": f"""
+            WITH u AS (
+                SELECT CASE WHEN substr(md5('{WT_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM orders GROUP BY o_custkey
+            ), vals AS (
+                SELECT y AS v, count(*) AS t,
+                       CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS ta
+                FROM u GROUP BY 1
+            ), ranked AS (
+                SELECT v, t, ta,
+                       SUM(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c
+                FROM vals
+            ), agg AS (
+                SELECT CAST(SUM(ta) AS BIGINT) AS na,
+                       CAST(SUM(t) - SUM(ta) AS BIGINT) AS nb,
+                       CAST(SUM(CAST(CAST(ta AS DOUBLE)
+                           * (CAST(c AS DOUBLE)
+                              - (CAST(t AS DOUBLE) - 1.0) / 2.0)
+                           AS DECIMAL(38,1))) AS DOUBLE) AS ra,
+                       CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                FROM ranked
+            ), st AS (
+                SELECT na, nb,
+                       ra - CAST(na * (na + 1) AS DOUBLE) / 2.0 AS ua,
+                       CAST(na + nb AS BIGINT) AS n
+                FROM agg
+            ), zz AS (
+                SELECT na, nb, ua,
+                       (ua - CAST(na * nb AS DOUBLE) / 2.0)
+                       / sqrt((CAST(na * nb AS DOUBLE) / 12.0)
+                              * (CAST(n + 1 AS DOUBLE)
+                                 - CAST((SELECT ties FROM agg) AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * (CAST(n AS DOUBLE) - 1.0)))) AS z
+                FROM st
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(ua, 6) + 0.0 AS u_a,
+                   round(z, 6) + 0.0 AS z,
+                   round({{p_expr}}, 6) + 0.0 AS p_approx
+            FROM zz
+        """.replace("{p_expr}", _two_sided_p_sql("z")),
+        "qte_orders": f"""
+            WITH u AS (
+                SELECT CASE WHEN substr(md5('{WT_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       {_dsum('o_totalprice')} AS y
+                FROM orders GROUP BY o_custkey
+            ), ranked AS (
+                SELECT arm, y,
+                       row_number() OVER (PARTITION BY arm ORDER BY y)
+                           AS rn,
+                       count(*) OVER (PARTITION BY arm) AS n
+                FROM u
+            ), picks AS (
+                SELECT arm, y, q.q
+                FROM ranked
+                CROSS JOIN (SELECT CAST(unnest([0.1, 0.25, 0.5,
+                                                0.75, 0.9]) AS DOUBLE)
+                                AS q) q
+                WHERE rn = greatest(1, CAST(ceil(q.q * CAST(n AS DOUBLE))
+                                            AS INT))
+            )
+            SELECT q,
+                   round(MAX(CASE WHEN arm = 'A' THEN y END), 6) + 0.0
+                       AS y_a,
+                   round(MAX(CASE WHEN arm = 'B' THEN y END), 6) + 0.0
+                       AS y_b,
+                   round(MAX(CASE WHEN arm = 'B' THEN y END)
+                         - MAX(CASE WHEN arm = 'A' THEN y END), 6) + 0.0
+                       AS qte
+            FROM picks GROUP BY q ORDER BY q
         """,
     }
     # the streaming lead-lag twin shares the batch tail arithmetic, so

@@ -527,3 +527,195 @@ def offline_policy_value(units: DataFrame, logged_arm_col: str,
         r6(F.when(F.col("__nm") > 0,
                   F.col("__smr") / F.col("__nm").cast("double")))
         .alias("snips_value"))
+
+
+def welch_t_test(units: DataFrame, arm_col: str, y_col: str,
+                 round_digits: int = 6) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947) for a CONTINUOUS
+    per-unit metric — the readout :func:`ab_proportion_test` cannot
+    give (that one is binary):
+
+        t  = (m_A − m_B) / sqrt(s²_A/n_A + s²_B/n_B)
+        df = (s²_A/n_A + s²_B/n_B)² /
+             ((s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1))
+
+    with the two-sided p from the NORMAL approximation
+    (:func:`two_sided_p`) — indistinguishable from the t distribution
+    at experiment-scale df (hundreds+), documented so small-sample
+    callers know to look up t tables themselves.
+
+    Execute-once discipline: ONE per-arm moment aggregate
+    (DECIMAL(38,9)-exact sums) is collected and the returned frame is
+    a local relation — heavy-tailed metrics should be winsorized
+    BEFORE calling (compose with profile.winsorize).
+
+    Returns ONE row ``(n_a, n_b, mean_a, mean_b, t, df, p_approx)``.
+    """
+    y = F.col(y_col).cast("double")
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    per = (units.groupBy(F.col(arm_col).alias("arm"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                d9(y).alias("s"), d9(y * y).alias("ss"))
+           .orderBy("arm"))
+    rows = per.limit(3).collect()
+    if len(rows) != 2:
+        raise ValueError(f"welch_t_test needs exactly 2 arms, "
+                         f"got {len(rows)}")
+
+    def stats(r):
+        n, s, ss = r["n"], r["s"], r["ss"]
+        if n < 2:
+            raise ValueError("welch_t_test needs >= 2 units per arm")
+        return n, s / n, (ss - s * s / n) / (n - 1)
+
+    na, ma, va = stats(rows[0])
+    nb, mb, vb = stats(rows[1])
+    qa, qb = va / na, vb / nb
+    if qa + qb <= 0.0:
+        raise ValueError("welch_t_test: zero variance in both arms — "
+                         "t is undefined")
+    t = (ma - mb) / math.sqrt(qa + qb)
+    # explicit multiplies (not **2): Python pow and SQL power() are not
+    # guaranteed correctly rounded; x*x is, so the oracle replays bits
+    df = ((qa + qb) * (qa + qb)
+          / (qa * qa / (na - 1) + qb * qb / (nb - 1)))
+    local = units.sparkSession.createDataFrame(
+        [(na, nb)], "n_a bigint, n_b bigint")
+    r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    return local.select(
+        "n_a", "n_b", r6(ma).alias("mean_a"), r6(mb).alias("mean_b"),
+        r6(t).alias("t"), r6(df).alias("df"),
+        (F.round(two_sided_p(F.lit(t)), round_digits)
+         + F.lit(0.0)).alias("p_approx"))
+
+
+def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
+                   arms: tuple | None = None,
+                   round_digits: int = 6) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) —
+    the NONPARAMETRIC two-sample readout that survives what breaks
+    Welch's t (heavy tails, outliers, any monotone metric transform):
+
+        U_A = R_A − n_A(n_A+1)/2,   z = (U_A − n_A·n_B/2) / σ
+        σ²  = (n_A·n_B/12) · ((n+1) − Σ(t³−t)/(n(n−1)))   (tie-corrected)
+
+    with the two-sided normal-approximation p (no continuity
+    correction — documented; negligible at experiment n).
+
+    Scale shape: rank sums need NO per-row rank — the metric collapses
+    to its DISTINCT-VALUE table (count + per-arm count per value), and
+    average ranks come from ONE cumulative window over that sorted
+    value table (single-task over |distinct values| rows — quantize a
+    continuous metric first past ~10⁷ distinct values, the
+    rfm_segments convention).  Average ranks are exact .5-grid
+    doubles; rank sums accumulate in DECIMAL(38,1) (exact).
+
+    Returns ONE row ``(n_a, n_b, u_a, z, p_approx)``.
+    """
+    from pyspark.sql import Window
+
+    # pass arms when known (md5 assignment ⇒ ("A", "B")) to avoid the
+    # discovery pass re-executing the unit-table plan
+    a_arm = sorted(arms) if arms else [
+        r[0] for r in
+        units.select(arm_col).distinct().orderBy(arm_col).limit(3)
+        .collect()]
+    if len(a_arm) != 2:
+        raise ValueError(f"mann_whitney_u needs exactly 2 arms, "
+                         f"got {a_arm}")
+    y = F.col(y_col).cast("double")
+    vals = (units.groupBy(y.alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__t"),
+                 F.sum((F.col(arm_col) == a_arm[0]).cast("bigint"))
+                 .alias("__ta")))
+    w_cum = (Window.orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # avg rank of a tied group at cumulative position C with t members:
+    # (C - t + 1 + C) / 2 = C - (t - 1)/2
+    ranked = (vals
+              .withColumn("__c", F.sum("__t").over(w_cum))
+              .withColumn("__r", F.col("__c").cast("double")
+                          - (F.col("__t").cast("double") - 1.0) / 2.0))
+    agg = ranked.agg(
+        F.sum("__ta").alias("n_a"),
+        (F.sum("__t") - F.sum("__ta")).alias("n_b"),
+        F.sum((F.col("__ta").cast("double") * F.col("__r"))
+              .cast("decimal(38,1)")).cast("double").alias("__ra"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .alias("__ties")).limit(1).collect()[0]
+    na, nb = agg["n_a"], agg["n_b"]
+    if na == 0 or nb == 0:
+        raise ValueError("mann_whitney_u: an arm has no units")
+    n = na + nb
+    u_a = agg["__ra"] - na * (na + 1) / 2.0
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * ((n + 1) - agg["__ties"] / (n * (n - 1.0)))
+    if var <= 0.0:
+        raise ValueError("mann_whitney_u: all values tied — z undefined")
+    z = (u_a - mu) / math.sqrt(var)
+    local = units.sparkSession.createDataFrame(
+        [(na, nb)], "n_a bigint, n_b bigint")
+    r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    return local.select(
+        "n_a", "n_b", r6(u_a).alias("u_a"), r6(z).alias("z"),
+        (F.round(two_sided_p(F.lit(z)), round_digits)
+         + F.lit(0.0)).alias("p_approx"))
+
+
+def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
+                               quantiles: tuple = (0.1, 0.25, 0.5,
+                                                   0.75, 0.9),
+                               arms: tuple | None = None,
+                               round_digits: int = 6) -> DataFrame:
+    """Quantile treatment effects: the per-quantile difference of the
+    two arms' metric distributions — WHERE a treatment moves the
+    distribution (a mean lift hiding in the top decile reads very
+    differently from a uniform shift).  Quantiles are LOWER-rank
+    SELECTION (the value at row ceil(q·n), the theil_sen_trend
+    convention) — no interpolation arithmetic, engine-exact.
+
+    One per-arm ordering window over the unit table (two partitions;
+    the scalar (arm, y) projection is what sorts), one filter per
+    quantile against the in-plan row counts, then a 2×|quantiles|
+    pivot.  Arms are the two lexicographically-first values.
+
+    Returns one row per quantile: ``(q, y_a, y_b, qte)`` with
+    ``qte = y_b − y_a``, ordered by q.
+    """
+    from pyspark.sql import Window
+
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or qs[0] <= 0.0 or qs[-1] >= 1.0:
+        raise ValueError(f"quantiles must be in (0, 1), got {quantiles}")
+    y = F.col(y_col).cast("double")
+    w_rank = Window.partitionBy(arm_col).orderBy(y)
+    w_all = (Window.partitionBy(arm_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ranked = units.select(
+        F.col(arm_col).alias("__arm"), y.alias("__y"),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"))
+    picks = ranked.select(
+        "__arm", "__y",
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
+        "__rn", "__n").filter(
+        F.col("__rn") == F.greatest(
+            F.lit(1), F.ceil(F.col("q") * F.col("__n").cast("double"))
+            .cast("int")))
+    arms = sorted(arms) if arms else [
+        r[0] for r in
+        units.select(arm_col).distinct().orderBy(arm_col).limit(3)
+        .collect()]
+    if len(arms) != 2:
+        raise ValueError(f"quantile_treatment_effects needs exactly 2 "
+                         f"arms, got {arms}")
+    pick = lambda arm: F.max(F.when(F.col("__arm") == arm,  # noqa: E731
+                                    F.col("__y")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (picks.groupBy("q")
+            .agg(pick(arms[0]).alias("__ya"), pick(arms[1]).alias("__yb"))
+            .select("q", r6(F.col("__ya")).alias("y_a"),
+                    r6(F.col("__yb")).alias("y_b"),
+                    r6(F.col("__yb") - F.col("__ya")).alias("qte"))
+            .orderBy("q"))

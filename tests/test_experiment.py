@@ -1139,3 +1139,93 @@ def test_offline_policy_value_rejects_bad_propensity(spark):
                                "logged string, target string, r double")
     with pytest.raises(ValueError, match="propensity"):
         offline_policy_value(df, "logged", "target", "r", propensity=0.0)
+
+
+# ---------------------------------------------------------------------------
+# welch_t_test / mann_whitney_u / quantile_treatment_effects
+# ---------------------------------------------------------------------------
+
+def test_welch_t_matches_closed_form(spark):
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.experiment import welch_t_test
+
+    a = [float((i * 7) % 13) for i in range(30)]
+    b = [float((i * 5) % 11) + 2.0 for i in range(40)]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    out = welch_t_test(df, "arm", "y").collect()[0]
+    xa, xb = np.array(a), np.array(b)
+    qa, qb = xa.var(ddof=1) / len(a), xb.var(ddof=1) / len(b)
+    t = (xa.mean() - xb.mean()) / math.sqrt(qa + qb)
+    dof = (qa + qb) ** 2 / (qa ** 2 / (len(a) - 1) + qb ** 2 / (len(b) - 1))
+    assert (out["n_a"], out["n_b"]) == (30, 40)
+    assert abs(out["t"] - round(t, 6)) < 1e-9
+    assert abs(out["df"] - round(dof, 6)) < 1e-9
+    p = math.erfc(abs(t) / math.sqrt(2.0))
+    assert abs(out["p_approx"] - p) < 1e-5
+
+
+def test_mann_whitney_matches_scipy_formulas(spark):
+    """U, tie-corrected z and p equal the textbook formulas computed in
+    pure Python (with average ranks) on data WITH ties."""
+    from hazelcast_jet_spark.operators.experiment import mann_whitney_u
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 7.0]
+    b = [2.0, 4.0, 5.0, 6.0, 6.0, 8.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    out = mann_whitney_u(df, "arm", "y", arms=("A", "B")).collect()[0]
+
+    pooled = sorted(a + b)
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    ra = sum(ranks[v] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2.0
+    ties = {}
+    for v in pooled:
+        ties[v] = ties.get(v, 0) + 1
+    tie_sum = sum(t ** 3 - t for t in ties.values())
+    var = (na * nb / 12.0) * ((n + 1) - tie_sum / (n * (n - 1.0)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    assert (out["n_a"], out["n_b"]) == (na, nb)
+    assert abs(out["u_a"] - round(u, 6)) < 1e-9
+    assert abs(out["z"] - round(z, 6)) < 1e-9
+    assert abs(out["p_approx"] - math.erfc(abs(z) / math.sqrt(2))) < 1e-5
+
+
+def test_mann_whitney_rejects_all_tied(spark):
+    from hazelcast_jet_spark.operators.experiment import mann_whitney_u
+
+    df = spark.createDataFrame([("A", 1.0), ("B", 1.0), ("A", 1.0)],
+                               "arm string, y double")
+    with pytest.raises(ValueError, match="tied"):
+        mann_whitney_u(df, "arm", "y", arms=("A", "B"))
+
+
+def test_quantile_treatment_effects_selection(spark):
+    """QTE picks the value at rank ceil(q*n) per arm; a constant +5
+    shift shows qte == 5 at every quantile."""
+    from hazelcast_jet_spark.operators.experiment import (
+        quantile_treatment_effects)
+
+    a = [float(v) for v in range(1, 21)]            # 1..20
+    b = [v + 5.0 for v in a]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, y double")
+    out = {r["q"]: r for r in
+           quantile_treatment_effects(df, "arm", "y",
+                                      arms=("A", "B")).collect()}
+    for q, r in out.items():
+        k = max(1, math.ceil(q * 20))
+        assert r["y_a"] == float(k)
+        assert r["y_b"] == float(k) + 5.0
+        assert r["qte"] == 5.0

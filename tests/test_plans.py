@@ -991,3 +991,27 @@ def test_offline_policy_single_event_scan(spark, sf_dir):
     plan = _plan(entry_mod.offline_policy_events(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_welch_t_returns_local_relation(spark, sf_dir):
+    """welch_t gate: execute-once — the returned plan is a local
+    relation (the ab_proportion_test discipline)."""
+    plan = _plan(entry_mod.welch_t_orders(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_mann_whitney_returns_local_relation(spark, sf_dir):
+    """mann_whitney gate: the distinct-value rollup + window execute
+    once at build; the returned plan is a local relation."""
+    plan = _plan(entry_mod.mann_whitney_orders(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_qte_single_scan(spark, sf_dir):
+    """qte gate: one orders scan; the quantile explode multiplies the
+    ranked rows in-plan, never rescans."""
+    plan = _plan(entry_mod.qte_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "CartesianProduct" not in plan

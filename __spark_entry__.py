@@ -6374,6 +6374,59 @@ def qte_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       arms=("A", "B"))
 
 
+def median_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free median CI per order priority
+    (profile.median_ci): the order-statistic interval that needs no
+    variance estimate or normality — the robust companion to
+    q:percentile_stats.  Pure rank selection (engine-exact) on one
+    per-group ordering window over the (priority, price) projection."""
+    from hazelcast_jet_spark.operators.profile import median_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return median_ci(o, "o_totalprice", ["o_orderpriority"])
+
+
+def capture_recapture_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture universe estimate
+    (profile.capture_recapture; Chapman 1951): users observed in the
+    first vs second half of the log as the two capture windows —
+    "how many users exist that we never logged?" — the statistical
+    twin of q:hll_overlap_events' sketch arithmetic, with a standard
+    error.  Equal-catchability caveat documented (heavy users are in
+    both windows, biasing N̂ low).  One distinct compaction + one 1-row
+    aggregate; the horizon midpoint is a broadcast scalar."""
+    from hazelcast_jet_spark.operators.profile import capture_recapture
+
+    e = _t(spark, sf_dir, "events")
+    ends = e.agg(F.min(F.to_date("ts")).alias("__lo"),
+                 F.max(F.to_date("ts")).alias("__hi"))
+    mid = F.date_add("__lo", F.floor(F.datediff("__hi", "__lo")
+                                     / F.lit(2)).cast("int"))
+    base = (e.crossJoin(F.broadcast(ends))
+            .select("user_id",
+                    (F.to_date("ts") <= mid).alias("__a"),
+                    (F.to_date("ts") > mid).alias("__b")))
+    return capture_recapture(base, "user_id", F.col("__a"), F.col("__b"))
+
+
+PK_SEED = "pk9"
+
+
+def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The peeking curve (experiment.peeking_trace): the two-proportion
+    purchase z-statistic recomputed after every day of the md5
+    experiment — the visual proof that daily significance checks
+    inflate false positives (each ±1.96 crossing is a would-have-
+    stopped-early event), the reason q:fdr_bh_events corrects across
+    metrics and horizons are pre-registered.  One per-user rollup
+    (checkpointed), cumulative windows on the day grid."""
+    from hazelcast_jet_spark.operators.experiment import peeking_trace
+
+    e = _t(spark, sf_dir, "events")
+    return peeking_trace(e, "user_id", "ts", "event_type", "purchase",
+                         seed=PK_SEED)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6401,6 +6454,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "welch_t_orders",
     "mann_whitney_orders",
     "qte_orders",
+    "median_ci_orders",
+    "capture_recapture_events",
+    "peeking_trace_events",
 )
 
 
@@ -6746,6 +6802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t_orders": welch_t_orders,
         "mann_whitney_orders": mann_whitney_orders,
         "qte_orders": qte_orders,
+        "median_ci_orders": median_ci_orders,
+        "capture_recapture_events": capture_recapture_events,
+        "peeking_trace_events": peeking_trace_events,
     }
 
 
@@ -15063,6 +15122,158 @@ def oracle_sql() -> dict[str, str]:
                          - MAX(CASE WHEN arm = 'A' THEN y END), 6) + 0.0
                        AS qte
             FROM picks GROUP BY q ORDER BY q
+        """,
+        "median_ci_orders": """
+            WITH ranked AS (
+                SELECT o_orderpriority AS g,
+                       CAST(o_totalprice AS DOUBLE) AS v,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY CAST(o_totalprice AS DOUBLE)) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM orders
+            ), bounds AS (
+                SELECT g, v, rn, n,
+                       greatest(CAST(1 AS BIGINT),
+                           CAST(floor(CAST(n AS DOUBLE) / 2.0
+                               - 1.9599639845400545
+                                 * sqrt(CAST(n AS DOUBLE)) / 2.0)
+                               AS BIGINT)) AS lo_rank,
+                       least(n,
+                           CAST(ceil(CAST(n AS DOUBLE) / 2.0
+                               + 1.9599639845400545
+                                 * sqrt(CAST(n AS DOUBLE)) / 2.0)
+                               AS BIGINT) + 1) AS hi_rank,
+                       CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)
+                           AS med_rank
+                FROM ranked
+            )
+            SELECT g AS o_orderpriority, MAX(n) AS n,
+                   round(MAX(CASE WHEN rn = med_rank THEN v END), 6)
+                       + 0.0 AS median,
+                   round(MAX(CASE WHEN rn = lo_rank THEN v END), 6)
+                       + 0.0 AS ci_lo,
+                   round(MAX(CASE WHEN rn = hi_rank THEN v END), 6)
+                       + 0.0 AS ci_hi
+            FROM bounds GROUP BY 1 ORDER BY 1
+        """,
+        "capture_recapture_events": """
+            WITH ends AS (
+                SELECT CAST(min(ts) AS DATE) AS lo,
+                       CAST(max(ts) AS DATE) AS hi
+                FROM events
+            ), base AS (
+                SELECT user_id,
+                       CAST(ts AS DATE)
+                           <= lo + CAST(floor(
+                               CAST(datediff('day', lo, hi) AS DOUBLE)
+                               / 2.0) AS INT) AS a,
+                       CAST(ts AS DATE)
+                           > lo + CAST(floor(
+                               CAST(datediff('day', lo, hi) AS DOUBLE)
+                               / 2.0) AS INT) AS b
+                FROM events CROSS JOIN ends
+            ), per AS (
+                SELECT user_id, max(a) AS ia, max(b) AS ib
+                FROM base GROUP BY 1
+                HAVING max(a) OR max(b)
+            ), agg AS (
+                SELECT CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN ib THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b,
+                       CAST(SUM(CASE WHEN ia AND ib THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_both,
+                       count(*) AS n_observed
+                FROM per
+            )
+            SELECT n_a, n_b, n_both, n_observed,
+                   round((CAST(n_a AS DOUBLE) + 1.0)
+                         * (CAST(n_b AS DOUBLE) + 1.0)
+                         / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 6)
+                       + 0.0 AS n_hat,
+                   round(sqrt((CAST(n_a AS DOUBLE) + 1.0)
+                         * (CAST(n_b AS DOUBLE) + 1.0)
+                         * (CAST(n_a AS DOUBLE)
+                            - CAST(n_both AS DOUBLE))
+                         * (CAST(n_b AS DOUBLE)
+                            - CAST(n_both AS DOUBLE))
+                         / ((CAST(n_both AS DOUBLE) + 1.0)
+                            * (CAST(n_both AS DOUBLE) + 1.0)
+                            * (CAST(n_both AS DOUBLE) + 2.0))), 6)
+                       + 0.0 AS se
+            FROM agg
+        """,
+        "peeking_trace_events": f"""
+            WITH pu AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS fa,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END) AS fc
+                FROM events GROUP BY 1
+            ), au AS (
+                SELECT fa, fc,
+                       CASE WHEN substr(md5('{PK_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM pu
+            ), ends AS (
+                SELECT min(fa) AS lo,
+                       max(greatest(fa, COALESCE(fc, fa))) AS hi
+                FROM au
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                FROM ends
+            ), daily AS (
+                SELECT fa AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ea,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS eb
+                FROM au GROUP BY 1
+            ), convs AS (
+                SELECT fc AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+                FROM au WHERE fc IS NOT NULL GROUP BY 1
+            ), cum AS (
+                SELECT g.day,
+                       CAST(SUM(COALESCE(d.ea, 0)) OVER w AS BIGINT)
+                           AS n_a,
+                       CAST(SUM(COALESCE(d.eb, 0)) OVER w AS BIGINT)
+                           AS n_b,
+                       CAST(SUM(COALESCE(c.ca, 0)) OVER w AS BIGINT)
+                           AS conv_a,
+                       CAST(SUM(COALESCE(c.cb, 0)) OVER w AS BIGINT)
+                           AS conv_b
+                FROM grid g
+                LEFT JOIN daily d ON g.day = d.day
+                LEFT JOIN convs c ON g.day = c.day
+                WINDOW w AS (ORDER BY g.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ), zz AS (
+                SELECT day, n_a, n_b, conv_a, conv_b,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                                 AND CAST(conv_a + conv_b AS DOUBLE)
+                                     / CAST(n_a + n_b AS DOUBLE) > 0.0
+                                 AND CAST(conv_a + conv_b AS DOUBLE)
+                                     / CAST(n_a + n_b AS DOUBLE) < 1.0
+                            THEN (CAST(conv_a AS DOUBLE)
+                                  / CAST(n_a AS DOUBLE)
+                                  - CAST(conv_b AS DOUBLE)
+                                    / CAST(n_b AS DOUBLE))
+                                 / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                                         / CAST(n_a + n_b AS DOUBLE)
+                                         * (1.0 - CAST(conv_a + conv_b
+                                                       AS DOUBLE)
+                                            / CAST(n_a + n_b AS DOUBLE)))
+                                        * (1.0 / CAST(n_a AS DOUBLE)
+                                           + 1.0 / CAST(n_b AS DOUBLE)))
+                       END AS z
+                FROM cum
+            )
+            SELECT day, n_a, n_b, conv_a, conv_b,
+                   round(z, 6) + 0.0 AS z,
+                   COALESCE(abs(z) > 1.96, false) AS significant
+            FROM zz ORDER BY day
         """,
     }
     # the streaming lead-lag twin shares the batch tail arithmetic, so

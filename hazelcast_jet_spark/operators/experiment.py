@@ -719,3 +719,76 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
                     r6(F.col("__yb")).alias("y_b"),
                     r6(F.col("__yb") - F.col("__ya")).alias("qte"))
             .orderBy("q"))
+
+
+def peeking_trace(events: DataFrame, user_col: str, time_col: str,
+                  type_col: str, conversion_type: str,
+                  seed: str = "ab1",
+                  round_digits: int = 6) -> DataFrame:
+    """The PEEKING trace: the two-proportion z statistic recomputed
+    after every day of an experiment — the curve that shows why
+    checking a fixed-horizon test daily inflates false positives (the
+    z wanders across ±1.96 long before the planned horizon; each
+    crossing is a would-have-stopped-early event).  Emit it next to
+    the single end-of-experiment readout so dashboard consumers SEE
+    the multiplicity; pair with :func:`fdr_bh` across metrics and a
+    pre-registered horizon across time.
+
+    Units enter at their first event day (denominator grows daily) and
+    convert at their first ``conversion_type`` day.  Cumulative counts
+    are suffix-exact: one per-user rollup, one per-(day, arm) count of
+    entries and conversions, running sums over the complete day grid.
+    z is NULL on degenerate days (either arm empty, pooled rate 0 or
+    1).
+
+    Returns ``(day, n_a, n_b, conv_a, conv_b, z, significant)``
+    ordered by day — ``significant`` = |z| > 1.96.
+    """
+    from pyspark.sql import Window
+
+    day = F.to_date(time_col)
+    per_user = (events.groupBy(user_col)
+                .agg(F.min(day).alias("__fa"),
+                     F.min(F.when(F.col(type_col) == conversion_type,
+                                  day)).alias("__fc"))
+                .withColumn("__arm", ab_assign(F.col(user_col), seed))
+                .localCheckpoint(eager=True))
+    ends = per_user.agg(F.min("__fa").alias("__lo"),
+                        F.max(F.greatest("__fa", F.coalesce("__fc", "__fa")))
+                        .alias("__hi"))
+    grid = ends.select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
+    is_a = (F.col("__arm") == "A").cast("bigint")
+    daily = (per_user.groupBy(F.col("__fa").alias("day"))
+             .agg(F.sum(is_a).alias("__ea"),
+                  F.sum(F.lit(1) - is_a).alias("__eb")))
+    convs = (per_user.filter(F.col("__fc").isNotNull())
+             .groupBy(F.col("__fc").alias("day"))
+             .agg(F.sum(is_a).alias("__ca"),
+                  F.sum(F.lit(1) - is_a).alias("__cb")))
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (grid.join(daily, "day", "left").join(convs, "day", "left")
+           .select("day",
+                   F.sum(F.coalesce("__ea", F.lit(0))).over(w_cum)
+                   .alias("n_a"),
+                   F.sum(F.coalesce("__eb", F.lit(0))).over(w_cum)
+                   .alias("n_b"),
+                   F.sum(F.coalesce("__ca", F.lit(0))).over(w_cum)
+                   .alias("conv_a"),
+                   F.sum(F.coalesce("__cb", F.lit(0))).over(w_cum)
+                   .alias("conv_b")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"))
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
+               & (pool > 0.0) & (pool < 1.0),
+               (pa - pb) / F.sqrt(pool * (F.lit(1.0) - pool)
+                                  * (F.lit(1.0) / na + F.lit(1.0) / nb)))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (cum.select("day", "n_a", "n_b", "conv_a", "conv_b",
+                       r6(z).alias("z"),
+                       F.coalesce(F.abs(z) > 1.96, F.lit(False))
+                       .alias("significant"))
+            .orderBy("day"))

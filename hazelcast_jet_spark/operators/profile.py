@@ -1938,3 +1938,106 @@ def dp_laplace_noise(key: Column, epsilon: float,
     centered = (h + F.lit(0.5)) / F.lit(_DP_SPACE) - F.lit(0.5)
     return (F.lit(-1.0 / epsilon) * F.signum(centered)
             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)))
+
+
+def median_ci(df: DataFrame, value_col: str,
+              group_cols: list[str] | None = None,
+              z: float = 1.9599639845400545,
+              round_digits: int = 6) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN via order
+    statistics (the binomial/sign-test construction, normal-
+    approximated): with n sorted values, the interval
+
+        [ x_(l) , x_(u) ],  l = ⌊n/2 − z·√n/2⌋,  u = ⌈n/2 + z·√n/2⌉ + 1
+
+    covers the true median with ≈95% confidence (z=1.96) for ANY
+    continuous distribution — no variance estimate, no normality
+    assumption; the robust companion to a mean ± t·se readout.
+
+    Everything is rank SELECTION on integer bounds (engine-exact): one
+    ordering window per group over the scalar (group, value)
+    projection, ranks compared against the closed-form bounds.  The
+    median itself is the lower median (rank ⌈n/2⌉ — the
+    theil_sen_trend convention).
+
+    Returns ``(group_cols..., n, median, ci_lo, ci_hi)`` ordered by
+    group.
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    wpart = (Window.partitionBy(*gcols) if gcols
+             else Window.partitionBy())
+    w_rank = wpart.orderBy(F.col("__v"))
+    w_all = wpart.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    nd = F.col("__n").cast("double")
+    half = nd / F.lit(2.0)
+    spread = F.lit(float(z)) * F.sqrt(nd) / F.lit(2.0)
+    lo_rank = F.greatest(F.lit(1).cast("bigint"),
+                         F.floor(half - spread))
+    hi_rank = F.least(F.col("__n"),
+                      F.ceil(half + spread) + F.lit(1))
+    med_rank = F.ceil(nd / F.lit(2.0))
+    ranked = (df.select(*gcols, v.alias("__v"))
+              .withColumn("__rn", F.row_number().over(w_rank))
+              .withColumn("__n", F.count(F.lit(1)).over(w_all)))
+    pick = lambda rank_expr: F.max(  # noqa: E731
+        F.when(F.col("__rn") == rank_expr, F.col("__v")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    out = (ranked.groupBy(*gcols)
+           .agg(F.max("__n").alias("n"),
+                pick(med_rank).alias("__med"),
+                pick(lo_rank).alias("__lo"),
+                pick(hi_rank).alias("__hi"))
+           .select(*gcols, "n", r6(F.col("__med")).alias("median"),
+                   r6(F.col("__lo")).alias("ci_lo"),
+                   r6(F.col("__hi")).alias("ci_hi")))
+    return out.orderBy(*gcols) if gcols else out
+
+
+def capture_recapture(df: DataFrame, key_col: str, in_a: Column,
+                      in_b: Column,
+                      round_digits: int = 6) -> DataFrame:
+    """Chapman's capture-recapture population estimate (Chapman 1951;
+    the bias-corrected Lincoln-Petersen index): from two overlapping
+    observation windows A and B over the same population,
+
+        N̂  = (n_A + 1)(n_B + 1) / (m + 1) − 1
+        var = (n_A+1)(n_B+1)(n_A−m)(n_B−m) / ((m+1)²(m+2))
+
+    with ``m`` the keys seen in BOTH — the "how many users exist that
+    we have never observed?" estimator (census undercount, dedup
+    universe sizing) that works when you cannot enumerate the
+    population.  Assumes equal catchability across windows —
+    documented, as ever violated in practice (heavy users are caught
+    in both), which biases N̂ low.
+
+    ONE distinct-compaction aggregate (key, seen_a, seen_b) then a
+    1-row count aggregate; the estimate is closed-form doubles on
+    exact BIGINTs.
+
+    Returns ONE row ``(n_a, n_b, n_both, n_observed, n_hat, se)``.
+    """
+    per = (df.select(F.col(key_col).alias("__k"),
+                     in_a.cast("boolean").alias("__a"),
+                     in_b.cast("boolean").alias("__b"))
+           .groupBy("__k")
+           .agg(F.max("__a").alias("__ia"), F.max("__b").alias("__ib"))
+           .filter(F.col("__ia") | F.col("__ib")))
+    agg = per.agg(
+        F.sum(F.col("__ia").cast("bigint")).alias("n_a"),
+        F.sum(F.col("__ib").cast("bigint")).alias("n_b"),
+        F.sum((F.col("__ia") & F.col("__ib")).cast("bigint"))
+        .alias("n_both"),
+        F.count(F.lit(1)).alias("n_observed"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    m = F.col("n_both").cast("double")
+    n_hat = ((na + 1.0) * (nb + 1.0) / (m + 1.0)) - 1.0
+    var = ((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+           / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return agg.select("n_a", "n_b", "n_both", "n_observed",
+                      r6(n_hat).alias("n_hat"),
+                      r6(F.sqrt(var)).alias("se"))

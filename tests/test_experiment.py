@@ -1229,3 +1229,105 @@ def test_quantile_treatment_effects_selection(spark):
         assert r["y_a"] == float(k)
         assert r["y_b"] == float(k) + 5.0
         assert r["qte"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# median_ci / capture_recapture / peeking_trace
+# ---------------------------------------------------------------------------
+
+def test_median_ci_order_statistics(spark):
+    from hazelcast_jet_spark.operators.profile import median_ci
+
+    vals = sorted(float((i * 37) % 101) for i in range(81))
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = median_ci(df, "v").collect()[0]
+    n = len(vals)
+    z = 1.9599639845400545
+    lo = max(1, math.floor(n / 2.0 - z * math.sqrt(n) / 2.0))
+    hi = min(n, math.ceil(n / 2.0 + z * math.sqrt(n) / 2.0) + 1)
+    med = vals[math.ceil(n / 2.0) - 1]
+    assert r["n"] == n
+    assert r["median"] == med
+    assert r["ci_lo"] == vals[lo - 1] and r["ci_hi"] == vals[hi - 1]
+    assert r["ci_lo"] <= r["median"] <= r["ci_hi"]
+
+
+def test_median_ci_grouped(spark):
+    from hazelcast_jet_spark.operators.profile import median_ci
+
+    rows = [("g1", float(v)) for v in range(1, 10)] + \
+           [("g2", float(v * 10)) for v in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in median_ci(df, "v", ["g"]).collect()}
+    assert out["g1"]["median"] == 5.0
+    assert out["g2"]["median"] == 30.0
+
+
+def test_capture_recapture_chapman(spark):
+    """Chapman estimate on a known universe: 100 keys, window A sees
+    keys 0-59, window B sees 40-89 -> m=20, N_hat ~ 185 (estimator
+    sees only the union; the formula is checked exactly)."""
+    from hazelcast_jet_spark.operators.profile import capture_recapture
+
+    rows = []
+    for k in range(90):
+        rows.append((k, k < 60, 40 <= k))
+    df = spark.createDataFrame(rows, "k long, a boolean, b boolean")
+    r = capture_recapture(df, "k", F.col("a"), F.col("b")).collect()[0]
+    na, nb, m = 60, 50, 20
+    n_hat = (na + 1) * (nb + 1) / (m + 1) - 1
+    var = ((na + 1) * (nb + 1) * (na - m) * (nb - m)
+           / ((m + 1) ** 2 * (m + 2)))
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_observed"]) == \
+        (na, nb, m, 90)
+    assert abs(r["n_hat"] - round(n_hat, 6)) < 1e-9
+    assert abs(r["se"] - round(math.sqrt(var), 6)) < 1e-9
+
+
+def test_peeking_trace_cumulative_counts_and_z(spark):
+    """Cumulative denominators/numerators equal the hand fold; z is
+    NULL before both arms exist and matches the closed form after."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          peeking_trace)
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 0..19 enter on day (u % 5); user converts on entry_day + 2
+    # if u % 3 == 0
+    for u in range(20):
+        d = u % 5
+        rows.append((eid, u, t0 + dt.timedelta(days=d), "view")); eid += 1
+        if u % 3 == 0:
+            rows.append((eid, u, t0 + dt.timedelta(days=d + 2),
+                         "purchase")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, "
+              "event_type string")
+    out = {str(r["day"]): r for r in
+           peeking_trace(df, "user_id", "ts", "event_type",
+                         "purchase", seed="pt1").collect()}
+    import hashlib as hl
+    arm = {u: ("A" if hl.md5(f"pt1-{u}".encode()).hexdigest()[0] < "8"
+               else "B") for u in range(20)}
+    for day_off in range(7):
+        day = str((t0 + dt.timedelta(days=day_off)).date())
+        ents = {a: sum(1 for u in range(20)
+                       if u % 5 <= day_off and arm[u] == a)
+                for a in "AB"}
+        convs = {a: sum(1 for u in range(20)
+                        if u % 3 == 0 and u % 5 + 2 <= day_off
+                        and arm[u] == a) for a in "AB"}
+        r = out[day]
+        assert (r["n_a"], r["n_b"]) == (ents["A"], ents["B"])
+        assert (r["conv_a"], r["conv_b"]) == (convs["A"], convs["B"])
+        na, nb = ents["A"], ents["B"]
+        ca, cb = convs["A"], convs["B"]
+        if na and nb and 0 < ca + cb < na + nb:
+            pool = (ca + cb) / (na + nb)
+            z = (ca / na - cb / nb) / math.sqrt(
+                pool * (1 - pool) * (1 / na + 1 / nb))
+            assert abs(r["z"] - round(z, 6)) < 1e-9
+            assert r["significant"] == (abs(z) > 1.96)
+        else:
+            assert r["z"] is None and r["significant"] is False

@@ -1015,3 +1015,28 @@ def test_qte_single_scan(spark, sf_dir):
     plan = _plan(entry_mod.qte_orders(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_median_ci_single_scan_selection(spark, sf_dir):
+    """median_ci gate: one orders scan; rank selection per group, no
+    joins."""
+    plan = _plan(entry_mod.median_ci_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_capture_recapture_broadcast_horizon(spark, sf_dir):
+    """capture-recapture gate: the horizon midpoint is a 1-row
+    broadcast (the kaplan_meier shape); one distinct compaction."""
+    plan = _plan(entry_mod.capture_recapture_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peeking_trace_checkpointed_rollup(spark, sf_dir):
+    """peeking gate: the per-user rollup is checkpointed — the
+    returned plan's grid/daily/conversion branches read the bounded
+    table, zero parquet scans downstream."""
+    plan = _plan(entry_mod.peeking_trace_events(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan

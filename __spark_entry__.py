@@ -6427,6 +6427,20 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+def growth_accounting_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (timeseries.growth_accounting): the
+    new/retained/resurrected/churned decomposition behind every DAU
+    dashboard — active = new + retained + resurrected and churned(w) =
+    active(w−1) − retained(w) by identity; q:new_vs_returning_events
+    only splits new/old, this closes the loop with churn and
+    resurrection.  One distinct (user, week) compaction, one per-user
+    lag window, churn identity on the complete week grid."""
+    from hazelcast_jet_spark.operators.timeseries import growth_accounting
+
+    e = _t(spark, sf_dir, "events")
+    return growth_accounting(e, "user_id", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6457,6 +6471,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "median_ci_orders",
     "capture_recapture_events",
     "peeking_trace_events",
+    "growth_accounting_events",
 )
 
 
@@ -6805,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_ci_orders": median_ci_orders,
         "capture_recapture_events": capture_recapture_events,
         "peeking_trace_events": peeking_trace_events,
+        "growth_accounting_events": growth_accounting_events,
     }
 
 
@@ -15274,6 +15290,50 @@ def oracle_sql() -> dict[str, str]:
                    round(z, 6) + 0.0 AS z,
                    COALESCE(abs(z) > 1.96, false) AS significant
             FROM zz ORDER BY day
+        """,
+        "growth_accounting_events": """
+            WITH base AS (
+                SELECT DISTINCT
+                       CAST(floor(CAST(datediff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE)) AS DOUBLE) / 7.0) AS BIGINT)
+                           AS week,
+                       user_id AS u
+                FROM events
+            ), flagged AS (
+                SELECT week, u,
+                       lag(week) OVER (PARTITION BY u ORDER BY week)
+                           AS prev
+                FROM base
+            ), weekly AS (
+                SELECT week, count(*) AS n_active,
+                       CAST(SUM(CASE WHEN prev IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_new,
+                       CAST(SUM(CASE WHEN prev = week - 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_retained
+                FROM flagged GROUP BY 1
+            ), ends AS (
+                SELECT min(week) AS lo, max(week) AS hi FROM weekly
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+                           AS week
+                FROM ends
+            ), full_g AS (
+                SELECT g.week,
+                       COALESCE(w.n_active, 0) AS n_active,
+                       COALESCE(w.n_new, 0) AS n_new,
+                       COALESCE(w.n_retained, 0) AS n_retained,
+                       COALESCE(w.n_active, 0) - COALESCE(w.n_new, 0)
+                           - COALESCE(w.n_retained, 0) AS n_resurrected
+                FROM grid g LEFT JOIN weekly w ON g.week = w.week
+            )
+            SELECT week, CAST(n_active AS BIGINT) AS n_active,
+                   n_new, n_retained,
+                   CAST(n_resurrected AS BIGINT) AS n_resurrected,
+                   CAST(COALESCE(lag(n_active) OVER (ORDER BY week), 0)
+                        - n_retained AS BIGINT) AS n_churned
+            FROM full_g ORDER BY week
         """,
     }
     # the streaming lead-lag twin shares the batch tail arithmetic, so

@@ -513,7 +513,8 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
 
 def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
                             max_degree: int = 256,
-                            round_digits: int = 6) -> DataFrame:
+                            round_digits: int = 6,
+                            materialize: bool = True) -> DataFrame:
     """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
     2003): for non-adjacent pairs sharing neighbors, score
     ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|`` — the "customers who bought these
@@ -538,7 +539,10 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
     Returns the ``top_k`` rows ``(src, dst, n_common, jaccard)`` by
     (jaccard desc, src, dst) — deterministic, materialized eagerly
     (bounded: ``top_k`` rows) so the persisted wedge-center table can be
-    unpersisted before returning.
+    unpersisted before returning.  ``materialize=False`` returns the
+    LAZY plan instead (no persist, no checkpoint — the center table
+    recomputes once per wedge leg): for plan inspection or composition
+    into a larger lazily-executed pipeline.
     """
     canon = (edges.select(F.least("src", "dst").alias("src"),
                           F.greatest("src", "dst").alias("dst"))
@@ -550,9 +554,10 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
         F.count(F.lit(1)).alias("degree"))
     # hub filter: AQE sizes the eligible-node side at runtime (broadcast
     # when small); persisted because BOTH wedge legs read it
-    centers = (both.join(deg.filter(F.col("degree") <= max_degree)
-                         .select(F.col("node").alias("src")), "src")
-               .persist())
+    centers = both.join(deg.filter(F.col("degree") <= max_degree)
+                        .select(F.col("node").alias("src")), "src")
+    if materialize:
+        centers = centers.persist()
     a = centers.select(F.col("src").alias("__w"), F.col("dst").alias("a"))
     b = centers.select(F.col("src").alias("__w"), F.col("dst").alias("b"))
     # the wedge self-join is |edges|-sized on BOTH sides — force the
@@ -576,10 +581,12 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
                                / (F.col("__da") + F.col("__db")
                                   - F.col("n_common")).cast("double"),
                                round_digits) + F.lit(0.0)).alias("jaccard")))
+    out = scored.orderBy(F.desc("jaccard"), "src", "dst").limit(top_k)
+    if not materialize:
+        return out
     # materialize the bounded result (top_k rows) so the persisted
     # centers table can be released instead of leaking executor storage
     # across repeated invocations in a long session (ADVICE r8)
-    out = (scored.orderBy(F.desc("jaccard"), "src", "dst").limit(top_k)
-           .localCheckpoint())
+    out = out.localCheckpoint()
     centers.unpersist()
     return out

@@ -2052,3 +2052,62 @@ def ltv_cohorts(df: DataFrame, key_col: str, time_col: str,
                        / F.col("__cohort_size").cast("double"))
                     .alias("cum_value_per_member"))
             .orderBy("cohort_month", "age_months"))
+
+
+def growth_accounting(df: DataFrame, key_col: str = "user_id",
+                      time_col: str = "ts") -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    decomposition popularized by the Social Capital "growth
+    accounting" framework): per epoch week,
+
+        new         = first-ever-active this week
+        retained    = active this week AND last week
+        resurrected = active this week, seen before, NOT last week
+        churned(w)  = active(w−1) − retained(w)   (the exact identity)
+
+    so ``active(w) = new + retained + resurrected`` and net growth =
+    new + resurrected − churned — the full engine behind a DAU/WAU
+    dashboard, where :func:`new_vs_returning` only splits new/old.
+
+    One distinct (user, week) compaction (the only full-data pass),
+    one per-user lag window on it, one per-week rollup, then the
+    churn identity on the complete week grid (weeks with zero actives
+    still report the churn from the week before).  Exact counts only.
+
+    Returns ``(week, n_active, n_new, n_retained, n_resurrected,
+    n_churned)`` ordered by week.
+    """
+    day = F.datediff(F.to_date(time_col), F.lit("1970-01-01").cast("date"))
+    base = (df.select(F.floor(day / F.lit(7)).cast("bigint").alias("week"),
+                      F.col(key_col).alias("__u"))
+            .distinct())
+    w_user = Window.partitionBy("__u").orderBy("week")
+    flagged = (base
+               .withColumn("__prev", F.lag("week").over(w_user))
+               .withColumn("__new", F.col("__prev").isNull())
+               .withColumn("__ret", F.col("__prev") == F.col("week") - 1))
+    weekly = (flagged.groupBy("week")
+              .agg(F.count(F.lit(1)).alias("n_active"),
+                   F.sum(F.col("__new").cast("bigint")).alias("n_new"),
+                   F.sum(F.coalesce(F.col("__ret"), F.lit(False))
+                         .cast("bigint")).alias("n_retained"))
+              .withColumn("n_resurrected",
+                          F.col("n_active") - F.col("n_new")
+                          - F.col("n_retained"))
+              .localCheckpoint(eager=True))
+    ends = weekly.agg(F.min("week").alias("__lo"),
+                      F.max("week").alias("__hi"))
+    grid = ends.select(F.explode(F.sequence("__lo", "__hi")).alias("week"))
+    w_lag = Window.orderBy("week")
+    full = (grid.join(weekly, "week", "left")
+            .select("week",
+                    F.coalesce("n_active", F.lit(0)).alias("n_active"),
+                    F.coalesce("n_new", F.lit(0)).alias("n_new"),
+                    F.coalesce("n_retained", F.lit(0))
+                    .alias("n_retained"),
+                    F.coalesce("n_resurrected", F.lit(0))
+                    .alias("n_resurrected")))
+    churn = (F.coalesce(F.lag("n_active").over(w_lag), F.lit(0))
+             - F.col("n_retained"))
+    return (full.withColumn("n_churned", churn)
+            .orderBy("week"))

@@ -792,14 +792,27 @@ def test_lpa_no_cartesian_bounded_joins(spark, sf_dir):
 
 
 def test_link_prediction_wedge_never_broadcast(spark, sf_dir):
-    """link-prediction gate: the |edges|-sized wedge self-join must take
-    the shuffle path (the static estimator under-sizes the aggregated
-    leg and a forced broadcast OOMs a default-memory driver); the
-    hub-filtered center table is persisted for its two wedge legs."""
-    plan = _plan(entry_mod.link_prediction_parts(spark, sf_dir))
+    """link-prediction: the |edges|-sized wedge self-join must take the
+    shuffle path (the static estimator under-sizes the aggregated leg
+    and a forced broadcast OOMs a default-memory driver).  The GATE
+    query returns an eagerly-materialized top-k (the r9 leak fix:
+    localCheckpoint then unpersist — its plan is an ExistingRDD by
+    design), so the join shape is pinned on the LAZY form via
+    materialize=False."""
+    from hazelcast_jet_spark.operators.graph import (
+        cooccurrence_edges, jaccard_link_prediction)
+    from hazelcast_jet_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group=entry_mod.LINKPRED_MAX_BASKET)
+    plan = _plan(jaccard_link_prediction(edges, top_k=20,
+                                         materialize=False))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan  # the hinted wedge join
-    assert "InMemoryTableScan" in plan  # persisted center table
+    # and the gate query's returned plan is the bounded materialization
+    gate = _plan(entry_mod.link_prediction_parts(spark, sf_dir))
+    assert "ExistingRDD" in gate or "LocalTableScan" in gate
 
 
 def test_ohlc_single_aggregate_no_window(spark, sf_dir):

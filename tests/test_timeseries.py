@@ -996,3 +996,40 @@ def test_ltv_cohorts_hand_example(spark):
     assert a1["cum_value_per_member"] == 30.0            # 60 / 2
     b0 = out[("2024-02-01", 0)]
     assert b0["n_active"] == 1 and b0["cum_value_per_member"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting
+# ---------------------------------------------------------------------------
+
+def test_growth_accounting_hand_example(spark):
+    """u1 active wks 0,1,3 (new, retained, resurrected); u2 active wk 0
+    only (new, then churned); u3 enters wk 1 (new). Identity
+    active = new + retained + resurrected holds; churn matches."""
+    from hazelcast_jet_spark.operators.timeseries import growth_accounting
+
+    t0 = dt.datetime(1970, 1, 1)
+
+    def ts(week, dow=0):
+        return t0 + dt.timedelta(days=week * 7 + dow)
+
+    rows = [(1, ts(0)), (1, ts(1)), (1, ts(3)),
+            (2, ts(0, 2)),
+            (3, ts(1))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    out = {r["week"]: r for r in
+           growth_accounting(df, "user_id", "ts").collect()}
+    assert len(out) == 4                                  # weeks 0..3
+    w0, w1, w2, w3 = (out[i] for i in range(4))
+    assert (w0["n_active"], w0["n_new"], w0["n_churned"]) == (2, 2, 0)
+    # wk1: u1 retained, u3 new; u2 churned (active w0, not w1-retained)
+    assert (w1["n_active"], w1["n_new"], w1["n_retained"],
+            w1["n_resurrected"], w1["n_churned"]) == (2, 1, 1, 0, 1)
+    # wk2: nobody active; churned = active(w1) - retained(w2) = 2
+    assert (w2["n_active"], w2["n_churned"]) == (0, 2)
+    # wk3: u1 resurrected (seen before, not last week)
+    assert (w3["n_active"], w3["n_new"], w3["n_retained"],
+            w3["n_resurrected"], w3["n_churned"]) == (1, 0, 0, 1, 0)
+    for r in out.values():
+        assert r["n_active"] == (r["n_new"] + r["n_retained"]
+                                 + r["n_resurrected"])

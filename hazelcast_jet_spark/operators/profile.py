@@ -1958,7 +1958,11 @@ def median_ci(df: DataFrame, value_col: str,
     ordering window per group over the scalar (group, value)
     projection, ranks compared against the closed-form bounds.  The
     median itself is the lower median (rank ⌈n/2⌉ — the
-    theil_sen_trend convention).
+    theil_sen_trend convention).  The window sorts each GROUP in one
+    task (parallelism = |groups|): past ~10⁸ rows per group swap the
+    selection for the two-phase exact bin scan
+    (:func:`weighted_percentiles`'s shape) — the 10× probe shows the
+    2.2× superlinear growth this caveat predicts.
 
     Returns ``(group_cols..., n, median, ci_lo, ci_hi)`` ordered by
     group.

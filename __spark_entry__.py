@@ -10,6 +10,7 @@ both engines hash the same values.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -6441,6 +6442,56 @@ def growth_accounting_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return growth_accounting(e, "user_id", "ts")
 
 
+SS_REL_LIFT = 0.05
+
+
+def sample_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment sizing (experiment.required_sample_size): the
+    per-arm n needed to detect a 5% relative lift of the observed
+    any-URGENT-order conversion baseline at α=.05 / power .80 — the
+    inverse of q:experiment_power_orders (that one: what could we see;
+    this one: what do we need).  One per-customer rollup + one
+    collected 1-row aggregate; closed-form on exact counts."""
+    from hazelcast_jet_spark.operators.experiment import required_sample_size
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(F.max((F.col("o_orderpriority") == "1-URGENT")
+                        .cast("int")).alias("conv")))
+    return required_sample_size(units, "conv", SS_REL_LIFT)
+
+
+def hurst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-range dependence screen (timeseries.hurst_exponent; Beran
+    1994 aggregated-variance method): H of the daily event-count
+    series per type — H≈.5 memoryless, H>.5 bursty load that stacks
+    up (don't trust a Poisson capacity model), H<.5 mean-reverting.
+    One daily rollup, one level explode over the bounded grid, OLS on
+    ≤5 points per key."""
+    from hazelcast_jet_spark.operators.timeseries import hurst_exponent
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(
+        F.col("event_type").alias("key"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return hurst_exponent(daily, "key", "day", "n")
+
+
+def tail_risk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-risk report (timeseries.tail_risk): p95 cutoff (VaR shape)
+    + expected shortfall of event value per type — the SLO pair a bare
+    p95 hides (how bad IS the tail once you're in it).  Cutoff and
+    tail membership are rank-based (ties cannot split engines); tail
+    mean is a DECIMAL-exact conditional aggregate."""
+    from hazelcast_jet_spark.operators.timeseries import tail_risk
+
+    e = _t(spark, sf_dir, "events")
+    return tail_risk(e.select(F.col("event_type").alias("key"), "value"),
+                     "key", "value", q=0.95)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6472,6 +6523,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "capture_recapture_events",
     "peeking_trace_events",
     "growth_accounting_events",
+    "sample_size_orders",
+    "hurst_events",
+    "tail_risk_events",
 )
 
 
@@ -6821,6 +6875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capture_recapture_events": capture_recapture_events,
         "peeking_trace_events": peeking_trace_events,
         "growth_accounting_events": growth_accounting_events,
+        "sample_size_orders": sample_size_orders,
+        "hurst_events": hurst_events,
+        "tail_risk_events": tail_risk_events,
     }
 
 
@@ -15334,6 +15391,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(lag(n_active) OVER (ORDER BY week), 0)
                         - n_retained AS BIGINT) AS n_churned
             FROM full_g ORDER BY week
+        """,
+        "sample_size_orders": f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       max(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM orders GROUP BY 1
+            ), agg AS (
+                SELECT count(*) AS n,
+                       CAST(SUM(conv) AS BIGINT) AS c
+                FROM u
+            ), st AS (
+                SELECT n,
+                       CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                       ({Z_ALPHA_SQL} + {Z_POWER_SQL})
+                       / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                          * {SS_REL_LIFT!r}) AS ratio
+                FROM agg
+            )
+            SELECT n AS n_units,
+                   round(p, 6) + 0.0 AS baseline_rate,
+                   round(p * (1.0 + {SS_REL_LIFT!r}), 6) + 0.0
+                       AS target_rate,
+                   CAST(ceil(2.0 * p * (1.0 - p) * (ratio * ratio))
+                        AS BIGINT) AS n_per_arm_required,
+                   CAST(NULL AS BIGINT) AS days_required
+            FROM st
+        """,
+        "hurst_events": f"""
+            WITH daily AS (
+                SELECT event_type AS key,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) AS BIGINT) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1, 2
+            ), lev AS (
+                SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS m
+            ), blocks AS (
+                SELECT d.key, l.m,
+                       CAST(floor(CAST(d.x AS DOUBLE)
+                                  / CAST(l.m AS DOUBLE)) AS BIGINT)
+                           AS b,
+                       CAST(SUM(CAST(d.y AS DECIMAL(38,12))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS bm
+                FROM daily d CROSS JOIN lev l
+                GROUP BY 1, 2, 3
+            ), per_level AS (
+                SELECT key, m, count(*) AS k,
+                       CAST(SUM(CAST(bm AS DECIMAL(38,12))) AS DOUBLE)
+                           AS s,
+                       CAST(SUM(CAST(bm * bm AS DECIMAL(38,12)))
+                            AS DOUBLE) AS ss
+                FROM blocks GROUP BY 1, 2
+            ), pts AS (
+                SELECT key,
+                       ln(CAST(m AS DOUBLE))
+                           / {math.log(2.0)!r} AS lx,
+                       CASE WHEN (ss - s * s / CAST(k AS DOUBLE))
+                                 / (CAST(k AS DOUBLE) - 1) > 0.0
+                            THEN ln((ss - s * s / CAST(k AS DOUBLE))
+                                    / (CAST(k AS DOUBLE) - 1))
+                                 / {math.log(2.0)!r}
+                       END AS ly
+                FROM per_level WHERE k >= 2
+            ), ols AS (
+                SELECT key, count(*) AS np,
+                       CAST(SUM(CAST(lx AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sx,
+                       CAST(SUM(CAST(ly AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sy,
+                       CAST(SUM(CAST(lx * ly AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(lx * lx AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxx
+                FROM pts WHERE ly IS NOT NULL GROUP BY 1
+            ), counts AS (
+                SELECT key, count(*) AS n_points FROM daily GROUP BY 1
+            )
+            SELECT c.key, c.n_points,
+                   round(1.0 + (CASE WHEN o.np >= 2
+                                AND CAST(o.np AS DOUBLE) * o.sxx
+                                    - o.sx * o.sx > 0.0
+                           THEN (CAST(o.np AS DOUBLE) * o.sxy
+                                 - o.sx * o.sy)
+                                / (CAST(o.np AS DOUBLE) * o.sxx
+                                   - o.sx * o.sx) END) / 2.0, 6) + 0.0
+                       AS hurst
+            FROM counts c LEFT JOIN ols o ON c.key = o.key
+            ORDER BY c.key
+        """,
+        "tail_risk_events": """
+            WITH ranked AS (
+                SELECT event_type AS key, CAST(value AS DOUBLE) AS v,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY CAST(value AS DOUBLE)) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            ), cut AS (
+                SELECT key, v, rn, n,
+                       greatest(CAST(1 AS BIGINT),
+                           CAST(ceil(0.95 * CAST(n AS DOUBLE))
+                                AS BIGINT)) AS c
+                FROM ranked
+            )
+            SELECT key, MAX(n) AS n,
+                   round(MAX(CASE WHEN rn = c THEN v END), 6) + 0.0
+                       AS var_q,
+                   round(CAST(SUM(CASE WHEN rn >= c
+                                  THEN CAST(v AS DECIMAL(38,9)) END)
+                              AS DOUBLE)
+                         / CAST(SUM(CASE WHEN rn >= c THEN 1 ELSE 0 END)
+                                AS DOUBLE), 6) + 0.0 AS es_q,
+                   CAST(SUM(CASE WHEN rn >= c THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tail_n
+            FROM cut GROUP BY 1 ORDER BY 1
         """,
     }
     # the streaming lead-lag twin shares the batch tail arithmetic, so

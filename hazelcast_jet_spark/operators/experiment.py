@@ -792,3 +792,53 @@ def peeking_trace(events: DataFrame, user_col: str, time_col: str,
                        F.coalesce(F.abs(z) > 1.96, F.lit(False))
                        .alias("significant"))
             .orderBy("day"))
+
+
+def required_sample_size(units: DataFrame, converted_col: str,
+                         rel_lift: float,
+                         units_per_day: float | None = None,
+                         z_alpha: float = Z_ALPHA_0_05,
+                         z_power: float = Z_POWER_0_80,
+                         round_digits: int = 6) -> DataFrame:
+    """Pre-experiment sample-size calculator: the per-arm n needed to
+    detect a ``rel_lift`` relative change of the CURRENT baseline rate
+    at two-sided α=0.05 / power 0.80 — the inverse of
+    :func:`ab_power_mde` (that one asks "what could we see at the n we
+    have", this asks "what n do we need for the lift we care about"):
+
+        n_per_arm = 2 · p̂(1−p̂) · ((z_{α/2} + z_β) / (p̂·lift))²
+
+    plus, when the caller passes the observed ``units_per_day``, the
+    runway in days to fill BOTH arms — so the answer is a date, not
+    just a number.
+
+    ONE aggregate over the unit table (exact BIGINT count +
+    conversions), collected once; closed-form doubles (explicit
+    multiplies — pow is not correctly rounded); local-relation result.
+
+    Returns ONE row ``(n_units, baseline_rate, target_rate,
+    n_per_arm_required, days_required)`` — ``days_required`` NULL when
+    no arrival rate was given.
+    """
+    if rel_lift <= 0.0:
+        raise ValueError(f"rel_lift must be > 0, got {rel_lift}")
+    agg = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(converted_col).cast("bigint")).alias("c"))
+    row = agg.limit(1).collect()[0]
+    n, c = row["n"], row["c"]
+    if c == 0 or c == n:
+        raise ValueError("degenerate baseline rate — sizing is undefined")
+    p = c / n
+    ratio = (z_alpha + z_power) / (p * rel_lift)
+    need = math.ceil(2.0 * p * (1.0 - p) * (ratio * ratio))
+    days = (int(math.ceil(2.0 * need / units_per_day))
+            if units_per_day else None)
+    local = units.sparkSession.createDataFrame(
+        [(n,)], "n_units bigint")
+    r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    return local.select(
+        "n_units", r6(p).alias("baseline_rate"),
+        r6(p * (1.0 + rel_lift)).alias("target_rate"),
+        F.lit(int(need)).cast("bigint").alias("n_per_arm_required"),
+        F.lit(days).cast("bigint").alias("days_required"))

@@ -20,6 +20,8 @@ Scale notes
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -2111,3 +2113,121 @@ def growth_accounting(df: DataFrame, key_col: str = "user_id",
              - F.col("n_retained"))
     return (full.withColumn("n_churned", churn)
             .orderBy("week"))
+
+
+def hurst_exponent(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                   max_level: int = 4,
+                   round_digits: int = 6) -> DataFrame:
+    """Hurst exponent via the aggregated-variance method (Beran 1994):
+    for block sizes m = 1, 2, 4, …, 2^max_level, the variance of
+    block-mean series scales as ``var(m) ∝ m^(2H−2)``; H is estimated
+    by OLS of log2 var(m) on log2 m:
+
+        H = 1 + slope / 2
+
+    — H ≈ 0.5 is memoryless, H > 0.5 long-range dependent (bursty load
+    that WILL stack up — capacity planning reads this before trusting
+    a Poisson model), H < 0.5 mean-reverting.
+
+    Input is one row per (key, x) with x a contiguous integer grid
+    index (daily/hourly rollup).  Plan: one explode of the level list
+    (rows × levels, map-side), one (key, level, block) aggregate, one
+    (key, level) variance aggregate (DECIMAL moments), then the OLS on
+    the ≤ max_level+1 points per key.  log2 goes through ln (libm —
+    sub-ulp absorbed by round-6).  Keys where every level has < 2
+    blocks or zero variance yield NULL H.
+
+    Returns ``(key, n_points, hurst)`` ordered by key.
+    """
+    levels = [1 << i for i in range(max_level + 1)]
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(x_col).cast("bigint").alias("__x"),
+                     F.col(y_col).cast("double").alias("__y"))
+    lv = F.explode(F.array(*[F.lit(m) for m in levels])).alias("m")
+    blocks = (base.select("key", "__x", "__y", lv)
+              .groupBy("key", "m",
+                       F.floor(F.col("__x") / F.col("m")).alias("__b"))
+              .agg((F.sum(F.col("__y").cast("decimal(38,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")).alias("__bm")))
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    v = F.col("__bm")
+    per_level = (blocks.groupBy("key", "m")
+                 .agg(F.count(F.lit(1)).alias("__k"),
+                      d12(v).alias("__s"), d12(v * v).alias("__ss")))
+    k = F.col("__k").cast("double")
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / k) / (k - 1)
+    pts = (per_level.filter(F.col("__k") >= 2)
+           .select("key",
+                   (F.log(F.col("m").cast("double"))
+                    / F.lit(math.log(2.0))).alias("__lx"),
+                   F.when(var > 0.0, F.log(var) / F.lit(math.log(2.0)))
+                   .alias("__ly"))
+           .filter(F.col("__ly").isNotNull()))
+    x, y = F.col("__lx"), F.col("__ly")
+    ols = (pts.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("__np"),
+                d12(x).alias("__sx"), d12(y).alias("__sy"),
+                d12(x * y).alias("__sxy"), d12(x * x).alias("__sxx")))
+    np_ = F.col("__np").cast("double")
+    denom = np_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        (F.col("__np") >= 2) & (denom > 0.0),
+        (np_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom)
+    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n_points"))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (counts.join(ols, "key", "left")
+            .select("key", "n_points",
+                    r6(F.lit(1.0) + slope / F.lit(2.0)).alias("hurst"))
+            .orderBy("key"))
+
+
+def tail_risk(df: DataFrame, key_col: str, value_col: str,
+              q: float = 0.95,
+              round_digits: int = 6) -> DataFrame:
+    """Tail risk per key: the q-quantile cutoff (Value-at-Risk shape)
+    and the EXPECTED SHORTFALL — the mean of everything at or beyond
+    the cutoff — the pair every latency/cost SLO report needs (p95
+    alone hides how bad the tail is once you're in it).
+
+    The cutoff is lower-rank SELECTION (rank ⌈q·n⌉, engine-exact, the
+    theil_sen_trend convention) and the tail mean is a DECIMAL-exact
+    conditional aggregate over rows with rank ≥ the cutoff rank — by
+    RANK, not by value, so ties at the cutoff cannot make engines
+    disagree about tail membership.  One ordering window per key over
+    the scalar (key, value) projection + one aggregate.  The window
+    sorts each KEY in one task (parallelism = |keys|): past ~10⁸ rows
+    per key swap the selection for the two-phase exact bin scan
+    (profile.weighted_percentiles' shape) — the 10× probe shows the
+    ~2.5× superlinear growth this predicts.
+
+    Returns ``(key, n, var_q, es_q, tail_n)`` ordered by key.
+    """
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    v = F.col(value_col).cast("double")
+    w_rank = Window.partitionBy("key").orderBy(F.col("__v"))
+    w_all = (Window.partitionBy("key")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ranked = (df.select(F.col(key_col).alias("key"), v.alias("__v"))
+              .withColumn("__rn", F.row_number().over(w_rank))
+              .withColumn("__n", F.count(F.lit(1)).over(w_all)))
+    cut = F.greatest(F.lit(1).cast("bigint"),
+                     F.ceil(F.lit(float(q))
+                            * F.col("__n").cast("double")))
+    in_tail = F.col("__rn") >= cut
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (ranked.groupBy("key")
+            .agg(F.max("__n").alias("n"),
+                 F.max(F.when(F.col("__rn") == cut, F.col("__v")))
+                 .alias("__var"),
+                 F.sum(F.when(in_tail, F.col("__v"))
+                       .cast("decimal(38,9)")).cast("double")
+                 .alias("__ts"),
+                 F.sum(in_tail.cast("bigint")).alias("tail_n"))
+            .select("key", "n", r6(F.col("__var")).alias("var_q"),
+                    r6(F.col("__ts")
+                       / F.col("tail_n").cast("double")).alias("es_q"),
+                    "tail_n")
+            .orderBy("key"))

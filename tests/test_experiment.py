@@ -1331,3 +1331,38 @@ def test_peeking_trace_cumulative_counts_and_z(spark):
             assert r["significant"] == (abs(z) > 1.96)
         else:
             assert r["z"] is None and r["significant"] is False
+
+
+# ---------------------------------------------------------------------------
+# required_sample_size
+# ---------------------------------------------------------------------------
+
+def test_required_sample_size_closed_form(spark):
+    from hazelcast_jet_spark.operators.experiment import (
+        Z_ALPHA_0_05, Z_POWER_0_80, required_sample_size)
+
+    rows = [(i, 1 if i % 5 == 0 else 0) for i in range(500)]  # p = 0.2
+    df = spark.createDataFrame(rows, "u long, conv int")
+    r = required_sample_size(df, "conv", 0.1,
+                             units_per_day=50.0).collect()[0]
+    p = 0.2
+    ratio = (Z_ALPHA_0_05 + Z_POWER_0_80) / (p * 0.1)
+    need = math.ceil(2.0 * p * (1.0 - p) * (ratio * ratio))
+    assert r["n_units"] == 500
+    assert r["baseline_rate"] == 0.2
+    assert abs(r["target_rate"] - round(p * 1.1, 6)) < 1e-9
+    assert r["n_per_arm_required"] == need
+    assert r["days_required"] == math.ceil(2.0 * need / 50.0)
+    # no arrival rate -> NULL runway
+    r2 = required_sample_size(df, "conv", 0.1).collect()[0]
+    assert r2["days_required"] is None
+
+
+def test_required_sample_size_guards(spark):
+    from hazelcast_jet_spark.operators.experiment import required_sample_size
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "u long, conv int")
+    with pytest.raises(ValueError, match="degenerate"):
+        required_sample_size(df, "conv", 0.1)
+    with pytest.raises(ValueError, match="rel_lift"):
+        required_sample_size(df, "conv", 0.0)

@@ -1053,3 +1053,27 @@ def test_peeking_trace_checkpointed_rollup(spark, sf_dir):
     plan = _plan(entry_mod.peeking_trace_events(spark, sf_dir))
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_sample_size_returns_local_relation(spark, sf_dir):
+    """sizing gate: execute-once collected aggregate, local-relation
+    result."""
+    plan = _plan(entry_mod.sample_size_orders(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_hurst_single_scan(spark, sf_dir):
+    """hurst gate: one event scan -> daily rollup; the level explode
+    multiplies the bounded grid; OLS on <=5 points per key."""
+    plan = _plan(entry_mod.hurst_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tail_risk_single_scan_no_join(spark, sf_dir):
+    """tail-risk gate: one scan, per-key rank window + one aggregate,
+    no joins."""
+    plan = _plan(entry_mod.tail_risk_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan

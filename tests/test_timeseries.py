@@ -1033,3 +1033,63 @@ def test_growth_accounting_hand_example(spark):
     for r in out.values():
         assert r["n_active"] == (r["n_new"] + r["n_retained"]
                                  + r["n_resurrected"])
+
+
+# ---------------------------------------------------------------------------
+# hurst_exponent / tail_risk
+# ---------------------------------------------------------------------------
+
+def test_hurst_exponent_matches_numpy_and_separates_regimes(spark):
+    """H equals a numpy replay of the aggregated-variance OLS; a
+    cumulative (trending) series reads higher than an alternating
+    (mean-reverting) one."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import hurst_exponent
+
+    n = 256
+    trend = np.cumsum([1.0 if (i * 2654435761) % 4 < 2.2 else -1.0
+                       for i in range(n)])
+    # amplitude-modulated alternation: mean-reverting but with nonzero
+    # block-mean variance at every level (pure +-1 collapses to exact
+    # zeros at m=2, leaving a single OLS point -> NULL H by contract)
+    alt = np.array([(1.0 + (i % 7) / 10.0) * (1.0 if i % 2 == 0 else -1.0)
+                    for i in range(n)])
+    rows = [("trend", i, float(trend[i])) for i in range(n)] + \
+           [("alt", i, float(alt[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, x int, y double")
+    out = {r["key"]: r for r in
+           hurst_exponent(df, "key", "x", "y").collect()}
+
+    def h_numpy(series):
+        xs, ys = [], []
+        for lev in range(5):
+            m = 1 << lev
+            means = [series[i * m:(i + 1) * m].mean()
+                     for i in range(len(series) // m)]
+            v = np.var(means, ddof=1)
+            if len(means) >= 2 and v > 0:
+                xs.append(np.log2(m)); ys.append(np.log2(v))
+        slope = np.polyfit(xs, ys, 1)[0]
+        return 1.0 + slope / 2.0
+
+    for key, series in (("trend", trend), ("alt", alt)):
+        assert abs(out[key]["hurst"] - round(h_numpy(series), 6)) < 1e-4
+    assert out["trend"]["hurst"] > 0.8        # long-range dependent
+    assert out["alt"]["hurst"] < 0.2          # mean-reverting
+    assert out["trend"]["n_points"] == n
+
+
+def test_tail_risk_selection_and_shortfall(spark):
+    from hazelcast_jet_spark.operators.timeseries import tail_risk
+
+    vals = [float(v) for v in range(1, 101)]           # 1..100
+    df = spark.createDataFrame([("k", v) for v in vals],
+                               "key string, v double")
+    r = tail_risk(df, "key", "v", q=0.95).collect()[0]
+    import math as m
+    cut_rank = max(1, m.ceil(0.95 * 100))              # 95
+    tail = vals[cut_rank - 1:]                         # 95..100
+    assert r["n"] == 100 and r["tail_n"] == len(tail)
+    assert r["var_q"] == float(cut_rank)
+    assert abs(r["es_q"] - round(sum(tail) / len(tail), 6)) < 1e-9

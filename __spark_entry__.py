@@ -15160,6 +15160,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT na AS n_a, nb AS n_b,
                    round(ua, 6) + 0.0 AS u_a,
+                   round(ua / CAST(na * nb AS DOUBLE), 6) + 0.0 AS auc,
                    round(z, 6) + 0.0 AS z,
                    round({{p_expr}}, 6) + 0.0 AS p_approx
             FROM zz

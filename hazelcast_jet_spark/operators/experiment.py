@@ -610,7 +610,8 @@ def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
     rfm_segments convention).  Average ranks are exact .5-grid
     doubles; rank sums accumulate in DECIMAL(38,1) (exact).
 
-    Returns ONE row ``(n_a, n_b, u_a, z, p_approx)``.
+    Returns ONE row ``(n_a, n_b, u_a, auc, z, p_approx)`` — ``auc``
+    the common-language effect size ``U_A / (n_A·n_B)``.
     """
     from pyspark.sql import Window
 
@@ -653,11 +654,16 @@ def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
     if var <= 0.0:
         raise ValueError("mann_whitney_u: all values tied — z undefined")
     z = (u_a - mu) / math.sqrt(var)
+    # common-language effect size: P(random A > random B) + ½P(tie) —
+    # the magnitude readout the z alone hides (a huge n makes any
+    # hairline shift significant; auc says whether anyone would notice)
+    auc = u_a / (na * nb)
     local = units.sparkSession.createDataFrame(
         [(na, nb)], "n_a bigint, n_b bigint")
     r6 = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
     return local.select(
-        "n_a", "n_b", r6(u_a).alias("u_a"), r6(z).alias("z"),
+        "n_a", "n_b", r6(u_a).alias("u_a"), r6(auc).alias("auc"),
+        r6(z).alias("z"),
         (F.round(two_sided_p(F.lit(z)), round_digits)
          + F.lit(0.0)).alias("p_approx"))
 

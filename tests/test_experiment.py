@@ -1198,6 +1198,7 @@ def test_mann_whitney_matches_scipy_formulas(spark):
     z = (u - na * nb / 2.0) / math.sqrt(var)
     assert (out["n_a"], out["n_b"]) == (na, nb)
     assert abs(out["u_a"] - round(u, 6)) < 1e-9
+    assert abs(out["auc"] - round(u / (na * nb), 6)) < 1e-9
     assert abs(out["z"] - round(z, 6)) < 1e-9
     assert abs(out["p_approx"] - math.erfc(abs(z) / math.sqrt(2))) < 1e-5
 
@@ -1366,3 +1367,30 @@ def test_required_sample_size_guards(spark):
         required_sample_size(df, "conv", 0.1)
     with pytest.raises(ValueError, match="rel_lift"):
         required_sample_size(df, "conv", 0.0)
+
+
+def test_two_phase_quantiles_equal_rank_selection(spark, sf_dir):
+    """The scale-path swap the median_ci/tail_risk docstrings prescribe
+    is EXACT: weighted_percentiles with unit weights (two-phase bin
+    scan, no per-group total sort) picks the identical values as the
+    rank-selection operators — the smallest value whose cumulative
+    count reaches q*n IS the value at rank ceil(q*n)."""
+    from hazelcast_jet_spark.operators.profile import (median_ci,
+                                                       weighted_percentiles)
+    from hazelcast_jet_spark.operators.timeseries import tail_risk
+    from hazelcast_jet_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"), "value",
+        F.lit(1.0).alias("one"))
+    wp = {r["group"]: r for r in
+          weighted_percentiles(e, "value", "one", "key",
+                               qs=(0.5, 0.95)).collect()}
+    med = {r["key"]: r["median"] for r in
+           median_ci(e, "value", ["key"]).collect()}
+    var95 = {r["key"]: r["var_q"] for r in
+             tail_risk(e, "key", "value", q=0.95).collect()}
+    assert set(wp) == set(med)
+    for k in wp:
+        assert round(wp[k]["wp_0_5"], 6) == med[k]
+        assert round(wp[k]["wp_0_95"], 6) == var95[k]

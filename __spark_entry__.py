@@ -6298,10 +6298,9 @@ def streaming_lead_lag_events(spark: SparkSession,
     decomposition is the point: at 100 TB/day only the rollup touches
     the stream, and it is commutative (counts), so arrival order and
     micro-batch boundaries cannot change the correlation."""
-    from hazelcast_jet_spark.operators.timeseries import lead_lag_corr
+    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
     from hazelcast_jet_spark.streaming.run import (read_stream_table,
                                                    run_to_batch)
-    from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
 
     s = read_stream_table(spark, sf_dir, "events")
     hr = F.floor(_epoch_seconds(s, "ts") / F.lit(3600.0))
@@ -14635,9 +14634,9 @@ def oracle_sql() -> dict[str, str]:
                    round(mb, 6) + 0.0 AS mean_b,
                    round(CASE WHEN pooled > 0.0
                               THEN (ma - mb) / pooled END, 6) + 0.0 AS smd,
-                   COALESCE(abs(CASE WHEN pooled > 0.0
-                                     THEN (ma - mb) / pooled END) >= 0.1,
-                            false) AS imbalanced
+                   CASE WHEN pooled > 0.0
+                        THEN abs((ma - mb) / pooled) >= 0.1
+                        ELSE ma <> mb END AS imbalanced
             FROM stats ORDER BY covariate
         """,
         "fdr_bh_events": f"""
@@ -14864,11 +14863,12 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CAST(gap * gap AS DECIMAL(38,0)))
                             AS DOUBLE) AS ss
                 FROM g GROUP BY 1
-                HAVING count(*) >= 5 AND max(ep) - min(ep) > 0
+                HAVING count(*) >= 5
             )
             SELECT key, n_events, CAST(span_s AS BIGINT) AS span_s,
                    round(CAST(n_events AS DOUBLE)
-                         / (CAST(span_s AS DOUBLE) / 60.0), 6) + 0.0
+                         / (CAST(greatest(span_s, 1) AS DOUBLE) / 60.0),
+                         6) + 0.0
                        AS events_per_min,
                    round(CASE WHEN s > 0.0
                          THEN sqrt(CAST(m AS DOUBLE) * ss - s * s) / s

@@ -292,9 +292,10 @@ def diff_in_diff(units: DataFrame, arm_col: str, period_col: str,
     """
     y = F.col(y_col).cast("double")
     dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    # n counts NON-NULL metric rows (the welch_t_test convention)
     per = (units.groupBy(F.col(arm_col).alias("arm"),
                          F.col(period_col).alias("period"))
-           .agg(F.count(F.lit(1)).alias("n_units"),
+           .agg(F.count(y).alias("n_units"),
                 dsum(y).alias("__s"), dsum(y * y).alias("__ss"))
            .orderBy("arm", "period"))
     rows = per.limit(5).collect()  # bounded: 2 arms x 2 periods
@@ -350,8 +351,11 @@ def covariate_balance(units: DataFrame, arm_col: str,
     array — map-side, no extra scan per covariate) and ONE aggregate
     computes per-(covariate, arm) DECIMAL(38,12) moment sums; the smd
     is fixed-order double arithmetic on exact sums.  Arms must be
-    exactly two (lexicographic); a zero pooled variance yields a NULL
-    smd (flagged imbalanced=false only when means also agree).
+    exactly two (lexicographic).  A zero pooled variance yields a NULL
+    smd; the ``imbalanced`` flag then falls back to a direct
+    means-differ check — a covariate constant WITHIN each arm but
+    different ACROSS arms is the most broken split possible and must
+    flag, not slip through as NULL (review r9).
 
     Returns one row per covariate: ``(covariate, n_a, n_b, mean_a,
     mean_b, smd, imbalanced)`` ordered by covariate.
@@ -367,8 +371,10 @@ def covariate_balance(units: DataFrame, arm_col: str,
     ).select("__arm", "m.covariate", "m.__v")
     dsum = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
     v = F.col("__v")
+    # per-covariate n counts NON-NULL values (the welch_t_test
+    # convention — NULL covariates must not deflate the moments)
     per = (melted.groupBy("covariate", "__arm")
-           .agg(F.count(F.lit(1)).alias("__n"),
+           .agg(F.count(v).alias("__n"),
                 dsum(v).alias("__s"), dsum(v * v).alias("__ss")))
     arms = [r["__arm"] for r in
             per.select("__arm").distinct().orderBy("__arm").limit(3)
@@ -391,12 +397,13 @@ def covariate_balance(units: DataFrame, arm_col: str,
     var_b = (F.col("__ssb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
     pooled = F.sqrt((var_a + var_b) / F.lit(2.0))
     smd = F.when(pooled > 0.0, (ma - mb) / pooled)
+    imbalanced = F.when(pooled > 0.0, F.abs(smd) >= 0.1).otherwise(ma != mb)
     r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
     return (cells.select(
         "covariate", "n_a", "n_b",
         r6(ma).alias("mean_a"), r6(mb).alias("mean_b"),
         r6(smd).alias("smd"),
-        F.coalesce(F.abs(smd) >= 0.1, F.lit(False)).alias("imbalanced"))
+        imbalanced.alias("imbalanced"))
         .orderBy("covariate"))
 
 
@@ -553,8 +560,11 @@ def welch_t_test(units: DataFrame, arm_col: str, y_col: str,
     """
     y = F.col(y_col).cast("double")
     d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    # n counts NON-NULL metric rows (review r9: count(*) would count
+    # NULL-metric units into the denominator while the sums skip them,
+    # silently deflating means/variances)
     per = (units.groupBy(F.col(arm_col).alias("arm"))
-           .agg(F.count(F.lit(1)).alias("n"),
+           .agg(F.count(y).alias("n"),
                 d9(y).alias("s"), d9(y * y).alias("ss"))
            .orderBy("arm"))
     rows = per.limit(3).collect()
@@ -616,7 +626,9 @@ def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
     from pyspark.sql import Window
 
     # pass arms when known (md5 assignment ⇒ ("A", "B")) to avoid the
-    # discovery pass re-executing the unit-table plan
+    # discovery pass re-executing the unit-table plan; explicit arms
+    # also RESTRICT the input to those two arms (review r9: without the
+    # filter, a third arm's rows silently counted toward arm B)
     a_arm = sorted(arms) if arms else [
         r[0] for r in
         units.select(arm_col).distinct().orderBy(arm_col).limit(3)
@@ -625,7 +637,11 @@ def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
         raise ValueError(f"mann_whitney_u needs exactly 2 arms, "
                          f"got {a_arm}")
     y = F.col(y_col).cast("double")
-    vals = (units.groupBy(y.alias("__v"))
+    # NULL metric rows are excluded (they have no rank); NULL ordering
+    # also differs across engines, so they must never reach the window
+    base = units.filter(F.col(arm_col).isin(list(a_arm))
+                        & y.isNotNull())
+    vals = (base.groupBy(y.alias("__v"))
             .agg(F.count(F.lit(1)).alias("__t"),
                  F.sum((F.col(arm_col) == a_arm[0]).cast("bigint"))
                  .alias("__ta")))
@@ -698,7 +714,9 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
     w_all = (Window.partitionBy(arm_col)
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
-    ranked = units.select(
+    # NULL metric rows are excluded BEFORE ranking (engines disagree on
+    # NULL ordering, and a NULL has no quantile anyway)
+    ranked = units.filter(y.isNotNull()).select(
         F.col(arm_col).alias("__arm"), y.alias("__y"),
         F.row_number().over(w_rank).alias("__rn"),
         F.count(F.lit(1)).over(w_all).alias("__n"))
@@ -742,10 +760,13 @@ def peeking_trace(events: DataFrame, user_col: str, time_col: str,
 
     Units enter at their first event day (denominator grows daily) and
     convert at their first ``conversion_type`` day.  Cumulative counts
-    are suffix-exact: one per-user rollup, one per-(day, arm) count of
-    entries and conversions, running sums over the complete day grid.
-    z is NULL on degenerate days (either arm empty, pooled rate 0 or
-    1).
+    are suffix-exact: one per-user rollup melts straight into ONE
+    per-(day, kind, arm) count — the CALENDAR-BOUNDED table that gets
+    checkpointed (review r9: the first cut checkpointed the O(users)
+    rollup itself, pinning unbounded executor storage; the bounded
+    counter table serves the grid, entry and conversion branches
+    identically).  z is NULL on degenerate days (either arm empty,
+    pooled rate 0 or 1).
 
     Returns ``(day, n_a, n_b, conv_a, conv_b, z, significant)``
     ordered by day — ``significant`` = |z| > 1.96.
@@ -757,20 +778,31 @@ def peeking_trace(events: DataFrame, user_col: str, time_col: str,
                 .agg(F.min(day).alias("__fa"),
                      F.min(F.when(F.col(type_col) == conversion_type,
                                   day)).alias("__fc"))
-                .withColumn("__arm", ab_assign(F.col(user_col), seed))
-                .localCheckpoint(eager=True))
-    ends = per_user.agg(F.min("__fa").alias("__lo"),
-                        F.max(F.greatest("__fa", F.coalesce("__fc", "__fa")))
-                        .alias("__hi"))
+                .withColumn("__arm", ab_assign(F.col(user_col), seed)))
+    counts = (per_user.select(
+        "__arm",
+        F.explode(F.array(
+            F.struct(F.lit("e").alias("kind"), F.col("__fa").alias("day")),
+            F.struct(F.lit("c").alias("kind"), F.col("__fc").alias("day")),
+        )).alias("m"))
+        .filter(F.col("m.day").isNotNull())
+        .groupBy(F.col("m.day").alias("day"), F.col("m.kind").alias("kind"),
+                 "__arm")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True))
+    ends = counts.agg(
+        F.min(F.when(F.col("kind") == "e", F.col("day"))).alias("__lo"),
+        F.max("day").alias("__hi"))
     grid = ends.select(F.explode(F.sequence("__lo", "__hi")).alias("day"))
-    is_a = (F.col("__arm") == "A").cast("bigint")
-    daily = (per_user.groupBy(F.col("__fa").alias("day"))
-             .agg(F.sum(is_a).alias("__ea"),
-                  F.sum(F.lit(1) - is_a).alias("__eb")))
-    convs = (per_user.filter(F.col("__fc").isNotNull())
-             .groupBy(F.col("__fc").alias("day"))
-             .agg(F.sum(is_a).alias("__ca"),
-                  F.sum(F.lit(1) - is_a).alias("__cb")))
+    pick = lambda kind, arm: F.sum(  # noqa: E731
+        F.when((F.col("kind") == kind) & (F.col("__arm") == arm),
+               F.col("__n")).otherwise(F.lit(0)))
+    daily = (counts.filter(F.col("kind") == "e").groupBy("day")
+             .agg(pick("e", "A").alias("__ea"),
+                  pick("e", "B").alias("__eb")))
+    convs = (counts.filter(F.col("kind") == "c").groupBy("day")
+             .agg(pick("c", "A").alias("__ca"),
+                  pick("c", "B").alias("__cb")))
     w_cum = (Window.orderBy("day")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = (grid.join(daily, "day", "left").join(convs, "day", "left")

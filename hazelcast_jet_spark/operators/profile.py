@@ -1885,7 +1885,8 @@ _DP_SPACE = float(1 << 48)
 
 
 def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
-                    seed: str = "dp0", round_digits: int = 6) -> DataFrame:
+                    seed: str = "dp0", domain: DataFrame | None = None,
+                    round_digits: int = 6) -> DataFrame:
     """ε-differentially-private count release (Dwork et al. 2006): per
     group, ``count + Laplace(1/ε)`` — counting queries have sensitivity
     1, so Laplace noise with scale 1/ε gives ε-DP.  The governance twin
@@ -1906,6 +1907,17 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
     instead (a replayable seed leaks the noise to anyone who knows it),
     which callers do by passing a secret, rotated seed.
 
+    GROUP PRESENCE is itself a signal (review r9): without a fixed
+    domain, a group appears in the release iff it has ≥1 member, so a
+    singleton group's row reveals that individual's presence with
+    probability 1 regardless of ε.  Pass ``domain`` — a DataFrame of
+    ALL releasable group keys, known independently of the data (the
+    nation list, the enum of event types) — and every domain group is
+    released with noise added to its (possibly zero) count, restoring
+    the DP guarantee.  Without ``domain`` the release is only ε-DP
+    conditioned on the group set being public knowledge; the docstring
+    contract, not a silent assumption.
+
     ONE aggregate (map-side partial), then row-local noise arithmetic
     on the tiny group table — ln()'s sub-ulp libm variance is absorbed
     by round-6.
@@ -1916,6 +1928,11 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
     if epsilon <= 0.0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     per = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    if domain is not None:
+        per = (domain.select(*group_cols).distinct()
+               .join(per, list(group_cols), "left")
+               .select(*group_cols,
+                       F.coalesce("__n", F.lit(0)).alias("__n")))
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
     noise = dp_laplace_noise(key, epsilon, seed)
     return (per.select(
@@ -1984,7 +2001,10 @@ def median_ci(df: DataFrame, value_col: str,
     hi_rank = F.least(F.col("__n"),
                       F.ceil(half + spread) + F.lit(1))
     med_rank = F.ceil(nd / F.lit(2.0))
+    # NULL values are excluded BEFORE ranking (engines disagree on
+    # NULL ordering, and a NULL has no rank)
     ranked = (df.select(*gcols, v.alias("__v"))
+              .filter(F.col("__v").isNotNull())
               .withColumn("__rn", F.row_number().over(w_rank))
               .withColumn("__n", F.count(F.lit(1)).over(w_all)))
     pick = lambda rank_expr: F.max(  # noqa: E731

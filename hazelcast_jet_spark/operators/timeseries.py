@@ -1772,9 +1772,14 @@ def theil_sen_trend(df: DataFrame, key_col: str, x_col: str, y_col: str,
     Returns ``(key, n_points, n_pairs, slope, intercept)`` ordered by
     key.
     """
-    base = df.select(F.col(key_col).alias("key"),
-                     F.col(x_col).cast("double").alias("__x"),
-                     F.col(y_col).cast("double").alias("__y"))
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.col(x_col).cast("double").alias("__x"),
+                      F.col(y_col).cast("double").alias("__y"))
+            .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+            # the tiny per-key series feeds BOTH pair-join sides and the
+            # medians branch: checkpoint so an expensive upstream rollup
+            # runs once, not three times (review r9)
+            .localCheckpoint(eager=True))
     a, b = base.alias("a"), base.alias("b")
     pairs = (a.join(b, (F.col("a.key") == F.col("b.key"))
                     & (F.col("b.__x") > F.col("a.__x")))
@@ -1907,7 +1912,10 @@ def automation_screen(df: DataFrame, key_col: str = "user_id",
     dependent, so this returns a ranked shortlist for review (compose
     with a filter once the corpus' rate scale is known).  Keys with
     fewer than ``min_events`` events are excluded (their gap moments
-    are noise).
+    are noise); a key whose whole burst lands in ONE second (span 0 —
+    the most extreme automation there is) stays IN, with the rate
+    computed over a clamped 1-second span (review r9: the old
+    ``span > 0`` filter silently dropped exactly the worst offenders).
 
     Plan: one per-key lag window for gaps (the event shuffle any
     sessionization pays), one per-key aggregate of exact integer
@@ -1929,13 +1937,13 @@ def automation_screen(df: DataFrame, key_col: str = "user_id",
                 F.sum(F.col("__gap").cast("decimal(38,0)")).alias("__s"),
                 F.sum((F.col("__gap") * F.col("__gap"))
                       .cast("decimal(38,0)")).alias("__ss"))
-           .filter((F.col("n_events") >= min_events)
-                   & (F.col("span_s") > 0)))
+           .filter(F.col("n_events") >= min_events))
     m = F.col("__m").cast("double")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
     epm = (F.col("n_events").cast("double")
-           / (F.col("span_s").cast("double") / F.lit(60.0)))
+           / (F.greatest(F.col("span_s"), F.lit(1)).cast("double")
+              / F.lit(60.0)))
     cv = F.when(s > 0.0, F.sqrt(m * ss - s * s) / s)
     r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
     return (per.select("key", "n_events", "span_s",
@@ -2152,9 +2160,13 @@ def hurst_exponent(df: DataFrame, key_col: str, x_col: str, y_col: str,
                     / F.count(F.lit(1)).cast("double")).alias("__bm")))
     d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
     v = F.col("__bm")
+    # keys x levels rows — bounded; checkpointed because BOTH the OLS
+    # branch and the n_points lookup read it (review r9: a separate
+    # counts aggregate re-scanned the input)
     per_level = (blocks.groupBy("key", "m")
                  .agg(F.count(F.lit(1)).alias("__k"),
-                      d12(v).alias("__s"), d12(v * v).alias("__ss")))
+                      d12(v).alias("__s"), d12(v * v).alias("__ss"))
+                 .localCheckpoint(eager=True))
     k = F.col("__k").cast("double")
     var = (F.col("__ss") - F.col("__s") * F.col("__s") / k) / (k - 1)
     pts = (per_level.filter(F.col("__k") >= 2)
@@ -2174,7 +2186,10 @@ def hurst_exponent(df: DataFrame, key_col: str, x_col: str, y_col: str,
     slope = F.when(
         (F.col("__np") >= 2) & (denom > 0.0),
         (np_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom)
-    counts = base.groupBy("key").agg(F.count(F.lit(1)).alias("n_points"))
+    # n_points IS the m=1 block count (input is one row per (key, x)),
+    # so no second pass over the source is needed
+    counts = (per_level.filter(F.col("m") == 1)
+              .select("key", F.col("__k").alias("n_points")))
     r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
     return (counts.join(ols, "key", "left")
             .select("key", "n_points",
@@ -2210,7 +2225,9 @@ def tail_risk(df: DataFrame, key_col: str, value_col: str,
     w_all = (Window.partitionBy("key")
              .rowsBetween(Window.unboundedPreceding,
                           Window.unboundedFollowing))
+    # NULL values are excluded BEFORE ranking (the median_ci policy)
     ranked = (df.select(F.col(key_col).alias("key"), v.alias("__v"))
+              .filter(F.col("__v").isNotNull())
               .withColumn("__rn", F.row_number().over(w_rank))
               .withColumn("__n", F.count(F.lit(1)).over(w_all)))
     cut = F.greatest(F.lit(1).cast("bigint"),

@@ -1002,6 +1002,19 @@ def test_covariate_balance_zero_variance_gives_null_smd(spark):
     assert r["smd"] is None and r["imbalanced"] is False
 
 
+def test_covariate_balance_constant_per_arm_still_flags(spark):
+    """A covariate constant WITHIN each arm but different ACROSS arms
+    (pooled variance 0, means differ) is the most broken split there
+    is: smd is NULL but imbalanced must be True (review r9)."""
+    from hazelcast_jet_spark.operators.experiment import covariate_balance
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0)],
+        "arm string, x double")
+    r = covariate_balance(df, "arm", ["x"]).collect()[0]
+    assert r["smd"] is None and r["imbalanced"] is True
+
+
 # ---------------------------------------------------------------------------
 # two_sided_p / fdr_bh
 # ---------------------------------------------------------------------------
@@ -1394,3 +1407,45 @@ def test_two_phase_quantiles_equal_rank_selection(spark, sf_dir):
     for k in wp:
         assert round(wp[k]["wp_0_5"], 6) == med[k]
         assert round(wp[k]["wp_0_95"], 6) == var95[k]
+
+
+def test_mann_whitney_explicit_arms_restrict_input(spark):
+    """With arms=('A','B'), rows from a third arm (or NULL arm/metric)
+    are EXCLUDED, not silently folded into arm B (review r9)."""
+    from hazelcast_jet_spark.operators.experiment import mann_whitney_u
+
+    clean = [("A", 1.0), ("A", 3.0), ("B", 2.0), ("B", 4.0), ("A", 5.0)]
+    noisy = clean + [("C", 100.0), ("C", 200.0), (None, 300.0),
+                     ("B", None)]
+    df_c = spark.createDataFrame(clean, "arm string, y double")
+    df_n = spark.createDataFrame(noisy, "arm string, y double")
+    a = mann_whitney_u(df_c, "arm", "y", arms=("A", "B")).collect()[0]
+    b = mann_whitney_u(df_n, "arm", "y", arms=("A", "B")).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert (b["n_a"], b["n_b"]) == (3, 2)
+
+
+def test_dp_noisy_counts_domain_releases_absent_groups(spark):
+    """With a domain, groups absent from the data are still released
+    (noise around zero), so group PRESENCE no longer leaks (review
+    r9); present groups release identically with or without domain."""
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    df = spark.createDataFrame([("x", 1), ("x", 2), ("y", 3)],
+                               "g string, v int")
+    dom = spark.createDataFrame([("x",), ("y",), ("z",)], "g string")
+    with_dom = {r["g"]: r["noisy_count"] for r in
+                dp_noisy_counts(df, ["g"], 0.5, seed="d1",
+                                domain=dom).collect()}
+    without = {r["g"]: r["noisy_count"] for r in
+               dp_noisy_counts(df, ["g"], 0.5, seed="d1").collect()}
+    assert set(with_dom) == {"x", "y", "z"}
+    assert set(without) == {"x", "y"}
+    for g in ("x", "y"):
+        assert with_dom[g] == without[g]
+    # absent group: pure noise around 0, same seeded draw as count 0
+    h = int(hashlib.md5(b"d1-z").hexdigest()[:12], 16)
+    u = (h + 0.5) / float(1 << 48)
+    noise = -(2.0) * math.copysign(1.0, u - 0.5) \
+        * math.log(1.0 - 2.0 * abs(u - 0.5))
+    assert abs(with_dom["z"] - round(noise, 6)) < 1e-6

@@ -936,13 +936,14 @@ def test_nelson_aalen_window_after_rollup(spark, sf_dir):
 
 
 def test_theilsen_pairs_join_after_daily_rollup(spark, sf_dir):
-    """theil_sen gate: ONE event scan feeds the daily rollup; the
-    O(days^2) pair join runs on the calendar-bounded daily table (the
-    rollup subtree may appear on both join sides, but each side is the
-    tiny aggregate, never a second corpus pass at row volume)."""
+    """theil_sen gate: the daily rollup is checkpointed (review r9: it
+    feeds both pair-join sides AND the medians branch — three upstream
+    executions otherwise), so the returned plan reads the bounded
+    table with zero parquet scans; the pair join is an equi-join."""
     plan = _plan(entry_mod.theilsen_trend_events(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the pair join is an equi-join on the key
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
         or "ShuffledHashJoin" in plan
 
@@ -1064,10 +1065,13 @@ def test_sample_size_returns_local_relation(spark, sf_dir):
 
 
 def test_hurst_single_scan(spark, sf_dir):
-    """hurst gate: one event scan -> daily rollup; the level explode
-    multiplies the bounded grid; OLS on <=5 points per key."""
+    """hurst gate: the keys-x-levels table is checkpointed (it feeds
+    both the OLS branch and the n_points lookup — review r9 removed a
+    second source scan), so the returned plan reads the bounded table
+    with zero parquet scans."""
     plan = _plan(entry_mod.hurst_events(spark, sf_dir))
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -912,10 +912,18 @@ def test_automation_screen_ranks_scripted_traffic_first(spark):
     for i, g in enumerate([0, 300, 320, 2000, 2040, 5000, 5002, 9000]):
         rows.append(("human", base + dt.timedelta(seconds=g)))
     rows.append(("drive_by", base))           # 1 event -> excluded
+    for i in range(8):                        # 8 events in ONE second
+        rows.append(("burst", base + dt.timedelta(microseconds=i)))
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
     out = automation_screen(df, "user_id", "ts", top_k=10, min_events=5)
     got = out.collect()
-    assert [r["key"] for r in got] == ["bot", "human"]
+    # the one-second burst is the MOST suspicious (rate over the
+    # clamped 1 s span), then the timer bot, then the human
+    assert [r["key"] for r in got] == ["burst", "bot", "human"]
+    burst = got[0]
+    assert burst["span_s"] == 0
+    assert burst["events_per_min"] == round(8 / (1 / 60.0), 6)
+    got = got[1:]
     bot = got[0]
     assert bot["n_events"] == 60 and bot["span_s"] == 590
     assert abs(bot["events_per_min"] - round(60 / (590 / 60.0), 6)) < 1e-9

@@ -6499,33 +6499,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries registered AFTER this round's 50-entry window froze: deferred
 #: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
 #: session-tail handoff convention, now machine-readable).  Names listed
-#: here must sit below the window boundary in ``queries()``.
-NEXT_ROUND_LEADS: tuple[str, ...] = (
-    "did_orders",
-    "covariate_balance_customer",
-    "fdr_bh_events",
-    "nelson_aalen_events",
-    "theilsen_trend_events",
-    "lead_lag_events",
-    "dp_noisy_counts_customer",
-    "automation_screen_events",
-    "zorder_layout_orders",
-    "forecast_backtest_events",
-    "ltv_cohort_orders",
-    "offline_policy_events",
-    "streaming_dp_counts_events",
-    "streaming_lead_lag_events",
-    "welch_t_orders",
-    "mann_whitney_orders",
-    "qte_orders",
-    "median_ci_orders",
-    "capture_recapture_events",
-    "peeking_trace_events",
-    "growth_accounting_events",
-    "sample_size_orders",
-    "hurst_events",
-    "tail_risk_events",
-)
+#: here must sit below the window boundary in ``queries()``.  Empty at
+#: r10 freeze -- the 24 r9-session-2 leads now occupy slots 1-24.
+NEXT_ROUND_LEADS: tuple[str, ...] = ()
+
+#: The round whose driver window the current registry ordering was frozen
+#: for.  tools/window_plan.py and tests/test_window_plan.py ignore
+#: CORRECTNESS_r{N}.json ledgers with N >= WINDOW_ROUND when re-deriving
+#: the plan, so the driver dropping THIS round's ledger mid-round does not
+#: retroactively invalidate the frozen window (the r9 verdict's "What's
+#: wrong #1" lifecycle defect).
+WINDOW_ROUND = 10
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6534,132 +6518,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tools/window_plan.py`` (r8 verdict #5) from the CORRECTNESS_r*.json
     ledger -- never-driver-checked queries first in registry order, then
     stalest-green -- and ``tests/test_window_plan.py`` pins registry[:50]
-    to the tool's output, so the window can no longer drift from the
-    ledger by hand-counting.  r9 window: the 33 never-checked r8-session-2
-    tail queries lead, then new r9 queries as they land (each displaces a
-    filler), then the six-round-stale r2 cohort fills to 50 oldest-first.
-    Queries registered after this round's window freezes go below the
-    boundary AND into ``NEXT_ROUND_LEADS`` so the planner defers them to
-    r10.  bench.py runs every entry in name order, so perf coverage is
+    to the tool's output against the ledgers that existed at freeze time
+    (``WINDOW_ROUND``), so neither hand-counting nor the driver's own
+    mid-round ledger drop can re-redden the suite (r9 verdict "What's
+    wrong #1").  r10 window: the 24 r9-session-2 leads (never
+    driver-checked) first, then the 26 stalest r2-green queries.  Queries
+    registered after this round's window freezes go below the boundary
+    AND into ``NEXT_ROUND_LEADS`` so the planner defers them to r11.
+    bench.py runs every entry in name order, so perf coverage is
     unaffected by the rotation.
     """
     return {
-        # ==== r9 window (first 50 = the driver correctness gate; ======
-        # ==== generated by tools/window_plan.py, pinned by the suite) ==
-        # -- 33 r8-session-2 tail queries: never driver-checked --------
-        "cusum_alarm_events": cusum_alarm_events,
-        "streaming_cohort_enrich": streaming_cohort_enrich,
-        "dup_graph_degree_docs": dup_graph_degree_docs,
-        "monthly_growth_orders": monthly_growth_orders,
-        "kaplan_meier_events": kaplan_meier_events,
-        "pareto_front_parts": pareto_front_parts,
-        "cuped_experiment_orders": cuped_experiment_orders,
-        "attribution_events": attribution_events,
-        "isotropy_embeddings": isotropy_embeddings,
-        "window_funnel_events": window_funnel_events,
-        "table_fingerprint_docs": table_fingerprint_docs,
-        "rake_keyphrases_docs": rake_keyphrases_docs,
-        "lpa_communities_parts": lpa_communities_parts,
-        "link_prediction_parts": link_prediction_parts,
-        "ohlc_events": ohlc_events,
-        "session_bounce_events": session_bounce_events,
-        "seasonality_strength_events": seasonality_strength_events,
-        "streaming_ohlc_events": streaming_ohlc_events,
-        "ab_conversion_events": ab_conversion_events,
-        "self_repetition_docs": self_repetition_docs,
-        "fisher_separation_emb": fisher_separation_emb,
-        "growth_decomposition_orders": growth_decomposition_orders,
-        "stickiness_events": stickiness_events,
-        "trending_parts": trending_parts,
-        "new_vs_returning_events": new_vs_returning_events,
-        "k_anonymity_customer": k_anonymity_customer,
-        "streaming_fingerprint_events": streaming_fingerprint_events,
-        "experiment_readout_events": experiment_readout_events,
-        "l_diversity_customer": l_diversity_customer,
-        "rank_semantics_orders": rank_semantics_orders,
-        "markov_stationary_events": markov_stationary_events,
-        "position_attribution_events": position_attribution_events,
-        "centroid_distance_emb": centroid_distance_emb,
-        # -- new r9 queries insert HERE (each pushes a filler below
-        # -- the boundary; re-run tools/window_plan.py --check) --------
-        "streaming_corpus_card_docs": streaming_corpus_card_docs,
-        "ivf_staleness_emb": ivf_staleness_emb,
-        "kappa_langid_docs": kappa_langid_docs,
-        "experiment_power_orders": experiment_power_orders,
-        "tokenizer_fertility_docs": tokenizer_fertility_docs,
-        "dup_rate_by_length_docs": dup_rate_by_length_docs,
-        # -- r2-green cohort, stalest-first window fillers -------------
-        "simhash_groups": simhash_groups,
-        "cosine_topk_search": cosine_topk_search,
-        "streaming_tumbling_window": streaming_tumbling_window,
-        "streaming_stateful_count": streaming_stateful_count,
-        "streaming_rolling_count": streaming_rolling_count,
-        "linear_trend_agg": linear_trend_agg,
-        "distinct_aggregates": distinct_aggregates,
-        "having_filter": having_filter,
-        "semi_anti_join": semi_anti_join,
-        "full_outer_join": full_outer_join,
-        "set_operations": set_operations,
-        # ===== driver window boundary (entry 50 above; authoritative ==
-        # ===== check: tools/window_plan.py --check, pinned in the =====
-        # ===== suite).  Below: the remaining r2 cohort then the =======
-        # ===== r3/r4/r5-green queue for r10+, in prior registry order =
+        # ==== r10 window (first 50 = the driver correctness gate; =====
+        # ==== generated by tools/window_plan.py at WINDOW_ROUND=10, ====
+        # ==== pinned by tests/test_window_plan.py) =====================
+        # -- 24 r9-session-2 leads: never driver-checked ---------------
+        "did_orders": did_orders,
+        "covariate_balance_customer": covariate_balance_customer,
+        "fdr_bh_events": fdr_bh_events,
+        "nelson_aalen_events": nelson_aalen_events,
+        "theilsen_trend_events": theilsen_trend_events,
+        "lead_lag_events": lead_lag_events,
+        "dp_noisy_counts_customer": dp_noisy_counts_customer,
+        "automation_screen_events": automation_screen_events,
+        "zorder_layout_orders": zorder_layout_orders,
+        "forecast_backtest_events": forecast_backtest_events,
+        "ltv_cohort_orders": ltv_cohort_orders,
+        "offline_policy_events": offline_policy_events,
+        "streaming_dp_counts_events": streaming_dp_counts_events,
+        "streaming_lead_lag_events": streaming_lead_lag_events,
+        "welch_t_orders": welch_t_orders,
+        "mann_whitney_orders": mann_whitney_orders,
+        "qte_orders": qte_orders,
+        "median_ci_orders": median_ci_orders,
+        "capture_recapture_events": capture_recapture_events,
+        "peeking_trace_events": peeking_trace_events,
+        "growth_accounting_events": growth_accounting_events,
+        "sample_size_orders": sample_size_orders,
+        "hurst_events": hurst_events,
+        "tail_risk_events": tail_risk_events,
+        # -- 26 stalest r2-green refreshes fill the window to 50 -------
         "rollup_agg": rollup_agg,
         "multi_hop_enrichment": multi_hop_enrichment,
         "q1_pricing_summary": q1_pricing_summary,
         "rolling_aggregate": rolling_aggregate,
         "text_features": text_features,
         "exact_dedup_docs": exact_dedup_docs,
-        "dedup_rate_by_source": dedup_rate_by_source,
-        "budget_sample_docs": budget_sample_docs,
-        "embedding_drift_labels": embedding_drift_labels,
-        "event_gap_percentiles": event_gap_percentiles,
-        "prefix_dup_docs": prefix_dup_docs,
-        "user_activity_stats": user_activity_stats,
-        "corpus_data_card_docs": corpus_data_card_docs,
-        "shipping_lag_percentiles": shipping_lag_percentiles,
-        "rfm_segments_orders": rfm_segments_orders,
-        "transition_entropy_events": transition_entropy_events,
-        "holt_linear_events": holt_linear_events,
-        "embedding_norm_stats": embedding_norm_stats,
-        "dup_lang_confusion_docs": dup_lang_confusion_docs,
-        "chunk_dup_docs": chunk_dup_docs,
-        "token_len_histogram_docs": token_len_histogram_docs,
-        "hll_overlap_events": hll_overlap_events,
-        "dow_hourly_anomaly_events": dow_hourly_anomaly_events,
-        "sample_audit_docs": sample_audit_docs,
-        "rrf_fusion_emb": rrf_fusion_emb,
-        "classifier_lift_docs": classifier_lift_docs,
-        "conversion_lag_events": conversion_lag_events,
-        "lsh_band_precision_docs": lsh_band_precision_docs,
-        "cube_token_stats_docs": cube_token_stats_docs,
-        "weighted_median_lineitem": weighted_median_lineitem,
-        "referential_integrity_counts": referential_integrity_counts,
-        "session_cooccurrence_events": session_cooccurrence_events,
-        "top_event_paths_events": top_event_paths_events,
-        "kmeans_assign_counts": kmeans_assign_counts,
-        "dsir_importance_weights": dsir_importance_weights,
-        "funnel_conversion_counts": funnel_conversion_counts,
-        "quality_decile_stats": quality_decile_stats,
-        "dedup_keep_best": dedup_keep_best,
-        "embedding_outlier_stats": embedding_outlier_stats,
-        "streaming_quality_gate": streaming_quality_gate,
-        "cut_dup_spans_docs": cut_dup_spans_docs,
-        "weighted_sample_counts": weighted_sample_counts,
-        "mad_outlier_stats": mad_outlier_stats,
-        "containment_dup_pairs": containment_dup_pairs,
-        "pca_projection_stats": pca_projection_stats,
-        "char_entropy_quality": char_entropy_quality,
-        "quality_classifier_scores": quality_classifier_scores,
-        "bigram_lm_quality": bigram_lm_quality,
-        "ks_drift_events": ks_drift_events,
-        "tokenize_ids_stats": tokenize_ids_stats,
-        "psi_drift_events": psi_drift_events,
-        "multimodal_audio_stats": multimodal_audio_stats,
-        "multimodal_image_stats": multimodal_image_stats,
-        "pq_encode_stats": pq_encode_stats,
-        "temperature_sample_counts": temperature_sample_counts,
-        "cohort_retention_counts": cohort_retention_counts,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "filter_project": filter_project,
+        "global_aggregate": global_aggregate,
+        "join_orders_customer": join_orders_customer,
+        "left_join_counts": left_join_counts,
+        "hash_join_enrich": hash_join_enrich,
+        "theta_join": theta_join,
+        "distinct_op": distinct_op,
+        "merge_union": merge_union,
+        "sort_limit": sort_limit,
+        "top_n_per_group": top_n_per_group,
+        "min_max_by": min_max_by,
+        "cogroup_orders_lineitem": cogroup_orders_lineitem,
+        "distinct_by_key": distinct_by_key,
+        "tumbling_window_batch": tumbling_window_batch,
+        "sliding_window_batch": sliding_window_batch,
+        "session_window_batch": session_window_batch,
+        "json_props": json_props,
+        "like_and_trim": like_and_trim,
+        # ===== driver window boundary (entry 50 above; authoritative ==
+        # ===== check: tools/window_plan.py --check, pinned in the =====
+        # ===== suite).  Below: remaining cohort, stalest-green first ==
+        "cast_matrix": cast_matrix,
+        "window_rank_functions": window_rank_functions,
+        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "cep_stream_match": cep_stream_match,
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
+        "values_inline": values_inline,
+        "wordcount": wordcount,
+        "nexmark_q5_hot_items": nexmark_q5_hot_items,
+        "ann_lsh_search": ann_lsh_search,
+        "multimodal_features": multimodal_features,
+        "filtered_aggs": filtered_aggs,
+        "embedding_cosine_dedup": embedding_cosine_dedup,
+        "generate_series_agg": generate_series_agg,
+        "collection_aggs": collection_aggs,
+        "map_aggregate": map_aggregate,
+        "custom_udaf_agg": custom_udaf_agg,
+        "simhash_near_dups": simhash_near_dups,
+        "ivf_topk_search": ivf_topk_search,
+        "reducing_agg": reducing_agg,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "streaming_session_window": streaming_session_window,
+        "asof_join_forward": asof_join_forward,
+        "dedup_group_sizes": dedup_group_sizes,
+        "pii_scrub_stats": pii_scrub_stats,
+        "gopher_quality_filter": gopher_quality_filter,
+        "doc_chunks": doc_chunks,
+        "percentile_stats": percentile_stats,
+        "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
+        "heavy_hitter_terms": heavy_hitter_terms,
+        "url_dedup_stats": url_dedup_stats,
+        "unigram_lm_quality": unigram_lm_quality,
+        "salted_aggregate_orders": salted_aggregate_orders,
+        "dup_span_stats_docs": dup_span_stats_docs,
+        "fuzzy_match_parts": fuzzy_match_parts,
+        "source_quota_sample": source_quota_sample,
+        "train_test_split_counts": train_test_split_counts,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
+        "semantic_dedup_docs": semantic_dedup_docs,
+        "event_time_features": event_time_features,
+        "pandas_udf_text_metrics": pandas_udf_text_metrics,
+        "token_stats": token_stats,
+        "scalar_functions": scalar_functions,
+        "asof_join_events": asof_join_events,
+        "tpch_q5_local_supplier": tpch_q5_local_supplier,
+        "pivot_mktsegment": pivot_mktsegment,
+        "corr_covar_aggs": corr_covar_aggs,
+        "datetime_functions": datetime_functions,
+        "array_higher_order": array_higher_order,
+        "window_frames": window_frames,
         "count_min_estimates": count_min_estimates,
         "ngram_novelty_stats": ngram_novelty_stats,
         "interval_overlap_pairs": interval_overlap_pairs,
@@ -6680,6 +6659,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nexmark_q4_avg_by_category": nexmark_q4_avg_by_category,
         "nexmark_q7_window_max": nexmark_q7_window_max,
         "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+        "hll_cardinality_events": hll_cardinality_events,
+        "ann_recall_ivf_pq": ann_recall_ivf_pq,
+        "pq_code_dup_pairs": pq_code_dup_pairs,
+        "streaming_interval_join_flush": streaming_interval_join_flush,
+        "bm25_search_docs": bm25_search_docs,
+        "hard_negative_mining": hard_negative_mining,
+        "label_centroid_confusion_emb": label_centroid_confusion_emb,
+        "scd2_event_type_intervals": scd2_event_type_intervals,
+        "scd2_incremental_merge": scd2_incremental_merge,
+        "categorical_assoc_docs": categorical_assoc_docs,
+        "padding_efficiency_docs": padding_efficiency_docs,
+        "cms_join_size_orders": cms_join_size_orders,
+        "key_skew_orders": key_skew_orders,
+        "mmr_diverse_topk": mmr_diverse_topk,
+        "streaming_psi_drift_events": streaming_psi_drift_events,
+        "matryoshka_recall_emb": matryoshka_recall_emb,
+        "knn_label_noise_emb": knn_label_noise_emb,
+        "anova_f_per_dim_emb": anova_f_per_dim_emb,
+        "temporal_scd2_lookup": temporal_scd2_lookup,
+        "winsorized_value_stats": winsorized_value_stats,
+        "bootstrap_ci_orders": bootstrap_ci_orders,
+        "collocation_pmi_docs": collocation_pmi_docs,
+        "weekly_value_percentiles": weekly_value_percentiles,
+        "changepoint_shift_events": changepoint_shift_events,
+        "anomaly_band_flags": anomaly_band_flags,
+        "bpe_segment_stats": bpe_segment_stats,
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "table_diff_counts": table_diff_counts,
+        "tpch_q10_returned_items": tpch_q10_returned_items,
+        "range_join_value_bands": range_join_value_bands,
+        "continuous_aggregate_rollup": continuous_aggregate_rollup,
+        "cep_sequence_match": cep_sequence_match,
+        "streaming_dedup_count": streaming_dedup_count,
+        "tfidf_top_terms": tfidf_top_terms,
+        "reservoir_sample_events": reservoir_sample_events,
+        "stratified_sample_docs": stratified_sample_docs,
+        "tpch_q4_order_priority": tpch_q4_order_priority,
+        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
+        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
+        "tpch_q22_missing_customers": tpch_q22_missing_customers,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "kmv_distinct_sketch": kmv_distinct_sketch,
+        "winnow_fingerprint_dups": winnow_fingerprint_dups,
+        "repetition_top_ngram": repetition_top_ngram,
+        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch_q9_product_profit,
         "embedding_standardize_stats": embedding_standardize_stats,
         "quantile_sketch_events": quantile_sketch_events,
         "association_rules_lineitem": association_rules_lineitem,
@@ -6730,153 +6758,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_tolerance": asof_join_tolerance,
         "incremental_minhash_dedup": incremental_minhash_dedup,
         "dq_checks_orders": dq_checks_orders,
-        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
-        "cep_stream_match": cep_stream_match,
-        "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "asof_join_forward": asof_join_forward,
-        "dedup_group_sizes": dedup_group_sizes,
-        "pii_scrub_stats": pii_scrub_stats,
-        "gopher_quality_filter": gopher_quality_filter,
-        "doc_chunks": doc_chunks,
-        "percentile_stats": percentile_stats,
-        "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
-        "heavy_hitter_terms": heavy_hitter_terms,
-        "url_dedup_stats": url_dedup_stats,
-        "unigram_lm_quality": unigram_lm_quality,
-        "salted_aggregate_orders": salted_aggregate_orders,
-        "dup_span_stats_docs": dup_span_stats_docs,
-        "fuzzy_match_parts": fuzzy_match_parts,
-        "source_quota_sample": source_quota_sample,
-        "train_test_split_counts": train_test_split_counts,
-        "bloom_semi_join_orders": bloom_semi_join_orders,
-        "semantic_dedup_docs": semantic_dedup_docs,
-        "event_time_features": event_time_features,
-        "pandas_udf_text_metrics": pandas_udf_text_metrics,
-        "token_stats": token_stats,
-        "scalar_functions": scalar_functions,
-        "asof_join_events": asof_join_events,
-        "tpch_q5_local_supplier": tpch_q5_local_supplier,
-        "pivot_mktsegment": pivot_mktsegment,
-        "corr_covar_aggs": corr_covar_aggs,
-        "datetime_functions": datetime_functions,
-        "array_higher_order": array_higher_order,
-        "window_frames": window_frames,
-        "values_inline": values_inline,
-        "wordcount": wordcount,
-        "nexmark_q5_hot_items": nexmark_q5_hot_items,
-        "ann_lsh_search": ann_lsh_search,
-        "multimodal_features": multimodal_features,
-        "filtered_aggs": filtered_aggs,
-        "embedding_cosine_dedup": embedding_cosine_dedup,
-        "generate_series_agg": generate_series_agg,
-        "collection_aggs": collection_aggs,
-        "map_aggregate": map_aggregate,
-        "custom_udaf_agg": custom_udaf_agg,
-        "simhash_near_dups": simhash_near_dups,
-        "ivf_topk_search": ivf_topk_search,
-        "reducing_agg": reducing_agg,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
-        "streaming_session_window": streaming_session_window,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "ngram_jaccard_dedup": ngram_jaccard_dedup,
-        "filter_project": filter_project,
-        "global_aggregate": global_aggregate,
-        "join_orders_customer": join_orders_customer,
-        "left_join_counts": left_join_counts,
-        "hash_join_enrich": hash_join_enrich,
-        "theta_join": theta_join,
-        "distinct_op": distinct_op,
-        "merge_union": merge_union,
-        "sort_limit": sort_limit,
-        "top_n_per_group": top_n_per_group,
-        "min_max_by": min_max_by,
-        "cogroup_orders_lineitem": cogroup_orders_lineitem,
-        "distinct_by_key": distinct_by_key,
-        "tumbling_window_batch": tumbling_window_batch,
-        "sliding_window_batch": sliding_window_batch,
-        "session_window_batch": session_window_batch,
-        "json_props": json_props,
-        "like_and_trim": like_and_trim,
-        "cast_matrix": cast_matrix,
-        "window_rank_functions": window_rank_functions,
-        "hll_cardinality_events": hll_cardinality_events,
-        "ann_recall_ivf_pq": ann_recall_ivf_pq,
-        "pq_code_dup_pairs": pq_code_dup_pairs,
-        "streaming_interval_join_flush": streaming_interval_join_flush,
-        "bm25_search_docs": bm25_search_docs,
-        "hard_negative_mining": hard_negative_mining,
-        "label_centroid_confusion_emb": label_centroid_confusion_emb,
-        "scd2_event_type_intervals": scd2_event_type_intervals,
-        "scd2_incremental_merge": scd2_incremental_merge,
-        "categorical_assoc_docs": categorical_assoc_docs,
-        "padding_efficiency_docs": padding_efficiency_docs,
-        "cms_join_size_orders": cms_join_size_orders,
-        "key_skew_orders": key_skew_orders,
-        "mmr_diverse_topk": mmr_diverse_topk,
-        "streaming_psi_drift_events": streaming_psi_drift_events,
-        "matryoshka_recall_emb": matryoshka_recall_emb,
-        "knn_label_noise_emb": knn_label_noise_emb,
-        "anova_f_per_dim_emb": anova_f_per_dim_emb,
-        "temporal_scd2_lookup": temporal_scd2_lookup,
-        "winsorized_value_stats": winsorized_value_stats,
-        "bootstrap_ci_orders": bootstrap_ci_orders,
-        "collocation_pmi_docs": collocation_pmi_docs,
-        "weekly_value_percentiles": weekly_value_percentiles,
-        "changepoint_shift_events": changepoint_shift_events,
-        "anomaly_band_flags": anomaly_band_flags,
-        "bpe_segment_stats": bpe_segment_stats,
-        "corr_matrix_lineitem": corr_matrix_lineitem,
-        "table_diff_counts": table_diff_counts,
-        "tpch_q10_returned_items": tpch_q10_returned_items,
-        "range_join_value_bands": range_join_value_bands,
-        "continuous_aggregate_rollup": continuous_aggregate_rollup,
-        "cep_sequence_match": cep_sequence_match,
-        "streaming_dedup_count": streaming_dedup_count,
-        "tfidf_top_terms": tfidf_top_terms,
-        "reservoir_sample_events": reservoir_sample_events,
-        "stratified_sample_docs": stratified_sample_docs,
-        "tpch_q4_order_priority": tpch_q4_order_priority,
-        "tpch_q13_customer_distribution": tpch_q13_customer_distribution,
-        "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
-        "tpch_q22_missing_customers": tpch_q22_missing_customers,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "kmv_distinct_sketch": kmv_distinct_sketch,
-        "winnow_fingerprint_dups": winnow_fingerprint_dups,
-        "repetition_top_ngram": repetition_top_ngram,
-        "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
-        "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
-        "tpch_q8_market_share": tpch_q8_market_share,
-        "tpch_q9_product_profit": tpch_q9_product_profit,
-        # -- r9-session-2 additions: registered after the r9 window ----
-        # -- froze; NEXT_ROUND_LEADS defers them to lead the r10 window
-        "did_orders": did_orders,
-        "covariate_balance_customer": covariate_balance_customer,
-        "fdr_bh_events": fdr_bh_events,
-        "nelson_aalen_events": nelson_aalen_events,
-        "theilsen_trend_events": theilsen_trend_events,
-        "lead_lag_events": lead_lag_events,
-        "dp_noisy_counts_customer": dp_noisy_counts_customer,
-        "automation_screen_events": automation_screen_events,
-        "zorder_layout_orders": zorder_layout_orders,
-        "forecast_backtest_events": forecast_backtest_events,
-        "ltv_cohort_orders": ltv_cohort_orders,
-        "offline_policy_events": offline_policy_events,
-        "streaming_dp_counts_events": streaming_dp_counts_events,
-        "streaming_lead_lag_events": streaming_lead_lag_events,
-        "welch_t_orders": welch_t_orders,
-        "mann_whitney_orders": mann_whitney_orders,
-        "qte_orders": qte_orders,
-        "median_ci_orders": median_ci_orders,
-        "capture_recapture_events": capture_recapture_events,
-        "peeking_trace_events": peeking_trace_events,
-        "growth_accounting_events": growth_accounting_events,
-        "sample_size_orders": sample_size_orders,
-        "hurst_events": hurst_events,
-        "tail_risk_events": tail_risk_events,
+        "dedup_rate_by_source": dedup_rate_by_source,
+        "budget_sample_docs": budget_sample_docs,
+        "embedding_drift_labels": embedding_drift_labels,
+        "event_gap_percentiles": event_gap_percentiles,
+        "prefix_dup_docs": prefix_dup_docs,
+        "user_activity_stats": user_activity_stats,
+        "corpus_data_card_docs": corpus_data_card_docs,
+        "shipping_lag_percentiles": shipping_lag_percentiles,
+        "rfm_segments_orders": rfm_segments_orders,
+        "transition_entropy_events": transition_entropy_events,
+        "holt_linear_events": holt_linear_events,
+        "embedding_norm_stats": embedding_norm_stats,
+        "dup_lang_confusion_docs": dup_lang_confusion_docs,
+        "chunk_dup_docs": chunk_dup_docs,
+        "token_len_histogram_docs": token_len_histogram_docs,
+        "hll_overlap_events": hll_overlap_events,
+        "dow_hourly_anomaly_events": dow_hourly_anomaly_events,
+        "sample_audit_docs": sample_audit_docs,
+        "rrf_fusion_emb": rrf_fusion_emb,
+        "classifier_lift_docs": classifier_lift_docs,
+        "conversion_lag_events": conversion_lag_events,
+        "lsh_band_precision_docs": lsh_band_precision_docs,
+        "cube_token_stats_docs": cube_token_stats_docs,
+        "weighted_median_lineitem": weighted_median_lineitem,
+        "referential_integrity_counts": referential_integrity_counts,
+        "session_cooccurrence_events": session_cooccurrence_events,
+        "top_event_paths_events": top_event_paths_events,
+        "kmeans_assign_counts": kmeans_assign_counts,
+        "dsir_importance_weights": dsir_importance_weights,
+        "funnel_conversion_counts": funnel_conversion_counts,
+        "quality_decile_stats": quality_decile_stats,
+        "dedup_keep_best": dedup_keep_best,
+        "embedding_outlier_stats": embedding_outlier_stats,
+        "streaming_quality_gate": streaming_quality_gate,
+        "cut_dup_spans_docs": cut_dup_spans_docs,
+        "weighted_sample_counts": weighted_sample_counts,
+        "mad_outlier_stats": mad_outlier_stats,
+        "containment_dup_pairs": containment_dup_pairs,
+        "pca_projection_stats": pca_projection_stats,
+        "char_entropy_quality": char_entropy_quality,
+        "quality_classifier_scores": quality_classifier_scores,
+        "bigram_lm_quality": bigram_lm_quality,
+        "ks_drift_events": ks_drift_events,
+        "tokenize_ids_stats": tokenize_ids_stats,
+        "psi_drift_events": psi_drift_events,
+        "multimodal_audio_stats": multimodal_audio_stats,
+        "multimodal_image_stats": multimodal_image_stats,
+        "pq_encode_stats": pq_encode_stats,
+        "temperature_sample_counts": temperature_sample_counts,
+        "cohort_retention_counts": cohort_retention_counts,
+        "cusum_alarm_events": cusum_alarm_events,
+        "streaming_cohort_enrich": streaming_cohort_enrich,
+        "dup_graph_degree_docs": dup_graph_degree_docs,
+        "monthly_growth_orders": monthly_growth_orders,
+        "kaplan_meier_events": kaplan_meier_events,
+        "pareto_front_parts": pareto_front_parts,
+        "cuped_experiment_orders": cuped_experiment_orders,
+        "attribution_events": attribution_events,
+        "isotropy_embeddings": isotropy_embeddings,
+        "window_funnel_events": window_funnel_events,
+        "table_fingerprint_docs": table_fingerprint_docs,
+        "rake_keyphrases_docs": rake_keyphrases_docs,
+        "lpa_communities_parts": lpa_communities_parts,
+        "link_prediction_parts": link_prediction_parts,
+        "ohlc_events": ohlc_events,
+        "session_bounce_events": session_bounce_events,
+        "seasonality_strength_events": seasonality_strength_events,
+        "streaming_ohlc_events": streaming_ohlc_events,
+        "ab_conversion_events": ab_conversion_events,
+        "self_repetition_docs": self_repetition_docs,
+        "fisher_separation_emb": fisher_separation_emb,
+        "growth_decomposition_orders": growth_decomposition_orders,
+        "stickiness_events": stickiness_events,
+        "trending_parts": trending_parts,
+        "new_vs_returning_events": new_vs_returning_events,
+        "k_anonymity_customer": k_anonymity_customer,
+        "streaming_fingerprint_events": streaming_fingerprint_events,
+        "experiment_readout_events": experiment_readout_events,
+        "l_diversity_customer": l_diversity_customer,
+        "rank_semantics_orders": rank_semantics_orders,
+        "markov_stationary_events": markov_stationary_events,
+        "position_attribution_events": position_attribution_events,
+        "centroid_distance_emb": centroid_distance_emb,
+        "streaming_corpus_card_docs": streaming_corpus_card_docs,
+        "ivf_staleness_emb": ivf_staleness_emb,
+        "kappa_langid_docs": kappa_langid_docs,
+        "experiment_power_orders": experiment_power_orders,
+        "tokenizer_fertility_docs": tokenizer_fertility_docs,
+        "dup_rate_by_length_docs": dup_rate_by_length_docs,
+        "simhash_groups": simhash_groups,
+        "cosine_topk_search": cosine_topk_search,
+        "streaming_tumbling_window": streaming_tumbling_window,
+        "streaming_stateful_count": streaming_stateful_count,
+        "streaming_rolling_count": streaming_rolling_count,
+        "linear_trend_agg": linear_trend_agg,
+        "distinct_aggregates": distinct_aggregates,
+        "having_filter": having_filter,
+        "semi_anti_join": semi_anti_join,
+        "full_outer_join": full_outer_join,
+        "set_operations": set_operations,
     }
 
 
@@ -14580,7 +14561,8 @@ def oracle_sql() -> dict[str, str]:
                    round(s / CAST(n_units AS DOUBLE), 6) + 0.0 AS mean_y,
                    round(did, 6) + 0.0 AS did,
                    round(se, 6) + 0.0 AS se,
-                   round(did / se, 6) + 0.0 AS t
+                   CASE WHEN se > 0.0 THEN round(did / se, 6) + 0.0
+                        ELSE CAST('NaN' AS DOUBLE) END AS t
             FROM cell CROSS JOIN eff
             ORDER BY arm ASC, period DESC
         """,
@@ -14622,11 +14604,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT covariate, n_a, n_b,
                        sa / CAST(n_a AS DOUBLE) AS ma,
                        sb / CAST(n_b AS DOUBLE) AS mb,
-                       sqrt((((ssa - sa * sa / CAST(n_a AS DOUBLE))
-                              / (CAST(n_a AS DOUBLE) - 1))
-                             + ((ssb - sb * sb / CAST(n_b AS DOUBLE))
-                                / (CAST(n_b AS DOUBLE) - 1))) / 2.0)
-                           AS pooled
+                       sqrt(((CASE WHEN n_a > 1
+                                   THEN (ssa - sa * sa / CAST(n_a AS DOUBLE))
+                                        / (CAST(n_a AS DOUBLE) - 1) END)
+                             + (CASE WHEN n_b > 1
+                                   THEN (ssb - sb * sb / CAST(n_b AS DOUBLE))
+                                        / (CAST(n_b AS DOUBLE) - 1) END))
+                            / 2.0) AS pooled
                 FROM wide
             )
             SELECT covariate, n_a, n_b,

@@ -308,6 +308,12 @@ def diff_in_diff(units: DataFrame, arm_col: str, period_col: str,
     for k in [(a, p) for a in arms for p in (pre_value, post_value)]:
         if k not in cells:
             raise ValueError(f"diff_in_diff: missing cell {k}")
+        # a cell whose metric is entirely NULL has n_units=0 / __s=None
+        # (count(y) counts non-nulls) — fail descriptively, not with a
+        # TypeError inside stats() (ADVICE r9)
+        if not cells[k]["n_units"] or cells[k]["__s"] is None:
+            raise ValueError(
+                f"diff_in_diff: cell {k} has no non-null {y_col!r} values")
 
     def stats(a: str, p: str) -> tuple[int, float, float]:
         r = cells[(a, p)]
@@ -393,8 +399,13 @@ def covariate_balance(units: DataFrame, arm_col: str,
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     ma = F.col("__sa") / na
     mb = F.col("__sb") / nb
-    var_a = (F.col("__ssa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
-    var_b = (F.col("__ssb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    # gate on n>1: a single-value arm would divide by zero, where Spark
+    # yields NULL but DuckDB's IEEE float division yields inf/nan — make
+    # both engines emit NULL explicitly (ADVICE r9)
+    var_a = F.when(na > 1, (F.col("__ssa")
+                            - F.col("__sa") * F.col("__sa") / na) / (na - 1))
+    var_b = F.when(nb > 1, (F.col("__ssb")
+                            - F.col("__sb") * F.col("__sb") / nb) / (nb - 1))
     pooled = F.sqrt((var_a + var_b) / F.lit(2.0))
     smd = F.when(pooled > 0.0, (ma - mb) / pooled)
     imbalanced = F.when(pooled > 0.0, F.abs(smd) >= 0.1).otherwise(ma != mb)
@@ -661,7 +672,10 @@ def mann_whitney_u(units: DataFrame, arm_col: str, y_col: str,
         F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
         .alias("__ties")).limit(1).collect()[0]
     na, nb = agg["n_a"], agg["n_b"]
-    if na == 0 or nb == 0:
+    # empty/all-NULL input makes the sums NULL (not 0) — `not na` catches
+    # both None and 0 so the intended ValueError fires instead of a
+    # TypeError on na + nb (ADVICE r9)
+    if not na or not nb:
         raise ValueError("mann_whitney_u: an arm has no units")
     n = na + nb
     u_a = agg["__ra"] - na * (na + 1) / 2.0

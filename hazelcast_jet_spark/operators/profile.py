@@ -1933,13 +1933,35 @@ def dp_noisy_counts(df: DataFrame, group_cols: list[str], epsilon: float,
                .join(per, list(group_cols), "left")
                .select(*group_cols,
                        F.coalesce("__n", F.lit(0)).alias("__n")))
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    key = _dp_group_key(group_cols)
     noise = dp_laplace_noise(key, epsilon, seed)
     return (per.select(
         *group_cols,
         (F.round(F.col("__n").cast("double") + noise, round_digits)
          + F.lit(0.0)).alias("noisy_count"))
         .orderBy(*group_cols))
+
+
+def _dp_group_key(group_cols: list[str]) -> Column:
+    """Collision-free noise key for a group tuple.  A plain
+    ``concat_ws('|', ...)`` lets two DIFFERENT multi-column groups
+    collide when a value contains the separator (('a|b','c') vs
+    ('a','b|c')) or when NULL and '' meet — colliding groups would
+    receive IDENTICAL Laplace draws, weakening the release's noise
+    independence (ADVICE r9).  Each component is therefore
+    length-prefixed (``<len>:<value>``; NULL → ``~``), which makes the
+    joined encoding prefix-free and hence injective.  Single-column
+    keys stay the raw string cast — no boundary exists, and the
+    released oracles replay that form."""
+    if len(group_cols) == 1:
+        return F.col(group_cols[0]).cast("string")
+    parts = []
+    for c in group_cols:
+        s = F.col(c).cast("string")
+        parts.append(F.when(s.isNull(), F.lit("~"))
+                     .otherwise(F.concat(F.length(s).cast("string"),
+                                         F.lit(":"), s)))
+    return F.concat_ws("|", *parts)
 
 
 def dp_laplace_noise(key: Column, epsilon: float,

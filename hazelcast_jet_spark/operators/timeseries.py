@@ -1979,6 +1979,15 @@ def forecast_backtest(df: DataFrame, key_col: str, time_col: str,
 
     Returns ``(key, model, n, mae, smape)`` ordered by (key, model).
     """
+    # the evaluation window is keyed on __snaive IS NOT NULL, which only
+    # implies the lag-1 naive/holt predictions exist when the seasonal
+    # lag is at least 1 — a 0/negative lag would silently deflate the
+    # error sums (DECIMAL sums skip NULL terms, count(*) doesn't)
+    # (ADVICE r9)
+    if seasonal_lag < 1:
+        raise ValueError(
+            f"forecast_backtest: seasonal_lag must be >= 1, "
+            f"got {seasonal_lag}")
     sm = holt_linear(df, key_col, time_col, value_col,
                      alpha=alpha, beta=beta)
     w = Window.partitionBy(key_col).orderBy(time_col)

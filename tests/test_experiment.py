@@ -1449,3 +1449,88 @@ def test_dp_noisy_counts_domain_releases_absent_groups(spark):
     noise = -(2.0) * math.copysign(1.0, u - 0.5) \
         * math.log(1.0 - 2.0 * abs(u - 0.5))
     assert abs(with_dom["z"] - round(noise, 6)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 edge-case hardening
+# ---------------------------------------------------------------------------
+
+def test_diff_in_diff_all_null_cell_raises_cleanly(spark):
+    """A cell whose metric is entirely NULL has n_units=0 (count(y)
+    counts non-nulls) — must raise the descriptive ValueError, not a
+    TypeError inside the stats arithmetic (ADVICE r9)."""
+    from hazelcast_jet_spark.operators.experiment import diff_in_diff
+
+    rows = ([("A", "pre", None), ("A", "pre", None)]
+            + [("A", "post", 2.0), ("B", "pre", 3.0), ("B", "post", 4.0)])
+    df = spark.createDataFrame(rows, "arm string, period string, y double")
+    with pytest.raises(ValueError, match="no non-null"):
+        diff_in_diff(df, "arm", "period", "y")
+
+
+def test_covariate_balance_single_value_arm_gives_null_smd(spark):
+    """An arm with one non-null value has an undefined sample variance
+    (n-1 = 0): both the operator and the oracle must emit NULL, not
+    inf/nan from IEEE division (ADVICE r9)."""
+    from hazelcast_jet_spark.operators.experiment import covariate_balance
+
+    df = spark.createDataFrame(
+        [("A", 5.0), ("A", None), ("B", 1.0), ("B", 3.0), ("B", 5.0)],
+        "arm string, x double")
+    r = covariate_balance(df, "arm", ["x"]).collect()[0]
+    assert r["n_a"] == 1 and r["n_b"] == 3
+    assert r["smd"] is None
+    # means differ (5.0 vs 3.0) -> the fallback flag still fires
+    assert r["imbalanced"] is True
+
+
+def test_mann_whitney_empty_input_raises_cleanly(spark):
+    """Empty / all-NULL input makes the aggregate sums NULL — the
+    intended 'an arm has no units' ValueError must fire, not a
+    TypeError on NULL arithmetic (ADVICE r9)."""
+    from hazelcast_jet_spark.operators.experiment import mann_whitney_u
+
+    empty = spark.createDataFrame([], "arm string, y double")
+    with pytest.raises(ValueError, match="no units"):
+        mann_whitney_u(empty, "arm", "y", arms=("A", "B"))
+    all_null = spark.createDataFrame(
+        [("A", None), ("B", None)], "arm string, y double")
+    with pytest.raises(ValueError, match="no units"):
+        mann_whitney_u(all_null, "arm", "y", arms=("A", "B"))
+
+
+def test_dp_noise_key_is_boundary_safe(spark):
+    """Multi-column groups whose values straddle the separator — e.g.
+    ('a|b', 'c') vs ('a', 'b|c') — and NULL-vs-empty pairs must get
+    INDEPENDENT noise draws, not identical ones (ADVICE r9)."""
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), (None, "x"), ("", "x")],
+        "g1 string, g2 string")
+    out = dp_noisy_counts(df, ["g1", "g2"], 0.5, seed="bk1").collect()
+    assert len(out) == 4
+    # every group has true count 1 -> identical draws would show as
+    # identical noisy counts; the length-prefixed key makes all four
+    # draws distinct
+    noisy = [r["noisy_count"] for r in out]
+    assert len(set(noisy)) == 4
+
+
+def test_dp_single_column_key_unchanged(spark):
+    """The single-column noise key stays the raw string cast, so the
+    released replayable oracles (md5(seed-||key)) keep matching."""
+    import hashlib as _h
+
+    from hazelcast_jet_spark.operators.profile import dp_noisy_counts
+
+    eps, seed = 0.5, "sc1"
+    df = spark.createDataFrame([(7,), (7,), (9,)], "g int")
+    got = {r["g"]: r["noisy_count"] for r in
+           dp_noisy_counts(df, ["g"], eps, seed=seed).collect()}
+    for g, n in ((7, 2), (9, 1)):
+        h = int(_h.md5(f"{seed}-{g}".encode()).hexdigest()[:12], 16)
+        u = (h + 0.5) / float(1 << 48) - 0.5
+        noise = (-1.0 / eps) * math.copysign(1.0, u) \
+            * math.log(1.0 - 2.0 * abs(u))
+        assert abs(got[g] - round(n + noise, 6)) < 1e-9

@@ -1101,3 +1101,19 @@ def test_tail_risk_selection_and_shortfall(spark):
     assert r["n"] == 100 and r["tail_n"] == len(tail)
     assert r["var_q"] == float(cut_rank)
     assert abs(r["es_q"] - round(sum(tail) / len(tail), 6)) < 1e-9
+
+
+def test_forecast_backtest_rejects_nonpositive_seasonal_lag(spark):
+    """seasonal_lag < 1 would leave lag-1 naive/holt predictions NULL
+    inside the snaive-keyed evaluation window, silently deflating the
+    DECIMAL error sums while count(*) keeps all rows (ADVICE r9)."""
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import forecast_backtest
+
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(10)],
+        "key string, t int, v double")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="seasonal_lag"):
+            forecast_backtest(df, "key", "t", "v", seasonal_lag=bad)

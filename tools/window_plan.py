@@ -43,15 +43,25 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def last_green_rounds(repo: str = REPO) -> dict[str, int]:
+def last_green_rounds(repo: str = REPO,
+                      before_round: int | None = None) -> dict[str, int]:
     """query -> latest round with a fully-green driver row (rows + schema
-    + hash when the driver computed one)."""
+    + hash when the driver computed one).
+
+    ``before_round`` freezes the view: ledgers CORRECTNESS_r{N}.json with
+    N >= before_round are ignored.  The registry pin passes the entry
+    file's ``WINDOW_ROUND`` here so the driver dropping the CURRENT
+    round's ledger mid-round cannot retroactively change the plan the
+    window was frozen against (r9 verdict "What's wrong #1").
+    """
     out: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         base = os.path.basename(path)
         try:
             rnd = int(base.split("_r")[1].split(".")[0])
         except (IndexError, ValueError):
+            continue
+        if before_round is not None and rnd >= before_round:
             continue
         with open(path) as fh:
             rows = json.load(fh)
@@ -69,7 +79,8 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
 
 def recommended(registry_names: list[str] | None = None,
                 deferred: set[str] | None = None,
-                repo: str = REPO) -> list[str]:
+                repo: str = REPO,
+                before_round: int | None = None) -> list[str]:
     """Full recommended ordering (window = first ``WINDOW`` entries)."""
     if registry_names is None or deferred is None:
         import __spark_entry__ as entry_mod
@@ -77,7 +88,7 @@ def recommended(registry_names: list[str] | None = None,
             registry_names = list(entry_mod.queries().keys())
         if deferred is None:
             deferred = set(getattr(entry_mod, "NEXT_ROUND_LEADS", ()))
-    green = last_green_rounds(repo)
+    green = last_green_rounds(repo, before_round)
     pos = {n: i for i, n in enumerate(registry_names)}
     active = [n for n in registry_names if n not in deferred]
     never = [n for n in active if n not in green]
@@ -96,7 +107,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     names = list(entry_mod.queries().keys())
     deferred = set(getattr(entry_mod, "NEXT_ROUND_LEADS", ()))
-    plan = recommended(names, deferred)
+    freeze = getattr(entry_mod, "WINDOW_ROUND", None)
+    # --check validates the FROZEN window (ledgers < WINDOW_ROUND only);
+    # the plain/--full listing is the LIVE plan for freezing the next one.
+    plan = recommended(names, deferred,
+                       before_round=freeze if args.check else None)
     green = last_green_rounds()
 
     if args.check:

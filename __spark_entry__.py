@@ -1523,6 +1523,25 @@ def ivf_staleness_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_staleness(ivf_assign(e, cents), cents)
 
 
+def pq_staleness_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook freshness report (similarity.pq_codebook_staleness,
+    r9 verdict #4 — the ANN lane's last build-once artifact): per
+    subspace, the mean quantization error of training-era vs upserted
+    vectors and the re-fit flag at ratio > 1.5 — the "re-fit the
+    codebooks or keep upserting?" signal the incremental IVF-PQ index
+    (similarity.ivf_pq_upsert) runs instead of a timer.  The upsert
+    cohort is the deterministic vec_id % 3 slice; the error expression
+    is pq_encode's own rounded-9 L2 argmin, so what is measured is
+    exactly the error the index carries.  ONE exploded scan (m·n
+    bounded rows), DECIMAL(38,9)-exact sums."""
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_codebook_staleness)
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_codebook_staleness(e, _pq_fixed_codebooks(),
+                                 F.col("vec_id") % 3 == 0)
+
+
 def kappa_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa (profile.cohen_kappa) between the labeled lang
     column and the stopword-ratio language-ID heuristic — the ONE
@@ -6499,9 +6518,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries registered AFTER this round's 50-entry window froze: deferred
 #: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
 #: session-tail handoff convention, now machine-readable).  Names listed
-#: here must sit below the window boundary in ``queries()``.  Empty at
-#: r10 freeze -- the 24 r9-session-2 leads now occupy slots 1-24.
-NEXT_ROUND_LEADS: tuple[str, ...] = ()
+#: here must sit below the window boundary in ``queries()``.  The 24
+#: r9-session-2 leads now occupy window slots 1-24; entries below are
+#: the r10-session additions, deferred to lead the r11 window.
+NEXT_ROUND_LEADS: tuple[str, ...] = (
+    "pq_staleness_emb",
+)
 
 #: The round whose driver window the current registry ordering was frozen
 #: for.  tools/window_plan.py and tests/test_window_plan.py ignore
@@ -6858,6 +6880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": semi_anti_join,
         "full_outer_join": full_outer_join,
         "set_operations": set_operations,
+        # -- r10-session additions: registered after the r10 window ----
+        # -- froze; NEXT_ROUND_LEADS defers them to lead the r11 window
+        "pq_staleness_emb": pq_staleness_emb,
     }
 
 
@@ -9696,6 +9721,53 @@ def oracle_sql() -> dict[str, str]:
                        f"CAST(c{s} AS VARCHAR)" for s in range(PQ_M))})
                        AS BIGINT) AS n_codes
             FROM c GROUP BY label ORDER BY label
+        """)(_pq_fixed_codebooks()),
+        # -- r10: PQ codebook staleness (per-subspace drift, re-fit flag)
+        "pq_staleness_emb": (lambda books: f"""
+            WITH e AS (
+                SELECT (vec_id % 3 = 0) AS is_new,
+                       {", ".join(
+                           "list_min([" + ", ".join(
+                               _l2_sql(
+                                   f"embedding[{s * PQ_SUBDIM + 1}:"
+                                   f"{(s + 1) * PQ_SUBDIM}]", c)
+                               for c in book) + f"]) AS e{s}"
+                           for s, book in enumerate(books))}
+                FROM embeddings
+            ), m AS (
+                {" UNION ALL ".join(
+                    f"SELECT CAST({s} AS INT) AS subspace, is_new,"
+                    f" e{s} AS err FROM e" for s in range(PQ_M))}
+            ), agg AS (
+                SELECT subspace,
+                       count(*) FILTER (WHERE NOT is_new) AS n_train,
+                       count(*) FILTER (WHERE is_new) AS n_new,
+                       CAST(SUM(CASE WHEN NOT is_new
+                                THEN CAST(err AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS st,
+                       CAST(SUM(CASE WHEN is_new
+                                THEN CAST(err AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS sn
+                FROM m GROUP BY 1
+            )
+            SELECT subspace, n_train, n_new,
+                   CASE WHEN n_train > 0
+                        THEN round(st / CAST(n_train AS DOUBLE), 6) + 0.0
+                        END AS mean_err_train,
+                   CASE WHEN n_new > 0
+                        THEN round(sn / CAST(n_new AS DOUBLE), 6) + 0.0
+                        END AS mean_err_new,
+                   CASE WHEN n_new > 0 AND st > 0.0
+                        THEN round((sn / CAST(n_new AS DOUBLE))
+                                   / (st / CAST(n_train AS DOUBLE)), 6)
+                             + 0.0
+                        END AS err_ratio,
+                   CASE WHEN n_new = 0 THEN FALSE
+                        WHEN st > 0.0
+                        THEN (sn / CAST(n_new AS DOUBLE))
+                             / (st / CAST(n_train AS DOUBLE)) > 1.5
+                        ELSE sn > 0.0 END AS refit
+            FROM agg ORDER BY subspace
         """)(_pq_fixed_codebooks()),
         # -- r6: ANN recall probe + PQ-code dedup + streaming interval join
         "ann_recall_ivf_pq": (lambda cents, books: f"""

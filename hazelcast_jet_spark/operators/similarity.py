@@ -784,6 +784,114 @@ def ivf_pq_build(corpus: DataFrame, centroids: list[list[float]], codebooks,
     )
 
 
+def ivf_pq_upsert(new_vectors: DataFrame, centroids: list[list[float]],
+                  codebooks, path: str, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> None:
+    """Incremental IVF-PQ index maintenance — the code-side twin of
+    :func:`ivf_index_upsert` (r9 verdict #4): assign + PQ-encode ONLY
+    the new vectors against the FROZEN centroids/codebooks (map-only,
+    zero recompute of the resident corpus) and append under the same
+    ``partitionBy(centroid_id)`` layout :func:`ivf_pq_build` wrote.
+
+    Assignment and encoding are pure functions of (vector, centroids,
+    codebooks), so an upserted index is row-identical to a full rebuild
+    over the union corpus (pinned in tests).  Freshness degrades only
+    through CODEBOOK staleness — upserted vectors quantize against
+    codewords fitted on the training distribution; measure with
+    :func:`pq_codebook_staleness` and re-fit + rebuild when it reports
+    drift, not on a timer (the :func:`ivf_index_staleness` discipline).
+    """
+    (
+        pq_encode(ivf_assign(new_vectors, centroids, id_col, vec_col),
+                  codebooks, vec_col=vec_col)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def pq_codebook_staleness(df: DataFrame, codebooks, is_new: Column,
+                          vec_col: str = "embedding",
+                          refit_ratio: float = 1.5,
+                          round_digits: int = 6) -> DataFrame:
+    """PQ codebook freshness report (r9 verdict #4 — the ANN lane's last
+    build-once artifact): per SUBSPACE, the mean quantization error of
+    the TRAINING-era vectors vs the UPSERTED vectors, and whether the
+    drift crosses the re-fit threshold.
+
+    ``pq_fit``'s codebooks are train-once; :func:`ivf_pq_upsert` encodes
+    new vectors against the frozen codewords.  On the training
+    distribution the per-subspace error is the Lloyd's-converged floor;
+    as upserts drift away from that distribution their min-codeword
+    distance rises — per subspace, because drift is rarely isotropic
+    (one embedding block shifting, e.g. after a model fine-tune, shows
+    in ITS subspaces while the others stay fresh).
+
+        err_ratio = mean_err_new / mean_err_train   (per subspace)
+        refit     = err_ratio > refit_ratio         (default 1.5)
+
+    Re-fit guidance (documented contract): when any subspace flags,
+    re-run ``pq_fit`` on a fresh sample and rebuild with
+    :func:`ivf_pq_build`; between flags, keep upserting — the
+    encode-vs-re-encode equality pin guarantees incremental and rebuilt
+    codes agree as long as the codebooks are the ones frozen.
+
+    The error expression is BY CONSTRUCTION the one :func:`pq_encode`
+    embeds (rounded-9 per-codeword L2, array_min) — what this measures
+    is exactly the error the index carries.  ONE scan: the m per-subspace
+    errors explode to (subspace, is_new, err) rows (m·n bounded, m ≤ 16)
+    and a single aggregate folds both cohorts; sums DECIMAL(38,9)-
+    accumulate (exact, order-free, scaled integers < 2^53 so the
+    decimal→double cast is engine-stable).
+
+    Returns ``(subspace, n_train, n_new, mean_err_train, mean_err_new,
+    err_ratio, refit)`` ordered by subspace; ``err_ratio`` is NULL when
+    the training error is zero (degenerate codebook) and ``refit`` then
+    falls back to "any new-vector error at all".
+    """
+    subdim = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    errs = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(v, s * subdim + 1, subdim)
+        dists = F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, y: acc + y),
+                9)
+            for c in book
+        ])
+        errs.append(F.array_min(dists))
+    base = df.select(
+        is_new.cast("boolean").alias("__new"),
+        F.posexplode(F.array(*errs)).alias("subspace", "__err"))
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    agg = base.groupBy("subspace").agg(
+        F.count(F.when(~F.col("__new"), F.lit(1))).alias("n_train"),
+        F.count(F.when(F.col("__new"), F.lit(1))).alias("n_new"),
+        d9(F.when(~F.col("__new"), F.col("__err"))).alias("__st"),
+        d9(F.when(F.col("__new"), F.col("__err"))).alias("__sn"))
+    nt = F.col("n_train").cast("double")
+    nn = F.col("n_new").cast("double")
+    mean_t = F.when(F.col("n_train") > 0, F.col("__st") / nt)
+    mean_n = F.when(F.col("n_new") > 0, F.col("__sn") / nn)
+    ratio = F.when((F.col("n_new") > 0) & (F.col("__st") > 0.0),
+                   (F.col("__sn") / nn) / (F.col("__st") / nt))
+    refit = (F.when(F.col("n_new") == 0, F.lit(False))
+             .when(F.col("__st") > 0.0, ratio > F.lit(float(refit_ratio)))
+             .otherwise(F.col("__sn") > 0.0))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (agg.select(
+        "subspace", "n_train", "n_new",
+        r6(mean_t).alias("mean_err_train"),
+        r6(mean_n).alias("mean_err_new"),
+        r6(ratio).alias("err_ratio"),
+        refit.alias("refit"))
+        .orderBy("subspace"))
+
+
 def ivf_pq_topk(spark, path: str, queries: DataFrame,
                 centroids: list[list[float]], codebooks, k: int = 5,
                 nprobe: int = 2, id_col: str = "vec_id",

@@ -4204,3 +4204,115 @@ def test_layout_audit_zorder_balances_both_dims(spark):
     assert out[("y_sorted", "x")] > 0.9
     for dim in ("x", "y"):                        # z: good on BOTH
         assert 0.05 < out[("zorder", dim)] < 0.5
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_upsert / pq_codebook_staleness (operators/similarity.py, r10)
+# ---------------------------------------------------------------------------
+
+def test_ivf_pq_upsert_equals_rebuild(spark, tmp_path, sf_dir):
+    """r9 verdict #4: build(base) + pq-upsert(delta) against frozen
+    centroids/codebooks is row-identical (ids, assignment AND codes) to
+    a full rebuild over the union corpus, and the persisted ADC probe
+    returns identical results over either index."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        ivf_pq_build, ivf_pq_topk, ivf_pq_upsert)
+
+    e = entry_mod._t(spark, sf_dir, "embeddings")
+    cents = entry_mod._ivf_centroids()
+    books = entry_mod._pq_fixed_codebooks()
+    base = e.filter(F.col("vec_id") % 2 == 0)
+    delta = e.filter(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivfpq_inc")
+    ivf_pq_build(base, cents, books, inc)
+    ivf_pq_upsert(delta, cents, books, inc)
+    full = str(tmp_path / "ivfpq_full")
+    ivf_pq_build(e, cents, books, full)
+
+    key = lambda r: (r["vec_id"], r["centroid_id"], tuple(r["pq_code"]))
+    rows_inc = sorted(map(key, spark.read.parquet(inc).collect()))
+    rows_full = sorted(map(key, spark.read.parquet(full).collect()))
+    assert rows_inc == rows_full and len(rows_inc) == e.count()
+
+    q = e.filter(F.col("vec_id") < 3)
+    pk = lambda r: (r.query_id, r.rank, r.corpus_id, r.approx_dist)
+    got_inc = sorted(map(pk, ivf_pq_topk(
+        spark, inc, q, cents, books, k=5, nprobe=2).collect()))
+    got_full = sorted(map(pk, ivf_pq_topk(
+        spark, full, q, cents, books, k=5, nprobe=2).collect()))
+    assert got_inc == got_full
+
+
+def test_pq_codebook_staleness_flags_drifted_subspace(spark):
+    """Per-subspace drift detection: an upsert cohort that drifts in
+    ONE subspace flags that subspace's refit while the on-distribution
+    subspace reads ratio ~1 and stays quiet."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_codebook_staleness)
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    # training: 0.1 off a codeword in both subspaces (err 0.01 each)
+    train = [(i, [0.1, 0.0, 0.1, 0.0], False) for i in range(4)]
+    # upserts: subspace 0 on-distribution; subspace 1 drifts to (.5,.5)
+    new = [(10 + i, [0.1, 0.0, 0.5, 0.5], True) for i in range(4)]
+    df = spark.createDataFrame(
+        train + new, "vec_id long, embedding array<double>, is_new boolean")
+    out = {r["subspace"]: r for r in
+           pq_codebook_staleness(df, books, F.col("is_new")).collect()}
+    s0, s1 = out[0], out[1]
+    assert (s0["n_train"], s0["n_new"]) == (4, 4)
+    assert abs(s0["mean_err_train"] - 0.01) < 1e-9
+    assert abs(s0["err_ratio"] - 1.0) < 1e-9
+    assert s0["refit"] is False
+    assert abs(s1["mean_err_new"] - 0.5) < 1e-9
+    assert s1["err_ratio"] > 10.0 and s1["refit"] is True
+
+
+def test_pq_codebook_staleness_degenerate_and_empty_cohorts(spark):
+    """Zero training error (codebook memorized the training set) falls
+    back to 'any new-vector error flags'; an empty upsert cohort never
+    flags and reports NULL new-side stats."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_codebook_staleness)
+
+    books = [[[0.0, 0.0], [1.0, 1.0]]]
+    exact = [(1, [0.0, 0.0], False), (2, [1.0, 1.0], False)]
+    off = [(3, [0.3, 0.0], True)]
+    df = spark.createDataFrame(
+        exact + off, "vec_id long, embedding array<double>, is_new boolean")
+    r = pq_codebook_staleness(df, books, F.col("is_new")).collect()[0]
+    assert r["mean_err_train"] == 0.0 and r["err_ratio"] is None
+    assert r["refit"] is True  # st == 0, sn > 0 -> fallback branch
+
+    none_new = spark.createDataFrame(
+        exact, "vec_id long, embedding array<double>, is_new boolean")
+    r2 = pq_codebook_staleness(none_new, books, F.col("is_new")).collect()[0]
+    assert r2["n_new"] == 0 and r2["mean_err_new"] is None
+    assert r2["refit"] is False
+
+
+def test_pq_codebook_staleness_error_matches_pq_encode(spark):
+    """The staleness error IS the encode error: summed over subspaces,
+    the per-cohort means reproduce pq_encode's err column exactly."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.similarity import (
+        pq_codebook_staleness, pq_encode)
+
+    books = [[[0.0, 0.5], [1.0, 0.25]], [[0.25, 0.0], [0.75, 1.0]]]
+    rows = [(i, [((i * 3 + j) % 7) / 8.0 for j in range(4)], i % 2 == 0)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, is_new boolean")
+    st = pq_codebook_staleness(df, books, F.col("is_new")).collect()
+    enc = (pq_encode(df, books, err_col="err")
+           .groupBy("is_new").agg(F.avg("err").alias("m")).collect())
+    want = {r["is_new"]: r["m"] for r in enc}
+    got_new = sum(r["mean_err_new"] for r in st)
+    got_train = sum(r["mean_err_train"] for r in st)
+    assert abs(got_new - want[True]) < 1e-6
+    assert abs(got_train - want[False]) < 1e-6

@@ -6446,6 +6446,35 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+def streaming_experiment_readout_events(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """LIVE experiment readout (r9 verdict #5 — the operator a real
+    experimentation platform runs continuously): readStream over events
+    maintains ONE complete-mode per-unit counter table
+    (experiment.experiment_stream_counters; state = one row per user,
+    the streaming-exact-dedup state class), then
+    experiment.experiment_readout_fold assigns md5 arms batch-side and
+    emits the per-arm readout — conversions, rates, exact mean
+    events/user — with the pooled two-proportion z, SRM z and the
+    significance flag q:peeking_trace_events warns about.  availableNow
+    on bounded input makes the counters deterministic, so the batch SQL
+    replay is the exact oracle."""
+    from hazelcast_jet_spark.operators.experiment import (
+        experiment_readout_fold, experiment_stream_counters)
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    counters = run_to_batch(
+        experiment_stream_counters(s, "user_id", "ts", "event_type",
+                                   "purchase", "value", AB_CONV_VALUE),
+        "complete")
+    # break the memory-sink lineage before the fold's bounded collect
+    # (one row per distinct user)
+    return experiment_readout_fold(counters.localCheckpoint(),
+                                   seed=CUPED_SEED)
+
+
 def growth_accounting_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting (timeseries.growth_accounting): the
     new/retained/resurrected/churned decomposition behind every DAU
@@ -6523,6 +6552,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the r10-session additions, deferred to lead the r11 window.
 NEXT_ROUND_LEADS: tuple[str, ...] = (
     "pq_staleness_emb",
+    "streaming_experiment_readout_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6883,6 +6913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10-session additions: registered after the r10 window ----
         # -- froze; NEXT_ROUND_LEADS defers them to lead the r11 window
         "pq_staleness_emb": pq_staleness_emb,
+        "streaming_experiment_readout_events":
+            streaming_experiment_readout_events,
     }
 
 
@@ -14161,6 +14193,60 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(p.n_converted AS DOUBLE)
                          / CAST(p.n_units AS DOUBLE), 6) + 0.0 AS rate,
                    st.z, st.srm_z
+            FROM per p, st ORDER BY p.arm
+        """,
+        # -- r10: live experiment readout over the streamed counters ---
+        "streaming_experiment_readout_events": f"""
+            WITH u AS (
+                SELECT user_id,
+                       CASE WHEN substr(md5('{CUPED_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       count(*) AS n_events,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                     AND value >= 95.0
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY 1
+            ), per AS (
+                SELECT arm, count(*) AS n_users,
+                       CAST(SUM(conv) AS BIGINT) AS n_converted,
+                       CAST(SUM(CAST(n_events AS DECIMAL(38,0)))
+                            AS DOUBLE) AS sum_events
+                FROM u GROUP BY 1
+            ), ab AS (
+                SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                       max(CASE WHEN arm = 'A' THEN n_converted END)
+                           AS ca,
+                       max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                       max(CASE WHEN arm = 'B' THEN n_converted END)
+                           AS cb
+                FROM per
+            ), st AS (
+                SELECT
+                    (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    / sqrt((CAST(ca + cb AS DOUBLE)
+                            / CAST(na + nb AS DOUBLE))
+                           * (1.0 - CAST(ca + cb AS DOUBLE)
+                                    / CAST(na + nb AS DOUBLE))
+                           * (1.0 / CAST(na AS DOUBLE)
+                              + 1.0 / CAST(nb AS DOUBLE))) AS z_raw,
+                    round((CAST(na AS DOUBLE)
+                           - CAST(na + nb AS DOUBLE) / 2.0)
+                          / sqrt(CAST(na + nb AS DOUBLE) / 4.0), 6)
+                        + 0.0 AS srm_z
+                FROM ab
+            )
+            SELECT p.arm, p.n_users, p.n_converted,
+                   round(CAST(p.n_converted AS DOUBLE)
+                         / CAST(p.n_users AS DOUBLE), 6) + 0.0
+                       AS conv_rate,
+                   round(p.sum_events / CAST(p.n_users AS DOUBLE), 6)
+                       + 0.0 AS avg_events,
+                   round(st.z_raw, 6) + 0.0 AS z,
+                   st.srm_z,
+                   abs(st.z_raw) > 1.96 AS significant
             FROM per p, st ORDER BY p.arm
         """,
         "self_repetition_docs": f"""

@@ -846,6 +846,96 @@ def peeking_trace(events: DataFrame, user_col: str, time_col: str,
             .orderBy("day"))
 
 
+def experiment_stream_counters(events: DataFrame, user_col: str,
+                               time_col: str, type_col: str,
+                               conversion_type: str,
+                               value_col: str | None = None,
+                               conv_value: float | None = None) -> DataFrame:
+    """STREAMING per-unit experiment state (r9 verdict #5): the
+    complete-mode aggregation a live experiment maintains over its
+    event stream — one row per unit carrying everything the readout
+    fold needs (event count, converted flag, first-event and
+    first-conversion days).
+
+    State is one row per distinct unit — the streaming-exact-dedup
+    state class (the same bound q:streaming_corpus_card_docs'
+    fingerprint counters carry); at billions of units switch the
+    session to the RocksDB provider (streaming.run.use_rocksdb_state).
+    All four aggregates are min/max/count — complete-mode-legal and
+    merge-associative, so micro-batches fold exactly.  availableNow on
+    bounded input makes the final counters deterministic, which is
+    what lets the batch SQL replay serve as the oracle.
+
+    Pass ``value_col``/``conv_value`` to require a minimum value on the
+    converting event (the readout gate's high-value-purchase predicate).
+    Returns ``(user, n_events, converted, first_day, first_conv_day)``.
+    """
+    day = F.to_date(time_col)
+    conv = F.col(type_col) == conversion_type
+    if value_col is not None:
+        conv = conv & (F.col(value_col) >= F.lit(float(conv_value)))
+    return (events.groupBy(F.col(user_col).alias("user"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max(conv.cast("int")).alias("converted"),
+                 F.min(day).alias("first_day"),
+                 F.min(F.when(conv, day)).alias("first_conv_day")))
+
+
+def experiment_readout_fold(counters: DataFrame, seed: str = "ab1",
+                            round_digits: int = 6) -> DataFrame:
+    """Batch-side fold of :func:`experiment_stream_counters`: md5 arm
+    assignment over the final unit counters, then the live experiment
+    readout — per arm: units, conversions, conversion rate, exact mean
+    events/unit — plus the pooled two-proportion z, the SRM z and the
+    ``significant`` flag (|z| > 1.96), repeated per row for dashboard
+    convenience.
+
+    This is :func:`ab_proportion_test`'s discipline over streaming
+    state: the per-arm aggregate executes EXACTLY ONCE (bounded ≤3-row
+    collect feeding both the statistics and the returned local
+    relation).  The ``significant`` flag is the PEEKING hazard
+    :func:`peeking_trace` visualizes — a dashboard refreshing this
+    readout every batch is peeking; the flag is labeled for the
+    fixed-horizon readout and consumers pre-register the horizon.
+
+    Returns one row per arm ``(arm, n_users, n_converted, conv_rate,
+    avg_events, z, srm_z, significant)`` ordered by arm.
+    """
+    units = counters.withColumn("arm", ab_assign(F.col("user"), seed))
+    per = (units.groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n_users"),
+                F.sum(F.col("converted").cast("bigint"))
+                .alias("n_converted"),
+                F.sum(F.col("n_events").cast("decimal(38,0)"))
+                .alias("sum_events"))
+           .orderBy("arm"))
+    rows = per.limit(3).collect()  # bounded: arms are a tiny domain
+    if len(rows) != 2:
+        raise ValueError(f"experiment_readout_fold needs exactly 2 arms, "
+                         f"got {len(rows)}")
+    (na, ca, _), (nb, cb, _) = [
+        (r["n_users"], r["n_converted"], r["sum_events"]) for r in rows]
+    pool = (ca + cb) / (na + nb)
+    if pool in (0.0, 1.0):
+        raise ValueError("degenerate conversion metric: pooled rate is "
+                         f"{pool} — the z statistic is undefined")
+    z = ((ca / na - cb / nb)
+         / math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)))
+    n = na + nb
+    srm_z = (na - n / 2.0) / math.sqrt(n / 4.0)
+    local = counters.sparkSession.createDataFrame(rows, schema=per.schema)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    rl = lambda v: F.round(F.lit(v), round_digits) + F.lit(0.0)  # noqa: E731
+    nd = F.col("n_users").cast("double")
+    return (local.select(
+        "arm", "n_users", "n_converted",
+        r6(F.col("n_converted").cast("double") / nd).alias("conv_rate"),
+        r6(F.col("sum_events").cast("double") / nd).alias("avg_events"),
+        rl(z).alias("z"), rl(srm_z).alias("srm_z"),
+        F.lit(bool(abs(z) > 1.96)).alias("significant"))
+        .orderBy("arm"))
+
+
 def required_sample_size(units: DataFrame, converted_col: str,
                          rel_lift: float,
                          units_per_day: float | None = None,

@@ -1534,3 +1534,68 @@ def test_dp_single_column_key_unchanged(spark):
         noise = (-1.0 / eps) * math.copysign(1.0, u) \
             * math.log(1.0 - 2.0 * abs(u))
         assert abs(got[g] - round(n + noise, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# experiment_stream_counters / experiment_readout_fold (r10)
+# ---------------------------------------------------------------------------
+
+def test_experiment_readout_fold_matches_closed_form(spark):
+    """The fold reproduces ab_proportion_test's z/srm on the same unit
+    table, plus the exact mean events per user."""
+    import datetime as _dt
+
+    from hazelcast_jet_spark.operators.experiment import (
+        ab_assign, experiment_readout_fold, experiment_stream_counters)
+
+    rows = [(i, _dt.datetime(2024, 1, 1 + i % 5),
+             "purchase" if i % 3 == 0 else "view",
+             100.0 if i % 6 == 0 else 10.0)
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    counters = experiment_stream_counters(
+        df, "user_id", "ts", "event_type", "purchase", "value", 95.0)
+    out = experiment_readout_fold(counters, seed="t9").collect()
+    assert [r["arm"] for r in out] == ["A", "B"]
+
+    # python replica over the same md5 assignment
+    per = {}
+    for uid, _, t, v in rows:
+        arm = "A" if hashlib.md5(f"t9-{uid}".encode()
+                                 ).hexdigest()[0] < "8" else "B"
+        n, c = per.get((arm, uid), (0, 0))
+        per[(arm, uid)] = (n + 1, max(c, int(t == "purchase" and v >= 95.0)))
+    stats = {}
+    for (arm, _), (n, c) in per.items():
+        u, cv, ev = stats.get(arm, (0, 0, 0))
+        stats[arm] = (u + 1, cv + c, ev + n)
+    (na, ca, ea), (nb, cb, eb) = stats["A"], stats["B"]
+    pool = (ca + cb) / (na + nb)
+    z = ((ca / na - cb / nb)
+         / math.sqrt(pool * (1 - pool) * (1 / na + 1 / nb)))
+    srm = (na - (na + nb) / 2.0) / math.sqrt((na + nb) / 4.0)
+    for r, (n, c, e) in zip(out, (stats["A"], stats["B"])):
+        assert (r["n_users"], r["n_converted"]) == (n, c)
+        assert abs(r["conv_rate"] - round(c / n, 6)) < 1e-9
+        assert abs(r["avg_events"] - round(e / n, 6)) < 1e-9
+        assert abs(r["z"] - round(z, 6)) < 1e-9
+        assert abs(r["srm_z"] - round(srm, 6)) < 1e-9
+        assert r["significant"] == (abs(z) > 1.96)
+    # the counters' arm column comes from the fold, not the stream:
+    # the stream side never needs the seed
+    assert "arm" not in counters.columns
+    del ab_assign  # imported for parity with the operator surface
+
+
+def test_experiment_readout_fold_rejects_degenerate(spark):
+    from hazelcast_jet_spark.operators.experiment import (
+        experiment_readout_fold)
+
+    one_arm = spark.createDataFrame(
+        [(1, 3, 1, None, None)],
+        "user long, n_events long, converted int, first_day date, "
+        "first_conv_day date")
+    with pytest.raises(ValueError, match="2 arms"):
+        experiment_readout_fold(one_arm, seed="x")

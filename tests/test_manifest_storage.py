@@ -385,3 +385,132 @@ def test_snapshot_diff_compare_cols_subset_and_composite_key(spark):
                                   compare_cols=["n"]).collect()}
     # noise differs on (1,x) but is not compared
     assert got == {(1, "y"): "changed"}
+
+
+# ---------------------------------------------------------------------------
+# concurrent-writer conflict contract (r9 verdict #7)
+# ---------------------------------------------------------------------------
+
+def test_manifest_commit_is_put_if_absent(spark, tmp_path):
+    """Two writers racing the same next version (the cross-host case no
+    lock file can see): exactly one commit wins; the loser raises
+    CommitConflictError, the winner's manifest is untouched, and the
+    loser's staged batch dir is GC'd by the next successful commit."""
+    from hazelcast_jet_spark.storage import (CommitConflictError,
+                                             KeyedParquetTable)
+
+    path = str(tmp_path / "race")
+    a = KeyedParquetTable(path, ["id"], num_buckets=4,
+                          commit_mode="manifest")
+    b = KeyedParquetTable(path, ["id"], num_buckets=4,
+                          commit_mode="manifest")
+    a.overwrite(_mk(spark, [(1, "a")]))
+    v, _ = a._latest_manifest()
+
+    # both writers stage a batch against version v and race v+1
+    batch_a, with_a = a._write_batch_files(_mk(spark, [(1, "A-wins")]), 4)
+    batch_b, with_b = b._write_batch_files(_mk(spark, [(1, "B-loses")]), 4)
+    a._commit_manifest(v + 1, {
+        "version": v + 1, "schema": _mk(spark, [(1, "x")]).schema.json(),
+        "buckets": {str(k): batch_a for k in with_a}})
+    with pytest.raises(CommitConflictError, match="another writer"):
+        b._commit_manifest(v + 1, {
+            "version": v + 1, "schema": _mk(spark, [(1, "x")]).schema.json(),
+            "buckets": {str(k): batch_b for k in with_b}})
+
+    # the winner's commit is what readers see; no torn manifest
+    assert _state(spark, a) == {1: "A-wins"}
+    with open(os.path.join(path, "_manifests",
+                           f"manifest-{v + 1:08d}.json")) as f:
+        assert batch_a in json.load(f)["buckets"].values()
+    # the loser's staged dir was an unreferenced orphan, so the winner's
+    # own commit already GC'd it (grace = 0: safe because the pid/thread
+    # locks serialize same-host writers)
+    assert not os.path.isdir(os.path.join(path, "_data", batch_b))
+    up = _mk(spark, [(1, "next")])
+    a.apply(up, up.select("id"))
+    assert _state(spark, a) == {1: "next"}
+
+
+def test_orphan_grace_protects_inflight_rival_staging(spark, tmp_path):
+    """Cross-host optimistic writers have no lock: a rival's staging is
+    'unreferenced' until its commit lands, so eager GC could eat it.
+    With orphan_grace_s set, a fresh unreferenced batch dir survives the
+    winner's commit; an aged one is still collected."""
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+
+    path = str(tmp_path / "grace")
+    a = KeyedParquetTable(path, ["id"], num_buckets=4,
+                          commit_mode="manifest", orphan_grace_s=3600)
+    b = KeyedParquetTable(path, ["id"], num_buckets=4,
+                          commit_mode="manifest", orphan_grace_s=3600)
+    a.overwrite(_mk(spark, [(1, "a")]))
+
+    # b stages (not yet committed) while a commits another batch
+    batch_b, _ = b._write_batch_files(_mk(spark, [(2, "b")]), 4)
+    up = _mk(spark, [(1, "a2")])
+    a.apply(up, up.select("id"))
+    assert os.path.isdir(os.path.join(path, "_data", batch_b))
+
+    # age the rival dir past the grace window: the next commit GCs it
+    old = os.path.join(path, "_data", batch_b)
+    aged = os.stat(old).st_mtime - 7200
+    os.utime(old, (aged, aged))
+    up2 = _mk(spark, [(1, "a3")])
+    a.apply(up2, up2.select("id"))
+    assert not os.path.isdir(old)
+
+
+def test_two_foreachbatch_writers_one_loses_cleanly(spark, tmp_path):
+    """Two streaming foreachBatch writers pointed at one table (same
+    driver pid — the case the pid lock file cannot arbitrate): their
+    batches are forced to overlap; exactly one applies, the other
+    aborts with ConcurrentWriterError, and the table holds exactly the
+    winner's batch."""
+    import threading
+
+    from hazelcast_jet_spark.storage import (ConcurrentWriterError,
+                                             KeyedParquetTable)
+
+    path = str(tmp_path / "dual")
+    tbl = KeyedParquetTable(path, ["id"], num_buckets=4,
+                            commit_mode="manifest")
+    tbl.overwrite(_mk(spark, [(0, "seed")]))
+
+    barrier = threading.Barrier(2, timeout=60)
+    outcomes: dict[str, str] = {}
+
+    def writer(tag: str):
+        def fn(bdf, _bid):
+            barrier.wait()  # both batches are in flight before either commits
+            t = KeyedParquetTable(path, ["id"], num_buckets=4,
+                                  commit_mode="manifest")
+            t.apply(bdf, bdf.select("id"))
+        return fn
+
+    queries = []
+    for tag in ("w1", "w2"):
+        src = (spark.readStream.format("rate-micro-batch")
+               .option("rowsPerBatch", 1).option("numPartitions", 1).load()
+               .select((F.col("value") + (1 if tag == "w1" else 2))
+                       .alias("id"),
+                       F.lit(tag).alias("v")))
+        q = (src.writeStream.foreachBatch(writer(tag))
+             .option("checkpointLocation", str(tmp_path / f"ckpt-{tag}"))
+             .trigger(availableNow=True).start())
+        queries.append((tag, q))
+    for tag, q in queries:
+        try:
+            q.awaitTermination(120)
+            outcomes[tag] = "won"
+        except Exception as e:
+            assert "ConcurrentWriterError" in str(e) or \
+                "single-writer" in str(e)
+            outcomes[tag] = "lost"
+
+    assert sorted(outcomes.values()) == ["lost", "won"]
+    winner = next(t for t, o in outcomes.items() if o == "won")
+    state = _state(spark, tbl)
+    assert state[0] == "seed"
+    # exactly the winner's row landed; the loser's batch left no trace
+    assert set(state.values()) == {"seed", winner}

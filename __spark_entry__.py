@@ -6446,6 +6446,27 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+MSPRT_TAU = 0.1
+#: repr round-trips the exact double product so the oracle replays it
+MSPRT_TAU2_SQL = repr(MSPRT_TAU * MSPRT_TAU)
+
+
+def msprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential readout (experiment.msprt_trace; Robbins
+    1970 mixture SPRT, Johari et al. 2017): the anytime-valid p-value
+    for the md5 purchase experiment, recomputed after every day — the
+    FIX for the peeking inflation q:peeking_trace_events visualizes
+    (that trace shows the hazard; this is the statistic a dashboard may
+    legally refresh).  Running-min 1/Λ on the same checkpointed
+    calendar-bounded counter panel; fixed-order doubles on exact
+    counts."""
+    from hazelcast_jet_spark.operators.experiment import msprt_trace
+
+    e = _t(spark, sf_dir, "events")
+    return msprt_trace(e, "user_id", "ts", "event_type", "purchase",
+                       seed=PK_SEED, tau=MSPRT_TAU)
+
+
 def streaming_experiment_readout_events(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """LIVE experiment readout (r9 verdict #5 — the operator a real
@@ -6553,6 +6574,7 @@ def entry(spark: SparkSession) -> DataFrame:
 NEXT_ROUND_LEADS: tuple[str, ...] = (
     "pq_staleness_emb",
     "streaming_experiment_readout_events",
+    "msprt_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6915,6 +6937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_staleness_emb": pq_staleness_emb,
         "streaming_experiment_readout_events":
             streaming_experiment_readout_events,
+        "msprt_events": msprt_events,
     }
 
 
@@ -15418,6 +15441,86 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "msprt_events": f"""
+            WITH pu AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS fa,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END) AS fc
+                FROM events GROUP BY 1
+            ), au AS (
+                SELECT fa, fc,
+                       CASE WHEN substr(md5('{PK_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM pu
+            ), ends AS (
+                SELECT min(fa) AS lo,
+                       max(greatest(fa, COALESCE(fc, fa))) AS hi
+                FROM au
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                FROM ends
+            ), daily AS (
+                SELECT fa AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ea,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS eb
+                FROM au GROUP BY 1
+            ), convs AS (
+                SELECT fc AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+                FROM au WHERE fc IS NOT NULL GROUP BY 1
+            ), cum AS (
+                SELECT g.day,
+                       CAST(SUM(COALESCE(d.ea, 0)) OVER w AS BIGINT)
+                           AS n_a,
+                       CAST(SUM(COALESCE(d.eb, 0)) OVER w AS BIGINT)
+                           AS n_b,
+                       CAST(SUM(COALESCE(c.ca, 0)) OVER w AS BIGINT)
+                           AS conv_a,
+                       CAST(SUM(COALESCE(c.cb, 0)) OVER w AS BIGINT)
+                           AS conv_b
+                FROM grid g
+                LEFT JOIN daily d ON g.day = d.day
+                LEFT JOIN convs c ON g.day = c.day
+                WINDOW w AS (ORDER BY g.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ), vv AS (
+                SELECT day, n_a, n_b, conv_a, conv_b,
+                       CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE) AS pool,
+                       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                           AS d
+                FROM cum
+            ), vw AS (
+                SELECT day, n_a, n_b, conv_a, conv_b, d, pool,
+                       pool * (1.0 - pool)
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE)) AS v
+                FROM vv
+            ), pr AS (
+                SELECT day, n_a, n_b, conv_a, conv_b,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                                 AND pool > 0.0 AND pool < 1.0
+                            THEN least(1.0, 1.0
+                                 / (sqrt(v / (v + {MSPRT_TAU2_SQL}))
+                                    * exp(d * d * {MSPRT_TAU2_SQL}
+                                          / (2.0 * v
+                                             * (v + {MSPRT_TAU2_SQL})))))
+                            ELSE 1.0 END AS p_raw
+                FROM vw
+            )
+            SELECT day, n_a, n_b, conv_a, conv_b,
+                   round(min(p_raw) OVER w, 6) + 0.0 AS always_valid_p,
+                   min(p_raw) OVER w <= 0.05 AS rejected
+            FROM pr
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+            ORDER BY day
         """,
         "peeking_trace_events": f"""
             WITH pu AS (

@@ -759,31 +759,18 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
             .orderBy("q"))
 
 
-def peeking_trace(events: DataFrame, user_col: str, time_col: str,
-                  type_col: str, conversion_type: str,
-                  seed: str = "ab1",
-                  round_digits: int = 6) -> DataFrame:
-    """The PEEKING trace: the two-proportion z statistic recomputed
-    after every day of an experiment — the curve that shows why
-    checking a fixed-horizon test daily inflates false positives (the
-    z wanders across ±1.96 long before the planned horizon; each
-    crossing is a would-have-stopped-early event).  Emit it next to
-    the single end-of-experiment readout so dashboard consumers SEE
-    the multiplicity; pair with :func:`fdr_bh` across metrics and a
-    pre-registered horizon across time.
+def _cumulative_arm_counts(events: DataFrame, user_col: str, time_col: str,
+                           type_col: str, conversion_type: str,
+                           seed: str) -> DataFrame:
+    """Shared cumulative experiment panel for the day-grain traces
+    (:func:`peeking_trace`, :func:`msprt_trace`): units enter at their
+    first event day, convert at their first ``conversion_type`` day;
+    ONE per-user rollup melts into a per-(day, kind, arm) count — the
+    CALENDAR-BOUNDED table that gets checkpointed (never the O(users)
+    rollup) — then cumulative windows over the complete day grid.
 
-    Units enter at their first event day (denominator grows daily) and
-    convert at their first ``conversion_type`` day.  Cumulative counts
-    are suffix-exact: one per-user rollup melts straight into ONE
-    per-(day, kind, arm) count — the CALENDAR-BOUNDED table that gets
-    checkpointed (review r9: the first cut checkpointed the O(users)
-    rollup itself, pinning unbounded executor storage; the bounded
-    counter table serves the grid, entry and conversion branches
-    identically).  z is NULL on degenerate days (either arm empty,
-    pooled rate 0 or 1).
-
-    Returns ``(day, n_a, n_b, conv_a, conv_b, z, significant)``
-    ordered by day — ``significant`` = |z| > 1.96.
+    Returns ``(day, n_a, n_b, conv_a, conv_b)`` with one row per
+    calendar day from first entry to last activity.
     """
     from pyspark.sql import Window
 
@@ -819,16 +806,108 @@ def peeking_trace(events: DataFrame, user_col: str, time_col: str,
                   pick("c", "B").alias("__cb")))
     w_cum = (Window.orderBy("day")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (grid.join(daily, "day", "left").join(convs, "day", "left")
-           .select("day",
-                   F.sum(F.coalesce("__ea", F.lit(0))).over(w_cum)
-                   .alias("n_a"),
-                   F.sum(F.coalesce("__eb", F.lit(0))).over(w_cum)
-                   .alias("n_b"),
-                   F.sum(F.coalesce("__ca", F.lit(0))).over(w_cum)
-                   .alias("conv_a"),
-                   F.sum(F.coalesce("__cb", F.lit(0))).over(w_cum)
-                   .alias("conv_b")))
+    return (grid.join(daily, "day", "left").join(convs, "day", "left")
+            .select("day",
+                    F.sum(F.coalesce("__ea", F.lit(0))).over(w_cum)
+                    .alias("n_a"),
+                    F.sum(F.coalesce("__eb", F.lit(0))).over(w_cum)
+                    .alias("n_b"),
+                    F.sum(F.coalesce("__ca", F.lit(0))).over(w_cum)
+                    .alias("conv_a"),
+                    F.sum(F.coalesce("__cb", F.lit(0))).over(w_cum)
+                    .alias("conv_b")))
+
+
+def msprt_trace(events: DataFrame, user_col: str, time_col: str,
+                type_col: str, conversion_type: str,
+                seed: str = "ab1", tau: float = 0.1,
+                alpha: float = 0.05,
+                round_digits: int = 6) -> DataFrame:
+    """ALWAYS-VALID sequential readout — the mixture sequential
+    probability ratio test (mSPRT; Robbins 1970, applied to A/B
+    streaming inference by Johari, Koomen, Pekelis & Walsh 2017): the
+    anytime-valid p-value a dashboard may legally refresh after every
+    day, fixing the peeking inflation :func:`peeking_trace` visualizes.
+
+    With the cumulative two-proportion estimate Δ̂_t = p̂_A − p̂_B, its
+    variance V_t = p̂(1−p̂)(1/n_A + 1/n_B) (pooled), and a Normal(0, τ²)
+    mixture over effect sizes, the mixture likelihood ratio is
+
+        Λ_t = sqrt(V_t / (V_t + τ²)) · exp( Δ̂_t² τ² / (2 V_t (V_t + τ²)) )
+
+    and ``p_t = min(p_{t−1}, 1/Λ_t)`` is a valid p-value at EVERY t
+    simultaneously (it is nonincreasing by construction; rejecting when
+    p_t ≤ α controls type-I error at α under optional stopping).  τ is
+    the prior scale of detectable effects — too small wastes power on
+    tiny lifts, too large on huge ones; 0.1 suits conversion-rate
+    experiments (absolute-rate grain).
+
+    Days where the statistic is undefined (an arm empty, pooled rate 0
+    or 1) contribute p=1 — they never reject and never reset the
+    running minimum.  Same plan shape as :func:`peeking_trace`: one
+    checkpointed calendar-bounded counter table, cumulative windows on
+    the day grid, fixed-order double arithmetic on exact counts (exp is
+    the only libm call beyond sqrt; its sub-ulp variance is absorbed by
+    the round-6 output discipline).
+
+    Returns ``(day, n_a, n_b, conv_a, conv_b, always_valid_p,
+    rejected)`` ordered by day — ``rejected`` latches once p crosses α.
+    """
+    from pyspark.sql import Window
+
+    cum = _cumulative_arm_counts(events, user_col, time_col, type_col,
+                                 conversion_type, seed)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double"))
+    v = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    tau2 = F.lit(float(tau) * float(tau))
+    d = pa - pb
+    lam = (F.sqrt(v / (v + tau2))
+           * F.exp(d * d * tau2 / (F.lit(2.0) * v * (v + tau2))))
+    p_raw = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0)
+                   & (pool > 0.0) & (pool < 1.0),
+                   F.least(F.lit(1.0), F.lit(1.0) / lam)).otherwise(F.lit(1.0))
+    w_min = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p_av = F.min(p_raw).over(w_min)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (cum.select("day", "n_a", "n_b", "conv_a", "conv_b",
+                       r6(p_av).alias("always_valid_p"),
+                       (p_av <= F.lit(float(alpha))).alias("rejected"))
+            .orderBy("day"))
+
+
+def peeking_trace(events: DataFrame, user_col: str, time_col: str,
+                  type_col: str, conversion_type: str,
+                  seed: str = "ab1",
+                  round_digits: int = 6) -> DataFrame:
+    """The PEEKING trace: the two-proportion z statistic recomputed
+    after every day of an experiment — the curve that shows why
+    checking a fixed-horizon test daily inflates false positives (the
+    z wanders across ±1.96 long before the planned horizon; each
+    crossing is a would-have-stopped-early event).  Emit it next to
+    the single end-of-experiment readout so dashboard consumers SEE
+    the multiplicity; pair with :func:`fdr_bh` across metrics and a
+    pre-registered horizon across time.
+
+    Units enter at their first event day (denominator grows daily) and
+    convert at their first ``conversion_type`` day.  Cumulative counts
+    are suffix-exact: one per-user rollup melts straight into ONE
+    per-(day, kind, arm) count — the CALENDAR-BOUNDED table that gets
+    checkpointed (review r9: the first cut checkpointed the O(users)
+    rollup itself, pinning unbounded executor storage; the bounded
+    counter table serves the grid, entry and conversion branches
+    identically).  z is NULL on degenerate days (either arm empty,
+    pooled rate 0 or 1).
+
+    Returns ``(day, n_a, n_b, conv_a, conv_b, z, significant)``
+    ordered by day — ``significant`` = |z| > 1.96.
+    """
+    cum = _cumulative_arm_counts(events, user_col, time_col, type_col,
+                                 conversion_type, seed)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     pa = F.col("conv_a").cast("double") / na
     pb = F.col("conv_b").cast("double") / nb

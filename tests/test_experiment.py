@@ -1599,3 +1599,79 @@ def test_experiment_readout_fold_rejects_degenerate(spark):
         "first_conv_day date")
     with pytest.raises(ValueError, match="2 arms"):
         experiment_readout_fold(one_arm, seed="x")
+
+
+def test_msprt_trace_always_valid_p_behaves(spark):
+    """p is 1 on undefined days, nonincreasing everywhere, matches the
+    closed-form mixture likelihood ratio, and rejects under a strong
+    effect while staying >alpha under a null split."""
+    import datetime as _dt
+
+    from hazelcast_jet_spark.operators.experiment import ab_assign, msprt_trace
+
+    # strong effect: arm A converts (almost) always, arm B (almost) never
+    rows = []
+    arms = {}
+    for uid in range(400):
+        arm = "A" if hashlib.md5(f"m1-{uid}".encode()
+                                 ).hexdigest()[0] < "8" else "B"
+        arms[uid] = arm
+        day = 1 + uid % 10
+        rows.append((uid, _dt.datetime(2024, 1, day), "view", 1.0))
+        if (arm == "A") == (uid % 20 != 0):
+            rows.append((uid, _dt.datetime(2024, 1, day), "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    out = msprt_trace(df, "user_id", "ts", "event_type", "purchase",
+                      seed="m1").collect()
+    ps = [r["always_valid_p"] for r in out]
+    assert all(ps[i] >= ps[i + 1] - 1e-12 for i in range(len(ps) - 1))
+    assert out[-1]["rejected"] is True and ps[-1] < 0.01
+
+    # python replica of the final day's statistic
+    na = sum(1 for a in arms.values() if a == "A")
+    nb = len(arms) - na
+    ca = sum(1 for u, a in arms.items() if a == "A" and u % 20 != 0)
+    cb = sum(1 for u, a in arms.items() if a == "B" and u % 20 == 0)
+    tau2 = 0.1 * 0.1
+    best = 1.0
+    # replay the running min over the 10 entry days
+    seen = sorted({1 + u % 10 for u in arms})
+    for d_i in seen:
+        in_day = [u for u in arms if 1 + u % 10 <= d_i]
+        a_u = [u for u in in_day if arms[u] == "A"]
+        b_u = [u for u in in_day if arms[u] == "B"]
+        if not a_u or not b_u:
+            continue
+        cna, cnb = len(a_u), len(b_u)
+        cca = sum(1 for u in a_u if u % 20 != 0)
+        ccb = sum(1 for u in b_u if u % 20 == 0)
+        pool = (cca + ccb) / (cna + cnb)
+        if pool <= 0.0 or pool >= 1.0:
+            continue
+        v = pool * (1.0 - pool) * (1.0 / cna + 1.0 / cnb)
+        d = cca / cna - ccb / cnb
+        lam = math.sqrt(v / (v + tau2)) * math.exp(
+            d * d * tau2 / (2.0 * v * (v + tau2)))
+        best = min(best, min(1.0, 1.0 / lam))
+    assert abs(ps[-1] - round(best, 6)) < 1e-9
+    assert (na, nb, ca, cb) == (out[-1]["n_a"], out[-1]["n_b"],
+                                out[-1]["conv_a"], out[-1]["conv_b"])
+
+    # null: identical 50% conversion in both arms -> never rejects
+    null_rows = []
+    for uid in range(400):
+        day = 1 + uid % 10
+        null_rows.append((uid, _dt.datetime(2024, 1, day), "view", 1.0))
+        if uid % 2 == 0:
+            null_rows.append((uid, _dt.datetime(2024, 1, day),
+                              "purchase", 1.0))
+    ndf = spark.createDataFrame(
+        null_rows, "user_id long, ts timestamp_ntz, event_type string, "
+                   "value double")
+    nout = msprt_trace(ndf, "user_id", "ts", "event_type", "purchase",
+                       seed="m1").collect()
+    assert all(r["rejected"] is False for r in nout)
+    assert all(r["always_valid_p"] > 0.05 for r in nout)
+    del ab_assign

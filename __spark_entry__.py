@@ -5515,6 +5515,31 @@ def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "duration", "observed")
 
 
+RMST_HORIZON = 60
+
+
+def rmst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (timeseries.rmst; Uno et al. 2014):
+    expected days of user lifetime within the first 60 — the area under
+    q:kaplan_meier_events' curve clipped at the horizon, the one-number
+    churn summary an LTV model consumes (valid even while the median
+    lifetime is still censored).  Same subject table and censoring rule
+    as the KM gate; step integral on the tiny curve table with round-9
+    terms in DECIMAL(38,9)."""
+    from hazelcast_jet_spark.operators.timeseries import rmst
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"))
+    mx = span.agg(F.max("last_day").alias("__mx"))
+    subj = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("duration"),
+        (F.col("last_day") <= F.date_sub("__mx", KM_CENSOR_DAYS))
+        .alias("observed"))
+    return rmst(subj, "duration", "observed", RMST_HORIZON)
+
+
 def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Price/size Pareto frontier over part (profile.pareto_front;
     Börzsönyi et al. 2001 skyline): the sizes whose best retail price
@@ -6575,6 +6600,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "pq_staleness_emb",
     "streaming_experiment_readout_events",
     "msprt_events",
+    "rmst_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6938,6 +6964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_experiment_readout_events":
             streaming_experiment_readout_events,
         "msprt_events": msprt_events,
+        "rmst_events": rmst_events,
     }
 
 
@@ -13671,6 +13698,65 @@ def oracle_sql() -> dict[str, str]:
                        AS jsd
             FROM agg ORDER BY source_a, source_b
         """.replace("{LN2}", repr(__import__("math").log(2.0))),
+        "rmst_events": f"""
+            WITH RECURSIVE span AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                       CAST(max(ts) AS DATE) AS l
+                FROM events GROUP BY 1
+            ), mx AS (
+                SELECT max(l) AS m FROM span
+            ), subj AS (
+                SELECT datediff('day', f, l) AS duration,
+                       (l <= m - {KM_CENSOR_DAYS}) AS obs
+                FROM span, mx
+            ), g AS (
+                SELECT duration,
+                       CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_events,
+                       count(*) AS c
+                FROM subj GROUP BY 1
+            ), ser AS (
+                SELECT duration, n_events, c,
+                       SUM(c) OVER (ORDER BY duration
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS n_risk,
+                       row_number() OVER (ORDER BY duration) AS idx
+                FROM g
+            ), km AS (
+                SELECT idx, duration, n_risk, n_events, c,
+                       CAST(1 AS DOUBLE)
+                       - CAST(n_events AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE) AS s
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT r.idx, r.duration, r.n_risk, r.n_events, r.c,
+                       km.s * (CAST(1 AS DOUBLE)
+                               - CAST(r.n_events AS DOUBLE)
+                                 / CAST(r.n_risk AS DOUBLE))
+                FROM ser r JOIN km ON r.idx = km.idx + 1
+            ), stp AS (
+                SELECT duration, round(s, 6) + 0.0 AS s6,
+                       lead(duration) OVER (ORDER BY duration) AS nxt
+                FROM km
+            ), terms AS (
+                SELECT round(s6 * (least(CAST(COALESCE(nxt,
+                                  {RMST_HORIZON}) AS DOUBLE),
+                                  CAST({RMST_HORIZON} AS DOUBLE))
+                             - least(CAST(duration AS DOUBLE),
+                                     CAST({RMST_HORIZON} AS DOUBLE))), 9)
+                           AS term
+                FROM stp
+            )
+            SELECT CAST((SELECT max(n_risk) FROM ser) AS BIGINT)
+                       AS n_subjects,
+                   CAST({RMST_HORIZON} AS INT) AS horizon,
+                   round((SELECT least(CAST(min(duration) AS DOUBLE),
+                                       CAST({RMST_HORIZON} AS DOUBLE))
+                          FROM km)
+                         + CAST(SUM(CAST(term AS DECIMAL(38,9)))
+                                AS DOUBLE), 6) + 0.0 AS rmst
+            FROM terms
+        """,
         "kaplan_meier_events": f"""
             WITH RECURSIVE span AS (
                 SELECT user_id, CAST(min(ts) AS DATE) AS f,

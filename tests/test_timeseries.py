@@ -1117,3 +1117,43 @@ def test_forecast_backtest_rejects_nonpositive_seasonal_lag(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError, match="seasonal_lag"):
             forecast_backtest(df, "key", "t", "v", seasonal_lag=bad)
+
+
+def test_rmst_matches_step_integral(spark):
+    """RMST equals the hand-computed KM step integral; a horizon past
+    the last event returns the full area, a tiny horizon returns the
+    horizon itself (S=1 before the first event time)."""
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import kaplan_meier, rmst
+
+    # durations 2,2,4,6 with one censor at 4
+    rows = [(2, True), (2, True), (4, False), (6, True), (6, True)]
+    df = spark.createDataFrame(rows, "duration int, observed boolean")
+    H = 5
+    out = rmst(df, "duration", "observed", H).collect()[0]
+    curve = {r["duration"]: r["survival"]
+             for r in kaplan_meier(df, "duration", "observed").collect()}
+    # integral: [0,2) S=1; [2,4) S(2); [4,5] S(4)
+    want = round(2.0 + curve[2] * 2.0 + curve[4] * 1.0, 6)
+    assert abs(out["rmst"] - want) < 1e-9
+    assert out["n_subjects"] == 5 and out["horizon"] == H
+
+    # horizon below the first event time: rmst == horizon
+    tiny = rmst(df, "duration", "observed", 1).collect()[0]
+    assert tiny["rmst"] == 1.0
+    with pytest.raises(ValueError, match="horizon"):
+        rmst(df, "duration", "observed", 0)
+
+
+def test_rmst_grouped(spark):
+    from hazelcast_jet_spark.operators.timeseries import rmst
+
+    rows = [("a", 2, True), ("a", 4, True), ("b", 1, True), ("b", 1, True)]
+    df = spark.createDataFrame(rows, "g string, duration int, observed boolean")
+    out = {r["g"]: r for r in
+           rmst(df, "duration", "observed", 10, ["g"]).collect()}
+    # group a: [0,2) 1.0 ; [2,4) 0.5 ; [4,10] 0.0 -> 3.0
+    assert abs(out["a"]["rmst"] - 3.0) < 1e-9
+    # group b: [0,1) 1.0 ; [1,10] 0.0 -> 1.0
+    assert abs(out["b"]["rmst"] - 1.0) < 1e-9

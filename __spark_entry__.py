@@ -6471,6 +6471,32 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+QINI_SEED = "qini1"
+QINI_BINS = 10
+
+
+def qini_uplift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini / uplift curve (experiment.qini_curve; Radcliffe 2007) for
+    the md5 experiment over customers: score = exact-decimal mean order
+    value (an engine-stable stand-in for a targeting model's score),
+    conversion = any URGENT order; per score decile the cumulative
+    treated/control counts, uplift and qini — the "whom should we have
+    treated?" readout completing the experimentation lane's evaluation
+    side.  One window pass on the unit table, cumulative windows on the
+    10-row bin table; ntile determinism via the custkey tiebreak."""
+    from hazelcast_jet_spark.operators.experiment import ab_assign, qini_curve
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg((dsum("o_totalprice")
+                   / F.count(F.lit(1)).cast("double")).alias("score"),
+                  F.max((F.col("o_orderpriority") == "1-URGENT")
+                        .cast("bigint")).alias("conv"))
+             .withColumn("arm", ab_assign(F.col("o_custkey"), QINI_SEED)))
+    return qini_curve(units, "arm", "score", "conv", "o_custkey",
+                      n_bins=QINI_BINS)
+
+
 MSPRT_TAU = 0.1
 #: repr round-trips the exact double product so the oracle replays it
 MSPRT_TAU2_SQL = repr(MSPRT_TAU * MSPRT_TAU)
@@ -6601,6 +6627,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "streaming_experiment_readout_events",
     "msprt_events",
     "rmst_events",
+    "qini_uplift_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6965,6 +6992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             streaming_experiment_readout_events,
         "msprt_events": msprt_events,
         "rmst_events": rmst_events,
+        "qini_uplift_orders": qini_uplift_orders,
     }
 
 
@@ -15527,6 +15555,61 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "qini_uplift_orders": f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       {_dsum('o_totalprice')}
+                           / CAST(count(*) AS DOUBLE) AS score,
+                       max(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS conv,
+                       CASE WHEN substr(md5('{QINI_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM orders GROUP BY 1
+            ), b AS (
+                SELECT arm, conv,
+                       CAST(ntile({QINI_BINS}) OVER (
+                           ORDER BY score DESC, o_custkey ASC) AS INT)
+                           AS bin
+                FROM u
+            ), per AS (
+                SELECT bin,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nt,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS nc,
+                       SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+                           AS ct,
+                       SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+                           AS cc
+                FROM b GROUP BY 1
+            ), cum AS (
+                SELECT bin,
+                       CAST(SUM(nt) OVER w AS BIGINT) AS cum_n_treated,
+                       CAST(SUM(nc) OVER w AS BIGINT) AS cum_n_control,
+                       CAST(SUM(ct) OVER w AS BIGINT)
+                           AS cum_conv_treated,
+                       CAST(SUM(cc) OVER w AS BIGINT)
+                           AS cum_conv_control
+                FROM per
+                WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            )
+            SELECT bin, cum_n_treated, cum_n_control, cum_conv_treated,
+                   cum_conv_control,
+                   round(CASE WHEN cum_n_treated > 0 AND cum_n_control > 0
+                         THEN CAST(cum_conv_treated AS DOUBLE)
+                              / CAST(cum_n_treated AS DOUBLE)
+                              - CAST(cum_conv_control AS DOUBLE)
+                                / CAST(cum_n_control AS DOUBLE)
+                         END, 6) + 0.0 AS uplift,
+                   round(CASE WHEN cum_n_control > 0
+                         THEN CAST(cum_conv_treated AS DOUBLE)
+                              - CAST(cum_conv_control AS DOUBLE)
+                                * CAST(cum_n_treated AS DOUBLE)
+                                / CAST(cum_n_control AS DOUBLE)
+                         END, 6) + 0.0 AS qini
+            FROM cum ORDER BY bin
         """,
         "msprt_events": f"""
             WITH pu AS (

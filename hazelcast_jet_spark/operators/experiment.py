@@ -759,6 +759,73 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
             .orderBy("q"))
 
 
+def qini_curve(units: DataFrame, arm_col: str, score_col: str,
+               converted_col: str, id_col: str, n_bins: int = 10,
+               arms: tuple = ("A", "B"),
+               round_digits: int = 6) -> DataFrame:
+    """Qini / uplift curve (Radcliffe 2007) — the evaluation readout for
+    uplift ("whom should we treat?") models: units ranked by the model
+    score descending and cut into ``n_bins`` quantile bins; per
+    cumulative prefix k,
+
+        uplift(k) = conv_T(k)/n_T(k) − conv_C(k)/n_C(k)
+        qini(k)   = conv_T(k) − conv_C(k) · n_T(k)/n_C(k)
+
+    (``arms[1]`` treated, ``arms[0]`` control).  A useful targeting
+    model shows qini rising steeply over the first bins — the
+    incremental conversions captured by treating only the top-scored
+    units; the diagonal to qini(n_bins) is random targeting.
+
+    Determinism contract: bins are ``ntile`` over (score DESC, id ASC)
+    — the id tiebreak makes the cut engine-exact, so the score itself
+    must be engine-stable (exact counts/decimal-derived doubles, not
+    model floats refit per run).  One window pass over the unit table,
+    one n_bins-row aggregate, cumulative windows on the bin table.
+    Bins where an arm is empty yield NULL readouts rather than IEEE
+    infinities.
+
+    Returns ``(bin, cum_n_treated, cum_n_control, cum_conv_treated,
+    cum_conv_control, uplift, qini)`` ordered by bin.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    control, treated = arms
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    binned = units.select(
+        F.col(arm_col).alias("__arm"),
+        F.col(converted_col).cast("bigint").alias("__conv"),
+        F.ntile(n_bins).over(w).cast("int").alias("bin"))
+    cnt = lambda arm: F.sum(  # noqa: E731
+        (F.col("__arm") == arm).cast("bigint"))
+    cv = lambda arm: F.sum(  # noqa: E731
+        F.when(F.col("__arm") == arm, F.col("__conv")).otherwise(F.lit(0)))
+    per = binned.groupBy("bin").agg(
+        cnt(treated).alias("__nt"), cnt(control).alias("__nc"),
+        cv(treated).alias("__ct"), cv(control).alias("__cc"))
+    w_cum = (Window.orderBy("bin")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = per.select(
+        "bin",
+        F.sum("__nt").over(w_cum).alias("cum_n_treated"),
+        F.sum("__nc").over(w_cum).alias("cum_n_control"),
+        F.sum("__ct").over(w_cum).alias("cum_conv_treated"),
+        F.sum("__cc").over(w_cum).alias("cum_conv_control"))
+    nt = F.col("cum_n_treated").cast("double")
+    nc = F.col("cum_n_control").cast("double")
+    ct = F.col("cum_conv_treated").cast("double")
+    cc = F.col("cum_conv_control").cast("double")
+    uplift = F.when((F.col("cum_n_treated") > 0)
+                    & (F.col("cum_n_control") > 0), ct / nt - cc / nc)
+    qini = F.when(F.col("cum_n_control") > 0, ct - cc * nt / nc)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (cum.select("bin", "cum_n_treated", "cum_n_control",
+                       "cum_conv_treated", "cum_conv_control",
+                       r6(uplift).alias("uplift"), r6(qini).alias("qini"))
+            .orderBy("bin"))
+
+
 def _cumulative_arm_counts(events: DataFrame, user_col: str, time_col: str,
                            type_col: str, conversion_type: str,
                            seed: str) -> DataFrame:

@@ -1675,3 +1675,42 @@ def test_msprt_trace_always_valid_p_behaves(spark):
     assert all(r["rejected"] is False for r in nout)
     assert all(r["always_valid_p"] > 0.05 for r in nout)
     del ab_assign
+
+
+def test_qini_curve_perfect_targeting(spark):
+    """A score that perfectly ranks uplift-responders first makes qini
+    rise across the first bins and equal the total incremental
+    conversions at the final bin (balanced arms)."""
+    from hazelcast_jet_spark.operators.experiment import qini_curve
+
+    # 100 units, alternating arms (50/50); treated units convert iff
+    # score is in the top half, control never converts
+    rows = [(i, "B" if i % 2 == 0 else "A", 100.0 - i,
+             1 if (i % 2 == 0 and i < 50) else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, arm string, score double, "
+                                     "conv bigint")
+    out = qini_curve(df, "arm", "score", "conv", "id", n_bins=4).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    # top-half bins capture all 25 treated conversions; control stays 0
+    assert out[1]["cum_conv_treated"] == 25
+    assert out[-1]["qini"] == 25.0
+    assert out[0]["qini"] < out[1]["qini"] + 1e-9
+    # balanced arms: uplift at bin 2 = 25/25 - 0 = 1.0
+    assert abs(out[1]["uplift"] - 1.0) < 1e-9
+    # final-bin uplift = overall treated rate (25/50)
+    assert abs(out[-1]["uplift"] - 0.5) < 1e-9
+
+
+def test_qini_curve_empty_arm_bins_are_null(spark):
+    import pytest
+
+    from hazelcast_jet_spark.operators.experiment import qini_curve
+
+    # every unit treated: control cumulative is 0 -> NULL readouts
+    rows = [(i, "B", float(i), i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, arm string, score double, "
+                                     "conv bigint")
+    out = qini_curve(df, "arm", "score", "conv", "id", n_bins=2).collect()
+    assert all(r["uplift"] is None and r["qini"] is None for r in out)
+    with pytest.raises(ValueError, match="n_bins"):
+        qini_curve(df, "arm", "score", "conv", "id", n_bins=1)

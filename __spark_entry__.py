@@ -6184,6 +6184,24 @@ def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          bucket_seconds=3600, max_lag=LEAD_LAG_MAX)
 
 
+def granger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger predictive screen (timeseries.granger_screen;
+    Granger 1969) between hourly 'view' and 'purchase' volumes: does
+    last hour's browsing improve the purchase forecast beyond last
+    hour's purchases themselves (and vice versa)?  The inferential
+    companion to q:lead_lag_events — closed-form restricted vs
+    unrestricted OLS from ONE moment aggregate over the zero-filled
+    hour grid; DECIMAL-exact integer products, F and R² as fixed-order
+    doubles."""
+    from hazelcast_jet_spark.operators.timeseries import granger_screen
+
+    e = _t(spark, sf_dir, "events")
+    return granger_screen(e, "ts",
+                          F.col("event_type") == LEAD_LAG_X,
+                          F.col("event_type") == LEAD_LAG_Y,
+                          bucket_seconds=3600)
+
+
 DP_EPS = 0.5
 DP_SEED = "dp9"
 
@@ -6628,6 +6646,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "msprt_events",
     "rmst_events",
     "qini_uplift_orders",
+    "granger_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6993,6 +7012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msprt_events": msprt_events,
         "rmst_events": rmst_events,
         "qini_uplift_orders": qini_uplift_orders,
+        "granger_events": granger_events,
     }
 
 
@@ -15555,6 +15575,95 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "granger_events": f"""
+            WITH per AS (
+                SELECT CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT)
+                           AS h,
+                       SUM(CASE WHEN event_type = '{LEAD_LAG_X}'
+                                THEN 1 ELSE 0 END) AS x,
+                       SUM(CASE WHEN event_type = '{LEAD_LAG_Y}'
+                                THEN 1 ELSE 0 END) AS y
+                FROM events GROUP BY 1
+            ), ends AS (
+                SELECT min(h) AS lo, max(h) AS hi FROM per
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT)
+                           AS h
+                FROM ends
+            ), full_g AS (
+                SELECT g.h,
+                       CAST(COALESCE(p.x, 0) AS DOUBLE) AS x,
+                       CAST(COALESCE(p.y, 0) AS DOUBLE) AS y
+                FROM grid g LEFT JOIN per p ON g.h = p.h
+            ), lagged AS (
+                SELECT x, y,
+                       lag(x) OVER (ORDER BY h) AS lx,
+                       lag(y) OVER (ORDER BY h) AS ly
+                FROM full_g
+            ), m AS (
+                SELECT 'x_leads_y' AS direction, y AS t, ly AS u, lx AS v
+                FROM lagged WHERE lx IS NOT NULL
+                UNION ALL
+                SELECT 'y_leads_x', x, lx, ly
+                FROM lagged WHERE lx IS NOT NULL
+            ), mm AS (
+                SELECT direction, count(*) AS n,
+                       CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS st,
+                       CAST(SUM(CAST(u AS DECIMAL(38,6))) AS DOUBLE) AS su,
+                       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+                       CAST(SUM(CAST(t * t AS DECIMAL(38,6))) AS DOUBLE)
+                           AS stt,
+                       CAST(SUM(CAST(u * u AS DECIMAL(38,6))) AS DOUBLE)
+                           AS suu,
+                       CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE)
+                           AS svv,
+                       CAST(SUM(CAST(u * t AS DECIMAL(38,6))) AS DOUBLE)
+                           AS sut,
+                       CAST(SUM(CAST(v * t AS DECIMAL(38,6))) AS DOUBLE)
+                           AS svt,
+                       CAST(SUM(CAST(u * v AS DECIMAL(38,6))) AS DOUBLE)
+                           AS suv
+                FROM m GROUP BY 1
+            ), cen AS (
+                SELECT direction, n,
+                       stt - st * st / CAST(n AS DOUBLE) AS cstt,
+                       suu - su * su / CAST(n AS DOUBLE) AS csuu,
+                       svv - sv * sv / CAST(n AS DOUBLE) AS csvv,
+                       sut - su * st / CAST(n AS DOUBLE) AS csut,
+                       svt - sv * st / CAST(n AS DOUBLE) AS csvt,
+                       suv - su * sv / CAST(n AS DOUBLE) AS csuv
+                FROM mm
+            ), fit AS (
+                SELECT direction, n, cstt, csuu,
+                       cstt - csut * csut / csuu AS rss_r,
+                       csuu * csvv - csuv * csuv AS det,
+                       (csut * csvv - csvt * csuv)
+                           / (csuu * csvv - csuv * csuv) AS b,
+                       (csvt * csuu - csut * csuv)
+                           / (csuu * csvv - csuv * csuv) AS c,
+                       csut, csvt
+                FROM cen
+            ), ff AS (
+                SELECT direction, n, cstt, csuu, det, rss_r,
+                       cstt - b * csut - c * csvt AS rss_u
+                FROM fit
+            )
+            SELECT direction, n,
+                   round(CASE WHEN n > 3 AND csuu > 0.0 AND det > 0.0
+                                   AND cstt > 0.0 AND rss_u > 0.0
+                         THEN (rss_r - rss_u)
+                              / (rss_u / (CAST(n AS DOUBLE) - 3.0))
+                         END, 6) + 0.0 AS f_stat,
+                   round(CASE WHEN n > 3 AND csuu > 0.0 AND det > 0.0
+                                   AND cstt > 0.0
+                         THEN 1.0 - rss_r / cstt END, 6) + 0.0
+                       AS r2_restricted,
+                   round(CASE WHEN n > 3 AND csuu > 0.0 AND det > 0.0
+                                   AND cstt > 0.0
+                         THEN 1.0 - rss_u / cstt END, 6) + 0.0
+                       AS r2_unrestricted
+            FROM ff ORDER BY direction
         """,
         "qini_uplift_orders": f"""
             WITH u AS (

@@ -1910,6 +1910,95 @@ def lead_lag_corr(df: DataFrame, time_col: str, flag_x: Column,
     return lead_lag_from_buckets(per, max_lag, round_digits)
 
 
+def granger_screen(df: DataFrame, time_col: str, flag_x: Column,
+                   flag_y: Column, bucket_seconds: int = 3600,
+                   round_digits: int = 6) -> DataFrame:
+    """Granger-style predictive screen (Granger 1969, order-1): does
+    LAST bucket's x-count improve the prediction of this bucket's
+    y-count beyond last bucket's y itself (and vice versa)?  For each
+    direction, the restricted AR(1) fit ``t ~ a + b·t_{−1}`` and the
+    unrestricted ``t ~ a + b·t_{−1} + c·other_{−1}`` give
+
+        F = (RSS_r − RSS_u) / (RSS_u / (n − 3))
+
+    — the classic one-lag Granger F with (1, n−3) df; F ≫ 4 says the
+    other series carries predictive information (NOT causation: both
+    can follow a common driver — the standard caveat).  This is the
+    inferential companion to :func:`lead_lag_corr`, which reports raw
+    cross-correlation by lag but never "beyond what y already knew".
+
+    Both OLS fits are CLOSED FORM from one moment aggregate (centered
+    covariance algebra; the 2-regressor solve is a 2×2 Cramer
+    inversion), so no iteration and no per-row residuals: one event
+    scan collapses to the calendar-bounded bucket grid (zero-filled,
+    checkpointed), one lag window on the grid, ONE 2-row aggregate.
+    Counts are integers, so every product is exact in DECIMAL(38,6);
+    the estimator arithmetic is fixed-order doubles on those exact
+    sums.  Degenerate fits (constant series, collinear lags, n ≤ 3)
+    yield NULL instead of IEEE infinities.
+
+    Returns ``(direction, n, f_stat, r2_restricted, r2_unrestricted)``
+    with direction ∈ ('x_leads_y', 'y_leads_x'), ordered by direction.
+    """
+    hr = F.floor(_epoch_seconds(df, time_col)
+                 / F.lit(float(bucket_seconds)))
+    per = (df.select(hr.alias("__h"),
+                     flag_x.cast("bigint").alias("__fx"),
+                     flag_y.cast("bigint").alias("__fy"))
+           .groupBy("__h")
+           .agg(F.sum("__fx").alias("__x"), F.sum("__fy").alias("__y"))
+           .localCheckpoint(eager=True))
+    ends = per.agg(F.min("__h").alias("__lo"), F.max("__h").alias("__hi"))
+    grid = ends.select(F.explode(F.sequence("__lo", "__hi")).alias("__h"))
+    full = (grid.join(per, "__h", "left")
+            .select("__h",
+                    F.coalesce("__x", F.lit(0)).cast("double").alias("__x"),
+                    F.coalesce("__y", F.lit(0)).cast("double").alias("__y")))
+    w = Window.orderBy("__h")
+    lagged = (full
+              .withColumn("__lx", F.lag("__x").over(w))
+              .withColumn("__ly", F.lag("__y").over(w))
+              .filter(F.col("__lx").isNotNull()))
+    m = lagged.select(F.explode(F.array(
+        F.struct(F.lit("x_leads_y").alias("direction"),
+                 F.col("__y").alias("t"), F.col("__ly").alias("u"),
+                 F.col("__lx").alias("v")),
+        F.struct(F.lit("y_leads_x").alias("direction"),
+                 F.col("__x").alias("t"), F.col("__lx").alias("u"),
+                 F.col("__ly").alias("v")),
+    )).alias("d")).select("d.direction", "d.t", "d.u", "d.v")
+    d6 = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    t, u, v = F.col("t"), F.col("u"), F.col("v")
+    agg = m.groupBy("direction").agg(
+        F.count(F.lit(1)).alias("n"),
+        d6(t).alias("__st"), d6(u).alias("__su"), d6(v).alias("__sv"),
+        d6(t * t).alias("__stt"), d6(u * u).alias("__suu"),
+        d6(v * v).alias("__svv"), d6(u * t).alias("__sut"),
+        d6(v * t).alias("__svt"), d6(u * v).alias("__suv"))
+    nd = F.col("n").cast("double")
+    stt = F.col("__stt") - F.col("__st") * F.col("__st") / nd
+    suu = F.col("__suu") - F.col("__su") * F.col("__su") / nd
+    svv = F.col("__svv") - F.col("__sv") * F.col("__sv") / nd
+    sut = F.col("__sut") - F.col("__su") * F.col("__st") / nd
+    svt = F.col("__svt") - F.col("__sv") * F.col("__st") / nd
+    suv = F.col("__suv") - F.col("__su") * F.col("__sv") / nd
+    rss_r = stt - sut * sut / suu
+    det = suu * svv - suv * suv
+    b = (sut * svv - svt * suv) / det
+    c = (svt * suu - sut * suv) / det
+    rss_u = stt - b * sut - c * svt
+    ok = (F.col("n") > 3) & (suu > 0.0) & (det > 0.0) & (stt > 0.0)
+    f_stat = F.when(ok & (rss_u > 0.0),
+                    (rss_r - rss_u) / (rss_u / (nd - 3.0)))
+    r2r = F.when(ok, F.lit(1.0) - rss_r / stt)
+    r2u = F.when(ok, F.lit(1.0) - rss_u / stt)
+    r6 = lambda x: F.round(x, round_digits) + F.lit(0.0)  # noqa: E731
+    return (agg.select("direction", "n", r6(f_stat).alias("f_stat"),
+                       r6(r2r).alias("r2_restricted"),
+                       r6(r2u).alias("r2_unrestricted"))
+            .orderBy("direction"))
+
+
 def lead_lag_from_buckets(per: DataFrame, max_lag: int = 6,
                           round_digits: int = 6) -> DataFrame:
     """The bounded tail of :func:`lead_lag_corr`: grid completion, lag

@@ -1157,3 +1157,63 @@ def test_rmst_grouped(spark):
     assert abs(out["a"]["rmst"] - 3.0) < 1e-9
     # group b: [0,1) 1.0 ; [1,10] 0.0 -> 1.0
     assert abs(out["b"]["rmst"] - 1.0) < 1e-9
+
+
+def test_granger_screen_matches_numpy_ols(spark):
+    """The closed-form F equals numpy's lstsq residual computation, and
+    a series constructed as y_t = x_{t-1} flags x_leads_y with a huge F
+    while y_leads_x stays small."""
+    import datetime as _dt
+
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.timeseries import granger_screen
+
+    # x: pseudo-random counts; y copies x one hour later (plus noise)
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    xs = [(i * 7 + 3) % 11 for i in range(96)]
+    for i, n in enumerate(xs):
+        t = base + _dt.timedelta(hours=i)
+        rows += [(t, "view")] * n
+        if i > 0:
+            rows += [(t, "purchase")] * (xs[i - 1] + i % 2)
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    out = {r["direction"]: r for r in granger_screen(
+        df, "ts", F.col("event_type") == "view",
+        F.col("event_type") == "purchase").collect()}
+    assert out["x_leads_y"]["f_stat"] > 100.0
+    assert out["x_leads_y"]["f_stat"] > 10 * (out["y_leads_x"]["f_stat"]
+                                              or 0.0)
+
+    # numpy replica for the x_leads_y direction
+    x = np.array(xs, dtype=float)
+    y = np.array([0.0] + [xs[i - 1] + i % 2 for i in range(1, 96)])
+    t, u, v = y[1:], y[:-1], x[:-1]
+    n = len(t)
+    A_r = np.column_stack([np.ones(n), u])
+    A_u = np.column_stack([np.ones(n), u, v])
+    rss = lambda A: float(((t - A @ np.linalg.lstsq(A, t, rcond=None)[0])
+                           ** 2).sum())
+    f = (rss(A_r) - rss(A_u)) / (rss(A_u) / (n - 3))
+    assert abs(out["x_leads_y"]["f_stat"] - round(f, 6)) < 1e-3
+    assert out["x_leads_y"]["n"] == n
+
+
+def test_granger_screen_degenerate_is_null(spark):
+    import datetime as _dt
+
+    from hazelcast_jet_spark.operators.timeseries import granger_screen
+
+    # constant series in both lanes -> every fit degenerate -> NULLs
+    base = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(10):
+        t = base + _dt.timedelta(hours=i)
+        rows += [(t, "view"), (t, "purchase")]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string")
+    out = granger_screen(df, "ts", F.col("event_type") == "view",
+                         F.col("event_type") == "purchase").collect()
+    assert len(out) == 2
+    assert all(r["f_stat"] is None and r["r2_unrestricted"] is None
+               for r in out)

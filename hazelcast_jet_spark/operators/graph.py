@@ -473,6 +473,51 @@ def item_similarity_topk(
             .orderBy("item", "rank"))
 
 
+def kcore_peel(edges: DataFrame, k: int, iters: int = 4) -> DataFrame:
+    """Fixed-round k-core peel (Seidman 1983 coreness, Batagelj &
+    Zaveršnik 2003 peeling): each round drops every node whose degree
+    in the CURRENT subgraph is below ``k``, together with its edges —
+    the dense-backbone extraction behind community seeding, spam-ring
+    detection and graph sparsification (a node in the k-core has ≥ k
+    neighbors who each have ≥ k surviving neighbors, recursively —
+    degree alone cannot fake it).
+
+    After ``iters`` rounds the survivors are a SUPERSET of the true
+    k-core, equal as soon as one round removes nothing; peeling is
+    monotone, so extra rounds only shrink toward the fixpoint.  The
+    FIXED round count is what makes a SQL oracle an exact unrolled
+    replay; a production run at unbounded scale loops until a cheap
+    ``count()`` stops changing instead (documented contract — same
+    per-round plan).
+
+    Per-round plan: one degree aggregate (two map-side-combined count
+    shuffles over the edge list) and two LEFT SEMI joins of the edge
+    list against the survivor set (broadcastable — survivors are
+    nodes, orders of magnitude smaller than edges); the edge list is
+    localCheckpointed per round (the pagerank iterative-lineage
+    discipline, O(1) plan depth).
+
+    Returns ``(node, degree)`` — each survivor with its degree in the
+    peeled subgraph (≥ k only at the fixpoint; one round short of it a
+    freshly-exposed low-degree node may remain, which is the honest
+    superset semantics).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(iters):
+        survivors = (degrees(e).filter(F.col("degree") >= k)
+                     .select("node"))
+        e = (e.join(survivors.withColumnRenamed("node", "src"),
+                    "src", "left_semi")
+             .join(survivors.withColumnRenamed("node", "dst"),
+                   "dst", "left_semi")
+             .localCheckpoint(eager=True))
+    return degrees(e)
+
+
 def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     """Synchronous label propagation communities (Raghavan, Albert &
     Kumara 2007) with deterministic tie-breaks: every node starts as its

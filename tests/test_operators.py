@@ -4316,3 +4316,43 @@ def test_pq_codebook_staleness_error_matches_pq_encode(spark):
     got_train = sum(r["mean_err_train"] for r in st)
     assert abs(got_new - want[True]) < 1e-6
     assert abs(got_train - want[False]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel (operators/graph.py, r10)
+# ---------------------------------------------------------------------------
+
+def test_kcore_peel_matches_networkx_style_fixpoint(spark):
+    """A clique plus a pendant chain: at k = clique-1 only the clique
+    survives (chain nodes cascade off over successive rounds), and at a
+    k above every degree the core empties."""
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.graph import kcore_peel
+
+    # K5 on nodes 1..5, plus a chain 5-6-7-8 (degrees 1-2)
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 6), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+    out = {r["node"]: r["degree"]
+           for r in kcore_peel(edges, k=4, iters=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(d == 4 for d in out.values())
+
+    assert kcore_peel(edges, k=6, iters=2).count() == 0
+
+
+def test_kcore_peel_one_round_is_superset(spark):
+    """One round removes only the currently-low-degree nodes — the
+    documented superset semantics before the fixpoint."""
+    import pytest
+    from hazelcast_jet_spark.operators.graph import kcore_peel
+
+    # path graph 1-2-3-4: k=2 true core is empty, but round 1 only
+    # drops the endpoints (degree 1), leaving 2-3
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    one = {r["node"] for r in kcore_peel(path, k=2, iters=1).collect()}
+    assert one == {2, 3}
+    assert kcore_peel(path, k=2, iters=2).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        kcore_peel(path, k=0)

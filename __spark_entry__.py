@@ -6509,6 +6509,50 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+SBK_SEED, SBK_BUCKETS = "sbk1", 32
+
+
+def streaming_bucket_sample_events(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Deterministic k-row sample maintained ON A STREAM
+    (sampling.bucket_minhash_sample): rows route to 32 hash buckets and
+    each keeps its minimum-hash key — reservoir sampling re-expressed
+    as count + min_by so it runs as ONE complete-mode streaming
+    aggregation with exactly k rows of state (the row_number reservoir
+    is not streaming-legal).  min folds exactly across micro-batches,
+    so availableNow on bounded input is deterministic and the batch SQL
+    replay is the exact oracle."""
+    from hazelcast_jet_spark.operators.sampling import bucket_minhash_sample
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    agg = bucket_minhash_sample(s, "event_id", SBK_BUCKETS, SBK_SEED)
+    return run_to_batch(agg, "complete").orderBy("bucket")
+
+
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt surface pin (DataFrame.unpivot ↔ DuckDB UNPIVOT):
+    a wide per-nation metrics table (customer count, exact-decimal mean
+    and max account balance) melted to (nation, metric, value) rows —
+    the inverse of q:pivot_mktsegment, completing the reshape pair the
+    SQL surface owes.  Map-side reshape of an already-aggregated table;
+    all values cast double so the melted column is single-typed."""
+    c = _t(spark, sf_dir, "customer")
+    wide = (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_customers"),
+                 (F.round(dsum("c_acctbal")
+                          / F.count(F.lit(1)).cast("double"), 6)
+                  + F.lit(0.0)).alias("avg_acctbal"),
+                 F.max(F.col("c_acctbal").cast("double"))
+                 .alias("max_acctbal")))
+    return (wide.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "avg_acctbal", "max_acctbal"],
+        "metric", "value")
+        .orderBy("c_nationkey", "metric"))
+
+
 QINI_SEED = "qini1"
 QINI_BINS = 10
 
@@ -6668,6 +6712,8 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "qini_uplift_orders",
     "granger_events",
     "kcore_parts",
+    "streaming_bucket_sample_events",
+    "unpivot_nation_metrics",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7035,6 +7081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qini_uplift_orders": qini_uplift_orders,
         "granger_events": granger_events,
         "kcore_parts": kcore_parts,
+        "streaming_bucket_sample_events": streaming_bucket_sample_events,
+        "unpivot_nation_metrics": unpivot_nation_metrics,
     }
 
 
@@ -15597,6 +15645,42 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "streaming_bucket_sample_events": f"""
+            WITH h AS (
+                SELECT CAST(CAST('0x' || substr(md5('{SBK_SEED}'
+                            || CAST(event_id AS VARCHAR)), 1, 6)
+                            AS UBIGINT) AS BIGINT) % {SBK_BUCKETS}
+                           AS bucket,
+                       md5('{SBK_SEED}' || CAST(event_id AS VARCHAR))
+                           AS hh,
+                       event_id
+                FROM events
+            ), rn AS (
+                SELECT bucket, event_id,
+                       row_number() OVER (PARTITION BY bucket
+                                          ORDER BY hh, event_id) AS rn,
+                       count(*) OVER (PARTITION BY bucket) AS n_rows
+                FROM h
+            )
+            SELECT bucket, CAST(n_rows AS BIGINT) AS n_rows,
+                   event_id AS sample_key
+            FROM rn WHERE rn = 1 ORDER BY bucket
+        """,
+        "unpivot_nation_metrics": f"""
+            WITH wide AS (
+                SELECT c_nationkey,
+                       CAST(count(*) AS DOUBLE) AS n_customers,
+                       round({_dsum('c_acctbal')}
+                             / CAST(count(*) AS DOUBLE), 6) + 0.0
+                           AS avg_acctbal,
+                       CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal
+                FROM customer GROUP BY 1
+            )
+            SELECT c_nationkey, metric, value
+            FROM (UNPIVOT wide ON n_customers, avg_acctbal, max_acctbal
+                  INTO NAME metric VALUE value)
+            ORDER BY c_nationkey, metric
         """,
         "kcore_parts": (lambda k, iters: f"""
             WITH {_COPURCHASE_EDGES_SQL},

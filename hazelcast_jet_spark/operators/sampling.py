@@ -82,6 +82,44 @@ def reservoir_sample(df: DataFrame, k: int, key_col: str,
     )
 
 
+def bucket_minhash_sample(df: DataFrame, key_col: str, k: int,
+                          seed: str = "s0") -> DataFrame:
+    """Deterministic k-row sample legal on a STREAM: rows route to one
+    of ``k`` buckets by their key hash and each bucket keeps its
+    MINIMUM-hash key — the bottom-k-sketch form of reservoir sampling
+    re-expressed as a plain aggregation (count + min_by), so it runs
+    unchanged as a complete-mode streaming aggregation with exactly k
+    rows of state (:func:`reservoir_sample`'s global row_number window
+    is not streaming-legal; this is the 100 TB/streaming shape).
+
+    Uniformity: md5 is uniform per key, the bucket split is uniform,
+    and within a bucket every key is equally likely to hold the
+    minimum — so the k champions are a uniform-without-replacement
+    sample of distinct keys, merge-associative across partitions AND
+    micro-batches (min folds exactly).  Deterministic by (seed, key
+    set): reruns, retries and SQL oracles replay the identical sample.
+
+    Returns ``(bucket, n_rows, sample_key)`` ordered by bucket —
+    ``n_rows`` the bucket's row count (the k counts also give an
+    unbiased total estimate); join champions back to the table for
+    payloads (a k-row lookup, never a scan).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col)
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, _HEX_DIGITS), 16, 10).cast("bigint"),
+        F.lit(k))
+    return (df.select(bucket.alias("bucket"), h.alias("__h"),
+                      key.alias("__k"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min_by("__k", F.struct(F.col("__h"), F.col("__k")))
+                 .alias("sample_key"))
+            .orderBy("bucket"))
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
                           num_shards: int | None = None) -> DataFrame:
     """Reproducible global shuffle for training-data sharding: every row

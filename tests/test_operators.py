@@ -4356,3 +4356,36 @@ def test_kcore_peel_one_round_is_superset(spark):
     assert kcore_peel(path, k=2, iters=2).count() == 0
     with pytest.raises(ValueError, match="k must"):
         kcore_peel(path, k=0)
+
+
+def test_bucket_minhash_sample_deterministic_and_uniform_shape(spark):
+    """Champions equal the hash-argmin per bucket, counts sum to the
+    row count, batch result == a two-half union (merge associativity —
+    the streaming-legality property)."""
+    import hashlib as _h
+
+    import pytest
+    from pyspark.sql import functions as F
+    from hazelcast_jet_spark.operators.sampling import bucket_minhash_sample
+
+    n, k, seed = 500, 8, "t1"
+    df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    out = bucket_minhash_sample(df, "id", k, seed).collect()
+    assert sum(r["n_rows"] for r in out) == n
+
+    champs = {}
+    for i in range(n):
+        h = _h.md5(f"{seed}{i}".encode()).hexdigest()
+        b = int(h[:6], 16) % k
+        if b not in champs or (h, i) < champs[b]:
+            champs[b] = (h, i)
+    assert {r["bucket"]: r["sample_key"] for r in out} == {
+        b: i for b, (h, i) in champs.items()}
+
+    # merge associativity: union of two halves -> identical champions
+    half = bucket_minhash_sample(
+        df.filter(F.col("id") < 250).unionAll(
+            df.filter(F.col("id") >= 250)), "id", k, seed).collect()
+    assert sorted(map(tuple, half)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="k must"):
+        bucket_minhash_sample(df, "id", 0)

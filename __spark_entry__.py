@@ -6509,6 +6509,30 @@ def peeking_trace_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          seed=PK_SEED)
 
 
+HW_PERIOD = 7
+
+
+def hw_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing (timeseries.holt_winters_additive)
+    of daily event counts per type with weekly seasonality — the
+    seasonal completion of the exponential family (q:ewma_event_rate
+    flat, q:holt_linear_events trend, this one trend + period-7
+    offsets); the model q:forecast_backtest_events' snaive baseline
+    challenges.  One applyInPandas exchange per key over the
+    calendar-bounded daily rollup; dyadic α=β=γ=0.5 makes the
+    list-carrying recursive-CTE oracle a bit-exact replay."""
+    from hazelcast_jet_spark.operators.timeseries import holt_winters_additive
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = holt_winters_additive(daily, "event_type", "day", "n",
+                                period=HW_PERIOD)
+    return (out.select("event_type", "day", "n", "level", "trend",
+                       "seasonal", "forecast")
+            .orderBy("event_type", "day"))
+
+
 SBK_SEED, SBK_BUCKETS = "sbk1", 32
 
 
@@ -6714,6 +6738,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "kcore_parts",
     "streaming_bucket_sample_events",
     "unpivot_nation_metrics",
+    "hw_seasonal_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7083,6 +7108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_parts": kcore_parts,
         "streaming_bucket_sample_events": streaming_bucket_sample_events,
         "unpivot_nation_metrics": unpivot_nation_metrics,
+        "hw_seasonal_events": hw_seasonal_events,
     }
 
 
@@ -15645,6 +15671,57 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "hw_seasonal_events": f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY day) AS idx
+                FROM daily
+            ), h AS (
+                SELECT event_type, day, n, idx,
+                       CAST(n AS DOUBLE) AS level,
+                       CAST(0.0 AS DOUBLE) AS trend,
+                       CAST(0.0 AS DOUBLE) AS seasonal,
+                       [CAST(0.0 AS DOUBLE)] AS sl
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT event_type, day, n, idx,
+                       l_new AS level,
+                       0.5 * (l_new - p_level) + 0.5 * p_trend AS trend,
+                       0.5 * (CAST(n AS DOUBLE) - l_new) + 0.5 * s_prev
+                           AS seasonal,
+                       list_append(CASE WHEN len(sl0) >= {HW_PERIOD}
+                                        THEN sl0[2:{HW_PERIOD}]
+                                        ELSE sl0 END,
+                                   0.5 * (CAST(n AS DOUBLE) - l_new)
+                                   + 0.5 * s_prev) AS sl
+                FROM (
+                    SELECT q.*, 0.5 * (CAST(q.n AS DOUBLE) - q.s_prev)
+                                + 0.5 * (q.p_level + q.p_trend) AS l_new
+                    FROM (
+                        SELECT s.event_type, s.day, s.n, s.idx,
+                               p.level AS p_level, p.trend AS p_trend,
+                               p.sl AS sl0,
+                               CASE WHEN len(p.sl) >= {HW_PERIOD}
+                                    THEN p.sl[1]
+                                    ELSE CAST(0.0 AS DOUBLE) END AS s_prev
+                        FROM ser s JOIN h p
+                          ON s.event_type = p.event_type
+                             AND s.idx = p.idx + 1
+                    ) q
+                )
+            )
+            SELECT event_type, day, n, level, trend, seasonal,
+                   level + trend + (CASE WHEN len(sl) >= {HW_PERIOD}
+                                         THEN sl[1]
+                                         ELSE CAST(0.0 AS DOUBLE) END)
+                       AS forecast
+            FROM h ORDER BY event_type, day
         """,
         "streaming_bucket_sample_events": f"""
             WITH h AS (

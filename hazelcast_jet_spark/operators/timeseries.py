@@ -951,6 +951,78 @@ def holt_linear(df: DataFrame, key_col: str, time_col: str, value_col: str,
     return df.groupBy(key_col).applyInPandas(_holt, out_schema)
 
 
+def holt_winters_additive(df: DataFrame, key_col: str, time_col: str,
+                          value_col: str, period: int,
+                          alpha: float = 0.5, beta: float = 0.5,
+                          gamma: float = 0.5,
+                          id_col: str | None = None) -> DataFrame:
+    """Holt-Winters additive (triple-exponential) smoothing per key —
+    the seasonal member of the family (:func:`ewma` flat,
+    :func:`holt_linear` trend, this one trend + period-``period``
+    seasonality):
+
+        l_t = α (x_t − s_{t−m}) + (1 − α)(l_{t−1} + b_{t−1})
+        b_t = β (l_t − l_{t−1}) + (1 − β) b_{t−1}
+        s_t = γ (x_t − l_t) + (1 − γ) s_{t−m}
+
+    with the deterministic warm-up ``l_1 = x_1, b_1 = 0`` and
+    ``s_{t−m} := 0`` while t ≤ m (the first season learns its offsets
+    from zero — no two-season initialization requirement, and every
+    engine can replay it).  Appends ``level``, ``trend``, ``seasonal``
+    and the one-step-ahead ``forecast = l_t + b_t + s_{t+1−m}``.
+
+    Like its siblings the recurrence is honestly sequential per key
+    (three coupled state variables plus an m-slot seasonal ring), so
+    it runs as ONE Arrow-batched applyInPandas exchange on the key
+    over a calendar-bounded per-key ROLLUP.  With the default
+    α=β=γ=0.5 every multiply is an exact binary scaling, so a
+    recursive-CTE oracle carrying the seasonal ring as a LIST column
+    replays the bits exactly.
+    """
+    import pandas as pd  # noqa: F401
+
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    order = [time_col] + ([id_col] if id_col else [])
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = (f"{fields}, level double, trend double, "
+                  f"seasonal double, forecast double")
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from collections import deque
+
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].astype("float64").to_list()
+        levels, trends, seasonals, forecasts = [], [], [], []
+        l_prev = b_prev = 0.0
+        ring: deque = deque()
+        for i, x in enumerate(xs):
+            s_prev = ring[0] if len(ring) == period else 0.0
+            if i == 0:
+                l_cur, b_cur = x, 0.0
+            else:
+                l_cur = alpha * (x - s_prev) + (1.0 - alpha) * (l_prev + b_prev)
+                b_cur = beta * (l_cur - l_prev) + (1.0 - beta) * b_prev
+            s_cur = gamma * (x - l_cur) + (1.0 - gamma) * s_prev
+            if len(ring) == period:
+                ring.popleft()
+            ring.append(s_cur)
+            levels.append(l_cur)
+            trends.append(b_cur)
+            seasonals.append(s_cur)
+            forecasts.append(l_cur + b_cur
+                             + (ring[0] if len(ring) == period else 0.0))
+            l_prev, b_prev = l_cur, b_cur
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["seasonal"] = pd.Series(seasonals, dtype="float64")
+        pdf["forecast"] = pd.Series(forecasts, dtype="float64")
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_hw, out_schema)
+
+
 def transition_entropy(
     df: DataFrame,
     key_col: str = "user_id",

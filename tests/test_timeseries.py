@@ -1217,3 +1217,53 @@ def test_granger_screen_degenerate_is_null(spark):
     assert len(out) == 2
     assert all(r["f_stat"] is None and r["r2_unrestricted"] is None
                for r in out)
+
+
+def test_holt_winters_additive_learns_pure_seasonality(spark):
+    """On a pure period-m signal the seasonal offsets converge toward
+    the true offsets and the trend toward 0; forecasts beat the flat
+    holt_linear ones on the same series; replica matches exactly."""
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        holt_linear, holt_winters_additive)
+
+    m = 4
+    pattern = [10.0, 20.0, 30.0, 0.0]
+    rows = [("k", i, pattern[i % m]) for i in range(40)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = holt_winters_additive(df, "key", "t", "v", period=m).collect()
+    out = sorted(out, key=lambda r: r["t"])
+
+    # python replica (same recurrence) must match bit-for-bit
+    from collections import deque
+    ring, l, b = deque(), 0.0, 0.0
+    for i, r in enumerate(out):
+        x = pattern[i % m]
+        s_prev = ring[0] if len(ring) == m else 0.0
+        if i == 0:
+            l_new, b_new = x, 0.0
+        else:
+            l_new = 0.5 * (x - s_prev) + 0.5 * (l + b)
+            b_new = 0.5 * (l_new - l) + 0.5 * b
+        s_new = 0.5 * (x - l_new) + 0.5 * s_prev
+        if len(ring) == m:
+            ring.popleft()
+        ring.append(s_new)
+        fc = l_new + b_new + (ring[0] if len(ring) == m else 0.0)
+        assert (r["level"], r["trend"], r["seasonal"], r["forecast"]) == \
+            (l_new, b_new, s_new, fc)
+        l, b = l_new, b_new
+
+    # converged tail: trend ~0 and one-step forecasts near the truth
+    tail = out[-m:]
+    assert all(abs(r["trend"]) < 1.0 for r in tail)
+    hw_err = sum(abs(out[i]["forecast"] - pattern[(i + 1) % m])
+                 for i in range(30, 39))
+    hl = sorted(holt_linear(df, "key", "t", "v").collect(),
+                key=lambda r: r["t"])
+    hl_err = sum(abs(hl[i]["forecast"] - pattern[(i + 1) % m])
+                 for i in range(30, 39))
+    assert hw_err < 0.2 * hl_err
+    with pytest.raises(ValueError, match="period"):
+        holt_winters_additive(df, "key", "t", "v", period=1)

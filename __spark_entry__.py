@@ -5515,6 +5515,39 @@ def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(subj, "duration", "observed")
 
 
+LOGRANK_SEED = "lr1"
+
+
+def logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (timeseries.logrank_test; Mantel 1966)
+    between the md5 experiment arms on TIME TO FIRST HIGH-VALUE
+    PURCHASE: duration = days from a user's first event to their first
+    ≥95-value purchase, right-censored at their last event when none
+    occurred (~15% of users) — the censoring-correct "did the treatment
+    speed up conversion?" readout completing the survival lane
+    (q:kaplan_meier_events the curve, q:rmst_events the summary, this
+    the comparison).  One (group, duration) aggregate, then
+    bounded-grid hypergeometric O/E/V sums with round-9 terms in
+    DECIMAL(38,9)."""
+    from hazelcast_jet_spark.operators.experiment import ab_assign
+    from hazelcast_jet_spark.operators.timeseries import logrank_test
+
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    span = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") >= AB_CONV_VALUE), day))
+        .alias("conv_day"))
+    subj = span.select(
+        ab_assign(F.col("user_id"), LOGRANK_SEED).alias("arm"),
+        F.datediff(F.coalesce("conv_day", "last_day"), "first_day")
+        .alias("duration"),
+        F.col("conv_day").isNotNull().alias("observed"))
+    return logrank_test(subj, "duration", "observed", "arm")
+
+
 RMST_HORIZON = 60
 
 
@@ -6739,6 +6772,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "streaming_bucket_sample_events",
     "unpivot_nation_metrics",
     "hw_seasonal_events",
+    "logrank_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7109,6 +7143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bucket_sample_events": streaming_bucket_sample_events,
         "unpivot_nation_metrics": unpivot_nation_metrics,
         "hw_seasonal_events": hw_seasonal_events,
+        "logrank_events": logrank_events,
     }
 
 
@@ -15671,6 +15706,90 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "logrank_events": f"""
+            WITH span AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS f,
+                       CAST(max(ts) AS DATE) AS l,
+                       min(CASE WHEN event_type = 'purchase'
+                                     AND value >= 95.0
+                                THEN CAST(ts AS DATE) END) AS p
+                FROM events GROUP BY 1
+            ), subj AS (
+                SELECT CASE WHEN substr(md5('{LOGRANK_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS g,
+                       CAST(datediff('day', f, COALESCE(p, l))
+                            AS BIGINT) AS t,
+                       (p IS NOT NULL) AS obs
+                FROM span
+            ), per AS (
+                SELECT g, t,
+                       CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END)
+                            AS BIGINT) AS d,
+                       count(*) AS c
+                FROM subj GROUP BY 1, 2
+            ), grid AS (
+                SELECT t FROM per GROUP BY t HAVING SUM(d) > 0
+            ), cells AS (
+                SELECT gr.t,
+                       SUM(CASE WHEN p.g = 'A' THEN p.c ELSE 0 END) AS na,
+                       SUM(CASE WHEN p.g = 'B' THEN p.c ELSE 0 END) AS nb,
+                       SUM(CASE WHEN p.g = 'A' AND p.t = gr.t
+                                THEN p.d ELSE 0 END) AS da,
+                       SUM(CASE WHEN p.g = 'B' AND p.t = gr.t
+                                THEN p.d ELSE 0 END) AS db
+                FROM grid gr JOIN per p ON p.t >= gr.t
+                GROUP BY gr.t
+            ), terms AS (
+                SELECT da,
+                       round(CAST(da + db AS DOUBLE)
+                             * CAST(na AS DOUBLE)
+                             / CAST(na + nb AS DOUBLE), 9) AS e1,
+                       round(CASE WHEN na + nb > 1
+                             THEN CAST(da + db AS DOUBLE)
+                                  * (CAST(na AS DOUBLE)
+                                     / CAST(na + nb AS DOUBLE))
+                                  * (1.0 - CAST(na AS DOUBLE)
+                                           / CAST(na + nb AS DOUBLE))
+                                  * (CAST(na + nb AS DOUBLE)
+                                     - CAST(da + db AS DOUBLE))
+                                  / (CAST(na + nb AS DOUBLE) - 1.0)
+                             ELSE 0.0 END, 9) AS v
+                FROM cells
+            ), agg AS (
+                SELECT CAST(SUM(da) AS BIGINT) AS o1,
+                       CAST(SUM(CAST(e1 AS DECIMAL(38,9))) AS DOUBLE)
+                           AS e1s,
+                       CAST(SUM(CAST(v AS DECIMAL(38,9))) AS DOUBLE)
+                           AS vs
+                FROM terms
+            ), tot AS (
+                SELECT
+                    CAST(SUM(CASE WHEN g = 'A' THEN c ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(SUM(CASE WHEN g = 'B' THEN c ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(SUM(CASE WHEN g = 'A' THEN d ELSE 0 END)
+                         AS BIGINT) AS events_a,
+                    CAST(SUM(CASE WHEN g = 'B' THEN d ELSE 0 END)
+                         AS BIGINT) AS events_b
+                FROM per
+            )
+            SELECT 'A' AS group_a, 'B' AS group_b,
+                   t.n_a, t.n_b, t.events_a, t.events_b,
+                   a.o1 AS observed_a,
+                   round(a.e1s, 6) + 0.0 AS expected_a,
+                   CASE WHEN a.vs > 0.0
+                        THEN round((CAST(a.o1 AS DOUBLE) - a.e1s)
+                                   / sqrt(a.vs), 6) + 0.0 END AS z,
+                   CASE WHEN a.vs > 0.0
+                        THEN round(((CAST(a.o1 AS DOUBLE) - a.e1s)
+                                    / sqrt(a.vs))
+                                   * ((CAST(a.o1 AS DOUBLE) - a.e1s)
+                                      / sqrt(a.vs)), 6) + 0.0
+                        END AS chi2
+            FROM agg a, tot t
         """,
         "hw_seasonal_events": f"""
             WITH RECURSIVE daily AS (

@@ -1376,6 +1376,101 @@ def kaplan_meier(df: DataFrame, duration_col: str, observed_col: str,
             .orderBy(*gcols, duration_col))
 
 
+def logrank_test(df: DataFrame, duration_col: str, observed_col: str,
+                 group_col: str,
+                 round_digits: int = 6) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — "are
+    these two survival curves the same?", the inferential companion to
+    :func:`kaplan_meier` / :func:`rmst` (an A/B readout on retention
+    must compare CURVES under censoring; comparing raw mean lifetimes
+    is biased by whoever happens to be censored).  At each distinct
+    observed-event time t with d_t total events and n_{g,t} at risk,
+
+        E_1t = d_t · n_1t / n_t
+        V_t  = d_t (n_1t/n_t)(1 − n_1t/n_t)(n_t − d_t)/(n_t − 1)
+
+    and ``z = (O_1 − E_1)/√ΣV_t``, ``chi2 = z²`` — the hypergeometric
+    observed-vs-expected construction, censoring handled for free by
+    the at-risk denominators.
+
+    Scale shape: the subject table collapses to one row per (group,
+    duration) — the only full-data aggregate — and everything after
+    runs on that calendar-bounded curve table: at-risk counts come from
+    a non-equi join of the event-time grid against the 2-group
+    duration table (bounded × bounded), and the O/E/V sums are one
+    aggregate with DECIMAL(38,9)-exact accumulation of fixed-order
+    double terms (round-9 grid).  Exactly two groups (lexicographic);
+    more raise.
+
+    Returns ONE row ``(group_a, group_b, n_a, n_b, events_a, events_b,
+    observed_a, expected_a, z, chi2)`` — ``z`` NULL when ΣV = 0 (no
+    comparable event times).
+    """
+    g = F.col(group_col).cast("string")
+    per = (df.groupBy(g.alias("__g"),
+                      F.col(duration_col).cast("bigint").alias("__t"))
+           .agg(F.sum(F.col(observed_col).cast("bigint")).alias("__d"),
+                F.count(F.lit(1)).alias("__c"))
+           .localCheckpoint(eager=True))
+    groups = [r["__g"] for r in
+              per.select("__g").distinct().orderBy("__g").limit(3)
+              .collect()]
+    if len(groups) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 groups, "
+                         f"got {groups}")
+    ga, gb = groups
+    # event-time grid: distinct durations with >= 1 OBSERVED event
+    grid = (per.groupBy("__t").agg(F.sum("__d").alias("__dt"))
+            .filter(F.col("__dt") > 0))
+    # at-risk + per-time events per group via a non-equi join of the
+    # bounded grid against the bounded curve table
+    pick = lambda grp, col: F.sum(  # noqa: E731
+        F.when(F.col("__g") == grp, F.col(col)).otherwise(F.lit(0)))
+    at_t = F.col("p.__t") == F.col("t.__t")
+    pick_d = lambda grp: F.sum(  # noqa: E731
+        F.when((F.col("__g") == grp) & at_t, F.col("__d"))
+        .otherwise(F.lit(0)))
+    cells = (grid.alias("t").join(
+        per.alias("p"), F.col("p.__t") >= F.col("t.__t"))
+        .groupBy(F.col("t.__t").alias("__t"))
+        .agg(pick(ga, "__c").alias("__na"), pick(gb, "__c").alias("__nb"),
+             pick_d(ga).alias("__da"), pick_d(gb).alias("__db")))
+    na = F.col("__na").cast("double")
+    nt = (F.col("__na") + F.col("__nb")).cast("double")
+    dt = (F.col("__da") + F.col("__db")).cast("double")
+    e1 = dt * na / nt
+    share = na / nt
+    v = F.when((F.col("__na") + F.col("__nb")) > 1,
+               dt * share * (F.lit(1.0) - share)
+               * (nt - dt) / (nt - F.lit(1.0))).otherwise(F.lit(0.0))
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    agg = cells.agg(
+        F.sum("__da").alias("observed_a"),
+        d9(F.round(e1, 9)).alias("__e1"),
+        d9(F.round(v, 9)).alias("__v"))
+    totals = per.groupBy("__g").agg(F.sum("__c").alias("__n"),
+                                    F.sum("__d").alias("__e"))
+    trow = {r["__g"]: r for r in totals.limit(3).collect()}
+    arow = agg.limit(1).collect()[0]
+    o1, e1v, vv = arow["observed_a"], arow["__e1"], arow["__v"]
+    z = (o1 - e1v) / math.sqrt(vv) if vv > 0.0 else None
+    spark = df.sparkSession
+    local = spark.createDataFrame(
+        [(ga, gb, trow[ga]["__n"], trow[gb]["__n"],
+          trow[ga]["__e"], trow[gb]["__e"], o1)],
+        "group_a string, group_b string, n_a bigint, n_b bigint, "
+        "events_a bigint, events_b bigint, observed_a bigint")
+    r6 = lambda v_: (F.round(F.lit(v_), round_digits)  # noqa: E731
+                     + F.lit(0.0))
+    return local.select(
+        "group_a", "group_b", "n_a", "n_b", "events_a", "events_b",
+        "observed_a", r6(e1v).alias("expected_a"),
+        (r6(z) if z is not None
+         else F.lit(None).cast("double")).alias("z"),
+        (r6(z * z) if z is not None
+         else F.lit(None).cast("double")).alias("chi2"))
+
+
 def rmst(df: DataFrame, duration_col: str, observed_col: str,
          horizon: int, group_cols: list[str] | None = None,
          round_digits: int = 6) -> DataFrame:

@@ -1267,3 +1267,44 @@ def test_holt_winters_additive_learns_pure_seasonality(spark):
     assert hw_err < 0.2 * hl_err
     with pytest.raises(ValueError, match="period"):
         holt_winters_additive(df, "key", "t", "v", period=1)
+
+
+def test_logrank_matches_hand_computation(spark):
+    """O/E/V terms equal the hypergeometric hand computation on a tiny
+    curve; identical groups give z ~ 0; separated groups a large |z|."""
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import logrank_test
+
+    rows = [("a", 2, True), ("a", 4, True), ("a", 6, False),
+            ("b", 2, True), ("b", 5, True), ("b", 7, True)]
+    df = spark.createDataFrame(rows, "g string, d int, obs boolean")
+    out = logrank_test(df, "d", "obs", "g").collect()[0]
+    # event times: 2 (da=1,db=1,na=3,nb=3), 4 (da=1,na=2,nb=2),
+    # 5 (db=1,na=1,nb=2), 7 (db=1,na=0,nb=1)
+    import math as m
+    terms = [(2, 3, 3, 1, 1), (4, 2, 2, 1, 0), (5, 1, 2, 0, 1),
+             (7, 0, 1, 0, 1)]
+    e1 = v = 0.0
+    for _, na, nb, da, db in terms:
+        nt, dt = na + nb, da + db
+        e1 += round(dt * na / nt, 9)
+        v += round(dt * (na / nt) * (1 - na / nt) * (nt - dt) / (nt - 1), 9) \
+            if nt > 1 else 0.0
+    z = (2 - e1) / m.sqrt(v)
+    assert out["observed_a"] == 2 and (out["n_a"], out["n_b"]) == (3, 3)
+    assert (out["events_a"], out["events_b"]) == (2, 3)
+    assert abs(out["expected_a"] - round(e1, 6)) < 1e-9
+    assert abs(out["z"] - round(z, 6)) < 1e-9
+    assert abs(out["chi2"] - round(z * z, 6)) < 1e-9
+
+    # separated curves: every 'a' dies at 1, every 'b' survives to 9
+    sep = spark.createDataFrame(
+        [("a", 1, True)] * 8 + [("b", 9, True)] * 8,
+        "g string, d int, obs boolean")
+    s = logrank_test(sep, "d", "obs", "g").collect()[0]
+    # group a dies first: observed_a > expected_a -> positive z
+    assert s["z"] > 2.5
+
+    with pytest.raises(ValueError, match="2 groups"):
+        logrank_test(df.withColumn("g", F.lit("x")), "d", "obs", "g")

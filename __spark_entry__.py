@@ -6566,6 +6566,31 @@ def hw_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+CONF_LAG = 7
+
+
+def conformal_forecast_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Split-conformal forecast interval
+    (timeseries.conformal_snaive_interval; Vovk et al. 2005, Lei et al.
+    2018) per event type: the exact order-statistic half-width q̂ that
+    guarantees 90% marginal coverage for the seasonal-naive daily-count
+    forecaster, plus the realized test-suffix coverage — the honest
+    uncertainty band around q:hw_seasonal_events /
+    q:forecast_backtest_events point forecasts, with
+    realized-vs-nominal as the drift alarm.  All-integer rank
+    arithmetic, row_number order-statistic pick, exact count ratios —
+    engine-replayable end to end."""
+    from hazelcast_jet_spark.operators.timeseries import (
+        conformal_snaive_interval)
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    return conformal_snaive_interval(daily, "event_type", "day", "n",
+                                     seasonal_lag=CONF_LAG)
+
+
 SBK_SEED, SBK_BUCKETS = "sbk1", 32
 
 
@@ -6773,6 +6798,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "unpivot_nation_metrics",
     "hw_seasonal_events",
     "logrank_events",
+    "conformal_forecast_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7144,6 +7170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_nation_metrics": unpivot_nation_metrics,
         "hw_seasonal_events": hw_seasonal_events,
         "logrank_events": logrank_events,
+        "conformal_forecast_events": conformal_forecast_events,
     }
 
 
@@ -15706,6 +15733,60 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "conformal_forecast_events": f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), sc AS (
+                SELECT event_type, day,
+                       abs(CAST(n AS DOUBLE)
+                           - lag(CAST(n AS DOUBLE), {CONF_LAG}) OVER (
+                               PARTITION BY event_type ORDER BY day))
+                           AS resid
+                FROM daily
+            ), scf AS (
+                SELECT event_type, day, resid,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS idx,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM sc WHERE resid IS NOT NULL
+            ), pl AS (
+                SELECT event_type, day, resid, idx,
+                       CAST(floor((n * 7 + 9) / 10) AS BIGINT) AS ncal,
+                       CAST(floor(((CAST(floor((n * 7 + 9) / 10)
+                                    AS BIGINT) + 1) * 900 + 999)
+                                  / 1000) AS BIGINT) AS need
+                FROM scf
+            ), calib AS (
+                SELECT event_type, resid, need, ncal,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY resid, day) AS r
+                FROM pl WHERE idx <= ncal
+            ), q AS (
+                SELECT event_type,
+                       max(CASE WHEN r = need THEN resid END) AS q_hat,
+                       max(ncal) AS n_calib, max(need) AS need
+                FROM calib GROUP BY 1
+            ), tst AS (
+                SELECT p.event_type, count(*) AS n_test,
+                       SUM(CASE WHEN p.resid <= q.q_hat
+                                THEN 1 ELSE 0 END) AS hits
+                FROM pl p JOIN q ON p.event_type = q.event_type
+                WHERE p.idx > p.ncal GROUP BY 1
+            )
+            SELECT q.event_type AS key, q.n_calib,
+                   COALESCE(t.n_test, 0) AS n_test,
+                   CASE WHEN q.need <= q.n_calib THEN q.q_hat END
+                       AS q_hat,
+                   CASE WHEN q.need <= q.n_calib
+                        THEN round(CAST(t.hits AS DOUBLE)
+                                   / CAST(t.n_test AS DOUBLE), 6) + 0.0
+                        END AS coverage,
+                   CAST(0.9 AS DOUBLE) AS nominal
+            FROM q LEFT JOIN tst t ON q.event_type = t.event_type
+            ORDER BY key
         """,
         "logrank_events": f"""
             WITH span AS (

@@ -1376,6 +1376,96 @@ def kaplan_meier(df: DataFrame, duration_col: str, observed_col: str,
             .orderBy(*gcols, duration_col))
 
 
+def conformal_snaive_interval(df: DataFrame, key_col: str, time_col: str,
+                              value_col: str, seasonal_lag: int = 7,
+                              alpha: float = 0.1,
+                              calib_num: int = 7, calib_den: int = 10,
+                              round_digits: int = 6) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster (Vovk et al. 2005; Lei et al. 2018 split-conformal):
+    per key, the absolute residuals ``|x_t − x_{t−m}|`` split by TIME
+    into a calibration prefix (``calib_num/calib_den`` of the scored
+    rows — an exact integer fraction so every engine cuts identically)
+    and a test suffix; the interval half-width is the exact order
+    statistic
+
+        q̂ = r_(⌈(n_cal + 1)(1 − α)⌉)
+
+    of the calibration residuals, which guarantees ≥ 1−α marginal
+    coverage on exchangeable data with NO distributional assumption —
+    the honest uncertainty band to put around q:hw_seasonal_events /
+    q:forecast_backtest_events point forecasts.  ``coverage`` is the
+    realized test-suffix hit rate (time-ordered splits break
+    exchangeability under drift, so realized-vs-nominal IS the drift
+    alarm).  When the rank exceeds n_cal (too few calibration rows for
+    the requested α) q̂ and coverage are NULL — "cannot certify", never
+    a silently-clipped quantile.
+
+    Rank arithmetic is all-integer (⌈·⌉ as ``(a + b − 1) DIV b``), the
+    order statistic is a row_number pick with a time tiebreak, and
+    coverage is an exact count ratio — engine-replayable end to end.
+    One window pass per key over the calendar-bounded rollup.
+
+    Returns ``(key, n_calib, n_test, q_hat, coverage, nominal)``
+    ordered by key.
+    """
+    if seasonal_lag < 1:
+        raise ValueError(f"seasonal_lag must be >= 1, got {seasonal_lag}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    # alpha as an exact integer fraction of 1000 for the rank ceil
+    a_num = round(alpha * 1000)
+    if abs(a_num / 1000.0 - alpha) > 1e-12:
+        raise ValueError("alpha must be a multiple of 0.001 so the rank "
+                         "arithmetic stays integer-exact")
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    x = F.col(value_col).cast("double")
+    scored = (df
+              .withColumn("__resid", F.abs(x - F.lag(x, seasonal_lag).over(w)))
+              .filter(F.col("__resid").isNotNull())
+              .withColumn("__idx", F.row_number().over(w))
+              .withColumn("__n", F.count(F.lit(1)).over(
+                  Window.partitionBy(key_col))))
+    # ceil(n * num / den) via integer arithmetic — engine-exact
+    n_cal = F.floor((F.col("__n") * calib_num + calib_den - 1)
+                    / F.lit(calib_den)).cast("bigint")
+    scored = scored.withColumn("__ncal", n_cal)
+    rank_needed = F.floor(((F.col("__ncal") + 1) * (1000 - a_num)
+                           + 999) / F.lit(1000)).cast("bigint")
+    scored = scored.withColumn("__need", rank_needed)
+    w_cal = (Window.partitionBy(key_col)
+             .orderBy(F.col("__resid").asc(), F.col(time_col).asc()))
+    calib = (scored.filter(F.col("__idx") <= F.col("__ncal"))
+             .withColumn("__r", F.row_number().over(w_cal)))
+    qhat = (calib.groupBy(key_col)
+            .agg(F.max(F.when(F.col("__r") == F.col("__need"),
+                              F.col("__resid"))).alias("q_hat"),
+                 F.max("__ncal").alias("n_calib"),
+                 F.max("__need").alias("__need")))
+    test = (scored.filter(F.col("__idx") > F.col("__ncal"))
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_test")))
+    cov_src = (scored.filter(F.col("__idx") > F.col("__ncal"))
+               .join(qhat.select(key_col, "q_hat"), key_col)
+               .groupBy(key_col)
+               .agg((F.sum((F.col("__resid") <= F.col("q_hat"))
+                           .cast("bigint")).cast("double")
+                     / F.count(F.lit(1)).cast("double")).alias("__cov")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    out = (qhat.join(test, key_col, "left")
+           .join(cov_src, key_col, "left")
+           .select(F.col(key_col).alias("key"),
+                   "n_calib",
+                   F.coalesce("n_test", F.lit(0)).alias("n_test"),
+                   # rank beyond the calibration set: cannot certify
+                   F.when(F.col("__need") <= F.col("n_calib"),
+                          F.col("q_hat")).alias("q_hat"),
+                   F.when(F.col("__need") <= F.col("n_calib"),
+                          r6(F.col("__cov"))).alias("coverage"),
+                   F.lit((1000 - a_num) / 1000.0).alias("nominal")))
+    return out.orderBy("key")
+
+
 def logrank_test(df: DataFrame, duration_col: str, observed_col: str,
                  group_col: str,
                  round_digits: int = 6) -> DataFrame:

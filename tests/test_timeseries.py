@@ -1308,3 +1308,46 @@ def test_logrank_matches_hand_computation(spark):
 
     with pytest.raises(ValueError, match="2 groups"):
         logrank_test(df.withColumn("g", F.lit("x")), "d", "obs", "g")
+
+
+def test_conformal_snaive_matches_python_replica(spark):
+    """q_hat equals the exact split-conformal order statistic, coverage
+    the exact test hit rate; rank overflow yields NULL certification."""
+    import math as m
+
+    import pytest
+
+    from hazelcast_jet_spark.operators.timeseries import (
+        conformal_snaive_interval)
+
+    lag = 3
+    xs = [float((i * 13 + 5) % 17) for i in range(40)]
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, t int, v double")
+    out = conformal_snaive_interval(df, "key", "t", "v",
+                                    seasonal_lag=lag).collect()[0]
+
+    resid = [abs(xs[i] - xs[i - lag]) for i in range(lag, len(xs))]
+    n = len(resid)
+    n_cal = -(-n * 7 // 10)
+    cal, test = resid[:n_cal], resid[n_cal:]
+    need = m.ceil((n_cal + 1) * 0.9)
+    q = sorted(cal)[need - 1]
+    cov = sum(1 for r in test if r <= q) / len(test)
+    assert (out["n_calib"], out["n_test"]) == (n_cal, len(test))
+    assert out["q_hat"] == q
+    assert abs(out["coverage"] - round(cov, 6)) < 1e-9
+    assert out["nominal"] == 0.9
+
+    # too few rows for alpha=0.1: need = ceil((n_cal+1)*.9) > n_cal
+    tiny = spark.createDataFrame(
+        [("k", i, float(i % 3)) for i in range(8)],
+        "key string, t int, v double")
+    t = conformal_snaive_interval(tiny, "key", "t", "v",
+                                  seasonal_lag=3).collect()[0]
+    assert t["q_hat"] is None and t["coverage"] is None
+
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_snaive_interval(df, "key", "t", "v", alpha=1.5)
+    with pytest.raises(ValueError, match="seasonal_lag"):
+        conformal_snaive_interval(df, "key", "t", "v", seasonal_lag=0)

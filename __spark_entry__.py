@@ -6566,6 +6566,48 @@ def hw_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def shapley_attribution_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (experiment.
+    shapley_attribution; Shapley 1953, Zhao et al. 2018): each
+    non-purchase event type's fair share of purchase credit, averaging
+    marginal contributions over all 2^4 touch-set coalitions — the
+    principled answer to q:attribution_events' first/last-touch
+    bookends.  One per-user touch-set aggregate, a ≤16-row v(S) table,
+    and an in-plan join against the generated (channel, S, S∪i, weight)
+    literals with round-12 terms in DECIMAL(38,12) — the oracle shares
+    the same generated literals and replays every bit."""
+    from hazelcast_jet_spark.operators.experiment import shapley_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return shapley_attribution(e, "user_id", "ts", "event_type",
+                               "purchase", channels=SHAPLEY_CHANNELS)
+
+
+def _shapley_pairs_sql(channels: list[str]) -> str:
+    """The (channel, S, S∪{i}, weight) literal rows both engines share —
+    generated once here so the Spark plan and the DuckDB oracle carry
+    bit-identical weights."""
+    from itertools import combinations
+    from math import factorial
+
+    channels = sorted(channels)
+    k = len(channels)
+    rows = []
+    for ch in channels:
+        rest = [c for c in channels if c != ch]
+        for size in range(k):
+            for sub in combinations(rest, size):
+                w = factorial(size) * factorial(k - size - 1) / factorial(k)
+                s_wo = ",".join(sorted(sub))
+                s_wi = ",".join(sorted(sub + (ch,)))
+                rows.append(f"('{ch}', '{s_wo}', '{s_wi}', {w!r})")
+    return ", ".join(rows)
+
+
 CONF_LAG = 7
 
 
@@ -6799,6 +6841,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "hw_seasonal_events",
     "logrank_events",
     "conformal_forecast_events",
+    "shapley_attribution_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7171,6 +7214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hw_seasonal_events": hw_seasonal_events,
         "logrank_events": logrank_events,
         "conformal_forecast_events": conformal_forecast_events,
+        "shapley_attribution_events": shapley_attribution_events,
     }
 
 
@@ -15733,6 +15777,55 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "shapley_attribution_events": f"""
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS fc
+                FROM events GROUP BY 1
+            ), users AS (
+                SELECT e.user_id,
+                       COALESCE(array_to_string(list_sort(
+                           list(DISTINCT e.event_type)
+                           FILTER (WHERE e.event_type <> 'purchase'
+                                   AND (f.fc IS NULL OR e.ts < f.fc))),
+                           ','), '') AS s,
+                       MAX(CASE WHEN f.fc IS NOT NULL
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events e JOIN firsts f ON e.user_id = f.user_id
+                GROUP BY 1, f.fc
+            ), v AS (
+                SELECT s, count(*) AS n,
+                       CAST(SUM(conv) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS v
+                FROM users GROUP BY 1
+            ), pairs(channel, s_wo, s_wi, weight) AS (
+                VALUES {_shapley_pairs_sql(SHAPLEY_CHANNELS)}
+            ), phi AS (
+                SELECT p.channel,
+                       CAST(SUM(CAST(round(p.weight
+                            * (COALESCE(vw.v, 0.0)
+                               - COALESCE(vo.v, 0.0)), 12)
+                            AS DECIMAL(38,12))) AS DOUBLE) AS phi
+                FROM pairs p
+                LEFT JOIN v vo ON vo.s = p.s_wo
+                LEFT JOIN v vw ON vw.s = p.s_wi
+                GROUP BY 1
+            ), touched AS (
+                SELECT ch AS channel, count(*) AS touched_users,
+                       CAST(SUM(conv) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS tr
+                FROM (SELECT unnest(string_split(s, ',')) AS ch, conv
+                      FROM users)
+                WHERE ch <> ''
+                GROUP BY 1
+            )
+            SELECT p.channel, round(p.phi, 6) + 0.0 AS shapley,
+                   COALESCE(t.touched_users, 0) AS touched_users,
+                   round(t.tr, 6) + 0.0 AS touched_conv_rate
+            FROM phi p LEFT JOIN touched t ON p.channel = t.channel
+            ORDER BY p.channel
         """,
         "conformal_forecast_events": f"""
             WITH daily AS (

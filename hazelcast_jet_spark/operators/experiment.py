@@ -759,6 +759,120 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
             .orderBy("q"))
 
 
+def shapley_attribution(events: DataFrame, user_col: str, time_col: str,
+                        type_col: str, conversion_type: str,
+                        channels: list[str] | None = None,
+                        max_channels: int = 12,
+                        round_digits: int = 6) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953; the simplified
+    data-driven form of Zhao et al. 2018): each channel's fair share of
+    conversion credit, averaging its marginal contribution over every
+    coalition —
+
+        φ_i = Σ_{S ⊆ C∖{i}} |S|!(k−|S|−1)!/k! · (v(S∪{i}) − v(S))
+
+    with ``v(S)`` the observed conversion rate of users whose
+    pre-conversion touch set is exactly S (unobserved coalitions
+    contribute v = 0).  The principled answer to the first/last-touch
+    arbitrariness of :func:`attribution bookends <ab_assign>`-style
+    readouts: order-free, efficiency axiom (Σφ_i + v(∅) = grand
+    coalition value) — and exponential in CHANNELS, not users, so it
+    is exact and cheap for the ≤ ``max_channels`` marketing channels
+    real attribution runs on.
+
+    Scale shape: ONE per-user aggregate builds the touch-set string
+    (channels seen strictly before the user's first conversion;
+    non-converters contribute their full set), one tiny groupBy builds
+    the v(S) table (≤ 2^k rows), and φ is computed IN-PLAN by joining a
+    literal (channel, S, S∪{i}, weight) table — k·2^(k−1) rows — against
+    v twice; terms are round-12 doubles accumulated in DECIMAL(38,12)
+    (order-free, engine-exact), so a SQL oracle with the same generated
+    literals replays every bit.  Pass ``channels`` explicitly for a
+    fully deterministic plan; ``None`` discovers them with one bounded
+    distinct-collect.
+
+    Returns ``(channel, shapley, touched_users, touched_conv_rate)``
+    ordered by channel.
+    """
+    from itertools import combinations
+
+    conv = F.col(type_col) == conversion_type
+    if channels is None:
+        channels = sorted(
+            r[0] for r in events.filter(~conv).select(type_col)
+            .distinct().limit(max_channels + 1).collect())
+    channels = sorted(channels)
+    k = len(channels)
+    if not 1 <= k <= max_channels:
+        raise ValueError(f"need 1..{max_channels} channels, got {k}")
+
+    es = events.select(F.col(user_col).alias("__u"),
+                       F.col(time_col).alias("__t"),
+                       F.col(type_col).alias("__c"))
+    firsts = (es.groupBy("__u")
+              .agg(F.min(F.when(F.col("__c") == conversion_type,
+                                F.col("__t"))).alias("__fc")))
+    touch_set = F.array_join(F.array_sort(F.collect_set(
+        F.when((F.col("__c") != conversion_type)
+               & (F.col("__c").isin(channels))
+               & (F.col("__fc").isNull() | (F.col("__t") < F.col("__fc"))),
+               F.col("__c")))), ",")
+    users = (es.join(firsts, "__u")
+             .groupBy("__u")
+             .agg(touch_set.alias("__s"),
+                  F.max(F.col("__fc").isNotNull().cast("bigint"))
+                  .alias("__conv")))
+    vtab = (users.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum("__conv").alias("__cv"))
+            .select("__s", "__n",
+                    (F.col("__cv").cast("double")
+                     / F.col("__n").cast("double")).alias("__v"))
+            .localCheckpoint(eager=True))
+
+    fact = [1] * (k + 1)
+    for i in range(2, k + 1):
+        fact[i] = fact[i - 1] * i
+    pairs = []
+    for ch in channels:
+        rest = [c for c in channels if c != ch]
+        for size in range(k):
+            for sub in combinations(rest, size):
+                w = fact[size] * fact[k - size - 1] / fact[k]
+                s_wo = ",".join(sorted(sub))
+                s_wi = ",".join(sorted(sub + (ch,)))
+                pairs.append((ch, s_wo, s_wi, w))
+    spark = events.sparkSession
+    ptab = spark.createDataFrame(
+        pairs, "channel string, s_wo string, s_wi string, weight double")
+    vo = vtab.select(F.col("__s").alias("s_wo"), F.col("__v").alias("__vo"))
+    vw = vtab.select(F.col("__s").alias("s_wi"), F.col("__v").alias("__vw"))
+    term = F.round(F.col("weight")
+                   * (F.coalesce("__vw", F.lit(0.0))
+                      - F.coalesce("__vo", F.lit(0.0))), 12)
+    phi = (ptab.join(F.broadcast(vo), "s_wo", "left")
+           .join(F.broadcast(vw), "s_wi", "left")
+           .groupBy("channel")
+           .agg(F.sum(term.cast("decimal(38,12)")).cast("double")
+                .alias("__phi")))
+    # per-channel diagnostics: users who touched the channel pre-conv
+    touched = (users
+               .select(F.explode(F.split("__s", ",")).alias("channel"),
+                       "__conv")
+               .filter(F.col("channel") != "")
+               .groupBy("channel")
+               .agg(F.count(F.lit(1)).alias("touched_users"),
+                    (F.sum("__conv").cast("double")
+                     / F.count(F.lit(1)).cast("double")).alias("__tr")))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (phi.join(touched, "channel", "left")
+            .select("channel", r6(F.col("__phi")).alias("shapley"),
+                    F.coalesce("touched_users", F.lit(0))
+                    .alias("touched_users"),
+                    r6(F.col("__tr")).alias("touched_conv_rate"))
+            .orderBy("channel"))
+
+
 def qini_curve(units: DataFrame, arm_col: str, score_col: str,
                converted_col: str, id_col: str, n_bins: int = 10,
                arms: tuple = ("A", "B"),

@@ -1714,3 +1714,54 @@ def test_qini_curve_empty_arm_bins_are_null(spark):
     assert all(r["uplift"] is None and r["qini"] is None for r in out)
     with pytest.raises(ValueError, match="n_bins"):
         qini_curve(df, "arm", "score", "conv", "id", n_bins=1)
+
+
+def test_shapley_attribution_matches_hand_example(spark):
+    """Two channels, hand-computable coalition values: phi matches the
+    closed form and satisfies the efficiency axiom
+    sum(phi) = v(grand) - v(empty)."""
+    from hazelcast_jet_spark.operators.experiment import shapley_attribution
+
+    rows = []
+    # users 1,2 touch A then buy: v({A}) = 1.0
+    for u in (1, 2):
+        rows += [(u, 1, "A"), (u, 2, "buy")]
+    # users 3,4 touch B; only 3 buys: v({B}) = 0.5
+    rows += [(3, 1, "B"), (3, 2, "buy"), (4, 1, "B")]
+    # users 5,6 touch A and B then buy: v({A,B}) = 1.0
+    for u in (5, 6):
+        rows += [(u, 1, "A"), (u, 2, "B"), (u, 3, "buy")]
+    # user 7 buys untouched: v({}) = 1.0
+    rows += [(7, 1, "buy")]
+    df = spark.createDataFrame(rows, "u long, t int, c string")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, "u", "t", "c", "buy", channels=["A", "B"]).collect()}
+    # phi_A = .5(v(A)-v({})) + .5(v(AB)-v(B)) = 0.25
+    # phi_B = .5(v(B)-v({})) + .5(v(AB)-v(A)) = -0.25
+    assert abs(out["A"]["shapley"] - 0.25) < 1e-9
+    assert abs(out["B"]["shapley"] + 0.25) < 1e-9
+    assert out["A"]["touched_users"] == 4 and out["B"]["touched_users"] == 4
+    assert abs(out["A"]["touched_conv_rate"] - 1.0) < 1e-9
+    assert abs(out["B"]["touched_conv_rate"] - 0.75) < 1e-9
+
+
+def test_shapley_attribution_touches_after_conversion_ignored(spark):
+    """Only strictly-pre-conversion touches count; non-converters
+    contribute their full set at v = 0."""
+    import pytest
+
+    from hazelcast_jet_spark.operators.experiment import shapley_attribution
+
+    rows = [(1, 1, "buy"), (1, 2, "A"),          # post-conv touch ignored
+            (2, 1, "A"), (2, 2, "buy"),          # pre-conv counts
+            (3, 1, "B")]                          # non-converter set {B}
+    df = spark.createDataFrame(rows, "u long, t int, c string")
+    out = {r["channel"]: r for r in shapley_attribution(
+        df, "u", "t", "c", "buy", channels=["A", "B"]).collect()}
+    # v({})=1 (user 1), v({A})=1 (user 2), v({B})=0 (user 3)
+    # phi_A = .5(1-1) + .5(0-0) = 0 ; phi_B = .5(0-1) + .5(0-1) = -1
+    assert abs(out["A"]["shapley"] - 0.0) < 1e-9
+    assert abs(out["B"]["shapley"] + 1.0) < 1e-9
+    assert out["A"]["touched_users"] == 1
+    with pytest.raises(ValueError, match="channels"):
+        shapley_attribution(df, "u", "t", "c", "buy", channels=[])

@@ -6566,6 +6566,26 @@ def hw_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+TE_SEED, TE_FOLDS, TE_SMOOTH = "te1", 5, 20.0
+
+
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (sampling.target_encode_oof;
+    Micci-Barreca 2001): order-priority encoded by the leakage-safe
+    smoothed mean of order value — each md5 fold's encoding computed
+    from the other four folds, shrunk toward the global mean with
+    prior weight 20 — the categorical-feature primitive an ML training
+    pipeline joins (broadcast) onto its examples.  ONE aggregate to the
+    5×5 (fold, category) grid, window totals on that grid,
+    DECIMAL-exact label sums."""
+    from hazelcast_jet_spark.operators.sampling import target_encode_oof
+
+    o = _t(spark, sf_dir, "orders")
+    return target_encode_oof(o, "o_orderpriority", "o_totalprice",
+                             "o_orderkey", k=TE_FOLDS, seed=TE_SEED,
+                             smoothing=TE_SMOOTH)
+
+
 SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
 
 
@@ -6842,6 +6862,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "logrank_events",
     "conformal_forecast_events",
     "shapley_attribution_events",
+    "target_encode_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7215,6 +7236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_events": logrank_events,
         "conformal_forecast_events": conformal_forecast_events,
         "shapley_attribution_events": shapley_attribution_events,
+        "target_encode_orders": target_encode_orders,
     }
 
 
@@ -15777,6 +15799,38 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "target_encode_orders": f"""
+            WITH fo AS (
+                SELECT {_kfold_case_sql('o_orderkey', TE_FOLDS, TE_SEED)}
+                           AS fold,
+                       o_orderpriority AS category,
+                       CAST(o_totalprice AS DOUBLE) AS y
+                FROM orders
+            ), cells AS (
+                SELECT fold, category, count(y) AS n_fold,
+                       SUM(CAST(y AS DECIMAL(18,6))) AS s
+                FROM fo GROUP BY 1, 2
+            ), w AS (
+                SELECT fold, category, n_fold, s,
+                       SUM(n_fold) OVER (PARTITION BY category) AS tn,
+                       SUM(s) OVER (PARTITION BY category) AS ts,
+                       SUM(n_fold) OVER () AS gn,
+                       SUM(s) OVER () AS gs
+                FROM cells
+            )
+            SELECT fold, category, n_fold,
+                   CAST(tn - n_fold AS BIGINT) AS n_oof,
+                   round(CASE WHEN CAST(tn - n_fold AS DOUBLE)
+                                   + {TE_SMOOTH!r} > 0.0
+                         THEN (CAST(ts - s AS DOUBLE)
+                               + {TE_SMOOTH!r}
+                                 * (CAST(gs AS DOUBLE)
+                                    / CAST(gn AS DOUBLE)))
+                              / (CAST(tn - n_fold AS DOUBLE)
+                                 + {TE_SMOOTH!r})
+                         END, 6) + 0.0 AS encoding
+            FROM w ORDER BY fold, category
         """,
         "shapley_attribution_events": f"""
             WITH firsts AS (

@@ -263,6 +263,59 @@ def kfold_split(df: DataFrame, key_col: str, k: int,
     return named.withColumn(fold_col, F.col(fold_col).cast("int"))
 
 
+def target_encode_oof(df: DataFrame, category_col: str, label_col: str,
+                      key_col: str, k: int = 5, seed: str = "s0",
+                      smoothing: float = 20.0,
+                      round_digits: int = 6) -> DataFrame:
+    """Out-of-fold target encoding (the leakage-controlled categorical
+    feature: Micci-Barreca 2001 smoothing + the k-fold discipline): for
+    each (fold, category) cell, the label mean computed from EVERY FOLD
+    BUT THIS ONE, shrunk toward the global mean,
+
+        enc(f, c) = (Σ_{oof} y + m · ȳ) / (n_{oof} + m)
+
+    — a fold's rows never see their own labels, so the encoding can be
+    joined onto training data without target leakage (the naive
+    per-category mean leaks each row's own label and overfits rare
+    categories; ``m`` is the prior weight that protects them).  Folds
+    come from :func:`kfold_split` (md5-banded, group-leakage-safe,
+    engine-replayable).
+
+    Scale shape: ONE aggregate over the table to the (fold, category)
+    grid — k·|categories| rows — then window totals on that tiny grid;
+    label sums are DECIMAL(18,6)-exact (order-free), the encoding a
+    fixed-order double expression.  The caller broadcasts the returned
+    grid back onto the data (a k·|C|-row dimension, never a shuffle).
+
+    Returns ``(fold, category, n_fold, n_oof, encoding)`` ordered by
+    (fold, category) — ``encoding`` NULL only when n_oof + m = 0.
+    """
+    if smoothing < 0.0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    folds = kfold_split(df, key_col, k, seed)
+    y = F.col(label_col).cast("double")
+    cells = (folds.groupBy(F.col("fold"),
+                           F.col(category_col).alias("category"))
+             .agg(F.count(y).alias("n_fold"),
+                  F.sum(y.cast("decimal(18,6)")).alias("__s")))
+    w_cat = Window.partitionBy("category")
+    w_all = Window.partitionBy()
+    tot_n = F.sum("n_fold").over(w_cat)
+    tot_s = F.sum("__s").over(w_cat)
+    g_n = F.sum("n_fold").over(w_all)
+    g_s = F.sum("__s").over(w_all)
+    oof_n = (tot_n - F.col("n_fold")).cast("double")
+    oof_s = (tot_s - F.col("__s")).cast("double")
+    prior = g_s.cast("double") / g_n.cast("double")
+    m = F.lit(float(smoothing))
+    enc = F.when(oof_n + m > 0.0, (oof_s + m * prior) / (oof_n + m))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (cells.select("fold", "category", "n_fold",
+                         (tot_n - F.col("n_fold")).alias("n_oof"),
+                         r6(enc).alias("encoding"))
+            .orderBy("fold", "category"))
+
+
 def weighted_sample(df: DataFrame, rate: float, weight: Column | str,
                     key_col: str, seed: str = "s0") -> DataFrame:
     """Importance-weighted Bernoulli sampling: keep each row with

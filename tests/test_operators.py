@@ -4389,3 +4389,34 @@ def test_bucket_minhash_sample_deterministic_and_uniform_shape(spark):
     assert sorted(map(tuple, half)) == sorted(map(tuple, out))
     with pytest.raises(ValueError, match="k must"):
         bucket_minhash_sample(df, "id", 0)
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    """Encoding of (fold, cat) uses only other folds' labels: with a
+    category whose label differs by fold, each fold's encoding equals
+    the smoothed mean of the OTHER folds."""
+    import hashlib as _h
+
+    import pytest
+    from hazelcast_jet_spark.operators.sampling import (kfold_split,
+                                                        target_encode_oof)
+
+    rows = [(i, "c", float(i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    k, seed, m = 3, "t2", 10.0
+    out = {r["fold"]: r for r in target_encode_oof(
+        df, "cat", "y", "id", k=k, seed=seed, smoothing=m).collect()}
+    folds = {r["id"]: r["fold"] for r in
+             kfold_split(df, "id", k, seed).collect()}
+    g_sum = sum(y for _, _, y in rows)
+    g_n = len(rows)
+    prior = g_sum / g_n
+    for f in range(k):
+        oth = [(i, y) for i, _, y in rows if folds[i] != f]
+        n_oof, s_oof = len(oth), sum(y for _, y in oth)
+        want = (s_oof + m * prior) / (n_oof + m)
+        r = out[f]
+        assert r["n_oof"] == n_oof
+        assert abs(r["encoding"] - round(want, 6)) < 1e-6
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode_oof(df, "cat", "y", "id", smoothing=-1.0)

@@ -6566,6 +6566,20 @@ def hw_seasonal_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (text.textrank_keywords; Mihalcea & Tarau
+    2004): top 20 corpus keywords by PageRank over the word-adjacency
+    graph — the graph-centrality complement to q:rake_keyphrases_docs
+    and q:tfidf_top_terms, reusing graph.pagerank's DECIMAL-exact
+    fixed-iteration machinery over a vocabulary-bounded edge list.
+    The oracle unrolls the identical iterations."""
+    from hazelcast_jet_spark.operators.text import textrank_keywords
+
+    d = _t(spark, sf_dir, "documents")
+    return textrank_keywords(d, top_k=20, iters=PAGERANK_ITERS,
+                             damping=PAGERANK_DAMPING)
+
+
 TE_SEED, TE_FOLDS, TE_SMOOTH = "te1", 5, 20.0
 
 
@@ -6863,6 +6877,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "conformal_forecast_events",
     "shapley_attribution_events",
     "target_encode_orders",
+    "textrank_keywords_docs",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7237,6 +7252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_forecast_events": conformal_forecast_events,
         "shapley_attribution_events": shapley_attribution_events,
         "target_encode_orders": target_encode_orders,
+        "textrank_keywords_docs": textrank_keywords_docs,
     }
 
 
@@ -15799,6 +15815,38 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "textrank_keywords_docs": f"""
+            WITH toks AS (
+                SELECT string_split({_NORM}, ' ') AS sp FROM documents
+            ), pairs AS (
+                SELECT unnest(list_zip(sp[1:len(sp) - 1],
+                                       sp[2:len(sp)])) AS p
+                FROM toks
+            ), edges AS (
+                SELECT DISTINCT least(p[1], p[2]) AS src,
+                       greatest(p[1], p[2]) AS dst
+                FROM pairs
+                WHERE p[1] <> p[2] AND p[1] <> '' AND p[2] <> ''
+            ), dir AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM dir GROUP BY src
+            ), nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+            ), r0 AS (
+                SELECT node, deg,
+                       CAST('1.0' AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+                FROM deg, nn
+            ),
+            {_pagerank_iter_sql(1, 'r0')},
+            {_pagerank_iter_sql(2, 'r1')},
+            {_pagerank_iter_sql(3, 'r2')}
+            SELECT node AS word, round(rank, 9) AS pagerank
+            FROM r3
+            ORDER BY round(rank, 9) DESC, node LIMIT 20
         """,
         "target_encode_orders": f"""
             WITH fo AS (

@@ -1477,3 +1477,51 @@ def self_repetition(df: DataFrame, text_col: str = "text",
                           round_digits) + F.lit(0.0))
                  .alias("share_degenerate"))
             .orderBy("source"))
+
+
+def word_adjacency_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct undirected word-adjacency edges over the corpus — the
+    TextRank graph substrate (Mihalcea & Tarau 2004, window = 2):
+    normalized adjacent token pairs, canonicalized ``src < dst``,
+    self-loops dropped, deduped corpus-wide.  Pairs explode IN-TASK
+    from each document's token array (zip of the array with its own
+    shift — no join, no per-token shuffle); the only exchange is the
+    final distinct on the vocabulary-bounded edge list."""
+    toks = F.split(normalize_text(text_col), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1))
+    e = (docs.select(F.explode(pairs).alias("p"))
+         .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+         .filter((F.col("a") != F.col("b"))
+                 & (F.col("a") != "") & (F.col("b") != "")))
+    return (e.select(F.least("a", "b").alias("src"),
+                     F.greatest("a", "b").alias("dst"))
+            .distinct())
+
+
+def textrank_keywords(docs: DataFrame, text_col: str = "text",
+                      top_k: int = 20, iters: int = 3,
+                      damping: float = 0.85) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): the corpus
+    keywords are the highest-PageRank nodes of the word-adjacency graph
+    — the graph-centrality complement to :func:`rake_keyphrases`
+    (degree/frequency scores) and tf-idf (rarity scores): a word ranks
+    high when it co-occurs with other well-connected words, which
+    frequency alone cannot see.
+
+    Pure composition: :func:`word_adjacency_edges` feeds
+    :func:`~hazelcast_jet_spark.operators.graph.pagerank` (fixed
+    iterations, DECIMAL-exact contribution sums, deterministic
+    tie-break), so scale and determinism properties are inherited —
+    the graph is vocabulary-bounded however large the corpus.
+
+    Returns ``(word, pagerank)`` — the ``top_k`` highest ranks, word
+    tie-break.
+    """
+    from hazelcast_jet_spark.operators.graph import pagerank
+
+    pr = pagerank(word_adjacency_edges(docs, text_col),
+                  iters=iters, damping=damping)
+    return (pr.select(F.col("node").alias("word"), "pagerank")
+            .orderBy(F.desc("pagerank"), "word").limit(top_k))

@@ -4420,3 +4420,22 @@ def test_target_encode_oof_excludes_own_fold(spark):
         assert abs(r["encoding"] - round(want, 6)) < 1e-6
     with pytest.raises(ValueError, match="smoothing"):
         target_encode_oof(df, "cat", "y", "id", smoothing=-1.0)
+
+
+def test_textrank_hub_word_outranks_leaves(spark):
+    """A hub word adjacent to many distinct words outranks peripheral
+    words; edges are deduped, canonical and self-loop-free."""
+    from hazelcast_jet_spark.operators.text import (textrank_keywords,
+                                                    word_adjacency_edges)
+
+    docs = spark.createDataFrame(
+        [(1, "core alpha"), (2, "core beta"), (3, "core gamma"),
+         (4, "core delta"), (5, "alpha beta"), (6, "core core")],
+        "doc_id long, text string")
+    edges = {(r["src"], r["dst"])
+             for r in word_adjacency_edges(docs).collect()}
+    assert ("core", "core") not in edges
+    assert ("alpha", "core") in edges and ("alpha", "beta") in edges
+    top = textrank_keywords(docs, top_k=3).collect()
+    assert top[0]["word"] == "core"
+    assert top[0]["pagerank"] > top[1]["pagerank"]

@@ -1420,12 +1420,17 @@ def conformal_snaive_interval(df: DataFrame, key_col: str, time_col: str,
                          "arithmetic stays integer-exact")
     w = Window.partitionBy(key_col).orderBy(time_col)
     x = F.col(value_col).cast("double")
+    # the scored residual table is calendar-bounded (df is a per-key
+    # rollup by contract) and feeds THREE branches (q-hat pick, test
+    # count, coverage join) — checkpoint it so the source is scanned
+    # once, not once per branch
     scored = (df
               .withColumn("__resid", F.abs(x - F.lag(x, seasonal_lag).over(w)))
               .filter(F.col("__resid").isNotNull())
               .withColumn("__idx", F.row_number().over(w))
               .withColumn("__n", F.count(F.lit(1)).over(
-                  Window.partitionBy(key_col))))
+                  Window.partitionBy(key_col)))
+              .localCheckpoint(eager=True))
     # ceil(n * num / den) via integer arithmetic — engine-exact
     n_cal = F.floor((F.col("__n") * calib_num + calib_den - 1)
                     / F.lit(calib_den)).cast("bigint")

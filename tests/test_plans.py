@@ -1081,3 +1081,72 @@ def test_tail_risk_single_scan_no_join(spark, sf_dir):
     plan = _plan(entry_mod.tail_risk_events(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r10 operator plan pins
+# ---------------------------------------------------------------------------
+
+def test_pq_staleness_single_scan(spark, sf_dir):
+    """pq staleness gate: one embeddings scan feeds the exploded
+    per-subspace aggregate; no joins, no second scan."""
+    plan = _plan(entry_mod.pq_staleness_emb(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_msprt_checkpointed_panel(spark, sf_dir):
+    """mSPRT shares peeking_trace's checkpointed calendar-bounded
+    counter panel: the returned plan reads the checkpoint, never the
+    event log."""
+    plan = _plan(entry_mod.msprt_events(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_qini_single_scan_one_window_pass(spark, sf_dir):
+    """qini gate: one orders scan, the ntile + cumulative windows, no
+    joins (the bin table is derived in-plan)."""
+    plan = _plan(entry_mod.qini_uplift_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_granger_checkpointed_grid(spark, sf_dir):
+    """granger gate: the bucket rollup is checkpointed; the returned
+    plan works the bounded grid only."""
+    plan = _plan(entry_mod.granger_events(spark, sf_dir))
+    assert "Scan parquet" not in plan
+
+
+def test_shapley_broadcast_v_table(spark, sf_dir):
+    """shapley gate: the tiny v(S) table broadcasts into the literal
+    pair join — no sort-merge join anywhere in the phi branch."""
+    plan = _plan(entry_mod.shapley_attribution_events(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encode_single_scan(spark, sf_dir):
+    """target-encoding gate: one orders scan into the (fold, category)
+    aggregate; window totals run on that bounded grid."""
+    plan = _plan(entry_mod.target_encode_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_conformal_checkpointed_residuals(spark, sf_dir):
+    """conformal gate: the calendar-bounded residual table is
+    checkpointed (it feeds the q-hat pick, the test count and the
+    coverage join), so the returned plan never re-scans the source."""
+    plan = _plan(entry_mod.conformal_forecast_events(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_unpivot_single_scan_no_shuffle_after_agg(spark, sf_dir):
+    """unpivot gate: melt is map-side on the aggregated table — exactly
+    the aggregate's exchange, nothing added by the reshape."""
+    plan = _plan(entry_mod.unpivot_nation_metrics(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan or "Generate" in plan or "Unpivot" in plan

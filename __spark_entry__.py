@@ -6580,6 +6580,31 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              damping=PAGERANK_DAMPING)
 
 
+AIPW_SEED = "aipw1"
+
+
+def aipw_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust ATE (experiment.aipw_ate; Robins et al. 1994) of
+    the md5 experiment on per-customer mean order value, with market
+    segment as the outcome-model stratum — the variance-reduced causal
+    readout completing the estimator family (q:cuped_experiment_orders
+    covariate adjustment, q:did_orders quasi-experimental, this the
+    influence-function form with known propensity 0.5).  One per-
+    customer rollup, one broadcast (stratum × arm) model join, one ψ
+    fold with round-9 terms in DECIMAL(38,9)."""
+    from hazelcast_jet_spark.operators.experiment import ab_assign, aipw_ate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    units = (o.groupBy("o_custkey")
+             .agg((dsum("o_totalprice")
+                   / F.count(F.lit(1)).cast("double")).alias("y"))
+             .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_mktsegment"), "o_custkey")
+             .withColumn("arm", ab_assign(F.col("o_custkey"), AIPW_SEED)))
+    return aipw_ate(units, "arm", "y", "c_mktsegment")
+
+
 TE_SEED, TE_FOLDS, TE_SMOOTH = "te1", 5, 20.0
 
 
@@ -6878,6 +6903,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "shapley_attribution_events",
     "target_encode_orders",
     "textrank_keywords_docs",
+    "aipw_ate_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7253,6 +7279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_attribution_events": shapley_attribution_events,
         "target_encode_orders": target_encode_orders,
         "textrank_keywords_docs": textrank_keywords_docs,
+        "aipw_ate_orders": aipw_ate_orders,
     }
 
 
@@ -15814,6 +15841,78 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 1.0)
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
+            FROM agg
+        """,
+        "aipw_ate_orders": f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       {_dsum('o_totalprice')}
+                           / CAST(count(*) AS DOUBLE) AS y
+                FROM orders GROUP BY 1
+            ), b AS (
+                SELECT c_mktsegment AS x, u.y,
+                       CASE WHEN substr(md5('{AIPW_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 0.0 ELSE 1.0 END AS t
+                FROM u JOIN customer ON o_custkey = c_custkey
+            ), model AS (
+                SELECT x,
+                       SUM(CASE WHEN t = 1.0 THEN 1 ELSE 0 END) AS nt,
+                       SUM(CASE WHEN t = 0.0 THEN 1 ELSE 0 END) AS nc,
+                       CAST(SUM(CASE WHEN t = 1.0
+                                THEN CAST(y AS DECIMAL(38,12)) END)
+                            AS DOUBLE) AS st,
+                       CAST(SUM(CASE WHEN t = 0.0
+                                THEN CAST(y AS DECIMAL(38,12)) END)
+                            AS DOUBLE) AS sc
+                FROM b GROUP BY 1
+            ), mm AS (
+                SELECT x,
+                       CASE WHEN nt > 0 THEN st / CAST(nt AS DOUBLE) END
+                           AS m1,
+                       CASE WHEN nc > 0 THEN sc / CAST(nc AS DOUBLE) END
+                           AS m0
+                FROM model
+            ), j AS (
+                SELECT b.y, b.t, m.m1, m.m0,
+                       (m.m1 IS NOT NULL AND m.m0 IS NOT NULL) AS ok,
+                       m.m1 - m.m0 + b.t * (b.y - m.m1) / 0.5
+                       - (1.0 - b.t) * (b.y - m.m0) / (1.0 - 0.5) AS psi
+                FROM b JOIN mm m USING (x)
+            ), agg AS (
+                SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nd,
+                       CAST(SUM(CASE WHEN ok
+                                THEN CAST(round(psi, 9)
+                                          AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS sp,
+                       CAST(SUM(CASE WHEN ok
+                                THEN CAST(round(psi * psi, 9)
+                                          AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS spp,
+                       SUM(CASE WHEN ok AND t = 1.0 THEN 1 ELSE 0 END)
+                           AS jnt,
+                       SUM(CASE WHEN ok AND t = 0.0 THEN 1 ELSE 0 END)
+                           AS jnc,
+                       CAST(SUM(CASE WHEN ok AND t = 1.0
+                                THEN CAST(y AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS syt,
+                       CAST(SUM(CASE WHEN ok AND t = 0.0
+                                THEN CAST(y AS DECIMAL(38,9)) END)
+                            AS DOUBLE) AS syc
+                FROM j
+            )
+            SELECT n AS n_units, nd AS n_dropped,
+                   round(sp / n, 6) + 0.0 AS ate_aipw,
+                   round(CASE WHEN n > 1
+                              AND (spp - sp * sp / n) / (n - 1) > 0.0
+                         THEN sqrt(((spp - sp * sp / n) / (n - 1)) / n)
+                         ELSE 0.0 END, 6) + 0.0 AS se_aipw,
+                   round(syt / jnt - syc / jnc, 6) + 0.0
+                       AS ate_diff_means
             FROM agg
         """,
         "textrank_keywords_docs": f"""

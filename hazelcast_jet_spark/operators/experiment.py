@@ -759,6 +759,105 @@ def quantile_treatment_effects(units: DataFrame, arm_col: str, y_col: str,
             .orderBy("q"))
 
 
+def aipw_ate(units: DataFrame, arm_col: str, y_col: str,
+             stratum_col: str, arms: tuple = ("A", "B"),
+             propensity: float = 0.5,
+             round_digits: int = 6) -> DataFrame:
+    """Doubly-robust average treatment effect — AIPW (Robins, Rotnitzky
+    & Zhao 1994; the augmented inverse-propensity estimator): with
+    treatment T (``arms[1]``), known propensity e, and a per-stratum
+    outcome model m_a(x) (the stratum's arm mean),
+
+        ψ = m₁(x) − m₀(x) + T·(y − m₁(x))/e − (1−T)·(y − m₀(x))/(1−e)
+        ATE = mean(ψ),  se = √(var(ψ)/n)
+
+    — consistent if EITHER the propensity OR the outcome model is
+    right; under md5 randomization e is exactly known (0.5), so the
+    stratum model only buys VARIANCE reduction (the same reason CUPED
+    works), and se shrinks when strata predict the outcome.  The
+    difference-in-means readout is emitted alongside so the reduction
+    is visible.  The outcome model is fit on the full sample (no
+    cross-fitting): with a fixed known propensity the plug-in remains
+    consistent — the honest caveat for ESTIMATED propensities is that
+    production use should cross-fit (Chernozhukov et al. 2018),
+    documented here rather than silently assumed.
+
+    Plan: ONE aggregate builds the (stratum × arm) model table
+    (DECIMAL-exact sums, broadcast back — a |strata|-row dim join),
+    then one aggregate folds ψ with round-9 terms in DECIMAL(38,9).
+    Strata with a missing arm contribute NULL model means and are
+    EXCLUDED from ψ (reported in ``n_dropped``) — the positivity
+    violation surfaced, not imputed.
+
+    Returns ONE row ``(n_units, n_dropped, ate_aipw, se_aipw,
+    ate_diff_means)``.
+    """
+    if not 0.0 < propensity < 1.0:
+        raise ValueError(f"propensity must be in (0,1), got {propensity}")
+    control, treated = arms
+    y = F.col(y_col).cast("double")
+    t = (F.col(arm_col) == treated).cast("double")
+    base = (units.filter(F.col(arm_col).isin(list(arms)) & y.isNotNull())
+            .select(F.col(stratum_col).alias("__x"), y.alias("__y"),
+                    t.alias("__t")))
+    d12 = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    model = (base.groupBy("__x")
+             .agg(F.sum(F.when(F.col("__t") == 1.0, 1).otherwise(0))
+                  .alias("__nt"),
+                  F.sum(F.when(F.col("__t") == 0.0, 1).otherwise(0))
+                  .alias("__nc"),
+                  d12(F.when(F.col("__t") == 1.0, F.col("__y")))
+                  .alias("__st"),
+                  d12(F.when(F.col("__t") == 0.0, F.col("__y")))
+                  .alias("__sc")))
+    m1 = F.when(F.col("__nt") > 0,
+                F.col("__st") / F.col("__nt").cast("double"))
+    m0 = F.when(F.col("__nc") > 0,
+                F.col("__sc") / F.col("__nc").cast("double"))
+    model = model.select("__x", m1.alias("__m1"), m0.alias("__m0"))
+    e = F.lit(float(propensity))
+    j = base.join(F.broadcast(model), "__x")
+    psi = (F.col("__m1") - F.col("__m0")
+           + F.col("__t") * (F.col("__y") - F.col("__m1")) / e
+           - (F.lit(1.0) - F.col("__t"))
+           * (F.col("__y") - F.col("__m0")) / (F.lit(1.0) - e))
+    ok = F.col("__m1").isNotNull() & F.col("__m0").isNotNull()
+    d9 = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    agg = j.agg(
+        F.sum(ok.cast("bigint")).alias("n_units"),
+        F.sum((~ok).cast("bigint")).alias("n_dropped"),
+        d9(F.when(ok, F.round(psi, 9))).alias("__sp"),
+        d9(F.when(ok, F.round(psi * psi, 9))).alias("__spp"),
+        F.sum(F.when(ok & (F.col("__t") == 1.0), 1).otherwise(0))
+        .alias("__nt"),
+        F.sum(F.when(ok & (F.col("__t") == 0.0), 1).otherwise(0))
+        .alias("__nc"),
+        d9(F.when(ok & (F.col("__t") == 1.0), F.col("__y"))).alias("__syt"),
+        d9(F.when(ok & (F.col("__t") == 0.0), F.col("__y"))).alias("__syc"))
+    row = agg.limit(1).collect()[0]
+    n, nd = row["n_units"], row["n_dropped"]
+    if not n:
+        raise ValueError("aipw_ate: no usable units (empty input or every "
+                         "stratum missing an arm)")
+    ate = row["__sp"] / n
+    var = (row["__spp"] - row["__sp"] * row["__sp"] / n) / (n - 1) \
+        if n > 1 else 0.0
+    se = math.sqrt(var / n) if var > 0.0 else 0.0
+    dm = ((row["__syt"] / row["__nt"] if row["__nt"] else None),
+          (row["__syc"] / row["__nc"] if row["__nc"] else None))
+    diff = (dm[0] - dm[1]
+            if dm[0] is not None and dm[1] is not None else None)
+    local = units.sparkSession.createDataFrame(
+        [(n, nd)], "n_units bigint, n_dropped bigint")
+    rl = lambda v: (F.round(F.lit(v), round_digits)  # noqa: E731
+                    + F.lit(0.0))
+    return local.select(
+        "n_units", "n_dropped", rl(ate).alias("ate_aipw"),
+        rl(se).alias("se_aipw"),
+        (rl(diff) if diff is not None
+         else F.lit(None).cast("double")).alias("ate_diff_means"))
+
+
 def shapley_attribution(events: DataFrame, user_col: str, time_col: str,
                         type_col: str, conversion_type: str,
                         channels: list[str] | None = None,

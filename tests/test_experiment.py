@@ -1765,3 +1765,65 @@ def test_shapley_attribution_touches_after_conversion_ignored(spark):
     assert out["A"]["touched_users"] == 1
     with pytest.raises(ValueError, match="channels"):
         shapley_attribution(df, "u", "t", "c", "buy", channels=[])
+
+
+def test_aipw_matches_numpy_and_reduces_variance(spark):
+    """AIPW equals the numpy influence-function computation; with
+    strata that predict the outcome, se_aipw < the naive diff-in-means
+    se while the point estimates agree in expectation."""
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.experiment import aipw_ate
+
+    rows = []
+    rng_t = lambda i: "B" if (i // 4) % 2 == 0 else "A"
+    for i in range(400):
+        s = f"s{i % 4}"
+        base = (i % 4) * 10.0
+        eff = 3.0
+        t = rng_t(i)
+        y = base + (eff if t == "B" else 0.0) + ((i * 13) % 5 - 2.0) * 0.1
+        rows.append((t, s, y))
+    df = spark.createDataFrame(rows, "arm string, stratum string, y double")
+    out = aipw_ate(df, "arm", "y", "stratum").collect()[0]
+
+    a = np.array([(1.0 if t == "B" else 0.0, int(s[1]), y)
+                  for t, s, y in rows])
+    T, S, Y = a[:, 0], a[:, 1].astype(int), a[:, 2]
+    m1 = {s: Y[(S == s) & (T == 1)].mean() for s in range(4)}
+    m0 = {s: Y[(S == s) & (T == 0)].mean() for s in range(4)}
+    e = 0.5
+    psi = np.array([m1[s] - m0[s] + tt * (yy - m1[s]) / e
+                    - (1 - tt) * (yy - m0[s]) / (1 - e)
+                    for tt, s, yy in zip(T, S, Y)])
+    psi = np.round(psi, 9)
+    ate = psi.mean()
+    se = np.sqrt(psi.var(ddof=1) / len(psi))
+    assert out["n_units"] == 400 and out["n_dropped"] == 0
+    assert abs(out["ate_aipw"] - round(float(ate), 6)) < 1e-6
+    assert abs(out["ate_aipw"] - 3.0) < 0.2
+    assert abs(out["se_aipw"] - round(float(se), 6)) < 1e-6
+    assert abs(out["ate_diff_means"] - round(float(Y[T == 1].mean()
+                                                   - Y[T == 0].mean()),
+                                             6)) < 1e-6
+    # strata soak up the base-rate variance: the naive diff-means se
+    # (pooled) is much larger than the AIPW se
+    naive_se = np.sqrt(Y[T == 1].var(ddof=1) / (T == 1).sum()
+                       + Y[T == 0].var(ddof=1) / (T == 0).sum())
+    assert out["se_aipw"] < 0.5 * naive_se
+
+
+def test_aipw_drops_one_armed_strata(spark):
+    import pytest
+
+    from hazelcast_jet_spark.operators.experiment import aipw_ate
+
+    rows = ([("B", "both", 2.0), ("A", "both", 1.0)] * 3
+            + [("B", "only_t", 9.0)] * 2)
+    df = spark.createDataFrame(rows, "arm string, stratum string, y double")
+    out = aipw_ate(df, "arm", "y", "stratum").collect()[0]
+    assert out["n_units"] == 6 and out["n_dropped"] == 2
+    assert abs(out["ate_aipw"] - 1.0) < 1e-9
+    empty = spark.createDataFrame([], "arm string, stratum string, y double")
+    with pytest.raises(ValueError, match="no usable units"):
+        aipw_ate(empty, "arm", "y", "stratum")

@@ -992,7 +992,9 @@ def qini_curve(units: DataFrame, arm_col: str, score_col: str,
     Determinism contract: bins are ``ntile`` over (score DESC, id ASC)
     — the id tiebreak makes the cut engine-exact, so the score itself
     must be engine-stable (exact counts/decimal-derived doubles, not
-    model floats refit per run).  One window pass over the unit table,
+    model floats refit per run) and NON-NULL (engines disagree on NULL
+    placement under DESC: Spark last, DuckDB first — score NULLs on a
+    cross-engine workload must be filtered or coalesced by the caller).  One window pass over the unit table,
     one n_bins-row aggregate, cumulative windows on the bin table.
     Bins where an arm is empty yield NULL readouts rather than IEEE
     infinities.
@@ -1134,6 +1136,13 @@ def msprt_trace(events: DataFrame, user_col: str, time_col: str,
     rejected)`` ordered by day — ``rejected`` latches once p crosses α.
     """
     from pyspark.sql import Window
+
+    if tau <= 0.0:
+        raise ValueError(f"tau must be > 0, got {tau} (tau=0 makes the "
+                         f"mixture degenerate: Lambda == 1 and p == 1 "
+                         f"forever)")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
 
     cum = _cumulative_arm_counts(events, user_col, time_col, type_col,
                                  conversion_type, seed)

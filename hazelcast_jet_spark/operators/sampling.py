@@ -102,10 +102,14 @@ def bucket_minhash_sample(df: DataFrame, key_col: str, k: int,
     Returns ``(bucket, n_rows, sample_key)`` ordered by bucket —
     ``n_rows`` the bucket's row count (the k counts also give an
     unbiased total estimate); join champions back to the table for
-    payloads (a k-row lookup, never a scan).
+    payloads (a k-row lookup, never a scan).  NULL keys are dropped
+    (md5 of NULL is NULL — they can neither bucket nor win; the
+    split_by_key NULL-policy, applied eagerly here because a NULL
+    champion row would masquerade as a real sample).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    df = df.filter(F.col(key_col).isNotNull())
     key = F.col(key_col)
     h = F.md5(F.concat(F.lit(seed), key.cast("string")))
     bucket = F.pmod(

@@ -1499,7 +1499,9 @@ def logrank_test(df: DataFrame, duration_col: str, observed_col: str,
 
     Returns ONE row ``(group_a, group_b, n_a, n_b, events_a, events_b,
     observed_a, expected_a, z, chi2)`` — ``z`` NULL when ΣV = 0 (no
-    comparable event times).
+    comparable event times).  Durations must be non-NULL (a NULL
+    duration has no place on the event-time axis; the non-equi at-risk
+    join silently drops such subjects, so validate upstream).
     """
     g = F.col(group_col).cast("string")
     per = (df.groupBy(g.alias("__g"),
@@ -2202,6 +2204,9 @@ def granger_screen(df: DataFrame, time_col: str, flag_x: Column,
     Returns ``(direction, n, f_stat, r2_restricted, r2_unrestricted)``
     with direction ∈ ('x_leads_y', 'y_leads_x'), ordered by direction.
     """
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, "
+                         f"got {bucket_seconds}")
     hr = F.floor(_epoch_seconds(df, time_col)
                  / F.lit(float(bucket_seconds)))
     per = (df.select(hr.alias("__h"),

@@ -1827,3 +1827,14 @@ def test_aipw_drops_one_armed_strata(spark):
     empty = spark.createDataFrame([], "arm string, stratum string, y double")
     with pytest.raises(ValueError, match="no usable units"):
         aipw_ate(empty, "arm", "y", "stratum")
+
+
+def test_msprt_trace_rejects_bad_params(spark):
+    from hazelcast_jet_spark.operators.experiment import msprt_trace
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp_ntz, "
+                                   "event_type string")
+    with pytest.raises(ValueError, match="tau"):
+        msprt_trace(df, "user_id", "ts", "event_type", "x", tau=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        msprt_trace(df, "user_id", "ts", "event_type", "x", alpha=1.0)

@@ -4439,3 +4439,12 @@ def test_textrank_hub_word_outranks_leaves(spark):
     top = textrank_keywords(docs, top_k=3).collect()
     assert top[0]["word"] == "core"
     assert top[0]["pagerank"] > top[1]["pagerank"]
+
+
+def test_bucket_minhash_sample_drops_null_keys(spark):
+    from hazelcast_jet_spark.operators.sampling import bucket_minhash_sample
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "id long")
+    out = bucket_minhash_sample(df, "id", 2, "n1").collect()
+    assert sum(r["n_rows"] for r in out) == 2
+    assert all(r["sample_key"] is not None for r in out)

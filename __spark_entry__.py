@@ -6580,6 +6580,35 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              damping=PAGERANK_DAMPING)
 
 
+def mutual_info_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (profile.mutual_information) between market
+    segment and nation — the feature-redundancy screen comparable
+    across cardinalities (q:categorical_assoc_docs' Cramér's V is
+    contingency-shaped; NMI detects any dependence and lands in
+    [0,1]).  One K·L cell aggregate, window marginals on the bounded
+    grid, round-12 entropy terms in DECIMAL(38,12)."""
+    from hazelcast_jet_spark.operators.profile import mutual_information
+
+    c = _t(spark, sf_dir, "customer")
+    return mutual_information(c, "c_mktsegment", "c_nationkey")
+
+
+def source_ablation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation (profile.group_ablation): the
+    corpus mean length and token count WITHOUT each source, and the
+    delta — the data-mixture ablation a training-data pipeline runs
+    per slice ("does dropping this source raise average quality?"),
+    costing ONE scan for the whole sweep instead of a re-aggregation
+    per source.  Exact DECIMAL arithmetic on one aggregate's sums."""
+    from hazelcast_jet_spark.operators.profile import group_ablation
+    from hazelcast_jet_spark.operators.text import normalize_text
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("n_tokens",
+                     F.size(F.split(normalize_text("text"), " "))))
+    return group_ablation(d, "source", ["n_chars", "n_tokens"])
+
+
 AIPW_SEED = "aipw1"
 
 
@@ -6904,6 +6933,8 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "target_encode_orders",
     "textrank_keywords_docs",
     "aipw_ate_orders",
+    "mutual_info_customer",
+    "source_ablation_docs",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7280,6 +7311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_orders": target_encode_orders,
         "textrank_keywords_docs": textrank_keywords_docs,
         "aipw_ate_orders": aipw_ate_orders,
+        "mutual_info_customer": mutual_info_customer,
+        "source_ablation_docs": source_ablation_docs,
     }
 
 
@@ -15842,6 +15875,93 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(n_both AS DOUBLE) + 2.0))), 6)
                        + 0.0 AS se
             FROM agg
+        """,
+        "mutual_info_customer": """
+            WITH cells AS (
+                SELECT c_mktsegment AS a, c_nationkey AS b,
+                       count(*) AS c
+                FROM customer GROUP BY 1, 2
+            ), w AS (
+                SELECT a, b, c,
+                       SUM(c) OVER () AS n,
+                       SUM(c) OVER (PARTITION BY a) AS na,
+                       SUM(c) OVER (PARTITION BY b) AS nb,
+                       row_number() OVER (PARTITION BY a ORDER BY b)
+                           AS ra,
+                       row_number() OVER (PARTITION BY b ORDER BY a)
+                           AS rb
+                FROM cells
+            ), t AS (
+                SELECT a, b, n,
+                       round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                                  / (CAST(na AS DOUBLE)
+                                     * CAST(nb AS DOUBLE))), 12) AS mt,
+                       CASE WHEN ra = 1 THEN
+                            round(-(CAST(na AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(na AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 12) END
+                           AS hat,
+                       CASE WHEN rb = 1 THEN
+                            round(-(CAST(nb AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                  * ln(CAST(nb AS DOUBLE)
+                                       / CAST(n AS DOUBLE)), 12) END
+                           AS hbt
+                FROM w
+            ), agg AS (
+                SELECT CAST(max(n) AS BIGINT) AS n,
+                       count(DISTINCT a) AS k_a,
+                       count(DISTINCT b) AS k_b,
+                       CAST(SUM(CAST(mt AS DECIMAL(38,12))) AS DOUBLE)
+                           AS mi,
+                       CAST(SUM(CAST(hat AS DECIMAL(38,12))) AS DOUBLE)
+                           AS ha,
+                       CAST(SUM(CAST(hbt AS DECIMAL(38,12))) AS DOUBLE)
+                           AS hb
+                FROM t
+            )
+            SELECT n, k_a, k_b,
+                   round(mi, 6) + 0.0 AS mi,
+                   round(ha, 6) + 0.0 AS h_a,
+                   round(hb, 6) + 0.0 AS h_b,
+                   round(CASE WHEN ha > 0.0 AND hb > 0.0
+                         THEN mi / sqrt(ha * hb) END, 6) + 0.0 AS nmi
+            FROM agg
+        """,
+        "source_ablation_docs": f"""
+            WITH m AS (
+                SELECT source AS g, 'n_chars' AS metric,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents
+                UNION ALL
+                SELECT source, 'n_tokens',
+                       CAST(len(string_split({_NORM}, ' ')) AS DOUBLE)
+                FROM documents
+            ), per AS (
+                SELECT g, metric, count(v) AS n_group,
+                       SUM(CAST(v AS DECIMAL(38,12))) AS s
+                FROM m GROUP BY 1, 2
+            ), w AS (
+                SELECT g, metric, n_group, s,
+                       SUM(n_group) OVER (PARTITION BY metric) AS tn,
+                       SUM(s) OVER (PARTITION BY metric) AS ts
+                FROM per
+            )
+            SELECT g AS "group", metric, n_group,
+                   round(ts / CAST(tn AS DOUBLE), 6) + 0.0
+                       AS mean_overall,
+                   CASE WHEN CAST(tn - n_group AS DOUBLE) > 0.0
+                        THEN round((ts - s)
+                                   / CAST(tn - n_group AS DOUBLE), 6)
+                             + 0.0 END AS mean_without,
+                   CASE WHEN CAST(tn - n_group AS DOUBLE) > 0.0
+                        THEN round((ts - s)
+                                   / CAST(tn - n_group AS DOUBLE)
+                                   - ts / CAST(tn AS DOUBLE), 6) + 0.0
+                        END AS delta
+            FROM w ORDER BY "group", metric
         """,
         "aipw_ate_orders": f"""
             WITH u AS (

@@ -1491,6 +1491,131 @@ def corpus_card_fold(counters: DataFrame,
         .orderBy("source"))
 
 
+def mutual_information(df: DataFrame, col_a: str, col_b: str,
+                       round_digits: int = 6) -> DataFrame:
+    """Mutual information between two categorical columns (nats), with
+    marginal entropies and the normalized MI
+
+        MI  = Σ_{a,b} p(a,b) · ln( p(a,b) / (p(a) p(b)) )
+        NMI = MI / √(H(a) · H(b))
+
+    — the feature-redundancy / association screen that, unlike
+    Cramér's V (:func:`categorical association <cohen_kappa>`-family),
+    is comparable across cardinalities and detects ANY dependence, not
+    just linear-contingency structure.  NMI ∈ [0, 1]: 0 independent,
+    1 a bijection.
+
+    ONE aggregate to the K·L joint-cell table (the only full-data
+    shuffle); marginals and totals are window sums on that bounded
+    grid; each term is a fixed-order double ``(c/n)·ln((c·n)/(n_a·n_b))``
+    rounded to 12 and accumulated in DECIMAL(38,12) (order-free exact —
+    the char_entropy convention).  NULL categories count as their own
+    level (they carry real association mass); NMI is NULL when either
+    marginal entropy is 0 (a constant column carries no information to
+    normalize by).
+
+    Returns ONE row ``(n, k_a, k_b, mi, h_a, h_b, nmi)``.
+    """
+    from pyspark.sql import Window
+
+    cells = (df.groupBy(F.col(col_a).alias("__a"),
+                        F.col(col_b).alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("__a")
+    w_b = Window.partitionBy("__b")
+    n = F.sum("__c").over(w_all).cast("double")
+    na = F.sum("__c").over(w_a).cast("double")
+    nb = F.sum("__c").over(w_b).cast("double")
+    c = F.col("__c").cast("double")
+    mi_term = F.round((c / n) * F.log((c * n) / (na * nb)), 12)
+    d12 = lambda x: F.sum(x.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    base = cells.select("__a", "__b", "__c", mi_term.alias("__t"),
+                        na.alias("__na"), nb.alias("__nb"), n.alias("__n"))
+    # marginal entropy terms fold once per marginal level: only the
+    # lexicographically-first cell of each level carries them
+    w_fa = Window.partitionBy("__a").orderBy("__b")
+    w_fb = Window.partitionBy("__b").orderBy("__a")
+    base = (base
+            .withColumn("__ra", F.row_number().over(w_fa))
+            .withColumn("__rb", F.row_number().over(w_fb)))
+    ha_term = F.when(
+        F.col("__ra") == 1,
+        F.round(-(F.col("__na") / F.col("__n"))
+                * F.log(F.col("__na") / F.col("__n")), 12))
+    hb_term = F.when(
+        F.col("__rb") == 1,
+        F.round(-(F.col("__nb") / F.col("__n"))
+                * F.log(F.col("__nb") / F.col("__n")), 12))
+    agg = base.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.count_distinct("__a").alias("k_a"),
+        F.count_distinct("__b").alias("k_b"),
+        d12(F.col("__t")).alias("__mi"),
+        d12(ha_term).alias("__ha"),
+        d12(hb_term).alias("__hb"))
+    mi, ha, hb = F.col("__mi"), F.col("__ha"), F.col("__hb")
+    nmi = F.when((ha > 0.0) & (hb > 0.0), mi / F.sqrt(ha * hb))
+    r6 = lambda x: F.round(x, round_digits) + F.lit(0.0)  # noqa: E731
+    return agg.select("n", "k_a", "k_b", r6(mi).alias("mi"),
+                      r6(ha).alias("h_a"), r6(hb).alias("h_b"),
+                      r6(nmi).alias("nmi"))
+
+
+def group_ablation(df: DataFrame, group_col: str, metric_cols: list[str],
+                   round_digits: int = 6) -> DataFrame:
+    """Leave-one-group-out ablation table for additive metrics — the
+    data-mixture question a training-data pipeline asks per source:
+    "what does the corpus average look like WITHOUT this slice?".  For
+    each group g and metric m,
+
+        mean_without(g, m) = (Σm − Σ_g m) / (N − n_g)
+        delta(g, m)        = mean_without − mean_overall
+
+    — exact arithmetic on one aggregate's DECIMAL sums, so the whole
+    ablation sweep costs ONE scan however many groups there are (a
+    naive loop re-aggregates the corpus per group).  A positive delta
+    means removing the group RAISES the average — the group drags it
+    down.
+
+    Additive metrics only (means of row-level values); ratio-of-sums
+    metrics need their numerator and denominator ablated separately
+    (pass both as metrics and divide downstream).  NULL metric values
+    are excluded per-metric (count tracked per metric, not per row).
+
+    Returns one row per (group, metric): ``(group, metric, n_group,
+    mean_overall, mean_without, delta)`` ordered by (group, metric);
+    ``mean_without`` NULL for a group that IS the whole corpus.
+    """
+    from pyspark.sql import Window
+
+    if not metric_cols:
+        raise ValueError("group_ablation needs >= 1 metric column")
+    melted = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("metric"),
+                     F.col(m).cast("double").alias("__v"))
+            for m in metric_cols])).alias("m")
+    ).select("__g", "m.metric", "m.__v")
+    d12 = lambda x: F.sum(x.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    per = (melted.groupBy("__g", "metric")
+           .agg(F.count("__v").alias("n_group"),
+                d12(F.col("__v")).alias("__s")))
+    w_m = Window.partitionBy("metric")
+    tot_n = F.sum("n_group").over(w_m)
+    tot_s = F.sum("__s").over(w_m)
+    mean_all = tot_s / tot_n.cast("double")
+    rest_n = (tot_n - F.col("n_group")).cast("double")
+    mean_wo = F.when(rest_n > 0.0, (tot_s - F.col("__s")) / rest_n)
+    r6 = lambda x: F.round(x, round_digits) + F.lit(0.0)  # noqa: E731
+    return (per.select(F.col("__g").alias("group"), "metric", "n_group",
+                       r6(mean_all).alias("mean_overall"),
+                       r6(mean_wo).alias("mean_without"),
+                       r6(mean_wo - mean_all).alias("delta"))
+            .orderBy("group", "metric"))
+
+
 def cohen_kappa(df: DataFrame, col_a: str, col_b: str,
                 round_digits: int = 6) -> DataFrame:
     """Cohen's kappa (Cohen 1960): chance-corrected agreement between two

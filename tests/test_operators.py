@@ -4448,3 +4448,71 @@ def test_bucket_minhash_sample_drops_null_keys(spark):
     out = bucket_minhash_sample(df, "id", 2, "n1").collect()
     assert sum(r["n_rows"] for r in out) == 2
     assert all(r["sample_key"] is not None for r in out)
+
+
+def test_mutual_information_matches_numpy(spark):
+    """MI/H/NMI equal the numpy contingency computation; identical
+    columns give MI = H and NMI = 1; independent columns give MI ~ 0."""
+    import math as m
+
+    import numpy as np
+
+    from hazelcast_jet_spark.operators.profile import mutual_information
+
+    rows = [(f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(120)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = mutual_information(df, "x", "y").collect()[0]
+    # perfectly balanced independent design -> MI exactly 0
+    assert out["mi"] == 0.0 and out["nmi"] == 0.0
+    assert (out["k_a"], out["k_b"], out["n"]) == (3, 4, 120)
+    assert abs(out["h_a"] - round(m.log(3), 6)) < 1e-6
+    assert abs(out["h_b"] - round(m.log(4), 6)) < 1e-6
+
+    dep = [(f"a{i % 3}", f"b{i % 3}") for i in range(90)]
+    d2 = spark.createDataFrame(dep, "x string, y string")
+    o2 = mutual_information(d2, "x", "y").collect()[0]
+    assert abs(o2["mi"] - round(m.log(3), 6)) < 1e-6
+    assert abs(o2["nmi"] - 1.0) < 1e-6
+
+    # skewed joint: numpy replica
+    sk = [("p", "q")] * 30 + [("p", "r")] * 10 + [("s", "q")] * 5 \
+        + [("s", "r")] * 55
+    d3 = spark.createDataFrame(sk, "x string, y string")
+    o3 = mutual_information(d3, "x", "y").collect()[0]
+    c = np.array([[30, 10], [5, 55]], dtype=float)
+    n = c.sum()
+    pa, pb = c.sum(1) / n, c.sum(0) / n
+    mi = sum(round((c[i, j] / n) * m.log((c[i, j] * n)
+                                         / (c.sum(1)[i] * c.sum(0)[j])), 12)
+             for i in range(2) for j in range(2))
+    ha = sum(round(-p * m.log(p), 12) for p in pa)
+    hb = sum(round(-p * m.log(p), 12) for p in pb)
+    assert abs(o3["mi"] - round(mi, 6)) < 1e-9
+    assert abs(o3["nmi"] - round(mi / m.sqrt(ha * hb), 6)) < 1e-6
+
+
+def test_group_ablation_leave_one_out_exact(spark):
+    import pytest
+
+    from hazelcast_jet_spark.operators.profile import group_ablation
+
+    rows = [("a", 1.0, 10.0), ("a", 3.0, 10.0),
+            ("b", 5.0, 40.0), ("b", None, 20.0)]
+    df = spark.createDataFrame(rows, "g string, m1 double, m2 double")
+    out = {(r["group"], r["metric"]): r
+           for r in group_ablation(df, "g", ["m1", "m2"]).collect()}
+    # m1: overall mean (1+3+5)/3 = 3; without a = 5; without b = 2
+    assert out[("a", "m1")]["mean_overall"] == 3.0
+    assert out[("a", "m1")]["mean_without"] == 5.0
+    assert out[("a", "m1")]["delta"] == 2.0
+    assert out[("b", "m1")]["mean_without"] == 2.0
+    assert out[("b", "m1")]["n_group"] == 1  # NULL m1 excluded
+    # m2: overall 20; without b = 10 -> delta -10
+    assert out[("b", "m2")]["mean_without"] == 10.0
+    assert out[("b", "m2")]["delta"] == -10.0
+    # single-group corpus: mean_without NULL
+    solo = spark.createDataFrame([("a", 1.0)], "g string, m1 double")
+    r = group_ablation(solo, "g", ["m1"]).collect()[0]
+    assert r["mean_without"] is None and r["delta"] is None
+    with pytest.raises(ValueError, match="metric"):
+        group_ablation(df, "g", [])

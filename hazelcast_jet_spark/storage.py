@@ -59,6 +59,13 @@ class ConcurrentWriterError(RuntimeError):
     """Another live writer (process or thread) holds this table's lock."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An upsert batch changed an existing column's TYPE.  Only additive
+    evolution (new columns) is supported — a type change would make old
+    batch files unreadable under the evolved schema; migrate via a full
+    ``overwrite`` instead."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed this manifest version first (optimistic
     concurrency, the Delta/Iceberg conflict): the losing batch's data
@@ -247,6 +254,49 @@ class KeyedParquetTable:
         )
         return batch, with_data
 
+    # -- schema evolution (manifest mode; the Delta additive contract) ------
+
+    def _evolved_schema(self, prev_schema_json: str, new_schema):
+        """Merge an upsert batch's schema into the table schema: NEW
+        columns append (old rows read them as NULL under the explicit
+        manifest schema); TYPE changes raise
+        :class:`SchemaEvolutionError` (exact match on the simple type
+        string — no silent widening: int→bigint would reread old files
+        fine but break the bucket-hash canonicalization contract for
+        keys, so migrations go through ``overwrite``)."""
+        from pyspark.sql.types import StructType
+
+        prev = StructType.fromJson(json.loads(prev_schema_json))
+        prev_by_name = {f.name: f for f in prev.fields}
+        conflicts, added = [], []
+        for f in new_schema.fields:
+            pf = prev_by_name.get(f.name)
+            if pf is None:
+                added.append(f)
+            elif pf.dataType.simpleString() != f.dataType.simpleString():
+                conflicts.append(
+                    f"{f.name}: {pf.dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}")
+        if conflicts:
+            raise SchemaEvolutionError(
+                f"type change(s) in upsert batch for {self.path}: "
+                f"{', '.join(conflicts)}; only additive evolution is "
+                f"supported — use overwrite() to migrate types")
+        return StructType(prev.fields + added)
+
+    @staticmethod
+    def _align(df: DataFrame, schema) -> DataFrame:
+        """Project ``df`` to ``schema``'s columns and order, adding
+        missing columns as typed NULLs (the write-side half of additive
+        evolution: old resident rows and narrow upsert batches both
+        align to the evolved table schema)."""
+        have = set(df.columns)
+        return df.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ])
+
     def history(self) -> list[dict]:
         """Retained manifest versions, oldest first (manifest mode only) —
         the table's commit log."""
@@ -375,11 +425,15 @@ class KeyedParquetTable:
                 os.path.join(self._data_dir(), man["buckets"][b], f"{BUCKET_COL}={b}")
                 for b in sel if b in man["buckets"]
             ]
+            from pyspark.sql.types import StructType
+            schema = StructType.fromJson(json.loads(man["schema"]))
             if not paths:
-                from pyspark.sql.types import StructType
-                return spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(man["schema"])))
-            return spark.read.parquet(*paths)
+                return spark.createDataFrame([], schema)
+            # explicit manifest schema: batch dirs written BEFORE a
+            # column was added lack it physically; the vectorized
+            # parquet reader fills missing columns with NULL, which is
+            # exactly additive evolution's read-side contract
+            return spark.read.schema(schema).parquet(*paths)
         df = spark.read.option("basePath", self.path).parquet(self.path)
         if buckets is not None:
             df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
@@ -536,15 +590,23 @@ class KeyedParquetTable:
             if not bks:
                 return []
             current = self.read(spark, buckets=bks)
-            merged = current.join(
+            survivors = current.join(
                 F.broadcast(changed_keys.select(*self.key_cols).distinct()),
                 self.key_cols,
                 "left_anti",
-            ).unionByName(upserts.select(*current.columns))
+            )
 
             if self.commit_mode == "manifest":
-                batch, with_data = self._write_batch_files(merged, len(bks))
+                # additive schema evolution: new upsert columns append to
+                # the table schema; survivors and batch align to it (old
+                # batch files read the new columns as NULL under the
+                # explicit manifest schema)
                 prev_v, prev = self._latest_manifest()
+                evolved = self._evolved_schema(prev["schema"],
+                                               upserts.schema)
+                merged = (self._align(survivors, evolved)
+                          .unionByName(self._align(upserts, evolved)))
+                batch, with_data = self._write_batch_files(merged, len(bks))
                 buckets_map = dict(prev["buckets"])
                 for b in bks:
                     buckets_map.pop(str(b), None)  # delete-emptied buckets drop out
@@ -552,10 +614,12 @@ class KeyedParquetTable:
                     buckets_map[str(b)] = batch
                 self._commit_manifest(prev_v + 1, {
                     "version": prev_v + 1,
-                    "schema": prev["schema"],
+                    "schema": evolved.json(),
                     "buckets": buckets_map,
                 })
                 return bks
+            merged = survivors.unionByName(
+                upserts.select(*current.columns))
 
             staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
             (

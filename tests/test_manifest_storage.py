@@ -514,3 +514,44 @@ def test_two_foreachbatch_writers_one_loses_cleanly(spark, tmp_path):
     assert state[0] == "seed"
     # exactly the winner's row landed; the loser's batch left no trace
     assert set(state.values()) == {"seed", winner}
+
+
+# ---------------------------------------------------------------------------
+# additive schema evolution (manifest mode, r10)
+# ---------------------------------------------------------------------------
+
+def test_manifest_additive_schema_evolution(spark, tmp_path):
+    """An upsert batch with a NEW column evolves the table schema: old
+    rows read the column as NULL, new rows carry it, time travel reads
+    each version under ITS schema, and a type change is rejected."""
+    import pytest
+
+    from hazelcast_jet_spark.storage import (KeyedParquetTable,
+                                             SchemaEvolutionError)
+
+    t = KeyedParquetTable(str(tmp_path / "evo"), ["id"], num_buckets=4,
+                          commit_mode="manifest", retain_versions=3)
+    t.overwrite(_mk(spark, [(1, "a"), (2, "b")]))
+
+    up = spark.createDataFrame([(2, "b2", 9.5)],
+                               "id long, v string, score double")
+    t.apply(up, up.select("id"))
+    rows = {r["id"]: (r["v"], r["score"])
+            for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b2", 9.5)}
+
+    # a narrow upsert (old schema) still applies; its score is NULL
+    up2 = _mk(spark, [(3, "c")])
+    t.apply(up2, up2.select("id"))
+    rows = {r["id"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert rows[3] == ("c", None) and rows[2] == ("b2", 9.5)
+
+    # time travel: version 1 predates the column entirely
+    v1 = t.read(spark, version=1)
+    assert "score" not in v1.columns
+    assert {r["id"] for r in v1.collect()} == {1, 2}
+
+    # type change rejected
+    bad = spark.createDataFrame([(4, 1)], "id long, v int")
+    with pytest.raises(SchemaEvolutionError, match="type change"):
+        t.apply(bad, bad.select("id"))

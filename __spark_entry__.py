@@ -6812,6 +6812,31 @@ def msprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                        seed=PK_SEED, tau=MSPRT_TAU)
 
 
+def streaming_msprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE always-valid readout (experiment.msprt_trace_from_firsts):
+    the stream maintains ONLY the complete-mode per-user firsts rollup
+    (experiment.user_firsts — two min aggregates, one state row per
+    user); the identical checkpointed panel + mixture-SPRT tail folds
+    it batch-side, so the continuously-refreshed anytime-valid p equals
+    q:msprt_events' batch answer row for row — the one dashboard
+    statistic that is LEGAL to refresh every micro-batch (refreshing
+    q:streaming_experiment_readout_events' fixed-horizon significance
+    flag is peeking; this is the fix, live).  availableNow on bounded
+    input is deterministic, so the batch SQL replay is the exact
+    oracle (shared with msprt_events)."""
+    from hazelcast_jet_spark.operators.experiment import (
+        msprt_trace_from_firsts, user_firsts)
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    firsts = run_to_batch(
+        user_firsts(s, "user_id", "ts", "event_type", "purchase"),
+        "complete")
+    return msprt_trace_from_firsts(firsts.localCheckpoint(), "user_id",
+                                   seed=PK_SEED, tau=MSPRT_TAU)
+
+
 def streaming_experiment_readout_events(spark: SparkSession,
                                         sf_dir: str) -> DataFrame:
     """LIVE experiment readout (r9 verdict #5 — the operator a real
@@ -6935,6 +6960,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "aipw_ate_orders",
     "mutual_info_customer",
     "source_ablation_docs",
+    "streaming_msprt_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7313,6 +7339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aipw_ate_orders": aipw_ate_orders,
         "mutual_info_customer": mutual_info_customer,
         "source_ablation_docs": source_ablation_docs,
+        "streaming_msprt_events": streaming_msprt_events,
     }
 
 
@@ -16538,6 +16565,86 @@ def oracle_sql() -> dict[str, str]:
                                 / CAST(cum_n_control AS DOUBLE)
                          END, 6) + 0.0 AS qini
             FROM cum ORDER BY bin
+        """,
+        "streaming_msprt_events": f"""
+            WITH pu AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS fa,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN CAST(ts AS DATE) END) AS fc
+                FROM events GROUP BY 1
+            ), au AS (
+                SELECT fa, fc,
+                       CASE WHEN substr(md5('{PK_SEED}-'
+                                 || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                            THEN 'A' ELSE 'B' END AS arm
+                FROM pu
+            ), ends AS (
+                SELECT min(fa) AS lo,
+                       max(greatest(fa, COALESCE(fc, fa))) AS hi
+                FROM au
+            ), grid AS (
+                SELECT CAST(unnest(generate_series(lo, hi,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                FROM ends
+            ), daily AS (
+                SELECT fa AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ea,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS eb
+                FROM au GROUP BY 1
+            ), convs AS (
+                SELECT fc AS day,
+                       SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+                FROM au WHERE fc IS NOT NULL GROUP BY 1
+            ), cum AS (
+                SELECT g.day,
+                       CAST(SUM(COALESCE(d.ea, 0)) OVER w AS BIGINT)
+                           AS n_a,
+                       CAST(SUM(COALESCE(d.eb, 0)) OVER w AS BIGINT)
+                           AS n_b,
+                       CAST(SUM(COALESCE(c.ca, 0)) OVER w AS BIGINT)
+                           AS conv_a,
+                       CAST(SUM(COALESCE(c.cb, 0)) OVER w AS BIGINT)
+                           AS conv_b
+                FROM grid g
+                LEFT JOIN daily d ON g.day = d.day
+                LEFT JOIN convs c ON g.day = c.day
+                WINDOW w AS (ORDER BY g.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ), vv AS (
+                SELECT day, n_a, n_b, conv_a, conv_b,
+                       CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE) AS pool,
+                       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                           AS d
+                FROM cum
+            ), vw AS (
+                SELECT day, n_a, n_b, conv_a, conv_b, d, pool,
+                       pool * (1.0 - pool)
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE)) AS v
+                FROM vv
+            ), pr AS (
+                SELECT day, n_a, n_b, conv_a, conv_b,
+                       CASE WHEN n_a > 0 AND n_b > 0
+                                 AND pool > 0.0 AND pool < 1.0
+                            THEN least(1.0, 1.0
+                                 / (sqrt(v / (v + {MSPRT_TAU2_SQL}))
+                                    * exp(d * d * {MSPRT_TAU2_SQL}
+                                          / (2.0 * v
+                                             * (v + {MSPRT_TAU2_SQL})))))
+                            ELSE 1.0 END AS p_raw
+                FROM vw
+            )
+            SELECT day, n_a, n_b, conv_a, conv_b,
+                   round(min(p_raw) OVER w, 6) + 0.0 AS always_valid_p,
+                   min(p_raw) OVER w <= 0.05 AS rejected
+            FROM pr
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW)
+            ORDER BY day
         """,
         "msprt_events": f"""
             WITH pu AS (

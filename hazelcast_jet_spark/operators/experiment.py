@@ -1054,14 +1054,38 @@ def _cumulative_arm_counts(events: DataFrame, user_col: str, time_col: str,
     Returns ``(day, n_a, n_b, conv_a, conv_b)`` with one row per
     calendar day from first entry to last activity.
     """
+    return _panel_from_firsts(
+        user_firsts(events, user_col, time_col, type_col, conversion_type),
+        user_col, seed)
+
+
+def user_firsts(events: DataFrame, user_col: str, time_col: str,
+                type_col: str, conversion_type: str) -> DataFrame:
+    """Per-unit (first-event day, first-conversion day) rollup — the
+    ONLY full-data aggregate under the day-grain traces, exposed
+    separately because it is complete-mode STREAMING-LEGAL (two min
+    aggregates, one state row per user — the experiment_stream_counters
+    state class), so a live stream can maintain it and feed the
+    identical panel/statistic tail the batch gates pin.
+
+    Returns ``(user_col, __fa, __fc)``.
+    """
+    day = F.to_date(time_col)
+    return (events.groupBy(user_col)
+            .agg(F.min(day).alias("__fa"),
+                 F.min(F.when(F.col(type_col) == conversion_type,
+                              day)).alias("__fc")))
+
+
+def _panel_from_firsts(firsts: DataFrame, user_col: str,
+                       seed: str) -> DataFrame:
+    """The bounded tail of :func:`_cumulative_arm_counts`: md5 arms,
+    melt to the calendar-bounded (day, kind, arm) counter table
+    (checkpointed), cumulative windows on the complete day grid."""
     from pyspark.sql import Window
 
-    day = F.to_date(time_col)
-    per_user = (events.groupBy(user_col)
-                .agg(F.min(day).alias("__fa"),
-                     F.min(F.when(F.col(type_col) == conversion_type,
-                                  day)).alias("__fc"))
-                .withColumn("__arm", ab_assign(F.col(user_col), seed)))
+    per_user = firsts.withColumn("__arm",
+                                 ab_assign(F.col(user_col), seed))
     counts = (per_user.select(
         "__arm",
         F.explode(F.array(
@@ -1146,6 +1170,30 @@ def msprt_trace(events: DataFrame, user_col: str, time_col: str,
 
     cum = _cumulative_arm_counts(events, user_col, time_col, type_col,
                                  conversion_type, seed)
+    return _msprt_stat(cum, tau, alpha, round_digits)
+
+
+def msprt_trace_from_firsts(firsts: DataFrame, user_col: str,
+                            seed: str = "ab1", tau: float = 0.1,
+                            alpha: float = 0.05,
+                            round_digits: int = 6) -> DataFrame:
+    """:func:`msprt_trace` over a PREBUILT :func:`user_firsts` table —
+    the streaming composition point: a live stream maintains the
+    complete-mode firsts rollup (the only unbounded pass) and this
+    identical panel + statistic tail folds it, so the continuously-
+    refreshed always-valid readout provably matches the batch gate."""
+    if tau <= 0.0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return _msprt_stat(_panel_from_firsts(firsts, user_col, seed),
+                       tau, alpha, round_digits)
+
+
+def _msprt_stat(cum: DataFrame, tau: float, alpha: float,
+                round_digits: int) -> DataFrame:
+    from pyspark.sql import Window
+
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     pa = F.col("conv_a").cast("double") / na
     pb = F.col("conv_b").cast("double") / nb

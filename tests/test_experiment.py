@@ -1838,3 +1838,29 @@ def test_msprt_trace_rejects_bad_params(spark):
         msprt_trace(df, "user_id", "ts", "event_type", "x", tau=0.0)
     with pytest.raises(ValueError, match="alpha"):
         msprt_trace(df, "user_id", "ts", "event_type", "x", alpha=1.0)
+
+
+def test_msprt_from_firsts_equals_batch_trace(spark):
+    """The firsts-fed tail is the SAME statistic: user_firsts +
+    msprt_trace_from_firsts reproduces msprt_trace row for row — the
+    streaming==batch pin behind q:streaming_msprt_events."""
+    import datetime as _dt
+
+    from hazelcast_jet_spark.operators.experiment import (
+        msprt_trace, msprt_trace_from_firsts, user_firsts)
+
+    rows = []
+    for uid in range(120):
+        day = 1 + uid % 9
+        rows.append((uid, _dt.datetime(2024, 2, day), "view", 1.0))
+        if uid % 3 == 0:
+            rows.append((uid, _dt.datetime(2024, 2, day), "purchase", 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    a = [tuple(r) for r in msprt_trace(
+        df, "user_id", "ts", "event_type", "purchase", seed="sf1").collect()]
+    b = [tuple(r) for r in msprt_trace_from_firsts(
+        user_firsts(df, "user_id", "ts", "event_type", "purchase"),
+        "user_id", seed="sf1").collect()]
+    assert a == b and len(a) == 9

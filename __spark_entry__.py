@@ -6721,6 +6721,33 @@ def conformal_forecast_events(spark: SparkSession,
                                      seasonal_lag=CONF_LAG)
 
 
+def streaming_conformal_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """LIVE forecast certification (the streaming twin of
+    q:conformal_forecast_events, the q:streaming_lead_lag_events
+    pattern): ONLY the commutative daily rollup streams (complete mode,
+    state = one row per (event_type, day) — calendar-bounded), and
+    timeseries.conformal_snaive_interval's identical
+    split/rank/coverage tail folds the released counter table — the
+    continuously-refreshed interval half-width and realized coverage a
+    live forecasting dashboard shows next to its point forecasts.
+    availableNow on bounded input is deterministic, so the batch SQL
+    replay is the exact oracle (shared with conformal_forecast_events).
+    """
+    from hazelcast_jet_spark.operators.timeseries import (
+        conformal_snaive_interval)
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = read_stream_table(spark, sf_dir, "events")
+    daily = run_to_batch(
+        s.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n")), "complete")
+    return conformal_snaive_interval(daily.localCheckpoint(),
+                                     "event_type", "day", "n",
+                                     seasonal_lag=CONF_LAG)
+
+
 SBK_SEED, SBK_BUCKETS = "sbk1", 32
 
 
@@ -6961,6 +6988,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "mutual_info_customer",
     "source_ablation_docs",
     "streaming_msprt_events",
+    "streaming_conformal_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7340,6 +7368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_customer": mutual_info_customer,
         "source_ablation_docs": source_ablation_docs,
         "streaming_msprt_events": streaming_msprt_events,
+        "streaming_conformal_events": streaming_conformal_events,
     }
 
 
@@ -16174,6 +16203,60 @@ def oracle_sql() -> dict[str, str]:
                    round(t.tr, 6) + 0.0 AS touched_conv_rate
             FROM phi p LEFT JOIN touched t ON p.channel = t.channel
             ORDER BY p.channel
+        """,
+        "streaming_conformal_events": f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), sc AS (
+                SELECT event_type, day,
+                       abs(CAST(n AS DOUBLE)
+                           - lag(CAST(n AS DOUBLE), {CONF_LAG}) OVER (
+                               PARTITION BY event_type ORDER BY day))
+                           AS resid
+                FROM daily
+            ), scf AS (
+                SELECT event_type, day, resid,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS idx,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM sc WHERE resid IS NOT NULL
+            ), pl AS (
+                SELECT event_type, day, resid, idx,
+                       CAST(floor((n * 7 + 9) / 10) AS BIGINT) AS ncal,
+                       CAST(floor(((CAST(floor((n * 7 + 9) / 10)
+                                    AS BIGINT) + 1) * 900 + 999)
+                                  / 1000) AS BIGINT) AS need
+                FROM scf
+            ), calib AS (
+                SELECT event_type, resid, need, ncal,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY resid, day) AS r
+                FROM pl WHERE idx <= ncal
+            ), q AS (
+                SELECT event_type,
+                       max(CASE WHEN r = need THEN resid END) AS q_hat,
+                       max(ncal) AS n_calib, max(need) AS need
+                FROM calib GROUP BY 1
+            ), tst AS (
+                SELECT p.event_type, count(*) AS n_test,
+                       SUM(CASE WHEN p.resid <= q.q_hat
+                                THEN 1 ELSE 0 END) AS hits
+                FROM pl p JOIN q ON p.event_type = q.event_type
+                WHERE p.idx > p.ncal GROUP BY 1
+            )
+            SELECT q.event_type AS key, q.n_calib,
+                   COALESCE(t.n_test, 0) AS n_test,
+                   CASE WHEN q.need <= q.n_calib THEN q.q_hat END
+                       AS q_hat,
+                   CASE WHEN q.need <= q.n_calib
+                        THEN round(CAST(t.hits AS DOUBLE)
+                                   / CAST(t.n_test AS DOUBLE), 6) + 0.0
+                        END AS coverage,
+                   CAST(0.9 AS DOUBLE) AS nominal
+            FROM q LEFT JOIN tst t ON q.event_type = t.event_type
+            ORDER BY key
         """,
         "conformal_forecast_events": f"""
             WITH daily AS (

@@ -6965,30 +6965,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Queries registered AFTER this round's 50-entry window froze: deferred
 #: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
 #: session-tail handoff convention, now machine-readable).  Names listed
-#: here must sit below the window boundary in ``queries()``.  The 24
-#: r9-session-2 leads now occupy window slots 1-24; entries below are
-#: the r10-session additions, deferred to lead the r11 window.
+#: here must sit below the window boundary in ``queries()``.  The 20
+#: r10-session leads now occupy window slots 1-20; entries below are
+#: the r11-session additions, deferred to lead the r12 window.
 NEXT_ROUND_LEADS: tuple[str, ...] = (
-    "pq_staleness_emb",
-    "streaming_experiment_readout_events",
-    "msprt_events",
-    "rmst_events",
-    "qini_uplift_orders",
-    "granger_events",
-    "kcore_parts",
-    "streaming_bucket_sample_events",
-    "unpivot_nation_metrics",
-    "hw_seasonal_events",
-    "logrank_events",
-    "conformal_forecast_events",
-    "shapley_attribution_events",
-    "target_encode_orders",
-    "textrank_keywords_docs",
-    "aipw_ate_orders",
-    "mutual_info_customer",
-    "source_ablation_docs",
-    "streaming_msprt_events",
-    "streaming_conformal_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -6997,7 +6977,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
 #: the plan, so the driver dropping THIS round's ledger mid-round does not
 #: retroactively invalidate the frozen window (the r9 verdict's "What's
 #: wrong #1" lifecycle defect).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7009,72 +6989,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the tool's output against the ledgers that existed at freeze time
     (``WINDOW_ROUND``), so neither hand-counting nor the driver's own
     mid-round ledger drop can re-redden the suite (r9 verdict "What's
-    wrong #1").  r10 window: the 24 r9-session-2 leads (never
-    driver-checked) first, then the 26 stalest r2-green queries.  Queries
-    registered after this round's window freezes go below the boundary
-    AND into ``NEXT_ROUND_LEADS`` so the planner defers them to r11.
+    wrong #1").  r11 window: the 20 r10-session leads (never
+    driver-checked) first, then the 30 stalest green queries (clearing
+    the r2 remainder and most of the r3 cohort).  Queries registered
+    after this round's window freezes go below the boundary AND into
+    ``NEXT_ROUND_LEADS`` so the planner defers them to r12.
     bench.py runs every entry in name order, so perf coverage is
     unaffected by the rotation.
     """
     return {
-        # ==== r10 window (first 50 = the driver correctness gate; =====
-        # ==== generated by tools/window_plan.py at WINDOW_ROUND=10, ====
+        # ==== r11 window (first 50 = the driver correctness gate; =====
+        # ==== generated by tools/window_plan.py at WINDOW_ROUND=11, ====
         # ==== pinned by tests/test_window_plan.py) =====================
-        # -- 24 r9-session-2 leads: never driver-checked ---------------
-        "did_orders": did_orders,
-        "covariate_balance_customer": covariate_balance_customer,
-        "fdr_bh_events": fdr_bh_events,
-        "nelson_aalen_events": nelson_aalen_events,
-        "theilsen_trend_events": theilsen_trend_events,
-        "lead_lag_events": lead_lag_events,
-        "dp_noisy_counts_customer": dp_noisy_counts_customer,
-        "automation_screen_events": automation_screen_events,
-        "zorder_layout_orders": zorder_layout_orders,
-        "forecast_backtest_events": forecast_backtest_events,
-        "ltv_cohort_orders": ltv_cohort_orders,
-        "offline_policy_events": offline_policy_events,
-        "streaming_dp_counts_events": streaming_dp_counts_events,
-        "streaming_lead_lag_events": streaming_lead_lag_events,
-        "welch_t_orders": welch_t_orders,
-        "mann_whitney_orders": mann_whitney_orders,
-        "qte_orders": qte_orders,
-        "median_ci_orders": median_ci_orders,
-        "capture_recapture_events": capture_recapture_events,
-        "peeking_trace_events": peeking_trace_events,
-        "growth_accounting_events": growth_accounting_events,
-        "sample_size_orders": sample_size_orders,
-        "hurst_events": hurst_events,
-        "tail_risk_events": tail_risk_events,
-        # -- 26 stalest r2-green refreshes fill the window to 50 -------
-        "rollup_agg": rollup_agg,
-        "multi_hop_enrichment": multi_hop_enrichment,
-        "q1_pricing_summary": q1_pricing_summary,
-        "rolling_aggregate": rolling_aggregate,
-        "text_features": text_features,
-        "exact_dedup_docs": exact_dedup_docs,
-        "minhash_lsh_dedup": minhash_lsh_dedup,
-        "ngram_jaccard_dedup": ngram_jaccard_dedup,
-        "filter_project": filter_project,
-        "global_aggregate": global_aggregate,
-        "join_orders_customer": join_orders_customer,
-        "left_join_counts": left_join_counts,
-        "hash_join_enrich": hash_join_enrich,
-        "theta_join": theta_join,
-        "distinct_op": distinct_op,
-        "merge_union": merge_union,
-        "sort_limit": sort_limit,
-        "top_n_per_group": top_n_per_group,
-        "min_max_by": min_max_by,
-        "cogroup_orders_lineitem": cogroup_orders_lineitem,
-        "distinct_by_key": distinct_by_key,
-        "tumbling_window_batch": tumbling_window_batch,
-        "sliding_window_batch": sliding_window_batch,
-        "session_window_batch": session_window_batch,
-        "json_props": json_props,
-        "like_and_trim": like_and_trim,
-        # ===== driver window boundary (entry 50 above; authoritative ==
-        # ===== check: tools/window_plan.py --check, pinned in the =====
-        # ===== suite).  Below: remaining cohort, stalest-green first ==
+        # -- 20 r10-session leads: never driver-checked ----------------
+        "pq_staleness_emb": pq_staleness_emb,
+        "streaming_experiment_readout_events":
+            streaming_experiment_readout_events,
+        "msprt_events": msprt_events,
+        "rmst_events": rmst_events,
+        "qini_uplift_orders": qini_uplift_orders,
+        "granger_events": granger_events,
+        "kcore_parts": kcore_parts,
+        "streaming_bucket_sample_events": streaming_bucket_sample_events,
+        "unpivot_nation_metrics": unpivot_nation_metrics,
+        "hw_seasonal_events": hw_seasonal_events,
+        "logrank_events": logrank_events,
+        "conformal_forecast_events": conformal_forecast_events,
+        "shapley_attribution_events": shapley_attribution_events,
+        "target_encode_orders": target_encode_orders,
+        "textrank_keywords_docs": textrank_keywords_docs,
+        "aipw_ate_orders": aipw_ate_orders,
+        "mutual_info_customer": mutual_info_customer,
+        "source_ablation_docs": source_ablation_docs,
+        "streaming_msprt_events": streaming_msprt_events,
+        "streaming_conformal_events": streaming_conformal_events,
+        # -- 30 stalest-green refreshes (r2/r3 cohort) fill the window -
         "cast_matrix": cast_matrix,
         "window_rank_functions": window_rank_functions,
         "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
@@ -7105,6 +7054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": gopher_quality_filter,
         "doc_chunks": doc_chunks,
         "percentile_stats": percentile_stats,
+        # ===== driver window boundary (entry 50 above; authoritative ==
+        # ===== check: tools/window_plan.py --check, pinned in the =====
+        # ===== suite).  Below: remaining cohort, stalest-green first ==
         "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
         "heavy_hitter_terms": heavy_hitter_terms,
         "url_dedup_stats": url_dedup_stats,
@@ -7346,29 +7298,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": semi_anti_join,
         "full_outer_join": full_outer_join,
         "set_operations": set_operations,
-        # -- r10-session additions: registered after the r10 window ----
-        # -- froze; NEXT_ROUND_LEADS defers them to lead the r11 window
-        "pq_staleness_emb": pq_staleness_emb,
-        "streaming_experiment_readout_events":
-            streaming_experiment_readout_events,
-        "msprt_events": msprt_events,
-        "rmst_events": rmst_events,
-        "qini_uplift_orders": qini_uplift_orders,
-        "granger_events": granger_events,
-        "kcore_parts": kcore_parts,
-        "streaming_bucket_sample_events": streaming_bucket_sample_events,
-        "unpivot_nation_metrics": unpivot_nation_metrics,
-        "hw_seasonal_events": hw_seasonal_events,
-        "logrank_events": logrank_events,
-        "conformal_forecast_events": conformal_forecast_events,
-        "shapley_attribution_events": shapley_attribution_events,
-        "target_encode_orders": target_encode_orders,
-        "textrank_keywords_docs": textrank_keywords_docs,
-        "aipw_ate_orders": aipw_ate_orders,
-        "mutual_info_customer": mutual_info_customer,
-        "source_ablation_docs": source_ablation_docs,
-        "streaming_msprt_events": streaming_msprt_events,
-        "streaming_conformal_events": streaming_conformal_events,
+        "did_orders": did_orders,
+        "covariate_balance_customer": covariate_balance_customer,
+        "fdr_bh_events": fdr_bh_events,
+        "nelson_aalen_events": nelson_aalen_events,
+        "theilsen_trend_events": theilsen_trend_events,
+        "lead_lag_events": lead_lag_events,
+        "dp_noisy_counts_customer": dp_noisy_counts_customer,
+        "automation_screen_events": automation_screen_events,
+        "zorder_layout_orders": zorder_layout_orders,
+        "forecast_backtest_events": forecast_backtest_events,
+        "ltv_cohort_orders": ltv_cohort_orders,
+        "offline_policy_events": offline_policy_events,
+        "streaming_dp_counts_events": streaming_dp_counts_events,
+        "streaming_lead_lag_events": streaming_lead_lag_events,
+        "welch_t_orders": welch_t_orders,
+        "mann_whitney_orders": mann_whitney_orders,
+        "qte_orders": qte_orders,
+        "median_ci_orders": median_ci_orders,
+        "capture_recapture_events": capture_recapture_events,
+        "peeking_trace_events": peeking_trace_events,
+        "growth_accounting_events": growth_accounting_events,
+        "sample_size_orders": sample_size_orders,
+        "hurst_events": hurst_events,
+        "tail_risk_events": tail_risk_events,
+        "rollup_agg": rollup_agg,
+        "multi_hop_enrichment": multi_hop_enrichment,
+        "q1_pricing_summary": q1_pricing_summary,
+        "rolling_aggregate": rolling_aggregate,
+        "text_features": text_features,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_lsh_dedup": minhash_lsh_dedup,
+        "ngram_jaccard_dedup": ngram_jaccard_dedup,
+        "filter_project": filter_project,
+        "global_aggregate": global_aggregate,
+        "join_orders_customer": join_orders_customer,
+        "left_join_counts": left_join_counts,
+        "hash_join_enrich": hash_join_enrich,
+        "theta_join": theta_join,
+        "distinct_op": distinct_op,
+        "merge_union": merge_union,
+        "sort_limit": sort_limit,
+        "top_n_per_group": top_n_per_group,
+        "min_max_by": min_max_by,
+        "cogroup_orders_lineitem": cogroup_orders_lineitem,
+        "distinct_by_key": distinct_by_key,
+        "tumbling_window_batch": tumbling_window_batch,
+        "sliding_window_batch": sliding_window_batch,
+        "session_window_batch": session_window_batch,
+        "json_props": json_props,
+        "like_and_trim": like_and_trim,
     }
 
 

@@ -218,11 +218,25 @@ def graph_summary(edges: DataFrame, round_digits: int = 6) -> DataFrame:
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              round_digits: int = 9,
-             broadcast_ranks: bool | None = None) -> DataFrame:
+             broadcast_ranks: bool | None = None,
+             until_fixpoint: bool = False, tol: float | None = None,
+             max_rounds: int = 64,
+             rounds_out: list | None = None) -> DataFrame:
     """PageRank over a canonical undirected edge list, FIXED ``iters``
     power iterations from the uniform start — the deterministic form a
-    corpus pipeline uses as a link-quality prior (convergence-threshold
-    stopping is a driver-side loop over the same body).
+    corpus pipeline uses as a link-quality prior.  ``until_fixpoint=
+    True`` makes the documented convergence-stopping contract
+    executable: the IDENTICAL per-round plan loops until no node's
+    rank moves by more than ``tol`` (default: half an ulp at the
+    ``round_digits`` reporting grain, 0.5·10^-round_digits), checked as
+    a per-round join-on-node + ``count()`` of still-moving rows over
+    the two localCheckpointed rank tables (one scalar; the checkpoint
+    materializes each round anyway).  ``max_rounds`` bounds the loop
+    (raises rather than silently returning a non-converged table);
+    ``rounds_out`` receives the executed round count when given a list
+    — tests/test_graph_fixpoint.py uses it to pin
+    ``until_fixpoint`` == ``iters=<rounds taken>`` exactly, proving the
+    two paths share one round body.
 
     r_{t+1}(v) = (1−d)/N + d · Σ_{u→v} r_t(u)/deg(u)
 
@@ -270,8 +284,9 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     base_term = (1.0 - damping) / float(n)
     ranks = nodes.select(
         "node", "__deg", F.lit(r0).alias("rank")).localCheckpoint()
-    for _ in range(iters):
-        side = ranks.select(
+
+    def _round(cur: DataFrame) -> DataFrame:
+        side = cur.select(
             F.col("node").alias("src"),
             (F.col("rank") / F.col("__deg").cast("double")).alias("__c"))
         if broadcast_ranks:
@@ -282,8 +297,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             .agg(F.sum(F.col("__c").cast("decimal(28,18)"))
                  .cast("double").alias("__in"))
         )
-        prev = ranks
-        ranks = (
+        return (
             nodes.join(contrib, "node", "left")
             .select(
                 "node", "__deg",
@@ -292,8 +306,38 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                  ).alias("rank"))
             .localCheckpoint()
         )
-        prev.unpersist(False)
+
+    rounds = 0
+    if until_fixpoint:
+        if tol is None:
+            tol = 0.5 * 10.0 ** (-round_digits)
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"pagerank did not converge to tol={tol} in "
+                    f"{max_rounds} rounds (raise max_rounds or loosen "
+                    "tol)")
+            prev = ranks
+            ranks = _round(ranks)
+            rounds += 1
+            moving = (ranks.alias("n")
+                      .join(prev.select("node", F.col("rank")
+                                        .alias("__pr")), "node")
+                      .filter(F.abs(F.col("rank") - F.col("__pr"))
+                              > F.lit(tol))
+                      .count())
+            prev.unpersist(False)
+            if moving == 0:
+                break
+    else:
+        for _ in range(iters):
+            prev = ranks
+            ranks = _round(ranks)
+            rounds += 1
+            prev.unpersist(False)
     directed.unpersist(False)
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return ranks.select(
         "node", F.round("rank", round_digits).alias("pagerank"))
 
@@ -473,7 +517,9 @@ def item_similarity_topk(
             .orderBy("item", "rank"))
 
 
-def kcore_peel(edges: DataFrame, k: int, iters: int = 4) -> DataFrame:
+def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
+               until_fixpoint: bool = False, max_rounds: int = 64,
+               rounds_out: list | None = None) -> DataFrame:
     """Fixed-round k-core peel (Seidman 1983 coreness, Batagelj &
     Zaveršnik 2003 peeling): each round drops every node whose degree
     in the CURRENT subgraph is below ``k``, together with its edges —
@@ -486,9 +532,20 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4) -> DataFrame:
     k-core, equal as soon as one round removes nothing; peeling is
     monotone, so extra rounds only shrink toward the fixpoint.  The
     FIXED round count is what makes a SQL oracle an exact unrolled
-    replay; a production run at unbounded scale loops until a cheap
-    ``count()`` stops changing instead (documented contract — same
-    per-round plan).
+    replay; ``until_fixpoint=True`` is the production contract made
+    executable: it loops the IDENTICAL per-round plan until the
+    surviving edge count stops changing (each localCheckpoint
+    materializes the round anyway, so the termination ``count()`` is a
+    cached-scan scalar, not a recompute), bounded by ``max_rounds``.
+    Edge-count-stable ⟺ no node dropped, because any dropped node has
+    degree ≥ 1 in the current subgraph (degree-0 nodes don't appear in
+    an edge-derived frame) and takes its edges with it.  Peeling is
+    monotone so the loop always terminates — the ``max_rounds``
+    overflow guard raises rather than returning a non-fixpoint.
+    ``rounds_out``, if given a list, receives the number of peel
+    rounds executed (the no-op confirming round included) — the hook
+    the equality pin in tests/test_graph_fixpoint.py uses to prove
+    fixed-round == fixpoint on the gated substrate.
 
     Per-round plan: one degree aggregate (two map-side-combined count
     shuffles over the edge list) and two LEFT SEMI joins of the edge
@@ -507,18 +564,42 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4) -> DataFrame:
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select("src", "dst").localCheckpoint(eager=True)
-    for _ in range(iters):
-        survivors = (degrees(e).filter(F.col("degree") >= k)
+
+    def _round(cur: DataFrame) -> DataFrame:
+        survivors = (degrees(cur).filter(F.col("degree") >= k)
                      .select("node"))
-        e = (e.join(survivors.withColumnRenamed("node", "src"),
-                    "src", "left_semi")
-             .join(survivors.withColumnRenamed("node", "dst"),
-                   "dst", "left_semi")
-             .localCheckpoint(eager=True))
+        return (cur.join(survivors.withColumnRenamed("node", "src"),
+                         "src", "left_semi")
+                .join(survivors.withColumnRenamed("node", "dst"),
+                      "dst", "left_semi")
+                .localCheckpoint(eager=True))
+
+    rounds = 0
+    if until_fixpoint:
+        prev = e.count()
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"kcore_peel did not reach fixpoint in {max_rounds} "
+                    "rounds (monotone peel: raise max_rounds)")
+            e = _round(e)
+            rounds += 1
+            cur = e.count()
+            if cur == prev:
+                break
+            prev = cur
+    else:
+        for _ in range(iters):
+            e = _round(e)
+            rounds += 1
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return degrees(e)
 
 
-def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+def label_propagation(edges: DataFrame, iters: int = 2,
+                      until_fixpoint: bool = False, max_rounds: int = 64,
+                      rounds_out: list | None = None) -> DataFrame:
     """Synchronous label propagation communities (Raghavan, Albert &
     Kumara 2007) with deterministic tie-breaks: every node starts as its
     own label; each round it adopts the most frequent label among its
@@ -533,14 +614,27 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     fixed and small (community structure stabilizes in a few rounds;
     this is the bounded-iteration convention of graph.pagerank).
 
-    Returns ``(node, label)`` after ``iters`` rounds.
+    ``until_fixpoint=True`` runs the IDENTICAL round until no node
+    changes label (a per-round join-on-node + ``count()`` of changed
+    rows — one scalar off two localCheckpointed one-row-per-node
+    tables), bounded by ``max_rounds``.  Synchronous LPA can in theory
+    2-cycle on bipartite-ish structure, so non-termination raises at
+    ``max_rounds`` instead of returning a non-fixpoint; deterministic
+    min-label tie-breaks make oscillation rare in practice (and absent
+    on the gated substrate — see tests/test_graph_fixpoint.py, which
+    pins fixpoint == the equivalent fixed-round result).  ``rounds_out``
+    receives the executed round count (the no-change confirming round
+    included) when given a list.
+
+    Returns ``(node, label)`` after ``iters`` rounds (or the fixpoint).
     """
     both = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (both.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
-    for _ in range(iters):
-        nbr = (both.join(labels.withColumnRenamed("node", "dst"), "dst")
+
+    def _round(cur: DataFrame) -> DataFrame:
+        nbr = (both.join(cur.withColumnRenamed("node", "dst"), "dst")
                .groupBy(F.col("src").alias("node"), "label")
                .agg(F.count(F.lit(1)).alias("__c")))
         # argmax by (count desc, label asc) via min_by over
@@ -548,11 +642,36 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
         # keeps the smallest-label tie-break correct for ANY orderable
         # label type — negating the label itself silently cast string
         # node ids to NULL and broke determinism (ADVICE r8)
-        labels = (nbr.groupBy("node")
-                  .agg(F.min_by("label",
-                                F.struct((-F.col("__c")).alias("__nc"),
-                                         F.col("label")))
-                       .alias("label")))
+        return (nbr.groupBy("node")
+                .agg(F.min_by("label",
+                              F.struct((-F.col("__c")).alias("__nc"),
+                                       F.col("label")))
+                     .alias("label")))
+
+    rounds = 0
+    if until_fixpoint:
+        labels = labels.localCheckpoint(eager=True)
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"label_propagation did not stabilize in {max_rounds} "
+                    "rounds (synchronous LPA can oscillate; raise "
+                    "max_rounds or use the fixed-iters form)")
+            new = _round(labels).localCheckpoint(eager=True)
+            rounds += 1
+            changed = (new.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.expr("n.label <> o.label"))
+                       .count())
+            labels = new
+            if changed == 0:
+                break
+    else:
+        for _ in range(iters):
+            labels = _round(labels)
+            rounds += 1
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels
 
 

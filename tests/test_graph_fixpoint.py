@@ -1,0 +1,114 @@
+"""Executable loop-until-fixpoint contract for the iterative graph lane
+(r10 verdict "Next round #2").
+
+The gated queries run FIXED round counts so their SQL oracles are exact
+unrolled replays; the docstrings prescribe convergence-stopping in
+production.  These pins prove the ``until_fixpoint=True`` variants run
+the IDENTICAL per-round plan: on the gated co-purchase substrate each
+fixpoint result must equal the fixed-round result at the round count the
+loop actually took (``rounds_out``), and must be STABLE — one more fixed
+round changes nothing.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hazelcast_jet_spark.operators.graph import (kcore_peel,
+                                                 label_propagation,
+                                                 pagerank)
+
+
+@pytest.fixture(scope="module")
+def copurchase_edges(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod._copurchase_edges(spark, sf_dir).localCheckpoint()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kcore_fixpoint_equals_fixed_round(copurchase_edges):
+    """The true k-core (loop until the surviving edge count is stable)
+    equals the unrolled fixed-round peel at the loop's own round count,
+    and an extra round is a no-op — fixed-round == fixpoint, executably."""
+    import __spark_entry__ as entry_mod
+
+    k = entry_mod.KCORE_K
+    ro: list = []
+    fix = _rows(kcore_peel(copurchase_edges, k=k, until_fixpoint=True,
+                           rounds_out=ro))
+    n = ro[0]
+    assert n >= 1
+    assert fix == _rows(kcore_peel(copurchase_edges, k=k, iters=n))
+    # monotone peel: the confirming round was a no-op, so n-1 rounds
+    # already sat at the fixpoint and n+1 rounds stay there
+    assert fix == _rows(kcore_peel(copurchase_edges, k=k, iters=n + 1))
+    if n > 1:
+        assert fix == _rows(kcore_peel(copurchase_edges, k=k, iters=n - 1))
+
+
+def test_lpa_fixpoint_equals_fixed_round(copurchase_edges):
+    ro: list = []
+    fix = _rows(label_propagation(copurchase_edges, until_fixpoint=True,
+                                  rounds_out=ro))
+    n = ro[0]
+    assert n >= 1
+    assert fix == _rows(label_propagation(copurchase_edges, iters=n))
+    if n > 1:  # round n confirmed round n-1's labels
+        assert fix == _rows(label_propagation(copurchase_edges, iters=n - 1))
+
+
+def test_pagerank_fixpoint_equals_fixed_round(copurchase_edges):
+    """tol-stopped PageRank == the fixed-round run at the same count —
+    the two code paths share one round body, bit-for-bit (DECIMAL
+    contribution sums make each round order-independent)."""
+    ro: list = []
+    fix = _rows(pagerank(copurchase_edges, until_fixpoint=True, tol=1e-4,
+                         rounds_out=ro))
+    assert ro[0] >= 1
+    assert fix == _rows(pagerank(copurchase_edges, iters=ro[0]))
+
+
+def test_pagerank_uniform_is_exact_fixpoint(spark):
+    """On a d-regular graph the uniform start IS the exact PageRank
+    fixpoint (each node receives d · (r/d) = r), so the convergence loop
+    must terminate after one confirming round and agree bit-exactly with
+    any fixed round count — the analytically-known case."""
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src INT, dst INT")
+    ro: list = []
+    fix = _rows(pagerank(cycle, until_fixpoint=True, rounds_out=ro))
+    assert ro[0] == 1
+    assert fix == _rows(pagerank(cycle, iters=3))
+    assert all(r[1] == pytest.approx(1.0 / 6.0) for r in fix)
+
+
+def test_fixpoint_max_rounds_guard(spark):
+    """Hitting max_rounds raises instead of returning a non-fixpoint."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src INT, dst INT")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore_peel(path, k=2, until_fixpoint=True, max_rounds=1)
+    with pytest.raises(RuntimeError, match="stabilize"):
+        label_propagation(path, until_fixpoint=True, max_rounds=1)
+    with pytest.raises(RuntimeError, match="converge"):
+        pagerank(path, until_fixpoint=True, tol=1e-15, max_rounds=1)
+
+
+def test_fixed_round_paths_unchanged(copurchase_edges):
+    """The refactor to a shared round body must not move the gated
+    fixed-round results (their oracles unroll these exact rounds)."""
+    import __spark_entry__ as entry_mod
+
+    kc = kcore_peel(copurchase_edges, k=entry_mod.KCORE_K,
+                    iters=entry_mod.KCORE_ITERS)
+    assert kc.columns == ["node", "degree"]
+    assert kc.count() >= 0
+    lp = label_propagation(copurchase_edges, iters=entry_mod.LPA_ITERS)
+    assert lp.columns == ["node", "label"]
+    pr = pagerank(copurchase_edges, iters=entry_mod.PAGERANK_ITERS)
+    assert pr.columns == ["node", "pagerank"]
+    total = pr.agg(F.sum("pagerank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-6)

@@ -14,6 +14,8 @@ Usage:
     python tools/verify_drive.py                 # the first-50 gate window
     python tools/verify_drive.py --all           # every registered query
     python tools/verify_drive.py --names a,b,c   # a specific subset
+    python tools/verify_drive.py --since 10      # only queries with no
+                                                 # green driver row in r>=10
     python tools/verify_drive.py --sf-dir /root/testdata/sf0.1 --all
     python tools/verify_drive.py --json-out /tmp/sweep.json --all
 
@@ -94,6 +96,13 @@ def main() -> int:
                     help="sweep every registered query (default: first 50)")
     ap.add_argument("--names", default="",
                     help="comma-separated subset of query names")
+    ap.add_argument("--since", type=int, default=None, metavar="ROUND",
+                    help="sweep only queries whose latest green DRIVER row "
+                         "predates ROUND (plus never-checked ones) — the "
+                         "round-close incremental sweep: --all re-verifies "
+                         "queries the driver just confirmed, which at 300+ "
+                         "registered entries costs >10 min for no signal "
+                         "(r10 verdict #3)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--tz", default="Pacific/Kiritimati",
                     help="hostile session timezone (driver configs are "
@@ -119,6 +128,13 @@ def main() -> int:
         unknown = [n for n in names if n not in queries]
         if unknown:
             ap.error(f"unknown queries: {unknown}")
+    elif args.since is not None:
+        from window_plan import last_green_rounds
+        green = last_green_rounds(REPO)
+        names = [n for n in queries
+                 if green.get(n, -1) < args.since]
+        print(f"--since {args.since}: {len(names)} of {len(queries)} "
+              f"queries stale or never driver-checked")
     elif args.all:
         names = list(queries)
     else:

@@ -762,6 +762,74 @@ def test_streaming_count_min_equals_batch(spark, sf_dir):
     assert batch.exceptAll(stream).count() == 0
 
 
+def test_scd2_stream_crash_restart_manifest_mode(spark, tmp_path):
+    """The exactly-once CDC→warehouse story end-to-end (r10 verdict #5):
+    an SCD2 stream against a MANIFEST-mode table (PUT-IF-ABSENT commits,
+    no renames) crashes in the at-least-once danger window — AFTER a
+    batch's table.apply committed but BEFORE the checkpoint recorded the
+    batch — then resumes FROM THE SAME CHECKPOINT.  The restart replays
+    the uncommitted batch (idempotent merge), finishes the rest, and the
+    interval table equals the batch rebuild from the full log."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from hazelcast_jet_spark.operators.timeseries import scd2_intervals
+    from hazelcast_jet_spark.storage import KeyedParquetTable
+    from hazelcast_jet_spark.streaming.scd2 import scd2_stream_maintain
+
+    b1 = [(1, 10, "A", 100), (2, 10, "X", 200)]
+    b2 = [(1, 20, "B", 101), (3, 5, "Q", 300)]
+    b3 = [(2, 40, "Y", 201), (1, 30, "A", 102)]
+    schema = "k long, t long, s string, id long"
+    src = str(tmp_path / "src"); os.makedirs(src)
+    for i, b in enumerate([b1, b2, b3]):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            src + f"/f{i + 1}")
+
+    table = KeyedParquetTable(str(tmp_path / "scd2"), ["k"], num_buckets=8,
+                              commit_mode="manifest")
+    real_apply = table.apply
+    crashed = {"done": False}
+
+    def crashing_apply(*a, **kw):
+        out = real_apply(*a, **kw)  # the table COMMITS this batch...
+        if not crashed["done"] and table._latest_manifest()[0] >= 2:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after commit")  # ...then die
+        return out
+
+    table.apply = crashing_apply
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+        q = scd2_stream_maintain(stream, table, "k", "t", "s", "id",
+                                 checkpoint=ckpt)
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run()
+    assert crashed["done"]
+    v_crash = table._latest_manifest()[0]
+    assert v_crash >= 2  # some batches durably committed before the crash
+
+    # resume from the SAME checkpoint: the crashed batch replays (its
+    # offsets never committed), the merge is idempotent, the rest follows
+    run()
+
+    full = scd2_intervals(
+        spark.createDataFrame(b1 + b2 + b3, schema), "k", "t", "s", "id")
+    key = lambda r: (r["k"], r["version"])  # noqa: E731
+    want = {key(r): tuple(r) for r in full.collect()}
+    got = {key(r): tuple(r) for r in table.read(spark).collect()}
+    assert got == want
+    # the replayed batch re-committed (manifest version advanced) without
+    # tripping the writer-conflict contract (single writer, new version)
+    assert table._latest_manifest()[0] > v_crash
+
+
 def test_scd2_stream_maintain_matches_batch_rebuild(spark, tmp_path):
     """CDC stream -> SCD2 history table: after two micro-batches the
     table equals the batch rebuild from the full log; re-applying the

@@ -1427,7 +1427,9 @@ def nexmark_q5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming: readStream over events → tumbling window
     agg → availableNow to completion (complete mode ⇒ deterministic on
-    bounded input).  SURVEY §2.8; run_to_batch in streaming/run.py."""
+    bounded input).  SURVEY §2.8; run_to_batch in streaming/run.py.
+    State bound: one row per hour window — calendar-bounded, and
+    watermark-evicted in production append mode."""
     from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
 
     e = read_stream_table(spark, sf_dir, "events")
@@ -1446,7 +1448,9 @@ def streaming_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed mapStateful on a real stream (applyInPandasWithState, update
     mode): per-user running count; the final (max) emission per key equals
     the total regardless of micro-batch boundaries.
-    Reference: TransformStatefulP.java:48-151."""
+    Reference: TransformStatefulP.java:48-151.  State bound: one counter
+    row per user — user-bounded (TTL-evictable via the operator's
+    EventTimeTimeout path)."""
     import pandas as pd
 
     from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
@@ -1800,7 +1804,9 @@ def custom_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows on a REAL stream (SessionWindowP.java:79 merge
     semantics ≡ Spark's session_window state merge; complete mode on
-    bounded input ⇒ deterministic final sessions)."""
+    bounded input ⇒ deterministic final sessions).  State bound: one
+    row per (user, merged session) — user×activity-bounded, and
+    watermark-evictable in production append mode."""
     from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
 
     e = read_stream_table(spark, sf_dir, "events")
@@ -1996,7 +2002,10 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark-bounded state dedup; reference distinct ≡ DistinctP on a
     stream): distinct (user, event_type) pairs counted per type.  The
     stream result equals the batch DISTINCT regardless of micro-batch
-    boundaries because state outlives batches."""
+    boundaries because state outlives batches.  State bound: one row
+    per distinct (user, event_type) pair — the streaming-exact-dedup
+    class, user-bounded (withWatermark + dropDuplicatesWithinWatermark
+    is the unbounded-key production variant)."""
     from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
 
     e = read_stream_table(spark, sf_dir, "events").select("user_id", "event_type")
@@ -3213,7 +3222,8 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     document stream (readStream → map-only JVM flag expressions →
     complete-mode agg by lang) — the live-ingestion filter shape.
     availableNow on bounded input makes the counts deterministic, so the
-    batch SQL twin is the exact oracle."""
+    batch SQL twin is the exact oracle.  State bound: one counter row
+    per lang — fixed by the language inventory, O(1) in corpus size."""
     from hazelcast_jet_spark.streaming.run import read_stream_table, run_to_batch
 
     d = read_stream_table(spark, sf_dir, "documents")
@@ -5494,7 +5504,8 @@ def streaming_cohort_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputed signup-cohort week (batch profile, broadcast), counted
     per cohort in complete mode.  availableNow on bounded input makes
     the counts deterministic, so the batch replay is the exact
-    oracle."""
+    oracle.  State bound: one counter row per cohort week —
+    calendar-bounded; the broadcast side is batch-static, not state."""
     from hazelcast_jet_spark.operators.timeseries import _epoch_seconds
     from hazelcast_jet_spark.streaming.run import (read_stream_table,
                                                    run_to_batch)
@@ -5863,7 +5874,8 @@ def streaming_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a real stream (complete mode) — min_by's ordering struct makes
     the bookends commutative across micro-batches, so arrival order
     cannot change the candle; availableNow on bounded input makes the
-    batch OHLC SQL the exact oracle."""
+    batch OHLC SQL the exact oracle.  State bound: one candle row per
+    (event_type, day) — calendar×type-bounded."""
     from hazelcast_jet_spark.streaming.run import (read_stream_table,
                                                    run_to_batch)
 
@@ -6011,7 +6023,8 @@ def streaming_fingerprint_events(spark: SparkSession,
     stream): the commutative checksum is micro-batch-order-free by
     construction, so the streaming fingerprint equals the batch one —
     the live replica-audit loop (stream the CDC feed, compare
-    checksums downstream)."""
+    checksums downstream).  State bound: ONE global checksum row —
+    O(1) regardless of stream size."""
     from hazelcast_jet_spark.operators.profile import table_fingerprint
     from hazelcast_jet_spark.streaming.run import (read_stream_table,
                                                    run_to_batch)

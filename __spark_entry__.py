@@ -6089,6 +6089,24 @@ def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(c, ["c_nationkey"], "c_mktsegment", ls=L_DIV_LS)
 
 
+T_CLOSE_TS = (0.05, 0.1, 0.2)
+
+
+def t_closeness_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (profile.t_closeness; Li, Li &
+    Venkatasubramanian 2007): classes that are l-diverse can still leak
+    through a SKEWED sensitive distribution — per nation, the total
+    variation distance of the market-segment mix from the table-wide
+    mix, thresholded — completing the k-anonymity / l-diversity /
+    t-closeness privacy triad over the same quasi-identifier.  One
+    cell-table scan; bounded class×value grid; per-class TVD sums
+    accumulate in DECIMAL(28,12) (the w1_drift discipline)."""
+    from hazelcast_jet_spark.operators.profile import t_closeness
+
+    c = _t(spark, sf_dir, "customer")
+    return t_closeness(c, ["c_nationkey"], "c_mktsegment", ts=T_CLOSE_TS)
+
+
 def rank_semantics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-semantics pin: rank(), dense_rank() and row_number() over
     the same (order count desc) ordering for the top customers — order
@@ -7046,6 +7064,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: the r11-session additions, deferred to lead the r12 window.
 NEXT_ROUND_LEADS: tuple[str, ...] = (
     "index_health_emb",
+    "t_closeness_customer",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7428,6 +7447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11-session additions: registered after the r11 window ----
         # -- froze; NEXT_ROUND_LEADS defers them to lead the r12 window
         "index_health_emb": index_health_emb,
+        "t_closeness_customer": t_closeness_customer,
     }
 
 
@@ -15256,6 +15276,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM cls
             ) ORDER BY l
         """,
+        "t_closeness_customer": (lambda ts: f"""
+            WITH cells AS (
+                SELECT c_nationkey AS ck, c_mktsegment AS sv,
+                       count(*) AS ncv
+                FROM customer GROUP BY 1, 2
+            ), cls AS (
+                SELECT ck, CAST(SUM(ncv) AS BIGINT) AS nc
+                FROM cells GROUP BY 1
+            ), vals AS (
+                SELECT sv, CAST(SUM(ncv) AS BIGINT) AS nv
+                FROM cells GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(ncv) AS BIGINT) AS n FROM cells
+            ), terms AS (
+                SELECT c.ck, c.nc,
+                       abs(CAST(COALESCE(ce.ncv, 0) AS DOUBLE)
+                           / CAST(c.nc AS DOUBLE)
+                           - CAST(v.nv AS DOUBLE)
+                           / CAST((SELECT n FROM tot) AS DOUBLE)) AS term
+                FROM cls c CROSS JOIN vals v
+                LEFT JOIN cells ce ON ce.ck = c.ck AND ce.sv = v.sv
+            ), tvd AS (
+                SELECT ck, MAX(nc) AS nc,
+                       CAST(0.5 AS DOUBLE)
+                       * CAST(SUM(CAST(term AS DECIMAL(28,12)))
+                              AS DOUBLE) AS tvd
+                FROM terms GROUP BY 1
+            )
+            SELECT * FROM (
+                {" UNION ALL ".join(f'''
+                SELECT CAST({t!r} AS DOUBLE) AS t,
+                       CAST(SUM(CASE WHEN tvd > CAST({t!r} AS DOUBLE)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_weak_classes,
+                       CAST(SUM(CASE WHEN tvd > CAST({t!r} AS DOUBLE)
+                                     THEN nc ELSE 0 END) AS BIGINT)
+                           AS n_weak_rows,
+                       round(CAST(SUM(CASE WHEN tvd > CAST({t!r} AS DOUBLE)
+                                      THEN nc ELSE 0 END) AS DOUBLE)
+                             / CAST(SUM(nc) AS DOUBLE), 6) + 0.0
+                           AS weak_share
+                FROM tvd''' for t in ts)}
+            ) ORDER BY t
+        """)(T_CLOSE_TS),
         "rank_semantics_orders": """
             WITH cnt AS (
                 SELECT o_custkey, count(*) AS n_orders

@@ -2005,6 +2005,73 @@ def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
     return (one.select(rows.alias("o")).select("o.*").orderBy("l"))
 
 
+def t_closeness(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
+                ts: tuple = (0.2, 0.3, 0.5),
+                round_digits: int = 6) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    SKEWNESS attack l-diversity misses: a class can hold l distinct
+    sensitive values yet still leak if its distribution is far from the
+    table's (a class that is 90% one segment against a uniform global
+    mix discloses that segment with high confidence).  For a categorical
+    sensitive attribute the distance is total variation
+
+        TVD(class) = ½ · Σ_v |n_cv/n_c − N_v/N|
+
+    summed over the GLOBAL value inventory (absent values count — a
+    class missing a common value is also skewed).  For each threshold t,
+    the classes with TVD > t, the rows in them, and the disclosed share
+    — completing the k-anonymity / l-diversity / t-closeness triad.
+
+    Plan: ONE scan to the (class, value) cell table; class totals,
+    value totals and the grand total all derive from the cells
+    (map-side-combined aggregates over a bounded frame); the
+    class×value grid is a cross join of two BOUNDED dimension tables
+    with the cells left-joined back.  Per-cell terms are fixed-order
+    double quotients of exact counts; the per-class sum accumulates in
+    DECIMAL(28,12) so it is order-free and engine-portable (the
+    :func:`w1_drift` discipline — the threshold compare runs on the
+    UNROUNDED statistic).
+
+    Returns ``(t, n_weak_classes, n_weak_rows, weak_share)`` ordered
+    by t.
+    """
+    cells = (df.groupBy(*quasi_cols, sensitive_col)
+             .agg(F.count(F.lit(1)).alias("__ncv")))
+    classes = cells.groupBy(*quasi_cols).agg(F.sum("__ncv").alias("__nc"))
+    values = (cells.groupBy(sensitive_col)
+              .agg(F.sum("__ncv").alias("__nv")))
+    total = cells.agg(F.sum("__ncv").alias("__n"))
+    grid = (classes.crossJoin(F.broadcast(values))
+            .crossJoin(F.broadcast(total))
+            .join(cells, [*quasi_cols, sensitive_col], "left"))
+    term = F.abs(
+        F.coalesce(F.col("__ncv"), F.lit(0)).cast("double")
+        / F.col("__nc").cast("double")
+        - F.col("__nv").cast("double") / F.col("__n").cast("double"))
+    tvd_tbl = (grid.groupBy(*quasi_cols)
+               .agg(F.max("__nc").alias("__nc"),
+                    (F.lit(0.5) * F.sum(term.cast("decimal(28,12)"))
+                     .cast("double")).alias("__tvd")))
+    aggs = [F.sum("__nc").alias("__rows")]
+    for t in ts:
+        aggs.append(F.sum((F.col("__tvd") > t).cast("bigint"))
+                    .alias(f"__c{int(t * 100)}"))
+        aggs.append(F.sum(F.when(F.col("__tvd") > t, F.col("__nc"))
+                          .otherwise(F.lit(0)))
+                    .alias(f"__r{int(t * 100)}"))
+    one = tvd_tbl.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(float(t)).alias("t"),
+                 F.col(f"__c{int(t * 100)}").alias("n_weak_classes"),
+                 F.col(f"__r{int(t * 100)}").alias("n_weak_rows"),
+                 (F.round(F.col(f"__r{int(t * 100)}").cast("double")
+                          / F.col("__rows").cast("double"),
+                          round_digits) + F.lit(0.0))
+                 .alias("weak_share"))
+        for t in ts]))
+    return (one.select(rows.alias("o")).select("o.*").orderBy("t"))
+
+
 #: 16^12 — the md5 12-hex-digit uniform space (matches operators/sampling)
 _DP_SPACE = float(1 << 48)
 

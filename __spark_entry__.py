@@ -4638,6 +4638,29 @@ def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "day")
 
 
+KALMAN_Q, KALMAN_R = 1.0, 4.0
+
+
+def kalman_level_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter of the daily event rate per type
+    (timeseries.kalman_level; Kalman 1960, Harvey 1989): the
+    adaptive-gain upgrade of q:ewma_event_rate — the gain recursion
+    starts at 1 (trust the first observations) and converges to the
+    steady state set by q/r, which fixed-α EWMA only matches
+    asymptotically.  Same Arrow applyInPandas recurrence lane; every
+    step is a fixed-order double expression, so the recursive-CTE
+    oracle replays the filter bit-for-bit (no rounding anywhere)."""
+    from hazelcast_jet_spark.operators.timeseries import kalman_level
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    out = kalman_level(daily, key_col="event_type", time_col="day",
+                       value_col="n", q=KALMAN_Q, r=KALMAN_R)
+    return out.select("event_type", "day", "n", "level", "gain") \
+        .orderBy("event_type", "day")
+
+
 PACK_BUDGET = 1500
 
 
@@ -7065,6 +7088,7 @@ def entry(spark: SparkSession) -> DataFrame:
 NEXT_ROUND_LEADS: tuple[str, ...] = (
     "index_health_emb",
     "t_closeness_customer",
+    "kalman_level_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7448,6 +7472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- froze; NEXT_ROUND_LEADS defers them to lead the r12 window
         "index_health_emb": index_health_emb,
         "t_closeness_customer": t_closeness_customer,
+        "kalman_level_events": kalman_level_events,
     }
 
 
@@ -10829,6 +10854,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, day, n, ewma_rate
             FROM ew ORDER BY event_type, day
+        """,
+        "kalman_level_events": f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), ser AS (
+                SELECT event_type, day, n,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY day) AS idx
+                FROM daily
+            ), kf AS (
+                SELECT event_type, day, n, idx,
+                       CAST(n AS DOUBLE) AS level,
+                       CAST(1.0 AS DOUBLE) AS gain,
+                       CAST({KALMAN_R!r} AS DOUBLE) AS p
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.event_type, s.day, s.n, s.idx,
+                       -- mirror the operator's op order exactly:
+                       -- pp = p+q; k = pp/(pp+r); x += k*(v-x);
+                       -- p = (1-k)*pp
+                       e.level + ((e.p + {KALMAN_Q!r})
+                                  / ((e.p + {KALMAN_Q!r}) + {KALMAN_R!r}))
+                               * (CAST(s.n AS DOUBLE) - e.level),
+                       (e.p + {KALMAN_Q!r})
+                           / ((e.p + {KALMAN_Q!r}) + {KALMAN_R!r}),
+                       (1.0 - (e.p + {KALMAN_Q!r})
+                              / ((e.p + {KALMAN_Q!r}) + {KALMAN_R!r}))
+                           * (e.p + {KALMAN_Q!r})
+                FROM ser s JOIN kf e
+                  ON s.event_type = e.event_type AND s.idx = e.idx + 1
+            )
+            SELECT event_type, day, n, level, gain
+            FROM kf ORDER BY event_type, day
         """,
         "greedy_pack_bins": """
             WITH RECURSIVE ser AS (

@@ -200,6 +200,69 @@ def ewma(df: DataFrame, key_col: str, time_col: str, value_col: str,
     return df.groupBy(key_col).applyInPandas(_ewm, out_schema)
 
 
+def kalman_level(df: DataFrame, key_col: str, time_col: str,
+                 value_col: str, q: float = 1.0, r: float = 4.0,
+                 out_col: str = "level",
+                 gain_col: str = "gain") -> DataFrame:
+    """Local-level Kalman filter per key (Kalman 1960; the
+    random-walk-plus-noise state-space model, Harvey 1989 ch.2): the
+    optimal-gain generalization of :func:`ewma` — instead of a FIXED
+    smoothing α, the gain adapts from the uncertainty recursion
+
+        P⁻ = P + q                  (predict)
+        K  = P⁻ / (P⁻ + r)          (gain)
+        x  = x + K·(v − x)          (update)
+        P  = (1 − K)·P⁻
+
+    converging to the steady-state gain α* = (−q+√(q²+4qr))/(2r)·…
+    from ABOVE, so early observations (high uncertainty) correct
+    faster — the warm-up behavior fixed-α EWMA gets wrong.  ``q`` is
+    the process (level-walk) variance, ``r`` the observation variance;
+    q/r sets the asymptotic responsiveness.
+
+    Init: the first observation is taken as the level (diffuse prior
+    collapses to it), with ``P = r`` and ``gain = 1``.
+
+    Same execution shape as :func:`ewma`: one shuffle on the key, then
+    an Arrow-batched per-key pandas recurrence (honestly sequential —
+    each step needs the previous posterior; at scale the per-key series
+    is calendar-bounded, e.g. days, so groups are small regardless of
+    corpus size).  Every step is a fixed-order double expression, so a
+    recursive-CTE oracle replays the filter bit-for-bit.
+
+    Returns the input columns plus ``(out_col, gain_col)`` doubles.
+    """
+    import pandas as pd  # noqa: F401
+
+    if q < 0 or r <= 0:
+        raise ValueError(f"need q >= 0 and r > 0, got q={q}, r={r}")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} double, {gain_col} double"
+    qf, rf = float(q), float(r)
+
+    def _filter(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        vals = [float(v) for v in pdf[value_col]]
+        levels, gains = [], []
+        x = p = 0.0
+        for i, v in enumerate(vals):
+            if i == 0:
+                x, p, k = v, rf, 1.0
+            else:
+                pp = p + qf
+                k = pp / (pp + rf)
+                x = x + k * (v - x)
+                p = (1.0 - k) * pp
+            levels.append(x)
+            gains.append(k)
+        pdf[out_col] = levels
+        pdf[gain_col] = gains
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_filter, out_schema)
+
+
 def cohort_retention(df: DataFrame, key_col: str = "user_id",
                      time_col: str = "ts",
                      period_seconds: int = 604800) -> DataFrame:

@@ -5855,6 +5855,23 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    max_degree=LINKPRED_MAX_DEGREE)
 
 
+def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach (graph.khop_reach) over the small-basket
+    co-purchase graph: the 20 widest 2-hop neighborhoods with the
+    reach2/degree expansion ratio — the blast-radius companion of
+    q:link_prediction_parts on the same substrate (bridge parts have
+    high expansion; clustered parts low).  Hub-capped middles, one
+    distinct over the 2-hop candidate set, shuffle-hinted wedge
+    join."""
+    from hazelcast_jet_spark.operators.graph import (cooccurrence_edges,
+                                                     khop_reach)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group=LINKPRED_MAX_BASKET)
+    return khop_reach(edges, max_degree=LINKPRED_MAX_DEGREE).limit(20)
+
+
 def ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles per event type (timeseries.ohlc_resample):
     open/close via conditional min_by/max_by over the (ts, event_id)
@@ -7089,6 +7106,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "index_health_emb",
     "t_closeness_customer",
     "kalman_level_events",
+    "khop_reach_parts",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7473,6 +7491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_health_emb": index_health_emb,
         "t_closeness_customer": t_closeness_customer,
         "kalman_level_events": kalman_level_events,
+        "khop_reach_parts": khop_reach_parts,
     }
 
 
@@ -14805,6 +14824,45 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN deg da ON c.a = da.node
                         JOIN deg db ON c.b = db.node
             ORDER BY jaccard DESC, src, dst LIMIT 20
+        """,
+        "khop_reach_parts": f"""
+            WITH nodes AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), gs AS (
+                SELECT g FROM nodes GROUP BY g
+                HAVING count(*) >= 2
+                   AND count(*) <= {LINKPRED_MAX_BASKET}
+            ), edges AS (
+                SELECT DISTINCT a.n AS src, b.n AS dst
+                FROM nodes a JOIN gs USING (g) JOIN nodes b USING (g)
+                WHERE a.n < b.n
+            ), bt AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, count(*) AS degree FROM bt GROUP BY 1
+            ), ctr AS (
+                SELECT b.src, b.dst FROM bt b JOIN deg d ON b.src = d.node
+                WHERE d.degree <= {LINKPRED_MAX_DEGREE}
+            ), uni AS (
+                SELECT DISTINCT node, reached FROM (
+                    SELECT x.dst AS node, y.dst AS reached
+                    FROM ctr x JOIN ctr y ON x.src = y.src
+                    WHERE x.dst <> y.dst
+                    UNION ALL
+                    SELECT src AS node, dst AS reached FROM bt
+                )
+            ), reach AS (
+                SELECT node, count(*) AS reach2 FROM uni GROUP BY 1
+            )
+            SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(r.reach2 AS BIGINT) AS reach2,
+                   round(CAST(r.reach2 AS DOUBLE)
+                         / CAST(d.degree AS DOUBLE), 6) + 0.0
+                       AS expansion
+            FROM deg d JOIN reach r USING (node)
+            ORDER BY reach2 DESC, node LIMIT 20
         """,
         "ohlc_events": """
             WITH r AS (

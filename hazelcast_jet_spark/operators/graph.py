@@ -675,6 +675,63 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     return labels
 
 
+def khop_reach(edges: DataFrame, max_degree: int = 256,
+               round_digits: int = 6) -> DataFrame:
+    """Two-hop reach per node: degree (1-hop reach) and the number of
+    DISTINCT nodes reachable in ≤ 2 hops — the local influence/blast-
+    radius metric behind "how far does this product's co-purchase
+    neighborhood extend" and expansion-quality checks on near-dup
+    graphs (a high reach2/degree ratio marks bridge nodes; ≈ degree²
+    marks tree-like sprawl, ≪ degree² marks dense clustering).
+
+    Semantics: the graph is undirected (canonicalized like
+    :func:`jaccard_link_prediction` — duplicates/orientation-free);
+    2-hop paths are counted only through MIDDLE nodes with degree ≤
+    ``max_degree`` (the wedge-center hub guard — a celebrity middle
+    makes everyone 2-hop-adjacent, which is quadratic and a useless
+    signal), direct neighbors always count; self is excluded.
+
+    Plan at scale: both wedge legs are the directed edge list joined on
+    the capped middle (shuffle-hinted — the static estimator would
+    broadcast an |edges|-sized side, the link-prediction lesson), then
+    ONE distinct over (node, reached) unioned with the 1-hop rows —
+    the distinct is the real cost and is exactly the candidate set any
+    2-hop algorithm must materialize; degrees reuse the same edge
+    partitioning.
+
+    Returns ``(node, degree, reach2, expansion)`` where ``expansion``
+    = reach2 / degree (rounded) — ordered by (reach2 desc, node),
+    callers limit as needed.
+    """
+    canon = (edges.select(F.least("src", "dst").alias("src"),
+                          F.greatest("src", "dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    both = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    both = both.localCheckpoint()  # feeds degrees + both wedge legs
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    ctr = both.join(
+        deg.filter(F.col("degree") <= max_degree)
+        .select(F.col("node").alias("src")), "src")
+    a = ctr.select(F.col("src").alias("__m"), F.col("dst").alias("node"))
+    b = ctr.select(F.col("src").alias("__m"), F.col("dst").alias("reached"))
+    two = (a.join(b.hint("shuffle_merge"), "__m")
+           .filter(F.col("node") != F.col("reached"))
+           .select("node", "reached"))
+    one = both.select(F.col("src").alias("node"),
+                      F.col("dst").alias("reached"))
+    reach = (two.unionAll(one).distinct()
+             .groupBy("node").agg(F.count(F.lit(1)).alias("reach2")))
+    return (deg.join(reach, "node")
+            .select("node", "degree", "reach2",
+                    (F.round(F.col("reach2").cast("double")
+                             / F.col("degree").cast("double"),
+                             round_digits) + F.lit(0.0)).alias("expansion"))
+            .orderBy(F.desc("reach2"), "node"))
+
+
 def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
                             max_degree: int = 256,
                             round_digits: int = 6,

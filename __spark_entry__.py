@@ -3748,6 +3748,29 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pagerank"), "part").limit(20))
 
 
+PPR_SEED_MOD = 97
+
+
+def ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank; Page et al.
+    1999 §6, Jeh & Widom 2003): teleport restricted to the seed parts
+    (partkey % 97 == 0) — rank measures co-purchase proximity TO the
+    seed set, the related-items / seed-expansion primitive global
+    q:pagerank_copurchase cannot express.  Same DECIMAL-exact iteration
+    body; the oracle unrolls the identical 3 rounds with the seeded
+    base term."""
+    from hazelcast_jet_spark.operators.graph import personalized_pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .filter(F.col("node") % PPR_SEED_MOD == 0).distinct())
+    pr = personalized_pagerank(edges, seeds, iters=PAGERANK_ITERS,
+                               damping=PAGERANK_DAMPING)
+    return (pr.select(F.col("node").alias("part"), "pagerank")
+            .orderBy(F.desc("pagerank"), "part").limit(20))
+
+
 SLIDING_DISTINCT_K = 4096
 
 
@@ -7107,6 +7130,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "t_closeness_customer",
     "kalman_level_events",
     "khop_reach_parts",
+    "ppr_copurchase",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7492,6 +7516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness_customer": t_closeness_customer,
         "kalman_level_events": kalman_level_events,
         "khop_reach_parts": khop_reach_parts,
+        "ppr_copurchase": ppr_copurchase,
     }
 
 
@@ -7712,6 +7737,31 @@ def _pagerank_iter_sql(i: int, prev: str) -> str:
                        + CAST('{d}' AS DOUBLE)
                          * COALESCE(c.inr, CAST('0.0' AS DOUBLE)) AS rank
                 FROM deg d CROSS JOIN nn LEFT JOIN c{i} c ON c.node = d.node
+            )"""
+
+
+def _ppr_iter_sql(i: int, prev: str) -> str:
+    """One unrolled personalized-PageRank iteration — the seeded-base
+    twin of :func:`_pagerank_iter_sql` (same DECIMAL(28,18) contribution
+    accumulation; the base term lands only on seed rows)."""
+    omd = repr(1.0 - PAGERANK_DAMPING)
+    d = repr(PAGERANK_DAMPING)
+    return f"""c{i} AS (
+                SELECT dir.dst AS node,
+                       CAST(SUM(CAST(r.rank / CAST(r.deg AS DOUBLE)
+                            AS DECIMAL(28,18))) AS DOUBLE) AS inr
+                FROM dir JOIN {prev} r ON dir.src = r.node
+                GROUP BY dir.dst
+            ), r{i} AS (
+                SELECT d.node, d.deg, d.seed,
+                       CASE WHEN d.seed
+                            THEN CAST('{omd}' AS DOUBLE)
+                                 / CAST(ns AS DOUBLE)
+                            ELSE CAST('0.0' AS DOUBLE) END
+                       + CAST('{d}' AS DOUBLE)
+                         * COALESCE(c.inr, CAST('0.0' AS DOUBLE)) AS rank
+                FROM sd d CROSS JOIN nseed
+                LEFT JOIN c{i} c ON c.node = d.node
             )"""
 
 
@@ -10261,6 +10311,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS part, round(rank, 9) AS pagerank
             FROM r3
             ORDER BY round(rank, 9) DESC, node LIMIT 20
+        """,
+        "ppr_copurchase": f"""
+            WITH {_COPURCHASE_EDGES_SQL},
+            dir AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), deg AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM dir GROUP BY src
+            ), sd AS (
+                SELECT node, deg, (node % {PPR_SEED_MOD} = 0) AS seed
+                FROM deg
+            ), nseed AS (
+                SELECT CAST(count(*) AS BIGINT) AS ns FROM sd WHERE seed
+            ), r0 AS (
+                SELECT node, deg, seed,
+                       CASE WHEN seed
+                            THEN CAST('1.0' AS DOUBLE) / CAST(ns AS DOUBLE)
+                            ELSE CAST('0.0' AS DOUBLE) END AS rank
+                FROM sd CROSS JOIN nseed
+            ),
+            {_ppr_iter_sql(1, 'r0')},
+            {_ppr_iter_sql(2, 'r1')},
+            {_ppr_iter_sql(3, 'r2')}
+            SELECT node AS part, round(rank, 9) + 0.0 AS pagerank
+            FROM r3
+            ORDER BY round(rank, 9) + 0.0 DESC, node LIMIT 20
         """,
         "multimodal_audio_stats": f"""
             WITH m AS (

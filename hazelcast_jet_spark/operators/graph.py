@@ -342,6 +342,91 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         "node", F.round("rank", round_digits).alias("pagerank"))
 
 
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 3, damping: float = 0.85,
+                          round_digits: int = 9,
+                          broadcast_ranks: bool | None = None) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6 'personalized' teleport;
+    Jeh & Widom 2003): the teleport lands on the SEED set instead of
+    uniformly, so rank measures proximity TO the seeds — the
+    related-items / seed-expansion primitive ("parts relevant to this
+    catalog section", "docs near these known-good examples") that global
+    pagerank cannot express.
+
+        r_{{t+1}}(v) = (1−d)·[v ∈ S]/|S| + d · Σ_{{u→v}} r_t(u)/deg(u)
+
+    from the seed-uniform start r_0 = [v ∈ S]/|S|.  Same execution body
+    as :func:`pagerank` (directed expansion persisted once, broadcast-or-
+    SMJ contribution join, DECIMAL(28,18) order-free contribution sums,
+    per-iteration localCheckpoint) with the base term restricted to the
+    seed rows — bit-portable to an unrolled SQL oracle.
+
+    ``seeds`` is a 1-column ``node`` frame; seeds not present in the
+    edge list are ignored (they have no outgoing mass and receive no
+    teleport — the standard restrict-to-graph convention).  Returns
+    ``(node, pagerank)``; rows with rank 0 (unreachable from the seeds)
+    are retained so the output is a full node table.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    edges = edges.localCheckpoint()
+    directed = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .persist()
+    )
+    nodes = (
+        directed.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        .select(F.col("src").alias("node"), "__deg")
+        .join(seeds.select(F.col("node")).distinct()
+              .withColumn("__seed", F.lit(True)), "node", "left")
+        .select("node", "__deg",
+                F.coalesce("__seed", F.lit(False)).alias("__seed"))
+        .localCheckpoint()
+    )
+    ns = nodes.filter(F.col("__seed")).count()
+    if ns == 0:
+        raise ValueError("no seed appears in the edge list")
+    if broadcast_ranks is None:
+        broadcast_ranks = nodes.count() <= BROADCAST_NODES_MAX
+    r0 = 1.0 / float(ns)
+    base_term = (1.0 - damping) / float(ns)
+    base = F.when(F.col("__seed"), F.lit(base_term)).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node", "__deg", "__seed",
+        F.when(F.col("__seed"), F.lit(r0)).otherwise(F.lit(0.0))
+        .alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        side = ranks.select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("__deg").cast("double")).alias("__c"))
+        if broadcast_ranks:
+            side = F.broadcast(side)
+        contrib = (
+            directed.join(side, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("__c").cast("decimal(28,18)"))
+                 .cast("double").alias("__in"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node", "__deg", "__seed",
+                (base + F.lit(damping)
+                 * F.coalesce(F.col("__in"), F.lit(0.0))).alias("rank"))
+            .localCheckpoint()
+        )
+        prev.unpersist(False)
+    directed.unpersist(False)
+    return ranks.select(
+        "node", (F.round("rank", round_digits) + F.lit(0.0))
+        .alias("pagerank"))
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,

@@ -4416,6 +4416,49 @@ def quantile_sketch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile-sketch maintenance: the same deterministic
+    bottom-k-by-md5 sketch (sketch.quantile_sketch) plus the exact
+    percentiles, maintained live in ONE complete-mode aggregation over
+    readStream — the order-statistics lane joining the CMS/HLL
+    streaming sketch twins.  The bottom-k buffer is mergeable across
+    micro-batches by the KMV argument (the global bottom-k of a union
+    lives in the union of bottom-ks), so batch boundaries cannot change
+    the sketch; availableNow on bounded input makes the batch SQL the
+    exact oracle (shared with q:quantile_sketch_events).  State bound:
+    one row per event_type, each carrying a ≤k sample buffer plus the
+    exact-percentile buffer (values per type — the complete-mode exact
+    leg; drop it and keep the sketch for O(k)-state production runs)."""
+    from hazelcast_jet_spark.operators.sketch import (
+        quantile_estimate, quantile_sketch)
+    from hazelcast_jet_spark.streaming.run import (read_stream_table,
+                                                   run_to_batch)
+
+    s = (read_stream_table(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()))
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        quantile_sketch("value", "event_id", k=QSK_K).alias("__sk"),
+    )
+    # bound the state-partition count for the run (5 keys; a default of
+    # 200 state stores is pure overhead) — restored afterwards
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = run_to_batch(agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        "event_type", "n_rows",
+        F.size("__sk").alias("n_sample"),
+        quantile_estimate(F.col("__sk"), 0.5).alias("p50_est"),
+        quantile_estimate(F.col("__sk"), 0.9).alias("p90_est"),
+        "p50_exact", "p90_exact",
+    ).orderBy("event_type")
+
+
 AR_MIN_PAIR, AR_MAX_BASKET, AR_TOPK = 3, 64, 20
 
 
@@ -7131,6 +7174,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "kalman_level_events",
     "khop_reach_parts",
     "ppr_copurchase",
+    "streaming_quantile_sketch",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7517,6 +7561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_level_events": kalman_level_events,
         "khop_reach_parts": khop_reach_parts,
         "ppr_copurchase": ppr_copurchase,
+        "streaming_quantile_sketch": streaming_quantile_sketch,
     }
 
 
@@ -17496,4 +17541,8 @@ def oracle_sql() -> dict[str, str]:
     # the streaming lead-lag twin shares the batch tail arithmetic, so
     # the bounded-input (availableNow) result IS the batch result
     oracles["streaming_lead_lag_events"] = oracles["lead_lag_events"]
+    # the streaming quantile-sketch twin maintains the identical
+    # bottom-k buffer (mergeable across micro-batches by the KMV
+    # argument), so the batch sketch SQL is its exact oracle too
+    oracles["streaming_quantile_sketch"] = oracles["quantile_sketch_events"]
     return oracles

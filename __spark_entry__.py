@@ -5778,6 +5778,32 @@ def cuped_experiment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_means(units, "arm", "pre", "post")
 
 
+PS_SEED = "ps1"
+
+
+def post_stratified_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified ATE (experiment.post_stratified_ate; Miratrix,
+    Sekhon & Yu 2013): md5-arm customers, per-customer total spend as
+    the metric, market segment as the post-stratification covariate —
+    the analysis-time blocking that removes chance segment imbalance
+    from the raw contrast (compare ate_raw vs ate_ps, se_ps carries
+    the variance story).  One bounded (segment, arm) cell aggregate
+    over the per-customer rollup; DECIMAL-exact moments end to end;
+    the z→p tail is the shared fixed-order polynomial."""
+    from hazelcast_jet_spark.operators.experiment import (
+        ab_assign, post_stratified_ate)
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    units = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,12)"))
+                  .cast("double").alias("y"))
+             .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_mktsegment"), "o_custkey")
+             .withColumn("arm", ab_assign(F.col("o_custkey"), PS_SEED)))
+    return post_stratified_ate(units, "arm", "y", "c_mktsegment")
+
+
 def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First- vs last-touch conversion attribution
     (experiment.touch_attribution): per converting user, the first and
@@ -7175,6 +7201,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "khop_reach_parts",
     "ppr_copurchase",
     "streaming_quantile_sketch",
+    "post_stratified_ate_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7562,6 +7589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "khop_reach_parts": khop_reach_parts,
         "ppr_copurchase": ppr_copurchase,
         "streaming_quantile_sketch": streaming_quantile_sketch,
+        "post_stratified_ate_orders": post_stratified_ate_orders,
     }
 
 
@@ -14639,6 +14667,87 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             WHERE prior IS NULL OR best_p_retailprice < prior
             ORDER BY p_size DESC
+        """,
+        "post_stratified_ate_orders": f"""
+            WITH u AS (
+                SELECT o.o_custkey,
+                       CASE WHEN substr(md5('{PS_SEED}-'
+                                 || CAST(o.o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       c.c_mktsegment AS s,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,12)))
+                            AS DOUBLE) AS y
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2, 3
+            ), cells AS (
+                SELECT s,
+                       CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS na,
+                       CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nb,
+                       COALESCE(CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(y AS DECIMAL(38,12)) END)
+                           AS DOUBLE), 0.0) AS sa,
+                       COALESCE(CAST(SUM(CASE WHEN arm = 'B'
+                           THEN CAST(y AS DECIMAL(38,12)) END)
+                           AS DOUBLE), 0.0) AS sb,
+                       COALESCE(CAST(SUM(CASE WHEN arm = 'A'
+                           THEN CAST(y * y AS DECIMAL(38,12)) END)
+                           AS DOUBLE), 0.0) AS qa,
+                       COALESCE(CAST(SUM(CASE WHEN arm = 'B'
+                           THEN CAST(y * y AS DECIMAL(38,12)) END)
+                           AS DOUBLE), 0.0) AS qb
+                FROM u GROUP BY 1
+            ), raw AS (
+                SELECT CAST(SUM(na + nb) AS BIGINT) AS n_units,
+                       COALESCE(CAST(SUM(CAST(sa AS DECIMAL(38,12)))
+                           AS DOUBLE), 0.0) AS ta,
+                       COALESCE(CAST(SUM(CAST(sb AS DECIMAL(38,12)))
+                           AS DOUBLE), 0.0) AS tb,
+                       CAST(SUM(na) AS BIGINT) AS tna,
+                       CAST(SUM(nb) AS BIGINT) AS tnb
+                FROM cells
+            ), inc AS (
+                SELECT * FROM cells WHERE na >= 2 AND nb >= 2
+            ), tot AS (
+                SELECT CAST(SUM(na + nb) AS BIGINT) AS nt FROM inc
+            ), terms AS (
+                SELECT i.na, i.nb,
+                       (CAST(i.na AS DOUBLE) + CAST(i.nb AS DOUBLE))
+                           / CAST(t.nt AS DOUBLE) AS w,
+                       i.sb / CAST(i.nb AS DOUBLE)
+                           - i.sa / CAST(i.na AS DOUBLE) AS dlt,
+                       (i.qa - i.sa * i.sa / CAST(i.na AS DOUBLE))
+                           / (CAST(i.na AS DOUBLE) - 1.0) AS va,
+                       (i.qb - i.sb * i.sb / CAST(i.nb AS DOUBLE))
+                           / (CAST(i.nb AS DOUBLE) - 1.0) AS vb
+                FROM inc i CROSS JOIN tot t
+            ), folded AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_strata_used,
+                       CAST(SUM(na + nb) AS BIGINT) AS n_units_used,
+                       COALESCE(CAST(SUM(CAST(w * dlt AS DECIMAL(38,12)))
+                           AS DOUBLE), 0.0) AS ate,
+                       COALESCE(CAST(SUM(CAST(w * w
+                           * (va / CAST(na AS DOUBLE)
+                              + vb / CAST(nb AS DOUBLE))
+                           AS DECIMAL(38,12))) AS DOUBLE), 0.0) AS var
+                FROM terms
+            )
+            SELECT r.n_units, f.n_strata_used, f.n_units_used,
+                   round(r.tb / CAST(r.tnb AS DOUBLE)
+                         - r.ta / CAST(r.tna AS DOUBLE), 6) + 0.0
+                       AS ate_raw,
+                   round(f.ate, 6) + 0.0 AS ate_ps,
+                   round(sqrt(f.var), 6) + 0.0 AS se_ps,
+                   round(CASE WHEN sqrt(f.var) > 0.0
+                              THEN f.ate / sqrt(f.var) END, 6) + 0.0
+                       AS z,
+                   round(CASE WHEN sqrt(f.var) > 0.0 THEN
+                       {_two_sided_p_sql('f.ate / sqrt(f.var)')}
+                       END, 6) + 0.0 AS p_value
+            FROM raw r CROSS JOIN folded f
         """,
         "cuped_experiment_orders": f"""
             WITH u AS (

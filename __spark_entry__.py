@@ -4026,6 +4026,22 @@ def w1_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w1_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
 
 
+def cvm_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramér–von Mises drift (profile.cvm_drift;
+    Anderson 1962): the integrated-square statistic completing the
+    drift triad on the same even-vs-odd halves — KS gives the supremum
+    point, W1 the mass moved, CvM the whole-curve squared discrepancy
+    that catches many small deviations a supremum dilutes.  Same
+    two-shrinking-exchange plan as q:w1_drift_events; DECIMAL-
+    accumulated terms."""
+    from hazelcast_jet_spark.operators.profile import cvm_drift
+
+    e = _t(spark, sf_dir, "events")
+    ref = e.filter(F.col("event_id") % 2 == 0)
+    cur = e.filter(F.col("event_id") % 2 == 1)
+    return cvm_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
+
+
 SCM_WIDTH = 256
 SCM_SEED = "scm"
 
@@ -7202,6 +7218,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "ppr_copurchase",
     "streaming_quantile_sketch",
     "post_stratified_ate_orders",
+    "cvm_drift_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7590,6 +7607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_copurchase": ppr_copurchase,
         "streaming_quantile_sketch": streaming_quantile_sketch,
         "post_stratified_ate_orders": post_stratified_ate_orders,
+        "cvm_drift_events": cvm_drift_events,
     }
 
 
@@ -14112,6 +14130,47 @@ def oracle_sql() -> dict[str, str]:
                            - c_cur / CAST(n_cur AS DOUBLE))
                        * coalesce(gap, 0.0) AS DECIMAL(28,12)))
                        AS DOUBLE), 6) AS w1
+            FROM s WHERE n_ref > 0 AND n_cur > 0
+            GROUP BY event_type, n_ref, n_cur
+            ORDER BY event_type
+        """,
+        "cvm_drift_events": """
+            WITH t AS (
+                SELECT event_type, value AS x,
+                       CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS src
+                FROM events WHERE value IS NOT NULL
+            ), px AS (
+                SELECT event_type, x,
+                       SUM(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS r,
+                       SUM(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS c
+                FROM t GROUP BY event_type, x
+            ), s AS (
+                SELECT event_type, r, c,
+                       SUM(r) OVER (PARTITION BY event_type) AS n_ref,
+                       SUM(c) OVER (PARTITION BY event_type) AS n_cur,
+                       SUM(r) OVER (PARTITION BY event_type ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS c_ref,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY x
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS c_cur
+                FROM px
+            )
+            SELECT event_type,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+                         / ((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                            * (CAST(n_ref AS DOUBLE)
+                               + CAST(n_cur AS DOUBLE)))
+                         * CAST(SUM(CAST(
+                             CAST(r + c AS DOUBLE)
+                             * ((c_ref / CAST(n_ref AS DOUBLE)
+                                 - c_cur / CAST(n_cur AS DOUBLE))
+                                * (c_ref / CAST(n_ref AS DOUBLE)
+                                   - c_cur / CAST(n_cur AS DOUBLE)))
+                             AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0
+                       AS cvm_stat
             FROM s WHERE n_ref > 0 AND n_cur > 0
             GROUP BY event_type, n_ref, n_cur
             ORDER BY event_type

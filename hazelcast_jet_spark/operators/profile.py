@@ -530,6 +530,81 @@ def w1_drift(ref: DataFrame, cur: DataFrame, value_col: str,
     )
 
 
+def cvm_drift(ref: DataFrame, cur: DataFrame, value_col: str,
+              group_cols: list[str] | None = None,
+              round_digits: int = 6) -> DataFrame:
+    """Exact two-sample Cramér–von Mises statistic per group (Anderson
+    1962) — the INTEGRATED-square companion completing the drift
+    family: KS reports the supremum gap (one point), W1 the mass moved
+    (value units), CvM the whole-curve squared discrepancy
+
+        T = (n·m / N²) · Σ_z (ECDF_ref(z) − ECDF_cur(z))²
+
+    summed over every pooled observation z (N = n + m) — sensitive to
+    distributed small deviations a single-point supremum dilutes, in a
+    scale-free [0, ~N/6] range with published critical values (0.461 at
+    α=0.05 for large samples).
+
+    Tie convention: ECDFs step INCLUSIVELY at tied values and each of
+    the (r+c) tied observations contributes the same squared term —
+    identical to evaluating the classic formula on the pooled order
+    statistics, and tie-order-independent (the :func:`ks_drift`
+    determinism argument).
+
+    Plan: the same two strictly-shrinking exchanges as :func:`w1_drift`
+    — distinct-value compaction (ties absorb map-side), one group
+    window for the cumulative counts, then per-value squared terms
+    weighted by multiplicity accumulate in DECIMAL(28,12) (order-free,
+    engine-portable; the per-term double arithmetic is fixed-order).
+
+    Returns ``(group_cols…, n_ref, n_cur, cvm_stat)``; groups present
+    in only one sample are omitted.
+    """
+    g = group_cols or []
+    tagged = (
+        ref.select(*g, F.col(value_col).alias("__x"))
+        .withColumn("__src", F.lit(0))
+        .unionByName(
+            cur.select(*g, F.col(value_col).alias("__x"))
+            .withColumn("__src", F.lit(1)))
+        .filter(F.col("__x").isNotNull())
+    )
+    per_x = tagged.groupBy(*g, "__x").agg(
+        F.sum((F.col("__src") == 0).cast("bigint")).alias("__r"),
+        F.sum((F.col("__src") == 1).cast("bigint")).alias("__c"),
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in g])
+    w_cum = (w_all.orderBy("__x")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stepped = per_x.select(
+        *g,
+        F.col("__r"), F.col("__c"),
+        F.sum("__r").over(w_all).alias("__n_ref"),
+        F.sum("__c").over(w_all).alias("__n_cur"),
+        F.sum("__r").over(w_cum).alias("__c_ref"),
+        F.sum("__c").over(w_cum).alias("__c_cur"),
+    )
+    gap = (F.col("__c_ref") / F.col("__n_ref")
+           - F.col("__c_cur") / F.col("__n_cur"))
+    term = (F.col("__r") + F.col("__c")).cast("double") * (gap * gap)
+    n_d = F.col("n_ref").cast("double")
+    m_d = F.col("n_cur").cast("double")
+    nn = n_d + m_d
+    return (
+        stepped.filter((F.col("__n_ref") > 0) & (F.col("__n_cur") > 0))
+        .groupBy(*g)
+        .agg(
+            F.first("__n_ref").alias("n_ref"),
+            F.first("__n_cur").alias("n_cur"),
+            F.sum(term.cast("decimal(28,12)")).cast("double").alias("__s"),
+        )
+        .select(
+            *g, "n_ref", "n_cur",
+            (F.round((n_d * m_d) / (nn * nn) * F.col("__s"),
+                     round_digits) + F.lit(0.0)).alias("cvm_stat"))
+    )
+
+
 #: Benford expected first-digit shares log10(1 + 1/d), precomputed in
 #: Python so NO engine evaluates a log — the literals (and everything
 #: downstream) are bit-identical in Spark and any SQL oracle

@@ -3440,6 +3440,30 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FS_SEED, FS_MAX_GROUP = "fs1", 64
+
+
+def fs_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter m/u probabilities and log2 agreement weights
+    (joins.fellegi_sunter_weights; Fellegi & Sunter 1969) for
+    (lang, source, length-band) over documents: m from the exact-dup
+    fingerprint groups (ground truth by construction), u from the
+    deterministic md5-derangement pairing — the calibration that turns
+    q:record_linkage_parts' ad-hoc field weights into likelihood
+    ratios.  Both legs linear or group-bounded; the only
+    transcendental is ln/ln2 under round-6."""
+    from hazelcast_jet_spark.operators.joins import fellegi_sunter_weights
+    from hazelcast_jet_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp"), "lang", "source",
+        F.floor(F.col("n_chars").cast("double") / F.lit(100.0))
+        .alias("len_band"))
+    return fellegi_sunter_weights(
+        d, "doc_id", "fp", ["lang", "len_band", "source"],
+        seed=FS_SEED, max_group=FS_MAX_GROUP)
+
+
 KFOLD_K = 5
 
 
@@ -7219,6 +7243,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "streaming_quantile_sketch",
     "post_stratified_ate_orders",
     "cvm_drift_events",
+    "fs_weights_docs",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7608,6 +7633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantile_sketch": streaming_quantile_sketch,
         "post_stratified_ate_orders": post_stratified_ate_orders,
         "cvm_drift_events": cvm_drift_events,
+        "fs_weights_docs": fs_weights_docs,
     }
 
 
@@ -8108,6 +8134,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
+        "fs_weights_docs": (lambda flds: f"""
+            WITH base AS (
+                SELECT doc_id AS id, md5({_NORM}) AS mk, lang, source,
+                       CAST(floor(CAST(n_chars AS DOUBLE) / 100.0)
+                            AS BIGINT) AS len_band
+                FROM documents
+            ), sizes AS (
+                SELECT mk, count(*) AS gn FROM base GROUP BY 1
+            ), bounded AS (
+                SELECT b.* FROM base b JOIN sizes s ON b.mk = s.mk
+                WHERE s.gn >= 2 AND s.gn <= {FS_MAX_GROUP}
+            ), mp AS (
+                SELECT {", ".join(
+                    f"CASE WHEN l.{f} IS NOT DISTINCT FROM r.{f} "
+                    f"THEN 1 ELSE 0 END AS a_{f}" for f in flds)}
+                FROM bounded l JOIN bounded r
+                  ON l.mk = r.mk AND l.id < r.id
+            ), seq AS (
+                SELECT mk, {", ".join(flds)},
+                       lead(mk) OVER w AS mk2,
+                       {", ".join(f"lead({f}) OVER w AS n_{f}"
+                                  for f in flds)}
+                FROM base
+                WINDOW w AS (ORDER BY md5('{FS_SEED}-'
+                                          || CAST(id AS VARCHAR)))
+            ), up AS (
+                SELECT {", ".join(
+                    f"CASE WHEN {f} IS NOT DISTINCT FROM n_{f} "
+                    f"THEN 1 ELSE 0 END AS a_{f}" for f in flds)}
+                FROM seq WHERE mk2 IS NOT NULL AND mk <> mk2
+            ), magg AS (
+                SELECT CAST(count(*) AS BIGINT) AS nm,
+                       {", ".join(f"CAST(SUM(a_{f}) AS BIGINT) AS m_{f}"
+                                  for f in flds)}
+                FROM mp
+            ), uagg AS (
+                SELECT CAST(count(*) AS BIGINT) AS nu,
+                       {", ".join(f"CAST(SUM(a_{f}) AS BIGINT) AS u_{f}"
+                                  for f in flds)}
+                FROM up
+            )
+            SELECT * FROM ({" UNION ALL ".join(f'''
+                SELECT '{f}' AS field, nm AS n_match_pairs,
+                       nu AS n_unmatch_pairs,
+                       round(CAST(m_{f} AS DOUBLE) / CAST(nm AS DOUBLE),
+                             6) + 0.0 AS m_prob,
+                       round(CAST(u_{f} AS DOUBLE) / CAST(nu AS DOUBLE),
+                             6) + 0.0 AS u_prob,
+                       round(CASE WHEN CAST(m_{f} AS DOUBLE)
+                                       / CAST(nm AS DOUBLE) > 0.0
+                                   AND CAST(u_{f} AS DOUBLE)
+                                       / CAST(nu AS DOUBLE) > 0.0
+                                  THEN ln((CAST(m_{f} AS DOUBLE)
+                                           / CAST(nm AS DOUBLE))
+                                          / (CAST(u_{f} AS DOUBLE)
+                                             / CAST(nu AS DOUBLE)))
+                                       / ln(2.0) END, 6) + 0.0
+                           AS w_agree,
+                       round(CASE WHEN CAST(m_{f} AS DOUBLE)
+                                       / CAST(nm AS DOUBLE) < 1.0
+                                   AND CAST(u_{f} AS DOUBLE)
+                                       / CAST(nu AS DOUBLE) < 1.0
+                                  THEN ln((1.0 - CAST(m_{f} AS DOUBLE)
+                                           / CAST(nm AS DOUBLE))
+                                          / (1.0 - CAST(u_{f} AS DOUBLE)
+                                             / CAST(nu AS DOUBLE)))
+                                       / ln(2.0) END, 6) + 0.0
+                           AS w_disagree
+                FROM magg CROSS JOIN uagg''' for f in flds)})
+            ORDER BY field
+        """)(["lang", "len_band", "source"]),
         "minhash_lsh_dedup": f"""
             WITH base AS (
                 SELECT doc_id AS id, {_shingle_sql()} AS sh FROM documents

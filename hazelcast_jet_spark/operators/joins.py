@@ -455,3 +455,98 @@ def record_linkage(left: DataFrame, right: DataFrame,
             F.round(score, round_digits).alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def fellegi_sunter_weights(df: DataFrame, id_col: str, match_key_col: str,
+                           fields: list[str], seed: str = "fs1",
+                           max_group: int = 64,
+                           round_digits: int = 6) -> DataFrame:
+    """Fellegi–Sunter agreement weights (Fellegi & Sunter 1969) — the
+    calibration step :func:`record_linkage` presupposes: for each
+    comparison field, estimate
+
+        m = P(field agrees | records are a true match)
+        u = P(field agrees | records are NOT a match)
+
+    and the log-likelihood-ratio weights the linkage score should add
+    per field, ``w_agree = log2(m/u)`` and ``w_disagree =
+    log2((1−m)/(1−u))`` — turning ad-hoc field weights into
+    probabilistically-grounded ones.
+
+    Deterministic, label-free estimation (both legs linear or
+    group-bounded — no EM, no pair sampling RNG):
+
+    - **m** from ground-truth-by-construction match pairs: all ``a<b``
+      pairs within a ``match_key_col`` group (e.g. the exact-dup
+      fingerprint — records describing the same underlying document).
+      Groups larger than ``max_group`` are dropped (boilerplate guard —
+      the quadratic hot-group convention).
+    - **u** from a deterministic derangement: records sort by
+      ``md5(seed‖id)`` (fixed public randomness) and each pairs with
+      its successor; pairs landing in the same match group are
+      excluded.  N−1 pairs, uniform over the population — the standard
+      "random pairs are almost surely non-matches" u-estimate, made
+      replayable.
+
+    Agreement is null-safe equality.  Weights are NULL where
+    degenerate (m or u at 0 for agree; at 1 for disagree).  Both
+    probability legs are exact count ratios; the only transcendental
+    is the final ``ln(x)/ln(2)`` pair, absorbed by the round-6
+    discipline like the z→p tails.
+
+    Plan: one self-join inside bounded match groups + one global
+    md5-order window (at 100 TB, shard the derangement by hash prefix
+    — same estimator per shard, union the counts).  Returns one row
+    per field: ``(field, n_match_pairs, n_unmatch_pairs, m_prob,
+    u_prob, w_agree, w_disagree)`` ordered by field.
+    """
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(match_key_col).alias("__mk"),
+                     *[F.col(f) for f in fields])
+    sizes = base.groupBy("__mk").agg(F.count(F.lit(1)).alias("__gn"))
+    bounded = base.join(
+        sizes.filter((F.col("__gn") >= 2) & (F.col("__gn") <= max_group))
+        .select("__mk"), "__mk")
+    l = bounded.alias("l")
+    r = bounded.alias("r")
+    match_pairs = (l.join(r, (F.col("l.__mk") == F.col("r.__mk"))
+                          & (F.col("l.__id") < F.col("r.__id")))
+                   .select(*[(F.col(f"l.{f}").eqNullSafe(F.col(f"r.{f}")))
+                             .cast("bigint").alias(f"__a_{f}")
+                             for f in fields]))
+    w = Window.orderBy(F.md5(F.concat(F.lit(seed + "-"),
+                                      F.col("__id").cast("string"))))
+    seq = base.select(
+        "__mk", *fields,
+        F.lead("__mk").over(w).alias("__mk2"),
+        *[F.lead(f).over(w).alias(f"__n_{f}") for f in fields])
+    unmatch_pairs = (seq.filter(F.col("__mk2").isNotNull()
+                                & (F.col("__mk") != F.col("__mk2")))
+                     .select(*[(F.col(f).eqNullSafe(F.col(f"__n_{f}")))
+                               .cast("bigint").alias(f"__a_{f}")
+                               for f in fields]))
+    magg = match_pairs.agg(
+        F.count(F.lit(1)).alias("__nm"),
+        *[F.sum(f"__a_{f}").alias(f"__m_{f}") for f in fields])
+    uagg = unmatch_pairs.agg(
+        F.count(F.lit(1)).alias("__nu"),
+        *[F.sum(f"__a_{f}").alias(f"__u_{f}") for f in fields])
+    one = magg.crossJoin(F.broadcast(uagg))
+    ln2 = F.log(F.lit(2.0))
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+
+    def _row(f: str):
+        m = F.col(f"__m_{f}").cast("double") / F.col("__nm").cast("double")
+        u = F.col(f"__u_{f}").cast("double") / F.col("__nu").cast("double")
+        wa = F.when((m > 0.0) & (u > 0.0), F.log(m / u) / ln2)
+        wd = F.when((m < 1.0) & (u < 1.0),
+                    F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)) / ln2)
+        return F.struct(
+            F.lit(f).alias("field"),
+            F.col("__nm").alias("n_match_pairs"),
+            F.col("__nu").alias("n_unmatch_pairs"),
+            r6(m).alias("m_prob"), r6(u).alias("u_prob"),
+            r6(wa).alias("w_agree"), r6(wd).alias("w_disagree"))
+
+    rows = F.explode(F.array(*[_row(f) for f in fields]))
+    return (one.select(rows.alias("o")).select("o.*").orderBy("field"))

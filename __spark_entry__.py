@@ -1510,6 +1510,26 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK, nprobe=IVF_NPROBE)
 
 
+def ndcg_ivf_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF probe ranking against exact cosine top-k
+    (similarity.ndcg_at_k; Järvelin & Kekäläinen 2002): the order-aware
+    companion of q:ann_recall_ivf_pq — recall counts retrieved
+    neighbors, NDCG penalizes retrieving them in the wrong order, with
+    top positions weighted hardest.  Grades derive from the exact
+    ranking (k−rank+1); discounts and ideal-DCG denominators are
+    Python-computed literals (no engine logs); per-query DCG terms are
+    DECIMAL-accumulated.  The exact leg is the measurement baseline and
+    says so (the ann_recall convention)."""
+    from hazelcast_jet_spark.operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    truth = similarity.cosine_topk(e, q, k=TOPK)
+    cand = similarity.ivf_topk(e, q, _ivf_centroids(), k=TOPK,
+                               nprobe=IVF_NPROBE)
+    return similarity.ndcg_at_k(cand, truth, k=TOPK)
+
+
 def ivf_staleness_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index freshness report (similarity.ivf_index_staleness, r8
     verdict #7): per centroid, member count, mean assignment distance
@@ -7244,6 +7264,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "post_stratified_ate_orders",
     "cvm_drift_events",
     "fs_weights_docs",
+    "ndcg_ivf_emb",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7634,6 +7655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "post_stratified_ate_orders": post_stratified_ate_orders,
         "cvm_drift_events": cvm_drift_events,
         "fs_weights_docs": fs_weights_docs,
+        "ndcg_ivf_emb": ndcg_ivf_emb,
     }
 
 
@@ -7746,6 +7768,8 @@ def _morton_sql(x: str, y: str, bits: int = 8) -> str:
 
 from hazelcast_jet_spark.operators.experiment import (  # noqa: E402
     two_sided_p_sql as _two_sided_p_sql)
+from hazelcast_jet_spark.operators.similarity import (  # noqa: E402
+    ndcg_discounts as _ndcg_discounts, ndcg_ideal_prefix as _ndcg_ideal)
 from hazelcast_jet_spark.operators.profile import BENFORD_EXPECTED as _BENFORD
 
 
@@ -8978,6 +9002,88 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= {TOPK}
         """,
+        "ndcg_ivf_emb": (lambda disc, ideal: f"""
+            WITH d AS (
+                SELECT vec_id, embedding,
+                       [{", ".join(
+                           f"round(1.0 - {_cos_raw_sql('embedding', str(c))}, 9)"
+                           for c in _ivf_centroids()
+                       )}] AS dists
+                FROM embeddings
+            ), corpus AS (
+                SELECT vec_id AS corpus_id, embedding AS cvec,
+                       list_position(dists, list_min(dists)) AS centroid_id
+                FROM d
+            ), qd AS (
+                SELECT vec_id AS query_id, embedding AS qvec,
+                       unnest(dists) AS dist,
+                       unnest(generate_series(1, {IVF_N_CENTROIDS}))
+                           AS centroid_id
+                FROM d WHERE vec_id < {N_QUERY_VECS}
+            ), probe AS (
+                SELECT query_id, qvec, centroid_id FROM (
+                    SELECT query_id, qvec, centroid_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY dist ASC,
+                                                       centroid_id ASC)
+                               AS pr
+                    FROM qd
+                ) WHERE pr <= {IVF_NPROBE}
+            ), iscored AS (
+                SELECT query_id, corpus_id,
+                       {_cos_sql("qvec", "cvec")} AS cos_sim
+                FROM corpus JOIN probe USING (centroid_id)
+                WHERE corpus_id <> query_id
+            ), cand AS (
+                SELECT query_id, corpus_id, rank FROM (
+                    SELECT query_id, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC,
+                                                       corpus_id ASC)
+                               AS rank
+                    FROM iscored
+                ) WHERE rank <= {TOPK}
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+            ), escored AS (
+                SELECT q.query_id, c.vec_id AS corpus_id,
+                       {_cos_sql("q.qvec", "c.embedding")} AS cos_sim
+                FROM embeddings c, q
+                WHERE c.vec_id <> q.query_id
+            ), truth AS (
+                SELECT query_id, corpus_id, rank AS trank FROM (
+                    SELECT query_id, corpus_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos_sim DESC,
+                                                       corpus_id ASC)
+                               AS rank
+                    FROM escored
+                ) WHERE rank <= {TOPK}
+            ), joined AS (
+                SELECT c.query_id, c.rank, t.trank
+                FROM cand c LEFT JOIN truth t
+                  ON c.query_id = t.query_id
+                 AND c.corpus_id = t.corpus_id
+            ), dcg AS (
+                SELECT query_id,
+                       CAST(count(trank) AS BIGINT) AS n_hits,
+                       COALESCE(CAST(SUM(CAST(
+                           CAST({TOPK} - trank + 1 AS DOUBLE)
+                           * ([{", ".join(repr(x) for x in disc)}])[rank]
+                           AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS dcg
+                FROM joined GROUP BY 1
+            ), nt AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+                FROM truth GROUP BY 1
+            )
+            SELECT n.query_id, n.n_truth, g.n_hits,
+                   round(g.dcg
+                         / ([{", ".join(repr(x) for x in ideal)}])
+                           [CAST(n.n_truth AS INT)], 6) + 0.0 AS ndcg
+            FROM nt n JOIN dcg g USING (query_id)
+            ORDER BY n.query_id
+        """)(_ndcg_discounts(TOPK), _ndcg_ideal(TOPK)),
         "ivf_staleness_emb": f"""
             WITH d AS (
                 SELECT vec_id, embedding,

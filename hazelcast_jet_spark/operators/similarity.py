@@ -1405,3 +1405,79 @@ def embedding_isotropy(df: DataFrame, vec_col: str = "embedding",
                     (F.round(mv_norm / F.col("__mean_norm"), round_digits)
                      + F.lit(0.0)).alias("anisotropy"))
             .orderBy("group"))
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """The NDCG position discounts ``1/log2(i+1)`` for i=1..k, computed
+    in PYTHON so no engine evaluates a log — the literals are
+    bit-identical in Spark and any SQL oracle (the BENFORD_EXPECTED
+    convention)."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_ideal_prefix(k: int) -> list[float]:
+    """``ideal[n]`` = DCG of a perfect ranking holding the n best grades
+    (grade k at position 1 … grade k−n+1 at position n), n=1..k — the
+    IDCG denominators as exact Python-computed literals (fixed-order
+    left-to-right sum, replayed identically by both engines as a
+    literal)."""
+    disc = ndcg_discounts(k)
+    out, acc = [], 0.0
+    for i in range(1, k + 1):
+        acc = acc + float(k - i + 1) * disc[i - 1]
+        out.append(acc)
+    return out
+
+
+def ndcg_at_k(candidates: DataFrame, truth: DataFrame, k: int,
+              query_col: str = "query_id", item_col: str = "corpus_id",
+              rank_col: str = "rank",
+              round_digits: int = 6) -> DataFrame:
+    """NDCG@k (Järvelin & Kekäläinen 2002) of a candidate ranking
+    against a graded ground-truth ranking — the order-aware quality
+    metric completing recall@k (recall says WHETHER the neighbors were
+    found; NDCG says whether they were found IN THE RIGHT ORDER, with
+    misplacements near the top penalized hardest).
+
+    Grades come from the truth ranking itself: the item at truth rank t
+    has relevance ``k − t + 1`` (graded, monotone); candidates outside
+    the truth top-k score 0.
+
+        DCG  = Σ_i rel(cand_i) · disc_i,   disc_i = 1/log2(i+1)
+        NDCG = DCG / ideal[n_truth]
+
+    Discounts and the ideal-DCG prefix table are Python-computed
+    literals (NO engine logs — the Benford convention); per-query DCG
+    terms accumulate in DECIMAL(28,12) so the ≤k-term sum is order-free
+    and engine-portable.
+
+    Plan: one equi-join of the two bounded (queries × k) rank lists on
+    (query, item), two thin per-query aggregates — cost is O(queries·k)
+    regardless of corpus size.  Returns ``(query_col, n_truth, n_hits,
+    ndcg)`` ordered by query.
+    """
+    disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
+    ideal = F.array(*[F.lit(v) for v in ndcg_ideal_prefix(k)])
+    c = candidates.select(F.col(query_col).alias("__q"),
+                          F.col(item_col).alias("__i"),
+                          F.col(rank_col).alias("__r"))
+    t = truth.select(F.col(query_col).alias("__q"),
+                     F.col(item_col).alias("__i"),
+                     F.col(rank_col).alias("__tr"))
+    joined = c.join(t, ["__q", "__i"], "left")
+    rel = (F.lit(k) - F.col("__tr") + F.lit(1)).cast("double")
+    term = rel * F.element_at(disc, F.col("__r").cast("int"))
+    dcg_tbl = joined.groupBy("__q").agg(
+        F.count("__tr").alias("n_hits"),
+        F.coalesce(F.sum(term.cast("decimal(28,12)")).cast("double"),
+                   F.lit(0.0)).alias("__dcg"))
+    nt_tbl = t.groupBy("__q").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (nt_tbl.join(dcg_tbl, "__q")
+            .select(F.col("__q").alias(query_col), "n_truth", "n_hits",
+                    (F.round(F.col("__dcg")
+                             / F.element_at(ideal,
+                                            F.col("n_truth").cast("int")),
+                             round_digits) + F.lit(0.0)).alias("ndcg"))
+            .orderBy(query_col))

@@ -4917,6 +4917,21 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(d, checkpoints=HEAPS_CHECKPOINTS)
 
 
+def vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate + Good–Turing coverage per
+    language (text.vocab_richness; Chao 1984, Good 1953): D observed
+    terms, f1/f2 singleton/doubleton counts, the bias-corrected Chao1
+    lower bound on true vocabulary and the probability the next token
+    is already known — the stop-crawling signal answering
+    q:heaps_vocab_growth's question without a checkpoint ladder.  One
+    explode → (lang, term) counts → one frequency fold; estimate
+    arithmetic is fixed-order doubles on exact counts."""
+    from hazelcast_jet_spark.operators.text import vocab_richness
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_richness(d, group_cols=["lang"]).orderBy("lang")
+
+
 def zipf_slope_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law OLS fit over the top-100 term frequencies (text.
     zipf_fit): ln(freq) on ln(rank), decimal-exact moments (the
@@ -7265,6 +7280,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "cvm_drift_events",
     "fs_weights_docs",
     "ndcg_ivf_emb",
+    "vocab_richness_docs",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7656,6 +7672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm_drift_events": cvm_drift_events,
         "fs_weights_docs": fs_weights_docs,
         "ndcg_ivf_emb": ndcg_ivf_emb,
+        "vocab_richness_docs": vocab_richness_docs,
     }
 
 
@@ -11614,6 +11631,31 @@ def oracle_sql() -> dict[str, str]:
                                    / ln(CAST(len(toks) AS DOUBLE)), 6)
                    END AS herdan_c
             FROM t ORDER BY doc_id
+        """,
+        "vocab_richness_docs": f"""
+            WITH toks AS (
+                SELECT lang, unnest(string_split({_NORM}, ' ')) AS t
+                FROM documents
+            ), per_term AS (
+                SELECT lang, t, count(*) AS n FROM toks GROUP BY 1, 2
+            ), agg AS (
+                SELECT lang,
+                       CAST(SUM(n) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS d_obs,
+                       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f1,
+                       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f2
+                FROM per_term GROUP BY 1
+            )
+            SELECT lang, n_tokens, d_obs, f1, f2,
+                   round(CAST(d_obs AS DOUBLE)
+                         + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                           / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) + 0.0
+                       AS chao1,
+                   round(1.0 - CAST(f1 AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS coverage
+            FROM agg ORDER BY lang
         """,
         "heaps_vocab_growth": f"""
             WITH ranks AS (

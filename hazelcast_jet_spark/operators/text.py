@@ -1525,3 +1525,48 @@ def textrank_keywords(docs: DataFrame, text_col: str = "text",
                   iters=iters, damping=damping)
     return (pr.select(F.col("node").alias("word"), "pagerank")
             .orderBy(F.desc("pagerank"), "word").limit(top_k))
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text",
+                   group_cols: list[str] | None = None,
+                   round_digits: int = 6) -> DataFrame:
+    """Vocabulary-richness estimate per group: Chao1 unseen-species
+    richness (Chao 1984, bias-corrected form) and Good–Turing sample
+    coverage (Good 1953) from the frequency-of-frequencies —
+
+        chao1    = D + f1·(f1 − 1) / (2·(f2 + 1))
+        coverage = 1 − f1/N
+
+    where D = observed distinct terms, f1/f2 = terms seen once/twice,
+    N = total tokens.  The "will more crawl keep adding words?"
+    companion of :func:`vocab_growth` answered WITHOUT extrapolating a
+    ladder: chao1 lower-bounds the true vocabulary, and coverage is the
+    probability the next token is already known — the stop-crawling /
+    tokenizer-vocab-sizing signal.
+
+    Tokens are the canonical :func:`normalize_text` words (the
+    fingerprint/dedup convention).  Plan: one explode → per-(group,
+    term) counts (map-side combined) → ONE frequency-fold aggregate per
+    group carrying four exact counters; the estimate arithmetic is a
+    fixed-order double expression on exact counts.  Returns
+    ``(group_cols…, n_tokens, d_obs, f1, f2, chao1, coverage)``.
+    """
+    g = group_cols or []
+    toks = df.select(
+        *g, F.explode(F.split(normalize_text(text_col), " ")).alias("__t"))
+    per_term = toks.groupBy(*g, "__t").agg(
+        F.count(F.lit(1)).alias("__n"))
+    agg = per_term.groupBy(*g).agg(
+        F.sum("__n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("d_obs"),
+        F.sum((F.col("__n") == 1).cast("bigint")).alias("f1"),
+        F.sum((F.col("__n") == 2).cast("bigint")).alias("f2"))
+    f1d = F.col("f1").cast("double")
+    f2d = F.col("f2").cast("double")
+    chao1 = (F.col("d_obs").cast("double")
+             + f1d * (f1d - 1.0) / (2.0 * (f2d + 1.0)))
+    cov = 1.0 - f1d / F.col("n_tokens").cast("double")
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return agg.select(*g, "n_tokens", "d_obs", "f1", "f2",
+                      r6(chao1).alias("chao1"),
+                      r6(cov).alias("coverage"))

@@ -4787,6 +4787,55 @@ def kalman_level_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "day")
 
 
+def streaming_kalman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Kalman filtering (streaming/kalman.
+    stream_kalman_level): the daily event-rate rollup arrives as a
+    3-batch ordered feed (contiguous day ranges — the daily-CDC shape)
+    and a keyed stateful filter carries the posterior (x, P) across
+    micro-batches, emitting each day's level/gain as it arrives — the
+    live twin of q:kalman_level_events, row-equal to the batch filter
+    because the recurrence is operation-for-operation identical and
+    state survives batch boundaries.  State bound: two doubles + one
+    ordinal per event_type — O(1) per key forever.  The oracle is the
+    batch recursive-CTE replay (shared)."""
+    import tempfile
+
+    from hazelcast_jet_spark.streaming.kalman import stream_kalman_level
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    days = sorted(r[0] for r in daily.select("day").distinct().collect())
+    n_files = 3
+    bounds = [days[(len(days) * i) // n_files] for i in range(1, n_files)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_kal_{tag}")
+    chunks = [
+        daily.filter(F.col("day") < F.lit(bounds[0])),
+        daily.filter((F.col("day") >= F.lit(bounds[0]))
+                     & (F.col("day") < F.lit(bounds[1]))),
+        daily.filter(F.col("day") >= F.lit(bounds[1])),
+    ]
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "f*")))
+    filtered = stream_kalman_level(stream, "event_type", "day", "n",
+                                   q=KALMAN_Q, r=KALMAN_R)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = run_to_batch(filtered, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("event_type", "day", "n", "level", "gain") \
+        .orderBy("event_type", "day")
+
+
 PACK_BUDGET = 1500
 
 
@@ -7281,6 +7330,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "fs_weights_docs",
     "ndcg_ivf_emb",
     "vocab_richness_docs",
+    "streaming_kalman_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7673,6 +7723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_weights_docs": fs_weights_docs,
         "ndcg_ivf_emb": ndcg_ivf_emb,
         "vocab_richness_docs": vocab_richness_docs,
+        "streaming_kalman_events": streaming_kalman_events,
     }
 
 
@@ -17958,4 +18009,8 @@ def oracle_sql() -> dict[str, str]:
     # bottom-k buffer (mergeable across micro-batches by the KMV
     # argument), so the batch sketch SQL is its exact oracle too
     oracles["streaming_quantile_sketch"] = oracles["quantile_sketch_events"]
+    # the streaming Kalman twin replays the identical fixed-order
+    # recurrence with state carried across batches, so the batch
+    # recursive-CTE filter is its exact oracle
+    oracles["streaming_kalman_events"] = oracles["kalman_level_events"]
     return oracles

@@ -4070,6 +4070,23 @@ def w1_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w1_drift(ref, cur, "value", ["event_type"]).orderBy("event_type")
 
 
+def spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (profile.spearman_corr; Spearman 1904)
+    of quantity vs extended price per return flag — the monotone-
+    association companion of q:corr_matrix_lineitem's Pearson; the
+    heavy integer ties in quantity exercise the midrank convention
+    ((2·rank+t−1)/2) on both engines.  One group exchange serves both
+    rank windows; DECIMAL-exact rank moments."""
+    from hazelcast_jet_spark.operators.profile import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li.select("l_returnflag",
+                  F.col("l_quantity").cast("double").alias("qty"),
+                  F.col("l_extendedprice").cast("double").alias("price")),
+        "qty", "price", ["l_returnflag"]).orderBy("l_returnflag")
+
+
 def cvm_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Cramér–von Mises drift (profile.cvm_drift;
     Anderson 1962): the integrated-square statistic completing the
@@ -7331,6 +7348,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "ndcg_ivf_emb",
     "vocab_richness_docs",
     "streaming_kalman_events",
+    "spearman_lineitem",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7724,6 +7742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_ivf_emb": ndcg_ivf_emb,
         "vocab_richness_docs": vocab_richness_docs,
         "streaming_kalman_events": streaming_kalman_events,
+        "spearman_lineitem": spearman_lineitem,
     }
 
 
@@ -14429,6 +14448,48 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE n_ref > 0 AND n_cur > 0
             GROUP BY event_type, n_ref, n_cur
             ORDER BY event_type
+        """,
+        "spearman_lineitem": """
+            WITH base AS (
+                SELECT l_returnflag AS g,
+                       CAST(l_quantity AS DOUBLE) AS x,
+                       CAST(l_extendedprice AS DOUBLE) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), ranked AS (
+                SELECT g,
+                       CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                            + count(*) OVER (PARTITION BY g, x)
+                            - 1 AS DOUBLE) / 2.0 AS rx,
+                       CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                            + count(*) OVER (PARTITION BY g, y)
+                            - 1 AS DOUBLE) / 2.0 AS ry
+                FROM base
+            ), agg AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(rx AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sx,
+                       CAST(SUM(CAST(ry AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sy,
+                       CAST(SUM(CAST(rx * ry AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(rx * rx AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(ry * ry AS DECIMAL(38,12)))
+                            AS DOUBLE) AS syy
+                FROM ranked GROUP BY 1
+            )
+            SELECT g AS l_returnflag, n,
+                   round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                               AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0
+                              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                   / (sqrt(CAST(n AS DOUBLE) * sxx
+                                           - sx * sx)
+                                      * sqrt(CAST(n AS DOUBLE) * syy
+                                             - sy * sy)) END, 6) + 0.0
+                       AS spearman
+            FROM agg ORDER BY l_returnflag
         """,
         "cvm_drift_events": """
             WITH t AS (

@@ -665,6 +665,65 @@ def benford_digits(df: DataFrame, value_col: str,
     )
 
 
+def spearman_corr(df: DataFrame, x_col: str, y_col: str,
+                  group_cols: list[str] | None = None,
+                  round_digits: int = 6) -> DataFrame:
+    """Spearman rank correlation per group (Spearman 1904): Pearson on
+    AVERAGE ranks — the monotone-association screen that is robust to
+    outliers and nonlinearity where raw Pearson (``correlation_matrix``)
+    reads only linear co-movement; the gap between the two flags
+    nonlinear-but-monotone structure.
+
+    Tie handling is the classic midrank: tied values share the average
+    of the positions they occupy, ``midrank = (2·rank_min + t − 1)/2``
+    with ``rank_min`` the minimum (SQL ``rank()``) and ``t`` the tie
+    count — deterministic and engine-portable (no tie-order
+    dependence), and exactly what makes Pearson-on-ranks equal the
+    textbook Spearman with ties.
+
+    Listwise NULL drop (both columns present).  Plan: ONE exchange on
+    the group keys serves both rank windows and the tie counts
+    (in-partition sorts, no global barrier), then one aggregate with
+    DECIMAL(38,12)-accumulated rank moments; the correlation is the
+    :func:`correlation_matrix` fixed-order double expression over
+    exact sums.  Midranks are at most n, so their squares stay exact in
+    the decimal's 26 integer digits up to ~10^13 rows per group.
+
+    Returns ``(group_cols…, n, spearman)``; groups with zero variance
+    in either rank vector (a constant column) yield NULL.
+    """
+    g = group_cols or []
+    base = (df.select(*g, F.col(x_col).alias("__x"),
+                      F.col(y_col).alias("__y"))
+            .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+    pg = [F.col(c) for c in g]
+
+    def midrank(col: str) -> Column:
+        rk = F.rank().over(Window.partitionBy(*pg).orderBy(col))
+        t = F.count(F.lit(1)).over(Window.partitionBy(*pg, F.col(col)))
+        return ((F.lit(2) * rk + t - F.lit(1)).cast("double")
+                / F.lit(2.0))
+
+    ranked = base.select(*g, midrank("__x").alias("__rx"),
+                         midrank("__y").alias("__ry"))
+    d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    rx, ry = F.col("__rx"), F.col("__ry")
+    agg = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        d(rx).alias("__sx"), d(ry).alias("__sy"),
+        d(rx * ry).alias("__sxy"),
+        d(rx * rx).alias("__sxx"), d(ry * ry).alias("__syy"))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when((vx > 0.0) & (vy > 0.0),
+                  num / (F.sqrt(vx) * F.sqrt(vy)))
+    return agg.select(
+        *g, "n",
+        (F.round(corr, round_digits) + F.lit(0.0)).alias("spearman"))
+
+
 def correlation_matrix(df: DataFrame, cols: list[str],
                        round_digits: int = 6) -> DataFrame:
     """Pairwise Pearson correlations of numeric columns in ONE

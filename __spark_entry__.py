@@ -4983,6 +4983,23 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(d, checkpoints=HEAPS_CHECKPOINTS)
 
 
+BURROWS_TOP_WORDS = 20
+
+
+def burrows_delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distances between sources
+    (text.burrows_delta; Burrows 2002): z-scored top-20 word shares,
+    mean |Δz| per source pair — the style/register divergence monitor
+    that catches template farms and machine text where topic stats
+    stay flat.  Population moments across sources, absent words at 0,
+    σ=0 words excluded; everything after the token count is bounded
+    grid work."""
+    from hazelcast_jet_spark.operators.text import burrows_delta
+
+    d = _t(spark, sf_dir, "documents")
+    return burrows_delta(d, top_words=BURROWS_TOP_WORDS)
+
+
 def vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chao1 unseen-vocabulary estimate + Good–Turing coverage per
     language (text.vocab_richness; Chao 1984, Good 1953): D observed
@@ -7349,6 +7366,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "vocab_richness_docs",
     "streaming_kalman_events",
     "spearman_lineitem",
+    "burrows_delta_docs",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7743,6 +7761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness_docs": vocab_richness_docs,
         "streaming_kalman_events": streaming_kalman_events,
         "spearman_lineitem": spearman_lineitem,
+        "burrows_delta_docs": burrows_delta_docs,
     }
 
 
@@ -11701,6 +11720,51 @@ def oracle_sql() -> dict[str, str]:
                                    / ln(CAST(len(toks) AS DOUBLE)), 6)
                    END AS herdan_c
             FROM t ORDER BY doc_id
+        """,
+        "burrows_delta_docs": f"""
+            WITH toks AS (
+                SELECT source AS g,
+                       unnest(string_split({_NORM}, ' ')) AS w
+                FROM documents
+            ), gw AS (
+                SELECT g, w, count(*) AS n FROM toks GROUP BY 1, 2
+            ), totals AS (
+                SELECT g, CAST(SUM(n) AS BIGINT) AS tot FROM gw GROUP BY 1
+            ), top AS (
+                SELECT w FROM (
+                    SELECT w, SUM(n) AS cn FROM gw GROUP BY 1
+                ) ORDER BY cn DESC, w LIMIT {BURROWS_TOP_WORDS}
+            ), grid AS (
+                SELECT t.g, p.w,
+                       CAST(COALESCE(gw.n, 0) AS DOUBLE)
+                           / CAST(t.tot AS DOUBLE) AS f
+                FROM totals t CROSS JOIN top p
+                LEFT JOIN gw ON gw.g = t.g AND gw.w = p.w
+            ), stats AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS k,
+                       CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sf,
+                       CAST(SUM(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE)
+                           AS sff
+                FROM grid GROUP BY 1
+            ), z AS (
+                SELECT g.g, g.w,
+                       (g.f - s.sf / CAST(s.k AS DOUBLE))
+                       / sqrt(s.sff / CAST(s.k AS DOUBLE)
+                              - (s.sf / CAST(s.k AS DOUBLE))
+                                * (s.sf / CAST(s.k AS DOUBLE))) AS z
+                FROM grid g JOIN stats s ON g.w = s.w
+                WHERE s.sff / CAST(s.k AS DOUBLE)
+                      - (s.sf / CAST(s.k AS DOUBLE))
+                        * (s.sf / CAST(s.k AS DOUBLE)) > 0.0
+            )
+            SELECT a.g AS group_a, b.g AS group_b,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   round(CAST(SUM(CAST(abs(a.z - b.z) AS DECIMAL(38,12)))
+                              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                       + 0.0 AS delta
+            FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "vocab_richness_docs": f"""
             WITH toks AS (

@@ -6105,6 +6105,29 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    max_degree=LINKPRED_MAX_DEGREE)
 
 
+CORENESS_ITERS = 3
+
+
+def coreness_hist_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness histogram via the h-index iteration (graph.
+    hindex_coreness; Lü et al. 2016): every node starts at its degree
+    and 3 rounds of neighbor-h-index converge toward the exact Seidman
+    coreness — the PER-NODE core decomposition q:kcore_parts' fixed-k
+    peel cannot give.  Small-basket co-purchase substrate; each round
+    is one edge join + one in-partition window + one keyed aggregate;
+    the oracle unrolls the identical rounds."""
+    from hazelcast_jet_spark.operators.graph import (cooccurrence_edges,
+                                                     hindex_coreness)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group=LINKPRED_MAX_BASKET)
+    core = hindex_coreness(edges, iters=CORENESS_ITERS)
+    return (core.groupBy("coreness")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("coreness"))
+
+
 def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-hop reach (graph.khop_reach) over the small-basket
     co-purchase graph: the 20 widest 2-hop neighborhoods with the
@@ -7367,6 +7390,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "streaming_kalman_events",
     "spearman_lineitem",
     "burrows_delta_docs",
+    "coreness_hist_parts",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7762,6 +7786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kalman_events": streaming_kalman_events,
         "spearman_lineitem": spearman_lineitem,
         "burrows_delta_docs": burrows_delta_docs,
+        "coreness_hist_parts": coreness_hist_parts,
     }
 
 
@@ -15536,6 +15561,39 @@ def oracle_sql() -> dict[str, str]:
                         JOIN deg db ON c.b = db.node
             ORDER BY jaccard DESC, src, dst LIMIT 20
         """,
+        "coreness_hist_parts": (lambda iter_sql: f"""
+            WITH nodes AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+                FROM lineitem WHERE l_partkey IS NOT NULL
+            ), gs AS (
+                SELECT g FROM nodes GROUP BY g
+                HAVING count(*) >= 2
+                   AND count(*) <= {LINKPRED_MAX_BASKET}
+            ), edges AS (
+                SELECT DISTINCT a.n AS src, b.n AS dst
+                FROM nodes a JOIN gs USING (g) JOIN nodes b USING (g)
+                WHERE a.n < b.n
+            ), bt AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst AS src, src AS dst FROM edges
+            ), v0 AS (
+                SELECT src AS node, CAST(count(*) AS BIGINT) AS val
+                FROM bt GROUP BY 1
+            ),
+            {", ".join(iter_sql(i) for i in range(1, CORENESS_ITERS + 1))}
+            SELECT val AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM v{CORENESS_ITERS} GROUP BY 1 ORDER BY 1
+        """)(lambda i: f"""v{i} AS (
+                SELECT src AS node,
+                       MAX(LEAST(CAST(rn AS BIGINT), nv)) AS val
+                FROM (
+                    SELECT b.src, v.val AS nv,
+                           row_number() OVER (PARTITION BY b.src
+                                              ORDER BY v.val DESC, b.dst)
+                               AS rn
+                    FROM bt b JOIN v{i - 1} v ON b.dst = v.node
+                ) GROUP BY 1
+            )"""),
         "khop_reach_parts": f"""
             WITH nodes AS (
                 SELECT DISTINCT l_orderkey AS g, l_partkey AS n

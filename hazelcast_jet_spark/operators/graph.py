@@ -682,6 +682,52 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
     return degrees(e)
 
 
+def hindex_coreness(edges: DataFrame, iters: int = 3,
+                    rounds_out: list | None = None) -> DataFrame:
+    """Per-node coreness via the h-index iteration (Lü, Zhou, Zhang &
+    Stanley 2016): start every node at its degree and repeatedly replace
+    each node's value with the H-INDEX of its neighbors' values (the
+    largest h such that ≥ h neighbors hold value ≥ h); the sequence is
+    monotone non-increasing and converges to the node's exact coreness
+    (Seidman 1983) — the PER-NODE decomposition :func:`kcore_peel` only
+    answers for one fixed k.
+
+    The FIXED ``iters`` makes a SQL oracle an exact unrolled replay
+    (the :func:`pagerank` convention); after convergence the values ARE
+    coreness, before it they are a monotone upper bound (documented
+    honest semantics — on small-diameter graphs 2–3 rounds reach the
+    fixpoint).
+
+    Per-round plan: one equi-join of the directed edge list against the
+    (node, value) table, one per-node descending window (in-partition
+    sort after the join's key exchange — no global barrier) computing
+    ``max(least(row_number, value))`` ≡ the h-index (tie order cannot
+    change an h-index; the dst tie-break is engine-determinism only),
+    one keyed aggregate; values localCheckpoint per round (O(1)
+    lineage).  Returns ``(node, coreness)``.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    both = (edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint())
+    vals = (both.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("val")).localCheckpoint())
+    for _ in range(iters):
+        nb = (both.join(vals.withColumnRenamed("node", "dst")
+                        .withColumnRenamed("val", "__nv"), "dst")
+              .select("src", "__nv", "dst"))
+        w = Window.partitionBy("src").orderBy(F.desc("__nv"), "dst")
+        vals = (nb.withColumn("__rn", F.row_number().over(w))
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.max(F.least(F.col("__rn").cast("bigint"),
+                                   F.col("__nv"))).alias("val"))
+                .localCheckpoint())
+    if rounds_out is not None:
+        rounds_out.append(iters)
+    return vals.select("node", F.col("val").alias("coreness"))
+
+
 def label_propagation(edges: DataFrame, iters: int = 2,
                       until_fixpoint: bool = False, max_rounds: int = 64,
                       rounds_out: list | None = None) -> DataFrame:

@@ -241,3 +241,20 @@ def test_stream_kalman_rejects_out_of_order(spark, tmp_path):
                                on_out_of_order="drop")
     res = run_to_batch(out2, "update").collect()
     assert len(res) == 1 and res[0].level == 3.0
+
+
+def test_hindex_coreness_exact_on_known_graph(spark):
+    from hazelcast_jet_spark.operators.graph import (hindex_coreness,
+                                                     kcore_peel)
+
+    # triangle {1,2,3} with a tail 3-4-5: coreness 2,2,2,1,1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src int, dst int")
+    core = {r.node: r.coreness
+            for r in hindex_coreness(edges, iters=3).collect()}
+    assert core == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+    # consistency with the fixed-k peel at its fixpoint: the 2-core IS
+    # the coreness>=2 node set
+    surv = {r.node for r in kcore_peel(edges, k=2,
+                                       until_fixpoint=True).collect()}
+    assert surv == {n for n, c in core.items() if c >= 2}

@@ -5936,6 +5936,29 @@ def cuped_experiment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjusted_means(units, "arm", "pre", "post")
 
 
+RD_SEED = "rd1"
+
+
+def ratio_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric readout (experiment.ratio_metric_delta;
+    Deng, Knoblich & Lu 2018): revenue-per-order as Σspend/Σorders over
+    md5-arm customers, with the Taylor variance that accounts for the
+    within-unit numerator/denominator correlation the naive per-unit
+    t-test ignores — the statistic behind every 'revenue per session'
+    dashboard.  One DECIMAL-exact moment aggregate; z→p via the shared
+    polynomial tail."""
+    from hazelcast_jet_spark.operators.experiment import (ab_assign,
+                                                          ratio_metric_delta)
+
+    o = _t(spark, sf_dir, "orders")
+    units = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,12)"))
+                  .cast("double").alias("spend"),
+                  F.count(F.lit(1)).cast("double").alias("n_orders"))
+             .withColumn("arm", ab_assign(F.col("o_custkey"), RD_SEED)))
+    return ratio_metric_delta(units, "arm", "spend", "n_orders")
+
+
 PS_SEED = "ps1"
 
 
@@ -7391,6 +7414,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "spearman_lineitem",
     "burrows_delta_docs",
     "coreness_hist_parts",
+    "ratio_delta_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7787,6 +7811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_lineitem": spearman_lineitem,
         "burrows_delta_docs": burrows_delta_docs,
         "coreness_hist_parts": coreness_hist_parts,
+        "ratio_delta_orders": ratio_delta_orders,
     }
 
 
@@ -15173,6 +15198,67 @@ def oracle_sql() -> dict[str, str]:
             WHERE prior IS NULL OR best_p_retailprice < prior
             ORDER BY p_size DESC
         """,
+        "ratio_delta_orders": (lambda arm_agg, ratio, var: f"""
+            WITH u AS (
+                SELECT o_custkey,
+                       CASE WHEN substr(md5('{RD_SEED}-'
+                                 || CAST(o_custkey AS VARCHAR)), 1, 1)
+                                 < '8'
+                            THEN 'A' ELSE 'B' END AS arm,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,12)))
+                            AS DOUBLE) AS x,
+                       CAST(count(*) AS DOUBLE) AS y
+                FROM orders GROUP BY 1, 2
+            ), agg AS (
+                SELECT {arm_agg('a', 'A')},
+                       {arm_agg('b', 'B')}
+                FROM u
+            ), dv AS (
+                SELECT n_a, n_b,
+                       {ratio('a')} AS ra, {ratio('b')} AS rb,
+                       {var('a')} AS va, {var('b')} AS vb
+                FROM agg
+            )
+            SELECT n_a, n_b,
+                   round(ra, 6) + 0.0 AS ratio_a,
+                   round(rb, 6) + 0.0 AS ratio_b,
+                   round(rb - ra, 6) + 0.0 AS diff,
+                   round(sqrt(va + vb), 6) + 0.0 AS se,
+                   round(CASE WHEN sqrt(va + vb) > 0.0
+                              THEN (rb - ra) / sqrt(va + vb) END, 6) + 0.0
+                       AS z,
+                   round(CASE WHEN sqrt(va + vb) > 0.0 THEN
+                       {_two_sided_p_sql('(rb - ra) / sqrt(va + vb)')}
+                       END, 6) + 0.0 AS p_value
+            FROM dv
+        """)(
+            lambda t, a: (
+                f"CAST(SUM(CASE WHEN arm = '{a}' THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{t}, "
+                + ", ".join(
+                    f"COALESCE(CAST(SUM(CASE WHEN arm = '{a}' THEN "
+                    f"CAST({e} AS DECIMAL(38,12)) END) AS DOUBLE), 0.0)"
+                    f" AS {n}_{t}"
+                    for n, e in (("sx", "x"), ("sy", "y"), ("sxx", "x * x"),
+                                 ("sxy", "x * y"), ("syy", "y * y")))),
+            lambda t: (f"(CASE WHEN sy_{t} <> 0.0 "
+                       f"THEN sx_{t} / sy_{t} END)"),
+            lambda t: (
+                f"(CASE WHEN n_{t} >= 2 AND sy_{t}"
+                f" / CAST(n_{t} AS DOUBLE) <> 0.0 THEN"
+                f" ((sxx_{t} - sx_{t} * sx_{t} / CAST(n_{t} AS DOUBLE))"
+                f" / (CAST(n_{t} AS DOUBLE) - 1.0)"
+                f" - 2.0 * (CASE WHEN sy_{t} <> 0.0 THEN sx_{t} / sy_{t}"
+                f" END)"
+                f" * ((sxy_{t} - sx_{t} * sy_{t} / CAST(n_{t} AS DOUBLE))"
+                f" / (CAST(n_{t} AS DOUBLE) - 1.0))"
+                f" + (CASE WHEN sy_{t} <> 0.0 THEN sx_{t} / sy_{t} END)"
+                f" * (CASE WHEN sy_{t} <> 0.0 THEN sx_{t} / sy_{t} END)"
+                f" * ((syy_{t} - sy_{t} * sy_{t} / CAST(n_{t} AS DOUBLE))"
+                f" / (CAST(n_{t} AS DOUBLE) - 1.0)))"
+                f" / (CAST(n_{t} AS DOUBLE)"
+                f" * (sy_{t} / CAST(n_{t} AS DOUBLE))"
+                f" * (sy_{t} / CAST(n_{t} AS DOUBLE))) END)")),
         "post_stratified_ate_orders": f"""
             WITH u AS (
                 SELECT o.o_custkey,

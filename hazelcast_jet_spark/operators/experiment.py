@@ -179,6 +179,78 @@ def post_stratified_ate(units: DataFrame, arm_col: str, y_col: str,
         r6(F.when(se > 0.0, two_sided_p(z))).alias("p_value")))
 
 
+def ratio_metric_delta(units: DataFrame, arm_col: str, num_col: str,
+                       den_col: str, arms: tuple = ("A", "B"),
+                       round_digits: int = 6) -> DataFrame:
+    """Delta-method readout for a RATIO-OF-SUMS metric (Fieller/delta
+    method; Deng, Knoblich & Lu 2018): metrics like revenue-per-order or
+    clicks-per-session are ``Σx/Σy`` over units, and the naive
+    per-unit-mean t-test is WRONG because numerator and denominator are
+    correlated within a unit.  Per arm,
+
+        R = x̄/ȳ,   Var(R) ≈ (S_xx − 2R·S_xy + R²·S_yy) / (n·ȳ²)
+
+    with S the ddof-1 sample (co)variances — the first-order Taylor
+    variance of the ratio — then the two-arm contrast z = ΔR/SE with
+    the shared :func:`two_sided_p` tail.
+
+    One (arm) aggregate of DECIMAL(38,12)-exact moments (n, Σx, Σy,
+    Σxx, Σxy, Σyy); everything downstream is fixed-order doubles on
+    those sums.  Units with 0 denominator are fine (they just carry
+    mass); an arm with ȳ = 0 or n < 2 yields NULL variance → NULL z/p.
+
+    Returns ONE row ``(n_a, n_b, ratio_a, ratio_b, diff, se, z,
+    p_value)``.
+    """
+    a0, a1 = arms
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+
+    def arm_stats(tag, pred):
+        return [
+            F.sum(pred.cast("bigint")).alias(f"n_{tag}"),
+            F.coalesce(d(F.when(pred, x)), F.lit(0.0)).alias(f"sx_{tag}"),
+            F.coalesce(d(F.when(pred, y)), F.lit(0.0)).alias(f"sy_{tag}"),
+            F.coalesce(d(F.when(pred, x * x)), F.lit(0.0))
+            .alias(f"sxx_{tag}"),
+            F.coalesce(d(F.when(pred, x * y)), F.lit(0.0))
+            .alias(f"sxy_{tag}"),
+            F.coalesce(d(F.when(pred, y * y)), F.lit(0.0))
+            .alias(f"syy_{tag}"),
+        ]
+
+    agg = units.agg(*(arm_stats("a", F.col(arm_col) == F.lit(a0))
+                      + arm_stats("b", F.col(arm_col) == F.lit(a1))))
+
+    def ratio_var(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        sx, sy = F.col(f"sx_{tag}"), F.col(f"sy_{tag}")
+        sxx, sxy, syy = (F.col(f"sxx_{tag}"), F.col(f"sxy_{tag}"),
+                         F.col(f"syy_{tag}"))
+        mx, my = sx / n, sy / n
+        ratio = F.when(sy != 0.0, sx / sy)
+        cxx = (sxx - sx * sx / n) / (n - 1.0)
+        cxy = (sxy - sx * sy / n) / (n - 1.0)
+        cyy = (syy - sy * sy / n) / (n - 1.0)
+        var = F.when((F.col(f"n_{tag}") >= 2) & (my != 0.0),
+                     (cxx - 2.0 * ratio * cxy + ratio * ratio * cyy)
+                     / (n * my * my))
+        return ratio, var
+
+    ra, va = ratio_var("a")
+    rb, vb = ratio_var("b")
+    se = F.sqrt(va + vb)
+    z = F.when(se > 0.0, (rb - ra) / se)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n_a", "n_b",
+        r6(ra).alias("ratio_a"), r6(rb).alias("ratio_b"),
+        r6(rb - ra).alias("diff"), r6(se).alias("se"),
+        r6(z).alias("z"),
+        r6(F.when(se > 0.0, two_sided_p(z))).alias("p_value"))
+
+
 #: two-sided alpha=0.05 and power=0.80 normal quantiles — fixed literals
 #: so every engine replays the MDE arithmetic bit-for-bit
 Z_ALPHA_0_05 = 1.9599639845400545

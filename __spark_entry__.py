@@ -4586,6 +4586,26 @@ def gini_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["o_orderpriority"], "o_totalprice").orderBy("o_orderpriority")
 
 
+def theil_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality with between/within-nation decomposition
+    (profile.theil_decomposition; Theil 1967, Shorrocks 1980) of
+    per-customer spend — the question Gini (q:gini_value_orders)
+    cannot answer: does spend concentration live BETWEEN nations
+    (rebalance the mix) or WITHIN them (rebalancing won't help)?
+    One scan to bounded per-nation decimal moments; per-row x·ln x is
+    the only transcendental, absorbed by round-6."""
+    from hazelcast_jet_spark.operators.profile import theil_decomposition
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    units = (o.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,12)"))
+                  .cast("double").alias("spend"))
+             .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_nationkey"), "o_custkey"))
+    return theil_decomposition(units, "c_nationkey", "spend")
+
+
 def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (dedup.source_overlap) at the
     shingle grain: shared word 3-shingles + Jaccard overlap per source
@@ -7415,6 +7435,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "burrows_delta_docs",
     "coreness_hist_parts",
     "ratio_delta_orders",
+    "theil_orders",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7812,6 +7833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta_docs": burrows_delta_docs,
         "coreness_hist_parts": coreness_hist_parts,
         "ratio_delta_orders": ratio_delta_orders,
+        "theil_orders": theil_orders,
     }
 
 
@@ -15197,6 +15219,59 @@ def oracle_sql() -> dict[str, str]:
             FROM fr
             WHERE prior IS NULL OR best_p_retailprice < prior
             ORDER BY p_size DESC
+        """,
+        "theil_orders": """
+            WITH u AS (
+                SELECT c.c_nationkey AS g,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,12)))
+                            AS DOUBLE) AS x
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY o.o_custkey, c.c_nationkey
+            ), pos AS (
+                SELECT g, x FROM u WHERE x > 0.0
+            ), groups AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(x * ln(x) AS DECIMAL(38,12)))
+                            AS DOUBLE) AS sxl
+                FROM pos GROUP BY 1
+            ), dropped AS (
+                SELECT CAST(SUM(CASE WHEN x > 0.0 THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_dropped
+                FROM u
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                           AS ts,
+                       CAST(SUM(CAST(sxl AS DECIMAL(38,12))) AS DOUBLE)
+                           AS tsxl
+                FROM groups
+            ), per AS (
+                SELECT (g.s / t.ts)
+                           * ln((g.s / CAST(g.n AS DOUBLE))
+                                / (t.ts / CAST(t.n AS DOUBLE))) AS tb,
+                       (g.s / t.ts)
+                           * (g.sxl / (CAST(g.n AS DOUBLE)
+                                       * (g.s / CAST(g.n AS DOUBLE)))
+                              - ln(g.s / CAST(g.n AS DOUBLE))) AS tw
+                FROM groups g CROSS JOIN tot t
+            ), folded AS (
+                SELECT CAST(SUM(CAST(tb AS DECIMAL(38,12))) AS DOUBLE)
+                           AS theil_between,
+                       CAST(SUM(CAST(tw AS DECIMAL(38,12))) AS DOUBLE)
+                           AS theil_within
+                FROM per
+            )
+            SELECT t.n, d.n_dropped, t.n_groups,
+                   round(t.tsxl / (CAST(t.n AS DOUBLE)
+                                   * (t.ts / CAST(t.n AS DOUBLE)))
+                         - ln(t.ts / CAST(t.n AS DOUBLE)), 6) + 0.0
+                       AS theil_total,
+                   round(f.theil_between, 6) + 0.0 AS theil_between,
+                   round(f.theil_within, 6) + 0.0 AS theil_within
+            FROM tot t CROSS JOIN folded f CROSS JOIN dropped d
         """,
         "ratio_delta_orders": (lambda arm_agg, ratio, var: f"""
             WITH u AS (

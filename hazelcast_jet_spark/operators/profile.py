@@ -988,6 +988,72 @@ def winsorize(df: DataFrame, value_col: str, lo_p: float = 0.01,
     return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
 
 
+def theil_decomposition(df: DataFrame, group_col: str, value_col: str,
+                        round_digits: int = 6) -> DataFrame:
+    """Theil T inequality index with exact between/within decomposition
+    (Theil 1967; Shorrocks 1980) over positive values:
+
+        T        = (1/N) Σ_i (x_i/μ)·ln(x_i/μ)
+        T_between = Σ_g s_g·ln((μ_g/μ))       with s_g = group value share
+        T_within  = Σ_g s_g·T_g               (T = T_between + T_within)
+
+    — the inequality measure :func:`gini_concentration` cannot
+    decompose: it answers "how much of the spend/traffic concentration
+    lives BETWEEN sources vs WITHIN them", the mixture-rebalancing
+    signal (between-dominated → rebalance sources; within-dominated →
+    rebalancing cannot help).
+
+    Plan: ONE scan to per-group DECIMAL-exact (n, Σx) plus the
+    group-local Σ(x·ln x) (the only per-row transcendental, absorbed by
+    the round-6 discipline like the z→p tails); group rows are bounded,
+    so the decomposition folds driver-free from broadcast-scale tables.
+    Non-positive values are EXCLUDED (ln requires x > 0) and counted in
+    ``n_dropped``.
+
+    Identity used: (1/n_g)Σ(x/μ_g)ln(x/μ_g) = [Σx·ln x]/(n_g·μ_g) −
+    ln(μ_g), evaluated in that exact order both engines.
+
+    Returns ONE row ``(n, n_dropped, n_groups, theil_total,
+    theil_between, theil_within)`` with total = between + within exact
+    up to the shared fixed-order arithmetic.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("__g"), x.alias("__x"))
+    pos = base.filter(F.col("__x") > 0.0)
+    d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
+    groups = pos.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        d(F.col("__x")).alias("__s"),
+        d(F.col("__x") * F.log("__x")).alias("__sxl"))
+    dropped = base.agg(
+        F.sum(F.when(F.col("__x") > 0.0, F.lit(0)).otherwise(F.lit(1)))
+        .alias("n_dropped"))
+    tot = groups.agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_groups"),
+        d(F.col("__s")).alias("__ts"),
+        d(F.col("__sxl")).alias("__tsxl"))
+    nd = F.col("__n").cast("double")
+    ntd = F.col("n").cast("double")
+    mu_g = F.col("__s") / nd
+    mu = F.col("__ts") / ntd
+    s_g = F.col("__s") / F.col("__ts")
+    t_g = F.col("__sxl") / (nd * mu_g) - F.log(mu_g)
+    per = (groups.crossJoin(F.broadcast(tot)).select(
+        (s_g * F.log(mu_g / mu)).alias("__tb"),
+        (s_g * t_g).alias("__tw")))
+    folded = per.agg(d(F.col("__tb")).alias("theil_between"),
+                     d(F.col("__tw")).alias("theil_within"))
+    total = F.col("__tsxl") / (ntd * mu) - F.log(mu)
+    r6 = lambda c: F.round(c, round_digits) + F.lit(0.0)  # noqa: E731
+    return (tot.crossJoin(F.broadcast(folded))
+            .crossJoin(F.broadcast(dropped))
+            .select("n", "n_dropped", "n_groups",
+                    r6(total).alias("theil_total"),
+                    r6(F.col("theil_between")).alias("theil_between"),
+                    r6(F.col("theil_within")).alias("theil_within")))
+
+
 def gini_concentration(
     df: DataFrame,
     group_cols: list[str],

@@ -258,3 +258,42 @@ def test_hindex_coreness_exact_on_known_graph(spark):
     surv = {r.node for r in kcore_peel(edges, k=2,
                                        until_fixpoint=True).collect()}
     assert surv == {n for n, c in core.items() if c >= 2}
+
+
+def test_theil_decomposition_identity_and_zero(spark):
+    from hazelcast_jet_spark.operators.profile import theil_decomposition
+
+    # equal values -> zero inequality everywhere
+    eq = spark.createDataFrame([("a", 5.0)] * 4 + [("b", 5.0)] * 4,
+                               "g string, x double")
+    r = theil_decomposition(eq, "g", "x").collect()[0]
+    assert (r.theil_total, r.theil_between, r.theil_within) == (0.0, 0.0, 0.0)
+    # identical within-group distributions, different means ->
+    # within = 0 per group is false here, but total = between + within
+    # must hold, and between dominates
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 10.0), ("b", 10.0)],
+        "g string, x double")
+    r2 = theil_decomposition(df, "g", "x").collect()[0]
+    assert r2.theil_within == 0.0          # each group internally equal
+    assert r2.theil_between == pytest.approx(r2.theil_total, abs=1e-6)
+    assert r2.theil_total > 0.3
+    # non-positive rows are dropped and counted
+    df3 = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", -2.0), ("b", 3.0)],
+        "g string, x double")
+    r3 = theil_decomposition(df3, "g", "x").collect()[0]
+    assert r3.n == 2 and r3.n_dropped == 2
+
+
+def test_ratio_delta_matches_hand_computation(spark):
+    from hazelcast_jet_spark.operators.experiment import ratio_metric_delta
+
+    rows = [("A", 10.0, 2.0), ("A", 20.0, 4.0), ("A", 30.0, 4.0),
+            ("B", 40.0, 4.0), ("B", 10.0, 1.0), ("B", 25.0, 5.0)]
+    df = spark.createDataFrame(rows, "arm string, x double, y double")
+    r = ratio_metric_delta(df, "arm", "x", "y").collect()[0]
+    assert r.ratio_a == pytest.approx(60.0 / 10.0, abs=1e-9)
+    assert r.ratio_b == pytest.approx(75.0 / 10.0, abs=1e-9)
+    assert r.diff == pytest.approx(1.5, abs=1e-9)
+    assert r.se is not None and r.se > 0.0

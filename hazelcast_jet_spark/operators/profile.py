@@ -1019,15 +1019,22 @@ def theil_decomposition(df: DataFrame, group_col: str, value_col: str,
     """
     x = F.col(value_col).cast("double")
     base = df.select(F.col(group_col).alias("__g"), x.alias("__x"))
-    pos = base.filter(F.col("__x") > 0.0)
+    pos = F.col("__x") > 0.0
     d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
-    groups = pos.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__n"),
-        d(F.col("__x")).alias("__s"),
-        d(F.col("__x") * F.log("__x")).alias("__sxl"))
-    dropped = base.agg(
-        F.sum(F.when(F.col("__x") > 0.0, F.lit(0)).otherwise(F.lit(1)))
-        .alias("n_dropped"))
+    # ONE scan: positive-row moments AND the dropped counter fold in the
+    # same group aggregate; the resulting table is bounded (one row per
+    # group) and localCheckpointed so the three downstream folds (group
+    # terms, totals, dropped sum) never re-scan the source
+    cells = (base.groupBy("__g").agg(
+        F.sum(pos.cast("bigint")).alias("__n"),
+        F.sum(F.when(pos, F.lit(0)).otherwise(F.lit(1)))
+        .alias("__drop"),
+        F.coalesce(d(F.when(pos, F.col("__x"))), F.lit(0.0)).alias("__s"),
+        F.coalesce(d(F.when(pos, F.col("__x") * F.log("__x"))),
+                   F.lit(0.0)).alias("__sxl"))
+        .localCheckpoint())
+    groups = cells.filter(F.col("__n") > 0)
+    dropped = cells.agg(F.sum("__drop").alias("n_dropped"))
     tot = groups.agg(
         F.sum("__n").alias("n"),
         F.count(F.lit(1)).alias("n_groups"),

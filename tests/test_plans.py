@@ -1150,3 +1150,75 @@ def test_unpivot_single_scan_no_shuffle_after_agg(spark, sf_dir):
     plan = _plan(entry_mod.unpivot_nation_metrics(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan or "Generate" in plan or "Unpivot" in plan
+
+
+def test_khop_reach_shuffle_hinted_wedge(spark, sf_dir):
+    """khop gate: the wedge self-join must be a shuffle join (both sides
+    are |edges|-sized — broadcasting one OOMs at scale), and no
+    cartesian/BNLJ anywhere."""
+    plan = _plan(entry_mod.khop_reach_parts(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ppr_checkpointed_iterations(spark, sf_dir):
+    """personalized-pagerank gate: each iteration localCheckpoints its
+    rank table (the pagerank O(1)-lineage discipline), so the returned
+    plan reads the final checkpoint — never a re-derivation of the
+    whole iteration chain."""
+    plan = _plan(entry_mod.ppr_copurchase(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_spearman_single_scan_one_group_exchange(spark, sf_dir):
+    """spearman gate: one lineitem scan; both midrank windows and the
+    moment aggregate ride the same group-key partitioning."""
+    plan = _plan(entry_mod.spearman_lineitem(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_theil_single_scan_bounded_fold(spark, sf_dir):
+    """theil gate: ONE pass builds the checkpointed per-nation cell
+    table (positive moments + dropped counter in the same aggregate);
+    the returned plan folds bounded checkpointed tables only — the
+    source is never re-scanned (the one-row cross joins are broadcast
+    nested loops over single rows, which is their correct physical
+    form)."""
+    plan = _plan(entry_mod.theil_orders(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_ratio_delta_single_scan_no_join(spark, sf_dir):
+    """ratio-delta gate: one orders scan into one moment aggregate —
+    the readout is a single row of fixed-order arithmetic."""
+    plan = _plan(entry_mod.ratio_delta_orders(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_cvm_two_shrinking_exchanges(spark, sf_dir):
+    """cvm gate: same shape as w1 — the two tagged halves are two
+    pushed-filter scans of the same parquet (each reads only its
+    half), then distinct-value compaction and one group window; no
+    join anywhere."""
+    plan = _plan(entry_mod.cvm_drift_events(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "Join" not in plan
+
+
+def test_vocab_richness_single_scan(spark, sf_dir):
+    plan = _plan(entry_mod.vocab_richness_docs(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_ndcg_bounded_rank_list_join(spark, sf_dir):
+    """ndcg gate: the fold joins two bounded (queries x k) rank lists —
+    no cartesian legs; the brute-force truth leg is the measurement
+    baseline (ann_recall convention)."""
+    plan = _plan(entry_mod.ndcg_ivf_emb(spark, sf_dir))
+    assert "CartesianProduct" not in plan

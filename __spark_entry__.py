@@ -659,6 +659,71 @@ def values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recursive_cte_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE surface pin (Spark 4 recursive CTE — beyond the
+    reference's Calcite surface, which has no recursion): the
+    α=0.5 EWMA of yearly gross revenue per order priority computed IN
+    SPARK SQL by the same recursive-CTE technique this repo's oracles
+    use — a true engine-level recursion (each level reads the previous
+    one), not a window rewrite.  Every multiply is an exact binary
+    scaling on DECIMAL-exact monthly sums, so Spark's recursion and
+    DuckDB's replay are bit-identical with no rounding."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__rcs_orders")
+    return spark.sql("""
+        WITH RECURSIVE yearly AS (
+            SELECT o_orderpriority AS pri,
+                   CAST(date_format(o_orderdate, 'yyyy-01-01') AS DATE)
+                       AS yr,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS rev
+            FROM __rcs_orders GROUP BY 1, 2
+        ), ser AS (
+            SELECT pri, yr, rev,
+                   row_number() OVER (PARTITION BY pri ORDER BY yr)
+                       AS idx
+            FROM yearly
+        ), ew AS (
+            SELECT pri, yr, rev, idx, rev AS ewma_rev
+            FROM ser WHERE idx = 1
+            UNION ALL
+            SELECT s.pri, s.yr, s.rev, s.idx,
+                   0.5 * e.ewma_rev + 0.5 * s.rev
+            FROM ser s JOIN ew e
+              ON s.pri = e.pri AND s.idx = e.idx + 1
+        )
+        SELECT pri, yr, rev, ewma_rev FROM ew ORDER BY pri, yr
+    """)
+
+
+def lateral_topk_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery surface pin (beyond the reference's
+    SQL whitelist): per region, the single top nation by customer
+    account balance via a correlated ``LATERAL (... ORDER BY ... LIMIT
+    1)`` — the idiom that fuses a per-group top-k into the join without
+    a window, planned by Spark as a correlated lateral join.  Both
+    engines run the identical text; DECIMAL-exact balance sums,
+    deterministic name tie-break."""
+    _t(spark, sf_dir, "region").createOrReplaceTempView("__lts_region")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__lts_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lts_customer")
+    return spark.sql("""
+        SELECT r.r_name, x.n_name, x.total_bal
+        FROM __lts_region r,
+        LATERAL (
+            SELECT n.n_name,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,12)))
+                        AS DOUBLE) AS total_bal
+            FROM __lts_nation n JOIN __lts_customer c
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY total_bal DESC, n.n_name
+            LIMIT 1
+        ) x
+        ORDER BY r.r_name
+    """)
+
+
 #: banded hyperplane LSH config for the ANN / embedding-dedup queries
 #: (deterministic ±1 plane sets shared with the SQL oracle).  4 bands of 6
 #: planes: the OR-construction that keeps recall while each band's 2^6
@@ -7436,6 +7501,8 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "coreness_hist_parts",
     "ratio_delta_orders",
     "theil_orders",
+    "recursive_cte_surface",
+    "lateral_topk_surface",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7834,6 +7901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_hist_parts": coreness_hist_parts,
         "ratio_delta_orders": ratio_delta_orders,
         "theil_orders": theil_orders,
+        "recursive_cte_surface": recursive_cte_surface,
+        "lateral_topk_surface": lateral_topk_surface,
     }
 
 
@@ -11422,6 +11491,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, day, n, ewma_rate
             FROM ew ORDER BY event_type, day
+        """,
+        "recursive_cte_surface": """
+            WITH RECURSIVE yearly AS (
+                SELECT o_orderpriority AS pri,
+                       CAST(date_trunc('year', CAST(o_orderdate AS DATE))
+                            AS DATE) AS yr,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                            AS DOUBLE) AS rev
+                FROM orders GROUP BY 1, 2
+            ), ser AS (
+                SELECT pri, yr, rev,
+                       row_number() OVER (PARTITION BY pri ORDER BY yr)
+                           AS idx
+                FROM yearly
+            ), ew AS (
+                SELECT pri, yr, rev, idx, rev AS ewma_rev
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.pri, s.yr, s.rev, s.idx,
+                       0.5 * e.ewma_rev + 0.5 * s.rev
+                FROM ser s JOIN ew e
+                  ON s.pri = e.pri AND s.idx = e.idx + 1
+            )
+            SELECT pri, yr, rev, ewma_rev FROM ew ORDER BY pri, yr
+        """,
+        "lateral_topk_surface": """
+            SELECT r.r_name, x.n_name, x.total_bal
+            FROM region r,
+            LATERAL (
+                SELECT n.n_name,
+                       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,12)))
+                            AS DOUBLE) AS total_bal
+                FROM nation n JOIN customer c
+                  ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey
+                GROUP BY n.n_name
+                ORDER BY total_bal DESC, n.n_name
+                LIMIT 1
+            ) x
+            ORDER BY r.r_name
         """,
         "kalman_level_events": f"""
             WITH RECURSIVE daily AS (

@@ -4866,6 +4866,44 @@ def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type", "day")
 
 
+CROSTON_QTY = 50
+
+
+def croston_demand_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand rate (timeseries.croston; Croston
+    1972) of full-pallet shipments (quantity = 50) per brand:
+    many zero days between demand epochs break level smoothers — the
+    EWMA/Kalman lane's missing sibling smooths demand SIZE and
+    inter-demand INTERVAL separately at epochs only, forecast = z/p.
+    Dyadic α=0.5 makes every update an exact binary scaling; day
+    ordinals are epoch-day integers (session-tz-free), so the
+    recursive-CTE oracle replays the bits.  One row per brand: the
+    last epoch's state."""
+    from hazelcast_jet_spark.operators.timeseries import croston
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    day = F.datediff(F.to_date("l_shipdate"),
+                     F.lit("1970-01-01").cast("date"))
+    demand = (li.filter(F.col("l_quantity") == CROSTON_QTY)
+              .join(p.select(F.col("p_partkey").alias("l_partkey"),
+                             "p_brand"), "l_partkey")
+              .groupBy("p_brand", day.alias("day"))
+              .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                   .cast("double").alias("qty")))
+    fit = croston(demand, "p_brand", "day", "qty", alpha=0.5)
+    w = Window.partitionBy("p_brand")
+    return (fit.withColumn("__n", F.count(F.lit(1)).over(w))
+            .withColumn("__rn", F.row_number().over(
+                w.orderBy(F.desc("day"))))
+            .filter(F.col("__rn") == 1)
+            .select("p_brand", F.col("__n").alias("n_epochs"),
+                    (F.col("z") + F.lit(0.0)).alias("z"),
+                    (F.col("p") + F.lit(0.0)).alias("p"),
+                    (F.col("forecast") + F.lit(0.0)).alias("forecast"))
+            .orderBy("p_brand"))
+
+
 KALMAN_Q, KALMAN_R = 1.0, 4.0
 
 
@@ -7503,6 +7541,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "theil_orders",
     "recursive_cte_surface",
     "lateral_topk_surface",
+    "croston_demand_lineitem",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7903,6 +7942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_orders": theil_orders,
         "recursive_cte_surface": recursive_cte_surface,
         "lateral_topk_surface": lateral_topk_surface,
+        "croston_demand_lineitem": croston_demand_lineitem,
     }
 
 
@@ -11531,6 +11571,46 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 1
             ) x
             ORDER BY r.r_name
+        """,
+        "croston_demand_lineitem": f"""
+            WITH RECURSIVE demand AS MATERIALIZED (
+                SELECT p.p_brand AS cont,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(l.l_shipdate AS DATE))
+                            AS BIGINT) AS day,
+                       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6)))
+                            AS DOUBLE) AS qty
+                FROM lineitem l JOIN part p
+                  ON l.l_partkey = p.p_partkey
+                WHERE l.l_quantity = {CROSTON_QTY}
+                GROUP BY 1, 2
+            ), ser AS MATERIALIZED (
+                SELECT cont, day, qty,
+                       row_number() OVER (PARTITION BY cont ORDER BY day)
+                           AS idx,
+                       day - lag(day) OVER (PARTITION BY cont
+                                            ORDER BY day) AS gap
+                FROM demand
+            ), cr AS (
+                SELECT cont, day, qty, idx,
+                       qty AS z, CAST(1.0 AS DOUBLE) AS p
+                FROM ser WHERE idx = 1
+                UNION ALL
+                SELECT s.cont, s.day, s.qty, s.idx,
+                       0.5 * s.qty + 0.5 * c.z,
+                       0.5 * CAST(s.gap AS DOUBLE) + 0.5 * c.p
+                FROM ser s JOIN cr c
+                  ON s.cont = c.cont AND s.idx = c.idx + 1
+            ), lastrow AS (
+                SELECT cont, CAST(max(idx) AS BIGINT) AS n_epochs
+                FROM cr GROUP BY 1
+            )
+            SELECT c.cont AS p_brand, l.n_epochs,
+                   c.z + 0.0 AS z, c.p + 0.0 AS p,
+                   c.z / c.p + 0.0 AS forecast
+            FROM cr c JOIN lastrow l
+              ON c.cont = l.cont AND c.idx = l.n_epochs
+            ORDER BY p_brand
         """,
         "kalman_level_events": f"""
             WITH RECURSIVE daily AS (

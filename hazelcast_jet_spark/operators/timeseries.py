@@ -263,6 +263,63 @@ def kalman_level(df: DataFrame, key_col: str, time_col: str,
     return df.groupBy(key_col).applyInPandas(_filter, out_schema)
 
 
+def croston(df: DataFrame, key_col: str, time_col: str, value_col: str,
+            alpha: float = 0.5) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972): series
+    with many zero periods (spare parts, long-tail SKUs, rare event
+    types) break level smoothers — the zeros drag the level to nothing
+    and the forecast whipsaws.  Croston smooths two series ONLY at
+    demand epochs:
+
+        z_t = α·size_t + (1−α)·z        (demand size)
+        p_t = α·interval_t + (1−α)·p    (inter-demand interval)
+        forecast = z / p                (demand rate per period)
+
+    Init: ``z = first size``, ``p = 1``; updates start at the second
+    epoch (the first observed interval).  ``time_col`` is an integer
+    period ordinal (e.g. epoch day) so intervals are exact integers.
+
+    Same execution shape as :func:`ewma`/:func:`kalman_level`: one
+    shuffle on the key, an Arrow per-key recurrence (honestly
+    sequential); with a dyadic ``alpha`` every update is an exact
+    binary scaling, so a recursive-CTE oracle replays the bits.
+
+    Returns input columns plus ``(z, p, forecast)`` doubles — one row
+    per demand epoch; take each key's LAST row for the current rate.
+    """
+    import pandas as pd  # noqa: F401
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    af = float(alpha)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, z double, p double, forecast double"
+
+    def _fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        times = [float(t) for t in pdf[time_col]]
+        sizes = [float(v) for v in pdf[value_col]]
+        zs, ps, fc = [], [], []
+        z = p = 0.0
+        for i, (t, v) in enumerate(zip(times, sizes)):
+            if i == 0:
+                z, p = v, 1.0
+            else:
+                interval = t - times[i - 1]
+                z = af * v + (1.0 - af) * z
+                p = af * interval + (1.0 - af) * p
+            zs.append(z)
+            ps.append(p)
+            fc.append(z / p)
+        pdf["z"] = zs
+        pdf["p"] = ps
+        pdf["forecast"] = fc
+        return pdf
+
+    return df.groupBy(key_col).applyInPandas(_fit, out_schema)
+
+
 def cohort_retention(df: DataFrame, key_col: str = "user_id",
                      time_col: str = "ts",
                      period_seconds: int = 604800) -> DataFrame:

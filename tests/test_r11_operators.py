@@ -297,3 +297,22 @@ def test_ratio_delta_matches_hand_computation(spark):
     assert r.ratio_b == pytest.approx(75.0 / 10.0, abs=1e-9)
     assert r.diff == pytest.approx(1.5, abs=1e-9)
     assert r.se is not None and r.se > 0.0
+
+
+def test_croston_constant_demand_locks_to_rate(spark):
+    from hazelcast_jet_spark.operators.timeseries import croston
+
+    # size 6 every 3 periods: z locks to 6, p to 3, forecast to 2/period
+    df = spark.createDataFrame(
+        [("k", 3 * i, 6.0) for i in range(1, 9)], "k string, t int, v double")
+    out = croston(df, "k", "t", "v").orderBy("t").collect()
+    assert out[0].z == 6.0 and out[0].p == 1.0
+    assert out[-1].z == 6.0
+    assert out[-1].p == pytest.approx(3.0, abs=0.02)  # converges from 1
+    assert out[-1].forecast == pytest.approx(2.0, rel=0.01)
+    # irregular gaps: p tracks the interval EWMA exactly (alpha=0.5)
+    df2 = spark.createDataFrame(
+        [("k", t, 4.0) for t in (0, 1, 5)], "k string, t int, v double")
+    o2 = croston(df2, "k", "t", "v").orderBy("t").collect()
+    assert o2[1].p == 0.5 * 1.0 + 0.5 * 1.0
+    assert o2[2].p == 0.5 * 4.0 + 0.5 * o2[1].p

@@ -683,6 +683,7 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
 
 
 def hindex_coreness(edges: DataFrame, iters: int = 3,
+                    until_fixpoint: bool = False, max_rounds: int = 64,
                     rounds_out: list | None = None) -> DataFrame:
     """Per-node coreness via the h-index iteration (Lü, Zhou, Zhang &
     Stanley 2016): start every node at its degree and repeatedly replace
@@ -696,7 +697,14 @@ def hindex_coreness(edges: DataFrame, iters: int = 3,
     (the :func:`pagerank` convention); after convergence the values ARE
     coreness, before it they are a monotone upper bound (documented
     honest semantics — on small-diameter graphs 2–3 rounds reach the
-    fixpoint).
+    fixpoint).  ``until_fixpoint=True`` is the executable production
+    contract (the r11 graph-lane convention): the IDENTICAL round loops
+    until no node's value changes (one join-on-node + ``count()`` of
+    changed rows per round over the localCheckpointed value tables);
+    the h-index sequence is monotone non-increasing and
+    integer-bounded, so it always terminates — ``max_rounds`` raising
+    is a misconfiguration guard, and the converged values are EXACT
+    Seidman coreness (Lü et al. 2016, Theorem 1).
 
     Per-round plan: one equi-join of the directed edge list against the
     (node, value) table, one per-node descending window (in-partition
@@ -713,18 +721,38 @@ def hindex_coreness(edges: DataFrame, iters: int = 3,
         .localCheckpoint())
     vals = (both.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("val")).localCheckpoint())
-    for _ in range(iters):
-        nb = (both.join(vals.withColumnRenamed("node", "dst")
+
+    def _round(cur: DataFrame) -> DataFrame:
+        nb = (both.join(cur.withColumnRenamed("node", "dst")
                         .withColumnRenamed("val", "__nv"), "dst")
               .select("src", "__nv", "dst"))
         w = Window.partitionBy("src").orderBy(F.desc("__nv"), "dst")
-        vals = (nb.withColumn("__rn", F.row_number().over(w))
+        return (nb.withColumn("__rn", F.row_number().over(w))
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.max(F.least(F.col("__rn").cast("bigint"),
                                    F.col("__nv"))).alias("val"))
                 .localCheckpoint())
+
+    rounds = 0
+    if until_fixpoint:
+        while True:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"hindex_coreness did not converge in {max_rounds} "
+                    "rounds (monotone integer descent: raise max_rounds)")
+            new = _round(vals)
+            rounds += 1
+            changed = (new.alias("n").join(vals.alias("o"), "node")
+                       .filter(F.expr("n.val <> o.val")).count())
+            vals = new
+            if changed == 0:
+                break
+    else:
+        for _ in range(iters):
+            vals = _round(vals)
+            rounds += 1
     if rounds_out is not None:
-        rounds_out.append(iters)
+        rounds_out.append(rounds)
     return vals.select("node", F.col("val").alias("coreness"))
 
 

@@ -112,3 +112,27 @@ def test_fixed_round_paths_unchanged(copurchase_edges):
     assert pr.columns == ["node", "pagerank"]
     total = pr.agg(F.sum("pagerank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hindex_coreness_fixpoint_cross_operator(copurchase_edges):
+    """The converged h-index values are EXACT Seidman coreness (Lü et
+    al. 2016 Thm 1), so on the gated substrate the coreness>=k node set
+    must equal the k-core peel's own fixpoint survivors — two
+    independently-built iterative operators agreeing on real data."""
+    import __spark_entry__ as entry_mod
+
+    from hazelcast_jet_spark.operators.graph import hindex_coreness
+
+    ro: list = []
+    core = hindex_coreness(copurchase_edges, until_fixpoint=True,
+                           rounds_out=ro)
+    n = ro[0]
+    assert n >= 1
+    # fixpoint == fixed-round at the loop's own count (shared body)
+    fixed = _rows(hindex_coreness(copurchase_edges, iters=n))
+    assert _rows(core) == fixed
+    k = entry_mod.KCORE_K
+    core_set = {r.node for r in core.collect() if r.coreness >= k}
+    surv = {r.node for r in kcore_peel(copurchase_edges, k=k,
+                                       until_fixpoint=True).collect()}
+    assert core_set == surv

@@ -7519,30 +7519,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: by tools/window_plan.py to lead the NEXT round's window (the r7/r8
 #: session-tail handoff convention, now machine-readable).  Names listed
 #: here must sit below the window boundary in ``queries()``.  The 20
-#: r10-session leads now occupy window slots 1-20; entries below are
-#: the r11-session additions, deferred to lead the r12 window.
-NEXT_ROUND_LEADS: tuple[str, ...] = (
-    "index_health_emb",
-    "t_closeness_customer",
-    "kalman_level_events",
-    "khop_reach_parts",
-    "ppr_copurchase",
-    "streaming_quantile_sketch",
-    "post_stratified_ate_orders",
-    "cvm_drift_events",
-    "fs_weights_docs",
-    "ndcg_ivf_emb",
-    "vocab_richness_docs",
-    "streaming_kalman_events",
-    "spearman_lineitem",
-    "burrows_delta_docs",
-    "coreness_hist_parts",
-    "ratio_delta_orders",
-    "theil_orders",
-    "recursive_cte_surface",
-    "lateral_topk_surface",
-    "croston_demand_lineitem",
-)
+#: r11-session leads now occupy window slots 1-20; entries appended
+#: below during the r12 session are deferred to lead the r13 window.
+NEXT_ROUND_LEADS: tuple[str, ...] = ()
 
 #: The round whose driver window the current registry ordering was frozen
 #: for.  tools/window_plan.py and tests/test_window_plan.py ignore
@@ -7550,7 +7529,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
 #: the plan, so the driver dropping THIS round's ledger mid-round does not
 #: retroactively invalidate the frozen window (the r9 verdict's "What's
 #: wrong #1" lifecycle defect).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7571,65 +7550,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unaffected by the rotation.
     """
     return {
-        # ==== r11 window (first 50 = the driver correctness gate; =====
-        # ==== generated by tools/window_plan.py at WINDOW_ROUND=11, ====
+        # ==== r12 window (first 50 = the driver correctness gate; =====
+        # ==== generated by tools/window_plan.py at WINDOW_ROUND=12, ====
         # ==== pinned by tests/test_window_plan.py) =====================
-        # -- 20 r10-session leads: never driver-checked ----------------
-        "pq_staleness_emb": pq_staleness_emb,
-        "streaming_experiment_readout_events":
-            streaming_experiment_readout_events,
-        "msprt_events": msprt_events,
-        "rmst_events": rmst_events,
-        "qini_uplift_orders": qini_uplift_orders,
-        "granger_events": granger_events,
-        "kcore_parts": kcore_parts,
-        "streaming_bucket_sample_events": streaming_bucket_sample_events,
-        "unpivot_nation_metrics": unpivot_nation_metrics,
-        "hw_seasonal_events": hw_seasonal_events,
-        "logrank_events": logrank_events,
-        "conformal_forecast_events": conformal_forecast_events,
-        "shapley_attribution_events": shapley_attribution_events,
-        "target_encode_orders": target_encode_orders,
-        "textrank_keywords_docs": textrank_keywords_docs,
-        "aipw_ate_orders": aipw_ate_orders,
-        "mutual_info_customer": mutual_info_customer,
-        "source_ablation_docs": source_ablation_docs,
-        "streaming_msprt_events": streaming_msprt_events,
-        "streaming_conformal_events": streaming_conformal_events,
-        # -- 30 stalest-green refreshes (r2/r3 cohort) fill the window -
-        "cast_matrix": cast_matrix,
-        "window_rank_functions": window_rank_functions,
-        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
-        "embedding_quantize_int8": embedding_quantize_int8,
-        "tpch_q18_large_orders": tpch_q18_large_orders,
-        "cep_stream_match": cep_stream_match,
-        "nexmark_q8_stream_join": nexmark_q8_stream_join,
-        "values_inline": values_inline,
-        "wordcount": wordcount,
-        "nexmark_q5_hot_items": nexmark_q5_hot_items,
-        "ann_lsh_search": ann_lsh_search,
-        "multimodal_features": multimodal_features,
-        "filtered_aggs": filtered_aggs,
-        "embedding_cosine_dedup": embedding_cosine_dedup,
-        "generate_series_agg": generate_series_agg,
-        "collection_aggs": collection_aggs,
-        "map_aggregate": map_aggregate,
-        "custom_udaf_agg": custom_udaf_agg,
-        "simhash_near_dups": simhash_near_dups,
-        "ivf_topk_search": ivf_topk_search,
-        "reducing_agg": reducing_agg,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
-        "streaming_session_window": streaming_session_window,
-        "asof_join_forward": asof_join_forward,
-        "dedup_group_sizes": dedup_group_sizes,
-        "pii_scrub_stats": pii_scrub_stats,
-        "gopher_quality_filter": gopher_quality_filter,
-        "doc_chunks": doc_chunks,
-        "percentile_stats": percentile_stats,
-        # ===== driver window boundary (entry 50 above; authoritative ==
-        # ===== check: tools/window_plan.py --check, pinned in the =====
-        # ===== suite).  Below: remaining cohort, stalest-green first ==
+        # -- 20 r11-session leads: never driver-checked ----------------
+        "index_health_emb": index_health_emb,
+        "t_closeness_customer": t_closeness_customer,
+        "kalman_level_events": kalman_level_events,
+        "khop_reach_parts": khop_reach_parts,
+        "ppr_copurchase": ppr_copurchase,
+        "streaming_quantile_sketch": streaming_quantile_sketch,
+        "post_stratified_ate_orders": post_stratified_ate_orders,
+        "cvm_drift_events": cvm_drift_events,
+        "fs_weights_docs": fs_weights_docs,
+        "ndcg_ivf_emb": ndcg_ivf_emb,
+        "vocab_richness_docs": vocab_richness_docs,
+        "streaming_kalman_events": streaming_kalman_events,
+        "spearman_lineitem": spearman_lineitem,
+        "burrows_delta_docs": burrows_delta_docs,
+        "coreness_hist_parts": coreness_hist_parts,
+        "ratio_delta_orders": ratio_delta_orders,
+        "theil_orders": theil_orders,
+        "recursive_cte_surface": recursive_cte_surface,
+        "lateral_topk_surface": lateral_topk_surface,
+        "croston_demand_lineitem": croston_demand_lineitem,
+        # -- 30 stalest-green refreshes (r4/r5 cohort) fill the window -
         "nexmark_q6_avg_last10": nexmark_q6_avg_last10,
         "heavy_hitter_terms": heavy_hitter_terms,
         "url_dedup_stats": url_dedup_stats,
@@ -7660,6 +7605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_count_min_sketch": streaming_count_min_sketch,
         "resample_gap_fill": resample_gap_fill,
         "categorical_drift_events": categorical_drift_events,
+        # ================== end of r12 driver window ==================
+        # -- remainder: stalest-green ascending (window_plan full order)
         "copurchase_graph_stats": copurchase_graph_stats,
         "pagerank_copurchase": pagerank_copurchase,
         "kfold_split_counts": kfold_split_counts,
@@ -7921,28 +7868,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_batch": session_window_batch,
         "json_props": json_props,
         "like_and_trim": like_and_trim,
-        # -- r11-session additions: registered after the r11 window ----
-        # -- froze; NEXT_ROUND_LEADS defers them to lead the r12 window
-        "index_health_emb": index_health_emb,
-        "t_closeness_customer": t_closeness_customer,
-        "kalman_level_events": kalman_level_events,
-        "khop_reach_parts": khop_reach_parts,
-        "ppr_copurchase": ppr_copurchase,
-        "streaming_quantile_sketch": streaming_quantile_sketch,
-        "post_stratified_ate_orders": post_stratified_ate_orders,
-        "cvm_drift_events": cvm_drift_events,
-        "fs_weights_docs": fs_weights_docs,
-        "ndcg_ivf_emb": ndcg_ivf_emb,
-        "vocab_richness_docs": vocab_richness_docs,
-        "streaming_kalman_events": streaming_kalman_events,
-        "spearman_lineitem": spearman_lineitem,
-        "burrows_delta_docs": burrows_delta_docs,
-        "coreness_hist_parts": coreness_hist_parts,
-        "ratio_delta_orders": ratio_delta_orders,
-        "theil_orders": theil_orders,
-        "recursive_cte_surface": recursive_cte_surface,
-        "lateral_topk_surface": lateral_topk_surface,
-        "croston_demand_lineitem": croston_demand_lineitem,
+        "pq_staleness_emb": pq_staleness_emb,
+        "streaming_experiment_readout_events":
+            streaming_experiment_readout_events,
+        "msprt_events": msprt_events,
+        "rmst_events": rmst_events,
+        "qini_uplift_orders": qini_uplift_orders,
+        "granger_events": granger_events,
+        "kcore_parts": kcore_parts,
+        "streaming_bucket_sample_events": streaming_bucket_sample_events,
+        "unpivot_nation_metrics": unpivot_nation_metrics,
+        "hw_seasonal_events": hw_seasonal_events,
+        "logrank_events": logrank_events,
+        "conformal_forecast_events": conformal_forecast_events,
+        "shapley_attribution_events": shapley_attribution_events,
+        "target_encode_orders": target_encode_orders,
+        "textrank_keywords_docs": textrank_keywords_docs,
+        "aipw_ate_orders": aipw_ate_orders,
+        "mutual_info_customer": mutual_info_customer,
+        "source_ablation_docs": source_ablation_docs,
+        "streaming_msprt_events": streaming_msprt_events,
+        "streaming_conformal_events": streaming_conformal_events,
+        "cast_matrix": cast_matrix,
+        "window_rank_functions": window_rank_functions,
+        "tpch_q14_promo_revenue": tpch_q14_promo_revenue,
+        "embedding_quantize_int8": embedding_quantize_int8,
+        "tpch_q18_large_orders": tpch_q18_large_orders,
+        "cep_stream_match": cep_stream_match,
+        "nexmark_q8_stream_join": nexmark_q8_stream_join,
+        "values_inline": values_inline,
+        "wordcount": wordcount,
+        "nexmark_q5_hot_items": nexmark_q5_hot_items,
+        "ann_lsh_search": ann_lsh_search,
+        "multimodal_features": multimodal_features,
+        "filtered_aggs": filtered_aggs,
+        "embedding_cosine_dedup": embedding_cosine_dedup,
+        "generate_series_agg": generate_series_agg,
+        "collection_aggs": collection_aggs,
+        "map_aggregate": map_aggregate,
+        "custom_udaf_agg": custom_udaf_agg,
+        "simhash_near_dups": simhash_near_dups,
+        "ivf_topk_search": ivf_topk_search,
+        "reducing_agg": reducing_agg,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+        "streaming_session_window": streaming_session_window,
+        "asof_join_forward": asof_join_forward,
+        "dedup_group_sizes": dedup_group_sizes,
+        "pii_scrub_stats": pii_scrub_stats,
+        "gopher_quality_filter": gopher_quality_filter,
+        "doc_chunks": doc_chunks,
+        "percentile_stats": percentile_stats,
     }
 
 

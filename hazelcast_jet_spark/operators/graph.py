@@ -744,13 +744,17 @@ def hindex_coreness(edges: DataFrame, iters: int = 3,
             rounds += 1
             changed = (new.alias("n").join(vals.alias("o"), "node")
                        .filter(F.expr("n.val <> o.val")).count())
+            vals.unpersist(False)
             vals = new
             if changed == 0:
                 break
     else:
         for _ in range(iters):
+            prev = vals
             vals = _round(vals)
             rounds += 1
+            prev.unpersist(False)
+    both.unpersist(False)
     if rounds_out is not None:
         rounds_out.append(rounds)
     return vals.select("node", F.col("val").alias("coreness"))
@@ -822,6 +826,7 @@ def label_propagation(edges: DataFrame, iters: int = 2,
                        .join(labels.alias("o"), "node")
                        .filter(F.expr("n.label <> o.label"))
                        .count())
+            labels.unpersist(False)
             labels = new
             if changed == 0:
                 break

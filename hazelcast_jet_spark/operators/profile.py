@@ -2259,23 +2259,27 @@ def t_closeness(df: DataFrame, quasi_cols: list[str], sensitive_col: str,
                .agg(F.max("__nc").alias("__nc"),
                     (F.lit(0.5) * F.sum(term.cast("decimal(28,12)"))
                      .cast("double")).alias("__tvd")))
+    # internal aliases keyed by the threshold's ENUMERATION INDEX, not a
+    # scaled value: int(t*100) collided for thresholds equal at the
+    # hundredth grain (ts=(0.005, 0.008) -> duplicate __c0) and raised an
+    # ambiguous-column AnalysisException (ADVICE r11)
     aggs = [F.sum("__nc").alias("__rows")]
-    for t in ts:
+    for i, t in enumerate(ts):
         aggs.append(F.sum((F.col("__tvd") > t).cast("bigint"))
-                    .alias(f"__c{int(t * 100)}"))
+                    .alias(f"__c{i}"))
         aggs.append(F.sum(F.when(F.col("__tvd") > t, F.col("__nc"))
                           .otherwise(F.lit(0)))
-                    .alias(f"__r{int(t * 100)}"))
+                    .alias(f"__r{i}"))
     one = tvd_tbl.agg(*aggs)
     rows = F.explode(F.array(*[
         F.struct(F.lit(float(t)).alias("t"),
-                 F.col(f"__c{int(t * 100)}").alias("n_weak_classes"),
-                 F.col(f"__r{int(t * 100)}").alias("n_weak_rows"),
-                 (F.round(F.col(f"__r{int(t * 100)}").cast("double")
+                 F.col(f"__c{i}").alias("n_weak_classes"),
+                 F.col(f"__r{i}").alias("n_weak_rows"),
+                 (F.round(F.col(f"__r{i}").cast("double")
                           / F.col("__rows").cast("double"),
                           round_digits) + F.lit(0.0))
                  .alias("weak_share"))
-        for t in ts]))
+        for i, t in enumerate(ts)]))
     return (one.select(rows.alias("o")).select("o.*").orderBy("t"))
 
 

@@ -1457,15 +1457,25 @@ def ndcg_at_k(candidates: DataFrame, truth: DataFrame, k: int,
     (query, item), two thin per-query aggregates — cost is O(queries·k)
     regardless of corpus size.  Returns ``(query_col, n_truth, n_hits,
     ndcg)`` ordered by query.
+
+    Ranks outside ``[1, k]`` on either side are filtered out up front —
+    the @k contract only scores the top-k prefix, and under Spark 4's
+    ANSI mode an unfiltered rank > k would otherwise surface as an
+    opaque ARRAY_INDEX_OUT_OF_BOUNDS from the discount lookup instead
+    of the documented "ignored beyond k" semantics (ADVICE r11).
     """
+    if k < 1:
+        raise ValueError(f"ndcg_at_k requires k >= 1, got {k}")
     disc = F.array(*[F.lit(d) for d in ndcg_discounts(k)])
     ideal = F.array(*[F.lit(v) for v in ndcg_ideal_prefix(k)])
-    c = candidates.select(F.col(query_col).alias("__q"),
-                          F.col(item_col).alias("__i"),
-                          F.col(rank_col).alias("__r"))
-    t = truth.select(F.col(query_col).alias("__q"),
-                     F.col(item_col).alias("__i"),
-                     F.col(rank_col).alias("__tr"))
+    c = (candidates.select(F.col(query_col).alias("__q"),
+                           F.col(item_col).alias("__i"),
+                           F.col(rank_col).alias("__r"))
+         .filter(F.col("__r").between(1, k)))
+    t = (truth.select(F.col(query_col).alias("__q"),
+                      F.col(item_col).alias("__i"),
+                      F.col(rank_col).alias("__tr"))
+         .filter(F.col("__tr").between(1, k)))
     joined = c.join(t, ["__q", "__i"], "left")
     rel = (F.lit(k) - F.col("__tr") + F.lit(1)).cast("double")
     term = rel * F.element_at(disc, F.col("__r").cast("int"))

@@ -33,6 +33,14 @@ def stream_kalman_level(series: DataFrame, key_col: str, time_col: str,
     (same fixed-order double arithmetic), so bounded-input runs replay
     the batch filter bit-for-bit regardless of micro-batch boundaries.
     ``time_col`` must be a DATE column; state keeps its ordinal.
+
+    Duplicate ``(key, time)`` rows are out of contract and are policed
+    UNIFORMLY whatever the batch boundaries (ADVICE r11): a duplicate
+    ordinal raises (or drops all but the first) whether it arrives in
+    the same micro-batch as its twin or a later one — previously a
+    same-batch duplicate slid through while a split one raised, so the
+    documented stream==batch equality silently depended on trigger
+    timing.
     """
     import pandas as pd
 
@@ -55,20 +63,26 @@ def stream_kalman_level(series: DataFrame, key_col: str, time_col: str,
         rows = (pd.concat(parts, ignore_index=True)
                 .sort_values(time_col, kind="mergesort"))
         ords = rows[time_col].map(lambda d: d.toordinal())
+        # police duplicates within the batch AND against carried state
+        # with the same <= comparison, so a duplicate (key, time) row is
+        # rejected identically whether or not a trigger boundary splits
+        # it from its twin (ADVICE r11)
+        bad = ords.duplicated(keep="first")
         if last_ord is not None:
-            late = ords <= last_ord
-            if bool(late.any()):
-                if on_out_of_order == "raise":
-                    raise RuntimeError(
-                        f"stream_kalman_level: key {key} got "
-                        f"{int(late.sum())} row(s) at or before the "
-                        f"carried state time (ordinal {last_ord}) — "
-                        f"per-key in-order delivery violated; pass "
-                        f"on_out_of_order='drop' to discard")
-                rows = rows[~late]
-                ords = ords[~late]
-                if not len(rows):
-                    return
+            bad = bad | (ords <= last_ord)
+        if bool(bad.any()):
+            if on_out_of_order == "raise":
+                raise RuntimeError(
+                    f"stream_kalman_level: key {key} got "
+                    f"{int(bad.sum())} row(s) at or before the "
+                    f"carried state time (ordinal {last_ord}) or "
+                    f"sharing a time ordinal within the batch — "
+                    f"per-key in-order delivery violated; pass "
+                    f"on_out_of_order='drop' to discard")
+            rows = rows[~bad]
+            ords = ords[~bad]
+            if not len(rows):
+                return
         levels, gains = [], []
         for v in rows[value_col]:
             v = float(v)

@@ -143,6 +143,39 @@ def test_ndcg_perfect_and_inverted(spark):
     assert ndcg_at_k(miss, truth, k).collect()[0].ndcg == 0.0
 
 
+def test_ndcg_ignores_out_of_contract_ranks(spark):
+    """ADVICE r11: ranks outside [1, k] are ignored per the @k contract
+    instead of surfacing as an ANSI ARRAY_INDEX_OUT_OF_BOUNDS."""
+    from hazelcast_jet_spark.operators.similarity import ndcg_at_k
+
+    k = 3
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id int, corpus_id int, rank int")
+    cands = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 0)],
+        "query_id int, corpus_id int, rank int")
+    got = ndcg_at_k(cands, truth, k).collect()[0]
+    # truth rank 4 and candidate ranks 4/0 dropped: a perfect top-3
+    assert got.n_truth == 3 and got.n_hits == 3 and got.ndcg == 1.0
+    with pytest.raises(ValueError, match="k >= 1"):
+        ndcg_at_k(cands, truth, 0)
+
+
+def test_t_closeness_hundredth_grain_thresholds(spark):
+    """ADVICE r11: thresholds equal at the hundredth grain must not
+    collide into duplicate internal aliases."""
+    from hazelcast_jet_spark.operators.profile import t_closeness
+
+    rows = [("g1", "a")] * 6 + [("g2", "b")] * 6
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r.t: r for r in t_closeness(df, ["q"], "s",
+                                       ts=(0.005, 0.008)).collect()}
+    # each class TVD = 0.5 > both thresholds
+    assert out[0.005].n_weak_classes == 2
+    assert out[0.008].n_weak_classes == 2
+
+
 def test_vocab_richness_closed_form(spark):
     from hazelcast_jet_spark.operators.text import vocab_richness
 
@@ -237,6 +270,40 @@ def test_stream_kalman_rejects_out_of_order(spark, tmp_path):
             .trigger(availableNow=True).start()
         name_df.awaitTermination()
     # drop mode: late row discarded, first row's filter state kept
+    out2 = stream_kalman_level(stream, "k", "day", "n",
+                               on_out_of_order="drop")
+    res = run_to_batch(out2, "update").collect()
+    assert len(res) == 1 and res[0].level == 3.0
+
+
+def test_stream_kalman_rejects_same_batch_duplicate(spark, tmp_path):
+    """ADVICE r11: a duplicate (key, day) must be policed identically
+    whether it shares a micro-batch with its twin or arrives later —
+    previously only the split case raised."""
+    import os
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from hazelcast_jet_spark.streaming.kalman import stream_kalman_level
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    schema = "k string, day date, n bigint"
+    src = str(tmp_path / "src"); os.makedirs(src)
+    spark.createDataFrame(
+        [("a", "2024-01-05", 3), ("a", "2024-01-05", 9)],
+        "k string, day string, n bigint") \
+        .select("k", F.to_date("day").alias("day"), "n") \
+        .coalesce(1).write.parquet(src + "/f0")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    out = stream_kalman_level(stream, "k", "day", "n")
+    with pytest.raises(StreamingQueryException,
+                       match="in-order delivery violated"):
+        q = out.writeStream.format("memory") \
+            .queryName("kal_dup").outputMode("update") \
+            .trigger(availableNow=True).start()
+        q.awaitTermination()
+    # drop mode: first occurrence kept, duplicate discarded
     out2 = stream_kalman_level(stream, "k", "day", "n",
                                on_out_of_order="drop")
     res = run_to_batch(out2, "update").collect()

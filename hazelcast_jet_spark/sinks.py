@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class Observable(list):
@@ -58,11 +59,19 @@ class Sinks:
 
     @staticmethod
     def _keyed_merge_sink(path: str, keys: list[str], merge_fn, num_buckets: int,
-                          commit_mode: str = "rename"):
-        """Shared body of mapWithMerging / mapWithEntryProcessor: read ONLY
-        the touched bucket partitions, let ``merge_fn(current_subset,
-        new_df)`` resolve each key, rewrite just those buckets.  The merged
-        plan is cached so apply()'s read + write execute it once."""
+                          commit_mode: str = "rename",
+                          replace_batch_keys: bool = False):
+        """Shared body of mapWithMerging / mapWithUpdating /
+        mapWithEntryProcessor: read ONLY the touched bucket partitions, let
+        ``merge_fn(current_subset, new_df)`` resolve each key, rewrite just
+        those buckets.  The merged plan is cached so apply()'s read + write
+        execute it once.
+
+        ``replace_batch_keys`` selects the delete semantics: False (the
+        merging contract) retains keys merge_fn omits; True (the updating
+        contract) declares every key of the INCOMING batch changed, so a
+        batch key absent from merge_fn's output is REMOVED — Jet's
+        updateFn-returns-null."""
         def sink(df: DataFrame):
             from hazelcast_jet_spark.storage import KeyedParquetTable
 
@@ -76,7 +85,9 @@ class Sinks:
             current = table.read(df.sparkSession, buckets=bks)
             merged = merge_fn(current, df).cache()
             try:
-                table.apply(merged, merged.select(*keys).distinct(), buckets=bks)
+                changed = (df if replace_batch_keys else merged) \
+                    .select(*keys).distinct()
+                table.apply(merged, changed, buckets=bks)
             finally:
                 merged.unpersist()
             return path
@@ -107,18 +118,80 @@ class Sinks:
         )
 
     @staticmethod
-    def files(directory: str, fmt: str = "text", mode: str = "overwrite"):
+    def map_with_updating(path: str, keys: list[str], update_fn,
+                          num_buckets: int = 64, commit_mode: str = "rename"):
+        """Sinks.mapWithUpdating — Sinks.java:481: per key, absent →
+        insert, present → ``updateFn(oldValue, item)``, and a null return
+        REMOVES the key.  DataFrame translation of that per-entry loop:
+        ``update_fn(current, new_df) -> DataFrame`` receives the table's
+        CURRENT rows restricted to the batch's keys (``None`` on first
+        write) plus the incoming batch, and returns the post-update rows
+        for those keys — a batch key it omits is deleted (the
+        returns-null branch), while keys outside the batch are never
+        touched.  Same KeyedParquetTable backing as
+        :meth:`map_with_merging`: partition-pruned bucket reads, staged
+        manifest-committed rewrites of O(changed buckets).
+
+        Contract difference vs ``map_with_merging``: the output must
+        cover ONLY batch keys (rows for other keys would duplicate their
+        retained table rows), and omission deletes instead of retains —
+        exactly the Jet merging/updating split (merge resolves conflicts,
+        update owns the key's fate).  Exactly-once under replay needs an
+        idempotent ``update_fn``, the same caveat Sinks.java:516
+        documents.
+        """
+        def fn(cur: DataFrame | None, new: DataFrame) -> DataFrame:
+            if cur is None:
+                return update_fn(None, new)
+            touched = cur.join(new.select(*keys).distinct(), keys, "left_semi")
+            return update_fn(touched, new)
+        return Sinks._keyed_merge_sink(path, keys, fn, num_buckets,
+                                       commit_mode, replace_batch_keys=True)
+
+    @staticmethod
+    def files(directory: str, fmt: str = "text", mode: str = "overwrite",
+              roll_by_date: str | None = None, date_col: str | None = None,
+              max_records_per_file: int | None = None):
         """Sinks.files — Sinks.java:1026 (exactly-once via checkpoint when
-        streaming, matching FileSinkBuilder.exactlyOnce)."""
+        streaming, matching FileSinkBuilder.exactlyOnce).
+
+        Rolling (FileSinkBuilder.java rollByDate/rollByFileSize):
+
+        * ``roll_by_date`` — a Spark date pattern (e.g. ``"yyyy-MM-dd"``)
+          routing rows into dated subdirectories
+          ``<directory>/roll=<formatted>/`` via ``partitionBy``, the
+          distributed analog of Jet's per-date files (every writer node
+          appends under the current date dir; here every task does).
+          ``date_col`` picks the event-time column to roll on; ``None``
+          rolls on processing time (``current_timestamp()``), Jet's
+          wall-clock semantics.
+        * ``max_records_per_file`` — bounds file size the way
+          rollByFileSize bounds bytes; records, not bytes, is the knob
+          Spark's writer exposes (``maxRecordsPerFile``), and a stable
+          row schema makes the two equivalent up to row width.
+        """
         def sink(df: DataFrame):
+            roll_cols: list[str] = []
+            if roll_by_date is not None:
+                ts = F.col(date_col) if date_col is not None \
+                    else F.current_timestamp()
+                df = df.withColumn("roll", F.date_format(ts, roll_by_date))
+                roll_cols = ["roll"]
             if df.isStreaming:
-                return (
-                    df.writeStream.format(fmt)
-                    .option("path", directory)
-                    .option("checkpointLocation", directory + "_ckpt")
-                    .start()
-                )
-            df.write.mode(mode).format(fmt).save(directory)
+                w = (df.writeStream.format(fmt)
+                     .option("path", directory)
+                     .option("checkpointLocation", directory + "_ckpt"))
+                if roll_cols:
+                    w = w.partitionBy(*roll_cols)
+                if max_records_per_file is not None:
+                    w = w.option("maxRecordsPerFile", max_records_per_file)
+                return w.start()
+            w = df.write.mode(mode).format(fmt)
+            if roll_cols:
+                w = w.partitionBy(*roll_cols)
+            if max_records_per_file is not None:
+                w = w.option("maxRecordsPerFile", max_records_per_file)
+            w.save(directory)
             return directory
         return sink
 
@@ -420,6 +493,88 @@ class AssertionSinks:
             missing = [e for e in expected if tuple(e) not in got]
             assert not missing, f"assertContains missing {missing}"
             return got
+        return sink
+
+    @staticmethod
+    def assert_collected(assert_fn):
+        """AssertionSinks.assertCollected — AssertionSinks.java:134: run
+        ``assert_fn(items)`` over EVERYTHING the (bounded) stage produced;
+        an empty result calls it with ``[]``.  Batch only — the streaming
+        twin is :meth:`assert_collected_eventually`."""
+        def sink(df: DataFrame):
+            if df.isStreaming:
+                raise ValueError(
+                    "assert_collected is batch-only; use "
+                    "assert_collected_eventually for streams "
+                    "(AssertionSinks.java:129)")
+            items = [tuple(r) for r in df.collect()]
+            assert_fn(items)
+            return items
+        return sink
+
+    @staticmethod
+    def assert_collected_eventually(timeout_seconds: int, assert_fn):
+        """AssertionSinks.assertCollectedEventually — AssertionSinks.java
+        :173: re-run ``assert_fn(all items so far)`` after every
+        micro-batch, swallowing ``AssertionError`` until
+        ``timeout_seconds`` passes, then rethrowing the last one; any
+        other exception propagates immediately.  On success the query is
+        STOPPED (the reference terminates the job with
+        AssertionCompletedException so ``join()`` returns; here the
+        returned handle's ``awaitTermination()`` returns normally) —
+        same caveat: don't share a job with other assertions."""
+        import time
+
+        def sink(df: DataFrame):
+            if not df.isStreaming:
+                # bounded input: one shot, no retry loop needed
+                return AssertionSinks.assert_collected(assert_fn)(df)
+            state = {"items": [], "deadline": time.time() + timeout_seconds,
+                     "last": None, "done": False}
+
+            def for_each(batch_df: DataFrame, _epoch: int):
+                state["items"].extend(tuple(r) for r in batch_df.collect())
+                try:
+                    assert_fn(list(state["items"]))
+                except AssertionError as e:
+                    state["last"] = e
+                    if time.time() >= state["deadline"]:
+                        raise
+                    return
+                state["done"] = True
+
+            query = df.writeStream.foreachBatch(for_each) \
+                .outputMode("append").start()
+
+            class _Handle:
+                """join()-style wrapper: awaitTermination returns once the
+                assertion has passed (query stopped) or rethrows."""
+
+                def __init__(self, q):
+                    self.query = q
+
+                def awaitTermination(self, timeout: float | None = None):
+                    end = time.time() + (timeout if timeout is not None
+                                         else timeout_seconds + 30)
+                    while time.time() < end:
+                        if state["done"]:
+                            self.query.stop()
+                            self.query.awaitTermination()
+                            return True
+                        if not self.query.isActive:
+                            self.query.awaitTermination()  # rethrow if failed
+                            break
+                        time.sleep(0.2)
+                    if not state["done"]:
+                        raise (state["last"] or TimeoutError(
+                            "assertCollectedEventually: no assertion pass "
+                            f"within {timeout_seconds}s and no items failed"))
+                    return True
+
+                def stop(self):
+                    self.query.stop()
+
+            return _Handle(query)
         return sink
 
 

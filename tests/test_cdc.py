@@ -178,6 +178,64 @@ def test_map_with_merging_selective(spark, tmp_path):
     assert sum(1 for d in before if before[d] != after.get(d)) == 1
 
 
+def test_map_with_updating_insert_update_delete(spark, tmp_path):
+    """Sinks.mapWithUpdating (Sinks.java:481): absent key -> insert,
+    present -> update_fn(old, item), omitted batch key -> REMOVED (the
+    updateFn-returns-null branch) — distinct from mapWithMerging, which
+    retains omitted keys.  Untouched keys never move."""
+    from hazelcast_jet_spark.sinks import Sinks
+
+    tbl = str(tmp_path / "upd_tbl")
+
+    def update(cur, new):
+        if cur is None:
+            return new
+        # add the delta to the old balance; a negative result deletes
+        # the key (returns-null semantics via omission)
+        merged = (cur.withColumnRenamed("balance", "old")
+                  .join(new, "id", "full")
+                  .select("id", (F.coalesce("old", F.lit(0))
+                                 + F.coalesce("balance", F.lit(0))).alias("balance")))
+        return merged.filter(F.col("balance") >= 0)
+
+    sink = Sinks.map_with_updating(tbl, ["id"], update, num_buckets=8)
+    sink(spark.createDataFrame([(i, 100) for i in range(10)],
+                               "id long, balance long"))
+    # batch: id=3 updated (+5), id=4 driven negative (deleted),
+    # id=50 inserted; everything else untouched
+    sink(spark.createDataFrame([(3, 5), (4, -200), (50, 7)],
+                               "id long, balance long"))
+    got = {r["id"]: r["balance"] for r in spark.read.parquet(tbl).collect()}
+    assert got[3] == 105
+    assert 4 not in got
+    assert got[50] == 7
+    assert got[0] == 100 and len(got) == 10
+
+
+def test_files_sink_rolling(spark, tmp_path):
+    """FileSinkBuilder rollByDate/rollByFileSize analog: dated
+    subdirectories from the event-time column + bounded per-file record
+    counts via maxRecordsPerFile."""
+    import glob as _glob
+
+    from hazelcast_jet_spark.sinks import Sinks
+
+    out = str(tmp_path / "rolled")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}") for i in range(60)],
+        "v long, day string").select(
+            "v", F.to_timestamp("day").alias("ts"))
+    Sinks.files(out, fmt="parquet", roll_by_date="yyyy-MM-dd",
+                date_col="ts", max_records_per_file=5)(df)
+    days = sorted(os.path.basename(d) for d in _glob.glob(out + "/roll=*"))
+    assert days == ["roll=2024-01-01", "roll=2024-01-02", "roll=2024-01-03"]
+    for d in days:
+        for f in _glob.glob(f"{out}/{d}/*.parquet"):
+            assert spark.read.parquet(f).count() <= 5
+    back = spark.read.parquet(out)
+    assert back.count() == 60 and set(back.columns) == {"v", "ts", "roll"}
+
+
 def test_map_with_entry_processor(spark, tmp_path):
     """mapWithEntryProcessor: per-key processor sees current + incoming,
     returned rows replace their keys, untouched buckets keep their files."""

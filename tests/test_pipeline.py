@@ -39,6 +39,42 @@ def test_map_filter_fusion(spark):
     assert len(out) == 5
 
 
+def test_assert_collected_batch(spark):
+    """AssertionSinks.assertCollected (AssertionSinks.java:134): assert_fn
+    sees the full collected list; empty input yields []; streaming input
+    is rejected (batch-only per the reference)."""
+    p = Pipeline.create(spark)
+    p.read_from(TestSources.items([(1,), (2,), (3,)], "v long")) \
+        .write_to(AssertionSinks.assert_collected(
+            lambda items: (_ for _ in ()).throw(AssertionError("boom"))
+            if sorted(items) != [(1,), (2,), (3,)] else None))
+    import pytest as _pytest
+    empty = Pipeline.create(spark).read_from(
+        TestSources.items([], "v long"))
+    empty.write_to(AssertionSinks.assert_collected(
+        lambda items: None if items == [] else (_ for _ in ()).throw(
+            AssertionError("expected empty"))))
+    stream = spark.readStream.format("rate") \
+        .option("rowsPerSecond", 1).load()
+    with _pytest.raises(ValueError, match="batch-only"):
+        AssertionSinks.assert_collected(lambda items: None)(stream)
+
+
+def test_assert_collected_eventually_rate_stream(spark):
+    """assertCollectedEventually (AssertionSinks.java:173) against a real
+    rate stream: the assertion keeps failing until enough rows arrive,
+    then the query stops and awaitTermination returns True — the
+    reference's AssertionCompletedException join() contract."""
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 50).load()
+              .selectExpr("value"))
+    handle = AssertionSinks.assert_collected_eventually(
+        30, lambda items: (_ for _ in ()).throw(
+            AssertionError(f"only {len(items)} rows"))
+        if len(items) < 10 else None)(stream)
+    assert handle.awaitTermination() is True
+
+
 def test_hash_join_left_semantics(spark):
     """hashJoin pads missing enrichment with null (HashJoinP.java)."""
     p = Pipeline.create(spark)

@@ -3002,6 +3002,30 @@ def dedup_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wcc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star contraction
+    (operators/graph.wcc; Kiveris, Lattanzi, Mirrokni, Rastogi &
+    Vassilvitskii 2014) over the exact n-gram near-dup pairs — the SAME
+    keep/drop group decision as q:dedup_group_sizes but through the
+    O(log n)-round star algorithm instead of min-label propagation, so
+    the two gates must agree row for row (both converge to the
+    reachable-minimum labeling) and the oracle is the identical
+    recursive-CTE transitive closure.  The substrate choice is
+    deliberate: the co-purchase graph is ONE giant component (4·10⁸
+    closure pairs at sf0.1 — not DuckDB-replayable), so its wcc ==
+    pairs_to_groups equality is pinned in tests/test_graph_fixpoint.py
+    while the driver oracle runs on the sparse near-dup graph."""
+    from hazelcast_jet_spark.operators.graph import wcc
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=SHINGLE_K, threshold=LSH_THRESHOLD)
+    comp = wcc(pairs.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")))
+    return (comp.groupBy(F.col("component").alias("group_id"))
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .orderBy("group_id"))
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction audit (text.pii_counts / text.scrub_pii,
     the privacy-filter step).  The synthetic corpus carries no PII, so the
@@ -7521,7 +7545,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: here must sit below the window boundary in ``queries()``.  The 20
 #: r11-session leads now occupy window slots 1-20; entries appended
 #: below during the r12 session are deferred to lead the r13 window.
-NEXT_ROUND_LEADS: tuple[str, ...] = ()
+NEXT_ROUND_LEADS: tuple[str, ...] = (
+    "wcc_dedup_groups",
+)
 
 #: The round whose driver window the current registry ordering was frozen
 #: for.  tools/window_plan.py and tests/test_window_plan.py ignore
@@ -7919,6 +7945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filter": gopher_quality_filter,
         "doc_chunks": doc_chunks,
         "percentile_stats": percentile_stats,
+        # -- r12-session additions (deferred to lead the r13 window) ----
+        "wcc_dedup_groups": wcc_dedup_groups,
     }
 
 
@@ -18522,4 +18550,8 @@ def oracle_sql() -> dict[str, str]:
     # recurrence with state carried across batches, so the batch
     # recursive-CTE filter is its exact oracle
     oracles["streaming_kalman_events"] = oracles["kalman_level_events"]
+    # star-contraction WCC converges to the same reachable-minimum
+    # labeling as pairs_to_groups, so the group-size oracle is the
+    # identical transitive closure
+    oracles["wcc_dedup_groups"] = oracles["dedup_group_sizes"]
     return oracles

@@ -839,6 +839,97 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     return labels
 
 
+def wcc(edges: DataFrame, max_rounds: int = 50,
+        rounds_out: list | None = None) -> DataFrame:
+    """Weakly-connected components by large-star/small-star alternation
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014,
+    "Connected Components in MapReduce and Beyond", Alg. 3) — the
+    at-scale replacement for :func:`~..operators.dedup.pairs_to_groups`'
+    min-label propagation on HIGH-DIAMETER graphs: star contraction
+    converges in O(log n) rounds regardless of component diameter,
+    where a label-propagation round only moves information one hop.
+
+    Per round, two keyed passes over the edge list (nothing else ever
+    shuffles):
+
+    * **large-star**: per node u, every strictly-larger neighbor
+      re-attaches to ``min(Γ(u) ∪ {u})`` — one groupBy(min) + one
+      equi-join back.
+    * **small-star**: edges oriented (max, min); per node u, u and its
+      smaller neighbors all attach to the smallest — same two-op shape.
+
+    Both emit (child, parent) with child > parent, so edge count never
+    grows beyond the input and the component minimum is a fixpoint
+    magnet.  Termination = the small-star output equals its input as a
+    set (two distinct-``EXCEPT`` probes per round, each over the
+    star-shrunk edge list); star graphs rooted at component minima are
+    the unique fixpoint (Kiveris et al., Lemma 3).  Each round
+    ``localCheckpoint``\\ s (O(1) lineage) and unpersists its
+    predecessor, the :func:`pagerank` loop discipline.
+
+    Returns ``(node, component)`` — component = min node id reachable,
+    bit-identical to ``pairs_to_groups``' converged labeling (both are
+    the reachable-minimum; see tests/test_graph_fixpoint.py's
+    cross-operator pin).  ``rounds_out`` receives the executed
+    large+small round count (the confirming round included).
+    """
+    e0 = (edges.select(F.col("src").cast("long").alias("src"),
+                       F.col("dst").cast("long").alias("dst"))
+          .filter(F.col("src") != F.col("dst")))
+    nodes = (e0.select(F.col("src").alias("node"))
+             .unionAll(e0.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    # canonical child>parent orientation; dedup before iterating
+    e = (e0.select(F.greatest("src", "dst").alias("src"),
+                   F.least("src", "dst").alias("dst"))
+         .dropDuplicates(["src", "dst"]).localCheckpoint())
+
+    def _large_star(cur: DataFrame) -> DataFrame:
+        both = cur.unionAll(cur.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        m = (both.groupBy("src")
+             .agg(F.least(F.min("dst"), F.first("src")).alias("__m")))
+        return (both.join(m, "src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"),
+                        F.col("__m").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"]))
+
+    def _small_star(cur: DataFrame) -> DataFrame:
+        # cur is already (max, min)-oriented: every dst < src
+        m = cur.groupBy("src").agg(F.min("dst").alias("__m"))
+        j = cur.join(m, "src")
+        re_children = (j.filter(F.col("dst") != F.col("__m"))
+                       .select(F.col("dst").alias("src"),
+                               F.col("__m").alias("dst")))
+        re_self = m.select("src", F.col("__m").alias("dst"))
+        return (re_children.unionAll(re_self)
+                .filter(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"]))
+
+    rounds = 0
+    while True:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"wcc did not reach the star fixpoint in {max_rounds} "
+                "rounds (O(log n) expected: raise max_rounds)")
+        new = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        changed = (new.exceptAll(e).limit(1).count()
+                   + e.exceptAll(new).limit(1).count())
+        e.unpersist(False)
+        e = new
+        if changed == 0:
+            break
+    out = (nodes.join(e.select(F.col("src").alias("node"),
+                               F.col("dst").alias("__c")), "node", "left")
+           .select("node", F.coalesce("__c", "node").alias("component")))
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    return out
+
+
 def khop_reach(edges: DataFrame, max_degree: int = 256,
                round_digits: int = 6) -> DataFrame:
     """Two-hop reach per node: degree (1-hop reach) and the number of

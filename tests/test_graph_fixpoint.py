@@ -136,3 +136,49 @@ def test_hindex_coreness_fixpoint_cross_operator(copurchase_edges):
     surv = {r.node for r in kcore_peel(copurchase_edges, k=k,
                                        until_fixpoint=True).collect()}
     assert core_set == surv
+
+
+def test_wcc_star_contraction_log_rounds(spark):
+    """Large-star/small-star WCC (Kiveris et al. 2014): a diameter-255
+    chain converges in <= ceil(log2 255)+2 rounds — the O(log n) bound a
+    one-hop label-propagation round cannot meet (it needs O(diameter)
+    rounds on the same chain) — with exact components, side structures
+    intact, and isolated pairs labeled by their own min."""
+    import math
+
+    from hazelcast_jet_spark.operators.graph import wcc
+
+    edges = ([(i, i + 1) for i in range(255)]
+             + [(1000, 1001), (1001, 1002), (1000, 1002), (2000, 2001)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ro: list = []
+    comp = {r.node: r.component for r in wcc(df, rounds_out=ro).collect()}
+    assert ro[0] <= math.ceil(math.log2(255)) + 2
+    assert all(comp[i] == 0 for i in range(256))
+    assert all(comp[n] == 1000 for n in (1000, 1001, 1002))
+    assert comp[2000] == comp[2001] == 2000
+    assert len(comp) == 256 + 3 + 2
+
+
+def test_wcc_equals_pairs_to_groups_on_gated_substrate(copurchase_edges):
+    """Cross-operator pin: the star-contraction components equal
+    pairs_to_groups' min-label fixpoint on the gated co-purchase graph —
+    two independently-built CC algorithms agreeing on real data (the
+    hindex/kcore pin convention)."""
+    from hazelcast_jet_spark.operators.dedup import pairs_to_groups
+    from hazelcast_jet_spark.operators.graph import wcc
+
+    got = _rows(wcc(copurchase_edges))
+    want = _rows(pairs_to_groups(
+        copurchase_edges.select(F.col("src").alias("id_a"),
+                                F.col("dst").alias("id_b"))))
+    assert got == want
+
+
+def test_wcc_raises_on_round_budget(spark):
+    from hazelcast_jet_spark.operators.graph import wcc
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                               "src long, dst long")
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        wcc(df, max_rounds=1)

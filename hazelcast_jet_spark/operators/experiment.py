@@ -1547,3 +1547,69 @@ def required_sample_size(units: DataFrame, converted_col: str,
         r6(p * (1.0 + rel_lift)).alias("target_rate"),
         F.lit(int(need)).cast("bigint").alias("n_per_arm_required"),
         F.lit(days).cast("bigint").alias("days_required"))
+
+
+def dml_partial_linear_ate(units: DataFrame, arm_col: str, y_col: str,
+                           stratum_col: str, arms: tuple = ("A", "B"),
+                           round_digits: int = 6) -> DataFrame:
+    """Partialling-out treatment effect for the partially linear model
+    (the double-ML estimand of Chernozhukov et al. 2018 §4.1, with
+    categorical controls where the nuisance regressions have CLOSED
+    FORMS): residualize outcome and treatment on the stratum —
+    within-stratum demeaning, the exact OLS-on-dummies fit by
+    Frisch–Waugh–Lovell — then regress residual on residual:
+
+        θ̂ = Σ ỹᵢ·d̃ᵢ / Σ d̃ᵢ²,   ỹ = y − ȳ_stratum,  d̃ = t − t̄_stratum
+        se = √(Σ d̃ᵢ²·êᵢ²) / Σ d̃ᵢ²,   ê = ỹ − θ̂·d̃      (HC0 sandwich)
+
+    Complements :func:`aipw_ate`: AIPW models the outcome per arm and
+    needs positivity per stratum; partialling-out pools the slope and
+    stays defined when a stratum is single-arm (its d̃ is just its
+    demeaned share).  Because the nuisances are exact conditional means
+    (not fitted learners), no cross-fitting split is required for
+    validity here — the caveat for LEARNED nuisances stands (op. cit.).
+
+    Plan: one (stratum) aggregate for the two means (DECIMAL-exact),
+    broadcast back (|strata| rows), TWO global folds in DECIMAL(38,9)
+    — first the θ̂ moments, then the sandwich with θ̂ joined as a
+    1-row broadcast scalar.  Returns ONE row
+    ``(n_units, n_strata, theta, se)``.
+    """
+    control, treated = arms
+    y = F.col(y_col).cast("double")
+    t = (F.col(arm_col) == treated).cast("double")
+    base = (units.filter(F.col(arm_col).isin(list(arms)) & y.isNotNull())
+            .select(F.col(stratum_col).alias("__x"), y.alias("__y"),
+                    t.alias("__t")))
+    nuis = base.groupBy("__x").agg(
+        (F.sum(F.col("__y").cast("decimal(38,9)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__my"),
+        (F.sum(F.col("__t").cast("decimal(38,9)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__mt"))
+    res = (base.join(F.broadcast(nuis), "__x")
+           .select((F.col("__y") - F.col("__my")).alias("__ry"),
+                   (F.col("__t") - F.col("__mt")).alias("__rt")))
+    mom = res.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum((F.col("__ry") * F.col("__rt")).cast("decimal(38,9)"))
+        .cast("double").alias("__syd"),
+        F.sum((F.col("__rt") * F.col("__rt")).cast("decimal(38,9)"))
+        .cast("double").alias("__sdd"))
+    theta = mom.select(
+        "n_units", "__sdd",
+        (F.col("__syd") / F.col("__sdd")).alias("__theta"))
+    e = F.col("__ry") - F.col("__theta") * F.col("__rt")
+    sand = (res.crossJoin(F.broadcast(theta))
+            .agg(F.first("n_units").alias("n_units"),
+                 F.first("__theta").alias("__theta"),
+                 F.first("__sdd").alias("__sdd"),
+                 F.sum((F.col("__rt") * F.col("__rt") * e * e)
+                       .cast("decimal(38,9)")).cast("double")
+                 .alias("__meat")))
+    n_strata = nuis.count()
+    return sand.select(
+        "n_units", F.lit(n_strata).cast("long").alias("n_strata"),
+        (F.round(F.col("__theta"), round_digits) + F.lit(0.0))
+        .alias("theta"),
+        (F.round(F.sqrt(F.col("__meat")) / F.col("__sdd"), round_digits)
+         + F.lit(0.0)).alias("se"))

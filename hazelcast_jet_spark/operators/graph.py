@@ -1066,3 +1066,116 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
     out = out.localCheckpoint()
     centers.unpersist()
     return out
+
+
+def resource_allocation_links(edges: DataFrame, top_k: int = 20,
+                              max_degree: int = 256,
+                              round_digits: int = 6) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009): for
+    non-adjacent pairs, score ``Σ_{z ∈ N(a)∩N(b)} 1/deg(z)`` — each
+    common neighbor contributes the fraction of its "resource" it would
+    route to either endpoint.  RA consistently beats the Jaccard and
+    Adamic–Adar indices on co-occurrence graphs (op. cit. Table 1), and
+    unlike Adamic–Adar's ``1/log deg(z)`` it involves NO transcendental:
+    every contribution is an exact rational, so DECIMAL(28,18)
+    accumulation makes the score order-free and engine-replayable (the
+    pagerank contribution convention — no float sum-order divergence).
+
+    Same wedge plan as :func:`jaccard_link_prediction` (two directed
+    copies joined on the shared neighbor, hub centers above
+    ``max_degree`` excluded, existing canonical edges anti-joined) with
+    one difference: the center's degree rides the wedge rows so the
+    score is a single keyed decimal SUM — no degree join-back needed
+    for the score itself.
+
+    Returns ``top_k`` rows ``(src, dst, n_common, ra_score)`` by
+    (ra_score desc, src, dst), materialized (bounded) via
+    localCheckpoint so repeated calls don't grow one lineage.
+    """
+    canon = (edges.select(F.least("src", "dst").alias("src"),
+                          F.greatest("src", "dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    both = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    centers = (both.join(deg.filter(F.col("degree") <= max_degree)
+                         .select(F.col("node").alias("src"), "degree"),
+                         "src")
+               .persist())
+    a = centers.select(F.col("src").alias("__w"), "degree",
+                       F.col("dst").alias("a"))
+    b = centers.select(F.col("src").alias("__w"), F.col("dst").alias("b"))
+    # |edges|-sized on both sides: force the shuffle path (the jaccard
+    # lane's broadcast-OOM guard)
+    common = (a.join(b.hint("shuffle_merge"), "__w")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("n_common"),
+                   F.sum((F.lit(1.0) / F.col("degree").cast("double"))
+                         .cast("decimal(28,18)")).alias("__ra")))
+    cand = common.join(
+        canon.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti")
+    scored = cand.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n_common",
+        (F.round(F.col("__ra").cast("double"), round_digits)
+         + F.lit(0.0)).alias("ra_score"))
+    out = (scored.orderBy(F.desc("ra_score"), "src", "dst").limit(top_k)
+           .localCheckpoint())
+    centers.unpersist()
+    return out
+
+
+def degree_assortativity(edges: DataFrame,
+                         round_digits: int = 6) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetric directed edge
+    list — positive = hubs attach to hubs (social shape), negative =
+    hubs attach to leaves (technological/co-purchase shape).  The ONE
+    scalar that says which skew-handling strategy a graph workload
+    needs before you run it.
+
+    Plan: degree table (one keyed count), both edge directions join
+    their endpoint degrees, then a single moment aggregate — sums in
+    DECIMAL(38,6) so the correlation is engine-exact (the corr-matrix
+    convention); the final covariance/variance arithmetic is a fixed
+    chain of double ops.  Returns one row
+    ``(n_edges, n_nodes, assortativity)``.
+    """
+    canon = (edges.select(F.least("src", "dst").alias("src"),
+                          F.greatest("src", "dst").alias("dst"))
+             .filter(F.col("src") != F.col("dst"))
+             .distinct())
+    both = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    dx = deg.select(F.col("node").alias("src"),
+                    F.col("degree").alias("__dx"))
+    dy = deg.select(F.col("node").alias("dst"),
+                    F.col("degree").alias("__dy"))
+    pairs = both.join(dx, "src").join(dy, "dst")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum(F.col("__dx").cast("decimal(38,6)")).alias("__sx"),
+        F.sum(F.col("__dy").cast("decimal(38,6)")).alias("__sy"),
+        F.sum((F.col("__dx") * F.col("__dy")).cast("decimal(38,6)"))
+        .alias("__sxy"),
+        F.sum((F.col("__dx") * F.col("__dx")).cast("decimal(38,6)"))
+        .alias("__sxx"),
+        F.sum((F.col("__dy") * F.col("__dy")).cast("decimal(38,6)"))
+        .alias("__syy"))
+    nn = canon.select("src").unionAll(canon.select("dst")).distinct().count()
+    mm = F.col("__m").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = F.col("__sxy").cast("double") - sx * sy / mm
+    vx = F.col("__sxx").cast("double") - sx * sx / mm
+    vy = F.col("__syy").cast("double") - sy * sy / mm
+    return m.select(
+        (F.col("__m") / F.lit(2)).cast("long").alias("n_edges"),
+        F.lit(nn).cast("long").alias("n_nodes"),
+        (F.round(cov / F.sqrt(vx * vy), round_digits)
+         + F.lit(0.0)).alias("assortativity"))

@@ -2490,3 +2490,57 @@ def capture_recapture(df: DataFrame, key_col: str, in_a: Column,
     return agg.select("n_a", "n_b", "n_both", "n_observed",
                       r6(n_hat).alias("n_hat"),
                       r6(F.sqrt(var)).alias("se"))
+
+
+def fd_violations(df: DataFrame, fds: list[tuple[list[str], str]],
+                  round_digits: int = 6) -> DataFrame:
+    """Approximate-functional-dependency profiling (Kivinen & Mannila
+    1995; the TANE error measure, Huhtala et al. 1999): for each
+    candidate FD ``lhs → rhs`` report how far the data is from
+    satisfying it —
+
+    * ``n_groups`` — distinct lhs value combinations,
+    * ``n_violating`` — lhs groups holding >1 distinct rhs value,
+    * ``g3_error`` — the **minimum fraction of rows to delete** for the
+      FD to hold exactly: ``(N − Σ_g max_v |rows in g with rhs=v|)/N``
+      (the g₃ measure — the standard AFD error because it has that
+      operational deletion meaning).
+
+    The discovery primitive behind schema inference, key detection and
+    pipeline data-contract checks ("does user_id still determine
+    country?").  Plan per FD: one (lhs, rhs) count aggregate, one lhs
+    re-aggregate — two shuffles on the FD's own keys, map-side
+    combined; candidate FDs are unioned into one result (each leg
+    prunes to its own columns, so a 100-column table at 100 TB reads
+    only the profiled columns).  Rows with NULL in lhs or rhs are
+    excluded (SQL grouping semantics would conflate NULL groups across
+    engines).  Returns one row per FD: ``(fd, n_rows, n_groups,
+    n_violating, g3_error)`` ordered by fd.
+    """
+    if not fds:
+        raise ValueError("fds must name at least one candidate "
+                         "lhs -> rhs dependency")
+    legs = []
+    for lhs, rhs in fds:
+        lhs = [lhs] if isinstance(lhs, str) else list(lhs)
+        name = ",".join(lhs) + "->" + rhs
+        base = df.select(*lhs, rhs).na.drop(subset=[*lhs, rhs])
+        cell = (base.groupBy(*lhs, rhs)
+                .agg(F.count(F.lit(1)).alias("__c")))
+        grp = (cell.groupBy(*lhs)
+               .agg(F.sum("__c").alias("__n"),
+                    F.max("__c").alias("__keep"),
+                    F.count(F.lit(1)).alias("__nv")))
+        legs.append(grp.agg(
+            F.lit(name).alias("fd"),
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("__nv") > 1).cast("bigint")).alias("n_violating"),
+            (F.round(
+                (F.sum("__n") - F.sum("__keep")).cast("double")
+                / F.sum("__n").cast("double"), round_digits)
+             + F.lit(0.0)).alias("g3_error")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("fd")

@@ -2786,3 +2786,152 @@ def tail_risk(df: DataFrame, key_col: str, value_col: str,
                        / F.col("tail_n").cast("double")).alias("es_q"),
                     "tail_n")
             .orderBy("key"))
+
+
+def theta_forecast(df: DataFrame, key_col: str, time_col: str,
+                   value_col: str, alpha: float = 0.5, h: int = 3,
+                   round_digits: int = 6) -> DataFrame:
+    """Theta-method forecast per key (Assimakopoulos & Nikolopoulos
+    2000) — the M3-competition winner, equivalent (Hyndman & Billah
+    2003) to SES-with-drift: decompose the series into the θ=0 line
+    (the OLS trend) and the θ=2 line (curvature doubled), smooth the
+    θ=2 line with simple exponential smoothing, and average the two
+    extrapolations:
+
+        y_t      = 2·x_t − (a + b·t)          (θ=2 line)
+        s_1 = y_1;  s_t = α·y_t + (1−α)·s_{t−1}
+        fc(k)    = 0.5·s_n + 0.5·(a + b·(n+k)),  k = 1..h
+
+    Engine-parity discipline: ``t`` is the per-key time rank (integers
+    — no epoch math), the OLS moments accumulate in DECIMAL(28,6)
+    (integer-valued rollup counts stay exact; scaled sums stay below
+    2^53 so the decimal→double cast is single-rounded), slope/intercept
+    are one fixed chain of double ops, and with the default α=0.5 every
+    smoothing multiply is an exact binary scaling — a recursive-CTE
+    oracle replays the bits (the holt_linear convention).
+
+    The SES recurrence is honestly sequential per key, so it runs as
+    ONE Arrow-batched applyInPandas exchange over the calendar-bounded
+    per-key ROLLUP (the ewma/holt/cusum lane).  Returns ``h`` rows per
+    key: ``(key_col, step, n, slope, ses_level, forecast)``.
+    """
+    import pandas as pd  # noqa: F401
+
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    base = (df.select(key_col, time_col,
+                      F.col(value_col).cast("double").alias("__v"))
+            .withColumn("__t", F.row_number().over(w)))
+    m = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__t").cast("decimal(28,6)")).alias("__sx"),
+        F.sum(F.col("__v").cast("decimal(28,6)")).alias("__sy"),
+        F.sum((F.col("__t") * F.col("__v")).cast("decimal(28,6)"))
+        .alias("__sxy"),
+        F.sum((F.col("__t") * F.col("__t")).cast("decimal(28,6)"))
+        .alias("__sxx"))
+    nn = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    # two selects pin the op ORDER: b first, then a = (sy − b·sx)/n
+    fit = m.select(
+        key_col, "__n",
+        ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)).alias("__b"),
+        sy.alias("__syd"), sx.alias("__sxd"))
+    fit = fit.select(
+        key_col, "__n", "__b",
+        ((F.col("__syd") - F.col("__b") * F.col("__sxd"))
+         / F.col("__n").cast("double")).alias("__a"))
+    j = base.join(F.broadcast(fit), key_col)
+    out_schema = (f"{key_col} string, step int, n bigint, "
+                  "slope double, ses_level double, forecast double")
+
+    def _theta(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__t", kind="mergesort").reset_index(drop=True)
+        a = float(pdf["__a"].iloc[0]); b = float(pdf["__b"].iloc[0])
+        n = int(pdf["__n"].iloc[0])
+        s = None
+        for t, x in zip(pdf["__t"], pdf["__v"]):
+            y = 2.0 * float(x) - (a + b * float(t))
+            s = y if s is None else alpha * y + (1.0 - alpha) * s
+        rows = []
+        for k in range(1, h + 1):
+            fc = 0.5 * s + 0.5 * (a + b * float(n + k))
+            rows.append((str(pdf[key_col].iloc[0]), k, n, b, s, fc))
+        return pd.DataFrame(rows, columns=[key_col, "step", "n", "slope",
+                                           "ses_level", "forecast"])
+
+    return (j.groupBy(key_col).applyInPandas(_theta, out_schema)
+            .select(key_col, "step", "n",
+                    (F.round("slope", round_digits) + F.lit(0.0))
+                    .alias("slope"),
+                    (F.round("ses_level", round_digits) + F.lit(0.0))
+                    .alias("ses_level"),
+                    (F.round("forecast", round_digits) + F.lit(0.0))
+                    .alias("forecast")))
+
+
+#: standard-normal breakpoints for SAX alphabets (Lin, Keogh, Lonardi &
+#: Chiu 2003, Table 3) — PYTHON literals so no engine evaluates an
+#: inverse CDF (the Benford/NDCG-discount convention)
+SAX_BREAKPOINTS: dict[int, tuple[float, ...]] = {
+    3: (-0.4307272992954576, 0.4307272992954576),
+    4: (-0.6744897501960817, 0.0, 0.6744897501960817),
+    5: (-0.8416212335729142, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729142),
+}
+
+
+def sax_symbols(df: DataFrame, key_col: str, time_col: str,
+                value_col: str, segments: int = 8, alphabet: int = 4,
+                round_digits: int = 6) -> DataFrame:
+    """SAX symbolization per key (Lin, Keogh, Lonardi & Chiu 2003):
+    z-normalize the series, Piecewise-Aggregate-Approximate it into
+    ``segments`` equal-width windows, and map each segment mean to a
+    letter by the standard-normal breakpoints — the discretization that
+    turns numeric series into strings so sequence tooling (n-gram
+    novelty, transition entropy, dedup) applies to telemetry.
+
+    Everything is declarative (NO Python in the hot path): time rank →
+    segment id by integer arithmetic ``(t−1)·segments ÷ n``, one keyed
+    moment aggregate for the z-norm (DECIMAL sums, the corr-matrix
+    convention), one (key, segment) mean, a CASE over Python-literal
+    breakpoints.  Returns ``(key_col, segment, paa, symbol)``.
+    """
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of "
+                         f"{sorted(SAX_BREAKPOINTS)}, got {alphabet}")
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    base = (df.select(key_col, time_col,
+                      F.col(value_col).cast("double").alias("__v"))
+            .withColumn("__t", F.row_number().over(w)))
+    m = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(28,6)")).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(28,6)"))
+        .alias("__ss"))
+    nn = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nn
+    var = F.col("__ss").cast("double") / nn - mu * mu
+    stats = m.select(key_col, "__n", mu.alias("__mu"),
+                     F.sqrt(var).alias("__sd"))
+    seg = (base.join(F.broadcast(stats), key_col)
+           .select(key_col,
+                   ((F.col("__t") - 1) * segments
+                    / F.col("__n")).cast("long").alias("segment"),
+                   ((F.col("__v") - F.col("__mu")) / F.col("__sd"))
+                   .alias("__z")))
+    paa = seg.groupBy(key_col, "segment").agg(
+        (F.sum(F.col("__z").cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("__paa"))
+    bps = SAX_BREAKPOINTS[alphabet]
+    sym = F.lit(chr(ord("a") + len(bps)))
+    for i in range(len(bps) - 1, -1, -1):
+        sym = F.when(F.col("__paa") < F.lit(bps[i]),
+                     F.lit(chr(ord("a") + i))).otherwise(sym)
+    return (paa.select(key_col, "segment",
+                       (F.round("__paa", round_digits) + F.lit(0.0))
+                       .alias("paa"),
+                       sym.alias("symbol"))
+            .orderBy(key_col, "segment"))

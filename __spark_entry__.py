@@ -3026,6 +3026,220 @@ def wcc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("group_id"))
 
 
+def ra_links_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction
+    (graph.resource_allocation_links; Zhou, Lü & Zhang 2009) over the
+    SAME small-basket co-purchase substrate as q:link_prediction_parts,
+    so the two indices are directly comparable: RA weights each shared
+    neighbor by 1/degree instead of Jaccard's set ratio — and involves
+    NO transcendental, so the DECIMAL(28,18)-accumulated score is
+    engine-exact (the pagerank contribution convention).  Top 20
+    never-co-purchased pairs by RA score."""
+    from hazelcast_jet_spark.operators.graph import (
+        cooccurrence_edges, resource_allocation_links)
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group=LINKPRED_MAX_BASKET)
+    return resource_allocation_links(edges, top_k=20,
+                                     max_degree=LINKPRED_MAX_DEGREE)
+
+
+def assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity; Newman 2002)
+    of the co-purchase graph — ONE scalar telling you whether hubs
+    attach to hubs (assortative, >0) or to leaves (disassortative, <0):
+    the skew diagnostic to read BEFORE picking a partition strategy for
+    any workload on this graph.  Decimal moment sums over the symmetric
+    edge list; one fixed double chain for the correlation."""
+    from hazelcast_jet_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+THETA_H, THETA_ALPHA = 3, 0.5
+
+
+def theta_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (timeseries.theta_forecast; Assimakopoulos
+    & Nikolopoulos 2000) of the daily event rate per type, 3 steps
+    ahead — the M3-competition baseline completing the forecast family
+    (holt trend, hw seasonal, croston intermittent, conformal
+    intervals).  Decimal OLS moments + α=0.5 SES (every multiply an
+    exact binary scaling), so the recursive-CTE oracle replays the
+    bits."""
+    from hazelcast_jet_spark.operators.timeseries import theta_forecast
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type").alias("key"),
+                       F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return (theta_forecast(daily, "key", "day", "n",
+                           alpha=THETA_ALPHA, h=THETA_H)
+            .withColumnRenamed("key", "event_type")
+            .orderBy("event_type", "step"))
+
+
+SAX_SEGMENTS, SAX_ALPHABET = 8, 4
+
+def _sax_case_sql() -> str:
+    """CASE arms mapping a PAA value `p` to its SAX letter — breakpoint
+    literals come from operators.timeseries.SAX_BREAKPOINTS (Python
+    floats, so neither engine evaluates an inverse CDF)."""
+    from hazelcast_jet_spark.operators.timeseries import SAX_BREAKPOINTS
+
+    bps = SAX_BREAKPOINTS[SAX_ALPHABET]
+    arms = " ".join(f"WHEN p < {b!r} THEN '{chr(ord('a') + i)}'"
+                    for i, b in enumerate(bps))
+    return f"{arms} ELSE '{chr(ord('a') + len(bps))}'"
+
+
+def sax_symbols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (timeseries.sax_symbols; Lin, Keogh, Lonardi &
+    Chiu 2003) of the daily event rate per type: z-norm → 8-segment PAA
+    → 4-letter Gaussian-breakpoint alphabet — the discretization that
+    lets the sequence/dedup tooling run on telemetry.  Fully
+    declarative (rank, integer segment arithmetic, decimal moment sums,
+    literal breakpoints); no Python anywhere."""
+    from hazelcast_jet_spark.operators.timeseries import sax_symbols
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy(F.col("event_type").alias("key"),
+                       F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return (sax_symbols(daily, "key", "day", "n",
+                        segments=SAX_SEGMENTS, alphabet=SAX_ALPHABET)
+            .withColumnRenamed("key", "event_type"))
+
+
+FD_CANDIDATES = [(["o_orderkey"], "o_custkey"),
+                 (["o_custkey"], "o_orderpriority"),
+                 (["o_orderpriority"], "o_orderstatus"),
+                 (["o_custkey", "o_orderdate"], "o_totalprice")]
+
+
+def fd_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-functional-dependency profiling
+    (profile.fd_violations; Kivinen & Mannila 1995 g₃ / TANE error)
+    over four candidate FDs on orders: the key FD (orderkey→custkey,
+    must hold), two plausible-but-false business FDs, and a
+    near-key composite — the schema-inference / data-contract
+    primitive.  Per FD two keyed aggregates on its own pruned columns;
+    the g₃ error is the exact minimum row-deletion fraction."""
+    from hazelcast_jet_spark.operators.profile import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "orders"), FD_CANDIDATES)
+
+
+def dml_ate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partialling-out treatment effect (experiment.
+    dml_partial_linear_ate; Chernozhukov et al. 2018 partially-linear
+    estimand via Frisch–Waugh–Lovell with exact categorical nuisances)
+    of the md5 experiment on per-customer mean order value, market
+    segment as the control — the pooled-slope complement to
+    q:aipw_ate_orders on the IDENTICAL substrate (same units, same
+    seed), so the two estimators' agreement is itself a check.  HC0
+    sandwich se; all folds round-9 DECIMAL(38,9)."""
+    from hazelcast_jet_spark.operators.experiment import (
+        ab_assign, dml_partial_linear_ate)
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    units = (o.groupBy("o_custkey")
+             .agg((dsum("o_totalprice")
+                   / F.count(F.lit(1)).cast("double")).alias("y"))
+             .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                            "c_mktsegment"), "o_custkey")
+             .withColumn("arm", ab_assign(F.col("o_custkey"), AIPW_SEED)))
+    return dml_partial_linear_ate(units, "arm", "y", "c_mktsegment")
+
+
+GEO_RADIUS, GEO_GRID = 1.0, 0.0625  # 1/16: binary-rational coordinates
+
+
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar radius join (spatial.radius_join): suppliers × customers
+    within distance 1.0 on PLANTED coordinates — the synthetic corpus
+    has no geo columns, so both sides get deterministic binary-rational
+    points derived from their keys (the pii-plant convention; the 1/16
+    grid makes every squared distance a 12-decimal-exact rational, so
+    the boundary test is engine-identical).  Executed as a 3×3
+    grid-cell equi-join with a squared-distance verify — NEVER a cross
+    join (the plan pin asserts no BNLJ/cartesian).  Output: per
+    supplier nation, pair count + exact mean squared distance."""
+    from hazelcast_jet_spark.operators.spatial import radius_join
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        ((F.col("s_suppkey") % 512) * GEO_GRID).alias("x"),
+        (((F.col("s_suppkey") * 11) % 512) * GEO_GRID).alias("y"))
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 512) * GEO_GRID).alias("x"),
+        (((F.col("c_custkey") * 7) % 512) * GEO_GRID).alias("y"))
+    pairs = radius_join(s, c, radius=GEO_RADIUS, round_digits=12)
+    return (pairs.groupBy(F.col("s_nationkey_l").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.round(
+                     F.sum(F.col("dist2").cast("decimal(38,12)"))
+                     .cast("double")
+                     / F.count(F.lit(1)).cast("double"), 6)
+                  + F.lit(0.0)).alias("mean_dist2"))
+            .orderBy("nation"))
+
+
+def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING one-sided CUSUM (streaming/cusum.stream_cusum_alarms):
+    the daily event-rate rollup arrives as a 3-batch ordered feed and a
+    keyed stateful detector carries S_t across micro-batches against a
+    BATCH-computed per-type reference mean (broadcast stream-static
+    join) — the live twin of q:cusum_alarm_events, row-equal to the
+    batch detector because the add/sub/max recurrence is
+    operation-for-operation identical and state survives batch
+    boundaries.  State bound: one double + one ordinal per event_type —
+    O(1) per key forever.  The oracle is the batch recursive-CTE replay
+    (shared)."""
+    import tempfile
+
+    from hazelcast_jet_spark.streaming.cusum import stream_cusum_alarms
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    targets = daily.groupBy("event_type").agg(
+        (F.sum(F.col("n").cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("target"))
+    days = sorted(r[0] for r in daily.select("day").distinct().collect())
+    n_files = 3
+    bounds = [days[(len(days) * i) // n_files] for i in range(1, n_files)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_cusum_{tag}")
+    chunks = [
+        daily.filter(F.col("day") < F.lit(bounds[0])),
+        daily.filter((F.col("day") >= F.lit(bounds[0]))
+                     & (F.col("day") < F.lit(bounds[1]))),
+        daily.filter(F.col("day") >= F.lit(bounds[1])),
+    ]
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "f*")))
+    alarmed = stream_cusum_alarms(stream, "event_type", "day", "n",
+                                  targets, slack=0.0, threshold=10.0)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = run_to_batch(alarmed, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select("event_type", "day", "n", "target", "cusum",
+                      "alarm").orderBy("event_type", "day")
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction audit (text.pii_counts / text.scrub_pii,
     the privacy-filter step).  The synthetic corpus carries no PII, so the
@@ -7547,6 +7761,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: below during the r12 session are deferred to lead the r13 window.
 NEXT_ROUND_LEADS: tuple[str, ...] = (
     "wcc_dedup_groups",
+    "ra_links_parts",
+    "assortativity_copurchase",
+    "theta_forecast_events",
+    "sax_symbols_events",
+    "fd_violations_orders",
+    "dml_ate_orders",
+    "geo_radius_pairs",
+    "streaming_cusum_events",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -7947,6 +8169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": percentile_stats,
         # -- r12-session additions (deferred to lead the r13 window) ----
         "wcc_dedup_groups": wcc_dedup_groups,
+        "ra_links_parts": ra_links_parts,
+        "assortativity_copurchase": assortativity_copurchase,
+        "theta_forecast_events": theta_forecast_events,
+        "sax_symbols_events": sax_symbols_events,
+        "fd_violations_orders": fd_violations_orders,
+        "dml_ate_orders": dml_ate_orders,
+        "geo_radius_pairs": geo_radius_pairs,
+        "streaming_cusum_events": streaming_cusum_events,
     }
 
 
@@ -18554,4 +18784,272 @@ def oracle_sql() -> dict[str, str]:
     # labeling as pairs_to_groups, so the group-size oracle is the
     # identical transitive closure
     oracles["wcc_dedup_groups"] = oracles["dedup_group_sizes"]
+
+    # ---- r12-session oracles -------------------------------------------
+    oracles["assortativity_copurchase"] = f"""
+        WITH {_COPURCHASE_EDGES_SQL}, bt AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ), deg AS (
+            SELECT src AS node, count(*) AS degree FROM bt GROUP BY 1
+        ), p AS (
+            SELECT dx.degree AS a, dy.degree AS b
+            FROM bt JOIN deg dx ON bt.src = dx.node
+                    JOIN deg dy ON bt.dst = dy.node
+        ), m AS (
+            SELECT count(*) AS m,
+                   CAST(SUM(CAST(a AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(b AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a * b AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sxy,
+                   CAST(SUM(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(b * b AS DECIMAL(38,6))) AS DOUBLE)
+                       AS syy
+            FROM p
+        ), nn AS (
+            SELECT count(*) AS n_nodes FROM (
+                SELECT src FROM edges UNION SELECT dst FROM edges)
+        )
+        SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               round((sxy - sx * sy / CAST(m AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(m AS DOUBLE))
+                            * (syy - sy * sy / CAST(m AS DOUBLE))),
+                     6) + 0.0 AS assortativity
+        FROM m CROSS JOIN nn
+    """
+    oracles["ra_links_parts"] = f"""
+        WITH nodes AS (
+            SELECT DISTINCT l_orderkey AS g, l_partkey AS n
+            FROM lineitem WHERE l_partkey IS NOT NULL
+        ), gs AS (
+            SELECT g FROM nodes GROUP BY g
+            HAVING count(*) >= 2 AND count(*) <= {LINKPRED_MAX_BASKET}
+        ), edges AS (
+            SELECT DISTINCT a.n AS src, b.n AS dst
+            FROM nodes a JOIN gs USING (g) JOIN nodes b USING (g)
+            WHERE a.n < b.n
+        ), bt AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst AS src, src AS dst FROM edges
+        ), deg AS (
+            SELECT src AS node, count(*) AS degree FROM bt GROUP BY 1
+        ), ctr AS (
+            SELECT b.src, b.dst, d.degree FROM bt b
+            JOIN deg d ON b.src = d.node
+            WHERE d.degree <= {LINKPRED_MAX_DEGREE}
+        ), common AS (
+            SELECT x.dst AS a, y.dst AS b,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CAST(1.0 / CAST(x.degree AS DOUBLE)
+                                 AS DECIMAL(28,18))) AS DOUBLE) AS ra
+            FROM ctr x JOIN ctr y
+              ON x.src = y.src AND x.dst < y.dst
+            GROUP BY 1, 2
+        ), cand AS (
+            SELECT c.a, c.b, c.n_common, c.ra
+            FROM common c LEFT JOIN edges e
+              ON c.a = e.src AND c.b = e.dst
+            WHERE e.src IS NULL
+        )
+        SELECT a AS src, b AS dst, n_common,
+               round(ra, 6) + 0.0 AS ra_score
+        FROM cand ORDER BY ra_score DESC, src, dst LIMIT 20
+    """
+    oracles["theta_forecast_events"] = f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, day, n,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS idx
+            FROM daily
+        ), mom AS (
+            SELECT event_type, count(*) AS nr,
+                   CAST(SUM(CAST(idx AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(CAST(idx AS DOUBLE) * n
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(CAST(idx AS DOUBLE)
+                                 * CAST(idx AS DOUBLE)
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+            FROM ser GROUP BY 1
+        ), fitb AS (
+            SELECT event_type, nr,
+                   (CAST(nr AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(nr AS DOUBLE) * sxx - sx * sx) AS b,
+                   sy, sx
+            FROM mom
+        ), fit AS (
+            SELECT event_type, nr, b,
+                   (sy - b * sx) / CAST(nr AS DOUBLE) AS a
+            FROM fitb
+        ), ses AS (
+            SELECT s.event_type, s.idx, f.nr, f.a, f.b,
+                   2.0 * s.n - (f.a + f.b * CAST(s.idx AS DOUBLE)) AS sv
+            FROM ser s JOIN fit f USING (event_type) WHERE s.idx = 1
+            UNION ALL
+            SELECT s.event_type, s.idx, p.nr, p.a, p.b,
+                   {THETA_ALPHA} * (2.0 * s.n
+                       - (p.a + p.b * CAST(s.idx AS DOUBLE)))
+                   + (1.0 - {THETA_ALPHA}) * p.sv
+            FROM ser s JOIN ses p
+              ON s.event_type = p.event_type AND s.idx = p.idx + 1
+        ), last AS (
+            SELECT event_type, nr, a, b, sv
+            FROM ses WHERE idx = nr
+        ), steps AS (
+            SELECT CAST(k AS INT) AS step
+            FROM generate_series(1, {THETA_H}) t(k)
+        )
+        SELECT event_type, step, CAST(nr AS BIGINT) AS n,
+               round(b, 6) + 0.0 AS slope,
+               round(sv, 6) + 0.0 AS ses_level,
+               round(0.5 * sv + 0.5 * (a + b * CAST(nr + step AS DOUBLE)),
+                     6) + 0.0 AS forecast
+        FROM last CROSS JOIN steps
+        ORDER BY event_type, step
+    """
+    sax_bps = _sax_case_sql()
+    oracles["sax_symbols_events"] = f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ), ser AS (
+            SELECT event_type, n,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS idx
+            FROM daily
+        ), mom AS (
+            SELECT event_type, count(*) AS nr,
+                   CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(n * n AS DECIMAL(28,6))) AS DOUBLE)
+                       AS ss
+            FROM ser GROUP BY 1
+        ), st AS (
+            SELECT event_type, nr, s / CAST(nr AS DOUBLE) AS mu,
+                   sqrt(ss / CAST(nr AS DOUBLE)
+                        - (s / CAST(nr AS DOUBLE))
+                          * (s / CAST(nr AS DOUBLE))) AS sd
+            FROM mom
+        ), seg AS (
+            SELECT r.event_type,
+                   CAST(floor(CAST((r.idx - 1) * {SAX_SEGMENTS} AS DOUBLE)
+                              / CAST(t.nr AS DOUBLE)) AS BIGINT)
+                       AS segment,
+                   (r.n - t.mu) / t.sd AS z
+            FROM ser r JOIN st t USING (event_type)
+        ), paa AS (
+            SELECT event_type, segment,
+                   CAST(SUM(CAST(round(z, 9) AS DECIMAL(28,12)))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS p
+            FROM seg GROUP BY 1, 2
+        )
+        SELECT event_type, segment, round(p, 6) + 0.0 AS paa,
+               CASE {sax_bps} END AS symbol
+        FROM paa ORDER BY event_type, segment
+    """
+    fd_legs = []
+    for lhs, rhs in FD_CANDIDATES:
+        lhs = [lhs] if isinstance(lhs, str) else list(lhs)
+        name = ",".join(lhs) + "->" + rhs
+        lcols = ", ".join(lhs)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in [*lhs, rhs])
+        fd_legs.append(f"""
+            SELECT '{name}' AS fd,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating,
+                   round(CAST(SUM(n) - SUM(keep) AS DOUBLE)
+                         / CAST(SUM(n) AS DOUBLE), 6) + 0.0 AS g3_error
+            FROM (
+                SELECT {lcols}, SUM(c) AS n, MAX(c) AS keep,
+                       count(*) AS nv
+                FROM (SELECT {lcols}, {rhs}, count(*) AS c
+                      FROM orders WHERE {notnull}
+                      GROUP BY {lcols}, {rhs})
+                GROUP BY {lcols})""")
+    oracles["fd_violations_orders"] = (
+        " UNION ALL ".join(fd_legs) + " ORDER BY fd")
+    oracles["dml_ate_orders"] = f"""
+        WITH u AS (
+            SELECT o_custkey,
+                   {_dsum('o_totalprice')}
+                       / CAST(count(*) AS DOUBLE) AS y
+            FROM orders GROUP BY 1
+        ), b AS (
+            SELECT c_mktsegment AS x, u.y,
+                   CASE WHEN substr(md5('{AIPW_SEED}-'
+                             || CAST(o_custkey AS VARCHAR)), 1, 1)
+                             < '8'
+                        THEN 0.0 ELSE 1.0 END AS t
+            FROM u JOIN customer ON o_custkey = c_custkey
+        ), nuis AS (
+            SELECT x,
+                   CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS my,
+                   CAST(SUM(CAST(t AS DECIMAL(38,9))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mt
+            FROM b GROUP BY 1
+        ), res AS (
+            SELECT b.y - n.my AS ry, b.t - n.mt AS rt
+            FROM b JOIN nuis n USING (x)
+        ), mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(SUM(CAST(round(ry * rt, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS syd,
+                   CAST(SUM(CAST(round(rt * rt, 9) AS DECIMAL(38,9)))
+                        AS DOUBLE) AS sdd
+            FROM res
+        ), th AS (
+            SELECT n_units, sdd, syd / sdd AS theta FROM mom
+        ), sand AS (
+            SELECT t.n_units, t.theta, t.sdd,
+                   CAST(SUM(CAST(round(r.rt * r.rt
+                                       * (r.ry - t.theta * r.rt)
+                                       * (r.ry - t.theta * r.rt), 9)
+                                 AS DECIMAL(38,9))) AS DOUBLE) AS meat
+            FROM res r CROSS JOIN th t
+            GROUP BY 1, 2, 3
+        ), ns AS (SELECT CAST(count(*) AS BIGINT) AS n_strata FROM nuis)
+        SELECT n_units, n_strata,
+               round(theta, 6) + 0.0 AS theta,
+               round(sqrt(meat) / sdd, 6) + 0.0 AS se
+        FROM sand CROSS JOIN ns
+    """
+    oracles["geo_radius_pairs"] = f"""
+        WITH s AS (
+            SELECT s_suppkey, s_nationkey,
+                   (s_suppkey % 512) * {GEO_GRID!r} AS x,
+                   ((s_suppkey * 11) % 512) * {GEO_GRID!r} AS y
+            FROM supplier
+        ), c AS (
+            SELECT c_custkey,
+                   (c_custkey % 512) * {GEO_GRID!r} AS x,
+                   ((c_custkey * 7) % 512) * {GEO_GRID!r} AS y
+            FROM customer
+        ), p AS (
+            SELECT s.s_nationkey,
+                   round((s.x - c.x) * (s.x - c.x)
+                         + (s.y - c.y) * (s.y - c.y), 12) AS d2
+            FROM s CROSS JOIN c
+            WHERE (s.x - c.x) * (s.x - c.x)
+                  + (s.y - c.y) * (s.y - c.y)
+                  <= {GEO_RADIUS!r} * {GEO_RADIUS!r}
+        )
+        SELECT s_nationkey AS nation,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_dist2
+        FROM p GROUP BY 1 ORDER BY 1
+    """
+    # the streaming CUSUM twin replays the identical fixed-order
+    # recurrence with state carried across batches, so the batch
+    # recursive-CTE detector is its exact oracle
+    oracles["streaming_cusum_events"] = oracles["cusum_alarm_events"]
     return oracles

@@ -1589,12 +1589,14 @@ def dml_partial_linear_ate(units: DataFrame, arm_col: str, y_col: str,
     res = (base.join(F.broadcast(nuis), "__x")
            .select((F.col("__y") - F.col("__my")).alias("__ry"),
                    (F.col("__t") - F.col("__mt")).alias("__rt")))
+    # round-9 before the decimal cast: the aipw psi-fold convention —
+    # the scaled integers stay exact and both engines cast identically
     mom = res.agg(
         F.count(F.lit(1)).alias("n_units"),
-        F.sum((F.col("__ry") * F.col("__rt")).cast("decimal(38,9)"))
-        .cast("double").alias("__syd"),
-        F.sum((F.col("__rt") * F.col("__rt")).cast("decimal(38,9)"))
-        .cast("double").alias("__sdd"))
+        F.sum(F.round(F.col("__ry") * F.col("__rt"), 9)
+              .cast("decimal(38,9)")).cast("double").alias("__syd"),
+        F.sum(F.round(F.col("__rt") * F.col("__rt"), 9)
+              .cast("decimal(38,9)")).cast("double").alias("__sdd"))
     theta = mom.select(
         "n_units", "__sdd",
         (F.col("__syd") / F.col("__sdd")).alias("__theta"))
@@ -1603,7 +1605,7 @@ def dml_partial_linear_ate(units: DataFrame, arm_col: str, y_col: str,
             .agg(F.first("n_units").alias("n_units"),
                  F.first("__theta").alias("__theta"),
                  F.first("__sdd").alias("__sdd"),
-                 F.sum((F.col("__rt") * F.col("__rt") * e * e)
+                 F.sum(F.round(F.col("__rt") * F.col("__rt") * e * e, 9)
                        .cast("decimal(38,9)")).cast("double")
                  .alias("__meat")))
     n_strata = nuis.count()

@@ -2922,8 +2922,12 @@ def sax_symbols(df: DataFrame, key_col: str, time_col: str,
                     / F.col("__n")).cast("long").alias("segment"),
                    ((F.col("__v") - F.col("__mu")) / F.col("__sd"))
                    .alias("__z")))
+    # round-9 before the decimal cast (the aipw-fold convention), so
+    # the segment mean is an order-free exact-decimal sum both engines
+    # replay identically
     paa = seg.groupBy(key_col, "segment").agg(
-        (F.sum(F.col("__z").cast("decimal(28,12)")).cast("double")
+        (F.sum(F.round(F.col("__z"), 9).cast("decimal(28,12)"))
+         .cast("double")
          / F.count(F.lit(1)).cast("double")).alias("__paa"))
     bps = SAX_BREAKPOINTS[alphabet]
     sym = F.lit(chr(ord("a") + len(bps)))

@@ -3188,6 +3188,88 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("nation"))
 
 
+KNN_K, KNN_RADIUS = 3, 2.0
+DBSCAN_CELL, DBSCAN_MIN_PTS = 1.0, 3
+HOTSPOT_CELL = 1.0
+
+
+def _geo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with the planted binary-rational coordinates of
+    q:geo_radius_pairs (1/16 grid over a 32×32 extent)."""
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        ((F.col("s_suppkey") % 512) * GEO_GRID).alias("x"),
+        (((F.col("s_suppkey") * 11) % 512) * GEO_GRID).alias("y"))
+
+
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 512) * GEO_GRID).alias("x"),
+        (((F.col("c_custkey") * 7) % 512) * GEO_GRID).alias("y"))
+
+
+def knn_supplier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius k-nearest-neighbor join (spatial.knn_join): each
+    supplier's 3 nearest customers within distance 2.0 on the planted
+    geo coordinates — the spatial twin of the ANN top-k lane, executed
+    as the 3×3 grid equi-join + one per-supplier rank window (never a
+    cross join; exact-d2 ordering with the customer key as the
+    deterministic tie-break).  Readout: per (supplier nation, rank),
+    pair count + exact mean squared distance."""
+    from hazelcast_jet_spark.operators.spatial import knn_join
+
+    knn = knn_join(_geo_suppliers(spark, sf_dir),
+                   _geo_customers(spark, sf_dir),
+                   k=KNN_K, radius=KNN_RADIUS,
+                   left_id="s_suppkey", right_id="c_custkey",
+                   round_digits=12)
+    # dist2 is exact at 8 decimals (multiples of 1/256 squared-summed),
+    # so the DECIMAL(38,8) sum is exact and small enough that the
+    # double cast is 1-ulp-safe; the UNROUNDED quotient of identical
+    # doubles is then bit-equal on both engines (round(x, 6) here hits
+    # the engines' halfway-rule divergence: 1.0328125 -> .813 vs .812)
+    return (knn.groupBy(F.col("s_nationkey_l").alias("nation"), "rank")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 (F.sum(F.col("dist2").cast("decimal(38,8)"))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double")
+                  + F.lit(0.0)).alias("mean_dist2"))
+            .orderBy("nation", "rank"))
+
+
+def grid_clusters_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (spatial.grid_density_clusters, the
+    cell-granular DBSCAN): customers on the planted coordinates, cell
+    side 1.0, min_pts 3 — points shuffle once into cell counts, core
+    cells merge through the wcc star contraction on the CELL graph
+    (|cells| ≪ |points|), labels are minimum packed cell keys.  Noise
+    reported as cluster −1.  Per-cluster point and cell counts."""
+    from hazelcast_jet_spark.operators.spatial import grid_density_clusters
+
+    out = grid_density_clusters(_geo_customers(spark, sf_dir),
+                                cell=DBSCAN_CELL, min_pts=DBSCAN_MIN_PTS)
+    return (out.groupBy(F.coalesce(F.col("cluster"), F.lit(-1))
+                        .alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.countDistinct("cell_id").alias("n_cells"))
+            .orderBy("cluster"))
+
+
+def hotspot_cells_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis–Ord Gi* hot-spot surface (spatial.hotspot_gi) over the
+    customer cells: binary 3×3 weights including self, study area = the
+    occupied cells, all neighborhood sums integer-exact via the affine
+    cell-key offset join; the z chain is fixed-order double arithmetic
+    so both engines emit identical bits.  Top 20 cells by z."""
+    from hazelcast_jet_spark.operators.spatial import hotspot_gi
+
+    g = hotspot_gi(_geo_customers(spark, sf_dir), cell=HOTSPOT_CELL)
+    return (g.filter(F.col("z").isNotNull())
+            .select("cx", "cy", "n_points", "w", "g", "z")
+            .orderBy(F.col("z").desc(), "cx", "cy").limit(20))
+
+
 def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING one-sided CUSUM (streaming/cusum.stream_cusum_alarms):
     the daily event-rate rollup arrives as a 3-batch ordered feed and a
@@ -7769,6 +7851,9 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "dml_ate_orders",
     "geo_radius_pairs",
     "streaming_cusum_events",
+    "knn_supplier_customers",
+    "grid_clusters_customers",
+    "hotspot_cells_customers",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -8177,6 +8262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_ate_orders": dml_ate_orders,
         "geo_radius_pairs": geo_radius_pairs,
         "streaming_cusum_events": streaming_cusum_events,
+        "knn_supplier_customers": knn_supplier_customers,
+        "grid_clusters_customers": grid_clusters_customers,
+        "hotspot_cells_customers": hotspot_cells_customers,
     }
 
 
@@ -19052,4 +19140,109 @@ def oracle_sql() -> dict[str, str]:
     # recurrence with state carried across batches, so the batch
     # recursive-CTE detector is its exact oracle
     oracles["streaming_cusum_events"] = oracles["cusum_alarm_events"]
+    _GEO_PTS_SQL = f"""
+        s AS (
+            SELECT s_suppkey, s_nationkey,
+                   (s_suppkey % 512) * {GEO_GRID!r} AS x,
+                   ((s_suppkey * 11) % 512) * {GEO_GRID!r} AS y
+            FROM supplier
+        ), c AS (
+            SELECT c_custkey,
+                   (c_custkey % 512) * {GEO_GRID!r} AS x,
+                   ((c_custkey * 7) % 512) * {GEO_GRID!r} AS y
+            FROM customer
+        )"""
+    oracles["knn_supplier_customers"] = f"""
+        WITH {_GEO_PTS_SQL}, p AS (
+            SELECT s.s_suppkey, s.s_nationkey, c.c_custkey,
+                   round((s.x - c.x) * (s.x - c.x)
+                         + (s.y - c.y) * (s.y - c.y), 12) AS d2
+            FROM s CROSS JOIN c
+            WHERE (s.x - c.x) * (s.x - c.x)
+                  + (s.y - c.y) * (s.y - c.y)
+                  <= {KNN_RADIUS!r} * {KNN_RADIUS!r}
+        ), r AS (
+            SELECT s_nationkey, d2,
+                   row_number() OVER (
+                       PARTITION BY s_suppkey
+                       ORDER BY d2, c_custkey) AS rnk
+            FROM p
+        )
+        SELECT s_nationkey AS nation, CAST(rnk AS INT) AS rank,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CAST(d2 AS DECIMAL(38,8))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) + 0.0 AS mean_dist2
+        FROM r WHERE rnk <= {KNN_K}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # packed cell key must mirror spatial.cell_key exactly
+    _CK = "(cx + 1048576) * 2097152 + (cy + 1048576)"
+    oracles["grid_clusters_customers"] = f"""
+        WITH RECURSIVE {_GEO_PTS_SQL}, cl AS (
+            SELECT CAST(floor(x / {DBSCAN_CELL!r}) AS BIGINT) AS cx,
+                   CAST(floor(y / {DBSCAN_CELL!r}) AS BIGINT) AS cy,
+                   count(*) AS n
+            FROM c GROUP BY 1, 2
+        ), cells AS (
+            SELECT {_CK} AS k, cx, cy, n FROM cl
+        ), core AS (
+            SELECT k, cx, cy FROM cells WHERE n >= {DBSCAN_MIN_PTS}
+        ), adj AS (
+            SELECT a.k AS src, b.k AS dst FROM core a JOIN core b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), reach(k, r) AS (
+            SELECT k, k FROM core
+            UNION
+            SELECT a.src, reach.r FROM adj a JOIN reach ON a.dst = reach.k
+        ), comp AS (
+            SELECT k, min(r) AS cluster FROM reach GROUP BY k
+        ), pts AS (
+            SELECT {_CK} AS k FROM (
+                SELECT CAST(floor(x / {DBSCAN_CELL!r}) AS BIGINT) AS cx,
+                       CAST(floor(y / {DBSCAN_CELL!r}) AS BIGINT) AS cy
+                FROM c)
+        )
+        SELECT COALESCE(comp.cluster, CAST(-1 AS BIGINT)) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(DISTINCT pts.k) AS BIGINT) AS n_cells
+        FROM pts LEFT JOIN comp USING (k)
+        GROUP BY 1 ORDER BY 1
+    """
+    oracles["hotspot_cells_customers"] = f"""
+        WITH {_GEO_PTS_SQL}, cl AS (
+            SELECT CAST(floor(x / {HOTSPOT_CELL!r}) AS BIGINT) AS cx,
+                   CAST(floor(y / {HOTSPOT_CELL!r}) AS BIGINT) AS cy,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM c GROUP BY 1, 2
+        ), hood AS (
+            SELECT a.cx, a.cy, CAST(count(*) AS BIGINT) AS w,
+                   CAST(SUM(b.n) AS BIGINT) AS g
+            FROM cl a JOIN cl b
+              ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+            GROUP BY 1, 2
+        ), mom AS (
+            SELECT CAST(count(*) AS DOUBLE) AS nn,
+                   CAST(SUM(n) AS DOUBLE) AS sx,
+                   CAST(SUM(n * n) AS DOUBLE) AS sxx
+            FROM cl
+        )
+        SELECT cl.cx, cl.cy, cl.n AS n_points, hood.w, hood.g,
+               round((CAST(hood.g AS DOUBLE)
+                      - (mom.sx / mom.nn) * CAST(hood.w AS DOUBLE))
+                     / (sqrt(mom.sxx / mom.nn
+                             - (mom.sx / mom.nn) * (mom.sx / mom.nn))
+                        * sqrt((mom.nn * CAST(hood.w AS DOUBLE)
+                                - CAST(hood.w AS DOUBLE)
+                                  * CAST(hood.w AS DOUBLE))
+                               / (mom.nn - 1.0))), 6) + 0.0 AS z
+        FROM cl JOIN hood ON cl.cx = hood.cx AND cl.cy = hood.cy
+        CROSS JOIN mom
+        WHERE mom.nn > 1
+          AND sqrt(mom.sxx / mom.nn
+                   - (mom.sx / mom.nn) * (mom.sx / mom.nn))
+              * sqrt((mom.nn * CAST(hood.w AS DOUBLE)
+                      - CAST(hood.w AS DOUBLE) * CAST(hood.w AS DOUBLE))
+                     / (mom.nn - 1.0)) > 0
+        ORDER BY z DESC, cl.cx, cl.cy LIMIT 20
+    """
     return oracles

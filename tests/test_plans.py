@@ -1222,3 +1222,37 @@ def test_ndcg_bounded_rank_list_join(spark, sf_dir):
     baseline (ann_recall convention)."""
     plan = _plan(entry_mod.ndcg_ivf_emb(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_knn_grid_join_never_cartesian(spark, sf_dir):
+    """knn gate: the 3x3 cell equi-join + one rank window — no pair
+    space, no nested-loop legs; the window is the only per-left state."""
+    plan = _plan(entry_mod.knn_supplier_customers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_grid_clusters_points_shuffle_once(spark, sf_dir):
+    """grid-density gate: points aggregate into cells once; every later
+    join (adjacency, wcc rounds, label-back) runs on cell tables — the
+    customer parquet is scanned exactly twice (cell counts + the
+    label-back), never pair-joined."""
+    plan = _plan(entry_mod.grid_clusters_customers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one parquet scan (the point->cell label-back); the checkpointed
+    # cell table folds to ExistingRDD
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_hotspot_affine_offset_join(spark, sf_dir):
+    """Gi* gate: neighborhood sums come from the affine cell-key offset
+    equi-join on the CELL table; the only nested-loop leg is the 1-row
+    broadcast of the global moments (its correct physical form)."""
+    plan = _plan(entry_mod.hotspot_cells_customers(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the point source is scanned once, eagerly, into the checkpointed
+    # cell table; the returned plan folds that table only
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan

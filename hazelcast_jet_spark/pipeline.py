@@ -250,6 +250,12 @@ class GeneralStage:
         the sink)."""
         return self._wrap(self.df.alias(name))
 
+    def to_dot_string(self, physical: bool = False) -> str:
+        """DAG.toDotString analog at stage granularity (DAG.java:440) —
+        the GraphViz DOT of this stage's plan; see
+        :func:`to_dot_string`."""
+        return to_dot_string(self.df, physical=physical)
+
     def set_local_parallelism(self, n: int) -> "GeneralStage":
         """Stage.setLocalParallelism — Stage.java:102.  Spark's task count
         comes from splits/shuffle-partitions rather than per-vertex
@@ -560,6 +566,8 @@ class Pipeline:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._result = None
+        self._last_df: DataFrame | None = None
+        self._n_stages = 0
 
     @staticmethod
     def create(spark: SparkSession) -> "Pipeline":
@@ -574,12 +582,75 @@ class Pipeline:
         else:
             df = source
         cls = StreamStage if df.isStreaming else BatchStage
+        self._last_df = df
+        self._n_stages += 1
         return cls(df, self)
 
     def _execute(self, df: DataFrame, sink):
+        self._last_df = df
         self._result = sink(df)
         return self._result
 
     def run(self):
         """jet.newJob(p).join() analog: returns the last sink's result."""
         return self._result
+
+    def is_empty(self) -> bool:
+        """Pipeline.isEmpty — Pipeline.java:144: no stages declared."""
+        return self._n_stages == 0
+
+    def to_dot_string(self) -> str:
+        """Pipeline.toDotString — Pipeline.java:133-137: a GraphViz DOT
+        rendering of the declared dataflow.  Jet renders its vertex DAG;
+        the Spark analog is the ANALYZED logical plan of the most
+        recently declared (or executed) stage — the same graph Catalyst
+        optimizes, before physical planning."""
+        if self._last_df is None:
+            return "digraph DAG {\n}"
+        return to_dot_string(self._last_df)
+
+
+def to_dot_string(df: DataFrame, physical: bool = False) -> str:
+    """GraphViz DOT rendering of a DataFrame's plan — the engine's
+    analog of DAG.toDotString (core/DAG.java:440-505): one node per
+    plan operator (named like Jet vertices, de-duplicated with ``#k``
+    suffixes), one edge per dataflow hop (child → parent), vertices
+    annotated with their output arity the way Jet annotates
+    localParallelism.  ``physical=True`` renders the executed physical
+    plan instead (post-AQE operator names: exchanges, hash joins,
+    codegen stages) — the truthful picture of what will run.
+    """
+    qe = df._jdf.queryExecution()
+    root = qe.executedPlan() if physical else df._jdf.queryExecution().analyzed()
+
+    def children(node):
+        # AQE/codegen wrappers hold their subtree in fields, not
+        # children() — descend so the rendered graph is the real one
+        if node.nodeName() == "AdaptiveSparkPlan":
+            return [node.executedPlan()]
+        seq = node.children()
+        return [seq.apply(i) for i in range(seq.length())]
+
+    names: dict[str, int] = {}
+    lines: list[str] = []
+    edges: list[str] = []
+
+    def esc(s: str) -> str:
+        return s.replace('"', '\\"')
+
+    def walk(node) -> str:
+        base = node.nodeName()
+        k = names.get(base, 0)
+        names[base] = k + 1
+        name = base if k == 0 else f"{base}#{k}"
+        try:
+            arity = node.output().length()
+        except Exception:
+            arity = 0
+        lines.append(f'\t"{esc(name)}" [outputs={arity}];')
+        for ch in children(node):
+            edges.append(f'\t"{esc(walk(ch))}" -> "{esc(name)}";')
+        return name
+
+    walk(root)
+    return "digraph DAG {\n" + "\n".join(lines + edges) + "\n}"

@@ -313,3 +313,46 @@ def test_hash_join_builder_three_stages(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         Pipeline.create(spark).read_from(o).hash_join_builder().build()
+
+
+def test_to_dot_string_renders_the_dataflow(spark):
+    """Pipeline.toDotString / DAG.toDotString parity (Pipeline.java:133,
+    DAG.java:440): the DOT graph names each plan operator once
+    (de-duplicated with #k), draws child->parent dataflow edges, and the
+    physical variant unwraps AQE to the real operator DAG."""
+    import re
+
+    from hazelcast_jet_spark import aggregates as agg
+    from hazelcast_jet_spark.pipeline import Pipeline, to_dot_string
+
+    p = Pipeline.create(spark)
+    assert p.is_empty()
+    df = spark.range(100).withColumn("k", F.col("id") % 5)
+    st = (p.read_from(df).filter(F.col("id") > 10)
+          .grouping_key("k").aggregate(cnt=agg.counting()))
+    assert not p.is_empty()
+
+    dot = st.to_dot_string()
+    assert dot.startswith("digraph DAG {") and dot.endswith("}")
+    for op in ("Aggregate", "Filter", "Range"):
+        assert f'"{op}"' in dot
+    assert '"Filter" -> "Aggregate";' in dot
+    # a chain has exactly nodes-1 edges
+    nodes = re.findall(r'"\S+" \[outputs=\d+\];', dot)
+    arrows = re.findall(r'" -> "', dot)
+    assert len(arrows) == len(nodes) - 1
+    # pipeline-level render follows the last declared stage
+    assert p.to_dot_string() == to_dot_string(df)
+
+    # physical: AQE unwrapped to the real exchange/aggregate operators
+    phys = st.to_dot_string(physical=True)
+    assert "Exchange" in phys and "HashAggregate" in phys
+
+    # a self-join re-uses operator names -> #k de-dup keeps ids unique
+    j = df.join(df.select(F.col("id").alias("id2")),
+                F.col("id") == F.col("id2"))
+    dj = to_dot_string(j)
+    assert '"Range"' in dj and '"Range#1"' in dj
+
+    # an empty pipeline renders an empty graph
+    assert Pipeline.create(spark).to_dot_string() == "digraph DAG {\n}"

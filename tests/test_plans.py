@@ -1256,3 +1256,37 @@ def test_hotspot_affine_offset_join(spark, sf_dir):
     # cell table; the returned plan folds that table only
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_plan_audit_and_assert_plan_api(spark, sf_dir):
+    """plans.plan_audit / assert_plan: the plan-pin conventions of this
+    file packaged as a user API — counts match the shapes this suite
+    already pins, and the guardrail raises on a planted cartesian."""
+    from hazelcast_jet_spark.plans import assert_plan, plan_audit
+
+    q1 = entry_mod.q1_pricing_summary(spark, sf_dir)
+    audit = plan_audit(q1)
+    assert audit["scans"] == 1 and audit["pushed_filters"] >= 1
+    assert audit["cartesian"] == 0
+    # codegen is unknown pre-run under AQE, counted after execution
+    assert audit["codegen_spans"] is None
+    q1.collect()
+    assert plan_audit(q1)["codegen_spans"] >= 1
+
+    # assert_plan returns the audit on success...
+    got = assert_plan(entry_mod.q1_pricing_summary(spark, sf_dir),
+                      max_scans=1, require_pushed_filters=True)
+    assert got["scans"] == 1
+
+    # ...and raises with the counters on a planted scale-killer
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    with pytest.raises(AssertionError, match="plan-shape violations"):
+        assert_plan(a.crossJoin(b))
+    with pytest.raises(ValueError, match="unknown forbid"):
+        assert_plan(a, forbid=("NoSuchOp",))
+
+    # broadcast dim joins audit as broadcast, not SMJ (the multi-hop
+    # enrichment pin, through the API)
+    e = plan_audit(entry_mod.multi_hop_enrichment(spark, sf_dir))
+    assert e["broadcast_joins"] >= 2 and e["sort_merge_joins"] == 0

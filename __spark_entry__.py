@@ -3270,6 +3270,37 @@ def hotspot_cells_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("z").desc(), "cx", "cy").limit(20))
 
 
+HITS_ITERS, HITS_TOP = 2, 20
+
+
+def hits_customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits; Kleinberg 1999) on the
+    bipartite customer→part purchase graph: hub customers buy the
+    authoritative parts, authoritative parts are bought by hub
+    customers — the mutual-reinforcement co-ranking beside pagerank's
+    single-mode prior.  L∞ normalization keeps every score a fixed
+    IEEE chain (max is exact; no L2 sqrt of an order-dependent sum),
+    contribution sums DECIMAL(28,18); scores rounded at 9 (the
+    pagerank convention — the (28,18)->double cast carries 1-ulp
+    engine noise that the round absorbs).  Top 20 per side."""
+    from hazelcast_jet_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_partkey").isNotNull())
+          .select("l_orderkey", "l_partkey"))
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_partkey").alias("dst")))
+    scores = hits(edges, iters=HITS_ITERS, round_digits=9)
+    w = Window.partitionBy("side").orderBy(F.col("score").desc(), "node")
+    return (scores.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HITS_TOP)
+            .select("side", "node", "score",
+                    F.col("rank").cast("int").alias("rank"))
+            .orderBy("side", "rank"))
+
+
 def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING one-sided CUSUM (streaming/cusum.stream_cusum_alarms):
     the daily event-rate rollup arrives as a 3-batch ordered feed and a
@@ -7854,6 +7885,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "knn_supplier_customers",
     "grid_clusters_customers",
     "hotspot_cells_customers",
+    "hits_customer_parts",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -8265,6 +8297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_supplier_customers": knn_supplier_customers,
         "grid_clusters_customers": grid_clusters_customers,
         "hotspot_cells_customers": hotspot_cells_customers,
+        "hits_customer_parts": hits_customer_parts,
     }
 
 
@@ -19244,5 +19277,51 @@ def oracle_sql() -> dict[str, str]:
                       - CAST(hood.w AS DOUBLE) * CAST(hood.w AS DOUBLE))
                      / (mom.nn - 1.0)) > 0
         ORDER BY z DESC, cl.cx, cl.cy LIMIT 20
+    """
+    oracles["hits_customer_parts"] = f"""
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_partkey IS NOT NULL
+        ), a1r AS (
+            SELECT dst, CAST(SUM(CAST(1.0 AS DECIMAL(28,18)))
+                             AS DOUBLE) AS raw
+            FROM e GROUP BY dst
+        ), a1 AS (
+            SELECT dst, raw / (SELECT MAX(raw) FROM a1r) AS s FROM a1r
+        ), h1r AS (
+            SELECT e.src, CAST(SUM(CAST(a1.s AS DECIMAL(28,18)))
+                               AS DOUBLE) AS raw
+            FROM e JOIN a1 USING (dst) GROUP BY e.src
+        ), h1 AS (
+            SELECT src, raw / (SELECT MAX(raw) FROM h1r) AS s FROM h1r
+        ), a2r AS (
+            SELECT e.dst, CAST(SUM(CAST(h1.s AS DECIMAL(28,18)))
+                               AS DOUBLE) AS raw
+            FROM e JOIN h1 USING (src) GROUP BY e.dst
+        ), a2 AS (
+            SELECT dst, raw / (SELECT MAX(raw) FROM a2r) AS s FROM a2r
+        ), h2r AS (
+            SELECT e.src, CAST(SUM(CAST(a2.s AS DECIMAL(28,18)))
+                               AS DOUBLE) AS raw
+            FROM e JOIN a2 USING (dst) GROUP BY e.src
+        ), h2 AS (
+            SELECT src, raw / (SELECT MAX(raw) FROM h2r) AS s FROM h2r
+        ), u AS (
+            SELECT 'hub' AS side, src AS node,
+                   round(s, 9) + 0.0 AS score FROM h2
+            UNION ALL
+            SELECT 'auth' AS side, dst AS node,
+                   round(s, 9) + 0.0 AS score FROM a2
+        ), r AS (
+            SELECT side, node, score,
+                   row_number() OVER (
+                       PARTITION BY side
+                       ORDER BY score DESC, node) AS rnk
+            FROM u
+        )
+        SELECT side, node, score, CAST(rnk AS INT) AS rank
+        FROM r WHERE rnk <= {HITS_TOP}
+        ORDER BY side, rank
     """
     return oracles

@@ -1179,3 +1179,75 @@ def degree_assortativity(edges: DataFrame,
         F.lit(nn).cast("long").alias("n_nodes"),
         (F.round(cov / F.sqrt(vx * vy), round_digits)
          + F.lit(0.0)).alias("assortativity"))
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         round_digits: int | None = 9) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    list ``(src → dst)`` — src-side nodes earn HUB scores, dst-side
+    nodes AUTHORITY scores; on a bipartite graph (customers → parts)
+    the two sides stay disjoint and the iteration is the classic
+    co-ranking of buyers and products.
+
+    Per iteration (mutual reinforcement, from ``h₀ = 1``):
+
+    * ``a(v) = Σ_{u→v} h(u)``, then ``a ← a / max(a)``
+    * ``h(u) = Σ_{u→v} a(v)``, then ``h ← h / max(h)``
+
+    Normalization is **L∞ (divide by the maximum)** rather than the
+    textbook L2: the max of a column of doubles is EXACT (no rounding,
+    no square root of an order-dependent sum), so every score is a
+    fixed chain of IEEE ops both engines replay bit-identically —
+    the same eigenvector direction, a different (deterministic) scale,
+    with the top hub/authority pinned at exactly 1.0.
+
+    Plan shape (the :func:`pagerank` discipline): the edge list
+    localCheckpoints once; each half-step is ONE keyed equi-join plus
+    one thin aggregate with DECIMAL(28,18)-accumulated contribution
+    sums (order-free); the normalizing max is a one-row broadcast.
+    Score tables are one row per node and localCheckpoint each round
+    (O(1) lineage).
+
+    Returns ``(side, node, score)`` — side ∈ {'hub', 'auth'}.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (edges.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+         .dropDuplicates(["src", "dst"]).localCheckpoint())
+    hubs = (e.select(F.col("src").alias("node")).distinct()
+            .select("node", F.lit(1.0).alias("score")).localCheckpoint())
+
+    def _half(scores: DataFrame, key: str, out: str) -> DataFrame:
+        """One half-step: pull scores across edges onto `out`-side
+        nodes, decimal-sum, L∞-normalize."""
+        raw = (e.join(scores.select(F.col("node").alias(key), "score"),
+                      key)
+               .groupBy(F.col(out).alias("node"))
+               .agg(F.sum(F.col("score").cast("decimal(28,18)"))
+                    .cast("double").alias("__raw")))
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        return (raw.crossJoin(F.broadcast(mx))  # one-row normalizer
+                .select("node",
+                        (F.col("__raw") / F.col("__mx")).alias("score"))
+                .localCheckpoint())
+
+    auths = None
+    for _ in range(iters):
+        prev_a, prev_h = auths, hubs
+        auths = _half(hubs, "src", "dst")
+        hubs = _half(auths, "dst", "src")
+        for p in (prev_a, prev_h):
+            if p is not None:
+                p.unpersist(False)
+    out = (hubs.select(F.lit("hub").alias("side"), "node", "score")
+           .unionAll(auths.select(F.lit("auth").alias("side"),
+                                  "node", "score")))
+    # round_digits=None emits the raw doubles: every score is already a
+    # fixed chain of IEEE ops, and L∞ ratios CAN land on exact binary
+    # rationals (2^-k) where decimal rounding hits the engines'
+    # halfway-rule divergence — exactness prefers no rounding at all
+    score = (F.col("score") if round_digits is None
+             else F.round("score", round_digits))
+    return out.select("side", "node",
+                      (score + F.lit(0.0)).alias("score"))

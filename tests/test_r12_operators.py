@@ -266,3 +266,30 @@ def test_hotspot_gi_closed_form(spark):
     one = spark.createDataFrame([(1, 0.5, 0.5)],
                                 "id long, x double, y double")
     assert hotspot_gi(one, cell=1.0).collect()[0].z is None
+
+
+def test_hits_bipartite_closed_form(spark):
+    """Hand-unrolled two iterations on hubs {1,2} -> auths {10,11}:
+    a1 = (1.0, 0.5), h1 = (1.0, 2/3), a2 = (1.0, 0.6),
+    h2 = (1.0, 0.625)."""
+    from hazelcast_jet_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 10), (1, 11), (2, 10)],
+                              "src long, dst long")
+    got = {(r.side, r.node): r.score
+           for r in hits(e, iters=2).collect()}
+    assert got == {("hub", 1): 1.0, ("hub", 2): 0.625,
+                   ("auth", 10): 1.0, ("auth", 11): 0.6}
+    # one iteration: the in/out-degree co-ranking
+    got1 = {(r.side, r.node): r.score
+            for r in hits(e, iters=1).collect()}
+    assert got1[("auth", 10)] == 1.0 and got1[("auth", 11)] == 0.5
+    assert got1[("hub", 1)] == 1.0 and got1[("hub", 2)] == round(2 / 3, 9)
+    # duplicate edges collapse; the top of each side is pinned at 1.0
+    e2 = spark.createDataFrame([(1, 10), (1, 10), (2, 10), (1, 11)],
+                               "src long, dst long")
+    got2 = {(r.side, r.node): r.score for r in hits(e2, iters=3).collect()}
+    assert max(v for (s, _), v in got2.items() if s == "hub") == 1.0
+    assert max(v for (s, _), v in got2.items() if s == "auth") == 1.0
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)

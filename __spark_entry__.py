@@ -3270,6 +3270,24 @@ def hotspot_cells_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("z").desc(), "cx", "cy").limit(20))
 
 
+UCC_CANDIDATES = [["l_orderkey"],
+                  ["l_orderkey", "l_linenumber"],
+                  ["l_partkey", "l_suppkey"],
+                  ["l_orderkey", "l_partkey", "l_suppkey"]]
+
+
+def ucc_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-column-combination verification (profile.ucc_profile;
+    the TANE/HyUCC key-discovery primitive) over four lineitem
+    candidates: the order key alone (NOT unique — one row per line),
+    the true composite key (orderkey, linenumber), a plausible business
+    key (partkey, suppkey — collides), and a near-key triple.  Per
+    candidate one count aggregate on its own pruned columns."""
+    from hazelcast_jet_spark.operators.profile import ucc_profile
+
+    return ucc_profile(_t(spark, sf_dir, "lineitem"), UCC_CANDIDATES)
+
+
 HITS_ITERS, HITS_TOP = 2, 20
 
 
@@ -7886,6 +7904,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "grid_clusters_customers",
     "hotspot_cells_customers",
     "hits_customer_parts",
+    "ucc_lineitem",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -8298,6 +8317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_clusters_customers": grid_clusters_customers,
         "hotspot_cells_customers": hotspot_cells_customers,
         "hits_customer_parts": hits_customer_parts,
+        "ucc_lineitem": ucc_lineitem,
     }
 
 
@@ -19324,4 +19344,24 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rnk <= {HITS_TOP}
         ORDER BY side, rank
     """
+    ucc_legs = []
+    for cols in UCC_CANDIDATES:
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        name = ",".join(cols)
+        csel = ", ".join(cols)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        ucc_legs.append(f"""
+            SELECT '{name}' AS ucc,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(MAX(c) AS BIGINT) AS max_mult,
+                   MAX(c) = 1 AS is_unique,
+                   round(CAST(SUM(c) - count(*) AS DOUBLE)
+                         / CAST(SUM(c) AS DOUBLE), 6) + 0.0
+                       AS dup_fraction
+            FROM (SELECT {csel}, count(*) AS c
+                  FROM lineitem WHERE {notnull}
+                  GROUP BY {csel})""")
+    oracles["ucc_lineitem"] = (
+        " UNION ALL ".join(ucc_legs) + " ORDER BY ucc")
     return oracles

@@ -2544,3 +2544,49 @@ def fd_violations(df: DataFrame, fds: list[tuple[list[str], str]],
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("fd")
+
+
+def ucc_profile(df: DataFrame, candidates: list[list[str]],
+                round_digits: int = 6) -> DataFrame:
+    """Unique-column-combination profiling (the key-discovery
+    complement of :func:`fd_violations`; Heise et al. 2013 "Scalable
+    Discovery of Unique Column Combinations" frames the search — this
+    operator VERIFIES a candidate list): for each candidate column set
+    report whether it is a key and how far from one it is —
+
+    * ``n_groups`` — distinct value combinations,
+    * ``max_mult`` — the largest group (1 ⇔ unique),
+    * ``is_unique`` — the key verdict,
+    * ``dup_fraction`` — the fraction of rows to delete for uniqueness
+      (``(N − n_groups)/N``, the g₃ measure specialized to keys).
+
+    Plan per candidate: ONE count aggregate on its own pruned columns,
+    map-side combined, then a scalar fold — candidates union into one
+    result, so a wide table at 100 TB reads only the profiled columns.
+    Rows with NULL in any candidate column are excluded (engines
+    disagree on NULL grouping identity).  Returns one row per
+    candidate: ``(ucc, n_rows, n_groups, max_mult, is_unique,
+    dup_fraction)`` ordered by ucc.
+    """
+    if not candidates:
+        raise ValueError("candidates must name at least one column set")
+    legs = []
+    for cols in candidates:
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        name = ",".join(cols)
+        base = df.select(*cols).na.drop(subset=cols)
+        grp = base.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+        legs.append(grp.agg(
+            F.lit(name).alias("ucc"),
+            F.sum("__c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("__c").alias("max_mult"),
+            (F.max("__c") == 1).alias("is_unique"),
+            (F.round(
+                (F.sum("__c") - F.count(F.lit(1))).cast("double")
+                / F.sum("__c").cast("double"), round_digits)
+             + F.lit(0.0)).alias("dup_fraction")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("ucc")

@@ -293,3 +293,25 @@ def test_hits_bipartite_closed_form(spark):
     assert max(v for (s, _), v in got2.items() if s == "auth") == 1.0
     with pytest.raises(ValueError, match="iters"):
         hits(e, iters=0)
+
+
+def test_ucc_profile_key_detection(spark):
+    from hazelcast_jet_spark.operators.profile import ucc_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 20), (4, "b", 20),
+         (5, None, 30)],
+        "id long, grp string, v long")
+    out = {r.ucc: r for r in ucc_profile(
+        df, [["id"], ["grp"], ["grp", "v"]]).collect()}
+    assert out["id"].is_unique and out["id"].max_mult == 1
+    assert out["id"].dup_fraction == 0.0
+    # NULL rows excluded: grp has 4 non-null rows in 2 groups
+    g = out["grp"]
+    assert (g.n_rows, g.n_groups, g.max_mult, g.is_unique) == (4, 2, 2, False)
+    assert g.dup_fraction == 0.5
+    # the pair separates all but the (b,20) duplicate
+    gv = out["grp,v"]
+    assert (gv.n_groups, gv.max_mult, gv.is_unique) == (3, 2, False)
+    with pytest.raises(ValueError, match="at least one"):
+        ucc_profile(df, [])

@@ -3371,6 +3371,63 @@ def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "alarm").orderBy("event_type", "day")
 
 
+def streaming_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ordered funnel (streaming/funnel.
+    stream_funnel_progress): the view→click→purchase events arrive as
+    a 3-batch time-ordered feed and a keyed stateful fold carries each
+    user's earliest stage-completion times (integer µs) across
+    micro-batches — the live twin of q:funnel_conversion_counts,
+    equal to the batch earliest-completion fold because greedy
+    in-order advancement IS the batch min-after recurrence.  State
+    bound: k+1 longs per user, O(k) forever.  The oracle is the batch
+    funnel SQL (shared)."""
+    import tempfile
+
+    from hazelcast_jet_spark.streaming.funnel import stream_funnel_progress
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "event_type", "ts")
+         .filter(F.col("event_type").isin(FUNNEL_STAGES)))
+    days = sorted(r[0] for r in
+                  e.select(F.to_date("ts").alias("d")).distinct().collect())
+    n_files = 3
+    bounds = [days[(len(days) * i) // n_files] for i in range(1, n_files)]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_funnel_{tag}")
+    chunks = [
+        e.filter(F.to_date("ts") < F.lit(bounds[0])),
+        e.filter((F.to_date("ts") >= F.lit(bounds[0]))
+                 & (F.to_date("ts") < F.lit(bounds[1]))),
+        e.filter(F.to_date("ts") >= F.lit(bounds[1])),
+    ]
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "f*")))
+    prog = stream_funnel_progress(stream, FUNNEL_STAGES)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = run_to_batch(prog, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    depth = (out.groupBy("user_id")
+             .agg(F.max("stage_reached").alias("__depth")))
+    legs = [depth.filter(F.col("__depth") >= i + 1).agg(
+        F.lit(i + 1).alias("stage"),
+        F.lit(s).alias("event_type"),
+        F.count(F.lit(1)).alias("n_keys"))
+        for i, s in enumerate(FUNNEL_STAGES)]
+    res = legs[0]
+    for leg in legs[1:]:
+        res = res.unionByName(leg)
+    return res.orderBy("stage")
+
+
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction audit (text.pii_counts / text.scrub_pii,
     the privacy-filter step).  The synthetic corpus carries no PII, so the
@@ -7905,6 +7962,7 @@ NEXT_ROUND_LEADS: tuple[str, ...] = (
     "hotspot_cells_customers",
     "hits_customer_parts",
     "ucc_lineitem",
+    "streaming_funnel_counts",
 )
 
 #: The round whose driver window the current registry ordering was frozen
@@ -8318,6 +8376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_cells_customers": hotspot_cells_customers,
         "hits_customer_parts": hits_customer_parts,
         "ucc_lineitem": ucc_lineitem,
+        "streaming_funnel_counts": streaming_funnel_counts,
     }
 
 
@@ -19364,4 +19423,8 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY {csel})""")
     oracles["ucc_lineitem"] = (
         " UNION ALL ".join(ucc_legs) + " ORDER BY ucc")
+    # the streaming funnel twin carries earliest-completion state across
+    # batches; greedy in-order advancement equals the batch min-after
+    # fold, so the batch funnel SQL is its exact oracle
+    oracles["streaming_funnel_counts"] = oracles["funnel_conversion_counts"]
     return oracles

@@ -315,3 +315,73 @@ def test_ucc_profile_key_detection(spark):
     assert (gv.n_groups, gv.max_mult, gv.is_unique) == (3, 2, False)
     with pytest.raises(ValueError, match="at least one"):
         ucc_profile(df, [])
+
+
+def test_stream_funnel_equals_batch(spark, tmp_path):
+    """The carried-state streaming funnel reaches the same per-user
+    completion depth as the batch earliest-completion fold, across
+    trigger boundaries, including the strictly-after and
+    within_seconds semantics."""
+    import os
+
+    from hazelcast_jet_spark.operators.timeseries import funnel_counts
+    from hazelcast_jet_spark.streaming.funnel import stream_funnel_progress
+    from hazelcast_jet_spark.streaming.run import run_to_batch
+
+    stages = ["view", "click", "purchase"]
+    rows = [
+        # u1 completes all three in order
+        ("u1", "view", "2024-01-01 00:00:00"),
+        ("u1", "click", "2024-01-02 00:00:00"),
+        ("u1", "purchase", "2024-01-05 00:00:00"),
+        # u2 clicks BEFORE viewing -> stuck at stage 1
+        ("u2", "click", "2024-01-01 00:00:00"),
+        ("u2", "view", "2024-01-03 00:00:00"),
+        # u3 view+click at the SAME instant -> click not strictly after
+        ("u3", "view", "2024-01-02 00:00:00"),
+        ("u3", "click", "2024-01-02 00:00:00"),
+        # u4 never views
+        ("u4", "purchase", "2024-01-04 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, "
+                                     "t string") \
+        .select("user_id", "event_type",
+                F.expr("CAST(t AS TIMESTAMP_NTZ)").alias("ts"))
+    batch = {(r.stage, r.event_type): r.n_keys
+             for r in funnel_counts(df, stages).collect()}
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    for i, pred in enumerate([F.col("ts") < F.expr(
+            "CAST('2024-01-02 12:00:00' AS TIMESTAMP_NTZ)"),
+            F.col("ts") >= F.expr(
+            "CAST('2024-01-02 12:00:00' AS TIMESTAMP_NTZ)")]):
+        df.filter(pred).coalesce(1).write.parquet(f"{src}/f{i}")
+    stream = (spark.readStream
+              .schema("user_id string, event_type string, "
+                      "ts timestamp_ntz")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/f*"))
+    prog = stream_funnel_progress(stream, stages)
+    out = run_to_batch(prog, "update")
+    final = (out.groupBy("user_id")
+             .agg(F.max("stage_reached").alias("depth")))
+    got = {i + 1: final.filter(F.col("depth") >= i + 1).count()
+           for i in range(3)}
+    assert got == {i + 1: batch[(i + 1, s)]
+                   for i, s in enumerate(stages)}
+    assert got == {1: 3, 2: 1, 3: 1}
+
+    # within_seconds bounds the whole conversion against t0
+    b = funnel_counts(df, stages, within_seconds=3 * 86400).collect()
+    batch_b = {r.stage: r.n_keys for r in b}
+    prog_b = stream_funnel_progress(
+        (spark.readStream.schema("user_id string, event_type string, "
+                                 "ts timestamp_ntz")
+         .option("maxFilesPerTrigger", 1).parquet(src + "/f*")),
+        stages, within_seconds=3 * 86400)
+    out_b = run_to_batch(prog_b, "update")
+    final_b = (out_b.groupBy("user_id")
+               .agg(F.max("stage_reached").alias("depth")))
+    got_b = {i + 1: final_b.filter(F.col("depth") >= i + 1).count()
+             for i in range(3)}
+    assert got_b == batch_b      # u1's purchase at +4d falls outside
+    assert got_b[3] == 0

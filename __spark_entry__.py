@@ -3091,7 +3091,9 @@ def _sax_case_sql() -> str:
     bps = SAX_BREAKPOINTS[SAX_ALPHABET]
     arms = " ".join(f"WHEN p < {b!r} THEN '{chr(ord('a') + i)}'"
                     for i, b in enumerate(bps))
-    return f"{arms} ELSE '{chr(ord('a') + len(bps))}'"
+    # NULL paa (constant series, sd=0) -> NULL symbol, the operator's
+    # undefined-series contract
+    return f"WHEN p IS NULL THEN NULL {arms} ELSE '{chr(ord('a') + len(bps))}'"
 
 
 def sax_symbols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3169,15 +3171,9 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier nation, pair count + exact mean squared distance."""
     from hazelcast_jet_spark.operators.spatial import radius_join
 
-    s = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey",
-        ((F.col("s_suppkey") % 512) * GEO_GRID).alias("x"),
-        (((F.col("s_suppkey") * 11) % 512) * GEO_GRID).alias("y"))
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        ((F.col("c_custkey") % 512) * GEO_GRID).alias("x"),
-        (((F.col("c_custkey") * 7) % 512) * GEO_GRID).alias("y"))
-    pairs = radius_join(s, c, radius=GEO_RADIUS, round_digits=12)
+    pairs = radius_join(_geo_suppliers(spark, sf_dir),
+                        _geo_customers(spark, sf_dir),
+                        radius=GEO_RADIUS, round_digits=12)
     return (pairs.groupBy(F.col("s_nationkey_l").alias("nation"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  (F.round(
@@ -19141,7 +19137,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST((r.idx - 1) * {SAX_SEGMENTS} AS DOUBLE)
                               / CAST(t.nr AS DOUBLE)) AS BIGINT)
                        AS segment,
-                   (r.n - t.mu) / t.sd AS z
+                   CASE WHEN t.sd <> 0
+                        THEN (r.n - t.mu) / t.sd END AS z
             FROM ser r JOIN st t USING (event_type)
         ), paa AS (
             SELECT event_type, segment,

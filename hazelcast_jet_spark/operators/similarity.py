@@ -1484,9 +1484,13 @@ def ndcg_at_k(candidates: DataFrame, truth: DataFrame, k: int,
         F.coalesce(F.sum(term.cast("decimal(28,12)")).cast("double"),
                    F.lit(0.0)).alias("__dcg"))
     nt_tbl = t.groupBy("__q").agg(F.count(F.lit(1)).alias("n_truth"))
-    return (nt_tbl.join(dcg_tbl, "__q")
-            .select(F.col("__q").alias(query_col), "n_truth", "n_hits",
-                    (F.round(F.col("__dcg")
+    # LEFT join: a query whose candidates were all filtered (or absent)
+    # scores 0, it does not vanish from the result — dropping it would
+    # mask an upstream ranking bug
+    return (nt_tbl.join(dcg_tbl, "__q", "left")
+            .select(F.col("__q").alias(query_col), "n_truth",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.round(F.coalesce(F.col("__dcg"), F.lit(0.0))
                              / F.element_at(ideal,
                                             F.col("n_truth").cast("int")),
                              round_digits) + F.lit(0.0)).alias("ndcg"))

@@ -32,26 +32,15 @@ def grid_cell(x: Column, y: Column, cell: float) -> Column:
         F.floor(y / F.lit(cell)).alias("cy"))
 
 
-def radius_join(left: DataFrame, right: DataFrame, radius: float,
-                x_col: str = "x", y_col: str = "y",
-                suffixes: tuple = ("_l", "_r"),
-                round_digits: int = 6) -> DataFrame:
-    """All pairs (left row, right row) with planar Euclidean distance
-    ≤ ``radius``, as a grid equi-join — never a cross join.
-
-    The LEFT side buckets once; the RIGHT side explodes to its 3×3 cell
-    neighborhood (9 rows) so every candidate pair meets on an exact
-    ``(cx, cy)`` key.  Exactness: for cell side = radius, two points
-    within ``radius`` differ by < 1 cell index on each axis, so the
-    neighborhood probe has recall 1; the squared-distance verify
-    (``dx² + dy² ≤ r²``) then gives precision 1 with no square root —
-    on coordinates that are exact binary rationals the comparison is
-    bit-identical across engines.
-
-    Returns the non-coordinate columns of both sides (suffixed on
-    collision) plus ``dist2``.  Plan: two scans, one 9×-amplified
-    shuffle on the cell key, zero pair-space blowup.
-    """
+def _grid_candidates(left: DataFrame, right: DataFrame, radius: float,
+                     x_col: str, y_col: str,
+                     suffixes: tuple) -> tuple[DataFrame, Column]:
+    """The shared exact-recall candidate join of :func:`radius_join`
+    and :func:`knn_join`: the left side buckets once, the right side
+    explodes to its 3×3 cell neighborhood, candidates meet on the
+    exact ``(cx, cy)`` key and are filtered to ``d² ≤ radius²``.
+    Returns the candidate frame (EVERY column of both sides suffixed)
+    and the exact squared-distance Column over it."""
     lx, ly = F.col(x_col), F.col(y_col)
     lcell = grid_cell(lx, ly, radius)
     lt = left.select(
@@ -74,12 +63,38 @@ def radius_join(left: DataFrame, right: DataFrame, radius: float,
     d2 = dx * dx + dy * dy
     # no dropDuplicates needed: a pair meets on exactly ONE cell (the
     # left point's), whichever of the 9 right offsets lands there
-    return (lt.join(rt, ["__cx", "__cy"])
-            .filter(d2 <= F.lit(float(radius) * float(radius)))
-            .select(
-                *[F.col(c + suffixes[0]) for c in left.columns],
-                *[F.col(c + suffixes[1]) for c in right.columns],
-                (F.round(d2, round_digits) + F.lit(0.0)).alias("dist2")))
+    cand = (lt.join(rt, ["__cx", "__cy"])
+            .filter(d2 <= F.lit(float(radius) * float(radius))))
+    return cand, d2
+
+
+def radius_join(left: DataFrame, right: DataFrame, radius: float,
+                x_col: str = "x", y_col: str = "y",
+                suffixes: tuple = ("_l", "_r"),
+                round_digits: int = 6) -> DataFrame:
+    """All pairs (left row, right row) with planar Euclidean distance
+    ≤ ``radius``, as a grid equi-join — never a cross join.
+
+    The LEFT side buckets once; the RIGHT side explodes to its 3×3 cell
+    neighborhood (9 rows) so every candidate pair meets on an exact
+    ``(cx, cy)`` key.  Exactness: for cell side = radius, two points
+    within ``radius`` differ by < 1 cell index on each axis, so the
+    neighborhood probe has recall 1; the squared-distance verify
+    (``dx² + dy² ≤ r²``) then gives precision 1 with no square root —
+    on coordinates that are exact binary rationals the comparison is
+    bit-identical across engines.
+
+    Returns EVERY column of both sides, each suffixed with its side's
+    suffix (coordinates included — callers read ``x_l``/``x_r``), plus
+    ``dist2``.  Plan: two scans, one 9×-amplified shuffle on the cell
+    key, zero pair-space blowup.
+    """
+    cand, d2 = _grid_candidates(left, right, radius, x_col, y_col,
+                                suffixes)
+    return cand.select(
+        *[F.col(c + suffixes[0]) for c in left.columns],
+        *[F.col(c + suffixes[1]) for c in right.columns],
+        (F.round(d2, round_digits) + F.lit(0.0)).alias("dist2"))
 
 def knn_join(left: DataFrame, right: DataFrame, k: int, radius: float,
              left_id: str = "id_l", right_id: str = "id_r",
@@ -101,38 +116,24 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, radius: float,
     one 9×-amplified cell equi-join + one window partitioned by the
     left id — both keyed, no pair-space blowup.
 
-    Returns left columns, right columns (suffixed on collision),
-    ``dist2`` (rounded, signed-zero-normalized) and ``rank`` (1-based).
+    ``left_id`` must UNIQUELY identify left rows (it is the rank
+    window's partition key — rows sharing an id would pool their
+    candidate sets); ``right_id`` is the deterministic tie-break and
+    should be unique on the right.
+
+    Returns EVERY column of both sides (each suffixed with its side's
+    suffix), ``dist2`` (rounded, signed-zero-normalized) and ``rank``
+    (1-based).
     """
     if left_id not in left.columns or right_id not in right.columns:
         raise ValueError("left_id/right_id must name columns of their "
                          "respective inputs (pre-suffix names)")
-    lx, ly = F.col(x_col), F.col(y_col)
-    lcell = grid_cell(lx, ly, radius)
-    lt = left.select(
-        *[F.col(c).alias(c + suffixes[0]) for c in left.columns],
-        lcell["cx"].alias("__cx"), lcell["cy"].alias("__cy"))
-    off = F.explode(F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("__o")
-    rcell = grid_cell(F.col(x_col), F.col(y_col), radius)
-    rt = (right.select(
-        *[F.col(c).alias(c + suffixes[1]) for c in right.columns],
-        rcell["cx"].alias("__rcx"), rcell["cy"].alias("__rcy"))
-        .select("*", off)
-        .select(
-            *[F.col(c + suffixes[1]) for c in right.columns],
-            (F.col("__rcx") + F.col("__o.dx")).alias("__cx"),
-            (F.col("__rcy") + F.col("__o.dy")).alias("__cy")))
-    dx = F.col(x_col + suffixes[0]) - F.col(x_col + suffixes[1])
-    dy = F.col(y_col + suffixes[0]) - F.col(y_col + suffixes[1])
-    d2 = dx * dx + dy * dy
+    cand, d2 = _grid_candidates(left, right, radius, x_col, y_col,
+                                suffixes)
     from pyspark.sql import Window
     w = (Window.partitionBy(left_id + suffixes[0])
          .orderBy(F.col("__d2").asc(), F.col(right_id + suffixes[1]).asc()))
-    return (lt.join(rt, ["__cx", "__cy"])
-            .filter(d2 <= F.lit(float(radius) * float(radius)))
-            .withColumn("__d2", d2)
+    return (cand.withColumn("__d2", d2)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(
@@ -152,9 +153,19 @@ CELL_SPAN = 1 << 21
 
 def cell_key(cx: Column, cy: Column) -> Column:
     """Pack a (cx, cy) cell index pair into one non-negative long —
-    the node id fed to the graph lane (``(cx+2^20)·2^21 + cy+2^20``)."""
-    return ((cx + F.lit(CELL_OFF)) * F.lit(CELL_SPAN)
-            + (cy + F.lit(CELL_OFF))).cast("long")
+    the node id fed to the graph lane (``(cx+2^20)·2^21 + cy+2^20``).
+    Indexes outside (-2^20, 2^20) would alias into OTHER cells' keys,
+    so they raise instead of silently corrupting labels."""
+    in_bounds = ((F.abs(cx) < F.lit(CELL_OFF))
+                 & (F.abs(cy) < F.lit(CELL_OFF)))
+    packed = ((cx + F.lit(CELL_OFF)) * F.lit(CELL_SPAN)
+              + (cy + F.lit(CELL_OFF))).cast("long")
+    return F.when(in_bounds, packed).otherwise(
+        F.raise_error(F.concat(
+            F.lit("cell_key: cell index out of the +/-2^20 packing "
+                  "bound (cx="), cx.cast("string"),
+            F.lit(", cy="), cy.cast("string"),
+            F.lit(") - use a larger cell size"))))
 
 
 def grid_density_clusters(df: DataFrame, cell: float, min_pts: int,

@@ -2844,7 +2844,9 @@ def theta_forecast(df: DataFrame, key_col: str, time_col: str,
         ((F.col("__syd") - F.col("__b") * F.col("__sxd"))
          / F.col("__n").cast("double")).alias("__a"))
     j = base.join(F.broadcast(fit), key_col)
-    out_schema = (f"{key_col} string, step int, n bigint, "
+    key_type = {f.name: f.dataType.simpleString()
+                for f in df.schema.fields}[key_col]
+    out_schema = (f"{key_col} {key_type}, step int, n bigint, "
                   "slope double, ses_level double, forecast double")
 
     def _theta(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -2858,7 +2860,7 @@ def theta_forecast(df: DataFrame, key_col: str, time_col: str,
         rows = []
         for k in range(1, h + 1):
             fc = 0.5 * s + 0.5 * (a + b * float(n + k))
-            rows.append((str(pdf[key_col].iloc[0]), k, n, b, s, fc))
+            rows.append((pdf[key_col].iloc[0], k, n, b, s, fc))
         return pd.DataFrame(rows, columns=[key_col, "step", "n", "slope",
                                            "ses_level", "forecast"])
 
@@ -2920,8 +2922,11 @@ def sax_symbols(df: DataFrame, key_col: str, time_col: str,
            .select(key_col,
                    ((F.col("__t") - 1) * segments
                     / F.col("__n")).cast("long").alias("segment"),
-                   ((F.col("__v") - F.col("__mu")) / F.col("__sd"))
-                   .alias("__z")))
+                   # sd=0 (constant series) -> NULL z, not an ANSI
+                   # divide-by-zero crash; the symbol surfaces as NULL
+                   F.when(F.col("__sd") != 0.0,
+                          (F.col("__v") - F.col("__mu"))
+                          / F.col("__sd")).alias("__z")))
     # round-9 before the decimal cast (the aipw-fold convention), so
     # the segment mean is an order-free exact-decimal sum both engines
     # replay identically
@@ -2934,6 +2939,9 @@ def sax_symbols(df: DataFrame, key_col: str, time_col: str,
     for i in range(len(bps) - 1, -1, -1):
         sym = F.when(F.col("__paa") < F.lit(bps[i]),
                      F.lit(chr(ord("a") + i))).otherwise(sym)
+    # a constant series has sd=0 -> NULL z/paa: its symbol is UNDEFINED
+    # (NULL), not the top letter the when-chain's otherwise would yield
+    sym = F.when(F.col("__paa").isNull(), F.lit(None)).otherwise(sym)
     return (paa.select(key_col, "segment",
                        (F.round("__paa", round_digits) + F.lit(0.0))
                        .alias("paa"),

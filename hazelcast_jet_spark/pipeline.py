@@ -621,7 +621,7 @@ def to_dot_string(df: DataFrame, physical: bool = False) -> str:
     codegen stages) — the truthful picture of what will run.
     """
     qe = df._jdf.queryExecution()
-    root = qe.executedPlan() if physical else df._jdf.queryExecution().analyzed()
+    root = qe.executedPlan() if physical else qe.analyzed()
 
     def children(node):
         # AQE/codegen wrappers hold their subtree in fields, not

@@ -31,7 +31,7 @@ from .pipeline import to_dot_string  # noqa: F401  (re-export beside audit)
 SCALE_KILLERS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
 
-def _formatted(df: DataFrame, physical: bool = True) -> str:
+def _formatted(df: DataFrame) -> str:
     jvm = df.sparkSession._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")

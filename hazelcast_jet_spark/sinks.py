@@ -566,6 +566,11 @@ class AssertionSinks:
                             break
                         time.sleep(0.2)
                     if not state["done"]:
+                        # stop the still-active query before raising —
+                        # leaking it keeps collecting rows into driver
+                        # memory for the life of the session
+                        if self.query.isActive:
+                            self.query.stop()
                         raise (state["last"] or TimeoutError(
                             "assertCollectedEventually: no assertion pass "
                             f"within {timeout_seconds}s and no items failed"))

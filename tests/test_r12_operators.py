@@ -385,3 +385,27 @@ def test_stream_funnel_equals_batch(spark, tmp_path):
              for i in range(3)}
     assert got_b == batch_b      # u1's purchase at +4d falls outside
     assert got_b[3] == 0
+
+
+def test_cell_key_out_of_bounds_raises(spark):
+    from hazelcast_jet_spark.operators.spatial import grid_density_clusters
+
+    far = spark.createDataFrame([(1, 0.5, 0.5), (2, 2.0e6, 0.5)],
+                                "id long, x double, y double")
+    with pytest.raises(Exception, match="cell_key"):
+        grid_density_clusters(far, cell=1.0, min_pts=1).collect()
+
+
+def test_sax_constant_series_symbol_is_null(spark):
+    from hazelcast_jet_spark.operators.timeseries import sax_symbols
+
+    df = spark.createDataFrame(
+        [("flat", t, 5.0) for t in range(1, 9)]
+        + [("ramp", t, float(t)) for t in range(1, 9)],
+        "key string, t int, v double")
+    out = sax_symbols(df, "key", "t", "v", segments=4, alphabet=4)
+    flat = out.filter(F.col("key") == "flat").collect()
+    assert all(r.symbol is None and r.paa is None for r in flat)
+    ramp = [r.symbol for r in out.filter(F.col("key") == "ramp")
+            .orderBy("segment").collect()]
+    assert ramp[0] < ramp[-1] and None not in ramp

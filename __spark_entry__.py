@@ -4906,6 +4906,15 @@ def changepoint_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     out = changepoint_scores(e, "event_type", "ts", "value", "event_id",
                              window_n=CHANGEPOINT_W)
+    # materialization barrier before the rank: without it the rank
+    # window re-sorts the scorer's WIDE internal rows (the Window
+    # operator's 88 staged struct columns flow into the second sort —
+    # multi-KB/row) and the stage measured 4.1 s; ranking the
+    # materialized 6-column table runs the same plan in 2.2 s
+    # (plans/r12/changepoint_shift_events_*.txt; guide §2.3 "project
+    # before the exchange" applied to a window buffer).
+    out = out.select("event_type", "event_id", "mean_before", "mean_after",
+                     "shift", "zscore").localCheckpoint()
     w = Window.partitionBy("event_type").orderBy(
         F.abs(F.col("zscore")).desc(), "event_id")
     return (

@@ -1952,6 +1952,13 @@ def weighted_percentiles(df: DataFrame, value_col: str, weight_col: str,
         F.col(group_col).alias("group"),
         F.col(value_col).alias("__v"),
     ).agg(F.sum(F.col(weight_col).cast("decimal(18,6)")).alias("__w"))
+    # materialize the distinct-value aggregate ONCE: it feeds the range
+    # probe, the bin totals and the phase-2 fine scan — un-materialized,
+    # the input re-aggregates once per reference and the r12 before-plan
+    # carried 120 Exchange nodes (ReuseExchange recovers some at
+    # runtime, but planning/codegen of the blown-up tree alone cost
+    # ~1 s; measured 3.5 -> 2.6 s warm at sf0.1, rows identical)
+    per_val = per_val.localCheckpoint()
     # phase 1: equal-width range bins per group (vmin/vmax broadcast);
     # bin index is engine-internal — only the picked VALUES surface
     vr = per_val.groupBy("group").agg(
@@ -1974,6 +1981,9 @@ def weighted_percentiles(df: DataFrame, value_col: str, weight_col: str,
         F.sum("__bw").over(wb.rowsBetween(Window.unboundedPreceding, 0))
         .alias("__cumb"),
         F.sum("__bw").over(Window.partitionBy("group")).alias("__totw"))
+    # groups x fine_bins rows — materialize before the per-quantile
+    # probes re-read it (3 probe branches + the total_weight readout)
+    bins = bins.localCheckpoint()
     # target bin per quantile: FIRST bin whose end-of-bin cumulative
     # crosses q * total (the first qualifying value lives there)
     targets = None
@@ -2002,16 +2012,19 @@ def weighted_percentiles(df: DataFrame, value_col: str, weight_col: str,
     picks = (fine.filter(F.col("__cum")
                          >= F.col("__q") * F.col("__totw").cast("double"))
              .groupBy("group", "__q").agg(F.min("__v").alias("__pick")))
+    # one conditional-aggregate pivot instead of one broadcast join per
+    # quantile: the per-q join loop re-derived the whole fine subtree
+    # per quantile (the other half of the 120-Exchange blow-up); a
+    # single aggregate reads `picks` once.  min(when(q)) over one row
+    # per (group, q) is exactly that row's pick — values unchanged.
+    piv = picks.groupBy("group").agg(*[
+        F.min(F.when(F.col("__q") == float(q), F.col("__pick")))
+        .alias(f"wp_{str(q).replace('.', '_')}")
+        for q in qs])
     out = bins.groupBy("group").agg(
         F.round(F.max(F.col("__totw").cast("double")), round_digits)
         .alias("total_weight"))
-    for q in qs:
-        name = f"wp_{str(q).replace('.', '_')}"
-        out = out.join(
-            F.broadcast(picks.filter(F.col("__q") == float(q))
-                        .select("group", F.col("__pick").alias(name))),
-            "group", "left")
-    return out.orderBy("group")
+    return out.join(F.broadcast(piv), "group", "left").orderBy("group")
 
 
 def fk_orphan_counts(relations) -> DataFrame:

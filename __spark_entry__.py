@@ -347,11 +347,17 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms accumulate in DECIMAL so the value is independent of the
     engine's distinct-char enumeration order."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    out = d.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         text.char_entropy("text").alias("h_bits"),
-    ).orderBy("doc_id")
+    )
+    # barrier before the global sort: a map-only plan under an orderBy
+    # is executed TWICE (once by the range-partitioner's sampling job,
+    # once for real) — materializing the narrow per-doc rows first makes
+    # the entropy expression run once (guide §2.4: the sort is the only
+    # exchange; don't let it re-run the scan pipeline).
+    return out.localCheckpoint().orderBy("doc_id")
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -689,6 +689,15 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
     exact sums.  Midranks are at most n, so their squares stay exact in
     the decimal's 26 integer digits up to ~10^13 rows per group.
 
+    Two plan-shape choices keep the skewed few-groups case (the common
+    profiling call: 1-10 groups on many cores) off the slow path:
+    the tie count rides the SAME (group, value) sort as the rank via a
+    RANGE frame (one Sort+Window per column instead of two), and the
+    rank moments aggregate behind a round-robin repartition so the
+    DECIMAL(38) accumulation runs at full parallelism instead of inside
+    the |groups|-task window stage (decimal sums are associative-exact,
+    so the redistribution cannot change a bit of the result).
+
     Returns ``(group_cols…, n, spearman)``; groups with zero variance
     in either rank vector (a constant column) yield NULL.
     """
@@ -700,12 +709,15 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str,
 
     def midrank(col: str) -> Column:
         rk = F.rank().over(Window.partitionBy(*pg).orderBy(col))
-        t = F.count(F.lit(1)).over(Window.partitionBy(*pg, F.col(col)))
+        t = F.count(F.lit(1)).over(
+            Window.partitionBy(*pg).orderBy(col).rangeBetween(0, 0))
         return ((F.lit(2) * rk + t - F.lit(1)).cast("double")
                 / F.lit(2.0))
 
     ranked = base.select(*g, midrank("__x").alias("__rx"),
                          midrank("__y").alias("__ry"))
+    ranked = ranked.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     d = lambda c: F.sum(c.cast("decimal(38,12)")).cast("double")  # noqa: E731
     rx, ry = F.col("__rx"), F.col("__ry")
     agg = ranked.groupBy(*g).agg(

@@ -1173,11 +1173,16 @@ def test_ppr_checkpointed_iterations(spark, sf_dir):
 
 
 def test_spearman_single_scan_one_group_exchange(spark, sf_dir):
-    """spearman gate: one lineitem scan; both midrank windows and the
-    moment aggregate ride the same group-key partitioning."""
+    """spearman gate: one lineitem scan; per column the rank and the
+    RANGE-frame tie count share one Sort+Window (r12: two Window
+    operators total, not four), and the decimal moment aggregate sits
+    behind a round-robin repartition so it runs at full parallelism
+    instead of inside the |groups|-task window stage."""
     plan = _plan(entry_mod.spearman_lineitem(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_theil_single_scan_bounded_fold(spark, sf_dir):

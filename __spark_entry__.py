@@ -675,26 +675,32 @@ def recursive_cte_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling on DECIMAL-exact monthly sums, so Spark's recursion and
     DuckDB's replay are bit-identical with no rounding."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__rcs_orders")
-    return spark.sql("""
-        WITH RECURSIVE yearly AS (
+    # The recursion is the surface being pinned; the yearly series it
+    # recurses OVER is materialized ONCE (localCheckpoint).  Spark's
+    # UnionLoop re-executes every non-recursive relation per level, so
+    # inlining `ser` re-ran the scan+aggregate+window chain at each of
+    # the ~7 recursion depths (74 jobs, 5.7 s warm at sf0.1 → 1.9 s).
+    ser = spark.sql("""
+        SELECT pri, yr, rev,
+               row_number() OVER (PARTITION BY pri ORDER BY yr) AS idx
+        FROM (
             SELECT o_orderpriority AS pri,
                    CAST(date_format(o_orderdate, 'yyyy-01-01') AS DATE)
                        AS yr,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                         AS DOUBLE) AS rev
             FROM __rcs_orders GROUP BY 1, 2
-        ), ser AS (
-            SELECT pri, yr, rev,
-                   row_number() OVER (PARTITION BY pri ORDER BY yr)
-                       AS idx
-            FROM yearly
-        ), ew AS (
+        )
+    """).localCheckpoint()
+    ser.createOrReplaceTempView("__rcs_ser")
+    return spark.sql("""
+        WITH RECURSIVE ew AS (
             SELECT pri, yr, rev, idx, rev AS ewma_rev
-            FROM ser WHERE idx = 1
+            FROM __rcs_ser WHERE idx = 1
             UNION ALL
             SELECT s.pri, s.yr, s.rev, s.idx,
                    0.5 * e.ewma_rev + 0.5 * s.rev
-            FROM ser s JOIN ew e
+            FROM __rcs_ser s JOIN ew e
               ON s.pri = e.pri AND s.idx = e.idx + 1
         )
         SELECT pri, yr, rev, ewma_rev FROM ew ORDER BY pri, yr

@@ -519,13 +519,13 @@ def association_rules(
         "n_pair", "n_ante", "n_cons",
         support.alias("support"), confidence.alias("confidence"),
         lift.alias("lift"))
-    w = Window.orderBy(F.col("lift").desc(), F.col("confidence").desc(),
-                       "antecedent", "consequent")
-    return (
-        ranked.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= top_k)
-        .drop("__rk")
-    )
+    # top-k via TakeOrdered (parallel per-partition partial top-k), not a
+    # global row_number window (which funnels EVERY ranked pair through a
+    # single-partition sort).  The order key is a total order (antecedent,
+    # consequent tie-break), so the selected row set is identical.
+    return ranked.orderBy(
+        F.col("lift").desc(), F.col("confidence").desc(),
+        "antecedent", "consequent").limit(top_k)
 
 
 def item_similarity_topk(
@@ -559,19 +559,25 @@ def item_similarity_topk(
     nodes = (df.select(F.col(group_col).alias("__g"),
                        F.col(node_col).alias("__n"))
              .filter(F.col("__n").isNotNull()).distinct())
+    # capped basket table feeds BOTH the per-item counts and the pair
+    # enumeration: materialize once (distinct + collect_set otherwise
+    # re-execute per consumer)
     grouped = (nodes.groupBy("__g")
                .agg(F.sort_array(F.collect_set("__n")).alias("__ns"))
-               .filter((F.size("__ns") >= 2) & (F.size("__ns") <= max_group)))
+               .filter((F.size("__ns") >= 2) & (F.size("__ns") <= max_group))
+               .localCheckpoint())
     kept = grouped.select("__g", F.explode("__ns").alias("__n"))
     item_n = kept.groupBy("__n").agg(F.count(F.lit(1)).alias("__ng"))
     # chained explodes + codegen filter, not interpreted transform
-    # lambdas (see cooccurrence_edges)
+    # lambdas (see cooccurrence_edges); materialized because the
+    # directed union below reads it in both orientations
     co = (grouped.select(F.explode("__ns").alias("__a"), "__ns")
           .select("__a", F.explode("__ns").alias("__b"))
           .where(F.col("__b") > F.col("__a"))
           .groupBy("__a", "__b")
           .agg(F.count(F.lit(1)).alias("n_co"))
-          .filter(F.col("n_co") >= min_co))
+          .filter(F.col("n_co") >= min_co)
+          .localCheckpoint())
     directed = co.unionByName(
         co.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"),
                   "n_co"))
@@ -1017,6 +1023,12 @@ def jaccard_link_prediction(edges: DataFrame, top_k: int = 20,
                           F.greatest("src", "dst").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
              .distinct())
+    if materialize:
+        # canon feeds both union directions, the degree table and the
+        # existing-edge anti-join: one materialization stops the
+        # upstream edge enumeration re-executing per subtree (lazy
+        # contract of materialize=False preserved)
+        canon = canon.localCheckpoint()
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy(F.col("src").alias("node")).agg(
@@ -1085,10 +1097,14 @@ def resource_allocation_links(edges: DataFrame, top_k: int = 20,
     (ra_score desc, src, dst), materialized (bounded) via
     localCheckpoint so repeated calls don't grow one lineage.
     """
+    # canon feeds both union directions, the degree table and the
+    # existing-edge anti-join: checkpoint so the upstream edge
+    # enumeration runs once, not once per subtree (degree_assortativity
+    # comment — same shape)
     canon = (edges.select(F.least("src", "dst").alias("src"),
                           F.greatest("src", "dst").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
-             .distinct())
+             .distinct().localCheckpoint())
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy(F.col("src").alias("node")).agg(
@@ -1137,10 +1153,15 @@ def degree_assortativity(edges: DataFrame,
     chain of double ops.  Returns one row
     ``(n_edges, n_nodes, assortativity)``.
     """
+    # materialize the canonical edge table ONCE: it feeds four subtrees
+    # (both directions of the union, the degree table, and the moment
+    # join) and without the checkpoint the upstream edge derivation —
+    # for the gated graph an explode-heavy co-occurrence enumeration —
+    # re-executes per subtree (34 Exchanges in the r12-before plan)
     canon = (edges.select(F.least("src", "dst").alias("src"),
                           F.greatest("src", "dst").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
-             .distinct())
+             .distinct().localCheckpoint())
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy(F.col("src").alias("node")).agg(
@@ -1218,12 +1239,17 @@ def hits(edges: DataFrame, iters: int = 2,
                       key)
                .groupBy(F.col(out).alias("node"))
                .agg(F.sum(F.col("score").cast("decimal(28,18)"))
-                    .cast("double").alias("__raw")))
+                    .cast("double").alias("__raw"))
+               # raw feeds BOTH the normalizer max and the score table;
+               # materialize so the join+aggregate runs once, not twice
+               .localCheckpoint())
         mx = raw.agg(F.max("__raw").alias("__mx"))
-        return (raw.crossJoin(F.broadcast(mx))  # one-row normalizer
-                .select("node",
-                        (F.col("__raw") / F.col("__mx")).alias("score"))
-                .localCheckpoint())
+        normed = (raw.crossJoin(F.broadcast(mx))  # one-row normalizer
+                  .select("node",
+                          (F.col("__raw") / F.col("__mx")).alias("score"))
+                  .localCheckpoint())
+        raw.unpersist(False)  # normed is materialized; release the half
+        return normed
 
     auths = None
     for _ in range(iters):

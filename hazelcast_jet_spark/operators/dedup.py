@@ -71,28 +71,26 @@ def _h(seed: int, c: Column) -> Column:
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-shingles of the normalized text (distinct).
 
-    Built with the zip-shift shape — arrays_zip of the token array with
-    its k-1 null-padded shifts, then one transform — instead of
-    index+slice lambdas: ~2× faster because no heavy subtree is
-    re-evaluated inside a lambda and each row allocates O(n) not O(n·k).
-    Docs shorter than k tokens fall back to one whole-text shingle.
+    Built with ONE overlapping-lookahead regex pass —
+    ``\\b(?=((?:[a-z0-9]+ ){k-1}[a-z0-9]+))`` captures the k-gram
+    starting at every word boundary — instead of the r11 zip-shift +
+    ``transform`` shape: higher-order array lambdas are CodegenFallback
+    (interpreted once per token), while ``regexp_extract_all`` is a
+    single compiled-regex scan of the normalized string.  ~3× faster at
+    equal output (the capture order IS position order, so even the
+    array order matches the zip-shift form bit-for-bit; pinned by
+    tests).  Normalized text contains only ``[a-z0-9]`` runs separated
+    by single spaces, so ``\\b`` fires exactly at token starts (at a
+    token END the lookahead meets a space and fails).  Docs shorter
+    than k tokens fall back to one whole-text shingle.
     """
-    toks = F.split(normalize_text(col), " ")
+    nm = normalize_text(col)
+    toks = F.split(nm, " ")
     n = F.size(toks)
-    big = 1 << 20  # max tokens per doc; slice length cap
-    fields = [toks.alias("t0")] + [
-        F.concat(F.slice(toks, j + 1, big), F.array(*[F.lit(None)] * j)).alias(f"t{j}")
-        for j in range(1, k)
-    ]
-    z = F.arrays_zip(*fields)
-    sh = F.transform(
-        z,
-        lambda x: F.when(
-            x[f"t{k-1}"].isNotNull(), F.concat_ws(" ", *[x[f"t{j}"] for j in range(k)])
-        ),
-    )
+    pat = r"\b(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (k - 1)
+    sh = F.regexp_extract_all(nm, F.lit(pat), 1)
     return F.array_distinct(
-        F.when(n >= k, F.array_compact(sh)).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
@@ -423,24 +421,45 @@ def simhash_udf(bits: int = SIMHASH_DEFAULT_BITS):
 
     @pandas_udf("bigint")
     def sh(texts: pd.Series) -> pd.Series:
-        out = []
+        # Batch-level token vocabulary: md5 runs once per DISTINCT token
+        # in the batch instead of once per occurrence (corpora reuse
+        # words heavily — ~50× fewer md5 calls, bit-identical votes
+        # because the per-occurrence vote just re-reads the same digest).
+        vocab: dict = {}
+        tok_idx_lists = []
         for t in texts:
             if t is None:
                 # expression form: aggregate over a null token array →
                 # null votes → every CASE falls to 0; oracle agrees
-                out.append(0)
+                tok_idx_lists.append(None)
                 continue
             norm = _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9]+", " ", t.lower())).strip()
+            toks = norm.split(" ")
+            idxs = np.empty(len(toks), dtype=np.int64)
+            for i, tok in enumerate(toks):
+                j = vocab.get(tok)
+                if j is None:
+                    j = len(vocab)
+                    vocab[tok] = j
+                idxs[i] = j
+            tok_idx_lists.append(idxs)
+        if vocab:
             digests = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode("utf-8")).digest() for tok in norm.split(" ")),
+                b"".join(hashlib.md5(tok.encode("utf-8")).digest() for tok in vocab),
                 dtype=np.uint8,
             ).reshape(-1, 16)
             # hex-nibble order: high nibble of byte j is hex char 2j
             nibbles = np.empty((digests.shape[0], 32), dtype=np.uint8)
             nibbles[:, 0::2] = digests >> 4
             nibbles[:, 1::2] = digests & 15
-            bitvals = (nibbles[:, nib_idx] >> nib_shift) & 1  # (tokens, bits)
-            votes = (2 * bitvals.astype(np.int32) - 1).sum(axis=0)
+            # per-distinct-token signed votes, (vocab, bits)
+            signed = 2 * ((nibbles[:, nib_idx] >> nib_shift) & 1).astype(np.int32) - 1
+        out = []
+        for idxs in tok_idx_lists:
+            if idxs is None:
+                out.append(0)
+                continue
+            votes = signed[idxs].sum(axis=0)
             out.append(int(weights[votes > 0].sum()))
         return pd.Series(out, dtype="int64")
 

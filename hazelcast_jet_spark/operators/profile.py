@@ -1536,8 +1536,17 @@ def corpus_data_card(
         .select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
         .withColumn("__nd", F.lit(1)))
+    # Materialize the per-doc feature rows ONCE (narrow: 7 small
+    # columns), after the fingerprint window and the broadcast dup-id
+    # join: per_source, the lang mix and the global totals all fold off
+    # this frame, and without the checkpoint each consumer re-ran the
+    # whole documents scan + feature map + LSH dup join (3 scans of the
+    # corpus in the r12-before plan; guide §2.4).
     feats = (feats.join(F.broadcast(dup_ids), "id", "left")
-             .withColumn("__near_dup", F.coalesce(F.col("__nd"), F.lit(0))))
+             .withColumn("__near_dup", F.coalesce(F.col("__nd"), F.lit(0)))
+             .select("source", "lang", "__chars", "__tok", "__q",
+                     "__exact_dup", "__near_dup")
+             .localCheckpoint())
     per_source = feats.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").cast("bigint").alias("n_tokens"),
@@ -1558,9 +1567,12 @@ def corpus_data_card(
                 .filter(F.col("__rn") == 1)
                 .select("source", F.col("lang").alias("top_lang"),
                         F.col("__n").alias("__top_n")))
-    totals = feats.agg(
-        F.count(F.lit(1)).alias("__tot_docs"),
-        F.sum("__tok").cast("bigint").alias("__tot_tokens"))
+    # global totals fold from the per-source aggregate (exact integer
+    # sums — identical to re-aggregating the corpus) instead of a third
+    # pass over the feature rows
+    totals = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("__tot_docs"),
+        F.sum("n_tokens").cast("bigint").alias("__tot_tokens"))
     nd = F.col("n_docs").cast("double")
 
     def _share(num, den):

@@ -642,18 +642,20 @@ def test_ewma_single_key_exchange(spark, sf_dir):
 
 
 def test_corpus_data_card_broadcast_small_sides(spark, sf_dir):
-    """corpus_data_card: the dup-id set, the top-lang table and the
-    1-row global total all join back as broadcasts; no cartesian
-    product; the exact-dup membership is one window over the
-    fingerprint exchange (no per-doc self-join)."""
+    """corpus_data_card: the top-lang table and the 1-row global total
+    join back as broadcasts onto ONE materialized per-doc feature frame
+    (r12 optimization: per_source, the lang mix and the totals all fold
+    off a localCheckpointed narrow frame instead of re-scanning the
+    corpus per consumer); no cartesian product; the final plan reads the
+    checkpoint, not parquet."""
     plan = _plan(entry_mod.corpus_data_card_docs(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row totals
-    assert "Window" in plan
-    # feats side reads the fact table once; LSH legs reuse the persisted
-    # shingle base (InMemoryRelation), not extra parquet scans
-    assert "InMemoryTableScan" in plan
+    # every aggregate folds off the materialized feature frame — the
+    # final plan holds NO parquet scan of the corpus at all
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_shipping_lag_single_join_no_cartesian(spark, sf_dir):

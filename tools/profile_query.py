@@ -70,9 +70,13 @@ def main() -> None:
     entry.q1_pricing_summary(spark, args.sf_dir).write.format("noop").mode(
         "overwrite").save()
 
+    sc = spark.sparkContext
     for name in args.names:
         fn = qs[name]
-        spark.sparkContext.setJobDescription(f"profile: {name}")
+        # host wall-clock here is hypervisor-noise-dominated; job/stage/
+        # task counts for the query's job group are DETERMINISTIC
+        # work-shape evidence (guide §1: measure what the change moved)
+        sc.setJobGroup(f"pq_{name}", f"profile: {name}")
         t0 = time.perf_counter()
         df = fn(spark, args.sf_dir)
         t1 = time.perf_counter()
@@ -83,10 +87,23 @@ def main() -> None:
             te = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             execs.append(round(time.perf_counter() - te, 3))
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup(f"pq_{name}")
+        n_stages = n_tasks = 0
+        for j in jobs:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for s in ji.stageIds:
+                si = tracker.getStageInfo(s)
+                if si is not None:
+                    n_stages += 1
+                    n_tasks += si.numTasks
         summ = plan_summary(df)
         print(f"{name}: build={t1 - t0:.3f}s analyze={t2 - t1:.3f}s "
-              f"exec={execs} plan={summ}", flush=True)
-        spark.sparkContext.setJobDescription(None)
+              f"exec={execs} jobs={len(jobs)} stages={n_stages} "
+              f"tasks={n_tasks} plan={summ}", flush=True)
+        sc.setJobGroup(None, None)
 
 
 if __name__ == "__main__":

@@ -4312,7 +4312,11 @@ def ppr_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     base term."""
     from hazelcast_jet_spark.operators.graph import personalized_pagerank
 
-    edges = _copurchase_edges(spark, sf_dir)
+    # materialize the enumeration ONCE: seeds derive from the same edge
+    # table the iteration consumes, and without this the co-occurrence
+    # explode executes twice (once for the operator's internal edge
+    # checkpoint, once under the seed-distinct subtree)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     seeds = (edges.select(F.col("src").alias("node"))
              .unionAll(edges.select(F.col("dst").alias("node")))
              .filter(F.col("node") % PPR_SEED_MOD == 0).distinct())

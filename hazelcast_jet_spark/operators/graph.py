@@ -328,13 +328,24 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             prev.unpersist(False)
             if moving == 0:
                 break
+        # fixpoint ranks are materialized: the edge expansion's blocks
+        # can be released eagerly (the fixed-iters path returns a lazy
+        # plan over `directed` and leaves release to the ContextCleaner)
+        directed.unpersist(False)
     else:
+        # NOTE (r12 optimization round): lazily chaining the bounded
+        # rounds (skipping per-round localCheckpoint) was tried and
+        # REVERTED — deterministic job/stage/task counts got WORSE
+        # (24→28 jobs, 286→415 tasks): the checkpoint is what lets AQE
+        # plan each round's nodes⋈contrib join with the runtime size of
+        # the previous round (broadcast), while the lazy chain plans the
+        # whole tree statically as sort-merge joins.
         for _ in range(iters):
             prev = ranks
             ranks = _round(ranks)
             rounds += 1
             prev.unpersist(False)
-    directed.unpersist(False)
+        directed.unpersist(False)
     if rounds_out is not None:
         rounds_out.append(rounds)
     return ranks.select(
@@ -747,13 +758,16 @@ def hindex_coreness(edges: DataFrame, iters: int = 3,
             vals = new
             if changed == 0:
                 break
+        # converged vals are materialized; release the edge expansion
+        # (the fixed-iters branch returns a lazy plan over `both`)
+        both.unpersist(False)
     else:
         for _ in range(iters):
             prev = vals
             vals = _round(vals)
             rounds += 1
             prev.unpersist(False)
-    both.unpersist(False)
+        both.unpersist(False)
     if rounds_out is not None:
         rounds_out.append(rounds)
     return vals.select("node", F.col("val").alias("coreness"))
@@ -919,6 +933,7 @@ def wcc(edges: DataFrame, max_rounds: int = 50,
                 .dropDuplicates(["src", "dst"]))
 
     rounds = 0
+    prev_n = e.count()  # cached-scan scalar: e is checkpointed
     while True:
         if rounds >= max_rounds:
             raise RuntimeError(
@@ -926,10 +941,16 @@ def wcc(edges: DataFrame, max_rounds: int = 50,
                 "rounds (O(log n) expected: raise max_rounds)")
         new = _small_star(_large_star(e)).localCheckpoint()
         rounds += 1
+        # both sides are DEDUPED sets, so |new| == |e| plus ONE empty
+        # set-difference proves equality — the count is a cached-RDD
+        # scalar, so most rounds skip the exceptAll probe entirely and
+        # the confirming round pays one anti-join instead of two
+        n = new.count()
         changed = (new.exceptAll(e).limit(1).count()
-                   + e.exceptAll(new).limit(1).count())
+                   if n == prev_n else 1)
         e.unpersist(False)
         e = new
+        prev_n = n
         if changed == 0:
             break
     out = (nodes.join(e.select(F.col("src").alias("node"),

@@ -19,8 +19,11 @@ small records; skewed buckets (boilerplate docs) are AQE-split.
 from __future__ import annotations
 
 import pandas as pd
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hazelcast_jet_spark.operators.text import normalize_text
 from hazelcast_jet_spark.session import ensure_parallelism
@@ -896,6 +899,14 @@ def cut_duplicated_spans(
     )
 
 
+#: directed-edge count under which pairs_to_groups solves the
+#: components on the driver (bounded collect, ~16 B/row) instead of the
+#: distributed label loop; 0 disables the small path.  Parameterized for
+#: deployments where driver memory is tighter than the default.
+_PAIRS_COLLECT_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_CC_COLLECT_THRESHOLD", "200000"))
+
+
 def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                     max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: turn the pair lists the
@@ -925,6 +936,48 @@ def pairs_to_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    # Size-adaptive execution (the broadcast-join analog, r12
+    # optimization round): the iterated frame is only the nodes that
+    # appear in PAIRS — at any corpus scale the near-dup pair set is the
+    # contaminated minority, and below the threshold the whole loop
+    # (3-5 rounds × checkpoint+probe jobs) costs more in driver-
+    # synchronized job latency than one bounded collect.  Union-find
+    # with min-root tracking returns the IDENTICAL (node, min reachable
+    # id) labeling (pytest-pinned equal to the distributed loop); above
+    # the threshold — or when the caller disables it — the O(log d)
+    # distributed iteration below is unchanged.  Bound: the collect is
+    # ≤ 2·threshold (src, dst) rows (~16 B each, ≤ ~6 MB driver).
+    n_dir_edges = edges.count()  # cached-scan scalar off the checkpoint
+    if (_PAIRS_COLLECT_THRESHOLD > 0
+            and n_dir_edges <= 2 * _PAIRS_COLLECT_THRESHOLD):
+        node_type = edges.schema["src"].dataType
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                # min root wins, so every root IS the component minimum
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out_rows = [(n, _find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            out_rows, T.StructType([
+                T.StructField("node", node_type),
+                T.StructField("group", node_type)]))
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -900,13 +900,50 @@ def wcc(edges: DataFrame, max_rounds: int = 50,
     e0 = (edges.select(F.col("src").cast("long").alias("src"),
                        F.col("dst").cast("long").alias("dst"))
           .filter(F.col("src") != F.col("dst")))
-    nodes = (e0.select(F.col("src").alias("node"))
-             .unionAll(e0.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint())
     # canonical child>parent orientation; dedup before iterating
     e = (e0.select(F.greatest("src", "dst").alias("src"),
                    F.least("src", "dst").alias("dst"))
          .dropDuplicates(["src", "dst"]).localCheckpoint())
+    # Size-adaptive small path (the pairs_to_groups discipline, r12
+    # optimization round): below the threshold the star-contraction loop
+    # costs more in driver-synchronized jobs (2 keyed passes + probe per
+    # round) than one bounded collect + union-find, which returns the
+    # IDENTICAL reachable-minimum labeling.  Skipped when the caller
+    # asks for ``rounds_out`` — that is a request for the distributed
+    # contraction contract (tests pin its round counts).
+    from hazelcast_jet_spark.operators.dedup import _PAIRS_COLLECT_THRESHOLD
+    n_edges = e.count()  # cached-scan scalar off the checkpoint
+    if (rounds_out is None and _PAIRS_COLLECT_THRESHOLD > 0
+            and n_edges <= _PAIRS_COLLECT_THRESHOLD):
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():  # bounded: ≤ threshold (src, dst) longs
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        e.unpersist(False)
+        return edges.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in parent],
+            "node long, component long")
+    # node set off the CHECKPOINTED canonical edges (canonicalization
+    # preserves the node set), so the upstream edge derivation is not
+    # re-executed a second time for the node table
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
 
     def _large_star(cur: DataFrame) -> DataFrame:
         both = cur.unionAll(cur.select(F.col("dst").alias("src"),

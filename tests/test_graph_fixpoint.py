@@ -175,9 +175,13 @@ def test_wcc_equals_pairs_to_groups_on_gated_substrate(copurchase_edges):
     assert got == want
 
 
-def test_wcc_raises_on_round_budget(spark):
+def test_wcc_raises_on_round_budget(spark, monkeypatch):
+    # the round budget is a contract of the distributed star-contraction
+    # loop; force past the size-adaptive small path to pin it
+    from hazelcast_jet_spark.operators import dedup
     from hazelcast_jet_spark.operators.graph import wcc
 
+    monkeypatch.setattr(dedup, "_PAIRS_COLLECT_THRESHOLD", 0)
     df = spark.createDataFrame([(i, i + 1) for i in range(64)],
                                "src long, dst long")
     with pytest.raises(RuntimeError, match="star fixpoint"):

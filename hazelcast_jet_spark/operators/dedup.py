@@ -1653,6 +1653,14 @@ def dedup_group_quality(
 
     Returns ``(group_id, group_size, n_edges, min_sim, mean_sim)``.
     """
+    # the pair table feeds THREE consumers (the component fold, the
+    # size rollup via groups, and the edge-similarity aggregate) — on a
+    # lazy LSH plan the whole candidate+verify pipeline would re-execute
+    # per consumer (9 parquet scans in the gate's final plan before
+    # this; guide §2.4/§3.3 materialize-shared-subtrees).  Pairs are the
+    # contaminated minority, so the checkpoint is small at any corpus
+    # scale.
+    pairs = pairs.localCheckpoint()
     groups = pairs_to_groups(pairs, id_a, id_b)
     sizes = groups.groupBy(F.col("group").alias("group_id")).agg(
         F.count(F.lit(1)).alias("group_size"))

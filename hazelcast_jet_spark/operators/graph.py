@@ -661,13 +661,21 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
     e = edges.select("src", "dst").localCheckpoint(eager=True)
 
     def _round(cur: DataFrame) -> DataFrame:
+        # materialize the (tiny) survivor set ONCE per round: the two
+        # semi joins each build their own broadcast, and a LAZY
+        # survivors plan would re-execute the full-edge degree
+        # aggregate per broadcast build — checkpointing the node list
+        # halves the per-round aggregate work (r12: kcore gate 11.2 →
+        # 8.9 s warm, rounds 2-4 ~2× faster)
         survivors = (degrees(cur).filter(F.col("degree") >= k)
-                     .select("node"))
-        return (cur.join(survivors.withColumnRenamed("node", "src"),
-                         "src", "left_semi")
-                .join(survivors.withColumnRenamed("node", "dst"),
-                      "dst", "left_semi")
-                .localCheckpoint(eager=True))
+                     .select("node").localCheckpoint(eager=True))
+        new = (cur.join(survivors.withColumnRenamed("node", "src"),
+                        "src", "left_semi")
+               .join(survivors.withColumnRenamed("node", "dst"),
+                     "dst", "left_semi")
+               .localCheckpoint(eager=True))
+        survivors.unpersist(False)
+        return new
 
     rounds = 0
     if until_fixpoint:
@@ -677,7 +685,9 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
                 raise RuntimeError(
                     f"kcore_peel did not reach fixpoint in {max_rounds} "
                     "rounds (monotone peel: raise max_rounds)")
+            prev_e = e
             e = _round(e)
+            prev_e.unpersist(False)
             rounds += 1
             cur = e.count()
             if cur == prev:
@@ -685,7 +695,9 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
             prev = cur
     else:
         for _ in range(iters):
+            prev_e = e
             e = _round(e)
+            prev_e.unpersist(False)
             rounds += 1
     if rounds_out is not None:
         rounds_out.append(rounds)

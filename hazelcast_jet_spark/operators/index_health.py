@@ -84,8 +84,12 @@ def index_health(spark, ann_index_path: str,
     assigned = spark.read.option("basePath", ann_index_path).parquet(
         ann_index_path)
 
+    # ≤ K rows, but the lazy plan under it is a full index scan + the
+    # Arrow distance kernel — and it feeds BOTH the median subquery and
+    # the output rows, so without a checkpoint the scan executes twice
+    # (r12: gate exec 8.2 → ~4 s, one ArrowEvalPython leg dropped)
     ivf = ivf_index_staleness(assigned, centroids, vec_col=vec_col,
-                              round_digits=round_digits)
+                              round_digits=round_digits).localCheckpoint()
     # lower median of mean_dist: rank-based pick — no interpolation
     # arithmetic to diverge between engines (K rows, window is cheap)
     w = Window.orderBy("mean_dist", "centroid_id")

@@ -874,15 +874,17 @@ def pq_codebook_staleness(df: DataFrame, codebooks, is_new: Column,
     errs = []
     for s, book in enumerate(codebooks):
         sub = F.slice(v, s * subdim + 1, subdim)
-        dists = F.array(*[
-            F.round(
+        # transform over a one-parse literal codebook (_lit_vecs): the
+        # per-codeword fold is token-identical to the unrolled form, so
+        # errors are bit-equal while construction stops costing m·k·d
+        # py4j calls per call (the pq_encode idiom, r12 §1)
+        dists = F.transform(
+            _lit_vecs(book),
+            lambda c: F.round(
                 F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
-                               lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0), lambda acc, y: acc + y),
-                9)
-            for c in book
-        ])
+                9))
         errs.append(F.array_min(dists))
     base = df.select(
         is_new.cast("boolean").alias("__new"),

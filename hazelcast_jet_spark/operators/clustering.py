@@ -37,8 +37,18 @@ __all__ = ["kmeans_fit", "kmeans_fit_unrolled", "kmeans_assign",
            "centroid_distances"]
 
 
+# memoized by centroid bytes: a rebuilt-per-call pandas_udf is a new python
+# function object, which makes each query plan novel and defeats the JVM's
+# analysis/codegen caches (same rationale as similarity._KERNEL_CACHE)
+_KERNEL_CACHE: dict = {}
+
+
 def _assign_udf(centroids: np.ndarray):
     c = centroids.astype("float64")
+    key = ("assign", c.shape, c.tobytes())
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     c_sq = (c * c).sum(axis=1)  # |c|^2 term; |x|^2 is constant per row
 
     @F.pandas_udf(IntegerType())
@@ -50,6 +60,7 @@ def _assign_udf(centroids: np.ndarray):
         d = c_sq[None, :] - 2.0 * (x @ c.T)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
+    _KERNEL_CACHE[key] = assign
     return assign
 
 
@@ -102,6 +113,10 @@ def _min_dist_udf(centroids: np.ndarray):
     the farthest-point init's scoring kernel (same broadcast-matrix Arrow
     matmul shape as assignment)."""
     c = centroids.astype("float64")
+    key = ("mindist", c.shape, c.tobytes())
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     c_sq = (c * c).sum(axis=1)
 
     @F.pandas_udf("double")
@@ -113,6 +128,7 @@ def _min_dist_udf(centroids: np.ndarray):
         d = x_sq[:, None] + c_sq[None, :] - 2.0 * (x @ c.T)
         return pd.Series(np.min(d, axis=1))
 
+    _KERNEL_CACHE[key] = mindist
     return mindist
 
 

@@ -401,6 +401,9 @@ def simhash(col: Column | str, bits: int = SIMHASH_DEFAULT_BITS) -> Column:
     return acc
 
 
+_SIMHASH_UDF_CACHE: dict = {}
+
+
 def simhash_udf(bits: int = SIMHASH_DEFAULT_BITS):
     """Arrow-vectorized :func:`simhash`: one md5 per token (the expression
     form recomputes ``md5(t)`` once per BIT — 16 interpreted passes over
@@ -416,6 +419,12 @@ def simhash_udf(bits: int = SIMHASH_DEFAULT_BITS):
 
     if not 1 <= bits <= 63:
         raise ValueError("simhash bits must be in [1, 63] (BIGINT, sign bit clear)")
+    # memoized: a rebuilt-per-call pandas_udf is a new python function
+    # object, which makes each plan novel and defeats the JVM's analysis/
+    # codegen caches (same rationale as similarity._KERNEL_CACHE)
+    cached = _SIMHASH_UDF_CACHE.get(bits)
+    if cached is not None:
+        return cached
     # bit b of the signature reads bit (b & 1) of md5 hex nibble (b >> 1)
     # — same _simhash_bit derivation as the expression form and the oracle
     nib_idx = np.array([b >> 1 for b in range(bits)])
@@ -466,6 +475,7 @@ def simhash_udf(bits: int = SIMHASH_DEFAULT_BITS):
             out.append(int(weights[votes > 0].sum()))
         return pd.Series(out, dtype="int64")
 
+    _SIMHASH_UDF_CACHE[bits] = sh
     return sh
 
 

@@ -84,22 +84,25 @@ def index_health(spark, ann_index_path: str,
     assigned = spark.read.option("basePath", ann_index_path).parquet(
         ann_index_path)
 
-    # ≤ K rows, but the lazy plan under it is a full index scan + the
-    # Arrow distance kernel — and it feeds BOTH the median subquery and
-    # the output rows, so without a checkpoint the scan executes twice
-    # (r12: gate exec 8.2 → ~4 s, one ArrowEvalPython leg dropped)
     ivf = ivf_index_staleness(assigned, centroids, vec_col=vec_col,
-                              round_digits=round_digits).localCheckpoint()
+                              round_digits=round_digits)
     # lower median of mean_dist: rank-based pick — no interpolation
-    # arithmetic to diverge between engines (K rows, window is cheap)
-    w = Window.orderBy("mean_dist", "centroid_id")
-    med = (ivf.withColumn("__rn", F.row_number().over(w))
-           .withColumn("__cnt", F.count(F.lit(1)).over(
-               Window.partitionBy()))
-           .filter(F.col("__rn") == F.expr("(__cnt + 1) div 2"))
-           .select(F.col("mean_dist").alias("__med")))
-    thresh = F.lit(float(ivf_drift_factor)) * F.col("__med")
-    ivf_rows = (ivf.crossJoin(F.broadcast(med)).select(
+    # arithmetic to diverge between engines.  Computed as a global window
+    # over the ≤ K staleness rows (array_sort of (mean_dist, centroid_id)
+    # structs == the rank order), so the heavy subtree under ivf — a full
+    # index scan + the Arrow distance kernel — appears ONCE in the plan:
+    # the r12-session localCheckpoint+crossJoin(median subquery) form ran
+    # the same scan at build time and cost an extra materialization job
+    # per call (guide §2.4: share one pass instead of re-executing).
+    w_all = Window.partitionBy()
+    ranked = F.array_sort(F.collect_list(
+        F.struct(F.col("mean_dist"), F.col("centroid_id"))).over(w_all))
+    med = F.element_at(
+        ranked,
+        F.floor((F.count(F.lit(1)).over(w_all) + F.lit(1)) / F.lit(2))
+        .cast("int"))["mean_dist"]
+    thresh = F.lit(float(ivf_drift_factor)) * med
+    ivf_rows = (ivf.select(
         F.lit("ivf").alias("component"),
         F.col("centroid_id").cast("string").alias("key"),
         F.lit("drift").alias("metric"),

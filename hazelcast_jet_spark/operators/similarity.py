@@ -55,12 +55,27 @@ def _round_half_away(x: "np.ndarray", digits: int) -> "np.ndarray":
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
 
 
+# Arrow-kernel factories are pure functions of their literal arguments, so
+# the built UserDefinedFunction is memoized: a rebuilt-per-call udf is a NEW
+# python function object, which makes every query plan novel and defeats the
+# JVM's analysis/codegen caches (r12 §1: ~0.5 s of recompilation per
+# ivf_index_staleness run on a 2000-row index came from exactly this).
+_KERNEL_CACHE: dict = {}
+
+
+def _vecs_key(vecs) -> tuple:
+    return tuple(tuple(float(x) for x in v) for v in vecs)
+
+
 def _cosine6_udf():
     """Arrow-vectorized round(cosine, 6) over paired vector columns — the
     hot verify/re-rank path.  One numpy kernel per batch instead of
     interpreted per-element folds (3 array traversals per pair); the
     dot/(|a||b|) form matches the expression/oracle formula so the
     6-decimal rounding lands identically."""
+    cached = _KERNEL_CACHE.get("cos6")
+    if cached is not None:
+        return cached
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -72,6 +87,7 @@ def _cosine6_udf():
         nb = np.sqrt((B * B).sum(axis=1))
         return pd.Series(_round_half_away(d / (na * nb), 6))
 
+    _KERNEL_CACHE["cos6"] = cos6
     return cos6
 
 
@@ -176,6 +192,10 @@ def banded_signatures_udf(bands: list[list[list[float]]]):
     arithmetic in one vectorized kernel — ~50× faster at 24+ planes, and
     the only part of the LSH pipeline that is compute- rather than
     shuffle-bound."""
+    key = ("sigs", tuple(_vecs_key(band) for band in bands))
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark.sql.functions import pandas_udf
 
     sizes = [len(p) for p in bands]
@@ -193,6 +213,7 @@ def banded_signatures_udf(bands: list[list[list[float]]]):
         )
         return pd.Series(list(packed))
 
+    _KERNEL_CACHE[key] = sigs
     return sigs
 
 
@@ -304,6 +325,10 @@ def centroid_dists_udf(centroids: list[list[float]]):
     per batch computes every vector-to-centroid cosine distance (the same
     interpreted-lambda-vs-kernel trade as banded_signatures_udf — per-row
     higher-order dots cost ~0.1 s per centroid per 2k rows)."""
+    key = ("cdists", _vecs_key(centroids))
+    cached = _KERNEL_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.float64)
@@ -318,6 +343,7 @@ def centroid_dists_udf(centroids: list[list[float]]):
         d = _round_half_away(1.0 - (V @ C.T) / np.outer(nv, nc), 9)
         return pd.Series(list(d))
 
+    _KERNEL_CACHE[key] = dists
     return dists
 
 

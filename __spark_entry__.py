@@ -4448,13 +4448,19 @@ def count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.filter(F.col("text").isNotNull()).select(
         F.explode(text.tokens(F.col("text"))).alias("term"))
-    sk = count_min_build(toks, "term", width=CMS_WIDTH, depth=CMS_DEPTH,
-                         seed=CMS_SEED)
+    # ONE tokenize pass: the exact per-term counts feed BOTH the sketch
+    # (weight_col build — counter-identical to hashing every occurrence)
+    # and the exact comparison column; checkpointed so the corpus scan
+    # does not re-execute per consumer (r12, guide §2.3/§2.4 — before:
+    # two full explode+aggregate passes over the documents)
+    exact = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("_n"))
+             .localCheckpoint())
+    sk = count_min_build(exact, "term", width=CMS_WIDTH, depth=CMS_DEPTH,
+                         seed=CMS_SEED, weight_col="_n")
     probes = spark.createDataFrame(
         [(t,) for t in CMS_PROBE_TERMS], "term: string")
     est = count_min_estimate(sk, probes, "term", depth=CMS_DEPTH,
                              width=CMS_WIDTH, seed=CMS_SEED)
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_n"))
     return (
         est.join(exact, est["key"] == exact["term"], "left")
         .select("key", "cm_estimate",

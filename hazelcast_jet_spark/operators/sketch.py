@@ -367,7 +367,8 @@ def hll_estimate(
 
 
 def count_min_build(df: DataFrame, item_col: str, width: int = 1024,
-                    depth: int = 4, seed: str = "cm") -> DataFrame:
+                    depth: int = 4, seed: str = "cm",
+                    weight_col: str | None = None) -> DataFrame:
     """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) of the
     column's value frequencies: ``depth`` independent hash rows of
     ``width`` counters; estimates overcount (never undercount) by at
@@ -392,6 +393,16 @@ def count_min_build(df: DataFrame, item_col: str, width: int = 1024,
     of the corpus.  NULL values are skipped (md5(NULL) is NULL and a
     NULL bucket row would pollute row 0).
 
+    ``weight_col`` (optional, integer) makes each row count as that many
+    occurrences: building from a pre-aggregated ``(item, n)`` frequency
+    table yields counter-for-counter the sketch of the raw stream (the
+    bucket counter is the exact integer sum of its members' counts
+    either way) while hashing each DISTINCT item once — the cheap path
+    when an exact per-item aggregate exists anyway (r12 optimization:
+    count_min_estimates tokenized the corpus twice, once for the sketch
+    and once for the exact comparison column; guide §2.3 "aggregate
+    before you shuffle").
+
     Returns ``(cm_row INT, cm_bucket INT, cm_count BIGINT)``.
     """
     if width <= 0 or depth <= 0:
@@ -406,12 +417,19 @@ def count_min_build(df: DataFrame, item_col: str, width: int = 1024,
         )
         for j in range(depth)
     ])
+    if weight_col is None:
+        agg = F.count(F.lit(1)).alias("cm_count")
+        exploded = df.filter(v.isNotNull()).select(F.explode(rows).alias("h"))
+    else:
+        agg = F.sum(F.col("__w")).cast("bigint").alias("cm_count")
+        exploded = (df.filter(v.isNotNull())
+                    .select(F.col(weight_col).cast("bigint").alias("__w"),
+                            F.explode(rows).alias("h")))
     return (
-        df.filter(v.isNotNull())
-        .select(F.explode(rows).alias("h"))
+        exploded
         .groupBy(F.col("h.cm_row").alias("cm_row"),
                  F.col("h.cm_bucket").alias("cm_bucket"))
-        .agg(F.count(F.lit(1)).alias("cm_count"))
+        .agg(agg)
     )
 
 

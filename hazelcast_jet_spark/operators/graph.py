@@ -1065,7 +1065,11 @@ def khop_reach(edges: DataFrame, max_degree: int = 256,
              .distinct())
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    both = both.localCheckpoint()  # feeds degrees + both wedge legs
+    # feeds degrees + both wedge legs; hash(src) so the degree aggregate
+    # reuses the stored partitioning and the wedge self-join's two legs
+    # (keyed on the middle = src) sort in place instead of re-exchanging
+    # the edge list twice (guide §2.4)
+    both = both.repartition(F.col("src")).localCheckpoint()
     deg = both.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree"))
     ctr = both.join(
@@ -1328,30 +1332,38 @@ def hits(edges: DataFrame, iters: int = 2,
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = (edges.select(F.col("src").cast("long").alias("src"),
-                      F.col("dst").cast("long").alias("dst"))
-         .dropDuplicates(["src", "dst"]).localCheckpoint())
-    hubs = (e.select(F.col("src").alias("node")).distinct()
+    # TWO checkpointed copies of the deduped edge list, one per
+    # half-step key (guide §2.4): the auth half joins scores on src
+    # (broadcast) and aggregates on dst, the hub half the reverse — a
+    # copy hash-partitioned on its aggregate key makes every half-step
+    # exchange-free (the contribution sum reduces fully map-side).
+    # e_src derives from the MATERIALIZED e_dst so the upstream edge
+    # derivation and dedup run once.
+    e_dst = (edges.select(F.col("src").cast("long").alias("src"),
+                          F.col("dst").cast("long").alias("dst"))
+             .dropDuplicates(["src", "dst"])
+             .repartition(F.col("dst")).localCheckpoint())
+    e_src = e_dst.repartition(F.col("src")).localCheckpoint()
+    hubs = (e_src.select(F.col("src").alias("node")).distinct()
             .select("node", F.lit(1.0).alias("score")).localCheckpoint())
 
     def _half(scores: DataFrame, key: str, out: str) -> DataFrame:
         """One half-step: pull scores across edges onto `out`-side
         nodes, decimal-sum, L∞-normalize."""
+        e = e_src if out == "src" else e_dst
         raw = (e.join(scores.select(F.col("node").alias(key), "score"),
                       key)
                .groupBy(F.col(out).alias("node"))
                .agg(F.sum(F.col("score").cast("decimal(28,18)"))
-                    .cast("double").alias("__raw"))
-               # raw feeds BOTH the normalizer max and the score table;
-               # materialize so the join+aggregate runs once, not twice
-               .localCheckpoint())
-        mx = raw.agg(F.max("__raw").alias("__mx"))
-        normed = (raw.crossJoin(F.broadcast(mx))  # one-row normalizer
-                  .select("node",
-                          (F.col("__raw") / F.col("__mx")).alias("score"))
-                  .localCheckpoint())
-        raw.unpersist(False)  # normed is materialized; release the half
-        return normed
+                    .cast("double").alias("__raw")))
+        # L∞ normalizer as a global-window max over the per-node
+        # aggregate (one row per node, bounded): the join+aggregate runs
+        # once and the half-step is ONE job — the prior
+        # checkpoint(raw) + max-agg job + crossJoin(broadcast) chain
+        # cost three.  Same exact max, same per-row IEEE division.
+        mx = F.max("__raw").over(Window.partitionBy())
+        return (raw.select("node", (F.col("__raw") / mx).alias("score"))
+                .localCheckpoint())
 
     auths = None
     for _ in range(iters):

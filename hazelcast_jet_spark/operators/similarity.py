@@ -67,13 +67,21 @@ def _vecs_key(vecs) -> tuple:
     return tuple(tuple(float(x) for x in v) for v in vecs)
 
 
-def _cosine6_udf():
+def _cosine6_udf(nondet: bool = False):
     """Arrow-vectorized round(cosine, 6) over paired vector columns — the
     hot verify/re-rank path.  One numpy kernel per batch instead of
     interpreted per-element folds (3 array traversals per pair); the
     dot/(|a||b|) form matches the expression/oracle formula so the
-    6-decimal rounding lands identically."""
-    cached = _KERNEL_CACHE.get("cos6")
+    6-decimal rounding lands identically.
+
+    ``nondet=True`` returns the ``asNondeterministic()`` variant for call
+    sites that FILTER directly on the UDF's output column: the optimizer
+    otherwise pushes the threshold filter below the projection and
+    evaluates the UDF twice — one ArrowEvalPython under the filter, one
+    above it (guide §4.4).  The function is pure; the marker only stops
+    the planner from duplicating it."""
+    key = "cos6_nd" if nondet else "cos6"
+    cached = _KERNEL_CACHE.get(key)
     if cached is not None:
         return cached
     from pyspark.sql.functions import pandas_udf
@@ -87,7 +95,9 @@ def _cosine6_udf():
         nb = np.sqrt((B * B).sum(axis=1))
         return pd.Series(_round_half_away(d / (na * nb), 6))
 
-    _KERNEL_CACHE["cos6"] = cos6
+    if nondet:
+        cos6 = cos6.asNondeterministic()
+    _KERNEL_CACHE[key] = cos6
     return cos6
 
 
@@ -287,7 +297,14 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
     vectors.  ``max_bucket`` drops degenerate buckets whole (at 100 TB a
     hub cluster otherwise makes one quadratic reducer)."""
     bands = _as_bands(planes)
-    bucketed = _banded_buckets(df, bands, id_col, vec_col, "id", max_bucket)
+    # materialize the bucket assignments once: the table is BOTH legs of
+    # the self-join, and without the checkpoint the whole subtree —
+    # vector scan, Arrow signature kernel, explode, hot-bucket window —
+    # executes twice, once per leg (guide §2.4 "remove shuffles
+    # outright" / §3.3 "materialising an intermediate truncates the
+    # plan").  (id, band, sig) longs only: bands×n rows, never vectors.
+    bucketed = _banded_buckets(df, bands, id_col, vec_col, "id",
+                               max_bucket).localCheckpoint()
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cands = (
         l.join(r, (F.col("l.band") == F.col("r.band"))
@@ -298,9 +315,14 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    # nondet kernel: the threshold filter references the UDF column, and
+    # the deterministic form gets duplicated around the pushed-down
+    # filter — two ArrowEvalPython nodes for one verify (guide §4.4)
     return (
         cands.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", _cosine6_udf()(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select("id_a", "id_b",
+                _cosine6_udf(nondet=True)(F.col("va"), F.col("vb"))
+                .alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

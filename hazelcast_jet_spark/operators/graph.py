@@ -263,6 +263,34 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     edges = edges.localCheckpoint()  # one materialization feeds both directions
+    # Size-adaptive small path (guide §1.2 #1; the wcc/pairs_to_groups
+    # r12 precedent): below the bounded threshold the per-round
+    # checkpoint + aggregate jobs cost more in driver-synchronized
+    # scheduling than ONE bounded collect + an exact in-driver replay
+    # of the identical round body (operators/graph_local.py — same
+    # DECIMAL(28,18) quantization, same IEEE op order; the final
+    # decimal round stays in Spark).  Skipped when ``rounds_out`` is
+    # given — that requests the distributed iteration contract the
+    # fixpoint tests pin round counts against.
+    if rounds_out is None:
+        from hazelcast_jet_spark.operators import graph_local
+
+        arrs = graph_local.collect_int_edges(edges)
+        if arrs is not None:
+            nodes_np, ranks_np, _ = graph_local.pagerank_local(
+                *arrs, iters=iters, damping=damping,
+                until_fixpoint=until_fixpoint,
+                tol=(tol if tol is not None
+                     else 0.5 * 10.0 ** (-round_digits)),
+                max_rounds=max_rounds)
+            edges.unpersist(False)
+            import pandas as pd
+
+            out = edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "rank": ranks_np}),
+                "node bigint, rank double")
+            return out.select(
+                "node", F.round("rank", round_digits).alias("pagerank"))
     # hash-partitioned by dst: each round's contribution aggregate is
     # keyed on dst, so the persisted partitioning serves every
     # iteration (guide §2.4 — one exchange for the whole loop); the
@@ -388,6 +416,27 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     edges = edges.localCheckpoint()
+    # bounded small path — the pagerank discipline (same round body
+    # with the seed-restricted base term; graph_local.pagerank_local)
+    from hazelcast_jet_spark.operators import graph_local
+
+    arrs = graph_local.collect_int_edges(edges)
+    if arrs is not None and dict(seeds.dtypes).get("node") == "bigint":
+        import numpy as np
+        import pandas as pd
+
+        seed_pd = seeds.select("node").toPandas()["node"]
+        if seed_pd.dtype == np.int64:  # no NULL seeds
+            seed_ids = np.unique(seed_pd.to_numpy(np.int64))
+            nodes_np, ranks_np, _ = graph_local.pagerank_local(
+                *arrs, iters=iters, damping=damping, seeds=seed_ids)
+            edges.unpersist(False)
+            out = edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "rank": ranks_np}),
+                "node bigint, rank double")
+            return out.select(
+                "node", (F.round("rank", round_digits) + F.lit(0.0))
+                .alias("pagerank"))
     # hash(dst) partitioning reused by every round's contribution
     # aggregate and by the symmetric degree init — see pagerank
     directed = (
@@ -668,6 +717,23 @@ def kcore_peel(edges: DataFrame, k: int, iters: int = 4,
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # bounded small path: the peel is integer-only (degrees + survivor
+    # filters), so the in-driver replay is exact by construction;
+    # skipped when ``rounds_out`` requests the distributed contract
+    if rounds_out is None:
+        from hazelcast_jet_spark.operators import graph_local
+
+        arrs = graph_local.collect_int_edges(e)
+        if arrs is not None:
+            import pandas as pd
+
+            nodes_np, deg_np, _ = graph_local.kcore_local(
+                *arrs, k=k, iters=iters, until_fixpoint=until_fixpoint,
+                max_rounds=max_rounds)
+            e.unpersist(False)
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "degree": deg_np}),
+                "node bigint, degree bigint")
 
     def _round(cur: DataFrame) -> DataFrame:
         # materialize the (tiny) survivor set ONCE per round: the two
@@ -747,6 +813,25 @@ def hindex_coreness(edges: DataFrame, iters: int = 3,
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    # bounded small path: the h-index rounds are integer-only, so the
+    # in-driver replay is exact by construction; skipped when
+    # ``rounds_out`` requests the distributed iteration contract
+    if rounds_out is None:
+        from hazelcast_jet_spark.operators import graph_local
+
+        e0 = edges.select("src", "dst").localCheckpoint()
+        arrs = graph_local.collect_int_edges(e0)
+        if arrs is not None:
+            import pandas as pd
+
+            nodes_np, core_np, _ = graph_local.hindex_local(
+                *arrs, iters=iters, until_fixpoint=until_fixpoint,
+                max_rounds=max_rounds)
+            e0.unpersist(False)
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "coreness": core_np}),
+                "node bigint, coreness bigint")
+        edges = e0  # reuse the materialization below
     # hash-partitioned by src before the checkpoint: the per-round
     # window (partitionBy src), the h-index aggregate (groupBy src) and
     # the degree init all reuse it — one exchange for the whole loop
@@ -843,6 +928,26 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     # on the co-purchase gate vs the unpartitioned checkpoint; a
     # round-robin repartition at the same width shows no such win, so
     # it is the KEY, not the parallelism).
+    # bounded small path (the wcc/pagerank discipline): exact in-driver
+    # replay of the count+argmax rounds — integer-only, so equality with
+    # the distributed loop is exact by construction; skipped when
+    # ``rounds_out`` requests the distributed iteration contract
+    if rounds_out is None:
+        from hazelcast_jet_spark.operators import graph_local
+
+        e0 = edges.select("src", "dst").localCheckpoint()
+        arrs = graph_local.collect_int_edges(e0)
+        if arrs is not None:
+            import pandas as pd
+
+            nodes_np, labels_np, _ = graph_local.lpa_local(
+                *arrs, iters=iters, until_fixpoint=until_fixpoint,
+                max_rounds=max_rounds)
+            e0.unpersist(False)
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "label": labels_np}),
+                "node bigint, label bigint")
+        edges = e0  # reuse the materialization below
     both = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition(F.col("src")).localCheckpoint()
@@ -1343,6 +1448,28 @@ def hits(edges: DataFrame, iters: int = 2,
                           F.col("dst").cast("long").alias("dst"))
              .dropDuplicates(["src", "dst"])
              .repartition(F.col("dst")).localCheckpoint())
+    # bounded small path (the pagerank discipline): exact in-driver
+    # replay of the half-steps below the edge threshold — same
+    # DECIMAL(28,18) sums, same IEEE max/divide; rounding stays in Spark
+    from hazelcast_jet_spark.operators import graph_local
+
+    arrs = graph_local.collect_int_edges(e_dst)
+    if arrs is not None:
+        import pandas as pd
+
+        s_nodes, hub_s, d_nodes, auth_s = graph_local.hits_local(
+            *arrs, iters=iters)
+        e_dst.unpersist(False)
+        pdf = pd.DataFrame({
+            "side": ["hub"] * len(s_nodes) + ["auth"] * len(d_nodes),
+            "node": list(s_nodes) + list(d_nodes),
+            "score": list(hub_s) + list(auth_s)})
+        out = edges.sparkSession.createDataFrame(
+            pdf, "side string, node bigint, score double")
+        score = (F.col("score") if round_digits is None
+                 else F.round("score", round_digits))
+        return out.select("side", "node",
+                          (score + F.lit(0.0)).alias("score"))
     e_src = e_dst.repartition(F.col("src")).localCheckpoint()
     hubs = (e_src.select(F.col("src").alias("node")).distinct()
             .select("node", F.lit(1.0).alias("score")).localCheckpoint())

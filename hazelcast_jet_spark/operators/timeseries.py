@@ -1988,13 +1988,23 @@ def decayed_score(df: DataFrame, key_col: str, time_col: str,
     per-key aggregate.  Returns the ``top_k`` rows ``(key, n_events,
     score)`` by (score desc, key) — deterministic.
     """
-    day = F.to_date(time_col)
-    mx = df.agg(F.max(day).alias("__ref"))
+    # materialize the NARROW (key, day) projection once (guide §2.4
+    # "share one exchange", §3.3 "materialising an intermediate
+    # truncates the plan"): the reference-date aggregate and the decay
+    # aggregate both consume it, and without the checkpoint the whole
+    # upstream derivation (for the gate: a lineitem-orders join)
+    # executes twice — once under the broadcast ref-date subtree, once
+    # for the main aggregate.  Bounded width: one key + one date.
+    base = (df.select(F.col(key_col).alias("key"),
+                      F.to_date(time_col).alias("__day"))
+            .localCheckpoint())
+    day = F.col("__day")
+    mx = base.agg(F.max(day).alias("__ref"))
     age = F.datediff("__ref", day)
     w = F.pow(F.lit(2.0), -F.floor(age / F.lit(halflife_days))
               .cast("double"))
-    return (df.crossJoin(F.broadcast(mx))
-            .select(F.col(key_col).alias("key"), w.alias("__w"))
+    return (base.crossJoin(F.broadcast(mx))
+            .select("key", w.alias("__w"))
             .groupBy("key")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.round(F.sum(F.col("__w").cast("decimal(38,18)"))

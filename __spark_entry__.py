@@ -5512,8 +5512,14 @@ def llm_data_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     groups = exact_dedup(docs, "text", "doc_id")
+    # materialize the exact-dedup survivors ONCE (guide §2.4 "remove
+    # shuffles outright", §3.3 "materialising an intermediate truncates
+    # the plan"): they feed the LSH pair enumeration, the near-dup
+    # anti-join, decontamination and the quality gate — without this
+    # the fingerprint-groupBy + documents-scan subtree re-executes
+    # under each consumer (10 parquet scans in plans/r13's before-plan)
     surv = docs.join(groups.select(F.col("keep_id").alias("doc_id")),
-                     "doc_id", "left_semi")
+                     "doc_id", "left_semi").localCheckpoint()
     pairs = minhash_lsh_pairs(surv, "text", "doc_id", threshold=0.7)
     drop = (pairs_to_groups(pairs)
             .filter(F.col("node") != F.col("group"))
@@ -5842,7 +5848,11 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     groups = exact_dedup(docs, "text", "doc_id")
-    keep = groups.select(F.col("keep_id").alias("doc_id"))
+    # the keeper set feeds BOTH the survivor semi-join and the flagged
+    # left join — materialize the fingerprint groupBy once (guide §2.4;
+    # bounded: one bigint per surviving doc)
+    keep = (groups.select(F.col("keep_id").alias("doc_id"))
+            .localCheckpoint())
     surv = docs.join(keep, "doc_id", "left_semi")
     pairs = minhash_lsh_pairs(surv, "text", "doc_id", threshold=0.7)
     near_drop = (pairs_to_groups(pairs)

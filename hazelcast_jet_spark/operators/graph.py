@@ -1168,6 +1168,30 @@ def khop_reach(edges: DataFrame, max_degree: int = 256,
                           F.greatest("src", "dst").alias("dst"))
              .filter(F.col("src") != F.col("dst"))
              .distinct())
+    # bounded small path (the pagerank discipline): integer-only wedge
+    # counting, exact by construction; the expansion ratio reuses the
+    # identical Spark expression on the returned local table
+    from hazelcast_jet_spark.operators import graph_local
+
+    if graph_local.GRAPH_COLLECT_THRESHOLD > 0:
+        canon = canon.localCheckpoint()
+        arrs = graph_local.collect_int_edges(canon)
+        if arrs is not None:
+            import pandas as pd
+
+            nodes_np, deg_np, reach_np = graph_local.khop_local(
+                *arrs, max_degree=max_degree)
+            canon.unpersist(False)
+            loc = edges.sparkSession.createDataFrame(
+                pd.DataFrame({"node": nodes_np, "degree": deg_np,
+                              "reach2": reach_np}),
+                "node bigint, degree bigint, reach2 bigint")
+            return (loc.select(
+                "node", "degree", "reach2",
+                (F.round(F.col("reach2").cast("double")
+                         / F.col("degree").cast("double"),
+                         round_digits) + F.lit(0.0)).alias("expansion"))
+                .orderBy(F.desc("reach2"), "node"))
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # feeds degrees + both wedge legs; hash(src) so the degree aggregate

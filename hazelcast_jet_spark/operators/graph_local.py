@@ -370,6 +370,56 @@ def hindex_local(src, dst, iters: int, until_fixpoint: bool = False,
     return nodes, vals, rounds
 
 
+def khop_local(src, dst, max_degree: int):
+    """Driver replay of graph.khop_reach: canonical undirected graph,
+    2-hop reach through middles with degree <= ``max_degree``, direct
+    neighbors always counted, self excluded.  Returns (nodes, degree,
+    reach2) — exact integers (the expansion ratio is computed by the
+    caller in Spark, same expression as the distributed path)."""
+    import numpy as np
+
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    lo, hi = lo[keep], hi[keep]
+    nodes = np.unique(np.concatenate([lo, hi]))
+    n = len(nodes)
+    il = np.searchsorted(nodes, lo)
+    ih = np.searchsorted(nodes, hi)
+    # distinct canonical pairs
+    canon = np.unique(il.astype(np.int64) * n + ih)
+    cl, ch = canon // n, canon % n
+    # symmetric expansion: middle -> neighbor
+    mid = np.concatenate([cl, ch])
+    nbr = np.concatenate([ch, cl])
+    deg = np.bincount(mid, minlength=n).astype(np.int64)
+    # group neighbors by middle, capped middles only
+    order = np.argsort(mid, kind="stable")
+    mid_s, nbr_s = mid[order], nbr[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], mid_s[1:] != mid_s[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [len(mid_s)]]))
+    capped = deg[mid_s[starts]] <= max_degree
+    c_sizes = sizes[capped]
+    flat = nbr_s[np.repeat(capped, sizes)]  # capped groups, compacted
+    c_off = np.cumsum(c_sizes) - c_sizes    # group offsets into flat
+    # all ordered neighbor pairs within each capped middle's list:
+    # element i of a size-s group pairs with all s elements
+    blocks = c_sizes * c_sizes
+    tot = int(blocks.sum())
+    left = np.repeat(flat, np.repeat(c_sizes, c_sizes))
+    grp = np.repeat(np.arange(len(c_sizes)), blocks)
+    block_off = np.cumsum(blocks) - blocks
+    pos = np.arange(tot, dtype=np.int64) - block_off[grp]
+    right = flat[c_off[grp] + pos % c_sizes[grp]]
+    sel = left != right
+    two = left[sel].astype(np.int64) * n + right[sel]
+    one = mid.astype(np.int64) * n + nbr
+    reached = np.unique(np.concatenate([two, one]))
+    reach2 = np.bincount(reached // n, minlength=n).astype(np.int64)
+    return nodes, deg, reach2
+
+
 def hits_local(src, dst, iters: int):
     """Driver replay of graph.hits over an already-DEDUPED directed edge
     list: per half-step pull scores across edges, DECIMAL(28,18)-sum,

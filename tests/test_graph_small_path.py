@@ -116,6 +116,15 @@ def test_hits_unrounded_small_equals_distributed(spark, edges,
     assert small == dist
 
 
+def test_khop_small_equals_distributed(spark, edges, monkeypatch):
+    from hazelcast_jet_spark.operators.graph import khop_reach
+
+    for md in (3, 256):
+        small, dist = _both_paths(
+            monkeypatch, lambda: khop_reach(edges, max_degree=md))
+        assert small == dist
+
+
 def test_small_path_declines_non_integral(spark, monkeypatch):
     df = spark.createDataFrame(
         [("a", "b"), ("b", "c")], "src string, dst string")

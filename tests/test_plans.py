@@ -1154,10 +1154,13 @@ def test_unpivot_single_scan_no_shuffle_after_agg(spark, sf_dir):
     assert "Expand" in plan or "Generate" in plan or "Unpivot" in plan
 
 
-def test_khop_reach_shuffle_hinted_wedge(spark, sf_dir):
-    """khop gate: the wedge self-join must be a shuffle join (both sides
-    are |edges|-sized — broadcasting one OOMs at scale), and no
-    cartesian/BNLJ anywhere."""
+def test_khop_reach_shuffle_hinted_wedge(spark, sf_dir, monkeypatch):
+    """khop gate AT SCALE (small path disabled): the wedge self-join
+    must be a shuffle join (both sides are |edges|-sized — broadcasting
+    one OOMs at scale), and no cartesian/BNLJ anywhere."""
+    from hazelcast_jet_spark.operators import graph_local
+
+    monkeypatch.setattr(graph_local, "GRAPH_COLLECT_THRESHOLD", 0)
     plan = _plan(entry_mod.khop_reach_parts(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan

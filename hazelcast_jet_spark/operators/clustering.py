@@ -84,21 +84,29 @@ def l2_assign(df: DataFrame, centroids, vec_col: str = "embedding",
     unrounded float64) is the kernel the iterative fit uses; away from
     1e-9-scale ties the two agree.
     """
-    dists = F.array(*[
-        F.round(
+    # ONE SQL parse for the k x d literal matrix + a transform whose
+    # per-centroid fold is token-identical to the unrolled form (same
+    # zip_with squares, same sequential adds, same round-9), so every
+    # distance is bit-equal while expression construction drops from
+    # k*d py4j round trips to one parse (the r12 _lit_vecs discipline;
+    # kmeans_fit_unrolled builds this THREE times per fit)
+    from hazelcast_jet_spark.operators.similarity import _lit_vecs
+
+    dists = F.transform(
+        _lit_vecs([[float(x) for x in c] for c in centroids]),
+        lambda cv: F.round(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col).cast("array<double>"),
-                    F.array(*[F.lit(float(x)) for x in c]),
+                    cv,
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
                 lambda acc, y: acc + y,
             ),
             9,
-        )
-        for c in centroids
-    ])
+        ),
+    )
     cluster = (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
     out = df.withColumn(out_col, cluster)
     if dist_col is not None:

@@ -2964,19 +2964,28 @@ def repetition_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("t") >= 2)
         .select("doc_id", F.size("t").alias("wc"),
                 F.explode(text.word_ngrams("t", 2)).alias("gram"))
+        # ONE hash(doc_id) exchange serves both aggregates below
+        # (hash(doc_id) satisfies clustering on any superset key —
+        # guide §2.4); before r13 the gram count exchanged on
+        # (doc_id, wc, gram) and the per-doc top-1 row_number window
+        # re-exchanged + sorted on doc_id
+        .repartition(F.col("doc_id"))
     )
     counts = grams.groupBy("doc_id", "wc", "gram").agg(
         agg.counting().alias("n"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("n").desc(), F.col("gram").asc())
+    # argmax by (count desc, gram asc) as min_by over struct(-count,
+    # gram) — the LPA tie-break idiom; picks exactly the row the old
+    # rk==1 filter kept, with no window sort and no third exchange
+    top = counts.groupBy("doc_id", "wc").agg(
+        F.min_by(F.struct(F.col("gram"), F.col("n")),
+                 F.struct((-F.col("n")).alias("__nn"),
+                          F.col("gram"))).alias("__tg"))
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
+        top.select(
             "doc_id",
-            F.col("gram").alias("top_gram"),
-            F.col("n").alias("top_count"),
-            (F.col("n") * 2 / F.col("wc")).alias("coverage"),
+            F.col("__tg.gram").alias("top_gram"),
+            F.col("__tg.n").alias("top_count"),
+            (F.col("__tg.n") * 2 / F.col("wc")).alias("coverage"),
         )
         .orderBy("doc_id")
     )

@@ -97,6 +97,21 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def _window_grams(nm: Column, toks: Column, k: int) -> Column:
+    """Array of the k-token window STRINGS at every position (position
+    order) of a normalized text — ONE overlapping-lookahead regex pass
+    (the r12 :func:`shingles` discipline) instead of a ``transform``
+    over ``concat_ws(slice(t, i, k))``, which is CodegenFallback AND
+    rebuilds O(k) tokens per window (O(n·k) string copying per doc).
+    Captures are bit-identical: normalized text is single-space-joined
+    ``[a-z0-9]`` runs, so ``\\b`` fires exactly at token starts.  Docs
+    shorter than k tokens fall back to one whole-text window."""
+    pat = r"\b(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (k - 1)
+    return F.when(F.size(toks) >= k,
+                  F.regexp_extract_all(nm, F.lit(pat), 1)) \
+            .otherwise(F.array(F.concat_ws(" ", toks)))
+
+
 def _minhash_fn(seed: int):
     """Single-parameter element lambda for F.transform, seed captured by
     closure.  NEVER write ``lambda s, j=j: ...`` here: a two-parameter
@@ -728,22 +743,18 @@ def dup_span_stats(
     from .text import normalize_text
 
     toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), F.split(normalize_text(text_col), " ").alias("t"))
-    n = F.size("t")
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("__nm"))
+    # window STRINGS via one regex pass (see _window_grams), hashed with
+    # the identical md5-prefix→bigint conversion — same values, no
+    # per-window slice/concat rebuild
     grams = toks.select(
         "id",
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12),
-                    16, 10).cast("bigint"),
-            ),
-        ).otherwise(F.array(F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.col("t"))), 1, 12),
-            16, 10).cast("bigint"))).alias("hs"),
+        F.transform(
+            _window_grams(F.col("__nm"), F.split("__nm", " "), k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10)
+            .cast("bigint"),
+        ).alias("hs"),
     )
     spans = grams.select(
         "id", F.explode(F.array_distinct("hs")).alias("h"))
@@ -790,23 +801,20 @@ def dup_span_stats_multi(
 
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.split(normalize_text(text_col), " ").alias("t"))
-    n = F.size("t")
+        normalize_text(text_col).alias("__nm"))
 
     def _grams(k: int):
         # single-argument lambdas only: a two-parameter F.transform
         # lambda receives (element, INDEX), which would silently shadow
         # any default-bound k; k is closed over via this factory instead
-        def _win(i):
-            return F.substring(
-                F.md5(F.concat_ws(" ", F.slice("t", i, k))), 1, 12)
-
         def _tag(h):
             return F.struct(F.lit(k).cast("int").alias("k"), h.alias("h"))
 
-        whole = F.array(F.substring(F.md5(F.concat_ws(" ", F.col("t"))), 1, 12))
-        windows = F.transform(F.sequence(F.lit(1), n - (k - 1)), _win)
-        hs = F.when(n >= k, windows).otherwise(whole)
+        # window strings via one regex pass per grain (_window_grams),
+        # hashed with the identical md5 12-hex prefix — same values
+        hs = F.transform(
+            _window_grams(F.col("__nm"), F.split("__nm", " "), k),
+            lambda s: F.substring(F.md5(s), 1, 12))
         return F.transform(F.array_distinct(hs), _tag)
 
     spans = (toks.select(

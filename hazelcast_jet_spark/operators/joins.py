@@ -89,10 +89,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     rtc = right_time_col or time_col
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, rtc)]
-    # deterministic ties: collapse right rows sharing (key, time)
-    r = right.groupBy(F.col(key), F.col(rtc).alias(time_col)).agg(
-        *[F.max(c).alias(c) for c in value_cols]
-    )
+    # deterministic ties: right rows sharing (key, time) all carry the
+    # per-column MAX of their tie group.  r13: computed as a window max
+    # over (key, time, side) AFTER the union instead of a pre-union
+    # groupBy — the groupBy cost its own full exchange of the right
+    # side; the tie window runs on the SAME hash(key) exchange + sort
+    # the carry window needs (guide §2.4 "two operations keyed the same
+    # way share one exchange").  Every tie row carries the identical
+    # group max, so the carried value — and the left-row output — is
+    # bit-identical to the pre-aggregated form.
+    r = right.select(F.col(key), F.col(rtc).alias(time_col), *value_cols)
     carry_cols = list(value_cols)
     if tolerance is not None:
         carry_cols.append("__t")
@@ -107,6 +113,18 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, time_col: str,
     )
     lt_cols = [c for c in lt.columns]
     unioned = rt.unionByName(lt.select(*lt_cols), allowMissingColumns=True)
+    # ONE explicit hash(key) exchange serves both windows: it satisfies
+    # the tie window's clustered-(key, time, side) requirement and the
+    # carry window's clustered-(key); without it EnsureRequirements
+    # plans hash(key, time, _side) for the ties and a SECOND hash(key)
+    # for the carry.  Left-row partitions (side 1) contain no right
+    # values, so their tie-max stays NULL.
+    w_ties = Window.partitionBy(key, time_col, "_side")
+    unioned = unioned.repartition(F.col(key)).select(
+        *[c for c in unioned.columns if not c.startswith("_r_")],
+        *[F.max(f"_r_{c}").over(w_ties).alias(f"_r_{c}")
+          for c in carry_cols],
+    )
     # forward = the same carry trick over DESCENDING time: the nearest
     # right row with time >= left time is the "last seen" one when walking
     # from the future backwards.  _side 0 < 1 keeps the bound inclusive at

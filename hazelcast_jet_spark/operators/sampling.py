@@ -527,16 +527,28 @@ def bootstrap_sums(df: DataFrame, value_col: str, key_col: str,
     # hex ordering IS the integer ordering, so the oracle is untouched)
     thr_int = [int(t, 16) for t in _pois1_thresholds()]
     v = F.col(value_col).cast("double")
+    # r13: stage the md5 uniform ONCE per (row, rep) — the previous
+    # 8-deep CASE chain re-embedded the conv(md5(...)) subexpression in
+    # every branch (up to 8 evaluations per draw in the before-plan's
+    # 40 KB projection, which also blew past codegen so each branch
+    # re-ran interpreted), and derive k BRANCHLESSLY as the count of
+    # thresholds <= u — the same inverse-CDF integer (k = #{i: u >=
+    # thr_i}, clamped at 8 by construction), now 8 comparisons + adds
+    # in whole-stage codegen over one md5 per draw.
+    u_cols = [
+        F.conv(_hash_prefix(F.col(key_col), f"{seed}:{r}:"), 16, 10)
+        .cast("long").alias(f"__u{r}")
+        for r in range(n_reps)
+    ]
+    staged_u = df.select(v.alias("__v"), *u_cols)
     kcols = []
     for r in range(n_reps):
-        u = F.conv(_hash_prefix(F.col(key_col), f"{seed}:{r}:"), 16, 10) \
-            .cast("long")
-        k = F.lit(8)
-        for kk in range(8, 0, -1):
-            k = F.when(u < F.lit(thr_int[kk - 1]), F.lit(kk - 1)) \
-                .otherwise(k)
+        u = F.col(f"__u{r}")
+        k = (u >= F.lit(thr_int[0])).cast("int")
+        for i in range(1, 8):
+            k = k + (u >= F.lit(thr_int[i])).cast("int")
         kcols.append(k.cast("bigint").alias(f"__k{r}"))
-    staged = df.select(v.alias("__v"), *kcols)
+    staged = staged_u.select("__v", *kcols)
     aggs = []
     for r in range(n_reps):
         k = F.col(f"__k{r}")

@@ -74,7 +74,9 @@ def _cosine6_udf(nondet: bool = False):
     dot/(|a||b|) form matches the expression/oracle formula so the
     6-decimal rounding lands identically.
 
-    ``nondet=True`` returns the ``asNondeterministic()`` variant for call
+    ``nondet=True`` (legacy, unused since r13 — cosine_dedup_pairs now
+    uses a localCheckpoint barrier) returns the ``asNondeterministic()``
+    variant for call
     sites that FILTER directly on the UDF's output column: the optimizer
     otherwise pushes the threshold filter below the projection and
     evaluates the UDF twice — one ArrowEvalPython under the filter, one
@@ -315,16 +317,21 @@ def cosine_dedup_pairs(df: DataFrame, planes, threshold: float,
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-    # nondet kernel: the threshold filter references the UDF column, and
-    # the deterministic form gets duplicated around the pushed-down
-    # filter — two ArrowEvalPython nodes for one verify (guide §4.4)
-    return (
+    # structural barrier instead of asNondeterministic (r12 VERDICT #8):
+    # the threshold filter references the UDF column, and with a
+    # deterministic kernel the pushed-down filter duplicates the verify
+    # — two ArrowEvalPython nodes (guide §4.4).  Materializing the
+    # scored candidate table (bounded: the deduped candidate pairs,
+    # three narrow columns) evaluates the kernel exactly once and SAYS
+    # so, without lying to the optimizer about the kernel's purity.
+    scored = (
         cands.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
-                _cosine6_udf(nondet=True)(F.col("va"), F.col("vb"))
+                _cosine6_udf()(F.col("va"), F.col("vb"))
                 .alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        .localCheckpoint()
     )
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def _centroid_dists(vec: Column, centroids: list[list[float]]) -> Column:

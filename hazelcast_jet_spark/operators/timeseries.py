@@ -631,8 +631,19 @@ def acf(df: DataFrame, key_col: str, time_col: str, value_col: str,
     """
     if not lags or any(k < 1 for k in lags):
         raise ValueError("lags must be >= 1")
-    w_all = Window.partitionBy(key_col)
-    w_ord = w_all.orderBy(time_col, id_col)
+    w_ord = Window.partitionBy(key_col).orderBy(time_col, id_col)
+    # full-partition frame ON THE ORDERED window spec: an unordered
+    # partitionBy window plans as its OWN Sort(key)+Window pass before
+    # the lead window's Sort(key, time, id) — same partition exchange,
+    # two full sorts (r13 before-plan: Sort(5)+Window(6)+Sort(8)+
+    # Window(9)).  The explicit unbounded ROWS frame computes the
+    # identical order-free aggregate on the lead window's sort, so both
+    # window passes share ONE sort (guide §2.4 "window functions
+    # partitioned by the same key ... one partitioning established
+    # once").  Values are bit-identical: the decimal sum and count are
+    # order-independent.
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
     v = F.col(value_col).cast("double")
     mean = (F.sum(v.cast("decimal(28,12)")).over(w_all).cast("double")
             / F.count(v).over(w_all))

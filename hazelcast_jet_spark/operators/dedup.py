@@ -125,109 +125,11 @@ def _minhash_fn(seed: int):
     return lambda s: _h(seed, s)
 
 
-#: Arrow minhash kernels are pure functions of num_hashes; memoize the
-#: built UDF objects so repeated query builds produce canonical plans
-#: that hit the JVM analysis/codegen caches (the r12 similarity-kernel
-#: discipline).
-_MINHASH_UDF_CACHE: dict = {}
-
-
-def _minhash_sig_udf(num_hashes: int):
-    """Arrow-vectorized MinHash signatures over shingle-array batches —
-    the r12 simhash vocab-digest discipline (guide §4.2): each batch
-    hashes every DISTINCT shingle once per seed (hashlib md5 of the
-    identical ``s{j}:<shingle>`` bytes ⇒ the identical lowercase hex
-    digest), then takes per-doc minima numerically.  The expression
-    form evaluates ``md5`` per shingle OCCURRENCE through an
-    interpreted (CodegenFallback) ``transform`` lambda — measured ~10×
-    more hash calls on the gate corpus (260 k occurrences vs 27 k
-    distinct) and ~4× the wall time.
-
-    Exactness: md5 hex strings compare lexicographically exactly as
-    their digest bytes compare numerically (hex encoding is monotone),
-    so the per-seed min is computed on the (hi, lo) big-endian uint64
-    halves — two exact reduceat passes — and re-emitted as the same
-    32-char lowercase hex Spark's ``array_min`` would have produced.
-    Empty shingle arrays yield [NULL]*num_hashes (``array_min([])``)."""
-    cached = _MINHASH_UDF_CACHE.get(num_hashes)
-    if cached is not None:
-        return cached
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<string>")
-    def minhash_sig(sh):
-        import hashlib
-
-        import numpy as np
-
-        docs = sh.tolist()
-        lens = np.fromiter((len(d) if d is not None else 0 for d in docs),
-                           dtype=np.int64, count=len(docs))
-        vocab: dict = {}
-        idx_flat = []
-        for d in docs:
-            if d is not None and len(d):  # elements arrive as np arrays
-                for s in d:
-                    v = vocab.get(s)
-                    if v is None:
-                        v = len(vocab)
-                        vocab[s] = v
-                    idx_flat.append(v)
-        idx = np.asarray(idx_flat, dtype=np.int64)
-        n_u = len(vocab)
-        hi = np.empty((num_hashes, n_u), dtype=np.uint64)
-        lo = np.empty((num_hashes, n_u), dtype=np.uint64)
-        seeds = [hashlib.md5(b"s%d:" % j) for j in range(num_hashes)]
-        for u, s in enumerate(vocab):  # dict preserves insertion order
-            sb = s.encode("utf-8")
-            for j in range(num_hashes):
-                m = seeds[j].copy()
-                m.update(sb)
-                d = m.digest()
-                hi[j, u] = int.from_bytes(d[:8], "big")
-                lo[j, u] = int.from_bytes(d[8:], "big")
-        nz = lens > 0
-        starts = (np.cumsum(lens) - lens)[nz]
-        seg = lens[nz]
-        mins_hex = np.empty((int(nz.sum()), num_hashes), dtype=object)
-        full = np.uint64(0xFFFFFFFFFFFFFFFF)
-        for j in range(num_hashes):
-            hj = hi[j][idx]
-            lj = lo[j][idx]
-            mh = np.minimum.reduceat(hj, starts) if len(starts) else hj[:0]
-            is_min = hj == np.repeat(mh, seg)
-            ml = np.minimum.reduceat(np.where(is_min, lj, full), starts) \
-                if len(starts) else lj[:0]
-            for r in range(len(mh)):
-                mins_hex[r, j] = (f"{int(mh[r]):016x}"
-                                  f"{int(ml[r]):016x}")
-        out = []
-        rnz = 0
-        for has in nz:
-            if has:
-                out.append(list(mins_hex[rnz]))
-                rnz += 1
-            else:
-                out.append([None] * num_hashes)
-        import pandas as pd
-
-        return pd.Series(out)
-
-    _MINHASH_UDF_CACHE[num_hashes] = minhash_sig
-    return minhash_sig
-
-
-def minhash_sigs(sh: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature column over a shingle-array column — the shared
-    construction every LSH operator uses (Arrow vocab-digest kernel;
-    values identical to the unrolled array_min/transform expression)."""
-    return _minhash_sig_udf(num_hashes)(sh)
-
-
 def minhash_signature(col: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature: per seed j, min over shingles of h_j(shingle).
     An array<string> of length num_hashes."""
-    return minhash_sigs(shingles(col, k), num_hashes)
+    sh = shingles(col, k)
+    return F.array(*[F.array_min(F.transform(sh, _minhash_fn(j))) for j in range(num_hashes)])
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -286,7 +188,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # by the persisted base)
     sigs = base.select(
         "id",
-        minhash_sigs(F.col("sh"), num_hashes).alias("sig"),
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"),
     )
     bucketed = sigs.select(
         "id",
@@ -1213,7 +1118,10 @@ def minhash_index_build(df: DataFrame, path: str, text_col: str = "text",
                      shingles(text_col, k).alias("sh")).persist()
     sigs = base.select(
         "id",
-        minhash_sigs(F.col("sh"), num_hashes).alias("sig"),
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"),
     )
     bucketed = sigs.select(
         "id",
@@ -1297,7 +1205,10 @@ def minhash_index_probe(spark, path: str, new_docs: DataFrame,
     _register_cache(nb)
     new_sigs = nb.select(
         "id",
-        minhash_sigs(F.col("sh"), num_hashes).alias("sig"),
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"),
     )
     new_buckets = new_sigs.select(
         "id",
@@ -1414,7 +1325,10 @@ def ingest_epoch(batch_df: DataFrame, batch_id: int, index_path: str,
             F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
         sigs = base.select(
             "id",
-            minhash_sigs(F.col("sh"), num_hashes).alias("sig"))
+            F.array(*[
+                F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+                for j in range(num_hashes)
+            ]).alias("sig"))
         bucketed = sigs.select(
             "id",
             F.explode(F.array(*[
@@ -1694,7 +1608,10 @@ def minhash_estimate_vs_exact(
                      shingles(text_col, k).alias("sh")).persist()
     sigs = base.select(
         "id", "sh",
-        minhash_sigs(F.col("sh"), num_hashes).alias("sig"))
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"))
     bucketed = sigs.select(
         "id",
         F.explode(F.array(*[
@@ -1934,7 +1851,10 @@ def lsh_band_diagnostics(
                      shingles(text_col, k).alias("sh")).persist()
     sigs = base.select(
         "id",
-        minhash_sigs(F.col("sh"), num_hashes).alias("sig"))
+        F.array(*[
+            F.array_min(F.transform(F.col("sh"), _minhash_fn(j)))
+            for j in range(num_hashes)
+        ]).alias("sig"))
     bucketed = sigs.select(
         "id",
         F.explode(F.array(*[

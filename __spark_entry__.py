@@ -5521,14 +5521,14 @@ def llm_data_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     groups = exact_dedup(docs, "text", "doc_id")
-    # materialize the exact-dedup survivors ONCE (guide §2.4 "remove
-    # shuffles outright", §3.3 "materialising an intermediate truncates
-    # the plan"): they feed the LSH pair enumeration, the near-dup
-    # anti-join, decontamination and the quality gate — without this
-    # the fingerprint-groupBy + documents-scan subtree re-executes
-    # under each consumer (10 parquet scans in plans/r13's before-plan)
+    # NOTE (r13): a localCheckpoint of `surv` here was built to collapse
+    # the before-plan's 10 documents scans and REVERTED on measurement —
+    # 4.35 s (lazy, pruned re-scans) vs 7.75 s (materialized full-text
+    # rows defeat column pruning for every downstream consumer;
+    # interleaved A/B at 8 cores, min-of-2).  The repeated scans are
+    # cheap: parquet pushdown projects 2-3 columns each time.
     surv = docs.join(groups.select(F.col("keep_id").alias("doc_id")),
-                     "doc_id", "left_semi").localCheckpoint()
+                     "doc_id", "left_semi")
     pairs = minhash_lsh_pairs(surv, "text", "doc_id", threshold=0.7)
     drop = (pairs_to_groups(pairs)
             .filter(F.col("node") != F.col("group"))
